@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Embedding-similarity operators over the `embeddings` table
+  * (`Array[Float]`, 64-dim): brute-force cosine top-k (the baseline every
+  * ANN variant is judged against), cosine near-dup detection, and vector
+  * norms. The LSH-bucketed ANN scale path lives in AnnOps (no SQL oracle —
+  * approximate results).
+  *
+  * Float determinism: embeddings are quantized to integers
+  * (`floor(x * 1000)`), so dot products and norms are exact integer sums
+  * (≤ 2^53, order-independent) and `score = dot / sqrt(na * nb)` is a
+  * deterministic IEEE double — bit-identical in Spark and DuckDB.
+  *
+  * Scale notes: brute-force top-k is a broadcast nested-loop of the small
+  * query set against the corpus — linear scans, no shuffle of the corpus;
+  * pairwise near-dup is quadratic and exists as the correctness baseline
+  * for the LSH variant.
+  */
+object EmbedOps {
+
+  private def prep(s: SparkSession, d: String): Unit =
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+
+  /** Quantized-embedding CTE, per dialect. */
+  private def quantized(listTransform: String): String =
+    s"""SELECT vec_id, label,
+       |  $listTransform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |FROM embeddings""".stripMargin
+
+  private val sparkQ = quantized("transform")
+  private val duckQ = quantized("list_transform")
+
+  private val sparkDot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  private val duckDot = "CAST(list_dot_product(%s, %s) AS BIGINT)"
+
+  private def knnSql(q: String, dot: String): String = {
+    val dotAB = dot.format("a.q", "b.q")
+    val normA = dot.format("a.q", "a.q")
+    val normB = dot.format("b.q", "b.q")
+    s"""WITH qe AS ($q),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST($dotAB AS DOUBLE)
+       |      / sqrt(CAST($normA AS DOUBLE) * CAST($normB AS DOUBLE)) AS score
+       |  FROM qe a JOIN qe b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def nearDupSql(q: String, dot: String): String = {
+    val dotAB = dot.format("a.q", "b.q")
+    val normA = dot.format("a.q", "a.q")
+    val normB = dot.format("b.q", "b.q")
+    s"""WITH qe AS ($q)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST($dotAB AS DOUBLE)
+       |    / sqrt(CAST($normA AS DOUBLE) * CAST($normB AS DOUBLE)) AS score
+       |FROM qe a JOIN qe b ON a.vec_id < b.vec_id
+       |WHERE CAST($dotAB AS DOUBLE)
+       |    / sqrt(CAST($normA AS DOUBLE) * CAST($normB AS DOUBLE)) >= 0.25
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  private def normsSql(q: String, dot: String, sizeFn: String): String = {
+    val norm = dot.format("q", "q")
+    s"""WITH qe AS ($q)
+       |SELECT vec_id, label, $sizeFn(q) AS dim, $norm AS qnorm
+       |FROM qe
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
+    prep(s, d); s.sql(sql)
+  }
+
+  private val qs: Map[String, QueryDef] = Map(
+    "embed_norms" -> QueryDef(
+      (s, d) => sq(s, d, normsSql(sparkQ, sparkDot, "size")),
+      normsSql(duckQ, duckDot, "len")
+    ),
+    "embed_knn_brute" -> QueryDef(
+      (s, d) => sq(s, d, knnSql(sparkQ, sparkDot)),
+      knnSql(duckQ, duckDot)
+    ),
+    "embed_dedup_cosine" -> QueryDef(
+      (s, d) => sq(s, d, nearDupSql(sparkQ, sparkDot)),
+      nearDupSql(duckQ, duckDot)
+    )
+  )
+
+  def queries: Map[String, QueryDef] = qs
+}

@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational operator coverage over the TPC-H-ish test tables.
+  *
+  * The reference (apache/hudi-rs) delegates all relational work to its host
+  * engine (DataFusion — /root/reference/README.md:396-412); in our engine it
+  * is delegated to Catalyst. These queries pin the delegation surface with a
+  * DuckDB oracle: joins (broadcast + shuffle), aggregates, windows, sorts,
+  * limits, set ops, semi/anti joins, predicate/projection pushdown.
+  *
+  * Float determinism: every aggregated fp column is cast to DECIMAL before
+  * SUM (exact, order-independent) and the final result cast back to DOUBLE,
+  * so Spark and DuckDB produce bit-identical values regardless of partial
+  * aggregation order. Per-row fp arithmetic is IEEE-deterministic already.
+  */
+object Relational {
+  import Tables._
+
+  /** Exact decimal sum of a (≤2-dp, <1e14) double column, returned as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  private val qs: Map[String, QueryDef] = Map(
+    // --- scan + aggregate (TPC-H Q1 shape) -------------------------------
+    "q1_pricing_summary" -> QueryDef(
+      (s, d) => {
+        val li = lineitem(s, d).filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        val disc = (col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(BigDecimal(1)).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+        val charge = disc * (lit(BigDecimal(1)).cast(DecimalType(18, 4)) + col("l_tax").cast(DecimalType(18, 4)))
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(disc).cast(DoubleType).as("sum_disc_price"),
+            sum(charge).cast(DoubleType).as("sum_charge"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+            (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(1) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(1) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(1) AS avg_disc,
+        |  COUNT(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ),
+
+    // --- 3-way join + agg + top-k (TPC-H Q3 shape) -----------------------
+    "q3_shipping_priority" -> QueryDef(
+      (s, d) => {
+        val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = orders(s, d).filter(col("o_orderdate") < lit("1997-03-15").cast(TimestampType))
+        val l = lineitem(s, d).filter(col("l_shipdate") > lit("1997-03-15").cast(TimestampType))
+        val disc = (col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(BigDecimal(1)).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(disc).cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin
+    ),
+
+    // --- 6-way join (TPC-H Q5 shape) -------------------------------------
+    "q5_local_supplier_volume" -> QueryDef(
+      (s, d) => {
+        val disc = (col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(BigDecimal(1)).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+        lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(supplier(s, d),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA"
+            && col("o_orderdate") >= lit("1996-01-01").cast(TimestampType)
+            && col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+          .groupBy("n_name")
+          .agg(sum(disc).cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
+    ),
+
+    // --- predicate coverage: = <> < <= > >= IN NOT IN (P1/P2) ------------
+    "q_filter_predicates" -> QueryDef(
+      (s, d) =>
+        part(s, d)
+          .filter(col("p_size").isin(5, 10, 15, 20)
+            && col("p_brand") =!= "Brand#13"
+            && !col("p_type").isin("PROMO", "ECONOMY")
+            && col("p_retailprice") > 920.0
+            && col("p_retailprice") <= 990.0
+            && col("p_partkey") >= 100)
+          .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+          .orderBy("p_partkey"),
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE p_size IN (5, 10, 15, 20)
+        |  AND p_brand <> 'Brand#13'
+        |  AND p_type NOT IN ('PROMO', 'ECONOMY')
+        |  AND p_retailprice > 920.0
+        |  AND p_retailprice <= 990.0
+        |  AND p_partkey >= 100
+        |ORDER BY p_partkey""".stripMargin
+    ),
+
+    // --- projection pushdown: 2 columns of a wide table (P4) --------------
+    "q_projection" -> QueryDef(
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber"),
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ),
+
+    // --- sort + limit (O1/L1) ---------------------------------------------
+    "q_sort_limit" -> QueryDef(
+      (s, d) =>
+        orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100),
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin
+    ),
+
+    // --- distinct ---------------------------------------------------------
+    "q_distinct" -> QueryDef(
+      (s, d) =>
+        lineitem(s, d)
+          .select("l_returnflag", "l_linestatus")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ),
+
+    // --- set ops: EXCEPT / INTERSECT --------------------------------------
+    "q_set_except" -> QueryDef(
+      (s, d) =>
+        customer(s, d).select(col("c_custkey").as("custkey"))
+          .except(orders(s, d).filter(col("o_totalprice") > 300000.0)
+            .select(col("o_custkey").as("custkey")))
+          .orderBy("custkey"),
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY custkey""".stripMargin
+    ),
+    "q_set_intersect" -> QueryDef(
+      (s, d) =>
+        customer(s, d).select(col("c_custkey").as("custkey"))
+          .intersect(orders(s, d).select(col("o_custkey").as("custkey")))
+          .orderBy("custkey"),
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin
+    ),
+
+    // --- window functions: row_number / lag / running sum ------------------
+    "q_window_latest_events" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("user_id", "rn", "event_id", "event_type", "value")
+          .orderBy("user_id", "rn")
+      },
+      """SELECT user_id, rn, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin
+    ),
+    "q_window_running_sum" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        events(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("running_value",
+            sum(col("value").cast(DecimalType(18, 4))).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(DoubleType))
+          .select("user_id", "event_id", "running_value")
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        |FROM events
+        |WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin
+    ),
+
+    // --- semi / anti joins -------------------------------------------------
+    "q_semi_join" -> QueryDef(
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers_with_orders"))
+          .orderBy("c_mktsegment"),
+      """SELECT c_mktsegment, COUNT(1) AS n_customers_with_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+    ),
+    "q_anti_join" -> QueryDef(
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d).filter(col("o_totalprice") > 400000.0),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers_without_big_orders"))
+          .orderBy("c_mktsegment"),
+      """SELECT c_mktsegment, COUNT(1) AS n_customers_without_big_orders
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+    ),
+
+    // --- time-bucketed aggregation over the event stream -------------------
+    "q_events_hourly" -> QueryDef(
+      (s, d) =>
+        events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .orderBy("hour", "event_type"),
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin
+    ),
+
+    // --- broadcast-join dimension rollup -----------------------------------
+    "q_join_part_rollup" -> QueryDef(
+      (s, d) =>
+        lineitem(s, d)
+          .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("p_brand"),
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(1) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
+    ),
+
+    // --- scalar/global aggregates incl. exact distinct ----------------------
+    "q_global_stats" -> QueryDef(
+      (s, d) =>
+        lineitem(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          min(col("l_shipdate")).as("min_shipdate"),
+          max(col("l_shipdate")).as("max_shipdate"),
+          dsum(col("l_quantity")).as("sum_qty")),
+      """SELECT COUNT(1) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  MIN(l_shipdate) AS min_shipdate,
+        |  MAX(l_shipdate) AS max_shipdate,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem""".stripMargin
+    ),
+
+    // --- grouped top-k (purchases per user) ---------------------------------
+    "q_top_purchasers" -> QueryDef(
+      (s, d) =>
+        events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(dsum(col("value")).as("total_spend"), count(lit(1)).as("n_purchases"))
+          .orderBy(col("total_spend").desc, col("user_id"))
+          .limit(20),
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
+        |  COUNT(1) AS n_purchases
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id
+        |ORDER BY total_spend DESC, user_id
+        |LIMIT 20""".stripMargin
+    )
+  )
+
+  def queries: Map[String, QueryDef] = qs
+}
