@@ -1,0 +1,112 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** Table configuration loaded from `<base>/.hoodie/hoodie.properties`,
+  * mirroring the reference's table-config namespace
+  * (crates/core/src/config/table.rs:153-177). Read configs
+  * (`hoodie.read.*`) are call-scoped and never stored here, matching
+  * docs/reader-spec.md:343.
+  */
+final case class HoodieConfig(props: Map[String, String]) {
+  import HoodieConfig._
+
+  def get(key: String): Option[String] = props.get(key)
+  def getOrElse(key: String, default: String): String = props.getOrElse(key, default)
+
+  def tableName: String = getOrElse(TableName, "")
+  def tableType: String = getOrElse(TableType, "COPY_ON_WRITE")
+  def isMor: Boolean = tableType.equalsIgnoreCase("MERGE_ON_READ")
+  def tableVersion: Int = getOrElse(TableVersion, "6").toInt
+  def timelineTimezone: String = getOrElse(TimelineTimezone, "UTC")
+  def timelinePath: String = getOrElse(TimelinePath, if (tableVersion >= 8) "timeline" else "")
+  def baseFileFormat: String = getOrElse(BaseFileFormat, "PARQUET")
+
+  def partitionFields: Seq[String] =
+    get(PartitionFields).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  def recordKeyFields: Seq[String] =
+    get(RecordKeyFields).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** Ordering (precombine) fields; reference key with deprecated alias
+    * `hoodie.table.precombine.field` (config/table.rs:218).
+    */
+  def orderingFields: Seq[String] = {
+    val raw = get(OrderingFields).orElse(get(PrecombineFieldDeprecated))
+    raw.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  }
+
+  def isHiveStylePartitioning: Boolean =
+    getOrElse(IsHiveStylePartitioning, "false").toBoolean
+  def isPartitionPathUrlencoded: Boolean =
+    getOrElse(IsPartitionPathUrlencoded, "false").toBoolean
+  def populatesMetaFields: Boolean =
+    getOrElse(PopulatesMetaFields, "true").toBoolean
+  def dropsPartitionFields: Boolean =
+    getOrElse(DropsPartitionFields, "false").toBoolean
+
+  /** Merge strategy with the reference's defaulting rules
+    * (config/table.rs:318-340): APPEND_ONLY when meta fields are not
+    * populated or no ordering field, else OVERWRITE_WITH_LATEST.
+    */
+  def recordMergeStrategy: String =
+    get(RecordMergeStrategy).getOrElse {
+      if (!populatesMetaFields || orderingFields.isEmpty) "APPEND_ONLY"
+      else "OVERWRITE_WITH_LATEST"
+    }
+}
+
+object HoodieConfig {
+  val TableName = "hoodie.table.name"
+  val TableType = "hoodie.table.type"
+  val TableVersion = "hoodie.table.version"
+  val TimelineTimezone = "hoodie.table.timeline.timezone"
+  val TimelinePath = "hoodie.timeline.path"
+  val BaseFileFormat = "hoodie.table.base.file.format"
+  val PartitionFields = "hoodie.table.partition.fields"
+  val RecordKeyFields = "hoodie.table.recordkey.fields"
+  val OrderingFields = "hoodie.table.ordering.fields"
+  val PrecombineFieldDeprecated = "hoodie.table.precombine.field"
+  val IsHiveStylePartitioning = "hoodie.datasource.write.hive_style_partitioning"
+  val IsPartitionPathUrlencoded = "hoodie.datasource.write.partitionpath.urlencode"
+  val PopulatesMetaFields = "hoodie.populate.meta.fields"
+  val DropsPartitionFields = "hoodie.datasource.write.drop.partition.columns"
+  val RecordMergeStrategy = "hoodie.table.record.merge.strategy"
+
+  /** Load `<base>/.hoodie/hoodie.properties` (plain `k=v` lines). */
+  def load(basePath: String, hadoopConf: Configuration): HoodieConfig = {
+    val path = new Path(basePath, ".hoodie/hoodie.properties")
+    val fs = path.getFileSystem(hadoopConf)
+    val in = new BufferedReader(
+      new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
+    try {
+      val m = mutable.LinkedHashMap.empty[String, String]
+      var line = in.readLine()
+      while (line != null) {
+        val t = line.trim
+        if (t.nonEmpty && !t.startsWith("#")) {
+          val i = t.indexOf('=')
+          if (i > 0) m(t.substring(0, i).trim) = t.substring(i + 1).trim
+        }
+        line = in.readLine()
+      }
+      HoodieConfig(m.toMap)
+    } finally in.close()
+  }
+}
+
+/** The five (plus one optional) Hudi meta columns physically prepended to
+  * every data schema — crates/core/src/metadata/meta_field.rs:28-48.
+  */
+object MetaField {
+  val CommitTime = "_hoodie_commit_time"
+  val CommitSeqno = "_hoodie_commit_seqno"
+  val RecordKey = "_hoodie_record_key"
+  val PartitionPath = "_hoodie_partition_path"
+  val FileName = "_hoodie_file_name"
+  val Operation = "_hoodie_operation"
+  val all: Seq[String] = Seq(CommitTime, CommitSeqno, RecordKey, PartitionPath, FileName)
+}

@@ -1,0 +1,185 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import scala.jdk.CollectionConverters._
+
+/** A timeline instant — one transaction-log entry.
+  *
+  * Filename formats (crates/core/src/timeline/instant.rs:107-183):
+  *  - pre-v8:        `{timestamp}.{action}[.{state}]`
+  *  - v8+ completed: `{requestedTs}_{completedTs}.{action}`
+  *
+  * `timestamp` is the request timestamp (ordering + identity);
+  * `completionTimestamp` only exists for v8+ completed instants.
+  */
+final case class HoodieInstant(
+    timestamp: String,
+    completionTimestamp: Option[String],
+    action: String,
+    state: String
+) {
+  def isCompleted: Boolean = state == HoodieInstant.Completed
+  /** Timeline filename this instant was parsed from. */
+  def fileName: String = {
+    val tsPart = completionTimestamp.fold(timestamp)(c => s"${timestamp}_$c")
+    val suffix = state match {
+      case HoodieInstant.Completed => action
+      case HoodieInstant.Inflight => if (action == "commit") "inflight" else s"$action.inflight"
+      case s => s"$action.$s"
+    }
+    s"$tsPart.$suffix"
+  }
+}
+
+object HoodieInstant {
+  val Completed = "completed"
+  val Inflight = "inflight"
+  val Requested = "requested"
+  /** Actions the reader loads (commit/deltacommit/replacecommit). */
+  val LoadingActions: Set[String] = Set("commit", "deltacommit", "replacecommit")
+
+  private val tsRe = "^\\d{14}(\\d{3})?$".r
+
+  /** Parse a timeline filename; None when it isn't a loadable instant. */
+  def parse(fileName: String): Option[HoodieInstant] = {
+    val dot = fileName.indexOf('.')
+    if (dot <= 0) return None
+    val tsPart = fileName.substring(0, dot)
+    val suffix = fileName.substring(dot + 1)
+    val (action, state) = suffix.split("\\.", 2) match {
+      case Array("inflight") => ("commit", Inflight)
+      case Array(a) => (a, Completed)
+      case Array(a, st) => (a, st.toLowerCase)
+      case _ => return None
+    }
+    if (!LoadingActions.contains(action)) return None
+    tsPart.split("_", 2) match {
+      case Array(ts) if tsRe.matches(ts) =>
+        Some(HoodieInstant(ts, None, action, state))
+      case Array(req, compl) if tsRe.matches(req) && tsRe.matches(compl) && state == Completed =>
+        Some(HoodieInstant(req, Some(compl), action, state))
+      case _ => None
+    }
+  }
+}
+
+/** The active timeline: completed commit/deltacommit/replacecommit
+  * instants loaded from `.hoodie/` (v6) or `.hoodie/<timeline.path>/`
+  * (v8+), plus commit-metadata access (crates/core/src/timeline/mod.rs).
+  *
+  * All of this is driver-side metadata work — file listings and small JSON
+  * reads; at 100 TB the cost is bounded by the number of commits, not data.
+  */
+final class Timeline(
+    val basePath: String,
+    val config: HoodieConfig,
+    hadoopConf: Configuration
+) extends Serializable {
+
+  private val mapper = new ObjectMapper()
+
+  private val timelineDir: Path = {
+    val hoodie = new Path(basePath, ".hoodie")
+    if (config.timelinePath.nonEmpty) new Path(hoodie, config.timelinePath) else hoodie
+  }
+
+  /** All completed loadable instants, ascending by request timestamp. */
+  val completedInstants: Vector[HoodieInstant] = {
+    val fs = timelineDir.getFileSystem(hadoopConf)
+    if (!fs.exists(timelineDir)) Vector.empty
+    else
+      fs.listStatus(timelineDir)
+        .iterator
+        .filter(_.isFile)
+        .flatMap(st => HoodieInstant.parse(st.getPath.getName))
+        .filter(_.isCompleted)
+        .toVector
+        .sortBy(i => (i.timestamp, i.action))
+  }
+
+  def latestCommitTimestamp: Option[String] = completedInstants.lastOption.map(_.timestamp)
+
+  /** Completed instants visible as of `ts` (request-ts keyed for v6,
+    * completion-ts keyed for v8+ — R6 semantics).
+    */
+  def instantsAsOf(ts: String): Vector[HoodieInstant] =
+    completedInstants.filter(i => visibleTs(i) <= ts)
+
+  /** Completed instants in the half-open range `(start, end]`. */
+  def instantsBetween(start: Option[String], end: Option[String]): Vector[HoodieInstant] =
+    completedInstants.filter { i =>
+      val t = i.timestamp
+      start.forall(t > _) && end.forall(t <= _)
+    }
+
+  private def visibleTs(i: HoodieInstant): String =
+    i.completionTimestamp.getOrElse(i.timestamp)
+
+  /** Map request-ts → completion-ts for v8+ tables (None entries for v6). */
+  def completionTimeOf(requestTs: String): Option[String] =
+    completedInstants.find(_.timestamp == requestTs).flatMap(_.completionTimestamp)
+
+  /** Whether `requestTs` corresponds to a completed instant. */
+  def isCompletedCommit(requestTs: String): Boolean =
+    completedInstants.exists(_.timestamp == requestTs)
+
+  /** Commit metadata JSON for a completed instant. */
+  def commitMetadata(instant: HoodieInstant): JsonNode = {
+    val fs = timelineDir.getFileSystem(hadoopConf)
+    val p = new Path(timelineDir, instant.fileName)
+    val in = fs.open(p)
+    try mapper.readTree(in)
+    finally in.close()
+  }
+
+  /** (partition → fileIds) touched by an instant, from
+    * `partitionToWriteStats` in its commit metadata.
+    */
+  def touchedFileGroups(instant: HoodieInstant): Map[String, Set[String]] = {
+    val md = commitMetadata(instant)
+    val stats = md.path("partitionToWriteStats")
+    if (stats.isMissingNode || !stats.isObject) Map.empty
+    else
+      stats.properties().asScala.map { e =>
+        val ids = e.getValue.elements().asScala
+          .flatMap(ws => Option(ws.path("fileId").asText(null)))
+          .filter(_ != null).toSet
+        e.getKey -> ids
+      }.toMap
+  }
+
+  /** File groups replaced (clustering / insert-overwrite) as of `ts` —
+    * excluded from snapshot views (R4, timeline/mod.rs:302-320).
+    */
+  def replacedFileGroupsAsOf(ts: String): Map[String, Set[String]] =
+    mergeReplaced(instantsAsOf(ts))
+
+  /** Replaced groups within `(start, end]` for incremental diffs. */
+  def replacedFileGroupsBetween(start: Option[String], end: Option[String]): Map[String, Set[String]] =
+    mergeReplaced(instantsBetween(start, end))
+
+  private def mergeReplaced(instants: Vector[HoodieInstant]): Map[String, Set[String]] = {
+    val acc = scala.collection.mutable.Map.empty[String, Set[String]]
+    for (i <- instants if i.action == "replacecommit") {
+      val md = commitMetadata(i)
+      val rep = md.path("partitionToReplaceFileIds")
+      if (rep.isObject) {
+        rep.properties().asScala.foreach { e =>
+          val ids = e.getValue.elements().asScala.map(_.asText()).toSet
+          acc(e.getKey) = acc.getOrElse(e.getKey, Set.empty) ++ ids
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  /** Latest commit-metadata schema (extraMetadata.schema Avro JSON), if any. */
+  def latestSchemaAvro: Option[String] =
+    completedInstants.reverseIterator.flatMap { i =>
+      val md = commitMetadata(i)
+      Option(md.path("extraMetadata").path("schema").asText(null)).filter(_.nonEmpty)
+    }.nextOption()
+}
