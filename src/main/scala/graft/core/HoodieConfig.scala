@@ -21,9 +21,21 @@ final case class HoodieConfig(props: Map[String, String]) {
   def tableName: String = getOrElse(TableName, "")
   def tableType: String = getOrElse(TableType, "COPY_ON_WRITE")
   def isMor: Boolean = tableType.equalsIgnoreCase("MERGE_ON_READ")
-  def tableVersion: Int = getOrElse(TableVersion, "6").toInt
+  /** Required key — the reference refuses tables without it (loader.rs). */
+  def tableVersion: Int =
+    get(TableVersion)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$TableVersion missing from hoodie.properties — not a valid Hudi table"))
+      .toInt
   def timelineTimezone: String = getOrElse(TimelineTimezone, "UTC")
-  def timelinePath: String = getOrElse(TimelinePath, if (tableVersion >= 8) "timeline" else "")
+
+  /** Timeline dir relative to `.hoodie/`. Pre-v8 layouts always use
+    * `.hoodie/` directly regardless of any stray `hoodie.timeline.path`
+    * key (reference resolves by layout version only, loader.rs:106-112),
+    * so the key is honored for v8+ only.
+    */
+  def timelinePath: String =
+    if (tableVersion >= 8) getOrElse(TimelinePath, "timeline") else ""
   def baseFileFormat: String = getOrElse(BaseFileFormat, "PARQUET")
 
   def partitionFields: Seq[String] =

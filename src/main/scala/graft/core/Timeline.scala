@@ -77,7 +77,7 @@ final class Timeline(
     val basePath: String,
     val config: HoodieConfig,
     hadoopConf: Configuration
-) extends Serializable {
+) {
 
   private val mapper = new ObjectMapper()
 
@@ -102,21 +102,21 @@ final class Timeline(
 
   def latestCommitTimestamp: Option[String] = completedInstants.lastOption.map(_.timestamp)
 
-  /** Completed instants visible as of `ts` (request-ts keyed for v6,
-    * completion-ts keyed for v8+ — R6 semantics).
+  /** Completed instants whose *request* timestamp is <= `ts`, matching the
+    * reference's as-of selection (timeline/mod.rs
+    * get_completed_instants_at_or_before: "whose request timestamp is ≤
+    * timestamp"). Completion timestamps are reserved for log-file slice
+    * association (CompletionTimeView), not visibility selection.
     */
   def instantsAsOf(ts: String): Vector[HoodieInstant] =
-    completedInstants.filter(i => visibleTs(i) <= ts)
+    completedInstants.filter(_.timestamp <= ts)
 
-  /** Completed instants in the half-open range `(start, end]`. */
+  /** Completed instants in the half-open range `(start, end]` by request ts. */
   def instantsBetween(start: Option[String], end: Option[String]): Vector[HoodieInstant] =
     completedInstants.filter { i =>
       val t = i.timestamp
       start.forall(t > _) && end.forall(t <= _)
     }
-
-  private def visibleTs(i: HoodieInstant): String =
-    i.completionTimestamp.getOrElse(i.timestamp)
 
   /** Map request-ts → completion-ts for v8+ tables (None entries for v6). */
   def completionTimeOf(requestTs: String): Option[String] =

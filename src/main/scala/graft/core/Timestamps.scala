@@ -31,7 +31,7 @@ object Timestamps {
       s.length match {
         case 14 => s + "000" // already timeline format, second precision
         case 17 => s // timeline format w/ millis (epoch-ms is 13 digits, no clash)
-        case _ => fromEpoch(s.toLong, timelineTimezone)
+        case _ => fromEpoch(s, timelineTimezone)
       }
     } else {
       // RFC 3339: offset required, naive rejected
@@ -40,22 +40,34 @@ object Timestamps {
     }
   }
 
-  /** Magnitude-based epoch unit detection (seconds through nanos). */
-  private def fromEpoch(v: Long, tz: String): String = {
-    val instant =
-      if (v < 100000000000L) JInstant.ofEpochSecond(v) // < 1e11: seconds
-      else if (v < 100000000000000L) JInstant.ofEpochMilli(v) // < 1e14: millis
-      else if (v < 100000000000000000L) // < 1e17: micros
-        JInstant.ofEpochSecond(v / 1000000L, (v % 1000000L) * 1000L)
-      else JInstant.ofEpochSecond(v / 1000000000L, v % 1000000000L)
+  /** Digit-length-based epoch unit detection, matching the reference
+    * (timeline/util.rs:86-98): <=10 digits seconds, <=13 millis, <=16
+    * micros, else nanos. An 11-digit input is therefore millis (not
+    * seconds, as magnitude-based detection would conclude).
+    */
+  private def fromEpoch(s: String, tz: String): String = {
+    val v = s.toLong
+    val instant = s.length match {
+      case n if n <= 10 => JInstant.ofEpochSecond(v)
+      case n if n <= 13 => JInstant.ofEpochMilli(v)
+      case n if n <= 16 => JInstant.ofEpochSecond(v / 1000000L, (v % 1000000L) * 1000L)
+      case _ => JInstant.ofEpochSecond(v / 1000000000L, v % 1000000000L)
+    }
     instant.atZone(zone(tz)).toLocalDateTime.format(outFmt)
   }
 
-  /** Parse a timeline timestamp (14 or 17 digits) to epoch millis UTC. */
-  def timelineToEpochMillis(ts: String, timelineTimezone: String = "UTC"): Long = {
-    val base = LocalDateTime.parse(ts.substring(0, 14),
-      DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
-    val millis = if (ts.length == 17) ts.substring(14).toLong else 0L
-    base.atZone(zone(timelineTimezone)).toInstant.toEpochMilli + millis
-  }
+  /** Parse a timeline timestamp (14 or 17 digits) to epoch millis UTC.
+    * Metadata-table bootstrap timestamps like `00000000000000000` are not
+    * valid datetimes; the reference falls back to reading them as epoch
+    * millis (instant.rs:203-217) — mirror that.
+    */
+  def timelineToEpochMillis(ts: String, timelineTimezone: String = "UTC"): Long =
+    try {
+      val base = LocalDateTime.parse(ts.substring(0, 14),
+        DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
+      val millis = if (ts.length == 17) ts.substring(14).toLong else 0L
+      base.atZone(zone(timelineTimezone)).toInstant.toEpochMilli + millis
+    } catch {
+      case _: java.time.format.DateTimeParseException => ts.toLong
+    }
 }

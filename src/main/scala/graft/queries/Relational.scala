@@ -278,11 +278,11 @@ object Relational {
           .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
           .orderBy("hour", "event_type"),
-      """SELECT date_trunc('hour', ts) AS hour, event_type,
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         |  COUNT(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events
-        |GROUP BY date_trunc('hour', ts), event_type
+        |GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type
         |ORDER BY hour, event_type""".stripMargin
     ),
 

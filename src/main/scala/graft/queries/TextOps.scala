@@ -54,7 +54,7 @@ object TextOps {
       s"md5(CONCAT($cols)) AS band$b"
     }.mkString(",\n    ")
 
-  private def bandCandidateUnion(bands: String => String): String =
+  private def bandCandidateUnion: String =
     (0 until numBands)
       .map(b => s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                    |  FROM sigs a JOIN sigs b ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin)
@@ -85,7 +85,7 @@ object TextOps {
        |    $bandExprs
        |  FROM sigs0),
        |candidates AS (
-       |${bandCandidateUnion(identity)}
+       |$bandCandidateUnion
        |),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(1) AS n_inter
