@@ -126,13 +126,34 @@ final class Timeline(
   def isCompletedCommit(requestTs: String): Boolean =
     completedInstants.exists(_.timestamp == requestTs)
 
-  /** Commit metadata JSON for a completed instant. */
+  /** Commit metadata for a completed instant, as a JSON tree. v6 writes
+    * plain JSON; v8+ writes an Avro object-container file
+    * (`HoodieCommitMetadata` with its schema embedded) — detected by the
+    * `Obj` magic and rendered through Avro's JSON form so both
+    * layouts serve the same accessors.
+    */
   def commitMetadata(instant: HoodieInstant): JsonNode = {
     val fs = timelineDir.getFileSystem(hadoopConf)
     val p = new Path(timelineDir, instant.fileName)
     val in = fs.open(p)
-    try mapper.readTree(in)
-    finally in.close()
+    try {
+      val bytes = {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      }
+      if (bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'b' && bytes(2) == 'j' && bytes(3) == 1) {
+        import org.apache.avro.file.DataFileStream
+        import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+        val reader = new DataFileStream[GenericRecord](
+          new java.io.ByteArrayInputStream(bytes), new GenericDatumReader[GenericRecord]())
+        try {
+          if (reader.hasNext) mapper.readTree(reader.next().toString)
+          else mapper.createObjectNode()
+        } finally reader.close()
+      } else mapper.readTree(bytes)
+    } finally in.close()
   }
 
   /** (partition → fileIds) touched by an instant, from

@@ -1,0 +1,117 @@
+package graft.fs
+
+import graft.core.{HoodieConfig, Timeline}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import scala.collection.mutable
+
+/** The file-system view: partition discovery, file-group assembly, and
+  * slice selection (reference: crates/core/src/table/fs_view.rs +
+  * listing.rs). All of this runs on the driver; cost is bounded by file
+  * counts, not data size — at 100 TB the listing is the scaling concern,
+  * and partition pruning (applied *before* listing partition contents)
+  * keeps it proportional to the partitions actually queried.
+  */
+final class FsView(
+    basePath: String,
+    config: HoodieConfig,
+    timeline: Timeline,
+    hadoopConf: Configuration
+) {
+
+  private val base = new Path(basePath)
+  private val fs = base.getFileSystem(hadoopConf)
+  private val layoutV2 = config.tableVersion >= 8
+
+  /** Leaf partition paths (relative, "" for non-partitioned), discovered by
+    * walking the table dir and skipping dot-dirs like `.hoodie`
+    * (listing.rs:40-60).
+    */
+  lazy val partitionPaths: Vector[String] = {
+    val out = Vector.newBuilder[String]
+    def walk(dir: Path, rel: String): Unit = {
+      val entries = fs.listStatus(dir)
+      val subdirs = entries.filter(e => e.isDirectory && !e.getPath.getName.startsWith("."))
+      val hasFiles = entries.exists(e => e.isFile && !e.getPath.getName.startsWith(".hoodie_partition"))
+      if (subdirs.isEmpty) { if (rel.nonEmpty || hasFiles) out += rel }
+      else {
+        // mixed dirs (files + subdirs) only occur for non-partitioned roots
+        subdirs.foreach(d => walk(d.getPath, if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}"))
+      }
+    }
+    walk(base, "")
+    out.result()
+  }
+
+  /** List + assemble the file groups of one partition, applying the
+    * completion-time view: under timeline layout v2 (v8+), files whose
+    * commit isn't completed are dropped (listing.rs:70-141).
+    */
+  def fileGroups(partitionPath: String): Vector[FileGroup] = {
+    val dir = if (partitionPath.isEmpty) base else new Path(base, partitionPath)
+    val baseExt = config.baseFileFormat.toLowerCase
+    val bases = mutable.ArrayBuffer.empty[BaseFile]
+    val logs = mutable.ArrayBuffer.empty[LogFile]
+    fs.listStatus(dir).iterator.filter(_.isFile).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith(".hoodie_partition")) {
+        if (name.toLowerCase.endsWith("." + baseExt) && !name.startsWith(".")) {
+          BaseFile.parse(name, st.getPath.toString, st.getLen).foreach { bf =>
+            val completed = timeline.completionTimeOf(bf.commitTimestamp)
+            val visible = !layoutV2 || completed.isDefined
+            if (visible) bases += bf.copy(completionTimestamp = completed)
+          }
+        } else if (name.startsWith(".")) {
+          LogFile.parse(name, st.getPath.toString, st.getLen).foreach { lf =>
+            val completed = timeline.completionTimeOf(lf.timestamp)
+            val visible = !layoutV2 || completed.isDefined
+            if (visible) logs += lf.copy(completionTimestamp = completed)
+          }
+        }
+      }
+    }
+    FileGroup.assemble(partitionPath, bases.toSeq, logs.toSeq)
+  }
+
+  /** Snapshot/time-travel slice planning (fs_view.rs:224-252): per surviving
+    * partition and non-replaced file group, the slice as of `ts`.
+    */
+  def slicesAsOf(ts: String, pruner: PartitionPruner = PartitionPruner.trivial): Vector[FileSlice] = {
+    val replaced = timeline.replacedFileGroupsAsOf(ts)
+    collect(pruner, replaced, _.sliceAsOf(ts))
+  }
+
+  /** Incremental slice planning: only file groups touched by commits in
+    * `(start, end]` (per commit metadata), sliced as of `end`
+    * (table/mod.rs:532-583).
+    */
+  def slicesBetween(
+      start: Option[String],
+      end: String,
+      pruner: PartitionPruner = PartitionPruner.trivial
+  ): Vector[FileSlice] = {
+    val touched: Map[String, Set[String]] = {
+      val acc = mutable.Map.empty[String, Set[String]]
+      for (i <- timeline.instantsBetween(start, Some(end)); (p, ids) <- timeline.touchedFileGroups(i))
+        acc(p) = acc.getOrElse(p, Set.empty) ++ ids
+      acc.toMap
+    }
+    val replaced = timeline.replacedFileGroupsBetween(start, Some(end))
+    collect(pruner, replaced, fg =>
+      if (touched.getOrElse(fg.partitionPath, Set.empty).contains(fg.fileId)) fg.sliceAsOf(end)
+      else None)
+  }
+
+  private def collect(
+      pruner: PartitionPruner,
+      replaced: Map[String, Set[String]],
+      pick: FileGroup => Option[FileSlice]
+  ): Vector[FileSlice] =
+    partitionPaths
+      .filter(pruner.shouldInclude)
+      .flatMap { p =>
+        val excluded = replaced.getOrElse(p, Set.empty)
+        fileGroups(p).filterNot(fg => excluded.contains(fg.fileId)).flatMap(pick(_))
+      }
+}

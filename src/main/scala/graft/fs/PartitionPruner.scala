@@ -1,0 +1,109 @@
+package graft.fs
+
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets
+import java.time.LocalDate
+
+/** Driver-side partition predicate, mirroring the reference's
+  * `PartitionPruner` (crates/core/src/table/partition.rs:96-270): parse a
+  * partition path into typed scalars (hive-style `k=v/...`, url-encoded, or
+  * positional), evaluate AND-ed filters, and **fail open** on any parse
+  * error — pruning is an optimization, the row-level filter stays
+  * authoritative.
+  *
+  * At 100 TB this is the first lever that matters: it bounds the listing
+  * and the task count before any data is read.
+  */
+final case class PartitionFilter(field: String, op: String, values: Seq[String])
+
+final class PartitionPruner(
+    partitionFields: Seq[(String, String)], // (name, typeName: int|long|double|date|string)
+    hiveStyle: Boolean,
+    urlEncoded: Boolean,
+    filters: Seq[PartitionFilter]
+) {
+  private val relevant: Seq[PartitionFilter] = {
+    val names = partitionFields.map(_._1).toSet
+    filters.filter(f => names.contains(f.field))
+  }
+
+  def isTrivial: Boolean = relevant.isEmpty || partitionFields.isEmpty
+
+  /** Whether the partition at `path` can contain matching rows. */
+  def shouldInclude(path: String): Boolean = {
+    if (isTrivial) return true
+    parseSegments(path) match {
+      case None => true // fail open, like partition.rs parse-error handling
+      case Some(values) =>
+        relevant.forall { f =>
+          values.get(f.field) match {
+            case None => true
+            case Some(v) => evaluate(v, f)
+          }
+        }
+    }
+  }
+
+  /** Parse `path` into field→typed value. None on structural mismatch. */
+  def parseSegments(path: String): Option[Map[String, Any]] = {
+    if (path.isEmpty) return Some(Map.empty)
+    val segs = path.split('/')
+    if (segs.length != partitionFields.length) return None
+    val pairs = segs.zip(partitionFields).map { case (seg, (name, tpe)) =>
+      val raw = if (hiveStyle) {
+        val eq = seg.indexOf('=')
+        if (eq < 0 || seg.substring(0, eq) != name) return None
+        seg.substring(eq + 1)
+      } else seg
+      val decoded = if (urlEncoded) URLDecoder.decode(raw, StandardCharsets.UTF_8) else raw
+      cast(decoded, tpe) match {
+        case Some(v) => name -> v
+        case None => return None
+      }
+    }
+    Some(pairs.toMap)
+  }
+
+  private def cast(s: String, tpe: String): Option[Any] = tpe match {
+    case "int" => s.toIntOption
+    case "long" => s.toLongOption
+    case "double" => s.toDoubleOption
+    case "date" => try Some(LocalDate.parse(s)) catch { case _: Exception => None }
+    case _ => Some(s)
+  }
+
+  private def cmp(v: Any, lit: String): Option[Int] = v match {
+    case i: Int => lit.toIntOption.map(x => i.compare(x))
+    case l: Long => lit.toLongOption.map(x => l.compare(x))
+    case d: Double => lit.toDoubleOption.map(x => d.compare(x))
+    case dt: LocalDate =>
+      try Some(dt.compareTo(LocalDate.parse(lit))) catch { case _: Exception => None }
+    case s: String => Some(s.compareTo(lit))
+    case _ => None
+  }
+
+  /** Per-op evaluation; unknown comparisons fail open. */
+  private def evaluate(v: Any, f: PartitionFilter): Boolean = {
+    def one(op: String, lit: String): Boolean = cmp(v, lit) match {
+      case None => true
+      case Some(c) => op match {
+        case "=" => c == 0
+        case "!=" => c != 0
+        case "<" => c < 0
+        case "<=" => c <= 0
+        case ">" => c > 0
+        case ">=" => c >= 0
+        case _ => true
+      }
+    }
+    f.op match {
+      case "in" => f.values.exists(lit => cmp(v, lit).contains(0))
+      case "not in" => !f.values.exists(lit => cmp(v, lit).contains(0))
+      case op => f.values.headOption.forall(one(op, _))
+    }
+  }
+}
+
+object PartitionPruner {
+  def trivial: PartitionPruner = new PartitionPruner(Nil, hiveStyle = false, urlEncoded = false, Nil)
+}

@@ -1,0 +1,153 @@
+package graft.table
+
+import graft.core.{HoodieConfig, MetaField, Timeline, Timestamps}
+import graft.fs.{FileSlice, FsView, PartitionFilter, PartitionPruner}
+import graft.log.{AvroConvert, InstantRange}
+import graft.util.SerializableConf
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A Hudi table opened for reading — the Spark-native analog of the
+  * reference's `Table` (crates/core/src/table/mod.rs:130-143).
+  *
+  * Steps 1-3 of the read lifecycle (configs, timeline, slice planning) run
+  * on the driver over metadata only; execution is Spark's vectorized
+  * parquet scan over the planned base files plus a distributed log decode,
+  * so data volume scales with executors, never with the driver.
+  */
+final class HudiTable(val spark: SparkSession, val basePath: String) {
+
+  val hadoopConf = spark.sessionState.newHadoopConf()
+  val config: HoodieConfig = HoodieConfig.load(basePath, hadoopConf)
+  val timeline: Timeline = new Timeline(basePath, config, hadoopConf)
+  val fsView: FsView = new FsView(basePath, config, timeline, hadoopConf)
+
+  private def serConf = new SerializableConf(hadoopConf)
+
+  def tableType: String = config.tableType
+  def isMor: Boolean = config.isMor
+
+  /** Resolved read schema: the latest base file's parquet footer (meta
+    * fields are physical columns there), falling back to
+    * `hoodie.table.create.schema` for empty tables — the reference's
+    * resolution order (schema/resolver.rs:41-47) with the commit-metadata
+    * and footer sources unified, since Spark's footer read is exact.
+    */
+  lazy val tableSchema: StructType = {
+    val sample = fsView.partitionPaths.iterator
+      .flatMap(p => fsView.fileGroups(p))
+      .flatMap(_.slices.values.lastOption)
+      .map(_.baseFile.path)
+      .take(1).toList
+    sample match {
+      case path :: _ => spark.read.parquet(path).schema
+      case Nil =>
+        val avroJson = config.get("hoodie.table.create.schema").getOrElse(
+          throw new IllegalStateException(s"Cannot resolve schema for empty table $basePath"))
+        val data = AvroConvert.toStructType(new AvroSchema.Parser().parse(avroJson))
+        if (config.populatesMetaFields) {
+          val meta = MetaField.all.map(StructField(_, StringType, nullable = true))
+          StructType(meta ++ data.fields)
+        } else data
+    }
+  }
+
+  private def orderingField: Option[String] = config.orderingFields.headOption
+
+  private def pruner(filters: Seq[PartitionFilter]): PartitionPruner = {
+    val fieldTypes = config.partitionFields.map { f =>
+      val tpe = tableSchema.fields.find(_.name == f).map(_.dataType) match {
+        case Some(IntegerType | ShortType | ByteType) => "int"
+        case Some(LongType) => "long"
+        case Some(DoubleType | FloatType) => "double"
+        case Some(DateType) => "date"
+        case _ => "string"
+      }
+      f -> tpe
+    }
+    new PartitionPruner(fieldTypes, config.isHiveStylePartitioning,
+      config.isPartitionPathUrlencoded, filters)
+  }
+
+  /** Snapshot read at the latest commit, or time-travel via `asOf` (any
+    * format accepted by [[Timestamps.normalize]]). `readOptimized` skips
+    * log files (M6). S1/S2 of the inventory.
+    */
+  def snapshot(
+      asOf: Option[String] = None,
+      partitionFilters: Seq[PartitionFilter] = Nil,
+      readOptimized: Boolean = false
+  ): DataFrame = {
+    val endOpt = asOf
+      .map(Timestamps.normalize(_, config.timelineTimezone))
+      .orElse(timeline.latestCommitTimestamp)
+    endOpt match {
+      case None => LogScan.emptyDf(spark, tableSchema)
+      case Some(end) =>
+        val slices0 = fsView.slicesAsOf(end, pruner(partitionFilters))
+        val slices = if (readOptimized) slices0.map(_.withoutLogs) else slices0
+        readSlices(slices, InstantRange.upTo(end), commitRange = None)
+    }
+  }
+
+  /** Incremental read of records changed in `(start, end]` (S3): only file
+    * groups touched by in-range commits, with the `_hoodie_commit_time` row
+    * filter (P5, file_group/reader.rs:652-701).
+    */
+  def incremental(start: Option[String], end: Option[String] = None): DataFrame = {
+    val endTs = end
+      .map(Timestamps.normalize(_, config.timelineTimezone))
+      .orElse(timeline.latestCommitTimestamp)
+    endTs match {
+      case None => LogScan.emptyDf(spark, tableSchema)
+      case Some(e) =>
+        val s = start.map(Timestamps.normalize(_, config.timelineTimezone))
+        val slices = fsView.slicesBetween(s, e)
+        readSlices(slices, InstantRange(s, Some(e)), commitRange = Some((s, e)))
+    }
+  }
+
+  /** Read + merge a planned set of slices. */
+  private def readSlices(
+      slices: Seq[FileSlice],
+      range: InstantRange,
+      commitRange: Option[(Option[String], String)]
+  ): DataFrame = {
+    val baseFiles = slices.map(_.baseFile.path)
+    if (baseFiles.isEmpty) return LogScan.emptyDf(spark, tableSchema)
+
+    val schema = tableSchema
+    val baseDf = spark.read.schema(schema).parquet(baseFiles: _*)
+
+    val commitFilter: DataFrame => DataFrame = commitRange match {
+      case Some((s, e)) if config.populatesMetaFields =>
+        df => {
+          val c = col(MetaField.CommitTime)
+          val lower = s.map(c > _).getOrElse(lit(true))
+          df.filter(lower && c <= e)
+        }
+      case _ => identity
+    }
+
+    val hasLogs = slices.exists(_.hasLogFiles)
+    if (!hasLogs) return commitFilter(baseDf)
+
+    val conf = serConf
+    val logDf = LogScan.dataFrameOfLogRecords(spark, slices, schema, range, conf)
+    val data = commitFilter(baseDf.unionByName(logDf))
+
+    val strategy = config.recordMergeStrategy
+    val deletes = orderingField.map { of =>
+      val ordType = schema.fields.find(_.name == of).map(_.dataType).getOrElse(LongType)
+      LogScan.dataFrameOfDeletes(spark, slices, of, ordType, range, conf)
+    }
+    MorMerge.merge(data, deletes.filter(_ => strategy == "OVERWRITE_WITH_LATEST"),
+      orderingField, strategy)
+  }
+}
+
+object HudiTable {
+  def apply(spark: SparkSession, basePath: String): HudiTable = new HudiTable(spark, basePath)
+}

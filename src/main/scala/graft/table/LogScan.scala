@@ -1,0 +1,143 @@
+package graft.table
+
+import graft.fs.FileSlice
+import graft.log.{AvroConvert, InstantRange, LogFileParser, LogFormat}
+import graft.util.SerializableConf
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Distributed decode of `.log` delta files into DataFrames.
+  *
+  * Planning happens on the driver (slice lists are metadata); the byte-level
+  * block parsing + Avro decode runs on executors via an RDD over log-file
+  * paths — one task per slice, so a 1000-executor cluster decodes 1000 file
+  * groups' logs concurrently and no log bytes ever move through the driver.
+  */
+object LogScan {
+
+  /** A slice's log files, in scan order. */
+  private def sliceLogPaths(slice: FileSlice): Seq[String] =
+    slice.logFiles.sortBy(_.orderingKey).map(_.path)
+
+  private def parseSlice(
+      paths: Seq[String],
+      conf: SerializableConf,
+      range: InstantRange
+  ): Vector[graft.log.LogBlock] = {
+    val blocks = paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf.value)
+      val in = fs.open(path)
+      val bytes =
+        try {
+          val len = fs.getFileStatus(path).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf)
+          buf
+        } finally in.close()
+      LogFileParser.parse(bytes, range)
+    }.toVector
+    LogFileParser.applyRollbacks(blocks)
+  }
+
+  /** Decode data blocks of all slices' logs → DataFrame with `tableSchema`.
+    * Records are aligned to the table schema by field name, with numeric
+    * widening for safe Avro→Parquet type skew.
+    */
+  def dataFrameOfLogRecords(
+      spark: SparkSession,
+      slices: Seq[FileSlice],
+      tableSchema: StructType,
+      range: InstantRange,
+      conf: SerializableConf
+  ): DataFrame = {
+    val withLogs = slices.filter(_.hasLogFiles).map(sliceLogPaths)
+    if (withLogs.isEmpty) return emptyDf(spark, tableSchema)
+    val parallelism = math.min(withLogs.size, spark.sparkContext.defaultParallelism * 2)
+    val schemaJson = tableSchema.json
+    val rdd = spark.sparkContext
+      .parallelize(withLogs, parallelism)
+      .flatMap { paths =>
+        val target = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        parseSlice(paths, conf, range).iterator
+          .filter(_.blockType == LogFormat.AvroDataBlock)
+          .flatMap { b =>
+            val avro = b.dataSchema.get
+            b.dataRecords.iterator.map(rec => alignRow(rec, avro, target))
+          }
+      }
+    spark.createDataFrame(rdd, tableSchema)
+  }
+
+  /** Decode delete blocks → DataFrame
+    * `(_hoodie_commit_time, _hoodie_record_key, _hoodie_partition_path, <orderingField>)`
+    * matching the reference's transform (crates/core/src/schema/delete.rs:124-171).
+    * The block's instant time is stamped as the delete's commit time.
+    */
+  def dataFrameOfDeletes(
+      spark: SparkSession,
+      slices: Seq[FileSlice],
+      orderingField: String,
+      orderingType: DataType,
+      range: InstantRange,
+      conf: SerializableConf
+  ): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("_hoodie_commit_time", StringType),
+      StructField("_hoodie_record_key", StringType),
+      StructField("_hoodie_partition_path", StringType),
+      StructField(orderingField, orderingType)))
+    val withLogs = slices.filter(_.hasLogFiles).map(sliceLogPaths)
+    if (withLogs.isEmpty) return emptyDf(spark, schema)
+    val parallelism = math.min(withLogs.size, spark.sparkContext.defaultParallelism * 2)
+    val typeJson = orderingType.json
+    val rdd = spark.sparkContext
+      .parallelize(withLogs, parallelism)
+      .flatMap { paths =>
+        val tpe = DataType.fromJson(typeJson)
+        parseSlice(paths, conf, range).iterator
+          .filter(_.blockType == LogFormat.DeleteBlock)
+          .flatMap { b =>
+            val instant = b.instantTime
+            b.deleteRecords.iterator.map { case (key, part, ord) =>
+              Row(instant, key, part, coerce(ord, tpe))
+            }
+          }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Build a Row in `target` field order from an Avro record (by name). */
+  private def alignRow(
+      rec: org.apache.avro.generic.GenericRecord,
+      avro: AvroSchema,
+      target: StructType
+  ): Row = {
+    val vals = target.fields.map { f =>
+      val af = avro.getField(f.name)
+      if (af == null) null
+      else coerce(AvroConvert.toSparkValue(rec.get(af.pos()), af.schema()), f.dataType)
+    }
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+
+  /** Safe widening between Avro-decoded values and the Parquet-derived
+    * table schema (int→long, float→double, number→decimal, etc.).
+    */
+  private def coerce(v: Any, target: DataType): Any = (v, target) match {
+    case (null, _) => null
+    case (i: Int, LongType) => i.toLong
+    case (i: Int, DoubleType) => i.toDouble
+    case (l: Long, DoubleType) => l.toDouble
+    case (f: Float, DoubleType) => f.toDouble
+    case (i: Int, d: DecimalType) => new java.math.BigDecimal(i).setScale(d.scale)
+    case (l: Long, d: DecimalType) => new java.math.BigDecimal(l).setScale(d.scale)
+    case (bd: java.math.BigDecimal, d: DecimalType) => bd.setScale(d.scale)
+    case (other, _) => other
+  }
+}

@@ -1,0 +1,160 @@
+package graft.table
+
+import graft.SparkTestBase
+import graft.fs.PartitionFilter
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.sys.process._
+
+/** Engine integration tests against the reference repo's golden fixtures —
+  * real Hudi tables written by Spark+Hudi (crates/test/data), the same
+  * tables crates/core/tests/table_read_tests.rs asserts on. Expected row
+  * sets are derived from each fixture's sibling `.sql` script.
+  */
+object Fixtures {
+  private val refData = "/root/reference/crates/test/data"
+  private val outRoot = "/root/repo/target/fixtures"
+
+  /** Unzip (once) and return the table path; None when unavailable. */
+  def table(zipRel: String, tableName: String): Option[String] = {
+    val zip = Paths.get(refData, zipRel)
+    if (!Files.exists(zip)) return None
+    val dest = Paths.get(outRoot, tableName)
+    val marker = dest.resolve(tableName).resolve(".hoodie/hoodie.properties")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(dest)
+      s"unzip -oq ${zip.toString} -d ${dest.toString}".!
+    }
+    Some(dest.resolve(tableName).toString)
+  }
+}
+
+class HudiTableSpec extends SparkTestBase {
+
+  private def open(zipRel: String, name: String): Option[HudiTable] =
+    Fixtures.table(zipRel, name).map(p => HudiTable(spark, p))
+
+  // ---------------- COW v6: 2 commits, 3 partitions ----------------------
+  // c1 = inserts ids {1 Alice active, 2 Bob, 3 Carol}; c2 = upsert id 1
+  // (isActive=false) + insert id 4 Diana (sample_table/cow/*.sql)
+  private lazy val cowV6 = open("sample_table/cow/v6_simplekeygen_nonhivestyle.zip", "v6_simplekeygen_nonhivestyle")
+
+  test("cow v6 snapshot reads latest of every file group") {
+    assume(cowV6.isDefined)
+    val t = cowV6.get
+    val rows = t.snapshot()
+      .select("id", "name", "isActive", "byteField")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2), r.getInt(3))).toSet
+    assert(rows == Set((1, "Alice", false, 10), (2, "Bob", false, 20), (3, "Carol", true, 10), (4, "Diana", true, 30)))
+  }
+
+  test("cow v6 time travel pins the first commit") {
+    assume(cowV6.isDefined)
+    val t = cowV6.get
+    val first = t.timeline.completedInstants.head.timestamp
+    val rows = t.snapshot(asOf = Some(first))
+      .select("id", "isActive").collect().map(r => (r.getInt(0), r.getBoolean(1))).toSet
+    assert(rows == Set((1, true), (2, false), (3, true)))
+  }
+
+  test("cow v6 incremental (c1, c2] returns only c2 rows") {
+    assume(cowV6.isDefined)
+    val t = cowV6.get
+    val Seq(c1, c2) = t.timeline.completedInstants.map(_.timestamp).distinct.take(2)
+    val rows = t.incremental(Some(c1), Some(c2))
+      .select("id", "isActive").collect().map(r => (r.getInt(0), r.getBoolean(1))).toSet
+    assert(rows == Set((1, false), (4, true)))
+  }
+
+  test("cow v6 incremental from the beginning sees the merged table") {
+    assume(cowV6.isDefined)
+    val ids = cowV6.get.incremental(None).select("id").collect().map(_.getInt(0)).toSet
+    assert(ids == Set(1, 2, 3, 4))
+  }
+
+  test("cow v6 partition pruning plans fewer files and matches full filter") {
+    assume(cowV6.isDefined)
+    val t = cowV6.get
+    val latest = t.timeline.latestCommitTimestamp.get
+    val all = t.fsView.slicesAsOf(latest)
+    val pruned = t.fsView.slicesAsOf(latest,
+      new graft.fs.PartitionPruner(Seq("byteField" -> "int"), false, false,
+        Seq(PartitionFilter("byteField", "=", Seq("10")))))
+    assert(all.size > pruned.size && pruned.nonEmpty)
+    assert(pruned.forall(_.partitionPath == "10"))
+    val ids = t.snapshot(partitionFilters = Seq(PartitionFilter("byteField", "=", Seq("10"))))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(ids == Set(1, 3))
+  }
+
+  test("cow v6 complex types survive the read") {
+    assume(cowV6.isDefined)
+    val df = cowV6.get.snapshot().filter(col("id") === 1)
+      .select(col("structField.field1"), element_at(col("arrayField"), 1).getField("arr_struct_f1"),
+        col("decimalField").cast("string"))
+    val r = df.collect().head
+    assert(r.getString(0) == "Alice" && r.getString(1) == "red" && r.getString(2) == "12345.67890")
+  }
+
+  // ---------------- MOR v6 avro: inserts + update ------------------------
+  private lazy val morV6u = open("quickstart_trips_table/mor/avro/v6_trips_8i1u.zip", "v6_trips_8i1u")
+
+  test("mor v6 snapshot merges the log update over the base file") {
+    assume(morV6u.isDefined)
+    val df = morV6u.get.snapshot().select("rider", "fare")
+    val rows = df.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rows.size == 8)
+    assert(rows("rider-D") == 25.0)
+    assert(rows("rider-A") == 19.10)
+  }
+
+  test("mor v6 read-optimized skips logs") {
+    assume(morV6u.isDefined)
+    val rows = morV6u.get.snapshot(readOptimized = true)
+      .select("rider", "fare").collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rows("rider-D") == 33.90) // pre-update value
+  }
+
+  // ---------------- MOR v6 avro: inserts + deletes -----------------------
+  private lazy val morV6d = open("quickstart_trips_table/mor/avro/v6_trips_8i3d.zip", "v6_trips_8i3d")
+
+  test("mor v6 delete blocks remove records") {
+    assume(morV6d.isDefined)
+    val riders = morV6d.get.snapshot().select("rider").collect().map(_.getString(0)).toSet
+    assert(riders == Set("rider-E", "rider-F", "rider-G", "rider-I", "rider-J"))
+  }
+
+  // ---------------- MOR v8: updates, deletes, compaction -----------------
+  // 8 inserts; A fare→0; delete F; J fare→0; delete J; compaction; G fare→0
+  private lazy val morV8 = open("quickstart_trips_table/mor/avro/v8_trips_8i3u1d.zip", "v8_trips_8i3u1d")
+
+  test("mor v8 snapshot: completion-time slices, deletes, post-compaction log") {
+    assume(morV8.isDefined)
+    val rows = morV8.get.snapshot().select("rider", "fare")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rows.keySet == Set("rider-A", "rider-C", "rider-D", "rider-E", "rider-G", "rider-I"))
+    assert(rows("rider-A") == 0.0)
+    assert(rows("rider-G") == 0.0)
+    assert(rows("rider-C") == 27.70 && rows("rider-D") == 33.90 && rows("rider-E") == 93.50 && rows("rider-I") == 41.06)
+  }
+
+  test("mor v8 time travel before the deletes") {
+    assume(morV8.isDefined)
+    val t = morV8.get
+    // first deltacommit only → the 8 original inserts
+    val first = t.timeline.completedInstants.head.timestamp
+    val rows = t.snapshot(asOf = Some(first)).select("rider", "fare")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rows.size == 8 && rows("rider-A") == 19.10)
+  }
+
+  test("mor v8 incremental picks up post-compaction change") {
+    assume(morV8.isDefined)
+    val t = morV8.get
+    val instants = t.timeline.completedInstants.map(_.timestamp)
+    val rows = t.incremental(Some(instants.dropRight(1).last), Some(instants.last))
+      .select("rider", "fare").collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rows == Map("rider-G" -> 0.0))
+  }
+}
