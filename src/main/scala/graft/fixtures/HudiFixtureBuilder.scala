@@ -1,0 +1,247 @@
+package graft.fixtures
+
+import graft.log.{LogFileWriter, SparkToAvro}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.io.DataOutputStream
+
+/** Deterministic Hudi tables derived from the driver's parquet testdata,
+  * so every engine read path gets a DuckDB-checkable oracle: the fixture
+  * content is a pure function of `orders`/`nation`, and each query's
+  * expected result is plain SQL over those source tables.
+  *
+  * Layout mirrors the reference's golden tables (v6 layout, JSON commit
+  * metadata, avro log blocks): one file group per partition, COW rewrites
+  * carrying original commit times for unchanged records, MOR deltacommits
+  * as avro data blocks (updates) and delete blocks (deletes).
+  *
+  * Instants: t1 inserts, t2 updates (o_orderkey % 7 = 0 → o_orderstatus
+  * 'U'), t3 deletes (o_orderkey % 97 = 0).
+  */
+object HudiFixtureBuilder {
+  val T1 = "20240101000000000"
+  val T2 = "20240102000000000"
+  val T3 = "20240103000000000"
+  val Token = "0-0-0"
+
+  private val meta = Seq("_hoodie_commit_time", "_hoodie_commit_seqno",
+    "_hoodie_record_key", "_hoodie_partition_path", "_hoodie_file_name")
+
+  def root(sfDir: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"/root/repo/target/hudi-fixtures/$sf"
+  }
+
+  def cowPath(sfDir: String): String = s"${root(sfDir)}/cow_orders"
+  def morPath(sfDir: String): String = s"${root(sfDir)}/mor_orders"
+  def partPath(sfDir: String): String = s"${root(sfDir)}/cow_part_nation"
+
+  /** Build all fixture tables once per sf dir (marker-guarded). */
+  def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY")
+    if (fs.exists(marker)) return
+    fs.delete(new Path(root(sfDir)), true)
+    buildCowOrders(spark, sfDir)
+    buildMorOrders(spark, sfDir)
+    buildCowPartNation(spark, sfDir)
+    fs.create(marker, true).close()
+  }
+
+  // ----------------------------------------------------------------------
+
+  private def orders(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/orders.parquet")
+
+  private def fileId(n: Int): String = f"00000000-0000-0000-0000-${n}%012d-0"
+
+  private def withMeta(df: DataFrame, commitTs: String, partCol: String, fileName: String): DataFrame =
+    df.select(
+      col("__commit").as("_hoodie_commit_time") +:
+        concat(col("__commit"), lit("_0_"), col("o_orderkey")).as("_hoodie_commit_seqno") +:
+        col("o_orderkey").cast(StringType).as("_hoodie_record_key") +:
+        col(partCol).as("_hoodie_partition_path") +:
+        lit(fileName).as("_hoodie_file_name") +:
+        df.columns.filterNot(c => c.startsWith("__")).map(col).toSeq: _*)
+
+  /** Write `df` (already meta-prefixed) as a single parquet base file. */
+  private def writeBaseFile(spark: SparkSession, df: DataFrame, dir: Path, name: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val tmp = new Path(dir, s".tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.mkdirs(dir)
+    fs.rename(part, new Path(dir, name))
+    fs.delete(tmp, true)
+  }
+
+  private def writeText(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def writeProperties(fs: FileSystem, base: Path, name: String, tableType: String,
+      partitionFields: Option[String], hiveStyle: Boolean): Unit = {
+    val partLine = partitionFields.map(f => s"hoodie.table.partition.fields=$f\n").getOrElse("")
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      s"""hoodie.table.name=$name
+         |hoodie.table.type=$tableType
+         |hoodie.table.version=6
+         |hoodie.timeline.layout.version=1
+         |hoodie.table.recordkey.fields=o_orderkey
+         |hoodie.table.precombine.field=o_custkey
+         |$partLine""".stripMargin +
+        s"hoodie.datasource.write.hive_style_partitioning=$hiveStyle\n" +
+        "hoodie.datasource.write.partitionpath.urlencode=false\n" +
+        "hoodie.populate.meta.fields=true\n")
+  }
+
+  /** v6 JSON commit metadata with enough structure for incremental
+    * planning (`partitionToWriteStats` → fileId per partition).
+    */
+  private def writeCommit(fs: FileSystem, base: Path, ts: String, action: String,
+      files: Seq[(String, String, String)]): Unit = { // (partition, fileId, relPath)
+    val stats = files.groupBy(_._1).map { case (p, fsz) =>
+      val entries = fsz.map { case (_, fid, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","partitionPath":"$p","prevCommit":"null"}"""
+      }.mkString("[", ",", "]")
+      s""""$p":$entries"""
+    }.mkString("{", ",", "}")
+    writeText(fs, new Path(base, s".hoodie/$ts.$action"),
+      s"""{"partitionToWriteStats":$stats,"compacted":false,"operationType":"UPSERT"}""")
+  }
+
+  // --- COW over orders, partitioned by o_orderpriority -------------------
+  private def buildCowOrders(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(cowPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeProperties(fs, base, "cow_orders", "COPY_ON_WRITE", Some("o_orderpriority"), hiveStyle = false)
+
+    val src = orders(spark, sfDir)
+    val parts = src.select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
+    // commit 1: raw inserts
+    val files1 = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"${fileId(i)}_${Token}_$T1.parquet"
+      val df = src.filter(col("o_orderpriority") === p).withColumn("__commit", lit(T1))
+      writeBaseFile(spark, withMeta(df, T1, "o_orderpriority", name), new Path(base, p), name)
+      (p, fileId(i), s"$p/$name")
+    }
+    writeCommit(fs, base, T1, "commit", files1.toSeq)
+
+    // commit 2: COW rewrite — updated rows (%7=0 → status 'U') stamped T2,
+    // unchanged rows keep T1 (Hudi preserves per-record commit times on copy)
+    val files2 = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"${fileId(i)}_${Token}_$T2.parquet"
+      val df = src.filter(col("o_orderpriority") === p)
+        .withColumn("__upd", col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", when(col("__upd"), lit("U")).otherwise(col("o_orderstatus")))
+        .withColumn("__commit", when(col("__upd"), lit(T2)).otherwise(lit(T1)))
+        .drop("__upd")
+      writeBaseFile(spark, withMeta(df, T2, "o_orderpriority", name), new Path(base, p), name)
+      (p, fileId(i), s"$p/$name")
+    }
+    writeCommit(fs, base, T2, "commit", files2.toSeq)
+  }
+
+  // --- MOR over orders: base inserts + update log + delete log -----------
+  private def buildMorOrders(spark: SparkSession, sfDir: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(hconf)
+    val base = new Path(morPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeProperties(fs, base, "mor_orders", "MERGE_ON_READ", Some("o_orderpriority"), hiveStyle = false)
+
+    val src = orders(spark, sfDir)
+    val parts = src.select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
+    val files1 = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"${fileId(i)}_${Token}_$T1.parquet"
+      val df = src.filter(col("o_orderpriority") === p).withColumn("__commit", lit(T1))
+      writeBaseFile(spark, withMeta(df, T1, "o_orderpriority", name), new Path(base, p), name)
+      (p, fileId(i), s"$p/$name")
+    }
+    writeCommit(fs, base, T1, "commit", files1.toSeq)
+
+    // metadata-prefixed schema for log records = base file footer schema
+    val tableSchema = spark.read
+      .parquet(new Path(base, files1.head._3).toString).schema
+    val avroSchema = SparkToAvro.toAvroSchema(tableSchema, "mor_orders_record")
+
+    // deltacommit T2: avro data blocks with updated rows
+    val files2 = parts.zipWithIndex.map { case (p, i) =>
+      val rows = src.filter(col("o_orderpriority") === p && col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("__commit", lit(T2))
+      val metaRows = withMeta(rows, T2, "o_orderpriority", "").collect()
+      val logName = s".${fileId(i)}_$T1.log.1_$Token"
+      val out = new DataOutputStream(fs.create(new Path(new Path(base, p), logName), true))
+      try LogFileWriter.avroDataBlock(out, T2, avroSchema,
+        metaRows.map(SparkToAvro.toRecord(_, tableSchema, avroSchema)).toSeq)
+      finally out.close()
+      (p, fileId(i), s"$p/$logName")
+    }
+    writeCommit(fs, base, T2, "deltacommit", files2.toSeq)
+
+    // deltacommit T3: delete blocks (orderingVal = o_custkey, equal to the
+    // record's → commit-time tiebreak decides, T3 wins)
+    val delRows = src.filter(col("o_orderkey") % 97 === 0)
+      .select("o_orderpriority", "o_orderkey", "o_custkey").collect()
+    val byPart = delRows.groupBy(_.getString(0))
+    val files3 = parts.zipWithIndex.flatMap { case (p, i) =>
+      byPart.get(p).map { rows =>
+        val logName = s".${fileId(i)}_$T1.log.2_$Token"
+        val out = new DataOutputStream(fs.create(new Path(new Path(base, p), logName), true))
+        try LogFileWriter.deleteBlock(out, T3, avroSchema,
+          rows.map(r => (r.getLong(1).toString, p, r.getLong(2))).toSeq)
+        finally out.close()
+        (p, fileId(i), s"$p/$logName")
+      }
+    }
+    writeCommit(fs, base, T3, "deltacommit", files3.toSeq)
+  }
+
+  // --- COW over nation, hive-style partitioned by n_regionkey ------------
+  private def buildCowPartNation(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(partPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_part_nation
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=n_nationkey
+        |hoodie.table.precombine.field=n_nationkey
+        |hoodie.table.partition.fields=n_regionkey
+        |hoodie.datasource.write.hive_style_partitioning=true
+        |hoodie.datasource.write.partitionpath.urlencode=false
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val regions = src.select("n_regionkey").distinct().collect().map(_.getInt(0)).sorted
+    val files = regions.zipWithIndex.map { case (r, i) =>
+      val partDir = s"n_regionkey=$r"
+      val name = s"${fileId(i)}_${Token}_$T1.parquet"
+      val df = src.filter(col("n_regionkey") === r).withColumn("__commit", lit(T1))
+      val metaDf = df.select(
+        col("__commit").as("_hoodie_commit_time"),
+        concat(col("__commit"), lit("_0_"), col("n_nationkey")).as("_hoodie_commit_seqno"),
+        col("n_nationkey").cast(StringType).as("_hoodie_record_key"),
+        lit(partDir).as("_hoodie_partition_path"),
+        lit(name).as("_hoodie_file_name"),
+        col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      writeBaseFile(spark, metaDf, new Path(base, partDir), name)
+      (partDir, fileId(i), s"$partDir/$name")
+    }
+    val stats = files.groupBy(_._1).map { case (p, fsz) =>
+      s""""$p":[${fsz.map { case (_, fid, rel) => s"""{"fileId":"$fid","path":"$rel","partitionPath":"$p"}""" }.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    writeText(fs, new Path(base, s".hoodie/$T1.commit"),
+      s"""{"partitionToWriteStats":$stats,"compacted":false}""")
+  }
+}

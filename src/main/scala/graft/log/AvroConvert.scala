@@ -30,6 +30,8 @@ object AvroConvert {
     case AvroSchema.Type.LONG =>
       schema.getLogicalType match {
         case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros => TimestampType
+        case _: LogicalTypes.LocalTimestampMillis | _: LogicalTypes.LocalTimestampMicros =>
+          TimestampNTZType
         case _ => LongType
       }
     case AvroSchema.Type.FLOAT => FloatType
@@ -94,6 +96,16 @@ object AvroConvert {
             val ts = new Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
             ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
             ts
+          case _: LogicalTypes.LocalTimestampMillis =>
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(value.asInstanceOf[Long], 1000L),
+              Math.floorMod(value.asInstanceOf[Long], 1000L).toInt * 1000000,
+              java.time.ZoneOffset.UTC)
+          case _: LogicalTypes.LocalTimestampMicros =>
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(value.asInstanceOf[Long], 1000000L),
+              Math.floorMod(value.asInstanceOf[Long], 1000000L).toInt * 1000,
+              java.time.ZoneOffset.UTC)
           case _ => value
         }
       case AvroSchema.Type.STRING | AvroSchema.Type.ENUM => value.toString

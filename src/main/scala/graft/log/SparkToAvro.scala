@@ -1,0 +1,58 @@
+package graft.log
+
+import org.apache.avro.{Schema => AvroSchema, SchemaBuilder}
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+/** Spark StructType → Avro schema + Row → GenericRecord, for writing Avro
+  * log blocks (fixture/test support; the flat-type subset the fixtures
+  * use). Inverse of [[AvroConvert]].
+  */
+object SparkToAvro {
+
+  def toAvroSchema(schema: StructType, recordName: String): AvroSchema = {
+    val fields = schema.fields.map { f =>
+      val base = f.dataType match {
+        case StringType => AvroSchema.create(AvroSchema.Type.STRING)
+        case IntegerType | ShortType | ByteType => AvroSchema.create(AvroSchema.Type.INT)
+        case LongType => AvroSchema.create(AvroSchema.Type.LONG)
+        case FloatType => AvroSchema.create(AvroSchema.Type.FLOAT)
+        case DoubleType => AvroSchema.create(AvroSchema.Type.DOUBLE)
+        case BooleanType => AvroSchema.create(AvroSchema.Type.BOOLEAN)
+        case TimestampType =>
+          org.apache.avro.LogicalTypes.timestampMicros()
+            .addToSchema(AvroSchema.create(AvroSchema.Type.LONG))
+        case TimestampNTZType =>
+          org.apache.avro.LogicalTypes.localTimestampMicros()
+            .addToSchema(AvroSchema.create(AvroSchema.Type.LONG))
+        case other => throw new IllegalArgumentException(s"Fixture writer: unsupported type $other")
+      }
+      new AvroSchema.Field(f.name,
+        AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL), base),
+        null, AvroSchema.Field.NULL_DEFAULT_VALUE)
+    }
+    AvroSchema.createRecord(recordName, null, "graft.fixtures", false, fields.toList.asJava)
+  }
+
+  def toRecord(row: Row, schema: StructType, avro: AvroSchema): GenericRecord = {
+    val rec = new GenericData.Record(avro)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val v = row.get(i) match {
+        case null => null
+        case ts: Timestamp => ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        case ldt: java.time.LocalDateTime =>
+          val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other => other
+      }
+      rec.put(f.name, v)
+    }
+    rec
+  }
+}

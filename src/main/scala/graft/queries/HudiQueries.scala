@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.fixtures.HudiFixtureBuilder
+import graft.fs.PartitionFilter
+import graft.table.HudiTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries over the Hudi engine (SURVEY.md §2 scan surface:
+  * S1 snapshot, S2 time travel, S3 incremental, S5/S6 slice planning +
+  * parquet scan, S9 log scan, M1-M6 MOR merge, R1 partition pruning, R4
+  * replace exclusion is unit-tested, P5 commit-time filter).
+  *
+  * The fixtures are deterministic functions of the driver's `orders` /
+  * `nation` parquet (see [[HudiFixtureBuilder]]), so DuckDB can compute
+  * each expected result from those source tables directly — the engine's
+  * full read path (timeline → fs-view → parquet+log scan → merge) is
+  * covered by the driver's hash-match gate.
+  */
+object HudiQueries {
+
+  private val ordersCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Source-table SQL for the merged state: updates %7→'U', deletes %97. */
+  private def ordersSql(updated: Boolean, deletes: Boolean, onlyUpdated: Boolean): String = {
+    val status =
+      if (updated) "CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END"
+      else "o_orderstatus"
+    val conds = Seq(
+      if (deletes) Some("o_orderkey % 97 <> 0") else None,
+      if (onlyUpdated) Some("o_orderkey % 7 = 0") else None).flatten
+    val where = if (conds.isEmpty) "" else conds.mkString("WHERE ", " AND ", "\n")
+    s"""SELECT o_orderkey, o_custkey, $status AS o_orderstatus,
+       |  o_totalprice, o_orderdate, o_orderpriority
+       |FROM orders
+       |$where ORDER BY o_orderkey""".stripMargin
+  }
+
+  private def cow(s: SparkSession, d: String): HudiTable = {
+    HudiFixtureBuilder.ensure(s, d)
+    HudiTable(s, HudiFixtureBuilder.cowPath(d))
+  }
+
+  private def mor(s: SparkSession, d: String): HudiTable = {
+    HudiFixtureBuilder.ensure(s, d)
+    HudiTable(s, HudiFixtureBuilder.morPath(d))
+  }
+
+  private def selectOrders(df: DataFrame): DataFrame =
+    df.select(ordersCols.map(col): _*).orderBy("o_orderkey")
+
+  private val qs: Map[String, QueryDef] = Map(
+    // --- S1: COW snapshot (latest commit wins per file group) ------------
+    "hudi_cow_snapshot" -> QueryDef(
+      (s, d) => selectOrders(cow(s, d).snapshot()),
+      ordersSql(updated = true, deletes = false, onlyUpdated = false)),
+
+    // --- S2: time travel to the insert commit ----------------------------
+    "hudi_cow_time_travel" -> QueryDef(
+      (s, d) => selectOrders(cow(s, d).snapshot(asOf = Some(HudiFixtureBuilder.T1))),
+      ordersSql(updated = false, deletes = false, onlyUpdated = false)),
+
+    // --- S3/P5: incremental (t1, t2] = rows written by the update commit -
+    "hudi_cow_incremental" -> QueryDef(
+      (s, d) => selectOrders(cow(s, d).incremental(
+        Some(HudiFixtureBuilder.T1), Some(HudiFixtureBuilder.T2))),
+      ordersSql(updated = true, deletes = false, onlyUpdated = true)),
+
+    // --- S9/M2/M3: MOR snapshot (avro log updates + delete blocks) -------
+    "hudi_mor_snapshot" -> QueryDef(
+      (s, d) => selectOrders(mor(s, d).snapshot()),
+      ordersSql(updated = true, deletes = true, onlyUpdated = false)),
+
+    // --- S2 on MOR: as-of the update commit — deletes not yet visible ----
+    "hudi_mor_time_travel" -> QueryDef(
+      (s, d) => selectOrders(mor(s, d).snapshot(asOf = Some(HudiFixtureBuilder.T2))),
+      ordersSql(updated = true, deletes = false, onlyUpdated = false)),
+
+    // --- M6: read-optimized = base files only -----------------------------
+    "hudi_mor_read_optimized" -> QueryDef(
+      (s, d) => selectOrders(mor(s, d).snapshot(readOptimized = true)),
+      ordersSql(updated = false, deletes = false, onlyUpdated = false)),
+
+    // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
+    "hudi_mor_incremental" -> QueryDef(
+      (s, d) => selectOrders(mor(s, d).incremental(
+        Some(HudiFixtureBuilder.T1), Some(HudiFixtureBuilder.T2))),
+      ordersSql(updated = true, deletes = false, onlyUpdated = true)),
+
+    // --- R1: partition pruning on a hive-style partitioned table ---------
+    "hudi_partition_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        HudiTable(s, HudiFixtureBuilder.partPath(d))
+          .snapshot(partitionFilters = Seq(PartitionFilter("n_regionkey", "=", Seq("2"))))
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin)
+  )
+
+  def queries: Map[String, QueryDef] = qs
+}
