@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    Relational.queries ++ TextOps.queries ++ EmbedOps.queries ++ HudiQueries.queries
+    Relational.queries ++ TextOps.queries ++ EmbedOps.queries ++
+      AnnOps.queries ++ HudiQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

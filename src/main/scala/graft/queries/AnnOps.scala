@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Approximate-nearest-neighbor scale path: random-hyperplane (SimHash)
+  * LSH over the quantized embeddings. Candidate pairs come only from
+  * band-bucket collisions — never all-pairs — then are exact-verified with
+  * the true cosine score; the hyperplanes are deterministic integer
+  * functions of (plane, dim), so DuckDB computes the identical pipeline
+  * and the result is hash-match oracle-checked despite being "approximate".
+  *
+  * Scale shape (100 TB): signatures are one narrow map-side pass; the only
+  * shuffle is the band-bucket join whose fan-out is bounded by bucket
+  * collision counts, and the exact verification touches candidate pairs
+  * only. This is the same skeleton as the text MinHash-LSH dedup.
+  */
+object AnnOps {
+
+  private val numPlanes = 16
+  private val bandBits = 4
+  private val numBands = numPlanes / bandBits // 4
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * spreads over [-504, 504] via integer arithmetic both engines share.
+    */
+  private def planeComponent = "CAST(j AS BIGINT) * 73856093 + CAST(i AS BIGINT) * 19349663"
+
+  /** Full pipeline per dialect. `bandsFrom` yields one row per
+    * (vec, band) with an integer band key from 4 sign bits.
+    */
+  private def lshSql(
+      listTransform: String,
+      dot: String,
+      seq64: String,
+      seq16: String,
+      bandsFrom: String, // FROM-clause fragment yielding band index b per sig row
+      elementAt: String
+  ): String = {
+    val selfDot = dot.format("q", "q")
+    val pairDot = dot.format("a.q", "b.q")
+    def bit(k: String) = s"$elementAt(bits, $k)"
+    s"""WITH qe AS (
+       |  SELECT vec_id, $listTransform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qn AS (SELECT vec_id, q, $selfDot AS qnorm FROM qe),
+       |sig AS (
+       |  SELECT vec_id,
+       |    $listTransform($seq16, j ->
+       |      CASE WHEN ${dot.format("q", s"$listTransform($seq64, i -> ($planeComponent) % 1009 - 504)")} >= 0
+       |      THEN 1 ELSE 0 END) AS bits
+       |  FROM qn),
+       |banded AS (
+       |  SELECT vec_id, b,
+       |    ${bit("4*b+1")} * 8 + ${bit("4*b+2")} * 4 + ${bit("4*b+3")} * 2 + ${bit("4*b+4")} AS band_key
+       |  FROM sig $bandsFrom),
+       |candidates AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    CAST($pairDot AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM candidates c
+       |  JOIN qn a ON a.vec_id = c.vec_a
+       |  JOIN qn b ON b.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, score FROM scored
+       |WHERE score >= 0.25
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  private val sparkDot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  private val duckDot = "CAST(list_dot_product(%s, %s) AS BIGINT)"
+
+  private val sparkSql: String = lshSql(
+    listTransform = "transform",
+    dot = sparkDot,
+    seq64 = "sequence(0, 63)",
+    seq16 = "sequence(0, 15)",
+    bandsFrom = s"LATERAL VIEW explode(sequence(0, ${numBands - 1})) bt AS b",
+    elementAt = "element_at")
+
+  private val duckSql: String = lshSql(
+    listTransform = "list_transform",
+    dot = duckDot,
+    seq64 = "range(0, 64)",
+    seq16 = "range(0, 16)",
+    bandsFrom = s", UNNEST(range(0, $numBands)) AS bt(b)",
+    elementAt = "list_extract")
+
+  private def run(s: SparkSession, d: String): DataFrame = {
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+    s.sql(sparkSql)
+  }
+
+  def queries: Map[String, QueryDef] = Map(
+    "embed_dedup_lsh" -> QueryDef(run _, duckSql)
+  )
+}

@@ -54,17 +54,20 @@ object EmbedOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Exact all-pairs near-dup — the correctness baseline for the LSH path
+    * in [[AnnOps]]. Norms are computed once per vector (not per pair), and
+    * the dot product once per pair in an inner select, so the pair loop
+    * does one array pass instead of the six the round-1 shape did.
+    */
   private def nearDupSql(q: String, dot: String): String = {
     val dotAB = dot.format("a.q", "b.q")
-    val normA = dot.format("a.q", "a.q")
-    val normB = dot.format("b.q", "b.q")
-    s"""WITH qe AS ($q)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  CAST($dotAB AS DOUBLE)
-       |    / sqrt(CAST($normA AS DOUBLE) * CAST($normB AS DOUBLE)) AS score
-       |FROM qe a JOIN qe b ON a.vec_id < b.vec_id
-       |WHERE CAST($dotAB AS DOUBLE)
-       |    / sqrt(CAST($normA AS DOUBLE) * CAST($normB AS DOUBLE)) >= 0.25
+    s"""WITH qe0 AS ($q),
+       |qe AS (SELECT vec_id, q, ${dot.format("q", "q")} AS qnorm FROM qe0)
+       |SELECT vec_a, vec_b, score FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST($dotAB AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM qe a JOIN qe b ON a.vec_id < b.vec_id) t
+       |WHERE score >= 0.25
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 

@@ -39,9 +39,12 @@ object TextOps {
   private val bandSize = 4
   private val numBands = numSeeds / bandSize
 
-  /** Per-seed min-hash aggregate expressions: lexicographic min over the
-    * md5 hex of (seed ':' shingle) — a portable stand-in for integer
-    * min-hashing that both engines compute identically.
+  /** Per-seed min-hash aggregates: lexicographic min over the md5 hex of
+    * (seed ':' shingle) — a portable stand-in for integer min-hashing that
+    * both engines compute identically. (Measured at sf0.1: direct per-row
+    * hashing beats a distinct-shingle hash dictionary — the synthetic
+    * vocabulary is tiny, so the dictionary join costs more than it saves;
+    * revisit if the corpus/vocabulary ratio changes.)
     */
   private def minhashAggs: String =
     (0 until numSeeds)
@@ -54,82 +57,141 @@ object TextOps {
       s"md5(CONCAT($cols)) AS band$b"
     }.mkString(",\n    ")
 
-  private def bandCandidateUnion: String =
+  private def bandCandidateUnion(sigsRef: String): String =
     (0 until numBands)
       .map(b => s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   |  FROM sigs a JOIN sigs b ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin)
+                   |  FROM $sigsRef a JOIN $sigsRef b ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin)
       .mkString("\nUNION\n")
 
-  /** 5-char shingles, Spark dialect. */
-  private val sparkShingles: String =
-    """SELECT DISTINCT doc_id, shingle FROM (
-      |  SELECT doc_id, explode(transform(sequence(1, greatest(length(text) - 4, 1)),
-      |                                   i -> substring(text, i, 5))) AS shingle
-      |  FROM documents)""".stripMargin
+  // NOTE on shingle relations: deduplication happens per row with
+  // array_distinct BEFORE any explode, so exploded relations are distinct
+  // by construction — no DISTINCT shuffle over the exploded corpus
+  // (measured ~5s of the round-1 runtime at sf0.1, and at 100 TB the
+  // difference between a narrow map-side pass and a full-corpus shuffle).
 
-  /** 5-char shingles, DuckDB dialect. */
-  private val duckShingles: String =
-    """SELECT DISTINCT doc_id, shingle FROM (
-      |  SELECT doc_id, substring(text, i, 5) AS shingle
-      |  FROM documents, UNNEST(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i))""".stripMargin
+  /** Per-document shingle SET as an array column — the base relation for
+    * sizes, signatures, and the exploded shingle table. Keeping the set in
+    * array-land means min-hashing is a pure per-row projection (array_min
+    * over transformed arrays): zero shuffles until the band join.
+    */
+  private def docsetsSelect(listTransform: String, listDistinct: String, seqExpr: String): String =
+    s"""SELECT doc_id, $listDistinct($listTransform($seqExpr,
+       |    i -> substring(text, i, 5))) AS shset
+       |FROM documents""".stripMargin
 
-  private def minhashSql(shingles: String): String =
-    s"""WITH shingles AS ($shingles),
-       |sizes AS (SELECT doc_id, COUNT(1) AS n_shingles FROM shingles GROUP BY doc_id),
-       |sigs0 AS (
-       |  SELECT doc_id,
-       |    $minhashAggs
-       |  FROM shingles GROUP BY doc_id),
-       |sigs AS (
-       |  SELECT doc_id,
+  private val sparkDocsets: String =
+    docsetsSelect("transform", "array_distinct", "sequence(1, greatest(length(text) - 4, 1))")
+  private val duckDocsets: String =
+    docsetsSelect("list_transform", "list_distinct", "range(1, greatest(length(text) - 4, 1) + 1)")
+
+  /** Signature select over the EXPLODED shingle relation: MIN(md5(...))
+    * aggregates stay inside whole-stage codegen, which measures ~6x faster
+    * than the equivalent per-row `array_min(transform(...))` (higher-order
+    * functions evaluate interpreted, one closure call per element).
+    */
+  private def sigsSelect(shinglesRef: String): String =
+    s"""SELECT doc_id,
        |    $bandExprs
-       |  FROM sigs0),
-       |candidates AS (
-       |$bandCandidateUnion
+       |  FROM (SELECT doc_id,
+       |    $minhashAggs
+       |  FROM $shinglesRef GROUP BY doc_id)""".stripMargin
+
+  /** Candidate/verify phases over docset + sig relations. Verification is
+    * a per-pair `array_intersect` on the two shingle-set arrays — no
+    * exploded-corpus join, no aggregation; candidate pairs are the only
+    * quadratic-ish object and they exist only where band buckets collide.
+    */
+  private def minhashMain(docsetsRef: String, sigsRef: String, sizeFn: String, intersectFn: String): String =
+    s"""WITH candidates AS (
+       |${bandCandidateUnion(sigsRef)}
        |),
-       |inter AS (
-       |  SELECT c.doc_a, c.doc_b, COUNT(1) AS n_inter
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    $sizeFn($intersectFn(a.shset, b.shset)) AS n_inter,
+       |    $sizeFn(a.shset) AS na, $sizeFn(b.shset) AS nb
        |  FROM candidates c
-       |  JOIN shingles sa ON sa.doc_id = c.doc_a
-       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-       |  GROUP BY c.doc_a, c.doc_b)
-       |SELECT i.doc_a, i.doc_b,
-       |  CAST(i.n_inter AS DOUBLE) / (za.n_shingles + zb.n_shingles - i.n_inter) AS jaccard
-       |FROM inter i
-       |JOIN sizes za ON za.doc_id = i.doc_a
-       |JOIN sizes zb ON zb.doc_id = i.doc_b
-       |WHERE CAST(i.n_inter AS DOUBLE) / (za.n_shingles + zb.n_shingles - i.n_inter) >= 0.5
+       |  JOIN $docsetsRef a ON a.doc_id = c.doc_a
+       |  JOIN $docsetsRef b ON b.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+       |FROM pairs
+       |WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Blocked exact n-gram Jaccard: all pairs within a (lang, source) block. */
-  private def blockedJaccardSql(shinglesWithBlock: String): String =
-    s"""WITH shingles AS ($shinglesWithBlock),
-       |sizes AS (SELECT doc_id, COUNT(1) AS n_shingles FROM shingles GROUP BY doc_id),
-       |inter AS (
-       |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(1) AS n_inter
-       |  FROM shingles sa
-       |  JOIN shingles sb ON sa.lang = sb.lang AND sa.source = sb.source
+  /** Spark impl: persist the small per-doc shingle-set relation (one row
+    * per doc); signatures and verification both derive from it — the
+    * tokenization runs once and nothing exploded is ever shuffled.
+    */
+  private def minhashImpl(s: SparkSession, d: String): DataFrame = {
+    prep(s, d)
+    val ds = s.sql(sparkDocsets)
+    ds.persist()
+    ds.createOrReplaceTempView("mh_docsets")
+    s.sql("SELECT doc_id, explode(shset) AS shingle FROM mh_docsets")
+      .createOrReplaceTempView("mh_shingles")
+    val sigs = s.sql(sigsSelect("mh_shingles"))
+    sigs.persist()
+    sigs.createOrReplaceTempView("mh_sigs")
+    s.sql(minhashMain("mh_docsets", "mh_sigs", "size", "array_intersect"))
+  }
+
+  private def minhashOracle: String =
+    s"""WITH docsets AS ($duckDocsets),
+       |shingles AS (SELECT doc_id, UNNEST(shset) AS shingle FROM docsets),
+       |sigs AS (${sigsSelect("shingles")}),
+       |${minhashMain("docsets", "sigs", "len", "list_intersect").replaceFirst("WITH ", "")}""".stripMargin
+
+  /** Blocked exact n-gram Jaccard with an inverted-index document-frequency
+    * cutoff: shingles seen in more than [[maxDf]] docs of a block generate
+    * no candidate pairs (the classic hot-key guard — a shingle in k docs
+    * otherwise yields k² pairs, quadratic on skew at scale). Candidates are
+    * then exact-verified against the FULL shingle sets, in both engines.
+    */
+  private val maxDf = 64
+
+  private def blockedJaccardSql(
+      docsets: String, explodeShingles: String, sizeFn: String, intersectFn: String): String =
+    s"""WITH docsets AS ($docsets),
+       |shingles AS ($explodeShingles),
+       |with_df AS (
+       |  SELECT doc_id, lang, source, shingle,
+       |    COUNT(1) OVER (PARTITION BY lang, source, shingle) AS df
+       |  FROM shingles),
+       |candidates AS (
+       |  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+       |  FROM with_df sa
+       |  JOIN with_df sb ON sa.lang = sb.lang AND sa.source = sb.source
        |    AND sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-       |  GROUP BY sa.doc_id, sb.doc_id)
-       |SELECT i.doc_a, i.doc_b,
-       |  CAST(i.n_inter AS DOUBLE) / (za.n_shingles + zb.n_shingles - i.n_inter) AS jaccard
-       |FROM inter i
-       |JOIN sizes za ON za.doc_id = i.doc_a
-       |JOIN sizes zb ON zb.doc_id = i.doc_b
-       |WHERE CAST(i.n_inter AS DOUBLE) / (za.n_shingles + zb.n_shingles - i.n_inter) >= 0.4
+       |  WHERE sa.df <= $maxDf AND sb.df <= $maxDf),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    $sizeFn($intersectFn(a.shset, b.shset)) AS n_inter,
+       |    $sizeFn(a.shset) AS na, $sizeFn(b.shset) AS nb
+       |  FROM candidates c
+       |  JOIN docsets a ON a.doc_id = c.doc_a
+       |  JOIN docsets b ON b.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+       |FROM pairs
+       |WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.4
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  private val sparkShinglesBlocked: String =
-    """SELECT DISTINCT doc_id, lang, source, shingle FROM (
-      |  SELECT doc_id, lang, source,
-      |    explode(transform(sequence(1, greatest(length(text) - 4, 1)),
-      |                      i -> substring(text, i, 5))) AS shingle
-      |  FROM documents)""".stripMargin
+  private val sparkDocsetsBlocked: String =
+    """SELECT doc_id, lang, source, array_distinct(
+      |    transform(sequence(1, greatest(length(text) - 4, 1)),
+      |              i -> substring(text, i, 5))) AS shset
+      |FROM documents""".stripMargin
 
-  private val duckShinglesBlocked: String =
-    """SELECT DISTINCT doc_id, lang, source, shingle FROM (
-      |  SELECT doc_id, lang, source, substring(text, i, 5) AS shingle
-      |  FROM documents, UNNEST(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i))""".stripMargin
+  private val duckDocsetsBlocked: String =
+    """SELECT doc_id, lang, source, list_distinct(
+      |    list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+      |                   i -> substring(text, i, 5))) AS shset
+      |FROM documents""".stripMargin
+
+  private val sparkExplodeBlocked: String =
+    "SELECT doc_id, lang, source, explode(shset) AS shingle FROM docsets"
+  private val duckExplodeBlocked: String =
+    "SELECT doc_id, lang, source, UNNEST(shset) AS shingle FROM docsets"
 
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
@@ -155,43 +217,65 @@ object TextOps {
          |ORDER BY text_hash""".stripMargin
     ),
 
-    // --- token counting ----------------------------------------------------
+    // --- token counting: tokenize ONCE via explode + one hash-agg ---------
+    // (the round-1 shape re-evaluated split() per output column; higher-
+    // order functions run interpreted, so Catalyst's subexpression
+    // elimination never kicked in. explode + map-side-combinable aggregate
+    // is also the right distributed shape at 100 TB.)
     "text_token_stats" -> QueryDef(
       (s, d) => sq(s, d,
-        """SELECT doc_id,
-          |  size(split(text, ' ')) AS n_tokens,
-          |  size(array_distinct(split(text, ' '))) AS n_distinct_tokens,
-          |  length(replace(text, ' ', '')) AS n_word_chars,
-          |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(split(text, ' ')) AS avg_token_len
-          |FROM documents
+        """WITH toks AS (
+          |  SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
+          |agg AS (
+          |  SELECT doc_id, COUNT(1) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct_tokens,
+          |         SUM(length(tok)) AS n_word_chars
+          |  FROM toks GROUP BY doc_id)
+          |SELECT doc_id, n_tokens, n_distinct_tokens, n_word_chars,
+          |  CAST(n_word_chars AS DOUBLE) / n_tokens AS avg_token_len
+          |FROM agg
           |ORDER BY doc_id""".stripMargin),
-      """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-        |  length(replace(text, ' ', '')) AS n_word_chars,
-        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
-        |FROM documents
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(1) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct_tokens,
+        |         SUM(length(tok)) AS n_word_chars
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct_tokens, n_word_chars,
+        |  CAST(n_word_chars AS DOUBLE) / n_tokens AS avg_token_len
+        |FROM agg
         |ORDER BY doc_id""".stripMargin
     ),
 
-    // --- quality scoring ---------------------------------------------------
+    // --- quality scoring: same tokenize-once shape -------------------------
     "text_quality" -> QueryDef(
       (s, d) => sq(s, d,
-        """SELECT doc_id, n_chars,
-          |  size(split(text, ' ')) AS n_tokens,
-          |  CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / size(split(text, ' ')) AS distinct_ratio,
-          |  CAST(size(filter(split(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE) / size(split(text, ' ')) AS stopword_ratio,
-          |  (size(split(text, ' ')) BETWEEN 10 AND 120)
-          |    AND (CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / size(split(text, ' ')) > 0.2) AS is_quality
-          |FROM documents
+        """WITH toks AS (
+          |  SELECT doc_id, n_chars, explode(split(text, ' ')) AS tok FROM documents),
+          |agg AS (
+          |  SELECT doc_id, MAX(n_chars) AS n_chars, COUNT(1) AS n_tokens,
+          |         COUNT(DISTINCT tok) AS n_distinct,
+          |         SUM(CASE WHEN tok = 'the' OR tok = 'a' THEN 1 ELSE 0 END) AS n_stop
+          |  FROM toks GROUP BY doc_id)
+          |SELECT doc_id, n_chars, n_tokens,
+          |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+          |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+          |  (n_tokens BETWEEN 10 AND 120)
+          |    AND (CAST(n_distinct AS DOUBLE) / n_tokens > 0.2) AS is_quality
+          |FROM agg
           |ORDER BY doc_id""".stripMargin),
-      """SELECT doc_id, n_chars,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS distinct_ratio,
-        |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
-        |  (len(string_split(text, ' ')) BETWEEN 10 AND 120)
-        |    AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) > 0.2) AS is_quality
-        |FROM documents
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |agg AS (
+        |  SELECT doc_id, MAX(n_chars) AS n_chars, COUNT(1) AS n_tokens,
+        |         COUNT(DISTINCT tok) AS n_distinct,
+        |         SUM(CASE WHEN tok = 'the' OR tok = 'a' THEN 1 ELSE 0 END) AS n_stop
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+        |  (n_tokens BETWEEN 10 AND 120)
+        |    AND (CAST(n_distinct AS DOUBLE) / n_tokens > 0.2) AS is_quality
+        |FROM agg
         |ORDER BY doc_id""".stripMargin
     ),
 
@@ -249,15 +333,13 @@ object TextOps {
 
     // --- blocked exact n-gram Jaccard near-dup ------------------------------
     "dedup_ngram_jaccard" -> QueryDef(
-      (s, d) => sq(s, d, blockedJaccardSql(sparkShinglesBlocked)),
-      blockedJaccardSql(duckShinglesBlocked)
+      (s, d) => sq(s, d, blockedJaccardSql(
+        sparkDocsetsBlocked, sparkExplodeBlocked, "size", "array_intersect")),
+      blockedJaccardSql(duckDocsetsBlocked, duckExplodeBlocked, "len", "list_intersect")
     ),
 
     // --- MinHash + LSH banding near-dup -------------------------------------
-    "dedup_minhash_lsh" -> QueryDef(
-      (s, d) => sq(s, d, minhashSql(sparkShingles)),
-      minhashSql(duckShingles)
-    )
+    "dedup_minhash_lsh" -> QueryDef(minhashImpl _, Some(minhashOracle))
   )
 
   def queries: Map[String, QueryDef] = qs
