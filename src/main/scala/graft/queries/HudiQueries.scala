@@ -88,6 +88,21 @@ object HudiQueries {
         Some(HudiFixtureBuilder.T1), Some(HudiFixtureBuilder.T2))),
       ordersSql(updated = true, deletes = false, onlyUpdated = true)),
 
+    // --- D1-D4: the same reads through the DSv2 connector ----------------
+    "hudi_dsv2_cow_snapshot" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(s.read.format("hudi-graft").load(HudiFixtureBuilder.cowPath(d)))
+      },
+      ordersSql(updated = true, deletes = false, onlyUpdated = false)),
+
+    "hudi_dsv2_mor_snapshot" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(s.read.format("hudi-graft").load(HudiFixtureBuilder.morPath(d)))
+      },
+      ordersSql(updated = true, deletes = true, onlyUpdated = false)),
+
     // --- R1: partition pruning on a hive-style partitioned table ---------
     "hudi_partition_pruned" -> QueryDef(
       (s, d) => {

@@ -1,0 +1,253 @@
+package graft.sources
+
+import graft.log.{AvroConvert, InstantRange, LogFileParser, LogFormat}
+import graft.util.SerializableConf
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Executor-side slice reader: base parquet rows via Spark's delegated
+  * parquet reader, plus — for MOR slices — a streaming per-slice merge:
+  * log records are decoded into an in-memory map keyed by record key (the
+  * small side; Hudi log files are bounded by the writer's roll size) and
+  * the base file STREAMS against it, so memory is proportional to the
+  * delta, not the file group, and the merge needs no shuffle at all. This
+  * mirrors the reference's per-slice FileGroupReader execution
+  * (crates/core/src/file_group/reader.rs:205-279) and is the no-shuffle
+  * complement to the DataFrame-level [[graft.table.MorMerge]].
+  */
+class GraftReaderFactory(
+    readFn: PartitionedFile => Iterator[InternalRow],
+    widenedJson: String,
+    requiredJson: String,
+    orderingField: Option[String],
+    mergeStrategy: String,
+    conf: SerializableConf,
+    endTs: Option[String]
+) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[GraftInputPartition].slice
+    new GraftPartitionReader(slice, readFn, widenedJson, requiredJson,
+      orderingField, mergeStrategy, conf, endTs)
+  }
+}
+
+class GraftPartitionReader(
+    slice: graft.fs.FileSlice,
+    readFn: PartitionedFile => Iterator[InternalRow],
+    widenedJson: String,
+    requiredJson: String,
+    orderingField: Option[String],
+    mergeStrategy: String,
+    conf: SerializableConf,
+    endTs: Option[String]
+) extends PartitionReader[InternalRow] {
+
+  private val widened = DataType.fromJson(widenedJson).asInstanceOf[StructType]
+  private val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+  private val outIdx: Array[Int] = required.fields.map(f => widened.fieldIndex(f.name))
+  private val identityProjection = outIdx.sameElements(widened.fields.indices)
+
+  private def baseIter: Iterator[InternalRow] = {
+    val pf = PartitionedFile(
+      InternalRow.empty,
+      SparkPath.fromPathString(slice.baseFile.path),
+      0L,
+      slice.baseFile.size)
+    readFn(pf)
+  }
+
+  private val rows: Iterator[InternalRow] =
+    if (!slice.hasLogFiles) baseIter.map(project)
+    else mergedIter.map(project)
+
+  private def project(row: InternalRow): InternalRow =
+    if (identityProjection) row
+    else {
+      val vals = new Array[Any](outIdx.length)
+      var i = 0
+      while (i < outIdx.length) {
+        vals(i) = row.get(outIdx(i), widened.fields(outIdx(i)).dataType)
+        i += 1
+      }
+      new GenericInternalRow(vals)
+    }
+
+  // ---- merge machinery ---------------------------------------------------
+
+  private lazy val keyIdx = widened.fieldIndex("_hoodie_record_key")
+  private lazy val seqIdx = widened.fieldIndex("_hoodie_commit_seqno")
+  private lazy val commitIdx = widened.fieldIndex("_hoodie_commit_time")
+  private lazy val ordIdx = orderingField.map(widened.fieldIndex)
+  private lazy val ordType = ordIdx.map(i => widened.fields(i).dataType)
+
+  /** Arrow-row-style comparison: null is lowest; same-type Comparables. */
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case _ => 0
+  }
+
+  private def orderingOf(r: InternalRow): Any =
+    ordIdx.map(i => if (r.isNullAt(i)) null else r.get(i, ordType.get)).orNull
+
+  private def seqnoOf(r: InternalRow): Any =
+    if (r.isNullAt(seqIdx)) null else r.getUTF8String(seqIdx)
+
+  private def commitOf(r: InternalRow): Any =
+    if (r.isNullAt(commitIdx)) null else r.getUTF8String(commitIdx)
+
+  /** OVERWRITE_WITH_LATEST version pick: desc (ordering, seqno). */
+  private def newerThan(a: InternalRow, b: InternalRow): Boolean = {
+    val c = cmpAny(orderingOf(a), orderingOf(b))
+    if (c != 0) c > 0 else cmpAny(seqnoOf(a), seqnoOf(b)) > 0
+  }
+
+  private final class DeleteInfo(
+      var eventOrd: Any, var commitOrd: Any, var eventZero: Boolean) {
+    /** ordering.rs:41-51 incl. the integer-zero special case. */
+    def winsOver(recEvent: Any, recCommit: Any): Boolean =
+      if (eventZero) cmpAny(commitOrd, recCommit) > 0
+      else {
+        val c = cmpAny(eventOrd, recEvent)
+        c > 0 || (c == 0 && cmpAny(commitOrd, recCommit) > 0)
+      }
+  }
+
+  private def isIntegralZero(v: Any): Boolean = v match {
+    case i: Int => i == 0
+    case l: Long => l == 0L
+    case s: Short => s == 0
+    case b: Byte => b == 0
+    case _ => false
+  }
+
+  /** Decode the slice's log files once: latest data row per key + delete
+    * max-orderings per key (rollback-aware, range-bounded).
+    */
+  private lazy val (logLatest, deletes) = {
+    val range = endTs.map(InstantRange.upTo).getOrElse(InstantRange.all)
+    val blocks = {
+      val bs = slice.logFiles.sortBy(_.orderingKey).flatMap { lf =>
+        val p = new Path(lf.path)
+        val fs = p.getFileSystem(conf.value)
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val buf = new Array[Byte](lf.size.toInt)
+            in.readFully(0, buf)
+            buf
+          } finally in.close()
+        LogFileParser.parse(bytes, range)
+      }
+      LogFileParser.applyRollbacks(bs.toVector)
+    }
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(widened)
+    val latest = mutable.HashMap.empty[String, InternalRow]
+    val dels = mutable.HashMap.empty[String, DeleteInfo]
+    for (b <- blocks) {
+      if (b.blockType == LogFormat.AvroDataBlock) {
+        val avro = b.dataSchema.get
+        for (rec <- b.dataRecords) {
+          val ext = alignExternal(rec, avro)
+          val row = toCatalyst(ext).asInstanceOf[InternalRow]
+          val key = if (row.isNullAt(keyIdx)) "" else row.getString(keyIdx)
+          latest.get(key) match {
+            case Some(prev) if !newerThan(row, prev) => // keep prev
+            case _ => latest(key) = row
+          }
+        }
+      } else if (b.blockType == LogFormat.DeleteBlock) {
+        val commit = UTF8String.fromString(b.instantTime)
+        for ((key, _, ordRaw) <- b.deleteRecords) {
+          val ord = toCatalystScalar(ordRaw)
+          val zero = isIntegralZero(ordRaw)
+          dels.get(key) match {
+            case Some(info) =>
+              if (cmpAny(ord, info.eventOrd) > 0) {
+                info.eventOrd = ord; info.eventZero = zero
+              }
+              if (cmpAny(commit, info.commitOrd) > 0) info.commitOrd = commit
+            case None => dels(key) = new DeleteInfo(ord, commit, zero)
+          }
+        }
+      } else if (b.blockType == LogFormat.ParquetDataBlock) {
+        throw new UnsupportedOperationException(
+          "parquet log data blocks are not supported by the DSv2 reader yet")
+      }
+    }
+    (latest, dels)
+  }
+
+  private def toCatalystScalar(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+
+  /** Row aligned to `widened` as an external Row for the converter. */
+  private def alignExternal(
+      rec: org.apache.avro.generic.GenericRecord,
+      avro: org.apache.avro.Schema): org.apache.spark.sql.Row = {
+    val vals = widened.fields.map { f =>
+      val af = avro.getField(f.name)
+      if (af == null) null
+      else (AvroConvert.toSparkValue(rec.get(af.pos()), af.schema()), f.dataType) match {
+        case (null, _) => null
+        case (i: Int, LongType) => i.toLong
+        case (i: Int, ShortType) => i.toShort
+        case (i: Int, ByteType) => i.toByte
+        case (v2, _) => v2
+      }
+    }
+    org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+  }
+
+  private def deleteWins(row: InternalRow): Boolean = {
+    val key = if (row.isNullAt(keyIdx)) "" else row.getString(keyIdx)
+    deletes.get(key).exists(_.winsOver(orderingOf(row), commitOf(row)))
+  }
+
+  /** Streamed merge: base rows checked against the log map; survivors of
+    * the log map (log-only inserts) appended at the end.
+    */
+  private def mergedIter: Iterator[InternalRow] =
+    if (mergeStrategy == "APPEND_ONLY") baseIter ++ logLatest.valuesIterator
+    else {
+      val consumed = mutable.HashSet.empty[String]
+      val fromBase = baseIter.flatMap { row =>
+        val key = if (row.isNullAt(keyIdx)) "" else row.getString(keyIdx)
+        val winner = logLatest.get(key) match {
+          case Some(logRow) =>
+            consumed += key
+            if (newerThan(logRow, row)) logRow else row.copy()
+          case None => row
+        }
+        if (deleteWins(winner)) None else Some(winner)
+      }
+      val fromLogOnly = logLatest.iterator.collect {
+        case (key, row) if !consumed.contains(key) && !deleteWins(row) => row
+      }
+      fromBase ++ fromLogOnly
+    }
+
+  // ---- PartitionReader contract ------------------------------------------
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,196 @@
+package graft.sources
+
+import graft.fs.{FileSlice, PartitionFilter, PartitionPruner}
+import graft.table.HudiTable
+import graft.core.{MetaField, Timestamps}
+import graft.util.SerializableConf
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 entry point: `spark.read.format("hudi-graft").load(path)`
+  * — the Spark analog of the reference's DataFusion `TableProvider`
+  * (crates/datafusion/src/lib.rs:123-156).
+  *
+  * Read options (mirroring crates/core/src/config/read.rs):
+  *  - `as.of.timestamp`: time-travel target (any format
+  *    [[graft.core.Timestamps.normalize]] accepts)
+  *  - `read.optimized`: base-files-only scan for MOR tables
+  */
+class HudiDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "hudi-graft"
+
+  private def basePath(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("hudi-graft requires a path"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HudiTable(SparkSession.active, basePath(options)).tableSchema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftTable(properties.get("path"), schema)
+}
+
+class GraftTable(path: String, declaredSchema: StructType) extends Table with SupportsRead {
+  private lazy val hudi = HudiTable(SparkSession.active, path)
+
+  override def name(): String = s"hudi-graft.`$path`"
+  override def schema(): StructType =
+    if (declaredSchema != null && declaredSchema.nonEmpty) declaredSchema else hudi.tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(hudi, schema(), options)
+}
+
+/** Pushdown surface (D2): every filter is returned as a residual (the
+  * reference classifies only partition-equality conjuncts Exact and keeps
+  * a residual FilterExec otherwise — lib.rs:426-578; we keep Spark's
+  * re-application for all of them, which is always correct), while
+  * partition filters additionally drive driver-side pruning and the rest
+  * reach the parquet reader for row-group/page skipping on base-only scans.
+  */
+class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual (Inexact contract)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val partFields = hudi.config.partitionFields.toSet
+    val partitionFilters = pushed.flatMap(toPartitionFilter(_, partFields)).toSeq
+    new GraftScan(hudi, required, partitionFilters, pushed, options)
+  }
+
+  private def toPartitionFilter(f: Filter, partFields: Set[String]): Option[PartitionFilter] = {
+    def mk(field: String, op: String, vs: Seq[Any]): Option[PartitionFilter] =
+      if (partFields.contains(field)) Some(PartitionFilter(field, op, vs.map(String.valueOf)))
+      else None
+    f match {
+      case sources.EqualTo(a, v) => mk(a, "=", Seq(v))
+      case sources.GreaterThan(a, v) => mk(a, ">", Seq(v))
+      case sources.GreaterThanOrEqual(a, v) => mk(a, ">=", Seq(v))
+      case sources.LessThan(a, v) => mk(a, "<", Seq(v))
+      case sources.LessThanOrEqual(a, v) => mk(a, "<=", Seq(v))
+      case sources.In(a, vs) => mk(a, "in", vs.toSeq)
+      case _ => None
+    }
+  }
+}
+
+class GraftScan(
+    hudi: HudiTable,
+    required: StructType,
+    partitionFilters: Seq[PartitionFilter],
+    parquetFilters: Array[Filter],
+    options: CaseInsensitiveStringMap
+) extends Scan with Batch with SupportsReportStatistics {
+
+  private val spark = hudi.spark
+  private val asOf = Option(options.get("as.of.timestamp"))
+    .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
+  private val readOptimized = options.getBoolean("read.optimized", false)
+
+  /** Planned slices: the driver-side fs-view walk (S5), partition-pruned. */
+  private lazy val slices: Vector[FileSlice] = {
+    val end = asOf.orElse(hudi.timeline.latestCommitTimestamp)
+    end match {
+      case None => Vector.empty
+      case Some(ts) =>
+        val fieldTypes = hudi.config.partitionFields.map { f =>
+          val tpe = hudi.tableSchema.fields.find(_.name == f).map(_.dataType.typeName).getOrElse("string")
+          f -> (tpe match {
+            case "integer" | "short" | "byte" => "int"
+            case "long" => "long"
+            case "double" | "float" => "double"
+            case "date" => "date"
+            case _ => "string"
+          })
+        }
+        val pruner = new PartitionPruner(fieldTypes, hudi.config.isHiveStylePartitioning,
+          hudi.config.isPartitionPathUrlencoded, partitionFilters)
+        val planned = hudi.fsView.slicesAsOf(ts, pruner)
+        if (readOptimized || !hudi.isMor) planned.map(_.withoutLogs) else planned
+    }
+  }
+
+  private def morMergeNeeded: Boolean = slices.exists(_.hasLogFiles)
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    slices.map(s => GraftInputPartition(s): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // MOR merge needs the record key / ordering / seqno / commit columns
+    // even when the query prunes them away: widen, merge, project back
+    // (the reference's widen+project contract, reader.rs:430-487).
+    val orderingField = hudi.config.orderingFields.headOption
+    val mergeCols =
+      if (morMergeNeeded)
+        Seq(MetaField.RecordKey, MetaField.CommitSeqno, MetaField.CommitTime,
+          MetaField.PartitionPath) ++ orderingField
+      else Nil
+    val widened = StructType(required.fields ++
+      mergeCols.filterNot(c => required.fieldNames.contains(c)).flatMap(c =>
+        hudi.tableSchema.fields.find(_.name == c)))
+
+    val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map(
+      // row-based reads: the DSv2 PartitionReader contract here is
+      // InternalRow, not ColumnarBatch
+      "spark.sql.parquet.enableVectorizedReader" -> "false"))
+    val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    val readFn = fmt.buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = hudi.tableSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = widened,
+      // filters must NOT reach the base scan of a merged read: a base row
+      // can lose to a log update that matches the predicate
+      filters = if (morMergeNeeded) Nil else parquetFilters.toIndexedSeq,
+      // rows, not ColumnarBatches — the PartitionReader contract here
+      options = Map("returning_batch" -> "false"),
+      hadoopConf = hadoopConf)
+
+    new GraftReaderFactory(
+      readFn,
+      widened.json,
+      required.json,
+      orderingField,
+      hudi.config.recordMergeStrategy,
+      new SerializableConf(hudi.hadoopConf),
+      asOf.orElse(hudi.timeline.latestCommitTimestamp))
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = slices.map(s => s.baseFile.size + s.logFiles.map(_.size).sum).sum
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+}
+
+final case class GraftInputPartition(slice: FileSlice) extends InputPartition
