@@ -171,17 +171,34 @@ object HudiFixtureBuilder {
       .parquet(new Path(base, files1.head._3).toString).schema
     val avroSchema = SparkToAvro.toAvroSchema(tableSchema, "mor_orders_record")
 
-    // deltacommit T2: avro data blocks with updated rows
+    // deltacommit T2: update log blocks — avro data blocks for most
+    // partitions, a PARQUET data block for the first (both block formats
+    // are covered by the same oracle-checked snapshot/incremental queries)
     val files2 = parts.zipWithIndex.map { case (p, i) =>
       val rows = src.filter(col("o_orderpriority") === p && col("o_orderkey") % 7 === 0)
         .withColumn("o_orderstatus", lit("U"))
         .withColumn("__commit", lit(T2))
-      val metaRows = withMeta(rows, T2, "o_orderpriority", "").collect()
+      val metaDf = withMeta(rows, T2, "o_orderpriority", "")
       val logName = s".${fileId(i)}_$T1.log.1_$Token"
       val out = new DataOutputStream(fs.create(new Path(new Path(base, p), logName), true))
-      try LogFileWriter.avroDataBlock(out, T2, avroSchema,
-        metaRows.map(SparkToAvro.toRecord(_, tableSchema, avroSchema)).toSeq)
-      finally out.close()
+      try {
+        if (i == 0) {
+          val tmp = new Path(base, s".tmp_logpq_$i")
+          metaDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+          val bytes = {
+            val len = fs.getFileStatus(part).getLen.toInt
+            val in = fs.open(part)
+            try { val b = new Array[Byte](len); in.readFully(0, b); b }
+            finally in.close()
+          }
+          fs.delete(tmp, true)
+          LogFileWriter.parquetDataBlock(out, T2, avroSchema, bytes)
+        } else {
+          LogFileWriter.avroDataBlock(out, T2, avroSchema,
+            metaDf.collect().map(SparkToAvro.toRecord(_, tableSchema, avroSchema)).toSeq)
+        }
+      } finally out.close()
       (p, fileId(i), s"$p/$logName")
     }
     writeCommit(fs, base, T2, "deltacommit", files2.toSeq)

@@ -94,6 +94,19 @@ object LogFileWriter {
       content.toByteArray)
   }
 
+  /** Parquet data block: the content is a complete parquet file's bytes
+    * (no version prefix — content.rs:135-146).
+    */
+  def parquetDataBlock(
+      out: DataOutputStream,
+      instantTime: String,
+      schemaForHeader: AvroSchema,
+      parquetBytes: Array[Byte]
+  ): Unit =
+    writeBlock(out, LogFormat.ParquetDataBlock,
+      Seq(LogFormat.KeyInstantTime -> instantTime, LogFormat.KeySchema -> schemaForHeader.toString),
+      parquetBytes)
+
   /** Rollback command block targeting `targetInstantTime`'s blocks. */
   def rollbackBlock(out: DataOutputStream, instantTime: String, targetInstantTime: String): Unit =
     writeBlock(out, LogFormat.CommandBlock,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.log.{AvroConvert, InstantRange, LogFileParser, LogFormat}
+import graft.log.{InstantRange, LogFileParser, LogFormat}
 import graft.util.SerializableConf
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
@@ -156,10 +156,8 @@ class GraftPartitionReader(
     val latest = mutable.HashMap.empty[String, InternalRow]
     val dels = mutable.HashMap.empty[String, DeleteInfo]
     for (b <- blocks) {
-      if (b.blockType == LogFormat.AvroDataBlock) {
-        val avro = b.dataSchema.get
-        for (rec <- b.dataRecords) {
-          val ext = alignExternal(rec, avro)
+      if (b.blockType == LogFormat.AvroDataBlock || b.blockType == LogFormat.ParquetDataBlock) {
+        for (ext <- graft.log.RowAlign.blockRows(b, widened)) {
           val row = toCatalyst(ext).asInstanceOf[InternalRow]
           val key = if (row.isNullAt(keyIdx)) "" else row.getString(keyIdx)
           latest.get(key) match {
@@ -181,9 +179,6 @@ class GraftPartitionReader(
             case None => dels(key) = new DeleteInfo(ord, commit, zero)
           }
         }
-      } else if (b.blockType == LogFormat.ParquetDataBlock) {
-        throw new UnsupportedOperationException(
-          "parquet log data blocks are not supported by the DSv2 reader yet")
       }
     }
     (latest, dels)
@@ -192,24 +187,6 @@ class GraftPartitionReader(
   private def toCatalystScalar(v: Any): Any = v match {
     case s: String => UTF8String.fromString(s)
     case other => other
-  }
-
-  /** Row aligned to `widened` as an external Row for the converter. */
-  private def alignExternal(
-      rec: org.apache.avro.generic.GenericRecord,
-      avro: org.apache.avro.Schema): org.apache.spark.sql.Row = {
-    val vals = widened.fields.map { f =>
-      val af = avro.getField(f.name)
-      if (af == null) null
-      else (AvroConvert.toSparkValue(rec.get(af.pos()), af.schema()), f.dataType) match {
-        case (null, _) => null
-        case (i: Int, LongType) => i.toLong
-        case (i: Int, ShortType) => i.toShort
-        case (i: Int, ByteType) => i.toByte
-        case (v2, _) => v2
-      }
-    }
-    org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
   }
 
   private def deleteWins(row: InternalRow): Boolean = {

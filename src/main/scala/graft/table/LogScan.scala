@@ -1,9 +1,8 @@
 package graft.table
 
 import graft.fs.FileSlice
-import graft.log.{AvroConvert, InstantRange, LogFileParser, LogFormat}
+import graft.log.{InstantRange, LogFileParser, LogFormat, RowAlign}
 import graft.util.SerializableConf
-import org.apache.avro.{Schema => AvroSchema}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -62,11 +61,7 @@ object LogScan {
       .flatMap { paths =>
         val target = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         parseSlice(paths, conf, range).iterator
-          .filter(_.blockType == LogFormat.AvroDataBlock)
-          .flatMap { b =>
-            val avro = b.dataSchema.get
-            b.dataRecords.iterator.map(rec => alignRow(rec, avro, target))
-          }
+          .flatMap(RowAlign.blockRows(_, target))
       }
     spark.createDataFrame(rdd, tableSchema)
   }
@@ -112,32 +107,5 @@ object LogScan {
   def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-  /** Build a Row in `target` field order from an Avro record (by name). */
-  private def alignRow(
-      rec: org.apache.avro.generic.GenericRecord,
-      avro: AvroSchema,
-      target: StructType
-  ): Row = {
-    val vals = target.fields.map { f =>
-      val af = avro.getField(f.name)
-      if (af == null) null
-      else coerce(AvroConvert.toSparkValue(rec.get(af.pos()), af.schema()), f.dataType)
-    }
-    Row.fromSeq(vals.toIndexedSeq)
-  }
-
-  /** Safe widening between Avro-decoded values and the Parquet-derived
-    * table schema (int→long, float→double, number→decimal, etc.).
-    */
-  private def coerce(v: Any, target: DataType): Any = (v, target) match {
-    case (null, _) => null
-    case (i: Int, LongType) => i.toLong
-    case (i: Int, DoubleType) => i.toDouble
-    case (l: Long, DoubleType) => l.toDouble
-    case (f: Float, DoubleType) => f.toDouble
-    case (i: Int, d: DecimalType) => new java.math.BigDecimal(i).setScale(d.scale)
-    case (l: Long, d: DecimalType) => new java.math.BigDecimal(l).setScale(d.scale)
-    case (bd: java.math.BigDecimal, d: DecimalType) => bd.setScale(d.scale)
-    case (other, _) => other
-  }
+  private def coerce(v: Any, target: DataType): Any = RowAlign.coerce(v, target)
 }
