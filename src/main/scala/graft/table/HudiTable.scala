@@ -57,6 +57,11 @@ final class HudiTable(val spark: SparkSession, val basePath: String) {
   private def orderingField: Option[String] = config.orderingFields.headOption
 
   private def pruner(filters: Seq[PartitionFilter]): PartitionPruner = {
+    // P3: strict validation — filters naming unknown columns are an error
+    // (reference validate_fields_against_schemas, expr/filter.rs:204-222)
+    val known = tableSchema.fieldNames.toSet
+    val bad = filters.map(_.field).filterNot(known.contains)
+    require(bad.isEmpty, s"Filter fields not in table schema: ${bad.mkString(", ")}")
     val fieldTypes = config.partitionFields.map { f =>
       val tpe = tableSchema.fields.find(_.name == f).map(_.dataType) match {
         case Some(IntegerType | ShortType | ByteType) => "int"

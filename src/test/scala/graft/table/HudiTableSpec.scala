@@ -97,6 +97,38 @@ class HudiTableSpec extends SparkTestBase {
     assert(r.getString(0) == "Alice" && r.getString(1) == "red" && r.getString(2) == "12345.67890")
   }
 
+  test("unknown filter column errors strictly") {
+    assume(cowV6.isDefined)
+    intercept[IllegalArgumentException] {
+      cowV6.get.snapshot(partitionFilters = Seq(PartitionFilter("nope", "=", Seq("1"))))
+    }
+  }
+
+  // ---------------- COW v6 replace commit (insert overwrite) -------------
+  // c1 inserts {1,2,3}; c2 upserts; replacecommit overwrites the table
+  // with a single row {4 Diana, byteField 30, isActive=false}
+  private lazy val cowOverwrite = open(
+    "sample_table/cow/v6_simplekeygen_nonhivestyle_overwritetable.zip",
+    "v6_simplekeygen_nonhivestyle_overwritetable")
+
+  test("replace commit excludes overwritten file groups from snapshot") {
+    assume(cowOverwrite.isDefined)
+    val rows = cowOverwrite.get.snapshot()
+      .select("id", "name", "isActive").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rows == Set((4, "Diana", false)))
+  }
+
+  test("time travel before the replace commit still sees the old groups") {
+    assume(cowOverwrite.isDefined)
+    val t = cowOverwrite.get
+    val preReplace = t.timeline.completedInstants
+      .filter(_.action == "commit").last.timestamp
+    val ids = t.snapshot(asOf = Some(preReplace)).select("id")
+      .collect().map(_.getInt(0)).toSet
+    assert(ids.contains(1) && ids.size >= 3)
+  }
+
   // ---------------- MOR v6 avro: inserts + update ------------------------
   private lazy val morV6u = open("quickstart_trips_table/mor/avro/v6_trips_8i1u.zip", "v6_trips_8i1u")
 
