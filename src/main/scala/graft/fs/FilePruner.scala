@@ -1,0 +1,126 @@
+package graft.fs
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** File-level min/max pruning from parquet footers (R2/C1 — reference:
+  * crates/core/src/table/file_pruner.rs:38-273, statistics/mod.rs).
+  *
+  * Per-operator prune rules (a file is skipped only when its stats PROVE
+  * no row can match): Eq: v<min or v>max; Ne: min=max=v; Lt: min>=v;
+  * Lte: min>v; Gt: max<=v; Gte: max<v. IN/NOT-IN are not pruned, and any
+  * error or missing statistic fails open — row-level filtering stays
+  * authoritative, this only cuts tasks.
+  *
+  * Only safe when the scan is base-file-only (COW or read-optimized): a
+  * MOR slice's log files can resurrect values outside the base file's
+  * range (the reference's safety gate, table/mod.rs:486-491) — callers
+  * enforce that.
+  *
+  * Footer reads happen at planning; cost is one small ranged read per
+  * candidate file AFTER partition pruning, the same trade the reference
+  * makes (fs_view.rs:154-223).
+  */
+final class FilePruner(filters: Seq[PartitionFilter], schema: StructType, conf: Configuration) {
+
+  private val relevant = filters.filter(f =>
+    Set("=", "!=", "<", "<=", ">", ">=").contains(f.op) &&
+      schema.fieldNames.contains(f.field) && f.values.nonEmpty)
+
+  def isTrivial: Boolean = relevant.isEmpty
+
+  /** Min/max per column path for one file (merged across row groups). */
+  private def fileStats(path: String): Map[String, (Comparable[Any], Comparable[Any])] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (Comparable[Any], Comparable[Any])]
+      for (block <- reader.getFooter.getBlocks.asScala;
+           col <- block.getColumns.asScala) {
+        val st = col.getStatistics
+        if (st != null && st.hasNonNullValue) {
+          val name = col.getPath.toDotString
+          val mn = normalize(st.genericGetMin())
+          val mx = normalize(st.genericGetMax())
+          if (mn != null && mx != null) {
+            acc.get(name) match {
+              case Some((m0, x0)) =>
+                acc(name) = (if (mn.compareTo(m0) < 0) mn else m0,
+                  if (mx.compareTo(x0) > 0) mx else x0)
+              case None => acc(name) = (mn, mx)
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally reader.close()
+  }
+
+  private def normalize(v: Any): Comparable[Any] = (v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other: Comparable[_] => other
+    case _ => null
+  }).asInstanceOf[Comparable[Any]]
+
+  /** Cast a filter literal to the column's stat value type. */
+  private def literal(field: String, raw: String): Option[Comparable[Any]] = {
+    val dt = schema.fields.find(_.name == field).map(_.dataType)
+    val v: Any = dt match {
+      case Some(IntegerType | ShortType | ByteType) => raw.toIntOption.orNull
+      case Some(LongType) => raw.toLongOption.orNull
+      case Some(DoubleType) => raw.toDoubleOption.orNull
+      case Some(FloatType) => raw.toFloatOption.orNull
+      case Some(StringType) => raw
+      case Some(BooleanType) => raw.toBooleanOption.orNull
+      case _ => null // timestamps/decimals: fail open
+    }
+    Option(v).map(_.asInstanceOf[Comparable[Any]])
+  }
+
+  /** Whether `file` may contain matching rows (fail-open). */
+  def shouldInclude(file: BaseFile): Boolean = {
+    if (isTrivial) return true
+    try {
+      val stats = fileStats(file.path)
+      relevant.forall { f =>
+        (stats.get(f.field), literal(f.field, f.values.head)) match {
+          case (Some((mn, mx)), Some(v)) =>
+            try {
+              f.op match {
+                case "=" => !(v.compareTo(mn) < 0 || v.compareTo(mx) > 0)
+                case "!=" => !(mn.compareTo(mx) == 0 && mn.compareTo(v) == 0)
+                case "<" => mn.compareTo(v) < 0
+                case "<=" => mn.compareTo(v) <= 0
+                case ">" => mx.compareTo(v) > 0
+                case ">=" => mx.compareTo(v) >= 0
+                case _ => true
+              }
+            } catch { case _: ClassCastException => true }
+          case _ => true
+        }
+      }
+    } catch { case _: Exception => true }
+  }
+}
+
+/** One-footer sampling estimator (C2 — statistics/estimator.rs:30-88):
+  * derive rows-per-byte from a single file's footer and extrapolate row
+  * counts for any file from its on-disk size.
+  */
+object FileStatsEstimator {
+  /** (totalRows, rowsPerByte) from one sampled footer; None on failure. */
+  def sample(path: String, conf: Configuration): Option[Double] =
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+      try {
+        val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        val size = reader.getFooter.getBlocks.asScala.map(_.getCompressedSize).sum
+        if (size > 0) Some(rows.toDouble / size) else None
+      } finally reader.close()
+    } catch { case _: Exception => None }
+}

@@ -80,14 +80,14 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
 
   override def build(): Scan = {
     val partFields = hudi.config.partitionFields.toSet
-    val partitionFilters = pushed.flatMap(toPartitionFilter(_, partFields)).toSeq
-    new GraftScan(hudi, required, partitionFilters, pushed, options)
+    val simple = pushed.flatMap(toSimpleFilter).toSeq
+    val partitionFilters = simple.filter(f => partFields.contains(f.field))
+    new GraftScan(hudi, required, partitionFilters, simple, pushed, options)
   }
 
-  private def toPartitionFilter(f: Filter, partFields: Set[String]): Option[PartitionFilter] = {
-    def mk(field: String, op: String, vs: Seq[Any]): Option[PartitionFilter] =
-      if (partFields.contains(field)) Some(PartitionFilter(field, op, vs.map(String.valueOf)))
-      else None
+  private def toSimpleFilter(f: Filter): Option[PartitionFilter] = {
+    def mk(field: String, op: String, vs: Seq[Any]) =
+      Some(PartitionFilter(field, op, vs.map(String.valueOf)))
     f match {
       case sources.EqualTo(a, v) => mk(a, "=", Seq(v))
       case sources.GreaterThan(a, v) => mk(a, ">", Seq(v))
@@ -104,6 +104,7 @@ class GraftScan(
     hudi: HudiTable,
     required: StructType,
     partitionFilters: Seq[PartitionFilter],
+    simpleFilters: Seq[PartitionFilter],
     parquetFilters: Array[Filter],
     options: CaseInsensitiveStringMap
 ) extends Scan with Batch with SupportsReportStatistics {
@@ -131,8 +132,17 @@ class GraftScan(
         }
         val pruner = new PartitionPruner(fieldTypes, hudi.config.isHiveStylePartitioning,
           hudi.config.isPartitionPathUrlencoded, partitionFilters)
-        val planned = hudi.fsView.slicesAsOf(ts, pruner)
-        if (readOptimized || !hudi.isMor) planned.map(_.withoutLogs) else planned
+        val planned0 = hudi.fsView.slicesAsOf(ts, pruner)
+        val planned =
+          if (readOptimized || !hudi.isMor) planned0.map(_.withoutLogs) else planned0
+        // R2: footer min/max file skipping — only when every planned slice
+        // is base-file-only (log files can resurrect out-of-range values,
+        // the reference's safety gate at table/mod.rs:486-491)
+        if (planned.forall(!_.hasLogFiles) && simpleFilters.nonEmpty) {
+          val filePruner = new graft.fs.FilePruner(simpleFilters, hudi.tableSchema, hudi.hadoopConf)
+          if (filePruner.isTrivial) planned
+          else planned.filter(s => filePruner.shouldInclude(s.baseFile))
+        } else planned
     }
   }
 
@@ -186,10 +196,19 @@ class GraftScan(
       asOf.orElse(hudi.timeline.latestCommitTimestamp))
   }
 
+  /** C2/C3: size from the planned slices; row count extrapolated from ONE
+    * sampled parquet footer's rows-per-byte ratio (estimator.rs:30-88) —
+    * feeds Spark's join planning (broadcast decisions) without reading
+    * every footer.
+    */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = slices.map(s => s.baseFile.size + s.logFiles.map(_.size).sum).sum
+    private val rows: Option[Long] = slices.headOption
+      .flatMap(s => graft.fs.FileStatsEstimator.sample(s.baseFile.path, hudi.hadoopConf))
+      .map(ratio => (ratio * slices.map(_.baseFile.size).sum).toLong)
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
-    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+    override def numRows(): util.OptionalLong =
+      rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
   }
 }
 

@@ -76,6 +76,28 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(fares.length == 6 && fares.count(_ == 0.0) == 2)
   }
 
+  test("dsv2 footer min/max pruning plans zero partitions for impossible filters") {
+    assume(cowV6.isDefined)
+    val all = load(cowV6.get)
+    // id range in the fixture is 1..4 — an impossible range must prune
+    // every file at planning (the plan_tests.rs:457-514 analog)
+    val none = all.filter(col("id") > 1000)
+    assert(none.rdd.getNumPartitions == 0 || none.count() == 0)
+    val some = all.filter(col("id") >= 1)
+    assert(some.count() == 4)
+  }
+
+  test("dsv2 reports statistics with estimated row count") {
+    assume(cowV6.isDefined)
+    val hudi = graft.table.HudiTable(spark, cowV6.get)
+    val scan = new GraftScanBuilder(hudi, hudi.tableSchema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .build().asInstanceOf[GraftScan]
+    val stats = scan.estimateStatistics()
+    assert(stats.sizeInBytes().getAsLong > 0)
+    assert(stats.numRows().isPresent && stats.numRows().getAsLong > 0)
+  }
+
   test("dsv2 mor read-optimized option skips logs") {
     assume(morV8.isDefined)
     val df = spark.read.format("hudi-graft")
