@@ -16,7 +16,10 @@ object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
     Relational.queries ++ TextOps.queries ++ EmbedOps.queries ++
-      AnnOps.queries ++ HudiQueries.queries
+      AnnOps.queries ++ HudiQueries.queries ++ Map(
+        "media_byte_stats" -> QueryDef(
+          (s, d) => graft.operators.MultimodalOps.byteStats(s, d),
+          Some(graft.operators.MultimodalOps.byteStatsOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
