@@ -34,9 +34,9 @@ class GraftReaderFactory(
 ) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val slice = partition.asInstanceOf[GraftInputPartition].slice
-    new GraftPartitionReader(slice, readFn, widenedJson, requiredJson,
-      orderingField, mergeStrategy, conf, endTs)
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.slice, readFn, widenedJson, requiredJson,
+      orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs), p.commitStart)
   }
 }
 
@@ -48,7 +48,8 @@ class GraftPartitionReader(
     orderingField: Option[String],
     mergeStrategy: String,
     conf: SerializableConf,
-    endTs: Option[String]
+    endTs: Option[String],
+    commitStart: Option[String] = None
 ) extends PartitionReader[InternalRow] {
 
   private val widened = DataType.fromJson(widenedJson).asInstanceOf[StructType]
@@ -65,9 +66,27 @@ class GraftPartitionReader(
     readFn(pf)
   }
 
+  /** Incremental / streaming micro-batches carry a `(start, end]` commit
+    * range: the P5 row filter applied to the widened rows pre-projection
+    * (file_group/reader.rs:652-701).
+    */
+  private def commitRangeFilter(it: Iterator[InternalRow]): Iterator[InternalRow] =
+    commitStart match {
+      case None => it
+      case Some(start) =>
+        val startU = UTF8String.fromString(start)
+        val endU = endTs.map(UTF8String.fromString)
+        it.filter { r =>
+          !r.isNullAt(commitIdx) && {
+            val c = r.getUTF8String(commitIdx)
+            c.compareTo(startU) > 0 && endU.forall(c.compareTo(_) <= 0)
+          }
+        }
+    }
+
   private val rows: Iterator[InternalRow] =
-    if (!slice.hasLogFiles) baseIter.map(project)
-    else mergedIter.map(project)
+    if (!slice.hasLogFiles) commitRangeFilter(baseIter).map(project)
+    else commitRangeFilter(mergedIter).map(project)
 
   private def project(row: InternalRow): InternalRow =
     if (identityProjection) row
@@ -136,7 +155,7 @@ class GraftPartitionReader(
     * max-orderings per key (rollback-aware, range-bounded).
     */
   private lazy val (logLatest, deletes) = {
-    val range = endTs.map(InstantRange.upTo).getOrElse(InstantRange.all)
+    val range = InstantRange(commitStart, endTs)
     val blocks = {
       val bs = slice.logFiles.sortBy(_.orderingKey).flatMap { lf =>
         val p = new Path(lf.path)

@@ -49,7 +49,7 @@ class GraftTable(path: String, declaredSchema: StructType) extends Table with Su
   override def schema(): StructType =
     if (declaredSchema != null && declaredSchema.nonEmpty) declaredSchema else hudi.tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(hudi, schema(), options)
@@ -152,19 +152,31 @@ class GraftScan(
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(this, hudi)
+
   override def planInputPartitions(): Array[InputPartition] =
     slices.map(s => GraftInputPartition(s): InputPartition).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  /** Factory shared by batch and streaming; `withCommitCol` forces the
+    * commit-time column into the widened schema (streaming micro-batches
+    * filter rows by commit range even on COW base files).
+    */
+  private[sources] def readerFactory(withCommitCol: Boolean): PartitionReaderFactory = {
     // MOR merge needs the record key / ordering / seqno / commit columns
     // even when the query prunes them away: widen, merge, project back
     // (the reference's widen+project contract, reader.rs:430-487).
     val orderingField = hudi.config.orderingFields.headOption
-    val mergeCols =
-      if (morMergeNeeded)
-        Seq(MetaField.RecordKey, MetaField.CommitSeqno, MetaField.CommitTime,
-          MetaField.PartitionPath) ++ orderingField
-      else Nil
+    val mergeCols = {
+      val forMerge =
+        if (hudi.isMor && !readOptimized)
+          Seq(MetaField.RecordKey, MetaField.CommitSeqno, MetaField.CommitTime,
+            MetaField.PartitionPath) ++ orderingField
+        else Nil
+      val forStream = if (withCommitCol) Seq(MetaField.CommitTime) else Nil
+      (forMerge ++ forStream).distinct
+    }
     val widened = StructType(required.fields ++
       mergeCols.filterNot(c => required.fieldNames.contains(c)).flatMap(c =>
         hudi.tableSchema.fields.find(_.name == c)))
@@ -181,7 +193,7 @@ class GraftScan(
       requiredSchema = widened,
       // filters must NOT reach the base scan of a merged read: a base row
       // can lose to a log update that matches the predicate
-      filters = if (morMergeNeeded) Nil else parquetFilters.toIndexedSeq,
+      filters = if (hudi.isMor && !readOptimized) Nil else parquetFilters.toIndexedSeq,
       // rows, not ColumnarBatches — the PartitionReader contract here
       options = Map("returning_batch" -> "false"),
       hadoopConf = hadoopConf)
@@ -195,6 +207,9 @@ class GraftScan(
       new SerializableConf(hudi.hadoopConf),
       asOf.orElse(hudi.timeline.latestCommitTimestamp))
   }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    readerFactory(withCommitCol = false)
 
   /** C2/C3: size from the planned slices; row count extrapolated from ONE
     * sampled parquet footer's rows-per-byte ratio (estimator.rs:30-88) —
@@ -212,4 +227,52 @@ class GraftScan(
   }
 }
 
-final case class GraftInputPartition(slice: FileSlice) extends InputPartition
+final case class GraftInputPartition(
+    slice: FileSlice,
+    commitStart: Option[String] = None,
+    commitEnd: Option[String] = None
+) extends InputPartition
+
+/** Structured Streaming source (S4 re-expressed Spark-natively): offsets
+  * are commit timestamps; each micro-batch is an incremental read of the
+  * commit range `(start, end]` — file groups touched by in-range commits,
+  * log scan bounded to the range, and the commit-time row filter applied
+  * in the partition reader. `spark.readStream.format("hudi-graft")`.
+  */
+class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class CommitOffset(ts: String) extends Offset {
+    override def json(): String = ts
+  }
+
+  /** Before-everything sentinel (EARLIEST_START_TIMESTAMP analog). */
+  private val earliest = "00000000000000000"
+
+  private def freshTable: HudiTable = HudiTable(hudi.spark, hudi.basePath)
+
+  override def initialOffset(): Offset = CommitOffset(earliest)
+
+  override def latestOffset(): Offset =
+    CommitOffset(freshTable.timeline.latestCommitTimestamp.getOrElse(earliest))
+
+  override def deserializeOffset(json: String): Offset = CommitOffset(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CommitOffset].ts
+    val e = end.asInstanceOf[CommitOffset].ts
+    if (e <= s) return Array.empty
+    val t = freshTable
+    val startOpt = if (s == earliest) None else Some(s)
+    t.fsView.slicesBetween(startOpt, e)
+      .map(sl => GraftInputPartition(sl, startOpt, Some(e)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.readerFactory(withCommitCol = true)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
