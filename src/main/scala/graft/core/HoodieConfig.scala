@@ -88,23 +88,19 @@ object HoodieConfig {
   val DropsPartitionFields = "hoodie.datasource.write.drop.partition.columns"
   val RecordMergeStrategy = "hoodie.table.record.merge.strategy"
 
-  /** Load `<base>/.hoodie/hoodie.properties` (plain `k=v` lines). */
+  /** Load `<base>/.hoodie/hoodie.properties` — java.util.Properties
+    * format, including its escape rules (Hudi writes `\:` inside the
+    * embedded create-schema JSON).
+    */
   def load(basePath: String, hadoopConf: Configuration): HoodieConfig = {
     val path = new Path(basePath, ".hoodie/hoodie.properties")
     val fs = path.getFileSystem(hadoopConf)
-    val in = new BufferedReader(
-      new InputStreamReader(fs.open(path), StandardCharsets.UTF_8))
+    val in = fs.open(path)
     try {
+      val props = new java.util.Properties()
+      props.load(new InputStreamReader(in, StandardCharsets.UTF_8))
       val m = mutable.LinkedHashMap.empty[String, String]
-      var line = in.readLine()
-      while (line != null) {
-        val t = line.trim
-        if (t.nonEmpty && !t.startsWith("#")) {
-          val i = t.indexOf('=')
-          if (i > 0) m(t.substring(0, i).trim) = t.substring(i + 1).trim
-        }
-        line = in.readLine()
-      }
+      props.stringPropertyNames().forEach(k => m(k) = props.getProperty(k))
       HoodieConfig(m.toMap)
     } finally in.close()
   }

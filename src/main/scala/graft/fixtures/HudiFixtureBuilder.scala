@@ -38,6 +38,7 @@ object HudiFixtureBuilder {
   def cowPath(sfDir: String): String = s"${root(sfDir)}/cow_orders"
   def morPath(sfDir: String): String = s"${root(sfDir)}/mor_orders"
   def partPath(sfDir: String): String = s"${root(sfDir)}/cow_part_nation"
+  def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
 
   /** Build all fixture tables once per sf dir (marker-guarded). */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
@@ -48,6 +49,7 @@ object HudiFixtureBuilder {
     buildCowOrders(spark, sfDir)
     buildMorOrders(spark, sfDir)
     buildCowPartNation(spark, sfDir)
+    buildCowDroppedNation(spark, sfDir)
     fs.create(marker, true).close()
   }
 
@@ -252,6 +254,57 @@ object HudiFixtureBuilder {
         lit(partDir).as("_hoodie_partition_path"),
         lit(name).as("_hoodie_file_name"),
         col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      writeBaseFile(spark, metaDf, new Path(base, partDir), name)
+      (partDir, fileId(i), s"$partDir/$name")
+    }
+    val stats = files.groupBy(_._1).map { case (p, fsz) =>
+      s""""$p":[${fsz.map { case (_, fid, rel) => s"""{"fileId":"$fid","path":"$rel","partitionPath":"$p"}""" }.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    writeText(fs, new Path(base, s".hoodie/$T1.commit"),
+      s"""{"partitionToWriteStats":$stats,"compacted":false}""")
+  }
+
+  // --- COW over nation, hive-style, partition column DROPPED from files --
+  // (P6: hoodie.datasource.write.drop.partition.columns=true; the logical
+  // type of the dropped column comes from hoodie.table.create.schema)
+  private def buildCowDroppedNation(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(droppedPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    val createSchema =
+      """{"type":"record","name":"nation_record","fields":[
+        |{"name":"n_nationkey","type":["int","null"]},
+        |{"name":"n_name","type":["string","null"]},
+        |{"name":"n_regionkey","type":["int","null"]}]}""".stripMargin.replaceAll("\n", "")
+    val props = new java.util.Properties()
+    props.setProperty("hoodie.table.name", "cow_dropped_nation")
+    props.setProperty("hoodie.table.type", "COPY_ON_WRITE")
+    props.setProperty("hoodie.table.version", "6")
+    props.setProperty("hoodie.timeline.layout.version", "1")
+    props.setProperty("hoodie.table.recordkey.fields", "n_nationkey")
+    props.setProperty("hoodie.table.precombine.field", "n_nationkey")
+    props.setProperty("hoodie.table.partition.fields", "n_regionkey")
+    props.setProperty("hoodie.datasource.write.hive_style_partitioning", "true")
+    props.setProperty("hoodie.datasource.write.drop.partition.columns", "true")
+    props.setProperty("hoodie.populate.meta.fields", "true")
+    props.setProperty("hoodie.table.create.schema", createSchema)
+    val out = fs.create(new Path(base, ".hoodie/hoodie.properties"), true)
+    props.store(out, null)
+    out.close()
+
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val regions = src.select("n_regionkey").distinct().collect().map(_.getInt(0)).sorted
+    val files = regions.zipWithIndex.map { case (r, i) =>
+      val partDir = s"n_regionkey=$r"
+      val name = s"${fileId(i)}_${Token}_$T1.parquet"
+      val metaDf = src.filter(col("n_regionkey") === r)
+        .select(
+          lit(T1).as("_hoodie_commit_time"),
+          concat(lit(T1), lit("_0_"), col("n_nationkey")).as("_hoodie_commit_seqno"),
+          col("n_nationkey").cast(StringType).as("_hoodie_record_key"),
+          lit(partDir).as("_hoodie_partition_path"),
+          lit(name).as("_hoodie_file_name"),
+          col("n_nationkey"), col("n_name")) // n_regionkey deliberately absent
       writeBaseFile(spark, metaDf, new Path(base, partDir), name)
       (partDir, fileId(i), s"$partDir/$name")
     }

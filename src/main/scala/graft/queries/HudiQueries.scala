@@ -103,6 +103,18 @@ object HudiQueries {
       },
       ordersSql(updated = true, deletes = true, onlyUpdated = false)),
 
+    // --- P6: dropped partition columns re-injected from partition paths --
+    "hudi_dropped_partition_cols" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        HudiTable(s, HudiFixtureBuilder.droppedPath(d))
+          .snapshot()
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin),
+
     // --- R1: partition pruning on a hive-style partitioned table ---------
     "hudi_partition_pruned" -> QueryDef(
       (s, d) => {

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.paths.SparkPath
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.mutable
@@ -30,13 +30,17 @@ class GraftReaderFactory(
     orderingField: Option[String],
     mergeStrategy: String,
     conf: SerializableConf,
-    endTs: Option[String]
+    endTs: Option[String],
+    partitionSchemaJson: Option[String] = None,
+    hiveStyle: Boolean = false,
+    urlEncoded: Boolean = false
 ) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.slice, readFn, widenedJson, requiredJson,
-      orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs), p.commitStart)
+      orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs), p.commitStart,
+      partitionSchemaJson, hiveStyle, urlEncoded)
   }
 }
 
@@ -49,7 +53,10 @@ class GraftPartitionReader(
     mergeStrategy: String,
     conf: SerializableConf,
     endTs: Option[String],
-    commitStart: Option[String] = None
+    commitStart: Option[String] = None,
+    partitionSchemaJson: Option[String] = None,
+    hiveStyle: Boolean = false,
+    urlEncoded: Boolean = false
 ) extends PartitionReader[InternalRow] {
 
   private val widened = DataType.fromJson(widenedJson).asInstanceOf[StructType]
@@ -57,9 +64,33 @@ class GraftPartitionReader(
   private val outIdx: Array[Int] = required.fields.map(f => widened.fieldIndex(f.name))
   private val identityProjection = outIdx.sameElements(widened.fields.indices)
 
+  /** Parsed typed partition values for dropped partition columns (P6). */
+  private lazy val partitionValuesRow: InternalRow = partitionSchemaJson match {
+    case None => InternalRow.empty
+    case Some(json) =>
+      val ps = DataType.fromJson(json).asInstanceOf[StructType]
+      val fieldTypes = ps.fields.map(f => f.name -> (f.dataType match {
+        case IntegerType | ShortType | ByteType => "int"
+        case LongType => "long"
+        case DoubleType | FloatType => "double"
+        case DateType => "date"
+        case _ => "string"
+      })).toSeq
+      val parsed = new graft.fs.PartitionPruner(fieldTypes, hiveStyle, urlEncoded, Nil)
+        .parseSegments(slice.partitionPath).getOrElse(Map.empty)
+      val vals = ps.fields.map { f =>
+        val ext = parsed.get(f.name).map {
+          case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+          case other => other
+        }.orNull
+        CatalystTypeConverters.createToCatalystConverter(f.dataType)(ext)
+      }
+      new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
   private def baseIter: Iterator[InternalRow] = {
     val pf = PartitionedFile(
-      InternalRow.empty,
+      partitionValuesRow,
       SparkPath.fromPathString(slice.baseFile.path),
       0L,
       slice.baseFile.size)

@@ -181,6 +181,17 @@ class GraftScan(
       mergeCols.filterNot(c => required.fieldNames.contains(c)).flatMap(c =>
         hudi.tableSchema.fields.find(_.name == c)))
 
+    // P6: partition fields dropped from the files travel through the
+    // delegate's partitionSchema/partitionValues mechanism (the parquet
+    // reader appends them AFTER the required columns — the effective
+    // widened schema reflects that order)
+    val dropped = hudi.droppedPartitionFields.filter(widened.fieldNames.contains)
+    val partitionSchema = StructType(dropped.flatMap(f => hudi.tableSchema.fields.find(_.name == f)))
+    val delegateRequired = StructType(widened.fields.filterNot(f => dropped.contains(f.name)))
+    val widenedEffective = StructType(delegateRequired.fields ++ partitionSchema.fields)
+    val dataSchema = StructType(
+      hudi.tableSchema.fields.filterNot(f => hudi.droppedPartitionFields.contains(f.name)))
+
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map(
       // row-based reads: the DSv2 PartitionReader contract here is
       // InternalRow, not ColumnarBatch
@@ -188,9 +199,9 @@ class GraftScan(
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
     val readFn = fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
-      dataSchema = hudi.tableSchema,
-      partitionSchema = StructType(Nil),
-      requiredSchema = widened,
+      dataSchema = dataSchema,
+      partitionSchema = partitionSchema,
+      requiredSchema = delegateRequired,
       // filters must NOT reach the base scan of a merged read: a base row
       // can lose to a log update that matches the predicate
       filters = if (hudi.isMor && !readOptimized) Nil else parquetFilters.toIndexedSeq,
@@ -200,12 +211,15 @@ class GraftScan(
 
     new GraftReaderFactory(
       readFn,
-      widened.json,
+      widenedEffective.json,
       required.json,
       orderingField,
       hudi.config.recordMergeStrategy,
       new SerializableConf(hudi.hadoopConf),
-      asOf.orElse(hudi.timeline.latestCommitTimestamp))
+      asOf.orElse(hudi.timeline.latestCommitTimestamp),
+      if (partitionSchema.isEmpty) None else Some(partitionSchema.json),
+      hudi.config.isHiveStylePartitioning,
+      hudi.config.isPartitionPathUrlencoded)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -35,13 +35,13 @@ final class HudiTable(val spark: SparkSession, val basePath: String) {
     * resolution order (schema/resolver.rs:41-47) with the commit-metadata
     * and footer sources unified, since Spark's footer read is exact.
     */
-  lazy val tableSchema: StructType = {
+  private lazy val resolvedSchemas: (StructType, Seq[String]) = {
     val sample = fsView.partitionPaths.iterator
       .flatMap(p => fsView.fileGroups(p))
       .flatMap(_.slices.values.lastOption)
       .map(_.baseFile.path)
       .take(1).toList
-    sample match {
+    val resolved = sample match {
       case path :: _ => spark.read.parquet(path).schema
       case Nil =>
         val avroJson = config.get("hoodie.table.create.schema").getOrElse(
@@ -52,7 +52,31 @@ final class HudiTable(val spark: SparkSession, val basePath: String) {
           StructType(meta ++ data.fields)
         } else data
     }
+    // P6: with hoodie.datasource.write.drop.partition.columns=true the
+    // partition fields are physically absent from the files — append them
+    // to the logical schema (typed from create.schema when available),
+    // values re-injected from partition paths at read time
+    val missing =
+      if (config.dropsPartitionFields)
+        config.partitionFields.filterNot(resolved.fieldNames.contains)
+      else Nil
+    if (missing.isEmpty) (resolved, Nil)
+    else {
+      val createTypes: Map[String, org.apache.spark.sql.types.DataType] =
+        config.get("hoodie.table.create.schema")
+          .map(j => AvroConvert.toStructType(new AvroSchema.Parser().parse(j)))
+          .map(st => st.fields.map(f => f.name -> f.dataType).toMap)
+          .getOrElse(Map.empty)
+      (StructType(resolved.fields ++
+        missing.map(f => StructField(f, createTypes.getOrElse(f, StringType), nullable = true))),
+        missing)
+    }
   }
+
+  lazy val tableSchema: StructType = resolvedSchemas._1
+
+  /** Partition fields physically absent from the data files (P6). */
+  lazy val droppedPartitionFields: Seq[String] = resolvedSchemas._2
 
   private def orderingField: Option[String] = config.orderingFields.headOption
 
@@ -124,7 +148,31 @@ final class HudiTable(val spark: SparkSession, val basePath: String) {
     if (baseFiles.isEmpty) return LogScan.emptyDf(spark, tableSchema)
 
     val schema = tableSchema
-    val baseDf = spark.read.schema(schema).parquet(baseFiles: _*)
+    val baseDf =
+      if (droppedPartitionFields.isEmpty)
+        spark.read.schema(schema).parquet(baseFiles: _*)
+      else {
+        // P6: per-partition scan with the partition values re-injected as
+        // typed literals (the columns are not in the files)
+        val fileSchema = StructType(schema.fields.filterNot(f => droppedPartitionFields.contains(f.name)))
+        val parse = pruner(Nil)
+        slices.groupBy(_.partitionPath).toSeq.sortBy(_._1).map { case (p, ss) =>
+          val vals = parse.parseSegments(p).getOrElse(Map.empty)
+          val df = spark.read.schema(fileSchema).parquet(ss.map(_.baseFile.path): _*)
+          val withParts = droppedPartitionFields.foldLeft(df) { (acc, f) =>
+            val target = schema.fields.find(_.name == f).get.dataType
+            val v = vals.get(f).map {
+              case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+              case other => other
+            }.orNull
+            acc.withColumn(f, lit(v).cast(target))
+          }
+          withParts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        }.reduce(_ unionByName _)
+      }
+    if (droppedPartitionFields.nonEmpty && slices.exists(_.hasLogFiles))
+      throw new UnsupportedOperationException(
+        "MOR log merging with dropped partition columns is not supported yet")
 
     val commitFilter: DataFrame => DataFrame = commitRange match {
       case Some((s, e)) if config.populatesMetaFields =>

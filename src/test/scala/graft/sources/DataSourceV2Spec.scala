@@ -98,6 +98,30 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(stats.numRows().isPresent && stats.numRows().getAsLong > 0)
   }
 
+  test("dsv2 SQL DDL registration: CREATE TABLE ... USING hudi-graft") {
+    assume(cowV6.isDefined)
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_test")
+    spark.sql(
+      s"CREATE TABLE graft_ddl_test USING `hudi-graft` OPTIONS (path '${cowV6.get}')")
+    try {
+      val ids = spark.sql("SELECT id FROM graft_ddl_test WHERE isActive = false")
+        .collect().map(_.getInt(0)).toSet
+      assert(ids == Set(1, 2))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_test")
+  }
+
+  test("dsv2 re-injects dropped partition columns") {
+    val sf = "/root/testdata/sf0.001"
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sf)
+    val df = load(graft.fixtures.HudiFixtureBuilder.droppedPath(sf))
+      .select("n_nationkey", "n_regionkey")
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    val exp = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_regionkey")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(rows == exp && rows.nonEmpty)
+  }
+
   test("dsv2 mor read-optimized option skips logs") {
     assume(morV8.isDefined)
     val df = spark.read.format("hudi-graft")
