@@ -27,11 +27,21 @@ final class PartitionPruner(
     filters.filter(f => names.contains(f.field))
   }
 
-  def isTrivial: Boolean = relevant.isEmpty || partitionFields.isEmpty
+  /** Filters on the raw partition-path string — produced by the
+    * timestamp-keygen transform (R3), evaluated lexicographically against
+    * the un-parsed path.
+    */
+  private val pathFilters: Seq[PartitionFilter] =
+    filters.filter(_.field == "_hoodie_partition_path")
+
+  def isTrivial: Boolean =
+    pathFilters.isEmpty && (relevant.isEmpty || partitionFields.isEmpty)
 
   /** Whether the partition at `path` can contain matching rows. */
   def shouldInclude(path: String): Boolean = {
     if (isTrivial) return true
+    if (!pathFilters.forall(evaluate(path, _))) return false
+    if (relevant.isEmpty || partitionFields.isEmpty) return true
     parseSegments(path) match {
       case None => true // fail open, like partition.rs parse-error handling
       case Some(values) =>

@@ -51,8 +51,14 @@ class GraftTable(path: String, declaredSchema: StructType) extends Table with Su
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(hudi, schema(), options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // read options may supplement table configs (e.g. keygen settings the
+    // writer didn't persist) — rebuild the table handle when present
+    val extra = options.asCaseSensitiveMap().asScala
+      .filter(_._1.startsWith("hoodie.")).toMap
+    val table = if (extra.isEmpty) hudi else HudiTable(SparkSession.active, path, extra)
+    new GraftScanBuilder(table, schema(), options)
+  }
 }
 
 /** Pushdown surface (D2): every filter is returned as a residual (the
@@ -130,8 +136,12 @@ class GraftScan(
             case _ => "string"
           })
         }
+        val transformedFilters = graft.fs.TimestampKeyGen.fromConfig(hudi.config) match {
+          case Some(kg) => partitionFilters.flatMap(kg.transformFilter)
+          case None => partitionFilters
+        }
         val pruner = new PartitionPruner(fieldTypes, hudi.config.isHiveStylePartitioning,
-          hudi.config.isPartitionPathUrlencoded, partitionFilters)
+          hudi.config.isPartitionPathUrlencoded, transformedFilters)
         val planned0 = hudi.fsView.slicesAsOf(ts, pruner)
         val planned =
           if (readOptimized || !hudi.isMor) planned0.map(_.withoutLogs) else planned0

@@ -17,10 +17,25 @@ import org.apache.spark.sql.types._
   * parquet scan over the planned base files plus a distributed log decode,
   * so data volume scales with executors, never with the driver.
   */
-final class HudiTable(val spark: SparkSession, val basePath: String) {
+final class HudiTable(
+    val spark: SparkSession,
+    val basePath: String,
+    readOptions: Map[String, String] = Map.empty
+) {
 
   val hadoopConf = spark.sessionState.newHadoopConf()
-  val config: HoodieConfig = HoodieConfig.load(basePath, hadoopConf)
+
+  /** Table configs from hoodie.properties, SUPPLEMENTED (never overridden)
+    * by call-scoped read options — e.g. the keygen settings Hudi writers
+    * don't persist (the reference's OptionResolver merge).
+    */
+  val config: HoodieConfig = {
+    val stored = HoodieConfig.load(basePath, hadoopConf)
+    val extra = readOptions.filter { case (k, _) =>
+      k.startsWith("hoodie.") && !stored.props.contains(k)
+    }
+    if (extra.isEmpty) stored else HoodieConfig(stored.props ++ extra)
+  }
   val timeline: Timeline = new Timeline(basePath, config, hadoopConf)
   val fsView: FsView = new FsView(basePath, config, timeline, hadoopConf)
 
@@ -80,12 +95,18 @@ final class HudiTable(val spark: SparkSession, val basePath: String) {
 
   private def orderingField: Option[String] = config.orderingFields.headOption
 
-  private def pruner(filters: Seq[PartitionFilter]): PartitionPruner = {
+  private def pruner(filters0: Seq[PartitionFilter]): PartitionPruner = {
     // P3: strict validation — filters naming unknown columns are an error
     // (reference validate_fields_against_schemas, expr/filter.rs:204-222)
     val known = tableSchema.fieldNames.toSet
-    val bad = filters.map(_.field).filterNot(known.contains)
+    val bad = filters0.map(_.field).filterNot(known.contains)
     require(bad.isEmpty, s"Filter fields not in table schema: ${bad.mkString(", ")}")
+    // R3: timestamp-keygen tables rewrite source-field filters into
+    // partition-path filters (keygen/timestamp_based.rs)
+    val filters = graft.fs.TimestampKeyGen.fromConfig(config) match {
+      case Some(kg) => filters0.flatMap(kg.transformFilter)
+      case None => filters0
+    }
     val fieldTypes = config.partitionFields.map { f =>
       val tpe = tableSchema.fields.find(_.name == f).map(_.dataType) match {
         case Some(IntegerType | ShortType | ByteType) => "int"
@@ -203,4 +224,6 @@ final class HudiTable(val spark: SparkSession, val basePath: String) {
 
 object HudiTable {
   def apply(spark: SparkSession, basePath: String): HudiTable = new HudiTable(spark, basePath)
+  def apply(spark: SparkSession, basePath: String, readOptions: Map[String, String]): HudiTable =
+    new HudiTable(spark, basePath, readOptions)
 }

@@ -129,6 +129,78 @@ class HudiTableSpec extends SparkTestBase {
     assert(ids.contains(1) && ids.size >= 3)
   }
 
+  // ---------------- COW v6 timestamp-based keygen ------------------------
+  // partition path = yyyy/MM/dd/HH of ts_str (DATE_STRING input); filters
+  // on ts_str must prune partitions via the keygen transform (R3)
+  // timestamp.type is a write-side option Hudi doesn't persist; readers
+  // supply it per call (the reference's read-options bag does the same)
+  private val tbkOptions = Map("hoodie.keygen.timebased.timestamp.type" -> "DATE_STRING")
+  private lazy val cowTbk = Fixtures.table(
+    "sample_table/cow/v6_timebasedkeygen_nonhivestyle.zip",
+    "v6_timebasedkeygen_nonhivestyle").map(p => HudiTable(spark, p, tbkOptions))
+
+  test("timestamp keygen: equality filter on source field prunes to one partition") {
+    assume(cowTbk.isDefined)
+    val t = cowTbk.get
+    val latest = t.timeline.latestCommitTimestamp.get
+    val full = t.snapshot().select("id", "ts_str").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val target = full.head._2
+    val expectedIds = full.filter(_._2 == target).map(_._1).toSet
+
+    val filter = Seq(PartitionFilter("ts_str", "=", Seq(target)))
+    val kg = graft.fs.TimestampKeyGen.fromConfig(t.config).get
+    val all = t.fsView.slicesAsOf(latest)
+    val prunedSlices = t.fsView.slicesAsOf(latest,
+      new graft.fs.PartitionPruner(Seq("ts_str" -> "string"), false, false,
+        filter.flatMap(kg.transformFilter)))
+    assert(prunedSlices.size < all.size && prunedSlices.nonEmpty)
+
+    val ids = t.snapshot(partitionFilters = filter)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(ids == expectedIds)
+  }
+
+  test("timestamp keygen: range filter widens and prunes lexicographically") {
+    assume(cowTbk.isDefined)
+    val t = cowTbk.get
+    val full = t.snapshot().select("id", "ts_str").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._2)
+    val cutoff = full.head._2 // earliest timestamp
+    val ids = t.snapshot(partitionFilters = Seq(PartitionFilter("ts_str", "<=", Seq(cutoff))))
+      .select("id").collect().map(_.getInt(0)).toSet
+    // widened Lt->Lte pruning keeps at least the earliest partition's rows
+    assert(ids.nonEmpty && ids.subsetOf(full.map(_._1).toSet))
+    assert(full.filter(_._2 == cutoff).map(_._1).toSet.subsetOf(ids))
+  }
+
+  // ---------------- COW v6 without meta fields ---------------------------
+  private lazy val cowNoMeta = open(
+    "sample_table/cow/v6_simplekeygen_hivestyle_no_metafields.zip",
+    "v6_simplekeygen_hivestyle_no_metafields")
+
+  test("no-metafields table reads with null meta columns (append-only)") {
+    assume(cowNoMeta.isDefined)
+    val t = cowNoMeta.get
+    assert(!t.config.populatesMetaFields)
+    assert(t.config.recordMergeStrategy == "APPEND_ONLY")
+    val df = t.snapshot()
+    // the meta columns exist physically but carry no values — the
+    // reference prepends them to the schema unconditionally too
+    // (resolver.rs:50-53)
+    val rows = df.select("id", "_hoodie_record_key").collect()
+    assert(rows.map(_.getInt(0)).toSet == Set(1, 2, 3, 4))
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
+  test("no-metafields hive-style partition pruning") {
+    assume(cowNoMeta.isDefined)
+    val ids = cowNoMeta.get
+      .snapshot(partitionFilters = Seq(PartitionFilter("byteField", "=", Seq("10"))))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(ids.nonEmpty && ids.subsetOf(Set(1, 2, 3, 4)))
+  }
+
   // ---------------- MOR v6 avro: inserts + update ------------------------
   private lazy val morV6u = open("quickstart_trips_table/mor/avro/v6_trips_8i1u.zip", "v6_trips_8i1u")
 
