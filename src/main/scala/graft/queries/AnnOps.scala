@@ -68,7 +68,7 @@ object AnnOps {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  private val sparkDot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  private val sparkDot = "graft_dot(%s, %s)"
   private val duckDot = "CAST(list_dot_product(%s, %s) AS BIGINT)"
 
   private val sparkSql: String = lshSql(
@@ -88,6 +88,7 @@ object AnnOps {
     elementAt = "list_extract")
 
   private def run(s: SparkSession, d: String): DataFrame = {
+    graft.functions.LongArrayDot.register(s)
     Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
     s.sql(sparkSql)
   }

@@ -20,8 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object EmbedOps {
 
-  private def prep(s: SparkSession, d: String): Unit =
+  private def prep(s: SparkSession, d: String): Unit = {
+    graft.functions.LongArrayDot.register(s)
     Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+  }
 
   /** Quantized-embedding CTE, per dialect. */
   private def quantized(listTransform: String): String =
@@ -32,7 +34,10 @@ object EmbedOps {
   private val sparkQ = quantized("transform")
   private val duckQ = quantized("list_transform")
 
-  private val sparkDot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  /** Spark side: the codegen'd native expression (graft.functions.
+    * LongArrayDot); DuckDB mirrors with its built-in list_dot_product.
+    */
+  private val sparkDot = "graft_dot(%s, %s)"
   private val duckDot = "CAST(list_dot_product(%s, %s) AS BIGINT)"
 
   private def knnSql(q: String, dot: String): String = {
