@@ -22,6 +22,7 @@ object TextOps {
 
   /** Register `documents` (and a dup-injected `corpus`) as temp views. */
   private def prep(s: SparkSession, d: String): Unit = {
+    graft.functions.ShingleSet.register(s)
     Tables.documents(s, d).createOrReplaceTempView("documents")
   }
 
@@ -79,8 +80,10 @@ object TextOps {
        |    i -> substring(text, i, 5))) AS shset
        |FROM documents""".stripMargin
 
+  // Spark side uses the native per-row expression (graft.functions.
+  // ShingleSet); DuckDB keeps the portable list pipeline — same result.
   private val sparkDocsets: String =
-    docsetsSelect("transform", "array_distinct", "sequence(1, greatest(length(text) - 4, 1))")
+    "SELECT doc_id, graft_shingles(text, 5) AS shset FROM documents"
   private val duckDocsets: String =
     docsetsSelect("list_transform", "list_distinct", "range(1, greatest(length(text) - 4, 1) + 1)")
 
@@ -177,10 +180,7 @@ object TextOps {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   private val sparkDocsetsBlocked: String =
-    """SELECT doc_id, lang, source, array_distinct(
-      |    transform(sequence(1, greatest(length(text) - 4, 1)),
-      |              i -> substring(text, i, 5))) AS shset
-      |FROM documents""".stripMargin
+    "SELECT doc_id, lang, source, graft_shingles(text, 5) AS shset FROM documents"
 
   private val duckDocsetsBlocked: String =
     """SELECT doc_id, lang, source, list_distinct(
