@@ -129,6 +129,55 @@ class HudiTableSpec extends SparkTestBase {
     assert(ids.contains(1) && ids.size >= 3)
   }
 
+  // ---------------- COW v8: timeline-v2 layout, nonpartitioned -----------
+  private lazy val cowV8 = open("sample_table/cow/v8_nonpartitioned.zip", "v8_nonpartitioned")
+
+  test("cow v8 snapshot reads the v8 timeline layout") {
+    assume(cowV8.isDefined)
+    val t = cowV8.get
+    assert(t.config.tableVersion == 8)
+    val df = t.snapshot()
+    assert(df.count() > 0)
+    assert(t.timeline.completedInstants.forall(_.completionTimestamp.isDefined))
+  }
+
+  test("cow v8 time travel to the first commit") {
+    assume(cowV8.isDefined)
+    val t = cowV8.get
+    val first = t.timeline.completedInstants.head.timestamp
+    assert(t.snapshot(asOf = Some(first)).count() > 0)
+  }
+
+  // ---------------- COW v6 empty table -----------------------------------
+  private lazy val cowEmpty = open("sample_table/cow/v6_empty.zip", "v6_empty")
+
+  test("empty table yields an empty frame with the create-schema") {
+    assume(cowEmpty.isDefined)
+    val df = cowEmpty.get.snapshot()
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.contains("id"))
+  }
+
+  // ---------------- COW v6 complex keygen, 2-level hive partitions -------
+  private lazy val cowComplex = open(
+    "sample_table/cow/v6_complexkeygen_hivestyle.zip", "v6_complexkeygen_hivestyle")
+
+  test("complex keygen: multi-field keys + 2-level hive partitions") {
+    assume(cowComplex.isDefined)
+    val t = cowComplex.get
+    assert(t.config.recordKeyFields.size == 2)
+    val df = t.snapshot()
+    assert(df.count() > 0)
+    // 2-level hive-style partition paths parse into both fields
+    val latest = t.timeline.latestCommitTimestamp.get
+    val pruned = t.fsView.slicesAsOf(latest,
+      new graft.fs.PartitionPruner(
+        Seq("byteField" -> "int", "shortField" -> "int"), true, false,
+        Seq(PartitionFilter("byteField", "=", Seq("10")))))
+    val all = t.fsView.slicesAsOf(latest)
+    assert(pruned.size < all.size)
+  }
+
   // ---------------- COW v6 timestamp-based keygen ------------------------
   // partition path = yyyy/MM/dd/HH of ts_str (DATE_STRING input); filters
   // on ts_str must prune partitions via the keygen transform (R3)
