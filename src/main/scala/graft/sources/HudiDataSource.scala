@@ -120,10 +120,25 @@ class GraftScan(
     .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
   private val readOptimized = options.getBoolean("read.optimized", false)
 
+  /** Incremental query (S3 through DSv2): `query.type=incremental` with
+    * `start.timestamp` (exclusive) / `end.timestamp` (inclusive, default
+    * latest) — the reference's QueryType::Incremental surface
+    * (config/read.rs:35-44).
+    */
+  private val isIncremental =
+    Option(options.get("query.type")).exists(_.equalsIgnoreCase("incremental"))
+  private val startTs = Option(options.get("start.timestamp"))
+    .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
+  private val endTs = Option(options.get("end.timestamp"))
+    .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
+
   /** Planned slices: the driver-side fs-view walk (S5), partition-pruned. */
   private lazy val slices: Vector[FileSlice] = {
-    val end = asOf.orElse(hudi.timeline.latestCommitTimestamp)
-    end match {
+    if (isIncremental) {
+      endTs.orElse(hudi.timeline.latestCommitTimestamp)
+        .map(e => hudi.fsView.slicesBetween(startTs, e))
+        .getOrElse(Vector.empty)
+    } else asOf.orElse(hudi.timeline.latestCommitTimestamp) match {
       case None => Vector.empty
       case Some(ts) =>
         val fieldTypes = hudi.config.partitionFields.map { f =>
@@ -167,7 +182,10 @@ class GraftScan(
     new GraftMicroBatchStream(this, hudi)
 
   override def planInputPartitions(): Array[InputPartition] =
-    slices.map(s => GraftInputPartition(s): InputPartition).toArray
+    if (isIncremental) {
+      val e = endTs.orElse(hudi.timeline.latestCommitTimestamp)
+      slices.map(s => GraftInputPartition(s, startTs, e): InputPartition).toArray
+    } else slices.map(s => GraftInputPartition(s): InputPartition).toArray
 
   /** Factory shared by batch and streaming; `withCommitCol` forces the
     * commit-time column into the widened schema (streaming micro-batches
@@ -233,7 +251,7 @@ class GraftScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    readerFactory(withCommitCol = false)
+    readerFactory(withCommitCol = isIncremental)
 
   /** C2/C3: size from the planned slices; row count extrapolated from ONE
     * sampled parquet footer's rows-per-byte ratio (estimator.rs:30-88) —

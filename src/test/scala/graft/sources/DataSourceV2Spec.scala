@@ -122,6 +122,19 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(rows == exp && rows.nonEmpty)
   }
 
+  test("dsv2 incremental query type returns only in-range rows") {
+    assume(cowV6.isDefined)
+    val t = graft.table.HudiTable(spark, cowV6.get)
+    val Seq(c1, c2) = t.timeline.completedInstants.map(_.timestamp).distinct.take(2)
+    val rows = spark.read.format("hudi-graft")
+      .option("query.type", "incremental")
+      .option("start.timestamp", c1)
+      .option("end.timestamp", c2)
+      .load(cowV6.get)
+      .select("id", "isActive").collect().map(r => (r.getInt(0), r.getBoolean(1))).toSet
+    assert(rows == Set((1, false), (4, true)))
+  }
+
   test("dsv2 mor read-optimized option skips logs") {
     assume(morV8.isDefined)
     val df = spark.read.format("hudi-graft")
