@@ -40,10 +40,17 @@ object HudiFixtureBuilder {
   def partPath(sfDir: String): String = s"${root(sfDir)}/cow_part_nation"
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
 
-  /** Build all fixture tables once per sf dir (marker-guarded). */
+  /** File groups per partition — multiple slices per partition is the
+    * realistic shape (and the unit of scan parallelism).
+    */
+  val Buckets = 3
+
+  /** Build all fixture tables once per sf dir (marker-guarded; the marker
+    * is versioned so builder changes invalidate stale fixtures).
+    */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v2")
     if (fs.exists(marker)) return
     fs.delete(new Path(root(sfDir)), true)
     buildCowOrders(spark, sfDir)
@@ -60,14 +67,28 @@ object HudiFixtureBuilder {
 
   private def fileId(n: Int): String = f"00000000-0000-0000-0000-${n}%012d-0"
 
-  private def withMeta(df: DataFrame, commitTs: String, partCol: String, fileName: String): DataFrame =
+  /** Bucketed file id: partition index + bucket → one file group each. */
+  private def fileIdB(partIdx: Int, bucket: Int): String =
+    f"00000000-0000-0000-$partIdx%04d-$bucket%012d-0"
+
+  private def bucketExpr: org.apache.spark.sql.Column =
+    pmod(col("o_orderkey"), lit(Buckets)).cast("int")
+
+  private def withMeta(df: DataFrame, commitTs: String, partCol: String,
+      fileName: org.apache.spark.sql.Column): DataFrame =
     df.select(
       col("__commit").as("_hoodie_commit_time") +:
         concat(col("__commit"), lit("_0_"), col("o_orderkey")).as("_hoodie_commit_seqno") +:
         col("o_orderkey").cast(StringType).as("_hoodie_record_key") +:
         col(partCol).as("_hoodie_partition_path") +:
-        lit(fileName).as("_hoodie_file_name") +:
+        fileName.as("_hoodie_file_name") +:
         df.columns.filterNot(c => c.startsWith("__")).map(col).toSeq: _*)
+
+  /** Per-row base file name for the bucketed layout. */
+  private def bucketedFileName(partIdx: Int, commitTs: String): org.apache.spark.sql.Column =
+    concat(
+      format_string("00000000-0000-0000-%04d-%012d-0", lit(partIdx), bucketExpr),
+      lit(s"_${Token}_$commitTs.parquet"))
 
   /** Write `df` (already meta-prefixed) as a single parquet base file. */
   private def writeBaseFile(spark: SparkSession, df: DataFrame, dir: Path, name: String): Unit = {
@@ -78,6 +99,40 @@ object HudiFixtureBuilder {
     fs.mkdirs(dir)
     fs.rename(part, new Path(dir, name))
     fs.delete(tmp, true)
+  }
+
+  /** Write one partition's rows as [[Buckets]] base files (one per file
+    * group) in a single Spark job via partitionBy on the bucket, then
+    * rename into Hudi base-file names. Returns (partition, fileId, relPath)
+    * for the commit metadata; empty buckets yield no file.
+    */
+  private def writeBucketedBase(
+      spark: SparkSession,
+      base: Path,
+      partDir: String,
+      partIdx: Int,
+      metaDf: DataFrame,
+      commitTs: String
+  ): Seq[(String, String, String)] = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val dir = new Path(base, partDir)
+    val tmp = new Path(base, s".tmp_${partDir.replace('/', '_')}_$commitTs")
+    metaDf
+      .withColumn("__bucket", pmod(col("_hoodie_record_key").cast("long"), lit(Buckets)).cast("int"))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(dir)
+    val out = (0 until Buckets).flatMap { b =>
+      val bucketDir = new Path(tmp, s"__bucket=$b")
+      if (!fs.exists(bucketDir)) None
+      else fs.listStatus(bucketDir).map(_.getPath).find(_.getName.startsWith("part-")).map { part =>
+        val name = s"${fileIdB(partIdx, b)}_${Token}_$commitTs.parquet"
+        fs.rename(part, new Path(dir, name))
+        (partDir, fileIdB(partIdx, b), s"$partDir/$name")
+      }
+    }
+    fs.delete(tmp, true)
+    out
   }
 
   private def writeText(fs: FileSystem, p: Path, content: String): Unit = {
@@ -126,26 +181,22 @@ object HudiFixtureBuilder {
 
     val src = orders(spark, sfDir)
     val parts = src.select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
-    // commit 1: raw inserts
-    val files1 = parts.zipWithIndex.map { case (p, i) =>
-      val name = s"${fileId(i)}_${Token}_$T1.parquet"
+    // commit 1: raw inserts, [[Buckets]] file groups per partition
+    val files1 = parts.zipWithIndex.flatMap { case (p, i) =>
       val df = src.filter(col("o_orderpriority") === p).withColumn("__commit", lit(T1))
-      writeBaseFile(spark, withMeta(df, T1, "o_orderpriority", name), new Path(base, p), name)
-      (p, fileId(i), s"$p/$name")
+      writeBucketedBase(spark, base, p, i, withMeta(df, T1, "o_orderpriority", bucketedFileName(i, T1)), T1)
     }
     writeCommit(fs, base, T1, "commit", files1.toSeq)
 
     // commit 2: COW rewrite — updated rows (%7=0 → status 'U') stamped T2,
     // unchanged rows keep T1 (Hudi preserves per-record commit times on copy)
-    val files2 = parts.zipWithIndex.map { case (p, i) =>
-      val name = s"${fileId(i)}_${Token}_$T2.parquet"
+    val files2 = parts.zipWithIndex.flatMap { case (p, i) =>
       val df = src.filter(col("o_orderpriority") === p)
         .withColumn("__upd", col("o_orderkey") % 7 === 0)
         .withColumn("o_orderstatus", when(col("__upd"), lit("U")).otherwise(col("o_orderstatus")))
         .withColumn("__commit", when(col("__upd"), lit(T2)).otherwise(lit(T1)))
         .drop("__upd")
-      writeBaseFile(spark, withMeta(df, T2, "o_orderpriority", name), new Path(base, p), name)
-      (p, fileId(i), s"$p/$name")
+      writeBucketedBase(spark, base, p, i, withMeta(df, T2, "o_orderpriority", bucketedFileName(i, T2)), T2)
     }
     writeCommit(fs, base, T2, "commit", files2.toSeq)
   }
@@ -160,11 +211,9 @@ object HudiFixtureBuilder {
 
     val src = orders(spark, sfDir)
     val parts = src.select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
-    val files1 = parts.zipWithIndex.map { case (p, i) =>
-      val name = s"${fileId(i)}_${Token}_$T1.parquet"
+    val files1 = parts.zipWithIndex.flatMap { case (p, i) =>
       val df = src.filter(col("o_orderpriority") === p).withColumn("__commit", lit(T1))
-      writeBaseFile(spark, withMeta(df, T1, "o_orderpriority", name), new Path(base, p), name)
-      (p, fileId(i), s"$p/$name")
+      writeBucketedBase(spark, base, p, i, withMeta(df, T1, "o_orderpriority", bucketedFileName(i, T1)), T1)
     }
     writeCommit(fs, base, T1, "commit", files1.toSeq)
 
@@ -173,54 +222,66 @@ object HudiFixtureBuilder {
       .parquet(new Path(base, files1.head._3).toString).schema
     val avroSchema = SparkToAvro.toAvroSchema(tableSchema, "mor_orders_record")
 
-    // deltacommit T2: update log blocks — avro data blocks for most
-    // partitions, a PARQUET data block for the first (both block formats
-    // are covered by the same oracle-checked snapshot/incremental queries)
-    val files2 = parts.zipWithIndex.map { case (p, i) =>
-      val rows = src.filter(col("o_orderpriority") === p && col("o_orderkey") % 7 === 0)
-        .withColumn("o_orderstatus", lit("U"))
-        .withColumn("__commit", lit(T2))
-      val metaDf = withMeta(rows, T2, "o_orderpriority", "")
-      val logName = s".${fileId(i)}_$T1.log.1_$Token"
-      val out = new DataOutputStream(fs.create(new Path(new Path(base, p), logName), true))
-      try {
-        if (i == 0) {
-          val tmp = new Path(base, s".tmp_logpq_$i")
-          metaDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
-          val bytes = {
-            val len = fs.getFileStatus(part).getLen.toInt
-            val in = fs.open(part)
-            try { val b = new Array[Byte](len); in.readFully(0, b); b }
-            finally in.close()
+    // deltacommit T2: per-file-group update log blocks — avro data blocks
+    // everywhere except one parquet data block (both formats are covered
+    // by the same oracle-checked snapshot/incremental queries)
+    val updates = src.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("__commit", lit(T2))
+    val updMeta = withMeta(updates, T2, "o_orderpriority", lit(""))
+      .withColumn("__bucket", pmod(col("_hoodie_record_key").cast("long"), lit(Buckets)).cast("int"))
+    val updRows = updMeta.collect()
+    val partIdx = parts.zipWithIndex.toMap
+    val files2 = updRows
+      .groupBy(r => (r.getAs[String]("_hoodie_partition_path"), r.getAs[Int]("__bucket")))
+      .toSeq.sortBy(_._1)
+      .map { case ((p, b), rows) =>
+        val i = partIdx(p)
+        val logName = s".${fileIdB(i, b)}_$T1.log.1_$Token"
+        val out = new DataOutputStream(fs.create(new Path(new Path(base, p), logName), true))
+        val dataRows = rows.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
+        try {
+          if (i == 0 && b == 0) {
+            // parquet-format block: spill the rows through a parquet write
+            val tmp = new Path(base, ".tmp_logpq")
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(dataRows.toIndexedSeq, 1), tableSchema)
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+            val bytes = {
+              val len = fs.getFileStatus(part).getLen.toInt
+              val in = fs.open(part)
+              try { val buf = new Array[Byte](len); in.readFully(0, buf); buf }
+              finally in.close()
+            }
+            fs.delete(tmp, true)
+            LogFileWriter.parquetDataBlock(out, T2, avroSchema, bytes)
+          } else {
+            LogFileWriter.avroDataBlock(out, T2, avroSchema,
+              dataRows.map(SparkToAvro.toRecord(_, tableSchema, avroSchema)).toSeq)
           }
-          fs.delete(tmp, true)
-          LogFileWriter.parquetDataBlock(out, T2, avroSchema, bytes)
-        } else {
-          LogFileWriter.avroDataBlock(out, T2, avroSchema,
-            metaDf.collect().map(SparkToAvro.toRecord(_, tableSchema, avroSchema)).toSeq)
-        }
-      } finally out.close()
-      (p, fileId(i), s"$p/$logName")
-    }
-    writeCommit(fs, base, T2, "deltacommit", files2.toSeq)
+        } finally out.close()
+        (p, fileIdB(i, b), s"$p/$logName")
+      }
+    writeCommit(fs, base, T2, "deltacommit", files2)
 
     // deltacommit T3: delete blocks (orderingVal = o_custkey, equal to the
     // record's → commit-time tiebreak decides, T3 wins)
     val delRows = src.filter(col("o_orderkey") % 97 === 0)
       .select("o_orderpriority", "o_orderkey", "o_custkey").collect()
-    val byPart = delRows.groupBy(_.getString(0))
-    val files3 = parts.zipWithIndex.flatMap { case (p, i) =>
-      byPart.get(p).map { rows =>
-        val logName = s".${fileId(i)}_$T1.log.2_$Token"
+    val files3 = delRows
+      .groupBy(r => (r.getString(0), (r.getLong(1) % Buckets).toInt))
+      .toSeq.sortBy(_._1)
+      .map { case ((p, b), rows) =>
+        val i = partIdx(p)
+        val logName = s".${fileIdB(i, b)}_$T1.log.2_$Token"
         val out = new DataOutputStream(fs.create(new Path(new Path(base, p), logName), true))
         try LogFileWriter.deleteBlock(out, T3, avroSchema,
           rows.map(r => (r.getLong(1).toString, p, r.getLong(2))).toSeq)
         finally out.close()
-        (p, fileId(i), s"$p/$logName")
+        (p, fileIdB(i, b), s"$p/$logName")
       }
-    }
-    writeCommit(fs, base, T3, "deltacommit", files3.toSeq)
+    writeCommit(fs, base, T3, "deltacommit", files3)
   }
 
   // --- COW over nation, hive-style partitioned by n_regionkey ------------
