@@ -118,6 +118,19 @@ final class Timeline(
       start.forall(t > _) && end.forall(t <= _)
     }
 
+  /** T1: instant selection by action set + closed `[start, end]` range
+    * (reference TimelineSelector, timeline/selector.rs:138-250).
+    */
+  def select(
+      actions: Set[String],
+      start: Option[String] = None,
+      end: Option[String] = None
+  ): Vector[HoodieInstant] =
+    completedInstants.filter { i =>
+      actions.contains(i.action) &&
+        start.forall(i.timestamp >= _) && end.forall(i.timestamp <= _)
+    }
+
   /** Map request-ts → completion-ts for v8+ tables (None entries for v6). */
   def completionTimeOf(requestTs: String): Option[String] =
     completedInstants.find(_.timestamp == requestTs).flatMap(_.completionTimestamp)

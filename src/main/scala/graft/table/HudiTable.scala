@@ -142,6 +142,22 @@ final class HudiTable(
     }
   }
 
+  /** C3: estimated (rows, bytes) for the latest snapshot — total planned
+    * file size with rows extrapolated from one sampled footer
+    * (table/mod.rs:902-952; snapshot only, like the reference).
+    */
+  def tableStats: (Long, Long) = {
+    val slices = timeline.latestCommitTimestamp
+      .map(fsView.slicesAsOf(_))
+      .getOrElse(Vector.empty)
+    val bytes = slices.map(s => s.baseFile.size + s.logFiles.map(_.size).sum).sum
+    val rows = slices.headOption
+      .flatMap(s => graft.fs.FileStatsEstimator.sample(s.baseFile.path, hadoopConf))
+      .map(r => (r * slices.map(_.baseFile.size).sum).toLong)
+      .getOrElse(0L)
+    (rows, bytes)
+  }
+
   /** Incremental read of records changed in `(start, end]` (S3): only file
     * groups touched by in-range commits, with the `_hoodie_commit_time` row
     * filter (P5, file_group/reader.rs:652-701).

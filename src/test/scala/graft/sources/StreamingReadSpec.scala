@@ -14,6 +14,28 @@ class StreamingReadSpec extends SparkTestBase {
   private lazy val cowV6 =
     Fixtures.table("sample_table/cow/v6_simplekeygen_nonhivestyle.zip", "v6_simplekeygen_nonhivestyle")
 
+  private lazy val morV8 =
+    Fixtures.table("quickstart_trips_table/mor/avro/v8_trips_8i3u1d.zip", "v8_trips_8i3u1d")
+
+  test("readStream over a MOR table merges within each micro-batch") {
+    assume(morV8.isDefined)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val q = spark.readStream.format("hudi-graft").load(morV8.get)
+      .selectExpr("rider", "fare")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => out.add((r.getString(0), r.getDouble(1))))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = out.toArray(Array.empty[(String, Double)])
+    // one batch covering all commits = the merged snapshot (deletes applied)
+    val riders = rows.map(_._1).toSet
+    assert(!riders.contains("rider-F") && !riders.contains("rider-J"))
+    assert(rows.toMap.get("rider-G").contains(0.0))
+  }
+
   test("readStream micro-batch covers the table's commit history") {
     assume(cowV6.isDefined)
     val out = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Boolean)]()

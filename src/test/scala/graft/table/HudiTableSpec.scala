@@ -97,6 +97,22 @@ class HudiTableSpec extends SparkTestBase {
     assert(r.getString(0) == "Alice" && r.getString(1) == "red" && r.getString(2) == "12345.67890")
   }
 
+  test("timeline selector filters by action and range") {
+    assume(cowV6.isDefined)
+    val t = cowV6.get
+    val all = t.timeline.select(Set("commit"))
+    assert(all.size == 2)
+    val first = t.timeline.completedInstants.head.timestamp
+    assert(t.timeline.select(Set("commit"), end = Some(first)).size == 1)
+    assert(t.timeline.select(Set("replacecommit")).isEmpty)
+  }
+
+  test("table stats estimate rows and bytes") {
+    assume(cowV6.isDefined)
+    val (rows, bytes) = cowV6.get.tableStats
+    assert(bytes > 0 && rows > 0)
+  }
+
   test("unknown filter column errors strictly") {
     assume(cowV6.isDefined)
     intercept[IllegalArgumentException] {
