@@ -5,8 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Embedding-similarity operators over the `embeddings` table
   * (`Array[Float]`, 64-dim): brute-force cosine top-k (the baseline every
   * ANN variant is judged against), cosine near-dup detection, and vector
-  * norms. The LSH-bucketed ANN scale path lives in AnnOps (no SQL oracle —
-  * approximate results).
+  * norms. The LSH-bucketed ANN scale path lives in [[AnnOps]]
+  * (`embed_dedup_lsh`) — its deterministic hyperplanes make even the
+  * approximate pipeline oracle-checkable.
   *
   * Float determinism: embeddings are quantized to integers
   * (`floor(x * 1000)`), so dot products and norms are exact integer sums
