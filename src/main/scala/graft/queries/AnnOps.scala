@@ -25,7 +25,70 @@ object AnnOps {
     */
   private def planeComponent = "CAST(j AS BIGINT) * 73856093 + CAST(i AS BIGINT) * 19349663"
 
-  /** Full pipeline per dialect. `bandsFrom` yields one row per
+  /** Shared CTE prefix: quantized vectors + norms + sign-bit signatures +
+    * exploded band keys, per dialect.
+    */
+  private def lshPrefix(
+      listTransform: String,
+      dot: String,
+      seq64: String,
+      seq16: String,
+      bandsFrom: String,
+      elementAt: String
+  ): String = {
+    val selfDot = dot.format("q", "q")
+    def bit(k: String) = s"$elementAt(bits, $k)"
+    s"""qe AS (
+       |  SELECT vec_id, $listTransform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qn AS (SELECT vec_id, q, $selfDot AS qnorm FROM qe),
+       |sig AS (
+       |  SELECT vec_id,
+       |    $listTransform($seq16, j ->
+       |      CASE WHEN ${dot.format("q", s"$listTransform($seq64, i -> ($planeComponent) % 1009 - 504)")} >= 0
+       |      THEN 1 ELSE 0 END) AS bits
+       |  FROM qn),
+       |banded AS (
+       |  SELECT vec_id, b,
+       |    ${bit("4*b+1")} * 8 + ${bit("4*b+2")} * 4 + ${bit("4*b+3")} * 2 + ${bit("4*b+4")} AS band_key
+       |  FROM sig $bandsFrom)""".stripMargin
+  }
+
+  /** ANN top-k: LSH bucket candidates for the 5 query vectors, exact
+    * cosine rerank, dense ranks — approximate k-NN whose deterministic
+    * pipeline both engines replay identically.
+    */
+  private def annTopkSql(
+      listTransform: String,
+      dot: String,
+      seq64: String,
+      seq16: String,
+      bandsFrom: String,
+      elementAt: String
+  ): String = {
+    val pairDot = dot.format("a.q", "b.q")
+    s"""WITH ${lshPrefix(listTransform, dot, seq64, seq16, bandsFrom, elementAt)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM banded a JOIN banded b
+       |    ON a.b = b.b AND a.band_key = b.band_key
+       |    AND a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST($pairDot AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM cand c
+       |  JOIN qn a ON a.vec_id = c.query_id
+       |  JOIN qn b ON b.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Near-dup pipeline per dialect. `bandsFrom` yields one row per
     * (vec, band) with an integer band key from 4 sign bits.
     */
   private def lshSql(
@@ -87,13 +150,22 @@ object AnnOps {
     bandsFrom = s", UNNEST(range(0, $numBands)) AS bt(b)",
     elementAt = "list_extract")
 
-  private def run(s: SparkSession, d: String): DataFrame = {
+  private val sparkAnnSql: String = annTopkSql(
+    "transform", sparkDot, "sequence(0, 63)", "sequence(0, 15)",
+    s"LATERAL VIEW explode(sequence(0, ${numBands - 1})) bt AS b", "element_at")
+
+  private val duckAnnSql: String = annTopkSql(
+    "list_transform", duckDot, "range(0, 64)", "range(0, 16)",
+    s", UNNEST(range(0, $numBands)) AS bt(b)", "list_extract")
+
+  private def run(sql: String)(s: SparkSession, d: String): DataFrame = {
     graft.functions.LongArrayDot.register(s)
     Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
-    s.sql(sparkSql)
+    s.sql(sql)
   }
 
   def queries: Map[String, QueryDef] = Map(
-    "embed_dedup_lsh" -> QueryDef(run _, duckSql)
+    "embed_dedup_lsh" -> QueryDef(run(sparkSql) _, duckSql),
+    "embed_ann_topk" -> QueryDef(run(sparkAnnSql) _, duckAnnSql)
   )
 }
