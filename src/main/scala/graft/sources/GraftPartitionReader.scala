@@ -182,10 +182,14 @@ class GraftPartitionReader(
     case _ => false
   }
 
-  /** Decode the slice's log files once: latest data row per key + delete
-    * max-orderings per key (rollback-aware, range-bounded).
+  private def appendOnly: Boolean = mergeStrategy == "APPEND_ONLY"
+
+  /** Decode the slice's log files once. OVERWRITE_WITH_LATEST keys rows
+    * to latest-per-record-key + delete max-orderings; APPEND_ONLY keeps
+    * every version verbatim (record keys may not even be populated).
+    * Rollback-aware, range-bounded.
     */
-  private lazy val (logLatest, deletes) = {
+  private lazy val (logLatest, deletes, logAll) = {
     val range = InstantRange(commitStart, endTs)
     val blocks = {
       val bs = slice.logFiles.sortBy(_.orderingKey).flatMap { lf =>
@@ -205,14 +209,18 @@ class GraftPartitionReader(
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(widened)
     val latest = mutable.HashMap.empty[String, InternalRow]
     val dels = mutable.HashMap.empty[String, DeleteInfo]
+    val all = mutable.ArrayBuffer.empty[InternalRow]
     for (b <- blocks) {
       if (b.blockType == LogFormat.AvroDataBlock || b.blockType == LogFormat.ParquetDataBlock) {
         for (ext <- graft.log.RowAlign.blockRows(b, widened)) {
           val row = toCatalyst(ext).asInstanceOf[InternalRow]
-          val key = if (row.isNullAt(keyIdx)) "" else row.getString(keyIdx)
-          latest.get(key) match {
-            case Some(prev) if !newerThan(row, prev) => // keep prev
-            case _ => latest(key) = row
+          if (appendOnly) all += row
+          else {
+            val key = if (row.isNullAt(keyIdx)) "" else row.getString(keyIdx)
+            latest.get(key) match {
+              case Some(prev) if !newerThan(row, prev) => // keep prev
+              case _ => latest(key) = row
+            }
           }
         }
       } else if (b.blockType == LogFormat.DeleteBlock) {
@@ -231,7 +239,7 @@ class GraftPartitionReader(
         }
       }
     }
-    (latest, dels)
+    (latest, dels, all)
   }
 
   private def toCatalystScalar(v: Any): Any = v match {
@@ -248,7 +256,7 @@ class GraftPartitionReader(
     * the log map (log-only inserts) appended at the end.
     */
   private def mergedIter: Iterator[InternalRow] =
-    if (mergeStrategy == "APPEND_ONLY") baseIter ++ logLatest.valuesIterator
+    if (appendOnly) baseIter ++ logAll.iterator
     else {
       val consumed = mutable.HashSet.empty[String]
       val fromBase = baseIter.flatMap { row =>

@@ -135,6 +135,48 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(rows == Set((1, false), (4, true)))
   }
 
+  test("dsv2 append-only MOR keeps every log version (no-metafields)") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import java.io.DataOutputStream
+    val base = new Path("/root/repo/target/fixtures/append_only_mor")
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(base, true)
+    fs.mkdirs(new Path(base, ".hoodie"))
+    val props =
+      """hoodie.table.name=append_only_mor
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin
+    val out0 = fs.create(new Path(base, ".hoodie/hoodie.properties"), true)
+    out0.write(props.getBytes("UTF-8")); out0.close()
+    // base file: 2 rows at t1
+    import spark.implicits._
+    val t1 = "20240101000000000"; val t2 = "20240102000000000"
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val tmp = new Path(base, ".tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+    val fid = "00000000-0000-0000-0000-000000000000-0"
+    fs.rename(part, new Path(base, s"${fid}_0-0-0_$t1.parquet"))
+    fs.delete(tmp, true)
+    val o1 = fs.create(new Path(base, s".hoodie/$t1.commit"), true)
+    o1.write(s"""{"partitionToWriteStats":{"":[{"fileId":"$fid","path":"${fid}_0-0-0_$t1.parquet"}]}}""".getBytes); o1.close()
+    // log: 2 appended rows at t2 (no record keys — append semantics)
+    val avro = graft.log.SparkToAvro.toAvroSchema(df.schema, "r")
+    val recs = Seq(org.apache.spark.sql.Row(3, "c"), org.apache.spark.sql.Row(1, "a2"))
+      .map(graft.log.SparkToAvro.toRecord(_, df.schema, avro))
+    val lo = new DataOutputStream(fs.create(new Path(base, s".${fid}_$t1.log.1_0-0-0"), true))
+    try graft.log.LogFileWriter.avroDataBlock(lo, t2, avro, recs) finally lo.close()
+    val o2 = fs.create(new Path(base, s".hoodie/$t2.deltacommit"), true)
+    o2.write(s"""{"partitionToWriteStats":{"":[{"fileId":"$fid","path":".${fid}_$t1.log.1_0-0-0"}]}}""".getBytes); o2.close()
+
+    val rows = load(base.toString).select("id", "v")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // ALL 4 versions survive: append-only never collapses by key
+    assert(rows == Set((1, "a"), (2, "b"), (3, "c"), (1, "a2")))
+  }
+
   test("dsv2 mor read-optimized option skips logs") {
     assume(morV8.isDefined)
     val df = spark.read.format("hudi-graft")
