@@ -44,11 +44,20 @@ final class FsView(
     out.result()
   }
 
+  private val fileGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[FileGroup]]()
+
   /** List + assemble the file groups of one partition, applying the
     * completion-time view: under timeline layout v2 (v8+), files whose
-    * commit isn't completed are dropped (listing.rs:70-141).
+    * commit isn't completed are dropped (listing.rs:70-141). Memoized per
+    * FsView instance — a view is a snapshot in time, like its Timeline
+    * (the reference caches in its DashMap the same way); streaming builds
+    * a fresh view per micro-batch.
     */
-  def fileGroups(partitionPath: String): Vector[FileGroup] = {
+  def fileGroups(partitionPath: String): Vector[FileGroup] =
+    fileGroupCache.computeIfAbsent(partitionPath, listFileGroups)
+
+  private def listFileGroups(partitionPath: String): Vector[FileGroup] = {
     val dir = if (partitionPath.isEmpty) base else new Path(base, partitionPath)
     val baseExt = config.baseFileFormat.toLowerCase
     val bases = mutable.ArrayBuffer.empty[BaseFile]
