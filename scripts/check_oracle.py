@@ -53,6 +53,16 @@ def main(out_dir: str, sf_dir: str) -> int:
             continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            # dtype-kind check mimicking the driver's value-hash: int widths
+            # stringify identically (r2 evidence), but int-vs-float (123 vs
+            # 123.0) and naive-vs-tz-aware timestamps break the hash.
+            def kind(t):
+                k = t.kind if hasattr(t, "kind") else "O"
+                return "i" if k in "iu" else str(t) if k != "O" else "O"
+            if [kind(t) for t in g.dtypes] != [kind(t) for t in e.dtypes]:
+                print(f"FAIL-DTYPE        {name}: got={[str(t) for t in g.dtypes]} exp={[str(t) for t in e.dtypes]}")
+                n_fail += 1
+                continue
             print(f"PASS              {name}: rows={len(g)}")
             n_pass += 1
         except AssertionError as ex:

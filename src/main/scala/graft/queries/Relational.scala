@@ -275,7 +275,9 @@ object Relational {
     "q_events_hourly" -> QueryDef(
       (s, d) =>
         events(s, d)
-          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          // timestamp_ntz matches DuckDB's naive date_trunc result (the repaired
+          // events.ts is LTZ on the Spark side; the oracle compare is dtype-strict)
+          .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
           .orderBy("hour", "event_type"),
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

@@ -257,7 +257,7 @@ object TextOps {
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
         |agg AS (
         |  SELECT doc_id, COUNT(1) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct_tokens,
-        |         SUM(length(tok)) AS n_word_chars
+        |         CAST(SUM(length(tok)) AS BIGINT) AS n_word_chars
         |  FROM toks GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_distinct_tokens, n_word_chars,
         |  CAST(n_word_chars AS DOUBLE) / n_tokens AS avg_token_len
