@@ -39,6 +39,7 @@ object HudiFixtureBuilder {
   def morPath(sfDir: String): String = s"${root(sfDir)}/mor_orders"
   def partPath(sfDir: String): String = s"${root(sfDir)}/cow_part_nation"
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
+  def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
 
   /** File groups per partition — multiple slices per partition is the
     * realistic shape (and the unit of scan parallelism).
@@ -50,13 +51,14 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v2")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v3")
     if (fs.exists(marker)) return
     fs.delete(new Path(root(sfDir)), true)
     buildCowOrders(spark, sfDir)
     buildMorOrders(spark, sfDir)
     buildCowPartNation(spark, sfDir)
     buildCowDroppedNation(spark, sfDir)
+    buildCowEvolvedNation(spark, sfDir)
     fs.create(marker, true).close()
   }
 
@@ -282,6 +284,60 @@ object HudiFixtureBuilder {
         (p, fileIdB(i, b), s"$p/$logName")
       }
     writeCommit(fs, base, T3, "deltacommit", files3)
+  }
+
+  // --- COW over nation, non-partitioned, schema EVOLVED at commit 2 ------
+  // (resolver.rs:41-47: the commit-metadata schema is authoritative — a
+  // reader sampling file group 0's footer would miss n_regionkey entirely)
+  private def buildCowEvolvedNation(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(evolvedPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_evolved_nation
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=n_nationkey
+        |hoodie.table.precombine.field=n_nationkey
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    def metaCols(name: String) = Seq(
+      lit(T1).as("_hoodie_commit_time"),
+      concat(lit(T1), lit("_0_"), col("n_nationkey")).as("_hoodie_commit_seqno"),
+      col("n_nationkey").cast(StringType).as("_hoodie_record_key"),
+      lit("").as("_hoodie_partition_path"),
+      lit(name).as("_hoodie_file_name"))
+    def commitJson(files: Seq[(String, String)], avroSchema: String): String = {
+      val stats = files.map { case (fid, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","partitionPath":""}"""
+      }.mkString("[", ",", "]")
+      val esc = avroSchema.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"partitionToWriteStats":{"":$stats},"extraMetadata":{"schema":"$esc"},"compacted":false}"""
+    }
+    // commit 1: file group 0, OLD schema (no n_regionkey)
+    val name1 = s"${fileId(0)}_${Token}_$T1.parquet"
+    val old = src.filter(col("n_nationkey") % 2 === 0)
+      .select(metaCols(name1) ++ Seq(col("n_nationkey"), col("n_name")): _*)
+    writeBaseFile(spark, old, base, name1)
+    val oldAvro = SparkToAvro.toAvroSchema(
+      StructType(Seq(StructField("n_nationkey", IntegerType), StructField("n_name", StringType))),
+      "nation_record").toString
+    writeText(fs, new Path(base, s".hoodie/$T1.commit"),
+      commitJson(Seq((fileId(0), name1)), oldAvro))
+    // commit 2: file group 1, NEW schema (n_regionkey added)
+    val name2 = s"${fileId(1)}_${Token}_$T2.parquet"
+    val neu = src.filter(col("n_nationkey") % 2 === 1)
+      .select(metaCols(name2) ++ Seq(col("n_nationkey"), col("n_name"), col("n_regionkey")): _*)
+    writeBaseFile(spark, neu, base, name2)
+    val newAvro = SparkToAvro.toAvroSchema(
+      StructType(Seq(StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))),
+      "nation_record").toString
+    writeText(fs, new Path(base, s".hoodie/$T2.commit"),
+      commitJson(Seq((fileId(1), name2)), newAvro))
   }
 
   // --- COW over nation, hive-style partitioned by n_regionkey ------------

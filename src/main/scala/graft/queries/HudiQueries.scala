@@ -115,6 +115,21 @@ object HudiQueries {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin),
 
+    // --- schema evolution: column added at commit 2 resolves from the
+    // latest commit metadata (resolver.rs:41-47) — rows written before the
+    // add read back with the new column null
+    "hudi_schema_evolution" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        HudiTable(s, HudiFixtureBuilder.evolvedPath(d))
+          .snapshot()
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name,
+        |  CASE WHEN n_nationkey % 2 = 1 THEN n_regionkey END AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     // --- R1: partition pruning on a hive-style partitioned table ---------
     "hudi_partition_pruned" -> QueryDef(
       (s, d) => {

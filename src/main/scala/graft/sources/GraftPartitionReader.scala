@@ -33,8 +33,11 @@ class GraftReaderFactory(
     endTs: Option[String],
     partitionSchemaJson: Option[String] = None,
     hiveStyle: Boolean = false,
-    urlEncoded: Boolean = false
+    urlEncoded: Boolean = false,
+    columnar: Boolean = false
 ) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
@@ -42,6 +45,98 @@ class GraftReaderFactory(
       orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs), p.commitStart,
       partitionSchemaJson, hiveStyle, urlEncoded)
   }
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarReader(p.slice, readFn, widenedJson, requiredJson,
+      partitionSchemaJson, hiveStyle, urlEncoded)
+  }
+}
+
+/** Typed partition-value parsing shared by the row and columnar readers:
+  * dropped partition columns (P6) are re-derived from the slice's
+  * partition path and travel through the parquet delegate's
+  * partitionValues mechanism.
+  */
+private[sources] object PartitionValues {
+  def forSlice(
+      slice: graft.fs.FileSlice,
+      partitionSchemaJson: Option[String],
+      hiveStyle: Boolean,
+      urlEncoded: Boolean): InternalRow = partitionSchemaJson match {
+    case None => InternalRow.empty
+    case Some(json) =>
+      val ps = DataType.fromJson(json).asInstanceOf[StructType]
+      val fieldTypes = ps.fields.map(f => f.name -> (f.dataType match {
+        case IntegerType | ShortType | ByteType => "int"
+        case LongType => "long"
+        case DoubleType | FloatType => "double"
+        case DateType => "date"
+        case _ => "string"
+      })).toSeq
+      val parsed = new graft.fs.PartitionPruner(fieldTypes, hiveStyle, urlEncoded, Nil)
+        .parseSegments(slice.partitionPath).getOrElse(Map.empty)
+      val vals = ps.fields.map { f =>
+        val ext = parsed.get(f.name).map {
+          case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+          case other => other
+        }.orNull
+        CatalystTypeConverters.createToCatalystConverter(f.dataType)(ext)
+      }
+      new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+}
+
+/** Columnar slice reader for log-free scans (COW / MOR read-optimized /
+  * MOR snapshots whose planned slices carry no logs): Spark's vectorized
+  * parquet reader yields `ColumnarBatch`es through the
+  * `Iterator[InternalRow]` erasure contract (the same cast
+  * `FileSourceScanExec` performs), and the only work here is permuting
+  * columns when the delegate's output order (required-minus-dropped ++
+  * partition cols) differs from the query's projection order. This is the
+  * Spark analog of the reference routing COW scans to DataFusion's native
+  * `ParquetSource` (crates/datafusion/src/lib.rs:399-417, 626-695).
+  */
+class GraftColumnarReader(
+    slice: graft.fs.FileSlice,
+    readFn: PartitionedFile => Iterator[InternalRow],
+    widenedJson: String,
+    requiredJson: String,
+    partitionSchemaJson: Option[String],
+    hiveStyle: Boolean,
+    urlEncoded: Boolean
+) extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val widened = DataType.fromJson(widenedJson).asInstanceOf[StructType]
+  private val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
+  private val outIdx: Array[Int] = required.fields.map(f => widened.fieldIndex(f.name))
+  private val identityProjection = outIdx.sameElements(widened.fields.indices)
+
+  private lazy val batches: Iterator[ColumnarBatch] = {
+    val pf = PartitionedFile(
+      PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded),
+      SparkPath.fromPathString(slice.baseFile.path),
+      0L,
+      slice.baseFile.size)
+    readFn(pf).asInstanceOf[Iterator[ColumnarBatch]]
+  }
+
+  private def project(b: ColumnarBatch): ColumnarBatch =
+    if (identityProjection) b
+    else new ColumnarBatch(outIdx.map(b.column): Array[ColumnVector], b.numRows())
+
+  private var current: ColumnarBatch = _
+
+  override def next(): Boolean =
+    if (batches.hasNext) { current = project(batches.next()); true } else false
+
+  override def get(): ColumnarBatch = current
+
+  // vector lifecycle belongs to the delegate's reader, which registers its
+  // own task-completion close; the permuted wrapper shares those vectors
+  override def close(): Unit = ()
 }
 
 class GraftPartitionReader(
@@ -65,28 +160,8 @@ class GraftPartitionReader(
   private val identityProjection = outIdx.sameElements(widened.fields.indices)
 
   /** Parsed typed partition values for dropped partition columns (P6). */
-  private lazy val partitionValuesRow: InternalRow = partitionSchemaJson match {
-    case None => InternalRow.empty
-    case Some(json) =>
-      val ps = DataType.fromJson(json).asInstanceOf[StructType]
-      val fieldTypes = ps.fields.map(f => f.name -> (f.dataType match {
-        case IntegerType | ShortType | ByteType => "int"
-        case LongType => "long"
-        case DoubleType | FloatType => "double"
-        case DateType => "date"
-        case _ => "string"
-      })).toSeq
-      val parsed = new graft.fs.PartitionPruner(fieldTypes, hiveStyle, urlEncoded, Nil)
-        .parseSegments(slice.partitionPath).getOrElse(Map.empty)
-      val vals = ps.fields.map { f =>
-        val ext = parsed.get(f.name).map {
-          case d: java.time.LocalDate => java.sql.Date.valueOf(d)
-          case other => other
-        }.orNull
-        CatalystTypeConverters.createToCatalystConverter(f.dataType)(ext)
-      }
-      new GenericInternalRow(vals.asInstanceOf[Array[Any]])
-  }
+  private lazy val partitionValuesRow: InternalRow =
+    PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded)
 
   private def baseIter: Iterator[InternalRow] = {
     val pf = PartitionedFile(

@@ -192,13 +192,22 @@ class GraftScan(
     * filter rows by commit range even on COW base files).
     */
   private[sources] def readerFactory(withCommitCol: Boolean): PartitionReaderFactory = {
+    // D3 routing (the Spark analog of crates/datafusion/src/lib.rs:399-417):
+    // log-free batch scans — COW, MOR read-optimized, or MOR whose planned
+    // slices carry no logs — are eligible for Spark's vectorized columnar
+    // parquet reader; merged MOR slices and commit-range-filtered reads
+    // (incremental / streaming) stay on the row-based path. Batch input
+    // partitions are exactly `slices`, so `!morMergeNeeded` proves no
+    // partition needs the merge machinery.
+    val candidateColumnar = !withCommitCol && !morMergeNeeded
+
     // MOR merge needs the record key / ordering / seqno / commit columns
     // even when the query prunes them away: widen, merge, project back
     // (the reference's widen+project contract, reader.rs:430-487).
     val orderingField = hudi.config.orderingFields.headOption
     val mergeCols = {
       val forMerge =
-        if (hudi.isMor && !readOptimized)
+        if (hudi.isMor && !readOptimized && !candidateColumnar)
           Seq(MetaField.RecordKey, MetaField.CommitSeqno, MetaField.CommitTime,
             MetaField.PartitionPath) ++ orderingField
         else Nil
@@ -220,21 +229,21 @@ class GraftScan(
     val dataSchema = StructType(
       hudi.tableSchema.fields.filterNot(f => hudi.droppedPartitionFields.contains(f.name)))
 
-    val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map(
-      // row-based reads: the DSv2 PartitionReader contract here is
-      // InternalRow, not ColumnarBatch
-      "spark.sql.parquet.enableVectorizedReader" -> "false"))
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    val columnar = candidateColumnar && fmt.supportBatch(spark, widenedEffective)
+    val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map(
+      "spark.sql.parquet.enableVectorizedReader" -> columnar.toString))
     val readFn = fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = dataSchema,
       partitionSchema = partitionSchema,
       requiredSchema = delegateRequired,
       // filters must NOT reach the base scan of a merged read: a base row
-      // can lose to a log update that matches the predicate
-      filters = if (hudi.isMor && !readOptimized) Nil else parquetFilters.toIndexedSeq,
-      // rows, not ColumnarBatches — the PartitionReader contract here
-      options = Map("returning_batch" -> "false"),
+      // can lose to a log update that matches the predicate. Log-free
+      // scans get them for row-group/page skipping.
+      filters = if (hudi.isMor && !readOptimized && !candidateColumnar) Nil
+                else parquetFilters.toIndexedSeq,
+      options = Map("returning_batch" -> columnar.toString),
       hadoopConf = hadoopConf)
 
     new GraftReaderFactory(
@@ -247,7 +256,8 @@ class GraftScan(
       asOf.orElse(hudi.timeline.latestCommitTimestamp),
       if (partitionSchema.isEmpty) None else Some(partitionSchema.json),
       hudi.config.isHiveStylePartitioning,
-      hudi.config.isPartitionPathUrlencoded)
+      hudi.config.isPartitionPathUrlencoded,
+      columnar)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -44,47 +44,53 @@ final class HudiTable(
   def tableType: String = config.tableType
   def isMor: Boolean = config.isMor
 
-  /** Resolved read schema: the latest base file's parquet footer (meta
-    * fields are physical columns there), falling back to
-    * `hoodie.table.create.schema` for empty tables — the reference's
-    * resolution order (schema/resolver.rs:41-47) with the commit-metadata
-    * and footer sources unified, since Spark's footer read is exact.
+  /** Resolved read schema, following the reference's resolution order
+    * (schema/resolver.rs:41-47): (1) the latest commit metadata's
+    * `extraMetadata.schema` Avro string — authoritative on schema-evolved
+    * tables where a sampled file group may predate a column add; (2) the
+    * newest base file's parquet footer; (3) `hoodie.table.create.schema`.
+    * Avro schemas never carry the `_hoodie_*` meta fields (resolver.rs
+    * note), so they're prepended when the table populates them.
     */
   private lazy val resolvedSchemas: (StructType, Seq[String]) = {
-    val sample = fsView.partitionPaths.iterator
+    // unconditional like the reference (resolver.rs:50-53): no-metafields
+    // tables still expose the columns, null-valued
+    def prependMeta(data: StructType): StructType = {
+      val meta = MetaField.all.filterNot(data.fieldNames.contains)
+        .map(StructField(_, StringType, nullable = true))
+      StructType(meta ++ data.fields)
+    }
+    val fromCommit: Option[StructType] = timeline.latestSchemaAvro
+      .map(json => prependMeta(AvroConvert.toStructType(new AvroSchema.Parser().parse(json))))
+    def fromFooter: Option[StructType] = fsView.partitionPaths.iterator
       .flatMap(p => fsView.fileGroups(p))
       .flatMap(_.slices.values.lastOption)
       .map(_.baseFile.path)
-      .take(1).toList
-    val resolved = sample match {
-      case path :: _ => spark.read.parquet(path).schema
-      case Nil =>
-        val avroJson = config.get("hoodie.table.create.schema").getOrElse(
-          throw new IllegalStateException(s"Cannot resolve schema for empty table $basePath"))
-        val data = AvroConvert.toStructType(new AvroSchema.Parser().parse(avroJson))
-        if (config.populatesMetaFields) {
-          val meta = MetaField.all.map(StructField(_, StringType, nullable = true))
-          StructType(meta ++ data.fields)
-        } else data
+      .take(1).toList.headOption
+      .map(path => spark.read.parquet(path).schema)
+    def fromCreate: StructType = {
+      val avroJson = config.get("hoodie.table.create.schema").getOrElse(
+        throw new IllegalStateException(s"Cannot resolve schema for empty table $basePath"))
+      prependMeta(AvroConvert.toStructType(new AvroSchema.Parser().parse(avroJson)))
     }
+    val resolved = fromCommit.orElse(fromFooter).getOrElse(fromCreate)
     // P6: with hoodie.datasource.write.drop.partition.columns=true the
-    // partition fields are physically absent from the files — append them
-    // to the logical schema (typed from create.schema when available),
-    // values re-injected from partition paths at read time
-    val missing =
-      if (config.dropsPartitionFields)
-        config.partitionFields.filterNot(resolved.fieldNames.contains)
-      else Nil
-    if (missing.isEmpty) (resolved, Nil)
+    // partition fields are physically absent from the files — whether or
+    // not the logical schema mentions them (the commit-metadata writer
+    // schema does, a footer doesn't). Ensure they're in the schema (typed
+    // from create.schema when available) and record them as dropped so
+    // reads re-inject values from partition paths.
+    if (!config.dropsPartitionFields) (resolved, Nil)
     else {
+      val missing = config.partitionFields.filterNot(resolved.fieldNames.contains)
       val createTypes: Map[String, org.apache.spark.sql.types.DataType] =
         config.get("hoodie.table.create.schema")
           .map(j => AvroConvert.toStructType(new AvroSchema.Parser().parse(j)))
           .map(st => st.fields.map(f => f.name -> f.dataType).toMap)
           .getOrElse(Map.empty)
-      (StructType(resolved.fields ++
-        missing.map(f => StructField(f, createTypes.getOrElse(f, StringType), nullable = true))),
-        missing)
+      val full = StructType(resolved.fields ++
+        missing.map(f => StructField(f, createTypes.getOrElse(f, StringType), nullable = true)))
+      (full, config.partitionFields.filter(full.fieldNames.contains))
     }
   }
 

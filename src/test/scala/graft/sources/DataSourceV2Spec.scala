@@ -177,6 +177,32 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(rows == Set((1, "a"), (2, "b"), (3, "c"), (1, "a2")))
   }
 
+  test("dsv2 cow scan is columnar (vectorized parquet), mor merged scan is not") {
+    assume(cowV6.isDefined && morV8.isDefined)
+    // COW, atomic projection: the D3 routing must hand Spark columnar
+    // batches (plan shows ColumnarToRow above the BatchScan)
+    val cow = load(cowV6.get).select("id", "name")
+    assert(cow.queryExecution.executedPlan.toString().contains("ColumnarToRow"))
+    assert(cow.collect().length == 4)
+    // MOR with live log files: per-slice merge runs row-based
+    val mor = load(morV8.get).select("rider", "fare")
+    assert(!mor.queryExecution.executedPlan.toString().contains("ColumnarToRow"))
+    assert(mor.collect().length == 6)
+  }
+
+  test("dsv2 columnar scan respects projection order and partition re-injection") {
+    val sf = "/root/testdata/sf0.001"
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sf)
+    // projection order differs from the delegate's (partition col first)
+    val df = load(graft.fixtures.HudiFixtureBuilder.droppedPath(sf))
+      .select("n_regionkey", "n_nationkey", "n_name")
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    val exp = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_regionkey", "n_nationkey", "n_name")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(rows.sorted.toSeq == exp.sorted.toSeq && rows.nonEmpty)
+  }
+
   test("dsv2 mor read-optimized option skips logs") {
     assume(morV8.isDefined)
     val df = spark.read.format("hudi-graft")

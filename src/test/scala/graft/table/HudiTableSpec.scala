@@ -326,4 +326,63 @@ class HudiTableSpec extends SparkTestBase {
       .select("rider", "fare").collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(rows == Map("rider-G" -> 0.0))
   }
+
+  // ---------------- schema evolution: column added in commit 2 ------------
+  test("schema resolves from latest commit metadata on an evolved table") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = new Path("/root/repo/target/fixtures/schema_evolved")
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(base, true)
+    fs.mkdirs(new Path(base, ".hoodie"))
+    val props =
+      """hoodie.table.name=schema_evolved
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin
+    val p0 = fs.create(new Path(base, ".hoodie/hoodie.properties"), true)
+    p0.write(props.getBytes("UTF-8")); p0.close()
+
+    def writeFileGroup(fid: String, ts: String, df: org.apache.spark.sql.DataFrame): String = {
+      val tmp = new Path(base, ".tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+      val name = s"${fid}_0-0-0_$ts.parquet"
+      fs.rename(part, new Path(base, name))
+      fs.delete(tmp, true)
+      name
+    }
+    def commit(ts: String, fid: String, file: String, schema: StructType): Unit = {
+      val avro = graft.log.SparkToAvro.toAvroSchema(schema, "evolved").toString
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+      val o = fs.create(new Path(base, s".hoodie/$ts.commit"), true)
+      o.write(
+        (s"""{"partitionToWriteStats":{"":[{"fileId":"$fid","path":"$file"}]},""" +
+          s""""extraMetadata":{"schema":"$avro"}}""").getBytes("UTF-8"))
+      o.close()
+    }
+    import spark.implicits._
+    val s1 = StructType(Seq(StructField("id", IntegerType), StructField("v", StringType)))
+    val s2 = StructType(s1.fields :+ StructField("extra", StringType))
+    val t1 = "20240101000000000"; val t2 = "20240102000000000"
+    // file-group ids chosen so the listing samples fg "aaa..." first
+    val f1 = writeFileGroup("aaaaaaaa-0000-0000-0000-000000000000-0", t1,
+      Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    commit(t1, "aaaaaaaa-0000-0000-0000-000000000000-0", f1, s1)
+    val f2 = writeFileGroup("bbbbbbbb-0000-0000-0000-000000000000-0", t2,
+      spark.createDataFrame(
+        java.util.List.of(Row(3, "c", "X"), Row(4, "d", "Y")), s2))
+    commit(t2, "bbbbbbbb-0000-0000-0000-000000000000-0", f2, s2)
+
+    val t = HudiTable(spark, base.toString)
+    // the evolved column must be visible even though the first-listed file
+    // group predates the column add (resolver.rs:41-47 resolution order)
+    assert(t.tableSchema.fieldNames.contains("extra"))
+    val rows = t.snapshot().select("id", "v", "extra")
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(rows == Set(
+      (1, "a", None), (2, "b", None), (3, "c", Some("X")), (4, "d", Some("Y"))))
+  }
 }
