@@ -51,7 +51,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v3")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v4")
     if (fs.exists(marker)) return
     fs.delete(new Path(root(sfDir)), true)
     buildCowOrders(spark, sfDir)
@@ -163,15 +163,23 @@ object HudiFixtureBuilder {
     * planning (`partitionToWriteStats` → fileId per partition).
     */
   private def writeCommit(fs: FileSystem, base: Path, ts: String, action: String,
-      files: Seq[(String, String, String)]): Unit = { // (partition, fileId, relPath)
+      files: Seq[(String, String, String)], // (partition, fileId, relPath)
+      schemaAvro: Option[String] = None): Unit = {
     val stats = files.groupBy(_._1).map { case (p, fsz) =>
       val entries = fsz.map { case (_, fid, rel) =>
         s"""{"fileId":"$fid","path":"$rel","partitionPath":"$p","prevCommit":"null"}"""
       }.mkString("[", ",", "]")
       s""""$p":$entries"""
     }.mkString("{", ",", "}")
+    // extraMetadata.schema = the writer's DATA schema (no meta fields),
+    // exactly as real Hudi records it — exercises the resolver's
+    // commit-metadata-first path on every fixture read
+    val extra = schemaAvro.map { s =>
+      val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      s""","extraMetadata":{"schema":"$esc"}"""
+    }.getOrElse("")
     writeText(fs, new Path(base, s".hoodie/$ts.$action"),
-      s"""{"partitionToWriteStats":$stats,"compacted":false,"operationType":"UPSERT"}""")
+      s"""{"partitionToWriteStats":$stats$extra,"compacted":false,"operationType":"UPSERT"}""")
   }
 
   // --- COW over orders, partitioned by o_orderpriority -------------------
@@ -188,7 +196,8 @@ object HudiFixtureBuilder {
       val df = src.filter(col("o_orderpriority") === p).withColumn("__commit", lit(T1))
       writeBucketedBase(spark, base, p, i, withMeta(df, T1, "o_orderpriority", bucketedFileName(i, T1)), T1)
     }
-    writeCommit(fs, base, T1, "commit", files1.toSeq)
+    val dataAvro = Some(SparkToAvro.toAvroSchema(src.schema, "orders_record").toString)
+    writeCommit(fs, base, T1, "commit", files1.toSeq, dataAvro)
 
     // commit 2: COW rewrite — updated rows (%7=0 → status 'U') stamped T2,
     // unchanged rows keep T1 (Hudi preserves per-record commit times on copy)
@@ -200,7 +209,7 @@ object HudiFixtureBuilder {
         .drop("__upd")
       writeBucketedBase(spark, base, p, i, withMeta(df, T2, "o_orderpriority", bucketedFileName(i, T2)), T2)
     }
-    writeCommit(fs, base, T2, "commit", files2.toSeq)
+    writeCommit(fs, base, T2, "commit", files2.toSeq, dataAvro)
   }
 
   // --- MOR over orders: base inserts + update log + delete log -----------
@@ -217,7 +226,8 @@ object HudiFixtureBuilder {
       val df = src.filter(col("o_orderpriority") === p).withColumn("__commit", lit(T1))
       writeBucketedBase(spark, base, p, i, withMeta(df, T1, "o_orderpriority", bucketedFileName(i, T1)), T1)
     }
-    writeCommit(fs, base, T1, "commit", files1.toSeq)
+    writeCommit(fs, base, T1, "commit", files1.toSeq,
+      Some(SparkToAvro.toAvroSchema(src.schema, "orders_record").toString))
 
     // metadata-prefixed schema for log records = base file footer schema
     val tableSchema = spark.read

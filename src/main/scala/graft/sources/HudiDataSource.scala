@@ -28,22 +28,37 @@ import scala.jdk.CollectionConverters._
 class HudiDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "hudi-graft"
 
+  // one provider instance serves one read operation: reuse the table handle
+  // built for inferSchema when getTable follows (freshness is per-read, as
+  // Spark instantiates a new provider per load)
+  @volatile private var cached: Option[(String, HudiTable)] = None
+
   private def basePath(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("hudi-graft requires a path"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    HudiTable(SparkSession.active, basePath(options)).tableSchema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = basePath(options)
+    val t = HudiTable(SparkSession.active, path)
+    cached = Some((path, t))
+    t.tableSchema
+  }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GraftTable(properties.get("path"), schema)
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    new GraftTable(path, schema, cached.collect { case (p, t) if p == path => t })
+  }
 }
 
-class GraftTable(path: String, declaredSchema: StructType) extends Table with SupportsRead {
-  private lazy val hudi = HudiTable(SparkSession.active, path)
+class GraftTable(
+    path: String,
+    declaredSchema: StructType,
+    prebuilt: Option[HudiTable] = None
+) extends Table with SupportsRead {
+  private lazy val hudi = prebuilt.getOrElse(HudiTable(SparkSession.active, path))
 
   override def name(): String = s"hudi-graft.`$path`"
   override def schema(): StructType =
