@@ -72,6 +72,32 @@ object LogFileWriter {
       Seq(LogFormat.KeyInstantTime -> instantTime, LogFormat.KeySchema -> schema.toString), content.toByteArray)
   }
 
+  /** CDC data block: identical content layout to an avro data block
+    * (HoodieCDCDataBlock extends HoodieAvroDataBlock), block type 6.
+    */
+  def cdcDataBlock(
+      out: DataOutputStream,
+      instantTime: String,
+      schema: AvroSchema,
+      records: Seq[GenericRecord]
+  ): Unit = {
+    val content = new ByteArrayOutputStream()
+    val c = new DataOutputStream(content)
+    c.writeInt(LogFormat.BlockVersionV3)
+    c.writeInt(records.size)
+    val writer = new GenericDatumWriter[GenericRecord](schema)
+    for (r <- records) {
+      val rec = new ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(rec, null)
+      writer.write(r, enc)
+      enc.flush()
+      c.writeInt(rec.size())
+      c.write(rec.toByteArray)
+    }
+    writeBlock(out, LogFormat.CdcDataBlock,
+      Seq(LogFormat.KeyInstantTime -> instantTime, LogFormat.KeySchema -> schema.toString), content.toByteArray)
+  }
+
   /** Delete block: (recordKey, partitionPath, orderingVal) triples.
     * orderingVal must be null / Int / Long / Float / Double / String.
     */

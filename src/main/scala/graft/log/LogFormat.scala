@@ -237,7 +237,10 @@ object LogFileParser {
 
   private def decode(blockType: Int, header: Map[Int, String], content: Array[Byte]): LogBlock =
     blockType match {
-      case LogFormat.AvroDataBlock =>
+      // CDC data blocks share the avro data-block content layout
+      // (HoodieCDCDataBlock extends HoodieAvroDataBlock) and count as
+      // record blocks in the reference scanner (scanner.rs:175-182)
+      case LogFormat.AvroDataBlock | LogFormat.CdcDataBlock =>
         val schemaJson = header.getOrElse(LogFormat.KeySchema,
           throw new IllegalStateException("Avro data block without Schema header"))
         val schema = new AvroSchema.Parser().parse(schemaJson)

@@ -40,7 +40,7 @@ object RowAlign {
 
   /** All data rows of a block, aligned to `target`. */
   def blockRows(b: LogBlock, target: StructType): Iterator[Row] = b.blockType match {
-    case LogFormat.AvroDataBlock =>
+    case LogFormat.AvroDataBlock | LogFormat.CdcDataBlock =>
       val avro = b.dataSchema.get
       b.dataRecords.iterator.map(fromAvro(_, avro, target))
     case LogFormat.ParquetDataBlock =>

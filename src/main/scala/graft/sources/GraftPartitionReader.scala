@@ -34,7 +34,8 @@ class GraftReaderFactory(
     partitionSchemaJson: Option[String] = None,
     hiveStyle: Boolean = false,
     urlEncoded: Boolean = false,
-    columnar: Boolean = false
+    columnar: Boolean = false,
+    populatesMetaFields: Boolean = true
 ) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
@@ -43,7 +44,7 @@ class GraftReaderFactory(
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.slice, readFn, widenedJson, requiredJson,
       orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs), p.commitStart,
-      partitionSchemaJson, hiveStyle, urlEncoded)
+      partitionSchemaJson, hiveStyle, urlEncoded, populatesMetaFields)
   }
 
   override def createColumnarReader(
@@ -151,7 +152,8 @@ class GraftPartitionReader(
     commitStart: Option[String] = None,
     partitionSchemaJson: Option[String] = None,
     hiveStyle: Boolean = false,
-    urlEncoded: Boolean = false
+    urlEncoded: Boolean = false,
+    populatesMetaFields: Boolean = true
 ) extends PartitionReader[InternalRow] {
 
   private val widened = DataType.fromJson(widenedJson).asInstanceOf[StructType]
@@ -173,12 +175,15 @@ class GraftPartitionReader(
   }
 
   /** Incremental / streaming micro-batches carry a `(start, end]` commit
-    * range: the P5 row filter applied to the widened rows pre-projection
-    * (file_group/reader.rs:652-701).
+    * range: the P5 row filter applied to the widened rows pre-projection —
+    * but only when the table populates meta fields; without them every
+    * `_hoodie_commit_time` is null and the mask would drop all rows
+    * (file_group/reader.rs:652-701 gates identically).
     */
   private def commitRangeFilter(it: Iterator[InternalRow]): Iterator[InternalRow] =
     commitStart match {
       case None => it
+      case Some(_) if !populatesMetaFields => it
       case Some(start) =>
         val startU = UTF8String.fromString(start)
         val endU = endTs.map(UTF8String.fromString)
@@ -286,7 +291,8 @@ class GraftPartitionReader(
     val dels = mutable.HashMap.empty[String, DeleteInfo]
     val all = mutable.ArrayBuffer.empty[InternalRow]
     for (b <- blocks) {
-      if (b.blockType == LogFormat.AvroDataBlock || b.blockType == LogFormat.ParquetDataBlock) {
+      if (b.blockType == LogFormat.AvroDataBlock || b.blockType == LogFormat.ParquetDataBlock ||
+          b.blockType == LogFormat.CdcDataBlock) {
         for (ext <- graft.log.RowAlign.blockRows(b, widened)) {
           val row = toCatalyst(ext).asInstanceOf[InternalRow]
           if (appendOnly) all += row

@@ -272,7 +272,8 @@ class GraftScan(
       if (partitionSchema.isEmpty) None else Some(partitionSchema.json),
       hudi.config.isHiveStylePartitioning,
       hudi.config.isPartitionPathUrlencoded,
-      columnar)
+      columnar,
+      hudi.config.populatesMetaFields)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

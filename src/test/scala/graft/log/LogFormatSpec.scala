@@ -96,4 +96,28 @@ class LogFormatSpec extends AnyFunSuite {
     val decoded = DeleteRecordCodec.decode(bytes)
     assert(decoded == deletes.toVector)
   }
+
+  test("cdc data block decodes as record data (no silent loss)") {
+    // scanner.rs:175-182 counts BlockType::CdcData among record blocks;
+    // the content layout matches an avro data block
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"int"},{"name":"v","type":"string"}]}""".stripMargin)
+    val recs = Seq((7, "before"), (8, "after")).map { case (i, s) =>
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      r.put("id", i); r.put("v", s); r
+    }
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    LogFileWriter.cdcDataBlock(out, "20240101000000000", schema, recs)
+    out.close()
+    val blocks = LogFileParser.parse(bos.toByteArray, InstantRange.all)
+    assert(blocks.size == 1 && blocks.head.blockType == LogFormat.CdcDataBlock)
+    assert(blocks.head.dataRecords.map(_.get("id")) == Vector(7, 8))
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val rows = RowAlign.blockRows(blocks.head, target).toVector
+    assert(rows.map(r => (r.getInt(0), r.getString(1))) == Vector((7, "before"), (8, "after")))
+  }
 }

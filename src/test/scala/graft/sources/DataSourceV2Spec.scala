@@ -175,6 +175,19 @@ class DataSourceV2Spec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet
     // ALL 4 versions survive: append-only never collapses by key
     assert(rows == Set((1, "a"), (2, "b"), (3, "c"), (1, "a2")))
+
+    // incremental through the connector: without meta fields the commit-time
+    // row mask must be skipped (file_group/reader.rs:652-701), not null out
+    // every row — the range-bounded log scan plus touched-file-group
+    // planning is the only filter
+    val inc = spark.read.format("hudi-graft")
+      .option("query.type", "incremental")
+      .option("start.timestamp", t1)
+      .option("end.timestamp", t2)
+      .load(base.toString)
+      .select("id", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(inc.nonEmpty, "no-metafields incremental must not drop all rows")
+    assert(inc.contains((3, "c")) && inc.contains((1, "a2")))
   }
 
   test("dsv2 cow scan is columnar (vectorized parquet), mor merged scan is not") {
