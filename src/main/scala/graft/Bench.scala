@@ -21,7 +21,13 @@ object Bench {
     // codegen/FileSystem init from whichever query happens to run first.
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-only iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names.contains(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -134,7 +134,6 @@ object TextOps {
   private def minhashImpl(s: SparkSession, d: String): DataFrame = {
     prep(s, d)
     val ds = s.sql(sparkDocsets)
-    ds.persist()
     ds.createOrReplaceTempView("mh_docsets")
     s.sql("SELECT doc_id, explode(shset) AS shingle FROM mh_docsets")
       .createOrReplaceTempView("mh_shingles")
@@ -152,8 +151,8 @@ object TextOps {
          |    FROM (SELECT DISTINCT shingle FROM mh_shingles)) dict
          |    ON sh.shingle = dict.shingle
          |  GROUP BY doc_id)""".stripMargin)
-    sigs.persist()
     sigs.createOrReplaceTempView("mh_sigs")
+    rotateCache("minhash", Seq(ds, sigs))
     s.sql(minhashMain("mh_docsets", "mh_sigs", "size", "array_intersect"))
   }
 
@@ -171,32 +170,96 @@ object TextOps {
     */
   private val maxDf = 64
 
-  private def blockedJaccardSql(
-      docsets: String, explodeShingles: String, sizeFn: String, intersectFn: String): String =
-    s"""WITH docsets AS ($docsets),
-       |shingles AS ($explodeShingles),
-       |with_df AS (
-       |  SELECT doc_id, lang, source, shingle,
-       |    COUNT(1) OVER (PARTITION BY lang, source, shingle) AS df
-       |  FROM shingles),
+  /** Main phase over (docsets, shingles) relation names, so the Spark side
+    * can hand it PERSISTED temp views (the exploded corpus is scanned by
+    * both the df aggregate and the self-join — Spark inlines CTEs, so an
+    * un-cached formulation tokenizes the corpus 3x) while DuckDB inlines
+    * the same text as CTEs.
+    *
+    * The hot set (df > [[maxDf]]) comes from a map-side-combinable GROUP BY
+    * and is tiny by construction, so Spark's AQE broadcasts the anti-join:
+    * the corpus is never shuffled just to learn document frequencies (the
+    * round-2 `COUNT OVER (PARTITION BY ... shingle)` window shuffled the
+    * whole exploded corpus and pinned each hot shingle on one task).
+    */
+  private def blockedJaccardMain(
+      docsetsRef: String, shinglesRef: String, sizeFn: String, intersectFn: String): String =
+    s"""WITH hot AS (
+       |  SELECT lang, source, shingle
+       |  FROM $shinglesRef GROUP BY lang, source, shingle
+       |  HAVING COUNT(1) > $maxDf),
+       |rare AS (
+       |  SELECT s.doc_id, s.lang, s.source, s.shingle
+       |  FROM $shinglesRef s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |    WHERE h.lang = s.lang AND h.source = s.source
+       |      AND h.shingle = s.shingle)),
        |candidates AS (
        |  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
-       |  FROM with_df sa
-       |  JOIN with_df sb ON sa.lang = sb.lang AND sa.source = sb.source
-       |    AND sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-       |  WHERE sa.df <= $maxDf AND sb.df <= $maxDf),
+       |  FROM rare sa
+       |  JOIN rare sb ON sa.lang = sb.lang AND sa.source = sb.source
+       |    AND sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b,
        |    $sizeFn($intersectFn(a.shset, b.shset)) AS n_inter,
        |    $sizeFn(a.shset) AS na, $sizeFn(b.shset) AS nb
        |  FROM candidates c
-       |  JOIN docsets a ON a.doc_id = c.doc_a
-       |  JOIN docsets b ON b.doc_id = c.doc_b)
+       |  JOIN $docsetsRef a ON a.doc_id = c.doc_a
+       |  JOIN $docsetsRef b ON b.doc_id = c.doc_b)
        |SELECT doc_a, doc_b,
        |  CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
        |FROM pairs
        |WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.4
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Spark impl, procedural for explicit plan control (measured at sf0.1
+    * against the round-2 window formulation — parity cold, and no
+    * full-corpus window shuffle):
+    *  - the hot set comes from ONE map-side-combinable GROUP BY (the
+    *    exploded corpus partial-aggregates to vocabulary-sized state) and
+    *    is removed with a broadcast anti-join — a narrow map-side filter,
+    *    so a hot shingle never lands k² rows on one task;
+    *  - the candidate self-join's two branches are identical subplans, so
+    *    ReuseExchange shuffles the rare relation once;
+    *  - verification broadcasts the per-doc array relation and streams the
+    *    candidate pairs — the array-laden rows are never shuffled (a
+    *    shuffle here moved GBs of duplicated arrays and dominated wall
+    *    time in a staged variant).
+    * Only `docsets` persists, rotated via [[rotateCache]].
+    */
+  private def ngramImpl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    prep(s, d)
+    val docsets = s.sql(sparkDocsetsBlocked)
+    rotateCache("ngram", Seq(docsets))
+    val shingles = docsets.selectExpr("doc_id", "lang", "source", "explode(shset) AS shingle")
+    val key = Seq("lang", "source", "shingle")
+    val hot = shingles.groupBy(key.map(col): _*).count()
+      .filter(col("count") > maxDf).drop("count")
+    val rare = shingles.join(broadcast(hot), key, "left_anti")
+      // explode+anti-join wreck the size estimate: without the hint Spark
+      // broadcasts the whole exploded corpus into the self-join build side
+      .hint("shuffle_hash")
+    val cand = rare.as("sa").join(rare.as("sb"),
+      col("sa.lang") === col("sb.lang") && col("sa.source") === col("sb.source") &&
+        col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b")).distinct()
+    val jaccard = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
+    cand
+      .join(broadcast(docsets.as("a")), col("a.doc_id") === col("doc_a"))
+      .join(broadcast(docsets.as("b")), col("b.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("a.shset"), col("b.shset"))).as("n_inter"),
+        size(col("a.shset")).as("na"), size(col("b.shset")).as("nb"))
+      .filter(jaccard >= 0.4)
+      .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def ngramOracle: String =
+    s"""WITH docsets AS ($duckDocsetsBlocked),
+       |shingles AS ($duckExplodeBlocked),
+       |${blockedJaccardMain("docsets", "shingles", "len", "list_intersect").replaceFirst("WITH ", "")}""".stripMargin
 
   private val sparkDocsetsBlocked: String =
     "SELECT doc_id, lang, source, graft_shingles(text, 5) AS shset FROM documents"
@@ -207,10 +270,20 @@ object TextOps {
       |                   i -> substring(text, i, 5))) AS shset
       |FROM documents""".stripMargin
 
-  private val sparkExplodeBlocked: String =
-    "SELECT doc_id, lang, source, explode(shset) AS shingle FROM docsets"
   private val duckExplodeBlocked: String =
     "SELECT doc_id, lang, source, UNNEST(shset) AS shingle FROM docsets"
+
+  /** Bounded per-query persist rotation: each invocation caches its working
+    * relations and unpersists the previous invocation's (fixes the round-2
+    * leak where minhash caches accumulated for the session's lifetime —
+    * at most one generation per query key stays cached).
+    */
+  private val cacheRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
+  private def rotateCache(key: String, dfs: Seq[DataFrame]): Unit = {
+    cacheRegistry.put(key, dfs).foreach(_.foreach(_.unpersist(false)))
+    dfs.foreach(_.persist())
+  }
 
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
@@ -351,11 +424,7 @@ object TextOps {
     ),
 
     // --- blocked exact n-gram Jaccard near-dup ------------------------------
-    "dedup_ngram_jaccard" -> QueryDef(
-      (s, d) => sq(s, d, blockedJaccardSql(
-        sparkDocsetsBlocked, sparkExplodeBlocked, "size", "array_intersect")),
-      blockedJaccardSql(duckDocsetsBlocked, duckExplodeBlocked, "len", "list_intersect")
-    ),
+    "dedup_ngram_jaccard" -> QueryDef(ngramImpl _, Some(ngramOracle)),
 
     // --- MinHash + LSH banding near-dup -------------------------------------
     "dedup_minhash_lsh" -> QueryDef(minhashImpl _, Some(minhashOracle))
