@@ -82,6 +82,17 @@ final class FilePruner(filters: Seq[PartitionFilter], schema: StructType, conf: 
     Option(v).map(_.asInstanceOf[Comparable[Any]])
   }
 
+  /** Concurrent footer pruning over many candidate files: one small ranged
+    * read each, latency-bound on object stores — issue them on a bounded
+    * pool instead of serially on the driver (the reference prunes footers
+    * concurrently in its async fs-view; round-2's serial loop was a
+    * planning bottleneck at 50k files).
+    */
+  def filterIncluded[A](items: Seq[A], parallelism: Int = 16)(fileOf: A => BaseFile): Seq[A] =
+    if (isTrivial) items
+    else graft.util.Parallel.map(items, parallelism)(a => (a, shouldInclude(fileOf(a))))
+      .collect { case (a, true) => a }
+
   /** Whether `file` may contain matching rows (fail-open). */
   def shouldInclude(file: BaseFile): Boolean = {
     if (isTrivial) return true

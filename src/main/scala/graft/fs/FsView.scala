@@ -24,24 +24,41 @@ final class FsView(
   private val fs = base.getFileSystem(hadoopConf)
   private val layoutV2 = config.tableVersion >= 8
 
+  /** Planning-I/O concurrency (the reference's
+    * `hoodie.plan.listing.parallelism`, config/plan.rs:59).
+    */
+  private val listingParallelism: Int =
+    config.getOrElse("hoodie.plan.listing.parallelism", "16").toIntOption.getOrElse(16)
+
   /** Leaf partition paths (relative, "" for non-partitioned), discovered by
-    * walking the table dir and skipping dot-dirs like `.hoodie`
-    * (listing.rs:40-60).
+    * a level-parallel walk of the table dir, skipping dot-dirs like
+    * `.hoodie` (listing.rs:40-60): each BFS level lists its directories
+    * concurrently, so wall time is O(depth x dirs-per-level / parallelism)
+    * instead of one round-trip per directory.
     */
   lazy val partitionPaths: Vector[String] = {
     val out = Vector.newBuilder[String]
-    def walk(dir: Path, rel: String): Unit = {
-      val entries = fs.listStatus(dir)
-      val subdirs = entries.filter(e => e.isDirectory && !e.getPath.getName.startsWith("."))
-      val hasFiles = entries.exists(e => e.isFile && !e.getPath.getName.startsWith(".hoodie_partition"))
-      if (subdirs.isEmpty) { if (rel.nonEmpty || hasFiles) out += rel }
-      else {
-        // mixed dirs (files + subdirs) only occur for non-partitioned roots
-        subdirs.foreach(d => walk(d.getPath, if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}"))
+    var frontier = Vector((base, ""))
+    while (frontier.nonEmpty) {
+      val listed = graft.util.Parallel.map(frontier, listingParallelism) {
+        case (dir, rel) => (rel, fs.listStatus(dir))
+      }
+      frontier = listed.flatMap { case (rel, entries) =>
+        val subdirs = entries.filter(e => e.isDirectory && !e.getPath.getName.startsWith("."))
+        val hasFiles = entries.exists(e => e.isFile && !e.getPath.getName.startsWith(".hoodie_partition"))
+        if (subdirs.isEmpty) {
+          if (rel.nonEmpty || hasFiles) out += rel
+          Vector.empty
+        } else {
+          // mixed dirs (files + subdirs) only occur for non-partitioned roots
+          subdirs.toVector.map(d =>
+            (d.getPath, if (rel.isEmpty) d.getPath.getName else s"$rel/${d.getPath.getName}"))
+        }
       }
     }
-    walk(base, "")
-    out.result()
+    // listStatus order is filesystem-dependent (raw local FS returns OS
+    // order) — sort for deterministic plans
+    out.result().sorted
   }
 
   private val fileGroupCache =
@@ -116,11 +133,15 @@ final class FsView(
       pruner: PartitionPruner,
       replaced: Map[String, Set[String]],
       pick: FileGroup => Option[FileSlice]
-  ): Vector[FileSlice] =
-    partitionPaths
-      .filter(pruner.shouldInclude)
-      .flatMap { p =>
-        val excluded = replaced.getOrElse(p, Set.empty)
-        fileGroups(p).filterNot(fg => excluded.contains(fg.fileId)).flatMap(pick(_))
-      }
+  ): Vector[FileSlice] = {
+    val pruned = partitionPaths.filter(pruner.shouldInclude)
+    // warm the file-group cache with concurrent per-partition listings
+    // (the reference's parallel fs-view population); the flatMap below is
+    // then pure in-memory assembly in deterministic partition order
+    graft.util.Parallel.map(pruned.filterNot(fileGroupCache.containsKey), listingParallelism)(fileGroups)
+    pruned.flatMap { p =>
+      val excluded = replaced.getOrElse(p, Set.empty)
+      fileGroups(p).filterNot(fg => excluded.contains(fg.fileId)).flatMap(pick(_))
+    }
+  }
 }

@@ -180,8 +180,7 @@ class GraftScan(
         // the reference's safety gate at table/mod.rs:486-491)
         if (planned.forall(!_.hasLogFiles) && simpleFilters.nonEmpty) {
           val filePruner = new graft.fs.FilePruner(simpleFilters, hudi.tableSchema, hudi.hadoopConf)
-          if (filePruner.isTrivial) planned
-          else planned.filter(s => filePruner.shouldInclude(s.baseFile))
+          filePruner.filterIncluded(planned)(_.baseFile).toVector
         } else planned
     }
   }

@@ -1,0 +1,52 @@
+package graft.fs
+
+import graft.core.{HoodieConfig, Timeline}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parallel planning-I/O coverage: the level-parallel partition walk and
+  * concurrent per-partition listing must produce the same view as a
+  * sequential walk (order included — `collect` emits deterministic
+  * partition order regardless of listing concurrency).
+  */
+class FsViewSpec extends AnyFunSuite {
+
+  private val conf = new Configuration()
+
+  test("parallel walk discovers a two-level partition tree deterministically") {
+    val base = new Path("/root/repo/target/fixtures/fsview_parallel")
+    val fs = FileSystem.get(conf)
+    fs.delete(base, true)
+    fs.mkdirs(new Path(base, ".hoodie"))
+    val ts = "20240101000000000"
+    val props =
+      """hoodie.table.name=fsview_parallel
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.plan.listing.parallelism=8
+        |""".stripMargin
+    val o = fs.create(new Path(base, ".hoodie/hoodie.properties"), true)
+    o.write(props.getBytes("UTF-8")); o.close()
+    val c = fs.create(new Path(base, s".hoodie/$ts.commit"), true)
+    c.write("{}".getBytes("UTF-8")); c.close()
+
+    val expected = (for (a <- 1 to 5; b <- 1 to 4) yield s"a=$a/b=$b").sorted
+    for ((p, i) <- expected.zipWithIndex) {
+      val dir = new Path(base, p)
+      fs.mkdirs(dir)
+      val name = f"00000000-0000-0000-0000-$i%012d-0_0-0-0_$ts.parquet"
+      val f = fs.create(new Path(dir, name), true)
+      f.write(Array[Byte](1, 2, 3)); f.close()
+    }
+
+    val config = HoodieConfig.load(base.toString, conf)
+    val timeline = new Timeline(base.toString, config, conf)
+    val view = new FsView(base.toString, config, timeline, conf)
+    assert(view.partitionPaths.sorted == expected.toVector)
+    val slices = view.slicesAsOf(ts)
+    assert(slices.size == 20)
+    assert(slices.map(_.partitionPath) == slices.map(_.partitionPath).sorted,
+      "collect must emit deterministic partition order")
+  }
+}
