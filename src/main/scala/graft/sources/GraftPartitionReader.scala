@@ -35,24 +35,70 @@ class GraftReaderFactory(
     hiveStyle: Boolean = false,
     urlEncoded: Boolean = false,
     columnar: Boolean = false,
-    populatesMetaFields: Boolean = true
+    populatesMetaFields: Boolean = true,
+    limit: Option[Int] = None
 ) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.slice, readFn, widenedJson, requiredJson,
-      orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs), p.commitStart,
-      partitionSchemaJson, hiveStyle, urlEncoded, populatesMetaFields)
+    val chained = new ChainedPartitionReader[InternalRow](p.slices.map(sl => () =>
+      new GraftPartitionReader(sl, readFn, widenedJson, requiredJson,
+        orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs), p.commitStart,
+        partitionSchemaJson, hiveStyle, urlEncoded, populatesMetaFields)))
+    limit.fold(chained: PartitionReader[InternalRow])(new LimitedPartitionReader(chained, _))
   }
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftColumnarReader(p.slice, readFn, widenedJson, requiredJson,
-      partitionSchemaJson, hiveStyle, urlEncoded)
+    // no batch truncation for a pushed limit: Spark's own limit stops
+    // pulling batches, which bounds work without slicing vectors
+    new ChainedPartitionReader(p.slices.map(sl => () =>
+      new GraftColumnarReader(sl, readFn, widenedJson, requiredJson,
+        partitionSchemaJson, hiveStyle, urlEncoded)))
   }
+}
+
+/** Sequential composition of per-slice readers — one InputPartition holds
+  * a CHUNK of slices (table/mod.rs:69-86 split_into_chunks), so task count
+  * stays bounded on many-slice tables. Sub-readers are created lazily and
+  * closed as soon as they drain.
+  */
+class ChainedPartitionReader[T](parts: Seq[() => PartitionReader[T]]) extends PartitionReader[T] {
+  private var idx = 0
+  private var cur: PartitionReader[T] = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (idx >= parts.size) return false
+        cur = parts(idx)()
+        idx += 1
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false
+  }
+
+  override def get(): T = cur.get()
+
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+}
+
+/** Pushed-limit row budget (L1, hudi_exec.rs:127-168): stop the partition
+  * after `limit` rows — Spark's global limit still applies above (partial
+  * pushdown contract).
+  */
+class LimitedPartitionReader(inner: PartitionReader[InternalRow], limit: Int)
+    extends PartitionReader[InternalRow] {
+  private var seen = 0
+  override def next(): Boolean = seen < limit && inner.next() && { seen += 1; true }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
 }
 
 /** Typed partition-value parsing shared by the row and columnar readers:

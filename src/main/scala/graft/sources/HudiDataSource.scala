@@ -76,22 +76,85 @@ class GraftTable(
   }
 }
 
-/** Pushdown surface (D2): every filter is returned as a residual (the
-  * reference classifies only partition-equality conjuncts Exact and keeps
-  * a residual FilterExec otherwise — lib.rs:426-578; we keep Spark's
-  * re-application for all of them, which is always correct), while
-  * partition filters additionally drive driver-side pruning and the rest
-  * reach the parquet reader for row-group/page skipping on base-only scans.
+/** Pushdown surface (D2), matching the reference's Exact/Inexact contract
+  * (lib.rs:426-578, 885-901): partition-equality conjuncts are classified
+  * Exact — consumed by driver-side partition pruning and dropped from the
+  * residuals so Spark plans no redundant re-filter — but ONLY when pruning
+  * is provably authoritative (every listed partition path parses, the
+  * literal casts, and no keygen transform rewrites filters). Everything
+  * else stays residual (always-correct Inexact), while still driving
+  * best-effort pruning and parquet row-group skipping.
   */
 class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  /** Partition fields whose equality filters pruning handles EXACTLY:
+    * requires no timestamp-keygen rewrite and that every partition path
+    * parses with the field present (the pruner fails open on parse errors,
+    * which would leak rows if the residual were dropped).
+    */
+  private lazy val exactPruningReady: Boolean =
+    hudi.config.partitionFields.nonEmpty &&
+      graft.fs.TimestampKeyGen.fromConfig(hudi.config).isEmpty && {
+        val pruner = hudi.prunerFor(Nil)
+        val fields = hudi.config.partitionFields.toSet
+        try hudi.fsView.partitionPaths.forall(p =>
+          pruner.parseSegments(p).exists(m => fields.forall(m.contains)))
+        catch { case _: Exception => false }
+      }
+
+  private def partitionType(field: String): String =
+    hudi.tableSchema.fields.find(_.name == field).map(_.dataType.typeName).getOrElse("string") match {
+      case "integer" | "short" | "byte" => "int"
+      case "long" => "long"
+      case "double" | "float" => "double"
+      case "date" => "date"
+      case _ => "string"
+    }
+
+  private def literalParses(field: String, v: Any): Boolean =
+    v != null && (partitionType(field) match {
+      case "int" => String.valueOf(v).toIntOption.isDefined
+      case "long" => String.valueOf(v).toLongOption.isDefined
+      case "double" => String.valueOf(v).toDoubleOption.isDefined
+      case "date" =>
+        try { java.time.LocalDate.parse(String.valueOf(v)); true }
+        catch { case _: Exception => false }
+      case _ => true
+    })
+
+  private def isExactPartitionEquality(f: Filter): Boolean = {
+    val partFields = hudi.config.partitionFields.toSet
+    f match {
+      case sources.EqualTo(a, v) =>
+        partFields.contains(a) && literalParses(a, v)
+      case sources.In(a, vs) =>
+        partFields.contains(a) && vs.nonEmpty && vs.forall(literalParses(a, _))
+      case _ => false
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    filters // all residual (Inexact contract)
+    if (!exactPruningReady) filters
+    else {
+      val exactFields = filters.collect {
+        case f @ sources.EqualTo(a, _) if isExactPartitionEquality(f) => a
+        case f @ sources.In(a, _) if isExactPartitionEquality(f) => a
+      }.toSet
+      filters.filterNot {
+        case f if isExactPartitionEquality(f) => true
+        // the analyzer's companion null guard: implied by an exact
+        // equality on the same field (surviving partitions parsed a value)
+        case sources.IsNotNull(a) => exactFields.contains(a)
+        case _ => false
+      }
+    }
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -99,11 +162,16 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** L1 (hudi_exec.rs:127-168): per-partition row-budget truncation; Spark
+    * keeps its own global limit above (partial pushdown contract).
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
   override def build(): Scan = {
     val partFields = hudi.config.partitionFields.toSet
     val simple = pushed.flatMap(toSimpleFilter).toSeq
     val partitionFilters = simple.filter(f => partFields.contains(f.field))
-    new GraftScan(hudi, required, partitionFilters, simple, pushed, options)
+    new GraftScan(hudi, required, partitionFilters, simple, pushed, options, limit)
   }
 
   private def toSimpleFilter(f: Filter): Option[PartitionFilter] = {
@@ -127,7 +195,8 @@ class GraftScan(
     partitionFilters: Seq[PartitionFilter],
     simpleFilters: Seq[PartitionFilter],
     parquetFilters: Array[Filter],
-    options: CaseInsensitiveStringMap
+    options: CaseInsensitiveStringMap,
+    limit: Option[Int] = None
 ) extends Scan with Batch with SupportsReportStatistics {
 
   private val spark = hudi.spark
@@ -195,11 +264,33 @@ class GraftScan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(this, hudi)
 
+  /** Chunk slices into ~`input.partitions` tasks (table/mod.rs:69-86
+    * `split_into_chunks`; option per config/read.rs InputPartitions,
+    * default = cluster default parallelism): a 100k-small-slice table must
+    * not make 100k tasks. Greedy size-balanced binning — largest slice to
+    * the least-loaded bin — keeps task skew bounded.
+    */
+  private def chunked: Vector[Seq[FileSlice]] = {
+    val target = Option(options.get("input.partitions")).flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(math.max(spark.sparkContext.defaultParallelism, 1))
+    if (slices.size <= target) slices.map(Seq(_))
+    else {
+      val bins = Vector.fill(target)(scala.collection.mutable.ArrayBuffer.empty[FileSlice])
+      val loads = Array.fill(target)(0L)
+      for (s <- slices.sortBy(sl => -(sl.baseFile.size + sl.logFiles.map(_.size).sum))) {
+        val i = loads.indices.minBy(loads)
+        bins(i) += s
+        loads(i) += s.baseFile.size + s.logFiles.map(_.size).sum
+      }
+      bins.filter(_.nonEmpty).map(_.toSeq)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     if (isIncremental) {
       val e = endTs.orElse(hudi.timeline.latestCommitTimestamp)
-      slices.map(s => GraftInputPartition(s, startTs, e): InputPartition).toArray
-    } else slices.map(s => GraftInputPartition(s): InputPartition).toArray
+      chunked.map(ss => GraftInputPartition(ss, startTs, e): InputPartition).toArray
+    } else chunked.map(ss => GraftInputPartition(ss): InputPartition).toArray
 
   /** Factory shared by batch and streaming; `withCommitCol` forces the
     * commit-time column into the widened schema (streaming micro-batches
@@ -254,9 +345,13 @@ class GraftScan(
       requiredSchema = delegateRequired,
       // filters must NOT reach the base scan of a merged read: a base row
       // can lose to a log update that matches the predicate. Log-free
-      // scans get them for row-group/page skipping.
-      filters = if (hudi.isMor && !readOptimized && !candidateColumnar) Nil
-                else parquetFilters.toIndexedSeq,
+      // scans get them for row-group/page skipping — but only filters
+      // whose columns survive projection pruning: parquet-mr evaluates
+      // predicates on unprojected columns as null and would drop every
+      // row (an Exact partition filter prunes its column from `required`)
+      filters = (if (hudi.isMor && !readOptimized && !candidateColumnar) Nil
+                 else parquetFilters.toIndexedSeq)
+        .filter(_.references.forall(delegateRequired.fieldNames.contains)),
       options = Map("returning_batch" -> columnar.toString),
       hadoopConf = hadoopConf)
 
@@ -272,7 +367,8 @@ class GraftScan(
       hudi.config.isHiveStylePartitioning,
       hudi.config.isPartitionPathUrlencoded,
       columnar,
-      hudi.config.populatesMetaFields)
+      hudi.config.populatesMetaFields,
+      limit)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -295,7 +391,7 @@ class GraftScan(
 }
 
 final case class GraftInputPartition(
-    slice: FileSlice,
+    slices: Seq[FileSlice],
     commitStart: Option[String] = None,
     commitEnd: Option[String] = None
 ) extends InputPartition
@@ -333,7 +429,7 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
     val t = freshTable
     val startOpt = if (s == earliest) None else Some(s)
     t.fsView.slicesBetween(startOpt, e)
-      .map(sl => GraftInputPartition(sl, startOpt, Some(e)): InputPartition)
+      .map(sl => GraftInputPartition(Seq(sl), startOpt, Some(e)): InputPartition)
       .toArray
   }
 

@@ -101,7 +101,7 @@ final class HudiTable(
 
   private def orderingField: Option[String] = config.orderingFields.headOption
 
-  private def pruner(filters0: Seq[PartitionFilter]): PartitionPruner = {
+  private[graft] def prunerFor(filters0: Seq[PartitionFilter]): PartitionPruner = {
     // P3: strict validation — filters naming unknown columns are an error
     // (reference validate_fields_against_schemas, expr/filter.rs:204-222)
     val known = tableSchema.fieldNames.toSet
@@ -142,7 +142,7 @@ final class HudiTable(
     endOpt match {
       case None => LogScan.emptyDf(spark, tableSchema)
       case Some(end) =>
-        val slices0 = fsView.slicesAsOf(end, pruner(partitionFilters))
+        val slices0 = fsView.slicesAsOf(end, prunerFor(partitionFilters))
         val slices = if (readOptimized) slices0.map(_.withoutLogs) else slices0
         readSlices(slices, InstantRange.upTo(end), commitRange = None)
     }
@@ -198,7 +198,7 @@ final class HudiTable(
         // P6: per-partition scan with the partition values re-injected as
         // typed literals (the columns are not in the files)
         val fileSchema = StructType(schema.fields.filterNot(f => droppedPartitionFields.contains(f.name)))
-        val parse = pruner(Nil)
+        val parse = prunerFor(Nil)
         slices.groupBy(_.partitionPath).toSeq.sortBy(_._1).map { case (p, ss) =>
           val vals = parse.parseSegments(p).getOrElse(Map.empty)
           val df = spark.read.schema(fileSchema).parquet(ss.map(_.baseFile.path): _*)

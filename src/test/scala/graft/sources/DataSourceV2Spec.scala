@@ -216,6 +216,47 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(rows.sorted.toSeq == exp.sorted.toSeq && rows.nonEmpty)
   }
 
+  test("dsv2 exact partition-equality pushdown drops the residual filter") {
+    assume(cowV6.isDefined)
+    import org.apache.spark.sql.execution.FilterExec
+    // partition-equality conjunct: pruning is authoritative, no re-filter
+    val exact = load(cowV6.get).filter(col("byteField") === 10)
+    val exactFilters = exact.queryExecution.executedPlan.collect { case f: FilterExec => f }
+    assert(exactFilters.isEmpty,
+      s"partition equality must be Exact (no FilterExec), got: $exactFilters")
+    assert(exact.select("id").collect().map(_.getInt(0)).toSet == Set(1, 3))
+    // non-partition conjunct stays residual (Inexact)
+    val inexact = load(cowV6.get).filter(col("name") === "Alice")
+    val residuals = inexact.queryExecution.executedPlan.collect { case f: FilterExec => f }
+    assert(residuals.nonEmpty, "row-level predicates must keep the residual FilterExec")
+    assert(inexact.select("id").collect().map(_.getInt(0)).toSet == Set(1))
+  }
+
+  test("dsv2 chunks slices into bounded input partitions") {
+    val sf = "/root/testdata/sf0.001"
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sf)
+    val path = graft.fixtures.HudiFixtureBuilder.cowPath(sf)
+    val all = load(path)
+    val allRows = all.count()
+    val chunked = spark.read.format("hudi-graft")
+      .option("input.partitions", "4")
+      .load(path)
+    assert(chunked.rdd.getNumPartitions <= 4)
+    assert(chunked.count() == allRows)
+    assert(chunked.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq ==
+      all.select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("dsv2 limit pushdown bounds rows per partition") {
+    val sf = "/root/testdata/sf0.001"
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sf)
+    val path = graft.fixtures.HudiFixtureBuilder.cowPath(sf)
+    assert(load(path).limit(7).count() == 7)
+    // through chunking too
+    assert(spark.read.format("hudi-graft").option("input.partitions", "2")
+      .load(path).limit(3).collect().length == 3)
+  }
+
   test("dsv2 mor read-optimized option skips logs") {
     assume(morV8.isDefined)
     val df = spark.read.format("hudi-graft")
