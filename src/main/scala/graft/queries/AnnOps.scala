@@ -25,14 +25,36 @@ object AnnOps {
     */
   private def planeComponent = "CAST(j AS BIGINT) * 73856093 + CAST(i AS BIGINT) * 19349663"
 
+  /** The hyperplanes are CONSTANTS — the Spark side unrolls them to 16
+    * literal 64-int arrays feeding codegen'd `graft_dot` calls, instead of
+    * rebuilding the matrix per row through interpreted `transform`
+    * closures (the round-2 constant-factor hot spot). DuckDB keeps the
+    * closed-form `list_transform` text; both evaluate to the same matrix
+    * (the Scala arithmetic below is the same non-negative BIGINT
+    * expression).
+    */
+  private def planeLiteral(j: Int): String =
+    (0 until 64)
+      .map(i => s"${(j.toLong * 73856093L + i.toLong * 19349663L) % 1009L - 504L}L")
+      .mkString("array(", ",", ")")
+
+  private def sparkSigExpr(dot: String): String =
+    (0 until numPlanes)
+      .map(j => s"CASE WHEN ${dot.format("q", planeLiteral(j))} >= 0 THEN 1 ELSE 0 END")
+      .mkString("array(", ",\n      ", ")")
+
+  private def duckSigExpr(dot: String, seq64: String, seq16: String, listTransform: String): String =
+    s"""$listTransform($seq16, j ->
+       |      CASE WHEN ${dot.format("q", s"$listTransform($seq64, i -> ($planeComponent) % 1009 - 504)")} >= 0
+       |      THEN 1 ELSE 0 END)""".stripMargin
+
   /** Shared CTE prefix: quantized vectors + norms + sign-bit signatures +
     * exploded band keys, per dialect.
     */
   private def lshPrefix(
       listTransform: String,
       dot: String,
-      seq64: String,
-      seq16: String,
+      sigExpr: String,
       bandsFrom: String,
       elementAt: String
   ): String = {
@@ -44,9 +66,7 @@ object AnnOps {
        |qn AS (SELECT vec_id, q, $selfDot AS qnorm FROM qe),
        |sig AS (
        |  SELECT vec_id,
-       |    $listTransform($seq16, j ->
-       |      CASE WHEN ${dot.format("q", s"$listTransform($seq64, i -> ($planeComponent) % 1009 - 504)")} >= 0
-       |      THEN 1 ELSE 0 END) AS bits
+       |    $sigExpr AS bits
        |  FROM qn),
        |banded AS (
        |  SELECT vec_id, b,
@@ -61,13 +81,12 @@ object AnnOps {
   private def annTopkSql(
       listTransform: String,
       dot: String,
-      seq64: String,
-      seq16: String,
+      sigExpr: String,
       bandsFrom: String,
       elementAt: String
   ): String = {
     val pairDot = dot.format("a.q", "b.q")
-    s"""WITH ${lshPrefix(listTransform, dot, seq64, seq16, bandsFrom, elementAt)},
+    s"""WITH ${lshPrefix(listTransform, dot, sigExpr, bandsFrom, elementAt)},
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
        |  FROM banded a JOIN banded b
@@ -94,28 +113,12 @@ object AnnOps {
   private def lshSql(
       listTransform: String,
       dot: String,
-      seq64: String,
-      seq16: String,
+      sigExpr: String,
       bandsFrom: String, // FROM-clause fragment yielding band index b per sig row
       elementAt: String
   ): String = {
-    val selfDot = dot.format("q", "q")
     val pairDot = dot.format("a.q", "b.q")
-    def bit(k: String) = s"$elementAt(bits, $k)"
-    s"""WITH qe AS (
-       |  SELECT vec_id, $listTransform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |qn AS (SELECT vec_id, q, $selfDot AS qnorm FROM qe),
-       |sig AS (
-       |  SELECT vec_id,
-       |    $listTransform($seq16, j ->
-       |      CASE WHEN ${dot.format("q", s"$listTransform($seq64, i -> ($planeComponent) % 1009 - 504)")} >= 0
-       |      THEN 1 ELSE 0 END) AS bits
-       |  FROM qn),
-       |banded AS (
-       |  SELECT vec_id, b,
-       |    ${bit("4*b+1")} * 8 + ${bit("4*b+2")} * 4 + ${bit("4*b+3")} * 2 + ${bit("4*b+4")} AS band_key
-       |  FROM sig $bandsFrom),
+    s"""WITH ${lshPrefix(listTransform, dot, sigExpr, bandsFrom, elementAt)},
        |candidates AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM banded a JOIN banded b
@@ -137,25 +140,23 @@ object AnnOps {
   private val sparkSql: String = lshSql(
     listTransform = "transform",
     dot = sparkDot,
-    seq64 = "sequence(0, 63)",
-    seq16 = "sequence(0, 15)",
+    sigExpr = sparkSigExpr(sparkDot),
     bandsFrom = s"LATERAL VIEW explode(sequence(0, ${numBands - 1})) bt AS b",
     elementAt = "element_at")
 
   private val duckSql: String = lshSql(
     listTransform = "list_transform",
     dot = duckDot,
-    seq64 = "range(0, 64)",
-    seq16 = "range(0, 16)",
+    sigExpr = duckSigExpr(duckDot, "range(0, 64)", "range(0, 16)", "list_transform"),
     bandsFrom = s", UNNEST(range(0, $numBands)) AS bt(b)",
     elementAt = "list_extract")
 
   private val sparkAnnSql: String = annTopkSql(
-    "transform", sparkDot, "sequence(0, 63)", "sequence(0, 15)",
+    "transform", sparkDot, sparkSigExpr(sparkDot),
     s"LATERAL VIEW explode(sequence(0, ${numBands - 1})) bt AS b", "element_at")
 
   private val duckAnnSql: String = annTopkSql(
-    "list_transform", duckDot, "range(0, 64)", "range(0, 16)",
+    "list_transform", duckDot, duckSigExpr(duckDot, "range(0, 64)", "range(0, 16)", "list_transform"),
     s", UNNEST(range(0, $numBands)) AS bt(b)", "list_extract")
 
   private def run(sql: String)(s: SparkSession, d: String): DataFrame = {
