@@ -48,16 +48,21 @@ final case class TimestampKeyGen(
       value.toLongOption.map(v =>
         if (scalarUnitMillis < 0) v / -scalarUnitMillis else v * scalarUnitMillis)
     case "DATE_STRING" | "MIXED" =>
+      // reference order (timestamp_based.rs:365-402): embedded-offset
+      // parse first, then naive + input timezone, then date-only
       def viaPattern: Option[Long] = inputFormat.flatMap { fmt =>
         try {
           val f = DateTimeFormatter.ofPattern(fmt)
-          val millis =
-            try LocalDateTime.parse(value, f).atZone(inputTz).toInstant.toEpochMilli
-            catch {
-              case _: Exception =>
-                LocalDate.parse(value, f).atStartOfDay(inputTz).toInstant.toEpochMilli
-            }
-          Some(millis)
+          def withOffset =
+            try Some(java.time.OffsetDateTime.parse(value, f).toInstant.toEpochMilli)
+            catch { case _: Exception => None }
+          def naive =
+            try Some(LocalDateTime.parse(value, f).atZone(inputTz).toInstant.toEpochMilli)
+            catch { case _: Exception => None }
+          def dateOnly =
+            try Some(LocalDate.parse(value, f).atStartOfDay(inputTz).toInstant.toEpochMilli)
+            catch { case _: Exception => None }
+          withOffset.orElse(naive).orElse(dateOnly)
         } catch { case _: Exception => None }
       }
       // Hudi's Java parser accepts ISO instants (trailing 'Z') that
@@ -163,10 +168,13 @@ object TimestampKeyGen {
           case "DAYS" => 86400000L
           case _ => 1000L
         }).getOrElse(1000L) // reference default: SECONDS
+      // resolution order per timestamp_based.rs:209-230:
+      // input  = timezone → input.timezone → UTC (no-tz naive = UTC)
+      // output = timezone → output.timezone → UTC
       val inTz = key(c, "timezone").orElse(key(c, "input.timezone"))
-        .filter(_.nonEmpty).map(ZoneId.of).getOrElse(ZoneId.of("UTC"))
-      val outTz = key(c, "output.timezone")
-        .filter(_.nonEmpty).map(ZoneId.of).getOrElse(ZoneId.of("UTC"))
+        .filter(_.trim.nonEmpty).map(ZoneId.of).getOrElse(ZoneId.of("UTC"))
+      val outTz = key(c, "timezone").orElse(key(c, "output.timezone"))
+        .filter(_.trim.nonEmpty).map(ZoneId.of).getOrElse(ZoneId.of("UTC"))
       TimestampKeyGen(
         sourceField = source,
         timestampType = tsType,
