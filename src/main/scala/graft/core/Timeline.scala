@@ -216,4 +216,103 @@ final class Timeline(
       val md = commitMetadata(i)
       Option(md.path("extraMetadata").path("schema").asText(null)).filter(_.nonEmpty)
     }.nextOption()
+
+  // ---- T4: archived timeline ---------------------------------------------
+
+  /** Whether archived-timeline reads are enabled
+    * (`hoodie.internal.timeline.archived.enabled`, default false —
+    * config/internal.rs:60-84).
+    */
+  def archivedReadEnabled: Boolean =
+    config.getOrElse("hoodie.internal.timeline.archived.enabled", "false").toBoolean
+
+  /** v1 archived instants from the archive folder
+    * (`hoodie.archivelog.folder`, default `.hoodie/archived`): list the dir
+    * and keep files that parse as instants — the reference's V1Archived
+    * loader behavior (loader.rs load_archived_instants; its v8 LSM-history
+    * reader is an explicit TODO returning empty, mirrored here).
+    */
+  def archivedInstants: Vector[HoodieInstant] = {
+    if (config.tableVersion >= 8) return Vector.empty // V2Archived: reference TODO
+    val folder = config.getOrElse("hoodie.archivelog.folder", ".hoodie/archived")
+    val dir = if (folder.startsWith(".hoodie")) new Path(basePath, folder)
+              else new Path(new Path(basePath, ".hoodie"), folder)
+    val fs = dir.getFileSystem(hadoopConf)
+    if (!fs.exists(dir)) Vector.empty
+    else
+      fs.listStatus(dir).iterator
+        .filter(_.isFile)
+        .flatMap(st => HoodieInstant.parse(st.getPath.getName))
+        .filter(_.isCompleted)
+        .toVector
+        .sortBy(i => (i.timestamp, i.action))
+  }
+
+  /** Time-filtered instant selection including archived history when BOTH
+    * gates hold: a time filter is present AND archived reads are enabled
+    * (the reference's double-gate, timeline/mod.rs:100-135).
+    */
+  def selectWithArchived(
+      actions: Set[String],
+      start: Option[String] = None,
+      end: Option[String] = None
+  ): Vector[HoodieInstant] = {
+    val active = select(actions, start, end)
+    val hasTimeFilter = start.isDefined || end.isDefined
+    if (!hasTimeFilter || !archivedReadEnabled) active
+    else {
+      val archived = archivedInstants.filter { i =>
+        actions.contains(i.action) &&
+          start.forall(i.timestamp >= _) && end.forall(i.timestamp <= _)
+      }
+      (archived ++ active).distinctBy(i => (i.timestamp, i.action))
+        .sortBy(i => (i.timestamp, i.action))
+    }
+  }
+
+  /** LSM timeline-history manifest for v8+ tables
+    * (`.hoodie/<timeline.path>/<history.path>/`): `_version_` names the
+    * current `manifest_<v>` JSON (lsm_tree.rs:28-109). None when absent.
+    */
+  def readHistoryManifest(): Option[TimelineManifest] = {
+    val historyPath = config.getOrElse("hoodie.timeline.history.path", "history")
+    val dir = new Path(timelineDir, historyPath)
+    val fs = dir.getFileSystem(hadoopConf)
+    val versionFile = new Path(dir, "_version_")
+    if (!fs.exists(versionFile)) return None
+    def readString(p: Path): String = {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        new String(buf, "UTF-8")
+      } finally in.close()
+    }
+    try {
+      val version = readString(versionFile).trim.toLong
+      val node = mapper.readTree(readString(new Path(dir, s"manifest_$version")))
+      val entries = node.path("entries").elements().asScala.map { e =>
+        ManifestEntry(
+          fileName = e.path("file_name").asText(""),
+          minInstant = e.path("min_instant").asText(""),
+          maxInstant = e.path("max_instant").asText(""),
+          level = e.path("level").asInt(0),
+          fileSize = e.path("file_size").asLong(0L))
+      }.toVector
+      Some(TimelineManifest(node.path("version").asLong(version), entries))
+    } catch { case _: Exception => None }
+  }
 }
+
+/** LSM timeline-history manifest model (lsm_tree.rs:28-50): each entry is
+  * a compacted timeline file covering an instant range at an LSM level.
+  */
+final case class TimelineManifest(version: Long, entries: Vector[ManifestEntry])
+
+final case class ManifestEntry(
+    fileName: String,
+    minInstant: String,
+    maxInstant: String,
+    level: Int,
+    fileSize: Long)

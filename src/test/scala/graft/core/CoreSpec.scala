@@ -128,4 +128,83 @@ class CoreSpec extends AnyFunSuite {
     val noMeta = HoodieConfig(v6Props + ("hoodie.populate.meta.fields" -> "false"))
     assert(noMeta.recordMergeStrategy == "APPEND_ONLY")
   }
+
+  // ---- T4: archived timeline --------------------------------------------
+
+  private def mkTimeline(base: String, props: String, archiveFiles: Seq[String] = Nil,
+      manifest: Option[(Long, String)] = None): graft.core.Timeline = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = FileSystem.get(conf)
+    val b = new Path(base)
+    fs.delete(b, true)
+    fs.mkdirs(new Path(b, ".hoodie"))
+    val o = fs.create(new Path(b, ".hoodie/hoodie.properties"), true)
+    o.write(props.getBytes("UTF-8")); o.close()
+    for (f <- archiveFiles) {
+      val p = new Path(b, s".hoodie/archived/$f")
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true); out.write("{}".getBytes); out.close()
+    }
+    manifest.foreach { case (v, json) =>
+      val dir = new Path(b, ".hoodie/timeline/history")
+      fs.mkdirs(dir)
+      val vf = fs.create(new Path(dir, "_version_"), true); vf.write(v.toString.getBytes); vf.close()
+      val mf = fs.create(new Path(dir, s"manifest_$v"), true); mf.write(json.getBytes); mf.close()
+    }
+    val cfg = graft.core.HoodieConfig.load(base, conf)
+    new graft.core.Timeline(base, cfg, conf)
+  }
+
+  test("archived instants load from the archive folder, double-gated (timeline/mod.rs:100-135)") {
+    val base = "/root/repo/target/fixtures/archived_v6"
+    val props =
+      """hoodie.table.name=a
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.internal.timeline.archived.enabled=true
+        |""".stripMargin
+    val t = mkTimeline(base, props,
+      archiveFiles = Seq("20230101000000000.commit", "20230102000000000.commit", "junk.txt"))
+    assert(t.archivedInstants.map(_.timestamp) ==
+      Vector("20230101000000000", "20230102000000000"))
+    // time-filtered selection includes archived history
+    val sel = t.selectWithArchived(Set("commit"), start = Some("20230101000000000"))
+    assert(sel.map(_.timestamp).contains("20230101000000000"))
+    // no time filter -> active only (gate 1)
+    assert(t.selectWithArchived(Set("commit")).isEmpty)
+  }
+
+  test("archived read disabled by default (gate 2, config/internal.rs:84)") {
+    val base = "/root/repo/target/fixtures/archived_v6_off"
+    val props =
+      """hoodie.table.name=a
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |""".stripMargin
+    val t = mkTimeline(base, props, archiveFiles = Seq("20230101000000000.commit"))
+    assert(!t.archivedReadEnabled)
+    assert(t.selectWithArchived(Set("commit"), start = Some("20230101000000000")).isEmpty)
+  }
+
+  test("LSM history manifest reads _version_ then manifest_<v> (lsm_tree.rs:93-109)") {
+    val base = "/root/repo/target/fixtures/lsm_manifest"
+    val props =
+      """hoodie.table.name=a
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=8
+        |""".stripMargin
+    val json =
+      """{"version": 3, "entries": [
+        |  {"file_name": "0_1.parquet", "min_instant": "20230101000000000",
+        |   "max_instant": "20230105000000000", "level": 0, "file_size": 1234}]}""".stripMargin
+    val t = mkTimeline(base, props, manifest = Some((3L, json)))
+    val m = t.readHistoryManifest().get
+    assert(m.version == 3 && m.entries.size == 1)
+    val e = m.entries.head
+    assert(e.fileName == "0_1.parquet" && e.minInstant == "20230101000000000" &&
+      e.maxInstant == "20230105000000000" && e.level == 0 && e.fileSize == 1234L)
+    // v8 archived instants: reference V2Archived loader is a TODO -> empty
+    assert(t.archivedInstants.isEmpty)
+  }
 }
