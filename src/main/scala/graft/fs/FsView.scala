@@ -30,13 +30,35 @@ final class FsView(
   private val listingParallelism: Int =
     config.getOrElse("hoodie.plan.listing.parallelism", "16").toIntOption.getOrElse(16)
 
-  /** Leaf partition paths (relative, "" for non-partitioned), discovered by
+  /** S11: file listings served from the metadata table's `files` partition
+    * when enabled (v8+, `files` in `hoodie.table.metadata.partitions`) —
+    * one bounded HFile read replaces O(partitions) directory listings.
+    * Any failure falls back to storage listing, exactly like the reference
+    * (table/mod.rs:494-506).
+    */
+  private lazy val mdtRecords: Option[Map[String, graft.table.FilesPartitionRecord]] =
+    if (!graft.table.MetadataTable.isEnabled(config, basePath)) None
+    else
+      try {
+        val r = graft.table.MetadataTable.filesPartitionRecords(basePath, hadoopConf)
+        if (r.isEmpty) None else Some(r)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Leaf partition paths (relative, "" for non-partitioned): from the
+    * MDT's `__all_partitions__` record when available, else discovered by
     * a level-parallel walk of the table dir, skipping dot-dirs like
     * `.hoodie` (listing.rs:40-60): each BFS level lists its directories
     * concurrently, so wall time is O(depth x dirs-per-level / parallelism)
     * instead of one round-trip per directory.
     */
-  lazy val partitionPaths: Vector[String] = {
+  lazy val partitionPaths: Vector[String] =
+    mdtRecords
+      .flatMap(_.get(graft.table.FilesPartitionRecord.AllPartitionsKey))
+      .map(_.partitionNames)
+      .filter(_.nonEmpty)
+      .getOrElse(listedPartitionPaths)
+
+  private lazy val listedPartitionPaths: Vector[String] = {
     val out = Vector.newBuilder[String]
     var frontier = Vector((base, ""))
     while (frontier.nonEmpty) {
@@ -76,20 +98,27 @@ final class FsView(
 
   private def listFileGroups(partitionPath: String): Vector[FileGroup] = {
     val dir = if (partitionPath.isEmpty) base else new Path(base, partitionPath)
+    // (name, size) pairs from the MDT files record when available, else
+    // from a directory listing
+    val entries: Iterator[(String, Long)] = mdtRecords.flatMap(_.get(partitionPath)) match {
+      case Some(rec) => rec.activeFiles.iterator
+      case None =>
+        fs.listStatus(dir).iterator.filter(_.isFile).map(st => (st.getPath.getName, st.getLen))
+    }
     val baseExt = config.baseFileFormat.toLowerCase
     val bases = mutable.ArrayBuffer.empty[BaseFile]
     val logs = mutable.ArrayBuffer.empty[LogFile]
-    fs.listStatus(dir).iterator.filter(_.isFile).foreach { st =>
-      val name = st.getPath.getName
+    entries.foreach { case (name, size) =>
+      val path = new Path(dir, name).toString
       if (!name.startsWith(".hoodie_partition")) {
         if (name.toLowerCase.endsWith("." + baseExt) && !name.startsWith(".")) {
-          BaseFile.parse(name, st.getPath.toString, st.getLen).foreach { bf =>
+          BaseFile.parse(name, path, size).foreach { bf =>
             val completed = timeline.completionTimeOf(bf.commitTimestamp)
             val visible = !layoutV2 || completed.isDefined
             if (visible) bases += bf.copy(completionTimestamp = completed)
           }
         } else if (name.startsWith(".")) {
-          LogFile.parse(name, st.getPath.toString, st.getLen).foreach { lf =>
+          LogFile.parse(name, path, size).foreach { lf =>
             val completed = timeline.completionTimeOf(lf.timestamp)
             val visible = !layoutV2 || completed.isDefined
             if (visible) logs += lf.copy(completionTimestamp = completed)

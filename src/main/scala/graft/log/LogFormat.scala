@@ -191,7 +191,7 @@ object LogFileParser {
         val header = readMetadata(in)
         val contentLength = in.readLong()
         val inRange = header.get(LogFormat.KeyInstantTime).forall(range.contains)
-        if (!inRange || blockType == LogFormat.CorruptedBlock || blockType == LogFormat.HfileDataBlock) {
+        if (!inRange || blockType == LogFormat.CorruptedBlock) {
           // fast-skip content + footer + trailing length
           skipFully(in, contentLength)
           readMetadata(in)
@@ -269,6 +269,11 @@ object LogFileParser {
         LogBlock(blockType, header, Vector.empty, None, DeleteRecordCodec.decode(buf), Array.empty)
 
       case LogFormat.ParquetDataBlock =>
+        LogBlock(blockType, header, Vector.empty, None, Vector.empty, content)
+
+      // metadata-table log blocks: content is a raw HFile (no 4-byte
+      // version prefix — content.rs:238-244); decoded by the MDT reader
+      case LogFormat.HfileDataBlock =>
         LogBlock(blockType, header, Vector.empty, None, Vector.empty, content)
 
       case _ => // command and anything else: headers only

@@ -324,7 +324,9 @@ class GraftPartitionReader(
         val in = fs.open(p)
         val bytes =
           try {
-            val buf = new Array[Byte](lf.size.toInt)
+            // actual length, not the planned size: writers append to log
+            // files and MDT-recorded sizes can lag the physical file
+            val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
             in.readFully(0, buf)
             buf
           } finally in.close()

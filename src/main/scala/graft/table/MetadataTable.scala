@@ -1,0 +1,186 @@
+package graft.table
+
+import graft.core.{HoodieConfig, Timeline}
+import graft.fs.{FsView, PartitionFilter, PartitionPruner}
+import graft.hfile.{HFileReader, HFileRecord}
+import graft.log.{InstantRange, LogFileParser, LogFormat}
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** A decoded `files`-partition record (S11; reference:
+  * crates/core/src/metadata/table/records.rs): the key is a partition path
+  * (normalized — `.` → "" for non-partitioned) or `__all_partitions__`,
+  * and `files` maps file name → (size, isDeleted).
+  */
+final case class FilesPartitionRecord(
+    key: String,
+    recordType: Int, // 1 = AllPartitions, 2 = Files (records.rs:100-127)
+    files: Map[String, (Long, Boolean)]
+) {
+  def isAllPartitions: Boolean = recordType == FilesPartitionRecord.TypeAllPartitions
+  def partitionNames: Vector[String] =
+    if (isAllPartitions) files.keys.toVector.sorted else Vector.empty
+  def activeFiles: Map[String, Long] =
+    files.collect { case (n, (size, false)) => n -> size }
+  def totalSize: Long = activeFiles.values.sum
+}
+
+object FilesPartitionRecord {
+  val PartitionName = "files"
+  val AllPartitionsKey = "__all_partitions__"
+  val NonPartitionedName = "."
+  val TypeAllPartitions = 1
+  val TypeFiles = 2
+}
+
+/** Metadata-table reader: plans the MDT's `files` partition slice, reads
+  * its HFile base file plus HFile log blocks, merges them with the
+  * reference's tombstone-aware map-merge semantics (M7,
+  * crates/core/src/metadata/merger.rs), and decodes
+  * `HoodieMetadataRecord` payloads. All driver-side planning I/O.
+  */
+object MetadataTable {
+
+  /** Enablement per metadata/table/mod.rs:80-108: v8+, not itself an MDT,
+    * and (`hoodie.metadata.enable` or `files` among
+    * `hoodie.table.metadata.partitions`).
+    */
+  def isEnabled(config: HoodieConfig, basePath: String): Boolean = {
+    if (config.tableVersion < 8) return false
+    if (basePath.replace('\\', '/').endsWith(".hoodie/metadata")) return false
+    val partitions = config.getOrElse("hoodie.table.metadata.partitions", "")
+      .split(",").map(_.trim).toSet
+    config.getOrElse("hoodie.metadata.enable", "false").toBoolean ||
+      partitions.contains(FilesPartitionRecord.PartitionName)
+  }
+
+  /** Read + merge + decode the full `files` partition of the MDT at
+    * `<dataTableBase>/.hoodie/metadata`. Throws on any structural problem;
+    * callers fall back to storage listing (table/mod.rs:494-506).
+    */
+  def filesPartitionRecords(
+      dataTableBase: String,
+      hadoopConf: Configuration
+  ): Map[String, FilesPartitionRecord] = {
+    val mdtPath = new Path(new Path(dataTableBase, ".hoodie"), "metadata").toString
+    val stored = HoodieConfig.load(mdtPath, hadoopConf)
+    // the reference opens the MDT with PartitionFields overridden to the
+    // single internal partition-path field (table/mod.rs:121-141)
+    val config = HoodieConfig(stored.props + ("hoodie.table.partition.fields" -> "partition_path"))
+    val timeline = new Timeline(mdtPath, config, hadoopConf)
+    val fsView = new FsView(mdtPath, config, timeline, hadoopConf)
+    val latest = timeline.latestCommitTimestamp.getOrElse(
+      return Map.empty)
+    val pruner = new PartitionPruner(
+      Seq("partition_path" -> "string"), hiveStyle = false, urlEncoded = false,
+      Seq(PartitionFilter("partition_path", "=", Seq(FilesPartitionRecord.PartitionName))))
+    val slices = fsView.slicesAsOf(latest, pruner)
+    require(slices.size == 1,
+      s"Expected 1 file slice for ${FilesPartitionRecord.PartitionName} partition, got ${slices.size}")
+    val slice = slices.head
+
+    def readFully(p: Path): Array[Byte] = {
+      val fs = p.getFileSystem(hadoopConf)
+      val len = fs.getFileStatus(p).getLen.toInt
+      val in = fs.open(p)
+      try { val buf = new Array[Byte](len); in.readFully(0, buf); buf } finally in.close()
+    }
+
+    val baseReader = new HFileReader(readFully(new Path(slice.baseFile.path)))
+    val schema = new AvroSchema.Parser().parse(baseReader.avroSchemaJson.getOrElse(
+      throw new IllegalStateException("MDT base HFile carries no avro schema")))
+
+    // M7 merge: base records first, then log records in commit order with
+    // tombstone-aware per-file map merge (merger.rs:79-150)
+    val merged = mutable.LinkedHashMap.empty[String, FilesPartitionRecord]
+    for (rec <- baseReader.records)
+      merged(normalizeKey(rec.key)) = decode(rec, schema)
+    val range = InstantRange.upTo(latest)
+    for (lf <- slice.logFiles.sortBy(_.orderingKey)) {
+      val blocks = LogFileParser.applyRollbacks(
+        LogFileParser.parse(readFully(new Path(lf.path)), range))
+      for (b <- blocks if b.blockType == LogFormat.HfileDataBlock && b.rawContent.nonEmpty) {
+        val logReader = new HFileReader(b.rawContent)
+        for (rec <- logReader.records) {
+          val decoded = decode(rec, schema)
+          merged.get(decoded.key) match {
+            case Some(existing) => merged(decoded.key) = mergeRecords(existing, decoded)
+            case None => merged(decoded.key) = decoded
+          }
+        }
+      }
+    }
+    merged.toMap
+  }
+
+  /** merger.rs:merge_files_partition_records — newer deletions cancel
+    * existing entries, double tombstones keep the newer, re-adds clear the
+    * tombstone and keep the max size.
+    */
+  private[table] def mergeRecords(
+      existing: FilesPartitionRecord, newer: FilesPartitionRecord): FilesPartitionRecord = {
+    val files = mutable.LinkedHashMap.from(existing.files)
+    for ((name, newInfo @ (newSize, newDeleted)) <- newer.files) {
+      files.get(name) match {
+        case Some((oldSize, oldDeleted)) =>
+          if (newDeleted) {
+            if (oldDeleted) files(name) = newInfo
+            else files.remove(name)
+          } else files(name) = (math.max(oldSize, newSize), false)
+        case None => files(name) = newInfo
+      }
+    }
+    existing.copy(files = files.toMap)
+  }
+
+  /** MDT stores `.` for the non-partitioned partition; externally it is ""
+    * (records.rs NON_PARTITIONED_NAME normalization).
+    */
+  private def normalizeKey(k: String): String =
+    if (k == FilesPartitionRecord.NonPartitionedName) "" else k
+
+  /** Avro-decode one HoodieMetadataRecord value into the files model;
+    * an empty value is a whole-record tombstone (record.rs is_deleted).
+    */
+  private def decode(rec: HFileRecord, schema: AvroSchema): FilesPartitionRecord = {
+    if (rec.isDeleted)
+      return FilesPartitionRecord(normalizeKey(rec.key), FilesPartitionRecord.TypeFiles, Map.empty)
+    val reader = new GenericDatumReader[GenericRecord](schema)
+    val decoded = reader.read(null, DecoderFactory.get().binaryDecoder(rec.value, null))
+    val recordType = decoded.get("type") match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case _ => -1
+    }
+    val files = Option(decoded.get("filesystemMetadata")) match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.iterator.flatMap { case (k, v) =>
+          val name0 = k.toString
+          val name = if (recordType == FilesPartitionRecord.TypeAllPartitions)
+            normalizeKey(name0) else name0
+          v match {
+            case r: GenericRecord =>
+              val size = r.get("size") match {
+                case l: java.lang.Long => l.longValue()
+                case i: java.lang.Integer => i.longValue()
+                case _ => 0L
+              }
+              val deleted = r.get("isDeleted") match {
+                case b: java.lang.Boolean => b.booleanValue()
+                case _ => false
+              }
+              Some(name -> (size, deleted))
+            case _ => None
+          }
+        }.toMap
+      case _ => Map.empty[String, (Long, Boolean)]
+    }
+    FilesPartitionRecord(normalizeKey(rec.key), recordType, files)
+  }
+}
