@@ -23,6 +23,7 @@ object TextOps {
   /** Register `documents` (and a dup-injected `corpus`) as temp views. */
   private def prep(s: SparkSession, d: String): Unit = {
     graft.functions.ShingleSet.register(s)
+    graft.functions.SortedIntersectCount.register(s)
     Tables.documents(s, d).createOrReplaceTempView("documents")
   }
 
@@ -83,7 +84,7 @@ object TextOps {
   // Spark side uses the native per-row expression (graft.functions.
   // ShingleSet); DuckDB keeps the portable list pipeline — same result.
   private val sparkDocsets: String =
-    "SELECT doc_id, graft_shingles(text, 5) AS shset FROM documents"
+    "SELECT doc_id, array_sort(graft_shingles(text, 5)) AS shset FROM documents"
   private val duckDocsets: String =
     docsetsSelect("list_transform", "list_distinct", "range(1, greatest(length(text) - 4, 1) + 1)")
 
@@ -169,7 +170,7 @@ object TextOps {
       .join(broadcast(ds.as("x")), col("x.doc_id") === col("doc_a"))
       .join(broadcast(ds.as("y")), col("y.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("x.shset"), col("y.shset"))).as("n_inter"),
+        expr("graft_intersect_count(x.shset, y.shset)").as("n_inter"),
         size(col("x.shset")).as("na"), size(col("y.shset")).as("nb"))
       .filter(jaccard >= 0.5)
       .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
@@ -269,7 +270,7 @@ object TextOps {
       .join(broadcast(docsets.as("a")), col("a.doc_id") === col("doc_a"))
       .join(broadcast(docsets.as("b")), col("b.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("a.shset"), col("b.shset"))).as("n_inter"),
+        expr("graft_intersect_count(a.shset, b.shset)").as("n_inter"),
         size(col("a.shset")).as("na"), size(col("b.shset")).as("nb"))
       .filter(jaccard >= 0.4)
       .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
@@ -282,7 +283,7 @@ object TextOps {
        |${blockedJaccardMain("docsets", "shingles", "len", "list_intersect").replaceFirst("WITH ", "")}""".stripMargin
 
   private val sparkDocsetsBlocked: String =
-    "SELECT doc_id, lang, source, graft_shingles(text, 5) AS shset FROM documents"
+    "SELECT doc_id, lang, source, array_sort(graft_shingles(text, 5)) AS shset FROM documents"
 
   private val duckDocsetsBlocked: String =
     """SELECT doc_id, lang, source, list_distinct(

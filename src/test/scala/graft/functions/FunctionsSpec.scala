@@ -45,4 +45,20 @@ class FunctionsSpec extends SparkTestBase {
     val ext = new org.apache.spark.sql.SparkSessionExtensions()
     new GraftExtensions().apply(ext)
   }
+
+  test("graft_intersect_count equals size(array_intersect) on sorted sets") {
+    SortedIntersectCount.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_intersect_count(array_sort(a), array_sort(b)) AS fast,
+        |       size(array_intersect(a, b)) AS slow
+        |FROM VALUES
+        |  (array('a','b','c'), array('b','c','d')),
+        |  (array('x'), array('y')),
+        |  (array('k'), array('k')),
+        |  (CAST(array() AS ARRAY<STRING>), array('a')),
+        |  (array('a','b','c','d','e'), array('e','a','c'))
+        |AS t(a, b)""".stripMargin).collect()
+    assert(rows.forall(r => r.getInt(0) == r.getInt(1)))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 0, 1, 0, 3))
+  }
 }
