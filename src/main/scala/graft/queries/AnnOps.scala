@@ -159,6 +159,59 @@ object AnnOps {
     "list_transform", duckDot, duckSigExpr(duckDot, "range(0, 64)", "range(0, 16)", "list_transform"),
     s", UNNEST(range(0, $numBands)) AS bt(b)", "list_extract")
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside the
+    * LSH one: vectors are assigned to their nearest of [[ivfNumLists]]
+    * deterministic centroids (the lowest-id vectors serve as externally
+    * supplied centroids, so both engines replay the identical pipeline);
+    * each query probes its [[ivfNProbe]] closest lists and only those
+    * lists' members are exactly reranked.
+    *
+    * Scale shape (100 TB): assignment is one broadcast-join map pass
+    * (centroids are tiny), the inverted lists shuffle on `cid` only for
+    * the probed lists, and the exact rerank touches candidates only —
+    * the corpus is never compared all-pairs.
+    */
+  private val ivfNumLists = 8
+  private val ivfNProbe = 2
+
+  private def ivfSql(listTransform: String, dot: String): String = {
+    val selfDot = dot.format("q", "q")
+    val centDot = dot.format("v.q", "c.cq")
+    val pairDot = dot.format("a.q", "b.q")
+    s"""WITH qe AS (
+       |  SELECT vec_id, $listTransform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qn AS (SELECT vec_id, q, $selfDot AS qnorm FROM qe),
+       |cent AS (
+       |  SELECT vec_id AS cid, q AS cq, qnorm AS cnorm
+       |  FROM qn WHERE vec_id < $ivfNumLists),
+       |assign AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY CAST($centDot AS DOUBLE) / sqrt(CAST(c.cnorm AS DOUBLE)) DESC, c.cid) AS rk
+       |  FROM qn v CROSS JOIN cent c),
+       |lists AS (SELECT vec_id, cid FROM assign WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM assign
+       |  WHERE vec_id < 5 AND rk <= $ivfNProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+       |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST($pairDot AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM cand c
+       |  JOIN qn a ON a.vec_id = c.query_id
+       |  JOIN qn b ON b.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def run(sql: String)(s: SparkSession, d: String): DataFrame = {
     graft.functions.LongArrayDot.register(s)
     Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
@@ -167,6 +220,9 @@ object AnnOps {
 
   def queries: Map[String, QueryDef] = Map(
     "embed_dedup_lsh" -> QueryDef(run(sparkSql) _, duckSql),
-    "embed_ann_topk" -> QueryDef(run(sparkAnnSql) _, duckAnnSql)
+    "embed_ann_topk" -> QueryDef(run(sparkAnnSql) _, duckAnnSql),
+    "embed_ann_ivf" -> QueryDef(
+      run(ivfSql("transform", sparkDot)) _,
+      ivfSql("list_transform", duckDot))
   )
 }
