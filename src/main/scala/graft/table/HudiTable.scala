@@ -231,16 +231,20 @@ final class HudiTable(
     if (!hasLogs) return commitFilter(baseDf)
 
     val conf = serConf
-    val logDf = LogScan.dataFrameOfLogRecords(spark, slices, schema, range, conf)
-    val data = commitFilter(baseDf.unionByName(logDf))
-
     val strategy = config.recordMergeStrategy
-    val deletes = orderingField.map { of =>
-      val ordType = schema.fields.find(_.name == of).map(_.dataType).getOrElse(LongType)
-      LogScan.dataFrameOfDeletes(spark, slices, of, ordType, range, conf)
-    }
-    MorMerge.merge(data, deletes.filter(_ => strategy == "OVERWRITE_WITH_LATEST"),
-      orderingField, strategy)
+    val needDeletes = strategy == "OVERWRITE_WITH_LATEST" && orderingField.isDefined
+    val (logDf, deletes) =
+      if (needDeletes) {
+        // single pass over the log files for data AND delete blocks
+        val of = orderingField.get
+        val ordType = schema.fields.find(_.name == of).map(_.dataType).getOrElse(LongType)
+        val (d, del) = LogScan.dataFrameOfLogAndDeletes(
+          spark, basePath, slices, schema, of, ordType, range, conf)
+        (d, Some(del))
+      } else
+        (LogScan.dataFrameOfLogRecords(spark, slices, schema, range, conf), None)
+    val data = commitFilter(baseDf.unionByName(logDf))
+    MorMerge.merge(data, deletes, orderingField, strategy)
   }
 }
 

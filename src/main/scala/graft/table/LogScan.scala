@@ -104,6 +104,79 @@ object LogScan {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Single-pass decode of data AND delete blocks — MOR snapshots need
+    * both, and separate passes would read + parse every log file twice
+    * (at 100 TB that doubles log I/O). One RDD emits table-schema rows
+    * tagged by a discriminator column; the cached combined relation is
+    * split by filter. The cache rotates per table (previous generation
+    * unpersisted) so repeated reads stay bounded.
+    */
+  def dataFrameOfLogAndDeletes(
+      spark: SparkSession,
+      cacheKey: String,
+      slices: Seq[FileSlice],
+      tableSchema: StructType,
+      orderingField: String,
+      orderingType: DataType,
+      range: InstantRange,
+      conf: SerializableConf
+  ): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val flag = "__graft_is_delete"
+    val combinedSchema = StructType(tableSchema.fields :+ StructField(flag, BooleanType))
+    val deleteSchema = StructType(Seq(
+      StructField("_hoodie_commit_time", StringType),
+      StructField("_hoodie_record_key", StringType),
+      StructField("_hoodie_partition_path", StringType),
+      StructField(orderingField, orderingType)))
+    val withLogs = slices.filter(_.hasLogFiles).map(sliceLogPaths)
+    if (withLogs.isEmpty)
+      return (emptyDf(spark, tableSchema), emptyDf(spark, deleteSchema))
+    val parallelism = math.min(withLogs.size, spark.sparkContext.defaultParallelism * 2)
+    val schemaJson = tableSchema.json
+    val typeJson = orderingType.json
+    val ordField = orderingField
+    val rdd = spark.sparkContext
+      .parallelize(withLogs, parallelism)
+      .flatMap { paths =>
+        val target = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val tpe = DataType.fromJson(typeJson)
+        val commitIdx = target.fieldIndex("_hoodie_commit_time")
+        val keyIdx = target.fieldIndex("_hoodie_record_key")
+        val partIdx = target.fieldIndex("_hoodie_partition_path")
+        val ordIdx = target.fieldIndex(ordField)
+        parseSlice(paths, conf, range).iterator.flatMap { b =>
+          if (b.blockType == LogFormat.DeleteBlock) {
+            b.deleteRecords.iterator.map { case (key, part, ord) =>
+              val vals = new Array[Any](target.length + 1)
+              vals(commitIdx) = b.instantTime
+              vals(keyIdx) = key
+              vals(partIdx) = part
+              vals(ordIdx) = coerce(ord, tpe)
+              vals(target.length) = true
+              Row.fromSeq(vals.toIndexedSeq)
+            }
+          } else {
+            RowAlign.blockRows(b, target)
+              .map(r => Row.fromSeq(r.toSeq :+ false))
+          }
+        }
+      }
+    val combined = spark.createDataFrame(rdd, combinedSchema)
+    rotateCache(cacheKey, combined)
+    (combined.filter(!col(flag)).drop(flag),
+      combined.filter(col(flag)).select(
+        col("_hoodie_commit_time"), col("_hoodie_record_key"),
+        col("_hoodie_partition_path"), col(orderingField)))
+  }
+
+  private val cacheRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def rotateCache(key: String, df: DataFrame): Unit = {
+    cacheRegistry.put(key, df).foreach(_.unpersist(false))
+    df.persist()
+  }
+
   def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
