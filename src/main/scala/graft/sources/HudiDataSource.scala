@@ -216,31 +216,38 @@ class GraftScan(
   private val endTs = Option(options.get("end.timestamp"))
     .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
 
-  /** Planned slices: the driver-side fs-view walk (S5), partition-pruned. */
+  /** Pruner over the pushed partition filters (keygen-transformed). */
+  private def pruner: PartitionPruner = {
+    val fieldTypes = hudi.config.partitionFields.map { f =>
+      val tpe = hudi.tableSchema.fields.find(_.name == f).map(_.dataType.typeName).getOrElse("string")
+      f -> (tpe match {
+        case "integer" | "short" | "byte" => "int"
+        case "long" => "long"
+        case "double" | "float" => "double"
+        case "date" => "date"
+        case _ => "string"
+      })
+    }
+    val transformedFilters = graft.fs.TimestampKeyGen.fromConfig(hudi.config) match {
+      case Some(kg) => partitionFilters.flatMap(kg.transformFilter)
+      case None => partitionFilters
+    }
+    new PartitionPruner(fieldTypes, hudi.config.isHiveStylePartitioning,
+      hudi.config.isPartitionPathUrlencoded, transformedFilters)
+  }
+
+  /** Planned slices: the driver-side fs-view walk (S5), partition-pruned
+    * — incremental too (the reference applies partition pruning, just not
+    * stats pruning, to incremental reads; read_options.rs:75-80).
+    */
   private lazy val slices: Vector[FileSlice] = {
     if (isIncremental) {
       endTs.orElse(hudi.timeline.latestCommitTimestamp)
-        .map(e => hudi.fsView.slicesBetween(startTs, e))
+        .map(e => hudi.fsView.slicesBetween(startTs, e, pruner))
         .getOrElse(Vector.empty)
     } else asOf.orElse(hudi.timeline.latestCommitTimestamp) match {
       case None => Vector.empty
       case Some(ts) =>
-        val fieldTypes = hudi.config.partitionFields.map { f =>
-          val tpe = hudi.tableSchema.fields.find(_.name == f).map(_.dataType.typeName).getOrElse("string")
-          f -> (tpe match {
-            case "integer" | "short" | "byte" => "int"
-            case "long" => "long"
-            case "double" | "float" => "double"
-            case "date" => "date"
-            case _ => "string"
-          })
-        }
-        val transformedFilters = graft.fs.TimestampKeyGen.fromConfig(hudi.config) match {
-          case Some(kg) => partitionFilters.flatMap(kg.transformFilter)
-          case None => partitionFilters
-        }
-        val pruner = new PartitionPruner(fieldTypes, hudi.config.isHiveStylePartitioning,
-          hudi.config.isPartitionPathUrlencoded, transformedFilters)
         val planned0 = hudi.fsView.slicesAsOf(ts, pruner)
         val planned =
           if (readOptimized || !hudi.isMor) planned0.map(_.withoutLogs) else planned0

@@ -168,7 +168,11 @@ final class HudiTable(
     * groups touched by in-range commits, with the `_hoodie_commit_time` row
     * filter (P5, file_group/reader.rs:652-701).
     */
-  def incremental(start: Option[String], end: Option[String] = None): DataFrame = {
+  def incremental(
+      start: Option[String],
+      end: Option[String] = None,
+      partitionFilters: Seq[PartitionFilter] = Nil
+  ): DataFrame = {
     val endTs = end
       .map(Timestamps.normalize(_, config.timelineTimezone))
       .orElse(timeline.latestCommitTimestamp)
@@ -176,7 +180,9 @@ final class HudiTable(
       case None => LogScan.emptyDf(spark, tableSchema)
       case Some(e) =>
         val s = start.map(Timestamps.normalize(_, config.timelineTimezone))
-        val slices = fsView.slicesBetween(s, e)
+        // partition pruning applies to incremental too — only stats
+        // pruning is excluded (read_options.rs:75-80)
+        val slices = fsView.slicesBetween(s, e, prunerFor(partitionFilters))
         readSlices(slices, InstantRange(s, Some(e)), commitRange = Some((s, e)))
     }
   }

@@ -135,6 +135,25 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(rows == Set((1, false), (4, true)))
   }
 
+  test("dsv2 incremental partition-prunes (reference: pruning minus stats)") {
+    assume(cowV6.isDefined)
+    val t = graft.table.HudiTable(spark, cowV6.get)
+    val Seq(c1, c2) = t.timeline.completedInstants.map(_.timestamp).distinct.take(2)
+    val base = spark.read.format("hudi-graft")
+      .option("query.type", "incremental")
+      .option("start.timestamp", c1).option("end.timestamp", c2)
+      .load(cowV6.get)
+    // unfiltered: rows from commit 2 = upsert id 1 (byteField 10) + insert id 4 (byteField 30)
+    val filtered = base.filter(col("byteField") === 10)
+    assert(filtered.rdd.getNumPartitions < base.rdd.getNumPartitions)
+    assert(filtered.select("id").collect().map(_.getInt(0)).toSet == Set(1))
+    // DataFrame API takes partition filters too
+    val viaApi = t.incremental(Some(c1), Some(c2),
+      partitionFilters = Seq(graft.fs.PartitionFilter("byteField", "=", Seq("10"))))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(viaApi == Set(1))
+  }
+
   test("dsv2 append-only MOR keeps every log version (no-metafields)") {
     import org.apache.hadoop.fs.{FileSystem, Path}
     import java.io.DataOutputStream
