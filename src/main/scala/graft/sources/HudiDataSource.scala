@@ -6,7 +6,7 @@ import graft.core.{MetaField, Timestamps}
 import graft.util.SerializableConf
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -197,7 +197,8 @@ class GraftScan(
     parquetFilters: Array[Filter],
     options: CaseInsensitiveStringMap,
     limit: Option[Int] = None
-) extends Scan with Batch with SupportsReportStatistics {
+) extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   private val spark = hudi.spark
   private val asOf = Option(options.get("as.of.timestamp"))
@@ -263,6 +264,43 @@ class GraftScan(
 
   private def morMergeNeeded: Boolean = slices.exists(_.hasLogFiles)
 
+  /** Runtime (dynamic) partition pruning: Spark hands over join-key
+    * filters materialized at execution time — e.g. the partition values
+    * surviving a filtered dimension join — and the scan drops whole
+    * partitions before tasks launch. At scale this is the difference
+    * between scanning a fact table and scanning one day of it.
+    */
+  private var runtimeFiltered: Option[Vector[FileSlice]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    hudi.config.partitionFields.map(Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val partFields = hudi.config.partitionFields.toSet
+    val simple = filters.flatMap {
+      case sources.EqualTo(a, v) if partFields.contains(a) =>
+        Some(PartitionFilter(a, "=", Seq(String.valueOf(v))))
+      case sources.In(a, vs) if partFields.contains(a) && vs.nonEmpty =>
+        Some(PartitionFilter(a, "in", vs.toSeq.map(String.valueOf)))
+      case _ => None
+    }.toSeq
+    if (simple.nonEmpty) {
+      val fieldTypes = hudi.config.partitionFields.map { f =>
+        val tpe = hudi.tableSchema.fields.find(_.name == f).map(_.dataType.typeName).getOrElse("string")
+        f -> (tpe match {
+          case "integer" | "short" | "byte" => "int"
+          case "long" => "long"
+          case "double" | "float" => "double"
+          case "date" => "date"
+          case _ => "string"
+        })
+      }
+      val p = new PartitionPruner(fieldTypes, hudi.config.isHiveStylePartitioning,
+        hudi.config.isPartitionPathUrlencoded, simple)
+      runtimeFiltered = Some(slices.filter(s => p.shouldInclude(s.partitionPath)))
+    }
+  }
+
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
@@ -278,13 +316,14 @@ class GraftScan(
     * the least-loaded bin — keeps task skew bounded.
     */
   private def chunked: Vector[Seq[FileSlice]] = {
+    val effective = runtimeFiltered.getOrElse(slices)
     val target = Option(options.get("input.partitions")).flatMap(_.toIntOption).filter(_ > 0)
       .getOrElse(math.max(spark.sparkContext.defaultParallelism, 1))
-    if (slices.size <= target) slices.map(Seq(_))
+    if (effective.size <= target) effective.map(Seq(_))
     else {
       val bins = Vector.fill(target)(scala.collection.mutable.ArrayBuffer.empty[FileSlice])
       val loads = Array.fill(target)(0L)
-      for (s <- slices.sortBy(sl => -(sl.baseFile.size + sl.logFiles.map(_.size).sum))) {
+      for (s <- effective.sortBy(sl => -(sl.baseFile.size + sl.logFiles.map(_.size).sum))) {
         val i = loads.indices.minBy(loads)
         bins(i) += s
         loads(i) += s.baseFile.size + s.logFiles.map(_.size).sum

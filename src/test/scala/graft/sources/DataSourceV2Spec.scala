@@ -87,6 +87,22 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(some.count() == 4)
   }
 
+  test("dsv2 runtime filtering drops partitions at execution time (DPP)") {
+    assume(cowV6.isDefined)
+    import org.apache.spark.sql.sources.In
+    val hudi = graft.table.HudiTable(spark, cowV6.get)
+    def freshScan = new GraftScanBuilder(hudi, hudi.tableSchema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()))
+      .build().asInstanceOf[GraftScan]
+    val unfiltered = freshScan.planInputPartitions().length
+    assert(unfiltered > 1)
+    val scan = freshScan
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("byteField"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](In("byteField", Array(10))))
+    val filtered = scan.planInputPartitions().length
+    assert(filtered < unfiltered && filtered > 0)
+  }
+
   test("dsv2 reports statistics with estimated row count") {
     assume(cowV6.isDefined)
     val hudi = graft.table.HudiTable(spark, cowV6.get)
