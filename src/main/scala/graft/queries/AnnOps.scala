@@ -212,17 +212,120 @@ object AnnOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  private def run(sql: String)(s: SparkSession, d: String): DataFrame = {
+  /** Spark impls run against PERSISTED `ann_qn` / `ann_banded` views:
+    * Spark inlines CTEs, so the SQL formulation re-quantized the corpus
+    * and recomputed signatures once per self-join branch (2-4x). The
+    * cached generation rotates per invocation like the TextOps dedup
+    * relations. DuckDB keeps the single-statement CTE text.
+    */
+  private val cacheRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
+  private def rotateCache(key: String, dfs: Seq[DataFrame]): Unit = {
+    cacheRegistry.put(key, dfs).foreach(_.foreach(_.unpersist(false)))
+    dfs.foreach(_.persist())
+  }
+
+  private def sparkPrep(s: SparkSession, d: String): Unit = {
     graft.functions.LongArrayDot.register(s)
     Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
-    s.sql(sql)
+    val selfDot = sparkDot.format("q", "q")
+    val qn = s.sql(
+      s"""SELECT vec_id, q, $selfDot AS qnorm FROM (
+         |  SELECT vec_id, transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings)""".stripMargin)
+    qn.createOrReplaceTempView("ann_qn")
+    def bit(k: String) = s"element_at(bits, $k)"
+    val banded = s.sql(
+      s"""SELECT vec_id, b,
+         |  ${bit("4*b+1")} * 8 + ${bit("4*b+2")} * 4 + ${bit("4*b+3")} * 2 + ${bit("4*b+4")} AS band_key
+         |FROM (SELECT vec_id, ${sparkSigExpr(sparkDot)} AS bits FROM ann_qn)
+         |LATERAL VIEW explode(sequence(0, ${numBands - 1})) bt AS b""".stripMargin)
+    banded.createOrReplaceTempView("ann_banded")
+    rotateCache("ann", Seq(qn, banded))
+  }
+
+  private def sparkLshMain: String = {
+    val pairDot = sparkDot.format("a.q", "b.q")
+    s"""WITH candidates AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM ann_banded a JOIN ann_banded b
+       |    ON a.b = b.b AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    CAST($pairDot AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM candidates c
+       |  JOIN ann_qn a ON a.vec_id = c.vec_a
+       |  JOIN ann_qn b ON b.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, score FROM scored
+       |WHERE score >= 0.25
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  private def sparkAnnMain: String = {
+    val pairDot = sparkDot.format("a.q", "b.q")
+    s"""WITH cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM ann_banded a JOIN ann_banded b
+       |    ON a.b = b.b AND a.band_key = b.band_key
+       |    AND a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST($pairDot AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM cand c
+       |  JOIN ann_qn a ON a.vec_id = c.query_id
+       |  JOIN ann_qn b ON b.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def sparkIvfMain: String = {
+    val centDot = sparkDot.format("v.q", "c.cq")
+    val pairDot = sparkDot.format("a.q", "b.q")
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, q AS cq, qnorm AS cnorm
+       |  FROM ann_qn WHERE vec_id < $ivfNumLists),
+       |assign AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY CAST($centDot AS DOUBLE) / sqrt(CAST(c.cnorm AS DOUBLE)) DESC, c.cid) AS rk
+       |  FROM ann_qn v CROSS JOIN cent c),
+       |lists AS (SELECT vec_id, cid FROM assign WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM assign
+       |  WHERE vec_id < 5 AND rk <= $ivfNProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+       |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST($pairDot AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM cand c
+       |  JOIN ann_qn a ON a.vec_id = c.query_id
+       |  JOIN ann_qn b ON b.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def runSpark(main: => String)(s: SparkSession, d: String): DataFrame = {
+    sparkPrep(s, d)
+    s.sql(main)
   }
 
   def queries: Map[String, QueryDef] = Map(
-    "embed_dedup_lsh" -> QueryDef(run(sparkSql) _, duckSql),
-    "embed_ann_topk" -> QueryDef(run(sparkAnnSql) _, duckAnnSql),
+    "embed_dedup_lsh" -> QueryDef(runSpark(sparkLshMain) _, duckSql),
+    "embed_ann_topk" -> QueryDef(runSpark(sparkAnnMain) _, duckAnnSql),
     "embed_ann_ivf" -> QueryDef(
-      run(ivfSql("transform", sparkDot)) _,
+      runSpark(sparkIvfMain) _,
       ivfSql("list_transform", duckDot))
   )
 }
