@@ -145,7 +145,17 @@ final class Timeline(
     * `Obj` magic and rendered through Avro's JSON form so both
     * layouts serve the same accessors.
     */
-  def commitMetadata(instant: HoodieInstant): JsonNode = {
+  private val metadataCache =
+    new java.util.concurrent.ConcurrentHashMap[String, JsonNode]()
+
+  def commitMetadata(instant: HoodieInstant): JsonNode =
+    metadataCache.computeIfAbsent(instant.fileName, _ => loadCommitMetadata(instant))
+
+  /** One small file read per instant; memoized per Timeline instance — a
+    * timeline is a snapshot in time, and planning consults the same
+    * instants repeatedly (replaced groups, touched groups, schema).
+    */
+  private def loadCommitMetadata(instant: HoodieInstant): JsonNode = {
     val fs = timelineDir.getFileSystem(hadoopConf)
     val p = new Path(timelineDir, instant.fileName)
     val in = fs.open(p)
