@@ -303,6 +303,19 @@ class GraftScan(
 
   override def readSchema(): StructType = required
 
+  /** Plan-readability: `explain` shows what the scan planned. */
+  override def description(): String = {
+    val mode =
+      if (isIncremental) s"incremental(${startTs.getOrElse("-inf")}, ${endTs.getOrElse("latest")}]"
+      else if (readOptimized) "read-optimized"
+      else asOf.map(ts => s"time-travel@$ts").getOrElse("snapshot")
+    val merge = if (morMergeNeeded) "merge-on-read" else "base-only"
+    val pushed = if (parquetFilters.isEmpty) "" else
+      s", PushedFilters: [${parquetFilters.mkString(", ")}]"
+    val lim = limit.map(l => s", PushedLimit: $l").getOrElse("")
+    s"hudi-graft $mode ($merge, ${slices.size} slices$pushed$lim)"
+  }
+
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)

@@ -219,9 +219,21 @@ final class HudiTable(
           withParts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
         }.reduce(_ unionByName _)
       }
-    if (droppedPartitionFields.nonEmpty && slices.exists(_.hasLogFiles))
-      throw new UnsupportedOperationException(
-        "MOR log merging with dropped partition columns is not supported yet")
+    // P6 for log records: the writer schema omits dropped partition
+    // columns too — the log decode re-injects the slice's parsed values
+    val logPartValues: FileSlice => Map[String, Any] =
+      if (droppedPartitionFields.isEmpty) _ => Map.empty
+      else {
+        val parse = prunerFor(Nil)
+        val dropped = droppedPartitionFields
+        sl => {
+          val vals = parse.parseSegments(sl.partitionPath).getOrElse(Map.empty)
+          dropped.flatMap(f => vals.get(f).map {
+            case d: java.time.LocalDate => f -> java.sql.Date.valueOf(d)
+            case other => f -> other
+          }).toMap
+        }
+      }
 
     val commitFilter: DataFrame => DataFrame = commitRange match {
       case Some((s, e)) if config.populatesMetaFields =>
@@ -245,10 +257,10 @@ final class HudiTable(
         val of = orderingField.get
         val ordType = schema.fields.find(_.name == of).map(_.dataType).getOrElse(LongType)
         val (d, del) = LogScan.dataFrameOfLogAndDeletes(
-          spark, basePath, slices, schema, of, ordType, range, conf)
+          spark, basePath, slices, schema, of, ordType, range, conf, logPartValues)
         (d, Some(del))
       } else
-        (LogScan.dataFrameOfLogRecords(spark, slices, schema, range, conf), None)
+        (LogScan.dataFrameOfLogRecords(spark, slices, schema, range, conf, logPartValues), None)
     val data = commitFilter(baseDf.unionByName(logDf))
     MorMerge.merge(data, deletes, orderingField, strategy)
   }

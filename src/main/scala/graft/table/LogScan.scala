@@ -50,21 +50,32 @@ object LogScan {
       slices: Seq[FileSlice],
       tableSchema: StructType,
       range: InstantRange,
-      conf: SerializableConf
+      conf: SerializableConf,
+      partitionValues: FileSlice => Map[String, Any] = _ => Map.empty
   ): DataFrame = {
-    val withLogs = slices.filter(_.hasLogFiles).map(sliceLogPaths)
+    val withLogs = slices.filter(_.hasLogFiles)
+      .map(sl => (sliceLogPaths(sl), partitionValues(sl)))
     if (withLogs.isEmpty) return emptyDf(spark, tableSchema)
     val parallelism = math.min(withLogs.size, spark.sparkContext.defaultParallelism * 2)
     val schemaJson = tableSchema.json
     val rdd = spark.sparkContext
       .parallelize(withLogs, parallelism)
-      .flatMap { paths =>
+      .flatMap { case (paths, pv) =>
         val target = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val patch = pv.map { case (k, v) => target.fieldIndex(k) -> v }
         parseSlice(paths, conf, range).iterator
           .flatMap(RowAlign.blockRows(_, target))
+          .map(patchRow(_, patch))
       }
     spark.createDataFrame(rdd, tableSchema)
   }
+
+  /** P6 for log records: dropped partition columns are absent from the
+    * writer schema too — re-inject the slice's parsed partition values.
+    */
+  private def patchRow(r: Row, patch: Map[Int, Any]): Row =
+    if (patch.isEmpty) r
+    else Row.fromSeq(r.toSeq.zipWithIndex.map { case (v, i) => patch.getOrElse(i, v) })
 
   /** Decode delete blocks → DataFrame
     * `(_hoodie_commit_time, _hoodie_record_key, _hoodie_partition_path, <orderingField>)`
@@ -119,7 +130,8 @@ object LogScan {
       orderingField: String,
       orderingType: DataType,
       range: InstantRange,
-      conf: SerializableConf
+      conf: SerializableConf,
+      partitionValues: FileSlice => Map[String, Any] = _ => Map.empty
   ): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.col
     val flag = "__graft_is_delete"
@@ -129,7 +141,8 @@ object LogScan {
       StructField("_hoodie_record_key", StringType),
       StructField("_hoodie_partition_path", StringType),
       StructField(orderingField, orderingType)))
-    val withLogs = slices.filter(_.hasLogFiles).map(sliceLogPaths)
+    val withLogs = slices.filter(_.hasLogFiles)
+      .map(sl => (sliceLogPaths(sl), partitionValues(sl)))
     if (withLogs.isEmpty)
       return (emptyDf(spark, tableSchema), emptyDf(spark, deleteSchema))
     val parallelism = math.min(withLogs.size, spark.sparkContext.defaultParallelism * 2)
@@ -138,8 +151,9 @@ object LogScan {
     val ordField = orderingField
     val rdd = spark.sparkContext
       .parallelize(withLogs, parallelism)
-      .flatMap { paths =>
+      .flatMap { case (paths, pv) =>
         val target = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val patch = pv.map { case (k, v) => target.fieldIndex(k) -> v }
         val tpe = DataType.fromJson(typeJson)
         val commitIdx = target.fieldIndex("_hoodie_commit_time")
         val keyIdx = target.fieldIndex("_hoodie_record_key")
@@ -158,7 +172,7 @@ object LogScan {
             }
           } else {
             RowAlign.blockRows(b, target)
-              .map(r => Row.fromSeq(r.toSeq :+ false))
+              .map(r => Row.fromSeq(patchRow(r, patch).toSeq :+ false))
           }
         }
       }

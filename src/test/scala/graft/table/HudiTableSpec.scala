@@ -327,6 +327,74 @@ class HudiTableSpec extends SparkTestBase {
     assert(rows == Map("rider-G" -> 0.0))
   }
 
+  // ---------------- MOR with dropped partition columns --------------------
+  test("mor merge re-injects dropped partition columns into log records") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import java.io.DataOutputStream
+    val base = new Path("/root/repo/target/fixtures/mor_dropped")
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(base, true)
+    fs.mkdirs(new Path(base, ".hoodie"))
+    val props = new java.util.Properties()
+    props.setProperty("hoodie.table.name", "mor_dropped")
+    props.setProperty("hoodie.table.type", "MERGE_ON_READ")
+    props.setProperty("hoodie.table.version", "6")
+    props.setProperty("hoodie.table.recordkey.fields", "id")
+    props.setProperty("hoodie.table.precombine.field", "seq")
+    props.setProperty("hoodie.table.partition.fields", "region")
+    props.setProperty("hoodie.datasource.write.hive_style_partitioning", "true")
+    props.setProperty("hoodie.datasource.write.drop.partition.columns", "true")
+    props.setProperty("hoodie.populate.meta.fields", "true")
+    props.setProperty("hoodie.table.create.schema",
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":["int","null"]},
+        |{"name":"v","type":["string","null"]},
+        |{"name":"seq","type":["long","null"]},
+        |{"name":"region","type":["int","null"]}]}""".stripMargin.replaceAll("\n", ""))
+    val o = fs.create(new Path(base, ".hoodie/hoodie.properties"), true)
+    props.store(o, null); o.close()
+
+    import org.apache.spark.sql.types._
+    val t1 = "20240101000000000"; val t2 = "20240102000000000"
+    val fid = "00000000-0000-0000-0000-000000000000-0"
+    val partDir = "region=7"
+    // base file WITHOUT the region column (meta + id, v, seq)
+    val fileSchema = StructType(Seq(
+      StructField("_hoodie_commit_time", StringType), StructField("_hoodie_commit_seqno", StringType),
+      StructField("_hoodie_record_key", StringType), StructField("_hoodie_partition_path", StringType),
+      StructField("_hoodie_file_name", StringType),
+      StructField("id", IntegerType), StructField("v", StringType), StructField("seq", LongType)))
+    val name = s"${fid}_0-0-0_$t1.parquet"
+    val rows = Seq(
+      org.apache.spark.sql.Row(t1, s"${t1}_0_1", "1", partDir, name, 1, "a", 1L),
+      org.apache.spark.sql.Row(t1, s"${t1}_0_2", "2", partDir, name, 2, "b", 1L))
+    val df = spark.createDataFrame(java.util.List.of(rows: _*), fileSchema)
+    val tmp = new Path(base, ".tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.mkdirs(new Path(base, partDir))
+    fs.rename(part, new Path(base, s"$partDir/$name")); fs.delete(tmp, true)
+    val c1 = fs.create(new Path(base, s".hoodie/$t1.commit"), true)
+    c1.write(s"""{"partitionToWriteStats":{"$partDir":[{"fileId":"$fid","path":"$partDir/$name"}]}}""".getBytes); c1.close()
+
+    // log update for id=1 at t2 (writer schema also lacks region)
+    val avro = graft.log.SparkToAvro.toAvroSchema(fileSchema, "r")
+    val upd = org.apache.spark.sql.Row(t2, s"${t2}_0_1", "1", partDir, "", 1, "a2", 2L)
+    val lo = new DataOutputStream(fs.create(new Path(base, s"$partDir/.${fid}_$t1.log.1_0-0-0"), true))
+    try graft.log.LogFileWriter.avroDataBlock(lo, t2, avro,
+      Seq(graft.log.SparkToAvro.toRecord(upd, fileSchema, avro)))
+    finally lo.close()
+    val c2 = fs.create(new Path(base, s".hoodie/$t2.deltacommit"), true)
+    c2.write(s"""{"partitionToWriteStats":{"$partDir":[{"fileId":"$fid","path":"$partDir/.${fid}_$t1.log.1_0-0-0"}]}}""".getBytes); c2.close()
+
+    val t = HudiTable(spark, base.toString)
+    assert(t.droppedPartitionFields == Seq("region"))
+    val out = t.snapshot().select("id", "v", "region")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    // the merged log record must carry region=7 like the base rows
+    assert(out == Set((1, "a2", 7), (2, "b", 7)))
+  }
+
   // ---------------- schema evolution: column added in commit 2 ------------
   test("schema resolves from latest commit metadata on an evolved table") {
     import org.apache.hadoop.fs.{FileSystem, Path}
