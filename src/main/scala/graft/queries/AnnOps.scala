@@ -137,23 +137,12 @@ object AnnOps {
   private val sparkDot = "graft_dot(%s, %s)"
   private val duckDot = "CAST(list_dot_product(%s, %s) AS BIGINT)"
 
-  private val sparkSql: String = lshSql(
-    listTransform = "transform",
-    dot = sparkDot,
-    sigExpr = sparkSigExpr(sparkDot),
-    bandsFrom = s"LATERAL VIEW explode(sequence(0, ${numBands - 1})) bt AS b",
-    elementAt = "element_at")
-
   private val duckSql: String = lshSql(
     listTransform = "list_transform",
     dot = duckDot,
     sigExpr = duckSigExpr(duckDot, "range(0, 64)", "range(0, 16)", "list_transform"),
     bandsFrom = s", UNNEST(range(0, $numBands)) AS bt(b)",
     elementAt = "list_extract")
-
-  private val sparkAnnSql: String = annTopkSql(
-    "transform", sparkDot, sparkSigExpr(sparkDot),
-    s"LATERAL VIEW explode(sequence(0, ${numBands - 1})) bt AS b", "element_at")
 
   private val duckAnnSql: String = annTopkSql(
     "list_transform", duckDot, duckSigExpr(duckDot, "range(0, 64)", "range(0, 16)", "list_transform"),

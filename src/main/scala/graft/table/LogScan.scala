@@ -77,44 +77,6 @@ object LogScan {
     if (patch.isEmpty) r
     else Row.fromSeq(r.toSeq.zipWithIndex.map { case (v, i) => patch.getOrElse(i, v) })
 
-  /** Decode delete blocks → DataFrame
-    * `(_hoodie_commit_time, _hoodie_record_key, _hoodie_partition_path, <orderingField>)`
-    * matching the reference's transform (crates/core/src/schema/delete.rs:124-171).
-    * The block's instant time is stamped as the delete's commit time.
-    */
-  def dataFrameOfDeletes(
-      spark: SparkSession,
-      slices: Seq[FileSlice],
-      orderingField: String,
-      orderingType: DataType,
-      range: InstantRange,
-      conf: SerializableConf
-  ): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("_hoodie_commit_time", StringType),
-      StructField("_hoodie_record_key", StringType),
-      StructField("_hoodie_partition_path", StringType),
-      StructField(orderingField, orderingType)))
-    val withLogs = slices.filter(_.hasLogFiles).map(sliceLogPaths)
-    if (withLogs.isEmpty) return emptyDf(spark, schema)
-    val parallelism = math.min(withLogs.size, spark.sparkContext.defaultParallelism * 2)
-    val typeJson = orderingType.json
-    val rdd = spark.sparkContext
-      .parallelize(withLogs, parallelism)
-      .flatMap { paths =>
-        val tpe = DataType.fromJson(typeJson)
-        parseSlice(paths, conf, range).iterator
-          .filter(_.blockType == LogFormat.DeleteBlock)
-          .flatMap { b =>
-            val instant = b.instantTime
-            b.deleteRecords.iterator.map { case (key, part, ord) =>
-              Row(instant, key, part, coerce(ord, tpe))
-            }
-          }
-      }
-    spark.createDataFrame(rdd, schema)
-  }
-
   /** Single-pass decode of data AND delete blocks — MOR snapshots need
     * both, and separate passes would read + parse every log file twice
     * (at 100 TB that doubles log I/O). One RDD emits table-schema rows
