@@ -103,6 +103,27 @@ object HudiQueries {
       },
       ordersSql(updated = true, deletes = true, onlyUpdated = false)),
 
+    // --- S2/S3 through the connector: time travel + incremental ----------
+    "hudi_dsv2_time_travel" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(s.read.format("hudi-graft")
+          .option("as.of.timestamp", HudiFixtureBuilder.T1)
+          .load(HudiFixtureBuilder.cowPath(d)))
+      },
+      ordersSql(updated = false, deletes = false, onlyUpdated = false)),
+
+    "hudi_dsv2_incremental" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(s.read.format("hudi-graft")
+          .option("query.type", "incremental")
+          .option("start.timestamp", HudiFixtureBuilder.T1)
+          .option("end.timestamp", HudiFixtureBuilder.T2)
+          .load(HudiFixtureBuilder.morPath(d)))
+      },
+      ordersSql(updated = true, deletes = false, onlyUpdated = true)),
+
     // --- P6: dropped partition columns re-injected from partition paths --
     "hudi_dropped_partition_cols" -> QueryDef(
       (s, d) => {
