@@ -19,7 +19,10 @@ object SparkEntry {
       AnnOps.queries ++ HudiQueries.queries ++ Map(
         "media_byte_stats" -> QueryDef(
           (s, d) => graft.operators.MultimodalOps.byteStats(s, d),
-          Some(graft.operators.MultimodalOps.byteStatsOracle)))
+          Some(graft.operators.MultimodalOps.byteStatsOracle)),
+        "media_frame_sample" -> QueryDef(
+          (s, d) => graft.operators.MultimodalOps.frameSample(s, d),
+          Some(graft.operators.MultimodalOps.frameSampleOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -119,4 +119,27 @@ object MultimodalOps {
       |  md5(text) AS digest
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle-checked frame sampling: offsets are pure arithmetic over the
+    * blob length (synthetic blob = 4-byte header + utf8 text), so the
+    * typed Dataset pipeline (`syntheticBlobs` → `sampleFrames`) is
+    * hash-checked end-to-end against closed-form SQL.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    sampleFrames(syntheticBlobs(spark, sfDir), maxFrames = 8).toDF()
+      .orderBy("doc_id", "frame_index")
+  }
+
+  val frameSampleOracle: String =
+    """WITH blobs AS (
+      |  SELECT doc_id, 4 + octet_length(encode(text)) AS n_bytes FROM documents),
+      |sized AS (
+      |  SELECT doc_id,
+      |    LEAST(8, GREATEST(1, n_bytes // 64)) AS n,
+      |    n_bytes
+      |  FROM blobs)
+      |SELECT doc_id, CAST(i AS INT) AS frame_index,
+      |  CAST(i * GREATEST(1, n_bytes // n) AS BIGINT) AS byte_offset
+      |FROM sized, UNNEST(range(0, n)) AS t(i)
+      |ORDER BY doc_id, frame_index""".stripMargin
 }
