@@ -196,8 +196,9 @@ final class HFileReader(bytes: Array[Byte]) {
     val uncompressedSize = beInt(bytes, offset + 12)
     val bytesPerChecksum = beInt(bytes, offset + 25)
     val onDiskWithHeader = BlockHeaderSize + onDiskSize
-    val numChunks = (onDiskWithHeader + bytesPerChecksum - 1) / bytesPerChecksum
-    val checksumBytes = numChunks * 4
+    val checksumBytes =
+      if (bytesPerChecksum <= 0) 0 // checksum type NULL writes no chunks
+      else ((onDiskWithHeader + bytesPerChecksum - 1) / bytesPerChecksum) * 4
     val dataStart = offset + BlockHeaderSize
     val data =
       if (trailer.compressionCodec == 2)
