@@ -26,6 +26,9 @@ class HFileReaderSpec extends AnyFunSuite {
     for (f <- fixtureFiles.get) {
       val r = new HFileReader(Files.readAllBytes(f))
       assert(r.trailer.majorVersion == 3)
+      // Hudi writes its MDT HFiles GZIP-compressed — the codec path is
+      // genuinely exercised, not just the NONE fast path
+      assert(r.trailer.compressionCodec == 1)
       val recs = r.records.toVector
       assert(recs.size == r.numEntries)
       // keys come back in sorted order
