@@ -57,8 +57,18 @@ def main(out_dir: str, sf_dir: str) -> int:
             # stringify identically (r2 evidence), but int-vs-float (123 vs
             # 123.0) and naive-vs-tz-aware timestamps break the hash.
             def kind(t):
+                # Collapse to what actually breaks the driver's value hash:
+                # int-vs-float and naive-vs-tz-aware timestamps. Widths
+                # (int32/int64, float32/float64) and datetime units
+                # (ns vs us) stringify identically, so they collapse too.
                 k = t.kind if hasattr(t, "kind") else "O"
-                return "i" if k in "iu" else str(t) if k != "O" else "O"
+                if k in "iu":
+                    return "i"
+                if k == "f":
+                    return "f"
+                if k == "M":
+                    return "M-tz" if getattr(t, "tz", None) is not None else "M"
+                return str(t) if k != "O" else "O"
             if [kind(t) for t in g.dtypes] != [kind(t) for t in e.dtypes]:
                 print(f"FAIL-DTYPE        {name}: got={[str(t) for t in g.dtypes]} exp={[str(t) for t in e.dtypes]}")
                 n_fail += 1

@@ -122,39 +122,51 @@ object TextOps {
        |WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Spark impl — rank-dictionary min-hashing. The final output exposes
+  /** Spark impl — windowless binary min-hashing. The final output exposes
     * only (doc_a, doc_b, jaccard), so band hashes never need to EQUAL the
     * oracle's: only the candidate SET must match, i.e. per-seed ARGMIN
-    * structure and band-tuple equality. The md5-hex min the oracle takes
-    * is order-isomorphic to the rank of that hash within the vocabulary,
-    * so the engine aggregates 16 MIN(int) over per-seed vocabulary RANKS
-    * instead of 16 MIN(32-char hex string) — the exploded corpus carries
-    * 64B of ints per row instead of ~512B of hex strings, and the hot
-    * aggregate compares ints (measured ~2x end-to-end at sf0.1; identical
-    * candidates, identical verified output).
+    * structure and band-tuple equality. The oracle mins 32-char md5 HEX
+    * strings; the engine mins the 16-byte `unhex(md5(...))` BINARY of the
+    * same hash — lowercase hex digits are ascending in ASCII, so
+    * lexicographic hex order IS unsigned byte order, and the per-seed
+    * argmin (hence candidates, hence verified output) is provably
+    * identical. Two windowless regimes, both yielding the same binaries
+    * (an earlier rank-dictionary variant computed 16 global un-partitioned
+    * ROW_NUMBER windows over the vocabulary — a single-task serial sort,
+    * 16x, that cannot scale past one executor's sort throughput; removed):
     *
-    * Regime note: the rank dictionary (16 ROW_NUMBER windows over DISTINCT
-    * shingles) assumes vocabulary ≪ corpus — the same assumption the
-    * broadcast dictionary already makes. When the vocabulary is too big to
-    * broadcast, min directly over `unhex(md5(...))` binaries instead (no
-    * window, no broadcast; byte order equals hex order).
+    *  - small corpus (fits comfortably in a broadcast): hash each DISTINCT
+    *    shingle once into a 16-column binary dictionary (pure projection,
+    *    no window) and broadcast-join it — md5 runs |vocab| x 16 times
+    *    instead of |corpus| x 16 (measured ~1.7x end-to-end at sf0.1);
+    *  - large corpus: hash per occurrence directly — one embarrassingly-
+    *    parallel map pass + a map-side-combinable aggregate, no broadcast
+    *    and no "vocabulary fits in memory" assumption. 16 extra md5s per
+    *    occurrence beat shuffling the exploded corpus at 100 TB.
+    *
+    * The regime gate reads Catalyst's size estimate (driver-side, no job).
     *
     * Verification broadcasts the per-doc array relation, streaming the
     * candidate pairs — array-laden rows are never shuffled.
     */
+  private val dictBroadcastMaxBytes = 256L << 20
+
   private def minhashImpl(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     prep(s, d)
     val ds = s.sql(sparkDocsets)
     val shingles = ds.selectExpr("doc_id", "explode(shset) AS shingle")
-    val rankCols = (0 until numSeeds)
-      .map(i => s"ROW_NUMBER() OVER (ORDER BY md5(CONCAT('s$i:', shingle))) AS r$i")
-      .mkString(",\n    ")
-    shingles.select("shingle").distinct().createOrReplaceTempView("mh_vocab")
-    val dict = s.sql(s"SELECT shingle, $rankCols FROM mh_vocab")
-    val minAggs = (0 until numSeeds).map(i => min(col(s"r$i")).as(s"m$i"))
-    val sigs = shingles.join(broadcast(dict), "shingle")
-      .groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    def hashCols(src: org.apache.spark.sql.Column) = (0 until numSeeds)
+      .map(i => unhex(md5(concat(lit(s"s$i:"), src))).as(s"h$i"))
+    val minAggs = (0 until numSeeds).map(i => min(col(s"h$i")).as(s"m$i"))
+    val docBytes = s.table("documents").queryExecution.optimizedPlan.stats.sizeInBytes
+    val hashed =
+      if (docBytes <= dictBroadcastMaxBytes) {
+        val dict = shingles.select("shingle").distinct()
+          .select(col("shingle") +: hashCols(col("shingle")): _*)
+        shingles.join(broadcast(dict), "shingle")
+      } else shingles.select(col("doc_id") +: hashCols(col("shingle")): _*)
+    val sigs = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     // sigs is one row per doc — cache it so the band self-joins and the
     // verify phase don't re-run the signature aggregation per branch
     rotateCache("minhash", Seq(ds, sigs))
@@ -521,7 +533,7 @@ object TextOps {
     // --- blocked exact n-gram Jaccard near-dup ------------------------------
     "dedup_ngram_jaccard" -> QueryDef(ngramImpl _, Some(ngramOracle)),
 
-    // --- SimHash near-dup: 16-bit token-space fingerprints ------------------
+    // --- SimHash near-dup: 32-bit token-space fingerprints ------------------
     "dedup_simhash" -> QueryDef(
       (s, d) => sq(s, d, simhashSql("explode(split(text, ' ')) AS tok", "%s ^ %s")),
       simhashSql("UNNEST(string_split(text, ' ')) AS tok", "xor(%s, %s)")),
