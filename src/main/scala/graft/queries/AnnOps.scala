@@ -201,36 +201,53 @@ object AnnOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** Spark impls run against PERSISTED `ann_qn` / `ann_banded` views:
-    * Spark inlines CTEs, so the SQL formulation re-quantized the corpus
-    * and recomputed signatures once per self-join branch (2-4x). The
-    * cached generation rotates per invocation like the TextOps dedup
-    * relations. DuckDB keeps the single-statement CTE text.
+  /** Spark impls run against shared `ann_qn` / `ann_banded` views: Spark
+    * inlines CTEs, so a single-statement formulation re-quantizes the
+    * corpus and recomputes signatures once per self-join branch (2-4x).
+    * The views are built ONCE per (session, sf dir) and reused by all
+    * three ANN queries — the r3 per-invocation rotation rebuilt and
+    * re-materialized them for every query, charging ~2s of redundant
+    * cache builds to whichever ANN query the bench ran first.
+    *
+    * Whether the shared views are PERSISTED is gated on Catalyst's size
+    * estimate: at bench scale the columnar cache build costs more than
+    * the 2-4 recomputes it avoids (measured at sf0.1), while at real
+    * scale re-scanning the corpus per branch dominates and the persist
+    * wins. DuckDB keeps the single-statement CTE text.
     */
-  private val cacheRegistry =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
-  private def rotateCache(key: String, dfs: Seq[DataFrame]): Unit = {
-    cacheRegistry.put(key, dfs).foreach(_.foreach(_.unpersist(false)))
-    dfs.foreach(_.persist())
-  }
+  private val persistMinBytes = 64L << 20
+
+  private case class Prep(dir: String, dfs: Seq[DataFrame])
+  private val prepRegistry =
+    scala.collection.concurrent.TrieMap.empty[Int, Prep]
 
   private def sparkPrep(s: SparkSession, d: String): Unit = {
     graft.functions.LongArrayDot.register(s)
-    Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
-    val selfDot = sparkDot.format("q", "q")
-    val qn = s.sql(
-      s"""SELECT vec_id, q, $selfDot AS qnorm FROM (
-         |  SELECT vec_id, transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-         |  FROM embeddings)""".stripMargin)
+    val sessionKey = System.identityHashCode(s)
+    val cached = prepRegistry.get(sessionKey).filter(_.dir == d)
+    val Seq(qn, banded) = cached.map(_.dfs).getOrElse {
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+      val selfDot = sparkDot.format("q", "q")
+      val qn = s.sql(
+        s"""SELECT vec_id, q, $selfDot AS qnorm FROM (
+           |  SELECT vec_id, transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+           |  FROM embeddings)""".stripMargin)
+      def bit(k: String) = s"element_at(bits, $k)"
+      val banded = qn
+        .selectExpr("vec_id", s"${sparkSigExpr(sparkDot)} AS bits")
+        .selectExpr("vec_id", "bits", s"explode(sequence(0, ${numBands - 1})) AS b")
+        .selectExpr("vec_id", "b",
+          s"${bit("4*b+1")} * 8 + ${bit("4*b+2")} * 4 + ${bit("4*b+3")} * 2 + ${bit("4*b+4")} AS band_key")
+      val dfs = Seq(qn, banded)
+      val big = s.table("embeddings").queryExecution.optimizedPlan
+        .stats.sizeInBytes > persistMinBytes
+      if (big) dfs.foreach(_.persist())
+      prepRegistry.put(sessionKey, Prep(d, dfs))
+        .filter(_.dir != d).foreach(_.dfs.foreach(_.unpersist(false)))
+      dfs
+    }
     qn.createOrReplaceTempView("ann_qn")
-    def bit(k: String) = s"element_at(bits, $k)"
-    val banded = s.sql(
-      s"""SELECT vec_id, b,
-         |  ${bit("4*b+1")} * 8 + ${bit("4*b+2")} * 4 + ${bit("4*b+3")} * 2 + ${bit("4*b+4")} AS band_key
-         |FROM (SELECT vec_id, ${sparkSigExpr(sparkDot)} AS bits FROM ann_qn)
-         |LATERAL VIEW explode(sequence(0, ${numBands - 1})) bt AS b""".stripMargin)
     banded.createOrReplaceTempView("ann_banded")
-    rotateCache("ann", Seq(qn, banded))
   }
 
   private def sparkLshMain: String = {
