@@ -139,12 +139,20 @@ object LogScan {
         }
       }
     val combined = spark.createDataFrame(rdd, combinedSchema)
-    rotateCache(cacheKey, combined)
+    // Persist only when the doubled log I/O a second pass would cost
+    // outweighs the cache build: below the threshold the materialization
+    // job is slower than just parsing the (small) logs once per branch
+    // (measured at sf0.1, where the persist regressed hudi_mor_snapshot
+    // ~0.3s); above it the single-parse guarantee is the point.
+    if (slices.iterator.flatMap(_.logFiles).map(_.size).sum >= persistMinLogBytes)
+      rotateCache(cacheKey, combined)
     (combined.filter(!col(flag)).drop(flag),
       combined.filter(col(flag)).select(
         col("_hoodie_commit_time"), col("_hoodie_record_key"),
         col("_hoodie_partition_path"), col(orderingField)))
   }
+
+  private val persistMinLogBytes = 64L << 20
 
   private val cacheRegistry =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
