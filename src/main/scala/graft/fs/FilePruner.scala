@@ -119,6 +119,50 @@ final class FilePruner(filters: Seq[PartitionFilter], schema: StructType, conf: 
   }
 }
 
+/** Footer-stats proof that an incremental commit range needs no row
+  * filter: when EVERY planned base file's `_hoodie_commit_time` min/max
+  * lie inside `(start, end]` (and the column has no nulls), every row the
+  * vectorized scan emits is in range and the scan can stay columnar —
+  * Spark's vectorized parquet reader only skips row groups/pages, it
+  * never filters exact rows, so the proof must be total.
+  *
+  * Fail-CLOSED: missing stats, unknown null counts, or any read error
+  * returns false and the caller keeps the exact row-filtering path.
+  */
+object CommitRangeStats {
+  private val CommitCol = "_hoodie_commit_time"
+
+  def fullyContained(
+      files: Seq[BaseFile],
+      start: Option[String],
+      end: String,
+      conf: Configuration,
+      parallelism: Int = 16): Boolean =
+    try {
+      graft.util.Parallel.map(files, parallelism) { f =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.path), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          blocks.nonEmpty && blocks.forall { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == CommitCol).exists { col =>
+              val st = col.getStatistics
+              st != null && st.hasNonNullValue && st.getNumNulls == 0 && {
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+                    val mnS = mn.toStringUsingUTF8
+                    val mxS = mx.toStringUsingUTF8
+                    start.forall(mnS > _) && mxS <= end
+                  case _ => false
+                }
+              }
+            }
+          }
+        } finally reader.close()
+      }.forall(identity)
+    } catch { case _: Exception => false }
+}
+
 /** One-footer sampling estimator (C2 — statistics/estimator.rs:30-88):
   * derive rows-per-byte from a single file's footer and extrapolate row
   * counts for any file from its on-disk size.

@@ -109,13 +109,7 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       }
 
   private def partitionType(field: String): String =
-    hudi.tableSchema.fields.find(_.name == field).map(_.dataType.typeName).getOrElse("string") match {
-      case "integer" | "short" | "byte" => "int"
-      case "long" => "long"
-      case "double" | "float" => "double"
-      case "date" => "date"
-      case _ => "string"
-    }
+    hudi.partitionFieldTypes.collectFirst { case (`field`, t) => t }.getOrElse("string")
 
   private def literalParses(field: String, v: Any): Boolean =
     v != null && (partitionType(field) match {
@@ -217,25 +211,10 @@ class GraftScan(
   private val endTs = Option(options.get("end.timestamp"))
     .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
 
-  /** Pruner over the pushed partition filters (keygen-transformed). */
-  private def pruner: PartitionPruner = {
-    val fieldTypes = hudi.config.partitionFields.map { f =>
-      val tpe = hudi.tableSchema.fields.find(_.name == f).map(_.dataType.typeName).getOrElse("string")
-      f -> (tpe match {
-        case "integer" | "short" | "byte" => "int"
-        case "long" => "long"
-        case "double" | "float" => "double"
-        case "date" => "date"
-        case _ => "string"
-      })
-    }
-    val transformedFilters = graft.fs.TimestampKeyGen.fromConfig(hudi.config) match {
-      case Some(kg) => partitionFilters.flatMap(kg.transformFilter)
-      case None => partitionFilters
-    }
-    new PartitionPruner(fieldTypes, hudi.config.isHiveStylePartitioning,
-      hudi.config.isPartitionPathUrlencoded, transformedFilters)
-  }
+  /** Pruner over the pushed partition filters (keygen-transformed) —
+    * delegates to the table's single pruner builder.
+    */
+  private def pruner: PartitionPruner = hudi.prunerFor(partitionFilters)
 
   /** Planned slices: the driver-side fs-view walk (S5), partition-pruned
     * — incremental too (the reference applies partition pruning, just not
@@ -264,6 +243,22 @@ class GraftScan(
 
   private def morMergeNeeded: Boolean = slices.exists(_.hasLogFiles)
 
+  /** Columnar incremental gate: a batch incremental read can use the
+    * vectorized columnar path when parquet footer stats PROVE every
+    * planned base file's rows lie inside `(start, end]` — then the exact
+    * commit-range row filter is a no-op and dropping down to the row
+    * reader would only cost throughput. Typical for append-mostly tables,
+    * where in-range commits wrote fresh files; any rewritten file carrying
+    * pre-range rows fails the proof and keeps the row path. Fail-closed
+    * (and meaningless without populated meta fields).
+    */
+  private lazy val incrementalContained: Boolean =
+    isIncremental && !morMergeNeeded && hudi.config.populatesMetaFields &&
+      endTs.orElse(hudi.timeline.latestCommitTimestamp).exists { e =>
+        graft.fs.CommitRangeStats.fullyContained(
+          slices.map(_.baseFile), startTs, e, hudi.hadoopConf)
+      }
+
   /** Runtime (dynamic) partition pruning: Spark hands over join-key
     * filters materialized at execution time — e.g. the partition values
     * surviving a filtered dimension join — and the scan drops whole
@@ -285,18 +280,7 @@ class GraftScan(
       case _ => None
     }.toSeq
     if (simple.nonEmpty) {
-      val fieldTypes = hudi.config.partitionFields.map { f =>
-        val tpe = hudi.tableSchema.fields.find(_.name == f).map(_.dataType.typeName).getOrElse("string")
-        f -> (tpe match {
-          case "integer" | "short" | "byte" => "int"
-          case "long" => "long"
-          case "double" | "float" => "double"
-          case "date" => "date"
-          case _ => "string"
-        })
-      }
-      val p = new PartitionPruner(fieldTypes, hudi.config.isHiveStylePartitioning,
-        hudi.config.isPartitionPathUrlencoded, simple)
+      val p = hudi.prunerFor(simple)
       runtimeFiltered = Some(slices.filter(s => p.shouldInclude(s.partitionPath)))
     }
   }
@@ -309,7 +293,10 @@ class GraftScan(
       if (isIncremental) s"incremental(${startTs.getOrElse("-inf")}, ${endTs.getOrElse("latest")}]"
       else if (readOptimized) "read-optimized"
       else asOf.map(ts => s"time-travel@$ts").getOrElse("snapshot")
-    val merge = if (morMergeNeeded) "merge-on-read" else "base-only"
+    val merge =
+      if (morMergeNeeded) "merge-on-read"
+      else if (isIncremental && incrementalContained) "base-only, stats-contained"
+      else "base-only"
     val pushed = if (parquetFilters.isEmpty) "" else
       s", PushedFilters: [${parquetFilters.mkString(", ")}]"
     val lim = limit.map(l => s", PushedLimit: $l").getOrElse("")
@@ -359,11 +346,13 @@ class GraftScan(
     // D3 routing (the Spark analog of crates/datafusion/src/lib.rs:399-417):
     // log-free batch scans — COW, MOR read-optimized, or MOR whose planned
     // slices carry no logs — are eligible for Spark's vectorized columnar
-    // parquet reader; merged MOR slices and commit-range-filtered reads
-    // (incremental / streaming) stay on the row-based path. Batch input
-    // partitions are exactly `slices`, so `!morMergeNeeded` proves no
-    // partition needs the merge machinery.
-    val candidateColumnar = !withCommitCol && !morMergeNeeded
+    // parquet reader; merged MOR slices stay on the row-based path, and
+    // commit-range reads (incremental / streaming) do too UNLESS footer
+    // stats prove the range filter vacuous (incrementalContained — the
+    // columnar reader ignores the partitions' commit range by design).
+    // Batch input partitions are exactly `slices`, so `!morMergeNeeded`
+    // proves no partition needs the merge machinery.
+    val candidateColumnar = (!withCommitCol || incrementalContained) && !morMergeNeeded
 
     // MOR merge needs the record key / ordering / seqno / commit columns
     // even when the query prunes them away: widen, merge, project back
@@ -375,7 +364,9 @@ class GraftScan(
           Seq(MetaField.RecordKey, MetaField.CommitSeqno, MetaField.CommitTime,
             MetaField.PartitionPath) ++ orderingField
         else Nil
-      val forStream = if (withCommitCol) Seq(MetaField.CommitTime) else Nil
+      // contained columnar reads need no commit column: there is no row
+      // filter to feed (the stats proof made it vacuous)
+      val forStream = if (withCommitCol && !candidateColumnar) Seq(MetaField.CommitTime) else Nil
       (forMerge ++ forStream).distinct
     }
     val widened = StructType(required.fields ++

@@ -113,7 +113,17 @@ final class HudiTable(
       case Some(kg) => filters0.flatMap(kg.transformFilter)
       case None => filters0
     }
-    val fieldTypes = config.partitionFields.map { f =>
+    new PartitionPruner(partitionFieldTypes, config.isHiveStylePartitioning,
+      config.isPartitionPathUrlencoded, filters)
+  }
+
+  /** Partition field → pruner type name, the single source of truth for
+    * every pruning path (driver-side, DSv2 pushdown classification, and
+    * runtime/DPP filtering) so a newly supported type can't drift between
+    * them.
+    */
+  private[graft] lazy val partitionFieldTypes: Seq[(String, String)] =
+    config.partitionFields.map { f =>
       val tpe = tableSchema.fields.find(_.name == f).map(_.dataType) match {
         case Some(IntegerType | ShortType | ByteType) => "int"
         case Some(LongType) => "long"
@@ -123,9 +133,6 @@ final class HudiTable(
       }
       f -> tpe
     }
-    new PartitionPruner(fieldTypes, config.isHiveStylePartitioning,
-      config.isPartitionPathUrlencoded, filters)
-  }
 
   /** Snapshot read at the latest commit, or time-travel via `asOf` (any
     * format accepted by [[Timestamps.normalize]]). `readOptimized` skips

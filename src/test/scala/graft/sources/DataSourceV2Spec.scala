@@ -151,6 +151,37 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(rows == Set((1, false), (4, true)))
   }
 
+  test("dsv2 incremental goes columnar only when footer stats prove containment") {
+    assume(cowV6.isDefined)
+    val t = graft.table.HudiTable(spark, cowV6.get)
+    val instants = t.timeline.completedInstants.map(_.timestamp).distinct
+    val Seq(c1, c2) = instants.take(2)
+    // full-history range: every row's commit time is in ("0", latest] and
+    // footer stats prove it -> vectorized columnar path, no row filter
+    val full = spark.read.format("hudi-graft")
+      .option("query.type", "incremental")
+      .option("start.timestamp", "0")
+      .option("end.timestamp", instants.last)
+      .load(cowV6.get)
+      .select("id", "name")
+    assert(full.queryExecution.executedPlan.toString().contains("ColumnarToRow"),
+      "stats-contained incremental read must stay columnar")
+    val viaSnapshot = HudiTable(spark, cowV6.get).snapshot()
+      .select("id", "name").collect().toSet
+    assert(full.collect().toSet == viaSnapshot && viaSnapshot.size == 4)
+    // boundary range (c1, c2]: the c2 rewrite carries c1-era rows, the
+    // proof fails, and the exact row-filtering path must remain
+    val partial = spark.read.format("hudi-graft")
+      .option("query.type", "incremental")
+      .option("start.timestamp", c1)
+      .option("end.timestamp", c2)
+      .load(cowV6.get)
+      .select("id", "name")
+    assert(!partial.queryExecution.executedPlan.toString().contains("ColumnarToRow"),
+      "unproven commit range must keep the row-filtering path")
+    assert(partial.select("id").collect().map(_.getInt(0)).toSet == Set(1, 4))
+  }
+
   test("dsv2 incremental partition-prunes (reference: pruning minus stats)") {
     assume(cowV6.isDefined)
     val t = graft.table.HudiTable(spark, cowV6.get)
