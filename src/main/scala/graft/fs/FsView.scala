@@ -103,7 +103,13 @@ final class FsView(
     val entries: Iterator[(String, Long)] = mdtRecords.flatMap(_.get(partitionPath)) match {
       case Some(rec) => rec.activeFiles.iterator
       case None =>
-        fs.listStatus(dir).iterator.filter(_.isFile).map(st => (st.getPath.getName, st.getLen))
+        try fs.listStatus(dir).iterator.filter(_.isFile).map(st => (st.getPath.getName, st.getLen))
+        catch {
+          // With MDT listings active, a partition named in __all_partitions__
+          // but lacking a per-partition record may have been cleaned from
+          // storage entirely — treat it as empty rather than failing the plan.
+          case _: java.io.FileNotFoundException if mdtRecords.isDefined => Iterator.empty
+        }
     }
     val baseExt = config.baseFileFormat.toLowerCase
     val bases = mutable.ArrayBuffer.empty[BaseFile]

@@ -81,9 +81,8 @@ object MetadataTable {
       Seq("partition_path" -> "string"), hiveStyle = false, urlEncoded = false,
       Seq(PartitionFilter("partition_path", "=", Seq(FilesPartitionRecord.PartitionName))))
     val slices = fsView.slicesAsOf(latest, pruner)
-    require(slices.size == 1,
-      s"Expected 1 file slice for ${FilesPartitionRecord.PartitionName} partition, got ${slices.size}")
-    val slice = slices.head
+    require(slices.nonEmpty,
+      s"No file slice found for the ${FilesPartitionRecord.PartitionName} partition")
 
     def readFully(p: Path): Array[Byte] = {
       val fs = p.getFileSystem(hadoopConf)
@@ -92,26 +91,37 @@ object MetadataTable {
       try { val buf = new Array[Byte](len); in.readFully(0, buf); buf } finally in.close()
     }
 
-    val baseReader = new HFileReader(readFully(new Path(slice.baseFile.path)))
-    val schema = new AvroSchema.Parser().parse(baseReader.avroSchemaJson.getOrElse(
-      throw new IllegalStateException("MDT base HFile carries no avro schema")))
-
-    // M7 merge: base records first, then log records in commit order with
-    // tombstone-aware per-file map merge (merger.rs:79-150)
+    // Multiple file groups are legal in a real MDT (e.g. after compaction
+    // scheduling); each key hashes to one group, so merging the groups'
+    // record maps is a near-disjoint union — overlaps still go through the
+    // tombstone-aware merge for safety.
     val merged = mutable.LinkedHashMap.empty[String, FilesPartitionRecord]
-    for (rec <- baseReader.records)
-      merged(normalizeKey(rec.key)) = decode(rec, schema)
     val range = InstantRange.upTo(latest)
-    for (lf <- slice.logFiles.sortBy(_.orderingKey)) {
-      val blocks = LogFileParser.applyRollbacks(
-        LogFileParser.parse(readFully(new Path(lf.path)), range))
-      for (b <- blocks if b.blockType == LogFormat.HfileDataBlock && b.rawContent.nonEmpty) {
-        val logReader = new HFileReader(b.rawContent)
-        for (rec <- logReader.records) {
-          val decoded = decode(rec, schema)
-          merged.get(decoded.key) match {
-            case Some(existing) => merged(decoded.key) = mergeRecords(existing, decoded)
-            case None => merged(decoded.key) = decoded
+    for (slice <- slices) {
+      val baseReader = new HFileReader(readFully(new Path(slice.baseFile.path)))
+      val schema = new AvroSchema.Parser().parse(baseReader.avroSchemaJson.getOrElse(
+        throw new IllegalStateException("MDT base HFile carries no avro schema")))
+
+      // M7 merge: base records first, then log records in commit order with
+      // tombstone-aware per-file map merge (merger.rs:79-150)
+      for (rec <- baseReader.records) {
+        val decoded = decode(rec, schema)
+        merged.get(decoded.key) match {
+          case Some(existing) => merged(decoded.key) = mergeRecords(existing, decoded)
+          case None => merged(decoded.key) = decoded
+        }
+      }
+      for (lf <- slice.logFiles.sortBy(_.orderingKey)) {
+        val blocks = LogFileParser.applyRollbacks(
+          LogFileParser.parse(readFully(new Path(lf.path)), range))
+        for (b <- blocks if b.blockType == LogFormat.HfileDataBlock && b.rawContent.nonEmpty) {
+          val logReader = new HFileReader(b.rawContent)
+          for (rec <- logReader.records) {
+            val decoded = decode(rec, schema)
+            merged.get(decoded.key) match {
+              case Some(existing) => merged(decoded.key) = mergeRecords(existing, decoded)
+              case None => merged(decoded.key) = decoded
+            }
           }
         }
       }
