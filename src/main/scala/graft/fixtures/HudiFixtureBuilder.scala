@@ -40,6 +40,7 @@ object HudiFixtureBuilder {
   def partPath(sfDir: String): String = s"${root(sfDir)}/cow_part_nation"
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
   def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
+  def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
 
   /** File groups per partition — multiple slices per partition is the
     * realistic shape (and the unit of scan parallelism).
@@ -51,7 +52,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v4")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v5")
     if (fs.exists(marker)) return
     fs.delete(new Path(root(sfDir)), true)
     buildCowOrders(spark, sfDir)
@@ -59,6 +60,7 @@ object HudiFixtureBuilder {
     buildCowPartNation(spark, sfDir)
     buildCowDroppedNation(spark, sfDir)
     buildCowEvolvedNation(spark, sfDir)
+    buildCowMdtNation(spark, sfDir)
     fs.create(marker, true).close()
   }
 
@@ -348,6 +350,146 @@ object HudiFixtureBuilder {
       "nation_record").toString
     writeText(fs, new Path(base, s".hoodie/$T2.commit"),
       commitJson(Seq((fileId(1), name2)), newAvro))
+  }
+
+  // --- COW over nation, v8 + metadata-table `files` partition ------------
+  // (S8/S11/M7 end-to-end: the read plans its listing through the MDT's
+  // HFile base file. An ORPHAN base file — written under a completed
+  // instant's timestamp but absent from the MDT, the shape task retries
+  // leave behind — sits in partition 0: the MDT-served listing excludes
+  // it, a raw storage listing would include it and duplicate rows, so the
+  // oracle hash fails loudly if the MDT path silently regresses to
+  // listing.)
+  val T1C = "20240101000000001"
+
+  private val mdtAvroSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"HoodieMetadataRecord","fields":[
+        |{"name":"key","type":"string"},
+        |{"name":"type","type":"int"},
+        |{"name":"filesystemMetadata","type":["null",{"type":"map","values":
+        |  {"type":"record","name":"HoodieMetadataFileInfo","fields":[
+        |    {"name":"size","type":"long"},{"name":"isDeleted","type":"boolean"}]}}]}
+        |]}""".stripMargin.replaceAll("\n", ""))
+
+  private def mdtRecordBytes(key: String, recType: Int,
+      files: Seq[(String, Long)]): Array[Byte] = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val infoSchema = mdtAvroSchema.getField("filesystemMetadata").schema()
+      .getTypes.get(1).getValueType
+    val rec = new GenericData.Record(mdtAvroSchema)
+    rec.put("key", key)
+    rec.put("type", recType)
+    val m = new java.util.HashMap[String, GenericRecord]()
+    for ((name, size) <- files) {
+      val info = new GenericData.Record(infoSchema)
+      info.put("size", size)
+      info.put("isDeleted", false)
+      m.put(name, info)
+    }
+    rec.put("filesystemMetadata", m)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](mdtAvroSchema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def buildCowMdtNation(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(mdtPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie/timeline"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_mdt_nation
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=8
+        |hoodie.timeline.layout.version=2
+        |hoodie.table.recordkey.fields=n_nationkey
+        |hoodie.table.precombine.field=n_nationkey
+        |hoodie.table.partition.fields=n_regionkey
+        |hoodie.datasource.write.hive_style_partitioning=false
+        |hoodie.datasource.write.partitionpath.urlencode=false
+        |hoodie.populate.meta.fields=true
+        |hoodie.table.metadata.partitions=files
+        |""".stripMargin)
+
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val regions = src.select("n_regionkey").distinct().collect().map(_.getInt(0)).sorted
+    val files = regions.zipWithIndex.map { case (r, i) =>
+      val partDir = r.toString
+      val name = s"${fileId(i)}_${Token}_$T1.parquet"
+      val df = src.filter(col("n_regionkey") === r)
+      val metaDf = df.select(
+        lit(T1).as("_hoodie_commit_time"),
+        concat(lit(T1), lit("_0_"), col("n_nationkey")).as("_hoodie_commit_seqno"),
+        col("n_nationkey").cast(StringType).as("_hoodie_record_key"),
+        lit(partDir).as("_hoodie_partition_path"),
+        lit(name).as("_hoodie_file_name"),
+        col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      writeBaseFile(spark, metaDf, new Path(base, partDir), name)
+      (partDir, fileId(i), s"$partDir/$name")
+    }
+    // v8 completed instant: {requestTs}_{completionTs}.commit under
+    // .hoodie/timeline (commit metadata stays plain JSON — the loader is
+    // content-detected)
+    val dataAvro = SparkToAvro.toAvroSchema(src.schema, "nation_record").toString
+    val stats = files.groupBy(_._1).map { case (p, fsz) =>
+      s""""$p":[${fsz.map { case (_, fid, rel) => s"""{"fileId":"$fid","path":"$rel","partitionPath":"$p"}""" }.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val esc = dataAvro.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeText(fs, new Path(base, s".hoodie/timeline/${T1}_$T1C.commit"),
+      s"""{"partitionToWriteStats":$stats,"extraMetadata":{"schema":"$esc"},"compacted":false}""")
+
+    // the orphan: duplicate of partition 0's rows under a DIFFERENT file
+    // group, stamped with the completed instant's ts — visible to a raw
+    // listing, absent from the MDT
+    val orphanPart = regions.head.toString
+    val orphanName = s"${fileId(99)}_${Token}_$T1.parquet"
+    val orphanDf = src.filter(col("n_regionkey") === regions.head)
+    writeBaseFile(spark,
+      orphanDf.select(
+        lit(T1).as("_hoodie_commit_time"),
+        concat(lit(T1), lit("_9_"), col("n_nationkey")).as("_hoodie_commit_seqno"),
+        col("n_nationkey").cast(StringType).as("_hoodie_record_key"),
+        lit(orphanPart).as("_hoodie_partition_path"),
+        lit(orphanName).as("_hoodie_file_name"),
+        col("n_nationkey"), col("n_name"), col("n_regionkey")),
+      new Path(base, orphanPart), orphanName)
+
+    // --- the metadata table itself (v6-layout MOR with an HFILE base) ----
+    val mdt = new Path(base, ".hoodie/metadata")
+    fs.mkdirs(new Path(mdt, ".hoodie"))
+    writeText(fs, new Path(mdt, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_mdt_nation_metadata
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=key
+        |hoodie.table.base.file.format=HFILE
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin)
+    writeText(fs, new Path(mdt, s".hoodie/$T1.deltacommit"),
+      """{"partitionToWriteStats":{},"compacted":false}""")
+    val sizes = files.map { case (p, _, rel) =>
+      p -> (new Path(base, rel).getName, fs.getFileStatus(new Path(base, rel)).getLen)
+    }
+    val records =
+      (sizes.map { case (p, (name, len)) =>
+        p -> mdtRecordBytes(p, graft.table.FilesPartitionRecord.TypeFiles, Seq(name -> len))
+      } :+ (graft.table.FilesPartitionRecord.AllPartitionsKey ->
+        mdtRecordBytes(graft.table.FilesPartitionRecord.AllPartitionsKey,
+          graft.table.FilesPartitionRecord.TypeAllPartitions,
+          regions.map(r => r.toString -> 0L))))
+        .sortBy(_._1)
+    val hfileBytes = graft.hfile.HFileWriter.write(
+      records,
+      Map("schema" -> mdtAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 2) // multiple data blocks → the index path is real
+    val filesDir = new Path(mdt, "files")
+    fs.mkdirs(filesDir)
+    val out = fs.create(new Path(filesDir, s"files-0000-0_${Token}_$T1.hfile"), true)
+    out.write(hfileBytes)
+    out.close()
   }
 
   // --- COW over nation, hive-style partitioned by n_regionkey ------------

@@ -151,6 +151,21 @@ object HudiQueries {
         |  CASE WHEN n_nationkey % 2 = 1 THEN n_regionkey END AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // --- S8/S11/M7 end-to-end: snapshot planned through the metadata
+    // table's files partition (HFile base). The fixture plants an orphan
+    // base file that only a raw storage listing would surface — the hash
+    // match therefore FAILS if the MDT path silently falls back to listing.
+    "hudi_mdt_snapshot" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        HudiTable(s, HudiFixtureBuilder.mdtPath(d))
+          .snapshot()
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin),
+
     // --- R1: partition pruning on a hive-style partitioned table ---------
     "hudi_partition_pruned" -> QueryDef(
       (s, d) => {
