@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.Window
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Plan-shape regression tests (the Spark analog of the reference's
+  * plan_tests.rs): the scale-critical properties of the dedup plans are
+  * asserted structurally, so a silent regression — a global window
+  * sneaking back into the MinHash signatures, or the exploded corpus
+  * getting broadcast into the n-gram self-join — fails a test instead of
+  * only showing up as a bench cliff at the next scale-up. The DSv2
+  * routing shapes (columnar COW vs row MOR, zero-partition pruning,
+  * chunking, stats-contained incremental) live in DataSourceV2Spec.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def df(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  /** All physical nodes of the STATIC plan (pre-AQE). The static plan is
+    * where the shape decisions live — broadcast()/hint() resolution and
+    * join-strategy choice; the post-AQE plan can't serve here because at
+    * test scale AQE's empty-relation propagation legitimately deletes
+    * whole operators (e.g. the anti-join against an empty hot set) that
+    * the assertions are about.
+    */
+  private def allNodes(d: DataFrame): Seq[SparkPlan] = {
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested).flatMap(flatten)
+    }
+    flatten(d.queryExecution.sparkPlan)
+  }
+
+  test("minhash signatures are windowless (no global ROW_NUMBER dictionary)") {
+    val q = df("dedup_minhash_lsh")
+    // the one-task scale-killer shape was 16 un-partitioned ROW_NUMBER
+    // windows over the vocabulary; the binary-min path needs no window of
+    // any kind, partitioned or not
+    val windows = q.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(windows.isEmpty,
+      s"minhash plan must not contain window operators, found: ${windows.map(_.windowExpressions)}")
+  }
+
+  test("ngram hot set is broadcast-anti-joined, never shuffled") {
+    val nodes = allNodes(df("dedup_ngram_jaccard"))
+    // hot-set removal: a broadcast LeftAnti hash join (map-side filter)
+    assert(nodes.exists {
+      case j: BroadcastHashJoinExec => j.joinType == LeftAnti
+      case _ => false
+    }, "hot-set anti-join must broadcast the hot set")
+    // candidate self-join: shuffled hash join of the rare relation — the
+    // exploded corpus must NOT be a broadcast build side (the r2 size-
+    // estimate pathology), nor sort-merge (pointless sort of shingles)
+    assert(nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "candidate self-join must be a shuffled hash join")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge join should appear in the ngram plan")
+  }
+
+  test("minhash verify phase broadcasts the array relation") {
+    val nodes = allNodes(df("dedup_minhash_lsh"))
+    // array-laden doc sets are joined to candidates via broadcast — a
+    // sort-merge or shuffled join here moves duplicated arrays through a
+    // shuffle
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "verify joins against the doc-set relation must be broadcasts")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge join should appear in the minhash plan")
+  }
+
+  test("exact dedup aggregates with map-side partial combine") {
+    val nodes = allNodes(df("dedup_exact"))
+    assert(nodes.exists(n => n.nodeName.contains("HashAggregate") &&
+      n.toString().contains("partial_")),
+      "exact dedup must partial-aggregate before the shuffle")
+  }
+}
