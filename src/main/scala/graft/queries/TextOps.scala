@@ -336,7 +336,10 @@ object TextOps {
   private val simhashBandBits = 8
   private val simhashMaxHamming = 2
 
-  private def simhashSql(explodeToks: String, xorFmt: String): String = {
+  /** The signature CTE chain (toks → packed sigs + band keys), shared by
+    * the pair query and the group-clustering query.
+    */
+  private def simhashSigCtes(explodeToks: String): String = {
     val nBands = simhashBits / simhashBandBits
     val bitAggs = (0 until simhashBits)
       .map(j => s"CASE WHEN SUM(CASE WHEN substring(md5(tok), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bit$j")
@@ -349,12 +352,7 @@ object TextOps {
         .map(j => s"bit${b * simhashBandBits + j} * ${1 << (simhashBandBits - 1 - j)}")
         .mkString("", " + ", s" AS band$b")
     }.mkString(",\n    ")
-    val hamming = s"bit_count(${xorFmt.format("a.sig", "b.sig")})"
-    val bandUnion = (0 until nBands)
-      .map(b => s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $hamming AS hamming
-                   |  FROM sigs a JOIN sigs b ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin)
-      .mkString("\nUNION\n")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, $explodeToks FROM documents),
        |sigs0 AS (
        |  SELECT doc_id,
@@ -363,19 +361,196 @@ object TextOps {
        |sigs AS (
        |  SELECT doc_id, $packed AS sig,
        |    $bandKeys
-       |  FROM sigs0),
+       |  FROM sigs0)""".stripMargin
+  }
+
+  /** Unfiltered band-collision candidates over a named sigs relation. */
+  private def simhashPairsFrom(sigsRef: String, xorFmt: String): String = {
+    val nBands = simhashBits / simhashBandBits
+    val hamming = s"bit_count(${xorFmt.format("a.sig", "b.sig")})"
+    (0 until nBands)
+      .map(b => s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $hamming AS hamming
+                   |  FROM $sigsRef a JOIN $sigsRef b ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin)
+      .mkString("\nUNION\n")
+  }
+
+  private def simhashSql(explodeToks: String, xorFmt: String): String =
+    s"""WITH ${simhashSigCtes(explodeToks)},
        |pairs AS (
-       |$bandUnion
+       |${simhashPairsFrom("sigs", xorFmt)}
        |)
        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
        |FROM pairs
        |WHERE hamming <= $simhashMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared `simhash_sigs` view, built ONCE per (session, sf dir) and
+    * persisted: the single-statement formulation inlines the sigs CTE
+    * into every band-join branch (8x token-aggregate recompute), and
+    * `dedup_groups` reuses the same relation — the ANN prep-view pattern.
+    * The relation is one narrow row per doc (sig + 4 band ints), so the
+    * cache build amortizes across both queries at any scale.
+    */
+  private case class SigsPrep(dir: String, df: DataFrame)
+  private val sigsRegistry =
+    scala.collection.concurrent.TrieMap.empty[Int, SigsPrep]
+
+  private def simhashSigsView(s: SparkSession, d: String): Unit = {
+    prep(s, d)
+    val key = System.identityHashCode(s)
+    val sigs = sigsRegistry.get(key).filter(_.dir == d).map(_.df).getOrElse {
+      val df = s.sql(
+        s"""WITH ${simhashSigCtes("explode(split(text, ' ')) AS tok")}
+           |SELECT * FROM sigs""".stripMargin)
+      df.persist()
+      sigsRegistry.put(key, SigsPrep(d, df))
+        .filter(_.dir != d).foreach(_.df.unpersist(false))
+      df
+    }
+    sigs.createOrReplaceTempView("simhash_sigs")
+  }
+
+  private def simhashImpl(s: SparkSession, d: String): DataFrame = {
+    simhashSigsView(s, d)
+    s.sql(
+      s"""WITH pairs AS (
+         |${simhashPairsFrom("simhash_sigs", "%s ^ %s")}
+         |)
+         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+         |FROM pairs
+         |WHERE hamming <= $simhashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
   }
+
+  /** Near-dup GROUP clustering — the stage a training-data pipeline runs
+    * after pair generation: connected components over the simhash pair
+    * graph, one keeper (min doc_id) per component.
+    *
+    * Two regimes on the PAIR graph (which after banding is a small
+    * fraction of the corpus, but unbounded in absolute terms), the same
+    * gate pattern as the minhash dictionary:
+    *
+    *  - pair graph fits a driver budget: collect the edge list and run
+    *    min-root union-find with path compression — exact, microseconds,
+    *    none of Spark's per-job latency (a 6-round distributed loop costs
+    *    ~8s of pure scheduling/codegen overhead on a graph this size);
+    *  - larger: distributed min-label propagation with pointer jumping
+    *    (path halving), O(log diameter) rounds, each round ONE shuffle
+    *    job — the convergence flag rides inside the `localCheckpoint`ed
+    *    label relation. Checkpointing is load-bearing: persist alone
+    *    leaves the logical plan growing a generation per round and
+    *    planning/codegen compounds (measured 8s → 110s per round by
+    *    round 6); checkpointed rounds stay constant.
+    *
+    * Members are exposed as an md5 over the sorted id list (portable
+    * string, no array-typed oracle columns), plus the count.
+    */
+  private val ccLocalMaxEdges = 4L << 20
+
+  private def groupsImpl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    simhashSigsView(s, d)
+    val pairs = s.sql(
+      s"""WITH pairs AS (
+         |${simhashPairsFrom("simhash_sigs", "%s ^ %s")}
+         |)
+         |SELECT doc_a, doc_b FROM pairs WHERE hamming <= $simhashMaxHamming""".stripMargin)
+      .localCheckpoint()
+    val nEdges = pairs.count()
+    val labels: DataFrame =
+      if (nEdges <= ccLocalMaxEdges) localUnionFind(s, pairs)
+      else distributedComponents(pairs)
+    labels
+      .groupBy(col("lbl").as("keeper_doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("md5(concat_ws(',', transform(sort_array(collect_list(doc)), x -> CAST(x AS STRING))))")
+          .as("members_hash"))
+      .orderBy("keeper_doc_id")
+  }
+
+  /** Driver-side exact union-find (min element as root, path-compressed);
+    * the gate guarantees the edge list is driver-sized.
+    */
+  private[queries] def localUnionFind(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for (row <- pairs.collect()) {
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    import s.implicits._
+    parent.keys.toSeq.map(v => (v, find(v))).toDF("doc", "lbl")
+  }
+
+  /** Distributed min-label propagation + pointer jumping; the scale path. */
+  private[queries] def distributedComponents(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("doc", "nbr").localCheckpoint()
+    var labels = edges.select(col("doc")).distinct()
+      .withColumn("lbl", col("doc")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrLbl = edges
+        .join(labels.select(col("doc").as("nbr"), col("lbl").as("cand")), "nbr")
+        .select(col("doc"), col("cand"))
+      val propagated = labels.select(col("doc"), col("lbl").as("cand")).union(nbrLbl)
+        .groupBy("doc").agg(min("cand").as("lbl"))
+      def jump(df: DataFrame): DataFrame = df
+        .join(df.select(col("doc").as("lbl"), col("lbl").as("parent_lbl")),
+          Seq("lbl"), "left")
+        .select(col("doc"), least(col("lbl"), coalesce(col("parent_lbl"), col("lbl"))).as("lbl"))
+      val next = jump(propagated)
+        .join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .select(col("doc"), col("lbl"), (col("lbl") < col("old")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select("doc", "lbl")
+      rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"GRAFT_CC round=$rounds changed=$changed")
+    }
+    require(changed == 0, s"connected components did not converge in $rounds rounds")
+    labels
+  }
+
+  /** DuckDB oracle: transitive closure by recursive CTE (exact, fine at
+    * oracle scale), then min-reachable as the component label.
+    */
+  private def groupsOracle: String =
+    s"""WITH RECURSIVE ${simhashSigCtes("UNNEST(string_split(text, ' ')) AS tok")},
+       |pairs AS (
+       |${simhashPairsFrom("sigs", "xor(%s, %s)")}
+       |),
+       |dup_edges AS (
+       |  SELECT doc_a, doc_b FROM pairs WHERE hamming <= $simhashMaxHamming
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs WHERE hamming <= $simhashMaxHamming),
+       |reach(a, b) AS (
+       |  SELECT doc_a, doc_a FROM dup_edges
+       |  UNION
+       |  SELECT r.a, e.doc_b FROM reach r JOIN dup_edges e ON r.b = e.doc_a),
+       |labels AS (
+       |  SELECT a AS doc, MIN(b) AS lbl FROM reach GROUP BY a)
+       |SELECT lbl AS keeper_doc_id, COUNT(1) AS n_docs,
+       |  md5(string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc)) AS members_hash
+       |FROM labels
+       |GROUP BY lbl
+       |ORDER BY keeper_doc_id""".stripMargin
 
   private val qs: Map[String, QueryDef] = Map(
     // --- exact dedup: hash-groupBy, keep lowest doc_id ---------------------
@@ -535,8 +710,11 @@ object TextOps {
 
     // --- SimHash near-dup: 32-bit token-space fingerprints ------------------
     "dedup_simhash" -> QueryDef(
-      (s, d) => sq(s, d, simhashSql("explode(split(text, ' ')) AS tok", "%s ^ %s")),
+      simhashImpl _,
       simhashSql("UNNEST(string_split(text, ' ')) AS tok", "xor(%s, %s)")),
+
+    // --- near-dup group clustering: components + keeper per group ----------
+    "dedup_groups" -> QueryDef(groupsImpl _, Some(groupsOracle)),
 
     // --- MinHash + LSH banding near-dup -------------------------------------
     "dedup_minhash_lsh" -> QueryDef(minhashImpl _, Some(minhashOracle))
