@@ -78,6 +78,14 @@ class PlanShapeSpec extends SparkTestBase {
       "no sort-merge join should appear in the minhash plan")
   }
 
+  test("ANN near-dup plan never sort-merges the embedding arrays") {
+    val nodes = allNodes(df("embed_dedup_lsh"))
+    // the quantized-vector relation carries 64-int arrays; a sort-merge
+    // join would shuffle + sort duplicated arrays (the r2 pathology class)
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge join should appear in the ANN near-dup plan")
+  }
+
   test("exact dedup aggregates with map-side partial combine") {
     val nodes = allNodes(df("dedup_exact"))
     assert(nodes.exists(n => n.nodeName.contains("HashAggregate") &&
