@@ -124,6 +124,38 @@ object HudiQueries {
       },
       ordersSql(updated = true, deletes = false, onlyUpdated = true)),
 
+    // --- S4 end-to-end: the hudi-graft streaming source driven through
+    // the stateful latest-wins view (StreamOps.latestByKey). The memory
+    // sink accumulates the emission log across micro-batches; the final
+    // per-key max-ordering row equals the merged table state (the first
+    // micro-batch is the merged snapshot, so deletes are already applied;
+    // unchanged records keep their per-record T1 commit time).
+    "hudi_stream_latest" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val stream = s.readStream.format("hudi-graft").load(HudiFixtureBuilder.morPath(d))
+        val latest = graft.streaming.StreamOps.latestByKey(
+          stream.withColumn("commit_ord", col("_hoodie_commit_time").cast("long"))
+            .select("o_orderkey", "o_orderstatus", "commit_ord"),
+          Seq("o_orderkey"), "commit_ord")
+        val sink = "graft_stream_latest_sink"
+        s.catalog.dropTempView(sink)
+        val q = latest.writeStream.outputMode("append").format("memory")
+          .queryName(sink).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink)
+          .groupBy("o_orderkey")
+          .agg(max(struct(col("commit_ord"), col("o_orderstatus"))).as("m"))
+          .select(col("o_orderkey"), col("m.o_orderstatus").as("o_orderstatus"),
+            col("m.commit_ord").as("commit_ord"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN 20240102000000000
+        |            ELSE 20240101000000000 END AS BIGINT) AS commit_ord
+        |FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey""".stripMargin),
+
     // --- P6: dropped partition columns re-injected from partition paths --
     "hudi_dropped_partition_cols" -> QueryDef(
       (s, d) => {
