@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Second wave of LLM-training-pipeline operators over `documents`:
+  * repetition-quality signals, PII detection/redaction, deterministic
+  * dataset splitting and stratified sampling, and TF-IDF keyword
+  * extraction. Like TextOps, every operator is a pure Catalyst plan (no
+  * UDFs) with a bit-exact DuckDB oracle.
+  *
+  * Scale notes (100 TB design):
+  *  - repetition / PII / splitting are single-pass map-side shapes: per-doc
+  *    aggregates explode once and combine map-side (explode + hash-agg), or
+  *    are pure projections — no corpus-wide shuffle beyond the per-doc key;
+  *  - stratified sampling windows PARTITION BY the stratum (never a global
+  *    window), so each stratum's top-k is one partition-local sort;
+  *  - TF-IDF's document-frequency relation is a token dictionary — orders of
+  *    magnitude smaller than the corpus — and joins broadcast; the top-k
+  *    window partitions by doc_id.
+  *
+  * Float determinism: scores only use IEEE-correctly-rounded ops (`/`, `*`)
+  * over identical operands in both engines — no `ln`/`exp`, whose libm
+  * implementations are not guaranteed identical across engines (that is why
+  * tfidf uses the rational idf (N+1)/(df+1) rather than log idf).
+  */
+object PipelineOps {
+
+  private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  // --- Gopher-style repetition signals -------------------------------------
+  // (Rae et al. 2021 §A1.1: fraction of characters/tokens in duplicated
+  // n-grams and in the most frequent n-gram, used as quality filters.)
+  // Shape: tokenize once, explode, two map-side-combinable hash-aggs
+  // (unigram + bigram), join per doc. Bigrams are built per row from the
+  // token array — no self-join, no positional shuffle.
+  private val repetitionSpark: String =
+    """WITH toks AS (
+      |  SELECT doc_id, split(text, ' ') AS a FROM documents),
+      |uni AS (
+      |  SELECT doc_id, tok, COUNT(1) AS c
+      |  FROM (SELECT doc_id, explode(a) AS tok FROM toks)
+      |  GROUP BY doc_id, tok),
+      |uniagg AS (
+      |  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_tok,
+      |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_toks
+      |  FROM uni GROUP BY doc_id),
+      |bi AS (
+      |  SELECT doc_id, bg, COUNT(1) AS c
+      |  FROM (SELECT doc_id, explode(CASE WHEN size(a) >= 2
+      |          THEN transform(sequence(1, size(a) - 1),
+      |                         i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))
+      |          ELSE array() END) AS bg
+      |        FROM toks)
+      |  GROUP BY doc_id, bg),
+      |biagg AS (
+      |  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram,
+      |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigrams
+      |  FROM bi GROUP BY doc_id)
+      |SELECT u.doc_id, u.n_tokens,
+      |  CAST(u.top_tok AS DOUBLE) / u.n_tokens AS top_token_frac,
+      |  CAST(u.dup_toks AS DOUBLE) / u.n_tokens AS dup_token_frac,
+      |  CAST(b.top_bigram AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+      |  CAST(b.dup_bigrams AS DOUBLE) / b.n_bigrams AS dup_bigram_frac
+      |FROM uniagg u JOIN biagg b ON u.doc_id = b.doc_id
+      |ORDER BY u.doc_id""".stripMargin
+
+  private val repetitionDuck: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |uni AS (
+      |  SELECT doc_id, tok, COUNT(1) AS c
+      |  FROM (SELECT doc_id, UNNEST(a) AS tok FROM toks)
+      |  GROUP BY doc_id, tok),
+      |uniagg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_tok,
+      |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_toks
+      |  FROM uni GROUP BY doc_id),
+      |bi AS (
+      |  SELECT doc_id, bg, COUNT(1) AS c
+      |  FROM (SELECT doc_id,
+      |          UNNEST(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS bg
+      |        FROM toks)
+      |  GROUP BY doc_id, bg),
+      |biagg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bigram,
+      |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bigrams
+      |  FROM bi GROUP BY doc_id)
+      |SELECT u.doc_id, u.n_tokens,
+      |  CAST(u.top_tok AS DOUBLE) / u.n_tokens AS top_token_frac,
+      |  CAST(u.dup_toks AS DOUBLE) / u.n_tokens AS dup_token_frac,
+      |  CAST(b.top_bigram AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+      |  CAST(b.dup_bigrams AS DOUBLE) / b.n_bigrams AS dup_bigram_frac
+      |FROM uniagg u JOIN biagg b ON u.doc_id = b.doc_id
+      |ORDER BY u.doc_id""".stripMargin
+
+  // --- PII detection + redaction -------------------------------------------
+  // The synthetic corpus carries no natural PII, so (like TextOps.corpusSql
+  // injects duplicates) a deterministic CTE injects emails / IPv4s / phone
+  // numbers keyed off doc_id, computed identically in both dialects. The
+  // regexes use only ASCII classes, `\b`, and bounded repetition — the
+  // subset where Java regex (Spark) and RE2 (DuckDB) provably agree; no
+  // lookaround or backreferences (RE2 has neither).
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phoneRe = "\\b555-\\d{4}\\b"
+
+  /** Spark string literals see one escape level more than DuckDB's. */
+  private def lit(re: String, spark: Boolean): String =
+    if (spark) re.replace("\\", "\\\\") else re
+
+  private def piiSql(spark: Boolean): String = {
+    val (castStr, sizeFn, extractSuffix, replaceSuffix) =
+      if (spark) ("STRING", "size", ", 0)", ")") else ("VARCHAR", "len", ")", ", 'g')")
+    val (e, i, p) = (lit(emailRe, spark), lit(ipRe, spark), lit(phoneRe, spark))
+    s"""WITH pii_corpus AS (
+       |  SELECT doc_id, concat(text,
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN concat(' contact user', CAST(doc_id AS $castStr), '@example.com') ELSE '' END,
+       |    CASE WHEN doc_id % 11 = 0
+       |      THEN concat(' from 10.0.', CAST(doc_id % 256 AS $castStr), '.42') ELSE '' END,
+       |    CASE WHEN doc_id % 13 = 0
+       |      THEN concat(' call 555-', CAST(1000 + doc_id % 9000 AS $castStr)) ELSE '' END) AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $sizeFn(regexp_extract_all(text, '$e'$extractSuffix) AS n_emails,
+       |  $sizeFn(regexp_extract_all(text, '$i'$extractSuffix) AS n_ips,
+       |  $sizeFn(regexp_extract_all(text, '$p'$extractSuffix) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$e', '<EMAIL>'$replaceSuffix,
+       |      '$i', '<IP>'$replaceSuffix,
+       |      '$p', '<PHONE>'$replaceSuffix) AS redacted_hash
+       |FROM pii_corpus
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --- Deterministic train/valid/test split --------------------------------
+  // Hash-based splitting (the standard reproducible-split idiom): the first
+  // md5 hex nibble of the key buckets 12/2/2 of 16 into train/valid/test.
+  // Pure projection + one hash-agg: membership is a function of the row key
+  // alone, so the split is stable under reruns, repartitioning, and
+  // incremental appends — the property that matters at 100 TB.
+  private def splitSql(spark: Boolean): String = {
+    val castStr = if (spark) "STRING" else "VARCHAR"
+    val membersHash =
+      if (spark)
+        "md5(concat_ws(',', transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING))))"
+      else
+        "md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))"
+    s"""WITH splits AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substring(md5(CAST(doc_id AS $castStr)), 1, 1) < 'c' THEN 'train'
+       |         WHEN substring(md5(CAST(doc_id AS $castStr)), 1, 1) < 'e' THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, COUNT(1) AS n_docs, MIN(doc_id) AS min_doc_id,
+       |  MAX(doc_id) AS max_doc_id, $membersHash AS members_hash
+       |FROM splits GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  // --- Deterministic stratified sample (k per stratum) ---------------------
+  // ROW_NUMBER over md5-order *partitioned by the stratum* — each stratum
+  // sorts locally; there is deliberately no global window anywhere (the
+  // MinHash r3 lesson). Tie-break on doc_id makes the order total even
+  // under md5 collisions.
+  private val stratifiedK = 20
+  private def stratifiedSql(spark: Boolean): String = {
+    val castStr = if (spark) "STRING" else "VARCHAR"
+    val sampleHash =
+      if (spark)
+        "md5(concat_ws(',', transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING))))"
+      else
+        "md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))"
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |                       ORDER BY md5(CAST(doc_id AS $castStr)), doc_id) AS rn
+       |  FROM documents)
+       |SELECT lang, COUNT(1) AS n_sampled, $sampleHash AS sample_hash
+       |FROM ranked WHERE rn <= $stratifiedK
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // --- TF-IDF top-3 keywords per document ----------------------------------
+  // tf and df are both map-side-combinable hash-aggs; df (a token
+  // dictionary) broadcasts into the score join; the top-k window partitions
+  // by doc_id. Rational idf (N+1)/(df+1) keeps the score inside
+  // IEEE-correctly-rounded ops (see object scaladoc).
+  private def tfidfSql(explodeExpr: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $explodeExpr AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM toks GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(1) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS tfidf
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, df, tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, term, tf, df, tfidf
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
+  private val qs: Map[String, QueryDef] = Map(
+    "text_repetition" -> QueryDef(
+      (s, d) => sq(s, d, repetitionSpark), repetitionDuck),
+    "text_pii" -> QueryDef(
+      (s, d) => sq(s, d, piiSql(spark = true)), piiSql(spark = false)),
+    "sample_split" -> QueryDef(
+      (s, d) => sq(s, d, splitSql(spark = true)), splitSql(spark = false)),
+    "sample_stratified" -> QueryDef(
+      (s, d) => sq(s, d, stratifiedSql(spark = true)), stratifiedSql(spark = false)),
+    "text_tfidf" -> QueryDef(
+      (s, d) => sq(s, d, tfidfSql("explode(split(text, ' '))")),
+      tfidfSql("UNNEST(string_split(text, ' '))"))
+  )
+
+  def queries: Map[String, QueryDef] = qs
+}

@@ -342,6 +342,32 @@ object Relational {
         |GROUP BY user_id
         |ORDER BY total_spend DESC, user_id
         |LIMIT 20""".stripMargin
+    ),
+
+    // --- ROLLUP / grouping sets (Catalyst Expand operator) ------------------
+    // Subtotal + grand-total rows in one pass: Expand replicates each input
+    // row per grouping set before the hash-agg, so it is still a single
+    // shuffle (map-side combinable) — the right shape for hierarchical
+    // rollups at scale. NULLS FIRST pins the cross-engine sort order
+    // (DuckDB defaults NULLS LAST; Spark NULLS FIRST).
+    "q_rollup" -> QueryDef(
+      (s, d) =>
+        lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+            grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(1) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
     )
   )
 
