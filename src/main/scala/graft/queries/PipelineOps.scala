@@ -31,11 +31,15 @@ object PipelineOps {
   }
 
   // --- Gopher-style repetition signals -------------------------------------
-  // (Rae et al. 2021 §A1.1: fraction of characters/tokens in duplicated
-  // n-grams and in the most frequent n-gram, used as quality filters.)
+  // (In the spirit of Rae et al. 2021 §A1.1's duplicate/top n-gram quality
+  // filters. NOTE: the paper's n>=2 fractions weigh duplicated n-grams by
+  // CHARACTER mass; these are token-count fractions over bigram
+  // occurrences — a self-consistent approximation, oracle-checked, chosen
+  // to keep the signal a pure count aggregate.)
   // Shape: tokenize once, explode, two map-side-combinable hash-aggs
-  // (unigram + bigram), join per doc. Bigrams are built per row from the
-  // token array — no self-join, no positional shuffle.
+  // (unigram + bigram), LEFT-join per doc — a document with fewer than two
+  // tokens has no bigrams and keeps NULL bigram fractions rather than
+  // vanishing from the quality table.
   private val repetitionSpark: String =
     """WITH toks AS (
       |  SELECT doc_id, split(text, ' ') AS a FROM documents),
@@ -64,7 +68,7 @@ object PipelineOps {
       |  CAST(u.dup_toks AS DOUBLE) / u.n_tokens AS dup_token_frac,
       |  CAST(b.top_bigram AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
       |  CAST(b.dup_bigrams AS DOUBLE) / b.n_bigrams AS dup_bigram_frac
-      |FROM uniagg u JOIN biagg b ON u.doc_id = b.doc_id
+      |FROM uniagg u LEFT JOIN biagg b ON u.doc_id = b.doc_id
       |ORDER BY u.doc_id""".stripMargin
 
   private val repetitionDuck: String =
@@ -93,7 +97,7 @@ object PipelineOps {
       |  CAST(u.dup_toks AS DOUBLE) / u.n_tokens AS dup_token_frac,
       |  CAST(b.top_bigram AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
       |  CAST(b.dup_bigrams AS DOUBLE) / b.n_bigrams AS dup_bigram_frac
-      |FROM uniagg u JOIN biagg b ON u.doc_id = b.doc_id
+      |FROM uniagg u LEFT JOIN biagg b ON u.doc_id = b.doc_id
       |ORDER BY u.doc_id""".stripMargin
 
   // --- PII detection + redaction -------------------------------------------
@@ -125,9 +129,9 @@ object PipelineOps {
        |      THEN concat(' call 555-', CAST(1000 + doc_id % 9000 AS $castStr)) ELSE '' END) AS text
        |  FROM documents)
        |SELECT doc_id,
-       |  $sizeFn(regexp_extract_all(text, '$e'$extractSuffix) AS n_emails,
-       |  $sizeFn(regexp_extract_all(text, '$i'$extractSuffix) AS n_ips,
-       |  $sizeFn(regexp_extract_all(text, '$p'$extractSuffix) AS n_phones,
+       |  CAST($sizeFn(regexp_extract_all(text, '$e'$extractSuffix) AS BIGINT) AS n_emails,
+       |  CAST($sizeFn(regexp_extract_all(text, '$i'$extractSuffix) AS BIGINT) AS n_ips,
+       |  CAST($sizeFn(regexp_extract_all(text, '$p'$extractSuffix) AS BIGINT) AS n_phones,
        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
        |      '$e', '<EMAIL>'$replaceSuffix,
        |      '$i', '<IP>'$replaceSuffix,

@@ -359,7 +359,12 @@ object Relational {
             grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
             dsum(col("l_quantity")).as("sum_qty"),
             count(lit(1)).as("n_rows"))
-          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+          // g_flag/g_status in the sort make the order total even if the
+          // grouping columns ever contain real NULLs (a data NULL group and
+          // a subtotal row would otherwise tie and hash-compare flaky).
+          .orderBy(
+            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+            col("g_flag"), col("g_status")),
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
@@ -367,7 +372,8 @@ object Relational {
         |  COUNT(1) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+        |  g_flag, g_status""".stripMargin
     )
   )
 
