@@ -102,7 +102,8 @@ object MultimodalOps {
     * value (the non-stubbed part of the pipeline).
     */
   def byteStats(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
+    graft.queries.Tables.ensureView(spark, sfDir, "documents")(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
     spark.sql(
       """SELECT doc_id,
         |  length(cast(text AS BINARY)) AS n_bytes,

@@ -226,7 +226,7 @@ object AnnOps {
     val sessionKey = System.identityHashCode(s)
     val cached = prepRegistry.get(sessionKey).filter(_.dir == d)
     val Seq(qn, banded) = cached.map(_.dfs).getOrElse {
-      Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+      Tables.ensureView(s, d, "embeddings")(Tables.embeddings(s, d))
       val selfDot = sparkDot.format("q", "q")
       val qn = s.sql(
         s"""SELECT vec_id, q, $selfDot AS qnorm FROM (
@@ -246,8 +246,13 @@ object AnnOps {
         .filter(_.dir != d).foreach(_.dfs.foreach(_.unpersist(false)))
       dfs
     }
-    qn.createOrReplaceTempView("ann_qn")
-    banded.createOrReplaceTempView("ann_banded")
+    // register only on first build (or if dropped): replacing a temp view
+    // cascades cache invalidation through the CacheManager to every plan
+    // that references it.
+    if (cached.isEmpty || !s.catalog.tableExists("ann_qn")) {
+      qn.createOrReplaceTempView("ann_qn")
+      banded.createOrReplaceTempView("ann_banded")
+    }
   }
 
   private def sparkLshMain: String = {

@@ -23,7 +23,7 @@ object EmbedOps {
 
   private def prep(s: SparkSession, d: String): Unit = {
     graft.functions.LongArrayDot.register(s)
-    Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+    Tables.ensureView(s, d, "embeddings")(Tables.embeddings(s, d))
   }
 
   /** Quantized-embedding CTE, per dialect. */

@@ -26,7 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PipelineOps {
 
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("documents")
+    Tables.ensureView(s, d, "documents")(Tables.documents(s, d))
     s.sql(sql)
   }
 

@@ -24,7 +24,7 @@ object TextOps {
   private def prep(s: SparkSession, d: String): Unit = {
     graft.functions.ShingleSet.register(s)
     graft.functions.SortedIntersectCount.register(s)
-    Tables.documents(s, d).createOrReplaceTempView("documents")
+    Tables.ensureView(s, d, "documents")(Tables.documents(s, d))
   }
 
   /** Corpus with deterministic injected duplicates so exact-dedup output is
@@ -323,33 +323,37 @@ object TextOps {
     * hex (the high bit of nibble j, i.e. `substr(md5(tok), j, 1) >= '8'`)
     * votes +1/-1 — and the per-doc SIGN of each column of votes forms a
     * 32-bit fingerprint packed into one BIGINT. Candidates collide on one
-    * of 4 eight-bit bands (pigeonhole: any pair within Hamming distance
-    * [[simhashMaxHamming]] < 4 shares a band, so recall is exact);
-    * verification is `bit_count(xor)` on the packed signatures. Pure
-    * portable SQL, identical in both engines. One exploded-token
-    * aggregate (map-side combinable), band self-joins on a narrow
-    * 6-int-per-doc relation — never all-pairs, and the 8-bit band keys
-    * keep bucket fan-out bounded (4-bit keys measured 10x slower: 16
-    * buckets per band go quadratic).
+    * of 3 bands of 11/11/10 bits (pigeonhole: a pair within Hamming
+    * distance [[simhashMaxHamming]] = 2 flips bits in at most 2 bands, so
+    * with 3 bands at least one matches — recall is exact); verification is
+    * `bit_count(xor)` on the packed signatures. Pure portable SQL,
+    * identical in both engines. One exploded-token aggregate (map-side
+    * combinable), band self-joins on a narrow per-doc relation — never
+    * all-pairs. Band width is the bucket-skew lever: 4-bit keys measured
+    * 10x slower (16 buckets per band go quadratic), and the earlier 4x8
+    * layout put 3.2k docs in one sf0.1 bucket (5.4M enumerated pairs in
+    * one band); 11-bit keys split that 8x at the cost of zero recall.
     */
   private val simhashBits = 32
-  private val simhashBandBits = 8
+  private val simhashBandSizes = Seq(11, 11, 10)
   private val simhashMaxHamming = 2
+  /** (start bit, width) of each band. */
+  private def bandLayout: Seq[(Int, Int)] =
+    simhashBandSizes.scanLeft((0, 0)) { case ((s, w), n) => (s + w, n) }.tail
 
   /** The signature CTE chain (toks → packed sigs + band keys), shared by
     * the pair query and the group-clustering query.
     */
   private def simhashSigCtes(explodeToks: String): String = {
-    val nBands = simhashBits / simhashBandBits
     val bitAggs = (0 until simhashBits)
       .map(j => s"CASE WHEN SUM(CASE WHEN substring(md5(tok), ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bit$j")
       .mkString(",\n    ")
     val packed = (0 until simhashBits)
       .map(j => s"bit$j * CAST(${1L << (simhashBits - 1 - j)} AS BIGINT)")
       .mkString(" + ")
-    val bandKeys = (0 until nBands).map { b =>
-      (0 until simhashBandBits)
-        .map(j => s"bit${b * simhashBandBits + j} * ${1 << (simhashBandBits - 1 - j)}")
+    val bandKeys = bandLayout.zipWithIndex.map { case ((start, width), b) =>
+      (0 until width)
+        .map(j => s"bit${start + j} * ${1 << (width - 1 - j)}")
         .mkString("", " + ", s" AS band$b")
     }.mkString(",\n    ")
     s"""toks AS (
@@ -364,13 +368,21 @@ object TextOps {
        |  FROM sigs0)""".stripMargin
   }
 
-  /** Unfiltered band-collision candidates over a named sigs relation. */
+  /** Band-collision candidates over a named sigs relation, Hamming-
+    * verified INSIDE each band branch: the filter is per-row, so
+    * filter-before-union is provably identical to filter-after-union —
+    * but it runs before the UNION's distinct exchange. On a skewed corpus
+    * a hot band bucket (measured: one 3.2k-doc bucket at sf0.1) emits
+    * O(bucket²) collision pairs; verifying in-branch shrinks the distinct
+    * from millions of candidate rows to the near-dup set itself, and at
+    * 100 TB keeps the only quadratic-ish object out of the shuffle.
+    */
   private def simhashPairsFrom(sigsRef: String, xorFmt: String): String = {
-    val nBands = simhashBits / simhashBandBits
     val hamming = s"bit_count(${xorFmt.format("a.sig", "b.sig")})"
-    (0 until nBands)
+    bandLayout.indices
       .map(b => s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $hamming AS hamming
-                   |  FROM $sigsRef a JOIN $sigsRef b ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin)
+                   |  FROM $sigsRef a JOIN $sigsRef b ON a.band$b = b.band$b AND a.doc_id < b.doc_id
+                   |  WHERE $hamming <= $simhashMaxHamming""".stripMargin)
       .mkString("\nUNION\n")
   }
 
@@ -395,10 +407,11 @@ object TextOps {
   private val sigsRegistry =
     scala.collection.concurrent.TrieMap.empty[Int, SigsPrep]
 
-  private def simhashSigsView(s: SparkSession, d: String): Unit = {
+  private def simhashSigsView(s: SparkSession, d: String): DataFrame = {
     prep(s, d)
     val key = System.identityHashCode(s)
-    val sigs = sigsRegistry.get(key).filter(_.dir == d).map(_.df).getOrElse {
+    val hit = sigsRegistry.get(key).filter(_.dir == d)
+    hit.map(_.df).getOrElse {
       val df = s.sql(
         s"""WITH ${simhashSigCtes("explode(split(text, ' ')) AS tok")}
            |SELECT * FROM sigs""".stripMargin)
@@ -407,19 +420,30 @@ object TextOps {
         .filter(_.dir != d).foreach(_.df.unpersist(false))
       df
     }
-    sigs.createOrReplaceTempView("simhash_sigs")
+  }
+
+  /** Band-collision pairs over the shared cached sigs relation, Hamming-
+    * verified inside each band branch (the SQL shape of
+    * [[simhashPairsFrom]], expressed on the DataFrame directly: the
+    * view-resolution path re-expanded the relation per branch and
+    * measured ~2x slower than joining the cached DataFrame itself).
+    */
+  private def simhashPairsDf(sigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    bandLayout.indices.map { b =>
+      sigs.as("a").join(sigs.as("b"),
+        col(s"a.band$b") === col(s"b.band$b") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.sig ^ b.sig)").as("hamming"))
+        .filter(col("hamming") <= simhashMaxHamming)
+    }.reduce(_ unionAll _).distinct()
   }
 
   private def simhashImpl(s: SparkSession, d: String): DataFrame = {
-    simhashSigsView(s, d)
-    s.sql(
-      s"""WITH pairs AS (
-         |${simhashPairsFrom("simhash_sigs", "%s ^ %s")}
-         |)
-         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
-         |FROM pairs
-         |WHERE hamming <= $simhashMaxHamming
-         |ORDER BY doc_a, doc_b""".stripMargin)
+    import org.apache.spark.sql.functions._
+    simhashPairsDf(simhashSigsView(s, d))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
@@ -453,12 +477,8 @@ object TextOps {
 
   private def groupsImpl(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    simhashSigsView(s, d)
-    val pairs = s.sql(
-      s"""WITH pairs AS (
-         |${simhashPairsFrom("simhash_sigs", "%s ^ %s")}
-         |)
-         |SELECT doc_a, doc_b FROM pairs WHERE hamming <= $simhashMaxHamming""".stripMargin)
+    val pairs = simhashPairsDf(simhashSigsView(s, d))
+      .select("doc_a", "doc_b")
       .localCheckpoint()
     val nEdges = pairs.count()
     val labels: DataFrame =
