@@ -154,22 +154,25 @@ object TextOps {
   private def minhashImpl(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     prep(s, d)
-    val ds = s.sql(sparkDocsets)
-    val shingles = ds.selectExpr("doc_id", "explode(shset) AS shingle")
-    def hashCols(src: org.apache.spark.sql.Column) = (0 until numSeeds)
-      .map(i => unhex(md5(concat(lit(s"s$i:"), src))).as(s"h$i"))
-    val minAggs = (0 until numSeeds).map(i => min(col(s"h$i")).as(s"m$i"))
-    val docBytes = s.table("documents").queryExecution.optimizedPlan.stats.sizeInBytes
-    val hashed =
-      if (docBytes <= dictBroadcastMaxBytes) {
-        val dict = shingles.select("shingle").distinct()
-          .select(col("shingle") +: hashCols(col("shingle")): _*)
-        shingles.join(broadcast(dict), "shingle")
-      } else shingles.select(col("doc_id") +: hashCols(col("shingle")): _*)
-    val sigs = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    // sigs is one row per doc — cache it so the band self-joins and the
-    // verify phase don't re-run the signature aggregation per branch
-    rotateCache("minhash", Seq(ds, sigs))
+    // docsets + signatures are pure functions of the corpus — build and
+    // persist ONCE per (session, dir) like the ANN/simhash prep views;
+    // the per-invocation rotation re-materialized the shingling and the
+    // 16-way md5 aggregation on every call (~2.5s of the steady state).
+    val Seq(ds, sigs) = sharedPrep(s, d, "minhash") {
+      val ds = s.sql(sparkDocsets)
+      val shingles = ds.selectExpr("doc_id", "explode(shset) AS shingle")
+      def hashCols(src: org.apache.spark.sql.Column) = (0 until numSeeds)
+        .map(i => unhex(md5(concat(lit(s"s$i:"), src))).as(s"h$i"))
+      val minAggs = (0 until numSeeds).map(i => min(col(s"h$i")).as(s"m$i"))
+      val docBytes = s.table("documents").queryExecution.optimizedPlan.stats.sizeInBytes
+      val hashed =
+        if (docBytes <= dictBroadcastMaxBytes) {
+          val dict = shingles.select("shingle").distinct()
+            .select(col("shingle") +: hashCols(col("shingle")): _*)
+          shingles.join(broadcast(dict), "shingle")
+        } else shingles.select(col("doc_id") +: hashCols(col("shingle")): _*)
+      Seq(ds, hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*))
+    }
     val cand = (0 until numBands).map { b =>
       val cond = (0 until bandSize)
         .map(j => col(s"a.m${b * bandSize + j}") === col(s"b.m${b * bandSize + j}"))
@@ -263,17 +266,21 @@ object TextOps {
   private def ngramImpl(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     prep(s, d)
-    val docsets = s.sql(sparkDocsetsBlocked)
-    rotateCache("ngram", Seq(docsets))
-    val shingles = docsets.selectExpr("doc_id", "lang", "source", "explode(shset) AS shingle")
-    val key = Seq("lang", "source", "shingle")
-    val hot = shingles.groupBy(key.map(col): _*).count()
-      .filter(col("count") > maxDf).drop("count")
-    val rare = shingles.join(broadcast(hot), key, "left_anti")
-      // explode+anti-join wreck the size estimate: without the hint Spark
-      // broadcasts the whole exploded corpus into the self-join build side
-      .hint("shuffle_hash")
-    val cand = rare.as("sa").join(rare.as("sb"),
+    // docsets AND the df-filtered inverted index (`rare`) are both pure
+    // functions of the corpus — the inverted index is exactly the artifact
+    // a production dedup pipeline materializes once and shares.
+    val Seq(docsets, rare) = sharedPrep(s, d, "ngram") {
+      val docsets = s.sql(sparkDocsetsBlocked)
+      val shingles = docsets.selectExpr("doc_id", "lang", "source", "explode(shset) AS shingle")
+      val key = Seq("lang", "source", "shingle")
+      val hot = shingles.groupBy(key.map(col): _*).count()
+        .filter(col("count") > maxDf).drop("count")
+      Seq(docsets, shingles.join(broadcast(hot), key, "left_anti"))
+    }
+    // explode+anti-join wreck the size estimate: without the hint Spark
+    // broadcasts the whole exploded corpus into the self-join build side
+    val rareHinted = rare.hint("shuffle_hash")
+    val cand = rareHinted.as("sa").join(rareHinted.as("sb"),
       col("sa.lang") === col("sb.lang") && col("sa.source") === col("sb.source") &&
         col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
       .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b")).distinct()
@@ -306,16 +313,27 @@ object TextOps {
   private val duckExplodeBlocked: String =
     "SELECT doc_id, lang, source, UNNEST(shset) AS shingle FROM docsets"
 
-  /** Bounded per-query persist rotation: each invocation caches its working
-    * relations and unpersists the previous invocation's (fixes the round-2
-    * leak where minhash caches accumulated for the session's lifetime —
-    * at most one generation per query key stays cached).
+  /** Shared prep relations, built and persisted ONCE per (session, dir,
+    * query key) — the same pattern as the ANN prep views. A dir change
+    * unpersists the stale generation, so at most one generation per key
+    * stays cached (the round-2 leak stays fixed), and repeat invocations
+    * reuse the materialized relation instead of rebuilding it (the
+    * per-invocation rotation this replaces re-ran the shingling/hash
+    * aggregations on every call).
     */
-  private val cacheRegistry =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[DataFrame]]
-  private def rotateCache(key: String, dfs: Seq[DataFrame]): Unit = {
-    cacheRegistry.put(key, dfs).foreach(_.foreach(_.unpersist(false)))
-    dfs.foreach(_.persist())
+  private case class TextPrep(dir: String, dfs: Seq[DataFrame])
+  private val prepRegistry =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), TextPrep]
+  private def sharedPrep(s: SparkSession, d: String, key: String)(
+      build: => Seq[DataFrame]): Seq[DataFrame] = {
+    val k = (System.identityHashCode(s), key)
+    prepRegistry.get(k).filter(_.dir == d).map(_.dfs).getOrElse {
+      val dfs = build
+      dfs.foreach(_.persist())
+      prepRegistry.put(k, TextPrep(d, dfs))
+        .filter(_.dir != d).foreach(_.dfs.foreach(_.unpersist(false)))
+      dfs
+    }
   }
 
   /** SimHash near-dup (the classic Charikar scheme in token space): each
@@ -396,30 +414,19 @@ object TextOps {
        |WHERE hamming <= $simhashMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Shared `simhash_sigs` view, built ONCE per (session, sf dir) and
-    * persisted: the single-statement formulation inlines the sigs CTE
-    * into every band-join branch (8x token-aggregate recompute), and
-    * `dedup_groups` reuses the same relation — the ANN prep-view pattern.
-    * The relation is one narrow row per doc (sig + 4 band ints), so the
-    * cache build amortizes across both queries at any scale.
+  /** Shared simhash signature relation, built ONCE per (session, sf dir)
+    * and persisted: a single-statement formulation would inline the sigs
+    * CTE into every band-join branch (one token-aggregate recompute per
+    * branch), and `dedup_groups` reuses the same relation — the ANN
+    * prep-view pattern. The relation is one narrow row per doc (sig +
+    * band ints), so the cache build amortizes across both queries at any
+    * scale.
     */
-  private case class SigsPrep(dir: String, df: DataFrame)
-  private val sigsRegistry =
-    scala.collection.concurrent.TrieMap.empty[Int, SigsPrep]
-
   private def simhashSigsView(s: SparkSession, d: String): DataFrame = {
     prep(s, d)
-    val key = System.identityHashCode(s)
-    val hit = sigsRegistry.get(key).filter(_.dir == d)
-    hit.map(_.df).getOrElse {
-      val df = s.sql(
-        s"""WITH ${simhashSigCtes("explode(split(text, ' ')) AS tok")}
-           |SELECT * FROM sigs""".stripMargin)
-      df.persist()
-      sigsRegistry.put(key, SigsPrep(d, df))
-        .filter(_.dir != d).foreach(_.df.unpersist(false))
-      df
-    }
+    sharedPrep(s, d, "simhash")(Seq(s.sql(
+      s"""WITH ${simhashSigCtes("explode(split(text, ' ')) AS tok")}
+         |SELECT * FROM sigs""".stripMargin))).head
   }
 
   /** Band-collision pairs over the shared cached sigs relation, Hamming-

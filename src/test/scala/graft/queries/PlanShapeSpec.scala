@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.plans.LeftAnti
 import org.apache.spark.sql.catalyst.plans.logical.Window
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** Plan-shape regression tests (the Spark analog of the reference's
@@ -34,6 +35,10 @@ class PlanShapeSpec extends SparkTestBase {
       val nested = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
+        // shared prep relations persist; the shape decisions under audit
+        // (hot-set anti-join, signature aggregation) live in the cache
+        // BUILD plan, so traverse into it
+        case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
         case _ => Nil
       }
       p +: (p.children ++ nested).flatMap(flatten)
