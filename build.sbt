@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executor in ONE JVM: size the heap for 32
+  // concurrent tasks plus the persisted prep relations (the host has
+  // 128 GiB; 8g measured storage evictions once the shared dedup/ANN
+  // caches coexist, re-reading spilled blocks inside measured queries).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    Relational.queries ++ TextOps.queries ++ PipelineOps.queries ++ EmbedOps.queries ++
+    Relational.queries ++ TextOps.queries ++ PipelineOps.queries ++
+      TemporalOps.queries ++ EmbedOps.queries ++
       AnnOps.queries ++ HudiQueries.queries ++ Map(
         "media_byte_stats" -> QueryDef(
           (s, d) => graft.operators.MultimodalOps.byteStats(s, d),

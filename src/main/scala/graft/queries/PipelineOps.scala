@@ -210,7 +210,46 @@ object PipelineOps {
        |FROM ranked WHERE rk <= 3
        |ORDER BY doc_id, rk""".stripMargin
 
+  // --- C4/Gopher-style heuristic quality filters ---------------------------
+  // (the rule bundle of Raffel et al. 2020 §2.2 / Rae et al. 2021 §A1.1,
+  // restricted to rules expressible with engine-portable string ops:
+  // terminal punctuation, mean word length in [3,10], symbol ratio,
+  // stopword presence, minimum length. One tokenize-once aggregate plus a
+  // doc-keyed join; the per-rule booleans are exposed alongside the
+  // combined keep flag so a pipeline can tune rule-by-rule.)
+  private def c4Sql(spark: Boolean): String = {
+    val explodeToks =
+      if (spark) "explode(split(text, ' '))"
+      else "UNNEST(string_split(text, ' '))"
+    def cnt(ch: String) = s"length(text) - length(replace(text, '$ch', ''))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, $explodeToks AS tok FROM documents),
+       |agg AS (
+       |  SELECT doc_id, COUNT(1) AS n_tokens,
+       |         CAST(SUM(length(tok)) AS BIGINT) AS n_tok_chars
+       |  FROM toks GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  a.n_tokens,
+       |  CAST(a.n_tok_chars AS DOUBLE) / a.n_tokens AS mean_word_len,
+       |  right(d.text, 1) IN ('.', '!', '?') AS ends_terminal,
+       |  CAST(${cnt("#")} + ${cnt("@")} AS DOUBLE) / length(d.text) AS symbol_ratio,
+       |  contains(concat(' ', d.text, ' '), ' the ')
+       |    OR contains(concat(' ', d.text, ' '), ' and ')
+       |    OR contains(concat(' ', d.text, ' '), ' of ') AS has_stopword,
+       |  (right(d.text, 1) IN ('.', '!', '?')
+       |    AND CAST(a.n_tok_chars AS DOUBLE) / a.n_tokens BETWEEN 3 AND 10
+       |    AND CAST(${cnt("#")} + ${cnt("@")} AS DOUBLE) / length(d.text) < 0.01
+       |    AND (contains(concat(' ', d.text, ' '), ' the ')
+       |      OR contains(concat(' ', d.text, ' '), ' and ')
+       |      OR contains(concat(' ', d.text, ' '), ' of '))
+       |    AND a.n_tokens >= 5) AS keep
+       |FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private val qs: Map[String, QueryDef] = Map(
+    "text_c4_filters" -> QueryDef(
+      (s, d) => sq(s, d, c4Sql(spark = true)), c4Sql(spark = false)),
     "text_repetition" -> QueryDef(
       (s, d) => sq(s, d, repetitionSpark), repetitionDuck),
     "text_pii" -> QueryDef(

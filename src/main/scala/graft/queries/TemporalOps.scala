@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-time operators over the `events` stream table: gap-based
+  * sessionization and a distributed as-of join — the two temporal shapes
+  * an analytics engine needs beyond plain windows, both absent from
+  * Spark's built-in operator set and both expressed here as composed
+  * Catalyst plans (preference order (a) of the build plan: compose
+  * existing ops, no custom exec).
+  *
+  * Scale notes (100 TB design):
+  *  - sessionization is two key-partitioned windows (lag + running sum)
+  *    plus one aggregate, all sharing the (user_id) shuffle — no global
+  *    window anywhere, so skew is bounded by the hottest single user;
+  *  - the as-of join is the union-tag formulation: tag both relations,
+  *    union, one window partitioned by the join key carries the latest
+  *    match forward. ONE shuffle by key — strictly cheaper than the
+  *    range-join fallback (which explodes into an inequality nested loop)
+  *    and the same shape Flink/KDB-style engines distribute as-of with.
+  *
+  * Float determinism: totals aggregate as DECIMAL(18,4) then cast back
+  * to DOUBLE (the Relational.dsum contract); matched columns are carried
+  * verbatim, never re-computed.
+  */
+object TemporalOps {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** 30-minute-gap sessionization: a session breaks where the gap to the
+    * previous event of the same user exceeds [[sessionGapUs]].
+    */
+  private val sessionGapUs = 1800L * 1000000L
+
+  private def sessionizeImpl(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > sessionGapUs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  private val sessionizeOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM marked)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+      |  CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+      |  COUNT(1) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** As-of join: each event matched to the user's most recent order with
+    * `o_orderdate <= ts`. Orders are first deduplicated to one row per
+    * (custkey, orderdate) — max orderkey wins — so the as-of tie at equal
+    * timestamps is total in both engines (DuckDB's ASOF picks an
+    * arbitrary row among equal-time matches otherwise).
+    *
+    * Union-tag formulation: orders sort BEFORE events at the same
+    * timestamp (tag 0 < 1 — the join is inclusive), and `last(ignoreNulls)`
+    * over the key-partitioned running frame carries the latest order's
+    * columns forward onto each event row. Both carried columns come from
+    * the same physical row (they are non-null on exactly the order rows),
+    * so the pair is always consistent.
+    */
+  /** Reusable as-of core over (events: event_id, user_id, ts) and
+    * (orders: o_orderkey, o_custkey, o_orderdate, o_totalprice).
+    */
+  private[queries] def asof(events: DataFrame, orders: DataFrame): DataFrame = {
+    val dedupW = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(col("o_orderkey").desc)
+    val ordersD = orders
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
+    val oTagged = ordersD.select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("tag"),
+      col("o_orderkey"), col("o_totalprice"), lit(null).cast("long").as("event_id"))
+    val eTagged = events.select(
+      col("user_id").as("k"), col("ts").as("t"), lit(1).as("tag"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"), col("event_id"))
+    val runW = Window.partitionBy("k").orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oTagged.unionByName(eTagged)
+      .withColumn("m_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(runW))
+      .withColumn("m_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(runW))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("m_orderkey").as("o_orderkey"), col("m_totalprice").as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  private def asofImpl(s: SparkSession, d: String): DataFrame =
+    asof(Tables.events(s, d), Tables.orders(s, d))
+
+  private val asofOracle: String =
+    """WITH orders_d AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+      |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+      |      ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+      |                         ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1)
+      |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+      |FROM events e ASOF LEFT JOIN orders_d o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  def queries: Map[String, QueryDef] = Map(
+    "q_sessionize" -> QueryDef(sessionizeImpl _, sessionizeOracle),
+    "q_asof_join" -> QueryDef(asofImpl _, asofOracle)
+  )
+}

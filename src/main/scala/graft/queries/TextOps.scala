@@ -599,6 +599,53 @@ object TextOps {
          |ORDER BY text_hash""".stripMargin
     ),
 
+    // --- exact-substring dedup signal: duplicated 13-token-gram coverage --
+    // (the gram-space form of Lee et al. 2021's exact-substring dedup: a
+    // gram occurring more than once across the corpus marks a duplicated
+    // span; per-doc dup_fraction is the fraction of its grams so marked.)
+    // Shape: explode grams once, one map-side-combinable global gram
+    // count, one shuffle join of grams against the gram-count relation
+    // keyed by gram — the standard inverted-index shape, no window and no
+    // broadcast of a corpus-sized dictionary. Short docs (< 13 tokens)
+    // keep a row with 0 grams and NULL fraction via the LEFT join.
+    "dedup_substring" -> QueryDef(
+      (s, d) => sq(s, d,
+        s"""WITH corpus AS ($corpusSql),
+           |toks AS (SELECT doc_id, split(text, ' ') AS a FROM corpus),
+           |grams AS (
+           |  SELECT doc_id, explode(CASE WHEN size(a) >= 13
+           |    THEN transform(sequence(1, size(a) - 12), i -> concat_ws(' ', slice(a, i, 13)))
+           |    ELSE array() END) AS gram
+           |  FROM toks),
+           |gc AS (SELECT gram, COUNT(1) AS n FROM grams GROUP BY gram),
+           |per AS (
+           |  SELECT g.doc_id, COUNT(1) AS n_grams,
+           |         SUM(CASE WHEN gc.n > 1 THEN 1 ELSE 0 END) AS n_dup
+           |  FROM grams g JOIN gc ON g.gram = gc.gram GROUP BY g.doc_id)
+           |SELECT t.doc_id, COALESCE(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+           |  COALESCE(p.n_dup, CAST(0 AS BIGINT)) AS n_dup_grams,
+           |  CAST(p.n_dup AS DOUBLE) / p.n_grams AS dup_fraction
+           |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
+           |ORDER BY t.doc_id""".stripMargin),
+      s"""WITH corpus AS ($corpusSql),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM corpus),
+         |grams AS (
+         |  SELECT doc_id, UNNEST(CASE WHEN len(a) >= 13
+         |    THEN list_transform(range(1, len(a) - 11), i -> array_to_string(a[i:i+12], ' '))
+         |    ELSE [] END) AS gram
+         |  FROM toks),
+         |gc AS (SELECT gram, COUNT(1) AS n FROM grams GROUP BY gram),
+         |per AS (
+         |  SELECT g.doc_id, COUNT(1) AS n_grams,
+         |         CAST(SUM(CASE WHEN gc.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM grams g JOIN gc ON g.gram = gc.gram GROUP BY g.doc_id)
+         |SELECT t.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+         |  COALESCE(p.n_dup, 0) AS n_dup_grams,
+         |  CAST(p.n_dup AS DOUBLE) / p.n_grams AS dup_fraction
+         |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    ),
+
     // --- token counting: tokenize ONCE via explode + one hash-agg ---------
     // (the round-1 shape re-evaluated split() per output column; higher-
     // order functions run interpreted, so Catalyst's subexpression
