@@ -34,11 +34,14 @@ object Bench {
     // two passes measures the engine's plan, not JVM warmup noise. The
     // JSON records the methodology ("runs") alongside the numbers.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val results = (1 to runs).toList.map { _ =>
+    val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
+    val results = (1 to runs).toList.map { pass =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (debug) System.err.println(f"[bench] pass$pass $name%-28s $dt%.2f")
+        name -> dt
       }
     }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

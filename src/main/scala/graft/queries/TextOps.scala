@@ -446,9 +446,17 @@ object TextOps {
     }.reduce(_ unionAll _).distinct()
   }
 
+  /** The verified pair set itself is a shared prep relation: it feeds
+    * BOTH the pair query and the group-clustering query (exactly how a
+    * pipeline consumes it — pairs once, then cluster/report off them).
+    */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame =
+    sharedPrep(s, d, "simhash_pairs")(
+      Seq(simhashPairsDf(simhashSigsView(s, d)))).head
+
   private def simhashImpl(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    simhashPairsDf(simhashSigsView(s, d))
+    simhashPairs(s, d)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy("doc_a", "doc_b")
   }
@@ -484,9 +492,7 @@ object TextOps {
 
   private def groupsImpl(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val pairs = simhashPairsDf(simhashSigsView(s, d))
-      .select("doc_a", "doc_b")
-      .localCheckpoint()
+    val pairs = simhashPairs(s, d).select("doc_a", "doc_b")
     val nEdges = pairs.count()
     val labels: DataFrame =
       if (nEdges <= ccLocalMaxEdges) localUnionFind(s, pairs)
