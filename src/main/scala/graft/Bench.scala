@@ -31,11 +31,16 @@ object Bench {
     // swing 2-3x run-to-run from whole-stage-codegen compilation (each
     // query's first execution Janino-compiles its generated code on the
     // measured path) and cache materialization timing; the minimum over
-    // two passes measures the engine's plan, not JVM warmup noise. The
-    // JSON records the methodology ("runs") alongside the numbers.
+    // two passes measures the engine's plan, not JVM warmup noise. Pass-1
+    // (cold) timings are ALSO reported per query: the shared prep
+    // relations (minhash/ngram/simhash/ANN) amortize across a session, so
+    // the min excludes their one-time build cost — real pipeline cost
+    // that must stay auditable round-over-round. "queries" stays the min
+    // (the headline), "queries_cold" carries pass 1, and the cold total
+    // rides alongside the headline value.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
-    val results = (1 to runs).toList.map { pass =>
+    val passes = (1 to runs).toList.map { pass =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -43,14 +48,17 @@ object Bench {
         if (debug) System.err.println(f"[bench] pass$pass $name%-28s $dt%.2f")
         name -> dt
       }
-    }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    }
+    val cold = passes.head
+    val best = passes.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    def js(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = if (best.nonEmpty) best.values.sum else 0.0
+    val totalCold = if (cold.nonEmpty) cold.values.sum else 0.0
     spark.stop()
     // Single-line JSON on stdout, after spark.stop() so no further output
     // (executor shutdown logs go to stderr) can interleave with it.
-    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
+    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(best)},"queries_cold":${js(cold)},"total_cold":$totalCold,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
     System.out.flush()
   }
 }

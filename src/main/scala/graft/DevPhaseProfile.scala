@@ -68,8 +68,6 @@ object DevPhaseProfile {
       }
       t("df-api pairs cold")(println("[phase] df pairs=" + dfPairs().count()))
       t("df-api pairs warm")(dfPairs().count())
-      val oneBand = sigs.as("a").join(sigs.as("b"),
-        spark.sql("SELECT 1").col("1") === 1) // placeholder, replaced below
       val b0 = sigs.as("a").join(sigs.as("b"),
         org.apache.spark.sql.functions.col("a.band0") === org.apache.spark.sql.functions.col("b.band0") &&
         org.apache.spark.sql.functions.col("a.doc_id") < org.apache.spark.sql.functions.col("b.doc_id"))

@@ -218,13 +218,11 @@ object AnnOps {
   private val persistMinBytes = 64L << 20
 
   private case class Prep(dir: String, dfs: Seq[DataFrame])
-  private val prepRegistry =
-    scala.collection.concurrent.TrieMap.empty[Int, Prep]
 
   private def sparkPrep(s: SparkSession, d: String): Unit = {
     graft.functions.LongArrayDot.register(s)
-    val sessionKey = System.identityHashCode(s)
-    val cached = prepRegistry.get(sessionKey).filter(_.dir == d)
+    val reg = SessionRegistry.of(s)
+    val cached = reg.get("annprep").collect { case p: Prep if p.dir == d => p }
     val Seq(qn, banded) = cached.map(_.dfs).getOrElse {
       Tables.ensureView(s, d, "embeddings")(Tables.embeddings(s, d))
       val selfDot = sparkDot.format("q", "q")
@@ -242,14 +240,16 @@ object AnnOps {
       val big = s.table("embeddings").queryExecution.optimizedPlan
         .stats.sizeInBytes > persistMinBytes
       if (big) dfs.foreach(_.persist())
-      prepRegistry.put(sessionKey, Prep(d, dfs))
-        .filter(_.dir != d).foreach(_.dfs.foreach(_.unpersist(false)))
+      reg.put("annprep", Prep(d, dfs))
+        .collect { case p: Prep if p.dir != d => p }
+        .foreach(_.dfs.foreach(_.unpersist(false)))
       dfs
     }
     // register only on first build (or if dropped): replacing a temp view
     // cascades cache invalidation through the CacheManager to every plan
     // that references it.
-    if (cached.isEmpty || !s.catalog.tableExists("ann_qn")) {
+    if (cached.isEmpty || !s.catalog.tableExists("ann_qn") ||
+        !s.catalog.tableExists("ann_banded")) {
       qn.createOrReplaceTempView("ann_qn")
       banded.createOrReplaceTempView("ann_banded")
     }

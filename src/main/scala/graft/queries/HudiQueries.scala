@@ -140,9 +140,22 @@ object HudiQueries {
           Seq("o_orderkey"), "commit_ord")
         val sink = "graft_stream_latest_sink"
         s.catalog.dropTempView(sink)
-        val q = latest.writeStream.outputMode("append").format("memory")
-          .queryName(sink).start()
-        try q.processAllAvailable() finally q.stop()
+        // Harness cost control (the plan is fixed machinery): the stateful
+        // operator's task/state-store count follows shuffle.partitions at
+        // stream START (the session is cloned into the stream), so pin a
+        // small count for the fixture-sized state — 32 stores per micro-
+        // batch was pure per-task overhead — and restore the session conf
+        // once the stream has cloned it. AvailableNow drains everything
+        // and self-terminates instead of idling through an empty trailing
+        // micro-batch.
+        val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q =
+          try latest.writeStream.outputMode("append").format("memory")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .queryName(sink).start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        try q.awaitTermination() finally q.stop()
         s.table(sink)
           .groupBy("o_orderkey")
           .agg(max(struct(col("commit_ord"), col("o_orderstatus"))).as("m"))

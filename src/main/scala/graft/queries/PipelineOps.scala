@@ -222,6 +222,9 @@ object PipelineOps {
       if (spark) "explode(split(text, ' '))"
       else "UNNEST(string_split(text, ' '))"
     def cnt(ch: String) = s"length(text) - length(replace(text, '$ch', ''))"
+    // NULLIF pins empty-document semantics: Spark's x/0 yields NULL but
+    // DuckDB's double division yields inf — NULLIF makes both NULL.
+    val textLen = "NULLIF(length(d.text), 0)"
     s"""WITH toks AS (
        |  SELECT doc_id, $explodeToks AS tok FROM documents),
        |agg AS (
@@ -232,13 +235,13 @@ object PipelineOps {
        |  a.n_tokens,
        |  CAST(a.n_tok_chars AS DOUBLE) / a.n_tokens AS mean_word_len,
        |  right(d.text, 1) IN ('.', '!', '?') AS ends_terminal,
-       |  CAST(${cnt("#")} + ${cnt("@")} AS DOUBLE) / length(d.text) AS symbol_ratio,
+       |  CAST(${cnt("#")} + ${cnt("@")} AS DOUBLE) / $textLen AS symbol_ratio,
        |  contains(concat(' ', d.text, ' '), ' the ')
        |    OR contains(concat(' ', d.text, ' '), ' and ')
        |    OR contains(concat(' ', d.text, ' '), ' of ') AS has_stopword,
        |  (right(d.text, 1) IN ('.', '!', '?')
        |    AND CAST(a.n_tok_chars AS DOUBLE) / a.n_tokens BETWEEN 3 AND 10
-       |    AND CAST(${cnt("#")} + ${cnt("@")} AS DOUBLE) / length(d.text) < 0.01
+       |    AND CAST(${cnt("#")} + ${cnt("@")} AS DOUBLE) / $textLen < 0.01
        |    AND (contains(concat(' ', d.text, ' '), ' the ')
        |      OR contains(concat(' ', d.text, ' '), ' and ')
        |      OR contains(concat(' ', d.text, ' '), ' of '))

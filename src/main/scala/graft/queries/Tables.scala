@@ -20,13 +20,12 @@ object Tables {
     * when the session has never seen the view, the target dir changed, or
     * someone dropped the view.
     */
-  private val viewRegistry =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), String]
   def ensureView(s: SparkSession, d: String, name: String)(df: => DataFrame): Unit = {
-    val key = (System.identityHashCode(s), name)
-    if (!viewRegistry.get(key).contains(d) || !s.catalog.tableExists(name)) {
+    val reg = SessionRegistry.of(s)
+    val key = s"view:$name"
+    if (!reg.get(key).contains(d) || !s.catalog.tableExists(name)) {
       df.createOrReplaceTempView(name)
-      viewRegistry.put(key, d)
+      reg.put(key, d)
     }
   }
 

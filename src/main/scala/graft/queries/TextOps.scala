@@ -146,10 +146,68 @@ object TextOps {
     *
     * The regime gate reads Catalyst's size estimate (driver-side, no job).
     *
-    * Verification broadcasts the per-doc array relation, streaming the
-    * candidate pairs — array-laden rows are never shuffled.
+    * Verification is regime-gated too — see [[verifyJoin]].
     */
-  private val dictBroadcastMaxBytes = 256L << 20
+  private val defaultBroadcastMaxBytes = 256L << 20
+
+  /** Regime-gate thresholds, overridable per session so the large-corpus
+    * code paths can be forced at oracle scale (the `*_scale` query
+    * entries) — both regimes are then provably identical under the same
+    * DuckDB oracle, not just argued so in a comment.
+    */
+  private def dictBroadcastMaxBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.text.dictBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(defaultBroadcastMaxBytes)
+  private def verifyBroadcastMaxBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.text.verifyBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(defaultBroadcastMaxBytes)
+
+  /** Run `body` with session confs set, restoring them afterwards. The
+    * regime gates read their conf eagerly at DataFrame-construction time
+    * (driver-side), so the returned plan keeps the forced regime even
+    * though the conf is restored before execution.
+    */
+  private def withConf(s: SparkSession, kvs: (String, String)*)(body: => DataFrame): DataFrame = {
+    val saved = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach { case (k, o) => o.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  /** Verify-phase join of the candidate-pair relation against the per-doc
+    * shingle-set array relation, gated on Catalyst's size estimate of the
+    * array relation (driver-side, no job — the same gate pattern as the
+    * signature dictionary):
+    *
+    *  - small regime: broadcast the array relation and stream the
+    *    candidate pairs — array-laden rows never shuffle;
+    *  - large regime (the 100 TB shape: the per-doc set relation is
+    *    corpus-sized, far past Spark's 8 GB broadcast hard limit — an
+    *    ungated broadcast here doesn't degrade, it kills the job): the
+    *    candidate PAIRS are the small side (near-dup-density-bounded), so
+    *    semi-join the array relation down to candidate doc_ids via a
+    *    broadcast of the id set, then shuffle-hash join the filtered
+    *    arrays — the only shuffled arrays belong to docs that actually
+    *    have a candidate pair. The candidate subplan appears under both
+    *    the id set and the final join; it ends in a distinct exchange, so
+    *    ReuseExchange computes it once.
+    */
+  private def verifyJoin(s: SparkSession, cand: DataFrame, docsets: DataFrame,
+      aliasA: String, aliasB: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bytes = docsets.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= verifyBroadcastMaxBytes(s))
+      cand.join(broadcast(docsets.as(aliasA)), col(s"$aliasA.doc_id") === col("doc_a"))
+        .join(broadcast(docsets.as(aliasB)), col(s"$aliasB.doc_id") === col("doc_b"))
+    else {
+      val ids = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val filtered = docsets.join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .hint("shuffle_hash")
+      cand.join(filtered.as(aliasA), col(s"$aliasA.doc_id") === col("doc_a"))
+        .join(filtered.as(aliasB), col(s"$aliasB.doc_id") === col("doc_b"))
+    }
+  }
 
   private def minhashImpl(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -158,20 +216,24 @@ object TextOps {
     // persist ONCE per (session, dir) like the ANN/simhash prep views;
     // the per-invocation rotation re-materialized the shingling and the
     // 16-way md5 aggregation on every call (~2.5s of the steady state).
-    val Seq(ds, sigs) = sharedPrep(s, d, "minhash") {
-      val ds = s.sql(sparkDocsets)
+    val docBytes = s.table("documents").queryExecution.optimizedPlan.stats.sizeInBytes
+    val useDict = docBytes <= dictBroadcastMaxBytes(s)
+    // docsets is regime-independent; signatures are keyed by regime so the
+    // forced-scale oracle entry builds (and caches) its own relation
+    // instead of silently reusing the dictionary-regime one.
+    val Seq(ds) = sharedPrep(s, d, "minhash_ds")(Seq(s.sql(sparkDocsets)))
+    val Seq(sigs) = sharedPrep(s, d, if (useDict) "minhash_sigs_dict" else "minhash_sigs_occ") {
       val shingles = ds.selectExpr("doc_id", "explode(shset) AS shingle")
       def hashCols(src: org.apache.spark.sql.Column) = (0 until numSeeds)
         .map(i => unhex(md5(concat(lit(s"s$i:"), src))).as(s"h$i"))
       val minAggs = (0 until numSeeds).map(i => min(col(s"h$i")).as(s"m$i"))
-      val docBytes = s.table("documents").queryExecution.optimizedPlan.stats.sizeInBytes
       val hashed =
-        if (docBytes <= dictBroadcastMaxBytes) {
+        if (useDict) {
           val dict = shingles.select("shingle").distinct()
             .select(col("shingle") +: hashCols(col("shingle")): _*)
           shingles.join(broadcast(dict), "shingle")
         } else shingles.select(col("doc_id") +: hashCols(col("shingle")): _*)
-      Seq(ds, hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*))
+      Seq(hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*))
     }
     val cand = (0 until numBands).map { b =>
       val cond = (0 until bandSize)
@@ -181,9 +243,7 @@ object TextOps {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     }.reduce(_ union _).distinct()
     val jaccard = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
-    cand
-      .join(broadcast(ds.as("x")), col("x.doc_id") === col("doc_a"))
-      .join(broadcast(ds.as("y")), col("y.doc_id") === col("doc_b"))
+    verifyJoin(s, cand, ds, "x", "y")
       .select(col("doc_a"), col("doc_b"),
         expr("graft_intersect_count(x.shset, y.shset)").as("n_inter"),
         size(col("x.shset")).as("na"), size(col("y.shset")).as("nb"))
@@ -257,10 +317,12 @@ object TextOps {
     *    so a hot shingle never lands k² rows on one task;
     *  - the candidate self-join's two branches are identical subplans, so
     *    ReuseExchange shuffles the rare relation once;
-    *  - verification broadcasts the per-doc array relation and streams the
-    *    candidate pairs — the array-laden rows are never shuffled (a
+    *  - verification is the regime-gated [[verifyJoin]]: below the size
+    *    gate the array relation broadcasts and candidates stream (a plain
     *    shuffle here moved GBs of duplicated arrays and dominated wall
-    *    time in a staged variant).
+    *    time in a staged variant); above it the arrays are semi-joined to
+    *    candidate ids and shuffle-hash joined — never an 8 GB-limit
+    *    corpus-sized broadcast.
     * Only `docsets` persists, rotated via [[rotateCache]].
     */
   private def ngramImpl(s: SparkSession, d: String): DataFrame = {
@@ -285,9 +347,7 @@ object TextOps {
         col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
       .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b")).distinct()
     val jaccard = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
-    cand
-      .join(broadcast(docsets.as("a")), col("a.doc_id") === col("doc_a"))
-      .join(broadcast(docsets.as("b")), col("b.doc_id") === col("doc_b"))
+    verifyJoin(s, cand, docsets, "a", "b")
       .select(col("doc_a"), col("doc_b"),
         expr("graft_intersect_count(a.shset, b.shset)").as("n_inter"),
         size(col("a.shset")).as("na"), size(col("b.shset")).as("nb"))
@@ -322,16 +382,16 @@ object TextOps {
     * aggregations on every call).
     */
   private case class TextPrep(dir: String, dfs: Seq[DataFrame])
-  private val prepRegistry =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), TextPrep]
   private def sharedPrep(s: SparkSession, d: String, key: String)(
       build: => Seq[DataFrame]): Seq[DataFrame] = {
-    val k = (System.identityHashCode(s), key)
-    prepRegistry.get(k).filter(_.dir == d).map(_.dfs).getOrElse {
+    val reg = SessionRegistry.of(s)
+    val k = s"textprep:$key"
+    reg.get(k).collect { case p: TextPrep if p.dir == d => p.dfs }.getOrElse {
       val dfs = build
       dfs.foreach(_.persist())
-      prepRegistry.put(k, TextPrep(d, dfs))
-        .filter(_.dir != d).foreach(_.dfs.foreach(_.unpersist(false)))
+      reg.put(k, TextPrep(d, dfs))
+        .collect { case p: TextPrep if p.dir != d => p }
+        .foreach(_.dfs.foreach(_.unpersist(false)))
       dfs
     }
   }
@@ -488,14 +548,17 @@ object TextOps {
     * Members are exposed as an md5 over the sorted id list (portable
     * string, no array-typed oracle columns), plus the count.
     */
-  private val ccLocalMaxEdges = 4L << 20
+  private val ccLocalMaxEdgesDefault = 4L << 20
+  private def ccLocalMaxEdges(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.text.ccLocalMaxEdges")
+      .map(_.toLong).getOrElse(ccLocalMaxEdgesDefault)
 
   private def groupsImpl(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val pairs = simhashPairs(s, d).select("doc_a", "doc_b")
     val nEdges = pairs.count()
     val labels: DataFrame =
-      if (nEdges <= ccLocalMaxEdges) localUnionFind(s, pairs)
+      if (nEdges <= ccLocalMaxEdges(s)) localUnionFind(s, pairs)
       else distributedComponents(pairs)
     labels
       .groupBy(col("lbl").as("keeper_doc_id"))
@@ -797,7 +860,28 @@ object TextOps {
     "dedup_groups" -> QueryDef(groupsImpl _, Some(groupsOracle)),
 
     // --- MinHash + LSH banding near-dup -------------------------------------
-    "dedup_minhash_lsh" -> QueryDef(minhashImpl _, Some(minhashOracle))
+    "dedup_minhash_lsh" -> QueryDef(minhashImpl _, Some(minhashOracle)),
+
+    // --- scale-regime twins: same oracles, large-corpus code paths ----------
+    // The regime gates choose branches from Catalyst size estimates, so at
+    // oracle scale the broadcast/driver branches always win and the 100 TB
+    // branches would ship unexercised by the correctness gate. These
+    // entries force the scale branches (per-occurrence minhash, semi-join
+    // + shuffle-hash verify, distributed pointer-jumping components) via
+    // session conf and check them against the SAME DuckDB oracles.
+    "dedup_minhash_lsh_scale" -> QueryDef(
+      (s, d) => withConf(s,
+        "spark.graft.text.dictBroadcastMaxBytes" -> "0",
+        "spark.graft.text.verifyBroadcastMaxBytes" -> "0")(minhashImpl(s, d)),
+      Some(minhashOracle)),
+    "dedup_ngram_jaccard_scale" -> QueryDef(
+      (s, d) => withConf(s,
+        "spark.graft.text.verifyBroadcastMaxBytes" -> "0")(ngramImpl(s, d)),
+      Some(ngramOracle)),
+    "dedup_groups_distributed" -> QueryDef(
+      (s, d) => withConf(s,
+        "spark.graft.text.ccLocalMaxEdges" -> "0")(groupsImpl(s, d)),
+      Some(groupsOracle))
   )
 
   def queries: Map[String, QueryDef] = qs

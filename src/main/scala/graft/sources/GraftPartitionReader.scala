@@ -36,7 +36,8 @@ class GraftReaderFactory(
     urlEncoded: Boolean = false,
     columnar: Boolean = false,
     populatesMetaFields: Boolean = true,
-    limit: Option[Int] = None
+    limit: Option[Int] = None,
+    rangeFilterColumnar: Boolean = false
 ) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
@@ -57,7 +58,9 @@ class GraftReaderFactory(
     // pulling batches, which bounds work without slicing vectors
     new ChainedPartitionReader(p.slices.map(sl => () =>
       new GraftColumnarReader(sl, readFn, widenedJson, requiredJson,
-        partitionSchemaJson, hiveStyle, urlEncoded)))
+        partitionSchemaJson, hiveStyle, urlEncoded,
+        commitStart = if (rangeFilterColumnar) p.commitStart else None,
+        commitEnd = if (rangeFilterColumnar) p.commitEnd.orElse(endTs) else None)))
   }
 }
 
@@ -152,7 +155,9 @@ class GraftColumnarReader(
     requiredJson: String,
     partitionSchemaJson: Option[String],
     hiveStyle: Boolean,
-    urlEncoded: Boolean
+    urlEncoded: Boolean,
+    commitStart: Option[String] = None,
+    commitEnd: Option[String] = None
 ) extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
@@ -160,6 +165,15 @@ class GraftColumnarReader(
   private val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
   private val outIdx: Array[Int] = required.fields.map(f => widened.fieldIndex(f.name))
   private val identityProjection = outIdx.sameElements(widened.fields.indices)
+
+  // exact incremental range residual (general columnar incremental): the
+  // pushed parquet range predicate only skips row groups/pages, so a
+  // straddling file (a COW rewrite carrying pre-range rows) still emits
+  // out-of-range rows — selected out here per batch, in batch-land
+  private val startU = commitStart.map(UTF8String.fromString).orNull
+  private val endU = commitEnd.map(UTF8String.fromString).orNull
+  private val ctIdx: Int =
+    if (startU != null || endU != null) widened.fieldIndex("_hoodie_commit_time") else -1
 
   private lazy val batches: Iterator[ColumnarBatch] = {
     val pf = PartitionedFile(
@@ -174,10 +188,41 @@ class GraftColumnarReader(
     if (identityProjection) b
     else new ColumnarBatch(outIdx.map(b.column): Array[ColumnVector], b.numRows())
 
+  /** Project, applying the commit-range selection when configured. An
+    * all-in-range batch (the overwhelmingly common case — most files are
+    * single-commit) passes through untouched; a straddling batch gets a
+    * zero-copy [[SelectedColumnVector]] view; an all-out batch returns
+    * null and is skipped.
+    */
+  private def selectProject(b: ColumnarBatch): ColumnarBatch = {
+    if (ctIdx < 0) return project(b)
+    val ct = b.column(ctIdx)
+    val n = b.numRows()
+    val sel = new Array[Int](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val v = if (ct.isNullAt(i)) null else ct.getUTF8String(i)
+      if (v != null &&
+          (startU == null || v.compareTo(startU) > 0) &&
+          (endU == null || v.compareTo(endU) <= 0)) { sel(m) = i; m += 1 }
+      i += 1
+    }
+    if (m == n) project(b)
+    else if (m == 0) null
+    else new ColumnarBatch(
+      outIdx.map(j => new SelectedColumnVector(b.column(j), sel, m): ColumnVector), m)
+  }
+
   private var current: ColumnarBatch = _
 
-  override def next(): Boolean =
-    if (batches.hasNext) { current = project(batches.next()); true } else false
+  override def next(): Boolean = {
+    while (batches.hasNext) {
+      val out = selectProject(batches.next())
+      if (out != null) { current = out; return true }
+    }
+    false
+  }
 
   override def get(): ColumnarBatch = current
 

@@ -296,6 +296,7 @@ class GraftScan(
     val merge =
       if (morMergeNeeded) "merge-on-read"
       else if (isIncremental && incrementalContained) "base-only, stats-contained"
+      else if (isIncremental && hudi.config.populatesMetaFields) "base-only, range-filtered columnar"
       else "base-only"
     val pushed = if (parquetFilters.isEmpty) "" else
       s", PushedFilters: [${parquetFilters.mkString(", ")}]"
@@ -342,17 +343,25 @@ class GraftScan(
     * commit-time column into the widened schema (streaming micro-batches
     * filter rows by commit range even on COW base files).
     */
-  private[sources] def readerFactory(withCommitCol: Boolean): PartitionReaderFactory = {
+  private[sources] def readerFactory(
+      withCommitCol: Boolean, batchIncremental: Boolean = false): PartitionReaderFactory = {
     // D3 routing (the Spark analog of crates/datafusion/src/lib.rs:399-417):
     // log-free batch scans — COW, MOR read-optimized, or MOR whose planned
     // slices carry no logs — are eligible for Spark's vectorized columnar
-    // parquet reader; merged MOR slices stay on the row-based path, and
-    // commit-range reads (incremental / streaming) do too UNLESS footer
-    // stats prove the range filter vacuous (incrementalContained — the
-    // columnar reader ignores the partitions' commit range by design).
-    // Batch input partitions are exactly `slices`, so `!morMergeNeeded`
-    // proves no partition needs the merge machinery.
-    val candidateColumnar = (!withCommitCol || incrementalContained) && !morMergeNeeded
+    // parquet reader; merged MOR slices stay on the row-based path. Batch
+    // incremental reads on log-free slices stay columnar in the GENERAL
+    // case: the commit range is pushed as a parquet predicate (row-group/
+    // page skipping) and the exact per-row residual is applied in batch-
+    // land via a zero-copy selection view (SelectedColumnVector) — when
+    // footer stats prove the range contains every row (incrementalContained)
+    // even the residual disappears. Streaming micro-batches keep the row
+    // path (per-partition ranges differ from the scan-level range). Batch
+    // input partitions are exactly `slices`, so `!morMergeNeeded` proves
+    // no partition needs the merge machinery.
+    val rangeFilterNeeded = batchIncremental && !incrementalContained &&
+      hudi.config.populatesMetaFields && !morMergeNeeded
+    val candidateColumnar =
+      (!withCommitCol || incrementalContained || rangeFilterNeeded) && !morMergeNeeded
 
     // MOR merge needs the record key / ordering / seqno / commit columns
     // even when the query prunes them away: widen, merge, project back
@@ -364,9 +373,12 @@ class GraftScan(
           Seq(MetaField.RecordKey, MetaField.CommitSeqno, MetaField.CommitTime,
             MetaField.PartitionPath) ++ orderingField
         else Nil
-      // contained columnar reads need no commit column: there is no row
-      // filter to feed (the stats proof made it vacuous)
-      val forStream = if (withCommitCol && !candidateColumnar) Seq(MetaField.CommitTime) else Nil
+      // contained columnar reads need no commit column (the stats proof
+      // made the filter vacuous); range-filtered columnar reads DO — the
+      // selection view evaluates it per batch
+      val forStream =
+        if (withCommitCol && (!candidateColumnar || rangeFilterNeeded)) Seq(MetaField.CommitTime)
+        else Nil
       (forMerge ++ forStream).distinct
     }
     val widened = StructType(required.fields ++
@@ -400,7 +412,7 @@ class GraftScan(
       // predicates on unprojected columns as null and would drop every
       // row (an Exact partition filter prunes its column from `required`)
       filters = (if (hudi.isMor && !readOptimized && !candidateColumnar) Nil
-                 else parquetFilters.toIndexedSeq)
+                 else parquetFilters.toIndexedSeq ++ commitRangeFilters(rangeFilterNeeded))
         .filter(_.references.forall(delegateRequired.fieldNames.contains)),
       options = Map("returning_batch" -> columnar.toString),
       hadoopConf = hadoopConf)
@@ -418,11 +430,24 @@ class GraftScan(
       hudi.config.isPartitionPathUrlencoded,
       columnar,
       hudi.config.populatesMetaFields,
-      limit)
+      limit,
+      rangeFilterColumnar = columnar && rangeFilterNeeded)
   }
 
+  /** Commit-range parquet predicates for the general columnar incremental
+    * path: `_hoodie_commit_time` is a string column with footer stats, so
+    * pushing `(start, end]` skips whole out-of-range row groups/pages of
+    * straddling files; the exact residual rides in the reader (row path:
+    * commitRangeFilter; columnar path: the SelectedColumnVector view).
+    */
+  private def commitRangeFilters(enabled: Boolean): Seq[Filter] =
+    if (!enabled) Nil
+    else startTs.map(sources.GreaterThan(MetaField.CommitTime, _)).toSeq ++
+      endTs.orElse(hudi.timeline.latestCommitTimestamp)
+        .map(sources.LessThanOrEqual(MetaField.CommitTime, _))
+
   override def createReaderFactory(): PartitionReaderFactory =
-    readerFactory(withCommitCol = isIncremental)
+    readerFactory(withCommitCol = isIncremental, batchIncremental = isIncremental)
 
   /** C2/C3: size from the planned slices; row count extrapolated from ONE
     * sampled parquet footer's rows-per-byte ratio (estimator.rs:30-88) —

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{SparkEntry, SparkTestBase}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.catalyst.plans.LeftAnti
 import org.apache.spark.sql.catalyst.plans.logical.Window
 import org.apache.spark.sql.execution.SparkPlan
@@ -72,15 +73,50 @@ class PlanShapeSpec extends SparkTestBase {
       "no sort-merge join should appear in the ngram plan")
   }
 
-  test("minhash verify phase broadcasts the array relation") {
+  /** Broadcast hash joins whose BUILD side carries the per-doc shingle-set
+    * array column — the object whose broadcast is 8 GB-hard-limit fatal at
+    * corpus scale. The verify-phase gate decides whether these may exist.
+    */
+  private def arrayBroadcasts(nodes: Seq[SparkPlan]): Seq[BroadcastHashJoinExec] =
+    nodes.collect {
+      case j: BroadcastHashJoinExec if (j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }).output.exists(_.name == "shset") => j
+    }
+
+  test("minhash verify phase broadcasts the array relation below the gate") {
     val nodes = allNodes(df("dedup_minhash_lsh"))
+    // at bench scale the docset relation is under the size gate: the
     // array-laden doc sets are joined to candidates via broadcast — a
     // sort-merge or shuffled join here moves duplicated arrays through a
-    // shuffle
-    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
-      "verify joins against the doc-set relation must be broadcasts")
+    // shuffle for no reason
+    assert(arrayBroadcasts(nodes).size >= 2,
+      "verify joins against the doc-set relation must be broadcasts below the gate")
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       "no sort-merge join should appear in the minhash plan")
+  }
+
+  test("minhash scale regime never broadcasts the array relation") {
+    // the forced large-corpus regime (dedup_minhash_lsh_scale sets the
+    // gate confs to 0): the corpus-sized docset relation must NOT be a
+    // broadcast build side anywhere — the candidate-id semi-join plus a
+    // shuffle-hash join replaces it
+    val nodes = allNodes(df("dedup_minhash_lsh_scale"))
+    assert(arrayBroadcasts(nodes).isEmpty,
+      "above the gate the doc-set array relation must never be broadcast")
+    assert(nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "scale-regime verify must shuffle-hash join the id-filtered arrays")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge join should appear in the scale-regime minhash plan")
+  }
+
+  test("ngram scale regime never broadcasts the array relation") {
+    val nodes = allNodes(df("dedup_ngram_jaccard_scale"))
+    assert(arrayBroadcasts(nodes).isEmpty,
+      "above the gate the doc-set array relation must never be broadcast")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge join should appear in the scale-regime ngram plan")
   }
 
   test("ANN near-dup plan never sort-merges the embedding arrays") {

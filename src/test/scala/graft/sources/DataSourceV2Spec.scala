@@ -151,7 +151,7 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(rows == Set((1, false), (4, true)))
   }
 
-  test("dsv2 incremental goes columnar only when footer stats prove containment") {
+  test("dsv2 incremental stays columnar: stats-contained AND straddling ranges") {
     assume(cowV6.isDefined)
     val t = graft.table.HudiTable(spark, cowV6.get)
     val instants = t.timeline.completedInstants.map(_.timestamp).distinct
@@ -169,17 +169,23 @@ class DataSourceV2Spec extends SparkTestBase {
     val viaSnapshot = HudiTable(spark, cowV6.get).snapshot()
       .select("id", "name").collect().toSet
     assert(full.collect().toSet == viaSnapshot && viaSnapshot.size == 4)
-    // boundary range (c1, c2]: the c2 rewrite carries c1-era rows, the
-    // proof fails, and the exact row-filtering path must remain
+    // boundary range (c1, c2]: the c2 rewrite carries c1-era rows, so the
+    // containment proof fails — the GENERAL columnar incremental path must
+    // hold: commit range pushed as a parquet predicate, exact residual via
+    // the zero-copy SelectedColumnVector view, still vectorized
     val partial = spark.read.format("hudi-graft")
       .option("query.type", "incremental")
       .option("start.timestamp", c1)
       .option("end.timestamp", c2)
       .load(cowV6.get)
       .select("id", "name")
-    assert(!partial.queryExecution.executedPlan.toString().contains("ColumnarToRow"),
-      "unproven commit range must keep the row-filtering path")
-    assert(partial.select("id").collect().map(_.getInt(0)).toSet == Set(1, 4))
+    assert(partial.queryExecution.executedPlan.toString().contains("ColumnarToRow"),
+      "straddling commit range must stay columnar (selection-view residual)")
+    val expected = t.incremental(Some(c1), Some(c2)).select("id", "name")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(expected.map(_._1) == Set(1, 4), "fixture precondition")
+    assert(partial.collect().map(r => (r.getInt(0), r.getString(1))).toSet == expected,
+      "range-filtered columnar read must return exactly the in-range rows")
   }
 
   test("dsv2 incremental partition-prunes (reference: pruning minus stats)") {
