@@ -18,9 +18,11 @@ import java.nio.file.Files
   * over a spilled temp file (parquet needs a seekable footer; the block is
   * already fully in memory and log blocks are small by construction).
   *
-  * Covers the flat + common-logical-type surface Hudi writes into log
-  * blocks; nested log-block schemas raise, matching what the fixtures
-  * exercise.
+  * Covers the full surface Hudi's writers put into log blocks, including
+  * nested types: structs, LIST/MAP-annotated groups (both the 3-level
+  * `list/element` layout and parquet-avro's legacy 2-level repeated
+  * layout), and decimals in every physical encoding — the sample-table
+  * fixtures' MOR-parquet variants carry all of these in their log blocks.
   */
 object ParquetBlock {
 
@@ -80,9 +82,26 @@ object ParquetBlock {
         case other =>
           throw new UnsupportedOperationException(s"parquet log block type $other")
       }
-    case _ =>
-      throw new UnsupportedOperationException(
-        "nested schemas in parquet log blocks are not supported")
+    case gt: GroupType =>
+      gt.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+          ArrayType(sqlType(listElement(gt.getType(0))), containsNull = true)
+        case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+          val kv = gt.getType(0).asGroupType()
+          MapType(sqlType(kv.getType(0)), sqlType(kv.getType(1)), valueContainsNull = true)
+        case _ => toStructType(gt)
+      }
+  }
+
+  /** LIST layouts: 3-level (`group (LIST) { repeated group list { element }}`)
+    * vs parquet-avro's legacy 2-level (`repeated <element> array`) — in the
+    * legacy layout the repeated type IS the element.
+    */
+  private def listElement(repeated: Type): Type = repeated match {
+    case rg: GroupType if rg.getFieldCount == 1 &&
+        (rg.getName == "list" || rg.getName == "array" || rg.getName.endsWith("_tuple")) &&
+        rg.getType(0).getName == "element" => rg.getType(0)
+    case other => other
   }
 
   private def toRow(g: Group, mt: GroupType): Row = {
@@ -92,31 +111,70 @@ object ParquetBlock {
     while (i < n) {
       vals(i) =
         if (g.getFieldRepetitionCount(i) == 0) null
-        else value(g, i, mt.getType(i).asPrimitiveType())
+        else fieldValue(g, i, mt.getType(i))
       i += 1
     }
     Row.fromSeq(vals.toIndexedSeq)
   }
 
-  private def value(g: Group, i: Int, p: PrimitiveType): Any = {
+  /** Value of occurrence 0 of field `i` (presence already checked). */
+  private def fieldValue(g: Group, i: Int, t: Type): Any = t match {
+    case p: PrimitiveType => value(g, i, 0, p)
+    case gt: GroupType =>
+      gt.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+          val outer = g.getGroup(i, 0)
+          val repeated = gt.getType(0)
+          val elem = listElement(repeated)
+          val n = outer.getFieldRepetitionCount(0)
+          val threeLevel = !(repeated eq elem)
+          (0 until n).map { j =>
+            if (threeLevel) {
+              val wrapper = outer.getGroup(0, j)
+              if (wrapper.getFieldRepetitionCount(0) == 0) null
+              else fieldValueAt(wrapper, 0, 0, elem)
+            } else fieldValueAt(outer, 0, j, elem)
+          }
+        case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+          val outer = g.getGroup(i, 0)
+          val kv = gt.getType(0).asGroupType()
+          val n = outer.getFieldRepetitionCount(0)
+          (0 until n).map { j =>
+            val e = outer.getGroup(0, j)
+            val k = fieldValueAt(e, 0, 0, kv.getType(0))
+            val v = if (e.getFieldRepetitionCount(1) == 0) null
+                    else fieldValueAt(e, 1, 0, kv.getType(1))
+            k -> v
+          }.toMap
+        case _ => toRow(g.getGroup(i, 0), gt)
+      }
+  }
+
+  /** Value of occurrence `j` of field `i` — for repeated (list) elements. */
+  private def fieldValueAt(g: Group, i: Int, j: Int, t: Type): Any = t match {
+    case p: PrimitiveType => value(g, i, j, p)
+    case gt: GroupType => toRow(g.getGroup(i, j), gt)
+  }
+
+  private def value(g: Group, i: Int, j: Int, p: PrimitiveType): Any = {
     val ann = p.getLogicalTypeAnnotation
     p.getPrimitiveTypeName match {
-      case BOOLEAN => g.getBoolean(i, 0)
+      case BOOLEAN => g.getBoolean(i, j)
       case INT32 =>
         ann match {
           case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
-            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(g.getInteger(i, 0).toLong))
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(g.getInteger(i, j).toLong))
           case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
-            java.math.BigDecimal.valueOf(g.getInteger(i, 0).toLong, d.getScale)
-          case _ => g.getInteger(i, 0)
+            java.math.BigDecimal.valueOf(g.getInteger(i, j).toLong, d.getScale)
+          case _ => g.getInteger(i, j)
         }
       case INT64 =>
         ann match {
           case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
             val micros = ts.getUnit match {
-              case LogicalTypeAnnotation.TimeUnit.MILLIS => g.getLong(i, 0) * 1000L
-              case LogicalTypeAnnotation.TimeUnit.MICROS => g.getLong(i, 0)
-              case LogicalTypeAnnotation.TimeUnit.NANOS => g.getLong(i, 0) / 1000L
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => g.getLong(i, j) * 1000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => g.getLong(i, j)
+              case LogicalTypeAnnotation.TimeUnit.NANOS => g.getLong(i, j) / 1000L
             }
             if (ts.isAdjustedToUTC) {
               val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
@@ -128,18 +186,18 @@ object ParquetBlock {
                 Math.floorMod(micros, 1000000L).toInt * 1000,
                 java.time.ZoneOffset.UTC)
           case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
-            java.math.BigDecimal.valueOf(g.getLong(i, 0), d.getScale)
-          case _ => g.getLong(i, 0)
+            java.math.BigDecimal.valueOf(g.getLong(i, j), d.getScale)
+          case _ => g.getLong(i, j)
         }
-      case FLOAT => g.getFloat(i, 0)
-      case DOUBLE => g.getDouble(i, 0)
+      case FLOAT => g.getFloat(i, j)
+      case DOUBLE => g.getDouble(i, j)
       case BINARY | FIXED_LEN_BYTE_ARRAY =>
         ann match {
-          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => g.getString(i, 0)
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => g.getString(i, j)
           case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
             new java.math.BigDecimal(
-              new java.math.BigInteger(g.getBinary(i, 0).getBytes), d.getScale)
-          case _ => g.getBinary(i, 0).getBytes
+              new java.math.BigInteger(g.getBinary(i, j).getBytes), d.getScale)
+          case _ => g.getBinary(i, j).getBytes
         }
       case other =>
         throw new UnsupportedOperationException(s"parquet log block type $other")

@@ -149,7 +149,7 @@ object HudiQueries {
         // and self-terminates instead of idling through an empty trailing
         // micro-batch.
         val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         val q =
           try latest.writeStream.outputMode("append").format("memory")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

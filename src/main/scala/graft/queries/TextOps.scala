@@ -591,13 +591,26 @@ object TextOps {
     parent.keys.toSeq.map(v => (v, find(v))).toDF("doc", "lbl")
   }
 
+  /** Free the blocks behind a `localCheckpoint()`ed frame: Dataset
+    * .unpersist goes through the SQL CacheManager and never touches the
+    * checkpoint's underlying RDD persist, so superseded label generations
+    * would otherwise pile up in the block store for the whole loop (the
+    * ContextCleaner only reclaims them after GC).
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Distributed min-label propagation + pointer jumping; the scale path. */
   private[queries] def distributedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("doc", "nbr").localCheckpoint()
-    var labels = edges.select(col("doc")).distinct()
+    var gen = edges.select(col("doc")).distinct()
       .withColumn("lbl", col("doc")).localCheckpoint()
+    var labels: DataFrame = gen
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -615,12 +628,18 @@ object TextOps {
         .select(col("doc"), col("lbl"), (col("lbl") < col("old")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
+      // `next` is materialized — the previous generation's blocks are dead
+      freeLocalCheckpoint(gen)
+      gen = next
       labels = next.select("doc", "lbl")
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"GRAFT_CC round=$rounds changed=$changed")
     }
     require(changed == 0, s"connected components did not converge in $rounds rounds")
+    // the final labels are materialized checkpoint blocks; the edge list
+    // is no longer an input to anything
+    freeLocalCheckpoint(edges)
     labels
   }
 

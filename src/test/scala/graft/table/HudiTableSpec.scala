@@ -17,10 +17,17 @@ object Fixtures {
   private val outRoot = "/root/repo/target/fixtures"
 
   /** Unzip (once) and return the table path; None when unavailable. */
-  def table(zipRel: String, tableName: String): Option[String] = {
+  def table(zipRel: String, tableName: String): Option[String] =
+    table(zipRel, tableName, tableName)
+
+  /** As above with an explicit extraction key — cow and mor zips of the
+    * same SampleTable share the inner table dir name, so matrix tests
+    * that open both need distinct extraction roots.
+    */
+  def table(zipRel: String, tableName: String, destKey: String): Option[String] = {
     val zip = Paths.get(refData, zipRel)
     if (!Files.exists(zip)) return None
-    val dest = Paths.get(outRoot, tableName)
+    val dest = Paths.get(outRoot, destKey)
     val marker = dest.resolve(tableName).resolve(".hoodie/hoodie.properties")
     if (!Files.exists(marker)) {
       Files.createDirectories(dest)
