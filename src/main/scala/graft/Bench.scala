@@ -31,7 +31,8 @@ object Bench {
     // engine. Excluded from the headline run, loudly (no silent caps);
     // SPARK_GRAFT_ONLY can still select them.
     val forcedRegime =
-      Set("dedup_minhash_lsh_scale", "dedup_ngram_jaccard_scale", "dedup_groups_distributed")
+      Set("dedup_minhash_lsh_scale", "dedup_ngram_jaccard_scale", "dedup_groups_distributed",
+        "text_decontaminate_scale")
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names.contains(kv._1))
       case None =>

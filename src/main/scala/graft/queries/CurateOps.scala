@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Train-corpus curation operators: benchmark decontamination and the
+  * end-to-end train-prep pipeline (quality gate -> exact dedup -> split).
+  *
+  * Decontamination is the train/eval-overlap filter every LLM data
+  * pipeline runs before training (the n-gram form used for public
+  * benchmark suites): a training document is contaminated when it shares
+  * at least one 13-token gram with any benchmark document. The gram width
+  * matches [[TextOps]]' exact-substring dedup so the two signals compose.
+  *
+  * Scale shape (100 TB): the benchmark suite is tiny relative to the
+  * training corpus (MBs vs TBs), so the benchmark gram set is the
+  * broadcast side — the corpus-sized gram stream is filtered map-side and
+  * only the HITS (near-dup-density-bounded) ever shuffle, into one
+  * map-side-combinable per-doc count. The broadcast is regime-gated on
+  * Catalyst's size estimate exactly like the TextOps dictionary/verify
+  * gates: an oversized benchmark relation falls back to a shuffle-hash
+  * join instead of dying on Spark's 8 GB broadcast hard limit, and the
+  * `text_decontaminate_scale` twin forces that branch under the same
+  * DuckDB oracle.
+  */
+object CurateOps {
+
+  /** Same dup-injected corpus as TextOps (the training side). */
+  private val corpusSql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** Pseudo-benchmark suite: a deterministic cross-source sample of the
+    * base documents. The dup-injected copies of these docs are then real
+    * contamination in the training corpus — exactly what the filter
+    * catches in production (benchmark items verbatim inside train data).
+    */
+  private val benchPredicate = "doc_id % 17 = 3"
+
+  private val gramWidth = 13
+
+  private def sparkGrams(arr: String): String =
+    s"""CASE WHEN size($arr) >= $gramWidth
+       |  THEN transform(sequence(1, size($arr) - ${gramWidth - 1}),
+       |                 i -> concat_ws(' ', slice($arr, i, $gramWidth)))
+       |  ELSE array() END""".stripMargin
+
+  private def duckGrams(arr: String): String =
+    s"""CASE WHEN len($arr) >= $gramWidth
+       |  THEN list_transform(range(1, len($arr) - ${gramWidth - 2}),
+       |                      i -> array_to_string($arr[i:i+${gramWidth - 1}], ' '))
+       |  ELSE [] END""".stripMargin
+
+  /** `hint` lands on the bench-gram alias `b` in the hits join; DuckDB
+    * receives the same text with an empty hint.
+    */
+  private def decontamSql(spark: Boolean, hint: String): String = {
+    val (split, grams) =
+      if (spark) ("split(text, ' ')", (a: String) => s"explode(${sparkGrams(a)})")
+      else ("string_split(text, ' ')", (a: String) => s"UNNEST(${duckGrams(a)})")
+    val countCast =
+      if (spark) "COUNT(DISTINCT g.gram)" else "CAST(COUNT(DISTINCT g.gram) AS BIGINT)"
+    s"""WITH corpus AS ($corpusSql),
+       |grams AS (
+       |  SELECT doc_id, ${grams(s"$split")} AS gram
+       |  FROM (SELECT doc_id, text FROM corpus)),
+       |bgrams AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT ${grams(s"$split")} AS gram
+       |    FROM documents WHERE $benchPredicate)),
+       |hits AS (
+       |  SELECT $hint g.doc_id, $countCast AS n
+       |  FROM grams g JOIN bgrams b ON g.gram = b.gram
+       |  GROUP BY g.doc_id)
+       |SELECT c.doc_id,
+       |  COALESCE(h.n, CAST(0 AS BIGINT)) AS n_overlap_grams,
+       |  COALESCE(h.n, CAST(0 AS BIGINT)) > 0 AS contaminated
+       |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
+  private val defaultBenchBroadcastMaxBytes = 256L << 20
+  private def benchBroadcastMaxBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.text.benchBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(defaultBenchBroadcastMaxBytes)
+
+  private def withConf(s: SparkSession, kvs: (String, String)*)(body: => DataFrame): DataFrame = {
+    val saved = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach { case (k, o) => o.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  private def prep(s: SparkSession, d: String): Unit =
+    Tables.ensureView(s, d, "documents")(Tables.documents(s, d))
+
+  private[queries] def decontamImpl(s: SparkSession, d: String): DataFrame = {
+    prep(s, d)
+    // Gate on the size estimate of the bench gram relation (driver-side,
+    // no job): small -> broadcast; oversized -> shuffle-hash (never
+    // sort-merge — the gram keys are long strings, hashing beats sorting).
+    val bg = s.sql(
+      s"""SELECT DISTINCT gram FROM (
+         |  SELECT explode(${sparkGrams("split(text, ' ')")}) AS gram
+         |  FROM documents WHERE $benchPredicate)""".stripMargin)
+    val bytes = bg.queryExecution.optimizedPlan.stats.sizeInBytes
+    val hint =
+      if (bytes <= benchBroadcastMaxBytes(s)) "/*+ BROADCAST(b) */"
+      else "/*+ SHUFFLE_HASH(b) */"
+    s.sql(decontamSql(spark = true, hint))
+  }
+
+  /** End-to-end train-prep: quality gate -> exact dedup (keep the lowest
+    * doc_id per text hash) -> deterministic hash split -> per-split stats.
+    * One showcase plan a production pipeline runs nightly.
+    *
+    * Scale shape: the quality gate is a map-side projection; dedup is ONE
+    * hash shuffle with map-side combine; the split key is a pure function
+    * of the row key (append-stable, rerun-stable); and unlike
+    * `sample_split`'s collect_list membership hash (fine for a sampling
+    * report, driver-sized at 100 TB) the per-split digest here is a
+    * bit_xor of per-doc md5 prefixes — O(1) aggregate state, fully
+    * map-side-combinable, order-independent.
+    */
+  private def trainPrepSql(spark: Boolean): String = {
+    val castStr = if (spark) "STRING" else "VARCHAR"
+    val nTokens =
+      if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
+    val digest =
+      if (spark) "bit_xor(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT))"
+      else "bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT))"
+    val sumCast = (e: String) =>
+      if (spark) s"SUM($e)" else s"CAST(SUM($e) AS BIGINT)"
+    s"""WITH corpus AS ($corpusSql),
+       |feat AS (
+       |  SELECT doc_id, text, n_chars, CAST($nTokens AS BIGINT) AS n_tokens
+       |  FROM corpus),
+       |kept AS (
+       |  SELECT * FROM feat
+       |  WHERE n_tokens >= 40 AND n_chars >= 200 AND n_chars <= 2000),
+       |keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+       |deduped AS (
+       |  SELECT f.doc_id, f.n_chars, f.n_tokens
+       |  FROM kept f JOIN keepers k ON f.doc_id = k.doc_id),
+       |splits AS (
+       |  SELECT *,
+       |    CASE WHEN substring(md5(CAST(doc_id AS $castStr)), 1, 1) < 'c' THEN 'train'
+       |         WHEN substring(md5(CAST(doc_id AS $castStr)), 1, 1) < 'e' THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM deduped)
+       |SELECT split, COUNT(1) AS n_docs,
+       |  ${sumCast("n_tokens")} AS n_tokens, ${sumCast("n_chars")} AS n_chars,
+       |  CAST($digest AS BIGINT) AS members_digest
+       |FROM splits GROUP BY split ORDER BY split""".stripMargin
+  }
+
+  private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
+    prep(s, d); s.sql(sql)
+  }
+
+  def queries: Map[String, QueryDef] = Map(
+    "text_decontaminate" -> QueryDef(
+      (s, d) => decontamImpl(s, d),
+      Some(decontamSql(spark = false, hint = ""))),
+    // Forced large-benchmark regime: gate to 0 -> shuffle-hash branch,
+    // proven identical under the same oracle (ScaleRegimeSpec + Verify).
+    "text_decontaminate_scale" -> QueryDef(
+      (s, d) => withConf(s,
+        "spark.graft.text.benchBroadcastMaxBytes" -> "0")(decontamImpl(s, d)),
+      Some(decontamSql(spark = false, hint = ""))),
+    "pipeline_train_prep" -> QueryDef(
+      (s, d) => sq(s, d, trainPrepSql(spark = true)),
+      Some(trainPrepSql(spark = false)))
+  )
+}

@@ -119,6 +119,35 @@ class PlanShapeSpec extends SparkTestBase {
       "no sort-merge join should appear in the scale-regime ngram plan")
   }
 
+  /** Broadcast joins whose build side is the benchmark gram set (single
+    * `gram` column) — small by nature (eval suites are MBs), but the gate
+    * must still bound it: a pathological benchmark relation falls back to
+    * shuffle-hash instead of hitting the broadcast hard limit.
+    */
+  private def gramBroadcasts(nodes: Seq[SparkPlan]): Seq[BroadcastHashJoinExec] =
+    nodes.collect {
+      case j: BroadcastHashJoinExec if (j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }).output.map(_.name) == Seq("gram") => j
+    }
+
+  test("decontaminate broadcasts the benchmark gram set below the gate") {
+    val nodes = allNodes(df("text_decontaminate"))
+    assert(gramBroadcasts(nodes).nonEmpty,
+      "the benchmark gram set must be the broadcast side below the gate")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge join should appear in the decontaminate plan")
+  }
+
+  test("decontaminate scale regime shuffle-hash joins instead of broadcasting") {
+    val nodes = allNodes(df("text_decontaminate_scale"))
+    assert(gramBroadcasts(nodes).isEmpty,
+      "above the gate the benchmark gram set must not be broadcast")
+    assert(nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "scale-regime decontaminate must shuffle-hash join the gram sets")
+  }
+
   test("ANN near-dup plan never sort-merges the embedding arrays") {
     val nodes = allNodes(df("embed_dedup_lsh"))
     // the quantized-vector relation carries 64-int arrays; a sort-merge

@@ -32,4 +32,8 @@ class ScaleRegimeSpec extends SparkTestBase {
   test("distributed components match the driver union-find") {
     assertTwin("dedup_groups", "dedup_groups_distributed")
   }
+
+  test("decontaminate shuffle-hash regime matches the broadcast regime") {
+    assertTwin("text_decontaminate", "text_decontaminate_scale")
+  }
 }
