@@ -332,11 +332,136 @@ object AnnOps {
     s.sql(main)
   }
 
+  // ---- SQ8 scalar-quantized exhaustive scan (FAISS IndexFlat+SQ8 shape) --
+  //
+  // The third ANN regime beside LSH and IVF: per-dimension min/max scalar
+  // quantization to [0, 255] ints, an exhaustive scan over the QUANTIZED
+  // vectors (4x less memory bandwidth than the float corpus — at 100 TB
+  // the scan cost IS memory bandwidth), then an exact rerank of the
+  // surviving candidates only. All quantized dot products are BIGINT
+  // arithmetic, so both engines replay the pipeline bit-identically; the
+  // only doubles are per-element quantization (no reduction order) and
+  // the final scores.
+  //
+  // Scale shape: the stats pass is one map-side-combinable per-dim
+  // aggregate (64 rows out); quantization is a map pass against the
+  // broadcast single-row stats; the query side is tiny and broadcast into
+  // a nested-loop scan; and per-query top-R selection is TWO-PHASE — a
+  // ROW_NUMBER window salted by neighbor_id % 32 picks local top-R, then
+  // the global window sees only Q x 32 x R survivors. A single window
+  // partitioned by query_id alone would funnel the whole scored corpus
+  // into Q tasks (the skew analog of the r3 global-window killer).
+  private val sq8Rerank = 20
+  private val sq8Salt = 32
+
+  private def sq8TopkSql(
+      quantRel: String, // relation yielding (vec_id, q8, n8)
+      exactRel: String, // relation yielding (vec_id, q, qnorm)
+      dot: String): String = {
+    val qDot = dot.format("q.q8", "b.q8")
+    val pairDot = dot.format("a.q", "b.q")
+    s"""scored AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CASE WHEN q.n8 = 0 OR b.n8 = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST($qDot AS DOUBLE) / sqrt(CAST(q.n8 AS DOUBLE) * CAST(b.n8 AS DOUBLE)) END AS score8
+       |  FROM (SELECT * FROM $quantRel WHERE vec_id < 5) q
+       |  CROSS JOIN $quantRel b
+       |  WHERE b.vec_id <> q.vec_id),
+       |pre AS (
+       |  SELECT query_id, neighbor_id, score8,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id, neighbor_id % $sq8Salt
+       |      ORDER BY score8 DESC, neighbor_id) AS rk1
+       |  FROM scored),
+       |cand AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score8 DESC, neighbor_id) AS rk2
+       |  FROM pre WHERE rk1 <= $sq8Rerank),
+       |sel AS (SELECT query_id, neighbor_id FROM cand WHERE rk2 <= $sq8Rerank),
+       |rescored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST($pairDot AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM sel c
+       |  JOIN $exactRel a ON a.vec_id = c.query_id
+       |  JOIN $exactRel b ON b.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM rescored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val duckSq8Sql: String =
+    s"""WITH pd AS (
+       |  SELECT i, MIN(CAST(v AS DOUBLE)) AS mn, MAX(CAST(v AS DOUBLE)) AS mx
+       |  FROM (SELECT UNNEST(embedding) AS v,
+       |               UNNEST(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)
+       |  GROUP BY i),
+       |stats AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxes FROM pd),
+       |q8 AS (
+       |  SELECT vec_id, list_transform(range(1, len(embedding) + 1), i ->
+       |    CAST(round((CAST(embedding[i] AS DOUBLE) - mins[i]) /
+       |      (CASE WHEN maxes[i] > mins[i] THEN maxes[i] - mins[i] ELSE 1.0 END) * 255.0)
+       |      AS BIGINT)) AS q8
+       |  FROM embeddings CROSS JOIN stats),
+       |sq8 AS (SELECT vec_id, q8, ${duckDot.format("q8", "q8")} AS n8 FROM q8),
+       |qe AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qn AS (SELECT vec_id, q, ${duckDot.format("q", "q")} AS qnorm FROM qe),
+       |${sq8TopkSql("sq8", "qn", duckDot)}""".stripMargin
+
+  /** The quantized relation is shared session state like ann_qn (built
+    * once per session+dir, persist gated on the same size estimate).
+    */
+  private def sq8Prep(s: SparkSession, d: String): Unit = {
+    sparkPrep(s, d) // ann_qn (exact rerank side) + graft_dot + embeddings view
+    val reg = SessionRegistry.of(s)
+    val cached = reg.get("sq8prep").collect { case p: Prep if p.dir == d => p }
+    val Seq(sq8) = cached.map(_.dfs).getOrElse {
+      val q8 = s.sql(
+        """WITH pd AS (
+          |  SELECT pos + 1 AS i, MIN(CAST(v AS DOUBLE)) AS mn, MAX(CAST(v AS DOUBLE)) AS mx
+          |  FROM (SELECT posexplode(embedding) AS (pos, v) FROM embeddings)
+          |  GROUP BY pos),
+          |stats AS (
+          |  SELECT transform(array_sort(collect_list(struct(i, mn))), x -> x.mn) AS mins,
+          |         transform(array_sort(collect_list(struct(i, mx))), x -> x.mx) AS maxes
+          |  FROM pd)
+          |SELECT vec_id, transform(sequence(1, size(embedding)), i ->
+          |  CAST(round((CAST(element_at(embedding, i) AS DOUBLE) - element_at(mins, i)) /
+          |    (CASE WHEN element_at(maxes, i) > element_at(mins, i)
+          |          THEN element_at(maxes, i) - element_at(mins, i) ELSE CAST(1.0 AS DOUBLE) END) * 255.0)
+          |    AS BIGINT)) AS q8
+          |FROM embeddings CROSS JOIN stats""".stripMargin)
+        .selectExpr("vec_id", "q8", s"${sparkDot.format("q8", "q8")} AS n8")
+      val dfs = Seq(q8)
+      val big = s.table("embeddings").queryExecution.optimizedPlan
+        .stats.sizeInBytes > persistMinBytes
+      if (big) dfs.foreach(_.persist())
+      reg.put("sq8prep", Prep(d, dfs))
+        .collect { case p: Prep if p.dir != d => p }
+        .foreach(_.dfs.foreach(_.unpersist(false)))
+      dfs
+    }
+    if (cached.isEmpty || !s.catalog.tableExists("ann_sq8"))
+      sq8.createOrReplaceTempView("ann_sq8")
+  }
+
+  private def sparkSq8Main: String =
+    s"WITH ${sq8TopkSql("ann_sq8", "ann_qn", sparkDot)}"
+
   def queries: Map[String, QueryDef] = Map(
     "embed_dedup_lsh" -> QueryDef(runSpark(sparkLshMain) _, duckSql),
     "embed_ann_topk" -> QueryDef(runSpark(sparkAnnMain) _, duckAnnSql),
     "embed_ann_ivf" -> QueryDef(
       runSpark(sparkIvfMain) _,
-      ivfSql("list_transform", duckDot))
+      ivfSql("list_transform", duckDot)),
+    "embed_ann_sq8" -> QueryDef(
+      (s, d) => { sq8Prep(s, d); s.sql(sparkSq8Main) },
+      Some(duckSq8Sql))
   )
 }

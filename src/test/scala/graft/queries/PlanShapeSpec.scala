@@ -156,6 +156,20 @@ class PlanShapeSpec extends SparkTestBase {
       "no sort-merge join should appear in the ANN near-dup plan")
   }
 
+  test("sq8 top-R selection is two-phase (salted local window first)") {
+    val q = df("embed_ann_sq8")
+    // a single window partitioned by query_id alone would funnel the whole
+    // scored corpus into Q tasks; the salted pre-window (partitioned by
+    // query_id AND neighbor_id % 32) must exist so the per-query window
+    // only sees Q x salt x R survivors
+    val windows = q.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(windows.exists(_.partitionSpec.size == 2),
+      "sq8 must pre-select candidates under a salted two-key window")
+    val nodes = allNodes(q)
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "no sort-merge join should appear in the sq8 plan (array relations)")
+  }
+
   test("exact dedup aggregates with map-side partial combine") {
     val nodes = allNodes(df("dedup_exact"))
     assert(nodes.exists(n => n.nodeName.contains("HashAggregate") &&
