@@ -196,6 +196,8 @@ object TextOps {
       aliasA: String, aliasB: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val bytes = docsets.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sys.env.contains("GRAFT_GATE_DEBUG"))
+      System.err.println(s"[gate] verifyJoin docsets estimate=$bytes max=${verifyBroadcastMaxBytes(s)}")
     if (bytes <= verifyBroadcastMaxBytes(s))
       cand.join(broadcast(docsets.as(aliasA)), col(s"$aliasA.doc_id") === col("doc_a"))
         .join(broadcast(docsets.as(aliasB)), col(s"$aliasB.doc_id") === col("doc_b"))

@@ -478,8 +478,9 @@ final case class GraftInputPartition(
   * in the partition reader. `spark.readStream.format("hudi-graft")`.
   */
 class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class CommitOffset(ts: String) extends Offset {
     override def json(): String = ts
@@ -490,10 +491,29 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
 
   private def freshTable: HudiTable = HudiTable(hudi.spark, hudi.basePath)
 
+  private def timelineLatest: String =
+    freshTable.timeline.latestCommitTimestamp.getOrElse(earliest)
+
+  /** Trigger.AvailableNow contract: the drain target is pinned ONCE at
+    * query start, so the stream processes exactly the commits visible
+    * then and self-terminates — commits landing mid-drain belong to the
+    * next run (Spark otherwise logs a fallback to single-batch mode).
+    */
+  @volatile private var availableNowTarget: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(timelineLatest)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    CommitOffset(availableNowTarget.getOrElse(timelineLatest))
+
+  override def reportLatestOffset(): Offset = CommitOffset(timelineLatest)
+
   override def initialOffset(): Offset = CommitOffset(earliest)
 
-  override def latestOffset(): Offset =
-    CommitOffset(freshTable.timeline.latestCommitTimestamp.getOrElse(earliest))
+  override def latestOffset(): Offset = CommitOffset(timelineLatest)
 
   override def deserializeOffset(json: String): Offset = CommitOffset(json)
 
