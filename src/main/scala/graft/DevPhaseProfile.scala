@@ -77,6 +77,28 @@ object DevPhaseProfile {
     if (run.contains("ngram")) {
       t("dedup_ngram cold")(SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir).count())
       t("dedup_ngram warm")(SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir).count())
+      import org.apache.spark.sql.functions._
+      // rebuild the same candidate phases over fresh (uncached) relations
+      // to attribute warm cost: shingle explode, self-join fan-out,
+      // distinct, verify
+      val docsets = spark.sql(
+        "SELECT doc_id, lang, source, array_sort(graft_shingles(text, 5)) AS shset FROM documents")
+      val shingles = docsets.selectExpr("doc_id", "lang", "source", "explode(shset) AS shingle")
+      t("shingles count")(println("[phase] shingles=" + shingles.count()))
+      val key = Seq("lang", "source", "shingle")
+      val hot = shingles.groupBy(key.map(col): _*).count()
+        .filter(col("count") > 64).drop("count")
+      val rare = shingles.join(broadcast(hot), key, "left_anti").persist()
+      t("rare count")(println("[phase] rare=" + rare.count()))
+      val rh = rare.hint("shuffle_hash")
+      val candRaw = rh.as("sa").join(rh.as("sb"),
+        col("sa.lang") === col("sb.lang") && col("sa.source") === col("sb.source") &&
+          col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
+        .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b"))
+      t("cand raw count")(println("[phase] candRaw=" + candRaw.count()))
+      val cand = candRaw.distinct()
+      t("cand distinct count")(println("[phase] cand=" + cand.count()))
+      t("cand distinct again")(cand.count())
     }
     if (run.contains("minhash")) {
       t("dedup_minhash cold")(SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count())

@@ -69,8 +69,12 @@ object Relational {
         val l = lineitem(s, d).filter(col("l_shipdate") > lit("1997-03-15").cast(TimestampType))
         val disc = (col("l_extendedprice").cast(DecimalType(18, 4)) *
           (lit(BigDecimal(1)).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+        // no broadcast hint on customer: it scales with the corpus (unlike
+        // nation/region), so the join strategy is left to the size
+        // estimate + AQE — broadcast at bench scale, shuffle when a 100x
+        // customer table would blow the 8 GB broadcast hard limit
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(sum(disc).cast(DoubleType).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -288,11 +292,14 @@ object Relational {
         |ORDER BY hour, event_type""".stripMargin
     ),
 
-    // --- broadcast-join dimension rollup -----------------------------------
+    // --- dimension-join rollup ---------------------------------------------
+    // part scales with SF, so the broadcast decision belongs to the size
+    // estimate + AQE (which picks broadcast at bench scale) — a forced
+    // hint would hard-fail at the 8 GB broadcast limit on a 100x dim
     "q_join_part_rollup" -> QueryDef(
       (s, d) =>
         lineitem(s, d)
-          .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+          .join(part(s, d), col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand")
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
