@@ -148,11 +148,14 @@ object PipelineOps {
   // incremental appends — the property that matters at 100 TB.
   private def splitSql(spark: Boolean): String = {
     val castStr = if (spark) "STRING" else "VARCHAR"
+    // membership digest: bit_xor of per-doc md5 prefixes — O(1) aggregate
+    // state, map-side-combinable, order-independent; a sorted collect_list
+    // per split is driver-sized at 100 TB (a split holds most of the corpus)
     val membersHash =
       if (spark)
-        "md5(concat_ws(',', transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING))))"
+        "bit_xor(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT))"
       else
-        "md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))"
+        "bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT))"
     s"""WITH splits AS (
        |  SELECT doc_id,
        |    CASE WHEN substring(md5(CAST(doc_id AS $castStr)), 1, 1) < 'c' THEN 'train'

@@ -562,10 +562,14 @@ object TextOps {
     val labels: DataFrame =
       if (nEdges <= ccLocalMaxEdges(s)) localUnionFind(s, pairs)
       else distributedComponents(pairs)
+    // membership digest: bit_xor of per-doc md5 prefixes — O(1) aggregate
+    // state and map-side-combinable, where a sorted collect_list would put
+    // a pathological dup cluster (the same boilerplate a million times)
+    // on one task as one giant array
     labels
       .groupBy(col("lbl").as("keeper_doc_id"))
       .agg(count(lit(1)).as("n_docs"),
-        expr("md5(concat_ws(',', transform(sort_array(collect_list(doc)), x -> CAST(x AS STRING))))")
+        expr("bit_xor(CAST(conv(substring(md5(CAST(doc AS STRING)), 1, 15), 16, 10) AS BIGINT))")
           .as("members_hash"))
       .orderBy("keeper_doc_id")
   }
@@ -664,7 +668,7 @@ object TextOps {
        |labels AS (
        |  SELECT a AS doc, MIN(b) AS lbl FROM reach GROUP BY a)
        |SELECT lbl AS keeper_doc_id, COUNT(1) AS n_docs,
-       |  md5(string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc)) AS members_hash
+       |  bit_xor(CAST(('0x' || substring(md5(CAST(doc AS VARCHAR)), 1, 15)) AS BIGINT)) AS members_hash
        |FROM labels
        |GROUP BY lbl
        |ORDER BY keeper_doc_id""".stripMargin
