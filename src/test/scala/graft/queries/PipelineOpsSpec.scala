@@ -65,9 +65,9 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(counts("valid") > 20 && counts("test") > 20)
     // determinism: a second run hashes identically
     val again = run("sample_split").collect()
-      .map(r => r.getAs[String]("split") -> r.getAs[String]("members_hash")).toMap
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("members_hash")).toMap
     rows.foreach(r =>
-      assert(again(r.getAs[String]("split")) === r.getAs[String]("members_hash")))
+      assert(again(r.getAs[String]("split")) === r.getAs[Long]("members_hash")))
   }
 
   test("sample_stratified takes exactly k per stratum with a partitioned window") {
