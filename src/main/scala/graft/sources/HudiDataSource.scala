@@ -199,6 +199,12 @@ class GraftScan(
     .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
   private val readOptimized = options.getBoolean("read.optimized", false)
 
+  /** Streaming admission control (the maxFilesPerTrigger analog): bound
+    * each micro-batch to N commits instead of draining everything in one.
+    */
+  private[sources] val streamCommitsPerBatch: Option[Int] =
+    Option(options.get("stream.commits.per.batch")).map(_.toInt)
+
   /** Incremental query (S3 through DSv2): `query.type=incremental` with
     * `start.timestamp` (exclusive) / `end.timestamp` (inclusive, default
     * latest) — the reference's QueryType::Incremental surface
@@ -504,10 +510,32 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(timelineLatest)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    scan.streamCommitsPerBatch match {
+      case Some(n) if n > 0 => ReadLimit.maxFiles(n) // commits-as-files analog
+      case _ => ReadLimit.allAvailable()
+    }
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    CommitOffset(availableNowTarget.getOrElse(timelineLatest))
+  /** Admission-controlled batch end: with `stream.commits.per.batch` set,
+    * each micro-batch advances at most N commit timestamps toward the
+    * target (the AvailableNow-pinned drain point, or the live timeline
+    * tip) — the Kafka maxOffsetsPerTrigger / Delta maxFilesPerTrigger
+    * shape, so a stream restarted against a long backlog catches up in
+    * bounded batches instead of one giant one.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(timelineLatest)
+    val s = start.asInstanceOf[CommitOffset].ts
+    scan.streamCommitsPerBatch match {
+      case Some(n) if n > 0 && s < target =>
+        val step = freshTable.timeline.completedInstants
+          .iterator.map(_.timestamp).distinct
+          .filter(ts => ts > s && ts <= target)
+          .take(n).toSeq
+        CommitOffset(if (step.isEmpty) target else step.last)
+      case _ => CommitOffset(target)
+    }
+  }
 
   override def reportLatestOffset(): Offset = CommitOffset(timelineLatest)
 

@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.fixtures.HudiFixtureBuilder
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming admission control: `stream.commits.per.batch` must split the
+  * drain into bounded micro-batches (the Kafka maxOffsetsPerTrigger /
+  * Delta maxFilesPerTrigger shape) without changing the union of emitted
+  * rows — consecutive commit ranges partition the incremental row set.
+  */
+class StreamAdmissionSpec extends SparkTestBase {
+
+  private def drain(opts: Map[String, String], sink: String): Int = {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    var reader = spark.readStream.format("hudi-graft")
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val df = reader.load(HudiFixtureBuilder.morPath(sfDir))
+    val q = df.writeStream.outputMode("append").format("memory")
+      .trigger(Trigger.AvailableNow()).queryName(sink).start()
+    try {
+      q.awaitTermination()
+      q.recentProgress.count(_.numInputRows > 0)
+    } finally q.stop()
+  }
+
+  /** Latest emitted version per key (the state a latest-wins consumer
+    * converges to).
+    */
+  private def latestState(sink: String): Map[Long, String] =
+    spark.table(sink)
+      .selectExpr("o_orderkey", "_hoodie_commit_time")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).max }
+
+  test("stream.commits.per.batch bounds micro-batches, converging to the same state") {
+    val allBatches = drain(Map.empty, "adm_all")
+    val boundedBatches = drain(Map("stream.commits.per.batch" -> "1"), "adm_one")
+    assert(allBatches == 1, s"unbounded AvailableNow should drain in one batch, got $allBatches")
+    assert(boundedBatches > 1,
+      s"one-commit-per-batch must take multiple micro-batches, got $boundedBatches")
+    // bounded drains emit intermediate versions (one per range a key
+    // changed in); a latest-wins consumer must still converge to the
+    // same state on every surviving key
+    val all = latestState("adm_all")
+    val bounded = latestState("adm_one")
+    assert(all.keySet.subsetOf(bounded.keySet))
+    assert(all.forall { case (k, v) => bounded(k) == v },
+      "latest version per surviving key must match the single-batch drain")
+    // keys only the bounded drain saw are exactly the ones deleted by the
+    // final commit: a single range spanning insert+delete emits nothing
+    // for them, split ranges emit the pre-delete version (the reference's
+    // incremental reads compose the same way; no delete/CDC emission)
+    val extra = bounded.keySet -- all.keySet
+    assert(extra.nonEmpty && extra.forall(_ % 97 == 0),
+      s"extra keys must be the fixture's deleted keys, got ${extra.take(5)}")
+  }
+}
