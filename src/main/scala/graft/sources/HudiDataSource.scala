@@ -205,6 +205,14 @@ class GraftScan(
   private[sources] val streamCommitsPerBatch: Option[Int] =
     Option(options.get("stream.commits.per.batch")).map(_.toInt)
 
+  /** First-start offset (the Delta startingTimestamp analog): a fresh
+    * stream (no checkpoint) begins AFTER this commit instead of replaying
+    * the whole table history; restarts keep using the checkpoint.
+    */
+  private[sources] val streamStartTimestamp: Option[String] =
+    Option(options.get("stream.start.timestamp"))
+      .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
+
   /** Incremental query (S3 through DSv2): `query.type=incremental` with
     * `start.timestamp` (exclusive) / `end.timestamp` (inclusive, default
     * latest) — the reference's QueryType::Incremental surface
@@ -539,7 +547,8 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
 
   override def reportLatestOffset(): Offset = CommitOffset(timelineLatest)
 
-  override def initialOffset(): Offset = CommitOffset(earliest)
+  override def initialOffset(): Offset =
+    CommitOffset(scan.streamStartTimestamp.getOrElse(earliest))
 
   override def latestOffset(): Offset = CommitOffset(timelineLatest)
 

@@ -57,4 +57,14 @@ class StreamAdmissionSpec extends SparkTestBase {
     assert(extra.nonEmpty && extra.forall(_ % 97 == 0),
       s"extra keys must be the fixture's deleted keys, got ${extra.take(5)}")
   }
+
+  test("stream.start.timestamp skips history on first start") {
+    drain(Map("stream.start.timestamp" -> HudiFixtureBuilder.T1), "adm_from_t1")
+    val commits = spark.table("adm_from_t1")
+      .selectExpr("_hoodie_commit_time").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!commits.contains(HudiFixtureBuilder.T1),
+      s"stream starting after T1 must not replay T1 rows, saw $commits")
+    assert(commits.nonEmpty, "later commits must still be emitted")
+  }
 }
