@@ -85,7 +85,7 @@ object ParquetBlock {
     case gt: GroupType =>
       gt.getLogicalTypeAnnotation match {
         case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
-          ArrayType(sqlType(listElement(gt.getType(0))), containsNull = true)
+          ArrayType(sqlType(listElement(gt.getType(0), gt.getName)), containsNull = true)
         case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
           val kv = gt.getType(0).asGroupType()
           MapType(sqlType(kv.getType(0)), sqlType(kv.getType(1)), valueContainsNull = true)
@@ -93,14 +93,19 @@ object ParquetBlock {
       }
   }
 
-  /** LIST layouts: 3-level (`group (LIST) { repeated group list { element }}`)
-    * vs parquet-avro's legacy 2-level (`repeated <element> array`) — in the
-    * legacy layout the repeated type IS the element.
+  /** LIST element resolution per parquet-format's backward-compat rules
+    * (the same predicate as Spark's ParquetSchemaConverter.isElementType):
+    * the repeated type IS the element when it is (1) primitive, (2) a
+    * multi-field group, or (3) a single-field group named `array` or
+    * `<listName>_tuple` (parquet-avro/thrift legacy 2-level layouts);
+    * OTHERWISE (rule 4) the repeated group is a wrapper and its single
+    * field is the element — regardless of that field's name (the standard
+    * 3-level `list/element`, but also Hive's `bag/array_element`).
     */
-  private def listElement(repeated: Type): Type = repeated match {
+  private def listElement(repeated: Type, listName: String): Type = repeated match {
     case rg: GroupType if rg.getFieldCount == 1 &&
-        (rg.getName == "list" || rg.getName == "array" || rg.getName.endsWith("_tuple")) &&
-        rg.getType(0).getName == "element" => rg.getType(0)
+        rg.getName != "array" && rg.getName != s"${listName}_tuple" =>
+      rg.getType(0)
     case other => other
   }
 
@@ -118,42 +123,45 @@ object ParquetBlock {
   }
 
   /** Value of occurrence 0 of field `i` (presence already checked). */
-  private def fieldValue(g: Group, i: Int, t: Type): Any = t match {
-    case p: PrimitiveType => value(g, i, 0, p)
+  private def fieldValue(g: Group, i: Int, t: Type): Any = nestedValue(g, i, 0, t)
+
+  /** Value of occurrence `j` of field `i`, annotation-aware at EVERY
+    * nesting level: list elements and map keys/values recurse back
+    * through the same LIST/MAP handling, so doubly-nested types
+    * (list<list<…>>, list<map<…>>, map values that are lists/maps)
+    * decode to the shape `sqlType` declares instead of degrading to a
+    * plain struct Row one level down.
+    */
+  private def nestedValue(g: Group, i: Int, j: Int, t: Type): Any = t match {
+    case p: PrimitiveType => value(g, i, j, p)
     case gt: GroupType =>
       gt.getLogicalTypeAnnotation match {
         case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
-          val outer = g.getGroup(i, 0)
+          val outer = g.getGroup(i, j)
           val repeated = gt.getType(0)
-          val elem = listElement(repeated)
+          val elem = listElement(repeated, gt.getName)
           val n = outer.getFieldRepetitionCount(0)
           val threeLevel = !(repeated eq elem)
-          (0 until n).map { j =>
+          (0 until n).map { k =>
             if (threeLevel) {
-              val wrapper = outer.getGroup(0, j)
+              val wrapper = outer.getGroup(0, k)
               if (wrapper.getFieldRepetitionCount(0) == 0) null
-              else fieldValueAt(wrapper, 0, 0, elem)
-            } else fieldValueAt(outer, 0, j, elem)
+              else nestedValue(wrapper, 0, 0, elem)
+            } else nestedValue(outer, 0, k, elem)
           }
         case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
-          val outer = g.getGroup(i, 0)
+          val outer = g.getGroup(i, j)
           val kv = gt.getType(0).asGroupType()
           val n = outer.getFieldRepetitionCount(0)
-          (0 until n).map { j =>
-            val e = outer.getGroup(0, j)
-            val k = fieldValueAt(e, 0, 0, kv.getType(0))
+          (0 until n).map { k =>
+            val e = outer.getGroup(0, k)
+            val key = nestedValue(e, 0, 0, kv.getType(0))
             val v = if (e.getFieldRepetitionCount(1) == 0) null
-                    else fieldValueAt(e, 1, 0, kv.getType(1))
-            k -> v
+                    else nestedValue(e, 1, 0, kv.getType(1))
+            key -> v
           }.toMap
-        case _ => toRow(g.getGroup(i, 0), gt)
+        case _ => toRow(g.getGroup(i, j), gt)
       }
-  }
-
-  /** Value of occurrence `j` of field `i` — for repeated (list) elements. */
-  private def fieldValueAt(g: Group, i: Int, j: Int, t: Type): Any = t match {
-    case p: PrimitiveType => value(g, i, j, p)
-    case gt: GroupType => toRow(g.getGroup(i, j), gt)
   }
 
   private def value(g: Group, i: Int, j: Int, p: PrimitiveType): Any = {

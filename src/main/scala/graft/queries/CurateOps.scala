@@ -24,12 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CurateOps {
 
-  /** Same dup-injected corpus as TextOps (the training side). */
-  private val corpusSql: String =
-    """SELECT doc_id, text, lang, source, n_chars FROM documents
-      |UNION ALL
-      |SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
-      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+  /** Same dup-injected corpus as TextOps (the training side) — shared so
+    * the dup-injection rule can never drift between the dedup operators
+    * and the decontamination/train-prep entries that compose with them.
+    */
+  private def corpusSql: String = TextOps.corpusSql
 
   /** Pseudo-benchmark suite: a deterministic cross-source sample of the
     * base documents. The dup-injected copies of these docs are then real
@@ -85,12 +84,8 @@ object CurateOps {
     s.conf.getOption("spark.graft.text.benchBroadcastMaxBytes")
       .map(_.toLong).getOrElse(defaultBenchBroadcastMaxBytes)
 
-  private def withConf(s: SparkSession, kvs: (String, String)*)(body: => DataFrame): DataFrame = {
-    val saved = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
-    kvs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body
-    finally saved.foreach { case (k, o) => o.fold(s.conf.unset(k))(s.conf.set(k, _)) }
-  }
+  private def withConf(s: SparkSession, kvs: (String, String)*)(body: => DataFrame): DataFrame =
+    TextOps.withConf(s, kvs: _*)(body)
 
   private def prep(s: SparkSession, d: String): Unit =
     Tables.ensureView(s, d, "documents")(Tables.documents(s, d))

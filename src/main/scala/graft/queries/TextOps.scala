@@ -30,7 +30,7 @@ object TextOps {
   /** Corpus with deterministic injected duplicates so exact-dedup output is
     * non-trivial: every doc_id % 10 == 0 doc is re-inserted with id+100000.
     */
-  private val corpusSql: String =
+  private[queries] val corpusSql: String =
     """SELECT doc_id, text, lang, source, n_chars FROM documents
       |UNION ALL
       |SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
@@ -167,7 +167,7 @@ object TextOps {
     * (driver-side), so the returned plan keeps the forced regime even
     * though the conf is restored before execution.
     */
-  private def withConf(s: SparkSession, kvs: (String, String)*)(body: => DataFrame): DataFrame = {
+  private[queries] def withConf(s: SparkSession, kvs: (String, String)*)(body: => DataFrame): DataFrame = {
     val saved = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
     kvs.foreach { case (k, v) => s.conf.set(k, v) }
     try body

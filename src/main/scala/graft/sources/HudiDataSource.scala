@@ -310,7 +310,10 @@ class GraftScan(
     val merge =
       if (morMergeNeeded) "merge-on-read"
       else if (isIncremental && incrementalContained) "base-only, stats-contained"
-      else if (isIncremental && hudi.config.populatesMetaFields) "base-only, range-filtered columnar"
+      // reader choice (vectorized vs row) is decided later by
+      // ParquetFileFormat.supportBatch over the widened schema — the
+      // description must not claim columnar for schemas that fall back
+      else if (isIncremental && hudi.config.populatesMetaFields) "base-only, range-filtered"
       else "base-only"
     val pushed = if (parquetFilters.isEmpty) "" else
       s", PushedFilters: [${parquetFilters.mkString(", ")}]"
@@ -532,11 +535,16 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
     * bounded batches instead of one giant one.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val target = availableNowTarget.getOrElse(timelineLatest)
+    // one timeline load per micro-batch: the pinned AvailableNow target
+    // needs no listing; otherwise the same freshTable serves both the
+    // target and the admission-control instant scan
+    lazy val t = freshTable
+    val target = availableNowTarget.getOrElse(
+      t.timeline.latestCommitTimestamp.getOrElse(earliest))
     val s = start.asInstanceOf[CommitOffset].ts
     scan.streamCommitsPerBatch match {
       case Some(n) if n > 0 && s < target =>
-        val step = freshTable.timeline.completedInstants
+        val step = t.timeline.completedInstants
           .iterator.map(_.timestamp).distinct
           .filter(ts => ts > s && ts <= target)
           .take(n).toSeq

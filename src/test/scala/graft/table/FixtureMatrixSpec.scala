@@ -42,7 +42,7 @@ class FixtureMatrixSpec extends SparkTestBase {
     cow("v8_simplekeygen_nonhivestyle", canonical),
     cow("v8_complexkeygen_hivestyle", canonical),
     cow("v8_simplekeygen_hivestyle_no_metafields", canonical),
-    cow("v8_empty", canonical.filter(_ => false)),
+    cow("v8_empty", empty),
     // --- MOR v6 with PARQUET log blocks ----------------------------------
     morPq("v6_nonpartitioned", canonical),
     morPq("v6_simplekeygen_nonhivestyle", canonical),
