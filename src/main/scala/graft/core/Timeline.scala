@@ -131,13 +131,21 @@ final class Timeline(
         start.forall(i.timestamp >= _) && end.forall(i.timestamp <= _)
     }
 
+  /** request-ts → completion-ts lookup, memoized: FsView consults this
+    * once per listed file, so a linear find would make planning
+    * O(files × instants) on the driver (the reference builds the same
+    * one-time map, view.rs build_completion_time_map).
+    */
+  private lazy val completionByRequest: Map[String, Option[String]] =
+    completedInstants.iterator.map(i => i.timestamp -> i.completionTimestamp).toMap
+
   /** Map request-ts → completion-ts for v8+ tables (None entries for v6). */
   def completionTimeOf(requestTs: String): Option[String] =
-    completedInstants.find(_.timestamp == requestTs).flatMap(_.completionTimestamp)
+    completionByRequest.getOrElse(requestTs, None)
 
   /** Whether `requestTs` corresponds to a completed instant. */
   def isCompletedCommit(requestTs: String): Boolean =
-    completedInstants.exists(_.timestamp == requestTs)
+    completionByRequest.contains(requestTs)
 
   /** Commit metadata for a completed instant, as a JSON tree. v6 writes
     * plain JSON; v8+ writes an Avro object-container file
@@ -158,25 +166,17 @@ final class Timeline(
   private def loadCommitMetadata(instant: HoodieInstant): JsonNode = {
     val fs = timelineDir.getFileSystem(hadoopConf)
     val p = new Path(timelineDir, instant.fileName)
-    val in = fs.open(p)
-    try {
-      val bytes = {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        buf
-      }
-      if (bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'b' && bytes(2) == 'j' && bytes(3) == 1) {
-        import org.apache.avro.file.DataFileStream
-        import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
-        val reader = new DataFileStream[GenericRecord](
-          new java.io.ByteArrayInputStream(bytes), new GenericDatumReader[GenericRecord]())
-        try {
-          if (reader.hasNext) mapper.readTree(reader.next().toString)
-          else mapper.createObjectNode()
-        } finally reader.close()
-      } else mapper.readTree(bytes)
-    } finally in.close()
+    val bytes = graft.util.ReadFully(fs, p)
+    if (bytes.length >= 4 && bytes(0) == 'O' && bytes(1) == 'b' && bytes(2) == 'j' && bytes(3) == 1) {
+      import org.apache.avro.file.DataFileStream
+      import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+      val reader = new DataFileStream[GenericRecord](
+        new java.io.ByteArrayInputStream(bytes), new GenericDatumReader[GenericRecord]())
+      try {
+        if (reader.hasNext) mapper.readTree(reader.next().toString)
+        else mapper.createObjectNode()
+      } finally reader.close()
+    } else mapper.readTree(bytes)
   }
 
   /** (partition → fileIds) touched by an instant, from
@@ -290,15 +290,8 @@ final class Timeline(
     val fs = dir.getFileSystem(hadoopConf)
     val versionFile = new Path(dir, "_version_")
     if (!fs.exists(versionFile)) return None
-    def readString(p: Path): String = {
-      val in = fs.open(p)
-      try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        new String(buf, "UTF-8")
-      } finally in.close()
-    }
+    def readString(p: Path): String =
+      new String(graft.util.ReadFully(fs, p), "UTF-8")
     try {
       val version = readString(versionFile).trim.toLong
       val node = mapper.readTree(readString(new Path(dir, s"manifest_$version")))

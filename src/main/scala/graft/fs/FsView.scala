@@ -118,6 +118,9 @@ final class FsView(
       val path = new Path(dir, name).toString
       if (!name.startsWith(".hoodie_partition")) {
         if (name.toLowerCase.endsWith("." + baseExt) && !name.startsWith(".")) {
+          // uncommitted-file filtering is layout-v2-only, matching the
+          // reference exactly (view.rs:146 should_filter_uncommitted =
+          // is_timeline_layout_v2; v6 relies on cleaning, as Hudi v6 does)
           BaseFile.parse(name, path, size).foreach { bf =>
             val completed = timeline.completionTimeOf(bf.commitTimestamp)
             val visible = !layoutV2 || completed.isDefined

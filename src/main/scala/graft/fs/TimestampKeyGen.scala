@@ -116,12 +116,19 @@ final case class TimestampKeyGen(
     if (f.field != sourceField) return Seq(f)
     val PathField = "_hoodie_partition_path"
     f.op match {
-      case "=" | "!=" =>
+      case "=" =>
         parseToMillis(f.values.head).map(m =>
           PartitionFilter(PathField, f.op, Seq(formatPartitionPath(m)))).toSeq
-      case "in" | "not in" =>
+      case "in" =>
         val paths = f.values.flatMap(parseToMillis).map(formatPartitionPath)
         if (paths.size == f.values.size) Seq(PartitionFilter(PathField, f.op, paths)) else Nil
+      // DELIBERATE divergence from the reference (timestamp_based.rs:512-535
+      // rewrites Ne/NotIn to partition-path exclusion): the output format is
+      // coarser than the value, so excluding partition(X) silently drops
+      // every OTHER row of that partition that satisfies ts != X — and
+      // pruned files are unrecoverable by the row-level residual. Negations
+      // must not prune; the residual filter stays authoritative.
+      case "!=" | "not in" => Nil
       case ">" | ">=" | "<" | "<=" =>
         if (!isLexSortableFormat) Nil
         else parseToMillis(f.values.head).map { m =>

@@ -365,16 +365,9 @@ class GraftPartitionReader(
     val blocks = {
       val bs = slice.logFiles.sortBy(_.orderingKey).flatMap { lf =>
         val p = new Path(lf.path)
-        val fs = p.getFileSystem(conf.value)
-        val in = fs.open(p)
-        val bytes =
-          try {
-            // actual length, not the planned size: writers append to log
-            // files and MDT-recorded sizes can lag the physical file
-            val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-            in.readFully(0, buf)
-            buf
-          } finally in.close()
+        // actual length, not the planned size: writers append to log
+        // files and MDT-recorded sizes can lag the physical file
+        val bytes = graft.util.ReadFully(p, conf.value)
         LogFileParser.parse(bytes, range)
       }
       LogFileParser.applyRollbacks(bs.toVector)

@@ -62,12 +62,16 @@ final class HudiTable(
     }
     val fromCommit: Option[StructType] = timeline.latestSchemaAvro
       .map(json => prependMeta(AvroConvert.toStructType(new AvroSchema.Parser().parse(json))))
+    // prependMeta here too (a no-op when the footer physically carries the
+    // meta columns): the reference prepends AFTER resolution on every path
+    // (resolver.rs resolve_schema), so a no-metafields table exposes the
+    // same null-valued meta columns whichever branch fired
     def fromFooter: Option[StructType] = fsView.partitionPaths.iterator
       .flatMap(p => fsView.fileGroups(p))
       .flatMap(_.slices.values.lastOption)
       .map(_.baseFile.path)
       .take(1).toList.headOption
-      .map(path => spark.read.parquet(path).schema)
+      .map(path => prependMeta(spark.read.parquet(path).schema))
     def fromCreate: StructType = {
       val avroJson = config.get("hoodie.table.create.schema").getOrElse(
         throw new IllegalStateException(s"Cannot resolve schema for empty table $basePath"))
@@ -242,6 +246,11 @@ final class HudiTable(
         }
       }
 
+    // commit-time row filtering requires meta fields; without them the
+    // incremental read returns every row of every touched file group —
+    // the reference behaves identically (reader.rs:656-661 returns no
+    // mask when populates_meta_fields is false), so this is parity, not
+    // an omission
     val commitFilter: DataFrame => DataFrame = commitRange match {
       case Some((s, e)) if config.populatesMetaFields =>
         df => {

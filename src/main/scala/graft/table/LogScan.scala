@@ -27,15 +27,7 @@ object LogScan {
   ): Vector[graft.log.LogBlock] = {
     val blocks = paths.flatMap { p =>
       val path = new Path(p)
-      val fs = path.getFileSystem(conf.value)
-      val in = fs.open(path)
-      val bytes =
-        try {
-          val len = fs.getFileStatus(path).getLen.toInt
-          val buf = new Array[Byte](len)
-          in.readFully(0, buf)
-          buf
-        } finally in.close()
+      val bytes = graft.util.ReadFully(path, conf.value)
       LogFileParser.parse(bytes, range)
     }.toVector
     LogFileParser.applyRollbacks(blocks)
@@ -157,6 +149,13 @@ object LogScan {
   private val cacheRegistry =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def rotateCache(key: String, df: DataFrame): Unit = {
+    // sweep entries whose owning context has stopped: their persisted
+    // blocks are gone with the executors, and keeping the DataFrames
+    // would pin the dead SparkSessions (the SessionRegistry lifetime
+    // class of leak) — a long-lived JVM reading many tables otherwise
+    // accumulates one dead relation per (table, commit-range) forever
+    for ((k, v) <- cacheRegistry if v.sparkSession.sparkContext.isStopped)
+      cacheRegistry.remove(k)
     cacheRegistry.put(key, df).foreach(_.unpersist(false))
     df.persist()
   }

@@ -84,12 +84,7 @@ object MetadataTable {
     require(slices.nonEmpty,
       s"No file slice found for the ${FilesPartitionRecord.PartitionName} partition")
 
-    def readFully(p: Path): Array[Byte] = {
-      val fs = p.getFileSystem(hadoopConf)
-      val len = fs.getFileStatus(p).getLen.toInt
-      val in = fs.open(p)
-      try { val buf = new Array[Byte](len); in.readFully(0, buf); buf } finally in.close()
-    }
+    def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
 
     // Multiple file groups are legal in a real MDT (e.g. after compaction
     // scheduling); each key hashes to one group, so merging the groups'
@@ -156,7 +151,10 @@ object MetadataTable {
     if (k == FilesPartitionRecord.NonPartitionedName) "" else k
 
   /** Avro-decode one HoodieMetadataRecord value into the files model;
-    * an empty value is a whole-record tombstone (record.rs is_deleted).
+    * an empty value is a whole-record tombstone, decoded as an empty
+    * files map EXACTLY like the reference (records.rs:277-282) — which
+    * makes the subsequent merge a no-op on existing entries (per-file
+    * tombstones, not record-level ones, drive deletions in this model).
     */
   private def decode(rec: HFileRecord, schema: AvroSchema): FilesPartitionRecord = {
     if (rec.isDeleted)

@@ -66,8 +66,12 @@ object MorMerge {
             case ByteType | ShortType | IntegerType | LongType => true
             case _ => false
           }
-          // max event-time ordering and max commit-time ordering per key
-          // (accumulated separately — ordering.rs:77-97)
+          // max event-time ordering and max commit-time ordering per key,
+          // accumulated SEPARATELY — deliberately mirroring the reference
+          // (ordering.rs:77-97 updates the two maxes independently, so a
+          // synthetic pair cross-combining one delete's event time with
+          // another's commit time is the semantics of record, not a bug
+          // here; is_event_time_zero likewise follows the event-time max)
           val delAgg = dels
             .groupBy(col(PartCol).as("__d_part"), col(KeyCol).as("__d_key"))
             .agg(

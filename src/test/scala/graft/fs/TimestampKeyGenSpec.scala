@@ -102,4 +102,15 @@ class TimestampKeyGenSpec extends AnyFunSuite {
     assert(bad.transformFilter(PartitionFilter("ts", "=", Seq("1706140800"))) ==
       Seq(PartitionFilter("_hoodie_partition_path", "=", Seq("01/25/2024"))))
   }
+
+  test("negations never prune (sound divergence from timestamp_based.rs:512-535)") {
+    // the output format is coarser than the value: excluding partition(X)
+    // would drop other rows of that partition satisfying ts != X, and
+    // pruned files are unrecoverable by the row-level residual
+    val kg = keygen(
+      "hoodie.keygen.timebased.timestamp.type" -> "UNIX_TIMESTAMP",
+      "hoodie.keygen.timebased.output.dateformat" -> "yyyy/MM/dd")
+    assert(kg.transformFilter(PartitionFilter("ts", "!=", Seq("1706140800"))).isEmpty)
+    assert(kg.transformFilter(PartitionFilter("ts", "not in", Seq("1706140800"))).isEmpty)
+  }
 }
