@@ -33,11 +33,21 @@ case class ShingleSet(left: Expression, right: Expression)
   override protected def nullSafeEval(textAny: Any, nAny: Any): Any = {
     val text = textAny.asInstanceOf[UTF8String].toString
     val n = nAny.asInstanceOf[Int]
-    val count = math.max(text.length - n + 1, 1)
+    // SQL parity for degenerate n: substring(text, i, n<=0) is '' in both
+    // engines, so the distinct set is [''] (the old code threw on n <= -1)
+    if (n <= 0)
+      return new GenericArrayData(Array[Any](UTF8String.fromString("")))
+    // code-point slicing, NOT Java UTF-16 units: Spark's substring/length
+    // and DuckDB's count characters (one per code point), so a surrogate
+    // pair must be one shingle position or the oracle equivalence breaks
+    // on non-BMP input
+    val cps = text.codePoints().toArray
+    val len = cps.length
+    val count = math.max(len - n + 1, 1)
     val seen = new java.util.LinkedHashSet[String](count * 2)
     var i = 0
     while (i < count) {
-      seen.add(text.substring(i, math.min(i + n, text.length)))
+      seen.add(new String(cps, i, math.min(n, len - i)))
       i += 1
     }
     val out = new Array[Any](seen.size)

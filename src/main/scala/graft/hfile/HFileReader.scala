@@ -195,9 +195,18 @@ final class HFileReader(bytes: Array[Byte]) {
     val onDiskSize = beInt(bytes, offset + 8)
     val uncompressedSize = beInt(bytes, offset + 12)
     val bytesPerChecksum = beInt(bytes, offset + 25)
+    // exact checksum accounting from the header's own field (offset +29,
+    // HBase v2/v3 block layout): onDiskDataSizeWithHeader = header + data
+    // WITHOUT checksum chunks. Estimating chunk count from the total
+    // on-disk size (which already includes the checksum bytes) over-counts
+    // by one chunk whenever header+data lands on a chunk boundary,
+    // truncating a compressed slice by 4 bytes.
+    val onDiskDataSizeWithHeader = beInt(bytes, offset + 29)
     val onDiskWithHeader = BlockHeaderSize + onDiskSize
     val checksumBytes =
       if (bytesPerChecksum <= 0) 0 // checksum type NULL writes no chunks
+      else if (onDiskDataSizeWithHeader > 0 && onDiskDataSizeWithHeader <= onDiskWithHeader)
+        onDiskWithHeader - onDiskDataSizeWithHeader
       else ((onDiskWithHeader + bytesPerChecksum - 1) / bytesPerChecksum) * 4
     val dataStart = offset + BlockHeaderSize
     val data =
@@ -323,6 +332,16 @@ final class HFileReader(bytes: Array[Byte]) {
   private def blockRecords(entry: BlockIndexEntry): Iterator[HFileRecord] = {
     val (magic, data, _) = readBlock(entry.offset.toInt)
     require(isMagic(magic, DataMagic) || isMagic(magic, DataMagicEnc), "Expected DATA block")
+    // DATABLKE payloads start with a 2-byte data-block-encoding id and
+    // PREFIX/DIFF/FAST_DIFF/ROW_INDEX-encoded cells — parsing them with
+    // the plain layout would read garbage lengths. Hudi's MDT writes
+    // encoding NONE (plain DATABLK); fail loudly on anything else.
+    if (isMagic(magic, DataMagicEnc)) {
+      val encodingId = if (data.length >= 2) beShort(data, 0) else -1
+      throw new UnsupportedOperationException(
+        s"HFile data-block encoding id $encodingId is not supported " +
+          "(Hudi metadata tables write unencoded data blocks)")
+    }
     new Iterator[HFileRecord] {
       private var pos = 0
       override def hasNext: Boolean = pos + 8 <= data.length

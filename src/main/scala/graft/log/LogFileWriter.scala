@@ -54,29 +54,24 @@ object LogFileWriter {
       instantTime: String,
       schema: AvroSchema,
       records: Seq[GenericRecord]
-  ): Unit = {
-    val content = new ByteArrayOutputStream()
-    val c = new DataOutputStream(content)
-    c.writeInt(LogFormat.BlockVersionV3)
-    c.writeInt(records.size)
-    val writer = new GenericDatumWriter[GenericRecord](schema)
-    for (r <- records) {
-      val rec = new ByteArrayOutputStream()
-      val enc = EncoderFactory.get().binaryEncoder(rec, null)
-      writer.write(r, enc)
-      enc.flush()
-      c.writeInt(rec.size())
-      c.write(rec.toByteArray)
-    }
-    writeBlock(out, LogFormat.AvroDataBlock,
-      Seq(LogFormat.KeyInstantTime -> instantTime, LogFormat.KeySchema -> schema.toString), content.toByteArray)
-  }
+  ): Unit =
+    avroContentBlock(out, LogFormat.AvroDataBlock, instantTime, schema, records)
 
   /** CDC data block: identical content layout to an avro data block
     * (HoodieCDCDataBlock extends HoodieAvroDataBlock), block type 6.
     */
   def cdcDataBlock(
       out: DataOutputStream,
+      instantTime: String,
+      schema: AvroSchema,
+      records: Seq[GenericRecord]
+  ): Unit =
+    avroContentBlock(out, LogFormat.CdcDataBlock, instantTime, schema, records)
+
+  /** Shared V3 avro-content framing for data and CDC blocks. */
+  private def avroContentBlock(
+      out: DataOutputStream,
+      blockType: Int,
       instantTime: String,
       schema: AvroSchema,
       records: Seq[GenericRecord]
@@ -94,7 +89,7 @@ object LogFileWriter {
       c.writeInt(rec.size())
       c.write(rec.toByteArray)
     }
-    writeBlock(out, LogFormat.CdcDataBlock,
+    writeBlock(out, blockType,
       Seq(LogFormat.KeyInstantTime -> instantTime, LogFormat.KeySchema -> schema.toString), content.toByteArray)
   }
 

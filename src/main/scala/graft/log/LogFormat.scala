@@ -179,6 +179,10 @@ object LogFileParser {
     while (!eof) {
       val magic = new Array[Byte](6)
       val read = in.read(magic)
+      // partial-magic read = clean EOF, truncation after a complete magic
+      // = error: the same contract as the reference (reader.rs:90 maps
+      // UnexpectedEof to Ok(false) ONLY for the magic read; later reads
+      // propagate the error)
       if (read < 6) eof = true
       else {
         if (!java.util.Arrays.equals(magic, LogFormat.Magic))

@@ -18,9 +18,15 @@ object RowAlign {
     case (f: Float, DoubleType) => f.toDouble
     case (i: Int, ShortType) => i.toShort
     case (i: Int, ByteType) => i.toByte
-    case (i: Int, d: DecimalType) => new java.math.BigDecimal(i).setScale(d.scale)
-    case (l: Long, d: DecimalType) => new java.math.BigDecimal(l).setScale(d.scale)
-    case (bd: java.math.BigDecimal, d: DecimalType) => bd.setScale(d.scale)
+    // HALF_UP matches Spark's own Decimal.changePrecision rounding; a
+    // bare setScale throws ArithmeticException("Rounding necessary")
+    // whenever a log-block decimal needs scale reduction
+    case (i: Int, d: DecimalType) =>
+      new java.math.BigDecimal(i).setScale(d.scale, java.math.RoundingMode.HALF_UP)
+    case (l: Long, d: DecimalType) =>
+      new java.math.BigDecimal(l).setScale(d.scale, java.math.RoundingMode.HALF_UP)
+    case (bd: java.math.BigDecimal, d: DecimalType) =>
+      bd.setScale(d.scale, java.math.RoundingMode.HALF_UP)
     case (other, _) => other
   }
 

@@ -411,6 +411,11 @@ class GraftPartitionReader(
 
   private def toCatalystScalar(v: Any): Any = v match {
     case s: String => UTF8String.fromString(s)
+    // delete-record ordering values arrive as JVM types from the Avro
+    // union codec; row-side values are Catalyst types — align the decimal
+    // branch or cmpAny's compareTo throws ClassCastException mid-merge
+    case d: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(d)
+    case d: BigDecimal => org.apache.spark.sql.types.Decimal(d)
     case other => other
   }
 

@@ -351,10 +351,16 @@ class GraftScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (isIncremental) {
+    if (isIncremental && !incrementalContained) {
       val e = endTs.orElse(hudi.timeline.latestCommitTimestamp)
       chunked.map(ss => GraftInputPartition(ss, startTs, e): InputPartition).toArray
-    } else chunked.map(ss => GraftInputPartition(ss): InputPartition).toArray
+    } else
+      // stats-contained incremental: the containment proof makes the
+      // per-row commit filter vacuous, so no bounds ride along — which
+      // also keeps a row-reader fallback (supportBatch=false: nested
+      // schema, vectorization disabled) from dereferencing the
+      // _hoodie_commit_time column the contained widened schema omits
+      chunked.map(ss => GraftInputPartition(ss): InputPartition).toArray
 
   /** Factory shared by batch and streaming; `withCommitCol` forces the
     * commit-time column into the widened schema (streaming micro-batches

@@ -17,9 +17,13 @@ object StreamOps {
 
   /** Streaming exact dedup: keep the FIRST record per key, with state
     * bounded by the watermark on `eventTimeCol` — the streaming analog of
-    * the batch `dedup_exact` operator. Pure built-ins: Spark manages the
-    * seen-keys store, drops state older than the watermark, and scales it
-    * per-partition across executors.
+    * the batch `dedup_exact` operator. Pure built-ins:
+    * `dropDuplicatesWithinWatermark` keys the seen-set on the KEY columns
+    * alone (a plain `dropDuplicates(keys :+ eventTime)` would pass every
+    * same-key record that differs in timestamp — not dedup at all), while
+    * Spark manages the seen-keys store, drops state once the watermark
+    * passes a key's first-seen event time, and scales it per-partition
+    * across executors.
     */
   def dedupFirst(
       stream: DataFrame,
@@ -28,7 +32,7 @@ object StreamOps {
       watermark: String): DataFrame =
     stream
       .withWatermark(eventTimeCol, watermark)
-      .dropDuplicates(keyCols :+ eventTimeCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Watermarked tumbling-window aggregation — the streaming shape of the
     * hourly-rollup batch query (`q_events_hourly`): append-mode emission
@@ -62,22 +66,31 @@ object StreamOps {
     val orderingIdx = schema.fieldIndex(orderingCol)
     val keyIdxs = keyCols.map(schema.fieldIndex)
 
-    def orderingOf(r: Row): Double = r.get(orderingIdx) match {
-      case n: Number => n.doubleValue()
-      case other => throw new IllegalArgumentException(s"non-numeric ordering value $other")
+    // same-class Comparable comparison: lossless for Long orderings (a
+    // doubleValue round-trip collapses distinct values past 2^53) and
+    // works for any Comparable ordering column (Timestamp, String,
+    // Decimal), null lowest — the MorMerge null-ordering convention
+    def cmpOrdering(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x: Comparable[_], _) => x.asInstanceOf[Comparable[Any]].compareTo(b)
+      case (x, _) =>
+        throw new IllegalArgumentException(s"non-comparable ordering value $x")
     }
+    def ord(r: Row): Any = r.get(orderingIdx)
 
     stream
       .groupByKey(r => keyIdxs.map(i => String.valueOf(r.get(i))).mkString("\u0000"))(Encoders.STRING)
       .flatMapGroupsWithState[Row, Row](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
-          val incoming = rows.reduceOption((a, b) => if (orderingOf(b) > orderingOf(a)) b else a)
+          val incoming = rows.reduceOption((a, b) => if (cmpOrdering(ord(b), ord(a)) > 0) b else a)
           incoming match {
             case None => Iterator.empty
             case Some(best) =>
               val prev = state.getOption
-              if (prev.forall(p => orderingOf(best) > orderingOf(p))) {
+              if (prev.forall(p => cmpOrdering(ord(best), ord(p)) > 0)) {
                 state.update(best)
                 Iterator.single(best)
               } else Iterator.empty
