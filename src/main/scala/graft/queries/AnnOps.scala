@@ -98,10 +98,15 @@ object AnnOps {
        |  FROM cand c
        |  JOIN qn a ON a.vec_id = c.query_id
        |  JOIN qn b ON b.vec_id = c.neighbor_id),
+       |pre AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id, neighbor_id % 32
+       |      ORDER BY score DESC, neighbor_id) AS rk1
+       |  FROM scored),
        |ranked AS (
        |  SELECT query_id, neighbor_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-       |  FROM scored)
+       |  FROM pre WHERE rk1 <= 5)
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
@@ -192,10 +197,15 @@ object AnnOps {
        |  FROM cand c
        |  JOIN qn a ON a.vec_id = c.query_id
        |  JOIN qn b ON b.vec_id = c.neighbor_id),
+       |pre AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id, neighbor_id % 32
+       |      ORDER BY score DESC, neighbor_id) AS rk1
+       |  FROM scored),
        |ranked AS (
        |  SELECT query_id, neighbor_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-       |  FROM scored)
+       |  FROM pre WHERE rk1 <= 5)
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
@@ -222,6 +232,13 @@ object AnnOps {
   private def sparkPrep(s: SparkSession, d: String): Unit = {
     graft.functions.LongArrayDot.register(s)
     val reg = SessionRegistry.of(s)
+    // synchronized check-then-build (same contract as TextOps.sharedPrep):
+    // concurrent first invocations must not double-persist the prep
+    reg.synchronized { sparkPrepLocked(s, d, reg) }
+  }
+
+  private def sparkPrepLocked(s: SparkSession, d: String,
+      reg: scala.collection.concurrent.TrieMap[String, Any]): Unit = {
     val cached = reg.get("annprep").collect { case p: Prep if p.dir == d => p }
     val Seq(qn, banded) = cached.map(_.dfs).getOrElse {
       Tables.ensureView(s, d, "embeddings")(Tables.embeddings(s, d))
@@ -285,10 +302,15 @@ object AnnOps {
        |  FROM cand c
        |  JOIN ann_qn a ON a.vec_id = c.query_id
        |  JOIN ann_qn b ON b.vec_id = c.neighbor_id),
+       |pre AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id, neighbor_id % 32
+       |      ORDER BY score DESC, neighbor_id) AS rk1
+       |  FROM scored),
        |ranked AS (
        |  SELECT query_id, neighbor_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-       |  FROM scored)
+       |  FROM pre WHERE rk1 <= 5)
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
@@ -318,10 +340,15 @@ object AnnOps {
        |  FROM cand c
        |  JOIN ann_qn a ON a.vec_id = c.query_id
        |  JOIN ann_qn b ON b.vec_id = c.neighbor_id),
+       |pre AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id, neighbor_id % 32
+       |      ORDER BY score DESC, neighbor_id) AS rk1
+       |  FROM scored),
        |ranked AS (
        |  SELECT query_id, neighbor_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-       |  FROM scored)
+       |  FROM pre WHERE rk1 <= 5)
        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
@@ -420,6 +447,11 @@ object AnnOps {
   private def sq8Prep(s: SparkSession, d: String): Unit = {
     sparkPrep(s, d) // ann_qn (exact rerank side) + graft_dot + embeddings view
     val reg = SessionRegistry.of(s)
+    reg.synchronized { sq8PrepLocked(s, d, reg) }
+  }
+
+  private def sq8PrepLocked(s: SparkSession, d: String,
+      reg: scala.collection.concurrent.TrieMap[String, Any]): Unit = {
     val cached = reg.get("sq8prep").collect { case p: Prep if p.dir == d => p }
     val Seq(sq8) = cached.map(_.dfs).getOrElse {
       val q8 = s.sql(

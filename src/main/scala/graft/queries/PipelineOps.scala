@@ -168,10 +168,14 @@ object PipelineOps {
   }
 
   // --- Deterministic stratified sample (k per stratum) ---------------------
-  // ROW_NUMBER over md5-order *partitioned by the stratum* — each stratum
-  // sorts locally; there is deliberately no global window anywhere (the
-  // MinHash r3 lesson). Tie-break on doc_id makes the order total even
-  // under md5 collisions.
+  // TWO-PHASE selection: a stratum is a handful of values (lang), so one
+  // window per stratum means one task sorts a whole stratum — at 100 TB a
+  // dominant language funnels most of the corpus into a single sort task.
+  // The salted pre-window (PARTITION BY lang, doc_id % 32) picks a local
+  // top-k per salt bucket; the per-stratum window then sees at most
+  // 32 x k rows. Provably the same k rows: the order (md5, doc_id) is
+  // total, and every global top-k member is in its salt bucket's top-k.
+  // (sample_hash's collect_list is k-bounded per stratum — fine at scale.)
   private val stratifiedK = 20
   private def stratifiedSql(spark: Boolean): String = {
     val castStr = if (spark) "STRING" else "VARCHAR"
@@ -180,21 +184,31 @@ object PipelineOps {
         "md5(concat_ws(',', transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING))))"
       else
         "md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))"
-    s"""WITH ranked AS (
+    s"""WITH pre AS (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang, doc_id % 32
+       |                       ORDER BY md5(CAST(doc_id AS $castStr)), doc_id) AS rn1
+       |  FROM documents),
+       |ranked AS (
        |  SELECT doc_id, lang,
        |    ROW_NUMBER() OVER (PARTITION BY lang
        |                       ORDER BY md5(CAST(doc_id AS $castStr)), doc_id) AS rn
-       |  FROM documents)
+       |  FROM pre WHERE rn1 <= $stratifiedK)
        |SELECT lang, COUNT(1) AS n_sampled, $sampleHash AS sample_hash
        |FROM ranked WHERE rn <= $stratifiedK
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   // --- TF-IDF top-3 keywords per document ----------------------------------
-  // tf and df are both map-side-combinable hash-aggs; df (a token
-  // dictionary) broadcasts into the score join; the top-k window partitions
-  // by doc_id. Rational idf (N+1)/(df+1) keeps the score inside
-  // IEEE-correctly-rounded ops (see object scaladoc).
+  // tf and df are both map-side-combinable hash-aggs; the tf-df join
+  // strategy is deliberately unhinted: AQE's runtime stats broadcast the
+  // df dictionary when it is actually small and fall back to a shuffle
+  // join when the vocabulary outgrows the broadcast limit (a forced
+  // broadcast would hard-fail there; in the shuffle regime AQE's
+  // skew-join split handles stopword-key skew). The top-k window
+  // partitions by doc_id —
+  // corpus-many partitions, no funnel. Rational idf (N+1)/(df+1) keeps
+  // the score inside IEEE-correctly-rounded ops (see object scaladoc).
   private def tfidfSql(explodeExpr: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, $explodeExpr AS term FROM documents),

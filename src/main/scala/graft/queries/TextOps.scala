@@ -28,12 +28,17 @@ object TextOps {
   }
 
   /** Corpus with deterministic injected duplicates so exact-dedup output is
-    * non-trivial: every doc_id % 10 == 0 doc is re-inserted with id+100000.
+    * non-trivial: every doc_id % 10 == 0 doc is re-inserted with an id
+    * offset past the real id range. The offset derives from max(doc_id)
+    * (one scalar-subquery aggregate, map-side-combinable) — a constant
+    * offset would collide with real ids once the corpus outgrows it,
+    * breaking every doc_id-keyed semantics downstream.
     */
   private[queries] val corpusSql: String =
     """SELECT doc_id, text, lang, source, n_chars FROM documents
       |UNION ALL
-      |SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+      |SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+      |       text, lang, source, n_chars
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   // ---- MinHash SQL generation (shared shape, per-dialect functions) -----
@@ -162,6 +167,29 @@ object TextOps {
     s.conf.getOption("spark.graft.text.verifyBroadcastMaxBytes")
       .map(_.toLong).getOrElse(defaultBroadcastMaxBytes)
 
+  /** Gate for broadcasts of relations DERIVED from the corpus whose size
+    * Catalyst cannot estimate (post-aggregate plans inherit child-sized
+    * guesses): the candidate-id set (dup-density-bounded but O(dup docs))
+    * and the df-capped hot-shingle set (vocabulary-bounded, but at 100 TB
+    * "df > 64" admits most of the vocabulary). Below the corpus-size
+    * threshold the static broadcast hint stays (deterministic bench
+    * plans); above it the hint is dropped and AQE's RUNTIME stats decide —
+    * broadcast when the relation is actually small, shuffle (with skew
+    * split) when not — instead of a forced broadcast hard-failing at 8 GB.
+    */
+  private def derivedBroadcastMaxBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.text.derivedBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(defaultBroadcastMaxBytes)
+
+  private def corpusBytes(s: SparkSession): BigInt =
+    s.table("documents").queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Apply `broadcast()` only below the derived-relation gate. */
+  private def gatedBroadcast(s: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    if (corpusBytes(s) <= derivedBroadcastMaxBytes(s)) broadcast(df) else df
+  }
+
   /** Run `body` with session confs set, restoring them afterwards. The
     * regime gates read their conf eagerly at DataFrame-construction time
     * (driver-side), so the returned plan keeps the forced regime even
@@ -204,7 +232,15 @@ object TextOps {
     else {
       val ids = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val filtered = docsets.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      // the id set is dup-density-bounded but still O(dup docs): its
+      // broadcast is gated too (on a dup-dense corpus at scale it can
+      // exceed the broadcast limit on its own) — above the gate the
+      // semi-join shuffle-HASHES on doc_id with ids as the build side
+      // (a sort-merge semi here would sort the array-laden docsets rows)
+      val idsSide =
+        if (corpusBytes(s) <= derivedBroadcastMaxBytes(s)) broadcast(ids)
+        else ids.hint("shuffle_hash")
+      val filtered = docsets.join(idsSide, Seq("doc_id"), "left_semi")
         .hint("shuffle_hash")
       cand.join(filtered.as(aliasA), col(s"$aliasA.doc_id") === col("doc_a"))
         .join(filtered.as(aliasB), col(s"$aliasB.doc_id") === col("doc_b"))
@@ -339,7 +375,10 @@ object TextOps {
       val key = Seq("lang", "source", "shingle")
       val hot = shingles.groupBy(key.map(col): _*).count()
         .filter(col("count") > maxDf).drop("count")
-      Seq(docsets, shingles.join(broadcast(hot), key, "left_anti"))
+      // hot is vocabulary-bounded, which is NOT small at every scale (an
+      // absolute df cutoff admits most of a 100 TB corpus's vocabulary):
+      // broadcast below the corpus gate, AQE-decided above it
+      Seq(docsets, shingles.join(gatedBroadcast(s, hot), key, "left_anti"))
     }
     // explode+anti-join wreck the size estimate: without the hint Spark
     // broadcasts the whole exploded corpus into the self-join build side
@@ -388,13 +427,19 @@ object TextOps {
       build: => Seq[DataFrame]): Seq[DataFrame] = {
     val reg = SessionRegistry.of(s)
     val k = s"textprep:$key"
-    reg.get(k).collect { case p: TextPrep if p.dir == d => p.dfs }.getOrElse {
-      val dfs = build
-      dfs.foreach(_.persist())
-      reg.put(k, TextPrep(d, dfs))
-        .collect { case p: TextPrep if p.dir != d => p }
-        .foreach(_.dfs.foreach(_.unpersist(false)))
-      dfs
+    // synchronized check-then-build: two concurrent first invocations of
+    // queries sharing a prep key would otherwise both build+persist, and
+    // the overwritten generation's cached blocks (same dir, so the
+    // dir-change cleanup never fires) would stay pinned for the session
+    reg.synchronized {
+      reg.get(k).collect { case p: TextPrep if p.dir == d => p.dfs }.getOrElse {
+        val dfs = build
+        dfs.foreach(_.persist())
+        reg.put(k, TextPrep(d, dfs))
+          .collect { case p: TextPrep if p.dir != d => p }
+          .foreach(_.dfs.foreach(_.unpersist(false)))
+        dfs
+      }
     }
   }
 
@@ -575,7 +620,10 @@ object TextOps {
   }
 
   /** Driver-side exact union-find (min element as root, path-compressed);
-    * the gate guarantees the edge list is driver-sized.
+    * the gate guarantees the edge list is driver-sized. Edges are
+    * collected as primitive-long tuples, not Rows — GenericRow objects
+    * cost ~100-150 bytes per edge and would put a worst-case (4M-edge)
+    * collect at ~0.5 GB of driver heap for 64 MB of longs.
     */
   private[queries] def localUnionFind(s: SparkSession, pairs: DataFrame): DataFrame = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -586,8 +634,8 @@ object TextOps {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    for (row <- pairs.collect()) {
-      val (a, b) = (row.getLong(0), row.getLong(1))
+    val edges = pairs.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
+    for ((a, b) <- edges) {
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
@@ -609,7 +657,17 @@ object TextOps {
       case _ => ()
     }
 
-  /** Distributed min-label propagation + pointer jumping; the scale path. */
+  /** Distributed min-label propagation + pointer jumping; the scale path.
+    *
+    * Known skew bound: the pointer-jump join keys on `lbl`, so a single
+    * giant dup component concentrates its members on the task owning the
+    * converged label each round — the loop's straggler bound is the
+    * largest component divided by one task's throughput, for O(log n)
+    * rounds. Acceptable because near-dup components are candidate-pair
+    * bounded (the LSH/banding layers cap pair density long before a
+    * 100M-member component can form); a general-graph CC would need
+    * label salting or changed-only frontiers here.
+    */
   private[queries] def distributedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
@@ -897,11 +955,13 @@ object TextOps {
     "dedup_minhash_lsh_scale" -> QueryDef(
       (s, d) => withConf(s,
         "spark.graft.text.dictBroadcastMaxBytes" -> "0",
-        "spark.graft.text.verifyBroadcastMaxBytes" -> "0")(minhashImpl(s, d)),
+        "spark.graft.text.verifyBroadcastMaxBytes" -> "0",
+        "spark.graft.text.derivedBroadcastMaxBytes" -> "0")(minhashImpl(s, d)),
       Some(minhashOracle)),
     "dedup_ngram_jaccard_scale" -> QueryDef(
       (s, d) => withConf(s,
-        "spark.graft.text.verifyBroadcastMaxBytes" -> "0")(ngramImpl(s, d)),
+        "spark.graft.text.verifyBroadcastMaxBytes" -> "0",
+        "spark.graft.text.derivedBroadcastMaxBytes" -> "0")(ngramImpl(s, d)),
       Some(ngramOracle)),
     "dedup_groups_distributed" -> QueryDef(
       (s, d) => withConf(s,
