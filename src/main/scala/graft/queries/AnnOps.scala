@@ -16,16 +16,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AnnOps {
 
-  private val numPlanes = 16
-  private val bandBits = 4
-  private val numBands = numPlanes / bandBits // 4
+  // 96 planes in 8 bands of 12 bits: 4096 buckets per band. Band WIDTH
+  // is the bucket-skew/scale lever (the simhash lesson, TextOps:~430) —
+  // k-bit keys bound the self-join at ~bands*N^2/2^k pairs, and the
+  // original 4-bit/16-bucket layout was quadratic at corpus scale
+  // (~N^2/4 candidate pairs; this layout emits ~N^2/512, a 128x cut).
+  // Band COUNT is the recall lever: per-band collision for angle theta
+  // is (1-theta/pi)^12, so 8 bands catch cos>=0.9 pairs at ~75% and
+  // cos~0.7 at ~20%; the low-similarity tail is deliberately out of
+  // LSH's scope — IVF probes, the SQ8 quantized scan, and the exactness
+  // baselines (embed_dedup_cosine / embed_knn_brute) own it.
+  private val numPlanes = 96
+  private val bandBits = 12
+  private val numBands = numPlanes / bandBits // 8
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
     * spreads over [-504, 504] via integer arithmetic both engines share.
     */
   private def planeComponent = "CAST(j AS BIGINT) * 73856093 + CAST(i AS BIGINT) * 19349663"
 
-  /** The hyperplanes are CONSTANTS — the Spark side unrolls them to 16
+  /** The hyperplanes are CONSTANTS — the Spark side unrolls them to 96
     * literal 64-int arrays feeding codegen'd `graft_dot` calls, instead of
     * rebuilding the matrix per row through interpreted `transform`
     * closures (the round-2 constant-factor hot spot). DuckDB keeps the
@@ -60,6 +70,9 @@ object AnnOps {
   ): String = {
     val selfDot = dot.format("q", "q")
     def bit(k: String) = s"$elementAt(bits, $k)"
+    val bandKey = (0 until bandBits)
+      .map(i => s"${bit(s"$bandBits*b+${i + 1}")} * ${1L << (bandBits - 1 - i)}")
+      .mkString(" + ")
     s"""qe AS (
        |  SELECT vec_id, $listTransform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
        |  FROM embeddings),
@@ -70,7 +83,7 @@ object AnnOps {
        |  FROM qn),
        |banded AS (
        |  SELECT vec_id, b,
-       |    ${bit("4*b+1")} * 8 + ${bit("4*b+2")} * 4 + ${bit("4*b+3")} * 2 + ${bit("4*b+4")} AS band_key
+       |    $bandKey AS band_key
        |  FROM sig $bandsFrom)""".stripMargin
   }
 
@@ -145,12 +158,12 @@ object AnnOps {
   private val duckSql: String = lshSql(
     listTransform = "list_transform",
     dot = duckDot,
-    sigExpr = duckSigExpr(duckDot, "range(0, 64)", "range(0, 16)", "list_transform"),
+    sigExpr = duckSigExpr(duckDot, "range(0, 64)", "range(0, 96)", "list_transform"),
     bandsFrom = s", UNNEST(range(0, $numBands)) AS bt(b)",
     elementAt = "list_extract")
 
   private val duckAnnSql: String = annTopkSql(
-    "list_transform", duckDot, duckSigExpr(duckDot, "range(0, 64)", "range(0, 16)", "list_transform"),
+    "list_transform", duckDot, duckSigExpr(duckDot, "range(0, 64)", "range(0, 96)", "list_transform"),
     s", UNNEST(range(0, $numBands)) AS bt(b)", "list_extract")
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside the
@@ -248,11 +261,13 @@ object AnnOps {
            |  SELECT vec_id, transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
            |  FROM embeddings)""".stripMargin)
       def bit(k: String) = s"element_at(bits, $k)"
+      val bandKey = (0 until bandBits)
+        .map(i => s"${bit(s"$bandBits*b+${i + 1}")} * ${1L << (bandBits - 1 - i)}")
+        .mkString(" + ")
       val banded = qn
         .selectExpr("vec_id", s"${sparkSigExpr(sparkDot)} AS bits")
         .selectExpr("vec_id", "bits", s"explode(sequence(0, ${numBands - 1})) AS b")
-        .selectExpr("vec_id", "b",
-          s"${bit("4*b+1")} * 8 + ${bit("4*b+2")} * 4 + ${bit("4*b+3")} * 2 + ${bit("4*b+4")} AS band_key")
+        .selectExpr("vec_id", "b", s"$bandKey AS band_key")
       val dfs = Seq(qn, banded)
       val big = s.table("embeddings").queryExecution.optimizedPlan
         .stats.sizeInBytes > persistMinBytes
