@@ -232,14 +232,12 @@ object AnnOps {
     * re-materialized them for every query, charging ~2s of redundant
     * cache builds to whichever ANN query the bench ran first.
     *
-    * Whether the shared views are PERSISTED is gated on Catalyst's size
-    * estimate: at bench scale the columnar cache build costs more than
-    * the 2-4 recomputes it avoids (measured at sf0.1), while at real
-    * scale re-scanning the corpus per branch dominates and the persist
-    * wins. DuckDB keeps the single-statement CTE text.
+    * The shared views are ALWAYS persisted: with 8 band branches each
+    * recomputing a 96-dot signature, the one-time cache build wins at
+    * every scale (measured at sf0.1: embed_dedup_lsh 2.15s -> 0.67s;
+    * the r5 size gate predated the 12-bit re-banding). DuckDB keeps the
+    * single-statement CTE text.
     */
-  private val persistMinBytes = 64L << 20
-
   private case class Prep(dir: String, dfs: Seq[DataFrame])
 
   private def sparkPrep(s: SparkSession, d: String): Unit = {
@@ -269,9 +267,13 @@ object AnnOps {
         .selectExpr("vec_id", "bits", s"explode(sequence(0, ${numBands - 1})) AS b")
         .selectExpr("vec_id", "b", s"$bandKey AS band_key")
       val dfs = Seq(qn, banded)
-      val big = s.table("embeddings").queryExecution.optimizedPlan
-        .stats.sizeInBytes > persistMinBytes
-      if (big) dfs.foreach(_.persist())
+      // ALWAYS persist: the r5 gate skipped the persist at bench scale
+      // (cache build > 2-4 recomputes of a 16-dot signature), but the
+      // 12-bit re-banding flipped the math — 8 band branches each
+      // recompute a 96-dot signature, so the one-time build wins at
+      // every scale (and at 100 TB MEMORY_AND_DISK spills, it does not
+      // fail)
+      dfs.foreach(_.persist())
       reg.put("annprep", Prep(d, dfs))
         .collect { case p: Prep if p.dir != d => p }
         .foreach(_.dfs.foreach(_.unpersist(false)))
@@ -486,9 +488,9 @@ object AnnOps {
           |FROM embeddings CROSS JOIN stats""".stripMargin)
         .selectExpr("vec_id", "q8", s"${sparkDot.format("q8", "q8")} AS n8")
       val dfs = Seq(q8)
-      val big = s.table("embeddings").queryExecution.optimizedPlan
-        .stats.sizeInBytes > persistMinBytes
-      if (big) dfs.foreach(_.persist())
+      // always persisted, like the ann prep: both sides of the quantized
+      // cross join scan this relation
+      dfs.foreach(_.persist())
       reg.put("sq8prep", Prep(d, dfs))
         .collect { case p: Prep if p.dir != d => p }
         .foreach(_.dfs.foreach(_.unpersist(false)))
