@@ -165,6 +165,11 @@ class PlanShapeSpec extends SparkTestBase {
     // join would shuffle + sort duplicated arrays (the r2 pathology class)
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       "no sort-merge join should appear in the ANN near-dup plan")
+    // the banded relation must come from the persisted prep cache: 8 band
+    // branches each recompute a 96-dot signature otherwise (the un-gated
+    // persist is a measured 3x on this query)
+    assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "band self-join branches must scan the persisted prep relation")
   }
 
   test("sq8 top-R selection is two-phase (salted local window first)") {
