@@ -151,6 +151,63 @@ object CurateOps {
        |FROM splits GROUP BY split ORDER BY split""".stripMargin
   }
 
+  /** Perplexity-style quality scoring under the corpus's OWN bigram model
+    * (the CCNet/Gopher LM-filter shape without an external model): each
+    * document's mean add-one-smoothed bigram log-likelihood, where the
+    * model counts come from the corpus itself — low scores mark documents
+    * whose token transitions are atypical for the corpus.
+    *
+    * Scale shape: tokenize once; the bigram window partitions by doc_id
+    * (corpus-many partitions, doc-bounded — never a global window);
+    * bigram/unigram counts are map-side-combinable aggregates; the
+    * count joins are AQE-decided (dictionary-sized relations when small,
+    * shuffle+skew-split when not).
+    *
+    * Engine-identical floats: ln() is the one non-rational op — Java and
+    * C libm may differ in the last ulp (~1e-15) — so each log is rounded
+    * to 8 decimals and summed as DECIMAL (exact, order-independent);
+    * a 1-ulp perturbation only matters within 1e-15 of a rounding
+    * boundary spaced 1e-8 apart. The final mean divides in double.
+    */
+  private def lmBigramSql(spark: Boolean): String = {
+    val toks =
+      if (spark)
+        """SELECT doc_id, pos, tok FROM (
+          |    SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok) FROM corpus)""".stripMargin
+      else
+        """SELECT doc_id, UNNEST(range(1, len(a) + 1)) AS pos, UNNEST(a) AS tok
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM corpus)""".stripMargin
+    val cnt = (e: String) => if (spark) e else s"CAST($e AS BIGINT)"
+    s"""WITH corpus AS ($corpusSql),
+       |toks AS (
+       |  $toks),
+       |bi AS (
+       |  SELECT doc_id, tok AS w2,
+       |    LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |  FROM toks),
+       |bids AS (SELECT doc_id, w1, w2 FROM bi WHERE w1 IS NOT NULL),
+       |bc AS (SELECT w1, w2, ${cnt("COUNT(1)")} AS c12 FROM bids GROUP BY w1, w2),
+       |uc AS (SELECT w1, ${cnt("COUNT(1)")} AS c1 FROM bids GROUP BY w1),
+       |v AS (SELECT ${cnt("COUNT(DISTINCT tok)")} AS vocab FROM toks),
+       |scored AS (
+       |  SELECT b.doc_id,
+       |    CAST(round(ln((CAST(bc.c12 AS DOUBLE) + 1.0) /
+       |                  (CAST(uc.c1 AS DOUBLE) + CAST(v.vocab AS DOUBLE))), 8)
+       |         AS DECIMAL(24, 8)) AS lp
+       |  FROM bids b
+       |  JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+       |  JOIN uc ON b.w1 = uc.w1
+       |  CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, COUNT(1) AS n_bigrams, SUM(lp) AS slp
+       |  FROM scored GROUP BY doc_id)
+       |SELECT c.doc_id,
+       |  COALESCE(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       |  CAST(CAST(a.slp AS DOUBLE) / a.n_bigrams AS DOUBLE) AS avg_logp
+       |FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
   }
@@ -167,6 +224,9 @@ object CurateOps {
       Some(decontamSql(spark = false, hint = ""))),
     "pipeline_train_prep" -> QueryDef(
       (s, d) => sq(s, d, trainPrepSql(spark = true)),
-      Some(trainPrepSql(spark = false)))
+      Some(trainPrepSql(spark = false))),
+    "text_lm_bigram" -> QueryDef(
+      (s, d) => sq(s, d, lmBigramSql(spark = true)),
+      Some(lmBigramSql(spark = false)))
   )
 }
