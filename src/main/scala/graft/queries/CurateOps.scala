@@ -208,6 +208,51 @@ object CurateOps {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  /** Data-mixing diagnostics: per-source unigram KL divergence against
+    * the whole-corpus distribution (add-one smoothed, restricted to the
+    * source's observed vocabulary — the standard practical variant), plus
+    * per-source volume stats. High KL flags a source whose token
+    * distribution is atypical for the mix — the signal a weighting/
+    * resampling stage consumes.
+    *
+    * Scale shape: one tokenize pass; every aggregate is map-side
+    * combinable ((source, tok) then tok then source); the count joins
+    * are AQE-decided. Determinism: each KL term is a per-element double
+    * expression (deterministic except ln's last ulp) rounded to 12
+    * decimals and summed as DECIMAL — term magnitudes ~1e-5 put ulp
+    * perturbations ~1e-19, far below the rounding granularity.
+    */
+  private def sourceKlSql(spark: Boolean): String = {
+    val (split, explodeToks) =
+      if (spark) ("split(text, ' ')", "explode(split(text, ' '))")
+      else ("string_split(text, ' ')", "UNNEST(string_split(text, ' '))")
+    val cnt = (e: String) => if (spark) e else s"CAST($e AS BIGINT)"
+    val ps = "((CAST(sc.c AS DOUBLE) + 1.0) / (CAST(st.n AS DOUBLE) + CAST(tot.vocab AS DOUBLE)))"
+    val pc = "((CAST(cc.c AS DOUBLE) + 1.0) / (CAST(tot.n AS DOUBLE) + CAST(tot.vocab AS DOUBLE)))"
+    s"""WITH corpus AS ($corpusSql),
+       |toks AS (SELECT source, $explodeToks AS tok FROM corpus),
+       |sc AS (SELECT source, tok, ${cnt("COUNT(1)")} AS c FROM toks GROUP BY source, tok),
+       |st AS (SELECT source, ${cnt("SUM(c)")} AS n, COUNT(1) AS vocab_s FROM sc GROUP BY source),
+       |cc AS (SELECT tok, ${cnt("SUM(c)")} AS c FROM sc GROUP BY tok),
+       |tot AS (SELECT ${cnt("SUM(c)")} AS n, ${cnt("COUNT(1)")} AS vocab FROM cc),
+       |terms AS (
+       |  SELECT sc.source,
+       |    CAST(round($ps * ln($ps / $pc), 12) AS DECIMAL(28, 12)) AS term
+       |  FROM sc
+       |  JOIN st ON sc.source = st.source
+       |  JOIN cc ON sc.tok = cc.tok
+       |  CROSS JOIN tot),
+       |kl AS (SELECT source, SUM(term) AS kl_sum FROM terms GROUP BY source),
+       |docs AS (SELECT source, COUNT(1) AS n_docs FROM corpus GROUP BY source)
+       |SELECT d.source, d.n_docs, st.n AS n_tokens,
+       |  CAST(st.vocab_s AS BIGINT) AS vocab_size,
+       |  CAST(k.kl_sum AS DOUBLE) AS kl_unigram
+       |FROM docs d
+       |JOIN st ON d.source = st.source
+       |JOIN kl k ON d.source = k.source
+       |ORDER BY d.source""".stripMargin
+  }
+
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
   }
@@ -227,6 +272,9 @@ object CurateOps {
       Some(trainPrepSql(spark = false))),
     "text_lm_bigram" -> QueryDef(
       (s, d) => sq(s, d, lmBigramSql(spark = true)),
-      Some(lmBigramSql(spark = false)))
+      Some(lmBigramSql(spark = false))),
+    "text_source_kl" -> QueryDef(
+      (s, d) => sq(s, d, sourceKlSql(spark = true)),
+      Some(sourceKlSql(spark = false)))
   )
 }
