@@ -243,7 +243,7 @@ final class Timeline(
     * reader is an explicit TODO returning empty, mirrored here).
     */
   def archivedInstants: Vector[HoodieInstant] = {
-    if (config.tableVersion >= 8) return Vector.empty // V2Archived: reference TODO
+    if (config.tableVersion >= 8) return lsmArchivedInstants(None, None)
     val folder = config.getOrElse("hoodie.archivelog.folder", ".hoodie/archived")
     val dir = if (folder.startsWith(".hoodie")) new Path(basePath, folder)
               else new Path(new Path(basePath, ".hoodie"), folder)
@@ -258,6 +258,53 @@ final class Timeline(
         .sortBy(i => (i.timestamp, i.action))
   }
 
+  /** v8+ LSM timeline-history data files — BEYOND the reference, whose
+    * V2Archived loader is a TODO returning empty (loader.rs:256). The
+    * manifest's parquet files carry `HoodieLSMTimelineInstant` records
+    * (apache/hudi LSMTimeline schema: instantTime, completionTime,
+    * action, metadata, plan); the three identity columns decode into
+    * completed instants. Manifest min/max instants prune files outside
+    * the requested range — the LSM tree's point — so a time-filtered
+    * selection reads only overlapping files.
+    */
+  private def lsmArchivedInstants(
+      start: Option[String], end: Option[String]): Vector[HoodieInstant] =
+    readHistoryManifest() match {
+      case None => Vector.empty
+      case Some(m) =>
+        val historyPath = config.getOrElse("hoodie.timeline.history.path", "history")
+        val dir = new Path(timelineDir, historyPath)
+        val fs = dir.getFileSystem(hadoopConf)
+        m.entries.iterator
+          .filter(e => start.forall(e.maxInstant >= _) && end.forall(e.minInstant <= _))
+          .flatMap { e =>
+            val p = new Path(dir, e.fileName)
+            if (!fs.exists(p)) Iterator.empty
+            else {
+              val (schema, rows) = graft.log.ParquetBlock.decode(graft.util.ReadFully(fs, p))
+              def idx(n: String): Option[Int] =
+                if (schema.fieldNames.contains(n)) Some(schema.fieldIndex(n)) else None
+              (idx("instantTime"), idx("action")) match {
+                case (Some(ti), Some(ai)) =>
+                  val ci = idx("completionTime")
+                  rows.iterator.flatMap { r =>
+                    val ts = if (r.isNullAt(ti)) null else r.getString(ti)
+                    val act = if (r.isNullAt(ai)) null else r.getString(ai)
+                    if (ts == null || act == null) Iterator.empty
+                    else {
+                      val comp = ci.filterNot(r.isNullAt).map(r.getString)
+                      Iterator.single(HoodieInstant(ts, comp, act, HoodieInstant.Completed))
+                    }
+                  }
+                case _ => Iterator.empty // not an instant data file
+              }
+            }
+          }
+          .toVector
+          .distinctBy(i => (i.timestamp, i.action))
+          .sortBy(i => (i.timestamp, i.action))
+    }
+
   /** Time-filtered instant selection including archived history when BOTH
     * gates hold: a time filter is present AND archived reads are enabled
     * (the reference's double-gate, timeline/mod.rs:100-135).
@@ -271,7 +318,11 @@ final class Timeline(
     val hasTimeFilter = start.isDefined || end.isDefined
     if (!hasTimeFilter || !archivedReadEnabled) active
     else {
-      val archived = archivedInstants.filter { i =>
+      // v8 passes the range down so manifest min/max prunes LSM files
+      val loaded =
+        if (config.tableVersion >= 8) lsmArchivedInstants(start, end)
+        else archivedInstants
+      val archived = loaded.filter { i =>
         actions.contains(i.action) &&
           start.forall(i.timestamp >= _) && end.forall(i.timestamp <= _)
       }

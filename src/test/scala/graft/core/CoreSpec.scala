@@ -131,10 +131,11 @@ class CoreSpec extends AnyFunSuite {
 
   // ---- T4: archived timeline --------------------------------------------
 
+  private val conf = new org.apache.hadoop.conf.Configuration()
+
   private def mkTimeline(base: String, props: String, archiveFiles: Seq[String] = Nil,
       manifest: Option[(Long, String)] = None): graft.core.Timeline = {
     import org.apache.hadoop.fs.{FileSystem, Path}
-    val conf = new org.apache.hadoop.conf.Configuration()
     val fs = FileSystem.get(conf)
     val b = new Path(base)
     fs.delete(b, true)
@@ -204,7 +205,73 @@ class CoreSpec extends AnyFunSuite {
     val e = m.entries.head
     assert(e.fileName == "0_1.parquet" && e.minInstant == "20230101000000000" &&
       e.maxInstant == "20230105000000000" && e.level == 0 && e.fileSize == 1234L)
-    // v8 archived instants: reference V2Archived loader is a TODO -> empty
+    // manifest names a file that does not exist -> no instants, no error
     assert(t.archivedInstants.isEmpty)
+  }
+
+  /** Write one LSM history parquet data file with apache/hudi's
+    * HoodieLSMTimelineInstant column layout.
+    */
+  private def writeLsmFile(dir: String, name: String, rows: Seq[(String, String, String)]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      """message HoodieLSMTimelineInstant {
+        |  optional binary instantTime (UTF8);
+        |  optional binary completionTime (UTF8);
+        |  optional binary action (UTF8);
+        |  optional binary metadata;
+        |  optional binary plan;
+        |}""".stripMargin)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val w = ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+      .withConf(conf).withType(schema).build()
+    try rows.foreach { case (ts, ct, act) =>
+      val g = new SimpleGroup(schema)
+      g.add("instantTime", ts); g.add("completionTime", ct); g.add("action", act)
+      w.write(g)
+    } finally w.close()
+  }
+
+  test("v8 LSM archived instants load from manifest data files (beyond loader.rs:256)") {
+    val base = "/root/repo/target/fixtures/lsm_data"
+    val props =
+      """hoodie.table.name=a
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=8
+        |hoodie.internal.timeline.archived.enabled=true
+        |""".stripMargin
+    val json =
+      """{"version": 1, "entries": [
+        |  {"file_name": "0_1.parquet", "min_instant": "20230101000000000",
+        |   "max_instant": "20230102000000000", "level": 0, "file_size": 1},
+        |  {"file_name": "0_2.parquet", "min_instant": "20230201000000000",
+        |   "max_instant": "20230202000000000", "level": 0, "file_size": 1}]}""".stripMargin
+    val t = mkTimeline(base, props, manifest = Some((1L, json)))
+    val hist = s"$base/.hoodie/timeline/history"
+    writeLsmFile(hist, "0_1.parquet", Seq(
+      ("20230101000000000", "20230101000001000", "commit"),
+      ("20230102000000000", "20230102000001000", "commit")))
+    writeLsmFile(hist, "0_2.parquet", Seq(
+      ("20230201000000000", "20230201000001000", "commit")))
+    // all archived instants decode, completed, with completion timestamps
+    val all = t.archivedInstants
+    assert(all.map(_.timestamp) ==
+      Vector("20230101000000000", "20230102000000000", "20230201000000000"))
+    assert(all.forall(i => i.isCompleted && i.completionTimestamp.isDefined))
+    // double-gated selection merges archived history into the range
+    val sel = t.selectWithArchived(Set("commit"),
+      start = Some("20230101000000000"), end = Some("20230102000000000"))
+    assert(sel.map(_.timestamp) ==
+      Vector("20230101000000000", "20230102000000000"))
+    // manifest min/max pruning: a range touching only the second file
+    // must not need the first (delete it to prove the file is skipped)
+    val fs = new org.apache.hadoop.fs.Path(hist).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$hist/0_1.parquet"), false)
+    val sel2 = t.selectWithArchived(Set("commit"),
+      start = Some("20230201000000000"), end = None)
+    assert(sel2.map(_.timestamp) == Vector("20230201000000000"))
   }
 }
