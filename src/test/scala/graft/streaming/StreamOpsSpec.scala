@@ -25,13 +25,18 @@ class StreamOpsSpec extends SparkTestBase {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
+    // key 1 repeats at a LATER event time too: per-key dedup must still
+    // drop it (the old (key, eventTime) seen-set passed such records)
     in.addData((1L, ts(0), "a"), (1L, ts(0), "a-dup"), (2L, ts(1), "b"))
-    in.addData((2L, ts(1), "b-dup"), (3L, ts(2), "c"))
+    in.addData((2L, ts(1), "b-dup"), (3L, ts(2), "c"), (1L, ts(3), "a-late-dup"))
     val deduped = StreamOps.dedupFirst(
       in.toDF.toDF("id", "event_ts", "payload"), Seq("id"), "event_ts", "10 minutes")
     runToMemory(deduped, "dedup_out")
-    val ids = spark.table("dedup_out").select("id").as[Long].collect().sorted
-    assert(ids.toSeq == Seq(1L, 2L, 3L))
+    val rows = spark.table("dedup_out").select("id", "payload")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(!rows.map(_._2).contains("a-late-dup"),
+      "a same-key record at a different event time must still dedup")
   }
 
   test("windowedCounts aggregates tumbling windows with a watermark") {
