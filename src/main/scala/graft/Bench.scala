@@ -22,7 +22,7 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
     // dev-only iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // Forced-regime twins (the *_scale / *_distributed oracle entries)
     // prove the large-corpus branches bit-identical to the gated
     // small-corpus branches under Verify; at bench SF the gates would
@@ -52,26 +52,45 @@ object Bench {
     // (the headline), "queries_cold" carries pass 1, and the cold total
     // rides alongside the headline value.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
+    // A failed query must NEVER improve the headline: failures record a
+    // -1 sentinel (visible in the JSON, excluded from totals) and log the
+    // exception loudly — the time-to-exception is not a benchmark time.
     val passes = (1 to runs).toList.map { pass =>
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] FAILED pass$pass $name: $e")
+              false
+          }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         if (debug) System.err.println(f"[bench] pass$pass $name%-28s $dt%.2f")
         name -> dt
       }
     }
     val cold = passes.head
-    val best = passes.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    // min over successful passes only; -1 marks a query that failed EVERY pass
+    val best = passes.reduce((a, b) => a.map { case (k, v) =>
+      k -> ((v, b(k)) match {
+        case (x, y) if x < 0 => y
+        case (x, y) if y < 0 => x
+        case (x, y) => math.min(x, y)
+      })
+    })
+    val failed = best.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (best.nonEmpty) best.values.sum else 0.0
-    val totalCold = if (cold.nonEmpty) cold.values.sum else 0.0
+    val total = best.values.filter(_ >= 0).sum
+    val totalCold = cold.values.filter(_ >= 0).sum
+    val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     spark.stop()
     // Single-line JSON on stdout, after spark.stop() so no further output
     // (executor shutdown logs go to stderr) can interleave with it.
-    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(best)},"queries_cold":${js(cold)},"total_cold":$totalCold,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
+    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(best)},"queries_cold":${js(cold)},"total_cold":$totalCold,"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
     System.out.flush()
   }
 }

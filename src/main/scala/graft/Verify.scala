@@ -23,7 +23,10 @@ object Verify {
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // NonFatal only: a VM error (OOM, StackOverflow) must kill the run —
+      // later queries executed in a broken JVM could write truncated
+      // parquet the driver's compare would treat as real answers
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -31,8 +31,15 @@ object HudiFixtureBuilder {
     "_hoodie_record_key", "_hoodie_partition_path", "_hoodie_file_name")
 
   def root(sfDir: String): String = {
+    val abs = new java.io.File(sfDir).getAbsolutePath
     val sf = new java.io.File(sfDir).getName
-    s"/root/repo/target/hudi-fixtures/$sf"
+    // basename + abs-path hash: two different dirs sharing a leaf name
+    // (e.g. /a/sf0.1 and /b/sf0.1) must NOT share one marker-guarded
+    // fixture tree, or the second run reads fixtures derived from the
+    // first dir's data while its oracle reads the second's
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"/root/repo/target/hudi-fixtures/$sf-$h"
   }
 
   def cowPath(sfDir: String): String = s"${root(sfDir)}/cow_orders"
@@ -54,14 +61,32 @@ object HudiFixtureBuilder {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
     val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v5")
     if (fs.exists(marker)) return
-    fs.delete(new Path(root(sfDir)), true)
-    buildCowOrders(spark, sfDir)
-    buildMorOrders(spark, sfDir)
-    buildCowPartNation(spark, sfDir)
-    buildCowDroppedNation(spark, sfDir)
-    buildCowEvolvedNation(spark, sfDir)
-    buildCowMdtNation(spark, sfDir)
-    fs.create(marker, true).close()
+    // cross-PROCESS exclusion (synchronized only guards this JVM):
+    // create-exclusive a lock file; the loser polls for the winner's
+    // marker instead of concurrently deleting/rebuilding the same tree
+    val lock = new Path("/root/repo/target/hudi-fixtures", s"${new Path(root(sfDir)).getName}.lock")
+    fs.mkdirs(lock.getParent)
+    val acquired =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!acquired) {
+      val deadline = System.nanoTime() + 600L * 1000000000L
+      while (!fs.exists(marker) && fs.exists(lock) && System.nanoTime() < deadline)
+        Thread.sleep(500)
+      if (fs.exists(marker)) return
+      // lock holder died without finishing — fall through and rebuild
+    }
+    try {
+      if (fs.exists(marker)) return
+      fs.delete(new Path(root(sfDir)), true)
+      buildCowOrders(spark, sfDir)
+      buildMorOrders(spark, sfDir)
+      buildCowPartNation(spark, sfDir)
+      buildCowDroppedNation(spark, sfDir)
+      buildCowEvolvedNation(spark, sfDir)
+      buildCowMdtNation(spark, sfDir)
+      fs.create(marker, true).close()
+    } finally fs.delete(lock, false)
   }
 
   // ----------------------------------------------------------------------
@@ -78,7 +103,11 @@ object HudiFixtureBuilder {
   private def bucketExpr: org.apache.spark.sql.Column =
     pmod(col("o_orderkey"), lit(Buckets)).cast("int")
 
-  private def withMeta(df: DataFrame, commitTs: String, partCol: String,
+  /** `_hoodie_commit_time` is row-driven (the per-row `__commit` column),
+    * deliberately: a COW rewrite carries a mix of original and rewrite
+    * commit times.
+    */
+  private def withMeta(df: DataFrame, partCol: String,
       fileName: org.apache.spark.sql.Column): DataFrame =
     df.select(
       col("__commit").as("_hoodie_commit_time") +:
@@ -196,7 +225,7 @@ object HudiFixtureBuilder {
     // commit 1: raw inserts, [[Buckets]] file groups per partition
     val files1 = parts.zipWithIndex.flatMap { case (p, i) =>
       val df = src.filter(col("o_orderpriority") === p).withColumn("__commit", lit(T1))
-      writeBucketedBase(spark, base, p, i, withMeta(df, T1, "o_orderpriority", bucketedFileName(i, T1)), T1)
+      writeBucketedBase(spark, base, p, i, withMeta(df, "o_orderpriority", bucketedFileName(i, T1)), T1)
     }
     val dataAvro = Some(SparkToAvro.toAvroSchema(src.schema, "orders_record").toString)
     writeCommit(fs, base, T1, "commit", files1.toSeq, dataAvro)
@@ -209,7 +238,7 @@ object HudiFixtureBuilder {
         .withColumn("o_orderstatus", when(col("__upd"), lit("U")).otherwise(col("o_orderstatus")))
         .withColumn("__commit", when(col("__upd"), lit(T2)).otherwise(lit(T1)))
         .drop("__upd")
-      writeBucketedBase(spark, base, p, i, withMeta(df, T2, "o_orderpriority", bucketedFileName(i, T2)), T2)
+      writeBucketedBase(spark, base, p, i, withMeta(df, "o_orderpriority", bucketedFileName(i, T2)), T2)
     }
     writeCommit(fs, base, T2, "commit", files2.toSeq, dataAvro)
   }
@@ -226,7 +255,7 @@ object HudiFixtureBuilder {
     val parts = src.select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
     val files1 = parts.zipWithIndex.flatMap { case (p, i) =>
       val df = src.filter(col("o_orderpriority") === p).withColumn("__commit", lit(T1))
-      writeBucketedBase(spark, base, p, i, withMeta(df, T1, "o_orderpriority", bucketedFileName(i, T1)), T1)
+      writeBucketedBase(spark, base, p, i, withMeta(df, "o_orderpriority", bucketedFileName(i, T1)), T1)
     }
     writeCommit(fs, base, T1, "commit", files1.toSeq,
       Some(SparkToAvro.toAvroSchema(src.schema, "orders_record").toString))
@@ -242,7 +271,7 @@ object HudiFixtureBuilder {
     val updates = src.filter(col("o_orderkey") % 7 === 0)
       .withColumn("o_orderstatus", lit("U"))
       .withColumn("__commit", lit(T2))
-    val updMeta = withMeta(updates, T2, "o_orderpriority", lit(""))
+    val updMeta = withMeta(updates, "o_orderpriority", lit(""))
       .withColumn("__bucket", pmod(col("_hoodie_record_key").cast("long"), lit(Buckets)).cast("int"))
     val updRows = updMeta.collect()
     val partIdx = parts.zipWithIndex.toMap
@@ -262,12 +291,7 @@ object HudiFixtureBuilder {
               spark.sparkContext.parallelize(dataRows.toIndexedSeq, 1), tableSchema)
               .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
             val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
-            val bytes = {
-              val len = fs.getFileStatus(part).getLen.toInt
-              val in = fs.open(part)
-              try { val buf = new Array[Byte](len); in.readFully(0, buf); buf }
-              finally in.close()
-            }
+            val bytes = graft.util.ReadFully(fs, part)
             fs.delete(tmp, true)
             LogFileWriter.parquetDataBlock(out, T2, avroSchema, bytes)
           } else {

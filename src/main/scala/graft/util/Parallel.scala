@@ -22,7 +22,15 @@ object Parallel {
     val pool = Executors.newFixedThreadPool(n)
     try {
       val tasks = items.map(a => new Callable[B] { override def call(): B = f(a) }).asJava
-      pool.invokeAll(tasks).asScala.iterator.map(_.get()).toVector
+      // unwrap ExecutionException so callers see the task's own exception
+      // type in BOTH the pooled and inline paths (the documented contract)
+      pool.invokeAll(tasks).asScala.iterator.map { fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }.toVector
     } finally {
       pool.shutdown()
       pool.awaitTermination(1, TimeUnit.MINUTES)
