@@ -377,15 +377,21 @@ object TextOps {
         .filter(col("count") > maxDf).drop("count")
       // hot is vocabulary-bounded, which is NOT small at every scale (an
       // absolute df cutoff admits most of a 100 TB corpus's vocabulary):
-      // broadcast below the corpus gate, AQE-decided above it
-      Seq(docsets, shingles.join(gatedBroadcast(s, hot), key, "left_anti"))
+      // broadcast below the corpus gate, AQE-decided above it.
+      // jk pre-concatenates the (lang, source, shingle) blocking key so
+      // the self-join hashes ONE column per row per side instead of three
+      Seq(docsets,
+        shingles.join(gatedBroadcast(s, hot), key, "left_anti")
+          .withColumn("jk", concat_ws("\u0000", key.map(col): _*)))
     }
     // explode+anti-join wreck the size estimate: without the hint Spark
     // broadcasts the whole exploded corpus into the self-join build side
-    val rareHinted = rare.hint("shuffle_hash")
+    // self-join on the precomputed jk key (one hashed column per row per
+    // side instead of three; NUL-separated, so the concatenation is
+    // injective and the candidate set is exactly the 3-column join's)
+    val rareHinted = rare.select("doc_id", "jk").hint("shuffle_hash")
     val cand = rareHinted.as("sa").join(rareHinted.as("sb"),
-      col("sa.lang") === col("sb.lang") && col("sa.source") === col("sb.source") &&
-        col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
+      col("sa.jk") === col("sb.jk") && col("sa.doc_id") < col("sb.doc_id"))
       .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b")).distinct()
     val jaccard = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
     verifyJoin(s, cand, docsets, "a", "b")
