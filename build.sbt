@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is ONE parseable JSON line as the last stdout
+// line; sbt's "[success] Total time: ..." epilogue otherwise trails it and
+// breaks last-line JSON parsing on the driver side, and the default logged
+// output strategy would prefix the JSON with "[info] ".
+showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -51,7 +51,11 @@ object Bench {
     // that must stay auditable round-over-round. "queries" stays the min
     // (the headline), "queries_cold" carries pass 1, and the cold total
     // rides alongside the headline value.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // Default 3 passes: the r6 driver run showed min-of-2 is still badly
+    // contention-skewed on a busy host (a query measured 31s there and
+    // 2.4s in isolation); a third pass costs ~30s wall and makes the min
+    // a usable plan signal.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
     // A failed query must NEVER improve the headline: failures record a

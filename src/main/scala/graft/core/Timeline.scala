@@ -136,8 +136,16 @@ final class Timeline(
     * O(files × instants) on the driver (the reference builds the same
     * one-time map, view.rs build_completion_time_map).
     */
-  private lazy val completionByRequest: Map[String, Option[String]] =
-    completedInstants.iterator.map(i => i.timestamp -> i.completionTimestamp).toMap
+  private lazy val completionByRequest: Map[String, Option[String]] = {
+    // First-wins: two completed instants can share a request timestamp
+    // (e.g. a commit and a clean requested at the same instant time);
+    // the pre-memoization code was `completedInstants.find(...)`, which
+    // returned the FIRST match in (timestamp, action) order, so the map
+    // must preserve that — `.toMap` would silently keep the last.
+    val m = scala.collection.mutable.HashMap.empty[String, Option[String]]
+    completedInstants.foreach(i => if (!m.contains(i.timestamp)) m(i.timestamp) = i.completionTimestamp)
+    m.toMap
+  }
 
   /** Map request-ts → completion-ts for v8+ tables (None entries for v6). */
   def completionTimeOf(requestTs: String): Option[String] =

@@ -62,31 +62,58 @@ object HudiFixtureBuilder {
     val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v5")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
-    // create-exclusive a lock file; the loser polls for the winner's
-    // marker instead of concurrently deleting/rebuilding the same tree
+    // create-exclusive a lock file holding a unique token. Losers poll
+    // for the winner's marker, then RE-ATTEMPT acquisition (never build
+    // lock-free); a holder only ever deletes the lock it created (token
+    // compare), so a crashed build can't cascade into a waiter deleting
+    // a lock a third process just acquired.
     val lock = new Path("/root/repo/target/hudi-fixtures", s"${new Path(root(sfDir)).getName}.lock")
     fs.mkdirs(lock.getParent)
-    val acquired =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!acquired) {
-      val deadline = System.nanoTime() + 600L * 1000000000L
-      while (!fs.exists(marker) && fs.exists(lock) && System.nanoTime() < deadline)
-        Thread.sleep(500)
+    val token = java.util.UUID.randomUUID().toString
+    def lockToken(): Option[String] =
+      try Some(new String(graft.util.ReadFully(fs, lock), "UTF-8"))
+      catch { case _: java.io.IOException => None }
+    def deleteOwnLock(): Unit =
+      try { if (lockToken().contains(token)) fs.delete(lock, false) }
+      catch { case _: java.io.IOException => }
+    val hardDeadline = System.nanoTime() + 1200L * 1000000000L
+    while (System.nanoTime() < hardDeadline) {
       if (fs.exists(marker)) return
-      // lock holder died without finishing — fall through and rebuild
+      val acquired =
+        try {
+          val out = fs.create(lock, false)
+          out.write(token.getBytes("UTF-8")); out.close(); true
+        } catch { case _: java.io.IOException => false }
+      if (acquired) {
+        try {
+          if (fs.exists(marker)) return
+          fs.delete(new Path(root(sfDir)), true)
+          buildCowOrders(spark, sfDir)
+          buildMorOrders(spark, sfDir)
+          buildCowPartNation(spark, sfDir)
+          buildCowDroppedNation(spark, sfDir)
+          buildCowEvolvedNation(spark, sfDir)
+          buildCowMdtNation(spark, sfDir)
+          fs.create(marker, true).close()
+          return
+        } finally deleteOwnLock()
+      } else {
+        // holder active: wait for its marker or lock release, bounded
+        val observed = lockToken()
+        val waitDeadline = System.nanoTime() + 600L * 1000000000L
+        while (!fs.exists(marker) && fs.exists(lock) && System.nanoTime() < waitDeadline)
+          Thread.sleep(500)
+        if (fs.exists(marker)) return
+        if (fs.exists(lock) && lockToken() == observed && observed.isDefined) {
+          // same token held for the full wait: the holder died without
+          // cleanup — break exactly the lock we observed, then re-acquire
+          try { if (lockToken() == observed) fs.delete(lock, false) }
+          catch { case _: java.io.IOException => }
+        }
+        // loop: re-attempt create-exclusive acquisition
+      }
     }
-    try {
-      if (fs.exists(marker)) return
-      fs.delete(new Path(root(sfDir)), true)
-      buildCowOrders(spark, sfDir)
-      buildMorOrders(spark, sfDir)
-      buildCowPartNation(spark, sfDir)
-      buildCowDroppedNation(spark, sfDir)
-      buildCowEvolvedNation(spark, sfDir)
-      buildCowMdtNation(spark, sfDir)
-      fs.create(marker, true).close()
-    } finally fs.delete(lock, false)
+    throw new IllegalStateException(s"fixture lock never released: $lock")
   }
 
   // ----------------------------------------------------------------------

@@ -459,7 +459,9 @@ object AnnOps {
        |${sq8TopkSql("sq8", "qn", duckDot)}""".stripMargin
 
   /** The quantized relation is shared session state like ann_qn (built
-    * once per session+dir, persist gated on the same size estimate).
+    * once per session+dir, always persisted — quantized vectors are a
+    * fraction of the raw embeddings' footprint, and every probe reuses
+    * them, so the size gate was removed along with ann_qn's).
     */
   private def sq8Prep(s: SparkSession, d: String): Unit = {
     sparkPrep(s, d) // ann_qn (exact rerank side) + graft_dot + embeddings view

@@ -548,6 +548,11 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
     val target = availableNowTarget.getOrElse(
       t.timeline.latestCommitTimestamp.getOrElse(earliest))
     val s = start.asInstanceOf[CommitOffset].ts
+    // Never move the offset backwards: a configured stream.start.timestamp
+    // ahead of the timeline tip (or a pinned AvailableNow target behind
+    // the checkpoint) would otherwise regress the checkpoint to the tip,
+    // later re-admitting commits the user asked to begin after.
+    if (target <= s) return start
     scan.streamCommitsPerBatch match {
       case Some(n) if n > 0 && s < target =>
         val step = t.timeline.completedInstants

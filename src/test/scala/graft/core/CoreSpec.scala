@@ -274,4 +274,33 @@ class CoreSpec extends AnyFunSuite {
       start = Some("20230201000000000"), end = None)
     assert(sel2.map(_.timestamp) == Vector("20230201000000000"))
   }
+
+  test("completionTimeOf is first-wins for duplicate request timestamps") {
+    // two completed instants sharing a request timestamp (commit +
+    // replacecommit requested at the same instant time): the memoized map
+    // must return the FIRST match in (timestamp, action) order — the
+    // pre-memoization `completedInstants.find(...)` behavior — not the
+    // last entry a plain .toMap would keep
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val base = "/root/repo/target/fixtures/dup_request_ts"
+    val fs = FileSystem.get(conf)
+    val b = new Path(base)
+    fs.delete(b, true)
+    fs.mkdirs(new Path(b, ".hoodie"))
+    val props =
+      """hoodie.table.name=a
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=8
+        |""".stripMargin
+    val o = fs.create(new Path(b, ".hoodie/hoodie.properties"), true)
+    o.write(props.getBytes("UTF-8")); o.close()
+    fs.mkdirs(new Path(b, ".hoodie/timeline"))
+    for (f <- Seq("20230101000000000_20230101000000111.commit",
+        "20230101000000000_20230101000000222.replacecommit"))
+      fs.create(new Path(b, s".hoodie/timeline/$f"), true).close()
+    val cfg = graft.core.HoodieConfig.load(base, conf)
+    val t = new graft.core.Timeline(base, cfg, conf)
+    assert(t.completedInstants.size == 2)
+    assert(t.completionTimeOf("20230101000000000") == Some("20230101000000111"))
+  }
 }

@@ -58,6 +58,26 @@ class StreamAdmissionSpec extends SparkTestBase {
       s"extra keys must be the fixture's deleted keys, got ${extra.take(5)}")
   }
 
+  test("latestOffset never regresses before the start offset") {
+    // stream.start.timestamp ahead of the timeline tip: the first
+    // latestOffset must return the start offset unchanged, not the tip —
+    // a regressed checkpoint would later re-admit commits landing between
+    // the tip and the configured start, which the user asked to skip
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val hudi = graft.table.HudiTable(spark, HudiFixtureBuilder.morPath(sfDir))
+    val future = "99991231235959999"
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("stream.start.timestamp", future))
+    val scan = new GraftScanBuilder(hudi, hudi.tableSchema, opts).build()
+      .asInstanceOf[GraftScan]
+    val stream = scan.toMicroBatchStream("unused").asInstanceOf[GraftMicroBatchStream]
+    val start = stream.initialOffset()
+    assert(start.json() == future)
+    val next = stream.latestOffset(start, stream.getDefaultReadLimit)
+    assert(next.json() == future,
+      s"offset must not regress from $future to the timeline tip, got ${next.json()}")
+  }
+
   test("stream.start.timestamp skips history on first start") {
     drain(Map("stream.start.timestamp" -> HudiFixtureBuilder.T1), "adm_from_t1")
     val commits = spark.table("adm_from_t1")
