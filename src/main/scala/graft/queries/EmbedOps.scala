@@ -85,6 +85,39 @@ object EmbedOps {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Centroid-distance outlier scoring: each vector's cosine distance to
+    * its label group's centroid — the standard embedding-space quality
+    * filter (mislabeled / out-of-distribution documents surface as the
+    * top outliers of their group). The centroid is kept as the per-dim
+    * SUM vector (same direction as the mean, and exact integer sums keep
+    * the score a deterministic IEEE double in both engines). Scale shape:
+    * one posexplode + map-side-combinable (label, dim) aggregate folds the
+    * corpus to a (labels × dim) relation — dictionary-sized — which
+    * broadcasts back onto the vectors; no corpus shuffle.
+    */
+  private def outlierSql(q: String, dot: String, spark: Boolean): String = {
+    val explodeDims =
+      if (spark) "SELECT label, posexplode(q) AS (pos, v) FROM qe"
+      else "SELECT label, UNNEST(range(1, len(q) + 1)) AS pos, UNNEST(q) AS v FROM qe"
+    val centroidArr =
+      if (spark) "transform(array_sort(collect_list(struct(pos, s))), x -> x.s)"
+      else "list(s ORDER BY pos)"
+    val dotQC = dot.format("q.q", "c.c")
+    val normQ = dot.format("q.q", "q.q")
+    val normC = dot.format("c.c", "c.c")
+    s"""WITH qe AS ($q),
+       |pd AS (
+       |  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s
+       |  FROM ($explodeDims) GROUP BY label, pos),
+       |cent AS (
+       |  SELECT label, $centroidArr AS c FROM pd GROUP BY label)
+       |SELECT q.vec_id, q.label,
+       |  1.0 - CAST($dotQC AS DOUBLE)
+       |    / sqrt(CAST($normQ AS DOUBLE) * CAST($normC AS DOUBLE)) AS outlier_score
+       |FROM qe q JOIN cent c ON q.label = c.label
+       |ORDER BY q.label, outlier_score DESC, q.vec_id""".stripMargin
+  }
+
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
   }
@@ -101,6 +134,10 @@ object EmbedOps {
     "embed_dedup_cosine" -> QueryDef(
       (s, d) => sq(s, d, nearDupSql(sparkQ, sparkDot)),
       nearDupSql(duckQ, duckDot)
+    ),
+    "embed_label_outliers" -> QueryDef(
+      (s, d) => sq(s, d, outlierSql(sparkQ, sparkDot, spark = true)),
+      outlierSql(duckQ, duckDot, spark = false)
     )
   )
 

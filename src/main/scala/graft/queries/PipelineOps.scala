@@ -267,7 +267,87 @@ object PipelineOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // --- Token-window chunking ------------------------------------------------
+  // Context-window preparation: split each document into overlapping
+  // fixed-size token windows (size 32, stride 24 → 8-token overlap), the
+  // standard pre-tokenization shape for embedding models and long-document
+  // training. Pure projection + bounded explode (≤ n/stride chunks per
+  // doc) — embarrassingly parallel, no shuffle, chunk construction stays
+  // inside whole-stage codegen. The window sequence stops at the first
+  // start whose window reaches the end of the document (the standard
+  // sliding-window convention: the last chunk covers the tail; no
+  // redundant sub-window tail chunks), so every chunk except the last is
+  // exactly `chunkSize` tokens. `greatest(..., 0)` pins short/empty
+  // documents to one chunk in both engines instead of Spark's DESCENDING
+  // sequence(0, -1).
+  private val chunkSize = 32
+  private val chunkStride = 24
+  private def chunkSql(spark: Boolean): String = {
+    val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+    val len = if (spark) "size" else "len"
+    val nChunksM1 =
+      s"CAST(ceil(CAST(greatest(n - $chunkSize, 0) AS DOUBLE) / $chunkStride) AS BIGINT)"
+    val gen =
+      if (spark) s"explode(sequence(0L, $nChunksM1))"
+      else s"UNNEST(range(0, $nChunksM1 + 1))"
+    val slice =
+      if (spark) s"slice(w, ci * $chunkStride + 1, $chunkSize)"
+      else s"list_slice(w, ci * $chunkStride + 1, ci * $chunkStride + $chunkSize)"
+    val join = if (spark) "array_join(ch, ' ')" else "array_to_string(ch, ' ')"
+    s"""WITH toks AS (
+       |  SELECT doc_id, w, $len(w) AS n
+       |  FROM (SELECT doc_id, $split AS w FROM documents)),
+       |idx AS (
+       |  SELECT doc_id, w, $gen AS ci FROM toks),
+       |chunks AS (
+       |  SELECT doc_id, ci, $slice AS ch FROM idx)
+       |SELECT doc_id, CAST(ci AS INT) AS chunk_id,
+       |  CAST($len(ch) AS INT) AS n_tokens, $join AS chunk_text
+       |FROM chunks
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  // --- Sequence packing ------------------------------------------------------
+  // Training-sequence packing: assign each document a (bucket, seq_id,
+  // seq_offset) placement in a stream of fixed-length (512-token)
+  // sequences. Packing is cumulative (inherently sequential), so it is
+  // bucketed: 256 deterministic md5 shards, each packed independently by
+  // one running-sum window — the shape a 100 TB pipeline uses for its
+  // output shards (a GLOBAL cumsum would serialize the corpus through one
+  // task; per-shard streams are how packed pretraining data is actually
+  // laid out). All arithmetic is integer/exact-double, bit-identical in
+  // both engines.
+  private val packSeqLen = 512
+  private def packSql(spark: Boolean): String = {
+    val castStr = if (spark) "STRING" else "VARCHAR"
+    val len = if (spark) "size" else "len"
+    val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
+    val bucket =
+      if (spark) "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT)"
+      else "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, $bucket AS bucket,
+       |    CAST($len($split) AS BIGINT) AS n_tokens,
+       |    md5(CAST(doc_id AS $castStr)) AS ordkey
+       |  FROM documents),
+       |placed AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY ordkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+       |  FROM toks)
+       |SELECT doc_id, bucket,
+       |  CAST(floor(CAST(start_tok AS DOUBLE) / $packSeqLen) AS INT) AS seq_id,
+       |  CAST(start_tok % $packSeqLen AS INT) AS seq_offset,
+       |  n_tokens
+       |FROM placed
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val qs: Map[String, QueryDef] = Map(
+    "text_chunk_windows" -> QueryDef(
+      (s, d) => sq(s, d, chunkSql(spark = true)), chunkSql(spark = false)),
+    "pipeline_pack_sequences" -> QueryDef(
+      (s, d) => sq(s, d, packSql(spark = true)), packSql(spark = false)),
     "text_c4_filters" -> QueryDef(
       (s, d) => sq(s, d, c4Sql(spark = true)), c4Sql(spark = false)),
     "text_repetition" -> QueryDef(

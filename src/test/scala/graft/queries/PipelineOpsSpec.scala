@@ -92,6 +92,66 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("text_chunk_windows tiles every document with stride-24 windows") {
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = run("text_chunk_windows").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == docs.keySet)
+    for ((id, cs) <- chunks) {
+      val n = docs(id)
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_id"))
+      // chunk ids dense from 0; count = one window plus a stride step per
+      // uncovered 24-token remainder past the first 32
+      assert(sorted.map(_.getAs[Int]("chunk_id")).toSeq == sorted.indices)
+      assert(sorted.length == (math.max(n - 32, 0) + 23) / 24 + 1)
+      // all chunks full-size except possibly the last, which covers the tail
+      sorted.init.foreach(c => assert(c.getAs[Int]("n_tokens") == 32))
+      val last = sorted.last
+      assert((sorted.length - 1) * 24 + last.getAs[Int]("n_tokens") == n)
+      // token content round-trips: each chunk has n_tokens words
+      sorted.foreach { c =>
+        assert(c.getAs[String]("chunk_text").split(" ").length == c.getAs[Int]("n_tokens"))
+      }
+    }
+  }
+
+  test("pipeline_pack_sequences places docs contiguously within each shard") {
+    val rows = run("pipeline_pack_sequences").collect()
+    assert(rows.length === 500)
+    // the running placement never leaves a gap: within a bucket, sorting by
+    // (seq_id, seq_offset) recovers a contiguous token stream
+    rows.groupBy(_.getAs[Int]("bucket")).foreach { case (_, rs) =>
+      val placed = rs.map(r => (r.getAs[Int]("seq_id").toLong * 512 + r.getAs[Int]("seq_offset"),
+        r.getAs[Long]("n_tokens"))).sortBy(_._1)
+      placed.foldLeft(0L) { case (expectedStart, (start, n)) =>
+        assert(start == expectedStart, s"gap in packed stream at $start")
+        start + n
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Int]("seq_offset") >= 0 && r.getAs[Int]("seq_offset") < 512)
+      assert(r.getAs[Int]("bucket") >= 0 && r.getAs[Int]("bucket") < 256)
+    }
+    // packing windows are shard-partitioned, never global
+    partitionedWindowsOnly(run("pipeline_pack_sequences"))
+  }
+
+  test("embed_label_outliers scores every vector against its label centroid") {
+    val rows = run("embed_label_outliers").collect()
+    assert(rows.length === Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      val s = r.getAs[Double]("outlier_score")
+      assert(s >= 0.0 && s <= 2.0, s"cosine distance out of range: $s")
+    }
+    // scores are emitted ordered within each label (top outliers first)
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (_, rs) =>
+      val scores = rs.map(_.getAs[Double]("outlier_score")).toSeq
+      assert(scores == scores.sorted(Ordering[Double].reverse))
+    }
+  }
+
   test("q_rollup grand total row matches the table count") {
     val rows = run("q_rollup").collect()
     val total = rows.filter(r => r.getAs[Int]("g_flag") == 1 && r.getAs[Int]("g_status") == 1)
