@@ -44,6 +44,7 @@ object HudiFixtureBuilder {
 
   def cowPath(sfDir: String): String = s"${root(sfDir)}/cow_orders"
   def morPath(sfDir: String): String = s"${root(sfDir)}/mor_orders"
+  def morLogOnlyPath(sfDir: String): String = s"${root(sfDir)}/mor_log_only"
   def partPath(sfDir: String): String = s"${root(sfDir)}/cow_part_nation"
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
   def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
@@ -59,7 +60,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v5")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v6")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -90,6 +91,7 @@ object HudiFixtureBuilder {
           fs.delete(new Path(root(sfDir)), true)
           buildCowOrders(spark, sfDir)
           buildMorOrders(spark, sfDir)
+          buildMorLogOnly(spark, sfDir)
           buildCowPartNation(spark, sfDir)
           buildCowDroppedNation(spark, sfDir)
           buildCowEvolvedNation(spark, sfDir)
@@ -347,6 +349,65 @@ object HudiFixtureBuilder {
         (p, fileIdB(i, b), s"$p/$logName")
       }
     writeCommit(fs, base, T3, "deltacommit", files3)
+  }
+
+  // --- MOR, non-partitioned, with a LOG-ONLY file group -------------------
+  // T1 commit: base file group 0 (o_orderkey % 3 = 0). T2 deltacommit
+  // CREATES file group 1 as a log file only (% 3 = 1) — no base file, the
+  // shape a MOR writer produces before first compaction (the reference's
+  // mod.rs:195 TODO silently drops these; this engine reads them). T3
+  // deltacommit appends a second log with updates (% 5 = 0 → status 'U')
+  // and a delete block (% 11 = 0); a key both updated and deleted at T3
+  // keeps the record (equal ordering + equal commit → delete does not
+  // win, record_merger.rs tie semantics).
+  private def buildMorLogOnly(spark: SparkSession, sfDir: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(hconf)
+    val base = new Path(morLogOnlyPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeProperties(fs, base, "mor_log_only", "MERGE_ON_READ", None, hiveStyle = false)
+
+    val src = orders(spark, sfDir).withColumn("__part", lit(""))
+
+    // T1: base file group 0
+    val name1 = s"${fileId(0)}_${Token}_$T1.parquet"
+    val baseRows = src.filter(col("o_orderkey") % 3 === 0).withColumn("__commit", lit(T1))
+    writeBaseFile(spark, withMeta(baseRows, "__part", lit(name1)), base, name1)
+    writeCommit(fs, base, T1, "commit", Seq(("", fileId(0), name1)),
+      Some(SparkToAvro.toAvroSchema(orders(spark, sfDir).schema, "orders_record").toString))
+
+    val tableSchema = spark.read.parquet(new Path(base, name1).toString).schema
+    val avroSchema = SparkToAvro.toAvroSchema(tableSchema, "mor_log_only_record")
+    def collectMeta(df: org.apache.spark.sql.DataFrame, commit: String) =
+      withMeta(df.withColumn("__commit", lit(commit)), "__part", lit(""))
+        .collect().toIndexedSeq
+
+    // T2: file group 1 born as a log file (no base) — log name carries the
+    // group's base instant = the creating deltacommit's timestamp
+    val log1 = s".${fileId(1)}_$T2.log.1_$Token"
+    val inserts = collectMeta(src.filter(col("o_orderkey") % 3 === 1), T2)
+    val out1 = new DataOutputStream(fs.create(new Path(base, log1), true))
+    try LogFileWriter.avroDataBlock(out1, T2, avroSchema,
+      inserts.map(SparkToAvro.toRecord(_, tableSchema, avroSchema)))
+    finally out1.close()
+    writeCommit(fs, base, T2, "deltacommit", Seq(("", fileId(1), log1)))
+
+    // T3: second log on the same base-less group — updates + deletes
+    val log2 = s".${fileId(1)}_$T2.log.2_$Token"
+    val updates = collectMeta(
+      src.filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("U")), T3)
+    val delRows = orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") % 11 === 0)
+      .select("o_orderkey", "o_custkey").collect()
+    val out2 = new DataOutputStream(fs.create(new Path(base, log2), true))
+    try {
+      LogFileWriter.avroDataBlock(out2, T3, avroSchema,
+        updates.map(SparkToAvro.toRecord(_, tableSchema, avroSchema)))
+      LogFileWriter.deleteBlock(out2, T3, avroSchema,
+        delRows.map(r => (r.getLong(0).toString, "", r.getLong(1))).toIndexedSeq)
+    } finally out2.close()
+    writeCommit(fs, base, T3, "deltacommit", Seq(("", fileId(1), log2)))
   }
 
   // --- COW over nation, non-partitioned, schema EVOLVED at commit 2 ------

@@ -85,13 +85,15 @@ object LogFile {
   */
 final case class FileSlice(
     partitionPath: String,
-    baseFile: BaseFile,
+    fileId: String,
+    commitTimestamp: String,
+    baseFile: Option[BaseFile],
     logFiles: Vector[LogFile]
 ) {
-  def fileId: String = baseFile.fileId
-  def commitTimestamp: String = baseFile.commitTimestamp
   def hasLogFiles: Boolean = logFiles.nonEmpty
   def withoutLogs: FileSlice = copy(logFiles = Vector.empty)
+  /** Planned bytes: base (when present) plus logs. */
+  def totalSize: Long = baseFile.map(_.size).getOrElse(0L) + logFiles.map(_.size).sum
 }
 
 /** All versions of one file id within a partition; slices keyed by base
@@ -112,9 +114,11 @@ object FileGroup {
     *
     * Log association (crates/core/src/file_group/mod.rs:184-248): a log file
     * joins the slice with the largest base commit ts <= its completion ts
-    * (v8+) or <= its name ts (v6). Logs that precede every base file are
-    * dropped (log-only file groups are unsupported, matching the
-    * reference's TODO at mod.rs:195).
+    * (v8+) or <= its name ts (v6). Logs that precede every base file form a
+    * BASE-LESS slice keyed at the first such log's request instant — the
+    * log-only file groups a MOR writer produces before first compaction
+    * (this goes beyond the reference, whose TODO at mod.rs:195 silently
+    * drops them; a snapshot there under-reports freshly-written rows).
     */
   def assemble(
       partitionPath: String,
@@ -123,22 +127,30 @@ object FileGroup {
   ): Vector[FileGroup] = {
     val byId = baseFiles.groupBy(_.fileId)
     val logsById = logFiles.groupBy(_.fileId)
-    byId.map { case (fileId, bases) =>
+    (byId.keySet ++ logsById.keySet).toVector.sorted.map { fileId =>
       // Keep one base file per commit ts (retries share ts, differ by token;
       // the reference keeps the first added — any one is authoritative).
       val slices0 = TreeMap.newBuilder[String, FileSlice]
-      bases.groupBy(_.commitTimestamp).foreach { case (ts, bs) =>
-        slices0 += ts -> FileSlice(partitionPath, bs.minBy(_.writeToken), Vector.empty)
+      byId.getOrElse(fileId, Nil).groupBy(_.commitTimestamp).foreach { case (ts, bs) =>
+        slices0 += ts -> FileSlice(partitionPath, fileId, ts, Some(bs.minBy(_.writeToken)), Vector.empty)
       }
       var slices = slices0.result()
       val logs = logsById.getOrElse(fileId, Nil)
       for (lf <- logs.sortBy(_.orderingKey)) {
         val anchor = lf.completionTimestamp.getOrElse(lf.timestamp)
-        slices.rangeTo(anchor).lastOption.foreach { case (ts, slice) =>
-          slices = slices.updated(ts, slice.copy(logFiles = slice.logFiles :+ lf))
+        slices.rangeTo(anchor).lastOption match {
+          case Some((ts, slice)) =>
+            slices = slices.updated(ts, slice.copy(logFiles = slice.logFiles :+ lf))
+          case None =>
+            // no slice precedes this log: the file group was created by a
+            // deltacommit — seed the log-only slice at this log's request
+            // instant. Logs processed later in ordering-key order anchor
+            // at or after this key, so one seed slice per group suffices.
+            slices = slices.updated(lf.timestamp,
+              FileSlice(partitionPath, fileId, lf.timestamp, None, Vector(lf)))
         }
       }
       FileGroup(fileId, partitionPath, slices)
-    }.toVector.sortBy(_.fileId)
+    }
   }
 }

@@ -50,6 +50,22 @@ object HudiQueries {
   private def selectOrders(df: DataFrame): DataFrame =
     df.select(ordersCols.map(col): _*).orderBy("o_orderkey")
 
+  /** Expected merged state of the mor_log_only fixture: base group
+    * (% 3 = 0) plus the log-only group (% 3 = 1) with T3 updates applied
+    * and T3 deletes removed — unless the same key was also updated at T3
+    * (equal ordering, equal commit → the delete does not win).
+    */
+  private val logOnlySnapshotSql: String =
+    s"""SELECT o_orderkey, o_custkey,
+       |  CASE WHEN o_orderkey % 3 = 1 AND o_orderkey % 5 = 0 THEN 'U'
+       |       ELSE o_orderstatus END AS o_orderstatus,
+       |  o_totalprice, o_orderdate, o_orderpriority
+       |FROM orders
+       |WHERE o_orderkey % 3 = 0
+       |   OR (o_orderkey % 3 = 1
+       |       AND NOT (o_orderkey % 11 = 0 AND o_orderkey % 5 <> 0))
+       |ORDER BY o_orderkey""".stripMargin
+
   private val qs: Map[String, QueryDef] = Map(
     // --- S1: COW snapshot (latest commit wins per file group) ------------
     "hudi_cow_snapshot" -> QueryDef(
@@ -81,6 +97,26 @@ object HudiQueries {
     "hudi_mor_read_optimized" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).snapshot(readOptimized = true)),
       ordersSql(updated = false, deletes = false, onlyUpdated = false)),
+
+    // --- Log-only file groups (beyond the reference's mod.rs:195 TODO):
+    // file group 1 exists only as log files — T2 inserts (% 3 = 1), T3
+    // updates (% 5 = 0) and deletes (% 11 = 0, except ties with a T3
+    // update, which the record survives). Snapshot = base group ∪ merged
+    // base-less group; both engine paths (DataFrame merge and DSv2
+    // streamed per-slice merge) feed the same oracle.
+    "hudi_mor_log_only" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(HudiTable(s, HudiFixtureBuilder.morLogOnlyPath(d)).snapshot())
+      },
+      logOnlySnapshotSql),
+
+    "hudi_dsv2_log_only" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(s.read.format("hudi-graft").load(HudiFixtureBuilder.morLogOnlyPath(d)))
+      },
+      logOnlySnapshotSql),
 
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(

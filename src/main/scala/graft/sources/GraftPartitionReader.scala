@@ -176,11 +176,14 @@ class GraftColumnarReader(
     if (startU != null || endU != null) widened.fieldIndex("_hoodie_commit_time") else -1
 
   private lazy val batches: Iterator[ColumnarBatch] = {
+    // columnar routing requires a log-free slice, which always has a base
+    val bf = slice.baseFile.getOrElse(
+      throw new IllegalStateException(s"columnar reader on a base-less slice: $slice"))
     val pf = PartitionedFile(
       PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded),
-      SparkPath.fromPathString(slice.baseFile.path),
+      SparkPath.fromPathString(bf.path),
       0L,
-      slice.baseFile.size)
+      bf.size)
     readFn(pf).asInstanceOf[Iterator[ColumnarBatch]]
   }
 
@@ -256,13 +259,15 @@ class GraftPartitionReader(
   private lazy val partitionValuesRow: InternalRow =
     PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded)
 
-  private def baseIter: Iterator[InternalRow] = {
-    val pf = PartitionedFile(
-      partitionValuesRow,
-      SparkPath.fromPathString(slice.baseFile.path),
-      0L,
-      slice.baseFile.size)
-    readFn(pf)
+  private def baseIter: Iterator[InternalRow] = slice.baseFile match {
+    case None => Iterator.empty // log-only slice: rows come from the merge map
+    case Some(bf) =>
+      val pf = PartitionedFile(
+        partitionValuesRow,
+        SparkPath.fromPathString(bf.path),
+        0L,
+        bf.size)
+      readFn(pf)
   }
 
   /** Incremental / streaming micro-batches carry a `(start, end]` commit

@@ -243,14 +243,18 @@ class GraftScan(
       case None => Vector.empty
       case Some(ts) =>
         val planned0 = hudi.fsView.slicesAsOf(ts, pruner)
+        // RO (and COW) strips logs; a base-less log-only slice then has
+        // nothing left to read and drops out of the plan
         val planned =
-          if (readOptimized || !hudi.isMor) planned0.map(_.withoutLogs) else planned0
+          if (readOptimized || !hudi.isMor)
+            planned0.map(_.withoutLogs).filter(_.baseFile.isDefined)
+          else planned0
         // R2: footer min/max file skipping — only when every planned slice
         // is base-file-only (log files can resurrect out-of-range values,
         // the reference's safety gate at table/mod.rs:486-491)
-        if (planned.forall(!_.hasLogFiles) && simpleFilters.nonEmpty) {
+        if (planned.forall(s => !s.hasLogFiles && s.baseFile.isDefined) && simpleFilters.nonEmpty) {
           val filePruner = new graft.fs.FilePruner(simpleFilters, hudi.tableSchema, hudi.hadoopConf)
-          filePruner.filterIncluded(planned)(_.baseFile).toVector
+          filePruner.filterIncluded(planned)(_.baseFile.get).toVector
         } else planned
     }
   }
@@ -269,8 +273,8 @@ class GraftScan(
   private lazy val incrementalContained: Boolean =
     isIncremental && !morMergeNeeded && hudi.config.populatesMetaFields &&
       endTs.orElse(hudi.timeline.latestCommitTimestamp).exists { e =>
-        graft.fs.CommitRangeStats.fullyContained(
-          slices.map(_.baseFile), startTs, e, hudi.hadoopConf)
+        slices.forall(_.baseFile.isDefined) && graft.fs.CommitRangeStats.fullyContained(
+          slices.flatMap(_.baseFile), startTs, e, hudi.hadoopConf)
       }
 
   /** Runtime (dynamic) partition pruning: Spark hands over join-key
@@ -341,10 +345,10 @@ class GraftScan(
     else {
       val bins = Vector.fill(target)(scala.collection.mutable.ArrayBuffer.empty[FileSlice])
       val loads = Array.fill(target)(0L)
-      for (s <- effective.sortBy(sl => -(sl.baseFile.size + sl.logFiles.map(_.size).sum))) {
+      for (s <- effective.sortBy(sl => -sl.totalSize)) {
         val i = loads.indices.minBy(loads)
         bins(i) += s
-        loads(i) += s.baseFile.size + s.logFiles.map(_.size).sum
+        loads(i) += s.totalSize
       }
       bins.filter(_.nonEmpty).map(_.toSeq)
     }
@@ -478,10 +482,10 @@ class GraftScan(
     * every footer.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = slices.map(s => s.baseFile.size + s.logFiles.map(_.size).sum).sum
-    private val rows: Option[Long] = slices.headOption
-      .flatMap(s => graft.fs.FileStatsEstimator.sample(s.baseFile.path, hudi.hadoopConf))
-      .map(ratio => (ratio * slices.map(_.baseFile.size).sum).toLong)
+    private val bytes = slices.map(_.totalSize).sum
+    private val rows: Option[Long] = slices.flatMap(_.baseFile).headOption
+      .flatMap(bf => graft.fs.FileStatsEstimator.sample(bf.path, hudi.hadoopConf))
+      .map(ratio => (ratio * slices.flatMap(_.baseFile).map(_.size).sum).toLong)
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong =
       rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())

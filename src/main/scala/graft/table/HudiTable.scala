@@ -69,7 +69,7 @@ final class HudiTable(
     def fromFooter: Option[StructType] = fsView.partitionPaths.iterator
       .flatMap(p => fsView.fileGroups(p))
       .flatMap(_.slices.values.lastOption)
-      .map(_.baseFile.path)
+      .flatMap(_.baseFile.map(_.path))
       .take(1).toList.headOption
       .map(path => prependMeta(spark.read.parquet(path).schema))
     def fromCreate: StructType = {
@@ -154,7 +154,10 @@ final class HudiTable(
       case None => LogScan.emptyDf(spark, tableSchema)
       case Some(end) =>
         val slices0 = fsView.slicesAsOf(end, prunerFor(partitionFilters))
-        val slices = if (readOptimized) slices0.map(_.withoutLogs) else slices0
+        // RO strips logs; a log-only slice then has nothing to read
+        val slices =
+          if (readOptimized) slices0.map(_.withoutLogs).filter(_.baseFile.isDefined)
+          else slices0
         readSlices(slices, InstantRange.upTo(end), commitRange = None)
     }
   }
@@ -167,10 +170,10 @@ final class HudiTable(
     val slices = timeline.latestCommitTimestamp
       .map(fsView.slicesAsOf(_))
       .getOrElse(Vector.empty)
-    val bytes = slices.map(s => s.baseFile.size + s.logFiles.map(_.size).sum).sum
-    val rows = slices.headOption
-      .flatMap(s => graft.fs.FileStatsEstimator.sample(s.baseFile.path, hadoopConf))
-      .map(r => (r * slices.map(_.baseFile.size).sum).toLong)
+    val bytes = slices.map(_.totalSize).sum
+    val rows = slices.flatMap(_.baseFile).headOption
+      .flatMap(bf => graft.fs.FileStatsEstimator.sample(bf.path, hadoopConf))
+      .map(r => (r * slices.flatMap(_.baseFile).map(_.size).sum).toLong)
       .getOrElse(0L)
     (rows, bytes)
   }
@@ -204,21 +207,26 @@ final class HudiTable(
       range: InstantRange,
       commitRange: Option[(Option[String], String)]
   ): DataFrame = {
-    val baseFiles = slices.map(_.baseFile.path)
-    if (baseFiles.isEmpty) return LogScan.emptyDf(spark, tableSchema)
+    // log-only slices (no base yet — pre-first-compaction MOR writes)
+    // contribute through the log branch only
+    val baseBearing = slices.filter(_.baseFile.isDefined)
+    val baseFiles = baseBearing.flatMap(_.baseFile).map(_.path)
+    if (baseFiles.isEmpty && !slices.exists(_.hasLogFiles))
+      return LogScan.emptyDf(spark, tableSchema)
 
     val schema = tableSchema
     val baseDf =
-      if (droppedPartitionFields.isEmpty)
+      if (baseFiles.isEmpty) LogScan.emptyDf(spark, schema)
+      else if (droppedPartitionFields.isEmpty)
         spark.read.schema(schema).parquet(baseFiles: _*)
       else {
         // P6: per-partition scan with the partition values re-injected as
         // typed literals (the columns are not in the files)
         val fileSchema = StructType(schema.fields.filterNot(f => droppedPartitionFields.contains(f.name)))
         val parse = prunerFor(Nil)
-        slices.groupBy(_.partitionPath).toSeq.sortBy(_._1).map { case (p, ss) =>
+        baseBearing.groupBy(_.partitionPath).toSeq.sortBy(_._1).map { case (p, ss) =>
           val vals = parse.parseSegments(p).getOrElse(Map.empty)
-          val df = spark.read.schema(fileSchema).parquet(ss.map(_.baseFile.path): _*)
+          val df = spark.read.schema(fileSchema).parquet(ss.flatMap(_.baseFile).map(_.path): _*)
           val withParts = droppedPartitionFields.foldLeft(df) { (acc, f) =>
             val target = schema.fields.find(_.name == f).get.dataType
             val v = vals.get(f).map {

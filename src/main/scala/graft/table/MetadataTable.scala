@@ -93,7 +93,9 @@ object MetadataTable {
     val merged = mutable.LinkedHashMap.empty[String, FilesPartitionRecord]
     val range = InstantRange.upTo(latest)
     for (slice <- slices) {
-      val baseReader = new HFileReader(readFully(new Path(slice.baseFile.path)))
+      val baseFile = slice.baseFile.getOrElse(
+        throw new IllegalStateException(s"MDT files-partition slice lacks a base HFile: $slice"))
+      val baseReader = new HFileReader(readFully(new Path(baseFile.path)))
       val schema = new AvroSchema.Parser().parse(baseReader.avroSchemaJson.getOrElse(
         throw new IllegalStateException("MDT base HFile carries no avro schema")))
 

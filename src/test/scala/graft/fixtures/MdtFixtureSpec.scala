@@ -37,14 +37,14 @@ class MdtFixtureSpec extends SparkTestBase {
     assert(MetadataTable.isEnabled(stored, path))
     val viaMdt = new FsView(path, stored, new Timeline(path, stored, conf), conf)
     val ts = new Timeline(path, stored, conf).latestCommitTimestamp.get
-    val mdtFiles = viaMdt.slicesAsOf(ts).map(s => new org.apache.hadoop.fs.Path(s.baseFile.path).getName)
+    val mdtFiles = viaMdt.slicesAsOf(ts).map(s => new org.apache.hadoop.fs.Path(s.baseFile.get.path).getName)
     assert(!mdtFiles.exists(_.contains("000000000099")), "orphan must be invisible via MDT")
     // the raw storage listing DOES see the orphan — proving the two paths
     // genuinely diverge on this fixture and the MDT one was used above
     val noMdt = HoodieConfig(stored.props +
       ("hoodie.table.metadata.partitions" -> "") + ("hoodie.metadata.enable" -> "false"))
     val viaListing = new FsView(path, noMdt, new Timeline(path, noMdt, conf), conf)
-    val listedFiles = viaListing.slicesAsOf(ts).map(s => new org.apache.hadoop.fs.Path(s.baseFile.path).getName)
+    val listedFiles = viaListing.slicesAsOf(ts).map(s => new org.apache.hadoop.fs.Path(s.baseFile.get.path).getName)
     assert(listedFiles.exists(_.contains("000000000099")), "tripwire orphan missing from storage")
     assert(listedFiles.size == mdtFiles.size + 1)
   }

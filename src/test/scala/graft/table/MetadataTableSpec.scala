@@ -65,7 +65,7 @@ class MetadataTableSpec extends AnyFunSuite {
     assert(viaMdt.partitionPaths.sorted == viaListing.partitionPaths.sorted)
     val ts = new Timeline(tablePath.get, stored, conf).latestCommitTimestamp.get
     def sliceKey(v: FsView) = v.slicesAsOf(ts)
-      .map(s => (s.partitionPath, s.baseFile.path, s.logFiles.map(_.path).sorted))
+      .map(s => (s.partitionPath, s.baseFile.get.path, s.logFiles.map(_.path).sorted))
       .sortBy(_.toString)
     assert(sliceKey(viaMdt) == sliceKey(viaListing))
   }
