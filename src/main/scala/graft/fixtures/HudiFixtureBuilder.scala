@@ -71,11 +71,11 @@ object HudiFixtureBuilder {
     val lock = new Path("/root/repo/target/hudi-fixtures", s"${new Path(root(sfDir)).getName}.lock")
     fs.mkdirs(lock.getParent)
     val token = java.util.UUID.randomUUID().toString
-    def lockToken(): Option[String] =
+    def lockContent(): Option[String] =
       try Some(new String(graft.util.ReadFully(fs, lock), "UTF-8"))
       catch { case _: java.io.IOException => None }
     def deleteOwnLock(): Unit =
-      try { if (lockToken().contains(token)) fs.delete(lock, false) }
+      try { if (lockContent().exists(_.startsWith(token))) fs.delete(lock, false) }
       catch { case _: java.io.IOException => }
     val hardDeadline = System.nanoTime() + 1200L * 1000000000L
     while (System.nanoTime() < hardDeadline) {
@@ -83,9 +83,25 @@ object HudiFixtureBuilder {
       val acquired =
         try {
           val out = fs.create(lock, false)
-          out.write(token.getBytes("UTF-8")); out.close(); true
+          out.write(s"$token:0".getBytes("UTF-8")); out.close(); true
         } catch { case _: java.io.IOException => false }
       if (acquired) {
+        // heartbeat: rewrite the lock every 30s so a LIVE-but-slow holder
+        // is distinguishable from a dead one — waiters only break a lock
+        // whose content stayed identical for their whole wait window
+        val heartbeat = new Thread(() => {
+          var n = 0L
+          try while (true) {
+            Thread.sleep(30000)
+            n += 1
+            try {
+              val out = fs.create(lock, true)
+              out.write(s"$token:$n".getBytes("UTF-8")); out.close()
+            } catch { case _: java.io.IOException => }
+          } catch { case _: InterruptedException => }
+        }, "fixture-lock-heartbeat")
+        heartbeat.setDaemon(true)
+        heartbeat.start()
         try {
           if (fs.exists(marker)) return
           fs.delete(new Path(root(sfDir)), true)
@@ -98,18 +114,24 @@ object HudiFixtureBuilder {
           buildCowMdtNation(spark, sfDir)
           fs.create(marker, true).close()
           return
-        } finally deleteOwnLock()
+        } finally {
+          heartbeat.interrupt()
+          heartbeat.join(5000)
+          deleteOwnLock()
+        }
       } else {
         // holder active: wait for its marker or lock release, bounded
-        val observed = lockToken()
+        val observed = lockContent()
         val waitDeadline = System.nanoTime() + 600L * 1000000000L
         while (!fs.exists(marker) && fs.exists(lock) && System.nanoTime() < waitDeadline)
           Thread.sleep(500)
         if (fs.exists(marker)) return
-        if (fs.exists(lock) && lockToken() == observed && observed.isDefined) {
-          // same token held for the full wait: the holder died without
-          // cleanup — break exactly the lock we observed, then re-acquire
-          try { if (lockToken() == observed) fs.delete(lock, false) }
+        if (fs.exists(lock) && lockContent() == observed && observed.isDefined) {
+          // identical content (token AND heartbeat counter) for the full
+          // 600s wait: a live holder's heartbeat would have advanced the
+          // counter, so the holder died — break exactly the lock we
+          // observed, then re-acquire
+          try { if (lockContent() == observed) fs.delete(lock, false) }
           catch { case _: java.io.IOException => }
         }
         // loop: re-attempt create-exclusive acquisition

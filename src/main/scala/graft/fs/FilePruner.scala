@@ -178,4 +178,20 @@ object FileStatsEstimator {
         if (size > 0) Some(rows.toDouble / size) else None
       } finally reader.close()
     } catch { case _: Exception => None }
+
+  /** Estimated (rows, bytes) for a planned slice set — the single source
+    * for `HudiTable.tableStats` (C3) and DSv2 `estimateStatistics` (C2).
+    * Bytes = base + log sizes (what the scan reads); rows extrapolate the
+    * sampled rows-per-byte over the SAME total, so a log-heavy (or
+    * base-less log-only) table doesn't report near-zero rows to Spark's
+    * join planner while emitting millions. Rows are None when no base
+    * footer is available to sample.
+    */
+  def estimateRowsBytes(slices: Seq[FileSlice], conf: Configuration): (Option[Long], Long) = {
+    val bytes = slices.map(_.totalSize).sum
+    val rows = slices.flatMap(_.baseFile).headOption
+      .flatMap(bf => sample(bf.path, conf))
+      .map(ratio => (ratio * bytes).toLong)
+    (rows, bytes)
+  }
 }

@@ -88,12 +88,18 @@ object EmbedOps {
   /** Centroid-distance outlier scoring: each vector's cosine distance to
     * its label group's centroid — the standard embedding-space quality
     * filter (mislabeled / out-of-distribution documents surface as the
-    * top outliers of their group). The centroid is kept as the per-dim
-    * SUM vector (same direction as the mean, and exact integer sums keep
-    * the score a deterministic IEEE double in both engines). Scale shape:
-    * one posexplode + map-side-combinable (label, dim) aggregate folds the
-    * corpus to a (labels × dim) relation — dictionary-sized — which
-    * broadcasts back onto the vectors; no corpus shuffle.
+    * top outliers of their group). The centroid direction is accumulated
+    * as exact per-dim integer sums, then re-quantized to the MEAN at 1e6
+    * scale (`floor(sum * 1000 / count)`) — a raw sum vector's self-dot
+    * grows with group-size² and would silently pass 2^53 (where DuckDB's
+    * double accumulation and graft_dot's exact long sums diverge) once a
+    * label holds ~12k vectors; the quantized mean keeps every dot product
+    * exact at any group size, so the score stays a deterministic IEEE
+    * double in both engines (float mult/div/floor are correctly rounded).
+    * Scale shape: one posexplode + map-side-combinable (label, dim)
+    * aggregate folds the corpus to a (labels × dim) relation —
+    * dictionary-sized — which broadcasts back onto the vectors; no corpus
+    * shuffle.
     */
   private def outlierSql(q: String, dot: String, spark: Boolean): String = {
     val explodeDims =
@@ -107,7 +113,8 @@ object EmbedOps {
     val normC = dot.format("c.c", "c.c")
     s"""WITH qe AS ($q),
        |pd AS (
-       |  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s
+       |  SELECT label, pos,
+       |    CAST(floor(CAST(SUM(v) AS DOUBLE) * 1000 / COUNT(1)) AS BIGINT) AS s
        |  FROM ($explodeDims) GROUP BY label, pos),
        |cent AS (
        |  SELECT label, $centroidArr AS c FROM pd GROUP BY label)

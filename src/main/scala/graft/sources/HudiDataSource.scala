@@ -482,10 +482,8 @@ class GraftScan(
     * every footer.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = slices.map(_.totalSize).sum
-    private val rows: Option[Long] = slices.flatMap(_.baseFile).headOption
-      .flatMap(bf => graft.fs.FileStatsEstimator.sample(bf.path, hudi.hadoopConf))
-      .map(ratio => (ratio * slices.flatMap(_.baseFile).map(_.size).sum).toLong)
+    private val (rows, bytes) =
+      graft.fs.FileStatsEstimator.estimateRowsBytes(slices, hudi.hadoopConf)
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong =
       rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())

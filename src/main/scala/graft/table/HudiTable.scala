@@ -170,12 +170,8 @@ final class HudiTable(
     val slices = timeline.latestCommitTimestamp
       .map(fsView.slicesAsOf(_))
       .getOrElse(Vector.empty)
-    val bytes = slices.map(_.totalSize).sum
-    val rows = slices.flatMap(_.baseFile).headOption
-      .flatMap(bf => graft.fs.FileStatsEstimator.sample(bf.path, hadoopConf))
-      .map(r => (r * slices.flatMap(_.baseFile).map(_.size).sum).toLong)
-      .getOrElse(0L)
-    (rows, bytes)
+    val (rows, bytes) = graft.fs.FileStatsEstimator.estimateRowsBytes(slices, hadoopConf)
+    (rows.getOrElse(0L), bytes)
   }
 
   /** Incremental read of records changed in `(start, end]` (S3): only file

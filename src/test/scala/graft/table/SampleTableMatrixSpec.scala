@@ -3,12 +3,16 @@ package graft.table
 import graft.SparkTestBase
 
 /** Systematic golden-fixture matrix over the reference's SampleTable enum
-  * (crates/test/src/lib.rs:256-367): every sample_table zip × every format
-  * the reference publishes it in (cow, mor/parquet, mor/avro), asserted
-  * against the same expected row sets as table_read_tests.rs and
-  * v9_verification.rs. Before this spec, variants were covered piecemeal;
-  * the declared matrix makes a missing combination (e.g. no-metafields
-  * MOR) a visible hole instead of a silent one.
+  * (crates/test/src/lib.rs:256-367), asserted against the same expected
+  * row sets as table_read_tests.rs and v9_verification.rs. Scope: the
+  * v6/v8 sample tables in every published format (cow + mor/parquet per
+  * available_formats) and the six v9 txns tables in all three read modes
+  * (cow, mor snapshot, mor read-optimized). The remaining enum members
+  * live in [[V9MatrixSpec]] (timebasedkeygen date/epoch-millis/
+  * unix-timestamp, full-table overwrite, v9 rollback — in exactly the
+  * modes the reference asserts) and are out of scope for S7 (the four
+  * lance tables). Together the two specs make a missing combination a
+  * visible hole instead of a silent one.
   */
 class SampleTableMatrixSpec extends SparkTestBase {
 
