@@ -160,6 +160,17 @@ object HudiQueries {
       },
       ordersSql(updated = true, deletes = false, onlyUpdated = true)),
 
+    // --- D5/S2 through the SQL catalog: FOR VERSION AS OF time travel --
+    "hudi_catalog_time_travel" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.conf.set("spark.sql.catalog.hudi_graft", classOf[graft.sources.GraftCatalog].getName)
+        selectOrders(s.sql(
+          s"""SELECT * FROM hudi_graft.`${HudiFixtureBuilder.cowPath(d)}`
+             |FOR VERSION AS OF '${HudiFixtureBuilder.T1}'""".stripMargin))
+      },
+      ordersSql(updated = false, deletes = false, onlyUpdated = false)),
+
     // --- S4 end-to-end: the hudi-graft streaming source driven through
     // the stateful latest-wins view (StreamOps.latestByKey). The memory
     // sink accumulates the emission log across micro-batches; the final

@@ -56,7 +56,8 @@ class HudiDataSource extends TableProvider with DataSourceRegister {
 class GraftTable(
     path: String,
     declaredSchema: StructType,
-    prebuilt: Option[HudiTable] = None
+    prebuilt: Option[HudiTable] = None,
+    pinnedOptions: Map[String, String] = Map.empty
 ) extends Table with SupportsRead {
   private lazy val hudi = prebuilt.getOrElse(HudiTable(SparkSession.active, path))
 
@@ -67,12 +68,21 @@ class GraftTable(
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // pinned options come from catalog-level time travel (FOR TIMESTAMP /
+    // VERSION AS OF) and override per-read options
+    val merged =
+      if (pinnedOptions.isEmpty) options
+      else {
+        val m = new util.HashMap[String, String](options.asCaseSensitiveMap())
+        pinnedOptions.foreach { case (k, v) => m.put(k, v) }
+        new CaseInsensitiveStringMap(m)
+      }
     // read options may supplement table configs (e.g. keygen settings the
     // writer didn't persist) — rebuild the table handle when present
-    val extra = options.asCaseSensitiveMap().asScala
+    val extra = merged.asCaseSensitiveMap().asScala
       .filter(_._1.startsWith("hoodie.")).toMap
     val table = if (extra.isEmpty) hudi else HudiTable(SparkSession.active, path, extra)
-    new GraftScanBuilder(table, schema(), options)
+    new GraftScanBuilder(table, schema(), merged)
   }
 }
 

@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.fixtures.HudiFixtureBuilder
+
+/** SQL surface through the GraftCatalog plugin: plain reads, VERSION AS
+  * OF (commit timestamp) and TIMESTAMP AS OF (wall-clock) time travel,
+  * warehouse-relative identifiers, and read-only enforcement.
+  */
+class GraftCatalogSpec extends SparkTestBase {
+
+  private lazy val cowPath: String = {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    spark.conf.set("spark.sql.catalog.hudi_graft", classOf[GraftCatalog].getName)
+    HudiFixtureBuilder.cowPath(sfDir)
+  }
+
+  private def count(sql: String): Long = spark.sql(sql).count()
+
+  test("catalog resolves a backquoted absolute path") {
+    val n = count(s"SELECT * FROM hudi_graft.`$cowPath`")
+    assert(n == spark.read.parquet(s"$sfDir/orders.parquet").count())
+  }
+
+  test("FOR VERSION AS OF pins a commit timestamp") {
+    // at T1 nothing is updated yet
+    val updated = count(
+      s"""SELECT * FROM hudi_graft.`$cowPath`
+         |FOR VERSION AS OF '${HudiFixtureBuilder.T1}'
+         |WHERE o_orderstatus = 'U'""".stripMargin)
+    assert(updated == 0)
+    val latest = count(
+      s"SELECT * FROM hudi_graft.`$cowPath` WHERE o_orderstatus = 'U'")
+    assert(latest > 0)
+  }
+
+  test("FOR TIMESTAMP AS OF converts wall-clock time to the timeline") {
+    // fixture commits are 2024-01-01/02 (UTC timeline): midday Jan 1 sees
+    // only the insert commit
+    val asOf = count(
+      s"""SELECT * FROM hudi_graft.`$cowPath`
+         |FOR TIMESTAMP AS OF '2024-01-01 12:00:00'
+         |WHERE o_orderstatus = 'U'""".stripMargin)
+    assert(asOf == 0)
+    val later = count(
+      s"""SELECT * FROM hudi_graft.`$cowPath`
+         |FOR TIMESTAMP AS OF '2024-01-03 00:00:00'
+         |WHERE o_orderstatus = 'U'""".stripMargin)
+    assert(later > 0)
+  }
+
+  test("warehouse option resolves relative identifiers") {
+    val parent = new java.io.File(cowPath).getParent
+    spark.conf.set("spark.sql.catalog.wh_graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wh_graft.warehouse", parent)
+    val n = spark.sql("SELECT * FROM wh_graft.cow_orders").count()
+    assert(n == spark.read.parquet(s"$sfDir/orders.parquet").count())
+  }
+
+  test("unknown paths surface as missing tables; writes are rejected") {
+    val missing = intercept[Exception](
+      spark.sql("SELECT * FROM hudi_graft.`/no/such/table`").collect())
+    assert(missing.getMessage.toLowerCase.contains("table"))
+    val readOnly = intercept[Exception](
+      spark.sql(s"DROP TABLE hudi_graft.`$cowPath`"))
+    assert(readOnly.getMessage.contains("read-only"))
+  }
+}
