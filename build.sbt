@@ -17,6 +17,7 @@ run / fork := true
 // output strategy would prefix the JSON with "[info] ".
 showSuccess := false
 run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

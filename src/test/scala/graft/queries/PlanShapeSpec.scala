@@ -186,6 +186,18 @@ class PlanShapeSpec extends SparkTestBase {
       "no sort-merge join should appear in the sq8 plan (array relations)")
   }
 
+  test("label-outlier centroids broadcast back onto the corpus") {
+    // the (labels × dim) centroid relation is dictionary-sized: the join
+    // back onto the vectors must be a broadcast with the centroid side as
+    // the build side — a sort-merge here would shuffle+sort the
+    // array-laden corpus rows on label
+    val nodes = allNodes(df("embed_label_outliers"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "centroid join must be a broadcast hash join")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "outlier plan must not sort-merge the embedding arrays")
+  }
+
   test("exact dedup aggregates with map-side partial combine") {
     val nodes = allNodes(df("dedup_exact"))
     assert(nodes.exists(n => n.nodeName.contains("HashAggregate") &&

@@ -59,4 +59,23 @@ class LogOnlyTableSpec extends SparkTestBase {
     assert(keys(df) == mod3_1.filter(_ % 5 == 0) -- deleted)
     assert(df.filter(col("o_orderstatus") =!= "U").count() == 0)
   }
+
+  test("streaming micro-batches emit the log-only group's rows") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val q = spark.readStream.format("hudi-graft")
+      .option("stream.start.timestamp", T1) // begin after the base commit
+      .load(HudiFixtureBuilder.morLogOnlyPath(sfDir))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("o_orderkey").collect().foreach(r => seen.add(r.getLong(0)))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // one batch spanning (T1, T3]: the base-less group's merged state
+    val deleted = mod3_1.filter(k => k % 11 == 0 && k % 5 != 0)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.map(_.longValue).toSet == mod3_1 -- deleted)
+  }
 }
