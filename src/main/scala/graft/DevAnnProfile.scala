@@ -18,6 +18,8 @@ object DevAnnProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.codegen.wholeStage", codegen)
+      .config("spark.sql.codegen.factoryMode",
+        sys.env.getOrElse("DEV_FACTORY", "FALLBACK"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t[A](label: String)(f: => A): A = {
