@@ -44,23 +44,28 @@ class GraftReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
+    val counters = new ReaderCounters
     val chained = new ChainedPartitionReader[InternalRow](p.slices.map(sl => () =>
       new GraftPartitionReader(sl, readFn, widenedJson, requiredJson,
         orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs), p.commitStart,
-        partitionSchemaJson, hiveStyle, urlEncoded, populatesMetaFields)))
+        partitionSchemaJson, hiveStyle, urlEncoded, populatesMetaFields, counters)),
+      () => counters.snapshot)
     limit.fold(chained: PartitionReader[InternalRow])(new LimitedPartitionReader(chained, _))
   }
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
+    val counters = new ReaderCounters
     // no batch truncation for a pushed limit: Spark's own limit stops
     // pulling batches, which bounds work without slicing vectors
     new ChainedPartitionReader(p.slices.map(sl => () =>
       new GraftColumnarReader(sl, readFn, widenedJson, requiredJson,
         partitionSchemaJson, hiveStyle, urlEncoded,
         commitStart = if (rangeFilterColumnar) p.commitStart else None,
-        commitEnd = if (rangeFilterColumnar) p.commitEnd.orElse(endTs) else None)))
+        commitEnd = if (rangeFilterColumnar) p.commitEnd.orElse(endTs) else None,
+        counters = counters)),
+      () => counters.snapshot)
   }
 }
 
@@ -69,9 +74,16 @@ class GraftReaderFactory(
   * stays bounded on many-slice tables. Sub-readers are created lazily and
   * closed as soon as they drain.
   */
-class ChainedPartitionReader[T](parts: Seq[() => PartitionReader[T]]) extends PartitionReader[T] {
+class ChainedPartitionReader[T](
+    parts: Seq[() => PartitionReader[T]],
+    metrics: () => Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      () => Array.empty
+) extends PartitionReader[T] {
   private var idx = 0
   private var cur: PartitionReader[T] = _
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    metrics()
 
   override def next(): Boolean = {
     while (true) {
@@ -102,6 +114,8 @@ class LimitedPartitionReader(inner: PartitionReader[InternalRow], limit: Int)
   override def next(): Boolean = seen < limit && inner.next() && { seen += 1; true }
   override def get(): InternalRow = inner.get()
   override def close(): Unit = inner.close()
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues()
 }
 
 /** Typed partition-value parsing shared by the row and columnar readers:
@@ -157,9 +171,12 @@ class GraftColumnarReader(
     hiveStyle: Boolean,
     urlEncoded: Boolean,
     commitStart: Option[String] = None,
-    commitEnd: Option[String] = None
+    commitEnd: Option[String] = None,
+    counters: ReaderCounters = new ReaderCounters
 ) extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  counters.slicesRead += 1
 
   private val widened = DataType.fromJson(widenedJson).asInstanceOf[StructType]
   private val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
@@ -179,6 +196,7 @@ class GraftColumnarReader(
     // columnar routing requires a log-free slice, which always has a base
     val bf = slice.baseFile.getOrElse(
       throw new IllegalStateException(s"columnar reader on a base-less slice: $slice"))
+    counters.baseFilesRead += 1
     val pf = PartitionedFile(
       PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded),
       SparkPath.fromPathString(bf.path),
@@ -247,8 +265,11 @@ class GraftPartitionReader(
     partitionSchemaJson: Option[String] = None,
     hiveStyle: Boolean = false,
     urlEncoded: Boolean = false,
-    populatesMetaFields: Boolean = true
+    populatesMetaFields: Boolean = true,
+    counters: ReaderCounters = new ReaderCounters
 ) extends PartitionReader[InternalRow] {
+
+  counters.slicesRead += 1
 
   private val widened = DataType.fromJson(widenedJson).asInstanceOf[StructType]
   private val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
@@ -262,6 +283,7 @@ class GraftPartitionReader(
   private def baseIter: Iterator[InternalRow] = slice.baseFile match {
     case None => Iterator.empty // log-only slice: rows come from the merge map
     case Some(bf) =>
+      counters.baseFilesRead += 1
       val pf = PartitionedFile(
         partitionValuesRow,
         SparkPath.fromPathString(bf.path),
@@ -373,6 +395,8 @@ class GraftPartitionReader(
         // actual length, not the planned size: writers append to log
         // files and MDT-recorded sizes can lag the physical file
         val bytes = graft.util.ReadFully(p, conf.value)
+        counters.logFilesRead += 1
+        counters.logBytesDecoded += bytes.length
         LogFileParser.parse(bytes, range)
       }
       LogFileParser.applyRollbacks(bs.toVector)
@@ -386,6 +410,7 @@ class GraftPartitionReader(
           b.blockType == LogFormat.CdcDataBlock) {
         for (ext <- graft.log.RowAlign.blockRows(b, widened)) {
           val row = toCatalyst(ext).asInstanceOf[InternalRow]
+          counters.logRecordsBuffered += 1
           if (appendOnly) all += row
           else {
             val key = if (row.isNullAt(keyIdx)) "" else row.getString(keyIdx)
@@ -398,6 +423,7 @@ class GraftPartitionReader(
       } else if (b.blockType == LogFormat.DeleteBlock) {
         val commit = UTF8String.fromString(b.instantTime)
         for ((key, _, ordRaw) <- b.deleteRecords) {
+          counters.deleteRecordsSeen += 1
           val ord = toCatalystScalar(ordRaw)
           val zero = isIntegralZero(ordRaw)
           dels.get(key) match {

@@ -498,6 +498,19 @@ class GraftScan(
     override def numRows(): util.OptionalLong =
       rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
   }
+
+  /** Scan observability (see [[ScanMetrics]]): planning counts from the
+    * driver, read counters from the partition readers — all rendered on
+    * the scan node in the Spark UI's SQL tab.
+    */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    ScanMetrics.supported
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      GraftTaskMetric(ScanMetrics.SlicesPlanned, slices.size.toLong),
+      GraftTaskMetric(ScanMetrics.SlicesRuntimeFiltered,
+        runtimeFiltered.getOrElse(slices).size.toLong))
 }
 
 final case class GraftInputPartition(
@@ -514,7 +527,8 @@ final case class GraftInputPartition(
   */
 class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class CommitOffset(ts: String) extends Offset {
@@ -591,7 +605,9 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
     if (e <= s) return Array.empty
     val t = freshTable
     val startOpt = if (s == earliest) None else Some(s)
-    t.fsView.slicesBetween(startOpt, e)
+    val slices = t.fsView.slicesBetween(startOpt, e)
+    lastBatchSlices = slices.size
+    slices
       .map(sl => GraftInputPartition(Seq(sl), startOpt, Some(e)): InputPartition)
       .toArray
   }
@@ -601,4 +617,24 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  @volatile private var lastBatchSlices: Int = 0
+
+  /** Source-side progress metrics, surfaced per micro-batch under
+    * `StreamingQueryProgress.sources[i].metrics` — the operator-facing
+    * lag signal (how many completed commits the stream still has to
+    * drain) plus the last batch's planned-slice count. One timeline
+    * load per progress event, same metadata-bounded cost as
+    * `reportLatestOffset`.
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val consumed = if (latestConsumedOffset.isPresent)
+      latestConsumedOffset.get.asInstanceOf[CommitOffset].ts else earliest
+    val pending = freshTable.timeline.completedInstants
+      .iterator.map(_.timestamp).distinct.count(_ > consumed)
+    java.util.Map.of(
+      "commitsBehind", pending.toString,
+      "slicesInLastBatch", lastBatchSlices.toString)
+  }
 }
