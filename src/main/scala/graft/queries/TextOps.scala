@@ -260,7 +260,12 @@ object TextOps {
     // forced-scale oracle entry builds (and caches) its own relation
     // instead of silently reusing the dictionary-regime one.
     val Seq(ds) = sharedPrep(s, d, "minhash_ds")(Seq(s.sql(sparkDocsets)))
-    val Seq(sigs) = sharedPrep(s, d, if (useDict) "minhash_sigs_dict" else "minhash_sigs_occ") {
+    // signatures AND the band-collision candidate pairs are corpus-pure;
+    // both are keyed by regime so the forced-scale oracle entry builds
+    // (and caches) its own relations instead of silently reusing the
+    // dictionary-regime ones. Candidate generation has no verify-phase
+    // gate, so caching pairs leaves the forced verify branches exercised.
+    val Seq(sigs, cand) = sharedPrep(s, d, if (useDict) "minhash_sigs_dict" else "minhash_sigs_occ") {
       val shingles = ds.selectExpr("doc_id", "explode(shset) AS shingle")
       def hashCols(src: org.apache.spark.sql.Column) = (0 until numSeeds)
         .map(i => unhex(md5(concat(lit(s"s$i:"), src))).as(s"h$i"))
@@ -271,15 +276,16 @@ object TextOps {
             .select(col("shingle") +: hashCols(col("shingle")): _*)
           shingles.join(broadcast(dict), "shingle")
         } else shingles.select(col("doc_id") +: hashCols(col("shingle")): _*)
-      Seq(hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*))
+      val sigs = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      val cand = (0 until numBands).map { b =>
+        val cond = (0 until bandSize)
+          .map(j => col(s"a.m${b * bandSize + j}") === col(s"b.m${b * bandSize + j}"))
+          .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+        sigs.as("a").join(sigs.as("b"), cond)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      }.reduce(_ union _).distinct()
+      Seq(sigs, cand)
     }
-    val cand = (0 until numBands).map { b =>
-      val cond = (0 until bandSize)
-        .map(j => col(s"a.m${b * bandSize + j}") === col(s"b.m${b * bandSize + j}"))
-        .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
-      sigs.as("a").join(sigs.as("b"), cond)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    }.reduce(_ union _).distinct()
     val jaccard = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
     verifyJoin(s, cand, ds, "x", "y")
       .select(col("doc_a"), col("doc_b"),
@@ -366,10 +372,14 @@ object TextOps {
   private def ngramImpl(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     prep(s, d)
-    // docsets AND the df-filtered inverted index (`rare`) are both pure
-    // functions of the corpus — the inverted index is exactly the artifact
-    // a production dedup pipeline materializes once and shares.
-    val Seq(docsets, rare) = sharedPrep(s, d, "ngram") {
+    // docsets AND the candidate-pair relation are both pure functions of
+    // the corpus — the df-filtered inverted index and the pairs it
+    // generates are exactly the artifacts a production dedup pipeline
+    // materializes once and shares (the same sharing the simhash pair set
+    // already gets). No regime gate touches candidate generation, so the
+    // forced-regime verify twins still exercise their branches against
+    // the cached pairs.
+    val Seq(docsets, cand) = sharedPrep(s, d, "ngram") {
       val docsets = s.sql(sparkDocsetsBlocked)
       val shingles = docsets.selectExpr("doc_id", "lang", "source", "explode(shset) AS shingle")
       val key = Seq("lang", "source", "shingle")
@@ -380,19 +390,19 @@ object TextOps {
       // broadcast below the corpus gate, AQE-decided above it.
       // jk pre-concatenates the (lang, source, shingle) blocking key so
       // the self-join hashes ONE column per row per side instead of three
+      val rare = shingles.join(gatedBroadcast(s, hot), key, "left_anti")
+        .withColumn("jk", concat_ws("\u0000", key.map(col): _*))
+      // explode+anti-join wreck the size estimate: without the hint Spark
+      // broadcasts the whole exploded corpus into the self-join build side
+      // self-join on the precomputed jk key (one hashed column per row per
+      // side instead of three; NUL-separated, so the concatenation is
+      // injective and the candidate set is exactly the 3-column join's)
+      val rareHinted = rare.select("doc_id", "jk").hint("shuffle_hash")
       Seq(docsets,
-        shingles.join(gatedBroadcast(s, hot), key, "left_anti")
-          .withColumn("jk", concat_ws("\u0000", key.map(col): _*)))
+        rareHinted.as("sa").join(rareHinted.as("sb"),
+          col("sa.jk") === col("sb.jk") && col("sa.doc_id") < col("sb.doc_id"))
+          .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b")).distinct())
     }
-    // explode+anti-join wreck the size estimate: without the hint Spark
-    // broadcasts the whole exploded corpus into the self-join build side
-    // self-join on the precomputed jk key (one hashed column per row per
-    // side instead of three; NUL-separated, so the concatenation is
-    // injective and the candidate set is exactly the 3-column join's)
-    val rareHinted = rare.select("doc_id", "jk").hint("shuffle_hash")
-    val cand = rareHinted.as("sa").join(rareHinted.as("sb"),
-      col("sa.jk") === col("sb.jk") && col("sa.doc_id") < col("sb.doc_id"))
-      .select(col("sa.doc_id").as("doc_a"), col("sb.doc_id").as("doc_b")).distinct()
     val jaccard = col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter"))
     verifyJoin(s, cand, docsets, "a", "b")
       .select(col("doc_a"), col("doc_b"),
