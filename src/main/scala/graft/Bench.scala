@@ -32,7 +32,7 @@ object Bench {
     // SPARK_GRAFT_ONLY can still select them.
     val forcedRegime =
       Set("dedup_minhash_lsh_scale", "dedup_ngram_jaccard_scale", "dedup_groups_distributed",
-        "text_decontaminate_scale")
+        "text_decontaminate_scale", "text_decontaminate_shuffle")
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names.contains(kv._1))
       case None =>

@@ -90,20 +90,83 @@ object CurateOps {
   private def prep(s: SparkSession, d: String): Unit =
     Tables.ensureView(s, d, "documents")(Tables.documents(s, d))
 
+  private val defaultBenchBloomMaxItems = 256L << 20 // ~268M grams ≈ 320 MB @ 1%
+  private def benchBloomMaxItems(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.text.benchBloomMaxItems")
+      .map(_.toLong).getOrElse(defaultBenchBloomMaxItems)
+  private def benchBloomFpp(s: SparkSession): Double =
+    s.conf.getOption("spark.graft.text.benchBloomFpp")
+      .map(_.toDouble).getOrElse(0.01)
+
+  /** Three regimes, outermost first on the size of the bench gram set
+    * (gates driver-side on Catalyst's estimate, like the TextOps gates):
+    *
+    *  1. fits a broadcast -> broadcast hash join (map-side, no shuffle of
+    *     the corpus gram stream at all);
+    *  2. too big to broadcast as a HASH RELATION but its BLOOM fits
+    *     (bits-per-item vs bytes-per-row) -> build the bloom over the
+    *     bench side ONCE (cached per session+dir), prefilter the corpus
+    *     gram stream map-side with the codegen'd `graft_bloom_contains`,
+    *     and shuffle-hash join only the probable hits — the exact join
+    *     removes bloom false positives, so the result is bit-identical;
+    *  3. bench gram count past `benchBloomMaxItems` (a bloom that big
+    *     stops fitting in task memory) -> plain shuffle-hash join (never
+    *     sort-merge — gram keys are long strings, hashing beats sorting).
+    *
+    * All three regimes run under the same DuckDB oracle: the default
+    * entry takes 1, `text_decontaminate_scale` forces 2,
+    * `text_decontaminate_shuffle` forces 3.
+    */
   private[queries] def decontamImpl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     prep(s, d)
-    // Gate on the size estimate of the bench gram relation (driver-side,
-    // no job): small -> broadcast; oversized -> shuffle-hash (never
-    // sort-merge — the gram keys are long strings, hashing beats sorting).
     val bg = s.sql(
       s"""SELECT DISTINCT gram FROM (
          |  SELECT explode(${sparkGrams("split(text, ' ')")}) AS gram
          |  FROM documents WHERE $benchPredicate)""".stripMargin)
     val bytes = bg.queryExecution.optimizedPlan.stats.sizeInBytes
-    val hint =
-      if (bytes <= benchBroadcastMaxBytes(s)) "/*+ BROADCAST(b) */"
-      else "/*+ SHUFFLE_HASH(b) */"
-    s.sql(decontamSql(spark = true, hint))
+    if (bytes <= benchBroadcastMaxBytes(s))
+      s.sql(decontamSql(spark = true, "/*+ BROADCAST(b) */"))
+    else {
+      // bench gram count: one job over the SMALL side, amortized with the
+      // bloom bytes in the session registry (keyed by dir)
+      // cache key carries the regime confs: a forced-regime twin
+      // (maxItems=0) must not be fed a bloom cached under the default
+      // gates, and vice versa
+      val reg = SessionRegistry.of(s)
+      val regime = (d, benchBloomMaxItems(s), benchBloomFpp(s))
+      val bloomOpt = reg.synchronized {
+        val cached = reg.get("decontam_bloom").collect {
+          case (k, b: Option[Array[Byte]] @unchecked) if k == regime => b
+        }
+        cached.getOrElse {
+          graft.functions.BloomMightContain.register(s)
+          val n = bg.count()
+          val b =
+            if (n > benchBloomMaxItems(s)) None
+            else Some(graft.functions.BloomMightContain.buildOverHashes(
+              bg, n, benchBloomFpp(s)))
+          reg.put("decontam_bloom", (regime, b))
+          b
+        }
+      }
+      bloomOpt match {
+        case None => s.sql(decontamSql(spark = true, "/*+ SHUFFLE_HASH(b) */"))
+        case Some(bloomBytes) =>
+          val corpus = s.sql(corpusSql)
+          val grams = corpus.select(col("doc_id"),
+            explode(expr(sparkGrams("split(text, ' ')"))).as("gram"))
+          val pre = grams.where(call_function("graft_bloom_contains",
+            lit(bloomBytes), xxhash64(col("gram"))))
+          val hits = pre.join(bg.hint("shuffle_hash"), "gram")
+            .groupBy("doc_id").agg(countDistinct("gram").as("n"))
+          corpus.select("doc_id").join(hits, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n"), lit(0L)).as("n_overlap_grams"),
+              (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+            .orderBy("doc_id")
+      }
+    }
   }
 
   /** End-to-end train-prep: quality gate -> exact dedup (keep the lowest
@@ -261,11 +324,19 @@ object CurateOps {
     "text_decontaminate" -> QueryDef(
       (s, d) => decontamImpl(s, d),
       Some(decontamSql(spark = false, hint = ""))),
-    // Forced large-benchmark regime: gate to 0 -> shuffle-hash branch,
-    // proven identical under the same oracle (ScaleRegimeSpec + Verify).
+    // Forced large-benchmark regime: broadcast gate to 0 -> the bloom
+    // prefilter + shuffle-hash branch, proven identical under the same
+    // oracle (ScaleRegimeSpec + Verify).
     "text_decontaminate_scale" -> QueryDef(
       (s, d) => withConf(s,
         "spark.graft.text.benchBroadcastMaxBytes" -> "0")(decontamImpl(s, d)),
+      Some(decontamSql(spark = false, hint = ""))),
+    // Forced giant-benchmark regime: bloom gate ALSO to 0 -> the plain
+    // shuffle-hash branch (a bloom past task memory must not be built).
+    "text_decontaminate_shuffle" -> QueryDef(
+      (s, d) => withConf(s,
+        "spark.graft.text.benchBroadcastMaxBytes" -> "0",
+        "spark.graft.text.benchBloomMaxItems" -> "0")(decontamImpl(s, d)),
       Some(decontamSql(spark = false, hint = ""))),
     "pipeline_train_prep" -> QueryDef(
       (s, d) => sq(s, d, trainPrepSql(spark = true)),

@@ -34,7 +34,12 @@ class PlanShapeSpec extends SparkTestBase {
   private def allNodes(d: DataFrame): Seq[SparkPlan] = {
     def flatten(p: SparkPlan): Seq[SparkPlan] = {
       val nested = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        // inputPlan, not executedPlan: once another test materializes a
+        // shared cached relation, the adaptive plan is FINAL and AQE's
+        // empty-relation propagation has deleted the very operators under
+        // audit (the anti-join against a test-scale-empty hot set) —
+        // assertions must read the static shape, materialized or not
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
         case q: QueryStageExec => Seq(q.plan)
         // shared prep relations persist; the shape decisions under audit
         // (hot-set anti-join, signature aggregation) live in the cache
@@ -151,12 +156,25 @@ class PlanShapeSpec extends SparkTestBase {
       "no sort-merge join should appear in the decontaminate plan")
   }
 
-  test("decontaminate scale regime shuffle-hash joins instead of broadcasting") {
+  test("decontaminate scale regime bloom-prefilters then shuffle-hash joins") {
     val nodes = allNodes(df("text_decontaminate_scale"))
     assert(gramBroadcasts(nodes).isEmpty,
       "above the gate the benchmark gram set must not be broadcast")
     assert(nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
       "scale-regime decontaminate must shuffle-hash join the gram sets")
+    // the corpus gram stream must be prefiltered MAP-SIDE by the bench
+    // bloom before any exchange: only probable hits shuffle
+    assert(nodes.exists(_.toString.contains("graft_bloom_contains")),
+      "scale-regime decontaminate must bloom-prefilter the corpus gram stream")
+  }
+
+  test("decontaminate giant-benchmark regime skips the bloom, keeps shuffle-hash") {
+    val nodes = allNodes(df("text_decontaminate_shuffle"))
+    assert(gramBroadcasts(nodes).isEmpty &&
+      nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      "forced-shuffle decontaminate must shuffle-hash join without broadcasting")
+    assert(!nodes.exists(_.toString.contains("graft_bloom_contains")),
+      "past the bloom item gate no bloom may be built")
   }
 
   test("ANN near-dup plan never sort-merges the embedding arrays") {

@@ -33,7 +33,11 @@ class ScaleRegimeSpec extends SparkTestBase {
     assertTwin("dedup_groups", "dedup_groups_distributed")
   }
 
-  test("decontaminate shuffle-hash regime matches the broadcast regime") {
+  test("decontaminate bloom-prefilter regime matches the broadcast regime") {
     assertTwin("text_decontaminate", "text_decontaminate_scale")
+  }
+
+  test("decontaminate giant-benchmark shuffle regime matches the broadcast regime") {
+    assertTwin("text_decontaminate", "text_decontaminate_shuffle")
   }
 }
