@@ -316,6 +316,63 @@ object CurateOps {
        |ORDER BY d.source""".stripMargin
   }
 
+  /** Corpus heavy hitters: the exact top-[[hhK]] most frequent word
+    * bigrams per source — the boilerplate/template detector every corpus
+    * inspection runs (a bigram appearing in half the corpus is a nav bar,
+    * a cookie banner, or a scraped footer, and is exactly what the
+    * repetition and dedup filters should be pointed at).
+    *
+    * Scale shape (100 TB): tokenization explodes once; the bigram counts
+    * are ONE map-side-combinable GROUP BY whose state is vocabulary-sized
+    * (sublinear in the corpus); and the final per-source ranking runs in
+    * TWO exact phases — a salted partial top-k (PARTITION BY source,
+    * hash-salt: 16-way parallel, each keeps its own top k under the same
+    * total order) and a final top-k over the surviving #sources * 16 * k
+    * rows. A single per-source window over the full vocabulary relation
+    * would funnel each source's entire vocabulary through one task; the
+    * partial phase makes the funneled relation O(k), and the union of
+    * per-salt top-k provably contains the global top-k (any global
+    * top-k row ranks within the top k of its own salt bucket). DuckDB
+    * states the direct single-window definition — same result.
+    */
+  private val hhK = 10
+  private def heavyHittersSql(spark: Boolean): String = {
+    val toks =
+      if (spark)
+        """SELECT doc_id, source, posexplode(split(text, ' ')) AS (pos, tok)
+          |  FROM documents""".stripMargin
+      else
+        """SELECT doc_id, source, UNNEST(range(1, len(a) + 1)) AS pos, UNNEST(a) AS tok
+          |  FROM (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents)""".stripMargin
+    val cnt = (e: String) => if (spark) e else s"CAST($e AS BIGINT)"
+    val topsrc =
+      if (spark)
+        s"""pre AS (
+           |  SELECT source, w1, w2, n,
+           |    ROW_NUMBER() OVER (PARTITION BY source, pmod(hash(w1, w2), 16)
+           |                       ORDER BY n DESC, w1, w2) AS pr
+           |  FROM bc),
+           |topsrc AS (SELECT source, w1, w2, n FROM pre WHERE pr <= $hhK)""".stripMargin
+      else "topsrc AS (SELECT source, w1, w2, n FROM bc)"
+    val rnk = s"ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, w1, w2)"
+    s"""WITH toks AS (
+       |  $toks),
+       |bi AS (
+       |  SELECT source, tok AS w2,
+       |    LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+       |  FROM toks),
+       |bc AS (
+       |  SELECT source, w1, w2, ${cnt("COUNT(1)")} AS n
+       |  FROM bi WHERE w1 IS NOT NULL GROUP BY source, w1, w2),
+       |$topsrc,
+       |rk AS (
+       |  SELECT source, w1, w2, n,
+       |    ${if (spark) rnk else s"CAST($rnk AS INTEGER)"} AS rnk
+       |  FROM topsrc)
+       |SELECT source, w1, w2, n, rnk FROM rk WHERE rnk <= $hhK
+       |ORDER BY source, rnk""".stripMargin
+  }
+
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
   }
@@ -341,6 +398,9 @@ object CurateOps {
     "pipeline_train_prep" -> QueryDef(
       (s, d) => sq(s, d, trainPrepSql(spark = true)),
       Some(trainPrepSql(spark = false))),
+    "text_heavy_hitters" -> QueryDef(
+      (s, d) => sq(s, d, heavyHittersSql(spark = true)),
+      Some(heavyHittersSql(spark = false))),
     "text_lm_bigram" -> QueryDef(
       (s, d) => sq(s, d, lmBigramSql(spark = true)),
       Some(lmBigramSql(spark = false))),

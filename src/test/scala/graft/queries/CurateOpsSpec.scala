@@ -75,4 +75,39 @@ class CurateOpsSpec extends SparkTestBase {
     val again = run("text_source_kl").collect().map(_.toString).toSeq
     assert(again == rows.map(_.toString).toSeq)
   }
+
+  test("heavy hitters ranks exactly the per-source top-k by count") {
+    val d = run("text_heavy_hitters")
+    noGlobalWindows(d)
+    val rows = d.collect()
+    assert(rows.nonEmpty)
+    // per source: ranks are 1..k, counts non-increasing along the rank
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to sorted.length),
+        s"ranks for $src must be dense from 1")
+      val counts = sorted.map(_.getLong(3)).toSeq
+      assert(counts == counts.sorted.reverse, s"counts for $src must be non-increasing")
+      assert(sorted.length <= 10)
+    }
+    // the salted partial phase is exact: it must agree with a direct
+    // single-window ranking computed here over the same counts
+    val direct = {
+      import org.apache.spark.sql.expressions.{Window => W}
+      import org.apache.spark.sql.functions._
+      val toks = spark.table("documents").select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val bi = toks.withColumn("w1",
+        lag("tok", 1).over(W.partitionBy("doc_id").orderBy("pos")))
+        .where(col("w1").isNotNull)
+        .select(col("source"), col("w1"), col("tok").as("w2"))
+      val bc = bi.groupBy("source", "w1", "w2").agg(count(lit(1)).as("n"))
+      bc.withColumn("rnk", row_number().over(
+          W.partitionBy("source").orderBy(col("n").desc, col("w1"), col("w2"))))
+        .where(col("rnk") <= 10)
+        .orderBy("source", "rnk").collect().map(_.toString).toSeq
+    }
+    assert(rows.map(_.toString).toSeq == direct,
+      "two-phase top-k must equal the direct single-window ranking")
+  }
 }
