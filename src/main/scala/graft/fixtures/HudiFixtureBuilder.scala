@@ -77,7 +77,7 @@ object HudiFixtureBuilder {
     def deleteOwnLock(): Unit =
       try { if (lockContent().exists(_.startsWith(token))) fs.delete(lock, false) }
       catch { case _: java.io.IOException => }
-    val hardDeadline = System.nanoTime() + 1200L * 1000000000L
+    var hardDeadline = System.nanoTime() + 1200L * 1000000000L
     while (System.nanoTime() < hardDeadline) {
       if (fs.exists(marker)) return
       val acquired =
@@ -130,9 +130,14 @@ object HudiFixtureBuilder {
           // identical content (token AND heartbeat counter) for the full
           // 600s wait: a live holder's heartbeat would have advanced the
           // counter, so the holder died — break exactly the lock we
-          // observed, then re-acquire
+          // observed, then re-acquire. The break must buy a fresh
+          // acquisition window: a waiter whose second wait window ends at
+          // the hard deadline would otherwise break the dead lock and
+          // then throw instead of rebuilding.
           try { if (lockContent() == observed) fs.delete(lock, false) }
           catch { case _: java.io.IOException => }
+          hardDeadline = math.max(hardDeadline,
+            System.nanoTime() + 600L * 1000000000L)
         }
         // loop: re-attempt create-exclusive acquisition
       }

@@ -89,30 +89,20 @@ object BloomMightContain {
       },
       "built-in")
 
-  /** Build a bloom over the 64-bit `xxhash64` of `df`'s single column,
-    * merged executor-side partition-wise then driver-side (the build side
-    * is coalesced to bound transient driver copies). Returns serialized
-    * bytes ready for the `graft_bloom_contains` literal argument.
+  /** Build a bloom over the 64-bit `xxhash64` of `df`'s single column via
+    * `stat.bloomFilter` (treeAggregate: partials merge executor-side, ONE
+    * bloom copy reaches the driver; `putLong` over a long column is
+    * bit-compatible with the `mightContainLong` probe — asserted by
+    * BloomMightContainSpec). Returns serialized bytes ready for the
+    * `graft_bloom_contains` literal argument.
     */
   def buildOverHashes(df: org.apache.spark.sql.DataFrame,
       expectedItems: Long, fpp: Double): Array[Byte] = {
     import org.apache.spark.sql.{functions => F}
     val hashes = df.select(F.xxhash64(df.columns.map(df.col).toIndexedSeq: _*).as("h"))
-    val partials = hashes.coalesce(8)
-      .mapPartitions { it =>
-        val b = BloomFilter.create(math.max(expectedItems, 1L), fpp)
-        while (it.hasNext) b.putLong(it.next().getLong(0))
-        val bos = new java.io.ByteArrayOutputStream()
-        b.writeTo(bos)
-        Iterator(bos.toByteArray)
-      }(org.apache.spark.sql.Encoders.BINARY)
-      .collect()
-    val merged = partials
-      .map(bs => BloomFilter.readFrom(new java.io.ByteArrayInputStream(bs)))
-      .reduceOption((a, b) => a.mergeInPlace(b))
-      .getOrElse(BloomFilter.create(1L, fpp))
+    val bloom = hashes.stat.bloomFilter("h", math.max(expectedItems, 1L), fpp)
     val bos = new java.io.ByteArrayOutputStream()
-    merged.writeTo(bos)
+    bloom.writeTo(bos)
     bos.toByteArray
   }
 }

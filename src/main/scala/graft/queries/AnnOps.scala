@@ -279,9 +279,13 @@ object AnnOps {
           System.err.println(f"[prep] $label%-24s ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
         }
         t("qn analyze")(qn.queryExecution.optimizedPlan)
-        t("qn count")(qn.count())
         t("banded analyze")(banded.queryExecution.optimizedPlan)
-        t("banded count")(banded.count())
+        // persist BEFORE the counts: the profiler attributes CACHE-build
+        // cost — counting unpersisted relations would materialize them
+        // twice and measure a path no query takes
+        dfs.foreach(_.persist())
+        t("qn count (cache build)")(qn.count())
+        t("banded count (cache build)")(banded.count())
       }
       // ALWAYS persist: the r5 gate skipped the persist at bench scale
       // (cache build > 2-4 recomputes of a 16-dot signature), but the

@@ -130,23 +130,31 @@ object CurateOps {
     else {
       // bench gram count: one job over the SMALL side, amortized with the
       // bloom bytes in the session registry (keyed by dir)
-      // cache key carries the regime confs: a forced-regime twin
+      // registry key carries the regime confs: a forced-regime twin
       // (maxItems=0) must not be fed a bloom cached under the default
-      // gates, and vice versa
+      // gates — and alternating twins must not evict each other (each
+      // regime gets its own slot, so ScaleRegimeSpec's back-and-forth
+      // doesn't rebuild the bloom per pass)
       val reg = SessionRegistry.of(s)
-      val regime = (d, benchBloomMaxItems(s), benchBloomFpp(s))
+      val key = s"decontam_bloom:$d:${benchBloomMaxItems(s)}:${benchBloomFpp(s)}"
       val bloomOpt = reg.synchronized {
-        val cached = reg.get("decontam_bloom").collect {
-          case (k, b: Option[Array[Byte]] @unchecked) if k == regime => b
+        val cached = reg.get(key).collect {
+          case b: Option[Array[Byte]] @unchecked => b
         }
         cached.getOrElse {
           graft.functions.BloomMightContain.register(s)
-          val n = bg.count()
+          // two jobs consume the bench gram relation (count, bloom build)
+          // — persist across them, drop after (the bloom bytes are the
+          // durable artifact, not the gram rows)
+          bg.persist()
           val b =
-            if (n > benchBloomMaxItems(s)) None
-            else Some(graft.functions.BloomMightContain.buildOverHashes(
-              bg, n, benchBloomFpp(s)))
-          reg.put("decontam_bloom", (regime, b))
+            try {
+              val n = bg.count()
+              if (n > benchBloomMaxItems(s)) None
+              else Some(graft.functions.BloomMightContain.buildOverHashes(
+                bg, n, benchBloomFpp(s)))
+            } finally bg.unpersist(false)
+          reg.put(key, b)
           b
         }
       }

@@ -376,10 +376,16 @@ object TextOps {
     // the corpus — the df-filtered inverted index and the pairs it
     // generates are exactly the artifacts a production dedup pipeline
     // materializes once and shares (the same sharing the simhash pair set
-    // already gets). No regime gate touches candidate generation, so the
-    // forced-regime verify twins still exercise their branches against
-    // the cached pairs.
-    val Seq(docsets, cand) = sharedPrep(s, d, "ngram") {
+    // already gets). The build DOES read the derived-broadcast gate
+    // (gatedBroadcast over the hot set), so the prep is keyed by that
+    // regime like the minhash signatures: the forced-scale twin builds
+    // (and caches) its own candidate relation instead of silently reusing
+    // the broadcast-regime plan — and plan-shape assertions can't be
+    // flipped by whichever twin ran first. The verify-phase gates remain
+    // per-invocation.
+    val ngramKey =
+      if (corpusBytes(s) <= derivedBroadcastMaxBytes(s)) "ngram_bc" else "ngram_aqe"
+    val Seq(docsets, cand) = sharedPrep(s, d, ngramKey) {
       val docsets = s.sql(sparkDocsetsBlocked)
       val shingles = docsets.selectExpr("doc_id", "lang", "source", "explode(shset) AS shingle")
       val key = Seq("lang", "source", "shingle")

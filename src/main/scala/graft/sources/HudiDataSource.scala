@@ -629,8 +629,15 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
     */
   override def metrics(latestConsumedOffset: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
+    // after a checkpoint restart Spark hands the offset recovered from the
+    // offset log as a raw SerializedOffset, not our CommitOffset — match
+    // on json() (Kafka's metrics path does the same)
     val consumed = if (latestConsumedOffset.isPresent)
-      latestConsumedOffset.get.asInstanceOf[CommitOffset].ts else earliest
+      latestConsumedOffset.get match {
+        case c: CommitOffset => c.ts
+        case o => o.json()
+      }
+    else earliest
     val pending = freshTable.timeline.completedInstants
       .iterator.map(_.timestamp).distinct.count(_ > consumed)
     java.util.Map.of(
