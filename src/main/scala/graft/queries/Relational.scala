@@ -381,6 +381,69 @@ object Relational {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
         |  g_flag, g_status""".stripMargin
+    ),
+
+    // --- PIVOT (wide conditional aggregation) -----------------------------
+    // `pivot` with an EXPLICIT value list compiles to ONE hash aggregate
+    // over the group key (no values-discovery job, no extra shuffle) —
+    // the same single-pass shape as the FILTER-clause oracle. Empty cells
+    // surface as NULL from PivotFirst; COALESCE pins them to the oracle's
+    // zero counts.
+    "q_pivot" -> QueryDef(
+      (s, d) =>
+        orders(s, d)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("O", "F", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("O"), lit(0L)).as("n_open"),
+            coalesce(col("F"), lit(0L)).as("n_finished"),
+            coalesce(col("P"), lit(0L)).as("n_pending"))
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(1) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+        |  CAST(COUNT(1) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+        |  CAST(COUNT(1) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    ),
+
+    // --- exact discrete percentiles ---------------------------------------
+    // p50/p95 as ACTUAL data values (nearest-rank): rank each group once,
+    // pick the ceil(q*n)-th value — no interpolation arithmetic, so the
+    // result is a raw input value and hash-stable across engines (a
+    // `percentile_cont` formulation would compare interpolated doubles
+    // whose last ulp depends on each engine's operation order). The
+    // per-group sort IS the cost of exactness: this is the exactness
+    // baseline (like embed_knn_brute); the 100 TB path is
+    // approx_percentile's mergeable sketch, traded off per use.
+    "q_percentile_disc" -> QueryDef(
+      (s, d) => {
+        val byFlag = Window.partitionBy("l_returnflag")
+        val ranked = lineitem(s, d).select(
+          col("l_returnflag"), col("l_extendedprice").as("v"),
+          row_number().over(byFlag.orderBy("l_extendedprice")).as("rn"),
+          count(lit(1)).over(byFlag).as("n"))
+        ranked.groupBy("l_returnflag")
+          .agg(
+            max(when(col("rn") === ceil(lit(0.5) * col("n")).cast(LongType), col("v"))).as("p50"),
+            max(when(col("rn") === ceil(lit(0.95) * col("n")).cast(LongType), col("v"))).as("p95"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |    COUNT(1) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END) AS p95,
+        |  CAST(COUNT(1) AS BIGINT) AS n_rows
+        |FROM ranked
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
     )
   )
 
