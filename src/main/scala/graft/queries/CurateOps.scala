@@ -243,20 +243,38 @@ object CurateOps {
   private def lmBigramSql(spark: Boolean): String = {
     val toks =
       if (spark)
-        """SELECT doc_id, pos, tok FROM (
-          |    SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok) FROM corpus)""".stripMargin
+        "SELECT doc_id, explode(split(text, ' ')) AS tok FROM corpus"
       else
         """SELECT doc_id, UNNEST(range(1, len(a) + 1)) AS pos, UNNEST(a) AS tok
           |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM corpus)""".stripMargin
     val cnt = (e: String) => if (spark) e else s"CAST($e AS BIGINT)"
+    // Spark derives bigrams MAP-SIDE from the split array (adjacent pairs
+    // via transform over indices): zero shuffle before the count
+    // aggregates. The LAG formulation this replaces repartitioned the
+    // whole exploded token stream by doc_id and sorted it — a full-corpus
+    // shuffle that exists only to recover adjacency the array already
+    // has. The guard keeps sub-2-token docs out of `sequence` (a stop
+    // below start would generate a DESCENDING sequence, not an empty
+    // one). DuckDB keeps the window formulation: an independently-shaped
+    // oracle is the point.
+    val bids =
+      if (spark)
+        """bids AS (
+          |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+          |    SELECT doc_id, explode(transform(sequence(1, size(a) - 1),
+          |      i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))) AS b
+          |    FROM (SELECT doc_id, split(text, ' ') AS a FROM corpus)
+          |    WHERE size(a) >= 2)),""".stripMargin
+      else
+        """bi AS (
+          |  SELECT doc_id, tok AS w2,
+          |    LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+          |  FROM toks),
+          |bids AS (SELECT doc_id, w1, w2 FROM bi WHERE w1 IS NOT NULL),""".stripMargin
     s"""WITH corpus AS ($corpusSql),
        |toks AS (
        |  $toks),
-       |bi AS (
-       |  SELECT doc_id, tok AS w2,
-       |    LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
-       |  FROM toks),
-       |bids AS (SELECT doc_id, w1, w2 FROM bi WHERE w1 IS NOT NULL),
+       |$bids
        |bc AS (SELECT w1, w2, ${cnt("COUNT(1)")} AS c12 FROM bids GROUP BY w1, w2),
        |uc AS (SELECT w1, ${cnt("COUNT(1)")} AS c1 FROM bids GROUP BY w1),
        |v AS (SELECT ${cnt("COUNT(DISTINCT tok)")} AS vocab FROM toks),
@@ -345,13 +363,25 @@ object CurateOps {
     */
   private val hhK = 10
   private def heavyHittersSql(spark: Boolean): String = {
-    val toks =
+    // Spark: map-side bigrams from the split array (see lmBigramSql — no
+    // full-corpus LAG shuffle); DuckDB keeps the independent window shape.
+    val bids =
       if (spark)
-        """SELECT doc_id, source, posexplode(split(text, ' ')) AS (pos, tok)
-          |  FROM documents""".stripMargin
+        """bids AS (
+          |  SELECT source, b.w1 AS w1, b.w2 AS w2 FROM (
+          |    SELECT source, explode(transform(sequence(1, size(a) - 1),
+          |      i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))) AS b
+          |    FROM (SELECT source, split(text, ' ') AS a FROM documents)
+          |    WHERE size(a) >= 2)),""".stripMargin
       else
-        """SELECT doc_id, source, UNNEST(range(1, len(a) + 1)) AS pos, UNNEST(a) AS tok
-          |  FROM (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents)""".stripMargin
+        """toks AS (
+          |  SELECT doc_id, source, UNNEST(range(1, len(a) + 1)) AS pos, UNNEST(a) AS tok
+          |  FROM (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents)),
+          |bi AS (
+          |  SELECT source, tok AS w2,
+          |    LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+          |  FROM toks),
+          |bids AS (SELECT source, w1, w2 FROM bi WHERE w1 IS NOT NULL),""".stripMargin
     val cnt = (e: String) => if (spark) e else s"CAST($e AS BIGINT)"
     val topsrc =
       if (spark)
@@ -363,15 +393,10 @@ object CurateOps {
            |topsrc AS (SELECT source, w1, w2, n FROM pre WHERE pr <= $hhK)""".stripMargin
       else "topsrc AS (SELECT source, w1, w2, n FROM bc)"
     val rnk = s"ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, w1, w2)"
-    s"""WITH toks AS (
-       |  $toks),
-       |bi AS (
-       |  SELECT source, tok AS w2,
-       |    LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
-       |  FROM toks),
+    s"""WITH $bids
        |bc AS (
        |  SELECT source, w1, w2, ${cnt("COUNT(1)")} AS n
-       |  FROM bi WHERE w1 IS NOT NULL GROUP BY source, w1, w2),
+       |  FROM bids GROUP BY source, w1, w2),
        |$topsrc,
        |rk AS (
        |  SELECT source, w1, w2, n,
