@@ -118,6 +118,36 @@ object HudiQueries {
       },
       logOnlySnapshotSql),
 
+    // --- Incremental change classification (CDC building block) ----------
+    // ChangeClassifier over the log-only fixture, both branches exercised
+    // in one entry: (T1, T2] surfaces the base-less group's birth (every
+    // row a fresh key -> insert, pre-update status as of T2), (T2, T3]
+    // surfaces the T3 log updates (keys existed at T2 -> update, status
+    // 'U'). Deleted-only keys are invisible to an incremental read by
+    // definition (documented; the reference has no row-level change
+    // events either — CDC blocks are plain data, scanner.rs:182).
+    "hudi_incremental_classified" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val t = HudiTable(s, HudiFixtureBuilder.morLogOnlyPath(d))
+        def part(start: String, end: String, label: String) =
+          graft.table.ChangeClassifier.changes(t, start, end)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("change_type"), lit(label).as("commit_range"))
+        part(HudiFixtureBuilder.T1, HudiFixtureBuilder.T2, "r1")
+          .unionAll(part(HudiFixtureBuilder.T2, HudiFixtureBuilder.T3, "r2"))
+          .orderBy("commit_range", "o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, change_type, commit_range FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    'insert' AS change_type, 'r1' AS commit_range
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    'update' AS change_type, 'r2' AS commit_range
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0)
+        |ORDER BY commit_range, o_orderkey""".stripMargin),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(
