@@ -92,9 +92,31 @@ object Bench {
     val totalCold = cold.values.filter(_ >= 0).sum
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     spark.stop()
-    // Single-line JSON on stdout, after spark.stop() so no further output
-    // (executor shutdown logs go to stderr) can interleave with it.
-    System.out.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(best)},"queries_cold":${js(cold)},"total_cold":$totalCold,"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
+    // Two outputs. The FULL per-query report (cold + min, full precision)
+    // goes to BENCH_FULL.json in the repo root: with 75+ queries the
+    // per-query maps alone exceed the ~2000 chars of stdout tail the
+    // round harness captures, which is why every BENCH_r*.json so far
+    // carries parsed:null and a head-truncated line — the full report
+    // must live where line length doesn't matter.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(best)},"queries_cold":${js(cold)},"total_cold":$totalCold,"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
+    try java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException => System.err.println(s"[bench] full report write failed: $e") }
+    // Stdout gets ONE compact line that FITS the tail capture and parses:
+    // spec-shaped (metric/value/unit/queries/sf), with "queries" holding
+    // the slowest entries at ms precision — the ones a plan audit reads —
+    // plus an explicit omission bound (no silent caps) and the pointer to
+    // the full file. Printed after spark.stop() so nothing interleaves.
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val topN = 40
+    val ranked = best.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+    val top = ranked.take(topN)
+    val omitted = ranked.drop(topN)
+    val omittedMax = if (omitted.isEmpty) 0.0 else omitted.head._2
+    val topJs = top.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    System.out.println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJs,"n_queries":${best.size},"n_omitted":${omitted.size},"omitted_each_below":${r3(omittedMax)},"total_cold":${r3(totalCold)},"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min","full":"BENCH_FULL.json"}""")
     System.out.flush()
   }
 }
