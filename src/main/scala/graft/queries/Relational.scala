@@ -292,6 +292,33 @@ object Relational {
         |ORDER BY hour, event_type""".stripMargin
     ),
 
+    // --- salted join for skewed keys ---------------------------------------
+    // The same enrich-and-aggregate a plain join would compute, executed
+    // through operators/SkewJoin: per-row salt on the fact side, dim
+    // replicated 8 ways, join on (user_id, salt) — a hot user's events
+    // spread over 8 tasks instead of one straggler. The oracle is the
+    // UNSALTED join: identical output is the point.
+    "q_skew_salted_join" -> QueryDef(
+      (s, d) => {
+        val ev = events(s, d)
+        val dim = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+        graft.operators.SkewJoin.saltedInner(ev, dim, "user_id", salts = 8)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            count(when(col("ts") >= col("first_ts") + expr("INTERVAL 7 DAYS"), 1)).as("n_mature"),
+            dsum(col("value")).as("total_value"))
+          .orderBy("event_type")
+      },
+      """WITH dim AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+        |SELECT e.event_type, COUNT(1) AS n_events,
+        |  COUNT(CASE WHEN e.ts >= d.first_ts + INTERVAL 7 DAY THEN 1 END) AS n_mature,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin
+    ),
+
     // --- dimension-join rollup ---------------------------------------------
     // part scales with SF, so the broadcast decision belongs to the size
     // estimate + AQE (which picks broadcast at bench scale) — a forced

@@ -130,8 +130,72 @@ object TemporalOps {
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** SCD2 interval builder: collapse a keyed change stream into
+    * type-2 dimension rows — one row per (key, consecutive run of an
+    * attribute value) with `[valid_from, valid_to)` validity and a
+    * version number. The warehouse-standard history table, derived here
+    * from `events` with the tracked attribute = the event's value band
+    * (`floor(value / 10)` — changes often enough to exercise runs).
+    *
+    * Shape: LAG + running SUM over the SAME (user_id)-partitioned
+    * window (one shuffle), an aggregate per run, then LEAD over the
+    * RUNS relation (orders of magnitude smaller) for valid_to — no
+    * global window, skew bounded by the hottest key, the sessionize
+    * cost model exactly.
+    */
+  private def scd2Impl(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, d)
+      .withColumn("band", floor(col("value") / 10.0).cast("int"))
+      .withColumn("chg",
+        when(lag(col("band"), 1).over(byUser).isNull ||
+          lag(col("band"), 1).over(byUser) =!= col("band"), 1).otherwise(0))
+      .withColumn("version",
+        sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "version")
+      .agg(
+        min(col("band")).as("band"), // constant within a run
+        min(col("ts")).cast("timestamp_ntz").as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val byUserVersion = Window.partitionBy("user_id").orderBy("version")
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byUserVersion))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "band", "valid_from", "valid_to", "n_events", "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  private val scd2Oracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(value / 10.0) AS INT) AS band
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, ts, event_id, band,
+      |    CASE WHEN LAG(band) OVER w IS NULL OR LAG(band) OVER w <> band
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM marked
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, ts, band,
+      |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM chg),
+      |agg AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version, MIN(band) AS band,
+      |    CAST(MIN(ts) AS TIMESTAMP) AS valid_from,
+      |    COUNT(1) AS n_events
+      |  FROM runs GROUP BY user_id, version)
+      |SELECT user_id, version, band, valid_from,
+      |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+      |  n_events,
+      |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+      |FROM agg
+      |ORDER BY user_id, version""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
     "q_sessionize" -> QueryDef(sessionizeImpl _, sessionizeOracle),
-    "q_asof_join" -> QueryDef(asofImpl _, asofOracle)
+    "q_asof_join" -> QueryDef(asofImpl _, asofOracle),
+    "q_scd2_intervals" -> QueryDef(scd2Impl _, scd2Oracle)
   )
 }
