@@ -343,7 +343,39 @@ object PipelineOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- Weighted (PPS) source-rebalancing sample ----------------------------
+  // The data-mixing primitive: sample each source at its OWN rate so the
+  // output mix hits a target composition — here "balanced": ~10 docs per
+  // source regardless of source size (rate_s = k / n_s), the uniform
+  // special case of temperature-flattened mixing (rate_s ∝ (n_s/N)^(α-1);
+  // any α only changes the one-row-per-source threshold arithmetic).
+  // Inclusion is a pure key predicate — hash60(doc) under a per-source
+  // integer threshold — so membership is deterministic, append-stable,
+  // and engine-identical (the sample_split discipline, with a per-group
+  // rate instead of a global one). Counts are Poisson-distributed around
+  // k, not exact-k: PPS semantics, no per-source sort or window. The
+  // per-source threshold relation is dictionary-sized and broadcast;
+  // the filter itself is map-side.
+  private val weightedTargetPerSource = 10
+  private def weightedSql(spark: Boolean): String = {
+    val h =
+      if (spark) "CAST(conv(substring(md5(CONCAT('w:', doc_id)), 1, 15), 16, 10) AS BIGINT)"
+      else "CAST(('0x' || substring(md5(CONCAT('w:', doc_id)), 1, 15)) AS BIGINT)"
+    s"""WITH counts AS (SELECT source, COUNT(1) AS n_s FROM documents GROUP BY source),
+       |thr AS (
+       |  SELECT source, n_s,
+       |    CAST(floor(($weightedTargetPerSource.0 / CAST(n_s AS DOUBLE)) * 1000000.0)
+       |         AS BIGINT) AS thr
+       |  FROM counts)
+       |SELECT d.doc_id, d.source, t.thr
+       |FROM documents d JOIN thr t ON d.source = t.source
+       |WHERE $h % 1000000 < t.thr
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private val qs: Map[String, QueryDef] = Map(
+    "sample_weighted" -> QueryDef(
+      (s, d) => sq(s, d, weightedSql(spark = true)), weightedSql(spark = false)),
     "text_chunk_windows" -> QueryDef(
       (s, d) => sq(s, d, chunkSql(spark = true)), chunkSql(spark = false)),
     "pipeline_pack_sequences" -> QueryDef(
