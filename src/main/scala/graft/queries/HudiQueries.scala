@@ -246,6 +246,53 @@ object HudiQueries {
         |            ELSE 20240101000000000 END AS BIGINT) AS commit_ord
         |FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey""".stripMargin),
 
+    // --- S4 + windowed aggregation: commit-time tumbling counts ----------
+    // The OTHER streaming state path (built-in streaming aggregation,
+    // complete mode) driven end-to-end through the hudi-graft source:
+    // stream.commits.per.batch=1 forces one micro-batch per commit, so
+    // the windowed count state genuinely accumulates ACROSS batches —
+    // batch(T1] all rows, batch(T2] the update rows, batch(T3] empty
+    // (delete-only commits surface no rows by incremental semantics).
+    // Windows = commit days, so the expected counts are exact: day 1
+    // counts every order at its original status, day 2 counts the %7
+    // updates as 'U'. Complete mode needs no watermark contract and the
+    // memory sink holds the final full result.
+    "hudi_stream_windowed" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val stream = s.readStream.format("hudi-graft")
+          .option("stream.commits.per.batch", "1")
+          .load(HudiFixtureBuilder.morPath(d))
+        val windowed = graft.streaming.StreamOps.windowedCounts(
+          stream.withColumn("event_ts",
+            to_timestamp(substring(col("_hoodie_commit_time"), 1, 14), "yyyyMMddHHmmss")),
+          "event_ts", "1 day", "1 second",
+          Seq("o_orderstatus"), Seq(count(lit(1)).as("n")))
+        val sink = "graft_stream_windowed_sink"
+        s.catalog.dropTempView(sink)
+        val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try windowed.writeStream.outputMode("complete").format("memory")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .queryName(sink).start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .select(col("window.start").cast("timestamp_ntz").as("w"),
+            col("o_orderstatus"), col("n"))
+          .orderBy("w", "o_orderstatus")
+      },
+      """SELECT w, o_orderstatus, n FROM (
+        |  SELECT TIMESTAMP '2024-01-01 00:00:00' AS w, o_orderstatus,
+        |    CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT TIMESTAMP '2024-01-02 00:00:00' AS w, 'U' AS o_orderstatus,
+        |    CAST(COUNT(1) AS BIGINT) AS n
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |ORDER BY w, o_orderstatus""".stripMargin),
+
     // --- P6: dropped partition columns re-injected from partition paths --
     "hudi_dropped_partition_cols" -> QueryDef(
       (s, d) => {
