@@ -100,7 +100,14 @@ object Bench {
     // must live where line length doesn't matter.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(best)},"queries_cold":${js(cold)},"total_cold":$totalCold,"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
+    // anchor to the repo root (nearest ancestor with build.sbt), not the
+    // process cwd — a spark-submit from elsewhere must not scatter the
+    // report or break the stdout line's "full" pointer
+    val repoRoot = Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).take(16)
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+    val fullPath = repoRoot.resolve("BENCH_FULL.json")
     try java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException => System.err.println(s"[bench] full report write failed: $e") }
     // Stdout gets ONE compact line that FITS the tail capture and parses:
@@ -113,10 +120,12 @@ object Bench {
     val ranked = best.toSeq.filter(_._2 >= 0).sortBy(-_._2)
     val top = ranked.take(topN)
     val omitted = ranked.drop(topN)
-    val omittedMax = if (omitted.isEmpty) 0.0 else omitted.head._2
+    // an honest tail bound: round UP so no omitted entry can exceed it
+    val omittedMax =
+      if (omitted.isEmpty) 0.0 else math.ceil(omitted.head._2 * 1000) / 1000
     val topJs = top.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     System.out.println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJs,"n_queries":${best.size},"n_omitted":${omitted.size},"omitted_each_below":${r3(omittedMax)},"total_cold":${r3(totalCold)},"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min","full":"BENCH_FULL.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJs,"n_queries":${best.size},"n_omitted":${omitted.size},"omitted_max":$omittedMax,"total_cold":${r3(totalCold)},"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min","full":"BENCH_FULL.json"}""")
     System.out.flush()
   }
 }

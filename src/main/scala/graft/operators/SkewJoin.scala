@@ -41,6 +41,8 @@ object SkewJoin {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(fact.columns.contains(key) && dim.columns.contains(key),
       s"join key '$key' must exist on both sides")
+    require(!fact.columns.contains(SaltCol) && !dim.columns.contains(SaltCol),
+      s"inputs must not already carry a '$SaltCol' column (withColumn would clobber it)")
     val salted = fact.withColumn(
       SaltCol, pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
     val replicated = dim.withColumn(

@@ -43,9 +43,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ApproxOps {
 
   /** 60-bit non-negative BIGINT from md5 — identical bits in both engines. */
-  private def hash60(spark: Boolean, x: String): String =
-    if (spark) s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
-    else s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
+  private def hash60(spark: Boolean, x: String): String = CrossEngine.hash60(spark, x)
 
   /** DuckDB SUM/window counts come back HUGEINT/BIGINT where Spark has
     * BIGINT/INT; the duck side casts to match Spark's types exactly.
@@ -54,7 +52,7 @@ object ApproxOps {
     if (spark) e else s"CAST($e AS BIGINT)"
 
   private def sq(s: SparkSession, d: String, tables: Seq[String])(sql: String): DataFrame = {
-    tables.foreach(n => Tables.ensureView(s, d, n)(Tables.t(s, d, n)))
+    tables.foreach(n => Tables.ensureView(s, d, n)(Tables.load(s, d, n)))
     s.sql(sql)
   }
 

@@ -194,8 +194,7 @@ object CurateOps {
     val nTokens =
       if (spark) "size(split(text, ' '))" else "len(string_split(text, ' '))"
     val digest =
-      if (spark) "bit_xor(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT))"
-      else "bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT))"
+      s"bit_xor(${CrossEngine.hash60(spark, s"CAST(doc_id AS ${CrossEngine.strType(spark)})")})"
     val sumCast = (e: String) =>
       if (spark) s"SUM($e)" else s"CAST(SUM($e) AS BIGINT)"
     s"""WITH corpus AS ($corpusSql),

@@ -152,10 +152,7 @@ object PipelineOps {
     // state, map-side-combinable, order-independent; a sorted collect_list
     // per split is driver-sized at 100 TB (a split holds most of the corpus)
     val membersHash =
-      if (spark)
-        "bit_xor(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT))"
-      else
-        "bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT))"
+      s"bit_xor(${CrossEngine.hash60(spark, s"CAST(doc_id AS ${CrossEngine.strType(spark)})")})"
     s"""WITH splits AS (
        |  SELECT doc_id,
        |    CASE WHEN substring(md5(CAST(doc_id AS $castStr)), 1, 1) < 'c' THEN 'train'
@@ -322,9 +319,8 @@ object PipelineOps {
     val castStr = if (spark) "STRING" else "VARCHAR"
     val len = if (spark) "size" else "len"
     val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
-    val bucket =
-      if (spark) "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2), 16, 10) AS INT)"
-      else "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)"
+    val bucket = CrossEngine.hexDigest(
+      spark, s"CAST(doc_id AS ${CrossEngine.strType(spark)})", width = 2, castTo = "INT")
     s"""WITH toks AS (
        |  SELECT doc_id, $bucket AS bucket,
        |    CAST($len($split) AS BIGINT) AS n_tokens,
@@ -358,9 +354,7 @@ object PipelineOps {
   // the filter itself is map-side.
   private val weightedTargetPerSource = 10
   private def weightedSql(spark: Boolean): String = {
-    val h =
-      if (spark) "CAST(conv(substring(md5(CONCAT('w:', doc_id)), 1, 15), 16, 10) AS BIGINT)"
-      else "CAST(('0x' || substring(md5(CONCAT('w:', doc_id)), 1, 15)) AS BIGINT)"
+    val h = CrossEngine.hash60(spark, "CONCAT('w:', doc_id)")
     s"""WITH counts AS (SELECT source, COUNT(1) AS n_s FROM documents GROUP BY source),
        |thr AS (
        |  SELECT source, n_s,

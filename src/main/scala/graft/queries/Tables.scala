@@ -39,6 +39,25 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
 
+  /** Canonical loader by table name: routes through the per-table
+    * accessors so fixups (fixEventTs on `events`) apply on EVERY
+    * registration path — registering a view from raw `t()` would
+    * silently diverge from the accessor the other queries read.
+    */
+  def load(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "lineitem" => lineitem(s, d)
+    case "orders" => orders(s, d)
+    case "customer" => customer(s, d)
+    case "supplier" => supplier(s, d)
+    case "part" => part(s, d)
+    case "nation" => nation(s, d)
+    case "region" => region(s, d)
+    case "events" => events(s, d)
+    case "documents" => documents(s, d)
+    case "embeddings" => embeddings(s, d)
+    case other => throw new IllegalArgumentException(s"unknown test table '$other'")
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
