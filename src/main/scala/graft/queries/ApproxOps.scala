@@ -62,13 +62,27 @@ object ApproxOps {
   // MAX. The raw estimate alpha_m * m^2 / SUM(2^-rho) is computed from an
   // EXACT integer S = SUM(2^(53-rho)) (fits: 256 * 2^53 < 2^62), so the
   // only float ops are two multiplies and one divide over identical
-  // operands. No small-range linear-counting branch — it would need ln(),
-  // and at ~1300 distinct trigrams per source (n/m ~ 5) the raw estimate
-  // is in its calibrated regime.
+  // operands. Below the standard 2.5m small-range threshold the estimate
+  // switches to linear counting m*ln(m/V) (V = empty registers) — the ln
+  // rounds to 8 decimals before the multiply, the text_lm_bigram
+  // discipline for absorbing cross-libm ulp drift.
   private val M = 256
   private val Alpha = "0.7182725932495458" // 0.7213 / (1 + 1.079/m), m = 256
   private val Pow52 = "4503599627370496" // 2^52: bucket DIV / remainder split
   private val Pow53 = "9007199254740992" // 2^53: empty-register term
+
+  /** The corrected estimate over an `agg` row (columns `filled`,
+    * `s_filled`): raw harmonic-mean estimate, or linear counting in the
+    * small range (raw <= 2.5m and some register still empty).
+    */
+  private def hllEstimate(aggRef: String): String = {
+    val raw =
+      s"""((CAST($Alpha AS DOUBLE) * ${M * M}.0) * $Pow53.0)
+         |    / CAST($aggRef.s_filled + ($M - $aggRef.filled) * $Pow53 AS DOUBLE)""".stripMargin
+    s"""CASE WHEN $aggRef.filled < $M AND ($raw) <= ${(2.5 * M).toInt}.0
+       |  THEN ${M}.0 * round(ln(${M}.0 / CAST($M - $aggRef.filled AS DOUBLE)), 8)
+       |  ELSE ($raw) END""".stripMargin
+  }
 
   private def hllSql(spark: Boolean): String = {
     val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
@@ -100,11 +114,59 @@ object ApproxOps {
        |exact AS (
        |  SELECT source, COUNT(DISTINCT gram) AS exact_distinct FROM grams GROUP BY source)
        |SELECT a.source, a.filled,
-       |  ((CAST($Alpha AS DOUBLE) * ${M * M}.0) * $Pow53.0)
-       |    / CAST(a.s_filled + ($M - a.filled) * $Pow53 AS DOUBLE) AS est_distinct,
+       |  ${hllEstimate("a")} AS est_distinct,
        |  e.exact_distinct
        |FROM agg a JOIN exact e ON a.source = e.source
        |ORDER BY a.source""".stripMargin
+  }
+
+  // --- HLL column profile (ANALYZE TABLE, sketch-backed) -------------------
+  // The table-profiling pass a pipeline runs before planning joins and
+  // mixes: per column, row/null counts and an HLL distinct estimate — in
+  // ONE scan. Rows unpivot to (colname, value) via a CASE against a
+  // 6-row column-name relation (the portable spelling of stack/UNPIVOT,
+  // same single-scan Expand shape), then the sketch_hll_distinct register
+  // math runs per column instead of per source. Only integer- and
+  // string-typed columns are profiled: a float column's CAST-to-string
+  // rendering is engine-specific (the exact-distinct audit would be fine,
+  // but the hashed VALUES must be byte-identical).
+  private val ProfileCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+  private def profileSql(spark: Boolean): String = {
+    val str = CrossEngine.strType(spark)
+    val names = ProfileCols.map(c => s"SELECT '$c' AS colname").mkString(" UNION ALL ")
+    val cases = ProfileCols.map(c => s"WHEN '$c' THEN CAST($c AS $str)").mkString(" ")
+    val idiv = if (spark) "DIV" else "//"
+    val shl =
+      if (spark) "shiftleft(CAST(1 AS BIGINT), 53 - rho)"
+      else "(CAST(1 AS BIGINT) << (53 - rho))"
+    s"""WITH cols AS ($names),
+       |vals AS (
+       |  SELECT c.colname, CASE c.colname $cases END AS v
+       |  FROM lineitem CROSS JOIN cols c),
+       |counts AS (
+       |  SELECT colname, COUNT(1) AS n_rows,
+       |    ${big(spark, "SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)")} AS n_null
+       |  FROM vals GROUP BY colname),
+       |regs AS (
+       |  SELECT colname, h $idiv $Pow52 AS bucket,
+       |    MAX(CASE WHEN h % $Pow52 = 0 THEN 53
+       |             ELSE 53 - length(bin(h % $Pow52)) END) AS rho
+       |  FROM (SELECT colname, ${hash60(spark, "v")} AS h FROM vals WHERE v IS NOT NULL)
+       |  GROUP BY colname, h $idiv $Pow52),
+       |agg AS (
+       |  SELECT colname, COUNT(1) AS filled, ${big(spark, s"SUM($shl)")} AS s_filled
+       |  FROM regs GROUP BY colname),
+       |exact AS (
+       |  SELECT colname, COUNT(DISTINCT v) AS exact_distinct FROM vals GROUP BY colname)
+       |SELECT c.colname, c.n_rows, c.n_null,
+       |  ${hllEstimate("a")} AS est_distinct,
+       |  e.exact_distinct
+       |FROM counts c
+       |JOIN agg a ON c.colname = a.colname
+       |JOIN exact e ON c.colname = e.colname
+       |ORDER BY c.colname""".stripMargin
   }
 
   // --- Count-min sketch ----------------------------------------------------
@@ -231,6 +293,9 @@ object ApproxOps {
     "sketch_hll_distinct" -> QueryDef(
       (s, d) => sq(s, d, Seq("documents"))(hllSql(spark = true)),
       hllSql(spark = false)),
+    "sketch_profile" -> QueryDef(
+      (s, d) => sq(s, d, Seq("lineitem"))(profileSql(spark = true)),
+      profileSql(spark = false)),
     "sketch_cms_counts" -> QueryDef(
       (s, d) => sq(s, d, Seq("documents"))(cmsSql(spark = true)),
       cmsSql(spark = false)),

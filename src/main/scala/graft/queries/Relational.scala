@@ -410,6 +410,32 @@ object Relational {
         |  g_flag, g_status""".stripMargin
     ),
 
+    // --- CUBE (full grouping-set lattice) ---------------------------------
+    // rollup's sibling: all 4 grouping sets in ONE Expand + hash aggregate
+    // (no union of 4 scans); same grouping-flag total-order discipline.
+    "q_cube" -> QueryDef(
+      (s, d) =>
+        lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(
+            grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+            grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(
+            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+            col("g_flag"), col("g_status")),
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(1) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+        |  g_flag, g_status""".stripMargin
+    ),
+
     // --- PIVOT (wide conditional aggregation) -----------------------------
     // `pivot` with an EXPLICIT value list compiles to ONE hash aggregate
     // over the group key (no values-discovery job, no extra shuffle) —

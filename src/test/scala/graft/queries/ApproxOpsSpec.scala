@@ -47,6 +47,19 @@ class ApproxOpsSpec extends SparkTestBase {
     assert(windows.isEmpty, s"sketch build must be window-free, got: $windows")
   }
 
+  test("profile estimates stay near exact across 4 orders of cardinality magnitude") {
+    val rows = df("sketch_profile").collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("exact_distinct")
+      // linear counting handles the tiny-cardinality columns (2..7
+      // distinct), the raw harmonic estimate the 10k-scale key columns
+      assert(math.abs(est / exact - 1.0) < 0.26,
+        s"${r.getAs[String]("colname")}: est $est vs exact $exact")
+    }
+  }
+
   test("CMS never underestimates and is exact where no buckets collide") {
     val rows = df("sketch_cms_counts").collect()
     assert(rows.length == 8)
