@@ -245,6 +245,34 @@ object Relational {
         |ORDER BY user_id, event_id""".stripMargin
     ),
 
+    // --- event-time RANGE frame (trailing-window aggregates) ---------------
+    // The sliding-aggregate shape (`how much did this user do in the hour
+    // BEFORE each event`) as a RANGE frame over exact epoch-µs — a true
+    // range join collapsed into one key-partitioned window, no self-join,
+    // no explode. Peers at the same µs are in-frame together, so tie
+    // order cannot change the result.
+    "q_window_range_frame" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, 0)
+        events(s, d)
+          .filter(col("user_id") < 10)
+          .withColumn("n_trailing_1h", count(lit(1)).over(w))
+          .withColumn("sum_trailing_1h",
+            sum(col("value").cast(DecimalType(18, 4))).over(w).cast(DoubleType))
+          .select("user_id", "event_id", "n_trailing_1h", "sum_trailing_1h")
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(1) OVER w AS BIGINT) AS n_trailing_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_trailing_1h
+        |FROM events
+        |WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin
+    ),
+
     // --- semi / anti joins -------------------------------------------------
     "q_semi_join" -> QueryDef(
       (s, d) =>

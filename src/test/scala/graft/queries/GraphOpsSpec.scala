@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** PageRank invariants plus the property that makes ten DataFrame
+  * iterations viable at scale: localCheckpoint cuts lineage, so the
+  * final plan must NOT contain the 10-iteration join chain.
+  */
+class GraphOpsSpec extends SparkTestBase {
+
+  private lazy val result = SparkEntry.queries("graph_pagerank")(spark, sfDir)
+
+  test("ranks are positive, strictly ordered, and nodes distinct") {
+    val rows = result.collect()
+    assert(rows.length == 20)
+    val prs = rows.map(_.getAs[Long]("pr"))
+    assert(prs.forall(_ > 0))
+    assert(prs.sameElements(prs.sorted.reverse))
+    assert(rows.map(_.getAs[String]("node")).distinct.length == 20)
+    // the bipartite graph's small side (100 suppliers vs ~1.5k customers)
+    // concentrates degree, so suppliers must dominate the top ranks
+    assert(rows.take(5).forall(_.getAs[String]("node").startsWith("s")))
+  }
+
+  test("checkpointing cut the iteration lineage out of the final plan") {
+    val joins = result.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // without the per-iteration localCheckpoint the plan would carry ten
+    // chained (edges ⋈ ranks) joins; after the cut only the final top-k
+    // projection over a LogicalRDD remains
+    assert(joins.isEmpty,
+      s"final plan must read the checkpointed ranks, found ${joins.length} joins")
+    val rdds = result.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r
+    }
+    assert(rdds.nonEmpty, "expected a LogicalRDD scan of the checkpointed ranks")
+  }
+}
