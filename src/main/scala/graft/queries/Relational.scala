@@ -22,6 +22,23 @@ object Relational {
   import Tables._
 
   /** Exact decimal sum of a (≤2-dp, <1e14) double column, returned as double. */
+  /** "Orders above twice their customer's average" spelled as
+    * `price * count > 2 * sum` — every comparand an EXACT decimal/int
+    * product (an AVG would divide, and decimal-division scale rules and
+    * DuckDB's double AVG both break cross-engine bit-equality). The
+    * same text runs on both engines: Catalyst de-correlates the two
+    * scalar subqueries into aggregate + equi-join
+    * (RewriteCorrelatedScalarSubquery), DuckDB plans them natively.
+    */
+  private val scalarSubquerySql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+      |    (SELECT COUNT(1) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |  > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,4)))
+      |         FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
@@ -243,6 +260,20 @@ object Relational {
         |FROM events
         |WHERE user_id < 10
         |ORDER BY user_id, event_id""".stripMargin
+    ),
+
+    // --- correlated scalar subquery ----------------------------------------
+    // Orders priced above their customer's own average — the correlated
+    // aggregate subquery shape. Catalyst de-correlates it into an
+    // aggregate + equi-join (RewriteCorrelatedScalarSubquery), so the
+    // executed plan is the same one-shuffle join a hand-written version
+    // would get; the oracle keeps the correlated spelling.
+    "q_scalar_subquery" -> QueryDef(
+      (s, d) => {
+        Tables.ensureView(s, d, "orders")(orders(s, d))
+        s.sql(scalarSubquerySql)
+      },
+      scalarSubquerySql
     ),
 
     // --- event-time RANGE frame (trailing-window aggregates) ---------------
