@@ -122,11 +122,13 @@ object ApproxOps {
 
   // --- HLL column profile (ANALYZE TABLE, sketch-backed) -------------------
   // The table-profiling pass a pipeline runs before planning joins and
-  // mixes: per column, row/null counts and an HLL distinct estimate — in
-  // ONE scan. Rows unpivot to (colname, value) via a CASE against a
-  // 6-row column-name relation (the portable spelling of stack/UNPIVOT,
-  // same single-scan Expand shape), then the sketch_hll_distinct register
-  // math runs per column instead of per source. Only integer- and
+  // mixes: per column, row/null counts and an HLL distinct estimate.
+  // Rows unpivot to (colname, value) via a CASE against a 6-row
+  // column-name relation (the portable spelling of stack/UNPIVOT), and
+  // the unpivot feeds TWO aggregates — the row/null/exact stats and the
+  // sketch_hll_distinct register math per column. An all-NULL column
+  // still profiles (LEFT JOIN + zero registers → linear counting reports
+  // 0 distinct) instead of vanishing from the output. Only integer- and
   // string-typed columns are profiled: a float column's CAST-to-string
   // rendering is engine-specific (the exact-distinct audit would be fine,
   // but the hashed VALUES must be byte-identical).
@@ -145,9 +147,10 @@ object ApproxOps {
        |vals AS (
        |  SELECT c.colname, CASE c.colname $cases END AS v
        |  FROM lineitem CROSS JOIN cols c),
-       |counts AS (
+       |stats AS (
        |  SELECT colname, COUNT(1) AS n_rows,
-       |    ${big(spark, "SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)")} AS n_null
+       |    ${big(spark, "SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)")} AS n_null,
+       |    COUNT(DISTINCT v) AS exact_distinct
        |  FROM vals GROUP BY colname),
        |regs AS (
        |  SELECT colname, h $idiv $Pow52 AS bucket,
@@ -158,15 +161,16 @@ object ApproxOps {
        |agg AS (
        |  SELECT colname, COUNT(1) AS filled, ${big(spark, s"SUM($shl)")} AS s_filled
        |  FROM regs GROUP BY colname),
-       |exact AS (
-       |  SELECT colname, COUNT(DISTINCT v) AS exact_distinct FROM vals GROUP BY colname)
-       |SELECT c.colname, c.n_rows, c.n_null,
-       |  ${hllEstimate("a")} AS est_distinct,
-       |  e.exact_distinct
-       |FROM counts c
-       |JOIN agg a ON c.colname = a.colname
-       |JOIN exact e ON c.colname = e.colname
-       |ORDER BY c.colname""".stripMargin
+       |a2 AS (
+       |  SELECT s.colname, COALESCE(a.filled, 0) AS filled,
+       |    COALESCE(a.s_filled, 0) AS s_filled
+       |  FROM stats s LEFT JOIN agg a ON s.colname = a.colname)
+       |SELECT s.colname, s.n_rows, s.n_null,
+       |  ${hllEstimate("a2")} AS est_distinct,
+       |  s.exact_distinct
+       |FROM stats s
+       |JOIN a2 ON s.colname = a2.colname
+       |ORDER BY s.colname""".stripMargin
   }
 
   // --- Count-min sketch ----------------------------------------------------

@@ -21,7 +21,6 @@ import org.apache.spark.sql.types._
 object Relational {
   import Tables._
 
-  /** Exact decimal sum of a (≤2-dp, <1e14) double column, returned as double. */
   /** "Orders above twice their customer's average" spelled as
     * `price * count > 2 * sum` — every comparand an EXACT decimal/int
     * product (an AVG would divide, and decimal-division scale rules and
@@ -39,8 +38,34 @@ object Relational {
       |         FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Exact decimal sum of a (≤2-dp, <1e14) double column, returned as double. */
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** Shared ROLLUP/CUBE entry builder (see the q_rollup/q_cube comment). */
+  private def groupingLattice(
+      group: DataFrame => org.apache.spark.sql.RelationalGroupedDataset,
+      sqlOp: String): QueryDef =
+    QueryDef(
+      (s, d) =>
+        group(lineitem(s, d))
+          .agg(
+            grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+            grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(
+            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+            col("g_flag"), col("g_status")),
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |  COUNT(1) AS n_rows
+         |FROM lineitem
+         |GROUP BY $sqlOp(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+         |  g_flag, g_status""".stripMargin)
 
   private val qs: Map[String, QueryDef] = Map(
     // --- scan + aggregate (TPC-H Q1 shape) -------------------------------
@@ -263,7 +288,7 @@ object Relational {
     ),
 
     // --- correlated scalar subquery ----------------------------------------
-    // Orders priced above their customer's own average — the correlated
+    // Orders priced above TWICE their customer's average — the correlated
     // aggregate subquery shape. Catalyst de-correlates it into an
     // aggregate + equi-join (RewriteCorrelatedScalarSubquery), so the
     // executed plan is the same one-shuffle join a hand-written version
@@ -437,63 +462,18 @@ object Relational {
         |LIMIT 20""".stripMargin
     ),
 
-    // --- ROLLUP / grouping sets (Catalyst Expand operator) ------------------
+    // --- ROLLUP / CUBE grouping sets (Catalyst Expand operator) ------------
     // Subtotal + grand-total rows in one pass: Expand replicates each input
-    // row per grouping set before the hash-agg, so it is still a single
-    // shuffle (map-side combinable) — the right shape for hierarchical
-    // rollups at scale. NULLS FIRST pins the cross-engine sort order
-    // (DuckDB defaults NULLS LAST; Spark NULLS FIRST).
-    "q_rollup" -> QueryDef(
-      (s, d) =>
-        lineitem(s, d)
-          .rollup("l_returnflag", "l_linestatus")
-          .agg(
-            grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
-            grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
-            dsum(col("l_quantity")).as("sum_qty"),
-            count(lit(1)).as("n_rows"))
-          // g_flag/g_status in the sort make the order total even if the
-          // grouping columns ever contain real NULLs (a data NULL group and
-          // a subtotal row would otherwise tie and hash-compare flaky).
-          .orderBy(
-            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
-            col("g_flag"), col("g_status")),
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  COUNT(1) AS n_rows
-        |FROM lineitem
-        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
-        |  g_flag, g_status""".stripMargin
-    ),
-
-    // --- CUBE (full grouping-set lattice) ---------------------------------
-    // rollup's sibling: all 4 grouping sets in ONE Expand + hash aggregate
-    // (no union of 4 scans); same grouping-flag total-order discipline.
-    "q_cube" -> QueryDef(
-      (s, d) =>
-        lineitem(s, d)
-          .cube("l_returnflag", "l_linestatus")
-          .agg(
-            grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
-            grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
-            dsum(col("l_quantity")).as("sum_qty"),
-            count(lit(1)).as("n_rows"))
-          .orderBy(
-            col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
-            col("g_flag"), col("g_status")),
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  COUNT(1) AS n_rows
-        |FROM lineitem
-        |GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
-        |  g_flag, g_status""".stripMargin
-    ),
+    // row per grouping set before the hash-agg, so either lattice is still
+    // a single shuffle (map-side combinable) — the right shape for
+    // hierarchical rollups at scale. One builder serves both so the
+    // grouping-flag total-order discipline cannot diverge: NULLS FIRST
+    // pins the cross-engine sort order (DuckDB defaults NULLS LAST), and
+    // g_flag/g_status in the sort keep it total even if the grouping
+    // columns ever contain real NULLs (a data NULL group and a subtotal
+    // row would otherwise tie and hash-compare flaky).
+    "q_rollup" -> groupingLattice(_.rollup("l_returnflag", "l_linestatus"), "ROLLUP"),
+    "q_cube" -> groupingLattice(_.cube("l_returnflag", "l_linestatus"), "CUBE"),
 
     // --- PIVOT (wide conditional aggregation) -----------------------------
     // `pivot` with an EXPLICIT value list compiles to ONE hash aggregate

@@ -667,17 +667,11 @@ object TextOps {
     parent.keys.toSeq.map(v => (v, find(v))).toDF("doc", "lbl")
   }
 
-  /** Free the blocks behind a `localCheckpoint()`ed frame: Dataset
-    * .unpersist goes through the SQL CacheManager and never touches the
-    * checkpoint's underlying RDD persist, so superseded label generations
-    * would otherwise pile up in the block store for the whole loop (the
-    * ContextCleaner only reclaims them after GC).
+  /** See [[graft.util.Checkpoints.freeLocalCheckpoint]] — shared with the
+    * PageRank loop in GraphOps.
     */
   private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.util.Checkpoints.freeLocalCheckpoint(df)
 
   /** Distributed min-label propagation + pointer jumping; the scale path.
     *

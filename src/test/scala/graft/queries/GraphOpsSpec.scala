@@ -22,6 +22,16 @@ class GraphOpsSpec extends SparkTestBase {
     assert(rows.take(5).forall(_.getAs[String]("node").startsWith("s")))
   }
 
+  test("the shuffle-hash regime (node set too big to broadcast) is bit-identical") {
+    val key = "graft.pagerank.broadcast.max.bytes"
+    val viaBroadcast = result.collect()
+    sys.props(key) = "0" // force the co-partitioned shuffle-hash path
+    try {
+      val viaShuffle = GraphOps.sparkImpl(spark, sfDir).collect()
+      assert(viaShuffle.toSeq == viaBroadcast.toSeq)
+    } finally sys.props.remove(key)
+  }
+
   test("checkpointing cut the iteration lineage out of the final plan") {
     val joins = result.queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
