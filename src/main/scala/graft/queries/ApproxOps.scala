@@ -162,15 +162,15 @@ object ApproxOps {
        |  SELECT colname, COUNT(1) AS filled, ${big(spark, s"SUM($shl)")} AS s_filled
        |  FROM regs GROUP BY colname),
        |a2 AS (
-       |  SELECT s.colname, COALESCE(a.filled, 0) AS filled,
+       |  SELECT s.colname, s.n_rows, s.n_null, s.exact_distinct,
+       |    COALESCE(a.filled, 0) AS filled,
        |    COALESCE(a.s_filled, 0) AS s_filled
        |  FROM stats s LEFT JOIN agg a ON s.colname = a.colname)
-       |SELECT s.colname, s.n_rows, s.n_null,
+       |SELECT a2.colname, a2.n_rows, a2.n_null,
        |  ${hllEstimate("a2")} AS est_distinct,
-       |  s.exact_distinct
-       |FROM stats s
-       |JOIN a2 ON s.colname = a2.colname
-       |ORDER BY s.colname""".stripMargin
+       |  a2.exact_distinct
+       |FROM a2
+       |ORDER BY a2.colname""".stripMargin
   }
 
   // --- Count-min sketch ----------------------------------------------------

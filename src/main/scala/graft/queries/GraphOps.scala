@@ -59,7 +59,22 @@ object GraphOps {
     * fraction of the string bytes, and the display name is restored on
     * the node-sized relation at the very end.
     */
-  private case class Prep(dir: String, withDeg: DataFrame, nodes: DataFrame, n: Long)
+  private case class Prep(dir: String, withDeg: DataFrame, nodes: DataFrame, n: Long) {
+    def unpersistAll(): Unit = {
+      withDeg.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
+  /** Remove and unpersist cached preps (exposed for the regime test's
+    * cleanup — a forced-gate prep must not stay pinned for the session).
+    */
+  private[queries] def dropPrep(s: SparkSession, key: String): Unit = {
+    val reg = SessionRegistry.of(s)
+    reg.synchronized {
+      reg.remove(key).collect { case p: Prep => p }.foreach(_.unpersistAll())
+    }
+  }
 
   private def prep(s: SparkSession, d: String): Prep = {
     val reg = SessionRegistry.of(s)
@@ -73,21 +88,32 @@ object GraphOps {
           .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
           .select((col("o_custkey") * 2).as("cu"), (col("l_suppkey") * 2 + 1).as("su"))
           .distinct()
+        // failure before registration must not pin caches for the session
         val edges = pairs.select(col("cu").as("src"), col("su").as("dst"))
           .unionAll(pairs.select(col("su").as("src"), col("cu").as("dst")))
           .persist()
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val nodes = deg.select(col("src").as("node")).persist()
-        val n = nodes.count() // node-sized; materializes the edge cache too
-        val joined = edges.join(deg, "src")
-        val withDeg =
-          (if (n * RankRowBytes <= broadcastMaxBytes) joined
-           else joined.repartition(col("src"))).persist()
-        withDeg.count() // materialize from the edge cache, then drop it
-        edges.unpersist(blocking = false)
-        val p = Prep(d, withDeg, nodes, n)
-        reg.put(key, p)
-        p
+        try {
+          val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          val nodes = deg.select(col("src").as("node")).persist()
+          val p =
+            try {
+              val n = nodes.count() // node-sized; materializes the edge cache too
+              val joined = edges.join(deg, "src")
+              val withDeg =
+                (if (n * RankRowBytes <= broadcastMaxBytes) joined
+                 else joined.repartition(col("src"))).persist()
+              try withDeg.count() // materialize from the edge cache
+              catch {
+                case t: Throwable => withDeg.unpersist(blocking = false); throw t
+              }
+              Prep(d, withDeg, nodes, n)
+            } catch { case t: Throwable => nodes.unpersist(blocking = false); throw t }
+          // a stale prep for ANOTHER dir under the same key must free its
+          // caches (the TextOps.sharedPrep put-return discipline)
+          reg.put(key, p).collect { case old: Prep if old.dir != d => old }
+            .foreach(_.unpersistAll())
+          p
+        } finally edges.unpersist(blocking = false)
       }
     }
   }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.SparkTestBase
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.functions._
@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkTestBase {
 
+  /** Static (pre-AQE) plan nodes — the bucketing decision is made at
+    * planning time, so the initial plan is the one under audit (the
+    * PlanShapeSpec convention).
+    */
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
     val nested = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
-      case q: QueryStageExec => Seq(q.plan)
       case _ => Nil
     }
     p +: (p.children ++ nested).flatMap(allNodes)
@@ -41,7 +44,6 @@ class BucketingSpec extends SparkTestBase {
         .join(spark.table("graft_customer_bucketed"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
-      joined.collect() // finalize the adaptive plan
       val nodes = allNodes(joined.queryExecution.executedPlan)
       val smj = nodes.collect { case j: SortMergeJoinExec => j }
       assert(smj.nonEmpty, "bucketed equi-join must be a sort-merge join")

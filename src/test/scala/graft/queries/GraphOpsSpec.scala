@@ -29,7 +29,11 @@ class GraphOpsSpec extends SparkTestBase {
     try {
       val viaShuffle = GraphOps.sparkImpl(spark, sfDir).collect()
       assert(viaShuffle.toSeq == viaBroadcast.toSeq)
-    } finally sys.props.remove(key)
+    } finally {
+      sys.props.remove(key)
+      // the forced-gate prep must not stay pinned for the shared session
+      GraphOps.dropPrep(spark, "pagerank_prep:0")
+    }
   }
 
   test("checkpointing cut the iteration lineage out of the final plan") {
