@@ -100,12 +100,14 @@ object Bench {
     // must live where line length doesn't matter.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(best)},"queries_cold":${js(cold)},"total_cold":$totalCold,"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
-    // anchor to the repo root (nearest ancestor with build.sbt), not the
-    // process cwd — a spark-submit from elsewhere must not scatter the
-    // report or break the stdout line's "full" pointer
+    // anchor to THIS repo's root (nearest ancestor carrying both
+    // build.sbt and the graft source tree — build.sbt alone could match a
+    // different sbt checkout), not the process cwd — a spark-submit from
+    // elsewhere must not scatter the report or break the "full" pointer
     val repoRoot = Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
       .takeWhile(_ != null).take(16)
-      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")) &&
+        java.nio.file.Files.isDirectory(p.resolve("src/main/scala/graft")))
       .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
     val fullPath = repoRoot.resolve("BENCH_FULL.json")
     try java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
@@ -124,8 +126,10 @@ object Bench {
     val omittedMax =
       if (omitted.isEmpty) 0.0 else math.ceil(omitted.head._2 * 1000) / 1000
     val topJs = top.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // accounting invariant: len(queries) + n_omitted == n_queries, with
+    // failures counted separately — a failed query is in NEITHER bucket
     System.out.println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJs,"n_queries":${best.size},"n_omitted":${omitted.size},"omitted_max":$omittedMax,"total_cold":${r3(totalCold)},"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min","full":"BENCH_FULL.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJs,"n_queries":${ranked.size},"n_omitted":${omitted.size},"omitted_max":$omittedMax,"n_failed":${failed.size},"total_cold":${r3(totalCold)},"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min","full":"BENCH_FULL.json"}""")
     System.out.flush()
   }
 }

@@ -71,6 +71,27 @@ object ApproxOps {
   private val Pow52 = "4503599627370496" // 2^52: bucket DIV / remainder split
   private val Pow53 = "9007199254740992" // 2^53: empty-register term
 
+  /** The `regs`/`agg` CTE pair of the HLL register build — ONE spelling
+    * of the bucket split / leading-zero rank / register-sum math shared
+    * by both sketches, grouped by `group` over the 60-bit hashes produced
+    * by `hashedFrom` (a subquery yielding ($group, h)).
+    */
+  private def hllRegisterCtes(spark: Boolean, group: String, hashedFrom: String): String = {
+    val idiv = if (spark) "DIV" else "//"
+    val shl =
+      if (spark) "shiftleft(CAST(1 AS BIGINT), 53 - rho)"
+      else "(CAST(1 AS BIGINT) << (53 - rho))"
+    s"""regs AS (
+       |  SELECT $group, h $idiv $Pow52 AS bucket,
+       |    MAX(CASE WHEN h % $Pow52 = 0 THEN 53
+       |             ELSE 53 - length(bin(h % $Pow52)) END) AS rho
+       |  FROM ($hashedFrom)
+       |  GROUP BY $group, h $idiv $Pow52),
+       |agg AS (
+       |  SELECT $group, COUNT(1) AS filled, ${big(spark, s"SUM($shl)")} AS s_filled
+       |  FROM regs GROUP BY $group)""".stripMargin
+  }
+
   /** The corrected estimate over an `agg` row (columns `filled`,
     * `s_filled`): raw harmonic-mean estimate, or linear counting in the
     * small range (raw <= 2.5m and some register still empty).
@@ -95,22 +116,10 @@ object ApproxOps {
         """UNNEST(CASE WHEN len(a) >= 3
           |  THEN list_transform(range(1, len(a) - 1), i -> array_to_string(a[i:i+2], ' '))
           |  ELSE [] END)""".stripMargin
-    val idiv = if (spark) "DIV" else "//"
-    val shl =
-      if (spark) "shiftleft(CAST(1 AS BIGINT), 53 - rho)"
-      else "(CAST(1 AS BIGINT) << (53 - rho))"
     s"""WITH grams AS (
        |  SELECT source, $grams AS gram
        |  FROM (SELECT source, $split AS a FROM documents)),
-       |regs AS (
-       |  SELECT source, h $idiv $Pow52 AS bucket,
-       |    MAX(CASE WHEN h % $Pow52 = 0 THEN 53
-       |             ELSE 53 - length(bin(h % $Pow52)) END) AS rho
-       |  FROM (SELECT source, ${hash60(spark, "gram")} AS h FROM grams)
-       |  GROUP BY source, h $idiv $Pow52),
-       |agg AS (
-       |  SELECT source, COUNT(1) AS filled, ${big(spark, s"SUM($shl)")} AS s_filled
-       |  FROM regs GROUP BY source),
+       |${hllRegisterCtes(spark, "source", s"SELECT source, ${hash60(spark, "gram")} AS h FROM grams")},
        |exact AS (
        |  SELECT source, COUNT(DISTINCT gram) AS exact_distinct FROM grams GROUP BY source)
        |SELECT a.source, a.filled,
@@ -139,10 +148,6 @@ object ApproxOps {
     val str = CrossEngine.strType(spark)
     val names = ProfileCols.map(c => s"SELECT '$c' AS colname").mkString(" UNION ALL ")
     val cases = ProfileCols.map(c => s"WHEN '$c' THEN CAST($c AS $str)").mkString(" ")
-    val idiv = if (spark) "DIV" else "//"
-    val shl =
-      if (spark) "shiftleft(CAST(1 AS BIGINT), 53 - rho)"
-      else "(CAST(1 AS BIGINT) << (53 - rho))"
     s"""WITH cols AS ($names),
        |vals AS (
        |  SELECT c.colname, CASE c.colname $cases END AS v
@@ -152,15 +157,8 @@ object ApproxOps {
        |    ${big(spark, "SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)")} AS n_null,
        |    COUNT(DISTINCT v) AS exact_distinct
        |  FROM vals GROUP BY colname),
-       |regs AS (
-       |  SELECT colname, h $idiv $Pow52 AS bucket,
-       |    MAX(CASE WHEN h % $Pow52 = 0 THEN 53
-       |             ELSE 53 - length(bin(h % $Pow52)) END) AS rho
-       |  FROM (SELECT colname, ${hash60(spark, "v")} AS h FROM vals WHERE v IS NOT NULL)
-       |  GROUP BY colname, h $idiv $Pow52),
-       |agg AS (
-       |  SELECT colname, COUNT(1) AS filled, ${big(spark, s"SUM($shl)")} AS s_filled
-       |  FROM regs GROUP BY colname),
+       |${hllRegisterCtes(spark, "colname",
+          s"SELECT colname, ${hash60(spark, "v")} AS h FROM vals WHERE v IS NOT NULL")},
        |a2 AS (
        |  SELECT s.colname, s.n_rows, s.n_null, s.exact_distinct,
        |    COALESCE(a.filled, 0) AS filled,

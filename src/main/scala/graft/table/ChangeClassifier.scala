@@ -33,6 +33,8 @@ object ChangeClassifier {
   def changes(t: HudiTable, start: String, end: String): DataFrame = {
     val keys = t.config.recordKeyFields
     require(keys.nonEmpty, "change classification requires record key fields")
+    require(!t.tableSchema.fieldNames.contains("__existed"),
+      "table must not already carry a '__existed' column (the existence marker would clash)")
     val inc = t.incremental(Some(start), Some(end))
     val prev = t.snapshot(asOf = Some(start))
       .select(keys.map(col): _*)
