@@ -72,15 +72,31 @@ object Relational {
     "q1_pricing_summary" -> QueryDef(
       (s, d) => {
         val li = lineitem(s, d).filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
-        val disc = (col("l_extendedprice").cast(DecimalType(18, 4)) *
-          (lit(BigDecimal(1)).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
-        val charge = disc * (lit(BigDecimal(1)).cast(DecimalType(18, 4)) + col("l_tax").cast(DecimalType(18, 4)))
+        // DECIMAL(12,4) factors, NOT (18,4): the triple product's precision
+        // must stay <= 38 on BOTH engines or the scales diverge — with
+        // (18,4) factors Spark hits p=56 on charge and clamps the scale to
+        // 6 (lossy per-row rounding) while DuckDB keeps s=12 exact, a
+        // last-ulp sum_charge divergence that only SURFACES at sf0.1
+        // totals (~2.8e9 needs >17 significant digits). (12,4)x(12,4) ->
+        // (25,8), x(12,4) -> (38,12): exact end-to-end in both engines.
+        val disc = (col("l_extendedprice").cast(DecimalType(12, 4)) *
+          (lit(BigDecimal(1)).cast(DecimalType(12, 4)) - col("l_discount").cast(DecimalType(12, 4))))
+        val charge = disc * (lit(BigDecimal(1)).cast(DecimalType(12, 4)) + col("l_tax").cast(DecimalType(12, 4)))
         li.groupBy("l_returnflag", "l_linestatus")
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
-            sum(disc).cast(DoubleType).as("sum_disc_price"),
-            sum(charge).cast(DoubleType).as("sum_charge"),
+            // round product sums to 4 dp BEFORE the double cast: DuckDB's
+            // DECIMAL(38,8+)->DOUBLE cast double-rounds (hugeint ->
+            // double, then /10^scale) and lands 1 ulp off the exact value
+            // once totals pass ~17 significant digits (seen at sf0.1); at
+            // scale 4 the numerator fits 2^53 and the single division is
+            // correctly rounded in both engines. round(), not a DECIMAL
+            // downscale cast: both engines round() half-away-from-zero,
+            // but DuckDB TRUNCATES decimal->decimal scale reduction where
+            // Spark rounds.
+            round(sum(disc), 4).cast(DoubleType).as("sum_disc_price"),
+            round(sum(charge), 4).cast(DoubleType).as("sum_charge"),
             (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
             (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
             (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
@@ -91,8 +107,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))), 4) AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(1) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(1) AS avg_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(1) AS avg_disc,
@@ -118,12 +134,12 @@ object Relational {
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(sum(disc).cast(DoubleType).as("revenue"))
+          .agg(round(sum(disc), 4).cast(DoubleType).as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -151,11 +167,11 @@ object Relational {
             && col("o_orderdate") >= lit("1996-01-01").cast(TimestampType)
             && col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
           .groupBy("n_name")
-          .agg(sum(disc).cast(DoubleType).as("revenue"))
+          .agg(round(sum(disc), 4).cast(DoubleType).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       },
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
