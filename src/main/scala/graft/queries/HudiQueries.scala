@@ -246,6 +246,29 @@ object HudiQueries {
         |            ELSE 20240101000000000 END AS BIGINT) AS commit_ord
         |FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey""".stripMargin),
 
+    // --- Incremental aggregate maintenance (IVM over S3) ------------------
+    // Roll the per-status (count, sum) aggregate forward through (T1, T2]
+    // by deltas: +new rows, -pre-images of updated keys (T2 moves %7 keys
+    // to status 'U') — never recomputing from the full snapshot. The
+    // oracle IS the recomputed end-state aggregate: maintained == direct
+    // is the IVM contract (also differential-tested in
+    // AggMaintenanceSpec). Range stops at T2: T3 holds deletes, which an
+    // incremental read cannot surface (documented ChangeClassifier
+    // limitation).
+    "hudi_agg_maintenance" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val t = HudiTable(s, HudiFixtureBuilder.morPath(d))
+        graft.table.AggMaintenance.maintainCountSum(
+          t, HudiFixtureBuilder.T1, HudiFixtureBuilder.T2, "o_orderstatus", "o_totalprice")
+      },
+      """SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  COUNT(1) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+
     // --- S4 + windowed aggregation: commit-time tumbling counts ----------
     // The OTHER streaming state path (built-in streaming aggregation,
     // complete mode) driven end-to-end through the hudi-graft source:

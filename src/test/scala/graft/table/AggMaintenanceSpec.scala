@@ -1,0 +1,44 @@
+package graft.table
+
+import graft.SparkTestBase
+import graft.fixtures.HudiFixtureBuilder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The IVM contract: the maintained aggregate equals the aggregate
+  * recomputed from the range-end snapshot, bit for bit.
+  */
+class AggMaintenanceSpec extends SparkTestBase {
+
+  private lazy val table = {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    HudiTable(spark, HudiFixtureBuilder.morPath(sfDir))
+  }
+
+  test("maintained (T1, T2] aggregate equals the recomputed T2 aggregate") {
+    val maintained = AggMaintenance.maintainCountSum(
+      table, HudiFixtureBuilder.T1, HudiFixtureBuilder.T2, "o_orderstatus", "o_totalprice")
+    val direct = table.snapshot(asOf = Some(HudiFixtureBuilder.T2))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+      .orderBy("o_orderstatus")
+    val m = maintained.collect().toSeq
+    val r = direct.collect().toSeq
+    assert(m == r, s"maintained $m != recomputed $r")
+    // the update commit genuinely moved mass: a 'U' group exists and the
+    // pre-image groups shrank (retractions really fired)
+    assert(m.exists(_.getString(0) == "U"))
+  }
+
+  test("an insert-only range needs no retractions (first commit)") {
+    val maintained = AggMaintenance.maintainCountSum(
+      table, "0", HudiFixtureBuilder.T1, "o_orderstatus", "o_totalprice")
+    val direct = table.snapshot(asOf = Some(HudiFixtureBuilder.T1))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+      .orderBy("o_orderstatus")
+    assert(maintained.collect().toSeq == direct.collect().toSeq)
+  }
+}
