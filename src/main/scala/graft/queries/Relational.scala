@@ -38,9 +38,8 @@ object Relational {
       |         FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
-  /** Exact decimal sum of a (≤2-dp, <1e14) double column, returned as double. */
-  private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  /** See [[graft.util.ExactAgg.dsum]] — the shared exact-sum contract. */
+  private def dsum(c: Column): Column = graft.util.ExactAgg.dsum(c)
 
   /** Shared ROLLUP/CUBE entry builder (see the q_rollup/q_cube comment). */
   private def groupingLattice(

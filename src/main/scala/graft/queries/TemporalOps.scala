@@ -28,8 +28,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object TemporalOps {
 
-  private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  private def dsum(c: org.apache.spark.sql.Column) = graft.util.ExactAgg.dsum(c)
 
   /** 30-minute-gap sessionization: a session breaks where the gap to the
     * previous event of the same user exceeds [[sessionGapUs]].

@@ -4,36 +4,49 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
+import scala.jdk.CollectionConverters._
+
 /** Incremental view maintenance for grouped COUNT/SUM aggregates: roll a
   * maintained aggregate forward through a commit range by applying the
   * incremental batch as deltas — the Materialize/Flink IVM shape over a
-  * Hudi incremental read, built from [[ChangeClassifier]]:
+  * Hudi incremental read:
   *
-  *  - `insert` rows contribute +1 / +value to their group;
-  *  - `update` rows contribute +1 / +value to their NEW group and the
-  *    key's PRE-IMAGE row (from the range-start snapshot) contributes
-  *    -1 / -value to its OLD group — the retraction a changelog consumer
-  *    would emit.
+  *  - a batch row whose key has NO pre-image in the range-start snapshot
+  *    is an insert: +1 / +value to its group;
+  *  - a batch row WITH a pre-image is an update: +1 / +value to its new
+  *    group and -1 / -value of the pre-image to its old group — the
+  *    retraction a changelog consumer would emit.
   *
-  * Inherited limitation (documented on ChangeClassifier): deletes are
-  * invisible to an incremental read, so a range containing delete
-  * commits cannot be maintained — callers bound the range accordingly
-  * (the oracle entry maintains (T1, T2]; T3 holds the deletes).
+  * (The same classification [[ChangeClassifier.changes]] surfaces as
+  * labels, folded here into ONE left join so the pre-image lookup and
+  * the classification share a single pass over the start snapshot.)
+  *
+  * Preconditions (enforced where the table can prove them):
+  *  - merge-on-read semantics, NOT APPEND_ONLY: an append-only table
+  *    keeps every image in the end snapshot, so retracting pre-images
+  *    double-counts against it (require fails fast);
+  *  - NO delete commit inside `(start, end]`: deleted keys are invisible
+  *    to an incremental read (documented on ChangeClassifier), so their
+  *    retractions can never fire. Enforced best-effort from commit
+  *    metadata (`numDeletes` in write stats) — writers that omit the
+  *    field (minimal stats) make the guard advisory, so the range
+  *    contract is also part of the API's documented semantics.
   *
   * Scale shape (100 TB): the prior aggregate is GROUP-sized state, the
   * incremental batch is commit-range-bounded, and the pre-image fetch is
-  * the start snapshot semi-joined to the batch's updated keys — the scan
-  * is key-pruned by the join (at production scale a keyed state store or
-  * record-index point lookup replaces it; the relational shape is the
-  * same). Everything combines map-side; no window, no collect. Sums use
-  * the DECIMAL(18,4) exact-aggregation discipline so maintained and
-  * recomputed aggregates are bit-identical.
+  * the start snapshot joined to the batch's keys — the scan is key-pruned
+  * by the join (at production scale a keyed state store or record-index
+  * point lookup replaces it; the relational shape is the same).
+  * Everything combines map-side; no window, no collect. Sums use the
+  * shared [[graft.util.ExactAgg.dsum]] DECIMAL discipline so maintained
+  * and recomputed aggregates are bit-identical.
   */
 object AggMaintenance {
 
   /** Maintained per-`groupCol` (count, sum of `valueCol`) at `end`,
     * derived from the aggregate at `start` plus the (start, end] deltas.
-    * Output: groupCol, n_rows, total.
+    * Output: groupCol, n_rows, total — groups emptied by retraction
+    * disappear (count 0), matching a recomputed aggregate.
     */
   def maintainCountSum(
       t: HudiTable,
@@ -44,20 +57,39 @@ object AggMaintenance {
   ): DataFrame = {
     val keys = t.config.recordKeyFields
     require(keys.nonEmpty, "maintenance requires record key fields")
+    require(t.config.recordMergeStrategy != "APPEND_ONLY",
+      "append-only tables keep every image in the snapshot — retraction-based " +
+        "maintenance would double-count; recompute instead")
+    val inRangeDeletes = t.timeline.instantsBetween(Some(start), Some(end)).iterator
+      .flatMap(i => t.timeline.commitMetadata(i).path("partitionToWriteStats")
+        .properties().asScala.iterator
+        .flatMap(_.getValue.elements().asScala)
+        .map(_.path("numDeletes").asLong(0L)))
+      .sum
+    require(inRangeDeletes == 0L,
+      s"commit range ($start, $end] carries $inRangeDeletes deletes — deleted keys are " +
+        "invisible to an incremental read, so the maintained aggregate would drift")
+    val markers = Seq("__pre_g", "__pre_v", "__existed", "__v")
+    require(!t.tableSchema.fieldNames.exists(markers.contains),
+      s"table must not already carry the maintenance marker columns ${markers.mkString(", ")}")
     val dec = (c: String) => col(c).cast(DecimalType(18, 4))
 
-    val prior = t.snapshot(asOf = Some(start))
+    val startSnap = t.snapshot(asOf = Some(start))
+    val prior = startSnap
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"), sum(dec(valueCol)).as("s"))
 
-    val changes = ChangeClassifier.changes(t, start, end)
-    val additions = changes
-      .select(col(groupCol), lit(1L).as("dn"), dec(valueCol).as("ds"))
-    val updatedKeys = changes.filter(col("change_type") === "update")
-      .select(keys.map(col): _*)
-    val retractions = t.snapshot(asOf = Some(start))
-      .join(updatedKeys, keys, "left_semi") // pre-images of updated keys
-      .select(col(groupCol), lit(-1L).as("dn"), (dec(valueCol) * -1).as("ds"))
+    // one pass over the start snapshot serves classification AND the
+    // pre-image values: left join the batch to (key, pre-group, pre-value)
+    val pre = startSnap.select(
+      keys.map(col) :+ col(groupCol).as("__pre_g") :+ dec(valueCol).as("__pre_v")
+        :+ lit(1).as("__existed"): _*) // marker, NOT the pre columns: both can be real NULLs
+    val joined = t.incremental(Some(start), Some(end))
+      .select(keys.map(col) :+ col(groupCol) :+ dec(valueCol).as("__v"): _*)
+      .join(pre, keys, "left")
+    val additions = joined.select(col(groupCol), lit(1L).as("dn"), col("__v").as("ds"))
+    val retractions = joined.filter(col("__existed").isNotNull)
+      .select(col("__pre_g").as(groupCol), lit(-1L).as("dn"), (col("__pre_v") * -1).as("ds"))
 
     prior.select(col(groupCol), col("n").as("dn"), col("s").as("ds"))
       .unionByName(additions)
@@ -65,6 +97,6 @@ object AggMaintenance {
       .groupBy(groupCol)
       .agg(sum(col("dn")).as("n_rows"), sum(col("ds")).cast(DoubleType).as("total"))
       .filter(col("n_rows") > 0) // a group emptied by retraction disappears
-      .orderBy(groupCol)
+      .orderBy(col(groupCol).asc_nulls_last) // DuckDB's ORDER BY default
   }
 }
