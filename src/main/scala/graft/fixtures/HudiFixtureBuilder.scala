@@ -91,12 +91,21 @@ object HudiFixtureBuilder {
         // whose content stayed identical for their whole wait window
         val heartbeat = new Thread(() => {
           var n = 0L
-          try while (true) {
+          var mine = true
+          try while (mine) {
             Thread.sleep(30000)
             n += 1
             try {
-              val out = fs.create(lock, true)
-              out.write(s"$token:$n".getBytes("UTF-8")); out.close()
+              // read-compare-write: if the lock no longer carries OUR
+              // token, a waiter judged us dead (e.g. our heartbeat writes
+              // were swallowed by IO errors for its full wait window) and
+              // took over — stop heartbeating so we can't clobber the new
+              // holder's token (deleteOwnLock() is token-compared, so it
+              // then degrades to a no-op too).
+              if (lockContent().exists(_.startsWith(s"$token:"))) {
+                val out = fs.create(lock, true)
+                out.write(s"$token:$n".getBytes("UTF-8")); out.close()
+              } else mine = false
             } catch { case _: java.io.IOException => }
           } catch { case _: InterruptedException => }
         }, "fixture-lock-heartbeat")

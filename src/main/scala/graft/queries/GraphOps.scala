@@ -135,6 +135,16 @@ object GraphOps {
       graft.util.Checkpoints.freeLocalCheckpoint(ranks) // superseded generation
       ranks = next
     }
+    // the FINAL generation feeds the (lazy) result frame, so it can't be
+    // freed here — park it in the session registry and free the previous
+    // invocation's final generation instead (its result was consumed by
+    // the time a new invocation starts); otherwise every pagerank call
+    // pins one node-sized checkpointed RDD in the block store until GC.
+    val reg = SessionRegistry.of(s)
+    reg.synchronized {
+      reg.put("pagerank_final", ranks).collect { case prev: DataFrame => prev }
+        .foreach(graft.util.Checkpoints.freeLocalCheckpoint)
+    }
     val named = ranks.select(
       when(col("node") % 2 === 0, concat(lit("c"), expr("node DIV 2")))
         .otherwise(concat(lit("s"), expr("(node - 1) DIV 2"))).as("node"),

@@ -69,6 +69,25 @@ object AggMaintenance {
     require(inRangeDeletes == 0L,
       s"commit range ($start, $end] carries $inRangeDeletes deletes — deleted keys are " +
         "invisible to an incremental read, so the maintained aggregate would drift")
+    // a replacecommit can remove keys with NO numDeletes write stat
+    // (insert_overwrite / insert_overwrite_table / delete_partition), so
+    // the guard above can't see it. Clustering (operationType CLUSTER)
+    // rewrites the same records into new file groups and is benign; an
+    // absent/unknown operationType can't prove benignity, so it rejects.
+    val destructiveReplaces = t.timeline.instantsBetween(Some(start), Some(end))
+      .filter(_.action == "replacecommit")
+      .filter { i =>
+        val md = t.timeline.commitMetadata(i)
+        val rep = md.path("partitionToReplaceFileIds")
+        val replacesGroups = rep.isObject &&
+          rep.properties().asScala.exists(_.getValue.elements().asScala.nonEmpty)
+        replacesGroups && !md.path("operationType").asText("").equalsIgnoreCase("cluster")
+      }
+    require(destructiveReplaces.isEmpty,
+      s"commit range ($start, $end] carries destructive replacecommit(s) at " +
+        s"${destructiveReplaces.map(_.timestamp).mkString(", ")} — insert_overwrite / " +
+        "delete_partition remove keys without delete write stats, so the maintained " +
+        "aggregate would drift")
     val markers = Seq("__pre_g", "__pre_v", "__existed", "__v")
     require(!t.tableSchema.fieldNames.exists(markers.contains),
       s"table must not already carry the maintenance marker columns ${markers.mkString(", ")}")

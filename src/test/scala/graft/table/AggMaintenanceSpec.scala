@@ -31,6 +31,24 @@ class AggMaintenanceSpec extends SparkTestBase {
     assert(m.exists(_.getString(0) == "U"))
   }
 
+  test("a destructive replacecommit in the range is rejected (guard fires)") {
+    // the reference overwrite fixture: 2 commits then an
+    // INSERT_OVERWRITE_TABLE replacecommit that removes keys {1,2,3}
+    // with no numDeletes write stats — exactly the drift the numDeletes
+    // guard alone cannot see
+    val t = Fixtures.table(
+      "sample_table/cow/v6_simplekeygen_nonhivestyle_overwritetable.zip",
+      "v6_simplekeygen_nonhivestyle_overwritetable",
+      "aggmaint_overwrite").map(p => HudiTable(spark, p))
+    assume(t.isDefined)
+    val instants = t.get.timeline.completedInstants
+    val e = intercept[IllegalArgumentException] {
+      AggMaintenance.maintainCountSum(
+        t.get, instants.head.timestamp, instants.last.timestamp, "isActive", "longField")
+    }
+    assert(e.getMessage.contains("replacecommit"))
+  }
+
   test("an insert-only range needs no retractions (first commit)") {
     val maintained = AggMaintenance.maintainCountSum(
       table, "0", HudiFixtureBuilder.T1, "o_orderstatus", "o_totalprice")
