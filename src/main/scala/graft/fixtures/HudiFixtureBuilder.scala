@@ -60,7 +60,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v6")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v7")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -240,7 +240,7 @@ object HudiFixtureBuilder {
   }
 
   private def writeProperties(fs: FileSystem, base: Path, name: String, tableType: String,
-      partitionFields: Option[String], hiveStyle: Boolean): Unit = {
+      partitionFields: Option[String], hiveStyle: Boolean, extraProps: String = ""): Unit = {
     val partLine = partitionFields.map(f => s"hoodie.table.partition.fields=$f\n").getOrElse("")
     writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
       s"""hoodie.table.name=$name
@@ -252,7 +252,7 @@ object HudiFixtureBuilder {
          |$partLine""".stripMargin +
         s"hoodie.datasource.write.hive_style_partitioning=$hiveStyle\n" +
         "hoodie.datasource.write.partitionpath.urlencode=false\n" +
-        "hoodie.populate.meta.fields=true\n")
+        "hoodie.populate.meta.fields=true\n" + extraProps)
   }
 
   /** v6 JSON commit metadata with enough structure for incremental
@@ -314,7 +314,11 @@ object HudiFixtureBuilder {
     val fs = FileSystem.get(hconf)
     val base = new Path(morPath(sfDir))
     fs.mkdirs(new Path(base, ".hoodie"))
-    writeProperties(fs, base, "mor_orders", "MERGE_ON_READ", Some("o_orderpriority"), hiveStyle = false)
+    writeProperties(fs, base, "mor_orders", "MERGE_ON_READ", Some("o_orderpriority"),
+      hiveStyle = false,
+      // advertises the record_index MDT partition built below; `files` is
+      // deliberately absent so listing stays FS-based for this v6 table
+      extraProps = "hoodie.table.metadata.partitions=record_index\n")
 
     val src = orders(spark, sfDir)
     val parts = src.select("o_orderpriority").distinct().collect().map(_.getString(0)).sorted
@@ -385,6 +389,47 @@ object HudiFixtureBuilder {
         (p, fileIdB(i, b), s"$p/$logName")
       }
     writeCommit(fs, base, T3, "deltacommit", files3)
+
+    // --- record_index MDT partition: every record key → its (partition,
+    // fileId) location, split over TWO index file groups by key parity so
+    // point lookups genuinely probe multiple slices. Partition 0's
+    // entries use fileIdEncoding=1 (raw string), the rest encoding=0
+    // (UUID high/low bits + fileIndex) — both public Hudi encodings.
+    val mdt = new Path(base, ".hoodie/metadata")
+    fs.mkdirs(new Path(mdt, ".hoodie"))
+    writeText(fs, new Path(mdt, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=mor_orders_metadata
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=key
+        |hoodie.table.base.file.format=HFILE
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin)
+    writeText(fs, new Path(mdt, s".hoodie/$T1.deltacommit"),
+      """{"partitionToWriteStats":{},"compacted":false}""")
+    val keyLoc = src.select("o_orderkey", "o_orderpriority").collect().map { r =>
+      val k = r.getLong(0)
+      val p = r.getString(1)
+      (k, p, fileIdB(partIdx(p), (k % Buckets).toInt))
+    }
+    val riDir = new Path(mdt, "record_index")
+    fs.mkdirs(riDir)
+    for (g <- 0 until 2) {
+      val records = keyLoc.filter(_._1 % 2 == g)
+        .map { case (k, p, fid) =>
+          k.toString -> recordIndexBytes(k.toString, p, fid, T1.toLong,
+            rawEncoding = partIdx(p) == 0)
+        }
+        .sortBy(_._1)
+      val bytes = graft.hfile.HFileWriter.write(
+        records.toIndexedSeq,
+        Map("schema" -> recordIndexAvroSchema.toString.getBytes("UTF-8")),
+        recordsPerBlock = 64)
+      val out = fs.create(new Path(riDir, s"record-index-000$g-0_${Token}_$T1.hfile"), true)
+      out.write(bytes)
+      out.close()
+    }
   }
 
   // --- MOR, non-partitioned, with a LOG-ONLY file group -------------------
@@ -539,6 +584,62 @@ object HudiFixtureBuilder {
     val out = new java.io.ByteArrayOutputStream()
     val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
     new GenericDatumWriter[GenericRecord](mdtAvroSchema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** HoodieMetadataRecord with the `recordIndexMetadata` branch (public
+    * Apache Hudi HoodieMetadata.avsc HoodieRecordIndexInfo).
+    */
+  private val recordIndexAvroSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"HoodieMetadataRecord","fields":[
+        |{"name":"key","type":"string"},
+        |{"name":"type","type":"int"},
+        |{"name":"filesystemMetadata","type":["null",{"type":"map","values":
+        |  {"type":"record","name":"HoodieMetadataFileInfo","fields":[
+        |    {"name":"size","type":"long"},{"name":"isDeleted","type":"boolean"}]}}]},
+        |{"name":"recordIndexMetadata","type":["null",
+        |  {"type":"record","name":"HoodieRecordIndexInfo","fields":[
+        |    {"name":"partitionName","type":["null","string"],"default":null},
+        |    {"name":"fileIdHighBits","type":["null","long"],"default":null},
+        |    {"name":"fileIdLowBits","type":["null","long"],"default":null},
+        |    {"name":"fileIndex","type":["null","int"],"default":null},
+        |    {"name":"fileId","type":["null","string"],"default":null},
+        |    {"name":"instantTime","type":["null","long"],"default":null},
+        |    {"name":"fileIdEncoding","type":["null","int"],"default":null}]}]}
+        |]}""".stripMargin.replaceAll("\n", ""))
+
+  private def recordIndexBytes(key: String, partition: String, fid: String,
+      instantTime: Long, rawEncoding: Boolean): Array[Byte] = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val riSchema = recordIndexAvroSchema.getField("recordIndexMetadata").schema()
+      .getTypes.get(1)
+    val rec = new GenericData.Record(recordIndexAvroSchema)
+    rec.put("key", key)
+    rec.put("type", 5)
+    rec.put("filesystemMetadata", null)
+    val ri = new GenericData.Record(riSchema)
+    ri.put("partitionName", partition)
+    ri.put("instantTime", instantTime)
+    if (rawEncoding) {
+      ri.put("fileId", fid)
+      ri.put("fileIdEncoding", 1)
+      ri.put("fileIdHighBits", 0L)
+      ri.put("fileIdLowBits", 0L)
+      ri.put("fileIndex", -1)
+    } else {
+      val uuid = java.util.UUID.fromString(fid.substring(0, 36))
+      ri.put("fileIdHighBits", uuid.getMostSignificantBits)
+      ri.put("fileIdLowBits", uuid.getLeastSignificantBits)
+      ri.put("fileIndex", fid.substring(37).toInt)
+      ri.put("fileId", null)
+      ri.put("fileIdEncoding", 0)
+    }
+    rec.put("recordIndexMetadata", ri)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](recordIndexAvroSchema).write(rec, enc)
     enc.flush()
     out.toByteArray
   }

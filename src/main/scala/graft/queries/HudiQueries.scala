@@ -269,6 +269,25 @@ object HudiQueries {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin),
 
+    // --- same maintenance, pre-images via the record_index MDT partition:
+    // the batch's distinct keys are point-looked-up in the index's HFiles
+    // and ONLY their file groups are read as of T1 — the plan the scan
+    // path's full-table pre-image join becomes at 100 TB. Same oracle as
+    // the scan twin: the two strategies must be bit-identical.
+    "hudi_agg_maintenance_indexed" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val t = HudiTable(s, HudiFixtureBuilder.morPath(d))
+        graft.table.AggMaintenance.maintainCountSumIndexed(
+          t, HudiFixtureBuilder.T1, HudiFixtureBuilder.T2, "o_orderstatus", "o_totalprice")
+      },
+      """SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  COUNT(1) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+
     // --- S4 + windowed aggregation: commit-time tumbling counts ----------
     // The OTHER streaming state path (built-in streaming aggregation,
     // complete mode) driven end-to-end through the hudi-graft source:

@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 
 import scala.jdk.CollectionConverters._
 
@@ -30,33 +30,29 @@ import scala.jdk.CollectionConverters._
   *    retractions can never fire. Enforced best-effort from commit
   *    metadata (`numDeletes` in write stats) — writers that omit the
   *    field (minimal stats) make the guard advisory, so the range
-  *    contract is also part of the API's documented semantics.
+  *    contract is also part of the API's documented semantics;
+  *  - NO destructive replacecommit inside `(start, end]` (see
+  *    [[checkMaintainable]]).
   *
   * Scale shape (100 TB): the prior aggregate is GROUP-sized state, the
   * incremental batch is commit-range-bounded, and the pre-image fetch is
-  * the start snapshot joined to the batch's keys — the scan is key-pruned
-  * by the join (at production scale a keyed state store or record-index
-  * point lookup replaces it; the relational shape is the same).
-  * Everything combines map-side; no window, no collect. Sums use the
-  * shared [[graft.util.ExactAgg.dsum]] DECIMAL discipline so maintained
-  * and recomputed aggregates are bit-identical.
+  * either the start snapshot joined to the batch's keys (scan path,
+  * key-pruned by the join) or — when the table carries a `record_index`
+  * metadata partition — a [[RecordIndex]] point lookup that plans ONLY
+  * the file groups holding the batch's keys ([[maintainCountSumIndexed]]),
+  * turning the full-table pre-image scan into range-bounded work.
+  * Everything combines map-side; no window, no collect beyond the gated
+  * batch-key set. Sums use the shared [[graft.util.ExactAgg.dsum]]
+  * DECIMAL discipline so maintained and recomputed aggregates are
+  * bit-identical.
   */
 object AggMaintenance {
 
-  /** Maintained per-`groupCol` (count, sum of `valueCol`) at `end`,
-    * derived from the aggregate at `start` plus the (start, end] deltas.
-    * Output: groupCol, n_rows, total — groups emptied by retraction
-    * disappear (count 0), matching a recomputed aggregate.
+  /** Shared range preconditions: fail fast on any commit in
+    * `(start, end]` whose effects an incremental read cannot surface.
     */
-  def maintainCountSum(
-      t: HudiTable,
-      start: String,
-      end: String,
-      groupCol: String,
-      valueCol: String
-  ): DataFrame = {
-    val keys = t.config.recordKeyFields
-    require(keys.nonEmpty, "maintenance requires record key fields")
+  private def checkMaintainable(t: HudiTable, start: String, end: String): Unit = {
+    require(t.config.recordKeyFields.nonEmpty, "maintenance requires record key fields")
     require(t.config.recordMergeStrategy != "APPEND_ONLY",
       "append-only tables keep every image in the snapshot — retraction-based " +
         "maintenance would double-count; recompute instead")
@@ -91,25 +87,17 @@ object AggMaintenance {
     val markers = Seq("__pre_g", "__pre_v", "__existed", "__v")
     require(!t.tableSchema.fieldNames.exists(markers.contains),
       s"table must not already carry the maintenance marker columns ${markers.mkString(", ")}")
-    val dec = (c: String) => col(c).cast(DecimalType(18, 4))
+  }
 
-    val startSnap = t.snapshot(asOf = Some(start))
-    val prior = startSnap
-      .groupBy(groupCol)
-      .agg(count(lit(1)).as("n"), sum(dec(valueCol)).as("s"))
-
-    // one pass over the start snapshot serves classification AND the
-    // pre-image values: left join the batch to (key, pre-group, pre-value)
-    val pre = startSnap.select(
-      keys.map(col) :+ col(groupCol).as("__pre_g") :+ dec(valueCol).as("__pre_v")
-        :+ lit(1).as("__existed"): _*) // marker, NOT the pre columns: both can be real NULLs
-    val joined = t.incremental(Some(start), Some(end))
-      .select(keys.map(col) :+ col(groupCol) :+ dec(valueCol).as("__v"): _*)
-      .join(pre, keys, "left")
+  /** The delta fold shared by both pre-image strategies: prior state,
+    * plus additions for every batch row, minus retractions for batch
+    * rows whose key had a pre-image.
+    */
+  private def foldDeltas(
+      prior: DataFrame, joined: DataFrame, groupCol: String): DataFrame = {
     val additions = joined.select(col(groupCol), lit(1L).as("dn"), col("__v").as("ds"))
     val retractions = joined.filter(col("__existed").isNotNull)
       .select(col("__pre_g").as(groupCol), lit(-1L).as("dn"), (col("__pre_v") * -1).as("ds"))
-
     prior.select(col(groupCol), col("n").as("dn"), col("s").as("ds"))
       .unionByName(additions)
       .unionByName(retractions)
@@ -117,5 +105,99 @@ object AggMaintenance {
       .agg(sum(col("dn")).as("n_rows"), sum(col("ds")).cast(DoubleType).as("total"))
       .filter(col("n_rows") > 0) // a group emptied by retraction disappears
       .orderBy(col(groupCol).asc_nulls_last) // DuckDB's ORDER BY default
+  }
+
+  private def dec(c: String) = col(c).cast(DecimalType(18, 4))
+
+  /** (key, pre-group, pre-value, existed-marker) projection of a
+    * pre-image relation.
+    */
+  private def preProjection(
+      src: DataFrame, keys: Seq[String], groupCol: String, valueCol: String): DataFrame =
+    src.select(
+      keys.map(col) :+ col(groupCol).as("__pre_g") :+ dec(valueCol).as("__pre_v")
+        :+ lit(1).as("__existed"): _*) // marker, NOT the pre columns: both can be real NULLs
+
+  /** Maintained per-`groupCol` (count, sum of `valueCol`) at `end`,
+    * derived from the aggregate at `start` plus the (start, end] deltas.
+    * Output: groupCol, n_rows, total — groups emptied by retraction
+    * disappear (count 0), matching a recomputed aggregate.
+    */
+  def maintainCountSum(
+      t: HudiTable,
+      start: String,
+      end: String,
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    checkMaintainable(t, start, end)
+    val keys = t.config.recordKeyFields
+    val startSnap = t.snapshot(asOf = Some(start))
+    val prior = startSnap
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(dec(valueCol)).as("s"))
+    // one pass over the start snapshot serves classification AND the
+    // pre-image values: left join the batch to (key, pre-group, pre-value)
+    val joined = t.incremental(Some(start), Some(end))
+      .select(keys.map(col) :+ col(groupCol) :+ dec(valueCol).as("__v"): _*)
+      .join(preProjection(startSnap, keys, groupCol, valueCol), keys, "left")
+    foldDeltas(prior, joined, groupCol)
+  }
+
+  /** [[maintainCountSum]] with the pre-image fetch served by the
+    * metadata table's `record_index` partition: the batch's distinct
+    * keys are point-looked-up ([[RecordIndex.lookup]]) to find the file
+    * groups holding their pre-images, and ONLY those groups are read as
+    * of `start` — at production scale the difference between scanning
+    * 100 TB and scanning the handful of file groups a commit touched.
+    *
+    * `priorAgg` is the maintained state you already hold (columns:
+    * groupCol, n, s with s DECIMAL(18,4)); when absent it is recomputed
+    * from the start snapshot — which keeps the oracle twin verifiable
+    * but re-introduces one full scan, so production callers pass it.
+    *
+    * Falls back to the scan path when the index is absent, the key is
+    * composite (the index stores encoded composite keys this fixture
+    * surface doesn't build), or the batch's distinct-key count exceeds
+    * `maxIndexedKeys` (a batch touching most of the table is better
+    * served by the scan plan anyway).
+    */
+  def maintainCountSumIndexed(
+      t: HudiTable,
+      start: String,
+      end: String,
+      groupCol: String,
+      valueCol: String,
+      priorAgg: Option[DataFrame] = None,
+      maxIndexedKeys: Long = 4L << 20
+  ): DataFrame = {
+    checkMaintainable(t, start, end)
+    val keys = t.config.recordKeyFields
+    def scanPath(): DataFrame = maintainCountSum(t, start, end, groupCol, valueCol)
+    if (keys.size != 1 || !RecordIndex.isAvailable(t.config)) return scanPath()
+
+    val keyCol = keys.head
+    val batch = t.incremental(Some(start), Some(end))
+      .select(keys.map(col) :+ col(groupCol) :+ dec(valueCol).as("__v"): _*)
+    val distinctKeys = batch.select(col(keyCol).cast(StringType)).distinct()
+    if (distinctKeys.count() > maxIndexedKeys) return scanPath()
+    val keyStrings = distinctKeys.collect().map(_.getString(0)).toSeq
+
+    val located = RecordIndex.lookup(t.basePath, keyStrings, t.hadoopConf)
+    val groups: Map[String, Set[String]] = located.values
+      .groupBy(_.partitionPath).view.mapValues(_.map(_.fileId).toSet).toMap
+    // keys absent from the index have no pre-image anywhere; groups born
+    // after `start` plan no slice — both collapse to the insert branch
+    val preImages =
+      if (groups.isEmpty) LogScan.emptyDf(t.spark, t.tableSchema)
+      else t.snapshotForFileGroups(start, groups)
+
+    val prior = priorAgg.getOrElse {
+      t.snapshot(asOf = Some(start))
+        .groupBy(groupCol)
+        .agg(count(lit(1)).as("n"), sum(dec(valueCol)).as("s"))
+    }
+    val joined = batch.join(preProjection(preImages, keys, groupCol, valueCol), keys, "left")
+    foldDeltas(prior, joined, groupCol)
   }
 }

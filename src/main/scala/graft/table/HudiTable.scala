@@ -162,6 +162,22 @@ final class HudiTable(
     }
   }
 
+  /** Snapshot restricted to the file groups in `groups` (partitionPath →
+    * fileIds), the planning primitive behind record-index point reads:
+    * callers that know WHICH groups hold their keys (via
+    * [[RecordIndex.lookup]]) read just those slices as of `asOf` instead
+    * of the whole table. Groups born after `asOf` simply plan no slice.
+    */
+  private[graft] def snapshotForFileGroups(
+      asOf: String,
+      groups: Map[String, Set[String]]
+  ): DataFrame = {
+    val end = Timestamps.normalize(asOf, config.timelineTimezone)
+    val slices = fsView.slicesAsOf(end, prunerFor(Nil))
+      .filter(sl => groups.get(sl.partitionPath).exists(_.contains(sl.fileId)))
+    readSlices(slices, InstantRange.upTo(end), commitRange = None)
+  }
+
   /** C3: estimated (rows, bytes) for the latest snapshot — total planned
     * file size with rows extrapolated from one sampled footer
     * (table/mod.rs:902-952; snapshot only, like the reference).
