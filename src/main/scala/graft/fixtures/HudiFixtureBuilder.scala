@@ -49,6 +49,7 @@ object HudiFixtureBuilder {
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
   def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
+  def clusteredPath(sfDir: String): String = s"${root(sfDir)}/cow_clustered"
 
   /** File groups per partition — multiple slices per partition is the
     * realistic shape (and the unit of scan parallelism).
@@ -60,7 +61,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v7")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v8")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -117,6 +118,7 @@ object HudiFixtureBuilder {
           buildCowOrders(spark, sfDir)
           buildMorOrders(spark, sfDir)
           buildMorLogOnly(spark, sfDir)
+          buildCowClustered(spark, sfDir)
           buildCowPartNation(spark, sfDir)
           buildCowDroppedNation(spark, sfDir)
           buildCowEvolvedNation(spark, sfDir)
@@ -430,6 +432,57 @@ object HudiFixtureBuilder {
       out.write(bytes)
       out.close()
     }
+  }
+
+  // --- COW, non-partitioned, with a CLUSTER replacecommit -----------------
+  // T1 commit: inserts split over TWO file groups by key parity. T2
+  // commit: COW rewrite of both groups (%7==0 → status 'U', commit T2;
+  // unchanged rows keep T1). T3 replacecommit (operationType CLUSTER):
+  // rewrites BOTH groups into ONE new file group, PRESERVING per-row
+  // commit times — the write stats advertise the new group, the
+  // partitionToReplaceFileIds exclude the old ones (R4), so a snapshot
+  // as of >= T3 reads only the clustered group and an incremental range
+  // straddling T3 plans touched-minus-replaced (the reference's
+  // get_file_groups_between set-difference, timeline/mod.rs:333-386).
+  private def buildCowClustered(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(clusteredPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeProperties(fs, base, "cow_clustered", "COPY_ON_WRITE", None, hiveStyle = false)
+    val src = orders(spark, sfDir).withColumn("__part", lit(""))
+    val dataAvro = Some(SparkToAvro.toAvroSchema(
+      orders(spark, sfDir).schema, "orders_record").toString)
+
+    def grp(df: DataFrame, g: Int): DataFrame =
+      df.filter(pmod(col("o_orderkey"), lit(2)) === g)
+
+    val files1 = (0 until 2).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T1.parquet"
+      writeBaseFile(spark,
+        withMeta(grp(src, g).withColumn("__commit", lit(T1)), "__part", lit(name)), base, name)
+      ("", fileId(g), name)
+    }
+    writeCommit(fs, base, T1, "commit", files1, dataAvro)
+
+    val upd = src
+      .withColumn("__upd", col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", when(col("__upd"), lit("U")).otherwise(col("o_orderstatus")))
+      .withColumn("__commit", when(col("__upd"), lit(T2)).otherwise(lit(T1)))
+      .drop("__upd")
+    val files2 = (0 until 2).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T2.parquet"
+      writeBaseFile(spark, withMeta(grp(upd, g), "__part", lit(name)), base, name)
+      ("", fileId(g), name)
+    }
+    writeCommit(fs, base, T2, "commit", files2, dataAvro)
+
+    // T3: the clustered group — same rows, same per-row commit times
+    val cname = s"${fileId(9)}_${Token}_$T3.parquet"
+    writeBaseFile(spark, withMeta(upd, "__part", lit(cname)), base, cname)
+    writeText(fs, new Path(base, s".hoodie/$T3.replacecommit"),
+      s"""{"partitionToWriteStats":{"":[{"fileId":"${fileId(9)}","path":"$cname","partitionPath":""}]},""" +
+        s""""partitionToReplaceFileIds":{"":["${fileId(0)}","${fileId(1)}"]},""" +
+        """"compacted":false,"operationType":"CLUSTER"}""")
   }
 
   // --- MOR, non-partitioned, with a LOG-ONLY file group -------------------

@@ -47,6 +47,11 @@ object HudiQueries {
     HudiTable(s, HudiFixtureBuilder.morPath(d))
   }
 
+  private def clustered(s: SparkSession, d: String): HudiTable = {
+    HudiFixtureBuilder.ensure(s, d)
+    HudiTable(s, HudiFixtureBuilder.clusteredPath(d))
+  }
+
   private def selectOrders(df: DataFrame): DataFrame =
     df.select(ordersCols.map(col): _*).orderBy("o_orderkey")
 
@@ -81,6 +86,24 @@ object HudiQueries {
     "hudi_cow_incremental" -> QueryDef(
       (s, d) => selectOrders(cow(s, d).incremental(
         Some(HudiFixtureBuilder.T1), Some(HudiFixtureBuilder.T2))),
+      ordersSql(updated = true, deletes = false, onlyUpdated = true)),
+
+    // --- R4 at oracle level: snapshot after a CLUSTER replacecommit reads
+    // ONLY the clustered group (the replaced groups would duplicate every
+    // row → hash fails loudly if exclusion regresses) ------------------
+    "hudi_clustered_snapshot" -> QueryDef(
+      (s, d) => selectOrders(clustered(s, d).snapshot()),
+      ordersSql(updated = true, deletes = false, onlyUpdated = false)),
+
+    // --- S3 across a replacecommit: the range (T1, T3] straddles the T3
+    // clustering — planned groups are touched MINUS replaced (reference
+    // get_file_groups_between set-difference, timeline/mod.rs:333-386),
+    // so only the clustered group is read and the commit-time row filter
+    // keeps the T2-updated rows. Without the difference, the T2 rewrites
+    // of the replaced groups would double every updated row. -----------
+    "hudi_incremental_replaced" -> QueryDef(
+      (s, d) => selectOrders(clustered(s, d).incremental(
+        Some(HudiFixtureBuilder.T1), Some(HudiFixtureBuilder.T3))),
       ordersSql(updated = true, deletes = false, onlyUpdated = true)),
 
     // --- S9/M2/M3: MOR snapshot (avro log updates + delete blocks) -------

@@ -49,6 +49,19 @@ class AggMaintenanceSpec extends SparkTestBase {
     assert(e.getMessage.contains("replacecommit"))
   }
 
+  test("a benign CLUSTER replacecommit in the range passes the guard and maintains exactly") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val t = HudiTable(spark, HudiFixtureBuilder.clusteredPath(sfDir))
+    val maintained = AggMaintenance.maintainCountSum(
+      t, HudiFixtureBuilder.T1, HudiFixtureBuilder.T3, "o_orderstatus", "o_totalprice")
+    val direct = t.snapshot(asOf = Some(HudiFixtureBuilder.T3))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+      .orderBy("o_orderstatus")
+    assert(maintained.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("an insert-only range needs no retractions (first commit)") {
     val maintained = AggMaintenance.maintainCountSum(
       table, "0", HudiFixtureBuilder.T1, "o_orderstatus", "o_totalprice")
