@@ -269,6 +269,52 @@ object HudiQueries {
         |            ELSE 20240101000000000 END AS BIGINT) AS commit_ord
         |FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey""".stripMargin),
 
+    // --- S4 with a DELETE commit mid-drain: per-commit micro-batches
+    // ((..T1], (T1,T2], (T2,T3]) + stream.emit.deletes. The T3 delete-only
+    // batch surfaces TOMBSTONE rows (null data columns, meta key/commit
+    // populated), so cross-batch latest-wins state genuinely drops the
+    // %97 keys — without the option that batch is empty and the deleted
+    // keys would linger at their T1/T2 values (the drift this entry pins
+    // down; hudi_stream_latest can't see it because its single AvailableNow
+    // batch merges the deletes away inside one incremental read).
+    "hudi_stream_deletes" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val stream = s.readStream.format("hudi-graft")
+          .option("stream.commits.per.batch", "1")
+          .option("stream.emit.deletes", "true")
+          .load(HudiFixtureBuilder.morPath(d))
+        // key on the META record key: tombstones carry it while their
+        // data columns are null
+        val latest = graft.streaming.StreamOps.latestByKey(
+          stream.withColumn("commit_ord", col("_hoodie_commit_time").cast("long"))
+            .select(col("_hoodie_record_key").as("rk"), col("o_orderstatus"), col("commit_ord")),
+          Seq("rk"), "commit_ord")
+        val sink = "graft_stream_deletes_sink"
+        s.catalog.dropTempView(sink)
+        val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try latest.writeStream.outputMode("append").format("memory")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .queryName(sink).start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .groupBy("rk")
+          .agg(max(struct(col("commit_ord"), col("o_orderstatus"))).as("m"))
+          .filter(col("m.o_orderstatus").isNotNull) // tombstone winner = deleted key
+          .select(col("rk").cast("long").as("o_orderkey"),
+            col("m.o_orderstatus").as("o_orderstatus"),
+            col("m.commit_ord").as("commit_ord"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN 20240102000000000
+        |            ELSE 20240101000000000 END AS BIGINT) AS commit_ord
+        |FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey""".stripMargin),
+
     // --- Incremental aggregate maintenance (IVM over S3) ------------------
     // Roll the per-status (count, sum) aggregate forward through (T1, T2]
     // by deltas: +new rows, -pre-images of updated keys (T2 moves %7 keys

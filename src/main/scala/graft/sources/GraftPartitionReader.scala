@@ -37,7 +37,8 @@ class GraftReaderFactory(
     columnar: Boolean = false,
     populatesMetaFields: Boolean = true,
     limit: Option[Int] = None,
-    rangeFilterColumnar: Boolean = false
+    rangeFilterColumnar: Boolean = false,
+    emitDeletes: Boolean = false
 ) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
@@ -48,7 +49,8 @@ class GraftReaderFactory(
     val chained = new ChainedPartitionReader[InternalRow](p.slices.map(sl => () =>
       new GraftPartitionReader(sl, readFn, widenedJson, requiredJson,
         orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs), p.commitStart,
-        partitionSchemaJson, hiveStyle, urlEncoded, populatesMetaFields, counters)),
+        partitionSchemaJson, hiveStyle, urlEncoded, populatesMetaFields, counters,
+        emitDeletes)),
       () => counters.snapshot)
     limit.fold(chained: PartitionReader[InternalRow])(new LimitedPartitionReader(chained, _))
   }
@@ -266,7 +268,8 @@ class GraftPartitionReader(
     hiveStyle: Boolean = false,
     urlEncoded: Boolean = false,
     populatesMetaFields: Boolean = true,
-    counters: ReaderCounters = new ReaderCounters
+    counters: ReaderCounters = new ReaderCounters,
+    emitDeletes: Boolean = false
 ) extends PartitionReader[InternalRow] {
 
   counters.slicesRead += 1
@@ -456,12 +459,19 @@ class GraftPartitionReader(
   }
 
   /** Streamed merge: base rows checked against the log map; survivors of
-    * the log map (log-only inserts) appended at the end.
+    * the log map (log-only inserts) appended at the end. With
+    * `emitDeletes`, keys whose in-range delete is the slice's final
+    * state additionally surface as tombstone rows AFTER the survivors
+    * (the `++` operands are by-name, so the alive-key set is complete by
+    * the time the tombstone iterator is consumed).
     */
   private def mergedIter: Iterator[InternalRow] =
     if (appendOnly) baseIter ++ logAll.iterator
     else {
       val consumed = mutable.HashSet.empty[String]
+      val aliveDeleteKeys = mutable.HashSet.empty[String]
+      def keep(key: String): Unit =
+        if (emitDeletes && deletes.contains(key)) aliveDeleteKeys += key
       val fromBase = baseIter.flatMap { row =>
         val key = if (row.isNullAt(keyIdx)) "" else row.getString(keyIdx)
         val winner = logLatest.get(key) match {
@@ -470,13 +480,41 @@ class GraftPartitionReader(
             if (newerThan(logRow, row)) logRow else row.copy()
           case None => row
         }
-        if (deleteWins(winner)) None else Some(winner)
+        if (deleteWins(winner)) None else { keep(key); Some(winner) }
       }
       val fromLogOnly = logLatest.iterator.collect {
-        case (key, row) if !consumed.contains(key) && !deleteWins(row) => row
+        case (key, row) if !consumed.contains(key) && !deleteWins(row) =>
+          keep(key); row
       }
-      fromBase ++ fromLogOnly
+      if (!emitDeletes) fromBase ++ fromLogOnly
+      else fromBase ++ fromLogOnly ++ tombstoneIter(aliveDeleteKeys)
     }
+
+  /** Tombstone rows for `stream.emit.deletes`: data columns null, meta
+    * columns carrying (delete commit time, record key, partition path)
+    * plus the delete's ordering value — the delete-visibility contract a
+    * per-commit micro-batch consumer needs (a delete-only commit
+    * otherwise surfaces NO rows and downstream latest-wins state keeps
+    * the deleted keys forever). Only keys with no surviving in-range row
+    * qualify: a later in-range upsert re-inserts the key, so no
+    * tombstone.
+    */
+  private def tombstoneIter(alive: collection.Set[String]): Iterator[InternalRow] = {
+    // the partition-path column can be projection-pruned from the
+    // widened schema — populate it only when present
+    lazy val partIdx = widened.fieldNames.indexOf("_hoodie_partition_path") match {
+      case -1 => None
+      case i => Some(i)
+    }
+    deletes.iterator.collect { case (key, info) if !alive.contains(key) =>
+      val vals = new Array[Any](widened.fields.length)
+      vals(keyIdx) = UTF8String.fromString(key)
+      vals(commitIdx) = info.commitOrd
+      partIdx.foreach(i => vals(i) = UTF8String.fromString(slice.partitionPath))
+      ordIdx.foreach(i => vals(i) = info.eventOrd)
+      new GenericInternalRow(vals)
+    }
+  }
 
   // ---- PartitionReader contract ------------------------------------------
 

@@ -223,6 +223,16 @@ class GraftScan(
     Option(options.get("stream.start.timestamp"))
       .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
 
+  /** Surface in-range deletes as tombstone rows (data columns null, meta
+    * columns populated) — without this, a delete-only commit yields an
+    * EMPTY micro-batch and per-commit streaming consumers never learn
+    * the keys died (beyond the reference: its streaming is Unsupported,
+    * table/mod.rs:821-824; its incremental read likewise drops deletes).
+    * Also honored by `query.type=incremental` batch reads for a CDC-ish
+    * changes-with-deletes feed.
+    */
+  private[sources] val emitDeletes: Boolean = options.getBoolean("stream.emit.deletes", false)
+
   /** Incremental query (S3 through DSv2): `query.type=incremental` with
     * `start.timestamp` (exclusive) / `end.timestamp` (inclusive, default
     * latest) — the reference's QueryType::Incremental surface
@@ -468,7 +478,8 @@ class GraftScan(
       columnar,
       hudi.config.populatesMetaFields,
       limit,
-      rangeFilterColumnar = columnar && rangeFilterNeeded)
+      rangeFilterColumnar = columnar && rangeFilterNeeded,
+      emitDeletes = emitDeletes)
   }
 
   /** Commit-range parquet predicates for the general columnar incremental

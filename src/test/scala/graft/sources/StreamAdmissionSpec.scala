@@ -78,6 +78,30 @@ class StreamAdmissionSpec extends SparkTestBase {
       s"offset must not regress from $future to the timeline tip, got ${next.json()}")
   }
 
+  test("stream.emit.deletes surfaces tombstones so bounded drains converge on deletes") {
+    drain(Map("stream.commits.per.batch" -> "1", "stream.emit.deletes" -> "true"),
+      "adm_tomb")
+    val rows = spark.table("adm_tomb")
+      .selectExpr("_hoodie_record_key", "o_orderkey", "o_orderstatus", "_hoodie_commit_time")
+      .collect()
+    // tombstones: meta key + delete commit populated, data columns null —
+    // exactly the fixture's T3-deleted (%97) keys
+    val tomb = rows.filter(_.isNullAt(1))
+    assert(tomb.nonEmpty)
+    assert(tomb.forall(r => r.getString(0).toLong % 97 == 0))
+    assert(tomb.forall(r => r.getString(3) == HudiFixtureBuilder.T3))
+    // tombstone-aware latest-wins converges to the true surviving key set
+    // (the drift the option exists to prevent)
+    val latest = rows.groupBy(_.getString(0)).map { case (k, vs) =>
+      k.toLong -> Option(vs.maxBy(_.getString(3)).getString(2))
+    }
+    val survivors = latest.collect { case (k, Some(_)) => k }.toSet
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey").collect().map(_.getLong(0))
+      .filter(_ % 97 != 0).toSet
+    assert(survivors == expected)
+  }
+
   test("stream.start.timestamp skips history on first start") {
     drain(Map("stream.start.timestamp" -> HudiFixtureBuilder.T1), "adm_from_t1")
     val commits = spark.table("adm_from_t1")
