@@ -65,6 +65,33 @@ object AggMaintenance {
     require(inRangeDeletes == 0L,
       s"commit range ($start, $end] carries $inRangeDeletes deletes — deleted keys are " +
         "invisible to an incremental read, so the maintained aggregate would drift")
+    // write stats that OMIT the numDeletes field entirely (minimal-stats
+    // writers) can't prove delete-freedom from metadata alone. For log
+    // files the proof is recoverable: scan the referenced files for
+    // in-range delete blocks — IO bounded by the commit range, the same
+    // files the incremental read is about to touch anyway. COW rewrites
+    // that silently drop rows remain undetectable from the read side;
+    // that residue is the documented-advisory part of the contract.
+    val unprovenPaths = t.timeline.instantsBetween(Some(start), Some(end)).iterator
+      .flatMap(i => t.timeline.commitMetadata(i).path("partitionToWriteStats")
+        .properties().asScala.iterator
+        .flatMap(_.getValue.elements().asScala)
+        .filter(_.path("numDeletes").isMissingNode)
+        .flatMap(ws => Option(ws.path("path").asText(null))))
+      .toVector.distinct
+    val range = graft.log.InstantRange(Some(start), Some(end))
+    for (rel <- unprovenPaths) {
+      val name = rel.substring(rel.lastIndexOf('/') + 1)
+      if (graft.fs.LogFile.parse(name, rel, 0L).isDefined) {
+        val p = new org.apache.hadoop.fs.Path(t.basePath, rel)
+        val blocks = graft.log.LogFileParser.applyRollbacks(
+          graft.log.LogFileParser.parse(graft.util.ReadFully(p, t.hadoopConf), range))
+        require(!blocks.exists(_.blockType == graft.log.LogFormat.DeleteBlock),
+          s"commit range ($start, $end] carries delete log blocks in $rel (its write " +
+            "stats omit numDeletes) — deleted keys are invisible to an incremental " +
+            "read, so the maintained aggregate would drift")
+      }
+    }
     // a replacecommit can remove keys with NO numDeletes write stat
     // (insert_overwrite / insert_overwrite_table / delete_partition), so
     // the guard above can't see it. Clustering (operationType CLUSTER)

@@ -31,6 +31,18 @@ class AggMaintenanceSpec extends SparkTestBase {
     assert(m.exists(_.getString(0) == "U"))
   }
 
+  test("delete blocks behind numDeletes-omitting write stats are detected by the log scan") {
+    // the fixture's T3 deltacommit carries delete blocks while its write
+    // stats (minimal-stats writer shape) omit numDeletes entirely — the
+    // metadata-only guard is blind here, so the guard must recover the
+    // proof by scanning the referenced log files
+    val e = intercept[IllegalArgumentException] {
+      AggMaintenance.maintainCountSum(
+        table, HudiFixtureBuilder.T2, HudiFixtureBuilder.T3, "o_orderstatus", "o_totalprice")
+    }
+    assert(e.getMessage.contains("delete log blocks"))
+  }
+
   test("a destructive replacecommit in the range is rejected (guard fires)") {
     // the reference overwrite fixture: 2 commits then an
     // INSERT_OVERWRITE_TABLE replacecommit that removes keys {1,2,3}
