@@ -36,6 +36,26 @@ final class HudiTable(
     }
     if (extra.isEmpty) stored else HoodieConfig(stored.props ++ extra)
   }
+  // Base-file format contract, checked at open so a wrong format fails
+  // here instead of deep in a parquet decode (the reference dispatches per
+  // format in base_file/reader.rs:152-167; its Lance reader is
+  // base_file/lance.rs). PARQUET is the only data-table format this engine
+  // executes: no Spark-compatible Lance reader exists in the allowed
+  // dependency set, and HFile data files belong to the metadata table's
+  // dedicated reader path, as in the reference.
+  config.baseFileFormat.toUpperCase match {
+    case "PARQUET" => ()
+    case "LANCE" => throw new UnsupportedOperationException(
+      s"table $basePath uses Lance base files (hoodie.table.base.file.format=" +
+        s"${config.baseFileFormat}) — unsupported: no Spark-compatible Lance reader " +
+        "is available; read this table with a Lance-capable engine")
+    case "HFILE" => throw new UnsupportedOperationException(
+      s"table $basePath declares HFile base files — HFile is only supported " +
+        "through the metadata-table reader path, not as a data-table format")
+    case other => throw new IllegalArgumentException(
+      s"table $basePath declares unknown base file format '$other'")
+  }
+
   val timeline: Timeline = new Timeline(basePath, config, hadoopConf)
   val fsView: FsView = new FsView(basePath, config, timeline, hadoopConf)
 
