@@ -90,6 +90,7 @@ object HudiFixtureBuilder {
         // heartbeat: rewrite the lock every 30s so a LIVE-but-slow holder
         // is distinguishable from a dead one — waiters only break a lock
         // whose content stayed identical for their whole wait window
+        val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
         val heartbeat = new Thread(() => {
           var n = 0L
           var mine = true
@@ -100,29 +101,38 @@ object HudiFixtureBuilder {
               // read-compare-write: if the lock no longer carries OUR
               // token, a waiter judged us dead (e.g. our heartbeat writes
               // were swallowed by IO errors for its full wait window) and
-              // took over — stop heartbeating so we can't clobber the new
-              // holder's token (deleteOwnLock() is token-compared, so it
-              // then degrades to a no-op too).
+              // took over — stop heartbeating AND flag the build to abort
+              // at its next step, so we can't keep writing into a tree
+              // the new holder is rebuilding (deleteOwnLock() is
+              // token-compared, so it degrades to a no-op too). The
+              // compare and the overwrite are NOT atomic — a takeover
+              // landing between them is still clobbered for one beat —
+              // so this narrows the race rather than closing it:
+              // best-effort test scaffolding, not a lock service.
               if (lockContent().exists(_.startsWith(s"$token:"))) {
                 val out = fs.create(lock, true)
                 out.write(s"$token:$n".getBytes("UTF-8")); out.close()
-              } else mine = false
+              } else { mine = false; lost.set(true) }
             } catch { case _: java.io.IOException => }
           } catch { case _: InterruptedException => }
         }, "fixture-lock-heartbeat")
         heartbeat.setDaemon(true)
         heartbeat.start()
+        def own(): Unit = if (lost.get())
+          throw new IllegalStateException(
+            "fixture lock lost to another process — aborting this build; " +
+              "the new holder rebuilds the tree from scratch")
         try {
           if (fs.exists(marker)) return
           fs.delete(new Path(root(sfDir)), true)
-          buildCowOrders(spark, sfDir)
-          buildMorOrders(spark, sfDir)
-          buildMorLogOnly(spark, sfDir)
-          buildCowClustered(spark, sfDir)
-          buildCowPartNation(spark, sfDir)
-          buildCowDroppedNation(spark, sfDir)
-          buildCowEvolvedNation(spark, sfDir)
-          buildCowMdtNation(spark, sfDir)
+          buildCowOrders(spark, sfDir); own()
+          buildMorOrders(spark, sfDir); own()
+          buildMorLogOnly(spark, sfDir); own()
+          buildCowClustered(spark, sfDir); own()
+          buildCowPartNation(spark, sfDir); own()
+          buildCowDroppedNation(spark, sfDir); own()
+          buildCowEvolvedNation(spark, sfDir); own()
+          buildCowMdtNation(spark, sfDir); own()
           fs.create(marker, true).close()
           return
         } finally {

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Iterative graph computation done Spark-right: PageRank over the
   * bipartite customer↔supplier graph (an edge where a customer's order
   * contains a supplier's line), 10 damped iterations.
@@ -135,27 +137,26 @@ object GraphOps {
       graft.util.Checkpoints.freeLocalCheckpoint(ranks) // superseded generation
       ranks = next
     }
-    // the FINAL generation feeds the (lazy) result frame, so it can't be
-    // freed here — park it in the session registry and free the previous
-    // invocation's final generation instead (its result was consumed by
-    // the time a new invocation starts); otherwise every pagerank call
-    // pins one node-sized checkpointed RDD in the block store until GC.
-    val reg = SessionRegistry.of(s)
-    reg.synchronized {
-      reg.put("pagerank_final", ranks).collect { case prev: DataFrame => prev }
-        .foreach(graft.util.Checkpoints.freeLocalCheckpoint)
-    }
     val named = ranks.select(
       when(col("node") % 2 === 0, concat(lit("c"), expr("node DIV 2")))
         .otherwise(concat(lit("s"), expr("(node - 1) DIV 2"))).as("node"),
       col("pr"))
     val top = named.orderBy(col("pr").desc, col("node")).limit(TopK)
-    top.select(
+    val result = top.select(
       row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("pr").desc, col("node")))
         .as("rank"),
       col("node"), col("pr"))
       .orderBy("rank")
+    // materialize the TopK-bounded result (driver-safe: TopK rows) so the
+    // returned frame is a self-contained LocalRelation — then the FINAL
+    // checkpoint generation can be freed right here, like its superseded
+    // predecessors. Lazier schemes (parking the checkpoint and freeing it
+    // on the next invocation) would invalidate a still-held previous
+    // result: a localCheckpoint cannot recompute once unpersisted.
+    val rows = result.collect().toSeq
+    graft.util.Checkpoints.freeLocalCheckpoint(ranks)
+    s.createDataFrame(rows.asJava, result.schema)
   }
 
   private def duckSql: String = {

@@ -479,7 +479,12 @@ class GraftScan(
       hudi.config.populatesMetaFields,
       limit,
       rangeFilterColumnar = columnar && rangeFilterNeeded,
-      emitDeletes = emitDeletes)
+      // tombstones are a CHANGES-feed concept: honored only where a commit
+      // range scopes them — streaming micro-batches and batch incremental
+      // reads (both are exactly the withCommitCol callers). A snapshot
+      // read must ignore the option, or every historically-deleted key
+      // would surface as an unbounded null-data row.
+      emitDeletes = emitDeletes && withCommitCol)
   }
 
   /** Commit-range parquet predicates for the general columnar incremental

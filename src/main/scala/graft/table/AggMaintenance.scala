@@ -158,6 +158,21 @@ object AggMaintenance {
       valueCol: String
   ): DataFrame = {
     checkMaintainable(t, start, end)
+    maintainCountSumChecked(t, start, end, groupCol, valueCol)
+  }
+
+  /** [[maintainCountSum]] body with the range preconditions already
+    * proven — shared with [[maintainCountSumIndexed]]'s fallbacks so the
+    * driver-side log-scan proof in [[checkMaintainable]] runs once per
+    * maintenance call, not once per fallback.
+    */
+  private def maintainCountSumChecked(
+      t: HudiTable,
+      start: String,
+      end: String,
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
     val keys = t.config.recordKeyFields
     val startSnap = t.snapshot(asOf = Some(start))
     val prior = startSnap
@@ -183,12 +198,33 @@ object AggMaintenance {
     * from the start snapshot — which keeps the oracle twin verifiable
     * but re-introduces one full scan, so production callers pass it.
     *
-    * Falls back to the scan path when the index is absent, the key is
-    * composite (the index stores encoded composite keys this fixture
-    * surface doesn't build), or the batch's distinct-key count exceeds
-    * `maxIndexedKeys` (a batch touching most of the table is better
-    * served by the scan plan anyway).
+    * Falls back to the scan path when the index is absent or unreadable
+    * (structural errors from [[RecordIndex.lookup]] are caught here),
+    * the key is composite (the index stores encoded composite keys this
+    * fixture surface doesn't build), the batch's distinct-key count
+    * exceeds `maxIndexedKeys` (a batch touching most of the table is
+    * better served by the scan plan anyway), or the index's freshness
+    * can't be proven sound for `start`-time pre-images:
+    *
+    *  - the index must have been written at a commit in `[start, end]` —
+    *    an index behind `start` misses keys inserted before `start`
+    *    (their pre-images would be dropped), and an index ahead of `end`
+    *    may reflect deletes/relocations from commits this maintenance
+    *    range never sees;
+    *  - NO replacecommit may sit in `(start, end]`: clustering (benign
+    *    for the scan path) relocates keys into file groups born after
+    *    `start`, so the latest-location lookup would plan slices that
+    *    don't exist as of `start` and lose those pre-images.
     */
+  /** Index-freshness soundness for `start`-time pre-image planning: the
+    * index must have been written at a commit in `[start, end]`. MDT
+    * instants may carry an MDT-internal suffix (e.g. compaction's
+    * trailing digits), so the upper bound compares on `end`'s length —
+    * `end`+suffix still counts as "at end".
+    */
+  private[table] def indexFreshnessSound(asOf: String, start: String, end: String): Boolean =
+    asOf >= start && asOf.take(end.length) <= end
+
   def maintainCountSumIndexed(
       t: HudiTable,
       start: String,
@@ -200,21 +236,34 @@ object AggMaintenance {
   ): DataFrame = {
     checkMaintainable(t, start, end)
     val keys = t.config.recordKeyFields
-    def scanPath(): DataFrame = maintainCountSum(t, start, end, groupCol, valueCol)
+    def scanPath(): DataFrame = maintainCountSumChecked(t, start, end, groupCol, valueCol)
     if (keys.size != 1 || !RecordIndex.isAvailable(t.config)) return scanPath()
+    val anyReplaceInRange = t.timeline.instantsBetween(Some(start), Some(end))
+      .exists(_.action == "replacecommit")
+    if (anyReplaceInRange) return scanPath()
 
     val keyCol = keys.head
     val batch = t.incremental(Some(start), Some(end))
       .select(keys.map(col) :+ col(groupCol) :+ dec(valueCol).as("__v"): _*)
-    val distinctKeys = batch.select(col(keyCol).cast(StringType)).distinct()
-    if (distinctKeys.count() > maxIndexedKeys) return scanPath()
-    val keyStrings = distinctKeys.collect().map(_.getString(0)).toSeq
+    // one job: take cap+1 distinct keys — over-cap shows up as the extra
+    // row instead of a separate count() execution of the whole batch
+    val cap = math.min(maxIndexedKeys, (Int.MaxValue - 2).toLong).toInt
+    val keyRows = batch.select(col(keyCol).cast(StringType)).distinct().take(cap + 1)
+    if (keyRows.length > cap) return scanPath()
+    val keyStrings = keyRows.toSeq.map(_.getString(0))
 
-    val located = RecordIndex.lookup(t.basePath, keyStrings, t.hadoopConf)
-    val groups: Map[String, Set[String]] = located.values
+    val lookedUp =
+      try RecordIndex.lookup(t.basePath, keyStrings, t.hadoopConf)
+      catch { case scala.util.control.NonFatal(_) => return scanPath() }
+    if (!indexFreshnessSound(lookedUp.asOf, start, end)) return scanPath()
+    val groups: Map[String, Set[String]] = lookedUp.entries.values
       .groupBy(_.partitionPath).view.mapValues(_.map(_.fileId).toSet).toMap
-    // keys absent from the index have no pre-image anywhere; groups born
-    // after `start` plan no slice — both collapse to the insert branch
+    // with the gates above proven: a key absent from the index has no
+    // pre-image at `start` (no delete or relocation can hide one), and a
+    // key located in a group born AFTER `start` was inserted in-window
+    // (only inserts birth groups once replacecommits are excluded) — its
+    // group plans no start-time slice, correctly landing it in the
+    // insert branch alongside the absent keys
     val preImages =
       if (groups.isEmpty) LogScan.emptyDf(t.spark, t.tableSchema)
       else t.snapshotForFileGroups(start, groups)

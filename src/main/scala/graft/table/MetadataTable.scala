@@ -60,14 +60,20 @@ object MetadataTable {
       partitions.contains(FilesPartitionRecord.PartitionName)
   }
 
-  /** Read + merge + decode the full `files` partition of the MDT at
-    * `<dataTableBase>/.hoodie/metadata`. Throws on any structural problem;
-    * callers fall back to storage listing (table/mod.rs:494-506).
+  /** Open `<dataTableBase>/.hoodie/metadata` and plan one MDT partition's
+    * file slices as of the MDT's latest completed commit. Shared by the
+    * `files`-partition reader and [[RecordIndex]] so the MDT-opening
+    * decisions (partition-field override, empty-timeline semantics) live
+    * in one place. Throws when the MDT has no completed commit or the
+    * partition has no slice — a present-but-unreadable index is a
+    * structural error that callers must see and fall back on (storage
+    * listing / scan plans), never silently read as empty.
     */
-  def filesPartitionRecords(
+  private[table] def openPartition(
       dataTableBase: String,
+      partition: String,
       hadoopConf: Configuration
-  ): Map[String, FilesPartitionRecord] = {
+  ): (String, Vector[graft.fs.FileSlice]) = {
     val mdtPath = new Path(new Path(dataTableBase, ".hoodie"), "metadata").toString
     val stored = HoodieConfig.load(mdtPath, hadoopConf)
     // the reference opens the MDT with PartitionFields overridden to the
@@ -76,13 +82,25 @@ object MetadataTable {
     val timeline = new Timeline(mdtPath, config, hadoopConf)
     val fsView = new FsView(mdtPath, config, timeline, hadoopConf)
     val latest = timeline.latestCommitTimestamp.getOrElse(
-      return Map.empty)
+      throw new IllegalStateException(s"metadata table at $mdtPath has no completed commits"))
     val pruner = new PartitionPruner(
       Seq("partition_path" -> "string"), hiveStyle = false, urlEncoded = false,
-      Seq(PartitionFilter("partition_path", "=", Seq(FilesPartitionRecord.PartitionName))))
+      Seq(PartitionFilter("partition_path", "=", Seq(partition))))
     val slices = fsView.slicesAsOf(latest, pruner)
-    require(slices.nonEmpty,
-      s"No file slice found for the ${FilesPartitionRecord.PartitionName} partition")
+    require(slices.nonEmpty, s"No file slice found for the $partition partition")
+    (latest, slices)
+  }
+
+  /** Read + merge + decode the full `files` partition of the MDT at
+    * `<dataTableBase>/.hoodie/metadata`. Throws on any structural problem;
+    * callers fall back to storage listing (table/mod.rs:494-506).
+    */
+  def filesPartitionRecords(
+      dataTableBase: String,
+      hadoopConf: Configuration
+  ): Map[String, FilesPartitionRecord] = {
+    val (latest, slices) =
+      openPartition(dataTableBase, FilesPartitionRecord.PartitionName, hadoopConf)
 
     def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
 

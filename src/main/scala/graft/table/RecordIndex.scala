@@ -1,7 +1,6 @@
 package graft.table
 
-import graft.core.{HoodieConfig, Timeline}
-import graft.fs.{FsView, PartitionFilter, PartitionPruner}
+import graft.core.HoodieConfig
 import graft.hfile.HFileReader
 import graft.log.{InstantRange, LogFileParser, LogFormat}
 import org.apache.avro.{Schema => AvroSchema}
@@ -23,6 +22,18 @@ final case class RecordIndexEntry(
     partitionPath: String,
     fileId: String,
     instantTime: Long
+)
+
+/** A [[RecordIndex.lookup]] result: the entries found plus `asOf`, the
+  * MDT commit the index was read at. Locations are the LATEST known ones
+  * — a caller planning reads as of an earlier time must check that no
+  * relocation (replacecommit) or delete happened after its as-of point
+  * and before `asOf`, or fall back to a scan plan (see
+  * [[AggMaintenance.maintainCountSumIndexed]] for the full gate).
+  */
+final case class RecordIndexLookup(
+    asOf: String,
+    entries: Map[String, RecordIndexEntry]
 )
 
 /** Point lookups against the metadata table's `record_index` partition.
@@ -54,27 +65,21 @@ object RecordIndex {
       .split(",").map(_.trim).contains(PartitionName)
 
   /** Look up `keys` in the record index at `<dataTableBase>/.hoodie/
-    * metadata/record_index`. Returns only the keys found; tombstoned
-    * keys are absent. Throws on structural problems — callers fall back
-    * to a scan-based plan.
+    * metadata/record_index`, read as of the MDT's latest completed
+    * commit (returned as [[RecordIndexLookup.asOf]] so callers can gate
+    * on index freshness). `entries` holds only the keys found;
+    * tombstoned keys are absent. Throws on structural problems — an
+    * advertised-but-unreadable index (empty MDT timeline, missing slice,
+    * schema-less HFile) must surface, never read as "no pre-images";
+    * callers catch and fall back to a scan-based plan.
     */
   def lookup(
       dataTableBase: String,
       keys: Seq[String],
       hadoopConf: Configuration
-  ): Map[String, RecordIndexEntry] = {
-    if (keys.isEmpty) return Map.empty
-    val mdtPath = new Path(new Path(dataTableBase, ".hoodie"), "metadata").toString
-    val stored = HoodieConfig.load(mdtPath, hadoopConf)
-    val config = HoodieConfig(stored.props + ("hoodie.table.partition.fields" -> "partition_path"))
-    val timeline = new Timeline(mdtPath, config, hadoopConf)
-    val fsView = new FsView(mdtPath, config, timeline, hadoopConf)
-    val latest = timeline.latestCommitTimestamp.getOrElse(return Map.empty)
-    val pruner = new PartitionPruner(
-      Seq("partition_path" -> "string"), hiveStyle = false, urlEncoded = false,
-      Seq(PartitionFilter("partition_path", "=", Seq(PartitionName))))
-    val slices = fsView.slicesAsOf(latest, pruner)
-    require(slices.nonEmpty, s"No file slice found for the $PartitionName partition")
+  ): RecordIndexLookup = {
+    val (latest, slices) = MetadataTable.openPartition(dataTableBase, PartitionName, hadoopConf)
+    if (keys.isEmpty) return RecordIndexLookup(latest, Map.empty)
 
     def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
 
@@ -100,7 +105,7 @@ object RecordIndex {
         }
       }
     }
-    out.collect { case (k, Some(e)) => k -> e }.toMap
+    RecordIndexLookup(latest, out.collect { case (k, Some(e)) => k -> e }.toMap)
   }
 
   /** Decode one HoodieMetadataRecord's `recordIndexMetadata` branch.

@@ -102,6 +102,18 @@ class StreamAdmissionSpec extends SparkTestBase {
     assert(survivors == expected)
   }
 
+  test("a snapshot read ignores stream.emit.deletes (tombstones need a commit range)") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = HudiFixtureBuilder.morPath(sfDir)
+    val plain = spark.read.format("hudi-graft").load(path)
+    val withOpt = spark.read.format("hudi-graft")
+      .option("stream.emit.deletes", "true").load(path)
+    // without the gate the whole delete history surfaces as null-data
+    // rows in a plain snapshot, inflating it unboundedly
+    assert(withOpt.count() == plain.count())
+    assert(withOpt.filter("o_orderkey IS NULL").count() == 0L)
+  }
+
   test("stream.start.timestamp skips history on first start") {
     drain(Map("stream.start.timestamp" -> HudiFixtureBuilder.T1), "adm_from_t1")
     val commits = spark.table("adm_from_t1")

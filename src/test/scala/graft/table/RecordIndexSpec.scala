@@ -22,7 +22,9 @@ class RecordIndexSpec extends SparkTestBase {
     val rows = spark.read.parquet(s"$sfDir/orders.parquet")
       .select("o_orderkey", "o_orderpriority").limit(50).collect()
     val keys = rows.map(_.getLong(0).toString).toSeq
-    val located = RecordIndex.lookup(table.basePath, keys, table.hadoopConf)
+    val lookedUp = RecordIndex.lookup(table.basePath, keys, table.hadoopConf)
+    assert(lookedUp.asOf == HudiFixtureBuilder.T1)
+    val located = lookedUp.entries
     assert(located.size == keys.size)
     // the fixture buckets by o_orderkey % Buckets inside each priority
     // partition — the index must agree with that layout for BOTH fileId
@@ -45,7 +47,7 @@ class RecordIndexSpec extends SparkTestBase {
 
   test("absent keys resolve to no entry") {
     val located = RecordIndex.lookup(
-      table.basePath, Seq("-1", "999999999999"), table.hadoopConf)
+      table.basePath, Seq("-1", "999999999999"), table.hadoopConf).entries
     assert(located.isEmpty)
   }
 
@@ -53,7 +55,7 @@ class RecordIndexSpec extends SparkTestBase {
     val wanted = spark.read.parquet(s"$sfDir/orders.parquet")
       .select("o_orderkey").limit(2).collect().map(_.getLong(0))
     val located = RecordIndex.lookup(
-      table.basePath, wanted.map(_.toString).toSeq, table.hadoopConf)
+      table.basePath, wanted.map(_.toString).toSeq, table.hadoopConf).entries
     assert(located.size == wanted.length)
     val groups = located.values.groupBy(_.partitionPath)
       .view.mapValues(_.map(_.fileId).toSet).toMap
@@ -91,6 +93,45 @@ class RecordIndexSpec extends SparkTestBase {
     val scan = AggMaintenance.maintainCountSum(
       table, HudiFixtureBuilder.T1, HudiFixtureBuilder.T2, "o_orderstatus", "o_totalprice")
     assert(indexed.collect().toSeq == scan.collect().toSeq)
+  }
+
+  test("index freshness gate: sound only for an index written in [start, end]") {
+    import AggMaintenance.indexFreshnessSound
+    assert(indexFreshnessSound("20240101000000000", "20240101000000000", "20240102000000000"))
+    assert(indexFreshnessSound("20240102000000000", "20240101000000000", "20240102000000000"))
+    // MDT-internal suffix on the end commit still counts as "at end"
+    assert(indexFreshnessSound("20240102000000000010", "20240101000000000", "20240102000000000"))
+    // behind start: pre-start inserts would be missing from the index
+    assert(!indexFreshnessSound("20231231000000000", "20240101000000000", "20240102000000000"))
+    // ahead of end: may reflect deletes/relocations the range never sees
+    assert(!indexFreshnessSound("20240103000000000", "20240101000000000", "20240102000000000"))
+  }
+
+  test("an advertised-but-unreadable index throws on lookup and maintenance falls back") {
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
+    val src = new org.apache.hadoop.fs.Path(table.basePath)
+    val dst = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), s"graft-ri-broken-${System.nanoTime()}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, hconf)
+    try {
+      // wipe the MDT timeline: the index partition is still advertised and
+      // its HFiles still present, but no completed MDT commit exists
+      val mdtCommit = new org.apache.hadoop.fs.Path(
+        dst, s".hoodie/metadata/.hoodie/${HudiFixtureBuilder.T1}.deltacommit")
+      assert(fs.delete(mdtCommit, false))
+      val broken = HudiTable(spark, dst.toString)
+      intercept[IllegalStateException] {
+        RecordIndex.lookup(broken.basePath, Seq("1"), broken.hadoopConf)
+      }
+      // the maintenance entry point must NOT read the broken index as
+      // "no key has a pre-image" — it falls back to the scan plan
+      val viaFallback = AggMaintenance.maintainCountSumIndexed(
+        broken, HudiFixtureBuilder.T1, HudiFixtureBuilder.T2, "o_orderstatus", "o_totalprice")
+      val scan = AggMaintenance.maintainCountSum(
+        table, HudiFixtureBuilder.T1, HudiFixtureBuilder.T2, "o_orderstatus", "o_totalprice")
+      assert(viaFallback.collect().toSeq == scan.collect().toSeq)
+    } finally fs.delete(dst, true)
   }
 
   test("the key-count gate falls back to the scan path") {
