@@ -101,8 +101,15 @@ object GraphOps {
             try {
               val n = nodes.count() // node-sized; materializes the edge cache too
               val joined = edges.join(deg, "src")
+              // Broadcast regime: pre-partition the cached edge relation by
+              // dst. The per-iteration BroadcastHashJoin preserves the stream
+              // side's HashPartitioning(dst), so the groupBy(dst) SUM needs
+              // NO exchange — each iteration is one shuffle-free stage.
+              // Non-broadcast regime: partition by src so the shuffle-hash
+              // join co-locates with the node-sized rank shuffle; the
+              // edge-sized contrib shuffle by dst is inherent there.
               val withDeg =
-                (if (n * RankRowBytes <= broadcastMaxBytes) joined
+                (if (n * RankRowBytes <= broadcastMaxBytes) joined.repartition(col("dst"))
                  else joined.repartition(col("src"))).persist()
               try withDeg.count() // materialize from the edge cache
               catch {

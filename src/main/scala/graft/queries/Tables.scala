@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet test tables (TESTDATA.md). */
 object Tables {
@@ -29,15 +29,26 @@ object Tables {
     }
   }
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
-    * a long (spark.sql.legacy.parquet.nanosAsLong=true, set in the session
-    * builders). The data carries no sub-µs precision and DuckDB's ns→µs
-    * cast truncates, so `ts div 1000` µs is lossless and oracle-exact.
+  /** Normalize `events.ts` to a session-UTC instant TIMESTAMP whatever
+    * the driver generated:
+    *  - TIMESTAMP(NANOS) parquet reads as a long under
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set in the session
+    *    builders); the data carries no sub-µs precision and DuckDB's
+    *    ns→µs cast truncates, so `ts div 1000` µs is lossless and
+    *    oracle-exact.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+    *    TIMESTAMP_NTZ; every session pins spark.sql.session.timeZone to
+    *    UTC, so the NTZ→LTZ cast is the identity on the underlying
+    *    micros — exactly how DuckDB (naive timestamps throughout) sees
+    *    the same file. Without the cast, instant functions
+    *    (unix_micros, range-frame windows) reject the NTZ type.
     */
   private def fixEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Canonical loader by table name: routes through the per-table
     * accessors so fixups (fixEventTs on `events`) apply on EVERY

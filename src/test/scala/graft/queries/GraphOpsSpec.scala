@@ -41,13 +41,15 @@ class GraphOpsSpec extends SparkTestBase {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
     // without the per-iteration localCheckpoint the plan would carry ten
-    // chained (edges ⋈ ranks) joins; after the cut only the final top-k
-    // projection over a LogicalRDD remains
+    // chained (edges ⋈ ranks) joins; after the cut (and the final-
+    // generation free, which collects the TopK-bounded rows so the last
+    // checkpoint can be released too) only a self-contained
+    // LocalRelation of the top-k ranks remains
     assert(joins.isEmpty,
-      s"final plan must read the checkpointed ranks, found ${joins.length} joins")
-    val rdds = result.queryExecution.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r
+      s"final plan must read the materialized ranks, found ${joins.length} joins")
+    val locals = result.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
     }
-    assert(rdds.nonEmpty, "expected a LogicalRDD scan of the checkpointed ranks")
+    assert(locals.nonEmpty, "expected a self-contained LocalRelation of the top-k ranks")
   }
 }
