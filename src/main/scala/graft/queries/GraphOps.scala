@@ -51,6 +51,8 @@ object GraphOps {
   private def broadcastMaxBytes: Long =
     sys.props.get("graft.pagerank.broadcast.max.bytes").map(_.toLong).getOrElse(64L << 20)
   private val RankRowBytes = 48L // BIGINT node id + long rank + row overhead
+  private val EdgeRowBytes = 64L // src, dst, deg BIGINTs + row overhead
+  private val TargetPartitionBytes = 32L << 20
 
   /** Session-shared graph prep (the ANN/minhash prep contract): the
     * (edges ⋈ deg) relation and node count build ONCE per (session, dir,
@@ -101,6 +103,19 @@ object GraphOps {
             try {
               val n = nodes.count() // node-sized; materializes the edge cache too
               val joined = edges.join(deg, "src")
+              // Size the cached iteration relation's partitioning by the
+              // MEASURED edge count, floored at the cluster parallelism:
+              // cached plans skip AQE coalescing (spark.sql.optimizer.
+              // canChangeCachedPlanOutputPartitioning is off by default),
+              // and the fixed session shuffle-partition count would
+              // undersplit a 100 TB edge relation. The parallelism floor
+              // matters the other way: per-iteration compute (join + agg
+              // over every edge) dominates task overhead, so dropping
+              // below the core count serializes the loop (measured 2x
+              // slower at sf0.1 with a single byte-sized partition).
+              val e = edges.count() // narrow job over the already-persisted edges
+              val parts = math.max(s.sparkContext.defaultParallelism.toLong,
+                math.min(1L << 18, e * EdgeRowBytes / TargetPartitionBytes + 1)).toInt
               // Broadcast regime: pre-partition the cached edge relation by
               // dst. The per-iteration BroadcastHashJoin preserves the stream
               // side's HashPartitioning(dst), so the groupBy(dst) SUM needs
@@ -109,8 +124,8 @@ object GraphOps {
               // join co-locates with the node-sized rank shuffle; the
               // edge-sized contrib shuffle by dst is inherent there.
               val withDeg =
-                (if (n * RankRowBytes <= broadcastMaxBytes) joined.repartition(col("dst"))
-                 else joined.repartition(col("src"))).persist()
+                (if (n * RankRowBytes <= broadcastMaxBytes) joined.repartition(parts, col("dst"))
+                 else joined.repartition(parts, col("src"))).persist()
               try withDeg.count() // materialize from the edge cache
               catch {
                 case t: Throwable => withDeg.unpersist(blocking = false); throw t
@@ -133,16 +148,32 @@ object GraphOps {
     val prInit = Scale / p.n
     val baseQ = ((Scale / p.n) * 15) / 100
     var ranks = p.nodes.select(col("node"), lit(prInit).as("pr"))
-    for (_ <- 1 to Iters) {
-      val rankSide = if (useBroadcast) broadcast(ranks) else ranks.hint("shuffle_hash")
-      val next = p.withDeg.join(rankSide, col("src") === col("node"))
+    def step(rankSide: DataFrame): DataFrame =
+      p.withDeg.join(rankSide, col("src") === col("node"))
         .select(col("dst"), expr("pr DIV deg").as("contrib"))
         .groupBy("dst")
         .agg(sum(col("contrib")).as("csum"))
         .select(col("dst").as("node"), (lit(baseQ) + expr("(csum * 85) DIV 100")).as("pr"))
-        .localCheckpoint() // eager: cuts lineage, materializes the iteration
-      graft.util.Checkpoints.freeLocalCheckpoint(ranks) // superseded generation
-      ranks = next
+    if (useBroadcast) {
+      // Broadcast regime: the rank relation is ≤ the broadcast gate BY
+      // DEFINITION, so collecting it to the driver each iteration has the
+      // same bounded memory exposure the broadcast itself imposes — and a
+      // LocalRelation rank side makes each iteration exactly ONE job over
+      // the dst-partitioned edge cache (broadcast of driver-local rows is
+      // free; the groupBy(dst) needs no exchange; no localCheckpoint
+      // block-store writes, nothing to unpersist).
+      val schema = ranks.schema
+      for (_ <- 1 to Iters) {
+        val rows = step(broadcast(ranks)).collect().toSeq
+        ranks = s.createDataFrame(rows.asJava, schema)
+      }
+    } else {
+      for (_ <- 1 to Iters) {
+        // eager localCheckpoint: cuts lineage, materializes the iteration
+        val next = step(ranks.hint("shuffle_hash")).localCheckpoint()
+        graft.util.Checkpoints.freeLocalCheckpoint(ranks) // superseded generation
+        ranks = next
+      }
     }
     val named = ranks.select(
       when(col("node") % 2 === 0, concat(lit("c"), expr("node DIV 2")))
