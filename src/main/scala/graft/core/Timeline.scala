@@ -86,6 +86,11 @@ final class Timeline(
     if (config.timelinePath.nonEmpty) new Path(hoodie, config.timelinePath) else hoodie
   }
 
+  /** The active-timeline directory (exposed for the table-open cache's
+    * revalidation fingerprint).
+    */
+  private[graft] def dir: Path = timelineDir
+
   /** All completed loadable instants, ascending by request timestamp. */
   val completedInstants: Vector[HoodieInstant] = {
     val fs = timelineDir.getFileSystem(hadoopConf)

@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   * weak entry becomes collectable: any later access from any session
   * evicts every dead session's state.
   */
-private[queries] object SessionRegistry {
+private[graft] object SessionRegistry {
   private val perSession =
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Any]]()
 

@@ -323,7 +323,58 @@ final class HudiTable(
 }
 
 object HudiTable {
-  def apply(spark: SparkSession, basePath: String): HudiTable = new HudiTable(spark, basePath)
+  def apply(spark: SparkSession, basePath: String): HudiTable =
+    cached(spark, basePath, Map.empty)
   def apply(spark: SparkSession, basePath: String, readOptions: Map[String, String]): HudiTable =
-    new HudiTable(spark, basePath, readOptions)
+    cached(spark, basePath, readOptions)
+
+  /** Session-shared open-table cache, revalidated on EVERY open by a
+    * timeline fingerprint — the analog of Hudi's FileSystemViewManager:
+    * opening a table costs a hoodie.properties read, a timeline listing,
+    * commit-metadata JSON reads and (first scan) partition listings and
+    * footers, all repeated identically for every query against an
+    * unchanged table. The fingerprint is one `listStatus` of the active
+    * timeline dir plus the hoodie.properties status: any commit, rollback,
+    * clean, archive or config change alters it, so a changed table is
+    * re-opened fresh (which is also exactly what the streaming source's
+    * `freshTable` wants — a new view only when there IS new data). A
+    * fingerprint failure fails open to a fresh build.
+    */
+  private def cached(s: SparkSession, basePath: String, opts: Map[String, String]): HudiTable = {
+    val reg = graft.queries.SessionRegistry.of(s)
+    val key = s"huditable:$basePath:" +
+      opts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    reg.synchronized {
+      reg.get(key) match {
+        case Some((t: HudiTable, fp: String)) if fp.nonEmpty && fingerprint(t) == fp => t
+        case _ =>
+          val t = new HudiTable(s, basePath, opts)
+          reg.put(key, (t, fingerprint(t)))
+          t
+      }
+    }
+  }
+
+  /** (name, length, mtime) of every file in the active timeline dir plus
+    * hoodie.properties — instant files are immutable by contract, so this
+    * changes iff the table changed. Empty-string sentinel on any IO error
+    * (never matches a stored fingerprint → rebuild).
+    */
+  private def fingerprint(t: HudiTable): String =
+    try {
+      val fs = t.timeline.dir.getFileSystem(t.hadoopConf)
+      val entries =
+        if (!fs.exists(t.timeline.dir)) Vector.empty
+        else fs.listStatus(t.timeline.dir).iterator
+          .filter(_.isFile)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .toVector.sorted
+      val props = new org.apache.hadoop.fs.Path(t.basePath, ".hoodie/hoodie.properties")
+      val propsSig =
+        if (fs.exists(props)) {
+          val st = fs.getFileStatus(props)
+          s"${st.getLen}:${st.getModificationTime}"
+        } else "absent"
+      (entries :+ s"props=$propsSig").mkString("|")
+    } catch { case scala.util.control.NonFatal(_) => "" }
 }
