@@ -17,7 +17,7 @@ object SparkEntry {
   private def allDefs: Map[String, QueryDef] =
     Relational.queries ++ TextOps.queries ++ PipelineOps.queries ++
       CurateOps.queries ++ TemporalOps.queries ++ EmbedOps.queries ++
-      AnnOps.queries ++ ApproxOps.queries ++ GraphOps.queries ++ HudiQueries.queries ++ Map(
+      AnnOps.queries ++ ClusterOps.queries ++ ApproxOps.queries ++ GraphOps.queries ++ HudiQueries.queries ++ Map(
         "media_byte_stats" -> QueryDef(
           (s, d) => graft.operators.MultimodalOps.byteStats(s, d),
           Some(graft.operators.MultimodalOps.byteStatsOracle)),

@@ -246,7 +246,7 @@ object AnnOps {
     */
   private case class Prep(dir: String, dfs: Seq[DataFrame])
 
-  private def sparkPrep(s: SparkSession, d: String): Unit = {
+  private[queries] def sparkPrep(s: SparkSession, d: String): Unit = {
     graft.functions.LongArrayDot.register(s)
     val reg = SessionRegistry.of(s)
     // synchronized check-then-build (same contract as TextOps.sharedPrep):

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Embedding-space clustering ops: integer-exact spherical k-means and
+  * SemDeDup-style semantic deduplication (cluster first, then compare
+  * pairs ONLY within a cluster — Abbas et al. 2023, arXiv:2303.09540 —
+  * so the corpus is never compared all-pairs).
+  *
+  * Determinism across engines follows the ANN stack's recipe
+  * ([[AnnOps]]): embeddings quantize to BIGINT fixed-point (`floor(x *
+  * 1000)`), every dot product is an exact BIGINT sum, centroid updates
+  * are element-wise `SUM DIV COUNT` truncating integer division (Spark
+  * `DIV` and DuckDB `//` both truncate toward zero), and the only
+  * doubles are final cosine scores — `CAST(bigint AS DOUBLE)` division
+  * and `sqrt`, correctly-rounded IEEE ops that agree bit-for-bit given
+  * identical integer inputs. Assignment ties break on centroid id.
+  *
+  * Scale shape (100 TB):
+  *  - assignment is a broadcast map pass — the centroid relation is K×d
+  *    integers regardless of corpus size;
+  *  - the centroid update is a combinable partial aggregate keyed on
+  *    (cid, dim) — map-side combine reduces to K×d rows per executor
+  *    before the one tiny shuffle;
+  *  - iteration count is a fixed constant (3), each iteration one
+  *    broadcast join + one combinable agg — no growing lineage, no
+  *    checkpoint needed (the plan is [[KmIters]] chained CTEs, constant
+  *    depth);
+  *  - SemDeDup's pairwise stage joins members per cluster id, so the
+  *    candidate count is Σ |cluster|² — bounded by clustering, not n².
+  *    A degenerate giant cluster would need a secondary split (LSH bands
+  *    within the cluster, as [[TextOps]] does for hot shingles); at K=8
+  *    over the synthetic corpus the clusters stay balanced, and the
+  *    within-cluster bound IS the operator's published contract.
+  */
+object ClusterOps {
+
+  private val K = 8
+  private val KmIters = 3
+  private val Dims = 64
+  private val DupThreshold = "0.25"
+
+  private val sparkDot = "graft_dot(%s, %s)"
+  private val duckDot = "CAST(list_dot_product(%s, %s) AS BIGINT)"
+
+  /** The unrolled k-means CTE chain over a quantized-vector relation
+    * `qn(vec_id, q, qnorm)`: cent0 = the K lowest-id vectors (externally
+    * supplied deterministic seeds, the IVF convention), then per
+    * iteration an assignment (`a_t`), membership (`m_t`), per-dimension
+    * integer mean (`cd_t`) and rebuilt centroid (`cent_t`). The final
+    * membership `m_[[KmIters]]` is the operator's output assignment.
+    *
+    * @param perDim  dialect fragment: FROM-clause join of members×vectors
+    *                exploded to (cid, i, x) rows
+    * @param rebuild dialect fragment: aggregate (cid, i, cx) rows back to
+    *                a position-ordered BIGINT array
+    */
+  private def kmeansCtes(
+      qn: String, dot: String,
+      perDim: (String, String) => String,
+      rebuild: String => String): String = {
+    val cent0 =
+      s"""cent0 AS (
+         |  SELECT vec_id AS cid, q AS cq, ${dot.format("q", "q")} AS cnorm
+         |  FROM $qn WHERE vec_id < $K)""".stripMargin
+    val iters = (1 to KmIters).map { t =>
+      val centDot = dot.format("v.q", "c.cq")
+      s"""a$t AS (
+         |  SELECT v.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |      ORDER BY CAST($centDot AS DOUBLE) / sqrt(CAST(c.cnorm AS DOUBLE)) DESC, c.cid) AS rk
+         |  FROM $qn v CROSS JOIN cent${t - 1} c),
+         |m$t AS (SELECT vec_id, cid FROM a$t WHERE rk = 1),
+         |cd$t AS (${perDim(s"m$t", qn)}),
+         |cent$t AS (${rebuild(s"cd$t")})""".stripMargin
+    }
+    (cent0 +: iters).mkString(",\n")
+  }
+
+  private def sparkPerDim(members: String, qn: String): String =
+    s"""
+       |  SELECT cid, i, SUM(x) DIV COUNT(1) AS cx
+       |  FROM (
+       |    SELECT m.cid, pe.i, pe.x
+       |    FROM $members m JOIN $qn v ON v.vec_id = m.vec_id
+       |    LATERAL VIEW posexplode(v.q) pe AS i, x)
+       |  GROUP BY cid, i""".stripMargin
+
+  private def sparkRebuild(cd: String): String =
+    s"""
+       |  SELECT cid, cq, ${sparkDot.format("cq", "cq")} AS cnorm FROM (
+       |    SELECT cid, transform(array_sort(collect_list(struct(i, cx))), s -> s.cx) AS cq
+       |    FROM $cd GROUP BY cid)""".stripMargin
+
+  private def duckPerDim(members: String, qn: String): String =
+    s"""
+       |  SELECT m.cid, di.i, CAST(SUM(list_extract(v.q, di.i + 1)) AS BIGINT) // COUNT(1) AS cx
+       |  FROM $members m JOIN $qn v ON v.vec_id = m.vec_id, UNNEST(range(0, $Dims)) AS di(i)
+       |  GROUP BY m.cid, di.i""".stripMargin
+
+  private def duckRebuild(cd: String): String =
+    s"""
+       |  SELECT cid, cq, ${duckDot.format("cq", "cq")} AS cnorm FROM (
+       |    SELECT cid, list(cx ORDER BY i) AS cq FROM $cd GROUP BY cid)""".stripMargin
+
+  /** DuckDB re-derives the quantized relation inline (the Spark side
+    * reads the session-shared `ann_qn` view, [[AnnOps.sparkPrep]]).
+    */
+  private val duckQn =
+    s"""qe AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qn AS (SELECT vec_id, q, ${duckDot.format("q", "q")} AS qnorm FROM qe)""".stripMargin
+
+  private def kmeansMain(fin: String): String =
+    s"""SELECT m.vec_id, CAST(m.cid AS INT) AS cid
+       |FROM $fin m
+       |ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup tail: within-cluster pairs above [[DupThreshold]] cosine
+    * mark the higher-id member a duplicate of its lowest-id partner.
+    */
+  private def semdedupTail(fin: String, qn: String, dot: String): String = {
+    val pairDot = dot.format("a.q", "b.q")
+    s"""pairs AS (
+       |  SELECT ma.vec_id AS keep_id, mb.vec_id AS dup_id,
+       |    CAST($pairDot AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM $fin ma JOIN $fin mb ON ma.cid = mb.cid AND ma.vec_id < mb.vec_id
+       |  JOIN $qn a ON a.vec_id = ma.vec_id
+       |  JOIN $qn b ON b.vec_id = mb.vec_id),
+       |dups AS (
+       |  SELECT dup_id AS vec_id, MIN(keep_id) AS dup_of
+       |  FROM pairs WHERE score >= $DupThreshold GROUP BY dup_id)
+       |SELECT m.vec_id, CAST(m.cid AS INT) AS cid, d.dup_of,
+       |  CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS kept
+       |FROM $fin m LEFT JOIN dups d ON d.vec_id = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+  }
+
+  private def sparkKmeansSql: String =
+    s"WITH ${kmeansCtes("ann_qn", sparkDot, sparkPerDim, sparkRebuild)}\n${kmeansMain(s"m$KmIters")}"
+
+  private def duckKmeansSql: String =
+    s"WITH $duckQn,\n${kmeansCtes("qn", duckDot, duckPerDim, duckRebuild)}\n${kmeansMain(s"m$KmIters")}"
+
+  private def sparkSemdedupSql: String =
+    s"WITH ${kmeansCtes("ann_qn", sparkDot, sparkPerDim, sparkRebuild)},\n" +
+      semdedupTail(s"m$KmIters", "ann_qn", sparkDot)
+
+  private def duckSemdedupSql: String =
+    s"WITH $duckQn,\n${kmeansCtes("qn", duckDot, duckPerDim, duckRebuild)},\n" +
+      semdedupTail(s"m$KmIters", "qn", duckDot)
+
+  private def runSpark(main: => String)(s: SparkSession, d: String): DataFrame = {
+    AnnOps.sparkPrep(s, d)
+    s.sql(main)
+  }
+
+  def queries: Map[String, QueryDef] = Map(
+    "embed_kmeans" -> QueryDef(runSpark(sparkKmeansSql) _, duckKmeansSql),
+    "embed_semdedup" -> QueryDef(runSpark(sparkSemdedupSql) _, duckSemdedupSql)
+  )
+}
