@@ -1,7 +1,7 @@
 package graft.table
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,21 +10,23 @@ import org.apache.spark.sql.types._
   * record_merger.rs:89-187, ordering.rs:41-51).
   *
   * Strategy OVERWRITE_WITH_LATEST:
-  *  1. keep the latest version per (partition, record key): `row_number()`
-  *     over desc (orderingField, _hoodie_commit_seqno) — the reference's
-  *     `lexsort_to_indices(desc)` + first-seen mask;
+  *  1. keep the latest version per (partition, record key): a combinable
+  *     `max_by` on the (orderingField, _hoodie_commit_seqno) struct — the
+  *     reference's `lexsort_to_indices(desc)` + first-seen mask, without
+  *     the sort;
   *  2. drop records whose key has a delete with strictly greater ordering:
   *     event-time compare first, commit-time tiebreak, and the
   *     event-time-zero special case (delete with integer-zero ordering
   *     compares on commit time only — ordering.rs:42-49).
   *
   * Null semantics mirror Arrow's row ordering (nulls sort first/lowest):
-  * `desc_nulls_last` in the window, and explicit null-safe comparisons in
-  * the delete join so a null ordering loses to any non-null.
+  * null struct fields compare lowest in the max_by pick, and explicit
+  * null-safe comparisons in the delete join make a null ordering lose to
+  * any non-null.
   *
-  * Scale: one hash shuffle keyed by record key (window + the delete
-  * aggregation reuse the same partitioning); delete sets are typically tiny
-  * so AQE will broadcast the join side when it can.
+  * Scale: one hash-aggregate shuffle keyed by record key, pre-reduced
+  * map-side to one candidate per key per split; delete sets are typically
+  * tiny so AQE will broadcast the join side when it can.
   */
 object MorMerge {
 
@@ -50,13 +52,21 @@ object MorMerge {
       val ordering = orderingField.getOrElse(
         throw new IllegalArgumentException(
           "OVERWRITE_WITH_LATEST requires ordering (precombine) fields"))
-      val w = Window
-        .partitionBy(col(PartCol), col(KeyCol))
-        .orderBy(desc_nulls_last(ordering), desc_nulls_last(SeqnoCol))
+      // latest-per-key as a combinable aggregate, NOT a sort window: the
+      // struct ordering key compares (orderingField, seqno) lexicographic
+      // with null fields lowest (Spark's interpreted struct ordering),
+      // exactly the window's desc_nulls_last pick — but max_by partial-
+      // aggregates map-side, so the shuffle carries at most one row per
+      // (partition, key) per input split instead of every version, and
+      // no per-partition sort runs at all. Seqno uniqueness makes the
+      // ordering total, so the pick is deterministic despite ties being
+      // unstable in max_by generally.
       val latest = data
-        .withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") === 1)
-        .drop("__graft_rn")
+        .groupBy(col(PartCol), col(KeyCol))
+        .agg(max_by(
+          struct(data.columns.map(col): _*),
+          struct(col(ordering), col(SeqnoCol))).as("__graft_latest"))
+        .select(col("__graft_latest.*"))
 
       deletes match {
         case None => latest
