@@ -91,8 +91,11 @@ object RecordIndex {
       val baseReader = new HFileReader(readFully(new Path(baseFile.path)))
       val schema = new AvroSchema.Parser().parse(baseReader.avroSchemaJson.getOrElse(
         throw new IllegalStateException("record-index base HFile carries no avro schema")))
+      // one datum reader + decoder pair reused across the whole batch (a
+      // per-record GenericDatumReader is pure allocation overhead)
+      val datumReader = new GenericDatumReader[GenericRecord](schema)
       for ((k, rec) <- baseReader.lookup(keys))
-        out(k) = decode(k, rec.value, rec.isDeleted, schema)
+        out(k) = decode(k, rec.value, rec.isDeleted, datumReader)
       // log overlay in commit order: last writer wins per key
       val wanted = keys.toSet
       for (lf <- slice.logFiles.sortBy(_.orderingKey)) {
@@ -101,7 +104,7 @@ object RecordIndex {
         for (b <- blocks if b.blockType == LogFormat.HfileDataBlock && b.rawContent.nonEmpty) {
           val logReader = new HFileReader(b.rawContent)
           for (rec <- logReader.records if wanted.contains(rec.key))
-            out(rec.key) = decode(rec.key, rec.value, rec.isDeleted, schema)
+            out(rec.key) = decode(rec.key, rec.value, rec.isDeleted, datumReader)
         }
       }
     }
@@ -114,10 +117,10 @@ object RecordIndex {
     * HoodieRecordGlobalLocation encoding, public HoodieMetadata.avsc).
     */
   private def decode(
-      key: String, value: Array[Byte], deleted: Boolean, schema: AvroSchema
+      key: String, value: Array[Byte], deleted: Boolean,
+      reader: GenericDatumReader[GenericRecord]
   ): Option[RecordIndexEntry] = {
     if (deleted || value.isEmpty) return None
-    val reader = new GenericDatumReader[GenericRecord](schema)
     val rec = reader.read(null, DecoderFactory.get().binaryDecoder(value, null))
     Option(rec.get("recordIndexMetadata")).collect { case ri: GenericRecord =>
       def str(f: String): String = Option(ri.get(f)).map(_.toString).getOrElse("")
