@@ -50,6 +50,7 @@ object HudiFixtureBuilder {
   def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
   def clusteredPath(sfDir: String): String = s"${root(sfDir)}/cow_clustered"
+  def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
 
   /** File groups per partition — multiple slices per partition is the
     * realistic shape (and the unit of scan parallelism).
@@ -61,7 +62,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v8")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v9")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -129,6 +130,7 @@ object HudiFixtureBuilder {
           buildMorOrders(spark, sfDir); own()
           buildMorLogOnly(spark, sfDir); own()
           buildCowClustered(spark, sfDir); own()
+          buildCowRangeOrders(spark, sfDir); own()
           buildCowPartNation(spark, sfDir); own()
           buildCowDroppedNation(spark, sfDir); own()
           buildCowEvolvedNation(spark, sfDir); own()
@@ -493,6 +495,117 @@ object HudiFixtureBuilder {
       s"""{"partitionToWriteStats":{"":[{"fileId":"${fileId(9)}","path":"$cname","partitionPath":""}]},""" +
         s""""partitionToReplaceFileIds":{"":["${fileId(0)}","${fileId(1)}"]},""" +
         """"compacted":false,"operationType":"CLUSTER"}""")
+  }
+
+  // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --
+  // T1 commit: 4 file groups holding contiguous o_orderkey quartiles; the
+  // MDT column_stats partition carries each group's TRUE (min, max) of
+  // o_orderkey (public HoodieMetadataColumnStats shape, LongWrapper
+  // bounds), advertised via hoodie.table.metadata.partitions — so a
+  // key-range DSv2 read prunes file groups from ONE indexed metadata
+  // read with zero footer fetches (`hudi_colstats_pruned`).
+  private def buildCowRangeOrders(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(rangePath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeProperties(fs, base, "cow_range_orders", "COPY_ON_WRITE", None, hiveStyle = false,
+      extraProps = "hoodie.table.metadata.partitions=column_stats\n")
+    val src0 = orders(spark, sfDir)
+    val src = src0.withColumn("__part", lit(""))
+    val dataAvro = Some(SparkToAvro.toAvroSchema(src0.schema, "orders_record").toString)
+    val maxKey = src0.agg(max(col("o_orderkey"))).head.getLong(0)
+    val grpExpr = least(lit(3), ((col("o_orderkey") - 1) * 4 / lit(maxKey)).cast("int"))
+
+    val files1 = (0 until 4).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T1.parquet"
+      writeBaseFile(spark,
+        withMeta(src.filter(grpExpr === g).withColumn("__commit", lit(T1)), "__part", lit(name)),
+        base, name)
+      ("", fileId(g), name)
+    }
+    writeCommit(fs, base, T1, "commit", files1, dataAvro)
+
+    // per-group TRUE key ranges for the index
+    val ranges = src0.withColumn("__g", grpExpr).groupBy("__g")
+      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val mdt = new Path(base, ".hoodie/metadata")
+    fs.mkdirs(new Path(mdt, ".hoodie"))
+    writeText(fs, new Path(mdt, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_range_orders_metadata
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=key
+        |hoodie.table.base.file.format=HFILE
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin)
+    writeText(fs, new Path(mdt, s".hoodie/$T1.deltacommit"),
+      """{"partitionToWriteStats":{},"compacted":false}""")
+    val csDir = new Path(mdt, "column_stats")
+    fs.mkdirs(csDir)
+    val records = (0 until 4).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T1.parquet"
+      val (mn, mx) = ranges(g)
+      f"cs$g%04d" -> columnStatsBytes(f"cs$g%04d", name, "o_orderkey", mn, mx)
+    }
+    val bytes = graft.hfile.HFileWriter.write(
+      records.toIndexedSeq,
+      Map("schema" -> columnStatsAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val out = fs.create(new Path(csDir, s"col-stats-0000-0_${Token}_$T1.hfile"), true)
+    out.write(bytes)
+    out.close()
+  }
+
+  private val columnStatsAvroSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"HoodieMetadataRecord","fields":[
+        |{"name":"key","type":"string"},
+        |{"name":"type","type":"int"},
+        |{"name":"ColumnStatsMetadata","type":["null",
+        |  {"type":"record","name":"HoodieMetadataColumnStats","fields":[
+        |    {"name":"fileName","type":["null","string"],"default":null},
+        |    {"name":"columnName","type":["null","string"],"default":null},
+        |    {"name":"minValue","type":["null",
+        |      {"type":"record","name":"LongWrapper","fields":[
+        |        {"name":"value","type":"long"}]}],"default":null},
+        |    {"name":"maxValue","type":["null","LongWrapper"],"default":null},
+        |    {"name":"valueCount","type":["null","long"],"default":null},
+        |    {"name":"nullCount","type":["null","long"],"default":null},
+        |    {"name":"isDeleted","type":"boolean"},
+        |    {"name":"isTightBound","type":"boolean","default":false}]}]}
+        |]}""".stripMargin.replaceAll("\n", ""))
+
+  private def columnStatsBytes(
+      key: String, fileName: String, columnName: String, mn: Long, mx: Long): Array[Byte] = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val csSchema = columnStatsAvroSchema.getField("ColumnStatsMetadata").schema().getTypes.get(1)
+    val wrapSchema = csSchema.getField("minValue").schema().getTypes.get(1)
+    def wrap(v: Long): GenericData.Record = {
+      val w = new GenericData.Record(wrapSchema)
+      w.put("value", v)
+      w
+    }
+    val rec = new GenericData.Record(columnStatsAvroSchema)
+    rec.put("key", key)
+    rec.put("type", 3)
+    val cs = new GenericData.Record(csSchema)
+    cs.put("fileName", fileName)
+    cs.put("columnName", columnName)
+    cs.put("minValue", wrap(mn))
+    cs.put("maxValue", wrap(mx))
+    cs.put("valueCount", null)
+    cs.put("nullCount", 0L)
+    cs.put("isDeleted", false)
+    cs.put("isTightBound", true)
+    rec.put("ColumnStatsMetadata", cs)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](columnStatsAvroSchema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
   }
 
   // --- MOR, non-partitioned, with a LOG-ONLY file group -------------------

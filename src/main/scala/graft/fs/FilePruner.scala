@@ -25,8 +25,19 @@ import scala.jdk.CollectionConverters._
   * Footer reads happen at planning; cost is one small ranged read per
   * candidate file AFTER partition pruning, the same trade the reference
   * makes (fs_view.rs:154-223).
+  *
+  * `preStats` (fileName → columnName → (min, max)) short-circuits the
+  * footer read for files it covers — fed from the metadata table's
+  * `column_stats` partition ([[graft.table.ColumnStatsIndex]]) when the
+  * table advertises it: ONE indexed metadata read replaces a footer
+  * fetch per candidate file, the 100 TB data-skipping path. Files absent
+  * from the map fall back to their footer.
   */
-final class FilePruner(filters: Seq[PartitionFilter], schema: StructType, conf: Configuration) {
+final class FilePruner(
+    filters: Seq[PartitionFilter],
+    schema: StructType,
+    conf: Configuration,
+    preStats: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] = Map.empty) {
 
   private val relevant = filters.filter(f =>
     Set("=", "!=", "<", "<=", ">", ">=").contains(f.op) &&
@@ -97,7 +108,7 @@ final class FilePruner(filters: Seq[PartitionFilter], schema: StructType, conf: 
   def shouldInclude(file: BaseFile): Boolean = {
     if (isTrivial) return true
     try {
-      val stats = fileStats(file.path)
+      val stats = preStats.getOrElse(file.fileName, fileStats(file.path))
       relevant.forall { f =>
         (stats.get(f.field), literal(f.field, f.values.head)) match {
           case (Some((mn, mx)), Some(v)) =>

@@ -447,6 +447,28 @@ object HudiQueries {
         |ORDER BY n_nationkey""".stripMargin),
 
     // --- R1: partition pruning on a hive-style partitioned table ---------
+    // --- R2 via the MDT column_stats partition at oracle level: a
+    // key-range filter over the range-split COW fixture prunes file
+    // groups from ONE indexed metadata read (HudiTable
+    // .columnStatsForPruning short-circuits every footer fetch; the
+    // quartile split makes the skipped groups carry most of the rows, so
+    // a pruning regression that reads a wrong group duplicates/loses
+    // rows and fails the hash loudly). ------------------------------------
+    "hudi_colstats_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val boundary = Tables.orders(s, d)
+          .agg(max(col("o_orderkey"))).head.getLong(0) / 4
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.rangePath(d))
+          .filter(col("o_orderkey") <= boundary)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
     "hudi_partition_pruned" -> QueryDef(
       (s, d) => {
         HudiFixtureBuilder.ensure(s, d)

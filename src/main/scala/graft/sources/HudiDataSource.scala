@@ -273,7 +273,8 @@ class GraftScan(
         // is base-file-only (log files can resurrect out-of-range values,
         // the reference's safety gate at table/mod.rs:486-491)
         if (planned.forall(s => !s.hasLogFiles && s.baseFile.isDefined) && simpleFilters.nonEmpty) {
-          val filePruner = new graft.fs.FilePruner(simpleFilters, hudi.tableSchema, hudi.hadoopConf)
+          val filePruner = new graft.fs.FilePruner(simpleFilters, hudi.tableSchema,
+            hudi.hadoopConf, hudi.columnStatsForPruning)
           filePruner.filterIncluded(planned)(_.baseFile.get).toVector
         } else planned
     }

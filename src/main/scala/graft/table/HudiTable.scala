@@ -59,6 +59,18 @@ final class HudiTable(
   val timeline: Timeline = new Timeline(basePath, config, hadoopConf)
   val fsView: FsView = new FsView(basePath, config, timeline, hadoopConf)
 
+  /** Data-skipping ranges from the MDT `column_stats` partition when the
+    * table advertises it (fileName → column → (min, max)), loaded once
+    * per table generation (the open-table cache keeps the instance while
+    * the timeline is unchanged). Empty — footer fallback at the pruner —
+    * when absent or unreadable.
+    */
+  lazy val columnStatsForPruning: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =
+    if (!ColumnStatsIndex.isAvailable(config)) Map.empty
+    else
+      try ColumnStatsIndex.load(basePath, hadoopConf).pruningStats
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   private def serConf = new SerializableConf(hadoopConf)
 
   def tableType: String = config.tableType
