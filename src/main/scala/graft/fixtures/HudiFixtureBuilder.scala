@@ -51,6 +51,7 @@ object HudiFixtureBuilder {
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
   def clusteredPath(sfDir: String): String = s"${root(sfDir)}/cow_clustered"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
+  def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
 
   /** File groups per partition — multiple slices per partition is the
     * realistic shape (and the unit of scan parallelism).
@@ -62,7 +63,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v9")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v10")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -131,6 +132,7 @@ object HudiFixtureBuilder {
           buildMorLogOnly(spark, sfDir); own()
           buildCowClustered(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
+          buildCowPartStatsOrders(spark, sfDir); own()
           buildCowPartNation(spark, sfDir); own()
           buildCowDroppedNation(spark, sfDir); own()
           buildCowEvolvedNation(spark, sfDir); own()
@@ -559,6 +561,80 @@ object HudiFixtureBuilder {
     out.close()
   }
 
+  // --- COW, hive-partitioned by o_orderkey quartile + partition_stats MDT
+  // Four `g=<0..3>` partitions holding contiguous o_orderkey ranges; the
+  // MDT partition_stats partition carries each PARTITION's TRUE (min,
+  // max) of o_orderkey (type=6 records, fileName = partition path — the
+  // real v8 trips fixture's convention). A key-range read prunes whole
+  // partitions BEFORE listing (`hudi_pstats_pruned`), the enhancement the
+  // reference declares at fs_view.rs:80 but does not implement.
+  private def buildCowPartStatsOrders(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(pstatsPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_pstats_orders
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=o_orderkey
+        |hoodie.table.precombine.field=o_orderkey
+        |hoodie.table.partition.fields=g
+        |hoodie.datasource.write.hive_style_partitioning=true
+        |hoodie.datasource.write.partitionpath.urlencode=false
+        |hoodie.populate.meta.fields=true
+        |hoodie.table.metadata.partitions=partition_stats
+        |""".stripMargin)
+    val src0 = orders(spark, sfDir)
+    val maxKey = src0.agg(max(col("o_orderkey"))).head.getLong(0)
+    val src = src0.withColumn("g",
+      least(lit(3), ((col("o_orderkey") - 1) * 4 / lit(maxKey)).cast("int")))
+    val files = (0 until 4).map { gv =>
+      val partDir = s"g=$gv"
+      val name = s"${fileId(gv)}_${Token}_$T1.parquet"
+      writeBaseFile(spark,
+        withMeta(src.filter(col("g") === gv)
+          .withColumn("__commit", lit(T1)).withColumn("__part", lit(partDir)),
+          "__part", lit(name)),
+        new Path(base, partDir), name)
+      (partDir, fileId(gv), s"$partDir/$name")
+    }
+    writeCommit(fs, base, T1, "commit", files,
+      Some(SparkToAvro.toAvroSchema(src.schema, "orders_g_record").toString))
+
+    // per-PARTITION true key ranges for the index
+    val ranges = src.groupBy("g")
+      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val mdt = new Path(base, ".hoodie/metadata")
+    fs.mkdirs(new Path(mdt, ".hoodie"))
+    writeText(fs, new Path(mdt, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_pstats_orders_metadata
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=key
+        |hoodie.table.base.file.format=HFILE
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin)
+    writeText(fs, new Path(mdt, s".hoodie/$T1.deltacommit"),
+      """{"partitionToWriteStats":{},"compacted":false}""")
+    val psDir = new Path(mdt, "partition_stats")
+    fs.mkdirs(psDir)
+    val records = (0 until 4).map { gv =>
+      val (mn, mx) = ranges(gv)
+      f"ps$gv%04d" -> columnStatsBytes(f"ps$gv%04d", s"g=$gv", "o_orderkey", mn, mx, recType = 6)
+    }
+    val bytes = graft.hfile.HFileWriter.write(
+      records.toIndexedSeq,
+      Map("schema" -> columnStatsAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val out = fs.create(new Path(psDir, s"partition-stats-0000-0_${Token}_$T1.hfile"), true)
+    out.write(bytes)
+    out.close()
+  }
+
   private val columnStatsAvroSchema: org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"HoodieMetadataRecord","fields":[
@@ -578,8 +654,14 @@ object HudiFixtureBuilder {
         |    {"name":"isTightBound","type":"boolean","default":false}]}]}
         |]}""".stripMargin.replaceAll("\n", ""))
 
+  /** One serialized HoodieMetadataRecord in the ColumnStatsMetadata
+    * shape. `recType` 3 = column_stats (fileName = data file name);
+    * 6 = partition_stats (fileName = partition path, the real-fixture
+    * convention — see PartitionStatsIndex).
+    */
   private def columnStatsBytes(
-      key: String, fileName: String, columnName: String, mn: Long, mx: Long): Array[Byte] = {
+      key: String, fileName: String, columnName: String, mn: Long, mx: Long,
+      recType: Int = 3): Array[Byte] = {
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     val csSchema = columnStatsAvroSchema.getField("ColumnStatsMetadata").schema().getTypes.get(1)
     val wrapSchema = csSchema.getField("minValue").schema().getTypes.get(1)
@@ -590,7 +672,7 @@ object HudiFixtureBuilder {
     }
     val rec = new GenericData.Record(columnStatsAvroSchema)
     rec.put("key", key)
-    rec.put("type", 3)
+    rec.put("type", recType)
     val cs = new GenericData.Record(csSchema)
     cs.put("fileName", fileName)
     cs.put("columnName", columnName)

@@ -40,7 +40,7 @@ final class FilePruner(
     preStats: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] = Map.empty) {
 
   private val relevant = filters.filter(f =>
-    Set("=", "!=", "<", "<=", ">", ">=").contains(f.op) &&
+    StatsRange.PrunableOps.contains(f.op) &&
       schema.fieldNames.contains(f.field) && f.values.nonEmpty)
 
   def isTrivial: Boolean = relevant.isEmpty
@@ -78,20 +78,8 @@ final class FilePruner(
     case _ => null
   }).asInstanceOf[Comparable[Any]]
 
-  /** Cast a filter literal to the column's stat value type. */
-  private def literal(field: String, raw: String): Option[Comparable[Any]] = {
-    val dt = schema.fields.find(_.name == field).map(_.dataType)
-    val v: Any = dt match {
-      case Some(IntegerType | ShortType | ByteType) => raw.toIntOption.orNull
-      case Some(LongType) => raw.toLongOption.orNull
-      case Some(DoubleType) => raw.toDoubleOption.orNull
-      case Some(FloatType) => raw.toFloatOption.orNull
-      case Some(StringType) => raw
-      case Some(BooleanType) => raw.toBooleanOption.orNull
-      case _ => null // timestamps/decimals: fail open
-    }
-    Option(v).map(_.asInstanceOf[Comparable[Any]])
-  }
+  private def literal(field: String, raw: String): Option[Comparable[Any]] =
+    StatsRange.literal(schema, field, raw)
 
   /** Concurrent footer pruning over many candidate files: one small ranged
     * read each, latency-bound on object stores — issue them on a bounded
@@ -111,23 +99,51 @@ final class FilePruner(
       val stats = preStats.getOrElse(file.fileName, fileStats(file.path))
       relevant.forall { f =>
         (stats.get(f.field), literal(f.field, f.values.head)) match {
-          case (Some((mn, mx)), Some(v)) =>
-            try {
-              f.op match {
-                case "=" => !(v.compareTo(mn) < 0 || v.compareTo(mx) > 0)
-                case "!=" => !(mn.compareTo(mx) == 0 && mn.compareTo(v) == 0)
-                case "<" => mn.compareTo(v) < 0
-                case "<=" => mn.compareTo(v) <= 0
-                case ">" => mx.compareTo(v) > 0
-                case ">=" => mx.compareTo(v) >= 0
-                case _ => true
-              }
-            } catch { case _: ClassCastException => true }
+          case (Some((mn, mx)), Some(v)) => StatsRange.allows(f.op, v, mn, mx)
           case _ => true
         }
       }
     } catch { case _: Exception => true }
   }
+}
+
+/** The stats-vs-predicate prune rules shared by [[FilePruner]] (per-file
+  * footer/index ranges) and [[StatsPartitionPruner]] (per-partition MDT
+  * ranges): an extent is skipped only when its (min, max) PROVES no row
+  * can match. Any uncastable literal or cross-type comparison fails open.
+  */
+object StatsRange {
+
+  val PrunableOps: Set[String] = Set("=", "!=", "<", "<=", ">", ">=")
+
+  /** Cast a filter literal to the column's declared type. */
+  def literal(schema: StructType, field: String, raw: String): Option[Comparable[Any]] = {
+    val dt = schema.fields.find(_.name == field).map(_.dataType)
+    val v: Any = dt match {
+      case Some(IntegerType | ShortType | ByteType) => raw.toIntOption.orNull
+      case Some(LongType) => raw.toLongOption.orNull
+      case Some(DoubleType) => raw.toDoubleOption.orNull
+      case Some(FloatType) => raw.toFloatOption.orNull
+      case Some(StringType) => raw
+      case Some(BooleanType) => raw.toBooleanOption.orNull
+      case _ => null // timestamps/decimals: fail open
+    }
+    Option(v).map(_.asInstanceOf[Comparable[Any]])
+  }
+
+  /** Whether a (min, max) extent may contain a row satisfying `op v`. */
+  def allows(op: String, v: Comparable[Any], mn: Comparable[Any], mx: Comparable[Any]): Boolean =
+    try {
+      op match {
+        case "=" => !(v.compareTo(mn) < 0 || v.compareTo(mx) > 0)
+        case "!=" => !(mn.compareTo(mx) == 0 && mn.compareTo(v) == 0)
+        case "<" => mn.compareTo(v) < 0
+        case "<=" => mn.compareTo(v) <= 0
+        case ">" => mx.compareTo(v) > 0
+        case ">=" => mx.compareTo(v) >= 0
+        case _ => true
+      }
+    } catch { case _: ClassCastException => true }
 }
 
 /** Footer-stats proof that an incremental commit range needs no row

@@ -141,7 +141,7 @@ final class FsView(
   /** Snapshot/time-travel slice planning (fs_view.rs:224-252): per surviving
     * partition and non-replaced file group, the slice as of `ts`.
     */
-  def slicesAsOf(ts: String, pruner: PartitionPruner = PartitionPruner.trivial): Vector[FileSlice] = {
+  def slicesAsOf(ts: String, pruner: PartitionInclude = PartitionPruner.trivial): Vector[FileSlice] = {
     val replaced = timeline.replacedFileGroupsAsOf(ts)
     collect(pruner, replaced, _.sliceAsOf(ts))
   }
@@ -153,7 +153,7 @@ final class FsView(
   def slicesBetween(
       start: Option[String],
       end: String,
-      pruner: PartitionPruner = PartitionPruner.trivial
+      pruner: PartitionInclude = PartitionPruner.trivial
   ): Vector[FileSlice] = {
     val touched: Map[String, Set[String]] = {
       val acc = mutable.Map.empty[String, Set[String]]
@@ -168,7 +168,7 @@ final class FsView(
   }
 
   private def collect(
-      pruner: PartitionPruner,
+      pruner: PartitionInclude,
       replaced: Map[String, Set[String]],
       pick: FileGroup => Option[FileSlice]
   ): Vector[FileSlice] = {

@@ -16,12 +16,21 @@ import java.time.LocalDate
   */
 final case class PartitionFilter(field: String, op: String, values: Seq[String])
 
+/** The include contract [[FsView]] planning consumes: given a relative
+  * partition path, may that partition contain matching rows? Implemented
+  * by the path-value [[PartitionPruner]] and by the stats-based
+  * [[StatsPartitionPruner]] layered on top of it.
+  */
+trait PartitionInclude {
+  def shouldInclude(path: String): Boolean
+}
+
 final class PartitionPruner(
     partitionFields: Seq[(String, String)], // (name, typeName: int|long|double|date|string)
     hiveStyle: Boolean,
     urlEncoded: Boolean,
     filters: Seq[PartitionFilter]
-) {
+) extends PartitionInclude {
   private val relevant: Seq[PartitionFilter] = {
     val names = partitionFields.map(_._1).toSet
     filters.filter(f => names.contains(f.field))
@@ -116,4 +125,49 @@ final class PartitionPruner(
 
 object PartitionPruner {
   def trivial: PartitionPruner = new PartitionPruner(Nil, hiveStyle = false, urlEncoded = false, Nil)
+}
+
+/** Partition pruning from the MDT `partition_stats` index: per-partition
+  * column (min, max) ranges prune partitions on NON-partition-column
+  * predicates BEFORE any file listing happens — the reference leaves this
+  * as its declared enhancement (crates/core/src/table/fs_view.rs:80
+  * "partition_stats: Enhance PartitionPruner to prune partitions before
+  * file listing"); this engine implements it.
+  *
+  * At 100 TB this is the step ahead of even [[FilePruner]]'s indexed file
+  * skipping: a predicate on an ingest-ordered column (event time, id
+  * range) drops whole partitions from the plan at the cost of ONE indexed
+  * metadata read — no listing round-trips, no footer fetches, no tasks.
+  *
+  * Semantics: a partition is excluded only when its stats PROVE no row
+  * can match (the [[FilePruner]] op rules, shared via [[StatsRange]]).
+  * Partitions absent from the stats map, columns without entries, and
+  * uncastable literals all fail open; the row-level filter stays
+  * authoritative. Unlike per-file column stats, partition stats describe
+  * every live row of the partition — base and log files alike, the
+  * writer maintains them transactionally per commit — so no base-only
+  * gate is needed. Callers gate application to latest-snapshot reads:
+  * the index reflects the CURRENT table state, and a time-travel read
+  * may need rows whose values a later delete removed from the ranges.
+  */
+final class StatsPartitionPruner(
+    inner: PartitionInclude,
+    filters: Seq[PartitionFilter],
+    schema: org.apache.spark.sql.types.StructType,
+    stats: Map[String, Map[String, (Comparable[Any], Comparable[Any])]]
+) extends PartitionInclude {
+
+  private val relevant = filters.filter(f =>
+    StatsRange.PrunableOps.contains(f.op) &&
+      schema.fieldNames.contains(f.field) && f.values.nonEmpty)
+
+  override def shouldInclude(path: String): Boolean =
+    inner.shouldInclude(path) && (relevant.isEmpty || stats.get(path).forall { ranges =>
+      relevant.forall { f =>
+        (ranges.get(f.field), StatsRange.literal(schema, f.field, f.values.head)) match {
+          case (Some((mn, mx)), Some(v)) => StatsRange.allows(f.op, v, mn, mx)
+          case _ => true
+        }
+      }
+    })
 }

@@ -469,6 +469,27 @@ object HudiQueries {
         |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // --- MDT partition_stats at oracle level: a key-range filter over
+    // the quartile-PARTITIONED COW fixture prunes whole partitions from
+    // the plan BEFORE listing (StatsPartitionPruner over the
+    // partition_stats index — the enhancement the reference declares at
+    // fs_view.rs:80). The contiguous split makes the pruned partitions
+    // carry most rows, so a wrong prune decision breaks the hash loudly.
+    "hudi_pstats_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val boundary = Tables.orders(s, d)
+          .agg(max(col("o_orderkey"))).head.getLong(0) * 3 / 4
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.pstatsPath(d))
+          .filter(col("o_orderkey") > boundary)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey > (SELECT 3 * MAX(o_orderkey) // 4 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
     "hudi_partition_pruned" -> QueryDef(
       (s, d) => {
         HudiFixtureBuilder.ensure(s, d)

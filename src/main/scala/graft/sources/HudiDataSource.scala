@@ -262,7 +262,13 @@ class GraftScan(
     } else asOf.orElse(hudi.timeline.latestCommitTimestamp) match {
       case None => Vector.empty
       case Some(ts) =>
-        val planned0 = hudi.fsView.slicesAsOf(ts, pruner)
+        // MDT partition-stats pruning: latest-snapshot only (the index
+        // reflects the CURRENT table state; a time-travel read may need
+        // rows a later commit removed from the ranges)
+        val planPruner =
+          if (asOf.isEmpty) hudi.statsPrunerFor(partitionFilters, simpleFilters)
+          else pruner
+        val planned0 = hudi.fsView.slicesAsOf(ts, planPruner)
         // RO (and COW) strips logs; a base-less log-only slice then has
         // nothing left to read and drops out of the plan
         val planned =

@@ -84,17 +84,20 @@ object ColumnStatsIndex {
     * problems — an advertised-but-unreadable index must surface, never
     * read as "no stats"; callers catch and fall back to footers.
     */
-  def load(dataTableBase: String, hadoopConf: Configuration): ColumnStatsLookup = {
-    val (latest, slices) = MetadataTable.openPartition(dataTableBase, PartitionName, hadoopConf)
+  def load(
+      dataTableBase: String,
+      hadoopConf: Configuration,
+      partition: String = PartitionName): ColumnStatsLookup = {
+    val (latest, slices) = MetadataTable.openPartition(dataTableBase, partition, hadoopConf)
     def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
     val range = InstantRange.upTo(latest)
     val out = mutable.LinkedHashMap.empty[String, Option[ColumnStatEntry]]
     for (slice <- slices) {
       val baseFile = slice.baseFile.getOrElse(
-        throw new IllegalStateException(s"$PartitionName slice lacks a base HFile: $slice"))
+        throw new IllegalStateException(s"$partition slice lacks a base HFile: $slice"))
       val baseReader = new HFileReader(readFully(new Path(baseFile.path)))
       val schema = new AvroSchema.Parser().parse(baseReader.avroSchemaJson.getOrElse(
-        throw new IllegalStateException("column-stats base HFile carries no avro schema")))
+        throw new IllegalStateException(s"$partition base HFile carries no avro schema")))
       val datumReader = new GenericDatumReader[GenericRecord](schema)
       for (rec <- baseReader.records)
         out(rec.key) = decode(rec.value, rec.isDeleted, datumReader)
@@ -161,4 +164,39 @@ object ColumnStatsIndex {
       }
     case _ => None
   }
+}
+
+/** Reader for the metadata table's `partition_stats` partition: per
+  * (partition, column) min/max ranges over EVERY live row of the
+  * partition, in the same public `HoodieMetadataColumnStats` shape as
+  * the column-stats index (MetadataRecordType::PartitionStats = 6,
+  * reference records.rs:120-121) with the `fileName` field carrying the
+  * partition path — verified against the reference's real v8 trips
+  * fixture bytes (partition-stats HFile, keys per (column, partition),
+  * `fileName` = "city=chennai" etc.).
+  *
+  * The reference enumerates this partition but leaves its use as a
+  * declared enhancement (fs_view.rs:80); here it feeds
+  * [[graft.fs.StatsPartitionPruner]] so non-partition-column predicates
+  * prune partitions BEFORE listing — the earliest possible skip at
+  * 100 TB: one indexed metadata read instead of per-partition listings
+  * and per-file footers.
+  */
+object PartitionStatsIndex {
+
+  val PartitionName = "partition_stats"
+
+  def isAvailable(config: HoodieConfig): Boolean =
+    config.getOrElse("hoodie.table.metadata.partitions", "")
+      .split(",").map(_.trim).contains(PartitionName)
+
+  /** partitionPath → columnName → (min, max), as of the MDT's latest
+    * commit. Throws on structural problems; callers catch and fall back
+    * to unpruned planning.
+    */
+  def load(
+      dataTableBase: String,
+      hadoopConf: Configuration
+  ): Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =
+    ColumnStatsIndex.load(dataTableBase, hadoopConf, PartitionName).pruningStats
 }

@@ -71,6 +71,18 @@ final class HudiTable(
       try ColumnStatsIndex.load(basePath, hadoopConf).pruningStats
       catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Partition-level ranges from the MDT `partition_stats` partition
+    * (partitionPath → column → (min, max)) when advertised — feeds
+    * [[graft.fs.StatsPartitionPruner]] so data-column predicates prune
+    * partitions before listing. Empty (no stats pruning) when absent or
+    * unreadable.
+    */
+  lazy val partitionStatsForPruning: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =
+    if (!PartitionStatsIndex.isAvailable(config)) Map.empty
+    else
+      try PartitionStatsIndex.load(basePath, hadoopConf)
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   private def serConf = new SerializableConf(hadoopConf)
 
   def tableType: String = config.tableType
@@ -151,6 +163,22 @@ final class HudiTable(
     }
     new PartitionPruner(partitionFieldTypes, config.isHiveStylePartitioning,
       config.isPartitionPathUrlencoded, filters)
+  }
+
+  /** The full planning pruner: path-value pruning (R1) layered with MDT
+    * partition-stats pruning over the data-column filters when the index
+    * is advertised. ONLY valid for latest-snapshot planning — the index
+    * reflects the current table state, so time-travel and bounded
+    * incremental reads must use [[prunerFor]] alone.
+    */
+  private[graft] def statsPrunerFor(
+      partitionFilters: Seq[PartitionFilter],
+      dataFilters: Seq[PartitionFilter]
+  ): graft.fs.PartitionInclude = {
+    val base = prunerFor(partitionFilters)
+    if (dataFilters.isEmpty || partitionStatsForPruning.isEmpty) base
+    else new graft.fs.StatsPartitionPruner(
+      base, dataFilters, tableSchema, partitionStatsForPruning)
   }
 
   /** Partition field → pruner type name, the single source of truth for

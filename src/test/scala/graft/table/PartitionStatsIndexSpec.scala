@@ -1,0 +1,114 @@
+package graft.table
+
+import graft.SparkTestBase
+import graft.fs.{PartitionFilter, PartitionPruner, StatsPartitionPruner}
+import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.types._
+
+/** Partition-stats index reader against the reference's REAL v8 trips
+  * fixture bytes (type=6 records, fileName = partition path), plus the
+  * pre-listing partition pruner it feeds.
+  */
+class PartitionStatsIndexSpec extends SparkTestBase {
+
+  private lazy val trips =
+    Fixtures.table("quickstart_trips_table/mor/avro/v8_trips_8i3u1d.zip", "v8_trips_8i3u1d")
+
+  test("decodes real partition_stats entries keyed by partition path") {
+    assume(trips.isDefined)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val stats = PartitionStatsIndex.load(trips.get, conf)
+    assert(stats.keySet == Set("city=chennai", "city=san_francisco", "city=sao_paulo"))
+    // the driver column carries string ranges per partition
+    for ((_, cols) <- stats) {
+      val (mn, mx) = cols("driver")
+      assert(mn.asInstanceOf[String].startsWith("driver-"))
+      assert(mn.compareTo(mx) <= 0)
+    }
+    // san_francisco's real range is driver-K..driver-O (dumped from the
+    // fixture's HFile) — spot-check exact decode
+    assert(stats("city=san_francisco")("driver") ==
+      ("driver-K".asInstanceOf[Comparable[Any]], "driver-O".asInstanceOf[Comparable[Any]]))
+  }
+
+  test("advertisement gate reads hoodie.table.metadata.partitions") {
+    assume(trips.isDefined)
+    val t = HudiTable(spark, trips.get)
+    assert(PartitionStatsIndex.isAvailable(t.config))
+    assert(t.partitionStatsForPruning.nonEmpty)
+  }
+
+  test("stats pruner excludes partitions whose ranges disprove the filter") {
+    assume(trips.isDefined)
+    val t = HudiTable(spark, trips.get)
+    val schema = StructType(Seq(StructField("driver", StringType)))
+    // driver < "driver-F": chennai (driver-S) and sao_paulo (driver-Q)
+    // cannot match; san_francisco (driver-K..O) cannot either — but
+    // driver <= "driver-N" keeps san_francisco only
+    val lt = new StatsPartitionPruner(PartitionPruner.trivial,
+      Seq(PartitionFilter("driver", "<=", Seq("driver-N"))),
+      schema, t.partitionStatsForPruning)
+    assert(lt.shouldInclude("city=san_francisco"))
+    assert(!lt.shouldInclude("city=chennai"))
+    assert(!lt.shouldInclude("city=sao_paulo"))
+    // fail-open: a partition absent from the stats map is kept
+    assert(lt.shouldInclude("city=unknown"))
+    // fail-open: a column without entries is kept
+    val other = new StatsPartitionPruner(PartitionPruner.trivial,
+      Seq(PartitionFilter("nosuchcol", "<", Seq("x"))),
+      StructType(Seq(StructField("nosuchcol", StringType))),
+      t.partitionStatsForPruning)
+    assert(other.shouldInclude("city=chennai"))
+  }
+
+  test("pstats fixture: key-range scan plans only surviving partitions, result exact") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.pstatsPath(sfDir)
+    val t = HudiTable(spark, path)
+    assert(t.partitionStatsForPruning.size == 4)
+
+    val ordersDf = spark.read.parquet(s"$sfDir/orders.parquet")
+    val maxKey = ordersDf.agg(max(col("o_orderkey"))).head.getLong(0)
+    val boundary = maxKey * 3 / 4
+
+    val df = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_orderkey") > boundary)
+    // quartile split: partitions g=0 and g=1 end well below 3/4·max, so
+    // the plan must carry at most 2 of the 4 single-slice partitions
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("1 slices") || plan.contains("2 slices"),
+      s"partition_stats pruning did not engage: $plan")
+
+    val got = df.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val exp = ordersDf.filter(col("o_orderkey") > boundary)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(exp))
+  }
+
+  test("time-travel reads bypass partition-stats pruning, result exact") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.pstatsPath(sfDir)
+    val ordersDf = spark.read.parquet(s"$sfDir/orders.parquet")
+    val maxKey = ordersDf.agg(max(col("o_orderkey"))).head.getLong(0)
+    val boundary = maxKey * 3 / 4
+    // as-of reads skip the partition-stats index (it reflects current
+    // state, not the as-of state) — statsPrunerFor is latest-snapshot
+    // only. Per-FILE footer pruning still applies (footers describe
+    // immutable files, valid at any as-of), so the plan may still carry
+    // fewer than 4 slices; the result must stay exact.
+    val t = HudiTable(spark, path)
+    val plain = t.statsPrunerFor(Nil, Nil)
+    assert(plain.isInstanceOf[PartitionPruner]) // no data filters -> no stats layer
+    val layered = t.statsPrunerFor(Nil,
+      Seq(PartitionFilter("o_orderkey", ">", Seq(boundary.toString))))
+    assert(layered.isInstanceOf[StatsPartitionPruner])
+    val tt = spark.read.format("hudi-graft")
+      .option("as.of.timestamp", graft.fixtures.HudiFixtureBuilder.T1)
+      .load(path)
+      .filter(col("o_orderkey") > boundary)
+    val got = tt.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val exp = ordersDf.filter(col("o_orderkey") > boundary)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(exp))
+  }
+}
