@@ -52,6 +52,7 @@ object HudiFixtureBuilder {
   def clusteredPath(sfDir: String): String = s"${root(sfDir)}/cow_clustered"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
+  def sidxPath(sfDir: String): String = s"${root(sfDir)}/cow_sidx_orders"
 
   /** File groups per partition — multiple slices per partition is the
     * realistic shape (and the unit of scan parallelism).
@@ -63,7 +64,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v10")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v11")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -133,6 +134,7 @@ object HudiFixtureBuilder {
           buildCowClustered(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
           buildCowPartStatsOrders(spark, sfDir); own()
+          buildCowSecondaryIndexOrders(spark, sfDir); own()
           buildCowPartNation(spark, sfDir); own()
           buildCowDroppedNation(spark, sfDir); own()
           buildCowEvolvedNation(spark, sfDir); own()
@@ -559,6 +561,120 @@ object HudiFixtureBuilder {
     val out = fs.create(new Path(csDir, s"col-stats-0000-0_${Token}_$T1.hfile"), true)
     out.write(bytes)
     out.close()
+  }
+
+  // --- COW, non-partitioned, STATUS-split file groups + secondary index
+  // Three file groups, one per o_orderstatus value; the MDT carries a
+  // record_index (key → group) AND a secondary_index_status_idx
+  // (`escape(status)$escape(key)` records, the real v8 trips fixture's
+  // key shape) declared in .hoodie/.index_defs/index.json — so an
+  // equality read on o_orderstatus plans exactly ONE file group via two
+  // indexed metadata reads (`hudi_secondary_pruned`).
+  private def buildCowSecondaryIndexOrders(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(sidxPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeProperties(fs, base, "cow_sidx_orders", "COPY_ON_WRITE", None, hiveStyle = false,
+      extraProps = "hoodie.table.metadata.partitions=record_index,secondary_index_status_idx\n")
+    writeText(fs, new Path(base, ".hoodie/.index_defs/index.json"),
+      """{"indexDefinitions":{"secondary_index_status_idx":{
+        |"indexName":"secondary_index_status_idx","indexType":"secondary_index",
+        |"indexFunction":"identity","sourceFields":["o_orderstatus"],"indexOptions":{}}}}
+        |""".stripMargin.replaceAll("\n", ""))
+    val src0 = orders(spark, sfDir)
+    val src = src0.withColumn("__part", lit(""))
+    val statuses = src0.select("o_orderstatus").distinct()
+      .collect().map(_.getString(0)).sorted
+    val statusFid = statuses.zipWithIndex.map { case (st, i) => st -> fileId(i) }.toMap
+    val files1 = statuses.zipWithIndex.map { case (st, i) =>
+      val name = s"${fileId(i)}_${Token}_$T1.parquet"
+      writeBaseFile(spark,
+        withMeta(src.filter(col("o_orderstatus") === st).withColumn("__commit", lit(T1)),
+          "__part", lit(name)),
+        base, name)
+      ("", fileId(i), name)
+    }
+    writeCommit(fs, base, T1, "commit", files1,
+      Some(SparkToAvro.toAvroSchema(src0.schema, "orders_record").toString))
+
+    val mdt = new Path(base, ".hoodie/metadata")
+    fs.mkdirs(new Path(mdt, ".hoodie"))
+    writeText(fs, new Path(mdt, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_sidx_orders_metadata
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=key
+        |hoodie.table.base.file.format=HFILE
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin)
+    writeText(fs, new Path(mdt, s".hoodie/$T1.deltacommit"),
+      """{"partitionToWriteStats":{},"compacted":false}""")
+    val keyStatus = src0.select("o_orderkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0).toString, r.getString(1)))
+
+    val riDir = new Path(mdt, "record_index")
+    fs.mkdirs(riDir)
+    val riRecords = keyStatus
+      .map { case (k, st) =>
+        k -> recordIndexBytes(k, ".", statusFid(st), T1.toLong, rawEncoding = true)
+      }
+      .sortBy(_._1).toIndexedSeq
+    val riBytes = graft.hfile.HFileWriter.write(
+      riRecords,
+      Map("schema" -> recordIndexAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val riOut = fs.create(new Path(riDir, s"record-index-0000-0_${Token}_$T1.hfile"), true)
+    riOut.write(riBytes)
+    riOut.close()
+
+    val siDir = new Path(mdt, "secondary_index_status_idx")
+    fs.mkdirs(siDir)
+    val esc = graft.table.SecondaryIndex.escape _
+    val siRecords = keyStatus
+      .map { case (k, st) =>
+        val key = s"${esc(st)}$$${esc(k)}"
+        key -> secondaryIndexBytes(key)
+      }
+      .sortBy(_._1).toIndexedSeq
+    val siBytes = graft.hfile.HFileWriter.write(
+      siRecords,
+      Map("schema" -> secondaryIndexAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val siOut = fs.create(
+      new Path(siDir, s"secondary-index-status-idx-0000-0_${Token}_$T1.hfile"), true)
+    siOut.write(siBytes)
+    siOut.close()
+  }
+
+  /** HoodieMetadataRecord with the `SecondaryIndexMetadata` branch (type
+    * 7; the real fixture's records carry exactly this shape).
+    */
+  private val secondaryIndexAvroSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"HoodieMetadataRecord","fields":[
+        |{"name":"key","type":"string"},
+        |{"name":"type","type":"int"},
+        |{"name":"SecondaryIndexMetadata","type":["null",
+        |  {"type":"record","name":"HoodieSecondaryIndexInfo","fields":[
+        |    {"name":"isDeleted","type":"boolean"}]}],"default":null}
+        |]}""".stripMargin.replaceAll("\n", ""))
+
+  private def secondaryIndexBytes(key: String): Array[Byte] = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val siSchema = secondaryIndexAvroSchema.getField("SecondaryIndexMetadata").schema()
+      .getTypes.get(1)
+    val rec = new GenericData.Record(secondaryIndexAvroSchema)
+    rec.put("key", key)
+    rec.put("type", 7)
+    val si = new GenericData.Record(siSchema)
+    si.put("isDeleted", false)
+    rec.put("SecondaryIndexMetadata", si)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](secondaryIndexAvroSchema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
   }
 
   // --- COW, hive-partitioned by o_orderkey quartile + partition_stats MDT

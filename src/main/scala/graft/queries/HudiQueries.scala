@@ -490,6 +490,24 @@ object HudiQueries {
         |WHERE o_orderkey > (SELECT 3 * MAX(o_orderkey) // 4 FROM orders)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // --- MDT secondary index at oracle level: an equality read on the
+    // indexed NON-key column resolves record keys through the
+    // secondary_index_status_idx partition, maps them to file groups
+    // through record_index, and plans exactly the one status-split group
+    // (GraftScan.indexRestricted). A wrong key decode or group mapping
+    // loses/duplicates a third of the table and fails the hash loudly.
+    "hudi_secondary_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.sidxPath(d))
+          .filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'P' ORDER BY o_orderkey""".stripMargin),
+
     "hudi_partition_pruned" -> QueryDef(
       (s, d) => {
         HudiFixtureBuilder.ensure(s, d)

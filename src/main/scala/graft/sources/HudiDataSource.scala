@@ -193,6 +193,16 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
   }
 }
 
+object GraftScan {
+  /** Secondary-index planning caps: more IN-values than this means the
+    * predicate isn't a point lookup; more matched keys than this and the
+    * driver-side key set (plus its record-index probe) stops being
+    * planning-sized — both fall back to the full plan.
+    */
+  val SecondaryIndexMaxValues = 32
+  val SecondaryIndexMaxKeys = 100000
+}
+
 class GraftScan(
     hudi: HudiTable,
     required: StructType,
@@ -271,10 +281,13 @@ class GraftScan(
         val planned0 = hudi.fsView.slicesAsOf(ts, planPruner)
         // RO (and COW) strips logs; a base-less log-only slice then has
         // nothing left to read and drops out of the plan
-        val planned =
+        val planned1 =
           if (readOptimized || !hudi.isMor)
             planned0.map(_.withoutLogs).filter(_.baseFile.isDefined)
           else planned0
+        // Secondary-index point planning — latest snapshot only (both
+        // indexes reflect the current table state)
+        val planned = if (asOf.isEmpty) indexRestricted(planned1) else planned1
         // R2: footer min/max file skipping — only when every planned slice
         // is base-file-only (log files can resurrect out-of-range values,
         // the reference's safety gate at table/mod.rs:486-491)
@@ -283,6 +296,46 @@ class GraftScan(
             hudi.hadoopConf, hudi.columnStatsForPruning)
           filePruner.filterIncluded(planned)(_.baseFile.get).toVector
         } else planned
+    }
+  }
+
+  /** Needle-in-haystack planning from the MDT secondary index: an
+    * equality/IN predicate on a secondary-indexed column resolves to
+    * record keys (one bounded HFile prefix scan per value), the record
+    * index maps those keys to file groups, and the plan keeps ONLY those
+    * slices — at 100 TB a point query reads one file group instead of
+    * the table. Requires BOTH indexes advertised (the writer maintains
+    * them transactionally, the same trust as MDT file listings); any
+    * index failure or an over-cap key set falls back to the full plan.
+    * The reference enumerates the secondary-index partition
+    * (records.rs:122-123) but never reads it.
+    */
+  private def indexRestricted(planned: Vector[FileSlice]): Vector[FileSlice] = {
+    if (planned.isEmpty || !graft.table.RecordIndex.isAvailable(hudi.config)) return planned
+    val candidates = simpleFilters.filter(f =>
+      (f.op == "=" || f.op == "in") && f.values.nonEmpty &&
+        f.values.size <= GraftScan.SecondaryIndexMaxValues)
+    val matched = candidates.iterator.flatMap { f =>
+      graft.table.SecondaryIndex
+        .indexForColumn(hudi.basePath, hudi.config, f.field, hudi.hadoopConf)
+        .map((f, _))
+    }.take(1).toList
+    matched match {
+      case (f, idx) :: _ =>
+        try {
+          val byValue = graft.table.SecondaryIndex.lookup(
+            hudi.basePath, idx, f.values, hudi.hadoopConf)
+          val keys = f.values.flatMap(v => byValue.getOrElse(v, Set.empty)).distinct
+          if (keys.size > GraftScan.SecondaryIndexMaxKeys) planned
+          else {
+            val groups = graft.table.RecordIndex
+              .lookup(hudi.basePath, keys, hudi.hadoopConf)
+              .entries.values.groupBy(_.partitionPath)
+              .view.mapValues(_.map(_.fileId).toSet).toMap
+            planned.filter(sl => groups.get(sl.partitionPath).exists(_.contains(sl.fileId)))
+          }
+        } catch { case scala.util.control.NonFatal(_) => planned }
+      case _ => planned
     }
   }
 

@@ -1,0 +1,98 @@
+package graft.table
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** Secondary-index reader against the reference's REAL v8 trips fixture
+  * bytes (`secondary_index_rider_idx`, type=7 records keyed
+  * `escape(value)$escape(recordKey)`), plus the point-lookup planning it
+  * feeds and the key escape/split round-trip.
+  */
+class SecondaryIndexSpec extends SparkTestBase {
+
+  private lazy val trips =
+    Fixtures.table("quickstart_trips_table/mor/avro/v8_trips_8i3u1d.zip", "v8_trips_8i3u1d")
+
+  test("escape/splitKey round-trips separator and backslash") {
+    for ((v, k) <- Seq(("plain", "key-1"), ("with$dollar", "k$2"),
+        ("back\\slash", "k\\3"), ("both\\$", "$\\"))) {
+      val key = s"${SecondaryIndex.escape(v)}$$${SecondaryIndex.escape(k)}"
+      assert(SecondaryIndex.splitKey(key).contains((v, k)), s"round-trip failed for ($v, $k)")
+    }
+    assert(SecondaryIndex.splitKey("no-separator").isEmpty)
+  }
+
+  test("parses real index_defs and resolves the rider index by column") {
+    assume(trips.isDefined)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val defs = SecondaryIndex.indexDefs(trips.get, conf)
+    assert(defs.contains("secondary_index_rider_idx"))
+    assert(defs("secondary_index_rider_idx").sourceFields == Seq("rider"))
+    val t = HudiTable(spark, trips.get)
+    assert(SecondaryIndex.indexForColumn(trips.get, t.config, "rider", conf)
+      .contains("secondary_index_rider_idx"))
+    assert(SecondaryIndex.indexForColumn(trips.get, t.config, "driver", conf).isEmpty)
+  }
+
+  test("looks up real rider values to record keys, verified against table rows") {
+    assume(trips.isDefined)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val t = HudiTable(spark, trips.get)
+    val rows = t.snapshot().select("rider", "uuid").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byRider = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val someRiders = byRider.keys.toSeq.sorted.take(3)
+    val looked = SecondaryIndex.lookup(
+      trips.get, "secondary_index_rider_idx", someRiders, conf)
+    for (r <- someRiders)
+      assert(looked.getOrElse(r, Set.empty) == byRider(r),
+        s"index keys for $r diverge from table rows")
+    // a value absent from the table resolves to nothing
+    assert(SecondaryIndex.lookup(
+      trips.get, "secondary_index_rider_idx", Seq("rider-ZZZ"), conf).isEmpty)
+  }
+
+  test("real trips: equality on rider plans only the matching file groups") {
+    assume(trips.isDefined)
+    val all = spark.read.format("hudi-graft").load(trips.get)
+    val riders = all.select("rider").distinct().collect().map(_.getString(0)).sorted
+    val rider = riders.head
+    val df = spark.read.format("hudi-graft").load(trips.get)
+      .filter(col("rider") === rider)
+    val plan = df.queryExecution.executedPlan.toString()
+    val allSlices = all.queryExecution.executedPlan.toString()
+    // the index restricts the plan below the full slice count
+    def sliceCount(p: String): Int =
+      "(\\d+) slices".r.findFirstMatchIn(p).map(_.group(1).toInt).getOrElse(-1)
+    assert(sliceCount(plan) > 0 && sliceCount(plan) < sliceCount(allSlices),
+      s"index did not restrict: ${sliceCount(plan)} vs ${sliceCount(allSlices)}")
+    // and the result matches an unrestricted filter
+    val exp = all.filter(col("rider") === rider)
+      .select("uuid").collect().map(_.getString(0)).toSet
+    val got = df.select("uuid").collect().map(_.getString(0)).toSet
+    assert(got == exp)
+  }
+
+  test("sidx fixture: status equality plans one group, result exact") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
+    val df = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_orderstatus") === "P")
+    assert(df.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"expected a single planned slice: ${df.queryExecution.executedPlan.toString()}")
+    val exp = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderstatus") === "P")
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val got = df.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(exp))
+  }
+
+  test("sidx fixture: unknown value plans zero slices and returns no rows") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
+    val df = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_orderstatus") === "ZZZ")
+    assert(df.count() == 0)
+    assert(df.queryExecution.executedPlan.toString().contains("0 slices"))
+  }
+}
