@@ -23,7 +23,13 @@ object SparkEntry {
           Some(graft.operators.MultimodalOps.byteStatsOracle)),
         "media_frame_sample" -> QueryDef(
           (s, d) => graft.operators.MultimodalOps.frameSample(s, d),
-          Some(graft.operators.MultimodalOps.frameSampleOracle)))
+          Some(graft.operators.MultimodalOps.frameSampleOracle)),
+        "media_mime_sniff" -> QueryDef(
+          (s, d) => graft.operators.MultimodalOps.mimeSniff(s, d),
+          Some(graft.operators.MultimodalOps.mimeSniffOracle)),
+        "media_image_meta" -> QueryDef(
+          (s, d) => graft.operators.MultimodalOps.imageMeta(s, d),
+          Some(graft.operators.MultimodalOps.imageMetaOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -44,16 +44,18 @@ object MultimodalOps {
   }
 
   /** STUB image decode — deterministic fake dimensions derived from the
-    * byte content. A production build replaces ONLY the body (e.g. with
-    * javax.imageio or a JNI codec); the batch shape, schema and
-    * per-partition initialization stay exactly as written.
+    * byte content (31-polynomial hash over the first 256 bytes, UNSIGNED
+    * mod-2^64 arithmetic so the same fold is expressible in oracle SQL —
+    * see `imageMetaOracle`). A production build replaces ONLY the body
+    * (e.g. with javax.imageio or a JNI codec); the batch shape, schema
+    * and per-partition initialization stay exactly as written.
     */
   def decodeImageStub(data: Array[Byte]): (Int, Int, Int) = {
     var h = 1125899906842597L
     var i = 0
     while (i < math.min(data.length, 256)) { h = 31 * h + (data(i) & 0xff); i += 1 }
-    val w = 16 + math.floorMod(h, 240).toInt
-    val ht = 16 + math.floorMod(h >> 8, 240).toInt
+    val w = 16 + java.lang.Long.remainderUnsigned(h, 240).toInt
+    val ht = 16 + java.lang.Long.remainderUnsigned(h >>> 8, 240).toInt
     (w, ht, 3)
   }
 
@@ -96,6 +98,85 @@ object MultimodalOps {
         MediaBlob(id, "image/png", bytes)
       }
   }
+
+  /** Mixed-container corpus: per doc, one of five REAL magic-byte headers
+    * (PNG / JPEG / GIF / RIFF-WAV / MP4-ftyp) chosen by `doc_id % 5`,
+    * prepended to the utf-8 text bytes — the multi-modality shape of a
+    * real media lake, with `mime` derived by actually parsing the bytes
+    * through [[sniffMime]] (never from the class label).
+    */
+  private val mixedHeaders: Array[Array[Byte]] = Array(
+    Array(0x89, 'P', 'N', 'G').map(_.toByte),
+    Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte),
+    Array[Byte]('G', 'I', 'F', '8'),
+    "RIFF".getBytes("UTF-8") ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes("UTF-8"),
+    Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes("UTF-8"))
+
+  def syntheticBlobsMixed(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    val headers = mixedHeaders
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = headers((id % 5).toInt) ++ text.getBytes("UTF-8")
+        MediaBlob(id, sniffMime(bytes), bytes)
+      }
+  }
+
+  /** Oracle-checked container sniffing: the mime column is produced by
+    * parsing the magic bytes on the Spark side; the oracle knows which
+    * header each doc got and asserts the parse recovered it.
+    */
+  def mimeSniff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    syntheticBlobsMixed(spark, sfDir)
+      .map(b => (b.doc_id, b.mime, b.data.length.toLong))
+      .toDF("doc_id", "mime", "n_bytes")
+      .orderBy("doc_id")
+  }
+
+  val mimeSniffOracle: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 5 AS INT)
+      |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+      |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+      |    ELSE 'video/mp4' END AS mime,
+      |  CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN
+      |      (CASE WHEN doc_id % 5 = 3 THEN 12 ELSE 8 END)
+      |    ELSE 4 END + octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Oracle-checked image-decode plumbing END-TO-END: mixed blobs →
+    * [[decodeImages]] (the per-partition typed batch pipeline) → metadata
+    * rows, hash-checked against closed-form SQL that refolds the SAME
+    * 31-polynomial over the same bytes (hex-pair decode + HUGEINT
+    * mod-2^64 reduce) — so a change to the batch shape, the byte
+    * assembly, or the stub arithmetic fails the oracle loudly.
+    */
+  def imageMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    decodeImages(syntheticBlobsMixed(spark, sfDir)).toDF()
+      .orderBy("doc_id")
+  }
+
+  val imageMetaOracle: String =
+    """WITH hdr AS (
+      |  SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+      |    WHEN 0 THEN '89504E47' WHEN 1 THEN 'FFD8FFE0' WHEN 2 THEN '47494638'
+      |    WHEN 3 THEN '524946460000000057415645' ELSE '0000001866747970' END
+      |    || upper(hex(encode(text))) AS h
+      |  FROM documents),
+      |lim AS (SELECT doc_id, substr(h, 1, CAST(2*LEAST(256, length(h)//2) AS INT)) AS h2 FROM hdr),
+      |hs AS (SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |      list_transform(range(0, length(h2)//2),
+      |        i -> CAST(CAST(('0x' || substr(h2, CAST(2*i+1 AS INT), 2)) AS INT) AS HUGEINT))),
+      |    (a, b) -> (a * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS u
+      |  FROM lim)
+      |SELECT doc_id, CAST(16 + u % 240 AS INT) AS width,
+      |  CAST(16 + (u // 256) % 240 AS INT) AS height, 3 AS channels,
+      |  (doc_id % 5) < 3 AS ok
+      |FROM hs ORDER BY doc_id""".stripMargin
 
   /** Oracle-checked byte-level surface: blob synthesized from text in both
     * engines, then length / hex-prefix / digest computed on the BINARY
