@@ -29,7 +29,10 @@ object SparkEntry {
           Some(graft.operators.MultimodalOps.mimeSniffOracle)),
         "media_image_meta" -> QueryDef(
           (s, d) => graft.operators.MultimodalOps.imageMeta(s, d),
-          Some(graft.operators.MultimodalOps.imageMetaOracle)))
+          Some(graft.operators.MultimodalOps.imageMetaOracle)),
+        "media_wav_meta" -> QueryDef(
+          (s, d) => graft.operators.MultimodalOps.wavMeta(s, d),
+          Some(graft.operators.MultimodalOps.wavMetaOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

