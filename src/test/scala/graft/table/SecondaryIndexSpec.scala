@@ -87,6 +87,17 @@ class SecondaryIndexSpec extends SparkTestBase {
     assert(got.sameElements(exp))
   }
 
+  test("sidx fixture: IN-list plans exactly the matching groups") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
+    val df = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_orderstatus").isin("P", "F"))
+    assert(df.queryExecution.executedPlan.toString().contains("2 slices"))
+    val exp = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderstatus").isin("P", "F")).count()
+    assert(df.count() == exp)
+  }
+
   test("sidx fixture: unknown value plans zero slices and returns no rows") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
