@@ -367,7 +367,33 @@ object PipelineOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Semi-structured extraction over the events `props` JSON column:
+    * path-extract + typed cast + per-type rollup. Spark's
+    * `get_json_object` is a codegen'd expression evaluated inside the
+    * scan's project — at 100 TB the extraction is a map-side pass and the
+    * only shuffle is the tiny per-type partial aggregate. (DuckDB oracle
+    * spells the same path extract `json_extract_string`.)
+    */
+  private def jsonExtractImpl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, get_json_object, max, sum}
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"), count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  private val jsonExtractOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val qs: Map[String, QueryDef] = Map(
+    "events_json_extract" -> QueryDef(jsonExtractImpl _, jsonExtractOracle),
     "sample_weighted" -> QueryDef(
       (s, d) => sq(s, d, weightedSql(spark = true)), weightedSql(spark = false)),
     "text_chunk_windows" -> QueryDef(
