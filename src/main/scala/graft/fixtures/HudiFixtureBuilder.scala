@@ -736,17 +736,30 @@ object HudiFixtureBuilder {
         |""".stripMargin)
     writeText(fs, new Path(mdt, s".hoodie/$T1.deltacommit"),
       """{"partitionToWriteStats":{},"compacted":false}""")
-    val psDir = new Path(mdt, "partition_stats")
+    writePartitionStatsFile(fs, base,
+      (0 until 4).map { gv => val (mn, mx) = ranges(gv); (s"g=$gv", "o_orderkey", mn, mx) }, T1)
+  }
+
+  /** Write (or REPLACE — also a test hook for stats-divergence scenarios)
+    * a table's MDT `partition_stats` HFile with the given per-(partition,
+    * column) BIGINT ranges at commit `ts`.
+    */
+  private[graft] def writePartitionStatsFile(
+      fs: FileSystem,
+      tableBase: Path,
+      entries: Seq[(String, String, Long, Long)],
+      ts: String): Unit = {
+    val psDir = new Path(tableBase, ".hoodie/metadata/partition_stats")
+    if (fs.exists(psDir)) fs.delete(psDir, true)
     fs.mkdirs(psDir)
-    val records = (0 until 4).map { gv =>
-      val (mn, mx) = ranges(gv)
-      f"ps$gv%04d" -> columnStatsBytes(f"ps$gv%04d", s"g=$gv", "o_orderkey", mn, mx, recType = 6)
+    val records = entries.zipWithIndex.map { case ((part, colName, mn, mx), i) =>
+      f"ps$i%04d" -> columnStatsBytes(f"ps$i%04d", part, colName, mn, mx, recType = 6)
     }
     val bytes = graft.hfile.HFileWriter.write(
       records.toIndexedSeq,
       Map("schema" -> columnStatsAvroSchema.toString.getBytes("UTF-8")),
       recordsPerBlock = 64)
-    val out = fs.create(new Path(psDir, s"partition-stats-0000-0_${Token}_$T1.hfile"), true)
+    val out = fs.create(new Path(psDir, s"partition-stats-0000-0_${Token}_$ts.hfile"), true)
     out.write(bytes)
     out.close()
   }

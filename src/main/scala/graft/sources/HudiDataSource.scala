@@ -272,12 +272,13 @@ class GraftScan(
     } else asOf.orElse(hudi.timeline.latestCommitTimestamp) match {
       case None => Vector.empty
       case Some(ts) =>
-        // MDT partition-stats pruning: latest-snapshot only (the index
-        // reflects the CURRENT table state; a time-travel read may need
-        // rows a later commit removed from the ranges)
+        // MDT partition-stats pruning: latest snapshots use the cached
+        // latest index; time-travel reads load the index AS OF the
+        // resolved instant, applied only when the MDT commit mirrors the
+        // data commit exactly (HudiTable.statsPrunerAsOf's gate)
         val planPruner =
           if (asOf.isEmpty) hudi.statsPrunerFor(partitionFilters, simpleFilters)
-          else pruner
+          else hudi.statsPrunerAsOf(ts, partitionFilters, simpleFilters)
         val planned0 = hudi.fsView.slicesAsOf(ts, planPruner)
         // RO (and COW) strips logs; a base-less log-only slice then has
         // nothing left to read and drops out of the plan

@@ -87,8 +87,9 @@ object ColumnStatsIndex {
   def load(
       dataTableBase: String,
       hadoopConf: Configuration,
-      partition: String = PartitionName): ColumnStatsLookup = {
-    val (latest, slices) = MetadataTable.openPartition(dataTableBase, partition, hadoopConf)
+      partition: String = PartitionName,
+      asOf: Option[String] = None): ColumnStatsLookup = {
+    val (latest, slices) = MetadataTable.openPartition(dataTableBase, partition, hadoopConf, asOf)
     def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
     val range = InstantRange.upTo(latest)
     val out = mutable.LinkedHashMap.empty[String, Option[ColumnStatEntry]]

@@ -181,6 +181,37 @@ final class HudiTable(
       base, dataFilters, tableSchema, partitionStatsForPruning)
   }
 
+  /** Time-travel variant of [[statsPrunerFor]]: loads partition stats as
+    * of `ts` and applies them ONLY when the MDT view is at least as new
+    * as the data instant the read resolves to — MDT commits mirror data
+    * commits (plus MDT-internal compactions, which carry the same
+    * logical state under a newer timestamp, e.g. the real trips
+    * fixture's 30942 compaction above its 30911 data tip), so
+    * `mdtAt >= dataAt` means the stats describe exactly the commits the
+    * read sees. A LAGGING index (`mdtAt < dataAt`: stats missing a
+    * visible commit whose rows could widen the ranges) fails open to
+    * path-value pruning alone. `ts` must already be normalized.
+    */
+  private[graft] def statsPrunerAsOf(
+      ts: String,
+      partitionFilters: Seq[PartitionFilter],
+      dataFilters: Seq[PartitionFilter]
+  ): graft.fs.PartitionInclude = {
+    val base = prunerFor(partitionFilters)
+    if (dataFilters.isEmpty || !PartitionStatsIndex.isAvailable(config)) return base
+    try {
+      timeline.instantsAsOf(ts).lastOption.map(_.timestamp) match {
+        case None => base
+        case Some(dataAt) =>
+          val lookup = ColumnStatsIndex.load(
+            basePath, hadoopConf, PartitionStatsIndex.PartitionName, Some(ts))
+          if (lookup.asOf < dataAt) base
+          else new graft.fs.StatsPartitionPruner(
+            base, dataFilters, tableSchema, lookup.pruningStats)
+      }
+    } catch { case scala.util.control.NonFatal(_) => base }
+  }
+
   /** Partition field → pruner type name, the single source of truth for
     * every pruning path (driver-side, DSv2 pushdown classification, and
     * runtime/DPP filtering) so a newly supported type can't drift between

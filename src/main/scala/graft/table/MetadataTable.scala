@@ -72,7 +72,8 @@ object MetadataTable {
   private[table] def openPartition(
       dataTableBase: String,
       partition: String,
-      hadoopConf: Configuration
+      hadoopConf: Configuration,
+      asOf: Option[String] = None
   ): (String, Vector[graft.fs.FileSlice]) = {
     val mdtPath = new Path(new Path(dataTableBase, ".hoodie"), "metadata").toString
     val stored = HoodieConfig.load(mdtPath, hadoopConf)
@@ -81,8 +82,17 @@ object MetadataTable {
     val config = HoodieConfig(stored.props + ("hoodie.table.partition.fields" -> "partition_path"))
     val timeline = new Timeline(mdtPath, config, hadoopConf)
     val fsView = new FsView(mdtPath, config, timeline, hadoopConf)
-    val latest = timeline.latestCommitTimestamp.getOrElse(
-      throw new IllegalStateException(s"metadata table at $mdtPath has no completed commits"))
+    // as-of reads plan the MDT at its newest commit <= asOf (MDT commits
+    // mirror the data commits they index); callers that need exact
+    // synchronization compare the returned commit against their data
+    // instant and fail open on divergence
+    val latest = asOf
+      .map(ts => timeline.instantsAsOf(ts).lastOption.map(_.timestamp).getOrElse(
+        throw new IllegalStateException(
+          s"metadata table at $mdtPath has no completed commit at or before $ts")))
+      .orElse(timeline.latestCommitTimestamp)
+      .getOrElse(
+        throw new IllegalStateException(s"metadata table at $mdtPath has no completed commits"))
     val pruner = new PartitionPruner(
       Seq("partition_path" -> "string"), hiveStyle = false, urlEncoded = false,
       Seq(PartitionFilter("partition_path", "=", Seq(partition))))

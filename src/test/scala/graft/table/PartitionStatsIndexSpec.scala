@@ -85,30 +85,63 @@ class PartitionStatsIndexSpec extends SparkTestBase {
     assert(got.sameElements(exp))
   }
 
-  test("time-travel reads bypass partition-stats pruning, result exact") {
+  test("time-travel reads prune from as-of stats when the MDT mirrors the instant") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     val path = graft.fixtures.HudiFixtureBuilder.pstatsPath(sfDir)
     val ordersDf = spark.read.parquet(s"$sfDir/orders.parquet")
     val maxKey = ordersDf.agg(max(col("o_orderkey"))).head.getLong(0)
     val boundary = maxKey * 3 / 4
-    // as-of reads skip the partition-stats index (it reflects current
-    // state, not the as-of state) — statsPrunerFor is latest-snapshot
-    // only. Per-FILE footer pruning still applies (footers describe
-    // immutable files, valid at any as-of), so the plan may still carry
-    // fewer than 4 slices; the result must stay exact.
     val t = HudiTable(spark, path)
     val plain = t.statsPrunerFor(Nil, Nil)
     assert(plain.isInstanceOf[PartitionPruner]) // no data filters -> no stats layer
     val layered = t.statsPrunerFor(Nil,
       Seq(PartitionFilter("o_orderkey", ">", Seq(boundary.toString))))
     assert(layered.isInstanceOf[StatsPartitionPruner])
+    // as-of T1 = the MDT's own commit: stats-as-of apply, same plan as
+    // the latest snapshot, result exact
     val tt = spark.read.format("hudi-graft")
       .option("as.of.timestamp", graft.fixtures.HudiFixtureBuilder.T1)
       .load(path)
       .filter(col("o_orderkey") > boundary)
+    val ttPlan = tt.queryExecution.executedPlan.toString()
+    assert(ttPlan.contains("1 slices") || ttPlan.contains("2 slices"),
+      s"as-of stats pruning did not engage: $ttPlan")
     val got = tt.select("o_orderkey").collect().map(_.getLong(0)).sorted
     val exp = ordersDf.filter(col("o_orderkey") > boundary)
       .select("o_orderkey").collect().map(_.getLong(0)).sorted
     assert(got.sameElements(exp))
+  }
+
+  test("as-of stats gate: trusted when the MDT mirrors the instant, ignored when lagging") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val src = new org.apache.hadoop.fs.Path(graft.fixtures.HudiFixtureBuilder.pstatsPath(sfDir))
+    val tmp = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), s"pstats_gate_${System.nanoTime()}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
+    try {
+      // doctor the copy's index: every partition claims range [1, 1], so
+      // TRUSTED stats prune every partition for any key-range filter —
+      // making "were the stats consulted?" directly observable
+      graft.fixtures.HudiFixtureBuilder.writePartitionStatsFile(fs, tmp,
+        (0 until 4).map(g => (s"g=$g", "o_orderkey", 1L, 1L)),
+        graft.fixtures.HudiFixtureBuilder.T1)
+      def scan(asOf: String) = spark.read.format("hudi-graft")
+        .option("as.of.timestamp", asOf)
+        .load(tmp.toString)
+        .filter(col("o_orderkey") > 1)
+      // MDT T1 mirrors data T1 -> bogus stats trusted -> everything pruned
+      assert(scan(graft.fixtures.HudiFixtureBuilder.T1).count() == 0)
+      // an empty data commit T2 with NO MDT commit: the index now LAGS
+      // the resolved instant -> gate fails open -> exact result
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp,
+        s".hoodie/${graft.fixtures.HudiFixtureBuilder.T2}.commit"), true)
+      out.write("""{"partitionToWriteStats":{},"compacted":false}""".getBytes("UTF-8"))
+      out.close()
+      val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderkey") > 1).count()
+      assert(scan(graft.fixtures.HudiFixtureBuilder.T2).count() == expected)
+    } finally fs.delete(tmp, true)
   }
 }
