@@ -226,7 +226,70 @@ object GraphOps {
        |ORDER BY rank""".stripMargin
   }
 
+  // --- Triangle counting over the co-supplier similarity graph ---------
+  //
+  // Graph: suppliers weighted by shared-part count, SPARSIFIED to the
+  // strongest [[TriEdges]] edges (deterministic (shared DESC, u, v)
+  // top-K — the standard similarity-graph step; the raw co-part graph is
+  // complete and meaningless). Spark counts triangles the distributed
+  // way: per-node sorted adjacency arrays, then ONE pass over edges
+  // evaluating the codegen'd [[graft.functions.SortedIntersectCount]]
+  // merge walk — c(u,v) = |N(u)∩N(v)| = triangles through that edge, and
+  // t(v) = Σ_{e∋v} c(e) / 2 (each triangle at v is seen by both its
+  // v-incident edges). No 3-way self-join, no cartesian: two node-keyed
+  // hash joins + one combinable aggregate, each bounded by the K edges.
+  // The DuckDB oracle is an independently-shaped 3-way relational join
+  // enumerating each a<b<c triangle once.
+  //
+  // 100 TB shape: the (p, s) distinct and pair-count aggregates are
+  // ordinary shuffles; top-K is Spark's sort-limit (per-partition top-K,
+  // K rows to the driver-side take); everything downstream is bounded by
+  // K, not by the quadratic pair space.
+  private val TriEdges = 5000
+  private val TriTopK = 50
+
+  private def trianglesImpl(s: SparkSession, d: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(s)
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sup")).distinct()
+    val w = ps.as("a").join(ps.as("b"),
+        col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+      .groupBy(col("a.sup").as("u"), col("b.sup").as("v"))
+      .agg(count(lit(1)).as("shared"))
+    val edges = w.orderBy(desc("shared"), col("u"), col("v")).limit(TriEdges)
+      .select("u", "v").persist()
+    val adj = edges.select(col("u").as("s"), col("v").as("o"))
+      .union(edges.select(col("v").as("s"), col("u").as("o")))
+      .groupBy("s").agg(array_sort(collect_set(col("o").cast("string"))).as("nbrs"))
+    val cnt = edges
+      .join(adj.select(col("s").as("u"), col("nbrs").as("nu")), "u")
+      .join(adj.select(col("s").as("v"), col("nbrs").as("nv")), "v")
+      .select(col("u"), col("v"),
+        expr("CAST(graft_intersect_count(nu, nv) AS BIGINT)").as("c"))
+    cnt.select(col("u").as("supp"), col("c"))
+      .union(cnt.select(col("v").as("supp"), col("c")))
+      .groupBy("supp").agg(expr("CAST(SUM(c) DIV 2 AS BIGINT)").as("tri"))
+      .filter(col("tri") > 0)
+      .orderBy(desc("tri"), col("supp"))
+      .limit(TriTopK)
+  }
+
+  private val trianglesDuck: String =
+    s"""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s FROM lineitem),
+       |w AS (SELECT a.s u, b.s v, COUNT(*) shared
+       |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY a.s, b.s),
+       |edges AS (SELECT u, v FROM w ORDER BY shared DESC, u, v LIMIT $TriEdges),
+       |tri AS (SELECT e1.u a, e1.v b, e2.v c
+       |        FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+       |        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |pernode AS (SELECT node, COUNT(*) t FROM (
+       |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) GROUP BY node)
+       |SELECT CAST(node AS BIGINT) AS supp, CAST(t AS BIGINT) AS tri
+       |FROM pernode ORDER BY tri DESC, supp LIMIT $TriTopK""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
-    "graph_pagerank" -> QueryDef(sparkImpl _, duckSql)
+    "graph_pagerank" -> QueryDef(sparkImpl _, duckSql),
+    "graph_triangles" -> QueryDef(trianglesImpl _, trianglesDuck)
   )
 }

@@ -192,9 +192,55 @@ object TemporalOps {
       |FROM agg
       |ORDER BY user_id, version""".stripMargin
 
+  // --- Calendar resampling with gap-fill (time-series regularization) --
+  //
+  // Per (user, UTC day): event count, observed flag, and the last value
+  // carried forward across gap days — the densification step a
+  // time-series training pipeline runs before feature windows. Shapes:
+  // everything is per-user (agg → span → `sequence` grid explode → one
+  // per-user window); no global window, grid size bounded by each user's
+  // own calendar span. Float determinism: `value` is carried VERBATIM
+  // (max_by / arg_max pick a concrete row's double; last_value ignore
+  // nulls propagates it) — no recomputed float anywhere.
+  private def resampleImpl(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"),
+      expr("unix_micros(ts) DIV 86400000000").as("d"), col("value"), col("event_id"))
+    val agg = e.groupBy("user_id", "d")
+      .agg(count(lit(1)).as("n0"), expr("max_by(value, event_id)").as("lv"))
+    val span = agg.groupBy("user_id").agg(min("d").as("mn"), max("d").as("mx"))
+    val grid = span.select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("d"))
+    val full0 = grid.join(agg, Seq("user_id", "d"), "left")
+    val w = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full0.select(col("user_id"), col("d"),
+      coalesce(col("n0"), lit(0L)).as("n"),
+      col("n0").isNotNull.as("observed"),
+      last(col("lv"), ignoreNulls = true).over(w).as("v_fill"))
+      .orderBy("user_id", "d")
+  }
+
+  private val resampleOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_part('epoch', ts) AS BIGINT) // 86400 AS d,
+      |    value, event_id FROM events),
+      |agg AS (SELECT user_id, d, COUNT(*) n, arg_max(value, event_id) lv
+      |        FROM e GROUP BY user_id, d),
+      |span AS (SELECT user_id, MIN(d) mn, MAX(d) mx FROM agg GROUP BY user_id),
+      |grid AS (SELECT user_id, CAST(mn + g.i AS BIGINT) AS d
+      |         FROM span, UNNEST(range(0, mx - mn + 1)) AS g(i)),
+      |full0 AS (SELECT g.user_id, g.d, COALESCE(a.n, 0) AS n, a.lv,
+      |          a.n IS NOT NULL AS observed
+      |   FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.d = g.d)
+      |SELECT user_id, d, CAST(n AS BIGINT) AS n, observed,
+      |  last_value(lv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_fill
+      |FROM full0
+      |ORDER BY user_id, d""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
     "q_sessionize" -> QueryDef(sessionizeImpl _, sessionizeOracle),
     "q_asof_join" -> QueryDef(asofImpl _, asofOracle),
-    "q_scd2_intervals" -> QueryDef(scd2Impl _, scd2Oracle)
+    "q_scd2_intervals" -> QueryDef(scd2Impl _, scd2Oracle),
+    "events_resample" -> QueryDef(resampleImpl _, resampleOracle)
   )
 }
