@@ -125,6 +125,37 @@ object EmbedOps {
        |ORDER BY q.label, outlier_score DESC, q.vec_id""".stripMargin
   }
 
+  /** Johnson-Lindenstrauss sign random projection 64 → 16 dims: R[i][j]
+    * = ±1 from the md5-digest idiom (deterministic, identical in both
+    * engines), proj_j(v) = Σ_i q_i·R[i][j] — exact BIGINT sums, so the
+    * projected vectors are bit-identical cross-engine (a float Gaussian
+    * projection could not be). The ANN-stack preprocessing step that
+    * shrinks the distance computation 4× before bucketing.
+    *
+    * Scale shape: the projection matrix is a 1024-row literal relation
+    * (always broadcast); the per-dim explode is map-side and the
+    * (vec_id, j) aggregate is combinable — one bounded shuffle, output
+    * 16 rows per vector.
+    */
+  private def randProjSql(q: String, spark: Boolean): String = {
+    val h = CrossEngine.hash60(spark, s"CAST(i*64+j AS ${CrossEngine.strType(spark)})")
+    val grid =
+      if (spark)
+        "SELECT i, j FROM (SELECT explode(sequence(0, 63)) AS i) CROSS JOIN (SELECT explode(sequence(0, 15)) AS j)"
+      else "SELECT i, j FROM UNNEST(range(0, 64)) t(i) CROSS JOIN UNNEST(range(0, 16)) u(j)"
+    val px =
+      if (spark) "SELECT vec_id, posexplode(q) AS (i, x) FROM qe"
+      else "SELECT vec_id, UNNEST(range(0, 64)) AS i, UNNEST(q) AS x FROM qe"
+    s"""WITH qe AS ($q),
+       |rm AS (SELECT i, j, CASE WHEN $h % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM ($grid)),
+       |px AS ($px),
+       |proj AS (
+       |  SELECT p.vec_id, r.j, SUM(p.x * r.sgn) AS pj
+       |  FROM px p JOIN rm r ON r.i = p.i GROUP BY p.vec_id, r.j)
+       |SELECT vec_id, CAST(j AS INT) AS j, CAST(pj AS BIGINT) AS pj
+       |FROM proj ORDER BY vec_id, j""".stripMargin
+  }
+
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
   }
@@ -145,6 +176,10 @@ object EmbedOps {
     "embed_label_outliers" -> QueryDef(
       (s, d) => sq(s, d, outlierSql(sparkQ, sparkDot, spark = true)),
       outlierSql(duckQ, duckDot, spark = false)
+    ),
+    "embed_rand_proj" -> QueryDef(
+      (s, d) => sq(s, d, randProjSql(sparkQ, spark = true)),
+      randProjSql(duckQ, spark = false)
     )
   )
 
