@@ -525,6 +525,117 @@ object AnnOps {
   private def sparkSq8Main: String =
     s"WITH ${sq8TopkSql("ann_sq8", "ann_qn", sparkDot)}"
 
+  // ---- Product quantization + ADC (FAISS IndexPQ shape) ----------------
+  //
+  // Train: [[pqM]] independent subspace codebooks ([[pqK]] codewords,
+  // seeded with the lowest-id vectors' subvectors — the IVF seeding
+  // convention) refined by [[pqIters]] L2 k-means iterations; integer
+  // determinism follows [[ClusterOps]] exactly (BIGINT dots; assignment
+  // minimizes the exact `‖c‖² − 2·x·c` BIGINT expansion, ties on cid;
+  // centroid update is truncating `SUM DIV COUNT` per dimension).
+  // Encode: every vector becomes [[pqM]] code ids — a 32× compression of
+  // the quantized vectors. Query: asymmetric distance computation — the
+  // query's EXACT subvectors dot the neighbors' codewords, summed across
+  // subspaces (all BIGINT), top-[[pqRerank]] candidates then rerank with
+  // exact full-precision cosine. At 100 TB the scan side touches only
+  // (vec_id, m, cid) codes plus a codebook that always broadcasts
+  // (M×K×subdim integers); the exact relation is read for the reranked
+  // handful only.
+  private val pqM = 8
+  private val pqSubDim = 8
+  private val pqK = 16
+  private val pqIters = 2
+  private val pqRerank = 20
+
+  private def pqSql(spark: Boolean): String = {
+    val dot = if (spark) sparkDot else duckDot
+    val qnRel = if (spark) "ann_qn" else "qn"
+    val mGrid =
+      if (spark) s"SELECT explode(sequence(0, ${pqM - 1})) AS m"
+      else s"SELECT UNNEST(range(0, $pqM)) AS m"
+    val sub =
+      if (spark) s"slice(q, m*$pqSubDim + 1, $pqSubDim)"
+      else s"list_slice(q, m*$pqSubDim + 1, m*$pqSubDim + $pqSubDim)"
+    def perDim(mem: String): String =
+      if (spark)
+        s"""
+           |  SELECT m, cid, i, SUM(x) DIV COUNT(1) AS cx FROM (
+           |    SELECT a.m, a.cid, pe.i, pe.x
+           |    FROM $mem a JOIN subv s ON s.vec_id = a.vec_id AND s.m = a.m
+           |    LATERAL VIEW posexplode(s.sq) pe AS i, x)
+           |  GROUP BY m, cid, i""".stripMargin
+      else
+        s"""
+           |  SELECT a.m, a.cid, di.i,
+           |    CAST(SUM(list_extract(s.sq, di.i + 1)) AS BIGINT) // COUNT(1) AS cx
+           |  FROM $mem a JOIN subv s ON s.vec_id = a.vec_id AND s.m = a.m,
+           |    UNNEST(range(0, $pqSubDim)) AS di(i)
+           |  GROUP BY a.m, a.cid, di.i""".stripMargin
+    def rebuild(cd: String): String =
+      if (spark)
+        s"""
+           |  SELECT m, cid, cq, ${dot.format("cq", "cq")} AS cnorm FROM (
+           |    SELECT m, cid, transform(array_sort(collect_list(struct(i, cx))), s -> s.cx) AS cq
+           |    FROM $cd GROUP BY m, cid)""".stripMargin
+      else
+        s"""
+           |  SELECT m, cid, cq, ${dot.format("cq", "cq")} AS cnorm FROM (
+           |    SELECT m, cid, list(cx ORDER BY i) AS cq FROM $cd GROUP BY m, cid)""".stripMargin
+    val iters = (1 to pqIters).map { t =>
+      s"""a$t AS (
+         |  SELECT s.vec_id, s.m, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY c.cnorm - 2 * ${dot.format("s.sq", "c.cq")}, c.cid) AS rk
+         |  FROM subv s JOIN cent${t - 1} c ON c.m = s.m),
+         |m$t AS (SELECT vec_id, m, cid FROM a$t WHERE rk = 1),
+         |cd$t AS (${perDim(s"m$t")}),
+         |cent$t AS (${rebuild(s"cd$t")})""".stripMargin
+    }.mkString(",\n")
+    val pairDot = dot.format("a.q", "b.q")
+    s"""subv AS (
+       |  SELECT vec_id, m, $sub AS sq FROM $qnRel CROSS JOIN ($mGrid)),
+       |cent0 AS (
+       |  SELECT m, vec_id AS cid, sq AS cq, ${dot.format("sq", "sq")} AS cnorm
+       |  FROM subv WHERE vec_id < $pqK),
+       |$iters,
+       |adc0 AS (
+       |  SELECT qs.vec_id AS query_id, cv.vec_id AS neighbor_id,
+       |    ${dot.format("qs.sq", "c.cq")} AS part
+       |  FROM subv qs
+       |  JOIN m$pqIters cv ON cv.m = qs.m AND cv.vec_id <> qs.vec_id
+       |  JOIN cent$pqIters c ON c.m = cv.m AND c.cid = cv.cid
+       |  WHERE qs.vec_id < 5),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, SUM(part) AS approx
+       |  FROM adc0 GROUP BY query_id, neighbor_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS rk
+       |  FROM adc),
+       |rescored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST($pairDot AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM (SELECT query_id, neighbor_id FROM cand WHERE rk <= $pqRerank) c
+       |  JOIN $qnRel a ON a.vec_id = c.query_id
+       |  JOIN $qnRel b ON b.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM rescored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def sparkPqMain: String = s"WITH ${pqSql(spark = true)}"
+
+  private val duckPqSql: String =
+    s"""WITH qe AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qn AS (SELECT vec_id, q, ${duckDot.format("q", "q")} AS qnorm FROM qe),
+       |${pqSql(spark = false)}""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
     "embed_dedup_lsh" -> QueryDef(runSpark(sparkLshMain) _, duckSql),
     "embed_ann_topk" -> QueryDef(runSpark(sparkAnnMain) _, duckAnnSql),
@@ -533,6 +644,7 @@ object AnnOps {
       ivfSql("list_transform", duckDot)),
     "embed_ann_sq8" -> QueryDef(
       (s, d) => { sq8Prep(s, d); s.sql(sparkSq8Main) },
-      Some(duckSq8Sql))
+      Some(duckSq8Sql)),
+    "embed_ann_pq" -> QueryDef(runSpark(sparkPqMain) _, duckPqSql)
   )
 }
