@@ -404,6 +404,50 @@ object HudiQueries {
         |  FROM orders WHERE o_orderkey % 7 = 0)
         |ORDER BY w, o_orderstatus""".stripMargin),
 
+    // --- Stream-static enrichment: the Hudi change stream broadcast-
+    // joined to a static dimension inside the streaming plan, then a
+    // stateful aggregate — the standard "enrich CDC with a dim table"
+    // pipeline. Update rows surface under status 'U' (disjoint from the
+    // insert statuses), so the drained complete-mode state is closed-form
+    // SQL; the T3 delete commit emits nothing (tombstones are opt-in).
+    // Floats go through the DECIMAL(18,4) exact-sum contract.
+    "hudi_stream_enriched" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val stream = s.readStream.format("hudi-graft")
+          .option("stream.commits.per.batch", "1")
+          .load(HudiFixtureBuilder.morPath(d))
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val enriched = stream
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey", "o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            graft.util.ExactAgg.dsum(col("o_totalprice")).as("total"))
+        val sink = "graft_stream_enriched_sink"
+        s.catalog.dropTempView(sink)
+        val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try enriched.writeStream.outputMode("complete").format("memory")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .queryName(sink).start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .select(col("c_nationkey"), col("o_orderstatus"), col("n"), col("total"))
+          .orderBy("c_nationkey", "o_orderstatus")
+      },
+      """SELECT c_nationkey, o_orderstatus, CAST(COUNT(1) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_custkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey, 'U' AS o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 7 = 0) o
+        |JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_nationkey, o_orderstatus
+        |ORDER BY c_nationkey, o_orderstatus""".stripMargin),
+
     // --- P6: dropped partition columns re-injected from partition paths --
     "hudi_dropped_partition_cols" -> QueryDef(
       (s, d) => {
