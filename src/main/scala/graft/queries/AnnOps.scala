@@ -547,8 +547,8 @@ object AnnOps {
   private val pqIters = 2
   private val pqRerank = 20
 
-  private def pqSql(spark: Boolean): String = {
-    val dot = if (spark) sparkDot else duckDot
+  /** The `(vec_id, m, sq)` subvector relation body. */
+  private def pqSubvSql(spark: Boolean): String = {
     val qnRel = if (spark) "ann_qn" else "qn"
     val mGrid =
       if (spark) s"SELECT explode(sequence(0, ${pqM - 1})) AS m"
@@ -556,6 +556,12 @@ object AnnOps {
     val sub =
       if (spark) s"slice(q, m*$pqSubDim + 1, $pqSubDim)"
       else s"list_slice(q, m*$pqSubDim + 1, m*$pqSubDim + $pqSubDim)"
+    s"SELECT vec_id, m, $sub AS sq FROM $qnRel CROSS JOIN ($mGrid)"
+  }
+
+  /** CTE chain `subv, cent0, a1..centN` — training + encoding. */
+  private def pqTrainSql(spark: Boolean): String = {
+    val dot = if (spark) sparkDot else duckDot
     def perDim(mem: String): String =
       if (spark)
         s"""
@@ -591,19 +597,26 @@ object AnnOps {
          |cd$t AS (${perDim(s"m$t")}),
          |cent$t AS (${rebuild(s"cd$t")})""".stripMargin
     }.mkString(",\n")
-    val pairDot = dot.format("a.q", "b.q")
-    s"""subv AS (
-       |  SELECT vec_id, m, $sub AS sq FROM $qnRel CROSS JOIN ($mGrid)),
+    s"""subv AS (${pqSubvSql(spark)}),
        |cent0 AS (
        |  SELECT m, vec_id AS cid, sq AS cq, ${dot.format("sq", "sq")} AS cnorm
        |  FROM subv WHERE vec_id < $pqK),
-       |$iters,
-       |adc0 AS (
+       |$iters""".stripMargin
+  }
+
+  /** ADC scan + exact rerank, over pre-built codes/centroid relations
+    * (expects `subv` in scope for the query subvectors).
+    */
+  private def pqSearchSql(spark: Boolean, codesRel: String, centRel: String): String = {
+    val dot = if (spark) sparkDot else duckDot
+    val qnRel = if (spark) "ann_qn" else "qn"
+    val pairDot = dot.format("a.q", "b.q")
+    s""", adc0 AS (
        |  SELECT qs.vec_id AS query_id, cv.vec_id AS neighbor_id,
        |    ${dot.format("qs.sq", "c.cq")} AS part
        |  FROM subv qs
-       |  JOIN m$pqIters cv ON cv.m = qs.m AND cv.vec_id <> qs.vec_id
-       |  JOIN cent$pqIters c ON c.m = cv.m AND c.cid = cv.cid
+       |  JOIN $codesRel cv ON cv.m = qs.m AND cv.vec_id <> qs.vec_id
+       |  JOIN $centRel c ON c.m = cv.m AND c.cid = cv.cid
        |  WHERE qs.vec_id < 5),
        |adc AS (
        |  SELECT query_id, neighbor_id, SUM(part) AS approx
@@ -627,14 +640,54 @@ object AnnOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  private def sparkPqMain: String = s"WITH ${pqSql(spark = true)}"
+  /** Spark splits the PQ pipeline at the natural cache line: codebook
+    * training + encoding (`ann_pq_cent` / `ann_pq_codes`) build once per
+    * (session, dir) and persist — they are the index; every query pays
+    * only the ADC scan + rerank (the sq8/ann_qn prep contract). DuckDB
+    * keeps the single-statement CTE text.
+    */
+  private def pqPrep(s: SparkSession, d: String): Unit = {
+    sparkPrep(s, d)
+    val reg = SessionRegistry.of(s)
+    reg.synchronized {
+      val cached = reg.get("pqprep").collect { case p: Prep if p.dir == d => p }
+      val Seq(codes, cent) = cached.map(_.dfs).getOrElse {
+        val trained = pqTrainSql(spark = true)
+        // localCheckpoint, not persist: the trained plan is two unrolled
+        // k-means iterations deep, and a cached VIEW still re-analyzes
+        // that whole logical plan on every query — checkpointing
+        // collapses codes/centroids to leaf RDD scans (they are tiny:
+        // n×M codes + M×K codewords)
+        val codes = s.sql(s"WITH $trained SELECT vec_id, m, cid FROM m$pqIters")
+          .localCheckpoint(true)
+        val cent = s.sql(s"WITH $trained SELECT m, cid, cq, cnorm FROM cent$pqIters")
+          .localCheckpoint(true)
+        val dfs = Seq(codes, cent)
+        reg.put("pqprep", Prep(d, dfs))
+          .collect { case p: Prep if p.dir != d => p }
+          .foreach(_.dfs.foreach(df =>
+            graft.util.Checkpoints.freeLocalCheckpoint(df)))
+        dfs
+      }
+      if (cached.isEmpty || !s.catalog.tableExists("ann_pq_codes") ||
+          !s.catalog.tableExists("ann_pq_cent")) {
+        codes.createOrReplaceTempView("ann_pq_codes")
+        cent.createOrReplaceTempView("ann_pq_cent")
+      }
+    }
+  }
+
+  private def sparkPqMain: String =
+    s"""WITH subv AS (${pqSubvSql(spark = true)})
+       |${pqSearchSql(spark = true, codesRel = "ann_pq_codes", centRel = "ann_pq_cent")}""".stripMargin
 
   private val duckPqSql: String =
     s"""WITH qe AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
        |  FROM embeddings),
        |qn AS (SELECT vec_id, q, ${duckDot.format("q", "q")} AS qnorm FROM qe),
-       |${pqSql(spark = false)}""".stripMargin
+       |${pqTrainSql(spark = false)}
+       |${pqSearchSql(spark = false, codesRel = s"m$pqIters", centRel = s"cent$pqIters")}""".stripMargin
 
   def queries: Map[String, QueryDef] = Map(
     "embed_dedup_lsh" -> QueryDef(runSpark(sparkLshMain) _, duckSql),
@@ -645,6 +698,8 @@ object AnnOps {
     "embed_ann_sq8" -> QueryDef(
       (s, d) => { sq8Prep(s, d); s.sql(sparkSq8Main) },
       Some(duckSq8Sql)),
-    "embed_ann_pq" -> QueryDef(runSpark(sparkPqMain) _, duckPqSql)
+    "embed_ann_pq" -> QueryDef(
+      (s, d) => { pqPrep(s, d); s.sql(sparkPqMain) },
+      Some(duckPqSql))
   )
 }
