@@ -197,10 +197,14 @@ object GraftScan {
   /** Secondary-index planning caps: more IN-values than this means the
     * predicate isn't a point lookup; more matched keys than this and the
     * driver-side key set (plus its record-index probe) stops being
-    * planning-sized — both fall back to the full plan.
+    * planning-sized — both fall back to the full plan. Overridable via
+    * sys.props for the regime-differential tests (the fallback branch
+    * must produce the same rows as the indexed branch).
     */
-  val SecondaryIndexMaxValues = 32
-  val SecondaryIndexMaxKeys = 100000
+  def SecondaryIndexMaxValues: Int =
+    sys.props.get("graft.secondary.index.max.values").flatMap(_.toIntOption).getOrElse(32)
+  def SecondaryIndexMaxKeys: Int =
+    sys.props.get("graft.secondary.index.max.keys").flatMap(_.toIntOption).getOrElse(100000)
 }
 
 class GraftScan(

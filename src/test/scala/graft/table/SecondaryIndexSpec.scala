@@ -98,6 +98,26 @@ class SecondaryIndexSpec extends SparkTestBase {
     assert(df.count() == exp)
   }
 
+  test("regime differential: over-cap key sets fall back to the full plan, same rows") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
+    def run() = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_orderstatus") === "P")
+    val indexed = run()
+    assert(indexed.queryExecution.executedPlan.toString().contains("1 slices"))
+    val rows = indexed.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    // force the fallback: a one-key cap makes every real lookup over-cap.
+    // (The fallback STILL plans one slice here — the status-split layout
+    // means footer min/max pruning recovers the same skip, which is
+    // itself worth asserting: the cap never costs correctness, and on
+    // this layout not even the plan.)
+    System.setProperty("graft.secondary.index.max.keys", "1")
+    try {
+      val full = run()
+      assert(full.select("o_orderkey").collect().map(_.getLong(0)).sorted.sameElements(rows))
+    } finally System.clearProperty("graft.secondary.index.max.keys")
+  }
+
   test("sidx fixture: unknown value plans zero slices and returns no rows") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
