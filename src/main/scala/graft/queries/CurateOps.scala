@@ -409,6 +409,52 @@ object CurateOps {
     prep(s, d); s.sql(sql)
   }
 
+  /** Data-quality expectations (the dbt-test / Great-Expectations gate a
+    * pipeline runs before training): six declarative rules — not-null,
+    * uniqueness, accepted values, range, and two referential-integrity
+    * checks — each one scan-plus-aggregate (uniqueness is a distinct
+    * count, the FK checks are dim-keyed left joins that broadcast or
+    * shuffle-hash like any other join), emitted as one (rule, violations,
+    * total, pass) report. The SQL is pure ANSI and runs verbatim in BOTH
+    * engines — the strongest cross-engine form an oracle pair can take.
+    */
+  private val expectationsSql: String =
+    """WITH nn AS (
+      |  SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |         COUNT(*) AS total FROM orders),
+      |uq AS (
+      |  SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+      |         COUNT(*) AS total FROM orders),
+      |av AS (
+      |  SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |         COUNT(*) AS total FROM orders),
+      |rng AS (
+      |  SELECT CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |         COUNT(*) AS total FROM orders),
+      |fk1 AS (
+      |  SELECT CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |         COUNT(*) AS total
+      |  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+      |fk2 AS (
+      |  SELECT CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |         COUNT(*) AS total
+      |  FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey)
+      |SELECT rule, violations, total, violations = 0 AS pass FROM (
+      |  SELECT 'not_null:orders.o_custkey' AS rule, violations, total FROM nn
+      |  UNION ALL SELECT 'unique:orders.o_orderkey', violations, total FROM uq
+      |  UNION ALL SELECT 'accepted_values:orders.o_orderstatus', violations, total FROM av
+      |  UNION ALL SELECT 'range:orders.o_totalprice_positive', violations, total FROM rng
+      |  UNION ALL SELECT 'fk:orders.o_custkey->customer', violations, total FROM fk1
+      |  UNION ALL SELECT 'fk:lineitem.l_orderkey->orders', violations, total FROM fk2) r
+      |ORDER BY rule""".stripMargin
+
+  private def expectationsImpl(s: SparkSession, d: String): DataFrame = {
+    Tables.ensureView(s, d, "orders")(Tables.orders(s, d))
+    Tables.ensureView(s, d, "customer")(Tables.customer(s, d))
+    Tables.ensureView(s, d, "lineitem")(Tables.lineitem(s, d))
+    s.sql(expectationsSql)
+  }
+
   def queries: Map[String, QueryDef] = Map(
     "text_decontaminate" -> QueryDef(
       (s, d) => decontamImpl(s, d),
@@ -438,6 +484,7 @@ object CurateOps {
       Some(lmBigramSql(spark = false))),
     "text_source_kl" -> QueryDef(
       (s, d) => sq(s, d, sourceKlSql(spark = true)),
-      Some(sourceKlSql(spark = false)))
+      Some(sourceKlSql(spark = false))),
+    "quality_expectations" -> QueryDef(expectationsImpl _, expectationsSql)
   )
 }
