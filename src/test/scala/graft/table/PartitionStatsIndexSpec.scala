@@ -112,6 +112,35 @@ class PartitionStatsIndexSpec extends SparkTestBase {
     assert(got.sameElements(exp))
   }
 
+  test("real trips: latest reads prune from the compaction-written index, as-of fails open") {
+    assume(trips.isDefined)
+    def slices(p: String): Int =
+      "(\\d+) slices".r.findFirstMatchIn(p).map(_.group(1).toInt).getOrElse(-1)
+    // LATEST read: the index (written by the MDT's own ...30942
+    // compaction, above the ...30911 data tip) serves pruning — driver <=
+    // 'driver-O' disproves chennai (driver-S) and sao_paulo (driver-Q)
+    val latest = spark.read.format("hudi-graft").load(trips.get)
+      .filter(col("driver") <= "driver-O")
+    val full = spark.read.format("hudi-graft").load(trips.get)
+    val fullCount = slices(full.queryExecution.executedPlan.toString())
+    val latestCount = slices(latest.queryExecution.executedPlan.toString())
+    assert(latestCount > 0 && latestCount < fullCount,
+      s"latest stats pruning did not engage: $latestCount vs $fullCount")
+    // AS-OF at the data tip: the ONLY partition-stats file postdates it
+    // (it was created by the 30942 compaction), so the as-of index load
+    // finds no slice and the read fails OPEN — full plan, exact rows
+    val t = HudiTable(spark, trips.get)
+    val dataTip = t.timeline.latestCommitTimestamp.get
+    val asOf = spark.read.format("hudi-graft")
+      .option("as.of.timestamp", dataTip).load(trips.get)
+      .filter(col("driver") <= "driver-O")
+    assert(slices(asOf.queryExecution.executedPlan.toString()) == fullCount)
+    val exp = full.filter(col("driver") <= "driver-O")
+      .select("uuid").collect().map(_.getString(0)).toSet
+    assert(latest.select("uuid").collect().map(_.getString(0)).toSet == exp)
+    assert(asOf.select("uuid").collect().map(_.getString(0)).toSet == exp)
+  }
+
   test("as-of stats gate: trusted when the MDT mirrors the instant, ignored when lagging") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     val conf = spark.sessionState.newHadoopConf()
