@@ -552,6 +552,38 @@ object HudiQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus = 'P' ORDER BY o_orderkey""".stripMargin),
 
+    // --- Inspection surface (the reference's get_file_slices /
+    // get_timeline, table/mod.rs:441/422) at oracle level: the planned
+    // slices and completed instants of the deterministic fixtures match
+    // closed-form literals — a planner regression (wrong slice set,
+    // missed commit, wrong base-file association) diverges loudly.
+    "hudi_file_slices" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        HudiTable(s, HudiFixtureBuilder.rangePath(d)).fileSlicesDf().orderBy("file_id")
+      }, {
+        val rows = (0 until 4).map { g =>
+          val fid = f"00000000-0000-0000-0000-${g}%012d-0"
+          s"('', '$fid', '20240101000000000', '${fid}_0-0-0_20240101000000000.parquet', 0)"
+        }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows)
+           |AS t(partition_path, file_id, commit_ts, base_file, num_logs)
+           |ORDER BY file_id""".stripMargin
+      }),
+
+    "hudi_timeline" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        HudiTable(s, HudiFixtureBuilder.morPath(d)).timelineDf.orderBy("commit_ts")
+      },
+      """SELECT * FROM (VALUES
+        |  ('20240101000000000', 'commit', ''),
+        |  ('20240102000000000', 'deltacommit', ''),
+        |  ('20240103000000000', 'deltacommit', ''))
+        |AS t(commit_ts, action, completion_ts)
+        |ORDER BY commit_ts""".stripMargin),
+
     "hudi_partition_pruned" -> QueryDef(
       (s, d) => {
         HudiFixtureBuilder.ensure(s, d)

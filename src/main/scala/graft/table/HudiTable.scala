@@ -269,6 +269,33 @@ final class HudiTable(
     readSlices(slices, InstantRange.upTo(end), commitRange = None)
   }
 
+  /** Inspection surface (the reference's public `get_file_slices`,
+    * table/mod.rs:441): the planned file slices as a DataFrame —
+    * partition, file group, slice commit, base-file presence/name and
+    * log count — for tooling and ops queries. Driver-side planning only;
+    * row count = slice count, never data-sized.
+    */
+  def fileSlicesDf(asOf: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val end = asOf.map(Timestamps.normalize(_, config.timelineTimezone))
+      .orElse(timeline.latestCommitTimestamp)
+    end.map(ts => fsView.slicesAsOf(ts))
+      .getOrElse(Vector.empty)
+      .map(sl => (sl.partitionPath, sl.fileId, sl.commitTimestamp,
+        sl.baseFile.map(_.fileName).getOrElse(""), sl.logFiles.size))
+      .toDF("partition_path", "file_id", "commit_ts", "base_file", "num_logs")
+  }
+
+  /** Inspection surface (the reference's `get_timeline`,
+    * table/mod.rs:422): completed instants as a DataFrame.
+    */
+  def timelineDf: DataFrame = {
+    import spark.implicits._
+    timeline.completedInstants
+      .map(i => (i.timestamp, i.action, i.completionTimestamp.getOrElse("")))
+      .toDF("commit_ts", "action", "completion_ts")
+  }
+
   /** C3: estimated (rows, bytes) for the latest snapshot — total planned
     * file size with rows extrapolated from one sampled footer
     * (table/mod.rs:902-952; snapshot only, like the reference).
