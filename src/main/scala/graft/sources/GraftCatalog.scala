@@ -26,7 +26,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * timezone). Writes are not supported — the engine is a reader, like
   * the reference (reader-spec.md:345).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Option[String] = None
@@ -91,4 +91,21 @@ class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("hudi-graft catalog is read-only")
+
+  // --- Stored procedures (SQL `CALL`) -----------------------------------
+  //
+  // The hudi-cli-style ops surface as Spark 4 catalog procedures:
+  //   CALL hudi_graft.show_commits(table => '/path');
+  //   CALL hudi_graft.show_file_slices(table => '/path');
+  //   CALL hudi_graft.show_indexes(table => '/path');
+  // Each reads driver-side planning metadata only (never data files) and
+  // returns it as rows — the SQL analog of the reference's public
+  // get_timeline / get_file_slices APIs (table/mod.rs:422/441).
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(namespace, n))
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    GraftProcedures.load(ident.name()).getOrElse(
+      throw new RuntimeException(s"Unknown procedure: ${ident.name()}"))
 }

@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.table.{HudiTable, SecondaryIndex}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalog stored procedures — the hudi-cli-style inspection surface as
+  * SQL `CALL`s on [[GraftCatalog]]. Every procedure takes one `table`
+  * path argument, runs DRIVER-SIDE planning only, and returns its result
+  * as a [[LocalScan]] (rows materialize on the driver; counts are
+  * slice/commit/index-sized, never data-sized — the right shape for ops
+  * tooling at any table size).
+  */
+object GraftProcedures {
+
+  val names: Array[String] = Array("show_commits", "show_file_slices", "show_indexes")
+
+  def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
+    case "show_commits" => Some(proc("show_commits",
+      "completed instants of a hudi table's timeline",
+      StructType(Seq(
+        StructField("commit_ts", StringType, nullable = false),
+        StructField("action", StringType, nullable = false),
+        StructField("completion_ts", StringType, nullable = false))),
+      t => t.timeline.completedInstants.map(i =>
+        row(i.timestamp, i.action, i.completionTimestamp.getOrElse("")))))
+    case "show_file_slices" => Some(proc("show_file_slices",
+      "planned file slices of the latest snapshot",
+      StructType(Seq(
+        StructField("partition_path", StringType, nullable = false),
+        StructField("file_id", StringType, nullable = false),
+        StructField("commit_ts", StringType, nullable = false),
+        StructField("base_file", StringType, nullable = false),
+        StructField("num_logs", IntegerType, nullable = false),
+        StructField("total_bytes", LongType, nullable = false))),
+      t => t.timeline.latestCommitTimestamp
+        .map(ts => t.fsView.slicesAsOf(ts)).getOrElse(Vector.empty)
+        .map(sl => row(sl.partitionPath, sl.fileId, sl.commitTimestamp,
+          sl.baseFile.map(_.fileName).getOrElse(""),
+          Int.box(sl.logFiles.size), Long.box(sl.totalSize)))))
+    case "show_indexes" => Some(proc("show_indexes",
+      "advertised metadata-table partitions and declared index definitions",
+      StructType(Seq(
+        StructField("index_name", StringType, nullable = false),
+        StructField("index_type", StringType, nullable = false),
+        StructField("source_fields", StringType, nullable = false),
+        StructField("advertised", BooleanType, nullable = false))),
+      t => {
+        val advertised = t.config.getOrElse("hoodie.table.metadata.partitions", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toVector
+        val defs = SecondaryIndex.indexDefs(t.basePath, t.hadoopConf)
+        val declared = defs.values.toVector.sortBy(_.indexName).map(d =>
+          row(d.indexName, d.indexType, d.sourceFields.mkString(","),
+            Boolean.box(advertised.contains(d.indexName))))
+        val undeclared = advertised.filterNot(defs.contains).sorted.map(p =>
+          row(p, "", "", Boolean.box(true)))
+        declared ++ undeclared
+      }))
+    case _ => None
+  }
+
+  private def row(vs: Any*): InternalRow =
+    InternalRow.fromSeq(vs.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    })
+
+  private def proc(
+      procName: String,
+      procDescription: String,
+      schema: StructType,
+      body: HudiTable => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = procDescription
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def isDeterministic: Boolean = false // reads live table state
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType)
+          .comment("hudi table base path").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val table = HudiTable(SparkSession.active, path)
+        val out = body(table).toArray
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = out
+          override def readSchema(): StructType = schema
+        }).iterator()
+      }
+    }
+}

@@ -65,4 +65,29 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE hudi_graft.`$cowPath`"))
     assert(readOnly.getMessage.contains("read-only"))
   }
+
+  test("CALL show_commits returns the timeline") {
+    val rows = spark.sql(s"CALL hudi_graft.show_commits(table => '$cowPath')").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq(HudiFixtureBuilder.T1, HudiFixtureBuilder.T2))
+    assert(rows.forall(_.getString(1) == "commit"))
+  }
+
+  test("CALL show_file_slices returns the planned snapshot slices") {
+    val df = spark.sql(s"CALL hudi_graft.show_file_slices(table => '$cowPath')")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(3).endsWith(".parquet") && r.getLong(5) > 0))
+    // COW: latest slices all carry base files, no logs
+    assert(rows.forall(_.getInt(4) == 0))
+  }
+
+  test("CALL show_indexes reports declared and advertised indexes") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val sidx = HudiFixtureBuilder.sidxPath(sfDir)
+    val rows = spark.sql(s"CALL hudi_graft.show_indexes(table => '$sidx')").collect()
+    val byName = rows.map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getBoolean(3))).toMap
+    assert(byName("secondary_index_status_idx") == (("secondary_index", "o_orderstatus", true)))
+    assert(byName("record_index")._3) // advertised, not declared in index.json
+  }
 }
