@@ -13,6 +13,21 @@ class SecondaryIndexSpec extends SparkTestBase {
   private lazy val trips =
     Fixtures.table("quickstart_trips_table/mor/avro/v8_trips_8i3u1d.zip", "v8_trips_8i3u1d")
 
+  test("escape/splitKey round-trips ARBITRARY strings (property fuzz)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // bias toward the metacharacters the codec must escape
+    val chunk = Gen.oneOf(Gen.oneOf("$", "\\", "$$", "\\\\", "\\$", "$\\"),
+      Gen.asciiPrintableStr, Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString))
+    val str = Gen.listOf(chunk).map(_.mkString)
+    val prop = Prop.forAll(str, str) { (v: String, k: String) =>
+      val key = s"${SecondaryIndex.escape(v)}$$${SecondaryIndex.escape(k)}"
+      SecondaryIndex.splitKey(key).contains((v, k))
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("escape/splitKey round-trips separator and backslash") {
     for ((v, k) <- Seq(("plain", "key-1"), ("with$dollar", "k$2"),
         ("back\\slash", "k\\3"), ("both\\$", "$\\"))) {
