@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftProcedures {
 
-  val names: Array[String] = Array("show_commits", "show_file_slices", "show_indexes")
+  val names: Array[String] =
+    Array("show_commits", "show_file_slices", "show_indexes", "show_column_stats")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "show_commits" => Some(proc("show_commits",
@@ -59,6 +60,27 @@ object GraftProcedures {
         val undeclared = advertised.filterNot(defs.contains).sorted.map(p =>
           row(p, "", "", Boolean.box(true)))
         declared ++ undeclared
+      }))
+    case "show_column_stats" => Some(proc("show_column_stats",
+      "per-(file, column) ranges from the MDT column_stats index",
+      StructType(Seq(
+        StructField("file_name", StringType, nullable = false),
+        StructField("column_name", StringType, nullable = false),
+        StructField("min_value", StringType, nullable = false),
+        StructField("max_value", StringType, nullable = false),
+        StructField("value_count", LongType, nullable = true),
+        StructField("null_count", LongType, nullable = true),
+        StructField("tight", BooleanType, nullable = false))),
+      t => {
+        if (!graft.table.ColumnStatsIndex.isAvailable(t.config)) Seq.empty
+        else graft.table.ColumnStatsIndex.load(t.basePath, t.hadoopConf).entries
+          .sortBy(e => (e.fileName, e.columnName))
+          .map(e => row(e.fileName, e.columnName,
+            e.min.map(String.valueOf).getOrElse(""),
+            e.max.map(String.valueOf).getOrElse(""),
+            e.valueCount.map(Long.box).orNull,
+            e.nullCount.map(Long.box).orNull,
+            Boolean.box(e.isTightBound)))
       }))
     case _ => None
   }

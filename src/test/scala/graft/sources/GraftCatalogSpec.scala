@@ -90,4 +90,16 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(byName("secondary_index_status_idx") == (("secondary_index", "o_orderstatus", true)))
     assert(byName("record_index")._3) // advertised, not declared in index.json
   }
+
+  test("CALL show_column_stats reads the column_stats index") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val rp = HudiFixtureBuilder.rangePath(sfDir)
+    val rows = spark.sql(s"CALL hudi_graft.show_column_stats(table => '$rp')").collect()
+    assert(rows.length == 4) // one o_orderkey range per file group
+    assert(rows.forall(r => r.getString(1) == "o_orderkey" &&
+      r.getString(2).toLong <= r.getString(3).toLong && r.getBoolean(6)))
+    // a table without the index returns an empty result, not an error
+    val cow = HudiFixtureBuilder.cowPath(sfDir)
+    assert(spark.sql(s"CALL hudi_graft.show_column_stats(table => '$cow')").count() == 0)
+  }
 }
