@@ -572,6 +572,27 @@ object HudiQueries {
            |ORDER BY file_id""".stripMargin
       }),
 
+    // SAME inventory through the SQL `CALL` surface — driver-graded
+    // evidence that the procedure catalog resolves, binds by name, and
+    // returns planning metadata as rows.
+    "hudi_proc_file_slices" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.conf.set("spark.sql.catalog.hudi_graft", classOf[graft.sources.GraftCatalog].getName)
+        s.sql(s"CALL hudi_graft.show_file_slices(table => '${HudiFixtureBuilder.rangePath(d)}')")
+          .select("partition_path", "file_id", "commit_ts", "base_file", "num_logs")
+          .orderBy("file_id")
+      }, {
+        val rows = (0 until 4).map { g =>
+          val fid = f"00000000-0000-0000-0000-${g}%012d-0"
+          s"('', '$fid', '20240101000000000', '${fid}_0-0-0_20240101000000000.parquet', 0)"
+        }.mkString(",\n  ")
+        s"""SELECT * FROM (VALUES
+           |  $rows)
+           |AS t(partition_path, file_id, commit_ts, base_file, num_logs)
+           |ORDER BY file_id""".stripMargin
+      }),
+
     "hudi_timeline" -> QueryDef(
       (s, d) => {
         HudiFixtureBuilder.ensure(s, d)

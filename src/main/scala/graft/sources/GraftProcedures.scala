@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val names: Array[String] =
-    Array("show_commits", "show_file_slices", "show_indexes", "show_column_stats")
+    Array("show_commits", "show_file_slices", "show_indexes", "show_column_stats",
+      "show_partition_stats")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "show_commits" => Some(proc("show_commits",
@@ -82,6 +83,18 @@ object GraftProcedures {
             e.nullCount.map(Long.box).orNull,
             Boolean.box(e.isTightBound)))
       }))
+    case "show_partition_stats" => Some(proc("show_partition_stats",
+      "per-(partition, column) ranges from the MDT partition_stats index",
+      StructType(Seq(
+        StructField("partition_path", StringType, nullable = false),
+        StructField("column_name", StringType, nullable = false),
+        StructField("min_value", StringType, nullable = false),
+        StructField("max_value", StringType, nullable = false))),
+      t => t.partitionStatsForPruning.toVector
+        .flatMap { case (p, cols) => cols.toVector.map { case (c, (mn, mx)) =>
+          (p, c, String.valueOf(mn), String.valueOf(mx)) } }
+        .sortBy(r => (r._1, r._2))
+        .map(r => row(r._1, r._2, r._3, r._4))))
     case _ => None
   }
 

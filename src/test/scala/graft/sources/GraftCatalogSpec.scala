@@ -102,4 +102,13 @@ class GraftCatalogSpec extends SparkTestBase {
     val cow = HudiFixtureBuilder.cowPath(sfDir)
     assert(spark.sql(s"CALL hudi_graft.show_column_stats(table => '$cow')").count() == 0)
   }
+
+  test("CALL show_partition_stats reads the partition_stats index") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val pp = HudiFixtureBuilder.pstatsPath(sfDir)
+    val rows = spark.sql(s"CALL hudi_graft.show_partition_stats(table => '$pp')").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getString(0)).toSet == (0 until 4).map(g => s"g=$g").toSet)
+    assert(rows.forall(r => r.getString(1) == "o_orderkey"))
+  }
 }
