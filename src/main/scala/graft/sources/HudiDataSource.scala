@@ -270,9 +270,19 @@ class GraftScan(
     */
   private lazy val slices: Vector[FileSlice] = {
     if (isIncremental) {
-      endTs.orElse(hudi.timeline.latestCommitTimestamp)
+      val planned = endTs.orElse(hudi.timeline.latestCommitTimestamp)
         .map(e => hudi.fsView.slicesBetween(startTs, e, pruner))
         .getOrElse(Vector.empty)
+      // R2 applies to incremental plans too: footer/index stats describe
+      // IMMUTABLE files, so a data-column predicate that disproves a
+      // base file skips it at any commit range (the reference prunes
+      // only snapshots, read_options.rs:75-80 — this is strictly more).
+      // Same base-only safety gate as the snapshot branch.
+      if (planned.forall(s => !s.hasLogFiles && s.baseFile.isDefined) && simpleFilters.nonEmpty) {
+        val filePruner = new graft.fs.FilePruner(simpleFilters, hudi.tableSchema,
+          hudi.hadoopConf, hudi.columnStatsForPruning)
+        filePruner.filterIncluded(planned)(_.baseFile.get).toVector
+      } else planned
     } else asOf.orElse(hudi.timeline.latestCommitTimestamp) match {
       case None => Vector.empty
       case Some(ts) =>

@@ -340,4 +340,21 @@ class DataSourceV2Spec extends SparkTestBase {
     val api = HudiTable(spark, morV8.get).snapshot(readOptimized = true).count()
     assert(df.count() == api)
   }
+
+  test("incremental reads apply file-level stats pruning (base-only gate)") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val range = graft.fixtures.HudiFixtureBuilder.rangePath(sfDir)
+    val ordersDf = spark.read.parquet(s"$sfDir/orders.parquet")
+    val q1 = ordersDf.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("o_orderkey"))).head.getLong(0) / 4
+    val inc = spark.read.format("hudi-graft")
+      .option("query.type", "incremental")
+      .load(range)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") <= q1)
+    // the quartile split leaves one matching file group of four
+    assert(inc.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"incremental stats pruning did not engage: ${inc.queryExecution.executedPlan}")
+    val exp = ordersDf.filter(org.apache.spark.sql.functions.col("o_orderkey") <= q1).count()
+    assert(inc.count() == exp)
+  }
 }
