@@ -696,6 +696,10 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
     if (e <= s) return Array.empty
     val t = freshTable
     val startOpt = if (s == earliest) None else Some(s)
+    // NOTE: no filter-based pruning here — Spark's V2ScanRelationPushDown
+    // only applies to batch relations, so a streaming scan never receives
+    // pushed filters (verified empirically); Catalyst filters rows above
+    // the source instead
     val slices = t.fsView.slicesBetween(startOpt, e)
     lastBatchSlices = slices.size
     slices
