@@ -237,8 +237,40 @@ object TemporalOps {
       |FROM full0
       |ORDER BY user_id, d""".stripMargin
 
+  /** Ordered funnel analysis view → click → purchase: a user reaches
+    * stage N only via a strictly-later event than their stage-(N-1)
+    * entry (the product-analytics primitive; same semantics as a
+    * sequential MATCH_RECOGNIZE without needing one). Pure ANSI SQL run
+    * VERBATIM in both engines. Scale shape: every join and aggregate is
+    * keyed on user_id — one key-partitioned shuffle reused down the
+    * chain, stage relations shrink monotonically, no windows.
+    */
+  private val funnelSql: String =
+    """WITH a AS (
+      |  SELECT user_id, MIN(ts) AS ta FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |b AS (
+      |  SELECT e.user_id, MIN(e.ts) AS tb FROM events e
+      |  JOIN a ON a.user_id = e.user_id AND e.ts > a.ta
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+      |  JOIN b ON b.user_id = e.user_id AND e.ts > b.tb
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT stage, users FROM (
+      |  SELECT 'S1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM a
+      |  UNION ALL SELECT 'S2_click', CAST(COUNT(*) AS BIGINT) FROM b
+      |  UNION ALL SELECT 'S3_purchase', CAST(COUNT(*) AS BIGINT) FROM c) f
+      |ORDER BY stage""".stripMargin
+
+  private def funnelImpl(s: SparkSession, d: String): DataFrame = {
+    Tables.ensureView(s, d, "events")(Tables.events(s, d))
+    s.sql(funnelSql)
+  }
+
   def queries: Map[String, QueryDef] = Map(
     "q_sessionize" -> QueryDef(sessionizeImpl _, sessionizeOracle),
+    "events_funnel" -> QueryDef(funnelImpl _, funnelSql),
     "q_asof_join" -> QueryDef(asofImpl _, asofOracle),
     "q_scd2_intervals" -> QueryDef(scd2Impl _, scd2Oracle),
     "events_resample" -> QueryDef(resampleImpl _, resampleOracle)
