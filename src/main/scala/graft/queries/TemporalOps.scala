@@ -268,9 +268,43 @@ object TemporalOps {
     s.sql(funnelSql)
   }
 
+  /** Cohort retention: users cohorted by their signup day, counted as
+    * retained on each day-offset 0..7 they were active again. Pure ANSI
+    * SQL, verbatim in both engines; integer day arithmetic only. Scale
+    * shape: cohorts and the distinct (user, day) activity relation are
+    * both user-keyed aggregates; the retention join is keyed on user_id
+    * and the final rollup is (cohort_day, offset)-sized — dashboard-
+    * sized output regardless of corpus size.
+    */
+  private def retentionSql(dayExpr: String): String =
+    s"""WITH cohort AS (
+       |  SELECT user_id, MIN($dayExpr) AS c
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       |activity AS (
+       |  SELECT DISTINCT user_id, $dayExpr AS d
+       |  FROM events),
+       |ret AS (
+       |  SELECT co.c AS cohort_day, a.d - co.c AS offset_days,
+       |    COUNT(DISTINCT co.user_id) AS users
+       |  FROM cohort co JOIN activity a ON a.user_id = co.user_id
+       |  WHERE a.d - co.c BETWEEN 0 AND 7
+       |  GROUP BY co.c, a.d - co.c)
+       |SELECT cohort_day, offset_days, CAST(users AS BIGINT) AS users
+       |FROM ret ORDER BY cohort_day, offset_days""".stripMargin
+
+  // epoch-day spellings (the events_resample convention)
+  private val sparkDay = "unix_micros(ts) DIV 86400000000"
+  private val duckDay = "CAST(date_part('epoch', ts) AS BIGINT) // 86400"
+
+  private def retentionImpl(s: SparkSession, d: String): DataFrame = {
+    Tables.ensureView(s, d, "events")(Tables.events(s, d))
+    s.sql(retentionSql(sparkDay))
+  }
+
   def queries: Map[String, QueryDef] = Map(
     "q_sessionize" -> QueryDef(sessionizeImpl _, sessionizeOracle),
     "events_funnel" -> QueryDef(funnelImpl _, funnelSql),
+    "events_retention" -> QueryDef(retentionImpl _, retentionSql(duckDay)),
     "q_asof_join" -> QueryDef(asofImpl _, asofOracle),
     "q_scd2_intervals" -> QueryDef(scd2Impl _, scd2Oracle),
     "events_resample" -> QueryDef(resampleImpl _, resampleOracle)
