@@ -172,22 +172,32 @@ final case class LogBlock(
 object LogFileParser {
 
   def parse(bytes: Array[Byte], range: InstantRange): Vector[LogBlock] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val blocks = Vector.newBuilder[LogBlock]
-    var pos = 0L
-    var eof = false
-    while (!eof) {
-      val magic = new Array[Byte](6)
-      val read = in.read(magic)
-      // partial-magic read = clean EOF, truncation after a complete magic
-      // = error: the same contract as the reference (reader.rs:90 maps
-      // UnexpectedEof to Ok(false) ONLY for the magic read; later reads
-      // propagate the error)
-      if (read < 6) eof = true
-      else {
-        if (!java.util.Arrays.equals(magic, LogFormat.Magic))
-          throw new IllegalStateException(s"Invalid log block magic at offset $pos")
-        val blockLength = in.readLong()
+    var pos = 0
+    while (pos + 6 <= bytes.length) {
+      // partial magic at EOF = clean end; a full-width mismatch is a
+      // structural error (the same contract as the reference,
+      // reader.rs:85 — its corrupt-block creation is a TODO)
+      if (!magicAt(bytes, pos))
+        throw new IllegalStateException(s"Invalid log block magic at offset $pos")
+      val blockLength = beLong(bytes, pos + 6)
+      val expectedEnd = pos + 6 + 8 + blockLength
+      // Hudi's corrupt-block detection (HoodieLogFileReader
+      // isBlockCorrupted, beyond the reference's TODO): the declared
+      // length must land exactly on EOF or on the next block's magic.
+      // A partially-written block (writer crash before rollback) or a
+      // garbage length otherwise poisons every later offset — instead,
+      // SKIP to the next magic and keep reading; the lost block's
+      // commit was never completed, so dropping it is the correct
+      // visibility outcome, not data loss.
+      val valid = blockLength > 0 && expectedEnd <= bytes.length &&
+        (expectedEnd == bytes.length || magicAt(bytes, expectedEnd.toInt))
+      if (!valid) {
+        val next = nextMagic(bytes, pos + 6)
+        pos = if (next < 0) bytes.length else next
+      } else {
+        val in = new DataInputStream(new ByteArrayInputStream(
+          bytes, pos + 14, blockLength.toInt))
         val formatVersion = in.readInt()
         if (formatVersion != 1)
           throw new IllegalStateException(s"Unsupported log format version $formatVersion")
@@ -196,10 +206,6 @@ object LogFileParser {
         val contentLength = in.readLong()
         val inRange = header.get(LogFormat.KeyInstantTime).forall(range.contains)
         if (!inRange || blockType == LogFormat.CorruptedBlock) {
-          // fast-skip content + footer + trailing length
-          skipFully(in, contentLength)
-          readMetadata(in)
-          in.readLong()
           // rollback/command blocks are never skipped by range in the
           // reference scanner either — they carry no instant-scoped data
           if (!inRange && blockType == LogFormat.CommandBlock)
@@ -207,24 +213,35 @@ object LogFileParser {
         } else {
           val content = new Array[Byte](contentLength.toInt)
           in.readFully(content)
-          readMetadata(in) // footer (unused)
-          in.readLong() // total block length
           blocks += decode(blockType, header, content)
         }
-        pos += 6 + 8 + blockLength
+        pos = expectedEnd.toInt
       }
     }
     blocks.result()
   }
 
-  private def skipFully(in: DataInputStream, n: Long): Unit = {
-    var left = n
-    while (left > 0) {
-      val s = in.skip(left)
-      if (s <= 0) throw new EOFException("Unexpected EOF while skipping log block content")
-      left -= s
+  private def magicAt(bytes: Array[Byte], at: Int): Boolean =
+    at + 6 <= bytes.length &&
+      java.util.Arrays.equals(bytes, at, at + 6, LogFormat.Magic, 0, 6)
+
+  /** First magic position at or after `from`; -1 if none. */
+  private def nextMagic(bytes: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 6 <= bytes.length) {
+      if (bytes(i) == LogFormat.Magic(0) && magicAt(bytes, i)) return i
+      i += 1
     }
+    -1
   }
+
+  private def beLong(bytes: Array[Byte], at: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(at + i) & 0xffL); i += 1 }
+    v
+  }
+
 
   private def readMetadata(in: DataInputStream): Map[Int, String] = {
     val n = in.readInt()

@@ -120,4 +120,46 @@ class LogFormatSpec extends AnyFunSuite {
     val rows = RowAlign.blockRows(blocks.head, target).toVector
     assert(rows.map(r => (r.getInt(0), r.getString(1))) == Vector((7, "before"), (8, "after")))
   }
+
+  test("corrupt blocks are skipped to the next magic (Hudi recovery semantics)") {
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":["null","long"],"default":null}]}""".stripMargin)
+    def rec(id: Long) = {
+      val r = new org.apache.avro.generic.GenericData.Record(schema)
+      r.put("id", id); r
+    }
+    def block(ts: String, id: Long): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      LogFileWriter.avroDataBlock(out, ts, schema, Seq(rec(id)))
+      bos.toByteArray
+    }
+    val b1 = block("001", 1L)
+    val b2 = block("002", 2L)
+
+    // (a) final block truncated mid-content (writer crash): earlier
+    // blocks survive, the partial tail is dropped
+    val truncated = b1 ++ b2.take(b2.length - 7)
+    val pa = LogFileParser.parse(truncated, InstantRange.all)
+    assert(pa.map(_.instantTime) == Vector("001"))
+
+    // (b) garbage declared length in block 1: skip to block 2's magic
+    val garbage = b1.clone()
+    garbage(6) = 0x7f.toByte // blow up the 8-byte BE length
+    val pb = LogFileParser.parse(garbage ++ b2, InstantRange.all)
+    assert(pb.map(_.instantTime) == Vector("002"))
+
+    // (c) corrupt region with NO later magic: everything after drops
+    val pc = LogFileParser.parse(garbage, InstantRange.all)
+    assert(pc.isEmpty)
+
+    // (d) a mangled magic is still a structural error, not a skip
+    val badMagic = b1.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalStateException] { LogFileParser.parse(badMagic, InstantRange.all) }
+
+    // (e) intact files parse exactly as before
+    assert(LogFileParser.parse(b1 ++ b2, InstantRange.all).map(_.instantTime)
+      == Vector("001", "002"))
+  }
 }
