@@ -111,4 +111,12 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(rows.map(_.getString(0)).toSet == (0 until 4).map(g => s"g=$g").toSet)
     assert(rows.forall(r => r.getString(1) == "o_orderkey"))
   }
+
+  test("SHOW PROCEDURES lists the catalog's procedures") {
+    val names = spark.sql("SHOW PROCEDURES IN hudi_graft").collect()
+      .map(_.toString).mkString(",")
+    for (p <- Seq("show_commits", "show_file_slices", "show_indexes",
+        "show_column_stats", "show_partition_stats"))
+      assert(names.contains(p), s"$p missing from $names")
+  }
 }
