@@ -206,6 +206,17 @@ object FileStatsEstimator {
       } finally reader.close()
     } catch { case _: Exception => None }
 
+  /** EXACT row count from one parquet footer (the COUNT(*) pushdown's
+    * unit of work — one small ranged read per file, issued in parallel
+    * by the caller). Throws on unreadable footers: an exact count must
+    * never silently fall back to an estimate.
+    */
+  def exactRowCount(path: String, conf: Configuration): Long = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
   /** Estimated (rows, bytes) for a planned slice set — the single source
     * for `HudiTable.tableStats` (C3) and DSv2 `estimateStatistics` (C2).
     * Bytes = base + log sizes (what the scan reads); rows extrapolate the

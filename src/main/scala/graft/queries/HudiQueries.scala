@@ -572,6 +572,18 @@ object HudiQueries {
            |ORDER BY file_id""".stripMargin
       }),
 
+    // Metadata-only COUNT(*): the aggregate pushes down to parquet
+    // footer row counts over the planned base-only slices — zero data
+    // read (DataSourceV2Spec asserts the LocalTableScan plan shape; this
+    // entry hash-checks the value).
+    "hudi_count_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.rangePath(d))
+          .agg(count(col("*")).as("n"))
+      },
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders"),
+
     // SAME inventory through the SQL `CALL` surface — driver-graded
     // evidence that the procedure catalog resolves, binds by name, and
     // returns planning metadata as rows.

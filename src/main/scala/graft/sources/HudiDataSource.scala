@@ -6,7 +6,7 @@ import graft.core.{MetaField, Timestamps}
 import graft.util.SerializableConf
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{aggregate, Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -97,11 +97,37 @@ class GraftTable(
   */
 class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var countStarPushed = false
+
+  /** Metadata-only `COUNT(*)`: when the plan is provably base-file-only
+    * (COW, or MOR in read-optimized mode — log files change row counts)
+    * with NO filters and no limit, the count is the sum of parquet
+    * footer row counts over the planned slices — zero data read, the
+    * ops query every table gets hit with at 100 TB. Snapshot and
+    * time-travel only (incremental applies a commit-range row filter
+    * footers can't see). Complete pushdown: Spark consumes the single
+    * driver-side row as the final answer.
+    */
+  private def canPushCountStar(agg: aggregate.Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[aggregate.CountStar] &&
+      pushed.isEmpty && limit.isEmpty &&
+      !Option(options.get("query.type")).exists(_.equalsIgnoreCase("incremental")) &&
+      (!hudi.isMor || options.getBoolean("read.optimized", false))
+
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    canPushCountStar(agg)
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    if (canPushCountStar(agg)) { countStarPushed = true; true } else false
+  }
 
   /** Partition fields whose equality filters pruning handles EXACTLY:
     * requires no timestamp-keygen rewrite and that every partition path
@@ -172,6 +198,7 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def build(): Scan = {
+    if (countStarPushed) return new GraftCountStarScan(hudi, options)
     val partFields = hudi.config.partitionFields.toSet
     val simple = pushed.flatMap(toSimpleFilter).toSeq
     val partitionFilters = simple.filter(f => partFields.contains(f.field))
@@ -191,6 +218,38 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       case _ => None
     }
   }
+}
+
+/** The pushed-COUNT(*) scan: sums parquet footer row counts over the
+  * planned base-only slices at planning time and hands Spark ONE local
+  * row — no tasks, no data read. Only built when
+  * [[GraftScanBuilder.pushAggregation]] accepted the aggregate (gates
+  * documented there).
+  */
+class GraftCountStarScan(hudi: HudiTable, options: CaseInsensitiveStringMap)
+    extends LocalScan {
+
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "count_star", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val asOf = Option(options.get("as.of.timestamp"))
+      .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
+    val readOptimized = options.getBoolean("read.optimized", false)
+    val slices = asOf.orElse(hudi.timeline.latestCommitTimestamp)
+      .map(ts => hudi.fsView.slicesAsOf(ts)).getOrElse(Vector.empty)
+      .map(sl => if (readOptimized) sl.withoutLogs else sl)
+    // the builder's gate promised base-only; a log file appearing anyway
+    // (e.g. an unexpected layout) must fail loudly, never undercount
+    require(slices.forall(!_.hasLogFiles),
+      "COUNT(*) pushdown planned a slice with log files — gate violated")
+    val total = graft.util.Parallel.map(slices.flatMap(_.baseFile), 16)(bf =>
+      graft.fs.FileStatsEstimator.exactRowCount(bf.path, hudi.hadoopConf)).sum
+    Array(org.apache.spark.sql.catalyst.InternalRow(total))
+  }
+
+  override def description(): String = "hudi-graft count-star (footer metadata only)"
 }
 
 object GraftScan {

@@ -357,4 +357,35 @@ class DataSourceV2Spec extends SparkTestBase {
     val exp = ordersDf.filter(org.apache.spark.sql.functions.col("o_orderkey") <= q1).count()
     assert(inc.count() == exp)
   }
+
+  test("COUNT(*) pushes down to footer metadata, never reading data") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, count}
+    val range = graft.fixtures.HudiFixtureBuilder.rangePath(sfDir)
+    val cnt = spark.read.format("hudi-graft").load(range).agg(count(col("*")).as("n"))
+    val plan = cnt.queryExecution.executedPlan.toString()
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"count(*) was not served from metadata: $plan")
+    val exp = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(cnt.head.getLong(0) == exp)
+    // MOR snapshot must NOT push (logs change counts) ...
+    val mor = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
+    val morCnt = spark.read.format("hudi-graft").load(mor).agg(count(col("*")).as("n"))
+    assert(morCnt.queryExecution.executedPlan.toString().contains("hudi-graft"))
+    // ... but read-optimized MOR is base-only and may
+    val ro = spark.read.format("hudi-graft").option("read.optimized", "true")
+      .load(mor).agg(count(col("*")).as("n"))
+    assert(ro.queryExecution.executedPlan.toString().contains("LocalTableScan"))
+    val roExp = spark.read.format("hudi-graft").option("read.optimized", "true")
+      .load(mor).count()
+    assert(ro.head.getLong(0) ==
+      graft.table.HudiTable(spark, mor).snapshot(readOptimized = true).count())
+    // filters disable the pushdown and stay correct
+    val filtered = spark.read.format("hudi-graft").load(range)
+      .filter(col("o_orderstatus") === "P").agg(count(col("*")).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString().contains("LocalTableScan"))
+    assert(filtered.head.getLong(0) ==
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderstatus") === "P").count())
+  }
 }
