@@ -584,6 +584,16 @@ object HudiQueries {
       },
       "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders"),
 
+    "hudi_minmax_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.rangePath(d))
+          .agg(count(col("*")).as("n"), min(col("o_orderkey")).as("mn"),
+            max(col("o_orderkey")).as("mx"), max(col("o_totalprice")).as("mxp"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(o_orderkey) AS mn,
+        |  MAX(o_orderkey) AS mx, MAX(o_totalprice) AS mxp FROM orders""".stripMargin),
+
     // SAME inventory through the SQL `CALL` surface — driver-graded
     // evidence that the procedure catalog resolves, binds by name, and
     // returns planning metadata as rows.

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{aggregate, Expressions, Named
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util
@@ -103,30 +103,54 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
-  private var countStarPushed = false
+  private var footerAggScan: Option[GraftFooterAggScan] = None
 
-  /** Metadata-only `COUNT(*)`: when the plan is provably base-file-only
-    * (COW, or MOR in read-optimized mode — log files change row counts)
-    * with NO filters and no limit, the count is the sum of parquet
-    * footer row counts over the planned slices — zero data read, the
-    * ops query every table gets hit with at 100 TB. Snapshot and
-    * time-travel only (incremental applies a commit-range row filter
-    * footers can't see). Complete pushdown: Spark consumes the single
-    * driver-side row as the final answer.
+  /** Metadata-only `COUNT(*)` / `MIN(col)` / `MAX(col)`: when the plan is
+    * provably base-file-only (COW, or MOR in read-optimized mode — log
+    * files change the answers) with NO filters, grouping, or limit, the
+    * aggregates are served entirely from parquet footer metadata — zero
+    * data read, the ops queries every table gets hit with at 100 TB.
+    * Snapshot and time-travel only (incremental applies a commit-range
+    * row filter footers can't see). MIN/MAX are numeric-only (string
+    * chunk statistics can be writer-truncated) and require usable stats
+    * in EVERY planned file (an all-null file contributes nothing and is
+    * fine; a stats-less one rejects the pushdown). Complete pushdown:
+    * Spark consumes the single driver-side row as the final answer. The
+    * planning cost is one footer read per file — the same footers R2
+    * pruning reads — issued in parallel at pushdown time.
     */
-  private def canPushCountStar(agg: aggregate.Aggregation): Boolean =
-    agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[aggregate.CountStar] &&
-      pushed.isEmpty && limit.isEmpty &&
-      !Option(options.get("query.type")).exists(_.equalsIgnoreCase("incremental")) &&
-      (!hudi.isMor || options.getBoolean("read.optimized", false))
+  private def tryFooterAgg(agg: aggregate.Aggregation): Option[GraftFooterAggScan] = {
+    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty || limit.nonEmpty ||
+        Option(options.get("query.type")).exists(_.equalsIgnoreCase("incremental")) ||
+        (hudi.isMor && !options.getBoolean("read.optimized", false))) return None
+    val numeric: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          hudi.tableSchema.fields.find(_.name == nr.fieldNames()(0))
+            .filter(f => numeric.contains(f.dataType))
+        case _ => None
+      }
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: aggregate.CountStar => Some(GraftFooterAggScan.CountStarSpec)
+      case m: aggregate.Min => fieldOf(m.column()).map(GraftFooterAggScan.MinSpec)
+      case m: aggregate.Max => fieldOf(m.column()).map(GraftFooterAggScan.MaxSpec)
+      case _ => None
+    }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) None
+    else GraftFooterAggScan.tryPlan(hudi, options, specs.flatten)
+  }
 
-  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
-    canPushCountStar(agg)
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean = {
+    footerAggScan = tryFooterAgg(agg)
+    footerAggScan.isDefined
+  }
 
   override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
-    if (canPushCountStar(agg)) { countStarPushed = true; true } else false
+    if (footerAggScan.isEmpty) footerAggScan = tryFooterAgg(agg)
+    footerAggScan.isDefined
   }
 
   /** Partition fields whose equality filters pruning handles EXACTLY:
@@ -198,7 +222,7 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def build(): Scan = {
-    if (countStarPushed) return new GraftCountStarScan(hudi, options)
+    footerAggScan.foreach(s => return s)
     val partFields = hudi.config.partitionFields.toSet
     val simple = pushed.flatMap(toSimpleFilter).toSeq
     val partitionFilters = simple.filter(f => partFields.contains(f.field))
@@ -220,36 +244,129 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
   }
 }
 
-/** The pushed-COUNT(*) scan: sums parquet footer row counts over the
-  * planned base-only slices at planning time and hands Spark ONE local
-  * row — no tasks, no data read. Only built when
-  * [[GraftScanBuilder.pushAggregation]] accepted the aggregate (gates
-  * documented there).
+/** The pushed footer-aggregate scan: one precomputed local row built
+  * from parquet footer metadata over the planned base-only slices — no
+  * tasks, no data read. Only built when [[GraftScanBuilder]] accepted
+  * the aggregation (gates documented there).
   */
-class GraftCountStarScan(hudi: HudiTable, options: CaseInsensitiveStringMap)
-    extends LocalScan {
+class GraftFooterAggScan(
+    schema: StructType,
+    row: org.apache.spark.sql.catalyst.InternalRow
+) extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def description(): String = "hudi-graft footer-aggregate (metadata only)"
+}
 
-  override def readSchema(): StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField(
-      "count_star", org.apache.spark.sql.types.LongType, nullable = false)))
+object GraftFooterAggScan {
+  sealed trait AggSpec
+  case object CountStarSpec extends AggSpec
+  final case class MinSpec(field: StructField) extends AggSpec
+  final case class MaxSpec(field: StructField) extends AggSpec
 
-  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
-    val asOf = Option(options.get("as.of.timestamp"))
-      .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
-    val readOptimized = options.getBoolean("read.optimized", false)
-    val slices = asOf.orElse(hudi.timeline.latestCommitTimestamp)
-      .map(ts => hudi.fsView.slicesAsOf(ts)).getOrElse(Vector.empty)
-      .map(sl => if (readOptimized) sl.withoutLogs else sl)
-    // the builder's gate promised base-only; a log file appearing anyway
-    // (e.g. an unexpected layout) must fail loudly, never undercount
-    require(slices.forall(!_.hasLogFiles),
-      "COUNT(*) pushdown planned a slice with log files — gate violated")
-    val total = graft.util.Parallel.map(slices.flatMap(_.baseFile), 16)(bf =>
-      graft.fs.FileStatsEstimator.exactRowCount(bf.path, hudi.hadoopConf)).sum
-    Array(org.apache.spark.sql.catalyst.InternalRow(total))
+  /** Per-file footer facts for one planned base file. */
+  private final case class FileFacts(
+      rowCount: Long,
+      // column -> (min, max) when usable; absent when the chunk carries
+      // no usable stats; columns that are ALL-NULL in the file map to
+      // None-but-benign via allNull
+      stats: Map[String, (Any, Any)],
+      allNull: Set[String])
+
+  /** Plan + read footers + fold the aggregates; None (fall back to a
+    * normal scan) on any gap: log-carrying slice, missing stats for a
+    * needed column, or any read error.
+    */
+  def tryPlan(
+      hudi: HudiTable,
+      options: CaseInsensitiveStringMap,
+      specs: Seq[AggSpec]): Option[GraftFooterAggScan] =
+    try {
+      val asOf = Option(options.get("as.of.timestamp"))
+        .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
+      val readOptimized = options.getBoolean("read.optimized", false)
+      val slices = asOf.orElse(hudi.timeline.latestCommitTimestamp)
+        .map(ts => hudi.fsView.slicesAsOf(ts)).getOrElse(Vector.empty)
+        .map(sl => if (readOptimized) sl.withoutLogs else sl)
+      if (slices.exists(_.hasLogFiles)) return None
+      val needed = specs.collect {
+        case MinSpec(f) => f.name
+        case MaxSpec(f) => f.name
+      }.toSet
+      val facts = graft.util.Parallel.map(slices.flatMap(_.baseFile), 16) { bf =>
+        readFacts(bf.path, hudi.hadoopConf, needed)
+      }
+      // MIN/MAX soundness: every file must either carry usable stats for
+      // the column or be provably all-null in it
+      for (c <- needed)
+        if (facts.exists(f => !f.stats.contains(c) && !f.allNull.contains(c))) return None
+      val values: Seq[Any] = specs.map {
+        case CountStarSpec => facts.map(_.rowCount).sum
+        case MinSpec(f) => fold(facts, f.name, min = true)
+        case MaxSpec(f) => fold(facts, f.name, min = false)
+      }
+      val schema = StructType(specs.zipWithIndex.map {
+        case (CountStarSpec, i) =>
+          StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
+        case (MinSpec(f), i) => StructField(s"agg_$i", f.dataType, nullable = true)
+        case (MaxSpec(f), i) => StructField(s"agg_$i", f.dataType, nullable = true)
+      })
+      Some(new GraftFooterAggScan(schema,
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def fold(facts: Seq[FileFacts], col: String, min: Boolean): Any = {
+    val vs = facts.flatMap(_.stats.get(col).map(s => if (min) s._1 else s._2))
+    if (vs.isEmpty) null // every file all-null -> SQL MIN/MAX = NULL
+    else vs.reduce { (a, b) =>
+      val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+      if ((min && c <= 0) || (!min && c >= 0)) a else b
+    }
   }
 
-  override def description(): String = "hudi-graft count-star (footer metadata only)"
+  private def readFacts(
+      path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      needed: Set[String]): FileFacts = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rowCount = blocks.map(_.getRowCount).sum
+      val acc = scala.collection.mutable.Map.empty[String, (Any, Any)]
+      val sawValue = scala.collection.mutable.Set.empty[String]
+      val sawUnusable = scala.collection.mutable.Set.empty[String]
+      for (block <- blocks; colMeta <- block.getColumns.asScala) {
+        val name = colMeta.getPath.toDotString
+        if (needed.contains(name)) {
+          val st = colMeta.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            sawValue += name
+            (st.genericGetMin(), st.genericGetMax()) match {
+              case (mn: Comparable[_], mx: Comparable[_]) =>
+                val m0 = acc.get(name)
+                val mnA = mn.asInstanceOf[Comparable[Any]]
+                val mxA = mx.asInstanceOf[Comparable[Any]]
+                acc(name) = m0 match {
+                  case Some((pm, px)) =>
+                    (if (mnA.compareTo(pm) < 0) mnA else pm,
+                      if (mxA.compareTo(px) > 0) mxA else px)
+                  case None => (mnA, mxA)
+                }
+              case _ => sawUnusable += name
+            }
+          } else if (st == null || !st.isNumNullsSet || st.getNumNulls != block.getRowCount) {
+            // can't prove the chunk is all-null -> stats unusable
+            sawUnusable += name
+          }
+        }
+      }
+      val usable = acc.view.filterKeys(k => !sawUnusable.contains(k)).toMap
+      val allNull = needed.filterNot(c => sawValue.contains(c) || sawUnusable.contains(c))
+      FileFacts(rowCount, usable, allNull)
+    } finally reader.close()
+  }
 }
 
 object GraftScan {

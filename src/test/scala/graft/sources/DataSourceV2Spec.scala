@@ -388,4 +388,29 @@ class DataSourceV2Spec extends SparkTestBase {
       spark.read.parquet(s"$sfDir/orders.parquet")
         .filter(col("o_orderstatus") === "P").count())
   }
+
+  test("MIN/MAX push down to footer metadata alongside COUNT(*)") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    val range = graft.fixtures.HudiFixtureBuilder.rangePath(sfDir)
+    val agg = spark.read.format("hudi-graft").load(range)
+      .agg(count(col("*")).as("n"), min(col("o_orderkey")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString()
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"min/max not served from metadata: $plan")
+    val exp = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(count(col("*")), min(col("o_orderkey")), max(col("o_totalprice"))).head
+    val got = agg.head
+    assert(got.getLong(0) == exp.getLong(0))
+    assert(got.getLong(1) == exp.getLong(1))
+    assert(got.getDouble(2) == exp.getDouble(2))
+    // string MIN/MAX must NOT push (truncation risk) — plan scans
+    val s2 = spark.read.format("hudi-graft").load(range)
+      .agg(min(col("o_orderstatus")).as("mn"))
+    assert(!s2.queryExecution.executedPlan.toString().contains("LocalTableScan"))
+    assert(s2.head.getString(0) ==
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .agg(min(col("o_orderstatus"))).head.getString(0))
+  }
 }
