@@ -293,7 +293,48 @@ object GraftFooterAggScan {
         case MinSpec(f) => f.name
         case MaxSpec(f) => f.name
       }.toSet
-      val facts = graft.util.Parallel.map(slices.flatMap(_.baseFile), 16) { bf =>
+      val files = slices.flatMap(_.baseFile)
+      // Index-only fast path: when no COUNT is requested and the MDT
+      // column_stats index carries TIGHT (exact-extreme) typed bounds
+      // for every planned file, serve MIN/MAX from the ONE index read —
+      // zero footer fetches. Loose bounds never answer (they only
+      // prune); a type mismatch or a missing entry falls through to the
+      // footer path below.
+      if (!specs.contains(CountStarSpec) && needed.nonEmpty) {
+        val tight = hudi.columnStatsTight
+        def typed(v: Any, dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case org.apache.spark.sql.types.IntegerType => v.isInstanceOf[java.lang.Integer]
+          case org.apache.spark.sql.types.LongType => v.isInstanceOf[java.lang.Long]
+          case org.apache.spark.sql.types.FloatType => v.isInstanceOf[java.lang.Float]
+          case org.apache.spark.sql.types.DoubleType => v.isInstanceOf[java.lang.Double]
+          case _ => false
+        }
+        val fieldType = specs.collect {
+          case MinSpec(f) => f.name -> f.dataType
+          case MaxSpec(f) => f.name -> f.dataType
+        }.toMap
+        val covered = files.forall(bf => tight.get(bf.fileName).exists(m =>
+          needed.forall(c => m.get(c).exists { case (mn, mx) =>
+            typed(mn, fieldType(c)) && typed(mx, fieldType(c)) })))
+        if (covered) {
+          val idxFacts = files.map(bf =>
+            FileFacts(0L, tight(bf.fileName).view.filterKeys(needed).toMap, Set.empty))
+          val values: Seq[Any] = specs.map {
+            case CountStarSpec => 0L // unreachable: gated above
+            case MinSpec(f) => fold(idxFacts, f.name, min = true)
+            case MaxSpec(f) => fold(idxFacts, f.name, min = false)
+          }
+          val schema = StructType(specs.zipWithIndex.map {
+            case (MinSpec(f), i) => StructField(s"agg_$i", f.dataType, nullable = true)
+            case (MaxSpec(f), i) => StructField(s"agg_$i", f.dataType, nullable = true)
+            case (CountStarSpec, i) =>
+              StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
+          })
+          return Some(new GraftFooterAggScan(schema,
+            org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
+        }
+      }
+      val facts = graft.util.Parallel.map(files, 16) { bf =>
         readFacts(bf.path, hudi.hadoopConf, needed)
       }
       // MIN/MAX soundness: every file must either carry usable stats for

@@ -42,7 +42,20 @@ final case class ColumnStatsLookup(
     * at the pruner).
     */
   lazy val pruningStats: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =
-    entries.iterator
+    statsMap(entries)
+
+  /** Like [[pruningStats]] but ONLY tight-bound entries — bounds that
+    * are exact extremes, usable as ANSWERS (MIN/MAX pushdown), not just
+    * conservative ranges. Loose bounds prune safely but may lie outside
+    * the true extremes, so they must never be served as results.
+    */
+  lazy val tightStats: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =
+    statsMap(entries.filter(_.isTightBound))
+
+  private def statsMap(
+      es: Vector[ColumnStatEntry]
+  ): Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =
+    es.iterator
       .flatMap { e =>
         (e.min, e.max) match {
           case (Some(mn: Comparable[_]), Some(mx: Comparable[_]))

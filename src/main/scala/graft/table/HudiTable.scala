@@ -65,11 +65,20 @@ final class HudiTable(
     * the timeline is unchanged). Empty — footer fallback at the pruner —
     * when absent or unreadable.
     */
-  lazy val columnStatsForPruning: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =
-    if (!ColumnStatsIndex.isAvailable(config)) Map.empty
+  private lazy val columnStatsLookup: Option[ColumnStatsLookup] =
+    if (!ColumnStatsIndex.isAvailable(config)) None
     else
-      try ColumnStatsIndex.load(basePath, hadoopConf).pruningStats
-      catch { case scala.util.control.NonFatal(_) => Map.empty }
+      try Some(ColumnStatsIndex.load(basePath, hadoopConf))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  lazy val columnStatsForPruning: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =
+    columnStatsLookup.map(_.pruningStats).getOrElse(Map.empty)
+
+  /** Tight-bound index ranges only — exact extremes a MIN/MAX pushdown
+    * may serve as ANSWERS (loose bounds prune but never answer).
+    */
+  lazy val columnStatsTight: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =
+    columnStatsLookup.map(_.tightStats).getOrElse(Map.empty)
 
   /** Partition-level ranges from the MDT `partition_stats` partition
     * (partitionPath → column → (min, max)) when advertised — feeds

@@ -413,4 +413,20 @@ class DataSourceV2Spec extends SparkTestBase {
       spark.read.parquet(s"$sfDir/orders.parquet")
         .agg(min(col("o_orderstatus"))).head.getString(0))
   }
+
+  test("MIN/MAX-only aggregates serve from the tight column-stats index") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, max, min}
+    val range = graft.fixtures.HudiFixtureBuilder.rangePath(sfDir)
+    // the fixture's index is tight per file group -> index-only path
+    val t = graft.table.HudiTable(spark, range)
+    assert(t.columnStatsTight.nonEmpty)
+    val agg = spark.read.format("hudi-graft").load(range)
+      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString().contains("LocalTableScan"))
+    val exp = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+    val got = agg.head
+    assert(got.getLong(0) == exp.getLong(0) && got.getLong(1) == exp.getLong(1))
+  }
 }
