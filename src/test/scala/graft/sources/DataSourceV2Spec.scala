@@ -429,4 +429,29 @@ class DataSourceV2Spec extends SparkTestBase {
     val got = agg.head
     assert(got.getLong(0) == exp.getLong(0) && got.getLong(1) == exp.getLong(1))
   }
+
+  test("footer-aggregate pushdown agrees with full scans on every COW fixture") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    val B = graft.fixtures.HudiFixtureBuilder
+    val cowTables = Seq(B.cowPath(sfDir), B.rangePath(sfDir), B.clusteredPath(sfDir),
+      B.pstatsPath(sfDir), B.sidxPath(sfDir))
+    for (p <- cowTables) {
+      val df = spark.read.format("hudi-graft").load(p)
+      val pushed = df.agg(count(col("*")).as("n"), min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx")).head
+      // force the un-pushed path: a filter disables the pushdown
+      val full = df.filter(col("o_orderkey") >= Long.MinValue)
+        .agg(count(col("*")), min(col("o_orderkey")), max(col("o_orderkey"))).head
+      assert(pushed.getLong(0) == full.getLong(0), s"count diverged for $p")
+      assert(pushed.getLong(1) == full.getLong(1), s"min diverged for $p")
+      assert(pushed.getLong(2) == full.getLong(2), s"max diverged for $p")
+    }
+    // MOR read-optimized differential
+    val mor = B.morPath(sfDir)
+    def ro = spark.read.format("hudi-graft").option("read.optimized", "true").load(mor)
+    val pushedRo = ro.agg(count(col("*")).as("n")).head.getLong(0)
+    assert(pushedRo == graft.table.HudiTable(spark, mor)
+      .snapshot(readOptimized = true).count())
+  }
 }
