@@ -392,8 +392,34 @@ object PipelineOps {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Schema-based JSON decode (`from_json` with a declared struct — the
+    * typed-ingestion counterpart of path extraction): malformed documents
+    * become NULL structs, counted explicitly. Same map-side shape as
+    * [[jsonExtractImpl]].
+    */
+  private def jsonSchemaImpl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, from_json, sum}
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).as("j"))
+      .groupBy("event_type")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        count(col("j.k")).as("n_parsed"),
+        sum(col("j.k")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  private val jsonSchemaOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val qs: Map[String, QueryDef] = Map(
     "events_json_extract" -> QueryDef(jsonExtractImpl _, jsonExtractOracle),
+    "events_json_schema" -> QueryDef(jsonSchemaImpl _, jsonSchemaOracle),
     "sample_weighted" -> QueryDef(
       (s, d) => sq(s, d, weightedSql(spark = true)), weightedSql(spark = false)),
     "text_chunk_windows" -> QueryDef(
