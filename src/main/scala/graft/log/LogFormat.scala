@@ -180,8 +180,18 @@ object LogFileParser {
       // reader.rs:85 — its corrupt-block creation is a TODO)
       if (!magicAt(bytes, pos))
         throw new IllegalStateException(s"Invalid log block magic at offset $pos")
+      // Writer crashed INSIDE the 8-byte length field (full magic, <8
+      // trailing bytes): corrupt tail, not a readable block — stop before
+      // beLong walks off the array.
+      if (pos + 14 > bytes.length) { pos = bytes.length }
+      else {
       val blockLength = beLong(bytes, pos + 6)
-      val expectedEnd = pos + 6 + 8 + blockLength
+      // Long-safe: a garbage length near Long.MAX must not overflow
+      // expectedEnd negative (which would pass `<= bytes.length` and then
+      // index with a negative offset).
+      val expectedEnd =
+        if (blockLength < 0 || blockLength > bytes.length - pos - 14) Long.MaxValue
+        else pos + 6 + 8 + blockLength
       // Hudi's corrupt-block detection (HoodieLogFileReader
       // isBlockCorrupted, beyond the reference's TODO): the declared
       // length must land exactly on EOF or on the next block's magic.
@@ -216,6 +226,7 @@ object LogFileParser {
           blocks += decode(blockType, header, content)
         }
         pos = expectedEnd.toInt
+      }
       }
     }
     blocks.result()

@@ -204,7 +204,13 @@ object MultimodalOps {
         fmt = Some((u32(off + 12).toInt, u16(off + 10), u16(off + 22), u32(off + 16).toInt))
       else if (id == "data")
         dataSize = Some(size)
-      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // size is an unsigned u32: >= 2^31 would truncate negative in
+      // toInt and walk off backwards (infinite loop / OOB tag). Malformed
+      // input -> None, never a hang.
+      if (size > Int.MaxValue - 16L) return None
+      val next = off + 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      if (next <= off) return None
+      off = next
     }
     for ((rate, ch, bits, byteRate) <- fmt; ds <- dataSize if byteRate > 0)
       yield (rate, ch, bits, ds * 1000L / byteRate)

@@ -131,6 +131,11 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
         case nr: NamedReference if nr.fieldNames().length == 1 =>
           hudi.tableSchema.fields.find(_.name == nr.fieldNames()(0))
             .filter(f => numeric.contains(f.dataType))
+            // P6: dropped partition columns exist only in partition paths —
+            // the parquet files carry no chunks for them, which the footer
+            // path would misread as "provably all null". Fall back to a
+            // normal scan (re-injection happens there).
+            .filterNot(f => hudi.droppedPartitionFields.contains(f.name))
         case _ => None
       }
     val specs = agg.aggregateExpressions().toSeq.map {
@@ -375,6 +380,13 @@ object GraftFooterAggScan {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rowCount = blocks.map(_.getRowCount).sum
+      // FP min/max ordering is writer policy: parquet-mr orders NaN
+      // greatest (matching Spark) or drops stats entirely on NaN pages;
+      // other writers (parquet-cpp) may EXCLUDE NaN from min/max, which
+      // would answer MAX with a non-NaN value where a real scan returns
+      // NaN. Trust float/double chunk stats only from parquet-mr.
+      val fpTrusted = Option(reader.getFooter.getFileMetaData.getCreatedBy)
+        .exists(_.contains("parquet-mr"))
       val acc = scala.collection.mutable.Map.empty[String, (Any, Any)]
       val sawValue = scala.collection.mutable.Set.empty[String]
       val sawUnusable = scala.collection.mutable.Set.empty[String]
@@ -384,7 +396,10 @@ object GraftFooterAggScan {
           val st = colMeta.getStatistics
           if (st != null && st.hasNonNullValue) {
             sawValue += name
-            (st.genericGetMin(), st.genericGetMax()) match {
+            val fp = st.genericGetMin().isInstanceOf[java.lang.Float] ||
+              st.genericGetMin().isInstanceOf[java.lang.Double]
+            if (fp && !fpTrusted) sawUnusable += name
+            else (st.genericGetMin(), st.genericGetMax()) match {
               case (mn: Comparable[_], mx: Comparable[_]) =>
                 val m0 = acc.get(name)
                 val mnA = mn.asInstanceOf[Comparable[Any]]
@@ -422,6 +437,17 @@ object GraftScan {
     sys.props.get("graft.secondary.index.max.values").flatMap(_.toIntOption).getOrElse(32)
   def SecondaryIndexMaxKeys: Int =
     sys.props.get("graft.secondary.index.max.keys").flatMap(_.toIntOption).getOrElse(100000)
+
+  /** Secondary-index planning is StringType-only: the index key is the
+    * writer's string rendering of the indexed value, and for non-string
+    * types Spark's literal form can differ (double "1.0" vs "1",
+    * date/timestamp/decimal renderings) — a silent mismatch returns an
+    * EMPTY plan, which is not fail-open. Strings render identically on
+    * both sides; anything else would need a canonicalizer mirroring
+    * Hudi's SecondaryIndexKeyUtils per type.
+    */
+  def secondaryIndexEligible(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.StringType
 }
 
 class GraftScan(
@@ -544,9 +570,14 @@ class GraftScan(
     */
   private def indexRestricted(planned: Vector[FileSlice]): Vector[FileSlice] = {
     if (planned.isEmpty || !graft.table.RecordIndex.isAvailable(hudi.config)) return planned
+    // StringType source columns only (GraftScan.secondaryIndexEligible):
+    // a representation mismatch on non-string literals would return an
+    // EMPTY plan — not fail-open.
     val candidates = simpleFilters.filter(f =>
       (f.op == "=" || f.op == "in") && f.values.nonEmpty &&
-        f.values.size <= GraftScan.SecondaryIndexMaxValues)
+        f.values.size <= GraftScan.SecondaryIndexMaxValues &&
+        hudi.tableSchema.fields.exists(tf =>
+          tf.name == f.field && GraftScan.secondaryIndexEligible(tf.dataType)))
     val matched = candidates.iterator.flatMap { f =>
       graft.table.SecondaryIndex
         .indexForColumn(hudi.basePath, hudi.config, f.field, hudi.hadoopConf)

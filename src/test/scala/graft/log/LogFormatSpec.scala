@@ -161,5 +161,19 @@ class LogFormatSpec extends AnyFunSuite {
     // (e) intact files parse exactly as before
     assert(LogFileParser.parse(b1 ++ b2, InstantRange.all).map(_.instantTime)
       == Vector("001", "002"))
+
+    // (f) writer crashed INSIDE the 8-byte length field: full magic,
+    // <8 trailing bytes — corrupt tail, earlier blocks survive
+    val midLength = b1 ++ b2.take(9) // 6-byte magic + 3 bytes of length
+    val pf = LogFileParser.parse(midLength, InstantRange.all)
+    assert(pf.map(_.instantTime) == Vector("001"))
+
+    // (g) declared length near Long.MAX: pos+14+len must not overflow
+    // negative and index with a bogus offset — skip to the next magic
+    val huge = b1.clone()
+    for (i <- 6 until 14) huge(i) = 0xff.toByte
+    huge(6) = 0x7f.toByte // Long.MaxValue
+    val pg = LogFileParser.parse(huge ++ b2, InstantRange.all)
+    assert(pg.map(_.instantTime) == Vector("002"))
   }
 }

@@ -454,4 +454,24 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(pushedRo == graft.table.HudiTable(spark, mor)
       .snapshot(readOptimized = true).count())
   }
+
+  test("MIN/MAX on a dropped partition column falls back to a real scan") {
+    // P6: with drop.partition.columns=true the parquet files carry no
+    // chunks for the partition column — a footer pushdown would misread
+    // that as "all null" and answer NULL. The value lives in partition
+    // paths, so the plan must scan (re-injection) and return the true
+    // extremes.
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, max, min}
+    val p = graft.fixtures.HudiFixtureBuilder.droppedPath(sfDir)
+    val df = spark.read.format("hudi-graft").load(p)
+    val agg = df.agg(min(col("n_regionkey")).as("mn"), max(col("n_regionkey")).as("mx"))
+    assert(!agg.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      "dropped partition column must not be served from footers")
+    val got = agg.head
+    val exp = df.filter(col("n_regionkey") >= Int.MinValue)
+      .agg(min(col("n_regionkey")), max(col("n_regionkey"))).head
+    assert(!got.isNullAt(0) && got.getInt(0) == exp.getInt(0))
+    assert(!got.isNullAt(1) && got.getInt(1) == exp.getInt(1))
+  }
 }

@@ -133,6 +133,17 @@ class SecondaryIndexSpec extends SparkTestBase {
     } finally System.clearProperty("graft.secondary.index.max.keys")
   }
 
+  test("secondary-index planning is gated to string source columns") {
+    // Non-string literals (double "1.0" vs "1", date renderings) can
+    // mismatch the writer's key rendering and silently plan EMPTY —
+    // the eligibility gate keeps those on the full (fail-open) plan.
+    import org.apache.spark.sql.types._
+    assert(graft.sources.GraftScan.secondaryIndexEligible(StringType))
+    for (dt <- Seq(IntegerType, LongType, DoubleType, FloatType, DateType,
+        TimestampType, DecimalType(10, 2), BooleanType))
+      assert(!graft.sources.GraftScan.secondaryIndexEligible(dt), s"$dt must not be eligible")
+  }
+
   test("sidx fixture: unknown value plans zero slices and returns no rows") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
