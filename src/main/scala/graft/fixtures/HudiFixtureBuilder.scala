@@ -8,6 +8,8 @@ import org.apache.spark.sql.types._
 
 import java.io.DataOutputStream
 
+import scala.jdk.CollectionConverters._
+
 /** Deterministic Hudi tables derived from the driver's parquet testdata,
   * so every engine read path gets a DuckDB-checkable oracle: the fixture
   * content is a pure function of `orders`/`nation`, and each query's
@@ -51,6 +53,7 @@ object HudiFixtureBuilder {
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
   def clusteredPath(sfDir: String): String = s"${root(sfDir)}/cow_clustered"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
+  def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
   def sidxPath(sfDir: String): String = s"${root(sfDir)}/cow_sidx_orders"
 
@@ -64,7 +67,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v11")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v12")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -133,6 +136,7 @@ object HudiFixtureBuilder {
           buildMorLogOnly(spark, sfDir); own()
           buildCowClustered(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
+          buildCowDateOrders(spark, sfDir); own()
           buildCowPartStatsOrders(spark, sfDir); own()
           buildCowSecondaryIndexOrders(spark, sfDir); own()
           buildCowPartNation(spark, sfDir); own()
@@ -529,10 +533,12 @@ object HudiFixtureBuilder {
     }
     writeCommit(fs, base, T1, "commit", files1, dataAvro)
 
-    // per-group TRUE key ranges for the index
+    // per-group TRUE key ranges + row counts for the index (valueCount +
+    // nullCount=0 sums to the exact file row count — the COUNT(*) path)
     val ranges = src0.withColumn("__g", grpExpr).groupBy("__g")
-      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"),
+        count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
 
     val mdt = new Path(base, ".hoodie/metadata")
     fs.mkdirs(new Path(mdt, ".hoodie"))
@@ -551,8 +557,82 @@ object HudiFixtureBuilder {
     fs.mkdirs(csDir)
     val records = (0 until 4).map { g =>
       val name = s"${fileId(g)}_${Token}_$T1.parquet"
-      val (mn, mx) = ranges(g)
-      f"cs$g%04d" -> columnStatsBytes(f"cs$g%04d", name, "o_orderkey", mn, mx)
+      val (mn, mx, cnt) = ranges(g)
+      f"cs$g%04d" -> columnStatsBytes(f"cs$g%04d", name, "o_orderkey", mn, mx,
+        valueCount = cnt)
+    }
+    val bytes = graft.hfile.HFileWriter.write(
+      records.toIndexedSeq,
+      Map("schema" -> columnStatsAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val out = fs.create(new Path(csDir, s"col-stats-0000-0_${Token}_$T1.hfile"), true)
+    out.write(bytes)
+    out.close()
+  }
+
+  // --- COW, non-partitioned, DATE-split file groups + column_stats MDT --
+  // Like cow_range_orders but split on a DateType column `o_date`
+  // (= DATE(o_orderdate)): 4 file groups of contiguous date quartiles,
+  // with the MDT column_stats carrying DateWrapper (epoch-day int)
+  // bounds — a date-range predicate must prune file groups through
+  // typed stats literals (`hudi_date_pruned`; the reference arrow-casts
+  // date literals, expr/filter.rs:345-357, and prunes Date32 columns,
+  // file_pruner.rs:288-293).
+  private def buildCowDateOrders(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(datePath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeProperties(fs, base, "cow_date_orders", "COPY_ON_WRITE", None, hiveStyle = false,
+      extraProps = "hoodie.table.metadata.partitions=column_stats\n")
+    val src0 = orders(spark, sfDir).withColumn("o_date", to_date(col("o_orderdate")))
+    val src = src0.withColumn("__part", lit(""))
+    val dataAvro = Some(SparkToAvro.toAvroSchema(src0.schema, "orders_record").toString)
+    val bounds = src0.agg(min(col("o_date")), max(col("o_date"))).head
+    val (minD, maxD) = (bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate)
+    val span = math.max(1L, maxD.toEpochDay - minD.toEpochDay + 1)
+    val grpExpr = least(lit(3),
+      (datediff(col("o_date"), lit(java.sql.Date.valueOf(minD))) * 4 / lit(span)).cast("int"))
+
+    val files1 = (0 until 4).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T1.parquet"
+      writeBaseFile(spark,
+        withMeta(src.filter(grpExpr === g).withColumn("__commit", lit(T1)), "__part", lit(name)),
+        base, name)
+      ("", fileId(g), name)
+    }
+    writeCommit(fs, base, T1, "commit", files1, dataAvro)
+
+    // per-group TRUE date ranges (epoch days) + row counts for the index
+    val ranges = src0.withColumn("__g", grpExpr).groupBy("__g")
+      .agg(min(col("o_date")).as("mn"), max(col("o_date")).as("mx"), count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getDate(1).toLocalDate.toEpochDay, r.getDate(2).toLocalDate.toEpochDay,
+          r.getLong(3))).toMap
+
+    val mdt = new Path(base, ".hoodie/metadata")
+    fs.mkdirs(new Path(mdt, ".hoodie"))
+    writeText(fs, new Path(mdt, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_date_orders_metadata
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=key
+        |hoodie.table.base.file.format=HFILE
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin)
+    writeText(fs, new Path(mdt, s".hoodie/$T1.deltacommit"),
+      """{"partitionToWriteStats":{},"compacted":false}""")
+    val csDir = new Path(mdt, "column_stats")
+    fs.mkdirs(csDir)
+    // a quartile with no rows (sparse dates at tiny SF) simply has no
+    // stats entry — the pruner fails open on its empty file, which is
+    // correct and costless
+    val records = (0 until 4).flatMap { g =>
+      val name = s"${fileId(g)}_${Token}_$T1.parquet"
+      ranges.get(g).map { case (mn, mx, cnt) =>
+        f"cs$g%04d" -> columnStatsBytes(f"cs$g%04d", name, "o_date", mn, mx,
+          wrapper = "DateWrapper", valueCount = cnt)
+      }
     }
     val bytes = graft.hfile.HFileWriter.write(
       records.toIndexedSeq,
@@ -775,8 +855,10 @@ object HudiFixtureBuilder {
         |    {"name":"columnName","type":["null","string"],"default":null},
         |    {"name":"minValue","type":["null",
         |      {"type":"record","name":"LongWrapper","fields":[
-        |        {"name":"value","type":"long"}]}],"default":null},
-        |    {"name":"maxValue","type":["null","LongWrapper"],"default":null},
+        |        {"name":"value","type":"long"}]},
+        |      {"type":"record","name":"DateWrapper","fields":[
+        |        {"name":"value","type":{"type":"int","logicalType":"date"}}]}],"default":null},
+        |    {"name":"maxValue","type":["null","LongWrapper","DateWrapper"],"default":null},
         |    {"name":"valueCount","type":["null","long"],"default":null},
         |    {"name":"nullCount","type":["null","long"],"default":null},
         |    {"name":"isDeleted","type":"boolean"},
@@ -790,13 +872,16 @@ object HudiFixtureBuilder {
     */
   private def columnStatsBytes(
       key: String, fileName: String, columnName: String, mn: Long, mx: Long,
-      recType: Int = 3): Array[Byte] = {
+      recType: Int = 3, wrapper: String = "LongWrapper",
+      valueCount: java.lang.Long = null): Array[Byte] = {
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     val csSchema = columnStatsAvroSchema.getField("ColumnStatsMetadata").schema().getTypes.get(1)
-    val wrapSchema = csSchema.getField("minValue").schema().getTypes.get(1)
+    val wrapSchema = csSchema.getField("minValue").schema().getTypes.asScala
+      .find(_.getName == wrapper).get
     def wrap(v: Long): GenericData.Record = {
       val w = new GenericData.Record(wrapSchema)
-      w.put("value", v)
+      // DateWrapper stores epoch-day as avro int; LongWrapper as long
+      w.put("value", if (wrapper == "DateWrapper") Int.box(v.toInt) else Long.box(v))
       w
     }
     val rec = new GenericData.Record(columnStatsAvroSchema)
@@ -807,7 +892,7 @@ object HudiFixtureBuilder {
     cs.put("columnName", columnName)
     cs.put("minValue", wrap(mn))
     cs.put("maxValue", wrap(mx))
-    cs.put("valueCount", null)
+    cs.put("valueCount", valueCount)
     cs.put("nullCount", 0L)
     cs.put("isDeleted", false)
     cs.put("isTightBound", true)

@@ -56,8 +56,8 @@ final class FilePruner(
         val st = col.getStatistics
         if (st != null && st.hasNonNullValue) {
           val name = col.getPath.toDotString
-          val mn = normalize(st.genericGetMin())
-          val mx = normalize(st.genericGetMax())
+          val mn = normalize(st.genericGetMin(), col.getPrimitiveType)
+          val mx = normalize(st.genericGetMax(), col.getPrimitiveType)
           if (mn != null && mx != null) {
             acc.get(name) match {
               case Some((m0, x0)) =>
@@ -72,14 +72,43 @@ final class FilePruner(
     } finally reader.close()
   }
 
-  private def normalize(v: Any): Comparable[Any] = (v match {
-    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-    case other: Comparable[_] => other
-    case _ => null
-  }).asInstanceOf[Comparable[Any]]
+  /** Map a raw footer statistic to the representation [[StatsRange.literal]]
+    * produces for the column's Spark type, using the parquet LOGICAL type:
+    * dates stay epoch-day Ints, timestamps normalize to epoch-micros Longs
+    * across MILLIS/MICROS/NANOS units, decimals decode their unscaled
+    * int/long/binary form to a java BigDecimal. Binaries without a
+    * string/decimal annotation (raw bytes, INT96 timestamps) yield null —
+    * fail open, there is no literal form to compare against.
+    */
+  private def normalize(v: Any, pt: org.apache.parquet.schema.PrimitiveType): Comparable[Any] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val ann = pt.getLogicalTypeAnnotation
+    ((ann, v) match {
+      case (dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation, _) => v match {
+        case i: java.lang.Integer => java.math.BigDecimal.valueOf(i.longValue(), dec.getScale)
+        case l: java.lang.Long => java.math.BigDecimal.valueOf(l.longValue(), dec.getScale)
+        case b: org.apache.parquet.io.api.Binary =>
+          new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), dec.getScale)
+        case _ => null
+      }
+      case (ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation, l: java.lang.Long) =>
+        ts.getUnit match {
+          case TimeUnit.MILLIS => Long.box(Math.multiplyExact(l.longValue(), 1000L))
+          case TimeUnit.MICROS => l
+          case TimeUnit.NANOS => Long.box(l.longValue() / 1000L)
+        }
+      case (_: LogicalTypeAnnotation.StringLogicalTypeAnnotation |
+            _: LogicalTypeAnnotation.EnumLogicalTypeAnnotation,
+            b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
+      case (_, _: org.apache.parquet.io.api.Binary) => null
+      case (_, other: Comparable[_]) => other
+      case _ => null
+    }).asInstanceOf[Comparable[Any]]
+  }
 
-  private def literal(field: String, raw: String): Option[Comparable[Any]] =
-    StatsRange.literal(schema, field, raw)
+  private def literal(f: PartitionFilter): Option[Comparable[Any]] =
+    StatsRange.literal(schema, f.field, f.values.head, f.typed.headOption)
 
   /** Concurrent footer pruning over many candidate files: one small ranged
     * read each, latency-bound on object stores — issue them on a bounded
@@ -98,7 +127,7 @@ final class FilePruner(
     try {
       val stats = preStats.getOrElse(file.fileName, fileStats(file.path))
       relevant.forall { f =>
-        (stats.get(f.field), literal(f.field, f.values.head)) match {
+        (stats.get(f.field), literal(f)) match {
           case (Some((mn, mx)), Some(v)) => StatsRange.allows(f.op, v, mn, mx)
           case _ => true
         }
@@ -116,17 +145,73 @@ object StatsRange {
 
   val PrunableOps: Set[String] = Set("=", "!=", "<", "<=", ">", ">=")
 
-  /** Cast a filter literal to the column's declared type. */
-  def literal(schema: StructType, field: String, raw: String): Option[Comparable[Any]] = {
+  /** Cast a filter literal to the representation footer/MDT statistics
+    * expose for the column's declared type: epoch-day Int for dates,
+    * epoch-micros Long for timestamps, java BigDecimal for decimals
+    * (compareTo is value-based across scales), primitives as-is.
+    *
+    * `typed` is the original Spark literal object when the filter came
+    * through DSv2 pushdown — preferred because it is lossless: a
+    * `java.sql.Timestamp`'s string form renders local wall time (DST
+    * fold makes one hour a year ambiguous to re-parse), while the object
+    * itself IS the instant. String-only timestamp literals therefore
+    * fail open; date/decimal strings are unambiguous and parse fine.
+    * The reference reaches the same end by arrow-casting literals to the
+    * column type (crates/core/src/expr/filter.rs:345-357) and prunes
+    * Date32 columns (file_pruner.rs:288-293).
+    */
+  def literal(
+      schema: StructType, field: String, raw: String,
+      typed: Option[Any] = None): Option[Comparable[Any]] = {
     val dt = schema.fields.find(_.name == field).map(_.dataType)
     val v: Any = dt match {
-      case Some(IntegerType | ShortType | ByteType) => raw.toIntOption.orNull
-      case Some(LongType) => raw.toLongOption.orNull
-      case Some(DoubleType) => raw.toDoubleOption.orNull
-      case Some(FloatType) => raw.toFloatOption.orNull
+      case Some(IntegerType | ShortType | ByteType) => typed match {
+        case Some(n: java.lang.Number) => Int.box(n.intValue())
+        case _ => raw.toIntOption.orNull
+      }
+      case Some(LongType) => typed match {
+        case Some(n: java.lang.Number) => Long.box(n.longValue())
+        case _ => raw.toLongOption.orNull
+      }
+      case Some(DoubleType) => typed match {
+        case Some(n: java.lang.Number) => Double.box(n.doubleValue())
+        case _ => raw.toDoubleOption.orNull
+      }
+      case Some(FloatType) => typed match {
+        case Some(n: java.lang.Number) => Float.box(n.floatValue())
+        case _ => raw.toFloatOption.orNull
+      }
       case Some(StringType) => raw
       case Some(BooleanType) => raw.toBooleanOption.orNull
-      case _ => null // timestamps/decimals: fail open
+      case Some(DateType) => typed match {
+        case Some(d: java.sql.Date) => Int.box(d.toLocalDate.toEpochDay.toInt)
+        case Some(ld: java.time.LocalDate) => Int.box(ld.toEpochDay.toInt)
+        case _ =>
+          try Int.box(java.time.LocalDate.parse(raw).toEpochDay.toInt)
+          catch { case _: Exception => null }
+      }
+      case Some(TimestampType) => typed match {
+        case Some(ts: java.sql.Timestamp) =>
+          val i = ts.toInstant
+          Long.box(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+        case Some(i: java.time.Instant) =>
+          Long.box(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+        case _ => null // string wall-time is zone-ambiguous: fail open
+      }
+      case Some(TimestampNTZType) => typed match {
+        case Some(ldt: java.time.LocalDateTime) =>
+          Long.box(Math.addExact(
+            Math.multiplyExact(ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+            ldt.getNano / 1000L))
+        case _ => null
+      }
+      case Some(_: DecimalType) => typed match {
+        case Some(bd: java.math.BigDecimal) => bd
+        case Some(bd: scala.math.BigDecimal) => bd.bigDecimal
+        case _ =>
+          try new java.math.BigDecimal(raw) catch { case _: Exception => null }
+      }
+      case _ => null // binary/struct/...: fail open
     }
     Option(v).map(_.asInstanceOf[Comparable[Any]])
   }

@@ -14,7 +14,14 @@ import java.time.LocalDate
   * At 100 TB this is the first lever that matters: it bounds the listing
   * and the task count before any data is read.
   */
-final case class PartitionFilter(field: String, op: String, values: Seq[String])
+/** `values` are the writer-facing string renderings (what partition paths
+  * store); `typed` optionally carries the ORIGINAL Spark literal objects
+  * in the same order, so stats pruning can compare date/timestamp/decimal
+  * predicates losslessly (a timestamp's string form is timezone-ambiguous;
+  * the typed instant is not). Callers that only have strings leave it Nil.
+  */
+final case class PartitionFilter(
+    field: String, op: String, values: Seq[String], typed: Seq[Any] = Nil)
 
 /** The include contract [[FsView]] planning consumes: given a relative
   * partition path, may that partition contain matching rows? Implemented
@@ -164,7 +171,8 @@ final class StatsPartitionPruner(
   override def shouldInclude(path: String): Boolean =
     inner.shouldInclude(path) && (relevant.isEmpty || stats.get(path).forall { ranges =>
       relevant.forall { f =>
-        (ranges.get(f.field), StatsRange.literal(schema, f.field, f.values.head)) match {
+        (ranges.get(f.field),
+            StatsRange.literal(schema, f.field, f.values.head, f.typed.headOption)) match {
           case (Some((mn, mx)), Some(v)) => StatsRange.allows(f.op, v, mn, mx)
           case _ => true
         }

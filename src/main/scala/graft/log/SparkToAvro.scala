@@ -29,6 +29,9 @@ object SparkToAvro {
         case TimestampNTZType =>
           org.apache.avro.LogicalTypes.localTimestampMicros()
             .addToSchema(AvroSchema.create(AvroSchema.Type.LONG))
+        case DateType =>
+          org.apache.avro.LogicalTypes.date()
+            .addToSchema(AvroSchema.create(AvroSchema.Type.INT))
         case other => throw new IllegalArgumentException(s"Fixture writer: unsupported type $other")
       }
       new AvroSchema.Field(f.name,
@@ -47,6 +50,8 @@ object SparkToAvro {
         case ldt: java.time.LocalDateTime =>
           val i = ldt.toInstant(java.time.ZoneOffset.UTC)
           i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case ld: java.time.LocalDate => ld.toEpochDay.toInt
         case s: Short => s.toInt
         case b: Byte => b.toInt
         case other => other

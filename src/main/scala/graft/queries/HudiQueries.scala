@@ -513,6 +513,37 @@ object HudiQueries {
         |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // --- Typed (DateType) stats pruning at oracle level: a date-range
+    // predicate over the date-quartile-split COW fixture prunes file
+    // groups through DateWrapper epoch-day index bounds and typed
+    // literals (StatsRange.literal DateType arm — the reference
+    // arrow-casts date literals, expr/filter.rs:345-357, and tests
+    // Date32 pruning, file_pruner.rs:288-293). The cut lands inside the
+    // first quartile, so a wrong cast direction loses/keeps most of the
+    // table and breaks the hash loudly.
+    "hudi_date_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val b = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("o_date"))
+          .agg(min(col("o_date")), max(col("o_date"))).head
+        val (mn, mx) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+        val span = math.max(1L, mx.toEpochDay - mn.toEpochDay + 1)
+        val cut = java.sql.Date.valueOf(mn.plusDays(math.max(0L, span / 4 - 1)))
+        // the date stays in the PREDICATE only: DuckDB DATE surfaces as
+        // a pandas datetime64 while Spark's stays a date, so a date-typed
+        // output column can never hash-match across the engines
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.datePath(d))
+          .filter(col("o_date") <= lit(cut))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS o_date, o_orderkey, o_custkey,
+        |                  o_totalprice FROM orders),
+        |b AS (SELECT MIN(o_date) AS mn, MAX(o_date) AS mx FROM d)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM d, b
+        |WHERE o_date <= mn + CAST(GREATEST(0, (mx - mn + 1) // 4 - 1) AS INTEGER)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // --- MDT partition_stats at oracle level: a key-range filter over
     // the quartile-PARTITIONED COW fixture prunes whole partitions from
     // the plan BEFORE listing (StatsPartitionPruner over the

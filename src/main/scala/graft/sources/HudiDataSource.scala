@@ -235,8 +235,11 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
   }
 
   private def toSimpleFilter(f: Filter): Option[PartitionFilter] = {
+    // `typed` keeps the original literal objects: stats pruning compares
+    // date/timestamp/decimal predicates losslessly through them, while
+    // the string renderings keep serving path-based partition pruning
     def mk(field: String, op: String, vs: Seq[Any]) =
-      Some(PartitionFilter(field, op, vs.map(String.valueOf)))
+      Some(PartitionFilter(field, op, vs.map(String.valueOf), typed = vs))
     f match {
       case sources.EqualTo(a, v) => mk(a, "=", Seq(v))
       case sources.GreaterThan(a, v) => mk(a, ">", Seq(v))

@@ -173,7 +173,18 @@ object ColumnStatsIndex {
             "TimestampMicrosWrapper" | "LocalDateWrapper" => Option(inner)
         case "StringWrapper" => Option(inner).map(_.toString)
         case "BytesWrapper" => None // byte ranges aren't pruned (no literal form)
-        case "DecimalWrapper" => None // decimal literals fail open at the pruner too
+        case "DecimalWrapper" =>
+          // avro bytes with a decimal logical type: unscaled big-endian
+          // two's-complement + the scale declared on the wrapper's value
+          // field — decoded to a java BigDecimal, the same representation
+          // StatsRange.literal produces for DecimalType predicates
+          (inner, w.getSchema.getField("value").schema().getLogicalType) match {
+            case (bb: java.nio.ByteBuffer, dec: org.apache.avro.LogicalTypes.Decimal) =>
+              val bytes = new Array[Byte](bb.remaining())
+              bb.duplicate().get(bytes)
+              Some(new java.math.BigDecimal(new java.math.BigInteger(bytes), dec.getScale))
+            case _ => None
+          }
         case _ => None
       }
     case _ => None

@@ -455,6 +455,29 @@ class DataSourceV2Spec extends SparkTestBase {
       .snapshot(readOptimized = true).count())
   }
 
+  test("date-range predicates prune file groups via typed stats literals") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, lit, max, min, to_date}
+    val p = graft.fixtures.HudiFixtureBuilder.datePath(sfDir)
+    val b = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(to_date(col("o_orderdate")).as("d"))
+      .agg(min(col("d")), max(col("d"))).head
+    val (mn, mx) = (b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+    val span = math.max(1L, mx.toEpochDay - mn.toEpochDay + 1)
+    val cut = java.sql.Date.valueOf(mn.plusDays(math.max(0L, span / 4 - 1)))
+    val df = spark.read.format("hudi-graft").load(p)
+      .filter(col("o_date") <= lit(cut))
+    // the date-quartile split leaves exactly the first file group planned
+    assert(df.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"date stats pruning did not engage: ${df.queryExecution.executedPlan}")
+    val exp = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(to_date(col("o_orderdate")) <= lit(cut)).count()
+    assert(df.count() == exp)
+    // and the unpruned read still returns the whole table
+    val all = spark.read.format("hudi-graft").load(p)
+    assert(all.count() == spark.read.parquet(s"$sfDir/orders.parquet").count())
+  }
+
   test("MIN/MAX on a dropped partition column falls back to a real scan") {
     // P6: with drop.partition.columns=true the parquet files carry no
     // chunks for the partition column — a footer pushdown would misread

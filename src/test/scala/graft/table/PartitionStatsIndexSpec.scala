@@ -61,6 +61,34 @@ class PartitionStatsIndexSpec extends SparkTestBase {
     assert(other.shouldInclude("city=chennai"))
   }
 
+  test("stats pruner prunes on date-typed partition stats via typed literals") {
+    // DateWrapper entries unwrap to epoch-day Ints; a DateType predicate
+    // (typed java.sql.Date literal, or the unambiguous string form) must
+    // prune partitions whose date ranges disprove it
+    val schema = StructType(Seq(StructField("event_date", DateType)))
+    def day(s: String): Int = java.time.LocalDate.parse(s).toEpochDay.toInt
+    def r(lo: String, hi: String) = Map("event_date" ->
+      (Int.box(day(lo)).asInstanceOf[Comparable[Any]],
+        Int.box(day(hi)).asInstanceOf[Comparable[Any]]))
+    val stats = Map(
+      "dt=2024-01" -> r("2024-01-01", "2024-01-31"),
+      "dt=2024-02" -> r("2024-02-01", "2024-02-29"),
+      "dt=2024-03" -> r("2024-03-01", "2024-03-31"))
+    val typedLit = java.sql.Date.valueOf("2024-02-10")
+    val p = new StatsPartitionPruner(PartitionPruner.trivial,
+      Seq(PartitionFilter("event_date", ">", Seq("2024-02-10"), typed = Seq(typedLit))),
+      schema, stats)
+    assert(!p.shouldInclude("dt=2024-01"))
+    assert(p.shouldInclude("dt=2024-02"))
+    assert(p.shouldInclude("dt=2024-03"))
+    // string-only literal parses too (dates are zone-unambiguous)
+    val ps = new StatsPartitionPruner(PartitionPruner.trivial,
+      Seq(PartitionFilter("event_date", "<", Seq("2024-02-01"))), schema, stats)
+    assert(ps.shouldInclude("dt=2024-01"))
+    assert(!ps.shouldInclude("dt=2024-02"))
+    assert(!ps.shouldInclude("dt=2024-03"))
+  }
+
   test("pstats fixture: key-range scan plans only surviving partitions, result exact") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     val path = graft.fixtures.HudiFixtureBuilder.pstatsPath(sfDir)
