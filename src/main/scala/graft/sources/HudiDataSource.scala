@@ -272,6 +272,13 @@ object GraftFooterAggScan {
   final case class MinSpec(field: StructField) extends AggSpec
   final case class MaxSpec(field: StructField) extends AggSpec
 
+  /** Observability: total parquet footers opened by the aggregate
+    * pushdown planner (driver-side, monotonic). The index fast path's
+    * contract — "zero footer fetches when the MDT covers the plan" — is
+    * asserted against this in `FooterAggSpec`.
+    */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Per-file footer facts for one planned base file. */
   private final case class FileFacts(
       rowCount: Long,
@@ -302,14 +309,16 @@ object GraftFooterAggScan {
         case MaxSpec(f) => f.name
       }.toSet
       val files = slices.flatMap(_.baseFile)
-      // Index-only fast path: when no COUNT is requested and the MDT
-      // column_stats index carries TIGHT (exact-extreme) typed bounds
-      // for every planned file, serve MIN/MAX from the ONE index read —
-      // zero footer fetches. Loose bounds never answer (they only
-      // prune); a type mismatch or a missing entry falls through to the
-      // footer path below.
-      if (!specs.contains(CountStarSpec) && needed.nonEmpty) {
+      // Index-only fast path: serve EVERY requested aggregate from the
+      // ONE MDT column_stats read — zero footer fetches. COUNT(*) sums
+      // the index's exact per-file row counts (the nullCount==0
+      // soundness rule, ColumnStatsLookup.rowCounts); MIN/MAX require
+      // TIGHT (exact-extreme) typed bounds for every planned file —
+      // loose bounds only prune, never answer. Any gap (uncovered file,
+      // type mismatch, loose bound) falls through to the footer path.
+      locally {
         val tight = hudi.columnStatsTight
+        val counts = hudi.columnStatsRowCounts
         def typed(v: Any, dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
           case org.apache.spark.sql.types.IntegerType => v.isInstanceOf[java.lang.Integer]
           case org.apache.spark.sql.types.LongType => v.isInstanceOf[java.lang.Long]
@@ -321,14 +330,19 @@ object GraftFooterAggScan {
           case MinSpec(f) => f.name -> f.dataType
           case MaxSpec(f) => f.name -> f.dataType
         }.toMap
-        val covered = files.forall(bf => tight.get(bf.fileName).exists(m =>
-          needed.forall(c => m.get(c).exists { case (mn, mx) =>
-            typed(mn, fieldType(c)) && typed(mx, fieldType(c)) })))
-        if (covered) {
+        val minMaxCovered = needed.isEmpty ||
+          files.forall(bf => tight.get(bf.fileName).exists(m =>
+            needed.forall(c => m.get(c).exists { case (mn, mx) =>
+              typed(mn, fieldType(c)) && typed(mx, fieldType(c)) })))
+        val countCovered = !specs.contains(CountStarSpec) ||
+          files.forall(bf => counts.contains(bf.fileName))
+        if (minMaxCovered && countCovered) {
           val idxFacts = files.map(bf =>
-            FileFacts(0L, tight(bf.fileName).view.filterKeys(needed).toMap, Set.empty))
+            FileFacts(counts.getOrElse(bf.fileName, 0L),
+              tight.getOrElse(bf.fileName, Map.empty).view.filterKeys(needed).toMap,
+              Set.empty))
           val values: Seq[Any] = specs.map {
-            case CountStarSpec => 0L // unreachable: gated above
+            case CountStarSpec => idxFacts.map(_.rowCount).sum
             case MinSpec(f) => fold(idxFacts, f.name, min = true)
             case MaxSpec(f) => fold(idxFacts, f.name, min = false)
           }
@@ -377,6 +391,7 @@ object GraftFooterAggScan {
       path: String,
       conf: org.apache.hadoop.conf.Configuration,
       needed: Set[String]): FileFacts = {
+    footerReads.incrementAndGet()
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(path), conf))

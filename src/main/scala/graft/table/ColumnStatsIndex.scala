@@ -52,6 +52,23 @@ final case class ColumnStatsLookup(
   lazy val tightStats: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =
     statsMap(entries.filter(_.isTightBound))
 
+  /** fileName → EXACT row count, derivable when some column of the file
+    * has `nullCount == 0`: its `valueCount` then equals the row count
+    * under EITHER public interpretation of valueCount (parquet's
+    * chunk value count includes nulls — verified == footer row count on
+    * the reference's real v8 trips bytes — and a nulls-excluded writer
+    * agrees exactly when the column has no nulls). On populated-meta
+    * tables `_hoodie_record_key` is never null, so coverage is the norm.
+    * Files whose qualifying columns DISAGREE are dropped (fail-open to
+    * the footer path) — counts are answers, never guesses.
+    */
+  lazy val rowCounts: Map[String, Long] =
+    entries.iterator
+      .filter(e => e.nullCount.contains(0L) && e.valueCount.isDefined)
+      .map(e => e.fileName -> e.valueCount.get)
+      .toVector.groupBy(_._1)
+      .collect { case (f, vs) if vs.map(_._2).distinct.size == 1 => f -> vs.head._2 }
+
   private def statsMap(
       es: Vector[ColumnStatEntry]
   ): Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =

@@ -80,6 +80,14 @@ final class HudiTable(
   lazy val columnStatsTight: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =
     columnStatsLookup.map(_.tightStats).getOrElse(Map.empty)
 
+  /** Exact per-file row counts from the index (fileName → rows) — lets
+    * `COUNT(*)` pushdown answer from the ONE MDT read instead of a
+    * footer fetch per planned file (see [[ColumnStatsLookup.rowCounts]]
+    * for the exactness argument). Empty when the index is absent.
+    */
+  lazy val columnStatsRowCounts: Map[String, Long] =
+    columnStatsLookup.map(_.rowCounts).getOrElse(Map.empty)
+
   /** Partition-level ranges from the MDT `partition_stats` partition
     * (partitionPath → column → (min, max)) when advertised — feeds
     * [[graft.fs.StatsPartitionPruner]] so data-column predicates prune

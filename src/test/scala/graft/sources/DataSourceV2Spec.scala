@@ -430,6 +430,34 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(got.getLong(0) == exp.getLong(0) && got.getLong(1) == exp.getLong(1))
   }
 
+  test("index-covered COUNT(*)+MIN/MAX aggregates read zero parquet footers") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    val range = graft.fixtures.HudiFixtureBuilder.rangePath(sfDir)
+    val t = graft.table.HudiTable(spark, range)
+    // the fixture's index carries one exact (nullCount==0) row count per
+    // file group — the COUNT(*) coverage precondition
+    assert(t.columnStatsRowCounts.size == 4, s"row counts: ${t.columnStatsRowCounts}")
+    val before = graft.sources.GraftFooterAggScan.footerReads.get()
+    val agg = spark.read.format("hudi-graft").load(range)
+      .agg(count(col("*")).as("n"), min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString().contains("LocalTableScan"))
+    val exp = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(count(col("*")), min(col("o_orderkey")), max(col("o_orderkey"))).head
+    val got = agg.head
+    assert(got.getLong(0) == exp.getLong(0) && got.getLong(1) == exp.getLong(1) &&
+      got.getLong(2) == exp.getLong(2))
+    assert(graft.sources.GraftFooterAggScan.footerReads.get() == before,
+      "index-covered aggregates must be served without opening any parquet footer")
+    // pure COUNT(*) too — previously always a footer sweep
+    val b2 = graft.sources.GraftFooterAggScan.footerReads.get()
+    val cnt = spark.read.format("hudi-graft").load(range).agg(count(col("*")).as("n"))
+    assert(cnt.queryExecution.executedPlan.toString().contains("LocalTableScan"))
+    assert(cnt.head.getLong(0) == exp.getLong(0))
+    assert(graft.sources.GraftFooterAggScan.footerReads.get() == b2)
+  }
+
   test("footer-aggregate pushdown agrees with full scans on every COW fixture") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count, max, min}
