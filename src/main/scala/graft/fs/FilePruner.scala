@@ -13,9 +13,10 @@ import scala.jdk.CollectionConverters._
   *
   * Per-operator prune rules (a file is skipped only when its stats PROVE
   * no row can match): Eq: v<min or v>max; Ne: min=max=v; Lt: min>=v;
-  * Lte: min>v; Gt: max<=v; Gte: max<v. IN/NOT-IN are not pruned, and any
-  * error or missing statistic fails open — row-level filtering stays
-  * authoritative, this only cuts tasks.
+  * Lte: min>v; Gt: max<=v; Gte: max<v; In: no list value in [min,max];
+  * NotIn: min=max and that value is listed; IsNull: zero nulls proven;
+  * IsNotNull: all-null proven. Any error or missing statistic fails open
+  * — row-level filtering stays authoritative, this only cuts tasks.
   *
   * Only safe when the scan is base-file-only (COW or read-optimized): a
   * MOR slice's log files can resurrect values outside the base file's
@@ -37,25 +38,66 @@ final class FilePruner(
     filters: Seq[PartitionFilter],
     schema: StructType,
     conf: Configuration,
-    preStats: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] = Map.empty) {
+    preStats: Map[String, Map[String, (Comparable[Any], Comparable[Any])]] = Map.empty,
+    preZeroNulls: Map[String, Set[String]] = Map.empty) {
 
   private val relevant = filters.filter(f =>
     StatsRange.PrunableOps.contains(f.op) &&
       schema.fieldNames.contains(f.field) && f.values.nonEmpty)
 
-  def isTrivial: Boolean = relevant.isEmpty
+  /** Null-predicate filters, pruned from null COUNTS rather than ranges:
+    * `IS NULL` skips a file proven to have zero nulls in the column;
+    * `IS NOT NULL` skips a file proven ALL-null (footer proof only — the
+    * MDT's valueCount/nullCount pair can't distinguish all-null under
+    * every writer interpretation, so the index never claims it). A
+    * column ABSENT from a file's footer (pre-evolution file) is all-null
+    * by re-injection and must fail open for IS NULL — absence proves
+    * nothing here, both proofs demand the chunk be present in every row
+    * group.
+    */
+  private val nullFilters = filters.filter(f =>
+    (f.op == "isnull" || f.op == "isnotnull") && schema.fieldNames.contains(f.field))
 
-  /** Min/max per column path for one file (merged across row groups). */
-  private def fileStats(path: String): Map[String, (Comparable[Any], Comparable[Any])] = {
+  /** Only IS NULL justifies a footer fetch on its own: zero-null columns
+    * are the common case, so the prune often removes EVERYTHING — the
+    * same selectivity-for-IO trade R2 makes for range predicates. An
+    * IS NOT NULL prune fires only against all-null columns (rare), so it
+    * is applied opportunistically when a footer was read anyway — Spark
+    * pushes IsNotNull alongside almost every predicate, and paying a
+    * planning read per file for it alone would tax every filtered query.
+    */
+  private val isNullFilters = nullFilters.filter(_.op == "isnull")
+
+  def isTrivial: Boolean = relevant.isEmpty && nullFilters.isEmpty
+
+  /** Per-file footer facts: merged min/max ranges per column, columns
+    * proven zero-null, and columns proven all-null (every row group's
+    * chunk present with numNulls set).
+    */
+  private final case class FooterFacts(
+      ranges: Map[String, (Comparable[Any], Comparable[Any])],
+      zeroNulls: Set[String],
+      allNulls: Set[String])
+
+  private def fileStats(path: String): FooterFacts = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), conf))
     try {
+      val blocks = reader.getFooter.getBlocks.asScala
       val acc = scala.collection.mutable.Map.empty[String, (Comparable[Any], Comparable[Any])]
-      for (block <- reader.getFooter.getBlocks.asScala;
-           col <- block.getColumns.asScala) {
+      val nulls = scala.collection.mutable.Map.empty[String, Long]    // total known nulls
+      val values = scala.collection.mutable.Map.empty[String, Long]   // total values
+      val chunksSeen = scala.collection.mutable.Map.empty[String, Int]
+      val nullsKnown = scala.collection.mutable.Map.empty[String, Boolean]
+      for (block <- blocks; col <- block.getColumns.asScala) {
+        val name = col.getPath.toDotString
+        chunksSeen(name) = chunksSeen.getOrElse(name, 0) + 1
+        values(name) = values.getOrElse(name, 0L) + col.getValueCount
         val st = col.getStatistics
+        val known = st != null && st.isNumNullsSet
+        nullsKnown(name) = nullsKnown.getOrElse(name, true) && known
+        if (known) nulls(name) = nulls.getOrElse(name, 0L) + st.getNumNulls
         if (st != null && st.hasNonNullValue) {
-          val name = col.getPath.toDotString
           val mn = normalize(st.genericGetMin(), col.getPrimitiveType)
           val mx = normalize(st.genericGetMax(), col.getPrimitiveType)
           if (mn != null && mx != null) {
@@ -68,7 +110,13 @@ final class FilePruner(
           }
         }
       }
-      acc.toMap
+      val complete = chunksSeen.keySet.toSet.filter(c =>
+        blocks.nonEmpty && chunksSeen(c) == blocks.size && nullsKnown.getOrElse(c, false))
+      FooterFacts(
+        acc.toMap,
+        complete.filter(c => nulls.getOrElse(c, -1L) == 0L),
+        complete.filter(c => values.getOrElse(c, 0L) > 0L &&
+          nulls.getOrElse(c, -1L) == values(c)))
     } finally reader.close()
   }
 
@@ -107,9 +155,6 @@ final class FilePruner(
     }).asInstanceOf[Comparable[Any]]
   }
 
-  private def literal(f: PartitionFilter): Option[Comparable[Any]] =
-    StatsRange.literal(schema, f.field, f.values.head, f.typed.headOption)
-
   /** Concurrent footer pruning over many candidate files: one small ranged
     * read each, latency-bound on object stores — issue them on a bounded
     * pool instead of serially on the driver (the reference prunes footers
@@ -121,17 +166,25 @@ final class FilePruner(
     else graft.util.Parallel.map(items, parallelism)(a => (a, shouldInclude(fileOf(a))))
       .collect { case (a, true) => a }
 
-  /** Whether `file` may contain matching rows (fail-open). */
+  /** Whether `file` may contain matching rows (fail-open). The footer is
+    * read only when the index maps don't already cover what the filters
+    * need — an index-covered file prunes with ZERO per-file IO.
+    */
   def shouldInclude(file: BaseFile): Boolean = {
     if (isTrivial) return true
     try {
-      val stats = preStats.getOrElse(file.fileName, fileStats(file.path))
-      relevant.forall { f =>
-        (stats.get(f.field), literal(f)) match {
-          case (Some((mn, mx)), Some(v)) => StatsRange.allows(f.op, v, mn, mx)
-          case _ => true
-        }
-      }
+      val needFooter =
+        (relevant.nonEmpty && !preStats.contains(file.fileName)) ||
+          (isNullFilters.nonEmpty && !preZeroNulls.contains(file.fileName))
+      val footer =
+        if (needFooter) fileStats(file.path)
+        else FooterFacts(Map.empty, Set.empty, Set.empty)
+      val ranges = preStats.getOrElse(file.fileName, footer.ranges)
+      val zero = preZeroNulls.getOrElse(file.fileName, footer.zeroNulls)
+      relevant.forall(f => StatsRange.permits(schema, f, ranges)) &&
+        nullFilters.forall(f =>
+          if (f.op == "isnull") !zero.contains(f.field)
+          else !footer.allNulls.contains(f.field))
     } catch { case _: Exception => true }
   }
 }
@@ -143,7 +196,41 @@ final class FilePruner(
   */
 object StatsRange {
 
-  val PrunableOps: Set[String] = Set("=", "!=", "<", "<=", ">", ">=")
+  val PrunableOps: Set[String] = Set("=", "!=", "<", "<=", ">", ">=", "in", "not in")
+
+  /** Whether a column extent map may contain a row satisfying `f` — the
+    * shared dispatch for [[FilePruner]] (per-file ranges) and
+    * [[StatsPartitionPruner]] (per-partition ranges), now covering the
+    * multi-valued ops: IN prunes when NO list value lands inside the
+    * extent (any uncastable value fails open — it might match); NOT IN
+    * prunes only a constant extent (min == max) whose single value is in
+    * the list (uncastable values are simply ignored — fewer prunes,
+    * never more). Rows that are NULL match neither IN nor NOT IN, so
+    * both proofs hold with nulls present. The reference models the same
+    * list ops via arrow casts (expr/filter.rs:376-384).
+    */
+  def permits(
+      schema: StructType, f: PartitionFilter,
+      ranges: Map[String, (Comparable[Any], Comparable[Any])]): Boolean =
+    ranges.get(f.field) match {
+      case None => true
+      case Some((mn, mx)) =>
+        def lit(i: Int): Option[Comparable[Any]] =
+          literal(schema, f.field, f.values(i), f.typed.lift(i))
+        f.op match {
+          case "in" =>
+            val ls = f.values.indices.map(lit)
+            ls.exists(_.isEmpty) || ls.flatten.exists(v => allows("=", v, mn, mx))
+          case "not in" =>
+            val ls = f.values.indices.flatMap(lit(_))
+            try !(mn.compareTo(mx) == 0 && ls.exists(_.compareTo(mn) == 0))
+            catch { case _: ClassCastException => true }
+          case op => lit(0) match {
+            case Some(v) => allows(op, v, mn, mx)
+            case None => true
+          }
+        }
+    }
 
   /** Cast a filter literal to the representation footer/MDT statistics
     * expose for the column's declared type: epoch-day Int for dates,

@@ -170,12 +170,6 @@ final class StatsPartitionPruner(
 
   override def shouldInclude(path: String): Boolean =
     inner.shouldInclude(path) && (relevant.isEmpty || stats.get(path).forall { ranges =>
-      relevant.forall { f =>
-        (ranges.get(f.field),
-            StatsRange.literal(schema, f.field, f.values.head, f.typed.headOption)) match {
-          case (Some((mn, mx)), Some(v)) => StatsRange.allows(f.op, v, mn, mx)
-          case _ => true
-        }
-      }
+      relevant.forall(f => StatsRange.permits(schema, f, ranges))
     })
 }

@@ -247,6 +247,15 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       case sources.LessThan(a, v) => mk(a, "<", Seq(v))
       case sources.LessThanOrEqual(a, v) => mk(a, "<=", Seq(v))
       case sources.In(a, vs) => mk(a, "in", vs.toSeq)
+      // `!=`-heavy ops queries arrive as Not-wrapped pushdowns; stats
+      // pruning proves exclusion for a constant extent (min == max).
+      // The reference models NOT IN the same way (expr/filter.rs:376-384).
+      case sources.Not(sources.EqualTo(a, v)) => mk(a, "!=", Seq(v))
+      case sources.Not(sources.In(a, vs)) if vs.nonEmpty => mk(a, "not in", vs.toSeq)
+      // Null predicates carry no literal; the pruner serves them from
+      // null COUNTS (index nullCount / footer numNulls), never ranges.
+      case sources.IsNull(a) => Some(PartitionFilter(a, "isnull", Nil))
+      case sources.IsNotNull(a) => Some(PartitionFilter(a, "isnotnull", Nil))
       case _ => None
     }
   }
@@ -541,7 +550,7 @@ class GraftScan(
       // Same base-only safety gate as the snapshot branch.
       if (planned.forall(s => !s.hasLogFiles && s.baseFile.isDefined) && simpleFilters.nonEmpty) {
         val filePruner = new graft.fs.FilePruner(simpleFilters, hudi.tableSchema,
-          hudi.hadoopConf, hudi.columnStatsForPruning)
+          hudi.hadoopConf, hudi.columnStatsForPruning, hudi.columnStatsZeroNulls)
         filePruner.filterIncluded(planned)(_.baseFile.get).toVector
       } else planned
     } else asOf.orElse(hudi.timeline.latestCommitTimestamp) match {
@@ -569,7 +578,7 @@ class GraftScan(
         // the reference's safety gate at table/mod.rs:486-491)
         if (planned.forall(s => !s.hasLogFiles && s.baseFile.isDefined) && simpleFilters.nonEmpty) {
           val filePruner = new graft.fs.FilePruner(simpleFilters, hudi.tableSchema,
-            hudi.hadoopConf, hudi.columnStatsForPruning)
+            hudi.hadoopConf, hudi.columnStatsForPruning, hudi.columnStatsZeroNulls)
           filePruner.filterIncluded(planned)(_.baseFile.get).toVector
         } else planned
     }

@@ -69,6 +69,16 @@ final case class ColumnStatsLookup(
       .toVector.groupBy(_._1)
       .collect { case (f, vs) if vs.map(_._2).distinct.size == 1 => f -> vs.head._2 }
 
+  /** fileName → columns with PROVEN zero nulls (`nullCount == 0` —
+    * unambiguous under every public valueCount interpretation). Feeds
+    * `IS NULL` pruning: such a file cannot contain a matching row. A
+    * file appears as a key even when no column qualifies, marking it
+    * index-COVERED so the pruner skips the footer read for it.
+    */
+  lazy val zeroNullCols: Map[String, Set[String]] =
+    entries.groupBy(_.fileName).view.mapValues(es =>
+      es.filter(_.nullCount.contains(0L)).map(_.columnName).toSet).toMap
+
   private def statsMap(
       es: Vector[ColumnStatEntry]
   ): Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =

@@ -88,6 +88,13 @@ final class HudiTable(
   lazy val columnStatsRowCounts: Map[String, Long] =
     columnStatsLookup.map(_.rowCounts).getOrElse(Map.empty)
 
+  /** fileName → zero-null-proven columns from the index — `IS NULL`
+    * file pruning without footer reads (see
+    * [[ColumnStatsLookup.zeroNullCols]]).
+    */
+  lazy val columnStatsZeroNulls: Map[String, Set[String]] =
+    columnStatsLookup.map(_.zeroNullCols).getOrElse(Map.empty)
+
   /** Partition-level ranges from the MDT `partition_stats` partition
     * (partitionPath → column → (min, max)) when advertised — feeds
     * [[graft.fs.StatsPartitionPruner]] so data-column predicates prune

@@ -77,6 +77,83 @@ class FilePrunerSpec extends AnyFunSuite {
       c(new java.math.BigDecimal("1.00")), c(new java.math.BigDecimal("9.99"))))
   }
 
+  test("permits: IN prunes when no list value lands in the extent") {
+    def c(x: Any) = x.asInstanceOf[Comparable[Any]]
+    val ranges = Map("i" -> (c(Int.box(10)), c(Int.box(20))))
+    // all values outside -> prune
+    assert(!StatsRange.permits(schema,
+      PartitionFilter("i", "in", Seq("1", "5", "30")), ranges))
+    // one value inside -> keep
+    assert(StatsRange.permits(schema,
+      PartitionFilter("i", "in", Seq("1", "15")), ranges))
+    // an uncastable value might match -> fail open
+    assert(StatsRange.permits(schema,
+      PartitionFilter("i", "in", Seq("1", "abc")), ranges))
+  }
+
+  test("permits: NOT IN prunes only a constant extent whose value is listed") {
+    def c(x: Any) = x.asInstanceOf[Comparable[Any]]
+    val const = Map("i" -> (c(Int.box(7)), c(Int.box(7))))
+    val range = Map("i" -> (c(Int.box(7)), c(Int.box(9))))
+    assert(!StatsRange.permits(schema,
+      PartitionFilter("i", "not in", Seq("7", "8")), const))
+    assert(StatsRange.permits(schema,
+      PartitionFilter("i", "not in", Seq("8")), const))
+    // non-constant extent: other values may survive the NOT IN
+    assert(StatsRange.permits(schema,
+      PartitionFilter("i", "not in", Seq("7", "8", "9")), range))
+    // uncastable values are ignored (fewer prunes, never more)
+    assert(!StatsRange.permits(schema,
+      PartitionFilter("i", "not in", Seq("abc", "7")), const))
+    // != is the single-value form
+    assert(!StatsRange.permits(schema, PartitionFilter("i", "!=", Seq("7")), const))
+    assert(StatsRange.permits(schema, PartitionFilter("i", "!=", Seq("7")), range))
+  }
+
+  test("FilePruner: IS NULL prunes zero-null files; IS NOT NULL prunes all-null (footer)") {
+    val dir = java.nio.file.Files.createTempDirectory("nullprune").toFile
+    dir.deleteOnExit()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // write one parquet with a zero-null column and an all-null column
+    val sch = new org.apache.parquet.schema.MessageType("r",
+      org.apache.parquet.schema.Types.optional(
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64).named("full"),
+      org.apache.parquet.schema.Types.optional(
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64).named("empty"))
+    val path = new org.apache.hadoop.fs.Path(dir.getAbsolutePath, "f1_0-0-0_t1.parquet")
+    val gc = new org.apache.parquet.example.data.simple.SimpleGroupFactory(sch)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(
+      org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf))
+      .withType(sch).build()
+    (1L to 10L).foreach(i => w.write(gc.newGroup().append("full", i)))
+    w.close()
+    val pruneSchema = StructType(Seq(
+      StructField("full", LongType), StructField("empty", LongType)))
+    val bf = BaseFile("f1", "0-0-0", "t1", None, "parquet", path.toString, 0L)
+    // IS NULL on the zero-null column -> prune
+    assert(!new FilePruner(Seq(PartitionFilter("full", "isnull", Nil)),
+      pruneSchema, conf).shouldInclude(bf))
+    // IS NULL on the all-null column -> keep
+    assert(new FilePruner(Seq(PartitionFilter("empty", "isnull", Nil)),
+      pruneSchema, conf).shouldInclude(bf))
+    // IS NOT NULL alone never reads a footer -> fail open (include)
+    assert(new FilePruner(Seq(PartitionFilter("empty", "isnotnull", Nil)),
+      pruneSchema, conf).shouldInclude(bf))
+    // ... but prunes opportunistically when a range filter read it anyway
+    assert(!new FilePruner(Seq(
+      PartitionFilter("empty", "isnotnull", Nil),
+      PartitionFilter("full", ">", Seq("0"), typed = Seq(Long.box(0L)))),
+      pruneSchema, conf).shouldInclude(bf))
+    // index-covered IS NULL decides without touching the (nonexistent) file
+    val ghost = BaseFile("g1", "0-0-0", "t1", None, "parquet", "/nonexistent/g.parquet", 0L)
+    assert(!new FilePruner(Seq(PartitionFilter("full", "isnull", Nil)),
+      pruneSchema, conf, preZeroNulls = Map(ghost.fileName -> Set("full")))
+      .shouldInclude(ghost))
+    assert(new FilePruner(Seq(PartitionFilter("empty", "isnull", Nil)),
+      pruneSchema, conf, preZeroNulls = Map(ghost.fileName -> Set("full")))
+      .shouldInclude(ghost))
+  }
+
   test("cross-type comparisons fail open, never throw") {
     // an Integer literal against (Long, Long) stats: ClassCastException
     // inside allows must surface as "may match"

@@ -430,6 +430,26 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(got.getLong(0) == exp.getLong(0) && got.getLong(1) == exp.getLong(1))
   }
 
+  test("IN and IS NULL predicates prune slices through the stats index") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val range = graft.fixtures.HudiFixtureBuilder.rangePath(sfDir)
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+    val mn = base.agg(org.apache.spark.sql.functions.min(col("o_orderkey"))).head.getLong(0)
+    // IN with both values inside the first key quartile -> one slice
+    val in = spark.read.format("hudi-graft").load(range)
+      .filter(col("o_orderkey").isin(mn, mn + 1))
+    assert(in.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"IN did not prune: ${in.queryExecution.executedPlan}")
+    assert(in.count() == base.filter(col("o_orderkey").isin(mn, mn + 1)).count())
+    // IS NULL on the zero-null key column -> every slice pruned
+    val isNull = spark.read.format("hudi-graft").load(range)
+      .filter(col("o_orderkey").isNull)
+    assert(isNull.queryExecution.executedPlan.toString().contains("0 slices"),
+      s"IS NULL did not prune: ${isNull.queryExecution.executedPlan}")
+    assert(isNull.count() == 0)
+  }
+
   test("index-covered COUNT(*)+MIN/MAX aggregates read zero parquet footers") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count, max, min}
