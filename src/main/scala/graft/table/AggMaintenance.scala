@@ -201,10 +201,11 @@ object AggMaintenance {
     * Falls back to the scan path when the index is absent or unreadable
     * (structural errors from [[RecordIndex.lookup]] are caught here),
     * the key is composite (the index stores encoded composite keys this
-    * fixture surface doesn't build), the batch's distinct-key count
-    * exceeds `maxIndexedKeys` (a batch touching most of the table is
-    * better served by the scan plan anyway), or the index's freshness
-    * can't be proven sound for `start`-time pre-images:
+    * fixture surface doesn't build), or the index's freshness can't be
+    * proven sound for `start`-time pre-images. A batch whose distinct-key
+    * count exceeds `maxIndexedKeys` stays indexed but switches to the
+    * DISTRIBUTED lookup regime — keys shuffle to executors by index file
+    * group instead of collecting on the driver:
     *
     *  - the index must have been written at a commit in `[start, end]` —
     *    an index behind `start` misses keys inserted before `start`
@@ -249,15 +250,31 @@ object AggMaintenance {
     // row instead of a separate count() execution of the whole batch
     val cap = math.min(maxIndexedKeys, (Int.MaxValue - 2).toLong).toInt
     val keyRows = batch.select(col(keyCol).cast(StringType)).distinct().take(cap + 1)
-    if (keyRows.length > cap) return scanPath()
-    val keyStrings = keyRows.toSeq.map(_.getString(0))
+    val overCap = keyRows.length > cap
 
-    val lookedUp =
-      try RecordIndex.lookup(t.basePath, keyStrings, t.hadoopConf)
-      catch { case scala.util.control.NonFatal(_) => return scanPath() }
-    if (!indexFreshnessSound(lookedUp.asOf, start, end)) return scanPath()
-    val groups: Map[String, Set[String]] = lookedUp.entries.values
-      .groupBy(_.partitionPath).view.mapValues(_.map(_.fileId).toSet).toMap
+    // Over the driver cap the key set never collects: keys shuffle to
+    // executor tasks by their index file group ([[RecordIndex
+    // .lookupDistributed]]) and only the DISTINCT touched file groups —
+    // bounded by the table's file count, not the batch's key count —
+    // come back for planning. Under the cap the driver point-lookup is
+    // cheaper (no shuffle, no job).
+    val (lookedUpAsOf, groups): (String, Map[String, Set[String]]) =
+      try {
+        if (overCap) {
+          import t.spark.implicits._
+          val keyDs = batch.select(col(keyCol).cast(StringType)).distinct().as[String]
+          val (asOf, entries) = RecordIndex.lookupDistributed(t.basePath, keyDs, t.hadoopConf)
+          val gs = entries.select("partitionPath", "fileId").distinct().collect()
+            .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+          (asOf, gs)
+        } else {
+          val lookedUp = RecordIndex.lookup(t.basePath, keyRows.toSeq.map(_.getString(0)),
+            t.hadoopConf)
+          (lookedUp.asOf, lookedUp.entries.values
+            .groupBy(_.partitionPath).view.mapValues(_.map(_.fileId).toSet).toMap)
+        }
+      } catch { case scala.util.control.NonFatal(_) => return scanPath() }
+    if (!indexFreshnessSound(lookedUpAsOf, start, end)) return scanPath()
     // with the gates above proven: a key absent from the index has no
     // pre-image at `start` (no delete or relocation can hide one), and a
     // key located in a group born AFTER `start` was inserted in-window

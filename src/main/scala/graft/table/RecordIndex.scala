@@ -64,14 +64,106 @@ object RecordIndex {
     config.getOrElse("hoodie.table.metadata.partitions", "")
       .split(",").map(_.trim).contains(PartitionName)
 
+  /** Hudi's record-key → MDT file-group mapping (the public
+    * HoodieTableMetadataUtil.mapRecordKeyToFileGroupIndex: a
+    * 31-polynomial string hash — java String.hashCode — twice-abs'd, mod
+    * the partition's file-group count). Validated against the reference's
+    * real v8 trips bytes: every live key decodes from exactly its mapped
+    * group (`RecordIndexSpec`). This is what lets a lookup probe ONE
+    * index file group per key and a distributed lookup shuffle keys so
+    * each index group is read once cluster-wide.
+    */
+  def fileGroupIndex(key: String, numFileGroups: Int): Int = {
+    var h = 0
+    var i = 0
+    while (i < key.length) { h = 31 * h + key.charAt(i); i += 1 }
+    math.abs(math.abs(h) % numFileGroups)
+  }
+
+  /** Parse the group ordinal from an MDT index file id
+    * (`record-index-%04d-%d`); None on any other shape.
+    */
+  def groupIndexOf(fileId: String): Option[Int] = {
+    val m = GroupIdPattern.matcher(fileId)
+    if (m.matches()) Some(m.group(1).toInt) else None
+  }
+  private val GroupIdPattern = java.util.regex.Pattern.compile(".*-(\\d{4})-\\d+")
+
+  /** The serializable probe unit: one index slice's file PATHS. */
+  final case class SliceFiles(base: Option[String], logs: Seq[String])
+
+  /** slice → group ordinal mapping when it is PROVABLY aligned with
+    * [[fileGroupIndex]]: every slice's file id parses and the group
+    * ordinals are exactly 0..n-1 with n = slice count. Any gap (an
+    * unmaterialized group would shrink the modulus and silently misroute
+    * keys) returns None and callers probe every slice.
+    */
+  private def alignedGroups(slices: Vector[graft.fs.FileSlice]): Option[Map[Int, SliceFiles]] = {
+    val parsed = slices.flatMap(sl => groupIndexOf(sl.fileId).map(g =>
+      g -> SliceFiles(sl.baseFile.map(_.path), sl.logFiles.sortBy(_.orderingKey).map(_.path))))
+    if (parsed.size == slices.size &&
+        parsed.map(_._1).sorted == (0 until slices.size))
+      Some(parsed.toMap)
+    else None
+  }
+
+  /** Probe ONE index slice (base HFile point lookups + HFile log-block
+    * overlay in commit order) for `keys` — the per-slice unit shared by
+    * the driver-side [[lookup]] and the executor-side
+    * [[lookupDistributed]]. Throws on structural problems (callers
+    * translate to their fallback).
+    */
+  private[table] def probeSlice(
+      files: SliceFiles,
+      upTo: String,
+      keys: Seq[String],
+      conf: Configuration): Iterator[(String, Option[RecordIndexEntry])] = {
+    def readFully(p: String): Array[Byte] = graft.util.ReadFully(new Path(p), conf)
+    val out = mutable.Map.empty[String, Option[RecordIndexEntry]]
+    val range = InstantRange.upTo(upTo)
+    var datumReader: GenericDatumReader[GenericRecord] = null
+    def readerFor(json: Option[String]): GenericDatumReader[GenericRecord] = {
+      if (datumReader == null) {
+        val schema = new AvroSchema.Parser().parse(json.getOrElse(
+          throw new IllegalStateException("record-index HFile carries no avro schema")))
+        // one datum reader + decoder pair reused across the whole batch (a
+        // per-record GenericDatumReader is pure allocation overhead)
+        datumReader = new GenericDatumReader[GenericRecord](schema)
+      }
+      datumReader
+    }
+    for (basePath <- files.base) {
+      val baseReader = new HFileReader(readFully(basePath))
+      val dr = readerFor(baseReader.avroSchemaJson)
+      for ((k, rec) <- baseReader.lookup(keys))
+        out(k) = decode(k, rec.value, rec.isDeleted, dr)
+    }
+    // log overlay in commit order: last writer wins per key
+    val wanted = keys.toSet
+    for (lf <- files.logs) {
+      val blocks = LogFileParser.applyRollbacks(
+        LogFileParser.parse(readFully(lf), range))
+      for (b <- blocks if b.blockType == LogFormat.HfileDataBlock && b.rawContent.nonEmpty) {
+        val logReader = new HFileReader(b.rawContent)
+        val dr = readerFor(logReader.avroSchemaJson)
+        for (rec <- logReader.records if wanted.contains(rec.key))
+          out(rec.key) = decode(rec.key, rec.value, rec.isDeleted, dr)
+      }
+    }
+    out.iterator
+  }
+
   /** Look up `keys` in the record index at `<dataTableBase>/.hoodie/
     * metadata/record_index`, read as of the MDT's latest completed
     * commit (returned as [[RecordIndexLookup.asOf]] so callers can gate
     * on index freshness). `entries` holds only the keys found;
-    * tombstoned keys are absent. Throws on structural problems — an
-    * advertised-but-unreadable index (empty MDT timeline, missing slice,
-    * schema-less HFile) must surface, never read as "no pre-images";
-    * callers catch and fall back to a scan-based plan.
+    * tombstoned keys are absent. When the slice set provably aligns with
+    * the key-hash mapping, each key probes only its mapped group (one
+    * floor-block seek instead of one per group); otherwise every slice
+    * is probed. Throws on structural problems — an advertised-but-
+    * unreadable index (empty MDT timeline, missing slice, schema-less
+    * HFile) must surface, never read as "no pre-images"; callers catch
+    * and fall back to a scan-based plan.
     */
   def lookup(
       dataTableBase: String,
@@ -80,35 +172,63 @@ object RecordIndex {
   ): RecordIndexLookup = {
     val (latest, slices) = MetadataTable.openPartition(dataTableBase, PartitionName, hadoopConf)
     if (keys.isEmpty) return RecordIndexLookup(latest, Map.empty)
-
-    def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
-
     val out = mutable.Map.empty[String, Option[RecordIndexEntry]]
-    val range = InstantRange.upTo(latest)
-    for (slice <- slices) {
-      val baseFile = slice.baseFile.getOrElse(
-        throw new IllegalStateException(s"$PartitionName slice lacks a base HFile: $slice"))
-      val baseReader = new HFileReader(readFully(new Path(baseFile.path)))
-      val schema = new AvroSchema.Parser().parse(baseReader.avroSchemaJson.getOrElse(
-        throw new IllegalStateException("record-index base HFile carries no avro schema")))
-      // one datum reader + decoder pair reused across the whole batch (a
-      // per-record GenericDatumReader is pure allocation overhead)
-      val datumReader = new GenericDatumReader[GenericRecord](schema)
-      for ((k, rec) <- baseReader.lookup(keys))
-        out(k) = decode(k, rec.value, rec.isDeleted, datumReader)
-      // log overlay in commit order: last writer wins per key
-      val wanted = keys.toSet
-      for (lf <- slice.logFiles.sortBy(_.orderingKey)) {
-        val blocks = LogFileParser.applyRollbacks(
-          LogFileParser.parse(readFully(new Path(lf.path)), range))
-        for (b <- blocks if b.blockType == LogFormat.HfileDataBlock && b.rawContent.nonEmpty) {
-          val logReader = new HFileReader(b.rawContent)
-          for (rec <- logReader.records if wanted.contains(rec.key))
-            out(rec.key) = decode(rec.key, rec.value, rec.isDeleted, datumReader)
+    alignedGroups(slices) match {
+      case Some(byGroup) =>
+        val n = byGroup.size
+        for ((g, ks) <- keys.groupBy(fileGroupIndex(_, n)); kv <- probeSlice(byGroup(g), latest, ks, hadoopConf))
+          out += kv
+      case None =>
+        for (slice <- slices) {
+          if (slice.baseFile.isEmpty && slice.logFiles.isEmpty)
+            throw new IllegalStateException(s"$PartitionName slice has no files: $slice")
+          val files = SliceFiles(slice.baseFile.map(_.path),
+            slice.logFiles.sortBy(_.orderingKey).map(_.path))
+          for (kv <- probeSlice(files, latest, keys, hadoopConf)) out += kv
         }
-      }
     }
     RecordIndexLookup(latest, out.collect { case (k, Some(e)) => k -> e }.toMap)
+  }
+
+  /** Distributed lookup for planning-oversized key sets: `keys` shuffle
+    * by their mapped group, one executor task probes one index file
+    * group, and each group's HFiles are read ONCE cluster-wide — no
+    * driver collect of the key set (the 4M-key driver cap this lifts
+    * lives in [[AggMaintenance.maintainCountSumIndexed]]). Requires a
+    * provably hash-aligned slice set; throws otherwise (callers fall
+    * back, same contract as [[lookup]]). Returns the MDT as-of commit
+    * and a Dataset of found entries.
+    */
+  /** Observability: number of distributed lookups planned (driver-side,
+    * monotonic) — regime tests assert which path served a maintenance
+    * run.
+    */
+  val distributedLookups = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def lookupDistributed(
+      dataTableBase: String,
+      keys: org.apache.spark.sql.Dataset[String],
+      hadoopConf: Configuration
+  ): (String, org.apache.spark.sql.Dataset[RecordIndexEntry]) = {
+    distributedLookups.incrementAndGet()
+    val (latest, slices) = MetadataTable.openPartition(dataTableBase, PartitionName, hadoopConf)
+    val byGroup = alignedGroups(slices).getOrElse(throw new IllegalStateException(
+      s"$PartitionName slices are not hash-aligned (${slices.map(_.fileId)}); " +
+        "distributed lookup would misroute keys"))
+    val n = byGroup.size
+    val spark = keys.sparkSession
+    val serConf = new graft.util.SerializableConf(hadoopConf)
+    val bc = spark.sparkContext.broadcast(byGroup)
+    import spark.implicits._
+    val entries = keys
+      .groupByKey(k => fileGroupIndex(k, n))
+      .flatMapGroups { (g: Int, it: Iterator[String]) =>
+        // distinct within the group: upstream need not dedupe
+        val ks = it.toSet.toSeq
+        probeSlice(bc.value(g), latest, ks, serConf.value)
+          .collect { case (_, Some(e)) => e }
+      }
+    (latest, entries)
   }
 
   /** Decode one HoodieMetadataRecord's `recordIndexMetadata` branch.

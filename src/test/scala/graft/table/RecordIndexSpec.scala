@@ -134,12 +134,59 @@ class RecordIndexSpec extends SparkTestBase {
     } finally fs.delete(dst, true)
   }
 
-  test("the key-count gate falls back to the scan path") {
-    val viaFallback = AggMaintenance.maintainCountSumIndexed(
+  test("over-cap batches switch to the distributed lookup regime, bit-identical") {
+    // maxIndexedKeys=1 forces the over-cap branch: keys shuffle to
+    // executors by index file group instead of collecting on the driver
+    val before = RecordIndex.distributedLookups.get()
+    val distributed = AggMaintenance.maintainCountSumIndexed(
       table, HudiFixtureBuilder.T1, HudiFixtureBuilder.T2, "o_orderstatus", "o_totalprice",
       maxIndexedKeys = 1)
+    val distRows = distributed.collect().toSeq
+    assert(RecordIndex.distributedLookups.get() == before + 1,
+      "the tiny cap must have routed through the distributed lookup")
     val scan = AggMaintenance.maintainCountSum(
       table, HudiFixtureBuilder.T1, HudiFixtureBuilder.T2, "o_orderstatus", "o_totalprice")
-    assert(viaFallback.collect().toSeq == scan.collect().toSeq)
+    assert(distRows == scan.collect().toSeq)
+    // and the driver-lookup regime (default cap) agrees too
+    val driver = AggMaintenance.maintainCountSumIndexed(
+      table, HudiFixtureBuilder.T1, HudiFixtureBuilder.T2, "o_orderstatus", "o_totalprice")
+    assert(distRows == driver.collect().toSeq)
+  }
+
+  test("distributed lookup equals the driver lookup on the fixture") {
+    import spark.implicits._
+    val keys = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").cast("string")).as[String]
+    val (asOf, entries) = RecordIndex.lookupDistributed(
+      table.basePath, keys, table.hadoopConf)
+    val dist = entries.collect().map(e => e.key -> ((e.partitionPath, e.fileId))).toMap
+    val drv = RecordIndex.lookup(table.basePath, keys.collect().toSeq, table.hadoopConf)
+    assert(asOf == drv.asOf)
+    assert(dist == drv.entries.view.mapValues(e => (e.partitionPath, e.fileId)).toMap)
+    assert(dist.nonEmpty)
+  }
+
+  // ---- real-bytes validation of the key→file-group hash ----------------
+
+  test("real trips bytes: every live key resolves through its mapped group only") {
+    val trips = Fixtures.table(
+      "quickstart_trips_table/mor/avro/v8_trips_8i3u1d.zip", "v8_trips_8i3u1d")
+    assume(trips.isDefined)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val t = HudiTable(spark, trips.get)
+    // ground truth: the record keys actually present in the table
+    val keys = t.snapshot().select("_hoodie_record_key")
+      .collect().map(_.getString(0)).toSeq
+    assert(keys.nonEmpty)
+    // lookup() probes ONLY each key's hash-mapped group on an aligned
+    // slice set — a mapping mismatch with the real writer would MISS keys
+    val located = RecordIndex.lookup(trips.get, keys, conf).entries
+    assert(located.keySet == keys.toSet,
+      s"mapped-group lookup missed keys: ${keys.toSet -- located.keySet}")
+    // distributed path agrees entry-for-entry
+    import spark.implicits._
+    val (_, entries) = RecordIndex.lookupDistributed(trips.get, keys.toDS(), conf)
+    val dist = entries.collect().map(e => e.key -> ((e.partitionPath, e.fileId))).toMap
+    assert(dist == located.view.mapValues(e => (e.partitionPath, e.fileId)).toMap)
   }
 }
