@@ -50,6 +50,7 @@ object HudiFixtureBuilder {
   def partPath(sfDir: String): String = s"${root(sfDir)}/cow_part_nation"
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
   def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
+  def widenedPath(sfDir: String): String = s"${root(sfDir)}/cow_widened_nation"
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
   def clusteredPath(sfDir: String): String = s"${root(sfDir)}/cow_clustered"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
@@ -67,7 +68,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v12")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v14")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -142,6 +143,7 @@ object HudiFixtureBuilder {
           buildCowPartNation(spark, sfDir); own()
           buildCowDroppedNation(spark, sfDir); own()
           buildCowEvolvedNation(spark, sfDir); own()
+          buildCowWidenedNation(spark, sfDir); own()
           buildCowMdtNation(spark, sfDir); own()
           fs.create(marker, true).close()
           return
@@ -413,10 +415,13 @@ object HudiFixtureBuilder {
     writeCommit(fs, base, T3, "deltacommit", files3)
 
     // --- record_index MDT partition: every record key → its (partition,
-    // fileId) location, split over TWO index file groups by key parity so
-    // point lookups genuinely probe multiple slices. Partition 0's
-    // entries use fileIdEncoding=1 (raw string), the rest encoding=0
-    // (UUID high/low bits + fileIndex) — both public Hudi encodings.
+    // fileId) location, split over TWO index file groups by Hudi's real
+    // key-hash mapping (HoodieTableMetadataUtil.mapRecordKeyToFileGroupIndex
+    // — validated against the reference's real trips bytes) so mapped
+    // point lookups and the distributed group-shuffled lookup find every
+    // key. Partition 0's entries use fileIdEncoding=1 (raw string), the
+    // rest encoding=0 (UUID high/low bits + fileIndex) — both public
+    // Hudi encodings.
     val mdt = new Path(base, ".hoodie/metadata")
     fs.mkdirs(new Path(mdt, ".hoodie"))
     writeText(fs, new Path(mdt, ".hoodie/hoodie.properties"),
@@ -438,7 +443,8 @@ object HudiFixtureBuilder {
     val riDir = new Path(mdt, "record_index")
     fs.mkdirs(riDir)
     for (g <- 0 until 2) {
-      val records = keyLoc.filter(_._1 % 2 == g)
+      val records = keyLoc
+        .filter(kl => graft.table.RecordIndex.fileGroupIndex(kl._1.toString, 2) == g)
         .map { case (k, p, fid) =>
           k.toString -> recordIndexBytes(k.toString, p, fid, T1.toLong,
             rawEncoding = partIdx(p) == 0)
@@ -1015,6 +1021,71 @@ object HudiFixtureBuilder {
       "nation_record").toString
     writeText(fs, new Path(base, s".hoodie/$T2.commit"),
       commitJson(Seq((fileId(1), name2)), newAvro))
+  }
+
+  // --- COW over nation, TYPE-WIDENED at commit 2 --------------------------
+  // Hudi permits int→long and float→double widening across commits
+  // (public schema-evolution rules); the latest commit-metadata schema is
+  // authoritative (resolver.rs:41-47) and declares the WIDE types, so
+  // readers must upcast commit-1 files whose physical parquet types are
+  // still int32/float — on both the DataFrame path and the DSv2
+  // vectorized columnar delegate.
+  private def buildCowWidenedNation(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(widenedPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_widened_nation
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=n_nationkey
+        |hoodie.table.precombine.field=n_nationkey
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    def metaCols(commit: String, name: String) = Seq(
+      lit(commit).as("_hoodie_commit_time"),
+      concat(lit(commit), lit("_0_"), col("n_nationkey")).as("_hoodie_commit_seqno"),
+      col("n_nationkey").cast(StringType).as("_hoodie_record_key"),
+      lit("").as("_hoodie_partition_path"),
+      lit(name).as("_hoodie_file_name"))
+    def commitJson(files: Seq[(String, String)], avroSchema: String): String = {
+      val stats = files.map { case (fid, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","partitionPath":""}"""
+      }.mkString("[", ",", "]")
+      val esc = avroSchema.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"partitionToWriteStats":{"":$stats},"extraMetadata":{"schema":"$esc"},"compacted":false}"""
+    }
+    // commit 1: file group 0 — NARROW physical types (pop int, score float)
+    val name1 = s"${fileId(0)}_${Token}_$T1.parquet"
+    val narrow = src.filter(col("n_nationkey") % 2 === 0)
+      .select(metaCols(T1, name1) ++ Seq(
+        col("n_nationkey"), col("n_name"),
+        (col("n_nationkey") * 1000 + 7).cast(IntegerType).as("pop"),
+        (col("n_nationkey") * 0.25).cast(FloatType).as("score")): _*)
+    writeBaseFile(spark, narrow, base, name1)
+    val narrowAvro = SparkToAvro.toAvroSchema(
+      StructType(Seq(StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("pop", IntegerType), StructField("score", FloatType))),
+      "nation_record").toString
+    writeText(fs, new Path(base, s".hoodie/$T1.commit"),
+      commitJson(Seq((fileId(0), name1)), narrowAvro))
+    // commit 2: file group 1 — WIDE physical types, values past int range
+    val name2 = s"${fileId(1)}_${Token}_$T2.parquet"
+    val wide = src.filter(col("n_nationkey") % 2 === 1)
+      .select(metaCols(T2, name2) ++ Seq(
+        col("n_nationkey"), col("n_name"),
+        (lit(5000000000L) + col("n_nationkey")).cast(LongType).as("pop"),
+        (col("n_nationkey") * 0.25).cast(DoubleType).as("score")): _*)
+    writeBaseFile(spark, wide, base, name2)
+    val wideAvro = SparkToAvro.toAvroSchema(
+      StructType(Seq(StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("pop", LongType), StructField("score", DoubleType))),
+      "nation_record").toString
+    writeText(fs, new Path(base, s".hoodie/$T2.commit"),
+      commitJson(Seq((fileId(1), name2)), wideAvro))
   }
 
   // --- COW over nation, v8 + metadata-table `files` partition ------------

@@ -475,6 +475,25 @@ object HudiQueries {
         |  CASE WHEN n_nationkey % 2 = 1 THEN n_regionkey END AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // Type WIDENING across commits (int→long, float→double): the latest
+    // commit-metadata schema declares the wide types; commit-1 files'
+    // physical int32/float columns must upcast on read — through the DSv2
+    // vectorized columnar path here (commit-2 values exceed Int range, so
+    // a reader that silently kept the narrow type would overflow, and the
+    // hash would diverge if any row skipped the upcast).
+    "hudi_schema_widened" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.widenedPath(d))
+          .select("n_nationkey", "n_name", "pop", "score")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_nationkey*1000+7 AS BIGINT)
+        |       ELSE 5000000000 + n_nationkey END AS pop,
+        |  CAST(n_nationkey AS DOUBLE)/4 AS score
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     // --- S8/S11/M7 end-to-end: snapshot planned through the metadata
     // table's files partition (HFile base). The fixture plants an orphan
     // base file that only a raw storage listing would surface — the hash

@@ -526,6 +526,25 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(all.count() == spark.read.parquet(s"$sfDir/orders.parquet").count())
   }
 
+  test("type-widened tables upcast narrow old files on both read paths") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val p = graft.fixtures.HudiFixtureBuilder.widenedPath(sfDir)
+    val dsv2 = spark.read.format("hudi-graft").load(p)
+      .select("n_nationkey", "pop", "score").orderBy("n_nationkey")
+    // resolved schema = latest commit metadata's WIDE types
+    assert(dsv2.schema("pop").dataType == LongType)
+    assert(dsv2.schema("score").dataType == DoubleType)
+    val viaTable = graft.table.HudiTable(spark, p).snapshot()
+      .select("n_nationkey", "pop", "score").orderBy("n_nationkey")
+    assert(dsv2.collect().toSeq == viaTable.collect().toSeq)
+    for (r <- dsv2.collect()) {
+      val k = r.getInt(0)
+      assert(r.getLong(1) == (if (k % 2 == 0) k * 1000L + 7 else 5000000000L + k))
+      assert(r.getDouble(2) == k * 0.25)
+    }
+  }
+
   test("MIN/MAX on a dropped partition column falls back to a real scan") {
     // P6: with drop.partition.columns=true the parquet files carry no
     // chunks for the partition column — a footer pushdown would misread
