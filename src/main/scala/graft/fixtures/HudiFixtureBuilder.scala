@@ -56,6 +56,7 @@ object HudiFixtureBuilder {
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
+  def bloomPath(sfDir: String): String = s"${root(sfDir)}/cow_bloom_orders"
   def sidxPath(sfDir: String): String = s"${root(sfDir)}/cow_sidx_orders"
 
   /** File groups per partition — multiple slices per partition is the
@@ -68,7 +69,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v14")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v15")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -137,6 +138,7 @@ object HudiFixtureBuilder {
           buildMorLogOnly(spark, sfDir); own()
           buildCowClustered(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
+          buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
           buildCowPartStatsOrders(spark, sfDir); own()
           buildCowSecondaryIndexOrders(spark, sfDir); own()
@@ -574,6 +576,103 @@ object HudiFixtureBuilder {
     val out = fs.create(new Path(csDir, s"col-stats-0000-0_${Token}_$T1.hfile"), true)
     out.write(bytes)
     out.close()
+  }
+
+  // --- COW, non-partitioned, MODULO-split groups + bloom_filters MDT -----
+  // T1 commit: 4 file groups holding o_orderkey % 4 residue classes —
+  // every group's key RANGE spans the whole table, so min/max stats can
+  // never prune an equality probe; only the per-file BLOOM can (the
+  // data-skipping tier column_stats cannot replace). The MDT
+  // bloom_filters partition carries one real hadoop murmur bloom per
+  // file (Hudi's SIMPLE type serialization) over the group's record-key
+  // strings, keyed by the hashed (partition, file) index key.
+  private def buildCowBloomOrders(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(bloomPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeProperties(fs, base, "cow_bloom_orders", "COPY_ON_WRITE", None, hiveStyle = false,
+      extraProps = "hoodie.table.metadata.partitions=bloom_filters\n")
+    val src0 = orders(spark, sfDir)
+    val src = src0.withColumn("__part", lit(""))
+    val dataAvro = Some(SparkToAvro.toAvroSchema(src0.schema, "orders_record").toString)
+    val grpExpr = (col("o_orderkey") % 4).cast("int")
+    val files1 = (0 until 4).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T1.parquet"
+      writeBaseFile(spark,
+        withMeta(src.filter(grpExpr === g).withColumn("__commit", lit(T1)), "__part", lit(name)),
+        base, name)
+      ("", fileId(g), name)
+    }
+    writeCommit(fs, base, T1, "commit", files1, dataAvro)
+
+    val keysByGroup = src0.select((col("o_orderkey") % 4).cast("int").as("g"),
+        col("o_orderkey").cast(StringType).as("k"))
+      .collect().groupBy(_.getInt(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+
+    val mdt = new Path(base, ".hoodie/metadata")
+    fs.mkdirs(new Path(mdt, ".hoodie"))
+    writeText(fs, new Path(mdt, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_bloom_orders_metadata
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=key
+        |hoodie.table.base.file.format=HFILE
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin)
+    writeText(fs, new Path(mdt, s".hoodie/$T1.deltacommit"),
+      """{"partitionToWriteStats":{},"compacted":false}""")
+    val bfDir = new Path(mdt, "bloom_filters")
+    fs.mkdirs(bfDir)
+    val records = (0 until 4).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T1.parquet"
+      val key = graft.table.BloomFilterIndex.indexKey("", name)
+      key -> bloomFilterBytes(key,
+        graft.table.BloomFilterIndex.serializeBloom(keysByGroup.getOrElse(g, Nil)))
+    }.sortBy(_._1)
+    val bytes = graft.hfile.HFileWriter.write(
+      records.toIndexedSeq,
+      Map("schema" -> bloomFilterAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val out = fs.create(new Path(bfDir, s"bloom-filters-0000-0_${Token}_$T1.hfile"), true)
+    out.write(bytes)
+    out.close()
+  }
+
+  private val bloomFilterAvroSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"HoodieMetadataRecord","fields":[
+        |{"name":"key","type":"string"},
+        |{"name":"type","type":"int"},
+        |{"name":"BloomFilterMetadata","type":["null",
+        |  {"type":"record","name":"HoodieMetadataBloomFilter","fields":[
+        |    {"name":"type","type":"string"},
+        |    {"name":"timestamp","type":"string"},
+        |    {"name":"bloomFilter","type":"bytes"},
+        |    {"name":"isDeleted","type":"boolean"}]}],"default":null}
+        |]}""".stripMargin.replaceAll("\n", ""))
+
+  /** One serialized HoodieMetadataRecord in the BloomFilterMetadata
+    * shape (`recType` 4 = bloom_filters, records.rs:115-116).
+    */
+  private def bloomFilterBytes(key: String, bloomBytes: Array[Byte]): Array[Byte] = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val bmSchema = bloomFilterAvroSchema.getField("BloomFilterMetadata").schema().getTypes.get(1)
+    val rec = new GenericData.Record(bloomFilterAvroSchema)
+    rec.put("key", key)
+    rec.put("type", 4)
+    val bm = new GenericData.Record(bmSchema)
+    bm.put("type", "SIMPLE")
+    bm.put("timestamp", T1)
+    bm.put("bloomFilter", java.nio.ByteBuffer.wrap(bloomBytes))
+    bm.put("isDeleted", false)
+    rec.put("BloomFilterMetadata", bm)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = new GenericDatumWriter[GenericRecord](bloomFilterAvroSchema)
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    writer.write(rec, enc)
+    enc.flush()
+    out.toByteArray
   }
 
   // --- COW, non-partitioned, DATE-split file groups + column_stats MDT --

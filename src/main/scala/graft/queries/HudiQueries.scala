@@ -250,6 +250,10 @@ object HudiQueries {
         // micro-batch.
         val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
+        // AvailableNow drains never restart mid-history: retaining one
+        // checkpoint batch (not the 100 default) skips ~0.6s/entry of
+        // state-snapshot retention IO (DevStreamProfile measurement)
+        s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
         val q =
           try latest.writeStream.outputMode("append").format("memory")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -294,6 +298,10 @@ object HudiQueries {
         s.catalog.dropTempView(sink)
         val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
+        // AvailableNow drains never restart mid-history: retaining one
+        // checkpoint batch (not the 100 default) skips ~0.6s/entry of
+        // state-snapshot retention IO (DevStreamProfile measurement)
+        s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
         val q =
           try latest.writeStream.outputMode("append").format("memory")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -383,6 +391,10 @@ object HudiQueries {
         s.catalog.dropTempView(sink)
         val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
+        // AvailableNow drains never restart mid-history: retaining one
+        // checkpoint batch (not the 100 default) skips ~0.6s/entry of
+        // state-snapshot retention IO (DevStreamProfile measurement)
+        s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
         val q =
           try windowed.writeStream.outputMode("complete").format("memory")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -427,6 +439,10 @@ object HudiQueries {
         s.catalog.dropTempView(sink)
         val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
+        // AvailableNow drains never restart mid-history: retaining one
+        // checkpoint batch (not the 100 default) skips ~0.6s/entry of
+        // state-snapshot retention IO (DevStreamProfile measurement)
+        s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
         val q =
           try enriched.writeStream.outputMode("complete").format("memory")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -633,6 +649,22 @@ object HudiQueries {
           .agg(count(col("*")).as("n"))
       },
       "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders"),
+
+    // Bloom-filter data skipping (MDT bloom_filters — enumerated by the
+    // reference, records.rs:115-116, decoded by neither side): the
+    // fixture's file groups hold o_orderkey % 4 residue classes, so every
+    // group's key RANGE spans the table and min/max stats can never serve
+    // an equality probe — only the per-file bloom prunes (the plan-shape
+    // test asserts exactly one slice survives).
+    "hudi_bloom_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.bloomPath(d))
+          .filter(col("o_orderkey") === 8)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey = 8""".stripMargin),
 
     "hudi_minmax_pushdown" -> QueryDef(
       (s, d) => {

@@ -570,9 +570,10 @@ class GraftScan(
           if (readOptimized || !hudi.isMor)
             planned0.map(_.withoutLogs).filter(_.baseFile.isDefined)
           else planned0
-        // Secondary-index point planning — latest snapshot only (both
-        // indexes reflect the current table state)
-        val planned = if (asOf.isEmpty) indexRestricted(planned1) else planned1
+        // Secondary-index point planning, then the bloom-filter tier —
+        // latest snapshot only (the indexes reflect the current state)
+        val planned =
+          if (asOf.isEmpty) bloomRestricted(indexRestricted(planned1)) else planned1
         // R2: footer min/max file skipping — only when every planned slice
         // is base-file-only (log files can resurrect out-of-range values,
         // the reference's safety gate at table/mod.rs:486-491)
@@ -626,6 +627,53 @@ class GraftScan(
           }
         } catch { case scala.util.control.NonFatal(_) => planned }
       case _ => planned
+    }
+  }
+
+  /** MDT bloom_filters tier (reference records.rs:115-116 — enumerated,
+    * decoded by neither side): a record-KEY equality/IN predicate probes
+    * each planned base file's bloom and drops files whose blooms prove
+    * the keys DEFINITELY absent. This is the skipping tier range stats
+    * cannot provide — on hash/modulo-distributed keys every file's
+    * [min,max] spans the table, and on tables without a record index the
+    * bloom is the only per-file key pruner. Gates, all fail-open:
+    * literal rendering is trusted only for string/integral key columns
+    * (String.valueOf matches the writer's SimpleKeyGenerator rendering);
+    * log-carrying slices never prune (logs can add keys the base bloom
+    * has not seen); a missing or undecodable bloom keeps its file; any
+    * index error keeps the whole plan.
+    */
+  private def bloomRestricted(planned: Vector[FileSlice]): Vector[FileSlice] = {
+    if (planned.isEmpty || !graft.table.BloomFilterIndex.isAvailable(hudi.config))
+      return planned
+    val keyFields = hudi.config.recordKeyFields
+    if (keyFields.size != 1) return planned
+    val keyField = keyFields.head
+    import org.apache.spark.sql.types._
+    val trustedRendering: Set[DataType] =
+      Set(StringType, IntegerType, LongType, ShortType, ByteType)
+    val cand = simpleFilters.find(f => f.field == keyField &&
+      (f.op == "=" || f.op == "in") && f.values.nonEmpty &&
+      f.values.size <= GraftScan.SecondaryIndexMaxValues &&
+      hudi.tableSchema.fields.exists(tf =>
+        tf.name == keyField && trustedRendering.contains(tf.dataType)))
+    cand match {
+      case None => planned
+      case Some(f) =>
+        try {
+          val targets = planned.filter(sl => !sl.hasLogFiles && sl.baseFile.isDefined)
+            .map(sl => (sl.partitionPath, sl.baseFile.get.fileName))
+          val blooms = graft.table.BloomFilterIndex.lookup(
+            hudi.basePath, targets, hudi.hadoopConf)
+          planned.filter { sl =>
+            if (sl.hasLogFiles || sl.baseFile.isEmpty) true
+            else blooms.get((sl.partitionPath, sl.baseFile.get.fileName)) match {
+              case Some(bloom) =>
+                f.values.exists(v => graft.table.BloomFilterIndex.mightContain(bloom, v))
+              case None => true
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => planned }
     }
   }
 
