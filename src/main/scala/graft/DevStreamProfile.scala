@@ -19,7 +19,7 @@ object DevStreamProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
-    (1 to 3).foreach { i =>
+    for (parts <- Seq("8", "4", "2"); retain <- Seq("100", "1"); i <- 1 to 3) {
       val t0 = System.nanoTime()
       val stream = spark.readStream.format("hudi-graft")
         .load(graft.fixtures.HudiFixtureBuilder.morPath(sfDir))
@@ -27,9 +27,10 @@ object DevStreamProfile {
         stream.withColumn("commit_ord", col("_hoodie_commit_time").cast("long"))
           .select("o_orderkey", "o_orderstatus", "commit_ord"),
         Seq("o_orderkey"), "commit_ord")
-      val sink = s"dev_stream_sink_$i"
+      val sink = s"dev_stream_sink_${parts}_${retain}_$i"
       val saved = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      spark.conf.set("spark.sql.streaming.minBatchesToRetain", retain)
       val q =
         try latest.writeStream.outputMode("append").format("memory")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -44,7 +45,7 @@ object DevStreamProfile {
         .agg(max(struct(col("commit_ord"), col("o_orderstatus"))).as("m"))
         .count()
       val t3 = System.nanoTime()
-      println(f"run$i drain=${(t1 - t0) / 1e9}%.2f stop=${(t2 - t1) / 1e9}%.2f agg=${(t3 - t2) / 1e9}%.2f rows=$n")
+      println(f"parts=$parts retain=$retain run$i drain=${(t1 - t0) / 1e9}%.2f stop=${(t2 - t1) / 1e9}%.2f agg=${(t3 - t2) / 1e9}%.2f rows=$n")
     }
     spark.stop()
   }

@@ -48,7 +48,8 @@ final class HudiTable(
     case "LANCE" => throw new UnsupportedOperationException(
       s"table $basePath uses Lance base files (hoodie.table.base.file.format=" +
         s"${config.baseFileFormat}) — unsupported: no Spark-compatible Lance reader " +
-        "is available; read this table with a Lance-capable engine")
+        "is available; read this table with a Lance-capable engine " +
+        "(hudi-rs, or the Lance format's own readers)")
     case "HFILE" => throw new UnsupportedOperationException(
       s"table $basePath declares HFile base files — HFile is only supported " +
         "through the metadata-table reader path, not as a data-table format")

@@ -40,6 +40,40 @@ class BaseFileFormatContractSpec extends SparkTestBase {
       spark.read.format("hudi-graft").load(tableWithFormat("lance")).collect()
     }
     assert(e.getMessage.contains("Lance"))
+    // the message names engines that CAN read it — an actionable error,
+    // not a dead end
+    assert(e.getMessage.contains("hudi-rs"))
+  }
+
+  test("the Lance contract holds through the DSv2 CATALOG time-travel path") {
+    spark.conf.set("spark.sql.catalog.lance_probe",
+      classOf[graft.sources.GraftCatalog].getName)
+    val path = tableWithFormat("LANCE")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM lance_probe.`$path` FOR TIMESTAMP AS OF '2024-01-01 00:00:00'"
+      ).collect()
+    }
+    // the open-contract error surfaces through catalog resolution (Spark
+    // may wrap it; the actionable text must survive)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("Lance") && m.contains("unsupported")),
+      s"catalog path lost the Lance open error: ${messages(e)}")
+  }
+
+  test("the REAL v9 Lance fixture fails at open BEFORE any data IO") {
+    val lance = Fixtures.table(
+      "quickstart_trips_table/cow/v9_trips_lance.zip", "v9_trips_lance")
+    assume(lance.isDefined)
+    val e = intercept[UnsupportedOperationException] {
+      HudiTable(spark, lance.get)
+    }
+    assert(e.getMessage.contains("Lance"))
+    assert(e.getMessage.contains("hudi-rs"))
+    // failing at OPEN (config check) proves no data file was touched: the
+    // exception type is the contract's, not a decode/IO error from a
+    // .lance byte stream
   }
 
   test("HFile as a data-table format is rejected like the reference") {
