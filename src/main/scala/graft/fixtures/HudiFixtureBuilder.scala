@@ -51,6 +51,7 @@ object HudiFixtureBuilder {
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
   def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
   def widenedPath(sfDir: String): String = s"${root(sfDir)}/cow_widened_nation"
+  def morWidenedPath(sfDir: String): String = s"${root(sfDir)}/mor_widened_nation"
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
   def clusteredPath(sfDir: String): String = s"${root(sfDir)}/cow_clustered"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
@@ -69,7 +70,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v15")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v16")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -146,6 +147,7 @@ object HudiFixtureBuilder {
           buildCowDroppedNation(spark, sfDir); own()
           buildCowEvolvedNation(spark, sfDir); own()
           buildCowWidenedNation(spark, sfDir); own()
+          buildMorWidenedNation(spark, sfDir); own()
           buildCowMdtNation(spark, sfDir); own()
           fs.create(marker, true).close()
           return
@@ -1185,6 +1187,66 @@ object HudiFixtureBuilder {
       "nation_record").toString
     writeText(fs, new Path(base, s".hoodie/$T2.commit"),
       commitJson(Seq((fileId(1), name2)), wideAvro))
+  }
+
+  // --- MOR over nation, TYPE-WIDENED at the log commit --------------------
+  // Commit 1 writes the base file with NARROW physical types (int32 pop,
+  // float score); commit 2 appends an avro LOG block whose writer schema
+  // already declares the widened long/double types with values past Int
+  // range, and records the wide schema in its commit metadata. The MOR
+  // merge must read narrow base rows upcast to the resolved wide schema
+  // AND align the wide log records — the cross-commit widening case the
+  // COW fixture cannot reach.
+  private def buildMorWidenedNation(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(morWidenedPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=mor_widened_nation
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=n_nationkey
+        |hoodie.table.precombine.field=n_nationkey
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    def metaCols(commit: String, name: String) = Seq(
+      lit(commit).as("_hoodie_commit_time"),
+      concat(lit(commit), lit("_0_"), col("n_nationkey")).as("_hoodie_commit_seqno"),
+      col("n_nationkey").cast(StringType).as("_hoodie_record_key"),
+      lit("").as("_hoodie_partition_path"),
+      lit(name).as("_hoodie_file_name"))
+    // T1: one base group, narrow physical types
+    val name1 = s"${fileId(0)}_${Token}_$T1.parquet"
+    val narrow = src.select(metaCols(T1, name1) ++ Seq(
+      col("n_nationkey"), col("n_name"),
+      (col("n_nationkey") * 1000 + 7).cast(IntegerType).as("pop"),
+      (col("n_nationkey") * 0.25).cast(FloatType).as("score")): _*)
+    writeBaseFile(spark, narrow, base, name1)
+    writeCommit(fs, base, T1, "deltacommit", Seq(("", fileId(0), name1)),
+      Some(SparkToAvro.toAvroSchema(
+        StructType(Seq(StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType), StructField("pop", IntegerType),
+          StructField("score", FloatType))), "nation_record").toString))
+    // T2: avro log block under the WIDE writer schema, values past Int
+    val wideRows = src.filter(col("n_nationkey") % 5 === 0)
+      .select(metaCols(T2, "") ++ Seq(
+        col("n_nationkey"), col("n_name"),
+        (lit(6000000000L) + col("n_nationkey")).as("pop"),
+        (col("n_nationkey") * 0.5).cast(DoubleType).as("score")): _*)
+    val wideTableSchema = wideRows.schema
+    val wideAvro = SparkToAvro.toAvroSchema(wideTableSchema, "nation_record_wide")
+    val logName = s".${fileId(0)}_$T1.log.1_$Token"
+    val out = new DataOutputStream(fs.create(new Path(base, logName), true))
+    try LogFileWriter.avroDataBlock(out, T2, wideAvro,
+      wideRows.collect().toIndexedSeq.map(SparkToAvro.toRecord(_, wideTableSchema, wideAvro)))
+    finally out.close()
+    writeCommit(fs, base, T2, "deltacommit", Seq(("", fileId(0), logName)),
+      Some(SparkToAvro.toAvroSchema(
+        StructType(Seq(StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType), StructField("pop", LongType),
+          StructField("score", DoubleType))), "nation_record").toString))
   }
 
   // --- COW over nation, v8 + metadata-table `files` partition ------------

@@ -510,6 +510,25 @@ object HudiQueries {
         |  CAST(n_nationkey AS DOUBLE)/4 AS score
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // The MOR variant: the base file is NARROW (int32/float) and the
+    // update log block's writer schema already declares the widened
+    // long/double types with values past Int range — the merge must
+    // upcast base rows to the resolved wide schema and align the wide
+    // log records, through the DSv2 merged-slice reader here.
+    "hudi_mor_widened" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.morWidenedPath(d))
+          .select("n_nationkey", "n_name", "pop", "score")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN 6000000000 + n_nationkey
+        |       ELSE CAST(n_nationkey*1000+7 AS BIGINT) END AS pop,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN CAST(n_nationkey AS DOUBLE)/2
+        |       ELSE CAST(n_nationkey AS DOUBLE)/4 END AS score
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     // --- S8/S11/M7 end-to-end: snapshot planned through the metadata
     // table's files partition (HFile base). The fixture plants an orphan
     // base file that only a raw storage listing would surface — the hash
@@ -665,6 +684,24 @@ object HudiQueries {
       },
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey = 8""".stripMargin),
+
+    // GROUP BY partition column served entirely from metadata: one row
+    // per partition from parsed path values + per-partition footer/index
+    // aggregates (LocalTableScan plan shape asserted in DataSourceV2Spec)
+    // — `SELECT dt, COUNT(*) ... GROUP BY dt` at 100 TB without reading
+    // a data byte.
+    "hudi_group_agg_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.partPath(d))
+          .groupBy("n_regionkey")
+          .agg(count(col("*")).as("n"), min(col("n_nationkey")).as("mn"),
+            max(col("n_nationkey")).as("mx"))
+          .orderBy("n_regionkey")
+      },
+      """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(n_nationkey) AS mn, MAX(n_nationkey) AS mx
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
 
     "hudi_minmax_pushdown" -> QueryDef(
       (s, d) => {

@@ -105,10 +105,11 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
   private var limit: Option[Int] = None
   private var footerAggScan: Option[GraftFooterAggScan] = None
 
-  /** Metadata-only `COUNT(*)` / `MIN(col)` / `MAX(col)`: when the plan is
-    * provably base-file-only (COW, or MOR in read-optimized mode — log
-    * files change the answers) with NO filters, grouping, or limit, the
-    * aggregates are served entirely from parquet footer metadata — zero
+  /** Metadata-only `COUNT(*)` / `MIN(col)` / `MAX(col)`, optionally
+    * GROUPed BY partition columns: when the plan is provably
+    * base-file-only (COW, or MOR in read-optimized mode — log files
+    * change the answers) with NO filters or limit, the aggregates are
+    * served entirely from MDT-index / parquet-footer metadata — zero
     * data read, the ops queries every table gets hit with at 100 TB.
     * Snapshot and time-travel only (incremental applies a commit-range
     * row filter footers can't see). MIN/MAX are numeric-only (string
@@ -120,9 +121,23 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
     * pruning reads — issued in parallel at pushdown time.
     */
   private def tryFooterAgg(agg: aggregate.Aggregation): Option[GraftFooterAggScan] = {
-    if (agg.groupByExpressions().nonEmpty || pushed.nonEmpty || limit.nonEmpty ||
+    if (pushed.nonEmpty || limit.nonEmpty ||
         Option(options.get("query.type")).exists(_.equalsIgnoreCase("incremental")) ||
         (hudi.isMor && !options.getBoolean("read.optimized", false))) return None
+    // GROUP BY is served ONLY when every grouping expression is a bare
+    // partition column: the group values then come from parsed partition
+    // paths and the plan stays metadata-only, one row per partition
+    // tuple (`SELECT dt, COUNT(*) ... GROUP BY dt` on a date-partitioned
+    // lake). Anything else falls back to a real scan.
+    val groupBy: Seq[String] = {
+      val names = agg.groupByExpressions().toSeq.map {
+        case nr: NamedReference if nr.fieldNames().length == 1 => nr.fieldNames()(0)
+        case _ => return None
+      }
+      val partFields = hudi.config.partitionFields.toSet
+      if (names.distinct != names || !names.forall(partFields.contains)) return None
+      names
+    }
     val numeric: Set[org.apache.spark.sql.types.DataType] = Set(
       org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
       org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
@@ -145,7 +160,7 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       case _ => None
     }
     if (specs.isEmpty || specs.exists(_.isEmpty)) None
-    else GraftFooterAggScan.tryPlan(hudi, options, specs.flatten)
+    else GraftFooterAggScan.tryPlan(hudi, options, specs.flatten, groupBy)
   }
 
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean = {
@@ -261,17 +276,19 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
   }
 }
 
-/** The pushed footer-aggregate scan: one precomputed local row built
-  * from parquet footer metadata over the planned base-only slices — no
-  * tasks, no data read. Only built when [[GraftScanBuilder]] accepted
-  * the aggregation (gates documented there).
+/** The pushed footer-aggregate scan: precomputed local rows built from
+  * parquet footer / MDT index metadata over the planned base-only
+  * slices — no tasks, no data read. One row for a global aggregate, one
+  * row per group when the aggregation GROUPs BY partition columns. Only
+  * built when [[GraftScanBuilder]] accepted the aggregation (gates
+  * documented there).
   */
 class GraftFooterAggScan(
     schema: StructType,
-    row: org.apache.spark.sql.catalyst.InternalRow
+    precomputed: Array[org.apache.spark.sql.catalyst.InternalRow]
 ) extends LocalScan {
   override def readSchema(): StructType = schema
-  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = precomputed
   override def description(): String = "hudi-graft footer-aggregate (metadata only)"
 }
 
@@ -297,14 +314,25 @@ object GraftFooterAggScan {
       stats: Map[String, (Any, Any)],
       allNull: Set[String])
 
-  /** Plan + read footers + fold the aggregates; None (fall back to a
+  /** Plan + serve the aggregates from metadata; None (fall back to a
     * normal scan) on any gap: log-carrying slice, missing stats for a
-    * needed column, or any read error.
+    * needed column, unparseable partition path for a grouped plan, or
+    * any read error.
+    *
+    * `groupBy` (possibly empty) names partition fields: a grouped plan
+    * buckets the planned files by the parsed partition VALUES of those
+    * fields and emits one row per group — `SELECT dt, COUNT(*) ... GROUP
+    * BY dt` over a partitioned lake becomes a metadata-only LocalScan,
+    * the daily ops query that otherwise scans everything. Per-group
+    * values come from the same two tiers as the global plan: the MDT
+    * column_stats index when it covers every file of the group (zero
+    * footer reads), parquet footers otherwise.
     */
   def tryPlan(
       hudi: HudiTable,
       options: CaseInsensitiveStringMap,
-      specs: Seq[AggSpec]): Option[GraftFooterAggScan] =
+      specs: Seq[AggSpec],
+      groupBy: Seq[String] = Nil): Option[GraftFooterAggScan] =
     try {
       val asOf = Option(options.get("as.of.timestamp"))
         .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
@@ -317,15 +345,22 @@ object GraftFooterAggScan {
         case MinSpec(f) => f.name
         case MaxSpec(f) => f.name
       }.toSet
-      val files = slices.flatMap(_.baseFile)
-      // Index-only fast path: serve EVERY requested aggregate from the
-      // ONE MDT column_stats read — zero footer fetches. COUNT(*) sums
-      // the index's exact per-file row counts (the nullCount==0
-      // soundness rule, ColumnStatsLookup.rowCounts); MIN/MAX require
-      // TIGHT (exact-extreme) typed bounds for every planned file —
-      // loose bounds only prune, never answer. Any gap (uncovered file,
-      // type mismatch, loose bound) falls through to the footer path.
-      locally {
+      val fieldType = specs.collect {
+        case MinSpec(f) => f.name -> f.dataType
+        case MaxSpec(f) => f.name -> f.dataType
+      }.toMap
+
+      /** Aggregate values over one file set, index tier first. None on
+        * any coverage gap.
+        */
+      def aggValues(files: Vector[graft.fs.BaseFile]): Option[Seq[Any]] = {
+        // Index-only fast path: serve EVERY requested aggregate from the
+        // ONE MDT column_stats read — zero footer fetches. COUNT(*) sums
+        // the index's exact per-file row counts (the nullCount==0
+        // soundness rule, ColumnStatsLookup.rowCounts); MIN/MAX require
+        // TIGHT (exact-extreme) typed bounds for every planned file —
+        // loose bounds only prune, never answer. Any gap (uncovered
+        // file, type mismatch, loose bound) falls to the footer tier.
         val tight = hudi.columnStatsTight
         val counts = hudi.columnStatsRowCounts
         def typed(v: Any, dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
@@ -335,56 +370,77 @@ object GraftFooterAggScan {
           case org.apache.spark.sql.types.DoubleType => v.isInstanceOf[java.lang.Double]
           case _ => false
         }
-        val fieldType = specs.collect {
-          case MinSpec(f) => f.name -> f.dataType
-          case MaxSpec(f) => f.name -> f.dataType
-        }.toMap
         val minMaxCovered = needed.isEmpty ||
           files.forall(bf => tight.get(bf.fileName).exists(m =>
             needed.forall(c => m.get(c).exists { case (mn, mx) =>
               typed(mn, fieldType(c)) && typed(mx, fieldType(c)) })))
         val countCovered = !specs.contains(CountStarSpec) ||
           files.forall(bf => counts.contains(bf.fileName))
-        if (minMaxCovered && countCovered) {
-          val idxFacts = files.map(bf =>
-            FileFacts(counts.getOrElse(bf.fileName, 0L),
-              tight.getOrElse(bf.fileName, Map.empty).view.filterKeys(needed).toMap,
-              Set.empty))
-          val values: Seq[Any] = specs.map {
-            case CountStarSpec => idxFacts.map(_.rowCount).sum
-            case MinSpec(f) => fold(idxFacts, f.name, min = true)
-            case MaxSpec(f) => fold(idxFacts, f.name, min = false)
+        val facts: Option[Seq[FileFacts]] =
+          if (minMaxCovered && countCovered)
+            Some(files.map(bf =>
+              FileFacts(counts.getOrElse(bf.fileName, 0L),
+                tight.getOrElse(bf.fileName, Map.empty).view.filterKeys(needed).toMap,
+                Set.empty)))
+          else {
+            val read = graft.util.Parallel.map(files, 16) { bf =>
+              readFacts(bf.path, hudi.hadoopConf, needed)
+            }
+            // MIN/MAX soundness: every file must either carry usable
+            // stats for the column or be provably all-null in it
+            if (needed.exists(c =>
+                read.exists(f => !f.stats.contains(c) && !f.allNull.contains(c)))) None
+            else Some(read)
           }
-          val schema = StructType(specs.zipWithIndex.map {
-            case (MinSpec(f), i) => StructField(s"agg_$i", f.dataType, nullable = true)
-            case (MaxSpec(f), i) => StructField(s"agg_$i", f.dataType, nullable = true)
-            case (CountStarSpec, i) =>
-              StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
-          })
-          return Some(new GraftFooterAggScan(schema,
-            org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
-        }
+        facts.map(fs => specs.map {
+          case CountStarSpec => fs.map(_.rowCount).sum
+          case MinSpec(f) => fold(fs, f.name, min = true)
+          case MaxSpec(f) => fold(fs, f.name, min = false)
+        })
       }
-      val facts = graft.util.Parallel.map(files, 16) { bf =>
-        readFacts(bf.path, hudi.hadoopConf, needed)
-      }
-      // MIN/MAX soundness: every file must either carry usable stats for
-      // the column or be provably all-null in it
-      for (c <- needed)
-        if (facts.exists(f => !f.stats.contains(c) && !f.allNull.contains(c))) return None
-      val values: Seq[Any] = specs.map {
-        case CountStarSpec => facts.map(_.rowCount).sum
-        case MinSpec(f) => fold(facts, f.name, min = true)
-        case MaxSpec(f) => fold(facts, f.name, min = false)
-      }
-      val schema = StructType(specs.zipWithIndex.map {
+
+      val aggFields = specs.zipWithIndex.map {
         case (CountStarSpec, i) =>
           StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
         case (MinSpec(f), i) => StructField(s"agg_$i", f.dataType, nullable = true)
         case (MaxSpec(f), i) => StructField(s"agg_$i", f.dataType, nullable = true)
-      })
-      Some(new GraftFooterAggScan(schema,
-        org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
+      }
+
+      if (groupBy.isEmpty) {
+        aggValues(slices.flatMap(_.baseFile)).map(values =>
+          new GraftFooterAggScan(StructType(aggFields),
+            Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))))
+      } else {
+        // one row per distinct tuple of the grouped partition fields'
+        // PARSED path values (grouping on a subset of a multi-field
+        // partitioning merges the matching partitions' files); any
+        // unparseable path or missing field rejects the whole plan
+        val groupSchema = groupBy.map(g =>
+          hudi.tableSchema.fields.find(_.name == g).getOrElse(return None))
+        val converters = groupSchema.map(f =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(f.dataType))
+        val pruner = hudi.prunerFor(Nil)
+        val parsed: Vector[(Seq[Any], graft.fs.FileSlice)] = slices.map { sl =>
+          val vals = pruner.parseSegments(sl.partitionPath).getOrElse(return None)
+          (groupBy.map(g => vals.getOrElse(g, return None)), sl)
+        }
+        val rows = parsed.groupBy(_._1).toSeq.map { case (key, group) =>
+          val values = aggValues(group.map(_._2).flatMap(_.baseFile))
+            .getOrElse(return None)
+          val groupInternal = key.zip(converters).map { case (v, conv) =>
+            // partition paths encode dates as LocalDate, which the
+            // converter for DateType accepts directly
+            conv(v)
+          }
+          org.apache.spark.sql.catalyst.InternalRow.fromSeq(groupInternal ++ values)
+        }
+        // complete-pushdown row contract: group columns first, then the
+        // aggregate columns, one row per group
+        Some(new GraftFooterAggScan(
+          StructType(groupSchema.map(f => f.copy(nullable = true)) ++ aggFields),
+          rows.toArray))
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def fold(facts: Seq[FileFacts], col: String, min: Boolean): Any = {

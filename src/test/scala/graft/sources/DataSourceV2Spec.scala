@@ -478,6 +478,31 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(graft.sources.GraftFooterAggScan.footerReads.get() == b2)
   }
 
+  test("GROUP BY partition column aggregates serve from metadata only") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    val p = graft.fixtures.HudiFixtureBuilder.partPath(sfDir)
+    val agg = spark.read.format("hudi-graft").load(p)
+      .groupBy("n_regionkey")
+      .agg(count(col("*")).as("n"), min(col("n_nationkey")).as("mn"),
+        max(col("n_nationkey")).as("mx"))
+      .orderBy("n_regionkey")
+    val plan = agg.queryExecution.executedPlan.toString()
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"grouped aggregate was not served from metadata: $plan")
+    val exp = spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey")
+      .agg(count(col("*")), min(col("n_nationkey")), max(col("n_nationkey")))
+      .orderBy("n_regionkey").collect().toSeq
+    assert(agg.collect().toSeq == exp)
+    // grouping on a NON-partition column falls back to a real scan
+    val fallback = spark.read.format("hudi-graft").load(p)
+      .groupBy("n_name").agg(count(col("*")).as("n"))
+    assert(!fallback.queryExecution.executedPlan.toString().contains("LocalTableScan"))
+    assert(fallback.count() ==
+      spark.read.parquet(s"$sfDir/nation.parquet").select("n_name").distinct().count())
+  }
+
   test("footer-aggregate pushdown agrees with full scans on every COW fixture") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count, max, min}
@@ -542,6 +567,29 @@ class DataSourceV2Spec extends SparkTestBase {
       val k = r.getInt(0)
       assert(r.getLong(1) == (if (k % 2 == 0) k * 1000L + 7 else 5000000000L + k))
       assert(r.getDouble(2) == k * 0.25)
+    }
+  }
+
+  test("MOR widening: narrow base + wide log merge identically on both paths") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val p = graft.fixtures.HudiFixtureBuilder.morWidenedPath(sfDir)
+    val dsv2 = spark.read.format("hudi-graft").load(p)
+      .select("n_nationkey", "pop", "score").orderBy("n_nationkey")
+    assert(dsv2.schema("pop").dataType == LongType)
+    assert(dsv2.schema("score").dataType == DoubleType)
+    val viaTable = graft.table.HudiTable(spark, p).snapshot()
+      .select("n_nationkey", "pop", "score").orderBy("n_nationkey")
+    assert(dsv2.collect().toSeq == viaTable.collect().toSeq)
+    for (r <- dsv2.collect()) {
+      val k = r.getInt(0)
+      if (k % 5 == 0) {
+        assert(r.getLong(1) == 6000000000L + k)
+        assert(r.getDouble(2) == k * 0.5)
+      } else {
+        assert(r.getLong(1) == k * 1000L + 7)
+        assert(r.getDouble(2) == k * 0.25)
+      }
     }
   }
 
