@@ -417,7 +417,46 @@ object PipelineOps {
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- Training-mix planning (source mixture weights) ----------------------
+  // In the spirit of published LLM data recipes (The Pile's weighted
+  // source mixing, Gao et al. 2020 §2; LLaMA's sampling proportions,
+  // Touvron et al. 2023 Table 1): given target per-source weights, size
+  // the LARGEST mixture achievable without upsampling any source
+  // (nmix = min_s mass_s / weight_s), then report each source's take and
+  // sampling rate. Weights derive deterministically from the source name
+  // (1 + index%4, normalized) so both engines compute them from data.
+  //
+  // 100 TB shape: ONE map-side-combinable keyed aggregate over the
+  // corpus; everything after operates on |sources| rows (a window over a
+  // ~20-row relation, not the corpus). Float determinism: the weight sum
+  // is an integer-valued double (exact in any order), and every quotient/
+  // product is a correctly-rounded IEEE op over identical operands, so
+  // the engines agree bit-for-bit.
+  private val mixtureSql: String =
+    """WITH c AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY source
+      |), w AS (
+      |  SELECT source, chars,
+      |    CAST(1 AS DOUBLE) + CAST(CAST(SUBSTR(source, 4) AS INT) % 4 AS DOUBLE) AS w_raw
+      |  FROM c
+      |), n AS (
+      |  SELECT source, chars,
+      |    w_raw / SUM(w_raw) OVER () AS tw,
+      |    CAST(chars AS DOUBLE) / (w_raw / SUM(w_raw) OVER ()) AS cap
+      |  FROM w
+      |), m AS (
+      |  SELECT source, chars, tw, MIN(cap) OVER () AS nmix FROM n
+      |)
+      |SELECT source, chars,
+      |  ROUND(tw, 6) AS target_weight,
+      |  CAST(FLOOR(tw * nmix) AS BIGINT) AS take_chars,
+      |  ROUND(tw * nmix / chars, 6) AS sample_rate
+      |FROM m ORDER BY source""".stripMargin
+
   private val qs: Map[String, QueryDef] = Map(
+    "pipeline_mixture_weights" -> QueryDef(
+      (s, d) => sq(s, d, mixtureSql), mixtureSql),
     "events_json_extract" -> QueryDef(jsonExtractImpl _, jsonExtractOracle),
     "events_json_schema" -> QueryDef(jsonSchemaImpl _, jsonSchemaOracle),
     "sample_weighted" -> QueryDef(
