@@ -67,6 +67,56 @@ object Relational {
          |  g_flag, g_status""".stripMargin)
 
   private val qs: Map[String, QueryDef] = Map(
+    // --- selective filter + single aggregate (TPC-H Q6 shape) ------------
+    // The canonical predicate-pushdown probe: every filter reaches the
+    // parquet scan (date range + two numeric bands), and the lone product
+    // sum follows the q1 decimal discipline ((12,4) factors -> (25,8)
+    // exact product, DECIMAL sum, round to 4 dp before the double cast).
+    "q6_forecast_revenue" -> QueryDef(
+      (s, d) => {
+        lineitem(s, d).filter(
+          col("l_shipdate") >= lit("1994-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1995-01-01").cast(TimestampType) &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice").cast(DecimalType(12, 4)) *
+            col("l_discount").cast(DecimalType(12, 4))), 4)
+            .cast(DoubleType).as("revenue"))
+      },
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    CAST(l_discount AS DECIMAL(12,4))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+
+    // --- broadcast join + conditional aggregate (TPC-H Q14 shape) --------
+    // part is dimension-sized -> Catalyst broadcasts it under the fact
+    // scan's date filter; the promo share is two exact DECIMAL sums
+    // rounded to 4 dp, and ONE double division at the end (correctly
+    // rounded over identical operands in both engines).
+    "q14_promo_revenue" -> QueryDef(
+      (s, d) => {
+        val disc = col("l_extendedprice").cast(DecimalType(12, 4)) *
+          (lit(BigDecimal(1)).cast(DecimalType(12, 4)) - col("l_discount").cast(DecimalType(12, 4)))
+        lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-09-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1995-10-01").cast(TimestampType))
+          .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) *
+            round(sum(when(col("p_type") === "PROMO", disc).otherwise(lit(BigDecimal(0)).cast(DecimalType(25, 8)))), 4).cast(DoubleType) /
+            round(sum(disc), 4).cast(DoubleType)).as("promo_share"))
+      },
+      """SELECT 100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |         (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+        |    ELSE CAST(0 AS DECIMAL(25,8)) END), 4) AS DOUBLE) /
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE)
+        |  AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin),
+
     // --- scan + aggregate (TPC-H Q1 shape) -------------------------------
     "q1_pricing_summary" -> QueryDef(
       (s, d) => {
