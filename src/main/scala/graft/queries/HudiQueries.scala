@@ -703,6 +703,19 @@ object HudiQueries {
         |  MIN(n_nationkey) AS mn, MAX(n_nationkey) AS mx
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
 
+    // COUNT(col) pushdown = Σ(rows − proven nulls) per file: the
+    // schema-evolved fixture's commit-1 file lacks n_regionkey entirely
+    // (all-null by definition), so the answer counts only commit-2 rows
+    // — served without reading a data byte.
+    "hudi_count_column_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.evolvedPath(d))
+          .agg(count(col("n_regionkey")).as("n"))
+      },
+      """SELECT CAST(SUM(CASE WHEN n_nationkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n FROM nation""".stripMargin),
+
     "hudi_minmax_pushdown" -> QueryDef(
       (s, d) => {
         HudiFixtureBuilder.ensure(s, d)

@@ -153,8 +153,20 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
             .filterNot(f => hudi.droppedPartitionFields.contains(f.name))
         case _ => None
       }
+    // COUNT(col) reads no values, so ANY type qualifies — but a dropped
+    // partition column's nulls can't be proven from chunks (P6, same
+    // fallback as MIN/MAX)
+    def countFieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        hudi.tableSchema.fields.find(_.name == nr.fieldNames()(0))
+          .filterNot(f => hudi.droppedPartitionFields.contains(f.name))
+      case _ => None
+    }
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: aggregate.CountStar => Some(GraftFooterAggScan.CountStarSpec)
+      case c: aggregate.Count if !c.isDistinct =>
+        countFieldOf(c.column()).map(GraftFooterAggScan.CountSpec)
       case m: aggregate.Min => fieldOf(m.column()).map(GraftFooterAggScan.MinSpec)
       case m: aggregate.Max => fieldOf(m.column()).map(GraftFooterAggScan.MaxSpec)
       case _ => None
@@ -297,6 +309,13 @@ object GraftFooterAggScan {
   case object CountStarSpec extends AggSpec
   final case class MinSpec(field: StructField) extends AggSpec
   final case class MaxSpec(field: StructField) extends AggSpec
+  /** `COUNT(col)` = Σ(rows − nulls) per file; any type (no value is
+    * read), but every file must PROVE its null count — index nullCount,
+    * footer numNulls across all row groups, or the column being absent
+    * from the file's schema entirely (pre-evolution file → all rows
+    * null there).
+    */
+  final case class CountSpec(field: StructField) extends AggSpec
 
   /** Observability: total parquet footers opened by the aggregate
     * pushdown planner (driver-side, monotonic). The index fast path's
@@ -312,7 +331,10 @@ object GraftFooterAggScan {
       // no usable stats; columns that are ALL-NULL in the file map to
       // None-but-benign via allNull
       stats: Map[String, (Any, Any)],
-      allNull: Set[String])
+      allNull: Set[String],
+      // column -> PROVEN total null count (every row group's numNulls
+      // set, or the column absent from the file schema -> rowCount)
+      nulls: Map[String, Long] = Map.empty)
 
   /** Plan + serve the aggregates from metadata; None (fall back to a
     * normal scan) on any gap: log-carrying slice, missing stats for a
@@ -345,6 +367,7 @@ object GraftFooterAggScan {
         case MinSpec(f) => f.name
         case MaxSpec(f) => f.name
       }.toSet
+      val countCols = specs.collect { case CountSpec(f) => f.name }.toSet
       val fieldType = specs.collect {
         case MinSpec(f) => f.name -> f.dataType
         case MaxSpec(f) => f.name -> f.dataType
@@ -374,26 +397,35 @@ object GraftFooterAggScan {
           files.forall(bf => tight.get(bf.fileName).exists(m =>
             needed.forall(c => m.get(c).exists { case (mn, mx) =>
               typed(mn, fieldType(c)) && typed(mx, fieldType(c)) })))
-        val countCovered = !specs.contains(CountStarSpec) ||
-          files.forall(bf => counts.contains(bf.fileName))
+        val needRows = specs.contains(CountStarSpec) || countCols.nonEmpty
+        val countCovered = !needRows || files.forall(bf => counts.contains(bf.fileName))
+        val idxNulls = hudi.columnStatsNullCounts
+        // COUNT(col) additionally needs the index's per-column nullCount
+        // for every planned file
+        val nullsCovered = countCols.isEmpty || files.forall(bf =>
+          idxNulls.get(bf.fileName).exists(m => countCols.forall(m.contains)))
         val facts: Option[Seq[FileFacts]] =
-          if (minMaxCovered && countCovered)
+          if (minMaxCovered && countCovered && nullsCovered)
             Some(files.map(bf =>
               FileFacts(counts.getOrElse(bf.fileName, 0L),
                 tight.getOrElse(bf.fileName, Map.empty).view.filterKeys(needed).toMap,
-                Set.empty)))
+                Set.empty,
+                idxNulls.getOrElse(bf.fileName, Map.empty).view.filterKeys(countCols).toMap)))
           else {
             val read = graft.util.Parallel.map(files, 16) { bf =>
-              readFacts(bf.path, hudi.hadoopConf, needed)
+              readFacts(bf.path, hudi.hadoopConf, needed, countCols)
             }
             // MIN/MAX soundness: every file must either carry usable
-            // stats for the column or be provably all-null in it
+            // stats for the column or be provably all-null in it;
+            // COUNT(col) soundness: every file must prove its null count
             if (needed.exists(c =>
-                read.exists(f => !f.stats.contains(c) && !f.allNull.contains(c)))) None
+                read.exists(f => !f.stats.contains(c) && !f.allNull.contains(c))) ||
+                countCols.exists(c => read.exists(f => !f.nulls.contains(c)))) None
             else Some(read)
           }
         facts.map(fs => specs.map {
           case CountStarSpec => fs.map(_.rowCount).sum
+          case CountSpec(f) => fs.map(ff => ff.rowCount - ff.nulls(f.name)).sum
           case MinSpec(f) => fold(fs, f.name, min = true)
           case MaxSpec(f) => fold(fs, f.name, min = false)
         })
@@ -401,6 +433,8 @@ object GraftFooterAggScan {
 
       val aggFields = specs.zipWithIndex.map {
         case (CountStarSpec, i) =>
+          StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
+        case (CountSpec(_), i) =>
           StructField(s"agg_$i", org.apache.spark.sql.types.LongType, nullable = false)
         case (MinSpec(f), i) => StructField(s"agg_$i", f.dataType, nullable = true)
         case (MaxSpec(f), i) => StructField(s"agg_$i", f.dataType, nullable = true)
@@ -455,7 +489,8 @@ object GraftFooterAggScan {
   private def readFacts(
       path: String,
       conf: org.apache.hadoop.conf.Configuration,
-      needed: Set[String]): FileFacts = {
+      needed: Set[String],
+      countCols: Set[String] = Set.empty): FileFacts = {
     footerReads.incrementAndGet()
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -463,6 +498,30 @@ object GraftFooterAggScan {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rowCount = blocks.map(_.getRowCount).sum
+      // COUNT(col) null proofs: numNulls must be set in EVERY row group's
+      // chunk; a column absent from the file's schema entirely is
+      // all-null by definition (pre-evolution file)
+      val nullTotals = scala.collection.mutable.Map.empty[String, Long]
+      val nullChunks = scala.collection.mutable.Map.empty[String, Int]
+      val nullKnown = scala.collection.mutable.Map.empty[String, Boolean]
+      if (countCols.nonEmpty)
+        for (block <- blocks; colMeta <- block.getColumns.asScala) {
+          val name = colMeta.getPath.toDotString
+          if (countCols.contains(name)) {
+            nullChunks(name) = nullChunks.getOrElse(name, 0) + 1
+            val st = colMeta.getStatistics
+            val known = st != null && st.isNumNullsSet
+            nullKnown(name) = nullKnown.getOrElse(name, true) && known
+            if (known) nullTotals(name) = nullTotals.getOrElse(name, 0L) + st.getNumNulls
+          }
+        }
+      val nulls: Map[String, Long] = countCols.iterator.flatMap { c =>
+        val seen = nullChunks.getOrElse(c, 0)
+        if (seen == 0) Some(c -> rowCount) // column not in this file
+        else if (seen == blocks.size && nullKnown.getOrElse(c, false))
+          Some(c -> nullTotals(c))
+        else None // unproven: reject the pushdown for this file
+      }.toMap
       // FP min/max ordering is writer policy: parquet-mr orders NaN
       // greatest (matching Spark) or drops stats entirely on NaN pages;
       // other writers (parquet-cpp) may EXCLUDE NaN from min/max, which
@@ -503,7 +562,7 @@ object GraftFooterAggScan {
       }
       val usable = acc.view.filterKeys(k => !sawUnusable.contains(k)).toMap
       val allNull = needed.filterNot(c => sawValue.contains(c) || sawUnusable.contains(c))
-      FileFacts(rowCount, usable, allNull)
+      FileFacts(rowCount, usable, allNull, nulls)
     } finally reader.close()
   }
 }

@@ -79,6 +79,14 @@ final case class ColumnStatsLookup(
     entries.groupBy(_.fileName).view.mapValues(es =>
       es.filter(_.nullCount.contains(0L)).map(_.columnName).toSet).toMap
 
+  /** fileName → columnName → nullCount where recorded — with
+    * [[rowCounts]] this serves `COUNT(col)` pushdown as
+    * rows − nulls per file.
+    */
+  lazy val nullCounts: Map[String, Map[String, Long]] =
+    entries.groupBy(_.fileName).view.mapValues(es =>
+      es.flatMap(e => e.nullCount.map(e.columnName -> _)).toMap).toMap
+
   private def statsMap(
       es: Vector[ColumnStatEntry]
   ): Map[String, Map[String, (Comparable[Any], Comparable[Any])]] =

@@ -96,6 +96,12 @@ final class HudiTable(
   lazy val columnStatsZeroNulls: Map[String, Set[String]] =
     columnStatsLookup.map(_.zeroNullCols).getOrElse(Map.empty)
 
+  /** fileName → column → nullCount from the index — `COUNT(col)`
+    * pushdown (rows − nulls) without footer reads.
+    */
+  lazy val columnStatsNullCounts: Map[String, Map[String, Long]] =
+    columnStatsLookup.map(_.nullCounts).getOrElse(Map.empty)
+
   /** Partition-level ranges from the MDT `partition_stats` partition
     * (partitionPath → column → (min, max)) when advertised — feeds
     * [[graft.fs.StatsPartitionPruner]] so data-column predicates prune

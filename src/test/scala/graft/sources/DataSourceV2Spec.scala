@@ -478,6 +478,31 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(graft.sources.GraftFooterAggScan.footerReads.get() == b2)
   }
 
+  test("COUNT(col) pushes down via null proofs (absent column + index nullCount)") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, count}
+    // evolved fixture: the commit-1 file LACKS n_regionkey entirely ->
+    // all-null there by definition; commit-2 carries it with zero nulls
+    val ev = graft.fixtures.HudiFixtureBuilder.evolvedPath(sfDir)
+    val cnt = spark.read.format("hudi-graft").load(ev)
+      .agg(count(col("n_regionkey")).as("n"))
+    assert(cnt.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"COUNT(col) not served from metadata: ${cnt.queryExecution.executedPlan}")
+    val exp = spark.read.parquet(s"$sfDir/nation.parquet")
+      .filter(col("n_nationkey") % 2 === 1).count()
+    assert(cnt.head.getLong(0) == exp)
+    // range fixture: the index's per-column nullCount covers COUNT(col)
+    // with zero footer reads
+    val range = graft.fixtures.HudiFixtureBuilder.rangePath(sfDir)
+    val before = graft.sources.GraftFooterAggScan.footerReads.get()
+    val cnt2 = spark.read.format("hudi-graft").load(range)
+      .agg(count(col("o_orderkey")).as("n"))
+    assert(cnt2.queryExecution.executedPlan.toString().contains("LocalTableScan"))
+    assert(cnt2.head.getLong(0) == spark.read.parquet(s"$sfDir/orders.parquet").count())
+    assert(graft.sources.GraftFooterAggScan.footerReads.get() == before,
+      "index-covered COUNT(col) must not open footers")
+  }
+
   test("GROUP BY partition column aggregates serve from metadata only") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count, max, min}
