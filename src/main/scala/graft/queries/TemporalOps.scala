@@ -301,7 +301,33 @@ object TemporalOps {
     s.sql(retentionSql(sparkDay))
   }
 
+  // --- DAU / trailing-7-day WAU (the standard product-health pair) -------
+  // Exact distincts, no approximation: the user-day relation is the
+  // corpus reduced to one row per (user, day) — a map-side-combinable
+  // DISTINCT — and each user-day contributes to the trailing-7 WAU of
+  // days d..d+6 via a 7-row VALUES cross join (bounded 7x expansion of
+  // the ALREADY-reduced relation, never of raw events), then a second
+  // keyed distinct-count. No global window anywhere; both aggregates
+  // shuffle on the day key. WAU(d) counts distinct users active in
+  // [d-6, d].
+  private def dauWauSql(dayExpr: String): String =
+    s"""WITH ud AS (SELECT DISTINCT $dayExpr AS d, user_id FROM events),
+       |off AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(o)),
+       |wa AS (SELECT DISTINCT ud.d + off.o AS wd, ud.user_id
+       |       FROM ud CROSS JOIN off),
+       |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+       |wau AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS wau FROM wa GROUP BY wd)
+       |SELECT dau.d AS day, dau.dau, wau.wau
+       |FROM dau JOIN wau ON wau.wd = dau.d
+       |ORDER BY day""".stripMargin
+
+  private def dauWauImpl(s: SparkSession, d: String): DataFrame = {
+    Tables.ensureView(s, d, "events")(Tables.events(s, d))
+    s.sql(dauWauSql(sparkDay))
+  }
+
   def queries: Map[String, QueryDef] = Map(
+    "events_dau_wau" -> QueryDef(dauWauImpl _, dauWauSql(duckDay)),
     "q_sessionize" -> QueryDef(sessionizeImpl _, sessionizeOracle),
     "events_funnel" -> QueryDef(funnelImpl _, funnelSql),
     "events_retention" -> QueryDef(retentionImpl _, retentionSql(duckDay)),
