@@ -84,6 +84,13 @@ final class FilePruner(
       HadoopInputFile.fromPath(new Path(path), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
+      // FP min/max ordering is writer policy: parquet-mr matches Spark's
+      // NaN-greatest ordering (or drops stats on NaN pages); writers that
+      // EXCLUDE NaN from bounds (parquet-cpp) would let `x > 5` prune a
+      // file whose NaN rows match. Same gate as the aggregate pushdown's
+      // readFacts — trust float/double chunk stats only from parquet-mr.
+      val fpTrusted = Option(reader.getFooter.getFileMetaData.getCreatedBy)
+        .exists(_.contains("parquet-mr"))
       val acc = scala.collection.mutable.Map.empty[String, (Comparable[Any], Comparable[Any])]
       val nulls = scala.collection.mutable.Map.empty[String, Long]    // total known nulls
       val values = scala.collection.mutable.Map.empty[String, Long]   // total values
@@ -100,7 +107,8 @@ final class FilePruner(
         if (st != null && st.hasNonNullValue) {
           val mn = normalize(st.genericGetMin(), col.getPrimitiveType)
           val mx = normalize(st.genericGetMax(), col.getPrimitiveType)
-          if (mn != null && mx != null) {
+          val fp = mn.isInstanceOf[java.lang.Float] || mn.isInstanceOf[java.lang.Double]
+          if (mn != null && mx != null && (!fp || fpTrusted)) {
             acc.get(name) match {
               case Some((m0, x0)) =>
                 acc(name) = (if (mn.compareTo(m0) < 0) mn else m0,
@@ -144,7 +152,12 @@ final class FilePruner(
         ts.getUnit match {
           case TimeUnit.MILLIS => Long.box(Math.multiplyExact(l.longValue(), 1000L))
           case TimeUnit.MICROS => l
-          case TimeUnit.NANOS => Long.box(l.longValue() / 1000L)
+          // NANOS: fail open. A micros normalization needs direction-aware
+          // rounding (floor for min, ceil for max) to stay conservative,
+          // and Spark may surface NANOS columns as LongType (nanosAsLong),
+          // where the literal is raw nanos and a micros-normalized bound
+          // would compare at the wrong scale — no safe literal form here.
+          case TimeUnit.NANOS => null
         }
       case (_: LogicalTypeAnnotation.StringLogicalTypeAnnotation |
             _: LogicalTypeAnnotation.EnumLogicalTypeAnnotation,

@@ -249,6 +249,7 @@ object HudiQueries {
         // and self-terminates instead of idling through an empty trailing
         // micro-batch.
         val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        val savedRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         // AvailableNow drains never restart mid-history: retaining one
         // checkpoint batch (not the 100 default) skips ~0.6s/entry of
@@ -258,7 +259,15 @@ object HudiQueries {
           try latest.writeStream.outputMode("append").format("memory")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .queryName(sink).start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+          finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+            // restore: other streams in this session keep the default
+            // retention (a restarted stream may need older batch state)
+            savedRetain match {
+              case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+              case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
+            }
+          }
         try q.awaitTermination() finally q.stop()
         s.table(sink)
           .groupBy("o_orderkey")
@@ -297,6 +306,7 @@ object HudiQueries {
         val sink = "graft_stream_deletes_sink"
         s.catalog.dropTempView(sink)
         val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        val savedRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         // AvailableNow drains never restart mid-history: retaining one
         // checkpoint batch (not the 100 default) skips ~0.6s/entry of
@@ -306,7 +316,15 @@ object HudiQueries {
           try latest.writeStream.outputMode("append").format("memory")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .queryName(sink).start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+          finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+            // restore: other streams in this session keep the default
+            // retention (a restarted stream may need older batch state)
+            savedRetain match {
+              case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+              case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
+            }
+          }
         try q.awaitTermination() finally q.stop()
         s.table(sink)
           .groupBy("rk")
@@ -390,6 +408,7 @@ object HudiQueries {
         val sink = "graft_stream_windowed_sink"
         s.catalog.dropTempView(sink)
         val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        val savedRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         // AvailableNow drains never restart mid-history: retaining one
         // checkpoint batch (not the 100 default) skips ~0.6s/entry of
@@ -399,7 +418,15 @@ object HudiQueries {
           try windowed.writeStream.outputMode("complete").format("memory")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .queryName(sink).start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+          finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+            // restore: other streams in this session keep the default
+            // retention (a restarted stream may need older batch state)
+            savedRetain match {
+              case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+              case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
+            }
+          }
         try q.awaitTermination() finally q.stop()
         s.table(sink)
           .select(col("window.start").cast("timestamp_ntz").as("w"),
@@ -438,6 +465,7 @@ object HudiQueries {
         val sink = "graft_stream_enriched_sink"
         s.catalog.dropTempView(sink)
         val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        val savedRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         // AvailableNow drains never restart mid-history: retaining one
         // checkpoint batch (not the 100 default) skips ~0.6s/entry of
@@ -447,7 +475,15 @@ object HudiQueries {
           try enriched.writeStream.outputMode("complete").format("memory")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .queryName(sink).start()
-          finally s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+          finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+            // restore: other streams in this session keep the default
+            // retention (a restarted stream may need older batch state)
+            savedRetain match {
+              case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+              case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
+            }
+          }
         try q.awaitTermination() finally q.stop()
         s.table(sink)
           .select(col("c_nationkey"), col("o_orderstatus"), col("n"), col("total"))

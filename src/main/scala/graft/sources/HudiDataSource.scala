@@ -373,17 +373,15 @@ object GraftFooterAggScan {
         case MaxSpec(f) => f.name -> f.dataType
       }.toMap
 
-      /** Aggregate values over one file set, index tier first. None on
-        * any coverage gap.
-        */
-      def aggValues(files: Vector[graft.fs.BaseFile]): Option[Seq[Any]] = {
-        // Index-only fast path: serve EVERY requested aggregate from the
-        // ONE MDT column_stats read — zero footer fetches. COUNT(*) sums
-        // the index's exact per-file row counts (the nullCount==0
-        // soundness rule, ColumnStatsLookup.rowCounts); MIN/MAX require
-        // TIGHT (exact-extreme) typed bounds for every planned file —
-        // loose bounds only prune, never answer. Any gap (uncovered
-        // file, type mismatch, loose bound) falls to the footer tier.
+      // Index-only fast tier: serve EVERY requested aggregate from the
+      // ONE MDT column_stats read — zero footer fetches. COUNT(*) sums
+      // the index's exact per-file row counts (the nullCount==0
+      // soundness rule, ColumnStatsLookup.rowCounts); COUNT(col) also
+      // needs the per-column nullCount; MIN/MAX require TIGHT
+      // (exact-extreme) typed bounds for every planned file — loose
+      // bounds only prune, never answer. Any gap (uncovered file, type
+      // mismatch, loose bound) falls to the footer tier.
+      def indexFacts(files: Vector[graft.fs.BaseFile]): Option[Seq[FileFacts]] = {
         val tight = hudi.columnStatsTight
         val counts = hudi.columnStatsRowCounts
         def typed(v: Any, dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
@@ -400,36 +398,41 @@ object GraftFooterAggScan {
         val needRows = specs.contains(CountStarSpec) || countCols.nonEmpty
         val countCovered = !needRows || files.forall(bf => counts.contains(bf.fileName))
         val idxNulls = hudi.columnStatsNullCounts
-        // COUNT(col) additionally needs the index's per-column nullCount
-        // for every planned file
         val nullsCovered = countCols.isEmpty || files.forall(bf =>
           idxNulls.get(bf.fileName).exists(m => countCols.forall(m.contains)))
-        val facts: Option[Seq[FileFacts]] =
-          if (minMaxCovered && countCovered && nullsCovered)
-            Some(files.map(bf =>
-              FileFacts(counts.getOrElse(bf.fileName, 0L),
-                tight.getOrElse(bf.fileName, Map.empty).view.filterKeys(needed).toMap,
-                Set.empty,
-                idxNulls.getOrElse(bf.fileName, Map.empty).view.filterKeys(countCols).toMap)))
-          else {
-            val read = graft.util.Parallel.map(files, 16) { bf =>
-              readFacts(bf.path, hudi.hadoopConf, needed, countCols)
-            }
-            // MIN/MAX soundness: every file must either carry usable
-            // stats for the column or be provably all-null in it;
-            // COUNT(col) soundness: every file must prove its null count
-            if (needed.exists(c =>
-                read.exists(f => !f.stats.contains(c) && !f.allNull.contains(c))) ||
-                countCols.exists(c => read.exists(f => !f.nulls.contains(c)))) None
-            else Some(read)
-          }
-        facts.map(fs => specs.map {
-          case CountStarSpec => fs.map(_.rowCount).sum
-          case CountSpec(f) => fs.map(ff => ff.rowCount - ff.nulls(f.name)).sum
-          case MinSpec(f) => fold(fs, f.name, min = true)
-          case MaxSpec(f) => fold(fs, f.name, min = false)
-        })
+        if (minMaxCovered && countCovered && nullsCovered)
+          Some(files.map(bf =>
+            FileFacts(counts.getOrElse(bf.fileName, 0L),
+              tight.getOrElse(bf.fileName, Map.empty).view.filterKeys(needed).toMap,
+              Set.empty,
+              idxNulls.getOrElse(bf.fileName, Map.empty).view.filterKeys(countCols).toMap)))
+        else None
       }
+
+      // Footer soundness: MIN/MAX need usable stats or an all-null proof
+      // per file; COUNT(col) needs a proven null count per file.
+      def soundFooterFacts(read: Seq[FileFacts]): Option[Seq[FileFacts]] =
+        if (needed.exists(c =>
+            read.exists(f => !f.stats.contains(c) && !f.allNull.contains(c))) ||
+            countCols.exists(c => read.exists(f => !f.nulls.contains(c)))) None
+        else Some(read)
+
+      def foldValues(fs: Seq[FileFacts]): Seq[Any] = specs.map {
+        case CountStarSpec => fs.map(_.rowCount).sum
+        case CountSpec(f) => fs.map(ff => ff.rowCount - ff.nulls(f.name)).sum
+        case MinSpec(f) => fold(fs, f.name, min = true)
+        case MaxSpec(f) => fold(fs, f.name, min = false)
+      }
+
+      /** Aggregate values over one file set, index tier first. None on
+        * any coverage gap.
+        */
+      def aggValues(files: Vector[graft.fs.BaseFile]): Option[Seq[Any]] =
+        indexFacts(files)
+          .orElse(soundFooterFacts(graft.util.Parallel.map(files, 16) { bf =>
+            readFacts(bf.path, hudi.hadoopConf, needed, countCols)
+          }))
+          .map(foldValues)
 
       val aggFields = specs.zipWithIndex.map {
         case (CountStarSpec, i) =>
@@ -448,7 +451,13 @@ object GraftFooterAggScan {
         // one row per distinct tuple of the grouped partition fields'
         // PARSED path values (grouping on a subset of a multi-field
         // partitioning merges the matching partitions' files); any
-        // unparseable path or missing field rejects the whole plan
+        // unparseable path or missing field rejects the whole plan.
+        // Path values must equal COLUMN values for the rows to be
+        // correct as final answers: a timestamp-keygen table's paths are
+        // a FORMATTED rendering of the source column (date buckets, not
+        // values), and the hive default-partition sentinel stands in for
+        // NULL — both reject the pushdown.
+        if (graft.fs.TimestampKeyGen.fromConfig(hudi.config).isDefined) return None
         val groupSchema = groupBy.map(g =>
           hudi.tableSchema.fields.find(_.name == g).getOrElse(return None))
         val converters = groupSchema.map(f =>
@@ -457,11 +466,35 @@ object GraftFooterAggScan {
         val pruner = hudi.prunerFor(Nil)
         val parsed: Vector[(Seq[Any], graft.fs.FileSlice)] = slices.map { sl =>
           val vals = pruner.parseSegments(sl.partitionPath).getOrElse(return None)
-          (groupBy.map(g => vals.getOrElse(g, return None)), sl)
+          (groupBy.map { g =>
+            val v = vals.getOrElse(g, return None)
+            // the hive null-partition sentinel is NOT the column value
+            if (v == "__HIVE_DEFAULT_PARTITION__") return None
+            v
+          }, sl)
         }
-        val rows = parsed.groupBy(_._1).toSeq.map { case (key, group) =>
-          val values = aggValues(group.map(_._2).flatMap(_.baseFile))
+        // index coverage decides per group, but footer reads batch into
+        // ONE parallel sweep across every uncovered group — per-group
+        // sweeps would serialize object-store round-trips by partition
+        // count at pushdown time
+        val groups: Seq[(Seq[Any], Vector[graft.fs.BaseFile])] =
+          parsed.groupBy(_._1).toSeq.map { case (k, g) =>
+            (k, g.map(_._2).flatMap(_.baseFile))
+          }
+        val idxByKey: Map[Seq[Any], Option[Seq[FileFacts]]] =
+          groups.map { case (k, fs) => k -> indexFacts(fs) }.toMap
+        val uncovered = groups.filter { case (k, _) => idxByKey(k).isEmpty }
+        val footerByPath: Map[String, FileFacts] = {
+          val files = uncovered.flatMap(_._2)
+          graft.util.Parallel.map(files, 16) { bf =>
+            bf.path -> readFacts(bf.path, hudi.hadoopConf, needed, countCols)
+          }.toMap
+        }
+        val rows = groups.map { case (key, fs) =>
+          val facts = idxByKey(key)
+            .orElse(soundFooterFacts(fs.map(bf => footerByPath(bf.path))))
             .getOrElse(return None)
+          val values = foldValues(facts)
           val groupInternal = key.zip(converters).map { case (v, conv) =>
             // partition paths encode dates as LocalDate, which the
             // converter for DateType accepts directly

@@ -78,37 +78,15 @@ object BloomFilterIndex {
   ): Map[(String, String), org.apache.hadoop.util.bloom.BloomFilter] = {
     if (targets.isEmpty) return Map.empty
     val (latest, slices) = MetadataTable.openPartition(dataTableBase, PartitionName, hadoopConf)
-    def readFully(p: String): Array[Byte] = graft.util.ReadFully(new Path(p), hadoopConf)
     val byKey = targets.map(t => indexKey(t._1, t._2) -> t).toMap
     val keys = byKey.keys.toSeq.sorted
-    val range = InstantRange.upTo(latest)
     val raw = mutable.Map.empty[String, Option[Array[Byte]]]
     for (slice <- slices) {
-      var datumReader: GenericDatumReader[GenericRecord] = null
-      def readerFor(json: Option[String]): GenericDatumReader[GenericRecord] = {
-        if (datumReader == null)
-          datumReader = new GenericDatumReader[GenericRecord](
-            new AvroSchema.Parser().parse(json.getOrElse(throw new IllegalStateException(
-              s"$PartitionName HFile carries no avro schema"))))
-        datumReader
-      }
-      for (bf <- slice.baseFile) {
-        val r = new HFileReader(readFully(bf.path))
-        val dr = readerFor(r.avroSchemaJson)
-        for ((k, rec) <- r.lookup(keys))
-          raw(k) = decode(rec.value, rec.isDeleted, dr)
-      }
-      val wanted = keys.toSet
-      for (lf <- slice.logFiles.sortBy(_.orderingKey)) {
-        val blocks = LogFileParser.applyRollbacks(
-          LogFileParser.parse(readFully(lf.path), range))
-        for (b <- blocks if b.blockType == LogFormat.HfileDataBlock && b.rawContent.nonEmpty) {
-          val r = new HFileReader(b.rawContent)
-          val dr = readerFor(r.avroSchemaJson)
-          for (rec <- r.records if wanted.contains(rec.key))
-            raw(rec.key) = decode(rec.value, rec.isDeleted, dr)
-        }
-      }
+      val kvs = MdtSliceProbe.probe(
+        slice.baseFile.map(_.path),
+        slice.logFiles.sortBy(_.orderingKey).map(_.path),
+        latest, keys, hadoopConf) { (dr, _, v, del) => decode(v, del, dr) }
+      for (kv <- kvs) raw += kv
     }
     raw.iterator.collect { case (k, Some(bytes)) =>
       deserialize(bytes).map(byKey(k) -> _)

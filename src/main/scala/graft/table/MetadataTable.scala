@@ -222,3 +222,59 @@ object MetadataTable {
     FilesPartitionRecord(normalizeKey(rec.key), recordType, files)
   }
 }
+
+/** The shared key-filtered MDT slice probe: base-HFile point lookups
+  * followed by HFile-log-block overlay in commit order (newer wins per
+  * key; rollbacks applied). One walk serves every point-lookup index
+  * partition — record_index and bloom_filters — so merge-order fixes
+  * land once. Paths-only inputs keep it executor-serializable. Throws on
+  * structural problems (schema-less HFiles); callers translate to their
+  * fallbacks.
+  */
+private[table] object MdtSliceProbe {
+
+  /** `decode` maps (datumReader, key, valueBytes, hfileDeletedFlag) to a
+    * decoded value; None = tombstone. The datum reader is built lazily
+    * from the FIRST HFile's embedded avro schema and reused across the
+    * batch (a per-record GenericDatumReader is pure allocation overhead).
+    */
+  def probe[A](
+      base: Option[String],
+      logs: Seq[String],
+      upTo: String,
+      keys: Seq[String],
+      conf: Configuration)(
+      decode: (GenericDatumReader[GenericRecord], String, Array[Byte], Boolean) => Option[A]
+  ): Iterator[(String, Option[A])] = {
+    def readFully(p: String): Array[Byte] = graft.util.ReadFully(new Path(p), conf)
+    val out = mutable.Map.empty[String, Option[A]]
+    val range = InstantRange.upTo(upTo)
+    var datumReader: GenericDatumReader[GenericRecord] = null
+    def readerFor(json: Option[String]): GenericDatumReader[GenericRecord] = {
+      if (datumReader == null) {
+        val schema = new AvroSchema.Parser().parse(json.getOrElse(
+          throw new IllegalStateException("index HFile carries no avro schema")))
+        datumReader = new GenericDatumReader[GenericRecord](schema)
+      }
+      datumReader
+    }
+    for (basePath <- base) {
+      val baseReader = new HFileReader(readFully(basePath))
+      val dr = readerFor(baseReader.avroSchemaJson)
+      for ((k, rec) <- baseReader.lookup(keys))
+        out(k) = decode(dr, k, rec.value, rec.isDeleted)
+    }
+    val wanted = keys.toSet
+    for (lf <- logs) {
+      val blocks = LogFileParser.applyRollbacks(
+        LogFileParser.parse(readFully(lf), range))
+      for (b <- blocks if b.blockType == LogFormat.HfileDataBlock && b.rawContent.nonEmpty) {
+        val logReader = new HFileReader(b.rawContent)
+        val dr = readerFor(logReader.avroSchemaJson)
+        for (rec <- logReader.records if wanted.contains(rec.key))
+          out(rec.key) = decode(dr, rec.key, rec.value, rec.isDeleted)
+      }
+    }
+    out.iterator
+  }
+}

@@ -107,51 +107,20 @@ object RecordIndex {
     else None
   }
 
-  /** Probe ONE index slice (base HFile point lookups + HFile log-block
-    * overlay in commit order) for `keys` — the per-slice unit shared by
+  /** Probe ONE index slice for `keys` — the per-slice unit shared by
     * the driver-side [[lookup]] and the executor-side
-    * [[lookupDistributed]]. Throws on structural problems (callers
-    * translate to their fallback).
+    * [[lookupDistributed]], delegating the base+log overlay walk to
+    * [[MdtSliceProbe]]. Throws on structural problems (callers translate
+    * to their fallback).
     */
   private[table] def probeSlice(
       files: SliceFiles,
       upTo: String,
       keys: Seq[String],
-      conf: Configuration): Iterator[(String, Option[RecordIndexEntry])] = {
-    def readFully(p: String): Array[Byte] = graft.util.ReadFully(new Path(p), conf)
-    val out = mutable.Map.empty[String, Option[RecordIndexEntry]]
-    val range = InstantRange.upTo(upTo)
-    var datumReader: GenericDatumReader[GenericRecord] = null
-    def readerFor(json: Option[String]): GenericDatumReader[GenericRecord] = {
-      if (datumReader == null) {
-        val schema = new AvroSchema.Parser().parse(json.getOrElse(
-          throw new IllegalStateException("record-index HFile carries no avro schema")))
-        // one datum reader + decoder pair reused across the whole batch (a
-        // per-record GenericDatumReader is pure allocation overhead)
-        datumReader = new GenericDatumReader[GenericRecord](schema)
-      }
-      datumReader
+      conf: Configuration): Iterator[(String, Option[RecordIndexEntry])] =
+    MdtSliceProbe.probe(files.base, files.logs, upTo, keys, conf) {
+      (dr, k, v, del) => decode(k, v, del, dr)
     }
-    for (basePath <- files.base) {
-      val baseReader = new HFileReader(readFully(basePath))
-      val dr = readerFor(baseReader.avroSchemaJson)
-      for ((k, rec) <- baseReader.lookup(keys))
-        out(k) = decode(k, rec.value, rec.isDeleted, dr)
-    }
-    // log overlay in commit order: last writer wins per key
-    val wanted = keys.toSet
-    for (lf <- files.logs) {
-      val blocks = LogFileParser.applyRollbacks(
-        LogFileParser.parse(readFully(lf), range))
-      for (b <- blocks if b.blockType == LogFormat.HfileDataBlock && b.rawContent.nonEmpty) {
-        val logReader = new HFileReader(b.rawContent)
-        val dr = readerFor(logReader.avroSchemaJson)
-        for (rec <- logReader.records if wanted.contains(rec.key))
-          out(rec.key) = decode(rec.key, rec.value, rec.isDeleted, dr)
-      }
-    }
-    out.iterator
-  }
 
   /** Look up `keys` in the record index at `<dataTableBase>/.hoodie/
     * metadata/record_index`, read as of the MDT's latest completed
@@ -223,10 +192,15 @@ object RecordIndex {
     val entries = keys
       .groupByKey(k => fileGroupIndex(k, n))
       .flatMapGroups { (g: Int, it: Iterator[String]) =>
-        // distinct within the group: upstream need not dedupe
-        val ks = it.toSet.toSeq
-        probeSlice(bc.value(g), latest, ks, serConf.value)
-          .collect { case (_, Some(e)) => e }
+        // bounded per-task memory: keys probe in fixed-size batches so a
+        // group holding many millions of keys never materializes as one
+        // Set (the batch re-reads the group's HFiles — the IO-for-memory
+        // trade this path exists to make). Duplicate keys across batches
+        // just probe twice; callers pass distinct sets.
+        it.grouped(256 * 1024).flatMap { batch =>
+          probeSlice(bc.value(g), latest, batch.distinct, serConf.value)
+            .collect { case (_, Some(e)) => e }
+        }
       }
     (latest, entries)
   }
