@@ -19,7 +19,7 @@ object GraftProcedures {
 
   val names: Array[String] =
     Array("show_commits", "show_file_slices", "show_indexes", "show_column_stats",
-      "show_partition_stats")
+      "show_partition_stats", "show_bloom_filters")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "show_commits" => Some(proc("show_commits",
@@ -95,6 +95,25 @@ object GraftProcedures {
           (p, c, String.valueOf(mn), String.valueOf(mx)) } }
         .sortBy(r => (r._1, r._2))
         .map(r => row(r._1, r._2, r._3, r._4))))
+    case "show_bloom_filters" => Some(proc("show_bloom_filters",
+      "bloom-filter coverage of the latest snapshot's base files (MDT bloom_filters index)",
+      StructType(Seq(
+        StructField("partition_path", StringType, nullable = false),
+        StructField("base_file", StringType, nullable = false),
+        StructField("has_bloom", BooleanType, nullable = false))),
+      t => {
+        val slices = t.timeline.latestCommitTimestamp
+          .map(ts => t.fsView.slicesAsOf(ts)).getOrElse(Vector.empty)
+        val targets = slices
+          .flatMap(sl => sl.baseFile.map(bf => (sl.partitionPath, bf.fileName)))
+        val found: Set[(String, String)] =
+          if (!graft.table.BloomFilterIndex.isAvailable(t.config)) Set.empty
+          else graft.table.BloomFilterIndex
+            .lookup(t.basePath, targets, t.hadoopConf).keySet
+        targets.sortBy(identity).map { case (p, f) =>
+          row(p, f, Boolean.box(found.contains((p, f))))
+        }
+      }))
     case _ => None
   }
 

@@ -112,11 +112,23 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(rows.forall(r => r.getString(1) == "o_orderkey"))
   }
 
+  test("CALL show_bloom_filters reports per-file bloom coverage") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val bp = HudiFixtureBuilder.bloomPath(sfDir)
+    val rows = spark.sql(s"CALL hudi_graft.show_bloom_filters(table => '$bp')").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getBoolean(2)), s"every fixture file carries a bloom: ${rows.toSeq}")
+    // a table without the index reports its files as uncovered
+    val cow = HudiFixtureBuilder.cowPath(sfDir)
+    val none = spark.sql(s"CALL hudi_graft.show_bloom_filters(table => '$cow')").collect()
+    assert(none.nonEmpty && none.forall(!_.getBoolean(2)))
+  }
+
   test("SHOW PROCEDURES lists the catalog's procedures") {
     val names = spark.sql("SHOW PROCEDURES IN hudi_graft").collect()
       .map(_.toString).mkString(",")
     for (p <- Seq("show_commits", "show_file_slices", "show_indexes",
-        "show_column_stats", "show_partition_stats"))
+        "show_column_stats", "show_partition_stats", "show_bloom_filters"))
       assert(names.contains(p), s"$p missing from $names")
   }
 }
