@@ -705,6 +705,20 @@ object HudiQueries {
       },
       "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders"),
 
+    // Record-index POINT read: `_hoodie_record_key = '7'` resolves to
+    // the ONE owning file group through the record index (key 7 is
+    // log-updated, so the restricted plan still merges); plan-shape
+    // asserted in DataSourceV2Spec.
+    "hudi_record_key_point" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.morPath(d))
+          .filter(col("_hoodie_record_key") === "7")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+      },
+      """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus
+        |FROM orders WHERE o_orderkey = 7""".stripMargin),
+
     // Bloom-filter data skipping (MDT bloom_filters — enumerated by the
     // reference, records.rs:115-116, decoded by neither side): the
     // fixture's file groups hold o_orderkey % 4 residue classes, so every

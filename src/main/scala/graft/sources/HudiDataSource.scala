@@ -718,10 +718,13 @@ class GraftScan(
           if (readOptimized || !hudi.isMor)
             planned0.map(_.withoutLogs).filter(_.baseFile.isDefined)
           else planned0
-        // Secondary-index point planning, then the bloom-filter tier —
-        // latest snapshot only (the indexes reflect the current state)
+        // Index-planning tiers — latest snapshot only (the indexes
+        // reflect the current state): record-key point planning first
+        // (exact file group per key), then secondary-index planning,
+        // then the bloom-filter tier
         val planned =
-          if (asOf.isEmpty) bloomRestricted(indexRestricted(planned1)) else planned1
+          if (asOf.isEmpty) bloomRestricted(indexRestricted(keyRestricted(planned1)))
+          else planned1
         // R2: footer min/max file skipping — only when every planned slice
         // is base-file-only (log files can resurrect out-of-range values,
         // the reference's safety gate at table/mod.rs:486-491)
@@ -775,6 +778,44 @@ class GraftScan(
           }
         } catch { case scala.util.control.NonFatal(_) => planned }
       case _ => planned
+    }
+  }
+
+  /** Record-index POINT planning — the primary use of the record_index
+    * partition in Hudi: an equality/IN predicate whose literals ARE
+    * record keys resolves directly to the owning file groups, and the
+    * plan keeps only those slices (a key lookup at 100 TB reads one file
+    * group, logs included, instead of the table). Eligible predicates:
+    * the `_hoodie_record_key` meta column always (its value IS the key),
+    * and the source key field only when StringType — a non-string
+    * rendering mismatch would MISS the index and plan an empty result,
+    * which is not fail-open (the same trust gate as the secondary-index
+    * tier). A key absent from the index means the key is not in the
+    * table, so zero surviving slices is a correct plan; index errors
+    * keep the full plan.
+    */
+  private def keyRestricted(planned: Vector[FileSlice]): Vector[FileSlice] = {
+    if (planned.isEmpty || !graft.table.RecordIndex.isAvailable(hudi.config)) return planned
+    val keyFields = hudi.config.recordKeyFields
+    val eligible: Set[String] = Set(graft.core.MetaField.RecordKey) ++
+      (if (keyFields.size == 1 && hudi.tableSchema.fields.exists(tf =>
+        tf.name == keyFields.head &&
+          tf.dataType == org.apache.spark.sql.types.StringType)) keyFields.toSet
+      else Set.empty[String])
+    val cand = simpleFilters.find(f => eligible.contains(f.field) &&
+      (f.op == "=" || f.op == "in") && f.values.nonEmpty &&
+      f.values.size <= GraftScan.SecondaryIndexMaxValues)
+    cand match {
+      case None => planned
+      case Some(f) =>
+        try {
+          val looked = graft.table.RecordIndex.lookup(
+            hudi.basePath, f.values, hudi.hadoopConf)
+          val groups = looked.entries.values.groupBy(_.partitionPath)
+            .view.mapValues(_.map(_.fileId).toSet).toMap
+          planned.filter(sl =>
+            groups.get(sl.partitionPath).exists(_.contains(sl.fileId)))
+        } catch { case scala.util.control.NonFatal(_) => planned }
     }
   }
 

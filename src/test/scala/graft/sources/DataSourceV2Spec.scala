@@ -478,6 +478,33 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(graft.sources.GraftFooterAggScan.footerReads.get() == b2)
   }
 
+  test("record-key point predicates plan only the owning file group") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val mor = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
+    // key 7 was UPDATED at T2: its slice carries a log file, so the
+    // point plan must still run the merge
+    val df = spark.read.format("hudi-graft").load(mor)
+      .filter(col("_hoodie_record_key") === "7")
+      .select("o_orderkey", "o_orderstatus")
+    assert(df.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"record-key point planning did not engage: ${df.queryExecution.executedPlan}")
+    val got = df.collect()
+    assert(got.length == 1 && got.head.getLong(0) == 7L && got.head.getString(1) == "U")
+    // a key that never existed plans zero slices — correct BY the index
+    val none = spark.read.format("hudi-graft").load(mor)
+      .filter(col("_hoodie_record_key") === "nope")
+    assert(none.queryExecution.executedPlan.toString().contains("0 slices"))
+    assert(none.count() == 0)
+    // the non-string source key field must NOT plan through the index
+    // (rendering trust gate) — the full plan stays
+    val full = spark.read.format("hudi-graft").load(mor)
+      .filter(col("o_orderkey") === 7)
+    assert(!full.queryExecution.executedPlan.toString().contains(" 1 slices"),
+      s"integral key field must not index-restrict: ${full.queryExecution.executedPlan}")
+    assert(full.count() == 1)
+  }
+
   test("COUNT(col) pushes down via null proofs (absent column + index nullCount)") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count}
