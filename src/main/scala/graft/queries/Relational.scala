@@ -539,6 +539,33 @@ object Relational {
     // row would otherwise tie and hash-compare flaky).
     "q_rollup" -> groupingLattice(_.rollup("l_returnflag", "l_linestatus"), "ROLLUP"),
     "q_cube" -> groupingLattice(_.cube("l_returnflag", "l_linestatus"), "CUBE"),
+    // explicit GROUPING SETS (a strict subset of the cube — per-flag,
+    // per-status, grand total — exercising the analyzer's direct sets
+    // path rather than the rollup/cube expansions); the SQL runs
+    // verbatim on BOTH engines through the shared lattice shape
+    "q_grouping_sets" -> QueryDef(
+      (s, d) => {
+        Tables.ensureView(s, d, "lineitem")(lineitem(s, d))
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+            |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+            |  COUNT(1) AS n_rows
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+            |  g_flag, g_status""".stripMargin)
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(1) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+        |  g_flag, g_status""".stripMargin),
 
     // --- PIVOT (wide conditional aggregation) -----------------------------
     // `pivot` with an EXPLICIT value list compiles to ONE hash aggregate
