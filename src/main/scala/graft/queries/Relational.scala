@@ -66,6 +66,18 @@ object Relational {
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
          |  g_flag, g_status""".stripMargin)
 
+  private val q19Sql: String =
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+      |    (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE)
+      |  AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+      |       AND p_size BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+      |       AND p_size BETWEEN 1 AND 25)
+      |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+      |       AND p_size BETWEEN 1 AND 35)""".stripMargin
+
   private val qs: Map[String, QueryDef] = Map(
     // --- selective filter + single aggregate (TPC-H Q6 shape) ------------
     // The canonical predicate-pushdown probe: every filter reaches the
@@ -116,6 +128,20 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
         |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin),
+
+    // --- disjunctive join predicates (TPC-H Q19 shape) --------------------
+    // OR-of-AND bands across both join sides: the Or conjunct stays a
+    // residual (our simple-filter bridge is conjunct-only, fail-open) but
+    // Catalyst still derives pushable per-side implications; the
+    // aggregate follows the q1 decimal discipline. SQL runs verbatim on
+    // both engines.
+    "q19_disjunctive" -> QueryDef(
+      (s, d) => {
+        Tables.ensureView(s, d, "lineitem")(lineitem(s, d))
+        Tables.ensureView(s, d, "part")(part(s, d))
+        s.sql(q19Sql)
+      },
+      q19Sql),
 
     // --- scan + aggregate (TPC-H Q1 shape) -------------------------------
     "q1_pricing_summary" -> QueryDef(
