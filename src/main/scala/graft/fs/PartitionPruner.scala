@@ -90,6 +90,28 @@ final class PartitionPruner(
     Some(pairs.toMap)
   }
 
+  /** [[parseSegments]] with a fallback for a SINGLE string-typed
+    * partition field whose VALUE contains '/' — timestamp-keygen output
+    * formats like yyyy/MM/dd/HH make one field span several path
+    * segments, so the field's value is the whole relative path (prefix-
+    * stripped when hive-style). Injection sites use this; pruning keeps
+    * the strict parse (a mis-split there would mis-prune).
+    */
+  def parseSegmentsLenient(path: String): Option[Map[String, Any]] =
+    parseSegments(path).orElse {
+      partitionFields match {
+        case Seq((name, "string")) if path.nonEmpty =>
+          val raw =
+            if (hiveStyle) {
+              val pfx = name + "="
+              if (path.startsWith(pfx)) path.substring(pfx.length) else return None
+            } else path
+          Some(Map(name ->
+            (if (urlEncoded) URLDecoder.decode(raw, StandardCharsets.UTF_8) else raw)))
+        case _ => None
+      }
+    }
+
   private def cast(s: String, tpe: String): Option[Any] = tpe match {
     case "int" => s.toIntOption
     case "long" => s.toLongOption

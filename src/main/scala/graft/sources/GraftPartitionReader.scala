@@ -142,7 +142,7 @@ private[sources] object PartitionValues {
         case _ => "string"
       })).toSeq
       val parsed = new graft.fs.PartitionPruner(fieldTypes, hiveStyle, urlEncoded, Nil)
-        .parseSegments(slice.partitionPath).getOrElse(Map.empty)
+        .parseSegmentsLenient(slice.partitionPath).getOrElse(Map.empty)
       val vals = ps.fields.map { f =>
         val ext = parsed.get(f.name).map {
           case d: java.time.LocalDate => java.sql.Date.valueOf(d)

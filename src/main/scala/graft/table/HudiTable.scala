@@ -159,18 +159,37 @@ final class HudiTable(
     // schema does, a footer doesn't). Ensure they're in the schema (typed
     // from create.schema when available) and record them as dropped so
     // reads re-inject values from partition paths.
-    if (!config.dropsPartitionFields) (resolved, Nil)
-    else {
-      val missing = config.partitionFields.filterNot(resolved.fieldNames.contains)
-      val createTypes: Map[String, org.apache.spark.sql.types.DataType] =
-        config.get("hoodie.table.create.schema")
-          .map(j => AvroConvert.toStructType(new AvroSchema.Parser().parse(j)))
-          .map(st => st.fields.map(f => f.name -> f.dataType).toMap)
-          .getOrElse(Map.empty)
-      val full = StructType(resolved.fields ++
-        missing.map(f => StructField(f, createTypes.getOrElse(f, StringType), nullable = true)))
-      (full, config.partitionFields.filter(full.fieldNames.contains))
+    val base: (StructType, Seq[String]) =
+      if (!config.dropsPartitionFields) (resolved, Nil)
+      else {
+        val missing = config.partitionFields.filterNot(resolved.fieldNames.contains)
+        val createTypes: Map[String, org.apache.spark.sql.types.DataType] =
+          config.get("hoodie.table.create.schema")
+            .map(j => AvroConvert.toStructType(new AvroSchema.Parser().parse(j)))
+            .map(st => st.fields.map(f => f.name -> f.dataType).toMap)
+            .getOrElse(Map.empty)
+        val full = StructType(resolved.fields ++
+          missing.map(f => StructField(f, createTypes.getOrElse(f, StringType), nullable = true)))
+        (full, config.partitionFields.filter(full.fieldNames.contains))
+      }
+    // NUMERIC timestamp-keygen partition fields are path-injected too:
+    // the real writer's commit schema declares the source field STRING
+    // (the formatted partition value) while the parquet files still hold
+    // the original numeric column — reading the file under the resolved
+    // schema is a physical-type crash, and the only string form that
+    // exists is the formatted path (real v9_timebasedkeygen_epochmillis
+    // bytes: schema says ["null","string"], files say int64). DATE_STRING
+    // keygens keep reading the file — there the stored column IS a
+    // string, just in the input format.
+    val keygenInjected: Seq[String] = graft.fs.TimestampKeyGen.fromConfig(config) match {
+      case Some(kg) if Set("UNIX_TIMESTAMP", "EPOCHMILLISECONDS",
+          "EPOCHMICROSECONDS", "SCALAR").contains(kg.timestampType.toUpperCase) =>
+        config.partitionFields.filter(f =>
+          base._1.fields.exists(tf => tf.name == f && tf.dataType == StringType) &&
+            !base._2.contains(f))
+      case _ => Nil
     }
+    (base._1, base._2 ++ keygenInjected)
   }
 
   lazy val tableSchema: StructType = resolvedSchemas._1
@@ -386,7 +405,7 @@ final class HudiTable(
         val fileSchema = StructType(schema.fields.filterNot(f => droppedPartitionFields.contains(f.name)))
         val parse = prunerFor(Nil)
         baseBearing.groupBy(_.partitionPath).toSeq.sortBy(_._1).map { case (p, ss) =>
-          val vals = parse.parseSegments(p).getOrElse(Map.empty)
+          val vals = parse.parseSegmentsLenient(p).getOrElse(Map.empty)
           val df = spark.read.schema(fileSchema).parquet(ss.flatMap(_.baseFile).map(_.path): _*)
           val withParts = droppedPartitionFields.foldLeft(df) { (acc, f) =>
             val target = schema.fields.find(_.name == f).get.dataType
@@ -407,7 +426,7 @@ final class HudiTable(
         val parse = prunerFor(Nil)
         val dropped = droppedPartitionFields
         sl => {
-          val vals = parse.parseSegments(sl.partitionPath).getOrElse(Map.empty)
+          val vals = parse.parseSegmentsLenient(sl.partitionPath).getOrElse(Map.empty)
           dropped.flatMap(f => vals.get(f).map {
             case d: java.time.LocalDate => f -> java.sql.Date.valueOf(d)
             case other => f -> other

@@ -555,6 +555,32 @@ class DataSourceV2Spec extends SparkTestBase {
       spark.read.parquet(s"$sfDir/nation.parquet").select("n_name").distinct().count())
   }
 
+  test("grouped pushdown declines on a timestamp-keygen table (real v9 bytes)") {
+    // paths are FORMATTED date buckets, not column values — serving them
+    // as group values would be silently wrong under complete pushdown
+    val p = graft.table.Fixtures.table(
+      "sample_table/cow/v9_timebasedkeygen_epochmillis.zip",
+      "v9_timebasedkeygen_epochmillis", "v9_tbk_epoch_groupagg")
+    assume(p.isDefined)
+    import org.apache.spark.sql.functions.{col, count}
+    val partField = graft.table.HudiTable(spark, p.get).config.partitionFields.head
+    val agg = spark.read.format("hudi-graft").load(p.get)
+      .groupBy(partField).agg(count(col("*")).as("n")).orderBy(partField)
+    assert(!agg.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"keygen table must not serve grouped values from paths: ${agg.queryExecution.executedPlan}")
+    // and the scan-path answer groups on the REAL column values
+    val exp = graft.table.HudiTable(spark, p.get).snapshot()
+      .groupBy(partField).agg(count(col("*")).as("n")).orderBy(partField)
+    assert(agg.collect().toSeq == exp.collect().toSeq)
+    // the numeric-keygen source field is PATH-INJECTED: the commit schema
+    // declares it string while the parquet holds the original int64 (a
+    // physical-type crash if read from the file), and the only string
+    // form on disk is the formatted partition path (yyyy/MM/dd/HH)
+    val vals = agg.collect().map(_.getString(0))
+    assert(vals.nonEmpty && vals.forall(_.matches("""\d{4}/\d{2}/\d{2}/\d{2}""")),
+      s"expected formatted path values, got ${vals.toSeq}")
+  }
+
   test("footer-aggregate pushdown agrees with full scans on every COW fixture") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count, max, min}
