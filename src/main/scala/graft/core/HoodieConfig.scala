@@ -60,6 +60,36 @@ final case class HoodieConfig(props: Map[String, String]) {
   def dropsPartitionFields: Boolean =
     getOrElse(DropsPartitionFields, "false").toBoolean
 
+  /** The writer's key-generator class when recorded
+    * (`hoodie.table.keygenerator.class`). Decides how single-field record
+    * keys RENDER: Simple/Nonpartitioned/Timestamp generators write the
+    * bare field value, while ComplexKeyGenerator (what Spark-SQL writes
+    * by default) renders `field:value` even for one field — so planners
+    * that probe key-valued indexes with a bare source-column literal must
+    * gate on this ([[bareKeyRendering]]).
+    */
+  def keyGeneratorClass: Option[String] = get(KeyGeneratorClass)
+
+  /** Whether a single-field record key is trusted to render as the BARE
+    * field value. True when the generator is unset (fixture/minimal
+    * tables; Hudi defaults to SimpleKeyGenerator) or one of the
+    * known bare-rendering generators. TimestampBased extends Simple in
+    * Hudi — only the partition path rendering differs, the key is still
+    * the bare value. Anything else (Complex, Custom, GlobalDelete,
+    * AutoRecordGen wrappers, user classes) → false: a `field:value`
+    * rendering probed with the bare value would MISS the index, and a
+    * miss is an answer ("key absent"), not a fail-open.
+    */
+  def bareKeyRendering: Boolean = keyGeneratorClass match {
+    case None => true
+    case Some(c) =>
+      val simple = Set(
+        "SimpleKeyGenerator", "SimpleAvroKeyGenerator",
+        "NonpartitionedKeyGenerator", "NonpartitionedAvroKeyGenerator",
+        "TimestampBasedKeyGenerator", "TimestampBasedAvroKeyGenerator")
+      simple.contains(c.substring(c.lastIndexOf('.') + 1))
+  }
+
   /** Merge strategy with the reference's defaulting rules
     * (config/table.rs:318-340): APPEND_ONLY when meta fields are not
     * populated or no ordering field, else OVERWRITE_WITH_LATEST.
@@ -87,6 +117,7 @@ object HoodieConfig {
   val PopulatesMetaFields = "hoodie.populate.meta.fields"
   val DropsPartitionFields = "hoodie.datasource.write.drop.partition.columns"
   val RecordMergeStrategy = "hoodie.table.record.merge.strategy"
+  val KeyGeneratorClass = "hoodie.table.keygenerator.class"
 
   /** Load `<base>/.hoodie/hoodie.properties` — java.util.Properties
     * format, including its escape rules (Hudi writes `\:` inside the

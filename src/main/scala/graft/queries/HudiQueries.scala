@@ -705,6 +705,23 @@ object HudiQueries {
       },
       "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders"),
 
+    // Partition-FILTERED metadata COUNT(*): the exact partition-equality
+    // filter is consumed by pruning, then the count serves from the
+    // surviving partition's footer metadata — `SELECT COUNT(*) WHERE
+    // dt = X`, the single most frequent ops query on a partitioned lake,
+    // as a zero-task plan (plan shape + single-footer-read asserted in
+    // DataSourceV2Spec; this entry hash-checks the value).
+    "hudi_count_filtered_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.partPath(d))
+          .filter(col("n_regionkey") === 2)
+          .agg(count(col("*")).as("n"), min(col("n_nationkey")).as("mn"),
+            max(col("n_nationkey")).as("mx"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(n_nationkey) AS mn,
+        |  MAX(n_nationkey) AS mx FROM nation WHERE n_regionkey = 2""".stripMargin),
+
     // Record-index POINT read: `_hoodie_record_key = '7'` resolves to
     // the ONE owning file group through the record index (key 7 is
     // log-updated, so the restricted plan still merges); plan-shape

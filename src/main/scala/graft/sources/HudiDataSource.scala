@@ -119,11 +119,31 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
     * Spark consumes the single driver-side row as the final answer. The
     * planning cost is one footer read per file — the same footers R2
     * pruning reads — issued in parallel at pushdown time.
+    *
+    * Filters compose when they are EXACTLY consumed by partition pruning
+    * (the same classification [[pushFilters]] uses to drop them from the
+    * residual): the slice set is pruned first, then the aggregates serve
+    * over the surviving files — `SELECT COUNT(*) WHERE dt = X`, the most
+    * frequent ops query on a partitioned lake, becomes a zero-task plan.
+    * Any other pushed filter (non-partition column, range, unparseable
+    * literal) rejects the pushdown; Spark then keeps the filter as a
+    * post-scan residual and never offers the aggregate anyway.
     */
   private def tryFooterAgg(agg: aggregate.Aggregation): Option[GraftFooterAggScan] = {
-    if (pushed.nonEmpty || limit.nonEmpty ||
+    val exactFields = pushed.collect {
+      case f @ sources.EqualTo(a, _) if isExactPartitionEquality(f) => a
+      case f @ sources.In(a, _) if isExactPartitionEquality(f) => a
+    }.toSet
+    val filtersConsumed = pushed.isEmpty || (exactPruningReady && pushed.forall {
+      case f if isExactPartitionEquality(f) => true
+      case sources.IsNotNull(a) => exactFields.contains(a)
+      case _ => false
+    })
+    if (!filtersConsumed || limit.nonEmpty ||
         Option(options.get("query.type")).exists(_.equalsIgnoreCase("incremental")) ||
         (hudi.isMor && !options.getBoolean("read.optimized", false))) return None
+    val aggPartitionFilters: Seq[PartitionFilter] =
+      pushed.toSeq.filter(isExactPartitionEquality).flatMap(toSimpleFilter)
     // GROUP BY is served ONLY when every grouping expression is a bare
     // partition column: the group values then come from parsed partition
     // paths and the plan stays metadata-only, one row per partition
@@ -172,7 +192,7 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       case _ => None
     }
     if (specs.isEmpty || specs.exists(_.isEmpty)) None
-    else GraftFooterAggScan.tryPlan(hudi, options, specs.flatten, groupBy)
+    else GraftFooterAggScan.tryPlan(hudi, options, specs.flatten, groupBy, aggPartitionFilters)
   }
 
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean = {
@@ -211,7 +231,11 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       case "date" =>
         try { java.time.LocalDate.parse(String.valueOf(v)); true }
         catch { case _: Exception => false }
-      case _ => true
+      // a literal equal to a null-partition sentinel is ambiguous: the
+      // matching PATH may hold rows whose column is NULL (written under
+      // the sentinel), which the equality must exclude — keep the filter
+      // residual instead of classifying it exactly consumed
+      case _ => !GraftScanBuilder.isPartitionNullSentinel(String.valueOf(v))
     })
 
   private def isExactPartitionEquality(f: Filter): Boolean = {
@@ -288,6 +312,21 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
   }
 }
 
+object GraftScanBuilder {
+  /** Partition-path renderings that stand in for NULL (or empty) column
+    * values rather than being values themselves: hive-style tables write
+    * `__HIVE_DEFAULT_PARTITION__`, non-hive tables Hudi's
+    * PartitionPathEncodeUtils.DEFAULT_PARTITION_PATH `"default"`, and an
+    * empty segment is the degenerate case. Any plan that treats a path
+    * value as a COLUMN value (grouped aggregate pushdown, exact filter
+    * consumption) must refuse these.
+    */
+  def isPartitionNullSentinel(v: Any): Boolean = v match {
+    case s: String => s == "__HIVE_DEFAULT_PARTITION__" || s == "default" || s.isEmpty
+    case _ => false
+  }
+}
+
 /** The pushed footer-aggregate scan: precomputed local rows built from
   * parquet footer / MDT index metadata over the planned base-only
   * slices — no tasks, no data read. One row for a global aggregate, one
@@ -354,13 +393,19 @@ object GraftFooterAggScan {
       hudi: HudiTable,
       options: CaseInsensitiveStringMap,
       specs: Seq[AggSpec],
-      groupBy: Seq[String] = Nil): Option[GraftFooterAggScan] =
+      groupBy: Seq[String] = Nil,
+      partitionFilters: Seq[graft.fs.PartitionFilter] = Nil): Option[GraftFooterAggScan] =
     try {
       val asOf = Option(options.get("as.of.timestamp"))
         .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
       val readOptimized = options.getBoolean("read.optimized", false)
+      // exact partition-equality filters (the builder's consumed set)
+      // prune the slice set FIRST; the aggregates then serve over the
+      // surviving files only — the metadata plan for `COUNT(*) WHERE
+      // dt = X`
+      val pruner = hudi.prunerFor(partitionFilters)
       val slices = asOf.orElse(hudi.timeline.latestCommitTimestamp)
-        .map(ts => hudi.fsView.slicesAsOf(ts)).getOrElse(Vector.empty)
+        .map(ts => hudi.fsView.slicesAsOf(ts, pruner)).getOrElse(Vector.empty)
         .map(sl => if (readOptimized) sl.withoutLogs else sl)
       if (slices.exists(_.hasLogFiles)) return None
       val needed = specs.collect {
@@ -463,13 +508,17 @@ object GraftFooterAggScan {
         val converters = groupSchema.map(f =>
           org.apache.spark.sql.catalyst.CatalystTypeConverters
             .createToCatalystConverter(f.dataType))
-        val pruner = hudi.prunerFor(Nil)
         val parsed: Vector[(Seq[Any], graft.fs.FileSlice)] = slices.map { sl =>
           val vals = pruner.parseSegments(sl.partitionPath).getOrElse(return None)
           (groupBy.map { g =>
             val v = vals.getOrElse(g, return None)
-            // the hive null-partition sentinel is NOT the column value
-            if (v == "__HIVE_DEFAULT_PARTITION__") return None
+            // null-partition sentinels are NOT column values: hive-style
+            // writes __HIVE_DEFAULT_PARTITION__, non-hive writes the
+            // PartitionPathEncodeUtils DEFAULT_PARTITION_PATH "default"
+            // (and older writers an empty segment) for null/empty values
+            // — serving any of them as a group literal under complete
+            // pushdown would be a silently wrong final answer
+            if (GraftScanBuilder.isPartitionNullSentinel(v)) return None
             v
           }, sl)
         }
@@ -797,10 +846,18 @@ class GraftScan(
   private def keyRestricted(planned: Vector[FileSlice]): Vector[FileSlice] = {
     if (planned.isEmpty || !graft.table.RecordIndex.isAvailable(hudi.config)) return planned
     val keyFields = hudi.config.recordKeyFields
+    // the source-field branch additionally trusts the writer's KEY
+    // RENDERING: ComplexKeyGenerator (Spark-SQL's default writer) renders
+    // even a single-field key as `field:value`, so a bare-value probe
+    // would miss the index and return a wrong empty plan — gate on the
+    // recorded keygenerator class (bareKeyRendering). The
+    // `_hoodie_record_key` branch needs no gate: its literal IS the
+    // stored key, whatever generator produced it.
     val eligible: Set[String] = Set(graft.core.MetaField.RecordKey) ++
-      (if (keyFields.size == 1 && hudi.tableSchema.fields.exists(tf =>
-        tf.name == keyFields.head &&
-          tf.dataType == org.apache.spark.sql.types.StringType)) keyFields.toSet
+      (if (keyFields.size == 1 && hudi.config.bareKeyRendering &&
+        hudi.tableSchema.fields.exists(tf =>
+          tf.name == keyFields.head &&
+            tf.dataType == org.apache.spark.sql.types.StringType)) keyFields.toSet
       else Set.empty[String])
     val cand = simpleFilters.find(f => eligible.contains(f.field) &&
       (f.op == "=" || f.op == "in") && f.values.nonEmpty &&
@@ -836,7 +893,11 @@ class GraftScan(
     if (planned.isEmpty || !graft.table.BloomFilterIndex.isAvailable(hudi.config))
       return planned
     val keyFields = hudi.config.recordKeyFields
-    if (keyFields.size != 1) return planned
+    // blooms hash the WRITER's key rendering; a ComplexKeyGenerator
+    // `field:value` key probed with the bare value gets a false
+    // "definitely absent" — silent row loss, so the same keygenerator
+    // gate as the record-index source-field branch applies
+    if (keyFields.size != 1 || !hudi.config.bareKeyRendering) return planned
     val keyField = keyFields.head
     import org.apache.spark.sql.types._
     val trustedRendering: Set[DataType] =

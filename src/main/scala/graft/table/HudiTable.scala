@@ -181,16 +181,64 @@ final class HudiTable(
     // bytes: schema says ["null","string"], files say int64). DATE_STRING
     // keygens keep reading the file — there the stored column IS a
     // string, just in the input format.
+    //
+    // The injection is CONFIRMED against one base file's footer before it
+    // fires: UNIX_TIMESTAMP legitimately accepts a genuinely string-typed
+    // source column (epoch digits stored as strings), and injecting there
+    // would silently replace stored values with the formatted path
+    // rendering. Only a file whose physical type for the field is
+    // NON-string (the schema-says-string / file-says-int64 mismatch that
+    // motivates the injection) or that lacks the column entirely
+    // injects; a string-physical or unprobeable file keeps reading the
+    // file — a wrong guess there fails LOUDLY (physical-type crash), never
+    // silently.
     val keygenInjected: Seq[String] = graft.fs.TimestampKeyGen.fromConfig(config) match {
       case Some(kg) if Set("UNIX_TIMESTAMP", "EPOCHMILLISECONDS",
           "EPOCHMICROSECONDS", "SCALAR").contains(kg.timestampType.toUpperCase) =>
-        config.partitionFields.filter(f =>
+        val candidates = config.partitionFields.filter(f =>
           base._1.fields.exists(tf => tf.name == f && tf.dataType == StringType) &&
             !base._2.contains(f))
+        if (candidates.isEmpty) Nil
+        else physicallyNonString(candidates)
       case _ => Nil
     }
     (base._1, base._2 ++ keygenInjected)
   }
+
+  /** Of `fields`, those whose PHYSICAL type in one sampled base-file
+    * footer is not a string (or that are absent from the file schema) —
+    * the candidates path-injection may safely replace. One footer read,
+    * planning-time only. No probeable base file (log-only table, IO
+    * error) → none qualify: reading stays the default, and a true
+    * mismatch surfaces as a loud decode error rather than silently
+    * substituted values.
+    */
+  private def physicallyNonString(fields: Seq[String]): Seq[String] =
+    try {
+      val sample = fsView.partitionPaths.iterator
+        .flatMap(p => fsView.fileGroups(p))
+        .flatMap(_.slices.values.lastOption)
+        .flatMap(_.baseFile.map(_.path))
+        .take(1).toList.headOption
+      sample match {
+        case None => Nil
+        case Some(path) =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(path), hadoopConf))
+          try {
+            val msg = reader.getFooter.getFileMetaData.getSchema
+            fields.filter { f =>
+              !msg.containsField(f) || {
+                val t = msg.getType(Seq(f): _*)
+                t.isPrimitive &&
+                  t.asPrimitiveType().getPrimitiveTypeName !=
+                    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
+              }
+            }
+          } finally reader.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
 
   lazy val tableSchema: StructType = resolvedSchemas._1
 

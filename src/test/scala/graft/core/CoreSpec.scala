@@ -303,4 +303,24 @@ class CoreSpec extends AnyFunSuite {
     assert(t.completedInstants.size == 2)
     assert(t.completionTimeOf("20230101000000000") == Some("20230101000000111"))
   }
+
+  test("bareKeyRendering gates on the recorded keygenerator class") {
+    def cfg(kg: Option[String]) = HoodieConfig(
+      Map("hoodie.table.name" -> "t", "hoodie.table.version" -> "6") ++
+        kg.map("hoodie.table.keygenerator.class" -> _))
+    // unset -> Hudi defaults to SimpleKeyGenerator: bare value trusted
+    assert(cfg(None).bareKeyRendering)
+    for (c <- Seq("org.apache.hudi.keygen.SimpleKeyGenerator",
+        "org.apache.hudi.keygen.SimpleAvroKeyGenerator",
+        "org.apache.hudi.keygen.NonpartitionedKeyGenerator",
+        "org.apache.hudi.keygen.TimestampBasedKeyGenerator"))
+      assert(cfg(Some(c)).bareKeyRendering, c)
+    // ComplexKeyGenerator renders `field:value` even for one field —
+    // and anything unknown must not be trusted either
+    for (c <- Seq("org.apache.hudi.keygen.ComplexKeyGenerator",
+        "org.apache.hudi.keygen.CustomKeyGenerator",
+        "org.apache.hudi.keygen.GlobalDeleteKeyGenerator",
+        "com.example.MyKeyGen"))
+      assert(!cfg(Some(c)).bareKeyRendering, c)
+  }
 }

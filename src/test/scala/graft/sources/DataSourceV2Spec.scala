@@ -530,6 +530,76 @@ class DataSourceV2Spec extends SparkTestBase {
       "index-covered COUNT(col) must not open footers")
   }
 
+  test("exact partition-equality filters compose with metadata aggregates") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, count, min}
+    val p = graft.fixtures.HudiFixtureBuilder.partPath(sfDir)
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    // filtered COUNT(*): the filter is consumed by partition pruning and
+    // the count serves from the SURVIVING partition's footer only — one
+    // footer read (the fixture holds one file per region, 5 total)
+    val before = graft.sources.GraftFooterAggScan.footerReads.get()
+    val cnt = spark.read.format("hudi-graft").load(p)
+      .filter(col("n_regionkey") === 2)
+      .agg(count(col("*")).as("n"))
+    assert(cnt.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"filtered COUNT(*) not metadata-served: ${cnt.queryExecution.executedPlan}")
+    // exactly ONE footer opened for this plan: pruning ran BEFORE the
+    // sweep (1 surviving file of 5). Asserted before any further action
+    // (each new action replans and re-reads).
+    assert(graft.sources.GraftFooterAggScan.footerReads.get() == before + 1,
+      "pruning must run BEFORE the footer sweep (1 surviving file of 5)")
+    assert(cnt.collect().head.getLong(0) == nation.filter(col("n_regionkey") === 2).count())
+    // IN-filtered + GROUP BY partition column: still metadata-only, one
+    // row per surviving partition
+    val grouped = spark.read.format("hudi-graft").load(p)
+      .filter(col("n_regionkey").isin(1, 3))
+      .groupBy("n_regionkey")
+      .agg(count(col("*")).as("n"), min(col("n_nationkey")).as("mn"))
+      .orderBy("n_regionkey")
+    assert(grouped.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"filtered grouped agg not metadata-served: ${grouped.queryExecution.executedPlan}")
+    val expG = nation.filter(col("n_regionkey").isin(1, 3)).groupBy("n_regionkey")
+      .agg(count(col("*")), min(col("n_nationkey"))).orderBy("n_regionkey").collect().toSeq
+    assert(grouped.collect().toSeq == expG)
+    // a NON-partition filter keeps the real scan (Spark retains the
+    // residual, so complete aggregate pushdown is never offered)
+    val fallback = spark.read.format("hudi-graft").load(p)
+      .filter(col("n_nationkey") < 10)
+      .agg(count(col("*")).as("n"))
+    assert(!fallback.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"non-partition filter must not metadata-serve: ${fallback.queryExecution.executedPlan}")
+    assert(fallback.head.getLong(0) == nation.filter(col("n_nationkey") < 10).count())
+  }
+
+  test("bloom and source-key index tiers decline under a non-bare keygenerator") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val bloom = graft.fixtures.HudiFixtureBuilder.bloomPath(sfDir)
+    // default (no keygenerator recorded -> bare rendering trusted): the
+    // bloom tier prunes to the one residue-class group
+    val pruned = spark.read.format("hudi-graft").load(bloom)
+      .filter(col("o_orderkey") === 8)
+    assert(pruned.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"bloom tier did not prune: ${pruned.queryExecution.executedPlan}")
+    // ComplexKeyGenerator renders keys as `field:value` — a bare-value
+    // bloom probe would be a false 'definitely absent', so the tier must
+    // stand down (full 4-slice plan) and the rows must still be correct
+    val gated = spark.read.format("hudi-graft")
+      .option("hoodie.table.keygenerator.class", "org.apache.hudi.keygen.ComplexKeyGenerator")
+      .load(bloom)
+      .filter(col("o_orderkey") === 8)
+    assert(gated.queryExecution.executedPlan.toString().contains("4 slices"),
+      s"bloom tier must decline under ComplexKeyGenerator: ${gated.queryExecution.executedPlan}")
+    assert(gated.collect().map(_.getAs[Long]("o_orderkey")).toSeq == Seq(8L))
+    // bare-rendering generators keep the tier on
+    val simple = spark.read.format("hudi-graft")
+      .option("hoodie.table.keygenerator.class", "org.apache.hudi.keygen.SimpleKeyGenerator")
+      .load(bloom)
+      .filter(col("o_orderkey") === 8)
+    assert(simple.queryExecution.executedPlan.toString().contains("1 slices"))
+  }
+
   test("GROUP BY partition column aggregates serve from metadata only") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count, max, min}

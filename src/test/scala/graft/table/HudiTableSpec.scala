@@ -460,4 +460,60 @@ class HudiTableSpec extends SparkTestBase {
     assert(rows == Set(
       (1, "a", None), (2, "b", None), (3, "c", Some("X")), (4, "d", Some("Y"))))
   }
+
+  // ---------------- keygen injection guarded by a physical-type probe ----
+  test("UNIX_TIMESTAMP keygen keeps reading a physically-string epoch column") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = new Path("/root/repo/target/fixtures/keygen_string_epoch")
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(base, true)
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeProps(fs, base,
+      """hoodie.table.name=keygen_string_epoch
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.table.recordkey.fields=id
+        |hoodie.table.partition.fields=ts
+        |hoodie.table.keygenerator.class=org.apache.hudi.keygen.TimestampBasedKeyGenerator
+        |hoodie.keygen.timebased.timestamp.type=UNIX_TIMESTAMP
+        |hoodie.keygen.timebased.output.dateformat=yyyy/MM/dd
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin)
+    val t1 = "20240101000000000"
+    val fid = "00000000-0000-0000-0000-000000000000-0"
+    // the STORED column is genuinely string-typed epoch seconds — the
+    // legitimate UNIX_TIMESTAMP input shape path-injection must NOT
+    // clobber (the formatted path would be "2024/01/01", not these)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("ts", StringType)))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1, "1704067200"), Row(2, "1704070800")), schema)
+    val partDir = "2024/01/01"
+    val name = s"${fid}_0-0-0_$t1.parquet"
+    val tmp = new Path(base, ".tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.mkdirs(new Path(base, partDir))
+    fs.rename(part, new Path(base, s"$partDir/$name")); fs.delete(tmp, true)
+    val c1 = fs.create(new Path(base, s".hoodie/$t1.commit"), true)
+    c1.write(
+      s"""{"partitionToWriteStats":{"$partDir":[{"fileId":"$fid","path":"$partDir/$name"}]}}"""
+        .getBytes("UTF-8"))
+    c1.close()
+    val t = HudiTable(spark, base.toString)
+    // the footer probe sees BINARY(string) -> no injection
+    assert(t.droppedPartitionFields.isEmpty,
+      s"string-physical column must not be path-injected: ${t.droppedPartitionFields}")
+    val rows = t.snapshot().select("id", "ts")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((1, "1704067200"), (2, "1704070800")))
+  }
+
+  private def writeProps(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val o = fs.create(new org.apache.hadoop.fs.Path(base, ".hoodie/hoodie.properties"), true)
+    o.write(content.getBytes("UTF-8")); o.close()
+  }
 }
