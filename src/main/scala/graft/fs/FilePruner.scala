@@ -128,45 +128,8 @@ final class FilePruner(
     } finally reader.close()
   }
 
-  /** Map a raw footer statistic to the representation [[StatsRange.literal]]
-    * produces for the column's Spark type, using the parquet LOGICAL type:
-    * dates stay epoch-day Ints, timestamps normalize to epoch-micros Longs
-    * across MILLIS/MICROS/NANOS units, decimals decode their unscaled
-    * int/long/binary form to a java BigDecimal. Binaries without a
-    * string/decimal annotation (raw bytes, INT96 timestamps) yield null —
-    * fail open, there is no literal form to compare against.
-    */
-  private def normalize(v: Any, pt: org.apache.parquet.schema.PrimitiveType): Comparable[Any] = {
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
-    val ann = pt.getLogicalTypeAnnotation
-    ((ann, v) match {
-      case (dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation, _) => v match {
-        case i: java.lang.Integer => java.math.BigDecimal.valueOf(i.longValue(), dec.getScale)
-        case l: java.lang.Long => java.math.BigDecimal.valueOf(l.longValue(), dec.getScale)
-        case b: org.apache.parquet.io.api.Binary =>
-          new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), dec.getScale)
-        case _ => null
-      }
-      case (ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation, l: java.lang.Long) =>
-        ts.getUnit match {
-          case TimeUnit.MILLIS => Long.box(Math.multiplyExact(l.longValue(), 1000L))
-          case TimeUnit.MICROS => l
-          // NANOS: fail open. A micros normalization needs direction-aware
-          // rounding (floor for min, ceil for max) to stay conservative,
-          // and Spark may surface NANOS columns as LongType (nanosAsLong),
-          // where the literal is raw nanos and a micros-normalized bound
-          // would compare at the wrong scale — no safe literal form here.
-          case TimeUnit.NANOS => null
-        }
-      case (_: LogicalTypeAnnotation.StringLogicalTypeAnnotation |
-            _: LogicalTypeAnnotation.EnumLogicalTypeAnnotation,
-            b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
-      case (_, _: org.apache.parquet.io.api.Binary) => null
-      case (_, other: Comparable[_]) => other
-      case _ => null
-    }).asInstanceOf[Comparable[Any]]
-  }
+  private def normalize(v: Any, pt: org.apache.parquet.schema.PrimitiveType): Comparable[Any] =
+    FilePruner.normalizeStat(v, pt)
 
   /** Concurrent footer pruning over many candidate files: one small ranged
     * read each, latency-bound on object stores — issue them on a bounded
@@ -200,6 +163,52 @@ final class FilePruner(
           else !footer.allNulls.contains(f.field))
     } catch { case _: Exception => true }
   }
+}
+
+object FilePruner {
+  /** Map a raw footer statistic to the representation [[StatsRange.literal]]
+    * produces for the column's Spark type, using the parquet LOGICAL type:
+    * dates stay epoch-day Ints, timestamps normalize to epoch-micros Longs
+    * across MILLIS/MICROS/NANOS units, decimals decode their unscaled
+    * int/long/binary form to a java BigDecimal. Binaries without a
+    * string/decimal annotation (raw bytes, INT96 timestamps) yield null —
+    * fail open, there is no literal form to compare against. Shared with
+    * the aggregate pushdown's footer tier, whose date/decimal/timestamp
+    * MIN/MAX answers use the same representations (epoch-day Int and
+    * epoch-micros Long are ALSO the catalyst-internal forms).
+    */
+  def normalizeStat(v: Any, pt: org.apache.parquet.schema.PrimitiveType): Comparable[Any] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val ann = pt.getLogicalTypeAnnotation
+    ((ann, v) match {
+      case (dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation, _) => v match {
+        case i: java.lang.Integer => java.math.BigDecimal.valueOf(i.longValue(), dec.getScale)
+        case l: java.lang.Long => java.math.BigDecimal.valueOf(l.longValue(), dec.getScale)
+        case b: org.apache.parquet.io.api.Binary =>
+          new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), dec.getScale)
+        case _ => null
+      }
+      case (ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation, l: java.lang.Long) =>
+        ts.getUnit match {
+          case TimeUnit.MILLIS => Long.box(Math.multiplyExact(l.longValue(), 1000L))
+          case TimeUnit.MICROS => l
+          // NANOS: fail open. A micros normalization needs direction-aware
+          // rounding (floor for min, ceil for max) to stay conservative,
+          // and Spark may surface NANOS columns as LongType (nanosAsLong),
+          // where the literal is raw nanos and a micros-normalized bound
+          // would compare at the wrong scale — no safe literal form here.
+          case TimeUnit.NANOS => null
+        }
+      case (_: LogicalTypeAnnotation.StringLogicalTypeAnnotation |
+            _: LogicalTypeAnnotation.EnumLogicalTypeAnnotation,
+            b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
+      case (_, _: org.apache.parquet.io.api.Binary) => null
+      case (_, other: Comparable[_]) => other
+      case _ => null
+    }).asInstanceOf[Comparable[Any]]
+  }
+
 }
 
 /** The stats-vs-predicate prune rules shared by [[FilePruner]] (per-file

@@ -793,6 +793,23 @@ object HudiQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(o_orderkey) AS mn,
         |  MAX(o_orderkey) AS mx, MAX(o_totalprice) AS mxp FROM orders""".stripMargin),
 
+    // Date MIN/MAX metadata pushdown: served from the column_stats
+    // index's tight DateWrapper (epoch-day) bounds — zero data read,
+    // zero footer reads when the index covers every planned file
+    // (DataSourceV2Spec asserts both). Output casts to string: a
+    // date-typed column can never hash-match across Spark/DuckDB (the
+    // hudi_date_pruned caveat), the VARCHAR rendering is identical.
+    "hudi_minmax_date_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.datePath(d))
+          .agg(min(col("o_date")).as("mn_d"), max(col("o_date")).as("mx_d"))
+          .select(col("mn_d").cast("string").as("mn_d"),
+            col("mx_d").cast("string").as("mx_d"))
+      },
+      """SELECT CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn_d,
+        |  CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx_d FROM orders""".stripMargin),
+
     // SAME inventory through the SQL `CALL` surface — driver-graded
     // evidence that the procedure catalog resolves, binds by name, and
     // returns planning metadata as rows.

@@ -158,14 +158,26 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       if (names.distinct != names || !names.forall(partFields.contains)) return None
       names
     }
-    val numeric: Set[org.apache.spark.sql.types.DataType] = Set(
-      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType,
-      org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
+    // MIN/MAX servable types: numerics, plus date/timestamp/decimal whose
+    // footer statistics normalize losslessly through parquet LOGICAL
+    // types (FilePruner.normalizeStat — epoch-day Int, epoch-micros Long,
+    // java BigDecimal) and whose MDT wrappers decode to the same
+    // representations. Strings stay excluded: chunk statistics may be
+    // writer-TRUNCATED renderings, fine for pruning, wrong as answers.
+    def minMaxServable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case IntegerType | LongType | FloatType | DoubleType => true
+        case DateType | TimestampType | TimestampNTZType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+    }
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
           hudi.tableSchema.fields.find(_.name == nr.fieldNames()(0))
-            .filter(f => numeric.contains(f.dataType))
+            .filter(f => minMaxServable(f.dataType))
             // P6: dropped partition columns exist only in partition paths —
             // the parquet files carry no chunks for them, which the footer
             // path would misread as "provably all null". Fall back to a
@@ -434,6 +446,15 @@ object GraftFooterAggScan {
           case org.apache.spark.sql.types.LongType => v.isInstanceOf[java.lang.Long]
           case org.apache.spark.sql.types.FloatType => v.isInstanceOf[java.lang.Float]
           case org.apache.spark.sql.types.DoubleType => v.isInstanceOf[java.lang.Double]
+          // Date/LocalDateWrapper decode to epoch-day Ints,
+          // Timestamp(Micros)Wrapper to epoch-micros Longs, DecimalWrapper
+          // to java BigDecimals (ColumnStatsIndex.unwrap) — the same
+          // representations the footer tier normalizes to
+          case org.apache.spark.sql.types.DateType => v.isInstanceOf[java.lang.Integer]
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => v.isInstanceOf[java.lang.Long]
+          case _: org.apache.spark.sql.types.DecimalType =>
+            v.isInstanceOf[java.math.BigDecimal]
           case _ => false
         }
         val minMaxCovered = needed.isEmpty ||
@@ -462,11 +483,26 @@ object GraftFooterAggScan {
             countCols.exists(c => read.exists(f => !f.nulls.contains(c)))) None
         else Some(read)
 
+      // MIN/MAX values fold in the normalized stat representation and
+      // convert to catalyst-internal at the end: epoch-day Int and
+      // epoch-micros Long ARE internal already; BigDecimal wraps to a
+      // Decimal at the column's declared precision/scale — a value that
+      // doesn't fit (shouldn't happen for stats of stored values) throws
+      // and rejects the whole pushdown.
+      def toInternal(v: Any, dt: org.apache.spark.sql.types.DataType): Any = (v, dt) match {
+        case (null, _) => null
+        case (bd: java.math.BigDecimal, d: org.apache.spark.sql.types.DecimalType) =>
+          val dec = org.apache.spark.sql.types.Decimal(bd)
+          if (!dec.changePrecision(d.precision, d.scale))
+            throw new IllegalStateException(s"decimal stat $bd exceeds $d")
+          dec
+        case _ => v
+      }
       def foldValues(fs: Seq[FileFacts]): Seq[Any] = specs.map {
         case CountStarSpec => fs.map(_.rowCount).sum
         case CountSpec(f) => fs.map(ff => ff.rowCount - ff.nulls(f.name)).sum
-        case MinSpec(f) => fold(fs, f.name, min = true)
-        case MaxSpec(f) => fold(fs, f.name, min = false)
+        case MinSpec(f) => toInternal(fold(fs, f.name, min = true), f.dataType)
+        case MaxSpec(f) => toInternal(fold(fs, f.name, min = false), f.dataType)
       }
 
       /** Aggregate values over one file set, index tier first. None on
@@ -622,12 +658,15 @@ object GraftFooterAggScan {
             sawValue += name
             val fp = st.genericGetMin().isInstanceOf[java.lang.Float] ||
               st.genericGetMin().isInstanceOf[java.lang.Double]
+            // logical-type normalization (shared with R2 pruning):
+            // date → epoch-day Int, timestamp → epoch-micros Long (NANOS
+            // fails to null → unusable), decimal → java BigDecimal; an
+            // un-normalizable stat (raw binary, INT96) rejects the column
             if (fp && !fpTrusted) sawUnusable += name
-            else (st.genericGetMin(), st.genericGetMax()) match {
-              case (mn: Comparable[_], mx: Comparable[_]) =>
+            else (graft.fs.FilePruner.normalizeStat(st.genericGetMin(), colMeta.getPrimitiveType),
+                graft.fs.FilePruner.normalizeStat(st.genericGetMax(), colMeta.getPrimitiveType)) match {
+              case (mnA, mxA) if mnA != null && mxA != null =>
                 val m0 = acc.get(name)
-                val mnA = mn.asInstanceOf[Comparable[Any]]
-                val mxA = mx.asInstanceOf[Comparable[Any]]
                 acc(name) = m0 match {
                   case Some((pm, px)) =>
                     (if (mnA.compareTo(pm) < 0) mnA else pm,

@@ -572,6 +572,83 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(fallback.head.getLong(0) == nation.filter(col("n_nationkey") < 10).count())
   }
 
+  test("date MIN/MAX pushes down through index DateWrapper bounds") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, max, min, to_date}
+    val p = graft.fixtures.HudiFixtureBuilder.datePath(sfDir)
+    val t = graft.table.HudiTable(spark, p)
+    val before = graft.sources.GraftFooterAggScan.footerReads.get()
+    val agg = spark.read.format("hudi-graft").load(p)
+      .agg(min(col("o_date")).as("mn"), max(col("o_date")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"date MIN/MAX not metadata-served: ${agg.queryExecution.executedPlan}")
+    // zero-footer contract holds whenever the index covers every file
+    // (a sparse-date quartile may have no entry and fall to footers)
+    if (t.columnStatsTight.size == 4)
+      assert(graft.sources.GraftFooterAggScan.footerReads.get() == before,
+        "index-covered date MIN/MAX must not open footers")
+    val exp = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(to_date(col("o_orderdate")).as("o_date"))
+      .agg(min(col("o_date")), max(col("o_date"))).head
+    val got = agg.collect().head
+    assert(got.getDate(0) == exp.getDate(0) && got.getDate(1) == exp.getDate(1),
+      s"got $got, expected $exp")
+  }
+
+  test("decimal and timestamp MIN/MAX push down through footer logical types") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types._
+    val base = new Path("/root/repo/target/fixtures/minmax_dec_ts")
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(base, true)
+    fs.mkdirs(new Path(base, ".hoodie"))
+    val props =
+      """hoodie.table.name=minmax_dec_ts
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.table.recordkey.fields=id
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin
+    val o = fs.create(new Path(base, ".hoodie/hoodie.properties"), true)
+    o.write(props.getBytes("UTF-8")); o.close()
+    val t1 = "20240101000000000"
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("amount", DecimalType(12, 2)),
+      StructField("ts", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1, new java.math.BigDecimal("10.25"), ts("2024-01-01 10:00:00")),
+      Row(2, new java.math.BigDecimal("-3.50"), ts("2024-03-05 23:59:59")),
+      Row(3, new java.math.BigDecimal("999.99"), ts("2023-12-31 00:00:01"))), schema)
+    val fid = "00000000-0000-0000-0000-000000000000-0"
+    val name = s"${fid}_0-0-0_$t1.parquet"
+    val tmp = new Path(base, ".tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.rename(part, new Path(base, name)); fs.delete(tmp, true)
+    val c1 = fs.create(new Path(base, s".hoodie/$t1.commit"), true)
+    c1.write(s"""{"partitionToWriteStats":{"":[{"fileId":"$fid","path":"$name"}]}}"""
+      .getBytes("UTF-8")); c1.close()
+    val agg = spark.read.format("hudi-graft").load(base.toString)
+      .agg(min(col("amount")).as("mn_a"), max(col("amount")).as("mx_a"),
+        min(col("ts")).as("mn_t"), max(col("ts")).as("mx_t"))
+    assert(agg.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"decimal/timestamp MIN/MAX not metadata-served: ${agg.queryExecution.executedPlan}")
+    val r = agg.collect().head
+    assert(r.getDecimal(0) == new java.math.BigDecimal("-3.50"))
+    assert(r.getDecimal(1) == new java.math.BigDecimal("999.99"))
+    assert(r.getTimestamp(2) == ts("2023-12-31 00:00:01"))
+    assert(r.getTimestamp(3) == ts("2024-03-05 23:59:59"))
+    // strings stay excluded (writer-truncatable chunk stats): a MIN on a
+    // string column must keep the real scan
+    val s2 = spark.read.format("hudi-graft").load(base.toString)
+      .agg(min(col("id").cast("string")).as("mn"))
+    assert(!s2.queryExecution.executedPlan.toString().contains("LocalTableScan"))
+  }
+
   test("bloom and source-key index tiers decline under a non-bare keygenerator") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.col
