@@ -70,7 +70,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v16")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v17")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -762,11 +762,15 @@ object HudiFixtureBuilder {
     val base = new Path(sidxPath(sfDir))
     fs.mkdirs(new Path(base, ".hoodie"))
     writeProperties(fs, base, "cow_sidx_orders", "COPY_ON_WRITE", None, hiveStyle = false,
-      extraProps = "hoodie.table.metadata.partitions=record_index,secondary_index_status_idx\n")
+      extraProps = "hoodie.table.metadata.partitions=" +
+        "record_index,secondary_index_status_idx,secondary_index_cust_idx\n")
     writeText(fs, new Path(base, ".hoodie/.index_defs/index.json"),
       """{"indexDefinitions":{"secondary_index_status_idx":{
         |"indexName":"secondary_index_status_idx","indexType":"secondary_index",
-        |"indexFunction":"identity","sourceFields":["o_orderstatus"],"indexOptions":{}}}}
+        |"indexFunction":"identity","sourceFields":["o_orderstatus"],"indexOptions":{}},
+        |"secondary_index_cust_idx":{
+        |"indexName":"secondary_index_cust_idx","indexType":"secondary_index",
+        |"indexFunction":"identity","sourceFields":["o_custkey"],"indexOptions":{}}}}
         |""".stripMargin.replaceAll("\n", ""))
     val src0 = orders(spark, sfDir)
     val src = src0.withColumn("__part", lit(""))
@@ -832,6 +836,28 @@ object HudiFixtureBuilder {
       new Path(siDir, s"secondary-index-status-idx-0000-0_${Token}_$T1.hfile"), true)
     siOut.write(siBytes)
     siOut.close()
+
+    // a SECOND index on the LongType o_custkey — numeric index keys are
+    // the writer's decimal rendering of the avro long (`toString`), the
+    // shape the non-string canonicalizer must reproduce exactly
+    val keyCust = src0.select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0).toString, r.getLong(1)))
+    val ciDir = new Path(mdt, "secondary_index_cust_idx")
+    fs.mkdirs(ciDir)
+    val ciRecords = keyCust
+      .map { case (k, ck) =>
+        val key = s"${esc(ck.toString)}$$${esc(k)}"
+        key -> secondaryIndexBytes(key)
+      }
+      .sortBy(_._1).toIndexedSeq
+    val ciBytes = graft.hfile.HFileWriter.write(
+      ciRecords,
+      Map("schema" -> secondaryIndexAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val ciOut = fs.create(
+      new Path(ciDir, s"secondary-index-cust-idx-0000-0_${Token}_$T1.hfile"), true)
+    ciOut.write(ciBytes)
+    ciOut.close()
   }
 
   /** HoodieMetadataRecord with the `SecondaryIndexMetadata` branch (type

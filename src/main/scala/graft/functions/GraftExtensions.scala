@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_shingles takes exactly 2 arguments")
         ShingleSet(exprs.head, exprs(1))
       }))
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.sources.HudiTableChanges.name),
+      graft.sources.HudiTableChanges.info,
+      graft.sources.HudiTableChanges.builder _))
   }
 }

@@ -213,6 +213,22 @@ object HudiQueries {
       },
       ordersSql(updated = true, deletes = false, onlyUpdated = true)),
 
+    // The SQL surface for incremental reads — the `hudi_table_changes`
+    // TVF (Spark-Hudi's own surface), expanding to the SAME DSv2
+    // incremental relation as the option-based read on the range
+    // (HudiTableChanges.builder). Equality with the option surface plus
+    // the 'earliest'/delete-tombstone variants are asserted in
+    // GraftCatalogSpec.
+    "hudi_sql_table_changes" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        graft.sources.HudiTableChanges.register(s)
+        selectOrders(s.sql(
+          s"""SELECT * FROM hudi_table_changes('${HudiFixtureBuilder.morPath(d)}',
+             |  '${HudiFixtureBuilder.T1}', '${HudiFixtureBuilder.T2}')""".stripMargin))
+      },
+      ordersSql(updated = true, deletes = false, onlyUpdated = true)),
+
     // --- D5/S2 through the SQL catalog: FOR VERSION AS OF time travel --
     "hudi_catalog_time_travel" -> QueryDef(
       (s, d) => {
@@ -673,6 +689,25 @@ object HudiQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus = 'P' ORDER BY o_orderkey""".stripMargin),
 
+    // Numeric (LongType) secondary index at oracle level: the canonical
+    // decimal rendering of the o_custkey literal resolves through
+    // secondary_index_cust_idx, then record_index, and plans only the
+    // file groups of that customer's statuses (plan-shape + regime
+    // differential in SecondaryIndexSpec).
+    "hudi_secondary_numeric_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val k = Tables.orders(s, d).agg(min(col("o_custkey"))).head.getLong(0)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.sidxPath(d))
+          .filter(col("o_custkey") === k)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // --- Inspection surface (the reference's get_file_slices /
     // get_timeline, table/mod.rs:441/422) at oracle level: the planned
     // slices and completed instants of the deterministic fixtures match
@@ -734,6 +769,23 @@ object HudiQueries {
           .select("o_orderkey", "o_custkey", "o_orderstatus")
       },
       """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus
+        |FROM orders WHERE o_orderkey = 7""".stripMargin),
+
+    // The TIME-TRAVEL twin: as-of T1 the MDT record_index commit mirrors
+    // the data instant (mdtAt == dataAt), so the point plan still keeps
+    // only the owning file group — and the row shows the PRE-update
+    // status (the T2 'U' update is not visible). Gate-miss fallback
+    // (as-of T2, MDT lagging) asserted in DataSourceV2Spec.
+    "hudi_record_key_point_asof" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft")
+          .option("as.of.timestamp", "20240101000000000")
+          .load(HudiFixtureBuilder.morPath(d))
+          .filter(col("_hoodie_record_key") === "7")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+      },
+      """SELECT o_orderkey, o_custkey, o_orderstatus
         |FROM orders WHERE o_orderkey = 7""".stripMargin),
 
     // Bloom-filter data skipping (MDT bloom_filters — enumerated by the

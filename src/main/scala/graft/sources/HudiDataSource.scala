@@ -701,16 +701,29 @@ object GraftScan {
   def SecondaryIndexMaxKeys: Int =
     sys.props.get("graft.secondary.index.max.keys").flatMap(_.toIntOption).getOrElse(100000)
 
-  /** Secondary-index planning is StringType-only: the index key is the
-    * writer's string rendering of the indexed value, and for non-string
-    * types Spark's literal form can differ (double "1.0" vs "1",
-    * date/timestamp/decimal renderings) — a silent mismatch returns an
-    * EMPTY plan, which is not fail-open. Strings render identically on
-    * both sides; anything else would need a canonicalizer mirroring
-    * Hudi's SecondaryIndexKeyUtils per type.
+  /** Secondary-index planning covers exactly the types
+    * [[graft.table.SecondaryIndex.renderLiteral]] canonicalizes
+    * (string, integrals, date): the index key is the writer's string
+    * rendering of the indexed value, and a rendering mismatch returns an
+    * EMPTY plan — not fail-open — so every other type (double "1.0" vs
+    * "1", decimal scales, timestamp zones) stays on the full plan.
     */
-  def secondaryIndexEligible(dt: org.apache.spark.sql.types.DataType): Boolean =
-    dt == org.apache.spark.sql.types.StringType
+  def secondaryIndexEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType | DateType => true
+      case _ => false
+    }
+  }
+
+  /** Bloom-tier planning cap: the tier probes the MDT once per planned
+    * base file, so on a very wide plan (100k files and no record index)
+    * the driver-side sweep dominates planning latency — above the cap
+    * the tier stands down (no bloom pruning, never wrong). Overridable
+    * for the regime tests.
+    */
+  def BloomIndexMaxFiles: Int =
+    sys.props.get("graft.bloom.index.max.files").flatMap(_.toIntOption).getOrElse(10000)
 }
 
 class GraftScan(
@@ -806,12 +819,18 @@ class GraftScan(
           if (readOptimized || !hudi.isMor)
             planned0.map(_.withoutLogs).filter(_.baseFile.isDefined)
           else planned0
-        // Index-planning tiers — latest snapshot only (the indexes
-        // reflect the current state): record-key point planning first
-        // (exact file group per key), then secondary-index planning,
-        // then the bloom-filter tier
+        // Index-planning tiers: record-key point planning first (exact
+        // file group per key), then secondary-index planning, then the
+        // bloom-filter tier. Latest snapshots use the live indexes;
+        // as-of reads apply the SAME tiers reading the MDT as of the
+        // target instant, gated on the MDT having caught up to the data
+        // instant the read resolves to (mdtAt >= dataAt — the C5
+        // partition-stats gate); a lagging or unopenable MDT keeps the
+        // full plan.
         val planned =
           if (asOf.isEmpty) bloomRestricted(indexRestricted(keyRestricted(planned1)))
+          else if (asOfIndexGate(ts))
+            bloomRestricted(indexRestricted(keyRestricted(planned1, asOf), asOf), asOf)
           else planned1
         // R2: footer min/max file skipping — only when every planned slice
         // is base-file-only (log files can resurrect out-of-range values,
@@ -835,38 +854,73 @@ class GraftScan(
     * The reference enumerates the secondary-index partition
     * (records.rs:122-123) but never reads it.
     */
-  private def indexRestricted(planned: Vector[FileSlice]): Vector[FileSlice] = {
+  /** Whether as-of index planning is sound at `ts`: some index is
+    * advertised AND the MDT's newest commit at-or-before `ts` is at
+    * least the data instant the read resolves to. Evaluated once per
+    * plan (one MDT timeline listing); any failure keeps the full plan.
+    */
+  private def asOfIndexGate(ts: String): Boolean =
+    (graft.table.RecordIndex.isAvailable(hudi.config) ||
+      graft.table.BloomFilterIndex.isAvailable(hudi.config)) && {
+      try {
+        hudi.timeline.instantsAsOf(ts).lastOption.map(_.timestamp).exists { dataAt =>
+          graft.table.MetadataTable
+            .latestCommitAsOf(hudi.basePath, hudi.hadoopConf, Some(ts))
+            .exists(_ >= dataAt)
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+
+  private def indexRestricted(
+      planned: Vector[FileSlice],
+      tierAsOf: Option[String] = None): Vector[FileSlice] = {
     if (planned.isEmpty || !graft.table.RecordIndex.isAvailable(hudi.config)) return planned
-    // StringType source columns only (GraftScan.secondaryIndexEligible):
-    // a representation mismatch on non-string literals would return an
-    // EMPTY plan — not fail-open.
+    // Eligible source types are those with an EXACT canonical key
+    // rendering (GraftScan.secondaryIndexEligible → SecondaryIndex
+    // .renderLiteral): a representation mismatch would return an EMPTY
+    // plan — not fail-open — so anything else never reaches the index.
+    def fieldType(name: String) = hudi.tableSchema.fields.find(_.name == name).map(_.dataType)
     val candidates = simpleFilters.filter(f =>
       (f.op == "=" || f.op == "in") && f.values.nonEmpty &&
         f.values.size <= GraftScan.SecondaryIndexMaxValues &&
-        hudi.tableSchema.fields.exists(tf =>
-          tf.name == f.field && GraftScan.secondaryIndexEligible(tf.dataType)))
-    val matched = candidates.iterator.flatMap { f =>
+        fieldType(f.field).exists(GraftScan.secondaryIndexEligible))
+    // EVERY matching indexed predicate restricts (conjunctive filters =
+    // set intersection of the per-predicate file-group sets — strictly
+    // tighter than any single index). Per-predicate failures (lookup
+    // error, unrenderable literal, over-cap key set) drop only that
+    // predicate's restriction, never the others'.
+    val perPredicateKeys: List[Seq[String]] = candidates.iterator.flatMap { f =>
       graft.table.SecondaryIndex
         .indexForColumn(hudi.basePath, hudi.config, f.field, hudi.hadoopConf)
-        .map((f, _))
-    }.take(1).toList
-    matched match {
-      case (f, idx) :: _ =>
-        try {
-          val byValue = graft.table.SecondaryIndex.lookup(
-            hudi.basePath, idx, f.values, hudi.hadoopConf)
-          val keys = f.values.flatMap(v => byValue.getOrElse(v, Set.empty)).distinct
-          if (keys.size > GraftScan.SecondaryIndexMaxKeys) planned
-          else {
-            val groups = graft.table.RecordIndex
-              .lookup(hudi.basePath, keys, hudi.hadoopConf)
-              .entries.values.groupBy(_.partitionPath)
-              .view.mapValues(_.map(_.fileId).toSet).toMap
-            planned.filter(sl => groups.get(sl.partitionPath).exists(_.contains(sl.fileId)))
-          }
-        } catch { case scala.util.control.NonFatal(_) => planned }
-      case _ => planned
-    }
+        .flatMap { idx =>
+          try {
+            val dt = fieldType(f.field).get
+            val rendered = f.values.indices.map(i =>
+              graft.table.SecondaryIndex.renderLiteral(dt, f.values(i), f.typed.lift(i)))
+            if (rendered.exists(_.isEmpty)) None
+            else {
+              val vals = rendered.flatten
+              val byValue = graft.table.SecondaryIndex.lookup(
+                hudi.basePath, idx, vals, hudi.hadoopConf, tierAsOf)
+              val keys = vals.flatMap(v => byValue.getOrElse(v, Set.empty)).distinct
+              if (keys.size > GraftScan.SecondaryIndexMaxKeys) None else Some(keys)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+    }.toList
+    if (perPredicateKeys.isEmpty) return planned
+    try {
+      // ONE record-index probe over the union; per-predicate group sets
+      // derive from their own key subsets, then intersect
+      val union = perPredicateKeys.flatten.distinct
+      val looked = graft.table.RecordIndex.lookup(hudi.basePath, union, hudi.hadoopConf, tierAsOf)
+      val restrictions = perPredicateKeys.map { keys =>
+        keys.flatMap(k => looked.entries.get(k))
+          .groupBy(_.partitionPath).view.mapValues(_.map(_.fileId).toSet).toMap
+      }
+      planned.filter(sl => restrictions.forall(groups =>
+        groups.get(sl.partitionPath).exists(_.contains(sl.fileId))))
+    } catch { case scala.util.control.NonFatal(_) => planned }
   }
 
   /** Record-index POINT planning — the primary use of the record_index
@@ -882,7 +936,9 @@ class GraftScan(
     * table, so zero surviving slices is a correct plan; index errors
     * keep the full plan.
     */
-  private def keyRestricted(planned: Vector[FileSlice]): Vector[FileSlice] = {
+  private def keyRestricted(
+      planned: Vector[FileSlice],
+      tierAsOf: Option[String] = None): Vector[FileSlice] = {
     if (planned.isEmpty || !graft.table.RecordIndex.isAvailable(hudi.config)) return planned
     val keyFields = hudi.config.recordKeyFields
     // the source-field branch additionally trusts the writer's KEY
@@ -906,7 +962,7 @@ class GraftScan(
       case Some(f) =>
         try {
           val looked = graft.table.RecordIndex.lookup(
-            hudi.basePath, f.values, hudi.hadoopConf)
+            hudi.basePath, f.values, hudi.hadoopConf, tierAsOf)
           val groups = looked.entries.values.groupBy(_.partitionPath)
             .view.mapValues(_.map(_.fileId).toSet).toMap
           planned.filter(sl =>
@@ -928,7 +984,9 @@ class GraftScan(
     * has not seen); a missing or undecodable bloom keeps its file; any
     * index error keeps the whole plan.
     */
-  private def bloomRestricted(planned: Vector[FileSlice]): Vector[FileSlice] = {
+  private def bloomRestricted(
+      planned: Vector[FileSlice],
+      tierAsOf: Option[String] = None): Vector[FileSlice] = {
     if (planned.isEmpty || !graft.table.BloomFilterIndex.isAvailable(hudi.config))
       return planned
     val keyFields = hudi.config.recordKeyFields
@@ -952,8 +1010,13 @@ class GraftScan(
         try {
           val targets = planned.filter(sl => !sl.hasLogFiles && sl.baseFile.isDefined)
             .map(sl => (sl.partitionPath, sl.baseFile.get.fileName))
+          // planning-latency cap: one MDT probe per planned base file is
+          // fine at thousands, not at 100k — above the cap the tier
+          // stands down (fail-open) rather than serializing a driver
+          // sweep proportional to plan width
+          if (targets.size > GraftScan.BloomIndexMaxFiles) return planned
           val blooms = graft.table.BloomFilterIndex.lookup(
-            hudi.basePath, targets, hudi.hadoopConf)
+            hudi.basePath, targets, hudi.hadoopConf, tierAsOf)
           planned.filter { sl =>
             if (sl.hasLogFiles || sl.baseFile.isEmpty) true
             else blooms.get((sl.partitionPath, sl.baseFile.get.fileName)) match {

@@ -74,10 +74,12 @@ object BloomFilterIndex {
   def lookup(
       dataTableBase: String,
       targets: Seq[(String, String)],
-      hadoopConf: Configuration
+      hadoopConf: Configuration,
+      asOf: Option[String] = None
   ): Map[(String, String), org.apache.hadoop.util.bloom.BloomFilter] = {
     if (targets.isEmpty) return Map.empty
-    val (latest, slices) = MetadataTable.openPartition(dataTableBase, PartitionName, hadoopConf)
+    val (latest, slices) =
+      MetadataTable.openPartition(dataTableBase, PartitionName, hadoopConf, asOf)
     val byKey = targets.map(t => indexKey(t._1, t._2) -> t).toMap
     val keys = byKey.keys.toSeq.sorted
     val raw = mutable.Map.empty[String, Option[Array[Byte]]]

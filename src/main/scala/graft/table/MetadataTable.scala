@@ -101,6 +101,28 @@ object MetadataTable {
     (latest, slices)
   }
 
+  /** The MDT's newest completed commit at or before `asOf` (latest when
+    * None); None when the MDT has no qualifying commit or cannot be
+    * opened. The index-planning-under-time-travel gate: MDT commits
+    * mirror data commits, so `mdtAt >= dataAt` means the indexes read
+    * as of `asOf` describe exactly the commits an as-of read sees (the
+    * same argument as [[graft.table.HudiTable.statsPrunerAsOf]]).
+    */
+  def latestCommitAsOf(
+      dataTableBase: String,
+      hadoopConf: Configuration,
+      asOf: Option[String]
+  ): Option[String] =
+    try {
+      val mdtPath = new Path(new Path(dataTableBase, ".hoodie"), "metadata").toString
+      val config = HoodieConfig.load(mdtPath, hadoopConf)
+      val timeline = new Timeline(mdtPath, config, hadoopConf)
+      asOf match {
+        case Some(ts) => timeline.instantsAsOf(ts).lastOption.map(_.timestamp)
+        case None => timeline.latestCommitTimestamp
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Read + merge + decode the full `files` partition of the MDT at
     * `<dataTableBase>/.hoodie/metadata`. Throws on any structural problem;
     * callers fall back to storage listing (table/mod.rs:494-506).

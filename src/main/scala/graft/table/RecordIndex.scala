@@ -137,9 +137,11 @@ object RecordIndex {
   def lookup(
       dataTableBase: String,
       keys: Seq[String],
-      hadoopConf: Configuration
+      hadoopConf: Configuration,
+      asOf: Option[String] = None
   ): RecordIndexLookup = {
-    val (latest, slices) = MetadataTable.openPartition(dataTableBase, PartitionName, hadoopConf)
+    val (latest, slices) =
+      MetadataTable.openPartition(dataTableBase, PartitionName, hadoopConf, asOf)
     if (keys.isEmpty) return RecordIndexLookup(latest, Map.empty)
     val out = mutable.Map.empty[String, Option[RecordIndexEntry]]
     alignedGroups(slices) match {

@@ -83,6 +83,45 @@ object SecondaryIndex {
     }
   }
 
+  /** Canonical index-key rendering of a filter literal for an indexed
+    * column of `dt` — the writer's string form of the avro column value
+    * (Hudi's SecondaryIndexKeyUtils renders the extracted field value via
+    * `toString`). Supported, with the exactness argument per type:
+    *  - string: the value IS the rendering;
+    *  - int/long/short/byte: avro integral `toString` = decimal digits,
+    *    and the DSv2 typed literal renders identically (no fractional or
+    *    scientific forms exist for integrals);
+    *  - date: avro's date logical type surfaces as java.time.LocalDate,
+    *    whose `toString` is ISO-8601 (`2024-01-01`) — matched from the
+    *    typed java.sql.Date/LocalDate literal (validated against
+    *    fixture-written index bytes; real-bytes validation pending a
+    *    reference fixture with a date-indexed column).
+    * None for anything else (double "1.0" vs "1", decimal scales,
+    * timestamp zones — a rendering mismatch would plan EMPTY, which is
+    * not fail-open, so unsupported types never reach the index).
+    */
+  def renderLiteral(
+      dt: org.apache.spark.sql.types.DataType,
+      raw: String,
+      typed: Option[Any]): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(raw)
+      case IntegerType | LongType | ShortType | ByteType => typed match {
+        case Some(n: java.lang.Number) => Some(String.valueOf(n.longValue()))
+        case _ => raw.toLongOption.map(String.valueOf)
+      }
+      case DateType => typed match {
+        case Some(d: java.sql.Date) => Some(d.toLocalDate.toString)
+        case Some(ld: java.time.LocalDate) => Some(ld.toString)
+        case _ =>
+          try Some(java.time.LocalDate.parse(raw).toString)
+          catch { case _: Exception => None }
+      }
+      case _ => None
+    }
+  }
+
   /** Escape a key part the way Hudi's SecondaryIndexKeyUtils does:
     * backslash-escape `\` and the `\$` separator.
     */
@@ -135,9 +174,11 @@ object SecondaryIndex {
       dataTableBase: String,
       indexPartition: String,
       values: Seq[String],
-      hadoopConf: Configuration
+      hadoopConf: Configuration,
+      asOf: Option[String] = None
   ): Map[String, Set[String]] = {
-    val (latest, slices) = MetadataTable.openPartition(dataTableBase, indexPartition, hadoopConf)
+    val (latest, slices) =
+      MetadataTable.openPartition(dataTableBase, indexPartition, hadoopConf, asOf)
     if (values.isEmpty) return Map.empty
     def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
     val range = InstantRange.upTo(latest)

@@ -110,4 +110,25 @@ class PlanningStressSpec extends SparkTestBase {
     // ... and still chunks them (10 > defaultParallelism -> binned)
     assert(pruned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
   }
+
+  test("bloom-tier planning probes are capped by planned-file count") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val bloom = graft.fixtures.HudiFixtureBuilder.bloomPath(sfDir)
+    // under the cap (default 10k): the tier prunes to the one
+    // residue-class group
+    val pruned = spark.read.format("hudi-graft").load(bloom)
+      .filter(col("o_orderkey") === 8)
+    assert(pruned.queryExecution.executedPlan.toString().contains("1 slices"))
+    // cap below the plan width: the tier stands down — full 4-slice
+    // plan, rows still exact (fail-open, never wrong)
+    System.setProperty("graft.bloom.index.max.files", "1")
+    try {
+      val capped = spark.read.format("hudi-graft").load(bloom)
+        .filter(col("o_orderkey") === 8)
+      assert(capped.queryExecution.executedPlan.toString().contains("4 slices"),
+        s"capped bloom tier must stand down: ${capped.queryExecution.executedPlan}")
+      assert(capped.collect().map(_.getAs[Long]("o_orderkey")).toSeq == Seq(8L))
+    } finally System.clearProperty("graft.bloom.index.max.files")
+  }
 }

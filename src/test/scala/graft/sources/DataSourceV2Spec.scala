@@ -505,6 +505,37 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(full.count() == 1)
   }
 
+  test("record-key point planning applies under time travel behind the MDT-sync gate") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val mor = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
+    val origStatus = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") === 7).head.getAs[String]("o_orderstatus")
+    // as-of T1: the MDT record_index commit (T1) mirrors the data
+    // instant -> gate passes, the point plan keeps the one owning group,
+    // and the row shows the PRE-update status
+    val atT1 = spark.read.format("hudi-graft")
+      .option("as.of.timestamp", "20240101000000000").load(mor)
+      .filter(col("_hoodie_record_key") === "7")
+      .select("o_orderkey", "o_orderstatus")
+    assert(atT1.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"as-of point planning did not engage: ${atT1.queryExecution.executedPlan}")
+    val gotT1 = atT1.collect()
+    assert(gotT1.length == 1 && gotT1.head.getLong(0) == 7L &&
+      gotT1.head.getString(1) == origStatus)
+    // as-of T2: dataAt (T2) is NEWER than the MDT tip (T1) -> gate
+    // fails, full plan, rows still exact (the T2 update is visible)
+    val atT2 = spark.read.format("hudi-graft")
+      .option("as.of.timestamp", "20240102000000000").load(mor)
+      .filter(col("_hoodie_record_key") === "7")
+      .select("o_orderkey", "o_orderstatus")
+    assert(!atT2.queryExecution.executedPlan.toString().contains(" 1 slices"),
+      s"lagging MDT must keep the full plan: ${atT2.queryExecution.executedPlan}")
+    val gotT2 = atT2.collect()
+    assert(gotT2.length == 1 && gotT2.head.getLong(0) == 7L &&
+      gotT2.head.getString(1) == "U")
+  }
+
   test("COUNT(col) pushes down via null proofs (absent column + index nullCount)") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count}

@@ -131,4 +131,38 @@ class GraftCatalogSpec extends SparkTestBase {
         "show_column_stats", "show_partition_stats", "show_bloom_filters"))
       assert(names.contains(p), s"$p missing from $names")
   }
+
+  test("hudi_table_changes TVF equals the option-based incremental read") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import graft.fixtures.HudiFixtureBuilder.{T1, T2, T3, morPath}
+    graft.sources.HudiTableChanges.register(spark)
+    val path = morPath(sfDir)
+    def viaOptions(start: Option[String], end: Option[String], deletes: Boolean = false) = {
+      var r = spark.read.format("hudi-graft").option("query.type", "incremental")
+      start.foreach(s => r = r.option("start.timestamp", s))
+      end.foreach(e => r = r.option("end.timestamp", e))
+      if (deletes) r = r.option("stream.emit.deletes", "true")
+      r.load(path)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("_hoodie_record_key", "o_orderstatus")
+        .collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    // bounded range
+    val sql1 = spark.sql(s"SELECT * FROM hudi_table_changes('$path', '$T1', '$T2')")
+    assert(rows(sql1) == rows(viaOptions(Some(T1), Some(T2))) && sql1.count() > 0)
+    // 'earliest' start sentinel = full history
+    val sql2 = spark.sql(s"SELECT * FROM hudi_table_changes('$path', 'earliest')")
+    assert(rows(sql2) == rows(viaOptions(None, None)))
+    // delete tombstones (the 4th arg): a delete-only range surfaces the
+    // dead keys instead of an empty result
+    val sql3 = spark.sql(s"SELECT * FROM hudi_table_changes('$path', '$T2', '$T3', true)")
+    assert(rows(sql3) == rows(viaOptions(Some(T2), Some(T3), deletes = true)))
+    assert(sql3.count() > 0, "delete-only range must surface tombstones")
+    // non-literal args are rejected loudly
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM hudi_table_changes(upper('$path'), '$T1')").collect()
+    }
+    assert(err.getMessage.contains("string literal") ||
+      err.getMessage.contains("hudi_table_changes"))
+  }
 }

@@ -133,15 +133,72 @@ class SecondaryIndexSpec extends SparkTestBase {
     } finally System.clearProperty("graft.secondary.index.max.keys")
   }
 
-  test("secondary-index planning is gated to string source columns") {
-    // Non-string literals (double "1.0" vs "1", date renderings) can
-    // mismatch the writer's key rendering and silently plan EMPTY —
-    // the eligibility gate keeps those on the full (fail-open) plan.
+  test("secondary-index planning is gated to exactly the canonicalizable types") {
+    // Eligible = types SecondaryIndex.renderLiteral canonicalizes
+    // exactly (string, integrals, date). Doubles ("1.0" vs "1"),
+    // decimals (scales), timestamps (zones) can mismatch the writer's
+    // key rendering and silently plan EMPTY — they stay on the full
+    // (fail-open) plan.
     import org.apache.spark.sql.types._
-    assert(graft.sources.GraftScan.secondaryIndexEligible(StringType))
-    for (dt <- Seq(IntegerType, LongType, DoubleType, FloatType, DateType,
-        TimestampType, DecimalType(10, 2), BooleanType))
+    for (dt <- Seq(StringType, IntegerType, LongType, ShortType, ByteType, DateType))
+      assert(graft.sources.GraftScan.secondaryIndexEligible(dt), s"$dt must be eligible")
+    for (dt <- Seq(DoubleType, FloatType, TimestampType, DecimalType(10, 2), BooleanType))
       assert(!graft.sources.GraftScan.secondaryIndexEligible(dt), s"$dt must not be eligible")
+    // the canonical renderings themselves
+    import graft.table.SecondaryIndex.renderLiteral
+    assert(renderLiteral(LongType, "42", Some(Long.box(42L))) == Some("42"))
+    assert(renderLiteral(IntegerType, "7", Some(Int.box(7))) == Some("7"))
+    assert(renderLiteral(DateType, "2024-01-31",
+      Some(java.sql.Date.valueOf("2024-01-31"))) == Some("2024-01-31"))
+    assert(renderLiteral(DoubleType, "1.0", Some(Double.box(1.0))).isEmpty)
+  }
+
+  test("long-indexed column plans through the canonical numeric rendering") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val k = orders.agg(org.apache.spark.sql.functions.min(col("o_custkey"))).head.getLong(0)
+    val expSlices = orders.filter(col("o_custkey") === k)
+      .select("o_orderstatus").distinct().count()
+    val df = spark.read.format("hudi-graft").load(path).filter(col("o_custkey") === k)
+    assert(df.queryExecution.executedPlan.toString().contains(s"$expSlices slices"),
+      s"expected $expSlices planned slices: ${df.queryExecution.executedPlan.toString()}")
+    val exp = orders.filter(col("o_custkey") === k)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val got = df.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(exp))
+    // regime differential: capped lookups fall back, same rows
+    System.setProperty("graft.secondary.index.max.keys", "0")
+    try {
+      val full = spark.read.format("hudi-graft").load(path).filter(col("o_custkey") === k)
+      assert(full.select("o_orderkey").collect().map(_.getLong(0)).sorted.sameElements(exp))
+    } finally System.clearProperty("graft.secondary.index.max.keys")
+  }
+
+  test("conjunctive indexed predicates intersect their file-group sets") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.countDistinct
+    val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    // a customer whose orders span >=2 statuses: the cust-index plan
+    // alone keeps >=2 groups, the conjunction with one status keeps 1
+    val multi = orders.groupBy("o_custkey")
+      .agg(countDistinct(col("o_orderstatus")).as("n"))
+      .filter(col("n") >= 2)
+      .orderBy("o_custkey")
+      .limit(1).collect()
+    assume(multi.nonEmpty, "no multi-status customer at this SF")
+    val k = multi.head.getLong(0)
+    val st = orders.filter(col("o_custkey") === k)
+      .select("o_orderstatus").orderBy("o_orderstatus").head.getString(0)
+    val both = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_custkey") === k && col("o_orderstatus") === st)
+    assert(both.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"intersection must keep exactly 1 slice: ${both.queryExecution.executedPlan.toString()}")
+    val exp = orders.filter(col("o_custkey") === k && col("o_orderstatus") === st)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val got = both.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(exp))
   }
 
   test("sidx fixture: unknown value plans zero slices and returns no rows") {
