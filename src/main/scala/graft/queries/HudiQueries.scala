@@ -771,6 +771,21 @@ object HudiQueries {
       """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus
         |FROM orders WHERE o_orderkey = 7""".stripMargin),
 
+    // The NATURAL-KEY twin: the same point read through the LongType
+    // source key field — the canonical decimal rendering probes the
+    // record index directly (keyRestricted's widened source-field
+    // branch; the everyday `WHERE id = 7` shape). Plan-shape + keygen
+    // gate asserted in DataSourceV2Spec.
+    "hudi_natural_key_point" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.morPath(d))
+          .filter(col("o_orderkey") === 7)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+      },
+      """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus
+        |FROM orders WHERE o_orderkey = 7""".stripMargin),
+
     // The TIME-TRAVEL twin: as-of T1 the MDT record_index commit mirrors
     // the data instant (mdtAt == dataAt), so the point plan still keeps
     // only the owning file group — and the row shows the PRE-update

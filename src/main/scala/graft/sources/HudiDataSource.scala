@@ -929,7 +929,9 @@ class GraftScan(
     * plan keeps only those slices (a key lookup at 100 TB reads one file
     * group, logs included, instead of the table). Eligible predicates:
     * the `_hoodie_record_key` meta column always (its value IS the key),
-    * and the source key field only when StringType — a non-string
+    * and the source key field only when its type has an EXACT canonical
+    * rendering (SecondaryIndex.renderLiteral — string, integrals, date;
+    * point reads on a natural numeric key are the common shape) — a
     * rendering mismatch would MISS the index and plan an empty result,
     * which is not fail-open (the same trust gate as the secondary-index
     * tier). A key absent from the index means the key is not in the
@@ -942,18 +944,19 @@ class GraftScan(
     if (planned.isEmpty || !graft.table.RecordIndex.isAvailable(hudi.config)) return planned
     val keyFields = hudi.config.recordKeyFields
     // the source-field branch additionally trusts the writer's KEY
-    // RENDERING: ComplexKeyGenerator (Spark-SQL's default writer) renders
-    // even a single-field key as `field:value`, so a bare-value probe
-    // would miss the index and return a wrong empty plan — gate on the
-    // recorded keygenerator class (bareKeyRendering). The
+    // RENDERING twice over: the keygenerator class must be bare-rendering
+    // (ComplexKeyGenerator — Spark-SQL's default writer — renders even a
+    // single-field key as `field:value`, so a bare-value probe would miss
+    // the index and return a wrong empty plan), and the field's type must
+    // canonicalize exactly (renderLiteral: the avro toString rendering —
+    // doubles/decimals/timestamps never qualify). The
     // `_hoodie_record_key` branch needs no gate: its literal IS the
     // stored key, whatever generator produced it.
+    def fieldType(name: String) = hudi.tableSchema.fields.find(_.name == name).map(_.dataType)
+    val sourceKeyEligible = keyFields.size == 1 && hudi.config.bareKeyRendering &&
+      fieldType(keyFields.head).exists(GraftScan.secondaryIndexEligible)
     val eligible: Set[String] = Set(graft.core.MetaField.RecordKey) ++
-      (if (keyFields.size == 1 && hudi.config.bareKeyRendering &&
-        hudi.tableSchema.fields.exists(tf =>
-          tf.name == keyFields.head &&
-            tf.dataType == org.apache.spark.sql.types.StringType)) keyFields.toSet
-      else Set.empty[String])
+      (if (sourceKeyEligible) keyFields.toSet else Set.empty[String])
     val cand = simpleFilters.find(f => eligible.contains(f.field) &&
       (f.op == "=" || f.op == "in") && f.values.nonEmpty &&
       f.values.size <= GraftScan.SecondaryIndexMaxValues)
@@ -961,8 +964,17 @@ class GraftScan(
       case None => planned
       case Some(f) =>
         try {
+          val probeKeys: Seq[String] =
+            if (f.field == graft.core.MetaField.RecordKey) f.values
+            else {
+              val dt = fieldType(f.field).get
+              val rendered = f.values.indices.map(i =>
+                graft.table.SecondaryIndex.renderLiteral(dt, f.values(i), f.typed.lift(i)))
+              if (rendered.exists(_.isEmpty)) return planned
+              rendered.flatten
+            }
           val looked = graft.table.RecordIndex.lookup(
-            hudi.basePath, f.values, hudi.hadoopConf, tierAsOf)
+            hudi.basePath, probeKeys, hudi.hadoopConf, tierAsOf)
           val groups = looked.entries.values.groupBy(_.partitionPath)
             .view.mapValues(_.map(_.fileId).toSet).toMap
           planned.filter(sl =>

@@ -496,13 +496,22 @@ class DataSourceV2Spec extends SparkTestBase {
       .filter(col("_hoodie_record_key") === "nope")
     assert(none.queryExecution.executedPlan.toString().contains("0 slices"))
     assert(none.count() == 0)
-    // the non-string source key field must NOT plan through the index
-    // (rendering trust gate) — the full plan stays
-    val full = spark.read.format("hudi-graft").load(mor)
+    // the LONG source key field plans through the index via the
+    // canonical decimal rendering (the natural-key point read)
+    val natural = spark.read.format("hudi-graft").load(mor)
       .filter(col("o_orderkey") === 7)
-    assert(!full.queryExecution.executedPlan.toString().contains(" 1 slices"),
-      s"integral key field must not index-restrict: ${full.queryExecution.executedPlan}")
-    assert(full.count() == 1)
+    assert(natural.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"integral key field must point-plan: ${natural.queryExecution.executedPlan}")
+    assert(natural.count() == 1)
+    // ...but NOT under a non-bare keygenerator (a ComplexKeyGenerator
+    // key is 'field:value' — a bare probe would wrongly plan empty)
+    val gated = spark.read.format("hudi-graft")
+      .option("hoodie.table.keygenerator.class", "org.apache.hudi.keygen.ComplexKeyGenerator")
+      .load(mor)
+      .filter(col("o_orderkey") === 7)
+    assert(!gated.queryExecution.executedPlan.toString().contains(" 1 slices"),
+      s"non-bare keygen must keep the full plan: ${gated.queryExecution.executedPlan}")
+    assert(gated.count() == 1)
   }
 
   test("record-key point planning applies under time travel behind the MDT-sync gate") {
