@@ -1002,20 +1002,24 @@ class GraftScan(
     if (planned.isEmpty || !graft.table.BloomFilterIndex.isAvailable(hudi.config))
       return planned
     val keyFields = hudi.config.recordKeyFields
-    // blooms hash the WRITER's key rendering; a ComplexKeyGenerator
-    // `field:value` key probed with the bare value gets a false
-    // "definitely absent" — silent row loss, so the same keygenerator
-    // gate as the record-index source-field branch applies
-    if (keyFields.size != 1 || !hudi.config.bareKeyRendering) return planned
-    val keyField = keyFields.head
+    // Eligible probe predicates: the `_hoodie_record_key` meta column
+    // always (its literal IS the stored key, whatever generator wrote
+    // it), and the single source key field behind the same two trust
+    // gates as the record-index branch — blooms hash the WRITER's key
+    // rendering, so a ComplexKeyGenerator `field:value` key probed with
+    // the bare value gets a false "definitely absent" (silent row loss),
+    // and only exactly-rendering types qualify.
     import org.apache.spark.sql.types._
     val trustedRendering: Set[DataType] =
       Set(StringType, IntegerType, LongType, ShortType, ByteType)
-    val cand = simpleFilters.find(f => f.field == keyField &&
-      (f.op == "=" || f.op == "in") && f.values.nonEmpty &&
-      f.values.size <= GraftScan.SecondaryIndexMaxValues &&
+    val sourceEligible = keyFields.size == 1 && hudi.config.bareKeyRendering &&
       hudi.tableSchema.fields.exists(tf =>
-        tf.name == keyField && trustedRendering.contains(tf.dataType)))
+        tf.name == keyFields.head && trustedRendering.contains(tf.dataType))
+    val cand = simpleFilters.find(f =>
+      (f.field == graft.core.MetaField.RecordKey ||
+        (sourceEligible && f.field == keyFields.head)) &&
+      (f.op == "=" || f.op == "in") && f.values.nonEmpty &&
+      f.values.size <= GraftScan.SecondaryIndexMaxValues)
     cand match {
       case None => planned
       case Some(f) =>

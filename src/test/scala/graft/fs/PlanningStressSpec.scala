@@ -130,5 +130,14 @@ class PlanningStressSpec extends SparkTestBase {
         s"capped bloom tier must stand down: ${capped.queryExecution.executedPlan}")
       assert(capped.collect().map(_.getAs[Long]("o_orderkey")).toSeq == Seq(8L))
     } finally System.clearProperty("graft.bloom.index.max.files")
+    // the `_hoodie_record_key` meta column probes blooms too — its
+    // literal IS the stored key, so it needs no keygenerator gate (and
+    // works even under ComplexKeyGenerator, where a real stored key
+    // would simply never match a bare literal)
+    val metaKey = spark.read.format("hudi-graft").load(bloom)
+      .filter(col("_hoodie_record_key") === "8")
+    assert(metaKey.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"meta-key bloom probe did not prune: ${metaKey.queryExecution.executedPlan}")
+    assert(metaKey.collect().map(_.getAs[Long]("o_orderkey")).toSeq == Seq(8L))
   }
 }

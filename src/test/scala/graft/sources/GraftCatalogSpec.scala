@@ -164,5 +164,21 @@ class GraftCatalogSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("string literal") ||
       err.getMessage.contains("hudi_table_changes"))
+    // the TVF expands to the DSv2 relation, so a WHERE partition filter
+    // composes with incremental partition pruning exactly like the
+    // option surface (fewer slices than the unfiltered range)
+    val p0 = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderpriority").orderBy("o_orderpriority").head.getString(0)
+    val prunedDf = spark.sql(
+      s"SELECT * FROM hudi_table_changes('$path', '$T1', '$T2') WHERE o_orderpriority = '$p0'")
+    def sliceCount(df: org.apache.spark.sql.DataFrame): Int = {
+      val s = df.queryExecution.executedPlan.toString()
+      val m = java.util.regex.Pattern.compile("(\\d+) slices").matcher(s)
+      assert(m.find(), s"no slice count in plan: $s"); m.group(1).toInt
+    }
+    assert(sliceCount(prunedDf) < sliceCount(sql1),
+      "partition filter through the TVF must prune incremental slices")
+    assert(prunedDf.count() == viaOptions(Some(T1), Some(T2))
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === p0).count())
   }
 }
