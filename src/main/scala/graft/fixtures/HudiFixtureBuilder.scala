@@ -70,7 +70,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v17")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v18")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -690,7 +690,18 @@ object HudiFixtureBuilder {
     val base = new Path(datePath(sfDir))
     fs.mkdirs(new Path(base, ".hoodie"))
     writeProperties(fs, base, "cow_date_orders", "COPY_ON_WRITE", None, hiveStyle = false,
-      extraProps = "hoodie.table.metadata.partitions=column_stats\n")
+      extraProps = "hoodie.table.metadata.partitions=" +
+        "column_stats,record_index,secondary_index_date_idx\n")
+    // a DATE-indexed secondary index whose keys use the EPOCH-DAY
+    // rendering (the unconverted-avro writer shape, `19753$key`) — the
+    // planner must DETECT this from sampled entries and render its
+    // o_date literals as epoch days, or fail open (never guess ISO and
+    // plan empty): graft.table.SecondaryIndex.detectDateRendering
+    writeText(fs, new Path(base, ".hoodie/.index_defs/index.json"),
+      """{"indexDefinitions":{"secondary_index_date_idx":{
+        |"indexName":"secondary_index_date_idx","indexType":"secondary_index",
+        |"indexFunction":"identity","sourceFields":["o_date"],"indexOptions":{}}}}
+        |""".stripMargin.replaceAll("\n", ""))
     val src0 = orders(spark, sfDir).withColumn("o_date", to_date(col("o_orderdate")))
     val src = src0.withColumn("__part", lit(""))
     val dataAvro = Some(SparkToAvro.toAvroSchema(src0.schema, "orders_record").toString)
@@ -748,6 +759,37 @@ object HudiFixtureBuilder {
     val out = fs.create(new Path(csDir, s"col-stats-0000-0_${Token}_$T1.hfile"), true)
     out.write(bytes)
     out.close()
+
+    // record_index (key → date-quartile group) + the EPOCH-DAY-rendered
+    // date secondary index declared above
+    val keyDateGroup = src0.withColumn("__g", grpExpr)
+      .select(col("o_orderkey"), col("__g"), col("o_date")).collect()
+      .map(r => (r.getLong(0).toString, r.getInt(1), r.getDate(2).toLocalDate.toEpochDay))
+    val riDir = new Path(mdt, "record_index")
+    fs.mkdirs(riDir)
+    val riBytes = graft.hfile.HFileWriter.write(
+      keyDateGroup.map { case (k, g, _) =>
+        k -> recordIndexBytes(k, ".", fileId(g), T1.toLong, rawEncoding = true)
+      }.sortBy(_._1).toIndexedSeq,
+      Map("schema" -> recordIndexAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val riOut = fs.create(new Path(riDir, s"record-index-0000-0_${Token}_$T1.hfile"), true)
+    riOut.write(riBytes)
+    riOut.close()
+    val esc = graft.table.SecondaryIndex.escape _
+    val diDir = new Path(mdt, "secondary_index_date_idx")
+    fs.mkdirs(diDir)
+    val diBytes = graft.hfile.HFileWriter.write(
+      keyDateGroup.map { case (k, _, epochDay) =>
+        val key = s"${esc(epochDay.toString)}$$${esc(k)}"
+        key -> secondaryIndexBytes(key)
+      }.sortBy(_._1).toIndexedSeq,
+      Map("schema" -> secondaryIndexAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val diOut = fs.create(
+      new Path(diDir, s"secondary-index-date-idx-0000-0_${Token}_$T1.hfile"), true)
+    diOut.write(diBytes)
+    diOut.close()
   }
 
   // --- COW, non-partitioned, STATUS-split file groups + secondary index

@@ -708,6 +708,29 @@ object HudiQueries {
         |WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // DATE-typed secondary index at oracle level: the fixture's
+    // secondary_index_date_idx stores EPOCH-DAY-rendered keys (the
+    // unconverted-avro writer shape), so the planner must detect that
+    // rendering from sampled entries (SecondaryIndex.detectDateRendering)
+    // and probe with epoch-day literals — an ISO guess would plan EMPTY
+    // and lose every row of this result. Groups are date quartiles, so
+    // the min date's predicate also PRUNES to one group (plan-shape in
+    // SecondaryIndexSpec).
+    "hudi_secondary_date_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val dt = Tables.orders(s, d).agg(min(to_date(col("o_orderdate")))).head.getDate(0)
+        // date in the PREDICATE only (same engine-hash caveat as
+        // hudi_date_pruned: DuckDB DATE output surfaces as datetime64)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.datePath(d))
+          .filter(col("o_date") === dt)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE CAST(o_orderdate AS DATE) = (SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // --- Inspection surface (the reference's get_file_slices /
     // get_timeline, table/mod.rs:441/422) at oracle level: the planned
     // slices and completed instants of the deterministic fixtures match

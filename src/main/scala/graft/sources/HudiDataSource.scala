@@ -706,12 +706,36 @@ object GraftScan {
     * (string, integrals, date): the index key is the writer's string
     * rendering of the indexed value, and a rendering mismatch returns an
     * EMPTY plan — not fail-open — so every other type (double "1.0" vs
-    * "1", decimal scales, timestamp zones) stays on the full plan.
+    * "1", decimal scales, timestamp zones) stays on the full plan. Date
+    * literals additionally require the index's own rendering to be
+    * DETECTED from sampled entries (ISO vs epoch-day is writer-dependent;
+    * SecondaryIndex.detectDateRendering) — undetectable fails open.
     */
   def secondaryIndexEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case StringType | IntegerType | LongType | ShortType | ByteType | DateType => true
+      case _ => false
+    }
+  }
+
+  /** Types whose RECORD-KEY rendering is unambiguous across writer paths
+    * (row-writer `Row.get.toString` and avro `toString` agree): strings
+    * are stored verbatim, integrals render as the same decimal digits
+    * everywhere. DateType deliberately does NOT qualify — a date-typed
+    * key renders `2024-01-31` through the row writer but the raw
+    * epoch-day int through an unconverted avro path, and a record-index
+    * or bloom probe has no per-index entry sample to detect which (the
+    * record index stores keys hashed across file groups; blooms store no
+    * keys at all), so a wrong guess would plan EMPTY / prune a matching
+    * file. Used by the record-key point tier and the bloom tier;
+    * [[secondaryIndexEligible]] stays wider because the secondary-index
+    * tier CAN sample its own entries.
+    */
+  def keyRenderingTrusted(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType => true
       case _ => false
     }
   }
@@ -895,8 +919,17 @@ class GraftScan(
         .flatMap { idx =>
           try {
             val dt = fieldType(f.field).get
+            // date keys are writer-dependent (ISO vs epoch-day): detect
+            // the rendering from the index's own entries; undetectable
+            // renders None below and this predicate's restriction drops
+            val dateRendering =
+              if (dt == org.apache.spark.sql.types.DateType)
+                graft.table.SecondaryIndex.detectDateRendering(
+                  hudi.basePath, idx, hudi.hadoopConf, tierAsOf)
+              else None
             val rendered = f.values.indices.map(i =>
-              graft.table.SecondaryIndex.renderLiteral(dt, f.values(i), f.typed.lift(i)))
+              graft.table.SecondaryIndex.renderLiteral(
+                dt, f.values(i), f.typed.lift(i), dateRendering))
             if (rendered.exists(_.isEmpty)) None
             else {
               val vals = rendered.flatten
@@ -930,11 +963,12 @@ class GraftScan(
     * group, logs included, instead of the table). Eligible predicates:
     * the `_hoodie_record_key` meta column always (its value IS the key),
     * and the source key field only when its type has an EXACT canonical
-    * rendering (SecondaryIndex.renderLiteral — string, integrals, date;
-    * point reads on a natural numeric key are the common shape) — a
-    * rendering mismatch would MISS the index and plan an empty result,
-    * which is not fail-open (the same trust gate as the secondary-index
-    * tier). A key absent from the index means the key is not in the
+    * rendering (GraftScan.keyRenderingTrusted — string, integrals; point
+    * reads on a natural numeric key are the common shape; dates stay on
+    * the full plan, their rendering is writer-dependent and the record
+    * index has no entry sample to detect it from) — a rendering mismatch
+    * would MISS the index and plan an empty result, which is not
+    * fail-open. A key absent from the index means the key is not in the
     * table, so zero surviving slices is a correct plan; index errors
     * keep the full plan.
     */
@@ -954,7 +988,7 @@ class GraftScan(
     // stored key, whatever generator produced it.
     def fieldType(name: String) = hudi.tableSchema.fields.find(_.name == name).map(_.dataType)
     val sourceKeyEligible = keyFields.size == 1 && hudi.config.bareKeyRendering &&
-      fieldType(keyFields.head).exists(GraftScan.secondaryIndexEligible)
+      fieldType(keyFields.head).exists(GraftScan.keyRenderingTrusted)
     val eligible: Set[String] = Set(graft.core.MetaField.RecordKey) ++
       (if (sourceKeyEligible) keyFields.toSet else Set.empty[String])
     val cand = simpleFilters.find(f => eligible.contains(f.field) &&
@@ -1009,12 +1043,9 @@ class GraftScan(
     // rendering, so a ComplexKeyGenerator `field:value` key probed with
     // the bare value gets a false "definitely absent" (silent row loss),
     // and only exactly-rendering types qualify.
-    import org.apache.spark.sql.types._
-    val trustedRendering: Set[DataType] =
-      Set(StringType, IntegerType, LongType, ShortType, ByteType)
     val sourceEligible = keyFields.size == 1 && hudi.config.bareKeyRendering &&
       hudi.tableSchema.fields.exists(tf =>
-        tf.name == keyFields.head && trustedRendering.contains(tf.dataType))
+        tf.name == keyFields.head && GraftScan.keyRenderingTrusted(tf.dataType))
     val cand = simpleFilters.find(f =>
       (f.field == graft.core.MetaField.RecordKey ||
         (sourceEligible && f.field == keyFields.head)) &&

@@ -83,6 +83,65 @@ object SecondaryIndex {
     }
   }
 
+  /** Rendering of date-typed secondary keys in a concrete index. Hudi
+    * renders the indexed avro value via `toString`, and a DATE logical
+    * type surfaces either as a converted `java.time.LocalDate` (ISO
+    * `2024-01-31`) or as the unconverted epoch-day integer (`19753`)
+    * depending on the writer's datum model — with no real-bytes fixture
+    * to pin one, guessing wrong would plan EMPTY (silent row loss), so
+    * the rendering is DETECTED per index by sampling live entries and
+    * anything ambiguous fails open to the full plan.
+    */
+  sealed trait DateRendering
+  case object IsoDateRendering extends DateRendering
+  case object EpochDayRendering extends DateRendering
+
+  /** Classify sampled secondary-key parts of a date-indexed column:
+    * unanimous ISO-8601 dates → [[IsoDateRendering]], unanimous decimal
+    * integers → [[EpochDayRendering]], empty/mixed/anything-else → None
+    * (callers keep the full plan). The two shapes are disjoint — an ISO
+    * date never parses as a long and vice versa — so one conforming
+    * sample would suffice; unanimity over up to `maxSample` is demanded
+    * anyway to catch a writer that mixes renderings across commits.
+    */
+  def classifyDateKeys(parts: Iterator[String], maxSample: Int = 16): Option[DateRendering] = {
+    def isIso(s: String): Boolean =
+      try { java.time.LocalDate.parse(s); true } catch { case _: Exception => false }
+    val sampled = parts.filter(_.nonEmpty).take(maxSample).toVector
+    if (sampled.isEmpty) None
+    else if (sampled.forall(isIso)) Some(IsoDateRendering)
+    else if (sampled.forall(_.toLongOption.isDefined)) Some(EpochDayRendering)
+    else None
+  }
+
+  /** Detect the date-key rendering of `indexPartition` by sampling entry
+    * keys from its file slices (base HFiles, then HFile log blocks for
+    * base-less slices) — one bounded MDT file read on the rare
+    * date-indexed-predicate planning path. Throws on structural
+    * problems; callers catch and keep the full plan.
+    */
+  def detectDateRendering(
+      dataTableBase: String,
+      indexPartition: String,
+      hadoopConf: Configuration,
+      asOf: Option[String] = None): Option[DateRendering] = {
+    val (latest, slices) =
+      MetadataTable.openPartition(dataTableBase, indexPartition, hadoopConf, asOf)
+    val range = InstantRange.upTo(latest)
+    def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
+    val keys: Iterator[String] = slices.iterator.flatMap { slice =>
+      slice.baseFile.iterator.flatMap(bf =>
+        new HFileReader(readFully(new Path(bf.path))).records.map(_.key)) ++
+        slice.logFiles.sortBy(_.orderingKey).iterator.flatMap { lf =>
+          LogFileParser.applyRollbacks(
+            LogFileParser.parse(readFully(new Path(lf.path)), range)).iterator
+            .filter(b => b.blockType == LogFormat.HfileDataBlock && b.rawContent.nonEmpty)
+            .flatMap(b => new HFileReader(b.rawContent).records.map(_.key))
+        }
+    }
+    classifyDateKeys(keys.flatMap(k => splitKey(k).map(_._1)))
+  }
+
   /** Canonical index-key rendering of a filter literal for an indexed
     * column of `dt` — the writer's string form of the avro column value
     * (Hudi's SecondaryIndexKeyUtils renders the extracted field value via
@@ -91,11 +150,9 @@ object SecondaryIndex {
     *  - int/long/short/byte: avro integral `toString` = decimal digits,
     *    and the DSv2 typed literal renders identically (no fractional or
     *    scientific forms exist for integrals);
-    *  - date: avro's date logical type surfaces as java.time.LocalDate,
-    *    whose `toString` is ISO-8601 (`2024-01-01`) — matched from the
-    *    typed java.sql.Date/LocalDate literal (validated against
-    *    fixture-written index bytes; real-bytes validation pending a
-    *    reference fixture with a date-indexed column).
+    *  - date: writer-dependent (ISO LocalDate vs raw epoch-day int — see
+    *    [[DateRendering]]), so the caller must pass the rendering it
+    *    DETECTED from the index's own entries; None without one.
     * None for anything else (double "1.0" vs "1", decimal scales,
     * timestamp zones — a rendering mismatch would plan EMPTY, which is
     * not fail-open, so unsupported types never reach the index).
@@ -103,7 +160,8 @@ object SecondaryIndex {
   def renderLiteral(
       dt: org.apache.spark.sql.types.DataType,
       raw: String,
-      typed: Option[Any]): Option[String] = {
+      typed: Option[Any],
+      dateRendering: Option[DateRendering] = None): Option[String] = {
     import org.apache.spark.sql.types._
     dt match {
       case StringType => Some(raw)
@@ -111,13 +169,18 @@ object SecondaryIndex {
         case Some(n: java.lang.Number) => Some(String.valueOf(n.longValue()))
         case _ => raw.toLongOption.map(String.valueOf)
       }
-      case DateType => typed match {
-        case Some(d: java.sql.Date) => Some(d.toLocalDate.toString)
-        case Some(ld: java.time.LocalDate) => Some(ld.toString)
-        case _ =>
-          try Some(java.time.LocalDate.parse(raw).toString)
-          catch { case _: Exception => None }
-      }
+      case DateType =>
+        val localDate: Option[java.time.LocalDate] = typed match {
+          case Some(d: java.sql.Date) => Some(d.toLocalDate)
+          case Some(ld: java.time.LocalDate) => Some(ld)
+          case _ =>
+            try Some(java.time.LocalDate.parse(raw))
+            catch { case _: Exception => None }
+        }
+        dateRendering.flatMap {
+          case IsoDateRendering => localDate.map(_.toString)
+          case EpochDayRendering => localDate.map(d => String.valueOf(d.toEpochDay))
+        }
       case _ => None
     }
   }

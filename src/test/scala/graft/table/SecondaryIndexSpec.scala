@@ -145,12 +145,42 @@ class SecondaryIndexSpec extends SparkTestBase {
     for (dt <- Seq(DoubleType, FloatType, TimestampType, DecimalType(10, 2), BooleanType))
       assert(!graft.sources.GraftScan.secondaryIndexEligible(dt), s"$dt must not be eligible")
     // the canonical renderings themselves
+    import graft.table.SecondaryIndex
     import graft.table.SecondaryIndex.renderLiteral
     assert(renderLiteral(LongType, "42", Some(Long.box(42L))) == Some("42"))
     assert(renderLiteral(IntegerType, "7", Some(Int.box(7))) == Some("7"))
-    assert(renderLiteral(DateType, "2024-01-31",
-      Some(java.sql.Date.valueOf("2024-01-31"))) == Some("2024-01-31"))
     assert(renderLiteral(DoubleType, "1.0", Some(Double.box(1.0))).isEmpty)
+    // date rendering is writer-dependent: WITHOUT a detected rendering a
+    // date literal never renders (fail open), WITH one it follows it
+    val d = Some(java.sql.Date.valueOf("2024-01-31"): Any)
+    assert(renderLiteral(DateType, "2024-01-31", d).isEmpty)
+    assert(renderLiteral(DateType, "2024-01-31", d,
+      Some(SecondaryIndex.IsoDateRendering)) == Some("2024-01-31"))
+    assert(renderLiteral(DateType, "2024-01-31", d,
+      Some(SecondaryIndex.EpochDayRendering)) ==
+      Some(java.time.LocalDate.parse("2024-01-31").toEpochDay.toString))
+    // record-KEY rendering trust excludes dates entirely: no entry
+    // sample exists to detect from (keys are hash-sharded; blooms store
+    // no keys), so the point/bloom tiers keep the full plan
+    for (dt <- Seq(StringType, IntegerType, LongType, ShortType, ByteType))
+      assert(graft.sources.GraftScan.keyRenderingTrusted(dt), s"$dt must be trusted")
+    for (dt <- Seq(DateType, DoubleType, TimestampType, DecimalType(10, 2)))
+      assert(!graft.sources.GraftScan.keyRenderingTrusted(dt), s"$dt must not be trusted")
+  }
+
+  test("date-key rendering classification: unanimous, disjoint, fail-open") {
+    import graft.table.SecondaryIndex._
+    assert(classifyDateKeys(Iterator("2024-01-31", "1998-08-02")) == Some(IsoDateRendering))
+    assert(classifyDateKeys(Iterator("19753", "10402", "-3")) == Some(EpochDayRendering))
+    assert(classifyDateKeys(Iterator.empty).isEmpty)
+    assert(classifyDateKeys(Iterator("2024-01-31", "19753")).isEmpty) // mixed
+    assert(classifyDateKeys(Iterator("not-a-date")).isEmpty)
+    // empty parts (a null-valued row's entry) don't disambiguate — skipped
+    assert(classifyDateKeys(Iterator("", "19753")) == Some(EpochDayRendering))
+    // sampling is bounded: a conforming prefix classifies even when the
+    // tail (never read) would not
+    val big = Iterator.fill(16)("19753") ++ Iterator("2024-01-31")
+    assert(classifyDateKeys(big) == Some(EpochDayRendering))
   }
 
   test("long-indexed column plans through the canonical numeric rendering") {
@@ -208,5 +238,40 @@ class SecondaryIndexSpec extends SparkTestBase {
       .filter(col("o_orderstatus") === "ZZZ")
     assert(df.count() == 0)
     assert(df.queryExecution.executedPlan.toString().contains("0 slices"))
+  }
+
+  test("date-indexed column detects the index's epoch-day rendering and plans through it") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.datePath(sfDir)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    // the fixture writes EPOCH-DAY keys — detection must say so
+    assert(graft.table.SecondaryIndex.detectDateRendering(
+      path, "secondary_index_date_idx", hadoopConf) ==
+      Some(graft.table.SecondaryIndex.EpochDayRendering))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("o_date", org.apache.spark.sql.functions.to_date(col("o_orderdate")))
+    val dt = orders.agg(org.apache.spark.sql.functions.min(col("o_date"))).head.getDate(0)
+    // the index maps the min date's record keys to quartile group 0 only
+    val df = spark.read.format("hudi-graft").load(path).filter(col("o_date") === dt)
+    assert(df.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"date index must plan 1 slice: ${df.queryExecution.executedPlan.toString()}")
+    val exp = orders.filter(col("o_date") === dt)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val got = df.select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(exp.nonEmpty && got.sameElements(exp))
+    // an ISO probe against these epoch-day keys would have planned EMPTY
+    // (silent row loss) — directly: the ISO rendering finds no keys
+    val iso = graft.table.SecondaryIndex.lookup(
+      path, "secondary_index_date_idx", Seq(dt.toLocalDate.toString), hadoopConf)
+    assert(iso.values.flatten.isEmpty)
+    val epoch = graft.table.SecondaryIndex.lookup(
+      path, "secondary_index_date_idx", Seq(dt.toLocalDate.toEpochDay.toString), hadoopConf)
+    assert(epoch.values.flatten.toSeq.sorted == exp.map(_.toString).toSeq.sorted)
+    // regime differential: tier off (value cap 0) falls back, same rows
+    System.setProperty("graft.secondary.index.max.values", "0")
+    try {
+      val full = spark.read.format("hudi-graft").load(path).filter(col("o_date") === dt)
+      assert(full.select("o_orderkey").collect().map(_.getLong(0)).sorted.sameElements(exp))
+    } finally System.clearProperty("graft.secondary.index.max.values")
   }
 }
