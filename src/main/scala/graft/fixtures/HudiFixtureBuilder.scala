@@ -48,6 +48,7 @@ object HudiFixtureBuilder {
   def morPath(sfDir: String): String = s"${root(sfDir)}/mor_orders"
   def morLogOnlyPath(sfDir: String): String = s"${root(sfDir)}/mor_log_only"
   def partPath(sfDir: String): String = s"${root(sfDir)}/cow_part_nation"
+  def strpartPath(sfDir: String): String = s"${root(sfDir)}/cow_strpart_region"
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
   def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
   def widenedPath(sfDir: String): String = s"${root(sfDir)}/cow_widened_nation"
@@ -70,7 +71,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v18")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v19")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -144,6 +145,7 @@ object HudiFixtureBuilder {
           buildCowPartStatsOrders(spark, sfDir); own()
           buildCowSecondaryIndexOrders(spark, sfDir); own()
           buildCowPartNation(spark, sfDir); own()
+          buildCowStrpartRegion(spark, sfDir); own()
           buildCowDroppedNation(spark, sfDir); own()
           buildCowEvolvedNation(spark, sfDir); own()
           buildCowWidenedNation(spark, sfDir); own()
@@ -1544,6 +1546,61 @@ object HudiFixtureBuilder {
         lit(partDir).as("_hoodie_partition_path"),
         lit(name).as("_hoodie_file_name"),
         col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      writeBaseFile(spark, metaDf, new Path(base, partDir), name)
+      (partDir, fileId(i), s"$partDir/$name")
+    }
+    val stats = files.groupBy(_._1).map { case (p, fsz) =>
+      s""""$p":[${fsz.map { case (_, fid, rel) => s"""{"fileId":"$fid","path":"$rel","partitionPath":"$p"}""" }.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    writeText(fs, new Path(base, s".hoodie/$T1.commit"),
+      s"""{"partitionToWriteStats":$stats,"compacted":false}""")
+  }
+
+  // --- COW over region, hive-style, STRING partition column + a null row -
+  // Partitioned by r_name (string) with one synthetic row whose r_name is
+  // NULL, landing in the `__HIVE_DEFAULT_PARTITION__` sentinel dir. String
+  // partition columns can never serve MIN/MAX from chunk stats
+  // (writer-truncation), so the aggregate pushdown serves them from PARSED
+  // PATH VALUES — but only on sentinel-free plans: the unfiltered plan here
+  // must REJECT (the sentinel partition's stored values are unreadable-
+  // without-IO), while an exact r_name filter prunes the sentinel away and
+  // pushes (`hudi_strpart_agg_pushdown`).
+  private def buildCowStrpartRegion(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(strpartPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_strpart_region
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=r_regionkey
+        |hoodie.table.precombine.field=r_regionkey
+        |hoodie.table.partition.fields=r_name
+        |hoodie.datasource.write.hive_style_partitioning=true
+        |hoodie.datasource.write.partitionpath.urlencode=false
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+      .unionByName(spark.range(1).select(
+        lit(99).cast(IntegerType).as("r_regionkey"),
+        lit(null).cast(StringType).as("r_name")))
+    val parts = src.select("r_name").distinct().collect()
+      .map(r => Option(r.getString(0))).sortBy(_.getOrElse(""))
+    val files = parts.zipWithIndex.map { case (nameOpt, i) =>
+      val partDir = s"r_name=${nameOpt.getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+      val name = s"${fileId(i)}_${Token}_$T1.parquet"
+      val df = (nameOpt match {
+        case Some(n) => src.filter(col("r_name") === n)
+        case None => src.filter(col("r_name").isNull)
+      }).withColumn("__commit", lit(T1))
+      val metaDf = df.select(
+        col("__commit").as("_hoodie_commit_time"),
+        concat(col("__commit"), lit("_0_"), col("r_regionkey")).as("_hoodie_commit_seqno"),
+        col("r_regionkey").cast(StringType).as("_hoodie_record_key"),
+        lit(partDir).as("_hoodie_partition_path"),
+        lit(name).as("_hoodie_file_name"),
+        col("r_regionkey"), col("r_name"))
       writeBaseFile(spark, metaDf, new Path(base, partDir), name)
       (partDir, fileId(i), s"$partDir/$name")
     }

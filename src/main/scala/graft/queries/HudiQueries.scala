@@ -780,6 +780,39 @@ object HudiQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(n_nationkey) AS mn,
         |  MAX(n_nationkey) AS mx FROM nation WHERE n_regionkey = 2""".stripMargin),
 
+    // Partition-valued aggregates over a DROPPED partition column (P6
+    // composition): the files carry NO chunks for n_regionkey, so chunk
+    // tiers can't serve it — COUNT/MIN/MAX come from the PARSED
+    // partition path values (sentinel-free plan => path value IS each
+    // row's value), where the pre-r10 engine ran a full scan.
+    "hudi_agg_dropped_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.droppedPath(d))
+          .agg(count(col("n_regionkey")).as("n"), min(col("n_regionkey")).as("mn"),
+            max(col("n_regionkey")).as("mx"))
+      },
+      """SELECT CAST(COUNT(n_regionkey) AS BIGINT) AS n, MIN(n_regionkey) AS mn,
+        |  MAX(n_regionkey) AS mx FROM nation""".stripMargin),
+
+    // Partition-valued MIN/MAX of a STRING partition column — never
+    // servable from chunk stats (writer truncation) — from parsed path
+    // values. The fixture has a NULL-sentinel partition, so the exact
+    // r_name filter is what makes the plan sentinel-free and pushable;
+    // the unfiltered shape must fall back (DataSourceV2Spec asserts
+    // both plan shapes).
+    "hudi_strpart_agg_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val nm = Tables.region(s, d).agg(min(col("r_name"))).head.getString(0)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.strpartPath(d))
+          .filter(col("r_name") === nm)
+          .agg(count(col("*")).as("n"), min(col("r_name")).as("mn"),
+            max(col("r_name")).as("mx"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(r_name) AS mn, MAX(r_name) AS mx
+        |FROM region WHERE r_name = (SELECT MIN(r_name) FROM region)""".stripMargin),
+
     // Record-index POINT read: `_hoodie_record_key = '7'` resolves to
     // the ONE owning file group through the record index (key 7 is
     // log-updated, so the restricted plan still merges); plan-shape

@@ -18,10 +18,24 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val names: Array[String] =
-    Array("show_commits", "show_file_slices", "show_indexes", "show_column_stats",
-      "show_partition_stats", "show_bloom_filters")
+    Array("show_commits", "show_file_slices", "show_partitions", "show_indexes",
+      "show_column_stats", "show_partition_stats", "show_bloom_filters")
 
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
+    case "show_partitions" => Some(proc("show_partitions",
+      "partitions of the latest snapshot with file-group counts and size",
+      StructType(Seq(
+        StructField("partition_path", StringType, nullable = false),
+        StructField("num_file_groups", IntegerType, nullable = false),
+        StructField("num_log_files", IntegerType, nullable = false),
+        StructField("total_bytes", LongType, nullable = false))),
+      t => t.timeline.latestCommitTimestamp
+        .map(ts => t.fsView.slicesAsOf(ts)).getOrElse(Vector.empty)
+        .groupBy(_.partitionPath).toVector.sortBy(_._1)
+        .map { case (p, ss) =>
+          row(p, Int.box(ss.size), Int.box(ss.map(_.logFiles.size).sum),
+            Long.box(ss.map(_.totalSize).sum))
+        }))
     case "show_commits" => Some(proc("show_commits",
       "completed instants of a hudi table's timeline",
       StructType(Seq(

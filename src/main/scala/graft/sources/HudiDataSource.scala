@@ -112,10 +112,14 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
     * served entirely from MDT-index / parquet-footer metadata — zero
     * data read, the ops queries every table gets hit with at 100 TB.
     * Snapshot and time-travel only (incremental applies a commit-range
-    * row filter footers can't see). MIN/MAX are numeric-only (string
-    * chunk statistics can be writer-truncated) and require usable stats
-    * in EVERY planned file (an all-null file contributes nothing and is
-    * fine; a stats-less one rejects the pushdown). Complete pushdown:
+    * row filter footers can't see). MIN/MAX from chunk stats are
+    * numeric/date/timestamp/decimal-only (string chunk statistics can be
+    * writer-truncated) and require usable stats in EVERY planned file
+    * (an all-null file contributes nothing and is fine; a stats-less one
+    * rejects the pushdown); partition FIELDS — including dropped ones
+    * and strings — serve MIN/MAX/COUNT from parsed path values instead
+    * (`SELECT MAX(dt)` = the freshest-partition query, zero data read;
+    * sentinel/parse gates in GraftFooterAggScan.tryPlan). Complete pushdown:
     * Spark consumes the single driver-side row as the final answer. The
     * planning cost is one footer read per file — the same footers R2
     * pruning reads — issued in parallel at pushdown time.
@@ -158,41 +162,34 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       if (names.distinct != names || !names.forall(partFields.contains)) return None
       names
     }
-    // MIN/MAX servable types: numerics, plus date/timestamp/decimal whose
-    // footer statistics normalize losslessly through parquet LOGICAL
-    // types (FilePruner.normalizeStat — epoch-day Int, epoch-micros Long,
-    // java BigDecimal) and whose MDT wrappers decode to the same
-    // representations. Strings stay excluded: chunk statistics may be
-    // writer-TRUNCATED renderings, fine for pruning, wrong as answers.
-    def minMaxServable(dt: org.apache.spark.sql.types.DataType): Boolean = {
-      import org.apache.spark.sql.types._
-      dt match {
-        case IntegerType | LongType | FloatType | DoubleType => true
-        case DateType | TimestampType | TimestampNTZType => true
-        case _: DecimalType => true
-        case _ => false
-      }
-    }
+    // MIN/MAX servable: chunk-statistics types (GraftFooterAggScan
+    // .statsMinMaxServable — strings excluded, chunk stats may be
+    // writer-truncated), OR a partition field whose parsed path values
+    // serve as the answers (partitionValueServable — covers DROPPED
+    // partition columns, which have no chunks at all and would
+    // otherwise misread as "provably all null", and string partition
+    // columns, whose path rendering IS the exact value). tryPlan
+    // applies the sentinel/parse gates.
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
-          hudi.tableSchema.fields.find(_.name == nr.fieldNames()(0))
-            .filter(f => minMaxServable(f.dataType))
-            // P6: dropped partition columns exist only in partition paths —
-            // the parquet files carry no chunks for them, which the footer
-            // path would misread as "provably all null". Fall back to a
-            // normal scan (re-injection happens there).
-            .filterNot(f => hudi.droppedPartitionFields.contains(f.name))
+          hudi.tableSchema.fields.find(_.name == nr.fieldNames()(0)).filter { f =>
+            val pv = GraftFooterAggScan.partitionValueServable(hudi, f)
+            if (hudi.droppedPartitionFields.contains(f.name)) pv
+            else GraftFooterAggScan.statsMinMaxServable(f.dataType) || pv
+          }
         case _ => None
       }
     // COUNT(col) reads no values, so ANY type qualifies — but a dropped
-    // partition column's nulls can't be proven from chunks (P6, same
-    // fallback as MIN/MAX)
+    // partition column's nulls can't be proven from chunks (P6); it
+    // serves from path values instead when eligible (sentinel-free ⇒
+    // zero nulls), else falls back to a normal scan
     def countFieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
         hudi.tableSchema.fields.find(_.name == nr.fieldNames()(0))
-          .filterNot(f => hudi.droppedPartitionFields.contains(f.name))
+          .filterNot(f => hudi.droppedPartitionFields.contains(f.name) &&
+            !GraftFooterAggScan.partitionValueServable(hudi, f))
       case _ => None
     }
     val specs = agg.aggregateExpressions().toSeq.map {
@@ -356,6 +353,45 @@ class GraftFooterAggScan(
 }
 
 object GraftFooterAggScan {
+  /** MIN/MAX types the chunk-statistics tiers (MDT column_stats /
+    * parquet footers) can answer EXACTLY (strings excluded — chunk
+    * stats may be writer-truncated renderings, fine for pruning, wrong
+    * as answers). Shared with [[GraftScanBuilder]] so acceptance and
+    * planning can't drift.
+    */
+  private[sources] def statsMinMaxServable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType | LongType | FloatType | DoubleType => true
+      case DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Partition fields whose PARSED PATH VALUES can stand in for column
+    * values in aggregate answers — the P6 composition: a DROPPED
+    * partition column has no chunks at all (today a full scan), and a
+    * string partition column's chunk stats can be writer-truncated, but
+    * the path rendering is the exact value by construction (the same
+    * trust the grouped pushdown places in parsed paths). Requires no
+    * timestamp keygen (those paths are FORMATTED renderings, not
+    * values) and a type whose parse representation maps losslessly to
+    * the catalyst internal form (string/int/long/date/double — the
+    * pruner's own cast set; short/byte/float parse to a WIDER box and
+    * are excluded).
+    */
+  private[sources] def partitionValueServable(
+      hudi: HudiTable, f: StructField): Boolean = {
+    import org.apache.spark.sql.types._
+    hudi.config.partitionFields.contains(f.name) &&
+      graft.fs.TimestampKeyGen.fromConfig(hudi.config).isEmpty &&
+      (f.dataType match {
+        case StringType | IntegerType | LongType | DateType | DoubleType => true
+        case _ => false
+      })
+  }
+
   sealed trait AggSpec
   case object CountStarSpec extends AggSpec
   final case class MinSpec(field: StructField) extends AggSpec
@@ -420,15 +456,72 @@ object GraftFooterAggScan {
         .map(ts => hudi.fsView.slicesAsOf(ts, pruner)).getOrElse(Vector.empty)
         .map(sl => if (readOptimized) sl.withoutLogs else sl)
       if (slices.exists(_.hasLogFiles)) return None
-      val needed = specs.collect {
-        case MinSpec(f) => f.name
-        case MaxSpec(f) => f.name
-      }.toSet
       val countCols = specs.collect { case CountSpec(f) => f.name }.toSet
       val fieldType = specs.collect {
         case MinSpec(f) => f.name -> f.dataType
         case MaxSpec(f) => f.name -> f.dataType
       }.toMap
+
+      // Partition-valued serving (P6 composition): MIN/MAX of fields the
+      // chunk tiers cannot answer (dropped partition columns, string
+      // partition columns) and COUNT of dropped partition columns come
+      // from PARSED PATH VALUES. Gates: every planned path parses with
+      // the field present, and NO planned path is a null-partition
+      // sentinel for it — a sentinel stands for NULL or empty-string
+      // (indistinguishable without reading), so its presence rejects the
+      // whole pushdown and the scan stays authoritative. Sentinel-free,
+      // the path value IS each row's value: MIN/MAX fold over per-file
+      // (v, v) stats gated on PROVEN rows > 0 (an empty file's partition
+      // value is not a value any row has), and COUNT sees zero nulls.
+      val dropped = hudi.droppedPartitionFields.toSet
+      def pvServable(name: String): Boolean =
+        hudi.tableSchema.fields.find(_.name == name)
+          .exists(f => partitionValueServable(hudi, f))
+      val partitionValuedMinMax: Set[String] = specs.collect {
+        case MinSpec(f) => f
+        case MaxSpec(f) => f
+      }.filter(f => pvServable(f.name) &&
+        (dropped(f.name) || !statsMinMaxServable(f.dataType))).map(_.name).toSet
+      val partitionValuedCount: Set[String] =
+        countCols.filter(c => dropped(c) && pvServable(c))
+      // stats tiers only ever see the chunk-served columns
+      val needed = specs.collect {
+        case MinSpec(f) => f.name
+        case MaxSpec(f) => f.name
+      }.toSet -- partitionValuedMinMax
+      val statCountCols = countCols -- partitionValuedCount
+      val pvFields = partitionValuedMinMax ++ partitionValuedCount
+      val partVals: Map[String, Map[String, Any]] =
+        if (pvFields.isEmpty) Map.empty
+        else slices.map(_.partitionPath).distinct.map { p =>
+          val vals = pruner.parseSegments(p).getOrElse(return None)
+          pvFields.foreach { f =>
+            val v = vals.getOrElse(f, return None)
+            if (GraftScanBuilder.isPartitionNullSentinel(v)) return None
+          }
+          p -> vals
+        }.toMap
+      // parse representations → catalyst-internal, order-preserving
+      // (UTF8String's binary comparison IS Spark's string order;
+      // epoch-day Int IS DateType's internal form)
+      def pathInternal(v: Any): Any = v match {
+        case d: java.time.LocalDate => java.lang.Integer.valueOf(d.toEpochDay.toInt)
+        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case other => other
+      }
+      def injectPartitionFacts(facts: Seq[FileFacts], paths: Seq[String]): Seq[FileFacts] =
+        if (pvFields.isEmpty) facts
+        else facts.zip(paths).map { case (ff, p) =>
+          val vals = partVals(p)
+          val addStats: Map[String, (Any, Any)] =
+            if (ff.rowCount > 0)
+              partitionValuedMinMax.iterator.map { f =>
+                val v = pathInternal(vals(f)); f -> (v, v)
+              }.toMap
+            else Map.empty
+          ff.copy(stats = ff.stats ++ addStats,
+            nulls = ff.nulls ++ partitionValuedCount.iterator.map(_ -> 0L))
+        }
 
       // Index-only fast tier: serve EVERY requested aggregate from the
       // ONE MDT column_stats read — zero footer fetches. COUNT(*) sums
@@ -461,17 +554,20 @@ object GraftFooterAggScan {
           files.forall(bf => tight.get(bf.fileName).exists(m =>
             needed.forall(c => m.get(c).exists { case (mn, mx) =>
               typed(mn, fieldType(c)) && typed(mx, fieldType(c)) })))
-        val needRows = specs.contains(CountStarSpec) || countCols.nonEmpty
+        // partition-valued MIN/MAX needs PROVEN per-file row counts too
+        // (the rows>0 gate on each file's injected stat)
+        val needRows = specs.contains(CountStarSpec) || countCols.nonEmpty ||
+          partitionValuedMinMax.nonEmpty
         val countCovered = !needRows || files.forall(bf => counts.contains(bf.fileName))
         val idxNulls = hudi.columnStatsNullCounts
-        val nullsCovered = countCols.isEmpty || files.forall(bf =>
-          idxNulls.get(bf.fileName).exists(m => countCols.forall(m.contains)))
+        val nullsCovered = statCountCols.isEmpty || files.forall(bf =>
+          idxNulls.get(bf.fileName).exists(m => statCountCols.forall(m.contains)))
         if (minMaxCovered && countCovered && nullsCovered)
           Some(files.map(bf =>
             FileFacts(counts.getOrElse(bf.fileName, 0L),
               tight.getOrElse(bf.fileName, Map.empty).view.filterKeys(needed).toMap,
               Set.empty,
-              idxNulls.getOrElse(bf.fileName, Map.empty).view.filterKeys(countCols).toMap)))
+              idxNulls.getOrElse(bf.fileName, Map.empty).view.filterKeys(statCountCols).toMap)))
         else None
       }
 
@@ -480,7 +576,7 @@ object GraftFooterAggScan {
       def soundFooterFacts(read: Seq[FileFacts]): Option[Seq[FileFacts]] =
         if (needed.exists(c =>
             read.exists(f => !f.stats.contains(c) && !f.allNull.contains(c))) ||
-            countCols.exists(c => read.exists(f => !f.nulls.contains(c)))) None
+            statCountCols.exists(c => read.exists(f => !f.nulls.contains(c)))) None
         else Some(read)
 
       // MIN/MAX values fold in the normalized stat representation and
@@ -505,15 +601,16 @@ object GraftFooterAggScan {
         case MaxSpec(f) => toInternal(fold(fs, f.name, min = false), f.dataType)
       }
 
-      /** Aggregate values over one file set, index tier first. None on
-        * any coverage gap.
+      /** Aggregate values over one (partitionPath, baseFile) set, index
+        * tier first; partition-valued facts injected after either tier.
+        * None on any coverage gap.
         */
-      def aggValues(files: Vector[graft.fs.BaseFile]): Option[Seq[Any]] =
-        indexFacts(files)
-          .orElse(soundFooterFacts(graft.util.Parallel.map(files, 16) { bf =>
-            readFacts(bf.path, hudi.hadoopConf, needed, countCols)
+      def aggValues(files: Vector[(String, graft.fs.BaseFile)]): Option[Seq[Any]] =
+        indexFacts(files.map(_._2))
+          .orElse(soundFooterFacts(graft.util.Parallel.map(files.map(_._2), 16) { bf =>
+            readFacts(bf.path, hudi.hadoopConf, needed, statCountCols)
           }))
-          .map(foldValues)
+          .map(facts => foldValues(injectPartitionFacts(facts, files.map(_._1))))
 
       val aggFields = specs.zipWithIndex.map {
         case (CountStarSpec, i) =>
@@ -525,9 +622,10 @@ object GraftFooterAggScan {
       }
 
       if (groupBy.isEmpty) {
-        aggValues(slices.flatMap(_.baseFile)).map(values =>
-          new GraftFooterAggScan(StructType(aggFields),
-            Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))))
+        aggValues(slices.flatMap(sl => sl.baseFile.map(sl.partitionPath -> _)))
+          .map(values =>
+            new GraftFooterAggScan(StructType(aggFields),
+              Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))))
       } else {
         // one row per distinct tuple of the grouped partition fields'
         // PARSED path values (grouping on a subset of a multi-field
@@ -562,24 +660,24 @@ object GraftFooterAggScan {
         // ONE parallel sweep across every uncovered group — per-group
         // sweeps would serialize object-store round-trips by partition
         // count at pushdown time
-        val groups: Seq[(Seq[Any], Vector[graft.fs.BaseFile])] =
+        val groups: Seq[(Seq[Any], Vector[(String, graft.fs.BaseFile)])] =
           parsed.groupBy(_._1).toSeq.map { case (k, g) =>
-            (k, g.map(_._2).flatMap(_.baseFile))
+            (k, g.map(_._2).flatMap(sl => sl.baseFile.map(sl.partitionPath -> _)))
           }
         val idxByKey: Map[Seq[Any], Option[Seq[FileFacts]]] =
-          groups.map { case (k, fs) => k -> indexFacts(fs) }.toMap
+          groups.map { case (k, fs) => k -> indexFacts(fs.map(_._2)) }.toMap
         val uncovered = groups.filter { case (k, _) => idxByKey(k).isEmpty }
         val footerByPath: Map[String, FileFacts] = {
-          val files = uncovered.flatMap(_._2)
+          val files = uncovered.flatMap(_._2.map(_._2))
           graft.util.Parallel.map(files, 16) { bf =>
-            bf.path -> readFacts(bf.path, hudi.hadoopConf, needed, countCols)
+            bf.path -> readFacts(bf.path, hudi.hadoopConf, needed, statCountCols)
           }.toMap
         }
         val rows = groups.map { case (key, fs) =>
           val facts = idxByKey(key)
-            .orElse(soundFooterFacts(fs.map(bf => footerByPath(bf.path))))
+            .orElse(soundFooterFacts(fs.map { case (_, bf) => footerByPath(bf.path) }))
             .getOrElse(return None)
-          val values = foldValues(facts)
+          val values = foldValues(injectPartitionFacts(facts, fs.map(_._1)))
           val groupInternal = key.zip(converters).map { case (v, conv) =>
             // partition paths encode dates as LocalDate, which the
             // converter for DateType accepts directly

@@ -570,6 +570,55 @@ class DataSourceV2Spec extends SparkTestBase {
       "index-covered COUNT(col) must not open footers")
   }
 
+  test("partition-valued aggregates: dropped and string partition columns push, sentinels reject") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    // DROPPED partition column (P6): files carry no chunks — COUNT/MIN/
+    // MAX come from parsed path values (previously a full scan)
+    val dp = graft.fixtures.HudiFixtureBuilder.droppedPath(sfDir)
+    val agg = spark.read.format("hudi-graft").load(dp)
+      .agg(count(col("n_regionkey")).as("n"), min(col("n_regionkey")).as("mn"),
+        max(col("n_regionkey")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"dropped-column aggregates not metadata-served: ${agg.queryExecution.executedPlan}")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val exp = nation.agg(count(col("n_regionkey")), min(col("n_regionkey")),
+      max(col("n_regionkey"))).head
+    val got = agg.collect().head
+    assert(got.getLong(0) == exp.getLong(0) &&
+      got.getInt(1).toLong == exp.getAs[Number](1).longValue &&
+      got.getInt(2).toLong == exp.getAs[Number](2).longValue)
+
+    // STRING partition column: chunk stats never serve strings; an exact
+    // r_name filter prunes the NULL-sentinel partition away, leaving a
+    // sentinel-free plan that pushes from path values
+    val sp = graft.fixtures.HudiFixtureBuilder.strpartPath(sfDir)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val nm = region.agg(min(col("r_name"))).head.getString(0)
+    val filtered = spark.read.format("hudi-graft").load(sp)
+      .filter(col("r_name") === nm)
+      .agg(count(col("*")).as("n"), min(col("r_name")).as("mn"),
+        max(col("r_name")).as("mx"))
+    assert(filtered.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"filtered string-partition aggregates must push: ${filtered.queryExecution.executedPlan}")
+    val fr = filtered.collect().head
+    assert(fr.getLong(0) == region.filter(col("r_name") === nm).count() &&
+      fr.getString(1) == nm && fr.getString(2) == nm)
+
+    // unfiltered: the sentinel partition is in the plan — its rows hold
+    // NULL (or empty) r_name, indistinguishable without reading, so the
+    // pushdown REJECTS and the real scan answers (nulls skipped)
+    val uf = spark.read.format("hudi-graft").load(sp)
+      .agg(min(col("r_name")).as("mn"), max(col("r_name")).as("mx"),
+        count(col("r_name")).as("n"))
+    assert(!uf.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"sentinel-bearing plan must not push: ${uf.queryExecution.executedPlan}")
+    val ur = uf.collect().head
+    assert(ur.getString(0) == nm &&
+      ur.getString(1) == region.agg(max(col("r_name"))).head.getString(0) &&
+      ur.getLong(2) == region.count())
+  }
+
   test("exact partition-equality filters compose with metadata aggregates") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count, min}
@@ -858,19 +907,20 @@ class DataSourceV2Spec extends SparkTestBase {
     }
   }
 
-  test("MIN/MAX on a dropped partition column falls back to a real scan") {
+  test("MIN/MAX on a dropped partition column serves from paths, never from footers") {
     // P6: with drop.partition.columns=true the parquet files carry no
-    // chunks for the partition column — a footer pushdown would misread
+    // chunks for the partition column — a FOOTER pushdown would misread
     // that as "all null" and answer NULL. The value lives in partition
-    // paths, so the plan must scan (re-injection) and return the true
-    // extremes.
+    // paths, and the partition-valued tier serves the true extremes
+    // from there (r10); the footer-misread answer (NULL) must never
+    // appear either way.
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, max, min}
     val p = graft.fixtures.HudiFixtureBuilder.droppedPath(sfDir)
     val df = spark.read.format("hudi-graft").load(p)
     val agg = df.agg(min(col("n_regionkey")).as("mn"), max(col("n_regionkey")).as("mx"))
-    assert(!agg.queryExecution.executedPlan.toString().contains("LocalTableScan"),
-      "dropped partition column must not be served from footers")
+    assert(agg.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      "dropped partition column must serve from parsed path values")
     val got = agg.head
     val exp = df.filter(col("n_regionkey") >= Int.MinValue)
       .agg(min(col("n_regionkey")), max(col("n_regionkey"))).head

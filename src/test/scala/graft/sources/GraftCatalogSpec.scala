@@ -127,9 +127,22 @@ class GraftCatalogSpec extends SparkTestBase {
   test("SHOW PROCEDURES lists the catalog's procedures") {
     val names = spark.sql("SHOW PROCEDURES IN hudi_graft").collect()
       .map(_.toString).mkString(",")
-    for (p <- Seq("show_commits", "show_file_slices", "show_indexes",
+    for (p <- Seq("show_commits", "show_file_slices", "show_partitions", "show_indexes",
         "show_column_stats", "show_partition_stats", "show_bloom_filters"))
       assert(names.contains(p), s"$p missing from $names")
+  }
+
+  test("CALL show_partitions aggregates the snapshot by partition") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val part = HudiFixtureBuilder.partPath(sfDir)
+    val rows = spark.sql(s"CALL hudi_graft.show_partitions(table => '$part')").collect()
+    val regions = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_regionkey").distinct().count()
+    assert(rows.length == regions)
+    assert(rows.forall(r => r.getString(0).startsWith("n_regionkey=") &&
+      r.getInt(1) == 1 && r.getInt(2) == 0 && r.getLong(3) > 0))
+    // sorted by partition path — deterministic ops output
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
   }
 
   test("hudi_table_changes TVF equals the option-based incremental read") {
