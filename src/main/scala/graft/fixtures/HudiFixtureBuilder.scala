@@ -49,6 +49,7 @@ object HudiFixtureBuilder {
   def morLogOnlyPath(sfDir: String): String = s"${root(sfDir)}/mor_log_only"
   def partPath(sfDir: String): String = s"${root(sfDir)}/cow_part_nation"
   def strpartPath(sfDir: String): String = s"${root(sfDir)}/cow_strpart_region"
+  def morInsertOnlyPath(sfDir: String): String = s"${root(sfDir)}/mor_insert_only"
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
   def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
   def widenedPath(sfDir: String): String = s"${root(sfDir)}/cow_widened_nation"
@@ -71,7 +72,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v19")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v20")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -146,6 +147,7 @@ object HudiFixtureBuilder {
           buildCowSecondaryIndexOrders(spark, sfDir); own()
           buildCowPartNation(spark, sfDir); own()
           buildCowStrpartRegion(spark, sfDir); own()
+          buildMorInsertOnly(spark, sfDir); own()
           buildCowDroppedNation(spark, sfDir); own()
           buildCowEvolvedNation(spark, sfDir); own()
           buildCowWidenedNation(spark, sfDir); own()
@@ -1554,6 +1556,44 @@ object HudiFixtureBuilder {
     }.mkString("{", ",", "}")
     writeText(fs, new Path(base, s".hoodie/$T1.commit"),
       s"""{"partitionToWriteStats":$stats,"compacted":false}""")
+  }
+
+  // --- MOR, insert-only: one deltacommit of base files, ZERO log files --
+  // The append-pipeline shape: table type MERGE_ON_READ but every slice
+  // is base-only, so metadata aggregates push exactly as on COW — the
+  // pushdown's gate is per-PLAN log-freedom, not table type
+  // (`hudi_mor_insert_only_agg`).
+  private def buildMorInsertOnly(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(morInsertOnlyPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=mor_insert_only
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=r_regionkey
+        |hoodie.table.precombine.field=r_regionkey
+        |hoodie.datasource.write.hive_style_partitioning=false
+        |hoodie.datasource.write.partitionpath.urlencode=false
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val files = (0 until 2).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T1.parquet"
+      val df = src.filter(pmod(col("r_regionkey"), lit(2)) === g).withColumn("__commit", lit(T1))
+      val metaDf = df.select(
+        col("__commit").as("_hoodie_commit_time"),
+        concat(col("__commit"), lit("_0_"), col("r_regionkey")).as("_hoodie_commit_seqno"),
+        col("r_regionkey").cast(StringType).as("_hoodie_record_key"),
+        lit("").as("_hoodie_partition_path"),
+        lit(name).as("_hoodie_file_name"),
+        col("r_regionkey"), col("r_name"))
+      writeBaseFile(spark, metaDf, base, name)
+      ("", fileId(g), name)
+    }
+    writeCommit(fs, base, T1, "deltacommit", files,
+      Some(SparkToAvro.toAvroSchema(src.schema, "region_record").toString))
   }
 
   // --- COW over region, hive-style, STRING partition column + a null row -

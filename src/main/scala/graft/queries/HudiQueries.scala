@@ -780,6 +780,24 @@ object HudiQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(n_nationkey) AS mn,
         |  MAX(n_nationkey) AS mx FROM nation WHERE n_regionkey = 2""".stripMargin),
 
+    // MOR aggregates push exactly when the PLANNED slices are log-free:
+    // the insert-only fixture (table type MERGE_ON_READ, one deltacommit
+    // of base files, zero logs — the append-pipeline shape) serves
+    // COUNT/MIN/MAX from metadata like COW; a log-carrying MOR plan must
+    // fall back (plan shapes asserted in DataSourceV2Spec; v6 log files
+    // attach to the base instant's slice, so even an as-of plan cannot
+    // prove log-freedom from names alone and stays conservative).
+    "hudi_mor_insert_only_agg" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft")
+          .load(HudiFixtureBuilder.morInsertOnlyPath(d))
+          .agg(count(col("*")).as("n"), min(col("r_regionkey")).as("mn"),
+            max(col("r_regionkey")).as("mx"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(r_regionkey) AS mn,
+        |  MAX(r_regionkey) AS mx FROM region""".stripMargin),
+
     // Partition-valued aggregates over a DROPPED partition column (P6
     // composition): the files carry NO chunks for n_regionkey, so chunk
     // tiers can't serve it — COUNT/MIN/MAX come from the PARSED

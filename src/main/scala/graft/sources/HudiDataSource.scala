@@ -107,8 +107,10 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
 
   /** Metadata-only `COUNT(*)` / `MIN(col)` / `MAX(col)`, optionally
     * GROUPed BY partition columns: when the plan is provably
-    * base-file-only (COW, or MOR in read-optimized mode — log files
-    * change the answers) with NO filters or limit, the aggregates are
+    * base-file-only (COW; MOR read-optimized; or a MOR plan none of
+    * whose slices carry logs — insert-only and fully-compacted tables,
+    * and as-of instants predating any log — log files change the
+    * answers) with no unconsumed filters or limit, the aggregates are
     * served entirely from MDT-index / parquet-footer metadata — zero
     * data read, the ops queries every table gets hit with at 100 TB.
     * Snapshot and time-travel only (incremental applies a commit-range
@@ -143,9 +145,13 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       case sources.IsNotNull(a) => exactFields.contains(a)
       case _ => false
     })
+    // no MOR-wide reject here: tryPlan verifies the PLANNED slices are
+    // log-free, which also admits insert-only / fully-compacted MOR
+    // tables and as-of instants predating any log — the common append
+    // pipelines that previously scanned for every COUNT(*)
     if (!filtersConsumed || limit.nonEmpty ||
-        Option(options.get("query.type")).exists(_.equalsIgnoreCase("incremental")) ||
-        (hudi.isMor && !options.getBoolean("read.optimized", false))) return None
+        Option(options.get("query.type")).exists(_.equalsIgnoreCase("incremental")))
+      return None
     val aggPartitionFilters: Seq[PartitionFilter] =
       pushed.toSeq.filter(isExactPartitionEquality).flatMap(toSimpleFilter)
     // GROUP BY is served ONLY when every grouping expression is a bare

@@ -570,6 +570,35 @@ class DataSourceV2Spec extends SparkTestBase {
       "index-covered COUNT(col) must not open footers")
   }
 
+  test("MOR aggregates push exactly when the planned slices are log-free") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    // insert-only MOR (base files, zero logs): pushes like COW
+    val io = graft.fixtures.HudiFixtureBuilder.morInsertOnlyPath(sfDir)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val agg = spark.read.format("hudi-graft").load(io)
+      .agg(count(col("*")).as("n"), min(col("r_regionkey")).as("mn"),
+        max(col("r_regionkey")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"log-free MOR plan must serve aggregates from metadata: ${agg.queryExecution.executedPlan}")
+    val r = agg.collect().head
+    val exp = region.agg(count(col("*")), min(col("r_regionkey")), max(col("r_regionkey"))).head
+    assert(r.getLong(0) == exp.getLong(0) && r.getInt(1) == exp.getInt(1) &&
+      r.getInt(2) == exp.getInt(2))
+    // log-carrying MOR (mor_orders latest): falls back — a base-only
+    // count here would claim 1500 where the merged answer is lower (the
+    // fixture's T3 delete block), so the oracle-checked merge path must
+    // answer, not metadata
+    val mor = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
+    val latest = spark.read.format("hudi-graft").load(mor).agg(count(col("*")).as("n"))
+    assert(!latest.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"log-carrying MOR plan must not push aggregates: ${latest.queryExecution.executedPlan}")
+    val merged = latest.collect().head.getLong(0)
+    val baseOnly = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(merged < baseOnly, s"fixture deletes must make merged ($merged) < base ($baseOnly)")
+    assert(merged == spark.read.format("hudi-graft").load(mor).count())
+  }
+
   test("partition-valued aggregates: dropped and string partition columns push, sentinels reject") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count, max, min}
