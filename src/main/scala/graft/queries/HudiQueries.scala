@@ -972,6 +972,23 @@ object HudiQueries {
            |ORDER BY file_id""".stripMargin
       }),
 
+    // SHOW PARTITIONS-shaped ops surface at oracle level: the procedure
+    // aggregates the planned snapshot by partition (hive-style int
+    // partitions parse to `n_regionkey=<r>` dirs, one file group each);
+    // the oracle derives the same relation from the nation table.
+    "hudi_proc_partitions" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.conf.set("spark.sql.catalog.hudi_graft", classOf[graft.sources.GraftCatalog].getName)
+        s.sql(s"CALL hudi_graft.show_partitions(table => '${HudiFixtureBuilder.partPath(d)}')")
+          .select("partition_path", "num_file_groups", "num_log_files")
+          .orderBy("partition_path")
+      },
+      """SELECT CONCAT('n_regionkey=', n_regionkey) AS partition_path,
+        |  1 AS num_file_groups, 0 AS num_log_files
+        |FROM (SELECT DISTINCT n_regionkey FROM nation)
+        |ORDER BY partition_path""".stripMargin),
+
     "hudi_timeline" -> QueryDef(
       (s, d) => {
         HudiFixtureBuilder.ensure(s, d)

@@ -58,7 +58,8 @@ class GraftTable(
     declaredSchema: StructType,
     prebuilt: Option[HudiTable] = None,
     pinnedOptions: Map[String, String] = Map.empty
-) extends Table with SupportsRead {
+) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   private lazy val hudi = prebuilt.getOrElse(HudiTable(SparkSession.active, path))
 
   override def name(): String = s"hudi-graft.`$path`"
@@ -66,6 +67,74 @@ class GraftTable(
     if (declaredSchema != null && declaredSchema.nonEmpty) declaredSchema else hudi.tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  /** Identity transforms over the table's partition fields — the honest
+    * metadata (Hudi's layout is value-per-directory) that lets Spark
+    * resolve `SHOW PARTITIONS` against this table.
+    */
+  override def partitioning(): Array[Transform] =
+    hudi.config.partitionFields.map(f => Expressions.identity(f)).toArray
+
+  /** `SHOW PARTITIONS` support (read-only: every mutator refuses).
+    * Identifiers are the PARSED partition-path values in partition-field
+    * order; paths that don't parse (foreign layouts) are omitted rather
+    * than guessed, and null-partition sentinels surface as NULLs — the
+    * same reading the P6 re-injection gives the rows themselves.
+    */
+  override def partitionSchema(): StructType =
+    StructType(hudi.config.partitionFields.flatMap(f => schema().fields.find(_.name == f)))
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val pf = partitionSchema()
+    require(names.length == ident.numFields,
+      s"prefix names (${names.length}) and values (${ident.numFields}) differ")
+    val prefixIdx = names.map(n => pf.fieldIndex(n))
+    val converters = pf.fields.map(f =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
+    val pruner = hudi.prunerFor(Nil)
+    val rows = hudi.fsView.partitionPaths.sorted.flatMap { p =>
+      pruner.parseSegmentsLenient(p).flatMap { vals =>
+        val cells = pf.fields.zip(converters).map { case (f, conv) =>
+          vals.get(f.name) match {
+            case Some(v) if !GraftScanBuilder.isPartitionNullSentinel(v) =>
+              conv(v match {
+                case d: java.time.LocalDate => d
+                case other => other
+              })
+            case _ => null // sentinel (or absent) = the NULL partition
+          }
+        }
+        if (cells.length == pf.length)
+          Some(org.apache.spark.sql.catalyst.InternalRow.fromSeq(cells.toIndexedSeq))
+        else None
+      }
+    }
+    val pfTypes = pf.fields.map(_.dataType)
+    rows.filter { r =>
+      prefixIdx.indices.forall { i =>
+        val col = prefixIdx(i)
+        val a = if (r.isNullAt(col)) null else r.get(col, pfTypes(col))
+        val b = if (ident.isNullAt(i)) null else ident.get(i, pfTypes(col))
+        a == b
+      }
+    }.toArray
+  }
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("hudi-graft tables are read-only")
+  override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException("hudi-graft tables are read-only")
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("hudi-graft tables are read-only")
+  override def loadPartitionMetadata(ident: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] = util.Collections.emptyMap()
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // pinned options come from catalog-level time travel (FOR TIMESTAMP /

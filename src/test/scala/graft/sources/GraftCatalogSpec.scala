@@ -132,6 +132,31 @@ class GraftCatalogSpec extends SparkTestBase {
       assert(names.contains(p), s"$p missing from $names")
   }
 
+  test("SHOW PARTITIONS resolves against the table's parsed partition values") {
+    cowPath // registers the hudi_graft catalog
+    val part = HudiFixtureBuilder.partPath(sfDir)
+    val rows = spark.sql(s"SHOW PARTITIONS hudi_graft.`$part`")
+      .collect().map(_.getString(0)).sorted
+    val exp = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_regionkey").distinct()
+      .collect().map(r => s"n_regionkey=${r.getInt(0)}").sorted
+    assert(rows.toSeq == exp.toSeq, s"got ${rows.mkString(",")}")
+    // partition-spec filtering goes through listPartitionIdentifiers'
+    // prefix match
+    val one = spark.sql(
+      s"SHOW PARTITIONS hudi_graft.`$part` PARTITION (n_regionkey = 2)").collect()
+    assert(one.length == 1 && one.head.getString(0) == "n_regionkey=2")
+    // string-partitioned table incl. the NULL-sentinel partition — it
+    // surfaces as the NULL partition value (same reading the P6
+    // re-injection gives the rows), rendered `r_name=null`
+    val sp = HudiFixtureBuilder.strpartPath(sfDir)
+    val spRows = spark.sql(s"SHOW PARTITIONS hudi_graft.`$sp`")
+      .collect().map(_.getString(0))
+    val regions = spark.read.parquet(s"$sfDir/region.parquet").count()
+    assert(spRows.length == regions + 1, s"got ${spRows.mkString(",")}")
+    assert(spRows.count(_ == "r_name=null") == 1, s"got ${spRows.mkString("|")}")
+  }
+
   test("CALL show_partitions aggregates the snapshot by partition") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val part = HudiFixtureBuilder.partPath(sfDir)
