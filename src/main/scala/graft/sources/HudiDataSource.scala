@@ -70,10 +70,14 @@ class GraftTable(
 
   /** Identity transforms over the table's partition fields — the honest
     * metadata (Hudi's layout is value-per-directory) that lets Spark
-    * resolve `SHOW PARTITIONS` against this table.
+    * resolve `SHOW PARTITIONS` against this table. Timestamp-keygen
+    * tables report NO partitioning: their paths are a FORMATTED
+    * rendering of the source column (date buckets), so identity would
+    * be a lie and their path segments don't parse as field values.
     */
   override def partitioning(): Array[Transform] =
-    hudi.config.partitionFields.map(f => Expressions.identity(f)).toArray
+    if (graft.fs.TimestampKeyGen.fromConfig(hudi.config).isDefined) Array.empty
+    else hudi.config.partitionFields.map(f => Expressions.identity(f)).toArray
 
   /** `SHOW PARTITIONS` support (read-only: every mutator refuses).
     * Identifiers are the PARSED partition-path values in partition-field
@@ -82,7 +86,8 @@ class GraftTable(
     * same reading the P6 re-injection gives the rows themselves.
     */
   override def partitionSchema(): StructType =
-    StructType(hudi.config.partitionFields.flatMap(f => schema().fields.find(_.name == f)))
+    if (partitioning().isEmpty) StructType(Nil)
+    else StructType(hudi.config.partitionFields.flatMap(f => schema().fields.find(_.name == f)))
 
   override def listPartitionIdentifiers(
       names: Array[String],

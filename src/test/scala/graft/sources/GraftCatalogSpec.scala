@@ -157,6 +157,21 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spRows.count(_ == "r_name=null") == 1, s"got ${spRows.mkString("|")}")
   }
 
+  test("SHOW PARTITIONS refuses timestamp-keygen tables (paths are renderings)") {
+    // a timebasedkeygen path segment is a FORMATTED date bucket of the
+    // source column, not a field value — reporting identity partitioning
+    // would surface `yyyy/MM/dd/HH` strings as column values
+    cowPath // registers the hudi_graft catalog
+    val p = graft.table.Fixtures.table(
+      "sample_table/cow/v9_timebasedkeygen_epochmillis.zip",
+      "v9_timebasedkeygen_epochmillis", "v9_tbk_showpart")
+    assume(p.isDefined)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SHOW PARTITIONS hudi_graft.`${p.get}`").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("partition"), ex.getMessage)
+  }
+
   test("CALL show_partitions aggregates the snapshot by partition") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val part = HudiFixtureBuilder.partPath(sfDir)
