@@ -156,6 +156,46 @@ object EmbedOps {
        |FROM proj ORDER BY vec_id, j""".stripMargin
   }
 
+  /** Covariance matrix of the embedding dimensions — the PCA / whitening
+    * precursor: for every dim pair i ≤ j (upper triangle incl. the
+    * variance diagonal), cov = (Σqiqj − ΣqiΣqj/n)/n over the quantized
+    * vectors. The moment sums are exact BIGINT (order-independent), the
+    * final combination runs in doubles with an IDENTICAL expression in
+    * both engines — bit-identical output, and no BIGINT overflow from the
+    * Σqi·Σqj product at large n.
+    *
+    * Scale shape: pairs are expanded WITHIN each row (lateral explode /
+    * constant dim grid — no self-join, no corpus shuffle), and the
+    * (i, j) hash aggregate combines map-side, so the one shuffle carries
+    * ≤ d(d+1)/2 = 2080 rows per task regardless of corpus size. The
+    * per-row O(d²) work is inherent to covariance itself.
+    */
+  private def covarianceSql(q: String, spark: Boolean): String = {
+    val pairs =
+      if (spark)
+        """SELECT a.i AS i, b.j AS j, a.xi AS qi, b.xj AS qj
+          |  FROM qe
+          |  LATERAL VIEW posexplode(q) a AS i, xi
+          |  LATERAL VIEW posexplode(q) b AS j, xj
+          |  WHERE a.i <= b.j""".stripMargin
+      else
+        """SELECT t.i AS i, u.j AS j, q[t.i + 1] AS qi, q[u.j + 1] AS qj
+          |  FROM qe, UNNEST(range(0, 64)) t(i), UNNEST(range(0, 64)) u(j)
+          |  WHERE t.i <= u.j""".stripMargin
+    s"""WITH qe AS ($q),
+       |pairs AS (
+       |$pairs),
+       |mom AS (
+       |  SELECT i, j, COUNT(*) AS n,
+       |    CAST(SUM(qi) AS BIGINT) AS si,
+       |    CAST(SUM(qj) AS BIGINT) AS sj,
+       |    CAST(SUM(qi * qj) AS BIGINT) AS sij
+       |  FROM pairs GROUP BY i, j)
+       |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+       |  (CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / n) / n AS cov_q
+       |FROM mom ORDER BY i, j""".stripMargin
+  }
+
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
   }
@@ -180,6 +220,10 @@ object EmbedOps {
     "embed_rand_proj" -> QueryDef(
       (s, d) => sq(s, d, randProjSql(sparkQ, spark = true)),
       randProjSql(duckQ, spark = false)
+    ),
+    "embed_covariance" -> QueryDef(
+      (s, d) => sq(s, d, covarianceSql(sparkQ, spark = true)),
+      covarianceSql(duckQ, spark = false)
     )
   )
 

@@ -222,4 +222,20 @@ class PlanShapeSpec extends SparkTestBase {
       n.toString().contains("partial_")),
       "exact dedup must partial-aggregate before the shuffle")
   }
+
+  test("covariance expands dim pairs within-row and combines map-side") {
+    val q = df("embed_covariance")
+    val nodes = allNodes(q)
+    // pairs come from lateral explodes of the SAME row — a self-join on
+    // vec_id would shuffle the corpus twice for data each row already has
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec] || n.isInstanceOf[BroadcastHashJoinExec]),
+      s"covariance must not join: ${nodes.map(_.nodeName).mkString(",")}")
+    // the (i, j) aggregate must partial-combine: the one shuffle then
+    // carries <= 2080 moment rows per task regardless of corpus size
+    assert(nodes.exists(n => n.nodeName.contains("HashAggregate") &&
+      n.toString().contains("partial_")),
+      "covariance moments must partial-aggregate before the shuffle")
+    assert(q.count() == 64L * 65 / 2)
+  }
 }
