@@ -170,7 +170,8 @@ object EmbedOps {
     * ≤ d(d+1)/2 = 2080 rows per task regardless of corpus size. The
     * per-row O(d²) work is inherent to covariance itself.
     */
-  private def covarianceSql(q: String, spark: Boolean): String = {
+  /** Shared upper-triangle moment CTEs (`qe` → `pairs` → `mom`). */
+  private def momentCtes(q: String, spark: Boolean): String = {
     val pairs =
       if (spark)
         """SELECT a.i AS i, b.j AS j, a.xi AS qi, b.xj AS qj
@@ -182,7 +183,7 @@ object EmbedOps {
         """SELECT t.i AS i, u.j AS j, q[t.i + 1] AS qi, q[u.j + 1] AS qj
           |  FROM qe, UNNEST(range(0, 64)) t(i), UNNEST(range(0, 64)) u(j)
           |  WHERE t.i <= u.j""".stripMargin
-    s"""WITH qe AS ($q),
+    s"""qe AS ($q),
        |pairs AS (
        |$pairs),
        |mom AS (
@@ -190,11 +191,103 @@ object EmbedOps {
        |    CAST(SUM(qi) AS BIGINT) AS si,
        |    CAST(SUM(qj) AS BIGINT) AS sj,
        |    CAST(SUM(qi * qj) AS BIGINT) AS sij
-       |  FROM pairs GROUP BY i, j)
-       |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
-       |  (CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / n) / n AS cov_q
-       |FROM mom ORDER BY i, j""".stripMargin
+       |  FROM pairs GROUP BY i, j)""".stripMargin
   }
+
+  /** The exact covariance expression — textually identical in both
+    * engines so the IEEE op sequence (and hence every output bit) is too.
+    */
+  private val covExpr =
+    "(CAST(sij AS DOUBLE) - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / n) / n"
+
+  private def covarianceSql(q: String, spark: Boolean): String =
+    s"""WITH ${momentCtes(q, spark)}
+       |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+       |  $covExpr AS cov_q
+       |FROM mom ORDER BY i, j""".stripMargin
+
+  /** Power-iteration constants shared by the Spark loop and the DuckDB
+    * recursive CTE: quantized covariance, all-1000s start, fixed rounds.
+    */
+  private val PcaIters = 10
+
+  /** Projection onto the top principal component — PCA's rank-1 read-out
+    * (embedding drift / dominant-direction scoring). The dominant
+    * eigenvector comes from PLAIN POWER ITERATION over the covariance
+    * matrix, made cross-engine EXACT by keeping every iterate integral:
+    * the matrix is the floor-quantized covariance (BIGINT), each matvec
+    * is a sum of ≤64 integer products (< 2^53, so DuckDB's double
+    * list_dot_product is exact too), and the rescale
+    * `floor(u·1000/max|u|)` re-quantizes to ±1000 with one deterministic
+    * IEEE divide. Ten fixed rounds from the all-1000s vector — identical
+    * arithmetic in the Scala loop and the DuckDB recursive-CTE oracle,
+    * so the converged vector and every projection are bit-identical.
+    *
+    * Scale shape: the distributed work is ONE moment aggregate (the same
+    * ≤2080-rows-per-task shuffle as [[covarianceSql]]) plus a map-only
+    * projection pass with the 64-long vector inlined as a literal; the
+    * driver touches only the d(d+1)/2 moment rows (metadata-sized — the
+    * same bounded-collect regime as the k-means centroids), never data.
+    */
+  private def pcaVector(s: SparkSession, d: String): Array[Long] = {
+    prep(s, d)
+    val mom = s.sql(
+      s"WITH ${momentCtes(sparkQ, spark = true)} SELECT i, j, n, si, sj, sij FROM mom")
+      .collect()
+    val c = Array.ofDim[Long](64, 64)
+    mom.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val (n, si, sj, sij) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // the same op sequence as covExpr: (sij_d - si_d * sj_d / n) / n
+      val cl = math.floor((sij.toDouble - si.toDouble * sj.toDouble / n) / n).toLong
+      c(i)(j) = cl; c(j)(i) = cl
+    }
+    var v = Array.fill(64)(1000L)
+    for (_ <- 0 until PcaIters) {
+      val u = Array.tabulate(64) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < 64) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val mx = u.map(math.abs).max
+      v = if (mx == 0) u else u.map(x => math.floor(x.toDouble * 1000 / mx).toLong)
+    }
+    v
+  }
+
+  private def pcaProjectSpark(s: SparkSession, d: String): DataFrame = {
+    val v = pcaVector(s, d)
+    val lit = v.mkString("array(", "L, ", "L)")
+    s.sql(
+      s"""WITH qe AS ($sparkQ)
+         |SELECT vec_id, label, CAST(graft_dot(q, $lit) AS BIGINT) AS proj
+         |FROM qe ORDER BY vec_id""".stripMargin)
+  }
+
+  private def pcaProjectDuck(q: String): String =
+    s"""WITH RECURSIVE ${momentCtes(q, spark = false)},
+       |full_cov AS (
+       |  SELECT i, j, CAST(floor($covExpr) AS BIGINT) AS c FROM mom
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, CAST(floor($covExpr) AS BIGINT) AS c FROM mom WHERE i < j),
+       |cmat AS (
+       |  SELECT list(row ORDER BY i) AS m FROM (
+       |    SELECT i, list(c ORDER BY j) AS row FROM full_cov GROUP BY i)),
+       |it AS (
+       |  SELECT 0 AS t, list_transform(range(0, 64), x -> CAST(1000 AS BIGINT)) AS v
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    CASE WHEN mx = 0 THEN uv
+       |      ELSE list_transform(uv, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 / mx) AS BIGINT)) END
+       |  FROM (
+       |    SELECT t, uv, list_max(list_transform(uv, x -> abs(x))) AS mx
+       |    FROM (
+       |      SELECT t, list_transform(m, row -> CAST(list_dot_product(row, v) AS BIGINT)) AS uv
+       |      FROM it, cmat WHERE t < $PcaIters))),
+       |pc AS (SELECT v FROM it WHERE t = $PcaIters)
+       |SELECT vec_id, label, CAST(list_dot_product(q, v) AS BIGINT) AS proj
+       |FROM qe, pc ORDER BY vec_id""".stripMargin
 
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
@@ -224,6 +317,10 @@ object EmbedOps {
     "embed_covariance" -> QueryDef(
       (s, d) => sq(s, d, covarianceSql(sparkQ, spark = true)),
       covarianceSql(duckQ, spark = false)
+    ),
+    "embed_pca_project" -> QueryDef(
+      (s, d) => pcaProjectSpark(s, d),
+      pcaProjectDuck(duckQ)
     )
   )
 

@@ -238,4 +238,19 @@ class PlanShapeSpec extends SparkTestBase {
       "covariance moments must partial-aggregate before the shuffle")
     assert(q.count() == 64L * 65 / 2)
   }
+
+  test("pca projection is a map-only pass over an inlined literal vector") {
+    val q = df("embed_pca_project")
+    // the eigensolve consumed only the 2080-row moment relation on the
+    // driver; the projection itself must be scan → graft_dot(literal) →
+    // sort — no join against a vector relation, no aggregate
+    val nodes = allNodes(q)
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec] || n.isInstanceOf[BroadcastHashJoinExec]),
+      s"projection must not join: ${nodes.map(_.nodeName).mkString(",")}")
+    assert(!nodes.exists(_.nodeName.contains("HashAggregate")),
+      "projection must not aggregate")
+    val projs = q.collect().map(_.getAs[Long]("proj"))
+    assert(projs.distinct.length > 1, "projection must separate the corpus")
+  }
 }
