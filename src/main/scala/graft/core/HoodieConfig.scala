@@ -78,16 +78,27 @@ final case class HoodieConfig(props: Map[String, String]) {
     * the bare value. Anything else (Complex, Custom, GlobalDelete,
     * AutoRecordGen wrappers, user classes) → false: a `field:value`
     * rendering probed with the bare value would MISS the index, and a
-    * miss is an answer ("key absent"), not a fail-open.
+    * miss is an answer ("key absent"), not a fail-open. Newer writers may
+    * record only `hoodie.table.keygenerator.type` (no `.class`) — a
+    * non-bare TYPE (COMPLEX, CUSTOM, ...) must veto trust even when the
+    * class key is absent, or a `field:value`-keyed table probes bare and
+    * silently loses rows.
     */
-  def bareKeyRendering: Boolean = keyGeneratorClass match {
-    case None => true
-    case Some(c) =>
-      val simple = Set(
-        "SimpleKeyGenerator", "SimpleAvroKeyGenerator",
-        "NonpartitionedKeyGenerator", "NonpartitionedAvroKeyGenerator",
-        "TimestampBasedKeyGenerator", "TimestampBasedAvroKeyGenerator")
-      simple.contains(c.substring(c.lastIndexOf('.') + 1))
+  def bareKeyRendering: Boolean = {
+    val bareTypes = Set("SIMPLE", "NON_PARTITION", "TIMESTAMP")
+    val typeOk = get("hoodie.table.keygenerator.type") match {
+      case None => true
+      case Some(t) => bareTypes.contains(t.trim.toUpperCase)
+    }
+    typeOk && (keyGeneratorClass match {
+      case None => true
+      case Some(c) =>
+        val simple = Set(
+          "SimpleKeyGenerator", "SimpleAvroKeyGenerator",
+          "NonpartitionedKeyGenerator", "NonpartitionedAvroKeyGenerator",
+          "TimestampBasedKeyGenerator", "TimestampBasedAvroKeyGenerator")
+        simple.contains(c.substring(c.lastIndexOf('.') + 1))
+    })
   }
 
   /** Merge strategy with the reference's defaulting rules

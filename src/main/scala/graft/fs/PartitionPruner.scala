@@ -112,6 +112,37 @@ final class PartitionPruner(
       }
     }
 
+  /** [[parseSegmentsLenient]] for LISTING surfaces (SHOW PARTITIONS): a
+    * segment whose raw rendering satisfies `isSentinel` parses as the RAW
+    * STRING even under a typed field — the writer renders the null
+    * partition with the same sentinel whatever the column type, and a
+    * strict typed parse would silently OMIT that partition from the
+    * listing. Callers must map sentinel values to NULL (they already
+    * check the same predicate); pruning and injection keep the strict
+    * parse, where a type-confused value could mis-prune or corrupt rows.
+    */
+  def parseSegmentsNullable(
+      path: String, isSentinel: String => Boolean): Option[Map[String, Any]] =
+    parseSegmentsLenient(path).orElse {
+      if (path.isEmpty) return Some(Map.empty)
+      val segs = path.split('/')
+      if (segs.length != partitionFields.length) return None
+      val pairs = segs.zip(partitionFields).map { case (seg, (name, tpe)) =>
+        val raw = if (hiveStyle) {
+          val eq = seg.indexOf('=')
+          if (eq < 0 || seg.substring(0, eq) != name) return None
+          seg.substring(eq + 1)
+        } else seg
+        val decoded = if (urlEncoded) URLDecoder.decode(raw, StandardCharsets.UTF_8) else raw
+        if (isSentinel(decoded)) name -> decoded
+        else cast(decoded, tpe) match {
+          case Some(v) => name -> v
+          case None => return None
+        }
+      }
+      Some(pairs.toMap)
+    }
+
   private def cast(s: String, tpe: String): Option[Any] = tpe match {
     case "int" => s.toIntOption
     case "long" => s.toLongOption

@@ -100,15 +100,17 @@ class GraftTable(
     val converters = pf.fields.map(f =>
       org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
     val pruner = hudi.prunerFor(Nil)
+    val hive = hudi.config.isHiveStylePartitioning
     val rows = hudi.fsView.partitionPaths.sorted.flatMap { p =>
-      pruner.parseSegmentsLenient(p).flatMap { vals =>
+      // nullable parse: the null partition of a TYPED column (e.g.
+      // n_regionkey=__HIVE_DEFAULT_PARTITION__) must list as the NULL
+      // partition, not vanish on the failed int cast
+      pruner.parseSegmentsNullable(
+          p, s => GraftScanBuilder.isPartitionNullSentinel(s, hive)).flatMap { vals =>
         val cells = pf.fields.zip(converters).map { case (f, conv) =>
           vals.get(f.name) match {
-            case Some(v) if !GraftScanBuilder.isPartitionNullSentinel(v) =>
-              conv(v match {
-                case d: java.time.LocalDate => d
-                case other => other
-              })
+            case Some(v) if !GraftScanBuilder.isPartitionNullSentinel(v, hive) =>
+              conv(v)
             case _ => null // sentinel (or absent) = the NULL partition
           }
         }
@@ -324,7 +326,8 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       // matching PATH may hold rows whose column is NULL (written under
       // the sentinel), which the equality must exclude — keep the filter
       // residual instead of classifying it exactly consumed
-      case _ => !GraftScanBuilder.isPartitionNullSentinel(String.valueOf(v))
+      case _ => !GraftScanBuilder.isPartitionNullSentinel(
+        String.valueOf(v), hudi.config.isHiveStylePartitioning)
     })
 
   private def isExactPartitionEquality(f: Filter): Boolean = {
@@ -408,10 +411,17 @@ object GraftScanBuilder {
     * PartitionPathEncodeUtils.DEFAULT_PARTITION_PATH `"default"`, and an
     * empty segment is the degenerate case. Any plan that treats a path
     * value as a COLUMN value (grouped aggregate pushdown, exact filter
-    * consumption) must refuse these.
+    * consumption) must refuse these. Layout-aware: on a HIVE-STYLE table
+    * the bare string `default` is an ordinary value (`category=default`
+    * is a real directory, nulls render as the hive sentinel there) —
+    * treating it as a sentinel would misreport that partition as NULL in
+    * SHOW PARTITIONS and needlessly reject sound pushdowns. The hive
+    * sentinel itself stays refused on BOTH layouts (fail-safe for mixed
+    * writer histories).
     */
-  def isPartitionNullSentinel(v: Any): Boolean = v match {
-    case s: String => s == "__HIVE_DEFAULT_PARTITION__" || s == "default" || s.isEmpty
+  def isPartitionNullSentinel(v: Any, hiveStyle: Boolean): Boolean = v match {
+    case s: String =>
+      s == "__HIVE_DEFAULT_PARTITION__" || s.isEmpty || (!hiveStyle && s == "default")
     case _ => false
   }
 }
@@ -577,7 +587,8 @@ object GraftFooterAggScan {
           val vals = pruner.parseSegments(p).getOrElse(return None)
           pvFields.foreach { f =>
             val v = vals.getOrElse(f, return None)
-            if (GraftScanBuilder.isPartitionNullSentinel(v)) return None
+            if (GraftScanBuilder.isPartitionNullSentinel(
+                v, hudi.config.isHiveStylePartitioning)) return None
           }
           p -> vals
         }.toMap
@@ -732,7 +743,8 @@ object GraftFooterAggScan {
             // (and older writers an empty segment) for null/empty values
             // — serving any of them as a group literal under complete
             // pushdown would be a silently wrong final answer
-            if (GraftScanBuilder.isPartitionNullSentinel(v)) return None
+            if (GraftScanBuilder.isPartitionNullSentinel(
+                v, hudi.config.isHiveStylePartitioning)) return None
             v
           }, sl)
         }
@@ -1418,11 +1430,23 @@ class GraftScan(
     val dataSchema = StructType(
       hudi.tableSchema.fields.filterNot(f => hudi.droppedPartitionFields.contains(f.name)))
 
+    // Per-file long→string widening for numeric-timestamp-keygen tables
+    // (HudiTable.longWidenFields scaladoc): int64-physical files read
+    // under a LONG-typed override and render decimal strings — the exact
+    // string form the table's own string-physical files store. Probed
+    // per planned base file (gated tables only); forces the row path.
+    val widenCand = hudi.longWidenFields.filter(delegateRequired.fieldNames.contains)
+    val widenPaths: Set[String] =
+      if (widenCand.isEmpty) Set.empty
+      else hudi.longWidenPaths(slices.flatMap(_.baseFile.map(_.path)))
+        .map(p => org.apache.spark.paths.SparkPath.fromPathString(p).toString)
+
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
-    val columnar = candidateColumnar && fmt.supportBatch(spark, widenedEffective)
+    val columnar =
+      candidateColumnar && widenPaths.isEmpty && fmt.supportBatch(spark, widenedEffective)
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map(
       "spark.sql.parquet.enableVectorizedReader" -> columnar.toString))
-    val readFn = fmt.buildReaderWithPartitionValues(
+    val readFn0 = fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = dataSchema,
       partitionSchema = partitionSchema,
@@ -1438,6 +1462,54 @@ class GraftScan(
         .filter(_.references.forall(delegateRequired.fieldNames.contains)),
       options = Map("returning_batch" -> columnar.toString),
       hadoopConf = hadoopConf)
+
+    val readFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+      if (widenPaths.isEmpty) readFn0
+      else {
+        val longRequired = StructType(delegateRequired.fields.map(f =>
+          if (widenCand.contains(f.name))
+            f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+        val longData = StructType(dataSchema.fields.map(f =>
+          if (widenCand.contains(f.name))
+            f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+        val longFn = fmt.buildReaderWithPartitionValues(
+          sparkSession = spark,
+          dataSchema = longData,
+          partitionSchema = partitionSchema,
+          requiredSchema = longRequired,
+          // no data filters on the override read: a pushed STRING
+          // predicate against a LONG column would mis-skip row groups
+          filters = Nil,
+          options = Map("returning_batch" -> "false"),
+          // a FRESH conf: buildReaderWithPartitionValues writes the
+          // requested schema INTO the conf it receives — sharing one
+          // would clobber readFn0's schema with the long-typed override
+          hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map(
+            "spark.sql.parquet.enableVectorizedReader" -> "false")))
+        val widenIdx = widenCand.map(delegateRequired.fieldIndex).toArray
+        val nFields = widenedEffective.length
+        val readTypes: Array[org.apache.spark.sql.types.DataType] =
+          widenedEffective.fields.map(_.dataType)
+        widenIdx.foreach(i => readTypes(i) = org.apache.spark.sql.types.LongType)
+        pf =>
+          if (!widenPaths.contains(pf.filePath.toString)) readFn0(pf)
+          else longFn(pf).map { r =>
+            val vals = new Array[Any](nFields)
+            var i = 0
+            while (i < nFields) {
+              vals(i) =
+                if (r.isNullAt(i)) null
+                else if (readTypes(i) == org.apache.spark.sql.types.LongType &&
+                    widenIdx.contains(i))
+                  org.apache.spark.unsafe.types.UTF8String.fromString(
+                    java.lang.Long.toString(r.getLong(i)))
+                else r.get(i, readTypes(i))
+              i += 1
+            }
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          }
+      }
 
     new GraftReaderFactory(
       readFn,

@@ -46,13 +46,22 @@ object HudiTableChanges {
       s"$name takes (path, start[, end][, emit_deletes]) — got ${exprs.length} arguments")
     val path = stringArg(exprs.head, "path")
     val start = stringArg(exprs(1), "start")
+    // positional, strictly typed: a mistyped argument must THROW, not be
+    // silently dropped (an unquoted numeric end commit falling through
+    // would quietly extend the read to the latest instant; a string
+    // 'true' for emit_deletes would quietly drop the tombstones)
     val rest = exprs.drop(2)
-    val end = rest.collectFirst {
-      case Literal(v, StringType) if v != null => v.toString
-    }
-    val emitDeletes = rest.collectFirst {
+    def boolArg(e: Expression): Boolean = e match {
       case Literal(v: java.lang.Boolean, BooleanType) => v.booleanValue()
-    }.getOrElse(false)
+      case _ => throw new IllegalArgumentException(
+        s"$name: emit_deletes must be a boolean literal, got $e")
+    }
+    val (end, emitDeletes) = rest match {
+      case Seq() => (None, false)
+      case Seq(Literal(_, BooleanType)) => (None, boolArg(rest.head))
+      case Seq(e) => (Some(stringArg(e, "end")), false)
+      case Seq(e, d) => (Some(stringArg(e, "end")), boolArg(d))
+    }
     var reader = SparkSession.active.read
       .format("hudi-graft")
       .option("query.type", "incremental")

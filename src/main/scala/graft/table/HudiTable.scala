@@ -172,73 +172,81 @@ final class HudiTable(
           missing.map(f => StructField(f, createTypes.getOrElse(f, StringType), nullable = true)))
         (full, config.partitionFields.filter(full.fieldNames.contains))
       }
-    // NUMERIC timestamp-keygen partition fields are path-injected too:
-    // the real writer's commit schema declares the source field STRING
-    // (the formatted partition value) while the parquet files still hold
-    // the original numeric column — reading the file under the resolved
-    // schema is a physical-type crash, and the only string form that
-    // exists is the formatted path (real v9_timebasedkeygen_epochmillis
-    // bytes: schema says ["null","string"], files say int64). DATE_STRING
-    // keygens keep reading the file — there the stored column IS a
-    // string, just in the input format.
-    //
-    // The injection is CONFIRMED against one base file's footer before it
-    // fires: UNIX_TIMESTAMP legitimately accepts a genuinely string-typed
-    // source column (epoch digits stored as strings), and injecting there
-    // would silently replace stored values with the formatted path
-    // rendering. Only a file whose physical type for the field is
-    // NON-string (the schema-says-string / file-says-int64 mismatch that
-    // motivates the injection) or that lacks the column entirely
-    // injects; a string-physical or unprobeable file keeps reading the
-    // file — a wrong guess there fails LOUDLY (physical-type crash), never
-    // silently.
-    val keygenInjected: Seq[String] = graft.fs.TimestampKeyGen.fromConfig(config) match {
-      case Some(kg) if Set("UNIX_TIMESTAMP", "EPOCHMILLISECONDS",
-          "EPOCHMICROSECONDS", "SCALAR").contains(kg.timestampType.toUpperCase) =>
-        val candidates = config.partitionFields.filter(f =>
-          base._1.fields.exists(tf => tf.name == f && tf.dataType == StringType) &&
-            !base._2.contains(f))
-        if (candidates.isEmpty) Nil
-        else physicallyNonString(candidates)
-      case _ => Nil
-    }
-    (base._1, base._2 ++ keygenInjected)
+    base
   }
 
-  /** Of `fields`, those whose PHYSICAL type in one sampled base-file
-    * footer is not a string (or that are absent from the file schema) —
-    * the candidates path-injection may safely replace. One footer read,
-    * planning-time only. No probeable base file (log-only table, IO
-    * error) → none qualify: reading stays the default, and a true
-    * mismatch surfaces as a loud decode error rather than silently
-    * substituted values.
+  /** NUMERIC timestamp-keygen source fields DECLARED string: the real
+    * writer's commit schema records the formatted rendering's type while
+    * the parquet files may still hold the ORIGINAL numeric column —
+    * reading such a file under the resolved schema is a physical-type
+    * crash. The real v9_timebasedkeygen_epochmillis bytes are MIXED:
+    * two base files carry int64, one carries STRING holding the decimal
+    * epoch rendering ("1705367700000"). That string file defines the
+    * honest semantics — the column's value is the full-precision epoch
+    * rendered in decimal, NOT the hour-bucket partition path (the r9
+    * path-injection approach was value-lossy and is gone). int64 files
+    * are therefore read PER-FILE with the column as LONG and cast to the
+    * same decimal string ([[longWidenPaths]] probes footers to decide).
+    * DATE_STRING keygens never qualify — their stored column is already
+    * the string the schema declares.
     */
-  private def physicallyNonString(fields: Seq[String]): Seq[String] =
-    try {
-      val sample = fsView.partitionPaths.iterator
-        .flatMap(p => fsView.fileGroups(p))
-        .flatMap(_.slices.values.lastOption)
-        .flatMap(_.baseFile.map(_.path))
-        .take(1).toList.headOption
-      sample match {
-        case None => Nil
-        case Some(path) =>
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(path), hadoopConf))
-          try {
-            val msg = reader.getFooter.getFileMetaData.getSchema
-            fields.filter { f =>
-              !msg.containsField(f) || {
-                val t = msg.getType(Seq(f): _*)
-                t.isPrimitive &&
-                  t.asPrimitiveType().getPrimitiveTypeName !=
-                    org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY
-              }
-            }
-          } finally reader.close()
-      }
-    } catch { case scala.util.control.NonFatal(_) => Nil }
+  lazy val longWidenFields: Seq[String] = graft.fs.TimestampKeyGen.fromConfig(config) match {
+    case Some(kg) if Set("UNIX_TIMESTAMP", "EPOCHMILLISECONDS",
+        "EPOCHMICROSECONDS", "SCALAR").contains(kg.timestampType.toUpperCase) =>
+      config.partitionFields.filter(f =>
+        tableSchema.fields.exists(tf => tf.name == f && tf.dataType == StringType) &&
+          !droppedPartitionFields.contains(f))
+    case _ => Nil
+  }
+
+  /** Of `paths`, those whose footer proves EVERY [[longWidenFields]]
+    * column physically INT64 — the files the read widens long→string.
+    * One parallel footer sweep, planning-time, gated tables only (zero
+    * cost elsewhere). Unprobeable or non-INT64 files read normally: a
+    * string-physical file is already correct, anything else fails
+    * LOUDLY at read rather than silently substituting values.
+    */
+  def longWidenPaths(paths: Seq[String]): Set[String] =
+    if (longWidenFields.isEmpty || paths.isEmpty) Set.empty
+    else graft.util.Parallel.map(paths, 16) { path =>
+      try {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(path), hadoopConf))
+        try {
+          val msg = reader.getFooter.getFileMetaData.getSchema
+          val allLong = longWidenFields.forall(f => msg.containsField(f) && {
+            val t = msg.getType(Seq(f): _*)
+            t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+          })
+          if (allLong) Some(path) else None
+        } finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.flatten.toSet
+
+  /** Base-file DataFrame read with the per-file long→string widening
+    * applied when the table qualifies (one extra union branch; identical
+    * plans for every other table).
+    */
+  private def readBaseDf(schemaToRead: StructType, paths: Seq[String]): DataFrame = {
+    val cand = longWidenFields.filter(schemaToRead.fieldNames.contains)
+    val widen = if (cand.isEmpty) Set.empty[String] else longWidenPaths(paths)
+    if (widen.isEmpty) spark.read.schema(schemaToRead).parquet(paths: _*)
+    else {
+      val longSchema = StructType(schemaToRead.fields.map(f =>
+        if (cand.contains(f.name)) f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+      // LONG → decimal string: the exact rendering the writer's own
+      // string-physical files store
+      val widened = spark.read.schema(longSchema).parquet(widen.toSeq.sorted: _*)
+        .select(schemaToRead.fields.map(f =>
+          if (cand.contains(f.name)) col(f.name).cast(org.apache.spark.sql.types.StringType).as(f.name)
+          else col(f.name)).toIndexedSeq: _*)
+      val rest = paths.filterNot(widen)
+      if (rest.isEmpty) widened
+      else widened.unionByName(spark.read.schema(schemaToRead).parquet(rest: _*))
+    }
+  }
 
   lazy val tableSchema: StructType = resolvedSchemas._1
 
@@ -446,7 +454,7 @@ final class HudiTable(
     val baseDf =
       if (baseFiles.isEmpty) LogScan.emptyDf(spark, schema)
       else if (droppedPartitionFields.isEmpty)
-        spark.read.schema(schema).parquet(baseFiles: _*)
+        readBaseDf(schema, baseFiles)
       else {
         // P6: per-partition scan with the partition values re-injected as
         // typed literals (the columns are not in the files)
@@ -454,7 +462,7 @@ final class HudiTable(
         val parse = prunerFor(Nil)
         baseBearing.groupBy(_.partitionPath).toSeq.sortBy(_._1).map { case (p, ss) =>
           val vals = parse.parseSegmentsLenient(p).getOrElse(Map.empty)
-          val df = spark.read.schema(fileSchema).parquet(ss.flatMap(_.baseFile).map(_.path): _*)
+          val df = readBaseDf(fileSchema, ss.flatMap(_.baseFile).map(_.path))
           val withParts = droppedPartitionFields.foldLeft(df) { (acc, f) =>
             val target = schema.fields.find(_.name == f).get.dataType
             val v = vals.get(f).map {

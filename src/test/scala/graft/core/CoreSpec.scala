@@ -322,5 +322,19 @@ class CoreSpec extends AnyFunSuite {
         "org.apache.hudi.keygen.GlobalDeleteKeyGenerator",
         "com.example.MyKeyGen"))
       assert(!cfg(Some(c)).bareKeyRendering, c)
+    // newer writers record only hoodie.table.keygenerator.type — a
+    // non-bare TYPE must veto trust even with no .class key at all
+    def cfgT(t: String) = HoodieConfig(Map(
+      "hoodie.table.name" -> "t", "hoodie.table.version" -> "8",
+      "hoodie.table.keygenerator.type" -> t))
+    for (t <- Seq("COMPLEX", "CUSTOM", "complex", "GLOBAL_DELETE"))
+      assert(!cfgT(t).bareKeyRendering, t)
+    for (t <- Seq("SIMPLE", "NON_PARTITION", "TIMESTAMP", "simple"))
+      assert(cfgT(t).bareKeyRendering, t)
+    // and a non-bare type vetoes even when the class key says Simple
+    assert(!HoodieConfig(Map(
+      "hoodie.table.name" -> "t", "hoodie.table.version" -> "8",
+      "hoodie.table.keygenerator.class" -> "org.apache.hudi.keygen.SimpleKeyGenerator",
+      "hoodie.table.keygenerator.type" -> "COMPLEX")).bareKeyRendering)
   }
 }

@@ -49,4 +49,21 @@ class FsViewSpec extends AnyFunSuite {
     assert(slices.map(_.partitionPath) == slices.map(_.partitionPath).sorted,
       "collect must emit deterministic partition order")
   }
+
+  test("nullable segment parse surfaces sentinel partitions of typed columns") {
+    val sentinel = Set("__HIVE_DEFAULT_PARTITION__", "default")
+    val p = new PartitionPruner(
+      Seq("k" -> "int"), hiveStyle = true, urlEncoded = false, Nil)
+    // strict parse fails the int cast on the sentinel → listing would
+    // silently omit the NULL partition without the nullable variant
+    assert(p.parseSegments("k=__HIVE_DEFAULT_PARTITION__").isEmpty)
+    assert(p.parseSegmentsNullable("k=__HIVE_DEFAULT_PARTITION__", sentinel)
+      == Some(Map("k" -> "__HIVE_DEFAULT_PARTITION__")))
+    assert(p.parseSegmentsNullable("k=7", sentinel) == Some(Map("k" -> 7)))
+    // a non-sentinel unparseable value stays omitted (foreign layout)
+    assert(p.parseSegmentsNullable("k=abc", sentinel).isEmpty)
+    val np = new PartitionPruner(
+      Seq("d" -> "date"), hiveStyle = false, urlEncoded = false, Nil)
+    assert(np.parseSegmentsNullable("default", sentinel) == Some(Map("d" -> "default")))
+  }
 }

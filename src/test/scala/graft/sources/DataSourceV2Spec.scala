@@ -837,13 +837,15 @@ class DataSourceV2Spec extends SparkTestBase {
     val exp = graft.table.HudiTable(spark, p.get).snapshot()
       .groupBy(partField).agg(count(col("*")).as("n")).orderBy(partField)
     assert(agg.collect().toSeq == exp.collect().toSeq)
-    // the numeric-keygen source field is PATH-INJECTED: the commit schema
-    // declares it string while the parquet holds the original int64 (a
-    // physical-type crash if read from the file), and the only string
-    // form on disk is the formatted partition path (yyyy/MM/dd/HH)
+    // the numeric-keygen source field reads per-file WIDENED: the commit
+    // schema declares it string while most parquet files hold the
+    // original int64 (a physical-type crash if read naively) and some
+    // hold decimal epoch STRINGS — the real mixed layout. int64 files
+    // read as LONG and render the same decimal strings; the hour-bucket
+    // path rendering is never substituted (it would drop precision)
     val vals = agg.collect().map(_.getString(0))
-    assert(vals.nonEmpty && vals.forall(_.matches("""\d{4}/\d{2}/\d{2}/\d{2}""")),
-      s"expected formatted path values, got ${vals.toSeq}")
+    assert(vals.nonEmpty && vals.forall(_.matches("""\d{13}""")),
+      s"expected full-precision epoch strings, got ${vals.toSeq}")
   }
 
   test("footer-aggregate pushdown agrees with full scans on every COW fixture") {

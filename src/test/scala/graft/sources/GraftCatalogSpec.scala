@@ -217,6 +217,18 @@ class GraftCatalogSpec extends SparkTestBase {
     }
     assert(err.getMessage.contains("string literal") ||
       err.getMessage.contains("hudi_table_changes"))
+    // mistyped optional args must THROW, never silently drop: an
+    // unquoted numeric end would otherwise quietly extend the range to
+    // latest, and a string 'true' would quietly drop the tombstones
+    val errNum = intercept[Exception] {
+      spark.sql(s"SELECT * FROM hudi_table_changes('$path', '$T1', ${T2}000)").collect()
+    }
+    assert(errNum.getMessage.contains("end must be a string literal"), errNum.getMessage)
+    val errBool = intercept[Exception] {
+      spark.sql(s"SELECT * FROM hudi_table_changes('$path', '$T2', '$T3', 'true')").collect()
+    }
+    assert(errBool.getMessage.contains("emit_deletes must be a boolean literal"),
+      errBool.getMessage)
     // the TVF expands to the DSv2 relation, so a WHERE partition filter
     // composes with incremental partition pruning exactly like the
     // option surface (fewer slices than the unfiltered range)
