@@ -95,6 +95,14 @@ class HudiTableSpec extends SparkTestBase {
     assert(ids == Set(1, 3))
   }
 
+  test("long-widen probe is free on non-keygen tables") {
+    assume(cowV6.isDefined)
+    // the gate must be Nil off the numeric-timestamp-keygen shape, so
+    // longWidenPaths never opens a footer at planning on normal tables
+    assert(cowV6.get.longWidenFields.isEmpty)
+    assert(cowV6.get.longWidenPaths(Seq("/nonexistent.parquet")).isEmpty)
+  }
+
   test("cow v6 complex types survive the read") {
     assume(cowV6.isDefined)
     val df = cowV6.get.snapshot().filter(col("id") === 1)
