@@ -85,7 +85,10 @@ final case class HoodieConfig(props: Map[String, String]) {
     * silently loses rows.
     */
   def bareKeyRendering: Boolean = {
-    val bareTypes = Set("SIMPLE", "NON_PARTITION", "TIMESTAMP")
+    // incl. the *_AVRO enum variants (they map to the *AvroKeyGenerator
+    // classes the class-name branch below already trusts)
+    val bareTypes = Set("SIMPLE", "NON_PARTITION", "TIMESTAMP",
+      "SIMPLE_AVRO", "NON_PARTITION_AVRO", "TIMESTAMP_AVRO")
     val typeOk = get("hoodie.table.keygenerator.type") match {
       case None => true
       case Some(t) => bareTypes.contains(t.trim.toUpperCase)

@@ -70,8 +70,12 @@ final class PartitionPruner(
     }
   }
 
-  /** Parse `path` into field→typed value. None on structural mismatch. */
-  def parseSegments(path: String): Option[Map[String, Any]] = {
+  /** Parse `path` into field→typed value. None on structural mismatch.
+    * Segments satisfying `keepRaw` bypass the typed cast and keep their
+    * decoded STRING (the listing surface's sentinel escape).
+    */
+  private def parseWith(
+      path: String, keepRaw: String => Boolean): Option[Map[String, Any]] = {
     if (path.isEmpty) return Some(Map.empty)
     val segs = path.split('/')
     if (segs.length != partitionFields.length) return None
@@ -82,13 +86,18 @@ final class PartitionPruner(
         seg.substring(eq + 1)
       } else seg
       val decoded = if (urlEncoded) URLDecoder.decode(raw, StandardCharsets.UTF_8) else raw
-      cast(decoded, tpe) match {
+      if (keepRaw(decoded)) name -> decoded
+      else cast(decoded, tpe) match {
         case Some(v) => name -> v
         case None => return None
       }
     }
     Some(pairs.toMap)
   }
+
+  /** Parse `path` into field→typed value. None on structural mismatch. */
+  def parseSegments(path: String): Option[Map[String, Any]] =
+    parseWith(path, _ => false)
 
   /** [[parseSegments]] with a fallback for a SINGLE string-typed
     * partition field whose VALUE contains '/' — timestamp-keygen output
@@ -123,25 +132,7 @@ final class PartitionPruner(
     */
   def parseSegmentsNullable(
       path: String, isSentinel: String => Boolean): Option[Map[String, Any]] =
-    parseSegmentsLenient(path).orElse {
-      if (path.isEmpty) return Some(Map.empty)
-      val segs = path.split('/')
-      if (segs.length != partitionFields.length) return None
-      val pairs = segs.zip(partitionFields).map { case (seg, (name, tpe)) =>
-        val raw = if (hiveStyle) {
-          val eq = seg.indexOf('=')
-          if (eq < 0 || seg.substring(0, eq) != name) return None
-          seg.substring(eq + 1)
-        } else seg
-        val decoded = if (urlEncoded) URLDecoder.decode(raw, StandardCharsets.UTF_8) else raw
-        if (isSentinel(decoded)) name -> decoded
-        else cast(decoded, tpe) match {
-          case Some(v) => name -> v
-          case None => return None
-        }
-      }
-      Some(pairs.toMap)
-    }
+    parseSegmentsLenient(path).orElse(parseWith(path, isSentinel))
 
   private def cast(s: String, tpe: String): Option[Any] = tpe match {
     case "int" => s.toIntOption

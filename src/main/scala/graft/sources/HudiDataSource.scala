@@ -100,16 +100,16 @@ class GraftTable(
     val converters = pf.fields.map(f =>
       org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
     val pruner = hudi.prunerFor(Nil)
-    val hive = hudi.config.isHiveStylePartitioning
+    val cfg = hudi.config
     val rows = hudi.fsView.partitionPaths.sorted.flatMap { p =>
       // nullable parse: the null partition of a TYPED column (e.g.
       // n_regionkey=__HIVE_DEFAULT_PARTITION__) must list as the NULL
       // partition, not vanish on the failed int cast
       pruner.parseSegmentsNullable(
-          p, s => GraftScanBuilder.isPartitionNullSentinel(s, hive)).flatMap { vals =>
+          p, s => GraftScanBuilder.isPartitionNullSentinel(s, cfg)).flatMap { vals =>
         val cells = pf.fields.zip(converters).map { case (f, conv) =>
           vals.get(f.name) match {
-            case Some(v) if !GraftScanBuilder.isPartitionNullSentinel(v, hive) =>
+            case Some(v) if !GraftScanBuilder.isPartitionNullSentinel(v, cfg) =>
               conv(v)
             case _ => null // sentinel (or absent) = the NULL partition
           }
@@ -326,8 +326,7 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       // matching PATH may hold rows whose column is NULL (written under
       // the sentinel), which the equality must exclude — keep the filter
       // residual instead of classifying it exactly consumed
-      case _ => !GraftScanBuilder.isPartitionNullSentinel(
-        String.valueOf(v), hudi.config.isHiveStylePartitioning)
+      case _ => !GraftScanBuilder.isPartitionNullSentinel(String.valueOf(v), hudi.config)
     })
 
   private def isExactPartitionEquality(f: Filter): Boolean = {
@@ -411,17 +410,20 @@ object GraftScanBuilder {
     * PartitionPathEncodeUtils.DEFAULT_PARTITION_PATH `"default"`, and an
     * empty segment is the degenerate case. Any plan that treats a path
     * value as a COLUMN value (grouped aggregate pushdown, exact filter
-    * consumption) must refuse these. Layout-aware: on a HIVE-STYLE table
-    * the bare string `default` is an ordinary value (`category=default`
-    * is a real directory, nulls render as the hive sentinel there) —
-    * treating it as a sentinel would misreport that partition as NULL in
-    * SHOW PARTITIONS and needlessly reject sound pushdowns. The hive
-    * sentinel itself stays refused on BOTH layouts (fail-safe for mixed
-    * writer histories).
+    * consumption) must refuse these. Layout- AND version-aware: on a
+    * HIVE-STYLE table written at table version >= 4 (Hudi 0.11+, where
+    * hive-style nulls render as the hive sentinel) the bare string
+    * `default` is an ordinary value (`category=default` is a real
+    * directory) — treating it as a sentinel would misreport that
+    * partition as NULL in SHOW PARTITIONS and needlessly reject sound
+    * pushdowns. OLDER writers used `default` for nulls on BOTH layouts,
+    * so pre-v4 tables keep refusing it (fail-safe); the hive sentinel
+    * itself stays refused everywhere.
     */
-  def isPartitionNullSentinel(v: Any, hiveStyle: Boolean): Boolean = v match {
+  def isPartitionNullSentinel(v: Any, cfg: graft.core.HoodieConfig): Boolean = v match {
     case s: String =>
-      s == "__HIVE_DEFAULT_PARTITION__" || s.isEmpty || (!hiveStyle && s == "default")
+      s == "__HIVE_DEFAULT_PARTITION__" || s.isEmpty ||
+        (s == "default" && !(cfg.isHiveStylePartitioning && cfg.tableVersion >= 4))
     case _ => false
   }
 }
@@ -587,8 +589,7 @@ object GraftFooterAggScan {
           val vals = pruner.parseSegments(p).getOrElse(return None)
           pvFields.foreach { f =>
             val v = vals.getOrElse(f, return None)
-            if (GraftScanBuilder.isPartitionNullSentinel(
-                v, hudi.config.isHiveStylePartitioning)) return None
+            if (GraftScanBuilder.isPartitionNullSentinel(v, hudi.config)) return None
           }
           p -> vals
         }.toMap
@@ -743,8 +744,7 @@ object GraftFooterAggScan {
             // (and older writers an empty segment) for null/empty values
             // — serving any of them as a group literal under complete
             // pushdown would be a silently wrong final answer
-            if (GraftScanBuilder.isPartitionNullSentinel(
-                v, hudi.config.isHiveStylePartitioning)) return None
+            if (GraftScanBuilder.isPartitionNullSentinel(v, hudi.config)) return None
             v
           }, sl)
         }
@@ -1487,11 +1487,15 @@ class GraftScan(
           // would clobber readFn0's schema with the long-typed override
           hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map(
             "spark.sql.parquet.enableVectorizedReader" -> "false")))
-        val widenIdx = widenCand.map(delegateRequired.fieldIndex).toArray
         val nFields = widenedEffective.length
         val readTypes: Array[org.apache.spark.sql.types.DataType] =
           widenedEffective.fields.map(_.dataType)
-        widenIdx.foreach(i => readTypes(i) = org.apache.spark.sql.types.LongType)
+        val widenMask = new Array[Boolean](nFields)
+        widenCand.foreach { f =>
+          val i = delegateRequired.fieldIndex(f)
+          widenMask(i) = true
+          readTypes(i) = org.apache.spark.sql.types.LongType
+        }
         pf =>
           if (!widenPaths.contains(pf.filePath.toString)) readFn0(pf)
           else longFn(pf).map { r =>
@@ -1500,8 +1504,7 @@ class GraftScan(
             while (i < nFields) {
               vals(i) =
                 if (r.isNullAt(i)) null
-                else if (readTypes(i) == org.apache.spark.sql.types.LongType &&
-                    widenIdx.contains(i))
+                else if (widenMask(i))
                   org.apache.spark.unsafe.types.UTF8String.fromString(
                     java.lang.Long.toString(r.getLong(i)))
                 else r.get(i, readTypes(i))

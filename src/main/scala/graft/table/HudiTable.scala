@@ -193,11 +193,23 @@ final class HudiTable(
   lazy val longWidenFields: Seq[String] = graft.fs.TimestampKeyGen.fromConfig(config) match {
     case Some(kg) if Set("UNIX_TIMESTAMP", "EPOCHMILLISECONDS",
         "EPOCHMICROSECONDS", "SCALAR").contains(kg.timestampType.toUpperCase) =>
-      config.partitionFields.filter(f =>
+      // ONLY the keygen SOURCE field (the first partition field — the
+      // same one fromConfig binds): a second, genuinely-string partition
+      // column must not join the probe, or its BINARY footers would veto
+      // widening for the numeric source and reintroduce the crash
+      config.partitionFields.headOption.toSeq.filter(f =>
         tableSchema.fields.exists(tf => tf.name == f && tf.dataType == StringType) &&
           !droppedPartitionFields.contains(f))
     case _ => Nil
   }
+
+  /** Memoized [[longWidenPaths]] verdicts: base-file paths are immutable
+    * (a rewrite creates a new path), so a footer verdict never goes
+    * stale — repeat queries and streaming micro-batches on a gated
+    * table re-probe only paths they have not seen.
+    */
+  private val longWidenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Of `paths`, those whose footer proves EVERY [[longWidenFields]]
     * column physically INT64 — the files the read widens long→string.
@@ -208,22 +220,28 @@ final class HudiTable(
     */
   def longWidenPaths(paths: Seq[String]): Set[String] =
     if (longWidenFields.isEmpty || paths.isEmpty) Set.empty
-    else graft.util.Parallel.map(paths, 16) { path =>
-      try {
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(path), hadoopConf))
-        try {
-          val msg = reader.getFooter.getFileMetaData.getSchema
-          val allLong = longWidenFields.forall(f => msg.containsField(f) && {
-            val t = msg.getType(Seq(f): _*)
-            t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName ==
-              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
-          })
-          if (allLong) Some(path) else None
-        } finally reader.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
-    }.flatten.toSet
+    else {
+      // memoized per path: base files are immutable (a rewrite gets a new
+      // path), so repeat queries / micro-batches probe only unseen paths
+      val fresh = paths.filterNot(longWidenCache.containsKey)
+      graft.util.Parallel.map(fresh, 16) { path =>
+        val verdict: Boolean = try {
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(path), hadoopConf))
+          try {
+            val msg = reader.getFooter.getFileMetaData.getSchema
+            longWidenFields.forall(f => msg.containsField(f) && {
+              val t = msg.getType(Seq(f): _*)
+              t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+            })
+          } finally reader.close()
+        } catch { case scala.util.control.NonFatal(_) => false }
+        longWidenCache.put(path, verdict)
+      }
+      paths.iterator.filter(p => longWidenCache.get(p) == java.lang.Boolean.TRUE).toSet
+    }
 
   /** Base-file DataFrame read with the per-file long→string widening
     * applied when the table qualifies (one extra union branch; identical
