@@ -82,14 +82,24 @@ final case class HoodieConfig(props: Map[String, String]) {
     * record only `hoodie.table.keygenerator.type` (no `.class`) — a
     * non-bare TYPE (COMPLEX, CUSTOM, ...) must veto trust even when the
     * class key is absent, or a `field:value`-keyed table probes bare and
-    * silently loses rows.
+    * silently loses rows. When BOTH keys are absent the absence is
+    * informative only if the writer was new enough to have recorded
+    * them: Hudi began persisting the generator in table config around
+    * 0.10 (table version 3; gated here at version >= 4, the 0.11 line,
+    * to keep a margin over backported writers), so an OLDER table keyed
+    * via ComplexKeyGenerator would otherwise be trusted as bare and the
+    * key/bloom probe tiers would plan a silently wrong empty result —
+    * pre-v4 tables with no recorded generator fail CLOSED (index tiers
+    * stand down to the full plan, never wrong).
     */
   def bareKeyRendering: Boolean = {
     // incl. the *_AVRO enum variants (they map to the *AvroKeyGenerator
     // classes the class-name branch below already trusts)
     val bareTypes = Set("SIMPLE", "NON_PARTITION", "TIMESTAMP",
       "SIMPLE_AVRO", "NON_PARTITION_AVRO", "TIMESTAMP_AVRO")
-    val typeOk = get("hoodie.table.keygenerator.type") match {
+    val typeKey = get("hoodie.table.keygenerator.type")
+    if (typeKey.isEmpty && keyGeneratorClass.isEmpty) return tableVersion >= 4
+    val typeOk = typeKey match {
       case None => true
       case Some(t) => bareTypes.contains(t.trim.toUpperCase)
     }

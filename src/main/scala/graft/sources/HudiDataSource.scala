@@ -406,24 +406,24 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
 object GraftScanBuilder {
   /** Partition-path renderings that stand in for NULL (or empty) column
     * values rather than being values themselves: hive-style tables write
-    * `__HIVE_DEFAULT_PARTITION__`, non-hive tables Hudi's
+    * `__HIVE_DEFAULT_PARTITION__`, old writers Hudi's original
     * PartitionPathEncodeUtils.DEFAULT_PARTITION_PATH `"default"`, and an
     * empty segment is the degenerate case. Any plan that treats a path
     * value as a COLUMN value (grouped aggregate pushdown, exact filter
-    * consumption) must refuse these. Layout- AND version-aware: on a
-    * HIVE-STYLE table written at table version >= 4 (Hudi 0.11+, where
-    * hive-style nulls render as the hive sentinel) the bare string
-    * `default` is an ordinary value (`category=default` is a real
-    * directory) — treating it as a sentinel would misreport that
-    * partition as NULL in SHOW PARTITIONS and needlessly reject sound
-    * pushdowns. OLDER writers used `default` for nulls on BOTH layouts,
-    * so pre-v4 tables keep refusing it (fail-safe); the hive sentinel
-    * itself stays refused everywhere.
+    * consumption) must refuse these. VERSION-aware, layout-blind: Hudi
+    * 0.11+ (table version >= 4) switched the null-partition rendering to
+    * the hive sentinel for ALL layouts, not just hive-style — so on any
+    * v4+ table the bare string `default` is an ordinary value
+    * (`category=default` is a real directory) and treating it as a
+    * sentinel would misreport that partition as NULL in SHOW PARTITIONS
+    * and needlessly reject sound pushdowns. PRE-v4 writers used
+    * `default` for nulls, so older tables keep refusing it (fail-safe);
+    * the hive sentinel itself stays refused everywhere.
     */
   def isPartitionNullSentinel(v: Any, cfg: graft.core.HoodieConfig): Boolean = v match {
     case s: String =>
       s == "__HIVE_DEFAULT_PARTITION__" || s.isEmpty ||
-        (s == "default" && !(cfg.isHiveStylePartitioning && cfg.tableVersion >= 4))
+        (s == "default" && cfg.tableVersion < 4)
     case _ => false
   }
 }

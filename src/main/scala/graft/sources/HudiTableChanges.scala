@@ -8,20 +8,30 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
 
 /** The `hudi_table_changes` table-valued function — the SQL surface for
   * batch incremental reads (S3), mirroring Spark-Hudi's TVF of the same
-  * name over this engine's DSv2 incremental machinery:
+  * name over this engine's DSv2 incremental machinery. BOTH positional
+  * signatures are accepted:
   *
   * {{{
+  * -- upstream Spark-Hudi's signature (portable verbatim):
+  * SELECT * FROM hudi_table_changes('/path', 'latest_state', '<start>');
+  * SELECT * FROM hudi_table_changes('/path', 'cdc', 'earliest', '<end>');
+  * -- the engine's extended form:
   * SELECT * FROM hudi_table_changes('/path/to/table', '<start>');
   * SELECT * FROM hudi_table_changes('/path', '<start>', '<end>');
   * SELECT * FROM hudi_table_changes('/path', 'earliest', '<end>', true);
   * }}}
   *
+  *  - a SECOND argument of `'latest_state'` or `'cdc'` is upstream's
+  *    required changeType (start/end shift right one slot):
+  *    `latest_state` is the plain incremental feed, `cdc` additionally
+  *    emits delete tombstones — the two forms are unambiguous because
+  *    neither mode string is a parseable commit timestamp;
   *  - `start`: exclusive start commit, or `'earliest'` for the full
   *    history (Hudi's sentinel);
   *  - `end` (optional): inclusive end commit, default latest;
-  *  - the optional boolean enables delete tombstones (rows whose data
-  *    columns are null with meta columns populated — the
-  *    `stream.emit.deletes` option), the changes-with-deletes CDC feed.
+  *  - the extended form's optional boolean enables delete tombstones
+  *    (rows whose data columns are null with meta columns populated —
+  *    the `stream.emit.deletes` option) without the `cdc` keyword.
   *
   * The expansion IS the option-based DSv2 incremental relation — one
   * `DataSourceV2Relation` with the same pushdown/planning path, nothing
@@ -43,24 +53,42 @@ object HudiTableChanges {
 
   def builder(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.length >= 2 && exprs.length <= 4,
-      s"$name takes (path, start[, end][, emit_deletes]) — got ${exprs.length} arguments")
+      s"$name takes (path, 'latest_state'|'cdc', start[, end]) or " +
+        s"(path, start[, end][, emit_deletes]) — got ${exprs.length} arguments")
     val path = stringArg(exprs.head, "path")
-    val start = stringArg(exprs(1), "start")
+    // upstream dispatch: Spark-Hudi's TVF is (table, changeType, startTs
+    // [, endTs]) with changeType mandatory — a query ported verbatim
+    // binds 'latest_state'/'cdc' into slot 2, which must select the mode
+    // and SHIFT start/end right, not parse as a timestamp
+    val arg1 = stringArg(exprs(1), "start")
+    val mode = arg1.toLowerCase match {
+      case "latest_state" | "cdc" => Some(arg1.toLowerCase)
+      case _ => None
+    }
     // positional, strictly typed: a mistyped argument must THROW, not be
     // silently dropped (an unquoted numeric end commit falling through
     // would quietly extend the read to the latest instant; a string
     // 'true' for emit_deletes would quietly drop the tombstones)
-    val rest = exprs.drop(2)
     def boolArg(e: Expression): Boolean = e match {
       case Literal(v: java.lang.Boolean, BooleanType) => v.booleanValue()
       case _ => throw new IllegalArgumentException(
         s"$name: emit_deletes must be a boolean literal, got $e")
     }
-    val (end, emitDeletes) = rest match {
-      case Seq() => (None, false)
-      case Seq(Literal(_, BooleanType)) => (None, boolArg(rest.head))
-      case Seq(e) => (Some(stringArg(e, "end")), false)
-      case Seq(e, d) => (Some(stringArg(e, "end")), boolArg(d))
+    val (start, end, emitDeletes) = mode match {
+      case Some(m) =>
+        require(exprs.length >= 3,
+          s"$name('$m', ...) requires a start timestamp (Hudi's positional signature)")
+        val s = stringArg(exprs(2), "start")
+        val e = if (exprs.length >= 4) Some(stringArg(exprs(3), "end")) else None
+        (s, e, m == "cdc")
+      case None =>
+        val rest = exprs.drop(2)
+        rest match {
+          case Seq() => (arg1, None, false)
+          case Seq(Literal(_, BooleanType)) => (arg1, None, boolArg(rest.head))
+          case Seq(e) => (arg1, Some(stringArg(e, "end")), false)
+          case Seq(e, d) => (arg1, Some(stringArg(e, "end")), boolArg(d))
+        }
     }
     var reader = SparkSession.active.read
       .format("hudi-graft")

@@ -336,5 +336,18 @@ class CoreSpec extends AnyFunSuite {
       "hoodie.table.name" -> "t", "hoodie.table.version" -> "8",
       "hoodie.table.keygenerator.class" -> "org.apache.hudi.keygen.SimpleKeyGenerator",
       "hoodie.table.keygenerator.type" -> "COMPLEX")).bareKeyRendering)
+    // BOTH keys absent: informative only for writers new enough to have
+    // recorded them (>= v4) — an old ComplexKeyGenerator table would
+    // otherwise be trusted as bare and plan a wrong EMPTY point read
+    def cfgV(v: String) = HoodieConfig(
+      Map("hoodie.table.name" -> "t", "hoodie.table.version" -> v))
+    for (v <- Seq("1", "2", "3")) assert(!cfgV(v).bareKeyRendering, v)
+    for (v <- Seq("4", "5", "6", "8")) assert(cfgV(v).bareKeyRendering, v)
+    // a recorded bare CLASS is trusted even on an old table (the key
+    // itself proves the rendering; only ABSENCE is version-gated)
+    assert(HoodieConfig(Map(
+      "hoodie.table.name" -> "t", "hoodie.table.version" -> "2",
+      "hoodie.table.keygenerator.class" ->
+        "org.apache.hudi.keygen.SimpleKeyGenerator")).bareKeyRendering)
   }
 }

@@ -648,6 +648,26 @@ class DataSourceV2Spec extends SparkTestBase {
       ur.getLong(2) == region.count())
   }
 
+  test("null-partition 'default' sentinel is version-gated, layout-blind") {
+    import graft.sources.GraftScanBuilder.isPartitionNullSentinel
+    def cfg(v: String, hive: Boolean) = graft.core.HoodieConfig(Map(
+      "hoodie.table.name" -> "t", "hoodie.table.version" -> v,
+      "hoodie.datasource.write.hive_style_partitioning" -> hive.toString))
+    // the hive sentinel and an empty segment refuse everywhere
+    for (v <- Seq("2", "6"); h <- Seq(true, false)) {
+      assert(isPartitionNullSentinel("__HIVE_DEFAULT_PARTITION__", cfg(v, h)))
+      assert(isPartitionNullSentinel("", cfg(v, h)))
+    }
+    // pre-0.11 writers (table version < 4) rendered the null partition
+    // as bare 'default' on BOTH layouts — keep refusing it there
+    for (h <- Seq(true, false)) assert(isPartitionNullSentinel("default", cfg("3", h)))
+    // 0.11+ (v4+) switched ALL layouts to the hive sentinel, so a bare
+    // 'default' is an ordinary partition value — hive-style AND not
+    for (h <- Seq(true, false)) assert(!isPartitionNullSentinel("default", cfg("6", h)))
+    // and a genuine value is never a sentinel anywhere
+    assert(!isPartitionNullSentinel("asia", cfg("2", false)))
+  }
+
   test("exact partition-equality filters compose with metadata aggregates") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count, min}

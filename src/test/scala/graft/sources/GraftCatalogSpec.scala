@@ -211,6 +211,23 @@ class GraftCatalogSpec extends SparkTestBase {
     val sql3 = spark.sql(s"SELECT * FROM hudi_table_changes('$path', '$T2', '$T3', true)")
     assert(rows(sql3) == rows(viaOptions(Some(T2), Some(T3), deletes = true)))
     assert(sql3.count() > 0, "delete-only range must surface tombstones")
+    // upstream Spark-Hudi's positional signature (table, changeType,
+    // start[, end]) must be portable verbatim: 'latest_state' selects
+    // the plain feed, 'cdc' the delete-emitting one — the mode string in
+    // slot 2 shifts start/end right, never parses as a timestamp
+    val up1 = spark.sql(
+      s"SELECT * FROM hudi_table_changes('$path', 'latest_state', '$T1', '$T2')")
+    assert(rows(up1) == rows(viaOptions(Some(T1), Some(T2))))
+    val up2 = spark.sql(s"SELECT * FROM hudi_table_changes('$path', 'latest_state', 'earliest')")
+    assert(rows(up2) == rows(viaOptions(None, None)))
+    val up3 = spark.sql(s"SELECT * FROM hudi_table_changes('$path', 'cdc', '$T2', '$T3')")
+    assert(rows(up3) == rows(viaOptions(Some(T2), Some(T3), deletes = true)))
+    assert(up3.count() > 0, "cdc mode must surface tombstones")
+    // a mode string with no start must throw (upstream requires start)
+    val errMode = intercept[Exception] {
+      spark.sql(s"SELECT * FROM hudi_table_changes('$path', 'latest_state')").collect()
+    }
+    assert(errMode.getMessage.contains("requires a start timestamp"), errMode.getMessage)
     // non-literal args are rejected loudly
     val err = intercept[Exception] {
       spark.sql(s"SELECT * FROM hudi_table_changes(upper('$path'), '$T1')").collect()
