@@ -138,7 +138,7 @@ object ColumnStatsIndex {
       partition: String = PartitionName,
       asOf: Option[String] = None): ColumnStatsLookup = {
     val (latest, slices) = MetadataTable.openPartition(dataTableBase, partition, hadoopConf, asOf)
-    def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
+    def readFully(p: Path): Array[Byte] = IndexIoCache.bytes(p, hadoopConf)
     val range = InstantRange.upTo(latest)
     val out = mutable.LinkedHashMap.empty[String, Option[ColumnStatEntry]]
     for (slice <- slices) {

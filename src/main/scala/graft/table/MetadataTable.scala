@@ -134,7 +134,7 @@ object MetadataTable {
     val (latest, slices) =
       openPartition(dataTableBase, FilesPartitionRecord.PartitionName, hadoopConf)
 
-    def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
+    def readFully(p: Path): Array[Byte] = IndexIoCache.bytes(p, hadoopConf)
 
     // Multiple file groups are legal in a real MDT (e.g. after compaction
     // scheduling); each key hashes to one group, so merging the groups'
@@ -268,7 +268,9 @@ private[table] object MdtSliceProbe {
       conf: Configuration)(
       decode: (GenericDatumReader[GenericRecord], String, Array[Byte], Boolean) => Option[A]
   ): Iterator[(String, Option[A])] = {
-    def readFully(p: String): Array[Byte] = graft.util.ReadFully(new Path(p), conf)
+    // MDT paths are content-immutable — served through the planning byte
+    // cache so repeat point queries perform zero index IO
+    def readFully(p: String): Array[Byte] = IndexIoCache.bytes(new Path(p), conf)
     val out = mutable.Map.empty[String, Option[A]]
     val range = InstantRange.upTo(upTo)
     var datumReader: GenericDatumReader[GenericRecord] = null

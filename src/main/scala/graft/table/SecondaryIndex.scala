@@ -47,12 +47,30 @@ object SecondaryIndex {
     config.getOrElse("hoodie.table.metadata.partitions", "")
       .split(",").map(_.trim).filter(_.startsWith(PartitionPrefix)).toSeq
 
-  /** Parse `.hoodie/.index_defs/index.json`. Missing file → empty. */
+  /** Parse `.hoodie/.index_defs/index.json`. Missing file → empty.
+    * Memoized per (path, mtime, length): unlike MDT files the defs file
+    * is REWRITTEN in place on index create/drop, so the memo keys on
+    * the file status (one getFileStatus per planning pass instead of an
+    * open+read+parse) and a rewrite naturally invalidates.
+    */
   def indexDefs(dataTableBase: String, hadoopConf: Configuration): Map[String, IndexDef] = {
     val p = new Path(dataTableBase, ".hoodie/.index_defs/index.json")
     val fs = p.getFileSystem(hadoopConf)
     if (!fs.exists(p)) return Map.empty
-    val root = new ObjectMapper().readTree(graft.util.ReadFully(fs, p))
+    val st = fs.getFileStatus(p)
+    val memoKey = (p.toString, st.getModificationTime, st.getLen)
+    val memo = defsMemo.get(memoKey)
+    if (memo != null) return memo
+    val parsed = parseDefs(graft.util.ReadFully(fs, p))
+    defsMemo.put(memoKey, parsed)
+    parsed
+  }
+
+  private val defsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Map[String, IndexDef]]()
+
+  private def parseDefs(bytes: Array[Byte]): Map[String, IndexDef] = {
+    val root = new ObjectMapper().readTree(bytes)
     Option(root.get("indexDefinitions")).map { defs =>
       defs.properties().asScala.map { e =>
         val d = e.getValue
@@ -127,8 +145,14 @@ object SecondaryIndex {
       asOf: Option[String] = None): Option[DateRendering] = {
     val (latest, slices) =
       MetadataTable.openPartition(dataTableBase, indexPartition, hadoopConf, asOf)
+    // verdict memo: the rendering of a CONCRETE index state is a fact —
+    // keyed by the MDT commit the probe resolved to, so an MDT commit
+    // advance naturally re-detects while repeat plans pay nothing
+    val memoKey = (dataTableBase, indexPartition, latest)
+    val memoized = detectMemo.get(memoKey)
+    if (memoized != null) return memoized
     val range = InstantRange.upTo(latest)
-    def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
+    def readFully(p: Path): Array[Byte] = IndexIoCache.bytes(p, hadoopConf)
     val keys: Iterator[String] = slices.iterator.flatMap { slice =>
       slice.baseFile.iterator.flatMap(bf =>
         new HFileReader(readFully(new Path(bf.path))).records.map(_.key)) ++
@@ -139,8 +163,14 @@ object SecondaryIndex {
             .flatMap(b => new HFileReader(b.rawContent).records.map(_.key))
         }
     }
-    classifyDateKeys(keys.flatMap(k => splitKey(k).map(_._1)))
+    val verdict = classifyDateKeys(keys.flatMap(k => splitKey(k).map(_._1)))
+    detectMemo.put(memoKey, verdict)
+    verdict
   }
+
+  /** [[detectDateRendering]] verdicts per (table, index, MDT commit). */
+  private val detectMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Option[DateRendering]]()
 
   /** Canonical index-key rendering of a filter literal for an indexed
     * column of `dt` — the writer's string form of the avro column value
@@ -243,7 +273,7 @@ object SecondaryIndex {
     val (latest, slices) =
       MetadataTable.openPartition(dataTableBase, indexPartition, hadoopConf, asOf)
     if (values.isEmpty) return Map.empty
-    def readFully(p: Path): Array[Byte] = graft.util.ReadFully(p, hadoopConf)
+    def readFully(p: Path): Array[Byte] = IndexIoCache.bytes(p, hadoopConf)
     val range = InstantRange.upTo(latest)
     val prefixes = values.map(v => escape(v) + "$")
     // full index key -> live?
