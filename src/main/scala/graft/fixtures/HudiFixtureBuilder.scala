@@ -72,7 +72,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v20")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v21")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -553,6 +553,16 @@ object HudiFixtureBuilder {
       .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"),
         count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // per-group TRUE string extremes: o_orderpriority entries are TIGHT
+    // (exact extreme values — the index-only MIN/MAX(string) serving
+    // tier), o_orderstatus entries are LOOSE (correct ranges, so they
+    // still prune, but writer-truncation-possible — MIN/MAX must fall
+    // back to a real scan; the negative test pins that)
+    val strRanges = src0.withColumn("__g", grpExpr).groupBy("__g")
+      .agg(min(col("o_orderpriority")).as("pmn"), max(col("o_orderpriority")).as("pmx"),
+        min(col("o_orderstatus")).as("smn"), max(col("o_orderstatus")).as("smx"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
 
     val mdt = new Path(base, ".hoodie/metadata")
     fs.mkdirs(new Path(mdt, ".hoodie"))
@@ -569,14 +579,20 @@ object HudiFixtureBuilder {
       """{"partitionToWriteStats":{},"compacted":false}""")
     val csDir = new Path(mdt, "column_stats")
     fs.mkdirs(csDir)
-    val records = (0 until 4).map { g =>
+    val records = (0 until 4).flatMap { g =>
       val name = s"${fileId(g)}_${Token}_$T1.parquet"
       val (mn, mx, cnt) = ranges(g)
-      f"cs$g%04d" -> columnStatsBytes(f"cs$g%04d", name, "o_orderkey", mn, mx,
-        valueCount = cnt)
+      val (pmn, pmx, smn, smx) = strRanges(g)
+      Seq(
+        f"csa$g%04d" -> columnStatsBytes(f"csa$g%04d", name, "o_orderkey", mn, mx,
+          valueCount = cnt),
+        f"csb$g%04d" -> columnStatsBytes(f"csb$g%04d", name, "o_orderpriority", pmn, pmx,
+          wrapper = "StringWrapper", valueCount = cnt, tight = true),
+        f"csc$g%04d" -> columnStatsBytes(f"csc$g%04d", name, "o_orderstatus", smn, smx,
+          wrapper = "StringWrapper", valueCount = cnt, tight = false))
     }
     val bytes = graft.hfile.HFileWriter.write(
-      records.toIndexedSeq,
+      records.sortBy(_._1).toIndexedSeq,
       Map("schema" -> columnStatsAvroSchema.toString.getBytes("UTF-8")),
       recordsPerBlock = 64)
     val out = fs.create(new Path(csDir, s"col-stats-0000-0_${Token}_$T1.hfile"), true)
@@ -1036,8 +1052,10 @@ object HudiFixtureBuilder {
         |      {"type":"record","name":"LongWrapper","fields":[
         |        {"name":"value","type":"long"}]},
         |      {"type":"record","name":"DateWrapper","fields":[
-        |        {"name":"value","type":{"type":"int","logicalType":"date"}}]}],"default":null},
-        |    {"name":"maxValue","type":["null","LongWrapper","DateWrapper"],"default":null},
+        |        {"name":"value","type":{"type":"int","logicalType":"date"}}]},
+        |      {"type":"record","name":"StringWrapper","fields":[
+        |        {"name":"value","type":"string"}]}],"default":null},
+        |    {"name":"maxValue","type":["null","LongWrapper","DateWrapper","StringWrapper"],"default":null},
         |    {"name":"valueCount","type":["null","long"],"default":null},
         |    {"name":"nullCount","type":["null","long"],"default":null},
         |    {"name":"isDeleted","type":"boolean"},
@@ -1050,17 +1068,23 @@ object HudiFixtureBuilder {
     * convention — see PartitionStatsIndex).
     */
   private def columnStatsBytes(
-      key: String, fileName: String, columnName: String, mn: Long, mx: Long,
+      key: String, fileName: String, columnName: String, mn: Any, mx: Any,
       recType: Int = 3, wrapper: String = "LongWrapper",
-      valueCount: java.lang.Long = null): Array[Byte] = {
+      valueCount: java.lang.Long = null, tight: Boolean = true): Array[Byte] = {
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     val csSchema = columnStatsAvroSchema.getField("ColumnStatsMetadata").schema().getTypes.get(1)
     val wrapSchema = csSchema.getField("minValue").schema().getTypes.asScala
       .find(_.getName == wrapper).get
-    def wrap(v: Long): GenericData.Record = {
+    def wrap(v: Any): GenericData.Record = {
       val w = new GenericData.Record(wrapSchema)
-      // DateWrapper stores epoch-day as avro int; LongWrapper as long
-      w.put("value", if (wrapper == "DateWrapper") Int.box(v.toInt) else Long.box(v))
+      // DateWrapper stores epoch-day as avro int; LongWrapper as long;
+      // StringWrapper the value verbatim
+      w.put("value", (wrapper, v) match {
+        case ("DateWrapper", l: Long) => Int.box(l.toInt)
+        case ("StringWrapper", s: String) => s
+        case (_, l: Long) => Long.box(l)
+        case (_, other) => other.asInstanceOf[AnyRef]
+      })
       w
     }
     val rec = new GenericData.Record(columnStatsAvroSchema)
@@ -1074,7 +1098,7 @@ object HudiFixtureBuilder {
     cs.put("valueCount", valueCount)
     cs.put("nullCount", 0L)
     cs.put("isDeleted", false)
-    cs.put("isTightBound", true)
+    cs.put("isTightBound", tight)
     rec.put("ColumnStatsMetadata", cs)
     val out = new java.io.ByteArrayOutputStream()
     val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)

@@ -934,6 +934,24 @@ object HudiQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(o_orderkey) AS mn,
         |  MAX(o_orderkey) AS mx, MAX(o_totalprice) AS mxp FROM orders""".stripMargin),
 
+    // String MIN/MAX metadata pushdown — INDEX-TIER-ONLY: served from
+    // the column_stats index's TIGHT StringWrapper bounds (exact extreme
+    // values by the isTightBound contract) over every planned file —
+    // zero data read, zero footer reads. Footer chunk statistics and
+    // loose index bounds never serve string extremes (writer truncation
+    // would be a silently wrong answer); DataSourceV2Spec pins both the
+    // LocalScan shape here and the fall-back-to-real-scan on the
+    // loose-bound column of the same fixture.
+    "hudi_minmax_string_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.rangePath(d))
+          .agg(min(col("o_orderpriority")).as("mn_s"),
+            max(col("o_orderpriority")).as("mx_s"), count(col("*")).as("n"))
+      },
+      """SELECT MIN(o_orderpriority) AS mn_s, MAX(o_orderpriority) AS mx_s,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM orders""".stripMargin),
+
     // Date MIN/MAX metadata pushdown: served from the column_stats
     // index's tight DateWrapper (epoch-day) bounds — zero data read,
     // zero footer reads when the index covers every planned file

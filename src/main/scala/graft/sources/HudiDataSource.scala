@@ -258,7 +258,15 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
           hudi.tableSchema.fields.find(_.name == nr.fieldNames()(0)).filter { f =>
             val pv = GraftFooterAggScan.partitionValueServable(hudi, f)
             if (hudi.droppedPartitionFields.contains(f.name)) pv
-            else GraftFooterAggScan.statsMinMaxServable(f.dataType) || pv
+            else GraftFooterAggScan.statsMinMaxServable(f.dataType) || pv ||
+              // strings are INDEX-TIER-ONLY: a tight MDT column_stats
+              // bound IS the exact extreme value, while footer chunk
+              // stats may be writer-truncated — acceptance only needs
+              // the index advertised; tryPlan demands tight typed
+              // coverage of every planned file and never consults
+              // footers for string MIN/MAX
+              (f.dataType == org.apache.spark.sql.types.StringType &&
+                graft.table.ColumnStatsIndex.isAvailable(hudi.config))
           }
         case _ => None
       }
@@ -581,6 +589,12 @@ object GraftFooterAggScan {
         case MinSpec(f) => f.name
         case MaxSpec(f) => f.name
       }.toSet -- partitionValuedMinMax
+      // string MIN/MAX are servable ONLY from tight index bounds (the
+      // exact extremes); footer chunk stats can be writer-truncated, so
+      // any plan needing a string extreme must never fall to the footer
+      // tier — an index coverage gap rejects the whole pushdown instead
+      val stringNeeded: Set[String] = needed.filter(c =>
+        fieldType.get(c).contains(org.apache.spark.sql.types.StringType))
       val statCountCols = countCols -- partitionValuedCount
       val pvFields = partitionValuedMinMax ++ partitionValuedCount
       val partVals: Map[String, Map[String, Any]] =
@@ -640,6 +654,10 @@ object GraftFooterAggScan {
                org.apache.spark.sql.types.TimestampNTZType => v.isInstanceOf[java.lang.Long]
           case _: org.apache.spark.sql.types.DecimalType =>
             v.isInstanceOf[java.math.BigDecimal]
+          // StringWrapper decodes to java String (ColumnStatsIndex
+          // .unwrap); only TIGHT entries reach here, so the bound is the
+          // exact extreme value
+          case org.apache.spark.sql.types.StringType => v.isInstanceOf[String]
           case _ => false
         }
         val minMaxCovered = needed.isEmpty ||
@@ -655,11 +673,21 @@ object GraftFooterAggScan {
         val nullsCovered = statCountCols.isEmpty || files.forall(bf =>
           idxNulls.get(bf.fileName).exists(m => statCountCols.forall(m.contains)))
         if (minMaxCovered && countCovered && nullsCovered)
-          Some(files.map(bf =>
+          Some(files.map { bf =>
+            // string bounds fold and answer in catalyst-internal form:
+            // UTF8String's byte-wise comparison IS Spark's string order
+            // (java String.compareTo diverges on supplementary chars —
+            // UTF-16 code-unit order vs code-point order)
+            def internalize(v: Any): Any = v match {
+              case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              case other => other
+            }
             FileFacts(counts.getOrElse(bf.fileName, 0L),
-              tight.getOrElse(bf.fileName, Map.empty).view.filterKeys(needed).toMap,
+              tight.getOrElse(bf.fileName, Map.empty).view.filterKeys(needed)
+                .mapValues { case (mn, mx) => (internalize(mn), internalize(mx)) }.toMap,
               Set.empty,
-              idxNulls.getOrElse(bf.fileName, Map.empty).view.filterKeys(statCountCols).toMap)))
+              idxNulls.getOrElse(bf.fileName, Map.empty).view.filterKeys(statCountCols).toMap)
+          })
         else None
       }
 
@@ -699,9 +727,12 @@ object GraftFooterAggScan {
         */
       def aggValues(files: Vector[(String, graft.fs.BaseFile)]): Option[Seq[Any]] =
         indexFacts(files.map(_._2))
-          .orElse(soundFooterFacts(graft.util.Parallel.map(files.map(_._2), 16) { bf =>
-            readFacts(bf.path, hudi.hadoopConf, needed, statCountCols)
-          }))
+          .orElse {
+            if (stringNeeded.nonEmpty) None // index-tier-only, never footers
+            else soundFooterFacts(graft.util.Parallel.map(files.map(_._2), 16) { bf =>
+              readFacts(bf.path, hudi.hadoopConf, needed, statCountCols)
+            })
+          }
           .map(facts => foldValues(injectPartitionFacts(facts, files.map(_._1))))
 
       val aggFields = specs.zipWithIndex.map {
@@ -759,6 +790,9 @@ object GraftFooterAggScan {
         val idxByKey: Map[Seq[Any], Option[Seq[FileFacts]]] =
           groups.map { case (k, fs) => k -> indexFacts(fs.map(_._2)) }.toMap
         val uncovered = groups.filter { case (k, _) => idxByKey(k).isEmpty }
+        // string extremes never come from footers: any index-uncovered
+        // group rejects the whole grouped pushdown
+        if (stringNeeded.nonEmpty && uncovered.nonEmpty) return None
         val footerByPath: Map[String, FileFacts] = {
           val files = uncovered.flatMap(_._2.map(_._2))
           graft.util.Parallel.map(files, 16) { bf =>

@@ -478,6 +478,43 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(graft.sources.GraftFooterAggScan.footerReads.get() == b2)
   }
 
+  test("string MIN/MAX serves from TIGHT index bounds only, zero footers") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, max, min}
+    val range = graft.fixtures.HudiFixtureBuilder.rangePath(sfDir)
+    // tight-bound string column (o_orderpriority): index-served, zero
+    // footer reads, exact extremes
+    val before = graft.sources.GraftFooterAggScan.footerReads.get()
+    val agg = spark.read.format("hudi-graft").load(range)
+      .agg(min(col("o_orderpriority")).as("mn"), max(col("o_orderpriority")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"tight string bounds must serve: ${agg.queryExecution.executedPlan}")
+    val exp = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(min(col("o_orderpriority")), max(col("o_orderpriority"))).head
+    val got = agg.collect().head
+    assert(got.getString(0) == exp.getString(0) && got.getString(1) == exp.getString(1))
+    assert(graft.sources.GraftFooterAggScan.footerReads.get() == before,
+      "string MIN/MAX must never open a parquet footer")
+    // LOOSE-bound string column (o_orderstatus): bounds prune but are
+    // not exact extremes — MIN/MAX must fall back to a real scan (and
+    // still answer correctly)
+    val loose = spark.read.format("hudi-graft").load(range)
+      .agg(min(col("o_orderstatus")).as("mn"), max(col("o_orderstatus")).as("mx"))
+    assert(!loose.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"loose string bounds must NOT serve: ${loose.queryExecution.executedPlan}")
+    val lexp = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(min(col("o_orderstatus")), max(col("o_orderstatus"))).head
+    val lgot = loose.collect().head
+    assert(lgot.getString(0) == lexp.getString(0) && lgot.getString(1) == lexp.getString(1))
+    // footer-only table (no column_stats index at all): acceptance
+    // itself refuses string MIN/MAX — real scan
+    val cow = graft.fixtures.HudiFixtureBuilder.cowPath(sfDir)
+    val noIdx = spark.read.format("hudi-graft").load(cow)
+      .agg(max(col("o_orderstatus")).as("mx"))
+    assert(!noIdx.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"footer-only table must NOT serve string MIN/MAX: ${noIdx.queryExecution.executedPlan}")
+  }
+
   test("record-key point predicates plan only the owning file group") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.col

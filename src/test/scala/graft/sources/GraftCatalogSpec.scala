@@ -95,9 +95,14 @@ class GraftCatalogSpec extends SparkTestBase {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val rp = HudiFixtureBuilder.rangePath(sfDir)
     val rows = spark.sql(s"CALL hudi_graft.show_column_stats(table => '$rp')").collect()
-    assert(rows.length == 4) // one o_orderkey range per file group
-    assert(rows.forall(r => r.getString(1) == "o_orderkey" &&
+    // per file group: o_orderkey (tight), o_orderpriority (tight string),
+    // o_orderstatus (LOOSE string — the MIN/MAX-fallback negative)
+    assert(rows.length == 12)
+    val keyRows = rows.filter(_.getString(1) == "o_orderkey")
+    assert(keyRows.length == 4 && keyRows.forall(r =>
       r.getString(2).toLong <= r.getString(3).toLong && r.getBoolean(6)))
+    assert(rows.filter(_.getString(1) == "o_orderpriority").forall(_.getBoolean(6)))
+    assert(rows.filter(_.getString(1) == "o_orderstatus").forall(!_.getBoolean(6)))
     // a table without the index returns an empty result, not an error
     val cow = HudiFixtureBuilder.cowPath(sfDir)
     assert(spark.sql(s"CALL hudi_graft.show_column_stats(table => '$cow')").count() == 0)
