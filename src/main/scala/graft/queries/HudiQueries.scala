@@ -877,6 +877,29 @@ object HudiQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus
         |FROM orders WHERE o_orderkey = 7""".stripMargin),
 
+    // The INCREMENTAL twin — "what happened to key K since T", the CDC
+    // debugging shape: a key-equality filter on an incremental read now
+    // plans only K's owning file group (index tiers applied to the
+    // in-range slice set; previously every touched group was read). A
+    // latest-ended range uses the LIVE indexes — the snapshot branch's
+    // trust; a bounded end applies them as of endTs behind the MDT-sync
+    // gate (this fixture's MDT tip is T1, so end=T3 gate-misses to the
+    // full plan — DataSourceV2Spec pins that fallback plus the
+    // emitDeletes veto). Key 7 is updated at T2, so "since T1" surfaces
+    // exactly its updated row.
+    "hudi_incremental_key_point" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft")
+          .option("query.type", "incremental")
+          .option("start.timestamp", HudiFixtureBuilder.T1)
+          .load(HudiFixtureBuilder.morPath(d))
+          .filter(col("o_orderkey") === 7)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+      },
+      """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus
+        |FROM orders WHERE o_orderkey = 7""".stripMargin),
+
     // Bloom-filter data skipping (MDT bloom_filters — enumerated by the
     // reference, records.rs:115-116, decoded by neither side): the
     // fixture's file groups hold o_orderkey % 4 residue classes, so every

@@ -1037,19 +1037,39 @@ class GraftScan(
     */
   private lazy val slices: Vector[FileSlice] = {
     if (isIncremental) {
-      val planned = endTs.orElse(hudi.timeline.latestCommitTimestamp)
+      val endResolved = endTs.orElse(hudi.timeline.latestCommitTimestamp)
+      val planned0 = endResolved
         .map(e => hudi.fsView.slicesBetween(startTs, e, pruner))
         .getOrElse(Vector.empty)
+      // Index tiers on incremental plans — "what happened to key K since
+      // T", the CDC debugging shape, plans only K's owning file group
+      // instead of every in-range group. Sound because an incremental
+      // plan's slices ARE per-group latest slices as of the read's END
+      // instant, which is exactly the membership the indexes describe:
+      // a latest-ended read uses the live indexes (the snapshot branch's
+      // trust), a bounded read applies the tiers as of endTs behind the
+      // same MDT-sync gate as time travel (a lagging MDT keeps the full
+      // plan). The commit-range row filter stays intact either way.
+      // emitDeletes vetoes all three tiers: a key DELETED in range has
+      // no index entry as of end, so a restriction would plan away the
+      // very tombstone the CDC feed exists to surface.
+      val planned1 =
+        if (planned0.isEmpty || emitDeletes) planned0
+        else if (endTs.isEmpty)
+          bloomRestricted(indexRestricted(keyRestricted(planned0)))
+        else if (endResolved.exists(asOfIndexGate))
+          bloomRestricted(indexRestricted(keyRestricted(planned0, endTs), endTs), endTs)
+        else planned0
       // R2 applies to incremental plans too: footer/index stats describe
       // IMMUTABLE files, so a data-column predicate that disproves a
       // base file skips it at any commit range (the reference prunes
       // only snapshots, read_options.rs:75-80 — this is strictly more).
       // Same base-only safety gate as the snapshot branch.
-      if (planned.forall(s => !s.hasLogFiles && s.baseFile.isDefined) && simpleFilters.nonEmpty) {
+      if (planned1.forall(s => !s.hasLogFiles && s.baseFile.isDefined) && simpleFilters.nonEmpty) {
         val filePruner = new graft.fs.FilePruner(simpleFilters, hudi.tableSchema,
           hudi.hadoopConf, hudi.columnStatsForPruning, hudi.columnStatsZeroNulls)
-        filePruner.filterIncluded(planned)(_.baseFile.get).toVector
-      } else planned
+        filePruner.filterIncluded(planned1)(_.baseFile.get).toVector
+      } else planned1
     } else asOf.orElse(hudi.timeline.latestCommitTimestamp) match {
       case None => Vector.empty
       case Some(ts) =>

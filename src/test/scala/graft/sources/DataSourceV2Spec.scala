@@ -582,6 +582,63 @@ class DataSourceV2Spec extends SparkTestBase {
       gotT2.head.getString(1) == "U")
   }
 
+  test("index tiers restrict incremental plans; emitDeletes and a lagging MDT fall back") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val mor = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
+    def inc(extra: (String, String)*) = {
+      var r = spark.read.format("hudi-graft")
+        .option("query.type", "incremental")
+        .option("start.timestamp", graft.fixtures.HudiFixtureBuilder.T1)
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(mor)
+    }
+    def sliceCount(df: org.apache.spark.sql.DataFrame): Int =
+      "(\\d+) slices".r.findFirstMatchIn(df.queryExecution.executedPlan.toString())
+        .map(_.group(1).toInt).getOrElse(-1)
+    // unrestricted incremental: every in-range file group
+    val full = inc().filter(col("o_custkey") >= 0)
+    val fullSlices = sliceCount(full)
+    assert(fullSlices > 1, s"fixture must touch several groups: $fullSlices")
+    // key-equality on a latest-ended range: record index plans only the
+    // owning group, rows identical to the unrestricted read's filter
+    val point = inc().filter(col("o_orderkey") === 7)
+    assert(sliceCount(point) == 1,
+      s"incremental key point must plan one group: ${point.queryExecution.executedPlan}")
+    val exp = inc().collect().filter(_.getAs[Long]("o_orderkey") == 7L)
+      .map(_.getAs[String]("o_orderstatus")).toSeq
+    assert(point.collect().map(_.getAs[String]("o_orderstatus")).toSeq == exp && exp == Seq("U"))
+    // `_hoodie_record_key` form restricts too
+    val metaPoint = inc().filter(col("_hoodie_record_key") === "7")
+    assert(sliceCount(metaPoint) == 1)
+    assert(metaPoint.count() == 1)
+    // bounded end: the fixture MDT tip is T1 < endTs resolution (T3) ->
+    // the MDT-sync gate misses, full plan, rows still exact
+    val bounded = inc("end.timestamp" -> graft.fixtures.HudiFixtureBuilder.T3)
+      .filter(col("o_orderkey") === 7)
+    assert(sliceCount(bounded) == fullSlices,
+      s"lagging MDT must keep the full incremental plan: ${bounded.queryExecution.executedPlan}")
+    assert(bounded.collect().map(_.getAs[String]("o_orderstatus")).toSeq == Seq("U"))
+    // emitDeletes (the CDC feed): a deleted key has NO index entry as of
+    // end — restriction would plan away its tombstone, so the tiers must
+    // stand down entirely
+    val deletedKey = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") % 97 === 0)
+      .agg(org.apache.spark.sql.functions.min(col("o_orderkey"))).head.getLong(0)
+    val cdc = inc("stream.emit.deletes" -> "true")
+      .filter(col("_hoodie_record_key") === deletedKey.toString)
+    assert(sliceCount(cdc) == fullSlices,
+      s"emitDeletes must veto index restriction: ${cdc.queryExecution.executedPlan}")
+    val tomb = cdc.collect()
+    // tombstone shape: meta key/partition populated, ordering value
+    // carried (o_custkey comes from the delete record), data columns null
+    assert(tomb.length == 1 &&
+      tomb.head.getAs[String]("_hoodie_record_key") == deletedKey.toString &&
+      tomb.head.isNullAt(tomb.head.fieldIndex("o_orderstatus")) &&
+      tomb.head.isNullAt(tomb.head.fieldIndex("o_orderkey")),
+      s"the delete tombstone must survive: ${tomb.toSeq}")
+  }
+
   test("COUNT(col) pushes down via null proofs (absent column + index nullCount)") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import org.apache.spark.sql.functions.{col, count}
