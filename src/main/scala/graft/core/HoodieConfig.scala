@@ -114,6 +114,18 @@ final case class HoodieConfig(props: Map[String, String]) {
     })
   }
 
+  /** Whether a partition-path segment rendering stands in for a NULL
+    * (or, on string columns, empty) value rather than being a value:
+    * the hive sentinel and an empty segment always, bare `default` only
+    * for pre-0.11 writers (table version < 4 — Hudi 0.11+ renders null
+    * partitions as the hive sentinel on EVERY layout, so `default` is
+    * an ordinary value there). Shared by pruning, SHOW PARTITIONS, and
+    * the aggregate pushdown's path-as-value gates.
+    */
+  def isPartitionNullSentinel(v: String): Boolean =
+    v == "__HIVE_DEFAULT_PARTITION__" || v.isEmpty ||
+      (v == "default" && tableVersion < 4)
+
   /** Merge strategy with the reference's defaulting rules
     * (config/table.rs:318-340): APPEND_ONLY when meta fields are not
     * populated or no ordering field, else OVERWRITE_WITH_LATEST.

@@ -48,6 +48,7 @@ object HudiFixtureBuilder {
   def morPath(sfDir: String): String = s"${root(sfDir)}/mor_orders"
   def morLogOnlyPath(sfDir: String): String = s"${root(sfDir)}/mor_log_only"
   def partPath(sfDir: String): String = s"${root(sfDir)}/cow_part_nation"
+  def nullpartPath(sfDir: String): String = s"${root(sfDir)}/cow_nullpart_nation"
   def strpartPath(sfDir: String): String = s"${root(sfDir)}/cow_strpart_region"
   def morInsertOnlyPath(sfDir: String): String = s"${root(sfDir)}/mor_insert_only"
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
@@ -72,7 +73,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v21")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v22")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -146,6 +147,7 @@ object HudiFixtureBuilder {
           buildCowPartStatsOrders(spark, sfDir); own()
           buildCowSecondaryIndexOrders(spark, sfDir); own()
           buildCowPartNation(spark, sfDir); own()
+          buildCowNullpartNation(spark, sfDir); own()
           buildCowStrpartRegion(spark, sfDir); own()
           buildMorInsertOnly(spark, sfDir); own()
           buildCowDroppedNation(spark, sfDir); own()
@@ -1565,6 +1567,62 @@ object HudiFixtureBuilder {
       val partDir = s"n_regionkey=$r"
       val name = s"${fileId(i)}_${Token}_$T1.parquet"
       val df = src.filter(col("n_regionkey") === r).withColumn("__commit", lit(T1))
+      val metaDf = df.select(
+        col("__commit").as("_hoodie_commit_time"),
+        concat(col("__commit"), lit("_0_"), col("n_nationkey")).as("_hoodie_commit_seqno"),
+        col("n_nationkey").cast(StringType).as("_hoodie_record_key"),
+        lit(partDir).as("_hoodie_partition_path"),
+        lit(name).as("_hoodie_file_name"),
+        col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      writeBaseFile(spark, metaDf, new Path(base, partDir), name)
+      (partDir, fileId(i), s"$partDir/$name")
+    }
+    val stats = files.groupBy(_._1).map { case (p, fsz) =>
+      s""""$p":[${fsz.map { case (_, fid, rel) => s"""{"fileId":"$fid","path":"$rel","partitionPath":"$p"}""" }.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    writeText(fs, new Path(base, s".hoodie/$T1.commit"),
+      s"""{"partitionToWriteStats":$stats,"compacted":false}""")
+  }
+
+  // --- COW over nation, hive-style partitioned by the INT n_regionkey,
+  // WITH a null partition: two synthetic rows carry NULL n_regionkey and
+  // land under `n_regionkey=__HIVE_DEFAULT_PARTITION__` (the v4+
+  // rendering on every layout). Exercises null-aware exact pruning:
+  // `WHERE n_regionkey IS NULL` plans exactly the sentinel partition
+  // (and, being an INT column, consumes EXACTLY — a typed sentinel
+  // holds only nulls), `IS NOT NULL` excludes it, and the filtered
+  // aggregate pushdown serves both as zero-task plans.
+  private def buildCowNullpartNation(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(nullpartPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_nullpart_nation
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=n_nationkey
+        |hoodie.table.precombine.field=n_nationkey
+        |hoodie.table.partition.fields=n_regionkey
+        |hoodie.datasource.write.hive_style_partitioning=true
+        |hoodie.datasource.write.partitionpath.urlencode=false
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+      .unionByName(spark.range(2).select(
+        (col("id") + 998).cast(IntegerType).as("n_nationkey"),
+        concat(lit("NULLPART-"), col("id")).as("n_name"),
+        lit(null).cast(IntegerType).as("n_regionkey")))
+    val parts = src.select("n_regionkey").distinct().collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .sortBy(_.getOrElse(Int.MinValue))
+    val files = parts.zipWithIndex.map { case (rOpt, i) =>
+      val partDir = s"n_regionkey=${rOpt.map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")}"
+      val name = s"${fileId(i)}_${Token}_$T1.parquet"
+      val df = (rOpt match {
+        case Some(r) => src.filter(col("n_regionkey") === r)
+        case None => src.filter(col("n_regionkey").isNull)
+      }).withColumn("__commit", lit(T1))
       val metaDf = df.select(
         col("__commit").as("_hoodie_commit_time"),
         concat(col("__commit"), lit("_0_"), col("n_nationkey")).as("_hoodie_commit_seqno"),

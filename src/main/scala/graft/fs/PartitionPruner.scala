@@ -36,12 +36,20 @@ final class PartitionPruner(
     partitionFields: Seq[(String, String)], // (name, typeName: int|long|double|date|string)
     hiveStyle: Boolean,
     urlEncoded: Boolean,
-    filters: Seq[PartitionFilter]
+    filters: Seq[PartitionFilter],
+    // Which segment renderings stand in for NULL (HoodieConfig
+    // .isPartitionNullSentinel). Without a classifier, IS [NOT] NULL
+    // filters fail open and sentinel segments under typed fields fail
+    // the parse — the pre-null-aware behavior (a caller that cannot
+    // name the sentinels must never get exclusion semantics from them).
+    nullSentinel: Option[String => Boolean] = None
 ) extends PartitionInclude {
+  private val isNullSentinel: String => Boolean = nullSentinel.getOrElse(_ => false)
   private val relevant: Seq[PartitionFilter] = {
     val names = partitionFields.map(_._1).toSet
     filters.filter(f => names.contains(f.field))
   }
+  private val typeOf: Map[String, String] = partitionFields.toMap
 
   /** Filters on the raw partition-path string — produced by the
     * timestamp-keygen transform (R3), evaluated lexicographically against
@@ -53,18 +61,22 @@ final class PartitionPruner(
   def isTrivial: Boolean =
     pathFilters.isEmpty && (relevant.isEmpty || partitionFields.isEmpty)
 
-  /** Whether the partition at `path` can contain matching rows. */
+  /** Whether the partition at `path` can contain matching rows. The
+    * parse keeps null-sentinel segments as RAW strings (so a sentinel
+    * under a typed field no longer voids the whole parse), and
+    * [[evaluate]] gives them exact null semantics.
+    */
   def shouldInclude(path: String): Boolean = {
     if (isTrivial) return true
-    if (!pathFilters.forall(evaluate(path, _))) return false
+    if (!pathFilters.forall(evaluate(path, "string", _))) return false
     if (relevant.isEmpty || partitionFields.isEmpty) return true
-    parseSegments(path) match {
+    parseWith(path, isNullSentinel) match {
       case None => true // fail open, like partition.rs parse-error handling
       case Some(values) =>
         relevant.forall { f =>
           values.get(f.field) match {
             case None => true
-            case Some(v) => evaluate(v, f)
+            case Some(v) => evaluate(v, typeOf.getOrElse(f.field, "string"), f)
           }
         }
     }
@@ -152,24 +164,58 @@ final class PartitionPruner(
     case _ => None
   }
 
-  /** Per-op evaluation; unknown comparisons fail open. */
-  private def evaluate(v: Any, f: PartitionFilter): Boolean = {
-    def one(op: String, lit: String): Boolean = cmp(v, lit) match {
-      case None => true
-      case Some(c) => op match {
-        case "=" => c == 0
-        case "!=" => c != 0
-        case "<" => c < 0
-        case "<=" => c <= 0
-        case ">" => c > 0
-        case ">=" => c >= 0
-        case _ => true
+  /** Per-op evaluation with exact null-sentinel semantics; unknown
+    * comparisons fail open.
+    *
+    * A sentinel segment stands for rows whose column is NULL — or, on a
+    * STRING column, empty (Hudi's escapePathName renders both the
+    * same). So for typed fields a sentinel partition satisfies ONLY
+    * `IS NULL` (null matches no comparison, and `NOT IN` over null is
+    * NULL → filtered); for string fields its non-null rows are exactly
+    * `""`, so comparisons evaluate against the empty string (this also
+    * closes the `col = ''` leak: the sentinel partition HOLDS the
+    * empty-string rows and must stay planned for that predicate) and
+    * both `IS NULL` and `IS NOT NULL` keep it. A parsed NON-sentinel
+    * value proves every row non-null: `IS NULL` excludes the partition
+    * outright.
+    */
+  private def evaluate(v: Any, tpe: String, f: PartitionFilter): Boolean = {
+    def compare(value: Any): Boolean = {
+      def one(op: String, lit: String): Boolean = cmp(value, lit) match {
+        case None => true
+        case Some(c) => op match {
+          case "=" => c == 0
+          case "!=" => c != 0
+          case "<" => c < 0
+          case "<=" => c <= 0
+          case ">" => c > 0
+          case ">=" => c >= 0
+          case _ => true
+        }
+      }
+      f.op match {
+        case "in" => f.values.exists(lit => cmp(value, lit).contains(0))
+        case "not in" => !f.values.exists(lit => cmp(value, lit).contains(0))
+        case op => f.values.headOption.forall(one(op, _))
       }
     }
-    f.op match {
-      case "in" => f.values.exists(lit => cmp(v, lit).contains(0))
-      case "not in" => !f.values.exists(lit => cmp(v, lit).contains(0))
-      case op => f.values.headOption.forall(one(op, _))
+    v match {
+      case s: String if isNullSentinel(s) =>
+        f.op match {
+          case "isnull" => true
+          case "isnotnull" => tpe == "string" // may hold "" rows
+          case _ if tpe != "string" => false // rows are NULL: nothing compares
+          case _ => compare("") // rows are NULL or "": "" decides
+        }
+      case _ =>
+        f.op match {
+          // exclusion from a parsed value is only sound when the
+          // sentinels are KNOWN (else this value might itself be an
+          // unrecognized sentinel) — without a classifier, fail open
+          case "isnull" => nullSentinel.isEmpty
+          case "isnotnull" => true
+          case _ => compare(v)
+        }
     }
   }
 }

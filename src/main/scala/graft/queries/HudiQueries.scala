@@ -831,6 +831,51 @@ object HudiQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(r_name) AS mn, MAX(r_name) AS mx
         |FROM region WHERE r_name = (SELECT MIN(r_name) FROM region)""".stripMargin),
 
+    // Null-aware exact pruning (the IS NULL surface): the nullpart
+    // fixture renders its two NULL-n_regionkey rows under the hive
+    // sentinel directory, and `WHERE n_regionkey IS NULL` plans exactly
+    // that partition. On an INT partition column the sentinel holds
+    // ONLY nulls, so the predicate is consumed EXACTLY (no residual —
+    // plan-shape + zero-task aggregate twins in DataSourceV2Spec). The
+    // synthetic rows are deterministic, so the oracle is a VALUES
+    // literal at any scale factor.
+    "hudi_isnull_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.nullpartPath(d))
+          .filter(col("n_regionkey").isNull)
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .orderBy("n_nationkey")
+      },
+      """SELECT * FROM (VALUES
+        |  (998, 'NULLPART-0', CAST(NULL AS INTEGER)),
+        |  (999, 'NULLPART-1', CAST(NULL AS INTEGER)))
+        |AS t(n_nationkey, n_name, n_regionkey) ORDER BY n_nationkey""".stripMargin),
+
+    // ...and the zero-task aggregate over the null partition:
+    // `COUNT(*) WHERE dt IS NULL` is pure metadata (the sentinel
+    // partition's footer row counts; COUNT(n_regionkey) proves 0 from
+    // per-chunk null counts), the IS NOT NULL twin the complement.
+    "hudi_isnull_count_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.nullpartPath(d))
+          .filter(col("n_regionkey").isNull)
+          .agg(count(col("*")).as("n"), count(col("n_regionkey")).as("nc"))
+      },
+      "SELECT CAST(2 AS BIGINT) AS n, CAST(0 AS BIGINT) AS nc"),
+
+    "hudi_isnotnull_count_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.nullpartPath(d))
+          .filter(col("n_regionkey").isNotNull)
+          .agg(count(col("*")).as("n"), min(col("n_regionkey")).as("mn"),
+            max(col("n_regionkey")).as("mx"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(n_regionkey) AS mn,
+        |  MAX(n_regionkey) AS mx FROM nation""".stripMargin),
+
     // Record-index POINT read: `_hoodie_record_key = '7'` resolves to
     // the ONE owning file group through the record index (key 7 is
     // log-updated, so the restricted plan still merges); plan-shape

@@ -218,7 +218,10 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
     }.toSet
     val filtersConsumed = pushed.isEmpty || (exactPruningReady && pushed.forall {
       case f if isExactPartitionEquality(f) => true
-      case sources.IsNotNull(a) => exactFields.contains(a)
+      case sources.IsNotNull(a) =>
+        exactFields.contains(a) || isExactPartitionNullPredicate(a)
+      // `COUNT(*) WHERE dt IS NULL` = the sentinel partitions' metadata
+      case sources.IsNull(a) => isExactPartitionNullPredicate(a)
       case _ => false
     })
     // no MOR-wide reject here: tryPlan verifies the PLANNED slices are
@@ -229,7 +232,12 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
         Option(options.get("query.type")).exists(_.equalsIgnoreCase("incremental")))
       return None
     val aggPartitionFilters: Seq[PartitionFilter] =
-      pushed.toSeq.filter(isExactPartitionEquality).flatMap(toSimpleFilter)
+      pushed.toSeq.filter {
+        case f if isExactPartitionEquality(f) => true
+        case sources.IsNull(a) => isExactPartitionNullPredicate(a)
+        case sources.IsNotNull(a) => isExactPartitionNullPredicate(a)
+        case _ => false
+      }.flatMap(toSimpleFilter)
     // GROUP BY is served ONLY when every grouping expression is a bare
     // partition column: the group values then come from parsed partition
     // paths and the plan stays metadata-only, one row per partition
@@ -307,7 +315,11 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
   /** Partition fields whose equality filters pruning handles EXACTLY:
     * requires no timestamp-keygen rewrite and that every partition path
     * parses with the field present (the pruner fails open on parse errors,
-    * which would leak rows if the residual were dropped).
+    * which would leak rows if the residual were dropped). The parse is
+    * NULL-AWARE: a sentinel segment counts as parsed (the pruner gives
+    * it exact null semantics), so a table WITH a null partition still
+    * qualifies — both for equality consumption (the sentinel partition
+    * is exactly excluded) and for IS [NOT] NULL consumption.
     */
   private lazy val exactPruningReady: Boolean =
     hudi.config.partitionFields.nonEmpty &&
@@ -315,9 +327,21 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
         val pruner = hudi.prunerFor(Nil)
         val fields = hudi.config.partitionFields.toSet
         try hudi.fsView.partitionPaths.forall(p =>
-          pruner.parseSegments(p).exists(m => fields.forall(m.contains)))
+          pruner.parseSegmentsNullable(p, hudi.config.isPartitionNullSentinel)
+            .exists(m => fields.forall(m.contains)))
         catch { case _: Exception => false }
       }
+
+  /** Whether `IS NULL` / `IS NOT NULL` on partition field `a` is
+    * EXACTLY consumed by pruning: non-string types only — a sentinel
+    * partition holds NULL rows for a typed column, but for a STRING
+    * column it may also hold empty-string rows (Hudi renders both the
+    * same), so string null predicates prune inclusively and keep the
+    * residual.
+    */
+  private def isExactPartitionNullPredicate(a: String): Boolean =
+    hudi.config.partitionFields.contains(a) && exactPruningReady &&
+      partitionType(a) != "string"
 
   private def partitionType(field: String): String =
     hudi.partitionFieldTypes.collectFirst { case (`field`, t) => t }.getOrElse("string")
@@ -359,8 +383,14 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       filters.filterNot {
         case f if isExactPartitionEquality(f) => true
         // the analyzer's companion null guard: implied by an exact
-        // equality on the same field (surviving partitions parsed a value)
-        case sources.IsNotNull(a) => exactFields.contains(a)
+        // equality on the same field (surviving partitions parsed a
+        // value) — and standalone on non-string partition fields, where
+        // pruning excludes exactly the sentinel partitions
+        case sources.IsNotNull(a) =>
+          exactFields.contains(a) || isExactPartitionNullPredicate(a)
+        // `WHERE dt IS NULL` maps exactly to the sentinel partitions on
+        // non-string typed fields (a typed sentinel holds ONLY nulls)
+        case sources.IsNull(a) => isExactPartitionNullPredicate(a)
         case _ => false
       }
     }
@@ -429,9 +459,7 @@ object GraftScanBuilder {
     * the hive sentinel itself stays refused everywhere.
     */
   def isPartitionNullSentinel(v: Any, cfg: graft.core.HoodieConfig): Boolean = v match {
-    case s: String =>
-      s == "__HIVE_DEFAULT_PARTITION__" || s.isEmpty ||
-        (s == "default" && cfg.tableVersion < 4)
+    case s: String => cfg.isPartitionNullSentinel(s)
     case _ => false
   }
 }

@@ -286,7 +286,11 @@ final class HudiTable(
       case None => filters0
     }
     new PartitionPruner(partitionFieldTypes, config.isHiveStylePartitioning,
-      config.isPartitionPathUrlencoded, filters)
+      config.isPartitionPathUrlencoded, filters,
+      // null-aware: IS [NOT] NULL filters prune exactly against the
+      // writer's null-partition sentinels, and a sentinel under a typed
+      // field no longer voids the rest of the parse
+      nullSentinel = Some(config.isPartitionNullSentinel))
   }
 
   /** The full planning pruner: path-value pruning (R1) layered with MDT

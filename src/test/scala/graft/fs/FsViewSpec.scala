@@ -66,4 +66,42 @@ class FsViewSpec extends AnyFunSuite {
       Seq("d" -> "date"), hiveStyle = false, urlEncoded = false, Nil)
     assert(np.parseSegmentsNullable("default", sentinel) == Some(Map("d" -> "default")))
   }
+
+  test("null-aware pruning: sentinel semantics by op and type") {
+    val sentinel: String => Boolean = s => s == "__HIVE_DEFAULT_PARTITION__"
+    def pruner(tpe: String, f: PartitionFilter) = new PartitionPruner(
+      Seq("k" -> tpe), hiveStyle = true, urlEncoded = false, Seq(f),
+      nullSentinel = Some(sentinel))
+    val sent = "k=__HIVE_DEFAULT_PARTITION__"
+    // TYPED field: the sentinel partition holds ONLY nulls — kept for
+    // IS NULL, excluded for IS NOT NULL and every comparison
+    assert(pruner("int", PartitionFilter("k", "isnull", Nil)).shouldInclude(sent))
+    assert(!pruner("int", PartitionFilter("k", "isnull", Nil)).shouldInclude("k=3"))
+    assert(!pruner("int", PartitionFilter("k", "isnotnull", Nil)).shouldInclude(sent))
+    assert(pruner("int", PartitionFilter("k", "isnotnull", Nil)).shouldInclude("k=3"))
+    assert(!pruner("int", PartitionFilter("k", "=", Seq("3"))).shouldInclude(sent))
+    assert(!pruner("int", PartitionFilter("k", "<", Seq("3"))).shouldInclude(sent))
+    // STRING field: the sentinel may also hold EMPTY-string rows —
+    // IS NOT NULL keeps it, and comparisons evaluate against "" (the
+    // `col = ''` partition must stay planned; `col = 'x'` prunes it)
+    assert(pruner("string", PartitionFilter("k", "isnull", Nil)).shouldInclude(sent))
+    assert(pruner("string", PartitionFilter("k", "isnotnull", Nil)).shouldInclude(sent))
+    assert(pruner("string", PartitionFilter("k", "=", Seq(""))).shouldInclude(sent))
+    assert(!pruner("string", PartitionFilter("k", "=", Seq("x"))).shouldInclude(sent))
+    assert(pruner("string", PartitionFilter("k", "<", Seq("x"))).shouldInclude(sent))
+    // version semantics: for a v4+ table 'default' is NOT a sentinel —
+    // a real `k=default` partition is excluded by IS NULL (its rows all
+    // carry the value 'default'); pre-v4 classifiers include it
+    val v6Like: String => Boolean = s => s == "__HIVE_DEFAULT_PARTITION__" || s.isEmpty
+    val v3Like: String => Boolean = s => v6Like(s) || s == "default"
+    def strPruner(cls: String => Boolean) = new PartitionPruner(
+      Seq("k" -> "string"), hiveStyle = true, urlEncoded = false,
+      Seq(PartitionFilter("k", "isnull", Nil)), nullSentinel = Some(cls))
+    assert(!strPruner(v6Like).shouldInclude("k=default"))
+    assert(strPruner(v3Like).shouldInclude("k=default"))
+    // without a classifier, IS NULL fails open (legacy callers)
+    val legacy = new PartitionPruner(Seq("k" -> "string"), hiveStyle = true,
+      urlEncoded = false, Seq(PartitionFilter("k", "isnull", Nil)))
+    assert(legacy.shouldInclude("k=anything"))
+  }
 }

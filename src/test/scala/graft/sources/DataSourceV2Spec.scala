@@ -742,6 +742,54 @@ class DataSourceV2Spec extends SparkTestBase {
       ur.getLong(2) == region.count())
   }
 
+  test("IS NULL on a typed partition column: exact pruning, zero-task aggregates") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, count}
+    val np = graft.fixtures.HudiFixtureBuilder.nullpartPath(sfDir)
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString()
+    // pruning: exactly the sentinel partition, and the predicate is
+    // consumed EXACTLY (typed sentinel holds only nulls → no residual)
+    val isNull = spark.read.format("hudi-graft").load(np)
+      .filter(col("n_regionkey").isNull)
+    assert(planOf(isNull).contains("1 slices"), s"IS NULL must plan 1 slice: ${planOf(isNull)}")
+    assert(!planOf(isNull).contains("Filter isnull"),
+      s"IS NULL must be consumed exactly, no residual: ${planOf(isNull)}")
+    assert(isNull.count() == 2)
+    // the complement: sentinel partition excluded, residual dropped
+    val notNull = spark.read.format("hudi-graft").load(np)
+      .filter(col("n_regionkey").isNotNull)
+    assert(notNull.count() == spark.read.parquet(s"$sfDir/nation.parquet").count())
+    assert(!planOf(notNull).contains("isnotnull(n_regionkey"),
+      s"IS NOT NULL must be consumed exactly: ${planOf(notNull)}")
+    // zero-task aggregates over the null partition (LocalTableScan)
+    val agg = spark.read.format("hudi-graft").load(np)
+      .filter(col("n_regionkey").isNull)
+      .agg(count(col("*")).as("n"), count(col("n_regionkey")).as("nc"))
+    assert(planOf(agg).contains("LocalTableScan"),
+      s"COUNT(*) WHERE IS NULL must be metadata-only: ${planOf(agg)}")
+    val row = agg.head
+    assert(row.getLong(0) == 2 && row.getLong(1) == 0)
+    // equality consumption still works on the sentinel-bearing table
+    // (null-aware readiness): the sentinel partition is exactly excluded
+    val eq = spark.read.format("hudi-graft").load(np)
+      .filter(col("n_regionkey") === 2).agg(count(col("*")).as("n"))
+    assert(planOf(eq).contains("LocalTableScan"), s"filtered count must push: ${planOf(eq)}")
+    assert(eq.head.getLong(0) ==
+      spark.read.parquet(s"$sfDir/nation.parquet").filter(col("n_regionkey") === 2).count())
+    // STRING partition column: IS NULL prunes inclusively (sentinel may
+    // hold empty strings too) but must KEEP the residual and not push
+    val sp = graft.fixtures.HudiFixtureBuilder.strpartPath(sfDir)
+    val strNull = spark.read.format("hudi-graft").load(sp).filter(col("r_name").isNull)
+    assert(planOf(strNull).contains("1 slices"),
+      s"string IS NULL must prune to the sentinel partition: ${planOf(strNull)}")
+    assert(strNull.count() == 1) // the synthetic r_regionkey=99 row
+    val strAgg = spark.read.format("hudi-graft").load(sp)
+      .filter(col("r_name").isNull).agg(count(col("*")).as("n"))
+    assert(!planOf(strAgg).contains("LocalTableScan"),
+      s"string IS NULL must not push aggregates: ${planOf(strAgg)}")
+    assert(strAgg.head.getLong(0) == 1)
+  }
+
   test("null-partition 'default' sentinel is version-gated, layout-blind") {
     import graft.sources.GraftScanBuilder.isPartitionNullSentinel
     def cfg(v: String, hive: Boolean) = graft.core.HoodieConfig(Map(
