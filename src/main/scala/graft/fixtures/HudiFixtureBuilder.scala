@@ -73,7 +73,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v22")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v23")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -827,16 +827,27 @@ object HudiFixtureBuilder {
     fs.mkdirs(new Path(base, ".hoodie"))
     writeProperties(fs, base, "cow_sidx_orders", "COPY_ON_WRITE", None, hiveStyle = false,
       extraProps = "hoodie.table.metadata.partitions=" +
-        "record_index,secondary_index_status_idx,secondary_index_cust_idx\n")
+        "record_index,secondary_index_status_idx,secondary_index_cust_idx," +
+        "secondary_index_dec_idx\n")
     writeText(fs, new Path(base, ".hoodie/.index_defs/index.json"),
       """{"indexDefinitions":{"secondary_index_status_idx":{
         |"indexName":"secondary_index_status_idx","indexType":"secondary_index",
         |"indexFunction":"identity","sourceFields":["o_orderstatus"],"indexOptions":{}},
         |"secondary_index_cust_idx":{
         |"indexName":"secondary_index_cust_idx","indexType":"secondary_index",
-        |"indexFunction":"identity","sourceFields":["o_custkey"],"indexOptions":{}}}}
+        |"indexFunction":"identity","sourceFields":["o_custkey"],"indexOptions":{}},
+        |"secondary_index_dec_idx":{
+        |"indexName":"secondary_index_dec_idx","indexType":"secondary_index",
+        |"indexFunction":"identity","sourceFields":["o_decprice"],"indexOptions":{}}}}
         |""".stripMargin.replaceAll("\n", ""))
-    val src0 = orders(spark, sfDir)
+    // a DECIMAL(14,2) column derived integer-exactly from the key (a
+    // string-parse cast, no float rounding — the same value is
+    // reproducible in DuckDB for the oracle): carries real cents, so
+    // the scale-2 rendering 'X.YZ' with trailing zeros is exercised
+    val src0 = orders(spark, sfDir).withColumn("o_decprice",
+      concat(col("o_orderkey"), lit("."),
+        lpad((col("o_orderkey") % 97).cast("string"), 2, "0"))
+        .cast(org.apache.spark.sql.types.DecimalType(14, 2)))
     val src = src0.withColumn("__part", lit(""))
     val statuses = src0.select("o_orderstatus").distinct()
       .collect().map(_.getString(0)).sorted
@@ -922,6 +933,29 @@ object HudiFixtureBuilder {
       new Path(ciDir, s"secondary-index-cust-idx-0000-0_${Token}_$T1.hfile"), true)
     ciOut.write(ciBytes)
     ciOut.close()
+
+    // a THIRD index on the DECIMAL(14,2) o_decprice — keys are the
+    // converted-avro BigDecimal `toString` at the column's fixed scale
+    // ("7.07", trailing zeros kept), the rendering detectDecimalScale
+    // must recover from the entries before any probe
+    val keyDec = src0.select("o_orderkey", "o_decprice").collect()
+      .map(r => (r.getLong(0).toString, r.getDecimal(1)))
+    val dcDir = new Path(mdt, "secondary_index_dec_idx")
+    fs.mkdirs(dcDir)
+    val dcRecords = keyDec
+      .map { case (k, bd) =>
+        val key = s"${esc(bd.toPlainString)}$$${esc(k)}"
+        key -> secondaryIndexBytes(key)
+      }
+      .sortBy(_._1).toIndexedSeq
+    val dcBytes = graft.hfile.HFileWriter.write(
+      dcRecords,
+      Map("schema" -> secondaryIndexAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val dcOut = fs.create(
+      new Path(dcDir, s"secondary-index-dec-idx-0000-0_${Token}_$T1.hfile"), true)
+    dcOut.write(dcBytes)
+    dcOut.close()
   }
 
   /** HoodieMetadataRecord with the `SecondaryIndexMetadata` branch (type

@@ -32,6 +32,9 @@ object SparkToAvro {
         case DateType =>
           org.apache.avro.LogicalTypes.date()
             .addToSchema(AvroSchema.create(AvroSchema.Type.INT))
+        case dt: DecimalType =>
+          org.apache.avro.LogicalTypes.decimal(dt.precision, dt.scale)
+            .addToSchema(AvroSchema.create(AvroSchema.Type.BYTES))
         case other => throw new IllegalArgumentException(s"Fixture writer: unsupported type $other")
       }
       new AvroSchema.Field(f.name,
@@ -54,6 +57,11 @@ object SparkToAvro {
         case ld: java.time.LocalDate => ld.toEpochDay.toInt
         case s: Short => s.toInt
         case b: Byte => b.toInt
+        case bd: java.math.BigDecimal =>
+          // unscaled two's-complement bytes at the DECLARED scale — the
+          // avro decimal(p,s) wire form AvroConvert reads back
+          val scale = f.dataType.asInstanceOf[DecimalType].scale
+          java.nio.ByteBuffer.wrap(bd.setScale(scale).unscaledValue.toByteArray)
         case other => other
       }
       rec.put(f.name, v)

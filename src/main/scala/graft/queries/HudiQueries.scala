@@ -731,6 +731,29 @@ object HudiQueries {
         |WHERE CAST(o_orderdate AS DATE) = (SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // DECIMAL-typed secondary index at oracle level: the fixture's
+    // secondary_index_dec_idx keys are the converted-avro BigDecimal
+    // rendering at the column's fixed scale ("7.07", trailing zeros),
+    // so the planner must detect the SCALE from sampled entries
+    // (SecondaryIndex.detectDecimalScale — the date-detection pattern
+    // generalized) and rescale the literal exactly before probing; a
+    // wrong scale would plan EMPTY and lose the row. o_decprice is
+    // derived integer-exactly from o_orderkey (key + key%97 cents), so
+    // the oracle selects the same row through the key.
+    "hudi_secondary_decimal_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val k = Tables.orders(s, d).agg(min(col("o_orderkey"))).head.getLong(0)
+        val dec = new java.math.BigDecimal(f"$k%d.${k % 97}%02d")
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.sidxPath(d))
+          .filter(col("o_decprice") === dec)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // --- Inspection surface (the reference's get_file_slices /
     // get_timeline, table/mod.rs:441/422) at oracle level: the planned
     // slices and completed instants of the deterministic fixtures match

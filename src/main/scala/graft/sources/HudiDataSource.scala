@@ -955,18 +955,21 @@ object GraftScan {
 
   /** Secondary-index planning covers exactly the types
     * [[graft.table.SecondaryIndex.renderLiteral]] canonicalizes
-    * (string, integrals, date): the index key is the writer's string
-    * rendering of the indexed value, and a rendering mismatch returns an
-    * EMPTY plan — not fail-open — so every other type (double "1.0" vs
-    * "1", decimal scales, timestamp zones) stays on the full plan. Date
-    * literals additionally require the index's own rendering to be
-    * DETECTED from sampled entries (ISO vs epoch-day is writer-dependent;
-    * SecondaryIndex.detectDateRendering) — undetectable fails open.
+    * (string, integrals, date, decimal): the index key is the writer's
+    * string rendering of the indexed value, and a rendering mismatch
+    * returns an EMPTY plan — not fail-open — so every other type
+    * (double "1.0" vs "1", timestamp zones) stays on the full plan.
+    * Date and decimal literals additionally require the index's OWN
+    * rendering to be DETECTED from sampled entries (ISO vs epoch-day,
+    * the decimal scale — both writer-dependent;
+    * SecondaryIndex.detect{DateRendering,DecimalScale}) — undetectable
+    * fails open.
     */
   def secondaryIndexEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
       case StringType | IntegerType | LongType | ShortType | ByteType | DateType => true
+      case _: DecimalType => true
       case _ => false
     }
   }
@@ -1199,9 +1202,17 @@ class GraftScan(
                 graft.table.SecondaryIndex.detectDateRendering(
                   hudi.basePath, idx, hudi.hadoopConf, tierAsOf)
               else None
+            // decimal keys render at the writer's fixed scale — detect
+            // it the same way (sample the index's own entries, demand
+            // unanimity); undetectable drops this predicate's tier
+            val decimalScale =
+              if (dt.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+                graft.table.SecondaryIndex.detectDecimalScale(
+                  hudi.basePath, idx, hudi.hadoopConf, tierAsOf)
+              else None
             val rendered = f.values.indices.map(i =>
               graft.table.SecondaryIndex.renderLiteral(
-                dt, f.values(i), f.typed.lift(i), dateRendering))
+                dt, f.values(i), f.typed.lift(i), dateRendering, decimalScale))
             if (rendered.exists(_.isEmpty)) None
             else {
               val vals = rendered.flatten

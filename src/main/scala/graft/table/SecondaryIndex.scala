@@ -132,24 +132,26 @@ object SecondaryIndex {
     else None
   }
 
-  /** Detect the date-key rendering of `indexPartition` by sampling entry
-    * keys from its file slices (base HFiles, then HFile log blocks for
-    * base-less slices) — one bounded MDT file read on the rare
-    * date-indexed-predicate planning path. Throws on structural
-    * problems; callers catch and keep the full plan.
+  /** Sample the SECONDARY-VALUE parts of `indexPartition`'s entry keys
+    * (base HFiles, then HFile log blocks for base-less slices) and
+    * classify them — the shared walk behind the per-type rendering
+    * detectors. One bounded MDT file read (byte-cached) on the rare
+    * detection path; verdicts memoized per (table, index, MDT commit),
+    * so an MDT commit advance naturally re-detects while repeat plans
+    * pay nothing. Throws on structural problems; callers catch and keep
+    * the full plan.
     */
-  def detectDateRendering(
+  private def detectRendering[T](
       dataTableBase: String,
       indexPartition: String,
       hadoopConf: Configuration,
-      asOf: Option[String] = None): Option[DateRendering] = {
+      asOf: Option[String],
+      memo: java.util.concurrent.ConcurrentHashMap[(String, String, String), Option[T]])(
+      classify: Iterator[String] => Option[T]): Option[T] = {
     val (latest, slices) =
       MetadataTable.openPartition(dataTableBase, indexPartition, hadoopConf, asOf)
-    // verdict memo: the rendering of a CONCRETE index state is a fact —
-    // keyed by the MDT commit the probe resolved to, so an MDT commit
-    // advance naturally re-detects while repeat plans pay nothing
     val memoKey = (dataTableBase, indexPartition, latest)
-    val memoized = detectMemo.get(memoKey)
+    val memoized = memo.get(memoKey)
     if (memoized != null) return memoized
     val range = InstantRange.upTo(latest)
     def readFully(p: Path): Array[Byte] = IndexIoCache.bytes(p, hadoopConf)
@@ -163,14 +165,70 @@ object SecondaryIndex {
             .flatMap(b => new HFileReader(b.rawContent).records.map(_.key))
         }
     }
-    val verdict = classifyDateKeys(keys.flatMap(k => splitKey(k).map(_._1)))
-    detectMemo.put(memoKey, verdict)
+    val verdict = classify(keys.flatMap(k => splitKey(k).map(_._1)))
+    memo.put(memoKey, verdict)
     verdict
   }
 
+  /** Detect the date-key rendering of `indexPartition` from its own
+    * entries (see [[DateRendering]]).
+    */
+  def detectDateRendering(
+      dataTableBase: String,
+      indexPartition: String,
+      hadoopConf: Configuration,
+      asOf: Option[String] = None): Option[DateRendering] =
+    detectRendering(dataTableBase, indexPartition, hadoopConf, asOf, dateMemo)(
+      classifyDateKeys(_))
+
   /** [[detectDateRendering]] verdicts per (table, index, MDT commit). */
-  private val detectMemo =
+  private val dateMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Option[DateRendering]]()
+
+  /** Detect the SCALE of a decimal-indexed column's key rendering from
+    * the index's own entries — the [[detectDateRendering]] pattern
+    * generalized: an avro decimal logical type surfaces as a converted
+    * `java.math.BigDecimal` (rendering `toString` at the column's fixed
+    * scale, e.g. `123.40`) or as raw unconverted bytes (an unusable
+    * ByteBuffer rendering) depending on the writer's datum model, and a
+    * wrong scale guess (`123.4` probing an index of `123.40` keys)
+    * would plan EMPTY — silent row loss. Unanimity over the sample is
+    * demanded; anything unparseable, scientific-notation, negative-
+    * scale, or mixed-scale fails open to the full plan.
+    */
+  def detectDecimalScale(
+      dataTableBase: String,
+      indexPartition: String,
+      hadoopConf: Configuration,
+      asOf: Option[String] = None): Option[Int] =
+    detectRendering(dataTableBase, indexPartition, hadoopConf, asOf, decimalMemo)(
+      classifyDecimalKeys(_))
+
+  /** [[detectDecimalScale]] verdicts per (table, index, MDT commit). */
+  private val decimalMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Option[Int]]()
+
+  /** Classify sampled decimal key parts: every sample must round-trip
+    * through BigDecimal EXACTLY (`toString == toPlainString == sample` —
+    * excludes scientific notation and any rendering surprise) with one
+    * unanimous non-negative scale; empty/mixed/unparseable → None.
+    */
+  def classifyDecimalKeys(parts: Iterator[String], maxSample: Int = 16): Option[Int] = {
+    val sampled = parts.filter(_.nonEmpty).take(maxSample).toVector
+    if (sampled.isEmpty) return None
+    val scales = sampled.map { s =>
+      try {
+        val bd = new java.math.BigDecimal(s)
+        if (bd.scale >= 0 && bd.toString == s && bd.toPlainString == s) Some(bd.scale)
+        else None
+      } catch { case _: NumberFormatException => None }
+    }
+    if (scales.exists(_.isEmpty)) None
+    else scales.flatten.distinct match {
+      case Vector(one) => Some(one)
+      case _ => None
+    }
+  }
 
   /** Canonical index-key rendering of a filter literal for an indexed
     * column of `dt` — the writer's string form of the avro column value
@@ -182,16 +240,21 @@ object SecondaryIndex {
     *    scientific forms exist for integrals);
     *  - date: writer-dependent (ISO LocalDate vs raw epoch-day int — see
     *    [[DateRendering]]), so the caller must pass the rendering it
-    *    DETECTED from the index's own entries; None without one.
-    * None for anything else (double "1.0" vs "1", decimal scales,
-    * timestamp zones — a rendering mismatch would plan EMPTY, which is
-    * not fail-open, so unsupported types never reach the index).
+    *    DETECTED from the index's own entries; None without one;
+    *  - decimal: the scale is detected from the index's own entries
+    *    ([[detectDecimalScale]]) — the literal rescales EXACTLY to it
+    *    and renders `toPlainString`; a lossy rescale (more precision
+    *    than the index carries) or no detected scale → None.
+    * None for anything else (double "1.0" vs "1", timestamp zones — a
+    * rendering mismatch would plan EMPTY, which is not fail-open, so
+    * unsupported types never reach the index).
     */
   def renderLiteral(
       dt: org.apache.spark.sql.types.DataType,
       raw: String,
       typed: Option[Any],
-      dateRendering: Option[DateRendering] = None): Option[String] = {
+      dateRendering: Option[DateRendering] = None,
+      decimalScale: Option[Int] = None): Option[String] = {
     import org.apache.spark.sql.types._
     dt match {
       case StringType => Some(raw)
@@ -211,6 +274,22 @@ object SecondaryIndex {
           case IsoDateRendering => localDate.map(_.toString)
           case EpochDayRendering => localDate.map(d => String.valueOf(d.toEpochDay))
         }
+      case _: DecimalType =>
+        val bd: Option[java.math.BigDecimal] = typed match {
+          case Some(b: java.math.BigDecimal) => Some(b)
+          case Some(d: org.apache.spark.sql.types.Decimal) => Some(d.toJavaBigDecimal)
+          case _ =>
+            try Some(new java.math.BigDecimal(raw))
+            catch { case _: NumberFormatException => None }
+        }
+        decimalScale.flatMap(sc => bd.flatMap { b =>
+          try {
+            val rendered = b.setScale(sc).toPlainString
+            // the rendering must be one classifyDecimalKeys would have
+            // accepted, or it provably differs from every stored key
+            if (classifyDecimalKeys(Iterator(rendered)).contains(sc)) Some(rendered) else None
+          } catch { case _: ArithmeticException => None } // lossy rescale
+        })
       case _ => None
     }
   }

@@ -135,14 +135,15 @@ class SecondaryIndexSpec extends SparkTestBase {
 
   test("secondary-index planning is gated to exactly the canonicalizable types") {
     // Eligible = types SecondaryIndex.renderLiteral canonicalizes
-    // exactly (string, integrals, date). Doubles ("1.0" vs "1"),
-    // decimals (scales), timestamps (zones) can mismatch the writer's
-    // key rendering and silently plan EMPTY — they stay on the full
-    // (fail-open) plan.
+    // exactly (string, integrals, date, decimal — the latter two behind
+    // per-index rendering detection). Doubles ("1.0" vs "1") and
+    // timestamps (zones) can mismatch the writer's key rendering and
+    // silently plan EMPTY — they stay on the full (fail-open) plan.
     import org.apache.spark.sql.types._
-    for (dt <- Seq(StringType, IntegerType, LongType, ShortType, ByteType, DateType))
+    for (dt <- Seq(StringType, IntegerType, LongType, ShortType, ByteType, DateType,
+        DecimalType(10, 2)))
       assert(graft.sources.GraftScan.secondaryIndexEligible(dt), s"$dt must be eligible")
-    for (dt <- Seq(DoubleType, FloatType, TimestampType, DecimalType(10, 2), BooleanType))
+    for (dt <- Seq(DoubleType, FloatType, TimestampType, BooleanType))
       assert(!graft.sources.GraftScan.secondaryIndexEligible(dt), s"$dt must not be eligible")
     // the canonical renderings themselves
     import graft.table.SecondaryIndex
@@ -166,6 +167,50 @@ class SecondaryIndexSpec extends SparkTestBase {
       assert(graft.sources.GraftScan.keyRenderingTrusted(dt), s"$dt must be trusted")
     for (dt <- Seq(DateType, DoubleType, TimestampType, DecimalType(10, 2)))
       assert(!graft.sources.GraftScan.keyRenderingTrusted(dt), s"$dt must not be trusted")
+  }
+
+  test("decimal-key scale detection and literal rendering") {
+    import graft.table.SecondaryIndex._
+    import org.apache.spark.sql.types.DecimalType
+    // unanimous scale-2 with trailing zeros
+    assert(classifyDecimalKeys(Iterator("7.07", "123.40", "0.00")) == Some(2))
+    assert(classifyDecimalKeys(Iterator("7", "123")) == Some(0))
+    // mixed scales, scientific notation, negative scale, junk → None
+    assert(classifyDecimalKeys(Iterator("7.07", "7.1")).isEmpty)
+    assert(classifyDecimalKeys(Iterator("1E+2")).isEmpty)
+    assert(classifyDecimalKeys(Iterator("abc")).isEmpty)
+    assert(classifyDecimalKeys(Iterator.empty).isEmpty)
+    // literal rendering: exact rescale to the detected scale; lossy
+    // rescale or no detected scale fails open
+    val bd = Some(new java.math.BigDecimal("7.1"): Any)
+    assert(renderLiteral(DecimalType(10, 2), "7.1", bd, None, Some(2)) == Some("7.10"))
+    assert(renderLiteral(DecimalType(10, 2), "7.1", bd, None, None).isEmpty)
+    assert(renderLiteral(DecimalType(10, 3), "7.123",
+      Some(new java.math.BigDecimal("7.123")), None, Some(2)).isEmpty) // lossy
+    // Spark's internal Decimal literal shape renders identically
+    assert(renderLiteral(DecimalType(10, 2), "7.1",
+      Some(org.apache.spark.sql.types.Decimal("7.1")), None, Some(2)) == Some("7.10"))
+  }
+
+  test("decimal-indexed column detects the index's scale and plans through it") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
+    val k = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(org.apache.spark.sql.functions.min(col("o_orderkey"))).head.getLong(0)
+    val dec = new java.math.BigDecimal(f"$k%d.${k % 97}%02d")
+    val df = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_decprice") === dec)
+      .select("o_orderkey", "o_decprice")
+    assert(df.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"decimal index must plan one group: ${df.queryExecution.executedPlan}")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == k &&
+      rows.head.getDecimal(1).compareTo(dec) == 0)
+    // an absent decimal value plans zero slices and returns no rows
+    val none = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_decprice") === new java.math.BigDecimal("0.01"))
+    assert(none.queryExecution.executedPlan.toString().contains("0 slices"))
+    assert(none.count() == 0)
   }
 
   test("date-key rendering classification: unanimous, disjoint, fail-open") {
