@@ -1075,7 +1075,7 @@ object HudiFixtureBuilder {
     out.close()
   }
 
-  private val columnStatsAvroSchema: org.apache.avro.Schema =
+  private[graft] val columnStatsAvroSchema: org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"HoodieMetadataRecord","fields":[
         |{"name":"key","type":"string"},
@@ -1103,7 +1103,7 @@ object HudiFixtureBuilder {
     * 6 = partition_stats (fileName = partition path, the real-fixture
     * convention — see PartitionStatsIndex).
     */
-  private def columnStatsBytes(
+  private[graft] def columnStatsBytes(
       key: String, fileName: String, columnName: String, mn: Any, mx: Any,
       recType: Int = 3, wrapper: String = "LongWrapper",
       valueCount: java.lang.Long = null, tight: Boolean = true): Array[Byte] = {

@@ -1,0 +1,200 @@
+package graft.fs
+
+import graft.SparkTestBase
+import graft.core.{HoodieConfig, Timeline}
+import graft.log.SparkToAvro
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions.{col, count, lit}
+
+/** Planning at 100k files: a synthetic 2,000-partition x 50-file COW
+  * table (every base file a byte-copy of one tiny real parquet) with an
+  * MDT `column_stats` partition covering ALL 100,000 files — the shape a
+  * 100 TB lake presents to the DRIVER. The suite asserts wall-time
+  * ceilings on the paths whose cost must stay ~O(files) with small
+  * constants and NO per-file remote IO:
+  *
+  *   - level-parallel listing + file-group assembly (S10/S5);
+  *   - R2 pruning served from the ONE indexed metadata read (a footer
+  *     fallback here would be 100k ranged reads — the budget catches it);
+  *   - COUNT(*) aggregate pushdown from index row counts, asserted
+  *     zero-footer via the [[graft.sources.GraftFooterAggScan.footerReads]]
+  *     counter, not just time;
+  *   - the bloom tier's planned-file cap (stands down above
+  *     `graft.bloom.index.max.files` instead of sweeping the driver).
+  *
+  * Budgets are generous (CI contention) — they bound the ALGORITHM, not
+  * the constant: every regression mode they guard (serial listing, per
+  * file footer reads in planning, an uncapped per-file index sweep) is a
+  * >10x blowup at this width.
+  *
+  * The index bounds are LOOSE by construction (file n covers [1, n+1],
+  * every file truly holds the single row v=1) so range predicates can
+  * prune to any target width while every possible plan still returns
+  * exact rows — pruning here is never load-bearing for correctness.
+  */
+class PlanningStress100kSpec extends SparkTestBase {
+
+  private val Partitions = 2000
+  private val FilesPerPartition = 50
+  private val TotalFiles = Partitions * FilesPerPartition
+  private val T1 = "20240101000000000"
+
+  private lazy val path: String = buildOnce()
+
+  private def fileName(n: Int): String =
+    f"00000000-0000-0000-${n / FilesPerPartition}%04d-${n % FilesPerPartition}%012d-0_0-0-0_$T1.parquet"
+
+  private def buildOnce(): String = {
+    val base = new Path("/root/repo/target/hudi-fixtures/stress_plan_100k")
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val marker = new Path(base, "_READY_v1")
+    if (fs.exists(marker)) return base.toString
+    fs.delete(base, true)
+    fs.mkdirs(new Path(base, ".hoodie"))
+
+    // one real parquet file; every base file is a byte-copy so the footer
+    // sampler and any schema fallback stay functional
+    import spark.implicits._
+    val df = Seq((T1, s"${T1}_0_1", "1", "part0000", "f", "part0000", 1L))
+      .toDF("_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
+        "_hoodie_partition_path", "_hoodie_file_name", "p", "v")
+    val tmp = new Path(base, ".tmp_proto")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val proto = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+    val bytes = {
+      val len = fs.getFileStatus(proto).getLen.toInt
+      val in = fs.open(proto)
+      try { val b = new Array[Byte](len); in.readFully(0, b); b } finally in.close()
+    }
+    fs.delete(tmp, true)
+
+    def writeText(p: Path, s: String): Unit = {
+      val out = fs.create(p, true); out.write(s.getBytes("UTF-8")); out.close()
+    }
+    writeText(new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=stress_plan_100k
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=v
+        |hoodie.table.precombine.field=v
+        |hoodie.table.partition.fields=p
+        |hoodie.datasource.write.hive_style_partitioning=false
+        |hoodie.populate.meta.fields=true
+        |hoodie.table.metadata.partitions=column_stats,bloom_filters
+        |""".stripMargin)
+    val dataAvro = SparkToAvro.toAvroSchema(df.select("p", "v").schema, "stress_record").toString
+    val esc = dataAvro.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeText(new Path(base, s".hoodie/$T1.commit"),
+      s"""{"partitionToWriteStats":{},"extraMetadata":{"schema":"$esc"},"compacted":false}""")
+
+    // 100k byte-copies, written with raw NIO in parallel — the Hadoop
+    // local-FS wrapper costs ~1ms/file serially, which is the difference
+    // between a 10s and a 3min one-time build at this width
+    val localBase = java.nio.file.Paths.get(base.toUri.getPath)
+    java.util.stream.IntStream.range(0, Partitions).parallel().forEach { i =>
+      val dir = localBase.resolve(f"part$i%04d")
+      java.nio.file.Files.createDirectories(dir)
+      for (j <- 0 until FilesPerPartition)
+        java.nio.file.Files.write(dir.resolve(fileName(i * FilesPerPartition + j)), bytes)
+    }
+
+    // MDT column_stats covering every file: loose [1, n+1] bounds on `v`
+    // (truthful — every copy holds v=1) + exact valueCount/nullCount, so
+    // both R2 pruning AND the COUNT(*) fast tier run zero-footer
+    val mdt = new Path(base, ".hoodie/metadata")
+    fs.mkdirs(new Path(mdt, ".hoodie"))
+    writeText(new Path(mdt, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=stress_plan_100k_metadata
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=key
+        |hoodie.table.base.file.format=HFILE
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin)
+    writeText(new Path(mdt, s".hoodie/$T1.deltacommit"),
+      """{"partitionToWriteStats":{},"compacted":false}""")
+    val csDir = new Path(mdt, "column_stats")
+    fs.mkdirs(csDir)
+    val records = (0 until TotalFiles).map { n =>
+      f"cs$n%06d" -> graft.fixtures.HudiFixtureBuilder.columnStatsBytes(
+        f"cs$n%06d", fileName(n), "v", 1L, (n + 1).toLong,
+        valueCount = 1L, tight = false)
+    }
+    val hfile = graft.hfile.HFileWriter.write(
+      records,
+      Map("schema" ->
+        graft.fixtures.HudiFixtureBuilder.columnStatsAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 256)
+    val out = fs.create(new Path(csDir, s"col-stats-0000-0_0-0-0_$T1.hfile"), true)
+    out.write(hfile)
+    out.close()
+
+    fs.create(marker, true).close()
+    base.toString
+  }
+
+  private def timed[A](f: => A): (A, Long) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1000000)
+  }
+
+  test("100k-slice snapshot listing + assembly stays in budget") {
+    val conf = spark.sessionState.newHadoopConf()
+    val config = HoodieConfig.load(path, conf)
+    val (slices, wallMs) = timed {
+      new FsView(path, config, new Timeline(path, config, conf), conf).slicesAsOf(T1)
+    }
+    assert(slices.size == TotalFiles)
+    assert(wallMs < 60000, s"listing/assembling 100k slices took ${wallMs}ms")
+  }
+
+  test("COUNT(*) over 100k files is metadata-only and zero-footer") {
+    val before = graft.sources.GraftFooterAggScan.footerReads.get()
+    val (n, wallMs) = timed {
+      spark.read.format("hudi-graft").load(path)
+        .agg(count(col("*")).as("n")).head.getLong(0)
+    }
+    assert(n == TotalFiles.toLong)
+    assert(graft.sources.GraftFooterAggScan.footerReads.get() == before,
+      "COUNT(*) with full index coverage must not open any footer")
+    assert(wallMs < 60000, s"indexed COUNT(*) at 100k files took ${wallMs}ms")
+  }
+
+  test("R2 index pruning over 100k entries: prune-all and prune-to-one, zero rows read") {
+    // every bound is [1, n+1]: >= 100001 proves NO file can match ...
+    val (noneDf, wAll) = timed {
+      val d = spark.read.format("hudi-graft").load(path).filter(col("v") >= lit(100001L))
+      d.queryExecution.executedPlan.toString() // force planning
+      d
+    }
+    assert(noneDf.queryExecution.executedPlan.toString().contains(", 0 slices"),
+      s"prune-all must plan zero slices: ${noneDf.queryExecution.executedPlan}")
+    assert(noneDf.count() == 0)
+    assert(wAll < 60000, s"prune-all planning took ${wAll}ms")
+    // ... and >= 100000 keeps exactly the one file whose loose bound
+    // reaches it (which still holds no matching row — bounds only prune)
+    val one = spark.read.format("hudi-graft").load(path).filter(col("v") >= lit(100000L))
+    assert(one.queryExecution.executedPlan.toString().contains(", 1 slices"),
+      s"prune-to-one must plan one slice: ${one.queryExecution.executedPlan}")
+    assert(one.count() == 0)
+  }
+
+  test("bloom tier stands down above the planned-file cap without a driver sweep") {
+    // v === 1 survives every loose bound, so the record-key equality
+    // reaches the bloom tier with all 100k files planned — far past
+    // BloomIndexMaxFiles, it must stand down BEFORE any per-file probe
+    // (the advertised bloom_filters partition is deliberately absent:
+    // any attempted read would throw, and a swallowed throw still pays
+    // the IO attempt — the time budget is the detector)
+    val (planStr, wallMs) = timed {
+      spark.read.format("hudi-graft").load(path).filter(col("v") === lit(1L))
+        .queryExecution.executedPlan.toString()
+    }
+    assert(planStr.contains(s", $TotalFiles slices"),
+      s"capped bloom tier must keep the full plan: $planStr")
+    assert(wallMs < 60000, s"bloom stand-down planning took ${wallMs}ms")
+  }
+}
