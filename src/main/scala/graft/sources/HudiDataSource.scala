@@ -1027,6 +1027,18 @@ class GraftScan(
   private[sources] val streamCommitsPerBatch: Option[Int] =
     Option(options.get("stream.commits.per.batch")).map(_.toInt)
 
+  /** Byte-based admission control (the Delta maxBytesPerTrigger analog):
+    * bound each micro-batch's PLANNED bytes — the totalSize of the file
+    * slices its commit range touches — so one giant commit (a
+    * replacecommit rewriting the table, a bulk backfill) cannot glue an
+    * unbounded batch together with its neighbors. A single commit larger
+    * than the cap still forms its own batch (offsets are commit
+    * timestamps; progress is guaranteed); composes with
+    * `stream.commits.per.batch`, whichever cuts earlier.
+    */
+  private[sources] val streamMaxBytesPerBatch: Option[Long] =
+    Option(options.get("stream.max.bytes.per.batch")).map(_.toLong)
+
   /** First-start offset (the Delta startingTimestamp analog): a fresh
     * stream (no checkpoint) begins AFTER this commit instead of replaying
     * the whole table history; restarts keep using the checkpoint.
@@ -1738,15 +1750,52 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
     // the checkpoint) would otherwise regress the checkpoint to the tip,
     // later re-admitting commits the user asked to begin after.
     if (target <= s) return start
-    scan.streamCommitsPerBatch match {
-      case Some(n) if n > 0 && s < target =>
-        val step = t.timeline.completedInstants
-          .iterator.map(_.timestamp).distinct
-          .filter(ts => ts > s && ts <= target)
-          .take(n).toSeq
-        CommitOffset(if (step.isEmpty) target else step.last)
-      case _ => CommitOffset(target)
+    val countCap = scan.streamCommitsPerBatch.filter(_ > 0)
+    val byteCap = scan.streamMaxBytesPerBatch.filter(_ > 0)
+    if (countCap.isEmpty && byteCap.isEmpty) return CommitOffset(target)
+    val startOpt = if (s == earliest) None else Some(s)
+    // admission works on REQUEST timestamps (the offset unit): instants
+    // sharing one timestamp admit together, in timeline order
+    val byTs: Vector[(String, Vector[graft.core.HoodieInstant])] =
+      t.timeline.instantsBetween(startOpt, Some(target))
+        .foldLeft(Vector.empty[(String, Vector[graft.core.HoodieInstant])]) {
+          case (acc, i) if acc.nonEmpty && acc.last._1 == i.timestamp =>
+            acc.init :+ (i.timestamp, acc.last._2 :+ i)
+          case (acc, i) => acc :+ (i.timestamp -> Vector(i))
+        }
+    val capped = countCap.map(byTs.take).getOrElse(byTs)
+    if (capped.isEmpty) return CommitOffset(target)
+    val endTs = byteCap match {
+      case None => capped.last._1
+      case Some(cap) =>
+        // ONE planning pass sizes every candidate slice as of the widest
+        // range; per-commit deltas come from each instant's touched file
+        // groups (commit metadata), counted once — a slice touched twice
+        // charges its first admitting commit. Sizes are as-of the widest
+        // end, so an earlier cut only over-counts (admits fewer bytes
+        // than the cap, never more). Unattributable commits (no write
+        // stats) charge zero — fail-open, the count cap still bounds them.
+        val sizes: Map[(String, String), Long] =
+          t.fsView.slicesBetween(startOpt, capped.last._1)
+            .iterator.map(sl => (sl.partitionPath, sl.fileId) -> sl.totalSize).toMap
+        val seen = scala.collection.mutable.Set.empty[(String, String)]
+        var acc = 0L
+        var admitted = 0
+        var stop = false
+        for ((_, is) <- capped if !stop) {
+          var delta = 0L
+          for (i <- is; (p, ids) <- t.timeline.touchedFileGroups(i); id <- ids) {
+            val k = (p, id)
+            if (seen.add(k)) delta += sizes.getOrElse(k, 0L)
+          }
+          // always admit the first commit — a single over-cap commit
+          // must still make progress as its own batch
+          if (admitted > 0 && acc + delta > cap) stop = true
+          else { acc += delta; admitted += 1 }
+        }
+        capped(admitted - 1)._1
     }
+    CommitOffset(endTs)
   }
 
   override def reportLatestOffset(): Offset = CommitOffset(timelineLatest)

@@ -58,6 +58,59 @@ class StreamAdmissionSpec extends SparkTestBase {
       s"extra keys must be the fixture's deleted keys, got ${extra.take(5)}")
   }
 
+  test("stream.max.bytes.per.batch splits the drain by planned bytes, same converged state") {
+    val allBatches = drain(Map.empty, "byt_all")
+    assert(allBatches == 1)
+    // a 1-byte cap forces every commit into its own batch (each commit's
+    // planned slices dwarf it; the first commit of a batch always admits)
+    val bounded = drain(Map("stream.max.bytes.per.batch" -> "1"), "byt_one")
+    assert(bounded > 1,
+      s"a 1-byte cap must split the drain into multiple micro-batches, got $bounded")
+    // a cap far above the table size degenerates to the single batch
+    val huge = drain(Map("stream.max.bytes.per.batch" -> (1L << 40).toString), "byt_huge")
+    assert(huge == 1, s"an over-table byte cap must not split the drain, got $huge")
+    // composition with the count cap: whichever cuts earlier wins
+    val both = drain(Map(
+      "stream.commits.per.batch" -> "10",
+      "stream.max.bytes.per.batch" -> "1"), "byt_both")
+    assert(both == bounded,
+      s"byte cap must still bound under a looser count cap: $both vs $bounded")
+    // latest-wins convergence matches the single-batch drain (the same
+    // range-partition argument as the count-cap test)
+    val all = latestState("byt_all")
+    val b = latestState("byt_one")
+    assert(all.keySet.subsetOf(b.keySet))
+    assert(all.forall { case (k, v) => b(k) == v },
+      "latest version per surviving key must match the single-batch drain")
+  }
+
+  test("byte-capped drain is checkpoint-replay stable") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory("graft_byte_ckpt")
+    val ckpt = work.resolve("ckpt").toString
+    val out = work.resolve("out").toString
+    // file sink (memory doesn't support checkpoint recovery): run-over-run
+    // row growth in `out` is exactly what each drain emitted
+    def run(): Long = {
+      val df = spark.readStream.format("hudi-graft")
+        .option("stream.max.bytes.per.batch", "1")
+        .load(HudiFixtureBuilder.morPath(sfDir))
+      val q = df.writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(); spark.read.parquet(out).count() }
+      finally q.stop()
+    }
+    val first = run()
+    assert(first > 0)
+    // restart against the same checkpoint with no new commits: the
+    // recovered offset equals the drained tip, so NOTHING re-emits —
+    // bounded admission advanced the checkpoint exactly once per range
+    val second = run()
+    assert(second == first,
+      s"checkpoint replay with no new commits must emit zero rows: $first -> $second")
+  }
+
   test("latestOffset never regresses before the start offset") {
     // stream.start.timestamp ahead of the timeline tip: the first
     // latestOffset must return the start offset unchanged, not the tip —
