@@ -132,12 +132,53 @@ object ColumnStatsIndex {
     * problems — an advertised-but-unreadable index must surface, never
     * read as "no stats"; callers catch and fall back to footers.
     */
+  /** Decoded-lookup memo misses (full partition decodes) — monotonic,
+    * for tests pinning "a repeat plan decodes nothing".
+    */
+  val decodes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Decoded lookups per (table, partition, resolved MDT commit). The
+    * byte cache ([[IndexIoCache]]) already removes repeat IO; this
+    * removes the repeat full-partition avro decode + map assembly that
+    * still made every planning pass O(index entries) — at 100k files
+    * that is the dominant plan-time cost for a repeat point query.
+    * Keyed by the RESOLVED commit, so an MDT advance (or a different
+    * as-of) naturally re-decodes while repeat plans pay only the
+    * timeline/partition listing. Count-bounded LRU: one decoded lookup
+    * for a 100k-file table is tens of MB, and a handful of hot tables
+    * is the realistic working set.
+    */
+  private val lookupMemo =
+    new java.util.LinkedHashMap[(String, String, String), ColumnStatsLookup](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, String), ColumnStatsLookup]): Boolean =
+        size > sys.props.get("graft.colstats.lookup.cache.entries")
+          .flatMap(_.toIntOption).getOrElse(8)
+    }
+
   def load(
       dataTableBase: String,
       hadoopConf: Configuration,
       partition: String = PartitionName,
       asOf: Option[String] = None): ColumnStatsLookup = {
     val (latest, slices) = MetadataTable.openPartition(dataTableBase, partition, hadoopConf, asOf)
+    val memoKey = (dataTableBase, partition, latest)
+    val memoized = lookupMemo.synchronized(Option(lookupMemo.get(memoKey)))
+    memoized match {
+      case Some(l) => l
+      case None =>
+        decodes.incrementAndGet()
+        val l = decodeAll(partition, latest, slices, hadoopConf)
+        lookupMemo.synchronized(lookupMemo.put(memoKey, l))
+        l
+    }
+  }
+
+  private def decodeAll(
+      partition: String,
+      latest: String,
+      slices: Vector[graft.fs.FileSlice],
+      hadoopConf: Configuration): ColumnStatsLookup = {
     def readFully(p: Path): Array[Byte] = IndexIoCache.bytes(p, hadoopConf)
     val range = InstantRange.upTo(latest)
     val out = mutable.LinkedHashMap.empty[String, Option[ColumnStatEntry]]

@@ -161,6 +161,31 @@ class PlanningStress100kSpec extends SparkTestBase {
     assert(graft.sources.GraftFooterAggScan.footerReads.get() == before,
       "COUNT(*) with full index coverage must not open any footer")
     assert(wallMs < 60000, s"indexed COUNT(*) at 100k files took ${wallMs}ms")
+    // repeat planning must also skip the 100k-record avro decode — the
+    // decoded-lookup memo (ColumnStatsIndex.lookupMemo), not just the
+    // byte cache, carries the QPS planning path at this width
+    val d = graft.table.ColumnStatsIndex.decodes.get()
+    val (n2, wall2) = timed {
+      spark.read.format("hudi-graft").load(path)
+        .agg(count(col("*")).as("n")).head.getLong(0)
+    }
+    assert(n2 == TotalFiles.toLong)
+    assert(graft.table.ColumnStatsIndex.decodes.get() == d,
+      "repeat COUNT(*) planning must not re-decode the column_stats partition")
+    assert(wall2 < 60000, s"repeat indexed COUNT(*) took ${wall2}ms")
+  }
+
+  test("GROUP BY partition COUNT(*) over 100k files / 2000 groups is metadata-only") {
+    val before = graft.sources.GraftFooterAggScan.footerReads.get()
+    val (rows, wallMs) = timed {
+      spark.read.format("hudi-graft").load(path)
+        .groupBy(col("p")).agg(count(col("*")).as("n")).collect()
+    }
+    assert(rows.length == Partitions)
+    assert(rows.forall(_.getLong(1) == FilesPerPartition.toLong))
+    assert(graft.sources.GraftFooterAggScan.footerReads.get() == before,
+      "grouped COUNT(*) with full index coverage must not open any footer")
+    assert(wallMs < 60000, s"grouped metadata COUNT(*) at 2000 partitions took ${wallMs}ms")
   }
 
   test("R2 index pruning over 100k entries: prune-all and prune-to-one, zero rows read") {

@@ -45,6 +45,28 @@ class IndexIoCacheSpec extends SparkTestBase {
     assert(n == 1)
   }
 
+  test("repeat column_stats planning reuses the decoded lookup, not just the bytes") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val base = graft.fixtures.HudiFixtureBuilder.rangePath(sfDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val first = ColumnStatsIndex.load(base, conf)
+    val d = ColumnStatsIndex.decodes.get()
+    val second = ColumnStatsIndex.load(base, conf)
+    assert(ColumnStatsIndex.decodes.get() == d,
+      "second load at the same MDT commit must not re-decode the partition")
+    assert(second eq first, "memo must return the same decoded instance")
+    // the memo rides on the plan path too: repeat R2-pruned planning
+    // decodes nothing (each read builds a fresh HudiTable, whose lazy
+    // lookup now resolves through the shared memo)
+    def plan() = spark.read.format("hudi-graft").load(base)
+      .filter(col("o_orderkey") <= 5L).queryExecution.executedPlan.toString()
+    plan()
+    val d2 = ColumnStatsIndex.decodes.get()
+    plan()
+    assert(ColumnStatsIndex.decodes.get() == d2,
+      "repeat pruned planning must serve column stats from the decoded memo")
+  }
+
   test("invalidation is structural: a new path misses, same path never re-reads") {
     val conf = spark.sessionState.newHadoopConf()
     val dir = java.nio.file.Files.createTempDirectory("graft-ioc").toFile
