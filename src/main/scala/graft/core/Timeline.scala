@@ -107,6 +107,37 @@ final class Timeline(
 
   def latestCommitTimestamp: Option[String] = completedInstants.lastOption.map(_.timestamp)
 
+  /** Request timestamps of rollback/restore instants in ANY state, from a
+    * raw listing — these are not loadable instants (LoadingActions), but
+    * the as-of log pruning ([[graft.fs.FsView]]) must stand down when one
+    * exists past the as-of point: a rollback's COMMAND blocks may target
+    * earlier instants, and the reference scanner never range-skips
+    * command blocks, so dropping the log file that carries them would
+    * resurrect rolled-back data. Inflight ones count too — a crashed
+    * rollback may have appended its command block before completing.
+    */
+  lazy val rollbackLikeTimestamps: Vector[String] = {
+    val fs = timelineDir.getFileSystem(hadoopConf)
+    if (!fs.exists(timelineDir)) Vector.empty
+    else
+      fs.listStatus(timelineDir)
+        .iterator
+        .filter(_.isFile)
+        .map(_.getPath.getName)
+        .flatMap { n =>
+          val dot = n.indexOf('.')
+          if (dot <= 0) None
+          else {
+            val ts = n.substring(0, dot).split("_", 2)(0)
+            val action = n.substring(dot + 1).split("\\.", 2)(0)
+            if ((action == "rollback" || action == "restore") &&
+              ts.matches("\\d{14}(\\d{3})?")) Some(ts)
+            else None
+          }
+        }
+        .toVector.distinct.sorted
+  }
+
   /** Completed instants whose *request* timestamp is <= `ts`, matching the
     * reference's as-of selection (timeline/mod.rs
     * get_completed_instants_at_or_before: "whose request timestamp is ≤

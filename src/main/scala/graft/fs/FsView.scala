@@ -143,7 +143,43 @@ final class FsView(
     */
   def slicesAsOf(ts: String, pruner: PartitionInclude = PartitionPruner.trivial): Vector[FileSlice] = {
     val replaced = timeline.replacedFileGroupsAsOf(ts)
-    collect(pruner, replaced, _.sliceAsOf(ts))
+    pruneLogsAsOf(collect(pruner, replaced, _.sliceAsOf(ts)), ts)
+  }
+
+  /** As-of log pruning (v8+ layouts only): a log file whose request
+    * instant is PAST the as-of point contributes nothing to the read —
+    * every data/delete block it carries is stamped with that instant and
+    * dropped by the reader's InstantRange anyway — so planning can drop
+    * the whole file: time travel skips the log bytes instead of parsing
+    * and discarding them, and a slice whose logs are ALL later becomes
+    * log-free, unlocking the columnar path and aggregate pushdown for
+    * as-of reads.
+    *
+    * Sound only because three gates hold together:
+    *  - v8+ log names carry the OWNING deltacommit's request ts (one
+    *    commit per file — 1.0 writers never append across commits), so
+    *    name-ts > asOf proves every contained data block is out of
+    *    range. v6 names carry the BASE instant instead — undecidable
+    *    from the name, so v6 never prunes (the read-time range filter
+    *    stays authoritative there).
+    *  - The read-time range is REQUEST-ts based (InstantRange.upTo), the
+    *    same ordering the prune tests — a commit requested before asOf
+    *    but completed after stays planned, byte-identical semantics.
+    *  - Rollback COMMAND blocks are never range-skipped by the scanner
+    *    (they may target earlier instants), so the prune stands down
+    *    entirely when any rollback/restore instant — any state — exists
+    *    past the as-of point (Timeline.rollbackLikeTimestamps).
+    * At the latest snapshot no log is past the as-of point and the scan
+    * returns unchanged (zero overhead on the common path).
+    */
+  private def pruneLogsAsOf(slices: Vector[FileSlice], ts: String): Vector[FileSlice] = {
+    if (!layoutV2) return slices
+    if (!slices.exists(_.logFiles.exists(_.timestamp > ts))) return slices
+    if (timeline.rollbackLikeTimestamps.exists(_ > ts)) return slices
+    slices.map { sl =>
+      if (sl.logFiles.forall(_.timestamp <= ts)) sl
+      else sl.copy(logFiles = sl.logFiles.filter(_.timestamp <= ts))
+    }
   }
 
   /** Incremental slice planning: only file groups touched by commits in
@@ -162,9 +198,9 @@ final class FsView(
       acc.toMap
     }
     val replaced = timeline.replacedFileGroupsBetween(start, Some(end))
-    collect(pruner, replaced, fg =>
+    pruneLogsAsOf(collect(pruner, replaced, fg =>
       if (touched.getOrElse(fg.partitionPath, Set.empty).contains(fg.fileId)) fg.sliceAsOf(end)
-      else None)
+      else None), end)
   }
 
   private def collect(

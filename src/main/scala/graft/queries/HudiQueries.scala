@@ -1060,6 +1060,54 @@ object HudiQueries {
       """SELECT CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn_d,
         |  CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx_d FROM orders""".stripMargin),
 
+    // Decimal MIN/MAX metadata pushdown: the sidx fixture's
+    // DECIMAL(14,2) o_decprice is written INT64-decimal by Spark's
+    // non-legacy writer; the footer tier normalizes the chunk stats to
+    // BigDecimal (FilePruner.normalizeStat) and serves the extremes
+    // without reading data. The oracle re-derives the same decimal from
+    // o_orderkey, so values must match bit-exactly at the fixed scale.
+    "hudi_minmax_decimal_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.sidxPath(d))
+          .agg(min(col("o_decprice")).as("mn_dec"),
+            max(col("o_decprice")).as("mx_dec"), count(col("*")).as("n"))
+          // VARCHAR rendering: a decimal-typed result column hashes as a
+          // different dtype across Spark/DuckDB even when the values are
+          // identical (the hudi_minmax_date_pushdown caveat); the fixed
+          // scale-2 string form is engine-independent
+          .select(col("mn_dec").cast("string").as("mn_dec"),
+            col("mx_dec").cast("string").as("mx_dec"), col("n"))
+      },
+      """SELECT
+        |  CAST(MIN(CAST(CONCAT(CAST(o_orderkey AS VARCHAR), '.',
+        |    LPAD(CAST(o_orderkey % 97 AS VARCHAR), 2, '0')) AS DECIMAL(14,2))) AS VARCHAR) AS mn_dec,
+        |  CAST(MAX(CAST(CONCAT(CAST(o_orderkey AS VARCHAR), '.',
+        |    LPAD(CAST(o_orderkey % 97 AS VARCHAR), 2, '0')) AS DECIMAL(14,2))) AS VARCHAR) AS mx_dec,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM orders""".stripMargin),
+
+    // Time-travel aggregates, LOAD-BEARING values: the MOR fixture's T3
+    // delete log removes %97 keys, so COUNT(*) as of T1 (the full
+    // insert) DIFFERS from the latest snapshot's — an engine that
+    // ignored the as-of point would return the post-delete count and
+    // hash-mismatch. On this v6 table the T2/T3 logs are NAMED with the
+    // base instant (v6 log naming), so they stay attached to the as-of
+    // plan and the aggregate correctly REJECTS pushdown and scans —
+    // the v8+ plan-time log prune that turns the same shape into a
+    // metadata-only LocalScan is pinned in AsOfLogPruneSpec on the
+    // reference's real v8 trips bytes.
+    "hudi_asof_agg" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft")
+          .option("as.of.timestamp", HudiFixtureBuilder.T1)
+          .load(HudiFixtureBuilder.morPath(d))
+          .agg(count(col("*")).as("n"), min(col("o_orderkey")).as("mn"),
+            max(col("o_orderkey")).as("mx"))
+      },
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(o_orderkey) AS mn,
+        |  MAX(o_orderkey) AS mx FROM orders""".stripMargin),
+
     // SAME inventory through the SQL `CALL` surface — driver-graded
     // evidence that the procedure catalog resolves, binds by name, and
     // returns planning metadata as rows.
