@@ -91,6 +91,29 @@ class AsOfLogPruneSpec extends SparkTestBase {
     assert(n == 8L)
   }
 
+  test("real v9 rollback bytes: the raw-listing detector sees the rollback instant") {
+    val p = Fixtures.table("sample_table/mor/avro/v9_nonpartitioned_rollback.zip",
+      "v9_nonpartitioned_rollback", "v9_rb_prune")
+    assume(p.isDefined)
+    val t = HudiTable(spark, p.get)
+    val ts1 = t.timeline.completedInstants.head.timestamp
+    val latest = t.timeline.latestCommitTimestamp.get
+    // the rollback is not a loadable instant (never in completedInstants)
+    // but the raw listing must surface it, mid-timeline, so any as-of
+    // before it stands the prune down
+    assert(t.timeline.completedInstants.forall(i => i.action != "rollback"))
+    val rb = t.timeline.rollbackLikeTimestamps
+    assert(rb.nonEmpty && rb.forall(ts => ts > ts1 && ts < latest),
+      s"real rollback instant must list between $ts1 and $latest, got $rb")
+    // as-of the first commit still reads exactly that commit's base file
+    val asOf = spark.read.format("hudi-graft").option("as.of.timestamp", ts1)
+      .load(p.get).select("txn_id").collect().map(_.getString(0)).sorted
+    val basePaths = t.fsView.slicesAsOf(ts1).flatMap(_.baseFile).map(_.path)
+    val direct = spark.read.parquet(basePaths: _*)
+      .select("txn_id").collect().map(_.getString(0)).sorted
+    assert(asOf.nonEmpty && asOf.sameElements(direct))
+  }
+
   test("v6 tables never prune: log names carry the base instant") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     val t = HudiTable(spark, graft.fixtures.HudiFixtureBuilder.morPath(sfDir))
