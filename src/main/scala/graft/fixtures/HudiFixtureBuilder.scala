@@ -1391,7 +1391,7 @@ object HudiFixtureBuilder {
   // listing.)
   val T1C = "20240101000000001"
 
-  private val mdtAvroSchema: org.apache.avro.Schema =
+  private[graft] val mdtAvroSchema: org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"HoodieMetadataRecord","fields":[
         |{"name":"key","type":"string"},
@@ -1401,7 +1401,7 @@ object HudiFixtureBuilder {
         |    {"name":"size","type":"long"},{"name":"isDeleted","type":"boolean"}]}}]}
         |]}""".stripMargin.replaceAll("\n", ""))
 
-  private def mdtRecordBytes(key: String, recType: Int,
+  private[graft] def mdtRecordBytes(key: String, recType: Int,
       files: Seq[(String, Long)]): Array[Byte] = {
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     val infoSchema = mdtAvroSchema.getField("filesystemMetadata").schema()

@@ -38,6 +38,7 @@ class PlanningStress100kSpec extends SparkTestBase {
   private val FilesPerPartition = 50
   private val TotalFiles = Partitions * FilesPerPartition
   private val T1 = "20240101000000000"
+  private val T1C = "20240101000001000" // completion ts for the v8 variant's commit
 
   private lazy val path: String = buildOnce()
 
@@ -141,6 +142,113 @@ class PlanningStress100kSpec extends SparkTestBase {
     (a, (System.nanoTime() - t0) / 1000000)
   }
 
+  /** The MDT-LISTED variant of the same 100k files: its `.hoodie`
+    * advertises a `files` partition (2,000 partition records + the
+    * __all_partitions__ record) so planning never walks the filesystem —
+    * the 100 TB listing path. Data bytes are shared via per-partition
+    * SYMLINKS into the primary table (zero extra storage); the
+    * column_stats HFile is shared too, so the COUNT(*) fast tier rides
+    * the same index. An ORPHAN file visible only to an FS walk proves
+    * the plan really served from the MDT records.
+    */
+  private lazy val mdtPath: String = buildMdtVariantOnce()
+
+  private def buildMdtVariantOnce(): String = {
+    val primary = buildOnce()
+    val base = new Path("/root/repo/target/hudi-fixtures/stress_plan_100k_mdt")
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val marker = new Path(base, "_READY_v1")
+    if (fs.exists(marker)) return base.toString
+    fs.delete(base, true)
+    fs.mkdirs(new Path(base, ".hoodie"))
+    val localPrimary = java.nio.file.Paths.get(new Path(primary).toUri.getPath)
+    val localBase = java.nio.file.Paths.get(base.toUri.getPath)
+
+    def writeText(p: Path, s: String): Unit = {
+      val out = fs.create(p, true); out.write(s.getBytes("UTF-8")); out.close()
+    }
+    // MDT-based listing requires a v8+ table (MetadataTable.isEnabled):
+    // v2 timeline layout, completion-stamped commit file
+    fs.mkdirs(new Path(base, ".hoodie/timeline"))
+    writeText(new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=stress_plan_100k_mdt
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=8
+        |hoodie.timeline.layout.version=2
+        |hoodie.table.recordkey.fields=v
+        |hoodie.table.precombine.field=v
+        |hoodie.table.partition.fields=p
+        |hoodie.datasource.write.hive_style_partitioning=false
+        |hoodie.populate.meta.fields=true
+        |hoodie.table.metadata.partitions=files,column_stats
+        |""".stripMargin)
+    java.nio.file.Files.copy(
+      localPrimary.resolve(s".hoodie/$T1.commit"),
+      localBase.resolve(s".hoodie/timeline/${T1}_$T1C.commit"))
+
+    // partition symlinks share the primary's 100k data files — except
+    // part0000, which is a REAL dir of hard links so it can also hold
+    // an ORPHAN (an extra data file an FS walk would list, the MDT
+    // records don't, and the PRIMARY table never sees): a plan of
+    // exactly 100k slices proves the listing came from the index
+    for (i <- 1 until Partitions)
+      java.nio.file.Files.createSymbolicLink(
+        localBase.resolve(f"part$i%04d"), localPrimary.resolve(f"part$i%04d"))
+    val p0 = localBase.resolve("part0000")
+    java.nio.file.Files.createDirectories(p0)
+    for (j <- 0 until FilesPerPartition)
+      java.nio.file.Files.createLink(
+        p0.resolve(fileName(j)), localPrimary.resolve("part0000").resolve(fileName(j)))
+    java.nio.file.Files.createLink(
+      p0.resolve(s"99999999-0000-0000-0000-000000000000-0_0-0-0_$T1.parquet"),
+      localPrimary.resolve("part0000").resolve(fileName(0)))
+
+    val mdt = new Path(base, ".hoodie/metadata")
+    fs.mkdirs(new Path(mdt, ".hoodie"))
+    writeText(new Path(mdt, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=stress_plan_100k_mdt_metadata
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=key
+        |hoodie.table.base.file.format=HFILE
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin)
+    writeText(new Path(mdt, s".hoodie/$T1.deltacommit"),
+      """{"partitionToWriteStats":{},"compacted":false}""")
+    val protoSize = java.nio.file.Files.size(
+      localPrimary.resolve("part0000").resolve(fileName(0)))
+    import graft.table.FilesPartitionRecord
+    val records =
+      ((0 until Partitions).map { i =>
+        val p = f"part$i%04d"
+        p -> graft.fixtures.HudiFixtureBuilder.mdtRecordBytes(
+          p, FilesPartitionRecord.TypeFiles,
+          (0 until FilesPerPartition).map(j =>
+            fileName(i * FilesPerPartition + j) -> protoSize))
+      } :+ (FilesPartitionRecord.AllPartitionsKey ->
+        graft.fixtures.HudiFixtureBuilder.mdtRecordBytes(
+          FilesPartitionRecord.AllPartitionsKey, FilesPartitionRecord.TypeAllPartitions,
+          (0 until Partitions).map(i => f"part$i%04d" -> 0L))))
+        .sortBy(_._1)
+    val filesDir = new Path(mdt, "files")
+    fs.mkdirs(filesDir)
+    val out = fs.create(new Path(filesDir, s"files-0000-0_0-0-0_$T1.hfile"), true)
+    out.write(graft.hfile.HFileWriter.write(records,
+      Map("schema" ->
+        graft.fixtures.HudiFixtureBuilder.mdtAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64))
+    out.close()
+    val csDir = new Path(mdt, "column_stats")
+    fs.mkdirs(csDir)
+    java.nio.file.Files.copy(
+      localPrimary.resolve(s".hoodie/metadata/column_stats/col-stats-0000-0_0-0-0_$T1.hfile"),
+      localBase.resolve(s".hoodie/metadata/column_stats/col-stats-0000-0_0-0-0_$T1.hfile"))
+
+    fs.create(marker, true).close()
+    base.toString
+  }
+
   test("100k-slice snapshot listing + assembly stays in budget") {
     val conf = spark.sessionState.newHadoopConf()
     val config = HoodieConfig.load(path, conf)
@@ -205,6 +313,40 @@ class PlanningStress100kSpec extends SparkTestBase {
     assert(one.queryExecution.executedPlan.toString().contains(", 1 slices"),
       s"prune-to-one must plan one slice: ${one.queryExecution.executedPlan}")
     assert(one.count() == 0)
+  }
+
+  test("MDT files-partition listing at 100k files: index-served, FS-identical, in budget") {
+    val conf = spark.sessionState.newHadoopConf()
+    val config = HoodieConfig.load(mdtPath, conf)
+    val (slices, wallMs) = timed {
+      new FsView(mdtPath, config, new Timeline(mdtPath, config, conf), conf).slicesAsOf(T1)
+    }
+    // exactly 100k — the orphan in part0000 is FS-visible but absent
+    // from the MDT records, so this count proves index-served listing
+    assert(slices.size == TotalFiles,
+      s"MDT listing must exclude the orphan: got ${slices.size}")
+    assert(wallMs < 60000, s"MDT listing of 100k slices took ${wallMs}ms")
+    // plan CONTENT matches the FS-listed primary: same (partition, file
+    // name, size) set, so every downstream tier behaves identically
+    val pconf = HoodieConfig.load(path, conf)
+    val fsSlices = new FsView(path, pconf, new Timeline(path, pconf, conf), conf)
+      .slicesAsOf(T1)
+    def key(v: Vector[FileSlice]) =
+      v.map(sl => (sl.partitionPath, sl.baseFile.get.fileName, sl.baseFile.get.size)).toSet
+    assert(key(slices) == key(fsSlices))
+  }
+
+  test("COUNT(*) on the MDT-listed variant is metadata-only end to end") {
+    val before = graft.sources.GraftFooterAggScan.footerReads.get()
+    val (n, wallMs) = timed {
+      spark.read.format("hudi-graft").load(mdtPath)
+        .agg(count(col("*")).as("n")).head.getLong(0)
+    }
+    assert(n == TotalFiles.toLong,
+      "indexed COUNT(*) must count the MDT-listed files (orphan excluded)")
+    assert(graft.sources.GraftFooterAggScan.footerReads.get() == before,
+      "MDT listing + column_stats coverage must serve COUNT(*) with zero footers")
+    assert(wallMs < 60000, s"MDT-listed COUNT(*) took ${wallMs}ms")
   }
 
   test("bloom tier stands down above the planned-file cap without a driver sweep") {
