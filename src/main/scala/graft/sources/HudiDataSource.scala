@@ -1763,7 +1763,15 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
             acc.init :+ (i.timestamp, acc.last._2 :+ i)
           case (acc, i) => acc :+ (i.timestamp -> Vector(i))
         }
-    val capped = countCap.map(byTs.take).getOrElse(byTs)
+    // The byte-sizing pass plans slices for its whole candidate window,
+    // so an unbounded window against a long backlog would cost
+    // O(backlog) planning per micro-batch — O(backlog^2) for the drain.
+    // Cap the window when only the byte cap is set (an admission control
+    // may always cut EARLIER than its ceiling; the next batch continues
+    // from the checkpoint): 1000 commits of sizing per batch keeps the
+    // pass planning-sized at any backlog length.
+    val sizingWindow = 1000
+    val capped = countCap.orElse(byteCap.map(_ => sizingWindow)).map(byTs.take).getOrElse(byTs)
     if (capped.isEmpty) return CommitOffset(target)
     val endTs = byteCap match {
       case None => capped.last._1
