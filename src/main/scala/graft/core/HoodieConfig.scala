@@ -126,6 +126,19 @@ final case class HoodieConfig(props: Map[String, String]) {
     v == "__HIVE_DEFAULT_PARTITION__" || v.isEmpty ||
       (v == "default" && tableVersion < 4)
 
+  /** Bare `default` on a v4+ table is AMBIGUOUS, not a value: the table
+    * may have been UPGRADED from a pre-0.11 writer whose null partition
+    * rendered as `default`, and old partition dirs are not rewritten on
+    * upgrade — so the dir may hold legacy NULL rows, or genuine
+    * `'default'` string values written post-upgrade. Soundness gates
+    * treat it as maybe-null: null-predicate pruning fails open over it,
+    * exact filter consumption keeps the residual, and path-as-value
+    * aggregate serving rejects the plan. (Pre-v4 it IS the sentinel —
+    * [[isPartitionNullSentinel]] — and this returns false.)
+    */
+  def isPartitionAmbiguousValue(v: String): Boolean =
+    v == "default" && tableVersion >= 4
+
   /** Merge strategy with the reference's defaulting rules
     * (config/table.rs:318-340): APPEND_ONLY when meta fields are not
     * populated or no ordering field, else OVERWRITE_WITH_LATEST.

@@ -42,9 +42,16 @@ final class PartitionPruner(
     // filters fail open and sentinel segments under typed fields fail
     // the parse — the pre-null-aware behavior (a caller that cannot
     // name the sentinels must never get exclusion semantics from them).
-    nullSentinel: Option[String => Boolean] = None
+    nullSentinel: Option[String => Boolean] = None,
+    // Which segment renderings are AMBIGUOUS values (HoodieConfig
+    // .isPartitionAmbiguousValue): bare 'default' on an upgraded v4+
+    // table may be a legacy null dir OR a genuine value — it gets
+    // maybe-null semantics below, never exclusion power over null
+    // predicates.
+    ambiguousValue: Option[String => Boolean] = None
 ) extends PartitionInclude {
   private val isNullSentinel: String => Boolean = nullSentinel.getOrElse(_ => false)
+  private val isAmbiguousValue: String => Boolean = ambiguousValue.getOrElse(_ => false)
   private val relevant: Seq[PartitionFilter] = {
     val names = partitionFields.map(_._1).toSet
     filters.filter(f => names.contains(f.field))
@@ -146,6 +153,19 @@ final class PartitionPruner(
       path: String, isSentinel: String => Boolean): Option[Map[String, Any]] =
     parseSegmentsLenient(path).orElse(parseWith(path, isSentinel))
 
+  /** STRICT parse that only raw-keeps null-sentinel segments — exactly
+    * the geometry [[shouldInclude]] prunes with. Exact-consumption gates
+    * (a pushed filter dropped from the residual because pruning is
+    * trusted to be authoritative) must use THIS parse, never the lenient
+    * one: the single-string-field fallback accepts multi-segment values
+    * (a '/' inside the value) that [[shouldInclude]]'s strict parse
+    * fails OPEN on — consuming a filter over a partition pruning cannot
+    * exclude would leak its rows into the result.
+    */
+  def parseSegmentsSentinelRaw(
+      path: String, isSentinel: String => Boolean): Option[Map[String, Any]] =
+    parseWith(path, isSentinel)
+
   private def cast(s: String, tpe: String): Option[Any] = tpe match {
     case "int" => s.toIntOption
     case "long" => s.toLongOption
@@ -206,6 +226,15 @@ final class PartitionPruner(
           case "isnotnull" => tpe == "string" // may hold "" rows
           case _ if tpe != "string" => false // rows are NULL: nothing compares
           case _ => compare("") // rows are NULL or "": "" decides
+        }
+      case s: String if isAmbiguousValue(s) =>
+        // maybe-null: a legacy pre-upgrade null dir (rows NULL or "") or
+        // genuine rows holding this very string — include whenever either
+        // reading could match
+        f.op match {
+          case "isnull" => true
+          case "isnotnull" => true
+          case _ => compare(s) || compare("")
         }
       case _ =>
         f.op match {

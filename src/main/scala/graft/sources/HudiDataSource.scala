@@ -326,8 +326,13 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       graft.fs.TimestampKeyGen.fromConfig(hudi.config).isEmpty && {
         val pruner = hudi.prunerFor(Nil)
         val fields = hudi.config.partitionFields.toSet
+        // STRICT parse + raw sentinels — the same geometry shouldInclude
+        // prunes with. The lenient parse would accept a multi-segment
+        // single-string-field path (a '/' inside the value) that pruning
+        // fails OPEN on, and a consumed filter over an unprunable
+        // partition leaks rows.
         try hudi.fsView.partitionPaths.forall(p =>
-          pruner.parseSegmentsNullable(p, hudi.config.isPartitionNullSentinel)
+          pruner.parseSegmentsSentinelRaw(p, hudi.config.isPartitionNullSentinel)
             .exists(m => fields.forall(m.contains)))
         catch { case _: Exception => false }
       }
@@ -354,11 +359,14 @@ class GraftScanBuilder(hudi: HudiTable, schema: StructType, options: CaseInsensi
       case "date" =>
         try { java.time.LocalDate.parse(String.valueOf(v)); true }
         catch { case _: Exception => false }
-      // a literal equal to a null-partition sentinel is ambiguous: the
-      // matching PATH may hold rows whose column is NULL (written under
-      // the sentinel), which the equality must exclude — keep the filter
-      // residual instead of classifying it exactly consumed
-      case _ => !GraftScanBuilder.isPartitionNullSentinel(String.valueOf(v), hudi.config)
+      // a literal equal to a null-partition sentinel OR to the v4+
+      // ambiguous bare 'default' keeps the residual: the matching PATH
+      // may hold rows whose column is NULL (written under the sentinel,
+      // or by a pre-upgrade writer), which the equality must exclude
+      case _ =>
+        val s = String.valueOf(v)
+        !GraftScanBuilder.isPartitionNullSentinel(s, hudi.config) &&
+          !hudi.config.isPartitionAmbiguousValue(s)
     })
 
   private def isExactPartitionEquality(f: Filter): Boolean = {
@@ -462,6 +470,17 @@ object GraftScanBuilder {
     case s: String => cfg.isPartitionNullSentinel(s)
     case _ => false
   }
+
+  /** A parsed path value path-as-value serving must NOT trust as a row
+    * value: a null sentinel, or the v4+ ambiguous bare `default` (a
+    * legacy pre-upgrade null dir is indistinguishable from a genuine
+    * value without reading — HoodieConfig.isPartitionAmbiguousValue).
+    */
+  def isUntrustedPathValue(v: Any, cfg: graft.core.HoodieConfig): Boolean =
+    isPartitionNullSentinel(v, cfg) || (v match {
+      case s: String => cfg.isPartitionAmbiguousValue(s)
+      case _ => false
+    })
 }
 
 /** The pushed footer-aggregate scan: precomputed local rows built from
@@ -631,7 +650,7 @@ object GraftFooterAggScan {
           val vals = pruner.parseSegments(p).getOrElse(return None)
           pvFields.foreach { f =>
             val v = vals.getOrElse(f, return None)
-            if (GraftScanBuilder.isPartitionNullSentinel(v, hudi.config)) return None
+            if (GraftScanBuilder.isUntrustedPathValue(v, hudi.config)) return None
           }
           p -> vals
         }.toMap
@@ -706,13 +725,12 @@ object GraftFooterAggScan {
             // UTF8String's byte-wise comparison IS Spark's string order
             // (java String.compareTo diverges on supplementary chars —
             // UTF-16 code-unit order vs code-point order)
-            def internalize(v: Any): Any = v match {
-              case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-              case other => other
-            }
+            // pathInternal: the one shared parse/decoded → catalyst-
+            // internal mapping (String → UTF8String; index values never
+            // surface LocalDate, which decodes to epoch-day Int already)
             FileFacts(counts.getOrElse(bf.fileName, 0L),
               tight.getOrElse(bf.fileName, Map.empty).view.filterKeys(needed)
-                .mapValues { case (mn, mx) => (internalize(mn), internalize(mx)) }.toMap,
+                .mapValues { case (mn, mx) => (pathInternal(mn), pathInternal(mx)) }.toMap,
               Set.empty,
               idxNulls.getOrElse(bf.fileName, Map.empty).view.filterKeys(statCountCols).toMap)
           })
@@ -801,9 +819,10 @@ object GraftFooterAggScan {
             // writes __HIVE_DEFAULT_PARTITION__, non-hive writes the
             // PartitionPathEncodeUtils DEFAULT_PARTITION_PATH "default"
             // (and older writers an empty segment) for null/empty values
-            // — serving any of them as a group literal under complete
-            // pushdown would be a silently wrong final answer
-            if (GraftScanBuilder.isPartitionNullSentinel(v, hudi.config)) return None
+            // — serving any of them, or the v4+ ambiguous 'default', as
+            // a group literal under complete pushdown would be a
+            // silently wrong final answer
+            if (GraftScanBuilder.isUntrustedPathValue(v, hudi.config)) return None
             v
           }, sl)
         }
@@ -1771,7 +1790,13 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
     // from the checkpoint): 1000 commits of sizing per batch keeps the
     // pass planning-sized at any backlog length.
     val sizingWindow = 1000
-    val capped = countCap.orElse(byteCap.map(_ => sizingWindow)).map(byTs.take).getOrElse(byTs)
+    val window = (countCap, byteCap) match {
+      case (Some(c), Some(_)) => Some(math.min(c, sizingWindow)) // both: sizing still bounded
+      case (Some(c), None) => Some(c)
+      case (None, Some(_)) => Some(sizingWindow)
+      case (None, None) => None
+    }
+    val capped = window.map(byTs.take).getOrElse(byTs)
     if (capped.isEmpty) return CommitOffset(target)
     val endTs = byteCap match {
       case None => capped.last._1

@@ -126,12 +126,6 @@ object ColumnStatsIndex {
     config.getOrElse("hoodie.table.metadata.partitions", "")
       .split(",").map(_.trim).contains(PartitionName)
 
-  /** All column-stat entries as of the MDT's latest commit, HFile log
-    * blocks overlaid in commit order (newer wins per record key,
-    * tombstones and isDeleted entries drop). Throws on structural
-    * problems — an advertised-but-unreadable index must surface, never
-    * read as "no stats"; callers catch and fall back to footers.
-    */
   /** Decoded-lookup memo misses (full partition decodes) — monotonic,
     * for tests pinning "a repeat plan decodes nothing".
     */
@@ -156,6 +150,12 @@ object ColumnStatsIndex {
           .flatMap(_.toIntOption).getOrElse(8)
     }
 
+  /** All column-stat entries as of the MDT's latest commit, HFile log
+    * blocks overlaid in commit order (newer wins per record key,
+    * tombstones and isDeleted entries drop). Throws on structural
+    * problems — an advertised-but-unreadable index must surface, never
+    * read as "no stats"; callers catch and fall back to footers.
+    */
   def load(
       dataTableBase: String,
       hadoopConf: Configuration,

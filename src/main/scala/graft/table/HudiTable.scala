@@ -290,7 +290,10 @@ final class HudiTable(
       // null-aware: IS [NOT] NULL filters prune exactly against the
       // writer's null-partition sentinels, and a sentinel under a typed
       // field no longer voids the rest of the parse
-      nullSentinel = Some(config.isPartitionNullSentinel))
+      nullSentinel = Some(config.isPartitionNullSentinel),
+      // v4+ bare 'default' is maybe-null (a legacy pre-upgrade null dir
+      // or a genuine value) — never exclusion power over null predicates
+      ambiguousValue = Some(config.isPartitionAmbiguousValue))
   }
 
   /** The full planning pruner: path-value pruning (R1) layered with MDT
@@ -483,7 +486,12 @@ final class HudiTable(
         val fileSchema = StructType(schema.fields.filterNot(f => droppedPartitionFields.contains(f.name)))
         val parse = prunerFor(Nil)
         baseBearing.groupBy(_.partitionPath).toSeq.sortBy(_._1).map { case (p, ss) =>
+          // a null-sentinel segment stands for NULL, not for its own
+          // rendering — dropping it injects NULL below (orNull)
           val vals = parse.parseSegmentsLenient(p).getOrElse(Map.empty)
+            .filterNot { case (_, v) =>
+              v.isInstanceOf[String] &&
+                config.isPartitionNullSentinel(v.asInstanceOf[String]) }
           val df = readBaseDf(fileSchema, ss.flatMap(_.baseFile).map(_.path))
           val withParts = droppedPartitionFields.foldLeft(df) { (acc, f) =>
             val target = schema.fields.find(_.name == f).get.dataType
@@ -505,6 +513,9 @@ final class HudiTable(
         val dropped = droppedPartitionFields
         sl => {
           val vals = parse.parseSegmentsLenient(sl.partitionPath).getOrElse(Map.empty)
+            .filterNot { case (_, v) =>
+              v.isInstanceOf[String] &&
+                config.isPartitionNullSentinel(v.asInstanceOf[String]) }
           dropped.flatMap(f => vals.get(f).map {
             case d: java.time.LocalDate => f -> java.sql.Date.valueOf(d)
             case other => f -> other

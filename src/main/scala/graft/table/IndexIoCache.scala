@@ -46,7 +46,16 @@ object IndexIoCache {
   private var totalBytes = 0L
 
   def bytes(path: Path, conf: Configuration): Array[Byte] = {
-    val key = path.toString
+    // MDT base HFiles and v8+ log files are content-immutable at a path,
+    // but a 0.x MDT writer APPENDS log blocks to an existing file path
+    // across deltacommits (the name carries the base instant, not the
+    // writing commit) — keying on the path alone would serve pre-append
+    // bytes to the files/column_stats/secondary-index readers and
+    // silently lose newly committed records. Key on (path, len, mtime):
+    // one getFileStatus per access (a cheap metadata RPC, not a data
+    // read) makes any in-place change a natural miss.
+    val st = path.getFileSystem(conf).getFileStatus(path)
+    val key = s"${path.toString}#${st.getLen}#${st.getModificationTime}"
     val cached = lru.synchronized(Option(lru.get(key)))
     cached match {
       case Some(b) => hits.incrementAndGet(); b
@@ -72,4 +81,19 @@ object IndexIoCache {
 
   /** Current cached byte total (tests). */
   def cachedBytes: Long = lru.synchronized(totalBytes)
+}
+
+/** Count-bounded, access-ordered memo for planning verdicts keyed by
+  * immutable facts (an MDT commit, a file's (mtime, len)) — the
+  * ColumnStatsIndex.lookupMemo pattern, shared so the smaller verdict
+  * caches can't accumulate one entry per historical commit on a
+  * long-lived driver.
+  */
+final class BoundedMemo[K, V](maxEntries: Int) {
+  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      size > maxEntries
+  }
+  def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+  def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
 }

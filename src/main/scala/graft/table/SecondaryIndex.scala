@@ -59,15 +59,14 @@ object SecondaryIndex {
     if (!fs.exists(p)) return Map.empty
     val st = fs.getFileStatus(p)
     val memoKey = (p.toString, st.getModificationTime, st.getLen)
-    val memo = defsMemo.get(memoKey)
-    if (memo != null) return memo
-    val parsed = parseDefs(graft.util.ReadFully(fs, p))
-    defsMemo.put(memoKey, parsed)
-    parsed
+    defsMemo.get(memoKey).getOrElse {
+      val parsed = parseDefs(graft.util.ReadFully(fs, p))
+      defsMemo.put(memoKey, parsed)
+      parsed
+    }
   }
 
-  private val defsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Map[String, IndexDef]]()
+  private val defsMemo = new BoundedMemo[(String, Long, Long), Map[String, IndexDef]](64)
 
   private def parseDefs(bytes: Array[Byte]): Map[String, IndexDef] = {
     val root = new ObjectMapper().readTree(bytes)
@@ -146,13 +145,12 @@ object SecondaryIndex {
       indexPartition: String,
       hadoopConf: Configuration,
       asOf: Option[String],
-      memo: java.util.concurrent.ConcurrentHashMap[(String, String, String), Option[T]])(
+      memo: BoundedMemo[(String, String, String), Option[T]])(
       classify: Iterator[String] => Option[T]): Option[T] = {
     val (latest, slices) =
       MetadataTable.openPartition(dataTableBase, indexPartition, hadoopConf, asOf)
     val memoKey = (dataTableBase, indexPartition, latest)
-    val memoized = memo.get(memoKey)
-    if (memoized != null) return memoized
+    memo.get(memoKey).foreach(v => return v)
     val range = InstantRange.upTo(latest)
     def readFully(p: Path): Array[Byte] = IndexIoCache.bytes(p, hadoopConf)
     val keys: Iterator[String] = slices.iterator.flatMap { slice =>
@@ -182,8 +180,7 @@ object SecondaryIndex {
       classifyDateKeys(_))
 
   /** [[detectDateRendering]] verdicts per (table, index, MDT commit). */
-  private val dateMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Option[DateRendering]]()
+  private val dateMemo = new BoundedMemo[(String, String, String), Option[DateRendering]](64)
 
   /** Detect the SCALE of a decimal-indexed column's key rendering from
     * the index's own entries — the [[detectDateRendering]] pattern
@@ -205,8 +202,7 @@ object SecondaryIndex {
       classifyDecimalKeys(_))
 
   /** [[detectDecimalScale]] verdicts per (table, index, MDT commit). */
-  private val decimalMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Option[Int]]()
+  private val decimalMemo = new BoundedMemo[(String, String, String), Option[Int]](64)
 
   /** Classify sampled decimal key parts: every sample must round-trip
     * through BigDecimal EXACTLY (`toString == toPlainString == sample` —

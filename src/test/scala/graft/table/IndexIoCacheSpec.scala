@@ -83,6 +83,13 @@ class IndexIoCacheSpec extends SparkTestBase {
       // a commit advance = a NEW file name: misses and reads exactly once
       assert(new String(IndexIoCache.bytes(new Path(b.toString), conf)) == "bbbb")
       assert(IndexIoCache.reads.get() == r0 + 2)
+      // an IN-PLACE append (0.x MDT log writers append blocks across
+      // deltacommits under the SAME path) must miss too — the key
+      // carries (len, mtime), so pre-append bytes are never served
+      java.nio.file.Files.write(a.toPath, "aaaaCCCC".getBytes)
+      assert(new String(IndexIoCache.bytes(new Path(a.toString), conf)) == "aaaaCCCC",
+        "appended file must re-read, not serve stale cached bytes")
+      assert(IndexIoCache.reads.get() == r0 + 3)
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
