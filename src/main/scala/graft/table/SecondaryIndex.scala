@@ -18,7 +18,11 @@ import scala.jdk.CollectionConverters._
 final case class IndexDef(
     indexName: String,
     indexType: String,
-    sourceFields: Seq[String]
+    sourceFields: Seq[String],
+    // "identity" for plain secondary indexes (what real writers record);
+    // expression indexes store TRANSFORMED keys a raw-literal probe
+    // would miss, so planning refuses any non-identity function
+    indexFunction: String = "identity"
 )
 
 /** Reader for MDT `secondary_index_*` partitions: secondary column value
@@ -78,14 +82,21 @@ object SecondaryIndex {
         e.getKey -> IndexDef(
           Option(d.get("indexName")).map(_.asText()).getOrElse(e.getKey),
           Option(d.get("indexType")).map(_.asText()).getOrElse(""),
-          fields)
+          fields,
+          Option(d.get("indexFunction")).map(_.asText()).getOrElse("identity"))
       }.toMap
     }.getOrElse(Map.empty)
   }
 
   /** The advertised secondary-index partition covering exactly `column`,
     * if any: the index must be declared in index.json with type
-    * `secondary_index` and a single source field equal to the column.
+    * `secondary_index`, a single source field equal to the column, and
+    * an IDENTITY index function — an expression index (Hudi 1.0
+    * functional indexes record e.g. `lower`/`from_unixtime` here) stores
+    * the TRANSFORMED rendering, so probing it with a raw literal would
+    * miss every entry and plan a wrong EMPTY result. Empty/absent counts
+    * as identity (pre-expression-index writers); anything else refuses
+    * the index and keeps the full plan.
     */
   def indexForColumn(
       dataTableBase: String,
@@ -96,6 +107,7 @@ object SecondaryIndex {
     if (advertised.isEmpty) None
     else indexDefs(dataTableBase, hadoopConf).values.collectFirst {
       case d if d.indexType == "secondary_index" && d.sourceFields == Seq(column) &&
+        (d.indexFunction.isEmpty || d.indexFunction == "identity") &&
         advertised.contains(d.indexName) => d.indexName
     }
   }

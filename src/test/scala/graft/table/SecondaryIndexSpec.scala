@@ -169,6 +169,40 @@ class SecondaryIndexSpec extends SparkTestBase {
       assert(!graft.sources.GraftScan.keyRenderingTrusted(dt), s"$dt must not be trusted")
   }
 
+  test("non-identity (expression) index functions refuse planning") {
+    // a Hudi 1.0 expression index stores TRANSFORMED key renderings
+    // (lower(col), from_unixtime(col), ...) — a raw-literal probe would
+    // miss every entry and plan a wrong EMPTY result, so indexForColumn
+    // must refuse anything but identity (absent counts as identity)
+    val dir = java.nio.file.Files.createTempDirectory("graft_exp_idx")
+    java.nio.file.Files.createDirectories(dir.resolve(".hoodie/.index_defs"))
+    java.nio.file.Files.write(dir.resolve(".hoodie/.index_defs/index.json"),
+      """{"indexDefinitions":{
+        |"secondary_index_lower_idx":{"indexName":"secondary_index_lower_idx",
+        |  "indexType":"secondary_index","indexFunction":"lower",
+        |  "sourceFields":["name"],"indexOptions":{}},
+        |"secondary_index_plain_idx":{"indexName":"secondary_index_plain_idx",
+        |  "indexType":"secondary_index","indexFunction":"identity",
+        |  "sourceFields":["plain"],"indexOptions":{}},
+        |"secondary_index_nofn_idx":{"indexName":"secondary_index_nofn_idx",
+        |  "indexType":"secondary_index",
+        |  "sourceFields":["nofn"],"indexOptions":{}}}}
+        |""".stripMargin.replaceAll("\n", "").getBytes("UTF-8"))
+    val cfg = graft.core.HoodieConfig(Map(
+      "hoodie.table.name" -> "t", "hoodie.table.version" -> "8",
+      "hoodie.table.metadata.partitions" ->
+        "secondary_index_lower_idx,secondary_index_plain_idx,secondary_index_nofn_idx"))
+    val conf = spark.sessionState.newHadoopConf()
+    import graft.table.SecondaryIndex.indexForColumn
+    assert(indexForColumn(dir.toString, cfg, "name", conf).isEmpty,
+      "a lower() expression index must never plan raw-literal probes")
+    assert(indexForColumn(dir.toString, cfg, "plain", conf)
+      .contains("secondary_index_plain_idx"))
+    assert(indexForColumn(dir.toString, cfg, "nofn", conf)
+      .contains("secondary_index_nofn_idx"),
+      "an absent indexFunction counts as identity (pre-expression writers)")
+  }
+
   test("decimal-key scale detection and literal rendering") {
     import graft.table.SecondaryIndex._
     import org.apache.spark.sql.types.DecimalType
