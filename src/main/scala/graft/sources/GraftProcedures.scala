@@ -21,16 +21,21 @@ object GraftProcedures {
     Array("show_commits", "show_file_slices", "show_partitions", "show_indexes",
       "show_column_stats", "show_partition_stats", "show_bloom_filters")
 
+  /** Planned slices at `asOf` (normalized) or the latest commit. */
+  private def slicesAt(t: HudiTable, asOf: Option[String]): Vector[graft.fs.FileSlice] =
+    asOf.map(graft.core.Timestamps.normalize(_, t.config.timelineTimezone))
+      .orElse(t.timeline.latestCommitTimestamp)
+      .map(ts => t.fsView.slicesAsOf(ts)).getOrElse(Vector.empty)
+
   def load(name: String): Option[UnboundProcedure] = name.toLowerCase match {
     case "show_partitions" => Some(proc("show_partitions",
-      "partitions of the latest snapshot with file-group counts and size",
+      "partitions of the snapshot (latest, or as_of a timestamp) with file-group counts and size",
       StructType(Seq(
         StructField("partition_path", StringType, nullable = false),
         StructField("num_file_groups", IntegerType, nullable = false),
         StructField("num_log_files", IntegerType, nullable = false),
         StructField("total_bytes", LongType, nullable = false))),
-      t => t.timeline.latestCommitTimestamp
-        .map(ts => t.fsView.slicesAsOf(ts)).getOrElse(Vector.empty)
+      (t, asOf) => slicesAt(t, asOf)
         .groupBy(_.partitionPath).toVector.sortBy(_._1)
         .map { case (p, ss) =>
           row(p, Int.box(ss.size), Int.box(ss.map(_.logFiles.size).sum),
@@ -42,10 +47,10 @@ object GraftProcedures {
         StructField("commit_ts", StringType, nullable = false),
         StructField("action", StringType, nullable = false),
         StructField("completion_ts", StringType, nullable = false))),
-      t => t.timeline.completedInstants.map(i =>
+      (t, _) => t.timeline.completedInstants.map(i =>
         row(i.timestamp, i.action, i.completionTimestamp.getOrElse("")))))
     case "show_file_slices" => Some(proc("show_file_slices",
-      "planned file slices of the latest snapshot",
+      "planned file slices of the snapshot (latest, or as_of a timestamp)",
       StructType(Seq(
         StructField("partition_path", StringType, nullable = false),
         StructField("file_id", StringType, nullable = false),
@@ -53,8 +58,7 @@ object GraftProcedures {
         StructField("base_file", StringType, nullable = false),
         StructField("num_logs", IntegerType, nullable = false),
         StructField("total_bytes", LongType, nullable = false))),
-      t => t.timeline.latestCommitTimestamp
-        .map(ts => t.fsView.slicesAsOf(ts)).getOrElse(Vector.empty)
+      (t, asOf) => slicesAt(t, asOf)
         .map(sl => row(sl.partitionPath, sl.fileId, sl.commitTimestamp,
           sl.baseFile.map(_.fileName).getOrElse(""),
           Int.box(sl.logFiles.size), Long.box(sl.totalSize)))))
@@ -65,7 +69,7 @@ object GraftProcedures {
         StructField("index_type", StringType, nullable = false),
         StructField("source_fields", StringType, nullable = false),
         StructField("advertised", BooleanType, nullable = false))),
-      t => {
+      (t, _) => {
         val advertised = t.config.getOrElse("hoodie.table.metadata.partitions", "")
           .split(",").map(_.trim).filter(_.nonEmpty).toVector
         val defs = SecondaryIndex.indexDefs(t.basePath, t.hadoopConf)
@@ -86,7 +90,7 @@ object GraftProcedures {
         StructField("value_count", LongType, nullable = true),
         StructField("null_count", LongType, nullable = true),
         StructField("tight", BooleanType, nullable = false))),
-      t => {
+      (t, _) => {
         if (!graft.table.ColumnStatsIndex.isAvailable(t.config)) Seq.empty
         else graft.table.ColumnStatsIndex.load(t.basePath, t.hadoopConf).entries
           .sortBy(e => (e.fileName, e.columnName))
@@ -104,7 +108,7 @@ object GraftProcedures {
         StructField("column_name", StringType, nullable = false),
         StructField("min_value", StringType, nullable = false),
         StructField("max_value", StringType, nullable = false))),
-      t => t.partitionStatsForPruning.toVector
+      (t, _) => t.partitionStatsForPruning.toVector
         .flatMap { case (p, cols) => cols.toVector.map { case (c, (mn, mx)) =>
           (p, c, String.valueOf(mn), String.valueOf(mx)) } }
         .sortBy(r => (r._1, r._2))
@@ -115,10 +119,8 @@ object GraftProcedures {
         StructField("partition_path", StringType, nullable = false),
         StructField("base_file", StringType, nullable = false),
         StructField("has_bloom", BooleanType, nullable = false))),
-      t => {
-        val slices = t.timeline.latestCommitTimestamp
-          .map(ts => t.fsView.slicesAsOf(ts)).getOrElse(Vector.empty)
-        val targets = slices
+      (t, asOf) => {
+        val targets = slicesAt(t, asOf)
           .flatMap(sl => sl.baseFile.map(bf => (sl.partitionPath, bf.fileName)))
         val found: Set[(String, String)] =
           if (!graft.table.BloomFilterIndex.isAvailable(t.config)) Set.empty
@@ -141,19 +143,25 @@ object GraftProcedures {
       procName: String,
       procDescription: String,
       schema: StructType,
-      body: HudiTable => Seq[InternalRow]): UnboundProcedure =
+      body: (HudiTable, Option[String]) => Seq[InternalRow]): UnboundProcedure =
     new UnboundProcedure with BoundProcedure {
       override def name(): String = procName
       override def description(): String = procDescription
       override def bind(inputType: StructType): BoundProcedure = this
       override def isDeterministic: Boolean = false // reads live table state
       override def parameters(): Array[ProcedureParameter] =
-        Array(ProcedureParameter.in("table", StringType)
-          .comment("hudi table base path").build())
+        Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("hudi table base path").build(),
+          // optional time travel for the snapshot-shaped procedures
+          // (ignored by timeline/index listings); '' = latest
+          ProcedureParameter.in("as_of", StringType).defaultValue("''")
+            .comment("optional snapshot timestamp, any supported format").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val path = input.getUTF8String(0).toString
+        val asOf = Option(input.getUTF8String(1)).map(_.toString).filter(_.nonEmpty)
         val table = HudiTable(SparkSession.active, path)
-        val out = body(table).toArray
+        val out = body(table, asOf).toArray
         java.util.List.of[Scan](new LocalScan {
           override def rows(): Array[InternalRow] = out
           override def readSchema(): StructType = schema

@@ -82,6 +82,23 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(rows.forall(_.getInt(4) == 0))
   }
 
+  test("CALL show_file_slices/show_partitions time-travel via as_of") {
+    // the COW fixture rewrites every file group at T2 — as_of T1 must
+    // list only T1-committed base files, latest only T2's
+    val t1 = spark.sql(s"CALL hudi_graft.show_file_slices(table => '$cowPath', " +
+      s"as_of => '${HudiFixtureBuilder.T1}')").collect()
+    assert(t1.nonEmpty && t1.forall(_.getString(2) == HudiFixtureBuilder.T1),
+      s"as_of T1 must plan T1 slices, got ${t1.map(_.getString(2)).distinct.toSeq}")
+    val latest = spark.sql(s"CALL hudi_graft.show_file_slices(table => '$cowPath')").collect()
+    assert(latest.forall(_.getString(2) == HudiFixtureBuilder.T2))
+    // same partitions either way, sizes from the as-of generation
+    val p1 = spark.sql(s"CALL hudi_graft.show_partitions(table => '$cowPath', " +
+      s"as_of => '${HudiFixtureBuilder.T1}')").collect().map(_.getString(0)).toSet
+    val pL = spark.sql(s"CALL hudi_graft.show_partitions(table => '$cowPath')")
+      .collect().map(_.getString(0)).toSet
+    assert(p1 == pL && p1.nonEmpty)
+  }
+
   test("CALL show_indexes reports declared and advertised indexes") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val sidx = HudiFixtureBuilder.sidxPath(sfDir)
