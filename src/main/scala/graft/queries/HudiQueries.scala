@@ -1129,6 +1129,36 @@ object HudiQueries {
            |ORDER BY file_id""".stripMargin
       }),
 
+    // The procedure's as_of TIME TRAVEL at oracle level: the COW fixture
+    // rewrites every file group at T2, so as_of T1 must list exactly the
+    // T1-committed bucketed bases — the oracle re-derives the bucketed
+    // layout (partition index by sorted o_orderpriority, bucket =
+    // o_orderkey % 3) from the orders table. A plan that ignored as_of
+    // would name T2 files and hash-mismatch.
+    "hudi_proc_slices_asof" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.conf.set("spark.sql.catalog.hudi_graft", classOf[graft.sources.GraftCatalog].getName)
+        s.sql(s"CALL hudi_graft.show_file_slices(table => '${HudiFixtureBuilder.cowPath(d)}', " +
+          s"as_of => '${HudiFixtureBuilder.T1}')")
+          .select("partition_path", "file_id", "commit_ts", "base_file", "num_logs")
+          .orderBy("file_id")
+      },
+      """WITH parts AS (
+        |  SELECT p, ROW_NUMBER() OVER (ORDER BY p) - 1 AS pidx
+        |  FROM (SELECT DISTINCT o_orderpriority AS p FROM orders)
+        |), pb AS (
+        |  SELECT DISTINCT parts.p, parts.pidx, (o.o_orderkey % 3) AS b
+        |  FROM orders o JOIN parts ON o.o_orderpriority = parts.p
+        |)
+        |SELECT p AS partition_path,
+        |  printf('00000000-0000-0000-%04d-%012d-0', pidx, b) AS file_id,
+        |  '20240101000000000' AS commit_ts,
+        |  printf('00000000-0000-0000-%04d-%012d-0_0-0-0_20240101000000000.parquet',
+        |    pidx, b) AS base_file,
+        |  CAST(0 AS INTEGER) AS num_logs
+        |FROM pb ORDER BY file_id""".stripMargin),
+
     // SHOW PARTITIONS-shaped ops surface at oracle level: the procedure
     // aggregates the planned snapshot by partition (hive-style int
     // partitions parse to `n_regionkey=<r>` dirs, one file group each);
