@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.sources.HudiTableChanges.name),
       graft.sources.HudiTableChanges.info,
       graft.sources.HudiTableChanges.builder _))
+    ext.injectTableFunction((
+      FunctionIdentifier(graft.sources.HudiQuery.name),
+      graft.sources.HudiQuery.info,
+      graft.sources.HudiQuery.builder _))
   }
 }

@@ -229,6 +229,20 @@ object HudiQueries {
       },
       ordersSql(updated = true, deletes = false, onlyUpdated = true)),
 
+    // Upstream Spark-Hudi's hudi_query TVF (mode-selected read): the
+    // read_optimized mode on the MOR fixture is load-bearing — it must
+    // return the BASE-ONLY rows (no T2/T3 log merge), so a TVF that
+    // ignored the mode and planned a snapshot would hash-mismatch
+    // against the base-only oracle.
+    "hudi_sql_query_ro" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        graft.sources.HudiQuery.register(s)
+        selectOrders(s.sql(
+          s"SELECT * FROM hudi_query('${HudiFixtureBuilder.morPath(d)}', 'read_optimized')"))
+      },
+      ordersSql(updated = false, deletes = false, onlyUpdated = false)),
+
     // --- D5/S2 through the SQL catalog: FOR VERSION AS OF time travel --
     "hudi_catalog_time_travel" -> QueryDef(
       (s, d) => {

@@ -285,4 +285,52 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(prunedDf.count() == viaOptions(Some(T1), Some(T2))
       .filter(org.apache.spark.sql.functions.col("o_orderpriority") === p0).count())
   }
+
+  test("hudi_query TVF equals the option-based mode-selected read") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    import graft.fixtures.HudiFixtureBuilder.{T1, morPath}
+    graft.sources.HudiQuery.register(spark)
+    val path = morPath(sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("_hoodie_record_key", "o_orderstatus")
+        .collect().map(r => (r.getString(0), Option(r.get(1)))).toSet
+    // snapshot mode = the plain merged read
+    val snap = spark.sql(s"SELECT * FROM hudi_query('$path', 'snapshot')")
+    assert(rows(snap) == rows(spark.read.format("hudi-graft").load(path)) &&
+      snap.count() > 0)
+    // read_optimized mode is LOAD-BEARING on MOR: base-only rows differ
+    // from the snapshot (T2/T3 logs unmerged), matching the option read
+    val ro = spark.sql(s"SELECT * FROM hudi_query('$path', 'read_optimized')")
+    val roOpt = spark.read.format("hudi-graft")
+      .option("read.optimized", "true").load(path)
+    assert(rows(ro) == rows(roOpt))
+    assert(rows(ro) != rows(snap), "read_optimized must differ from snapshot on MOR")
+    // the as-of extension composes: snapshot pinned at T1 = base-only
+    // view here (no logs existed yet)
+    val asOf = spark.sql(s"SELECT * FROM hudi_query('$path', 'snapshot', '$T1')")
+    val asOfOpt = spark.read.format("hudi-graft")
+      .option("as.of.timestamp", T1).load(path)
+    assert(rows(asOf) == rows(asOfOpt))
+    // an unknown mode must THROW, not silently read a snapshot (a typo'd
+    // mode changing which rows a MOR query returns would be silent wrong)
+    val errMode = intercept[Exception] {
+      spark.sql(s"SELECT * FROM hudi_query('$path', 'read_optimised')").collect()
+    }
+    assert(errMode.getMessage.contains("unknown query type"), errMode.getMessage)
+    // non-literal path rejected loudly (schema needed at analysis)
+    val errLit = intercept[Exception] {
+      spark.sql(s"SELECT * FROM hudi_query(upper('$path'), 'snapshot')").collect()
+    }
+    assert(errLit.getMessage.contains("string literal") ||
+      errLit.getMessage.contains("hudi_query"))
+    // the TVF expands to the DSv2 relation: aggregate pushdown plans the
+    // same LocalScan a direct read would (COUNT(*) on the COW fixture)
+    val cow = graft.fixtures.HudiFixtureBuilder.cowPath(sfDir)
+    val cnt = spark.sql(s"SELECT COUNT(*) AS c FROM hudi_query('$cow', 'snapshot')")
+    assert(cnt.queryExecution.executedPlan.toString().contains("LocalTableScan"),
+      s"COUNT(*) through hudi_query must stay metadata-only:\n" +
+        cnt.queryExecution.executedPlan.toString())
+    assert(cnt.head.getLong(0) ==
+      spark.read.format("hudi-graft").load(cow).count())
+  }
 }
