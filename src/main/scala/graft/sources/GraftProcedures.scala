@@ -18,8 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
 
   val names: Array[String] =
-    Array("show_commits", "show_file_slices", "show_partitions", "show_indexes",
-      "show_column_stats", "show_partition_stats", "show_bloom_filters")
+    Array("show_commits", "show_archived_commits", "show_file_slices",
+      "show_partitions", "show_indexes", "show_column_stats",
+      "show_partition_stats", "show_bloom_filters")
 
   /** Planned slices at `asOf` (normalized) or the latest commit. */
   private def slicesAt(t: HudiTable, asOf: Option[String]): Vector[graft.fs.FileSlice] =
@@ -48,6 +49,19 @@ object GraftProcedures {
         StructField("action", StringType, nullable = false),
         StructField("completion_ts", StringType, nullable = false))),
       (t, _) => t.timeline.completedInstants.map(i =>
+        row(i.timestamp, i.action, i.completionTimestamp.getOrElse("")))))
+    // The hudi-cli `commits showarchived` shape. Deliberately NOT gated
+    // on hoodie.internal.timeline.archived.enabled: that flag guards
+    // IMPLICIT read-path loads (T4's double gate in selectWithArchived),
+    // while a CALL names the archive explicitly — an ops user asking to
+    // see it should see it (empty when no archive exists).
+    case "show_archived_commits" => Some(proc("show_archived_commits",
+      "instants from the archived timeline (v6 archive folder, v8+ LSM history)",
+      StructType(Seq(
+        StructField("commit_ts", StringType, nullable = false),
+        StructField("action", StringType, nullable = false),
+        StructField("completion_ts", StringType, nullable = false))),
+      (t, _) => t.timeline.archivedInstants.map(i =>
         row(i.timestamp, i.action, i.completionTimestamp.getOrElse("")))))
     case "show_file_slices" => Some(proc("show_file_slices",
       "planned file slices of the snapshot (latest, or as_of a timestamp)",

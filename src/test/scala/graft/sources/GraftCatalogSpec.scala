@@ -286,6 +286,36 @@ class GraftCatalogSpec extends SparkTestBase {
       .filter(org.apache.spark.sql.functions.col("o_orderpriority") === p0).count())
   }
 
+  test("show_archived_commits lists the archive folder, ungated") {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val base = "/root/repo/target/fixtures/proc_archived_v6"
+    val fs = FileSystem.get(new org.apache.hadoop.conf.Configuration())
+    val b = new Path(base)
+    fs.delete(b, true)
+    fs.mkdirs(new Path(b, ".hoodie/archived"))
+    val props =
+      """hoodie.table.name=a
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |""".stripMargin // note: archived.enabled NOT set — CALL is explicit
+    val o = fs.create(new Path(b, ".hoodie/hoodie.properties"), true)
+    o.write(props.getBytes("UTF-8")); o.close()
+    for (f <- Seq("20230101000000000.commit", "20230102000000000.commit", "junk.txt")) {
+      val out = fs.create(new Path(b, s".hoodie/archived/$f"), true)
+      out.write("{}".getBytes); out.close()
+    }
+    spark.conf.set("spark.sql.catalog.hudi_graft", classOf[GraftCatalog].getName)
+    val rows = spark.sql(s"CALL hudi_graft.show_archived_commits(table => '$base')")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("20230101000000000", "20230102000000000"))
+    assert(rows.forall(_.getString(1) == "commit"))
+    // an un-archived table returns empty, not an error
+    val none = spark.sql(
+      s"CALL hudi_graft.show_archived_commits(table => '$cowPath')").collect()
+    assert(none.isEmpty)
+  }
+
   test("hudi_query TVF equals the option-based mode-selected read") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     import graft.fixtures.HudiFixtureBuilder.{T1, morPath}
