@@ -68,6 +68,18 @@ class GraftTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
+  /** Table properties for `DESCRIBE EXTENDED` / catalog tooling: the
+    * table's own hoodie.properties, verbatim (the facts a user coming
+    * from another Hudi engine inspects — table type/version, record key,
+    * precombine field, keygenerator, advertised MDT partitions).
+    * Read-only informational metadata; Spark never writes these back.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    hudi.config.props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** Identity transforms over the table's partition fields — the honest
     * metadata (Hudi's layout is value-per-directory) that lets Spark
     * resolve `SHOW PARTITIONS` against this table. Timestamp-keygen

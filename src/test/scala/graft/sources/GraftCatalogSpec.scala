@@ -286,6 +286,19 @@ class GraftCatalogSpec extends SparkTestBase {
       .filter(org.apache.spark.sql.functions.col("o_orderpriority") === p0).count())
   }
 
+  test("DESCRIBE EXTENDED surfaces hoodie.properties as table properties") {
+    spark.conf.set("spark.sql.catalog.hudi_graft", classOf[GraftCatalog].getName)
+    val rows = spark.sql(s"DESCRIBE EXTENDED hudi_graft.`$cowPath`").collect()
+    val props = rows.find(_.getString(0) == "Table Properties")
+      .map(_.getString(1)).getOrElse("")
+    assert(props.contains("hoodie.table.type=COPY_ON_WRITE"), s"props: $props")
+    assert(props.contains("hoodie.table.version="), s"props: $props")
+    // the partition columns section reflects partitioning() (D9)
+    assert(rows.exists(r => r.getString(0).contains("Part 0") ||
+      r.getString(0) == "# Partition Information" || props.contains("o_orderpriority")),
+      rows.map(_.getString(0)).mkString(", "))
+  }
+
   test("show_archived_commits lists the archive folder, ungated") {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val base = "/root/repo/target/fixtures/proc_archived_v6"
