@@ -354,6 +354,11 @@ class GraftCatalogSpec extends SparkTestBase {
     val asOfOpt = spark.read.format("hudi-graft")
       .option("as.of.timestamp", T1).load(path)
     assert(rows(asOf) == rows(asOfOpt))
+    // read_optimized composes with as_of: the as-of plan's base files only
+    val roAsOf = spark.sql(s"SELECT * FROM hudi_query('$path', 'read_optimized', '$T1')")
+    val roAsOfOpt = spark.read.format("hudi-graft")
+      .option("read.optimized", "true").option("as.of.timestamp", T1).load(path)
+    assert(rows(roAsOf) == rows(roAsOfOpt))
     // an unknown mode must THROW, not silently read a snapshot (a typo'd
     // mode changing which rows a MOR query returns would be silent wrong)
     val errMode = intercept[Exception] {
