@@ -137,6 +137,38 @@ object ClusterOps {
        |ORDER BY m.vec_id""".stripMargin
   }
 
+  /** Simplified (centroid-based) silhouette per point over the final
+    * assignment: a = cosine distance to the OWN final centroid, b = min
+    * distance to any OTHER final centroid, s = (b-a)/max(a,b) ∈ [-1,1].
+    * The curation signal behind prototypicality filtering — points with
+    * low/negative s sit between clusters and are the first candidates to
+    * drop or re-route. Emitted PER POINT (vec_id, cid, a, b, silhouette)
+    * deliberately: every value is a chain of correctly-rounded IEEE ops
+    * on exact BIGINT inputs (bit-identical cross-engine), whereas a
+    * cluster-level AVG over doubles would reintroduce fp-summation
+    * divergence — cluster rollups belong downstream as a decimal-sum
+    * (the Relational.scala recipe). Scale shape: the distance relation
+    * is row × K-broadcast-centroids (K×d ints), a pure map pass; the
+    * per-point MIN/MAX group-by is combinable with K-bounded fan-in.
+    */
+  private def silhouetteTail(fin: String, cent: String, qn: String, dot: String): String = {
+    val d = dot.format("v.q", "c.cq")
+    s"""dists AS (
+       |  SELECT m.vec_id, m.cid AS own_cid, c.cid AS ccid,
+       |    1.0 - CAST($d AS DOUBLE) /
+       |      sqrt(CAST(v.qnorm AS DOUBLE) * CAST(c.cnorm AS DOUBLE)) AS dist
+       |  FROM $fin m JOIN $qn v ON v.vec_id = m.vec_id CROSS JOIN $cent c),
+       |sil AS (
+       |  SELECT vec_id, own_cid,
+       |    MAX(CASE WHEN ccid = own_cid THEN dist END) AS a,
+       |    MIN(CASE WHEN ccid <> own_cid THEN dist END) AS b
+       |  FROM dists GROUP BY vec_id, own_cid)
+       |SELECT vec_id, CAST(own_cid AS INT) AS cid, a, b,
+       |  CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE (b - a) / greatest(a, b) END AS silhouette
+       |FROM sil ORDER BY vec_id""".stripMargin
+  }
+
   private def sparkKmeansSql: String =
     s"WITH ${kmeansCtes("ann_qn", sparkDot, sparkPerDim, sparkRebuild)}\n${kmeansMain(s"m$KmIters")}"
 
@@ -151,6 +183,14 @@ object ClusterOps {
     s"WITH $duckQn,\n${kmeansCtes("qn", duckDot, duckPerDim, duckRebuild)},\n" +
       semdedupTail(s"m$KmIters", "qn", duckDot)
 
+  private def sparkSilhouetteSql: String =
+    s"WITH ${kmeansCtes("ann_qn", sparkDot, sparkPerDim, sparkRebuild)},\n" +
+      silhouetteTail(s"m$KmIters", s"cent$KmIters", "ann_qn", sparkDot)
+
+  private def duckSilhouetteSql: String =
+    s"WITH $duckQn,\n${kmeansCtes("qn", duckDot, duckPerDim, duckRebuild)},\n" +
+      silhouetteTail(s"m$KmIters", s"cent$KmIters", "qn", duckDot)
+
   private def runSpark(main: => String)(s: SparkSession, d: String): DataFrame = {
     AnnOps.sparkPrep(s, d)
     s.sql(main)
@@ -158,6 +198,7 @@ object ClusterOps {
 
   def queries: Map[String, QueryDef] = Map(
     "embed_kmeans" -> QueryDef(runSpark(sparkKmeansSql) _, duckKmeansSql),
-    "embed_semdedup" -> QueryDef(runSpark(sparkSemdedupSql) _, duckSemdedupSql)
+    "embed_semdedup" -> QueryDef(runSpark(sparkSemdedupSql) _, duckSemdedupSql),
+    "embed_silhouette" -> QueryDef(runSpark(sparkSilhouetteSql) _, duckSilhouetteSql)
   )
 }
