@@ -183,6 +183,57 @@ object ClusterOps {
     s"WITH $duckQn,\n${kmeansCtes("qn", duckDot, duckPerDim, duckRebuild)},\n" +
       semdedupTail(s"m$KmIters", "qn", duckDot)
 
+  /** Prototype extraction per cluster (the SSL-prototypes pruning
+    * signal, Sorscher et al. 2022, arXiv:2206.14486): the [[ProtoK]]
+    * members MOST aligned with their own final centroid, ranked by
+    * cosine (ties on vec_id). Two query shapes over the same result:
+    * the plain per-cluster window, and a SALTED TWO-PHASE variant
+    * (`embed_prototypes_scale`) that ranks within (cid, salt) buckets
+    * first and re-ranks only the bucket survivors — the 100 TB shape,
+    * since PARTITION BY cid alone is K-way parallelism (K=8) no matter
+    * the corpus size, while phase one fans out K×[[ProtoSalt]] ways and
+    * phase two ranks ≤ K×salt×k rows. Identical output by construction
+    * (each bucket keeps its own top-k, so the global per-cluster top-k
+    * survives phase one), pinned by both entries sharing one oracle.
+    */
+  private val ProtoK = 10
+  private val ProtoSalt = 16
+
+  private def protoScored(fin: String, cent: String, qn: String, dot: String): String = {
+    val d = dot.format("v.q", "c.cq")
+    s"""scored AS (
+       |  SELECT m.vec_id, m.cid,
+       |    CAST($d AS DOUBLE) /
+       |      sqrt(CAST(v.qnorm AS DOUBLE) * CAST(c.cnorm AS DOUBLE)) AS proto_score
+       |  FROM $fin m JOIN $qn v ON v.vec_id = m.vec_id
+       |  JOIN $cent c ON c.cid = m.cid)""".stripMargin
+  }
+
+  private def protoTail(fin: String, cent: String, qn: String, dot: String): String =
+    s"""${protoScored(fin, cent, qn, dot)},
+       |ranked AS (
+       |  SELECT vec_id, cid, proto_score,
+       |    ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY proto_score DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT vec_id, CAST(cid AS INT) AS cid, proto_score, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= $ProtoK ORDER BY cid, rk""".stripMargin
+
+  private def protoTailSalted(fin: String, cent: String, qn: String, dot: String): String =
+    s"""${protoScored(fin, cent, qn, dot)},
+       |phase1 AS (
+       |  SELECT vec_id, cid, proto_score,
+       |    ROW_NUMBER() OVER (PARTITION BY cid, vec_id % $ProtoSalt
+       |      ORDER BY proto_score DESC, vec_id) AS rk1
+       |  FROM scored),
+       |ranked AS (
+       |  SELECT vec_id, cid, proto_score,
+       |    ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY proto_score DESC, vec_id) AS rk
+       |  FROM phase1 WHERE rk1 <= $ProtoK)
+       |SELECT vec_id, CAST(cid AS INT) AS cid, proto_score, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= $ProtoK ORDER BY cid, rk""".stripMargin
+
   private def sparkSilhouetteSql: String =
     s"WITH ${kmeansCtes("ann_qn", sparkDot, sparkPerDim, sparkRebuild)},\n" +
       silhouetteTail(s"m$KmIters", s"cent$KmIters", "ann_qn", sparkDot)
@@ -190,6 +241,18 @@ object ClusterOps {
   private def duckSilhouetteSql: String =
     s"WITH $duckQn,\n${kmeansCtes("qn", duckDot, duckPerDim, duckRebuild)},\n" +
       silhouetteTail(s"m$KmIters", s"cent$KmIters", "qn", duckDot)
+
+  private def sparkProtoSql: String =
+    s"WITH ${kmeansCtes("ann_qn", sparkDot, sparkPerDim, sparkRebuild)},\n" +
+      protoTail(s"m$KmIters", s"cent$KmIters", "ann_qn", sparkDot)
+
+  private def sparkProtoSaltedSql: String =
+    s"WITH ${kmeansCtes("ann_qn", sparkDot, sparkPerDim, sparkRebuild)},\n" +
+      protoTailSalted(s"m$KmIters", s"cent$KmIters", "ann_qn", sparkDot)
+
+  private def duckProtoSql: String =
+    s"WITH $duckQn,\n${kmeansCtes("qn", duckDot, duckPerDim, duckRebuild)},\n" +
+      protoTail(s"m$KmIters", s"cent$KmIters", "qn", duckDot)
 
   private def runSpark(main: => String)(s: SparkSession, d: String): DataFrame = {
     AnnOps.sparkPrep(s, d)
@@ -199,6 +262,10 @@ object ClusterOps {
   def queries: Map[String, QueryDef] = Map(
     "embed_kmeans" -> QueryDef(runSpark(sparkKmeansSql) _, duckKmeansSql),
     "embed_semdedup" -> QueryDef(runSpark(sparkSemdedupSql) _, duckSemdedupSql),
-    "embed_silhouette" -> QueryDef(runSpark(sparkSilhouetteSql) _, duckSilhouetteSql)
+    "embed_silhouette" -> QueryDef(runSpark(sparkSilhouetteSql) _, duckSilhouetteSql),
+    "embed_prototypes" -> QueryDef(runSpark(sparkProtoSql) _, duckProtoSql),
+    // the salted two-phase 100 TB shape, same oracle (identical by
+    // construction — see protoTailSalted)
+    "embed_prototypes_scale" -> QueryDef(runSpark(sparkProtoSaltedSql) _, duckProtoSql)
   )
 }
