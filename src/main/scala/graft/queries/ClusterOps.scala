@@ -242,6 +242,28 @@ object ClusterOps {
     s"WITH $duckQn,\n${kmeansCtes("qn", duckDot, duckPerDim, duckRebuild)},\n" +
       silhouetteTail(s"m$KmIters", s"cent$KmIters", "qn", duckDot)
 
+  /** Per-cluster size + inertia over the final assignment — the k-means
+    * objective (elbow-method signal) as a combinable keyed aggregate, K
+    * rows out. INTEGER-exact end-to-end: in the quantized space the
+    * squared euclidean distance is `qnorm + cnorm − 2·dot`, all BIGINT,
+    * so the per-cluster sum needs no fp at all. Pinned to BIGINT on
+    * both engines (DuckDB alone would widen SUM(BIGINT) to HUGEINT, a
+    * type the oracle bridge can't compare) — exact past 10⁹ rows per
+    * cluster at these magnitudes; a corpus beyond that widens the
+    * accumulator to DECIMAL(38,0) and rolls up the per-cluster decimals
+    * downstream.
+    */
+  private def clusterStatsTail(fin: String, cent: String, qn: String, dot: String): String = {
+    val d = dot.format("v.q", "c.cq")
+    s"""dists AS (
+       |  SELECT m.cid, v.qnorm + c.cnorm - 2 * $d AS sqdist
+       |  FROM $fin m JOIN $qn v ON v.vec_id = m.vec_id
+       |  JOIN $cent c ON c.cid = m.cid)
+       |SELECT CAST(cid AS INT) AS cid, COUNT(1) AS n,
+       |  CAST(SUM(sqdist) AS BIGINT) AS inertia
+       |FROM dists GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   private def sparkProtoSql: String =
     s"WITH ${kmeansCtes("ann_qn", sparkDot, sparkPerDim, sparkRebuild)},\n" +
       protoTail(s"m$KmIters", s"cent$KmIters", "ann_qn", sparkDot)
@@ -253,6 +275,14 @@ object ClusterOps {
   private def duckProtoSql: String =
     s"WITH $duckQn,\n${kmeansCtes("qn", duckDot, duckPerDim, duckRebuild)},\n" +
       protoTail(s"m$KmIters", s"cent$KmIters", "qn", duckDot)
+
+  private def sparkClusterStatsSql: String =
+    s"WITH ${kmeansCtes("ann_qn", sparkDot, sparkPerDim, sparkRebuild)},\n" +
+      clusterStatsTail(s"m$KmIters", s"cent$KmIters", "ann_qn", sparkDot)
+
+  private def duckClusterStatsSql: String =
+    s"WITH $duckQn,\n${kmeansCtes("qn", duckDot, duckPerDim, duckRebuild)},\n" +
+      clusterStatsTail(s"m$KmIters", s"cent$KmIters", "qn", duckDot)
 
   private def runSpark(main: => String)(s: SparkSession, d: String): DataFrame = {
     AnnOps.sparkPrep(s, d)
@@ -266,6 +296,7 @@ object ClusterOps {
     "embed_prototypes" -> QueryDef(runSpark(sparkProtoSql) _, duckProtoSql),
     // the salted two-phase 100 TB shape, same oracle (identical by
     // construction — see protoTailSalted)
-    "embed_prototypes_scale" -> QueryDef(runSpark(sparkProtoSaltedSql) _, duckProtoSql)
+    "embed_prototypes_scale" -> QueryDef(runSpark(sparkProtoSaltedSql) _, duckProtoSql),
+    "embed_cluster_stats" -> QueryDef(runSpark(sparkClusterStatsSql) _, duckClusterStatsSql)
   )
 }
