@@ -689,6 +689,69 @@ object AnnOps {
        |${pqTrainSql(spark = false)}
        |${pqSearchSql(spark = false, codesRel = s"m$pqIters", centRel = s"cent$pqIters")}""".stripMargin
 
+  /** recall@5 of the IVF probe against the exhaustive top-5 — the
+    * evaluation every ANN deployment runs before trusting an index
+    * (nprobe/nlist tuning). Entirely COUNT-based: hits = |ivf ∩ brute|
+    * per query, so the result is integer-exact cross-engine even though
+    * the underlying scores are doubles (ties inside either ranking
+    * resolve identically — score DESC, neighbor_id — on bit-identical
+    * doubles). Scale shape: the IVF side probes [[ivfNProbe]] lists;
+    * the brute side is per-QUERY linear, the standard OFFLINE eval over
+    * a small sampled query set (5 here), never a corpus-wide pass.
+    */
+  private def ivfRecallSql(qn: String, dot: String, prefix: String): String = {
+    val centDot = dot.format("v.q", "c.cq")
+    val pairDot = dot.format("a.q", "b.q")
+    s"""WITH ${prefix}cent AS (
+       |  SELECT vec_id AS cid, q AS cq, qnorm AS cnorm
+       |  FROM $qn WHERE vec_id < $ivfNumLists),
+       |assign AS (
+       |  SELECT v.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY CAST($centDot AS DOUBLE) / sqrt(CAST(c.cnorm AS DOUBLE)) DESC, c.cid) AS rk
+       |  FROM $qn v CROSS JOIN cent c),
+       |lists AS (SELECT vec_id, cid FROM assign WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM assign
+       |  WHERE vec_id < 5 AND rk <= $ivfNProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+       |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.query_id),
+       |iscored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST($pairDot AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM cand c
+       |  JOIN $qn a ON a.vec_id = c.query_id
+       |  JOIN $qn b ON b.vec_id = c.neighbor_id),
+       |iranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM iscored),
+       |bscored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST($pairDot AS DOUBLE) / sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE)) AS score
+       |  FROM $qn a JOIN $qn b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       |branked AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM bscored)
+       |SELECT b.query_id,
+       |  CAST(COUNT(i.neighbor_id) AS INT) AS hits,
+       |  CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+       |FROM (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5) b
+       |LEFT JOIN (SELECT query_id, neighbor_id FROM iranked WHERE rank <= 5) i
+       |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |GROUP BY b.query_id
+       |ORDER BY b.query_id""".stripMargin
+  }
+
+  private val duckQnPrefix: String =
+    s"""qe AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |qn AS (SELECT vec_id, q, ${duckDot.format("q", "q")} AS qnorm FROM qe),
+       |""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
     "embed_dedup_lsh" -> QueryDef(runSpark(sparkLshMain) _, duckSql),
     "embed_ann_topk" -> QueryDef(runSpark(sparkAnnMain) _, duckAnnSql),
@@ -700,6 +763,9 @@ object AnnOps {
       Some(duckSq8Sql)),
     "embed_ann_pq" -> QueryDef(
       (s, d) => { pqPrep(s, d); s.sql(sparkPqMain) },
-      Some(duckPqSql))
+      Some(duckPqSql)),
+    "embed_ann_recall" -> QueryDef(
+      runSpark(ivfRecallSql("ann_qn", sparkDot, "")) _,
+      ivfRecallSql("qn", duckDot, duckQnPrefix))
   )
 }
