@@ -747,6 +747,51 @@ object TextOps {
        |GROUP BY lbl
        |ORDER BY keeper_doc_id""".stripMargin
 
+  /** Shared langid-eval SQL (see the `text_langid_eval` entry): the
+    * same hint-count detector as `text_langid`, rolled into a
+    * (labeled, detected) confusion relation and per-class
+    * precision/recall/F1 from its exact counts. Sums are cast BIGINT on
+    * both engines (DuckDB alone widens SUM(BIGINT) to HUGEINT).
+    */
+  private def langidEvalSql(spark: Boolean): String = {
+    def hits(words: String): String =
+      if (spark) s"size(filter(split(text, ' '), t -> $words))"
+      else s"len(list_filter(string_split(text, ' '), t -> $words))"
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    ${hits("t = 'the' OR t = 'a'")} AS h_en,
+       |    ${hits("t = 'table' OR t = 'join'")} AS h_de,
+       |    ${hits("t = 'data' OR t = 'query'")} AS h_es,
+       |    ${hits("t = 'window' OR t = 'sort'")} AS h_fr
+       |  FROM documents),
+       |preds AS (
+       |  SELECT lang AS labeled,
+       |    CASE
+       |      WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+       |      WHEN h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+       |      WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+       |      WHEN h_fr > 0 THEN 'fr'
+       |      ELSE 'und' END AS detected
+       |  FROM scored),
+       |conf AS (SELECT labeled, detected, COUNT(1) AS n FROM preds GROUP BY 1, 2),
+       |classes AS (SELECT labeled AS cls FROM conf UNION SELECT detected FROM conf),
+       |m AS (
+       |  SELECT c.cls,
+       |    CAST(COALESCE(SUM(CASE WHEN f.labeled = c.cls THEN f.n END), 0) AS BIGINT) AS support,
+       |    CAST(COALESCE(SUM(CASE WHEN f.labeled = c.cls AND f.detected = c.cls THEN f.n END), 0) AS BIGINT) AS tp,
+       |    CAST(COALESCE(SUM(CASE WHEN f.detected = c.cls AND f.labeled <> c.cls THEN f.n END), 0) AS BIGINT) AS fp,
+       |    CAST(COALESCE(SUM(CASE WHEN f.labeled = c.cls AND f.detected <> c.cls THEN f.n END), 0) AS BIGINT) AS fn
+       |  FROM classes c CROSS JOIN conf f GROUP BY c.cls)
+       |SELECT cls, support, tp, fp, fn,
+       |  CASE WHEN tp + fp = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+       |  CASE WHEN tp + fn = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec,
+       |  CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+       |FROM m ORDER BY cls""".stripMargin
+  }
+
   private val qs: Map[String, QueryDef] = Map(
     // --- exact dedup: hash-groupBy, keep lowest doc_id ---------------------
     "dedup_exact" -> QueryDef(
@@ -931,6 +976,18 @@ object TextOps {
         |FROM scored
         |ORDER BY doc_id""".stripMargin
     ),
+
+    // --- langid evaluation: per-class precision/recall/F1 vs the label ----
+    // The classifier-eval step every langid deployment runs. Confusion
+    // counts aggregate first ((labeled, detected) pairs — combinable,
+    // class-count-sized regardless of corpus size); per-class metrics
+    // derive from those exact counts, each a single correctly-rounded
+    // division (F1 straight from counts: 2tp/(2tp+fp+fn)), so the
+    // doubles are bit-identical cross-engine. Zero-denominator classes
+    // report 0.0, not NULL/NaN.
+    "text_langid_eval" -> QueryDef(
+      (s, d) => sq(s, d, langidEvalSql(spark = true)),
+      langidEvalSql(spark = false)),
 
     // --- document fingerprinting: hash of sorted distinct token set --------
     "text_fingerprint" -> QueryDef(
