@@ -467,6 +467,44 @@ object Relational {
         |ORDER BY hour, event_type""".stripMargin
     ),
 
+    // --- integer-exact hourly anomaly detection -----------------------------
+    // Flags hours whose event count sits more than 2 population-σ from
+    // the event type's hourly mean — WITHOUT any floating point: with
+    // n hours, S = Σx and Q = Σx², the condition |x − S/n| > 2σ is
+    // equivalent to the all-BIGINT inequality (n·x − S)² > 4(nQ − S²),
+    // so the flagged set is bit-exact cross-engine (no mean/stddev
+    // rounding to disagree on a boundary row). Scale shape: the hourly
+    // rollup is a combinable (type, hour) aggregate; the per-type stats
+    // relation is type-count-sized and broadcast back onto it.
+    "events_anomaly" -> QueryDef(
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+          .agg(count(lit(1)).as("x"))
+        val stats = hourly.groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"), sum("x").as("sx"),
+            sum(col("x") * col("x")).as("sq"))
+        val dev = col("n_hours") * col("x") - col("sx")
+        hourly.join(broadcast(stats), "event_type")
+          .where(dev * dev > lit(4) * (col("n_hours") * col("sq") - col("sx") * col("sx")))
+          .select(col("event_type"), col("hour"), col("x").as("n_events"), col("n_hours"))
+          .orderBy("event_type", "hour")
+      },
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    COUNT(1) AS x
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, COUNT(1) AS n_hours, SUM(x) AS sx, SUM(x*x) AS sq
+        |  FROM hourly GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.x AS n_events, s.n_hours
+        |FROM hourly h JOIN stats s USING (event_type)
+        |WHERE (s.n_hours*h.x - s.sx)*(s.n_hours*h.x - s.sx)
+        |      > 4*(s.n_hours*s.sq - s.sx*s.sx)
+        |ORDER BY h.event_type, h.hour""".stripMargin
+    ),
+
     // --- salted join for skewed keys ---------------------------------------
     // The same enrich-and-aggregate a plain join would compute, executed
     // through operators/SkewJoin: per-row salt on the fact side, dim
