@@ -326,7 +326,44 @@ object TemporalOps {
     s.sql(dauWauSql(sparkDay))
   }
 
+  /** Event-type transition matrix over per-user ordered streams — the
+    * Markov bigram features a next-event model trains on. Each user's
+    * stream orders by (ts, event_id) (the id breaks same-µs ties
+    * deterministically); transition counts are combinable (prev, next)
+    * aggregates, the per-prev totals a type-count-sized relation
+    * broadcast back on. The probability is one correctly-rounded
+    * division of exact BIGINTs — bit-identical cross-engine.
+    */
+  private def transitionsImpl(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy("prev_type").agg(sum("n").as("row_total"))
+    trans.join(broadcast(tot), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("row_total"),
+        (col("n").cast(DoubleType) / col("row_total").cast(DoubleType)).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val transitionsOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(1) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total FROM trans GROUP BY 1)
+      |SELECT t.prev_type, t.next_type, t.n, o.row_total,
+      |  CAST(t.n AS DOUBLE) / CAST(o.row_total AS DOUBLE) AS p
+      |FROM trans t JOIN tot o USING (prev_type)
+      |ORDER BY t.prev_type, t.next_type""".stripMargin
+
   def queries: Map[String, QueryDef] = Map(
+    "events_transitions" -> QueryDef(transitionsImpl _, transitionsOracle),
     "events_dau_wau" -> QueryDef(dauWauImpl _, dauWauSql(duckDay)),
     "q_sessionize" -> QueryDef(sessionizeImpl _, sessionizeOracle),
     "events_funnel" -> QueryDef(funnelImpl _, funnelSql),
