@@ -1045,7 +1045,8 @@ class GraftScan(
     options: CaseInsensitiveStringMap,
     limit: Option[Int] = None
 ) extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val spark = hudi.spark
   private val asOf = Option(options.get("as.of.timestamp"))
@@ -1428,8 +1429,15 @@ class GraftScan(
     */
   private var runtimeFiltered: Option[Vector[FileSlice]] = None
 
+  // only attributes present in the scan OUTPUT: Spark's DPP rule
+  // (PartitionPruning.getFilterableTableScan) resolves these against the
+  // relation output and THROWS on a miss — advertising a pruned-away
+  // partition column crashed any non-broadcast join against a projection
+  // that dropped it (surfaced by SpjSpec's fail-closed test). A DPP
+  // filter on a column absent from the join output can't exist anyway.
   override def filterAttributes(): Array[NamedReference] =
-    hudi.config.partitionFields.map(Expressions.column).toArray
+    hudi.config.partitionFields.filter(required.fieldNames.contains(_))
+      .map(Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
     val partFields = hudi.config.partitionFields.toSet
@@ -1497,17 +1505,121 @@ class GraftScan(
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    if (isIncremental && !incrementalContained) {
-      val e = endTs.orElse(hudi.timeline.latestCommitTimestamp)
-      chunked.map(ss => GraftInputPartition(ss, startTs, e): InputPartition).toArray
-    } else
-      // stats-contained incremental: the containment proof makes the
-      // per-row commit filter vacuous, so no bounds ride along — which
-      // also keeps a row-reader fallback (supportBatch=false: nested
-      // schema, vectorization disabled) from dereferencing the
-      // _hoodie_commit_time column the contained widened schema omits
-      chunked.map(ss => GraftInputPartition(ss): InputPartition).toArray
+  // ---- storage-partitioned joins (SPJ) ------------------------------------
+  // When the user opts in, report the table's honest layout — rows are
+  // clustered by partition value, one directory per value — as
+  // `KeyGroupedPartitioning` over identity transforms, and plan ONE
+  // input partition per partition value carrying its typed key
+  // (`HasPartitionKey`). Two Hudi tables partitioned on the join keys
+  // then sort-merge/hash join with ZERO shuffle on either side — at
+  // 100 TB the difference between a network-bound join and a local one.
+  //
+  // Opt-in is SOURCE-level (`preserve.data.grouping` read option or the
+  // `spark.sql.graft.planning.preserveDataGrouping` session conf, both
+  // default false — the Iceberg convention), because key grouping costs
+  // plain scans their parallelism (one task per partition value); only
+  // a partition-key join should pay that. Spark's own gate,
+  // `spark.sql.sources.v2.bucketing.enabled`, is default-TRUE in Spark
+  // 4 and is honored through its ConfigEntry (a raw getConfString with
+  // a "false" fallback would silently ignore the entry default).
+  //
+  // Fail-closed: any unparseable path, a timestamp keygen (paths are
+  // formatted renderings, not values), or a partition column pruned out
+  // of the output drops back to UnknownPartitioning + size-balanced
+  // chunking, never a wrong grouping. Sentinel paths group under a NULL
+  // key — the same reading SHOW PARTITIONS gives. The one-task-per-
+  // partition granularity is the documented SPJ tradeoff (Spark's
+  // partially-clustered distribution exists for skewed partitions).
+
+  private lazy val spjEnabled: Boolean = {
+    val sourceOptIn = options.getBoolean("preserve.data.grouping", false) ||
+      scala.util.Try(spark.sessionState.conf
+        .getConfString("spark.sql.graft.planning.preserveDataGrouping", "false")
+        .toBoolean).getOrElse(false)
+    val sparkGate = scala.util.Try(spark.sessionState.conf
+      .getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED))
+      .getOrElse(false)
+    sourceOptIn && sparkGate &&
+      hudi.config.partitionFields.nonEmpty &&
+      graft.fs.TimestampKeyGen.fromConfig(hudi.config).isEmpty &&
+      hudi.config.partitionFields.forall(f => required.fieldNames.contains(f))
+  }
+
+  /** Group `ss` by PARSED partition key (not raw path — url-encoding can
+    * alias two spellings of one value); None iff any path fails the
+    * strict parse. Deterministic group order for stable plan rendering.
+    */
+  private def spjGroupsFor(ss: Vector[FileSlice])
+      : Option[Vector[(org.apache.spark.sql.catalyst.InternalRow, Seq[FileSlice])]] = {
+    val pf = StructType(hudi.config.partitionFields.flatMap(f =>
+      hudi.tableSchema.fields.find(_.name == f)))
+    if (pf.length != hudi.config.partitionFields.length) return None
+    val pruner = hudi.prunerFor(Nil)
+    val cfg = hudi.config
+    val converters = pf.fields.map(f =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
+    val keyed: Vector[Option[(Seq[Any], FileSlice)]] = ss.map { sl =>
+      pruner.parseSegmentsSentinelRaw(sl.partitionPath,
+          s => GraftScanBuilder.isPartitionNullSentinel(s, cfg)).map { vals =>
+        val scalaKey: Seq[Any] = pf.fields.toSeq.map { f =>
+          vals.get(f.name) match {
+            // a raw-kept sentinel segment (always a String) is the NULL
+            // partition; a parsed value passes through typed
+            case Some(v: String) if GraftScanBuilder.isPartitionNullSentinel(v, cfg) => null
+            case Some(v) => v
+            case None => null
+          }
+        }
+        (scalaKey, sl)
+      }
+    }
+    if (keyed.exists(_.isEmpty)) None
+    else Some(keyed.flatten.groupBy(_._1).toVector
+      .sortBy(_._1.map(String.valueOf).mkString(" "))
+      .map { case (k, slis) =>
+        val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+          k.zip(converters.toSeq).map { case (v, c) => if (v == null) null else c(v) })
+        (row, slis.map(_._2): Seq[FileSlice])
+      })
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val groups = if (spjEnabled) spjGroupsFor(slices) else None
+    groups match {
+      case Some(gs) if gs.nonEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          hudi.config.partitionFields.map(f =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(f)).toArray,
+          gs.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spj =
+      if (spjEnabled) spjGroupsFor(runtimeFiltered.getOrElse(slices)) else None
+    val bounds: (Option[String], Option[String]) =
+      if (isIncremental && !incrementalContained)
+        (startTs, endTs.orElse(hudi.timeline.latestCommitTimestamp))
+      else
+        // stats-contained incremental: the containment proof makes the
+        // per-row commit filter vacuous, so no bounds ride along — which
+        // also keeps a row-reader fallback (supportBatch=false: nested
+        // schema, vectorization disabled) from dereferencing the
+        // _hoodie_commit_time column the contained widened schema omits
+        (None, None)
+    spj match {
+      case Some(gs) =>
+        gs.map { case (row, ss) =>
+          GraftInputPartition(ss, bounds._1, bounds._2, Some(row)): InputPartition
+        }.toArray
+      case None =>
+        chunked.map(ss =>
+          GraftInputPartition(ss, bounds._1, bounds._2): InputPartition).toArray
+    }
+  }
 
   /** Factory shared by batch and streaming; `withCommitCol` forces the
     * commit-time column into the widened schema (streaming micro-batches
@@ -1718,8 +1830,16 @@ class GraftScan(
 final case class GraftInputPartition(
     slices: Seq[FileSlice],
     commitStart: Option[String] = None,
-    commitEnd: Option[String] = None
-) extends InputPartition
+    commitEnd: Option[String] = None,
+    spjKey: Option[org.apache.spark.sql.catalyst.InternalRow] = None
+) extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** Non-null ONLY when the scan reported `KeyGroupedPartitioning`
+    * (storage-partitioned joins) — Spark consults `partitionKey()` only
+    * after seeing that report, and the scan sets the key on every
+    * partition whenever it makes it.
+    */
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = spjKey.orNull
+}
 
 /** Structured Streaming source (S4 re-expressed Spark-natively): offsets
   * are commit timestamps; each micro-batch is an incremental read of the

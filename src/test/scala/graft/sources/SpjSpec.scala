@@ -1,0 +1,101 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.fixtures.HudiFixtureBuilder
+
+/** Storage-partitioned joins (SPJ): with the source-level opt-in
+  * `spark.sql.graft.planning.preserveDataGrouping` (Spark's own
+  * `spark.sql.sources.v2.bucketing.enabled` is default-true in Spark 4),
+  * `GraftScan` reports `KeyGroupedPartitioning` over the table's
+  * partition fields and plans one keyed input partition per partition
+  * value, so a join of two Hudi reads on the partition key needs NO
+  * shuffle on either side. These tests pin (a) the shuffle-free plan
+  * shape, (b) result equality with the shuffled plan, and (c) the
+  * fail-closed fallbacks.
+  */
+class SpjSpec extends SparkTestBase {
+
+  /** Set confs for the body and UNSET after — restoring via `set` would
+    * materialize a ConfigEntry DEFAULT as an explicit value (RuntimeConfig
+    * .getOption surfaces entry defaults), silently changing state for
+    * later suites in the shared session. None of these keys is set
+    * elsewhere in the test session, so unset restores the true default.
+    */
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  private lazy val cowPath: String = {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    HudiFixtureBuilder.cowPath(sfDir)
+  }
+
+  private def joined() = {
+    val a = spark.read.format("hudi-graft").load(cowPath)
+      .select("o_orderpriority", "o_orderkey")
+      .where(org.apache.spark.sql.functions.col("o_orderkey") % 50 === 0)
+    val b = spark.read.format("hudi-graft").load(cowPath)
+      .select("o_orderpriority", "o_totalprice")
+      .where(org.apache.spark.sql.functions.col("o_totalprice") > 100000)
+    a.join(b, Seq("o_orderpriority"))
+  }
+
+  test("co-partitioned join plans without a shuffle and matches the shuffled result") {
+    var spjCount = -1L
+    var spjPlan = ""
+    withConfs(
+      "spark.sql.graft.planning.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = joined()
+      spjPlan = j.queryExecution.executedPlan.toString()
+      assert(!spjPlan.contains("Exchange"),
+        s"SPJ join must not shuffle either side:\n$spjPlan")
+      assert(spjPlan.contains("Join"), s"expected a real join:\n$spjPlan")
+      spjCount = j.count()
+    }
+    // same join with bucketing off: a shuffled plan and the same answer
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = joined()
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("Exchange"),
+        s"baseline (bucketing off) should shuffle:\n$plan")
+      assert(j.count() == spjCount, "SPJ result must equal the shuffled result")
+    }
+    assert(spjCount > 0, "the joined fixture slice must be non-empty")
+  }
+
+  test("grouped scan output equals the chunked scan on a single read") {
+    val base = spark.read.format("hudi-graft").load(cowPath)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    withConfs(
+      "spark.sql.graft.planning.preserveDataGrouping" -> "true") {
+      val got = spark.read.format("hudi-graft").load(cowPath)
+        .groupBy("o_orderpriority").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == base, "per-partition grouping must not change row content")
+    }
+  }
+
+  test("fail-closed: a projection pruning the partition column reports no grouping") {
+    withConfs(
+      "spark.sql.graft.planning.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      // the key expressions must be resolvable against the scan output;
+      // with o_orderpriority pruned away the scan honestly reports
+      // UnknownPartitioning and the join shuffles
+      val a = spark.read.format("hudi-graft").load(cowPath).select("o_orderkey")
+      val b = spark.read.format("hudi-graft").load(cowPath).select("o_orderkey", "o_totalprice")
+      val j = a.join(b, Seq("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("Exchange"),
+        s"non-partition-key joins must keep shuffling:\n$plan")
+    }
+  }
+}
