@@ -243,6 +243,36 @@ object HudiQueries {
       },
       ordersSql(updated = false, deletes = false, onlyUpdated = false)),
 
+    // Storage-partitioned join end-to-end: both sides opt in via the
+    // preserve.data.grouping READ OPTION (scoped to these DataFrames —
+    // a session conf would leak one-task-per-partition parallelism into
+    // every later entry), join on the partition key, and aggregate.
+    // The oracle recomputes the same join relationally; the Spark plan
+    // carries no shuffle below the join (SpjSpec pins that shape).
+    "hudi_spj_join" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        import org.apache.spark.sql.functions._
+        val p = HudiFixtureBuilder.cowPath(d)
+        def side = s.read.format("hudi-graft")
+          .option("preserve.data.grouping", "true").load(p)
+        val a = side.select("o_orderpriority", "o_orderkey")
+          .where(col("o_orderkey") % 50 === 0)
+        val b = side.select("o_orderpriority", "o_totalprice")
+          .where(col("o_totalprice") > 150000)
+        a.join(b, Seq("o_orderpriority"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("o_orderpriority")
+      },
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |)
+        |SELECT a.o_orderpriority, COUNT(1) AS n_pairs
+        |FROM t a JOIN t b ON a.o_orderpriority = b.o_orderpriority
+        |WHERE a.o_orderkey % 50 = 0 AND b.o_totalprice > 150000
+        |GROUP BY a.o_orderpriority
+        |ORDER BY a.o_orderpriority""".stripMargin),
+
     // --- D5/S2 through the SQL catalog: FOR VERSION AS OF time travel --
     "hudi_catalog_time_travel" -> QueryDef(
       (s, d) => {
