@@ -82,6 +82,19 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("SPJ holds under AQE (the production default)") {
+    withConfs(
+      "spark.sql.graft.planning.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true") {
+      val j = joined()
+      j.collect() // finalize the adaptive plan
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"SPJ must survive adaptive re-planning:\n$plan")
+    }
+  }
+
   test("fail-closed: a projection pruning the partition column reports no grouping") {
     withConfs(
       "spark.sql.graft.planning.preserveDataGrouping" -> "true",
