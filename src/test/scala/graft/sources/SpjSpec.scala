@@ -82,6 +82,24 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("partition-key aggregation is shuffle-free under the grouping report") {
+    withConfs(
+      "spark.sql.graft.planning.preserveDataGrouping" -> "true",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val agg = spark.read.format("hudi-graft").load(cowPath)
+        .groupBy("o_orderpriority").count()
+      val plan = agg.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"GROUP BY the partition key must ride the reported grouping:\n$plan")
+      // and the numbers still match the shuffled baseline
+      val got = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val base = spark.read.format("hudi-graft").load(cowPath)
+        .groupBy("o_orderpriority").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == base)
+    }
+  }
+
   test("SPJ holds under AQE (the production default)") {
     withConfs(
       "spark.sql.graft.planning.preserveDataGrouping" -> "true",
