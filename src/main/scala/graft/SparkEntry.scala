@@ -32,7 +32,10 @@ object SparkEntry {
           Some(graft.operators.MultimodalOps.imageMetaOracle)),
         "media_wav_meta" -> QueryDef(
           (s, d) => graft.operators.MultimodalOps.wavMeta(s, d),
-          Some(graft.operators.MultimodalOps.wavMetaOracle)))
+          Some(graft.operators.MultimodalOps.wavMetaOracle)),
+        "media_tar_index" -> QueryDef(
+          (s, d) => graft.operators.MultimodalOps.tarIndex(s, d),
+          Some(graft.operators.MultimodalOps.tarIndexOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -220,6 +220,116 @@ object MultimodalOps {
     * utf-8 text bytes as payload — every blob is a well-formed RIFF file
     * the real parser must walk.
     */
+  /** A member of a WebDataset-style tar shard. */
+  final case class TarMember(doc_id: Long, member: String, data_offset: Long, size: Long)
+
+  /** Synthesize a valid POSIX (ustar) tar per document — the WebDataset
+    * shard shape: `<id>.txt` carrying the document bytes and `<id>.cls`
+    * carrying a small sidecar — so the REAL tar header walk below has
+    * honest bytes to parse (512-byte headers, octal size fields, NUL
+    * padding, ustar magic, checksum).
+    */
+  def syntheticTarBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val m1 = text.getBytes("UTF-8")
+        val m2 = s"doc$id".getBytes("UTF-8")
+        def pad(n: Int): Int = ((n + 511) / 512) * 512
+        def header(name: String, size: Int): Array[Byte] = {
+          val h = new Array[Byte](512)
+          val nb = name.getBytes("US-ASCII")
+          System.arraycopy(nb, 0, h, 0, nb.length)
+          def oct(v: Long, off: Int, len: Int): Unit = {
+            val s = java.lang.Long.toOctalString(v)
+            val p = ("0" * (len - 1 - s.length)) + s
+            val b = p.getBytes("US-ASCII")
+            System.arraycopy(b, 0, h, off, b.length) // trailing NUL already 0
+          }
+          oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8) // mode/uid/gid
+          oct(size.toLong, 124, 12); oct(0, 136, 12) // size / mtime
+          h(156) = '0' // regular file
+          System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+          h(263) = '0'; h(264) = '0' // version "00"
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
+          val sum = h.iterator.map(_ & 0xff).sum
+          val cs = java.lang.Long.toOctalString(sum.toLong)
+          val csb = (("0" * (6 - cs.length)) + cs).getBytes("US-ASCII")
+          System.arraycopy(csb, 0, h, 148, csb.length)
+          h(154) = 0; h(155) = ' ' // NUL + space terminate the field
+          h
+        }
+        val out = java.nio.ByteBuffer.allocate(
+          512 + pad(m1.length) + 512 + pad(m2.length) + 1024)
+        out.put(header(s"$id.txt", m1.length)).put(m1)
+          .put(new Array[Byte](pad(m1.length) - m1.length))
+        out.put(header(s"$id.cls", m2.length)).put(m2)
+          .put(new Array[Byte](pad(m2.length) - m2.length))
+        // two zero blocks terminate the archive
+        MediaBlob(id, "application/x-tar", out.array())
+      }
+  }
+
+  /** REAL tar header walk — the index a WebDataset reader seeks with
+    * (member name → byte offset + size lets a 100 TB shard store serve
+    * random access without scanning): NUL-terminated name, octal size at
+    * 124, ustar magic verified, data at header+512, next header at
+    * data + ceil(size/512)*512, zero block terminates. Parse failures
+    * drop the blob's members (fail-open inventory, never a wrong entry).
+    */
+  def tarIndexMembers(docId: Long, data: Array[Byte]): Seq[TarMember] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]
+    var off = 0
+    while (off + 512 <= data.length) {
+      if (data(off) == 0) return out.toSeq // zero block = end of archive
+      val magic = new String(data, off + 257, 5, "US-ASCII")
+      if (magic != "ustar") return Seq.empty
+      val nameEnd = {
+        var i = off
+        while (i < off + 100 && data(i) != 0) i += 1
+        i
+      }
+      val name = new String(data, off, nameEnd - off, "US-ASCII")
+      val sizeStr = new String(data, off + 124, 12, "US-ASCII")
+        .takeWhile(c => c >= '0' && c <= '7')
+      val size = java.lang.Long.parseLong(if (sizeStr.isEmpty) "0" else sizeStr, 8)
+      out += TarMember(docId, name, (off + 512).toLong, size)
+      off += 512 + (((size + 511) / 512) * 512).toInt
+    }
+    out.toSeq
+  }
+
+  def tarIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.product[TarMember]
+    syntheticTarBlobs(spark, sfDir).mapPartitions { it =>
+      it.flatMap(b => tarIndexMembers(b.doc_id, b.data))
+    }(enc).toDF().orderBy("doc_id", "data_offset")
+  }
+
+  /** The oracle re-derives each member's offset/size from the synthesis
+    * formula: member 1's data sits after its 512-byte header; member 2's
+    * header follows member 1's 512-padded data. A header-walk regression
+    * (octal parse, padding, magic offset) diverges loudly.
+    */
+  val tarIndexOracle: String =
+    """WITH m1 AS (
+      |  SELECT doc_id, CAST(doc_id AS VARCHAR) || '.txt' AS member,
+      |    CAST(512 AS BIGINT) AS data_offset,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS size
+      |  FROM documents),
+      |m2 AS (
+      |  SELECT d.doc_id, CAST(d.doc_id AS VARCHAR) || '.cls' AS member,
+      |    CAST(512 + ((m1.size + 511) // 512) * 512 + 512 AS BIGINT) AS data_offset,
+      |    CAST(3 + length(CAST(d.doc_id AS VARCHAR)) AS BIGINT) AS size
+      |  FROM documents d JOIN m1 ON m1.doc_id = d.doc_id)
+      |SELECT doc_id, member, data_offset, size FROM m1
+      |UNION ALL
+      |SELECT doc_id, member, data_offset, size FROM m2
+      |ORDER BY doc_id, data_offset""".stripMargin
+
   def syntheticWavBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
