@@ -450,6 +450,37 @@ object Relational {
         |ORDER BY c_mktsegment""".stripMargin
     ),
 
+    // --- full outer join: both unmatched sides surface -----------------------
+    // High-value customers vs big orders — each side keeps rows the other
+    // lacks (customers with no big order, big orders from non-high-value
+    // customers), the reconciliation shape two-source pipelines run.
+    // COALESCE keys + null-side counts make both dangling directions
+    // load-bearing in the hash.
+    "q_full_outer_join" -> QueryDef(
+      (s, d) => {
+        val c = customer(s, d).filter(col("c_acctbal") > 9000.0)
+          .select(col("c_custkey"), col("c_name"))
+        val o = orders(s, d).filter(col("o_totalprice") > 400000.0)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_name"),
+            coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"))
+          .orderBy("custkey")
+      },
+      """WITH c AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0
+        |), o AS (
+        |  SELECT o_custkey, COUNT(1) AS n_big_orders
+        |  FROM orders WHERE o_totalprice > 400000.0 GROUP BY o_custkey
+        |)
+        |SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+        |  COALESCE(o.n_big_orders, 0) AS n_big_orders
+        |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin
+    ),
+
     // --- time-bucketed aggregation over the event stream -------------------
     "q_events_hourly" -> QueryDef(
       (s, d) =>
