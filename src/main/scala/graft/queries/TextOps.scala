@@ -792,7 +792,56 @@ object TextOps {
        |FROM m ORDER BY cls""".stripMargin
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme):
+    * hash every k-gram (k=4), slide a w=5 window over the hash sequence,
+    * keep each window's MINIMUM — guaranteeing any match of length
+    * ≥ w+k−1 tokens shares a fingerprint, at expected density 2/(w+1).
+    * Per-doc output: fingerprint count + an order-independent bit_xor
+    * digest of the DISTINCT fingerprint set (exact integers end-to-end —
+    * the 60-bit md5-prefix hash is the repo's cross-engine spelling).
+    * Scale shape: k-grams derive map-side from the split array (no
+    * shuffle), the min-window partitions by doc (corpus-many partitions,
+    * doc-bounded), and the digest is a combinable aggregate.
+    */
+  private def winnowingSql(spark: Boolean): String = {
+    val h = CrossEngine.hash60(spark, "gram")
+    val grams =
+      if (spark)
+        """SELECT doc_id, e.i AS pos, concat_ws(' ', slice(a, e.i, 4)) AS gram
+          |  FROM (SELECT doc_id, split(text, ' ') AS a FROM documents)
+          |  LATERAL VIEW explode(transform(sequence(1, size(a) - 3), i -> struct(i AS i))) t AS e
+          |  WHERE size(a) >= 4""".stripMargin
+      else
+        """SELECT doc_id, i AS pos, array_to_string(a[i:i+3], ' ') AS gram
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+          |       UNNEST(range(1, len(a) - 2)) AS t(i)
+          |  WHERE len(a) >= 4""".stripMargin
+    s"""WITH kg AS (
+       |  SELECT doc_id, pos, $h AS hv FROM (
+       |  $grams) g),
+       |minw AS (
+       |  SELECT doc_id, pos,
+       |    MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mh,
+       |    COUNT(1) OVER (PARTITION BY doc_id) AS n_kgrams
+       |  FROM kg),
+       |fp AS (SELECT DISTINCT doc_id, mh FROM minw WHERE pos <= n_kgrams - 4),
+       |agg AS (
+       |  SELECT doc_id, COUNT(1) AS n_fingerprints,
+       |    CAST(bit_xor(mh) AS BIGINT) AS fp_digest
+       |  FROM fp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+       |  CAST(COALESCE(a.fp_digest, 0) AS BIGINT) AS fp_digest
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private val qs: Map[String, QueryDef] = Map(
+    "text_winnowing" -> QueryDef(
+      (s, d) => sq(s, d, winnowingSql(spark = true)),
+      winnowingSql(spark = false)),
+
     // --- exact dedup: hash-groupBy, keep lowest doc_id ---------------------
     "dedup_exact" -> QueryDef(
       (s, d) => sq(s, d,
