@@ -35,7 +35,10 @@ object SparkEntry {
           Some(graft.operators.MultimodalOps.wavMetaOracle)),
         "media_tar_index" -> QueryDef(
           (s, d) => graft.operators.MultimodalOps.tarIndex(s, d),
-          Some(graft.operators.MultimodalOps.tarIndexOracle)))
+          Some(graft.operators.MultimodalOps.tarIndexOracle)),
+        "media_tar_extract" -> QueryDef(
+          (s, d) => graft.operators.MultimodalOps.tarExtract(s, d),
+          Some(graft.operators.MultimodalOps.tarExtractOracle)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

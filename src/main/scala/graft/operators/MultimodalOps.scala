@@ -330,6 +330,40 @@ object MultimodalOps {
       |SELECT doc_id, member, data_offset, size FROM m2
       |ORDER BY doc_id, data_offset""".stripMargin
 
+  /** A member extracted by random access through the tar index. */
+  final case class TarExtract(doc_id: Long, member: String, size: Long, digest: String)
+
+  /** The READ side of the shard index: seek to the indexed
+    * (offset, size) and slice the member bytes out — no header re-walk,
+    * the access pattern a WebDataset loader runs per sample. The digest
+    * of the extracted bytes must equal the digest of the original
+    * document text, proving the offsets index REAL payload positions
+    * (an off-by-one in the header walk or padding math corrupts the
+    * digest loudly).
+    */
+  def tarExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.product[TarExtract]
+    syntheticTarBlobs(spark, sfDir).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { b =>
+        tarIndexMembers(b.doc_id, b.data).find(_.member.endsWith(".txt")).map { m =>
+          val bytes = java.util.Arrays.copyOfRange(
+            b.data, m.data_offset.toInt, (m.data_offset + m.size).toInt)
+          md.reset()
+          val hex = md.digest(bytes).map(x => f"${x & 0xff}%02x").mkString
+          TarExtract(b.doc_id, m.member, m.size, hex)
+        }
+      }
+    }(enc).toDF().orderBy("doc_id")
+  }
+
+  val tarExtractOracle: String =
+    """SELECT doc_id, CAST(doc_id AS VARCHAR) || '.txt' AS member,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS size,
+      |  md5(text) AS digest
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def syntheticWavBlobs(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")

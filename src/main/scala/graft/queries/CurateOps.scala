@@ -310,6 +310,40 @@ object CurateOps {
     * decimals and summed as DECIMAL — term magnitudes ~1e-5 put ulp
     * perturbations ~1e-19, far below the rounding granularity.
     */
+  /** Pairwise source vocabulary overlap — the OTHER data-mixing
+    * diagnostic next to [[sourceKlSql]]: KL compares token FREQUENCIES,
+    * Jaccard compares vocabulary SETS (a source can share frequencies
+    * while contributing novel vocabulary, and vice versa). All counts
+    * exact; the Jaccard is one correctly-rounded division. Scale shape:
+    * the (source, tok) distinct is a combinable aggregate; the token
+    * self-join fans out at most |sources|² rows PER TOKEN (bounded by
+    * the source count, not the corpus — a stopword in all S sources
+    * contributes S(S−1)/2 pairs, never row-count-many); every pair is
+    * emitted even at zero overlap (the missing-pair case reads as
+    * "disjoint", not "absent").
+    */
+  private def vocabOverlapSql(spark: Boolean): String = {
+    val explodeToks =
+      if (spark) "explode(split(text, ' '))" else "UNNEST(string_split(text, ' '))"
+    val cnt = (e: String) => if (spark) e else s"CAST($e AS BIGINT)"
+    s"""WITH corpus AS ($corpusSql),
+       |vt AS (SELECT DISTINCT source, $explodeToks AS tok FROM corpus),
+       |sizes AS (SELECT source, ${cnt("COUNT(1)")} AS n FROM vt GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, ${cnt("COUNT(1)")} AS n_common
+       |  FROM vt a JOIN vt b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS n_a, sb.n AS n_b
+       |  FROM sizes sa JOIN sizes sb ON sa.source < sb.source)
+       |SELECT p.src_a, p.src_b,
+       |  CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common, p.n_a, p.n_b,
+       |  CAST(COALESCE(i.n_common, 0) AS DOUBLE) /
+       |    CAST(p.n_a + p.n_b - COALESCE(i.n_common, 0) AS DOUBLE) AS jaccard
+       |FROM pairs p LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+  }
+
   private def sourceKlSql(spark: Boolean): String = {
     val (split, explodeToks) =
       if (spark) ("split(text, ' ')", "explode(split(text, ' '))")
@@ -485,6 +519,9 @@ object CurateOps {
     "text_source_kl" -> QueryDef(
       (s, d) => sq(s, d, sourceKlSql(spark = true)),
       Some(sourceKlSql(spark = false))),
+    "text_vocab_overlap" -> QueryDef(
+      (s, d) => sq(s, d, vocabOverlapSql(spark = true)),
+      Some(vocabOverlapSql(spark = false))),
     "quality_expectations" -> QueryDef(expectationsImpl _, expectationsSql)
   )
 }
