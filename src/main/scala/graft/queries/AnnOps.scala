@@ -745,6 +745,49 @@ object AnnOps {
        |ORDER BY b.query_id""".stripMargin
   }
 
+  /** LSH near-dup recall against the exact all-pairs baseline — the
+    * dedup-tuning twin of [[ivfRecallSql]]: how many true ≥0.25-cosine
+    * pairs do the banded candidates catch? Since the LSH path exactly
+    * rescoring its candidates can only MISS pairs (never invent them),
+    * recall = |lsh| / |exact| tells the whole story, and band count is
+    * the knob it tunes. Count-based, integer-exact cross-engine; the
+    * exact side is the documented offline-eval pass (all-pairs on the
+    * eval corpus, never the production path).
+    */
+  private def lshRecallTail(bandedRel: String, qn: String, dot: String): String = {
+    val pairDot = dot.format("a.q", "b.q")
+    val cos = s"CAST($pairDot AS DOUBLE) / " +
+      "sqrt(CAST(a.qnorm AS DOUBLE) * CAST(b.qnorm AS DOUBLE))"
+    s"""cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM $bandedRel a JOIN $bandedRel b
+       |    ON a.b = b.b AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+       |lsh AS (
+       |  SELECT c.vec_a, c.vec_b
+       |  FROM cand c JOIN $qn a ON a.vec_id = c.vec_a JOIN $qn b ON b.vec_id = c.vec_b
+       |  WHERE $cos >= 0.25),
+       |exact AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM $qn a JOIN $qn b ON a.vec_id < b.vec_id
+       |  WHERE $cos >= 0.25)
+       |SELECT CAST(COUNT(1) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(l.vec_a) AS BIGINT) AS n_caught,
+       |  CAST(COUNT(l.vec_a) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS recall
+       |FROM exact e LEFT JOIN lsh l ON l.vec_a = e.vec_a AND l.vec_b = e.vec_b""".stripMargin
+  }
+
+  private def sparkLshRecallSql: String =
+    "WITH " + lshRecallTail("ann_banded", "ann_qn", sparkDot)
+
+  private def duckLshRecallSql: String =
+    s"""WITH ${lshPrefix(
+      listTransform = "list_transform",
+      dot = duckDot,
+      sigExpr = duckSigExpr(duckDot, "range(0, 64)", "range(0, 96)", "list_transform"),
+      bandsFrom = s", UNNEST(range(0, $numBands)) AS bt(b)",
+      elementAt = "list_extract")},
+       |${lshRecallTail("banded", "qn", duckDot)}""".stripMargin
+
   private val duckQnPrefix: String =
     s"""qe AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -766,6 +809,9 @@ object AnnOps {
       Some(duckPqSql)),
     "embed_ann_recall" -> QueryDef(
       runSpark(ivfRecallSql("ann_qn", sparkDot, "")) _,
-      ivfRecallSql("qn", duckDot, duckQnPrefix))
+      ivfRecallSql("qn", duckDot, duckQnPrefix)),
+    "embed_lsh_recall" -> QueryDef(
+      runSpark(sparkLshRecallSql) _,
+      duckLshRecallSql)
   )
 }

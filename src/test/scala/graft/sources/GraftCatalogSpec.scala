@@ -299,6 +299,14 @@ class GraftCatalogSpec extends SparkTestBase {
       rows.map(_.getString(0)).mkString(", "))
   }
 
+  test("SHOW TBLPROPERTIES surfaces hoodie table config") {
+    spark.conf.set("spark.sql.catalog.hudi_graft", classOf[GraftCatalog].getName)
+    val props = spark.sql(s"SHOW TBLPROPERTIES hudi_graft.`$cowPath`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("hoodie.table.type").contains("COPY_ON_WRITE"), props.toString)
+    assert(props.contains("hoodie.table.version"), props.keys.toString)
+  }
+
   test("show_archived_commits lists the archive folder, ungated") {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val base = "/root/repo/target/fixtures/proc_archived_v6"
