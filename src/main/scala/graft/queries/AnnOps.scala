@@ -309,6 +309,23 @@ object AnnOps {
     }
   }
 
+  /** Unpersist and forget every ANN prep — the bench calls this at its
+    * group boundary so the session never carries a drained group's
+    * caches into the next group's measurements (pq's checkpoints free
+    * their RDD blocks rather than unpersist).
+    */
+  private[graft] def dropCaches(s: SparkSession): Unit = {
+    val reg = SessionRegistry.of(s)
+    reg.synchronized {
+      Seq("annprep", "sq8prep").foreach { k =>
+        reg.remove(k).collect { case p: Prep => p }
+          .foreach(_.dfs.foreach(_.unpersist(false)))
+      }
+      reg.remove("pqprep").collect { case p: Prep => p }
+        .foreach(_.dfs.foreach(df => graft.util.Checkpoints.freeLocalCheckpoint(df)))
+    }
+  }
+
   private def sparkLshMain: String = {
     val pairDot = sparkDot.format("a.q", "b.q")
     s"""WITH candidates AS (

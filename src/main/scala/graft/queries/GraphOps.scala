@@ -80,6 +80,19 @@ object GraphOps {
     }
   }
 
+  /** Unpersist and forget every graph prep — pagerank (all regime keys)
+    * and the triangles edge cache (bench group-boundary hygiene).
+    */
+  private[graft] def dropCaches(s: SparkSession): Unit = {
+    val reg = SessionRegistry.of(s)
+    reg.synchronized {
+      reg.keySet.filter(_.startsWith("pagerank_prep:")).foreach(k =>
+        reg.remove(k).collect { case p: Prep => p }.foreach(_.unpersistAll()))
+      reg.remove("triangles_prep").collect { case p: TriPrep => p }
+        .foreach(_.edges.unpersist(false))
+    }
+  }
+
   private def prep(s: SparkSession, d: String): Prep = {
     val reg = SessionRegistry.of(s)
     reg.synchronized {
@@ -248,20 +261,34 @@ object GraphOps {
   private val TriEdges = 5000
   private val TriTopK = 50
 
+  private case class TriPrep(dir: String, edges: DataFrame)
+
   private def trianglesImpl(s: SparkSession, d: String): DataFrame = {
     graft.functions.SortedIntersectCount.register(s)
-    val ps = Tables.lineitem(s, d)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("sup")).distinct()
-    val w = ps.as("a").join(ps.as("b"),
-        col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
-      .groupBy(col("a.sup").as("u"), col("b.sup").as("v"))
-      .agg(count(lit(1)).as("shared"))
     // persist, not checkpoint: the CacheManager keys on the logical plan,
     // so REPEAT invocations (every bench pass) reuse the built edge cache
     // — an eager localCheckpoint would rebuild the quadratic pair
-    // aggregate per call (measured 2.8s vs sub-second at sf0.1)
-    val edges = w.orderBy(desc("shared"), col("u"), col("v")).limit(TriEdges)
-      .select("u", "v").persist()
+    // aggregate per call (measured 2.8s vs sub-second at sf0.1). Tracked
+    // in the session registry (the pagerank prep discipline) so
+    // [[dropCaches]] can free it at the bench group boundary.
+    val reg = SessionRegistry.of(s)
+    val edges = reg.synchronized {
+      reg.get("triangles_prep").collect { case p: TriPrep if p.dir == d => p.edges }
+        .getOrElse {
+          val ps = Tables.lineitem(s, d)
+            .select(col("l_partkey").as("p"), col("l_suppkey").as("sup")).distinct()
+          val w = ps.as("a").join(ps.as("b"),
+              col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+            .groupBy(col("a.sup").as("u"), col("b.sup").as("v"))
+            .agg(count(lit(1)).as("shared"))
+          val e = w.orderBy(desc("shared"), col("u"), col("v")).limit(TriEdges)
+            .select("u", "v").persist()
+          reg.put("triangles_prep", TriPrep(d, e))
+            .collect { case p: TriPrep if p.dir != d => p }
+            .foreach(_.edges.unpersist(false))
+          e
+        }
+    }
     val adj = edges.select(col("u").as("s"), col("v").as("o"))
       .union(edges.select(col("v").as("s"), col("u").as("o")))
       .groupBy("s").agg(array_sort(collect_set(col("o").cast("string"))).as("nbrs"))

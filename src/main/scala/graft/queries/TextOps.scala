@@ -465,6 +465,19 @@ object TextOps {
     }
   }
 
+  /** Unpersist and forget every shared text prep (bench group-boundary
+    * hygiene — see [[AnnOps.dropCaches]]).
+    */
+  private[graft] def dropCaches(s: SparkSession): Unit = {
+    val reg = SessionRegistry.of(s)
+    reg.synchronized {
+      reg.keySet.filter(_.startsWith("textprep:")).foreach { k =>
+        reg.remove(k).collect { case p: TextPrep => p }
+          .foreach(_.dfs.foreach(_.unpersist(false)))
+      }
+    }
+  }
+
   /** SimHash near-dup (the classic Charikar scheme in token space): each
     * token projects onto 32 pseudo-random hyperplanes — bit j of its md5
     * hex (the high bit of nibble j, i.e. `substr(md5(tok), j, 1) >= '8'`)
