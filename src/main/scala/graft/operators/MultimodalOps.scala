@@ -279,27 +279,34 @@ object MultimodalOps {
     * data + ceil(size/512)*512, zero block terminates. Parse failures
     * drop the blob's members (fail-open inventory, never a wrong entry).
     */
-  def tarIndexMembers(docId: Long, data: Array[Byte]): Seq[TarMember] = {
+  def tarIndexMembers(docId: Long, data: Array[Byte]): Seq[TarMember] = try {
     val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]
-    var off = 0
+    var off = 0L
     while (off + 512 <= data.length) {
-      if (data(off) == 0) return out.toSeq // zero block = end of archive
-      val magic = new String(data, off + 257, 5, "US-ASCII")
+      val o = off.toInt
+      if (data(o) == 0) return out.toSeq // zero block = end of archive
+      val magic = new String(data, o + 257, 5, "US-ASCII")
       if (magic != "ustar") return Seq.empty
       val nameEnd = {
-        var i = off
-        while (i < off + 100 && data(i) != 0) i += 1
+        var i = o
+        while (i < o + 100 && data(i) != 0) i += 1
         i
       }
-      val name = new String(data, off, nameEnd - off, "US-ASCII")
-      val sizeStr = new String(data, off + 124, 12, "US-ASCII")
+      val name = new String(data, o, nameEnd - o, "US-ASCII")
+      val sizeStr = new String(data, o + 124, 12, "US-ASCII")
         .takeWhile(c => c >= '0' && c <= '7')
       val size = java.lang.Long.parseLong(if (sizeStr.isEmpty) "0" else sizeStr, 8)
-      out += TarMember(docId, name, (off + 512).toLong, size)
-      off += 512 + (((size + 511) / 512) * 512).toInt
+      // a hostile/corrupt 12-octal-digit size can reach 8^12-1 (~64 GiB):
+      // unvalidated it would overflow the Int advance to a negative
+      // offset and crash the walk — honor the fail-open contract instead
+      // (a member that cannot fit in the blob is a structural lie; drop
+      // the whole blob's inventory, never emit a wrong entry)
+      if (size < 0 || off + 512 + size > data.length) return Seq.empty
+      out += TarMember(docId, name, off + 512, size)
+      off += 512 + ((size + 511) / 512) * 512
     }
     out.toSeq
-  }
+  } catch { case scala.util.control.NonFatal(_) => Seq.empty } // fail-open: no wrong entries
 
   def tarIndex(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.Encoders

@@ -1560,22 +1560,37 @@ class GraftScan(
       org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(f.dataType))
     val keyed: Vector[Option[(Seq[Any], FileSlice)]] = ss.map { sl =>
       pruner.parseSegmentsSentinelRaw(sl.partitionPath,
-          s => GraftScanBuilder.isPartitionNullSentinel(s, cfg)).map { vals =>
-        val scalaKey: Seq[Any] = pf.fields.toSeq.map { f =>
+          s => GraftScanBuilder.isPartitionNullSentinel(s, cfg)).flatMap { vals =>
+        // Per-field key extraction, where None poisons the WHOLE grouping
+        // (fail closed to UnknownPartitioning). For a STRING-typed
+        // partition field a sentinel or 'default'/empty directory is
+        // ambiguous ACROSS table versions — pre-v4 writers put literal
+        // 'default'/'' values under the sentinel dir (keyed NULL here)
+        // while v4+ writes literal 'default' as a bare dir (keyed by
+        // value), so a key-grouped join between mixed-version tables
+        // could place rows with EQUAL join-key values under different
+        // partition keys and silently miss matches. Non-string fields
+        // keep the NULL reading: no integral/date value ever renders as
+        // the sentinel, so it is unambiguous (the same caution
+        // isExactPartitionNullPredicate applies).
+        val fields: Seq[Option[Option[Any]]] = pf.fields.toSeq.map { f =>
           vals.get(f.name) match {
-            // a raw-kept sentinel segment (always a String) is the NULL
-            // partition; a parsed value passes through typed
-            case Some(v: String) if GraftScanBuilder.isPartitionNullSentinel(v, cfg) => null
-            case Some(v) => v
-            case None => null
+            case Some(v: String) if GraftScanBuilder.isPartitionNullSentinel(v, cfg) =>
+              if (f.dataType == org.apache.spark.sql.types.StringType) None
+              else Some(None) // unambiguous NULL partition
+            case Some(v: String) if f.dataType == org.apache.spark.sql.types.StringType &&
+                (v == "default" || v.isEmpty) => None
+            case Some(v) => Some(Some(v))
+            case None => Some(None)
           }
         }
-        (scalaKey, sl)
+        if (fields.exists(_.isEmpty)) None
+        else Some((fields.map(_.get.orNull): Seq[Any], sl))
       }
     }
     if (keyed.exists(_.isEmpty)) None
     else Some(keyed.flatten.groupBy(_._1).toVector
-      .sortBy(_._1.map(String.valueOf).mkString(" "))
+      .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
       .map { case (k, slis) =>
         val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
           k.zip(converters.toSeq).map { case (v, c) => if (v == null) null else c(v) })

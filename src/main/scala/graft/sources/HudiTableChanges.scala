@@ -23,9 +23,17 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *
   *  - a SECOND argument of `'latest_state'` or `'cdc'` is upstream's
   *    required changeType (start/end shift right one slot):
-  *    `latest_state` is the plain incremental feed, `cdc` additionally
-  *    emits delete tombstones — the two forms are unambiguous because
-  *    neither mode string is a parseable commit timestamp;
+  *    `latest_state` is the plain incremental feed; `'cdc'` THROWS
+  *    UnsupportedOperationException — upstream's cdc mode returns the
+  *    CDC schema (op/ts_ms/before/after images decoded from writer CDC
+  *    blocks), and this engine's row-feed-plus-tombstones is a
+  *    DIFFERENT shape: silently accepting the keyword would hand a
+  *    verbatim-ported upstream query different columns and semantics
+  *    with no error (the same trap unknown `hudi_query` modes avoid by
+  *    throwing). The delete-visibility use case rides the extended
+  *    form's boolean instead: `hudi_table_changes(path, start, end,
+  *    true)`. Both mode strings still shift start/end right — they are
+  *    unambiguous because neither parses as a commit timestamp;
   *  - `start`: exclusive start commit, or `'earliest'` for the full
   *    history (Hudi's sentinel);
   *  - `end` (optional): inclusive end commit, default latest;
@@ -75,12 +83,18 @@ object HudiTableChanges {
         s"$name: emit_deletes must be a boolean literal, got $e")
     }
     val (start, end, emitDeletes) = mode match {
+      case Some("cdc") =>
+        throw new UnsupportedOperationException(
+          s"$name: changeType 'cdc' (upstream's op/ts_ms/before/after CDC schema, decoded " +
+            "from writer CDC blocks) is not implemented; this engine exposes delete " +
+            s"visibility as tombstone rows on the row-feed schema instead — use " +
+            s"$name(path, start[, end], true) or the stream.emit.deletes read option")
       case Some(m) =>
         require(exprs.length >= 3,
           s"$name('$m', ...) requires a start timestamp (Hudi's positional signature)")
         val s = stringArg(exprs(2), "start")
         val e = if (exprs.length >= 4) Some(stringArg(exprs(3), "end")) else None
-        (s, e, m == "cdc")
+        (s, e, false)
       case None =>
         val rest = exprs.drop(2)
         rest match {

@@ -242,9 +242,17 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(rows(up1) == rows(viaOptions(Some(T1), Some(T2))))
     val up2 = spark.sql(s"SELECT * FROM hudi_table_changes('$path', 'latest_state', 'earliest')")
     assert(rows(up2) == rows(viaOptions(None, None)))
-    val up3 = spark.sql(s"SELECT * FROM hudi_table_changes('$path', 'cdc', '$T2', '$T3')")
+    // 'cdc' must THROW, not silently serve the row-feed: upstream's cdc
+    // mode returns the op/ts_ms/before/after CDC schema, so accepting
+    // the keyword would hand a ported query different columns/semantics
+    // with no error. Tombstones ride the extended boolean form instead.
+    val errCdc = intercept[Exception] {
+      spark.sql(s"SELECT * FROM hudi_table_changes('$path', 'cdc', '$T2', '$T3')").collect()
+    }
+    assert(errCdc.getMessage.contains("not implemented"), errCdc.getMessage)
+    val up3 = spark.sql(s"SELECT * FROM hudi_table_changes('$path', '$T2', '$T3', true)")
     assert(rows(up3) == rows(viaOptions(Some(T2), Some(T3), deletes = true)))
-    assert(up3.count() > 0, "cdc mode must surface tombstones")
+    assert(up3.count() > 0, "emit_deletes form must surface tombstones")
     // a mode string with no start must throw (upstream requires start)
     val errMode = intercept[Exception] {
       spark.sql(s"SELECT * FROM hudi_table_changes('$path', 'latest_state')").collect()

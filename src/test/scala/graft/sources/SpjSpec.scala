@@ -113,6 +113,47 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("fail-closed: a STRING partition field with a sentinel dir reports no grouping") {
+    // pre-v4 writers put literal 'default'/'' values under the sentinel
+    // dir while v4+ writes literal 'default' bare — for a string field
+    // the sentinel reading is ambiguous across the join's two sides, so
+    // SPJ must fall back to UnknownPartitioning (shuffle), never group
+    val path = HudiFixtureBuilder.strpartPath(sfDir)
+    withConfs(
+      "spark.sql.graft.planning.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val a = spark.read.format("hudi-graft").load(path).select("r_name", "r_regionkey")
+      val b = spark.read.format("hudi-graft").load(path)
+        .selectExpr("r_name", "r_regionkey AS rk2")
+      val j = a.join(b, Seq("r_name"))
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("Exchange"),
+        s"ambiguous string sentinel must fail closed to a shuffled join:\n$plan")
+      assert(j.count() > 0)
+    }
+  }
+
+  test("an INTEGER partition field's sentinel dir still groups (unambiguous NULL)") {
+    // no integral value renders as the sentinel, so the NULL reading is
+    // exact and key grouping stays sound — the fail-closed rule above is
+    // string-specific, not a blanket sentinel ban
+    val path = HudiFixtureBuilder.nullpartPath(sfDir)
+    withConfs(
+      "spark.sql.graft.planning.preserveDataGrouping" -> "true",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val agg = spark.read.format("hudi-graft").load(path)
+        .groupBy("n_regionkey").count()
+      val plan = agg.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"int-typed sentinel table must keep the shuffle-free grouping:\n$plan")
+      // NULL partition counted once, under the NULL key
+      val got = agg.collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getLong(1)).toMap
+      assert(got.contains(None) && got(None) == 2L, s"NULL partition rows: $got")
+    }
+  }
+
   test("fail-closed: a projection pruning the partition column reports no grouping") {
     withConfs(
       "spark.sql.graft.planning.preserveDataGrouping" -> "true",
