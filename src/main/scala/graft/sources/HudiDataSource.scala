@@ -1707,8 +1707,25 @@ class GraftScan(
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
     val columnar =
       candidateColumnar && widenPaths.isEmpty && fmt.supportBatch(spark, widenedEffective)
+    // COLUMNAR MOR merge (D3 upgrade, r12): a SNAPSHOT scan that needs
+    // the merge no longer de-vectorizes the whole read — the base file
+    // keeps Spark's vectorized parquet reader and each batch is
+    // merge-SELECTED against the slice's log maps (zero-copy selection
+    // view for survivors, small on-heap overlay batches for log winners
+    // and inserts — GraftColumnarMergeReader). At 100 TB MOR the base
+    // files are ~all the bytes, so keeping them columnar is the
+    // dominant throughput lever (the reference merges in Arrow for the
+    // same reason, record_merger.rs:104-186). Snapshot-only: commit
+    // ranges and tombstones (withCommitCol shapes) keep the row path,
+    // as do OVERWRITE-less strategies, meta-field-less tables, and
+    // per-file type widening — fail closed to the proven row merge.
+    val columnarMerge = !candidateColumnar && morMergeNeeded && !withCommitCol &&
+      hudi.config.recordMergeStrategy != "APPEND_ONLY" &&
+      hudi.config.populatesMetaFields && widenPaths.isEmpty &&
+      fmt.supportBatch(spark, widenedEffective)
+    val vectorized = columnar || columnarMerge
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map(
-      "spark.sql.parquet.enableVectorizedReader" -> columnar.toString))
+      "spark.sql.parquet.enableVectorizedReader" -> vectorized.toString))
     val readFn0 = fmt.buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = dataSchema,
@@ -1723,7 +1740,7 @@ class GraftScan(
       filters = (if (hudi.isMor && !readOptimized && !candidateColumnar) Nil
                  else parquetFilters.toIndexedSeq ++ commitRangeFilters(rangeFilterNeeded))
         .filter(_.references.forall(delegateRequired.fieldNames.contains)),
-      options = Map("returning_batch" -> columnar.toString),
+      options = Map("returning_batch" -> vectorized.toString),
       hadoopConf = hadoopConf)
 
     val readFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
@@ -1788,7 +1805,7 @@ class GraftScan(
       if (partitionSchema.isEmpty) None else Some(partitionSchema.json),
       hudi.config.isHiveStylePartitioning,
       hudi.config.isPartitionPathUrlencoded,
-      columnar,
+      vectorized,
       hudi.config.populatesMetaFields,
       limit,
       rangeFilterColumnar = columnar && rangeFilterNeeded,
@@ -1797,7 +1814,8 @@ class GraftScan(
       // reads (both are exactly the withCommitCol callers). A snapshot
       // read must ignore the option, or every historically-deleted key
       // would surface as an unbounded null-data row.
-      emitDeletes = emitDeletes && withCommitCol)
+      emitDeletes = emitDeletes && withCommitCol,
+      mergeColumnar = columnarMerge)
   }
 
   /** Commit-range parquet predicates for the general columnar incremental

