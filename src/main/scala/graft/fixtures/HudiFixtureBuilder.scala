@@ -73,7 +73,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v23")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v24")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -828,7 +828,7 @@ object HudiFixtureBuilder {
     writeProperties(fs, base, "cow_sidx_orders", "COPY_ON_WRITE", None, hiveStyle = false,
       extraProps = "hoodie.table.metadata.partitions=" +
         "record_index,secondary_index_status_idx,secondary_index_cust_idx," +
-        "secondary_index_dec_idx\n")
+        "secondary_index_dec_idx,secondary_index_dbl_idx,secondary_index_ts_idx\n")
     writeText(fs, new Path(base, ".hoodie/.index_defs/index.json"),
       """{"indexDefinitions":{"secondary_index_status_idx":{
         |"indexName":"secondary_index_status_idx","indexType":"secondary_index",
@@ -838,7 +838,13 @@ object HudiFixtureBuilder {
         |"indexFunction":"identity","sourceFields":["o_custkey"],"indexOptions":{}},
         |"secondary_index_dec_idx":{
         |"indexName":"secondary_index_dec_idx","indexType":"secondary_index",
-        |"indexFunction":"identity","sourceFields":["o_decprice"],"indexOptions":{}}}}
+        |"indexFunction":"identity","sourceFields":["o_decprice"],"indexOptions":{}},
+        |"secondary_index_dbl_idx":{
+        |"indexName":"secondary_index_dbl_idx","indexType":"secondary_index",
+        |"indexFunction":"identity","sourceFields":["o_dblrate"],"indexOptions":{}},
+        |"secondary_index_ts_idx":{
+        |"indexName":"secondary_index_ts_idx","indexType":"secondary_index",
+        |"indexFunction":"identity","sourceFields":["o_tsmicros"],"indexOptions":{}}}}
         |""".stripMargin.replaceAll("\n", ""))
     // a DECIMAL(14,2) column derived integer-exactly from the key (a
     // string-parse cast, no float rounding — the same value is
@@ -848,6 +854,15 @@ object HudiFixtureBuilder {
       concat(col("o_orderkey"), lit("."),
         lpad((col("o_orderkey") % 97).cast("string"), 2, "0"))
         .cast(org.apache.spark.sql.types.DecimalType(14, 2)))
+      // a DOUBLE column exact in binary (halves) whose Java renderings
+      // include BOTH overlap values ("7.5") and witnesses ("8.0") — the
+      // shape classifyDoubleKeys needs to pin the writer family
+      .withColumn("o_dblrate", col("o_orderkey").cast("double") / lit(2.0d))
+      // a TIMESTAMP(micros) column derived integer-exactly from the key:
+      // 2024-01-01T00:00:00Z + key seconds — every epoch-micros key is
+      // magnitude-unambiguous for classifyTimestampKeys
+      .withColumn("o_tsmicros",
+        timestamp_micros(lit(1704067200000000L) + col("o_orderkey") * lit(1000000L)))
     val src = src0.withColumn("__part", lit(""))
     val statuses = src0.select("o_orderstatus").distinct()
       .collect().map(_.getString(0)).sorted
@@ -956,6 +971,55 @@ object HudiFixtureBuilder {
       new Path(dcDir, s"secondary-index-dec-idx-0000-0_${Token}_$T1.hfile"), true)
     dcOut.write(dcBytes)
     dcOut.close()
+
+    // a FOURTH index on the DOUBLE o_dblrate — keys are the writer's
+    // Java-canonical `Double.toString` (the avro double datum's
+    // String.valueOf), so whole numbers keep their ".0" suffix: the
+    // witnesses detectDoubleRendering demands before any probe
+    val keyDbl = src0.select("o_orderkey", "o_dblrate").collect()
+      .map(r => (r.getLong(0).toString, r.getDouble(1)))
+    val dbDir = new Path(mdt, "secondary_index_dbl_idx")
+    fs.mkdirs(dbDir)
+    val dbRecords = keyDbl
+      .map { case (k, dv) =>
+        val key = s"${esc(java.lang.Double.toString(dv))}$$${esc(k)}"
+        key -> secondaryIndexBytes(key)
+      }
+      .sortBy(_._1).toIndexedSeq
+    val dbBytes = graft.hfile.HFileWriter.write(
+      dbRecords,
+      Map("schema" -> secondaryIndexAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val dbOut = fs.create(
+      new Path(dbDir, s"secondary-index-dbl-idx-0000-0_${Token}_$T1.hfile"), true)
+    dbOut.write(dbBytes)
+    dbOut.close()
+
+    // a FIFTH index on the TIMESTAMP o_tsmicros — keys are the
+    // unconverted avro timestamp-micros long's `toString` (epoch
+    // micros), the rendering detectTimestampRendering must prove
+    // magnitude-unambiguous before probing
+    val keyTs = src0.select("o_orderkey").collect()
+      .map { r =>
+        val k = r.getLong(0)
+        (k.toString, 1704067200000000L + k * 1000000L)
+      }
+    val tsDir = new Path(mdt, "secondary_index_ts_idx")
+    fs.mkdirs(tsDir)
+    val tsRecords = keyTs
+      .map { case (k, micros) =>
+        val key = s"${esc(micros.toString)}$$${esc(k)}"
+        key -> secondaryIndexBytes(key)
+      }
+      .sortBy(_._1).toIndexedSeq
+    val tsBytes = graft.hfile.HFileWriter.write(
+      tsRecords,
+      Map("schema" -> secondaryIndexAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val tsOut = fs.create(
+      new Path(tsDir, s"secondary-index-ts-idx-0000-0_${Token}_$T1.hfile"), true)
+    tsOut.write(tsBytes)
+    tsOut.close()
   }
 
   /** HoodieMetadataRecord with the `SecondaryIndexMetadata` branch (type

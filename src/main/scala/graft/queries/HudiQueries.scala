@@ -798,6 +798,48 @@ object HudiQueries {
         |WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // DOUBLE-typed secondary index at oracle level (r12): the fixture's
+    // secondary_index_dbl_idx keys are Java-canonical Double.toString
+    // renderings ("7.5", "8.0") — the planner must first PROVE the
+    // family from sampled entries (classifyDoubleKeys demands a
+    // discriminating ".0"/exponent witness, since a shortest-decimal
+    // writer renders whole numbers bare and a blind probe of 8.0 as
+    // "8.0" against stored "8" would plan EMPTY). o_dblrate = key/2 is
+    // exact in binary, so the literal below matches bit-for-bit.
+    "hudi_secondary_double_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val k = Tables.orders(s, d).agg(min(col("o_orderkey"))).head.getLong(0)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.sidxPath(d))
+          .filter(col("o_dblrate") === k.toDouble / 2.0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // TIMESTAMP-typed secondary index at oracle level (r12): the
+    // fixture's secondary_index_ts_idx keys are the unconverted avro
+    // timestamp-micros long's toString — the planner must prove every
+    // sampled key magnitude-UNAMBIGUOUS (micros-plausible while its
+    // millis/seconds readings are not, classifyTimestampKeys) before
+    // converting the typed literal to epoch micros and probing.
+    "hudi_secondary_ts_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val k = Tables.orders(s, d).agg(min(col("o_orderkey"))).head.getLong(0)
+        val micros = 1704067200000000L + k * 1000000L
+        val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(micros / 1000000L))
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.sidxPath(d))
+          .filter(col("o_tsmicros") === ts)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // --- Inspection surface (the reference's get_file_slices /
     // get_timeline, table/mod.rs:441/422) at oracle level: the planned
     // slices and completed instants of the deterministic fixtures match

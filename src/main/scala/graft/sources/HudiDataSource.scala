@@ -1001,6 +1001,11 @@ object GraftScan {
     dt match {
       case StringType | IntegerType | LongType | ShortType | ByteType | DateType => true
       case _: DecimalType => true
+      // r12: doubles and timestamps qualify via per-index rendering
+      // detection (witness-backed Java-canonical / magnitude-unambiguous
+      // epoch-micros — SecondaryIndex.classify{Double,Timestamp}Keys);
+      // an undetectable rendering drops the tier, never the rows
+      case DoubleType | TimestampType => true
       case _ => false
     }
   }
@@ -1254,9 +1259,25 @@ class GraftScan(
                 graft.table.SecondaryIndex.detectDecimalScale(
                   hudi.basePath, idx, hudi.hadoopConf, tierAsOf)
               else None
+            // double keys: Java-canonical rendering proven by a
+            // discriminating witness among the sampled entries (overlap
+            // values alone cannot distinguish writer families)
+            val doubleRendering =
+              if (dt == org.apache.spark.sql.types.DoubleType)
+                graft.table.SecondaryIndex.detectDoubleRendering(
+                  hudi.basePath, idx, hudi.hadoopConf, tierAsOf)
+              else None
+            // timestamp keys: epoch-micros only when every sample is
+            // magnitude-unambiguous across micros/millis/seconds
+            val tsRendering =
+              if (dt == org.apache.spark.sql.types.TimestampType)
+                graft.table.SecondaryIndex.detectTimestampRendering(
+                  hudi.basePath, idx, hudi.hadoopConf, tierAsOf)
+              else None
             val rendered = f.values.indices.map(i =>
               graft.table.SecondaryIndex.renderLiteral(
-                dt, f.values(i), f.typed.lift(i), dateRendering, decimalScale))
+                dt, f.values(i), f.typed.lift(i), dateRendering, decimalScale,
+                doubleRendering, tsRendering))
             if (rendered.exists(_.isEmpty)) None
             else {
               val vals = rendered.flatten

@@ -238,6 +238,92 @@ object SecondaryIndex {
     }
   }
 
+  /** Double-key rendering family. Unlike dates (ISO vs epoch-day are
+    * DISJOINT — no value renders the same in both), double rendering
+    * families OVERLAP: Java's canonical `Double.toString` and a
+    * shortest-decimal writer (Rust `{}` / C++ to_chars) agree on "0.5"
+    * but split on whole numbers ("8.0" vs "8") and large magnitudes
+    * ("1.0E20" vs the full expansion). Unanimous roundtrip alone is
+    * therefore NOT proof of the family — a sample of overlap values
+    * would pass while a probe literal like 8.0 renders "8.0" against
+    * stored "8" and plans EMPTY. The classifier additionally demands a
+    * DISCRIMINATING WITNESS before trusting the index.
+    */
+  sealed trait DoubleRendering
+  case object JavaDoubleRendering extends DoubleRendering
+
+  /** Classify sampled double key parts: every sample must round-trip
+    * Java-canonically (`Double.toString(parseDouble(s)) == s`) AND at
+    * least one sample must be a witness that ONLY the Java family
+    * produces — a `.0`-suffixed whole number or an `E`-exponent form
+    * (shortest-decimal writers emit "8" and the plain expansion). With
+    * a witness, unanimity over up to `maxSample` entries pins the
+    * family; without one, or on any roundtrip failure (including NaN
+    * spellings other than Java's), fail open.
+    */
+  def classifyDoubleKeys(parts: Iterator[String], maxSample: Int = 16): Option[DoubleRendering] = {
+    def javaCanonical(s: String): Boolean =
+      try java.lang.Double.toString(java.lang.Double.parseDouble(s)) == s
+      catch { case _: NumberFormatException => false }
+    def witness(s: String): Boolean = s.endsWith(".0") || s.contains("E")
+    val sampled = parts.filter(_.nonEmpty).take(maxSample).toVector
+    if (sampled.nonEmpty && sampled.forall(javaCanonical) && sampled.exists(witness))
+      Some(JavaDoubleRendering)
+    else None
+  }
+
+  def detectDoubleRendering(
+      dataTableBase: String,
+      indexPartition: String,
+      hadoopConf: Configuration,
+      asOf: Option[String] = None): Option[DoubleRendering] =
+    detectRendering(dataTableBase, indexPartition, hadoopConf, asOf, doubleMemo)(
+      classifyDoubleKeys(_))
+
+  private val doubleMemo = new BoundedMemo[(String, String, String), Option[DoubleRendering]](64)
+
+  /** Timestamp-key rendering family: the unconverted-avro writer path
+    * renders the `timestamp-micros` long via `toString` (epoch micros,
+    * decimal digits). The hazard is UNIT ambiguity, not format — a pure
+    * digit string could be micros, MILLIS, or seconds, and the three
+    * windows overlap for early-epoch instants (1970-01-02 in micros is
+    * a plausible 1972 in millis). Zone-formatted renderings vary too
+    * widely to detect and always fail open (they never parse as longs).
+    */
+  sealed trait TimestampRendering
+  case object EpochMicrosRendering extends TimestampRendering
+
+  /** Classify sampled timestamp key parts: every sample must parse as a
+    * long whose MICROS interpretation lands in the plausible-instant
+    * window [1900, 2200) while its millis and seconds interpretations
+    * land OUTSIDE it — i.e. every sample is magnitude-unambiguous. One
+    * ambiguous sample (early-epoch micros, a formatted string, a
+    * mixed-unit writer) fails the whole classification open.
+    */
+  def classifyTimestampKeys(
+      parts: Iterator[String], maxSample: Int = 16): Option[TimestampRendering] = {
+    val loMicros = -2208988800000000L // 1900-01-01T00:00:00Z
+    val hiMicros = 7258118400000000L  // 2200-01-01T00:00:00Z
+    def unambiguousMicros(v: Long): Boolean =
+      (v >= loMicros && v < hiMicros) &&
+        !(v >= loMicros / 1000 && v < hiMicros / 1000) &&
+        !(v >= loMicros / 1000000 && v < hiMicros / 1000000)
+    val sampled = parts.filter(_.nonEmpty).take(maxSample).toVector
+    if (sampled.nonEmpty && sampled.forall(_.toLongOption.exists(unambiguousMicros)))
+      Some(EpochMicrosRendering)
+    else None
+  }
+
+  def detectTimestampRendering(
+      dataTableBase: String,
+      indexPartition: String,
+      hadoopConf: Configuration,
+      asOf: Option[String] = None): Option[TimestampRendering] =
+    detectRendering(dataTableBase, indexPartition, hadoopConf, asOf, tsMemo)(
+      classifyTimestampKeys(_))
+
+  private val tsMemo = new BoundedMemo[(String, String, String), Option[TimestampRendering]](64)
+
   /** Canonical index-key rendering of a filter literal for an indexed
     * column of `dt` — the writer's string form of the avro column value
     * (Hudi's SecondaryIndexKeyUtils renders the extracted field value via
@@ -252,17 +338,29 @@ object SecondaryIndex {
     *  - decimal: the scale is detected from the index's own entries
     *    ([[detectDecimalScale]]) — the literal rescales EXACTLY to it
     *    and renders `toPlainString`; a lossy rescale (more precision
-    *    than the index carries) or no detected scale → None.
-    * None for anything else (double "1.0" vs "1", timestamp zones — a
-    * rendering mismatch would plan EMPTY, which is not fail-open, so
-    * unsupported types never reach the index).
+    *    than the index carries) or no detected scale → None;
+    *  - double: requires a [[DoubleRendering]] verdict (witness-backed
+    *    Java-canonical detection, [[classifyDoubleKeys]]) — the literal
+    *    renders `Double.toString`; no verdict → None;
+    *  - timestamp: requires a [[TimestampRendering]] verdict
+    *    (magnitude-unambiguous epoch-micros detection,
+    *    [[classifyTimestampKeys]]) — the typed literal converts to epoch
+    *    micros and renders as decimal digits; no verdict or no typed
+    *    value → None.
+    * None for anything else (float `Float.toString` digit sequences
+    * differ from the double widening and have no witness scheme;
+    * zone-formatted timestamps) — a rendering mismatch would plan
+    * EMPTY, which is not fail-open, so unsupported types never reach
+    * the index.
     */
   def renderLiteral(
       dt: org.apache.spark.sql.types.DataType,
       raw: String,
       typed: Option[Any],
       dateRendering: Option[DateRendering] = None,
-      decimalScale: Option[Int] = None): Option[String] = {
+      decimalScale: Option[Int] = None,
+      doubleRendering: Option[DoubleRendering] = None,
+      timestampRendering: Option[TimestampRendering] = None): Option[String] = {
     import org.apache.spark.sql.types._
     dt match {
       case StringType => Some(raw)
@@ -298,6 +396,27 @@ object SecondaryIndex {
             if (classifyDecimalKeys(Iterator(rendered)).contains(sc)) Some(rendered) else None
           } catch { case _: ArithmeticException => None } // lossy rescale
         })
+      case DoubleType =>
+        doubleRendering.flatMap { case JavaDoubleRendering =>
+          typed match {
+            case Some(d: java.lang.Double) => Some(java.lang.Double.toString(d))
+            case _ =>
+              // canonicalize a raw string form; parse-then-render is the
+              // point (the probe must match the WRITER's digits, not the
+              // query text)
+              raw.toDoubleOption.map(java.lang.Double.toString)
+          }
+        }
+      case TimestampType =>
+        timestampRendering.flatMap { case EpochMicrosRendering =>
+          typed match {
+            case Some(t: java.sql.Timestamp) => Some(String.valueOf(
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+            case Some(i: java.time.Instant) => Some(String.valueOf(
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+            case _ => None // no textual form is zone-unambiguous
+          }
+        }
       case _ => None
     }
   }

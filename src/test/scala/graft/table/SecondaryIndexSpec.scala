@@ -135,22 +135,34 @@ class SecondaryIndexSpec extends SparkTestBase {
 
   test("secondary-index planning is gated to exactly the canonicalizable types") {
     // Eligible = types SecondaryIndex.renderLiteral canonicalizes
-    // exactly (string, integrals, date, decimal — the latter two behind
-    // per-index rendering detection). Doubles ("1.0" vs "1") and
-    // timestamps (zones) can mismatch the writer's key rendering and
-    // silently plan EMPTY — they stay on the full (fail-open) plan.
+    // exactly (string, integrals always; date/decimal/double/timestamp
+    // behind per-index rendering detection — r12 added the last two).
+    // Floats (toString digits differ from the double widening, no
+    // witness scheme) and booleans stay on the full (fail-open) plan.
     import org.apache.spark.sql.types._
     for (dt <- Seq(StringType, IntegerType, LongType, ShortType, ByteType, DateType,
-        DecimalType(10, 2)))
+        DecimalType(10, 2), DoubleType, TimestampType))
       assert(graft.sources.GraftScan.secondaryIndexEligible(dt), s"$dt must be eligible")
-    for (dt <- Seq(DoubleType, FloatType, TimestampType, BooleanType))
+    for (dt <- Seq(FloatType, BooleanType))
       assert(!graft.sources.GraftScan.secondaryIndexEligible(dt), s"$dt must not be eligible")
     // the canonical renderings themselves
     import graft.table.SecondaryIndex
     import graft.table.SecondaryIndex.renderLiteral
     assert(renderLiteral(LongType, "42", Some(Long.box(42L))) == Some("42"))
     assert(renderLiteral(IntegerType, "7", Some(Int.box(7))) == Some("7"))
+    // without a DETECTED rendering, doubles/timestamps never render
     assert(renderLiteral(DoubleType, "1.0", Some(Double.box(1.0))).isEmpty)
+    assert(renderLiteral(TimestampType, "2024-01-01 00:00:00",
+      Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).isEmpty)
+    // with one, they follow the writer's digits exactly
+    assert(renderLiteral(DoubleType, "1.0", Some(Double.box(1.0)),
+      doubleRendering = Some(SecondaryIndex.JavaDoubleRendering)) == Some("1.0"))
+    assert(renderLiteral(DoubleType, "8", Some(Double.box(8.0)),
+      doubleRendering = Some(SecondaryIndex.JavaDoubleRendering)) == Some("8.0"))
+    assert(renderLiteral(TimestampType, "ignored",
+      Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L))),
+      timestampRendering = Some(SecondaryIndex.EpochMicrosRendering)) ==
+      Some("1704067200000000"))
     // date rendering is writer-dependent: WITHOUT a detected rendering a
     // date literal never renders (fail open), WITH one it follows it
     val d = Some(java.sql.Date.valueOf("2024-01-31"): Any)
@@ -245,6 +257,80 @@ class SecondaryIndexSpec extends SparkTestBase {
       .filter(col("o_decprice") === new java.math.BigDecimal("0.01"))
     assert(none.queryExecution.executedPlan.toString().contains("0 slices"))
     assert(none.count() == 0)
+  }
+
+  test("double-key classification demands a discriminating witness") {
+    import graft.table.SecondaryIndex.{classifyDoubleKeys, JavaDoubleRendering}
+    // overlap-only samples (values every writer family renders alike)
+    // must FAIL OPEN even though all roundtrip Java-canonically: the
+    // sample cannot rule out a shortest-decimal writer whose "8.0"
+    // would be stored as "8"
+    assert(classifyDoubleKeys(Iterator("0.5", "1.25", "3.75")).isEmpty)
+    // a ".0" witness pins the Java family
+    assert(classifyDoubleKeys(Iterator("0.5", "8.0", "1.25")).contains(JavaDoubleRendering))
+    // an exponent witness too
+    assert(classifyDoubleKeys(Iterator("1.0E20", "0.5")).contains(JavaDoubleRendering))
+    // a shortest-decimal key ("8") breaks the roundtrip -> fail open
+    assert(classifyDoubleKeys(Iterator("8", "8.0", "0.5")).isEmpty)
+    // non-numeric / mixed junk fails open; empty fails open
+    assert(classifyDoubleKeys(Iterator("abc", "8.0")).isEmpty)
+    assert(classifyDoubleKeys(Iterator.empty).isEmpty)
+  }
+
+  test("timestamp-key classification demands magnitude-unambiguous micros") {
+    import graft.table.SecondaryIndex.{classifyTimestampKeys, EpochMicrosRendering}
+    // modern epoch-micros: micros reading is 2024, millis reading is
+    // year ~55k, seconds reading year ~54M — unambiguous
+    assert(classifyTimestampKeys(Iterator("1704067200000000", "1704067201000000"))
+      .contains(EpochMicrosRendering))
+    // a modern epoch-MILLIS value is ambiguous as micros (1970-01-20) ->
+    // wait, 1.7e12 micros = 1970-01-20, in-window for micros AND millis
+    // readings, so it must fail open
+    assert(classifyTimestampKeys(Iterator("1704067200000")).isEmpty)
+    // early-epoch micros (1970-01-02) reads as a plausible 1972 in
+    // millis -> ambiguous, fail open
+    assert(classifyTimestampKeys(Iterator("86400000000")).isEmpty)
+    // one ambiguous sample poisons the set
+    assert(classifyTimestampKeys(Iterator("1704067200000000", "86400000000")).isEmpty)
+    // formatted renderings never parse as longs -> fail open
+    assert(classifyTimestampKeys(Iterator("2024-01-01T00:00:00Z")).isEmpty)
+    assert(classifyTimestampKeys(Iterator.empty).isEmpty)
+  }
+
+  test("double-indexed column detects the Java rendering and plans through it") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
+    val k = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(org.apache.spark.sql.functions.min(col("o_orderkey"))).head.getLong(0)
+    val df = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_dblrate") === k.toDouble / 2.0)
+      .select("o_orderkey", "o_dblrate")
+    assert(df.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"double index must plan one group: ${df.queryExecution.executedPlan}")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == k &&
+      rows.head.getDouble(1) == k.toDouble / 2.0)
+    // an absent double plans zero slices (quarter values never occur)
+    val none = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_dblrate") === 0.25)
+    assert(none.queryExecution.executedPlan.toString().contains("0 slices"))
+    assert(none.count() == 0)
+  }
+
+  test("timestamp-indexed column detects epoch-micros and plans through it") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
+    val k = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(org.apache.spark.sql.functions.min(col("o_orderkey"))).head.getLong(0)
+    val micros = 1704067200000000L + k * 1000000L
+    val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(micros / 1000000L))
+    val df = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_tsmicros") === ts)
+      .select("o_orderkey")
+    assert(df.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"ts index must plan one group: ${df.queryExecution.executedPlan}")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == k)
   }
 
   test("date-key rendering classification: unanimous, disjoint, fail-open") {
