@@ -1547,10 +1547,12 @@ class GraftScan(
   // Fail-closed: any unparseable path, a timestamp keygen (paths are
   // formatted renderings, not values), or a partition column pruned out
   // of the output drops back to UnknownPartitioning + size-balanced
-  // chunking, never a wrong grouping. Sentinel paths group under a NULL
-  // key — the same reading SHOW PARTITIONS gives. The one-task-per-
-  // partition granularity is the documented SPJ tradeoff (Spark's
-  // partially-clustered distribution exists for skewed partitions).
+  // chunking, never a wrong grouping. Non-string sentinel paths group
+  // under a NULL key — the same reading SHOW PARTITIONS gives; string
+  // sentinels fail closed (spjGroupsFor). Groups emit SIZE-BOUNDED
+  // key-carrying splits (r12), so Spark's partially-clustered
+  // distribution can keep a hot partition's chunks as parallel tasks
+  // instead of the old one-task-per-partition-value ceiling.
 
   private lazy val spjEnabled: Boolean = {
     val sourceOptIn = options.getBoolean("preserve.data.grouping", false) ||
@@ -1648,8 +1650,34 @@ class GraftScan(
         (None, None)
     spj match {
       case Some(gs) =>
-        gs.map { case (row, ss) =>
-          GraftInputPartition(ss, bounds._1, bounds._2, Some(row)): InputPartition
+        // One input split PER SIZE-BOUNDED CHUNK of a group, each
+        // carrying the group's key — not one monolithic split per
+        // partition value. Spark's own grouping merges same-key splits
+        // when it needs strict key grouping, and keeps them separate
+        // under `spark.sql.sources.v2.bucketing.partiallyClustered
+        // Distribution.enabled`, where the skewed side's chunks stay
+        // parallel tasks and the other side's groups replicate — the
+        // answer to the one-task-per-hot-partition ceiling that was
+        // r11's documented SPJ tradeoff. Default chunk target 128 MiB
+        // (a task-sized unit at 100 TB); `spj.split.target.bytes`
+        // overrides (tests force tiny chunks).
+        val target = Option(options.get("spj.split.target.bytes"))
+          .flatMap(_.toLongOption).filter(_ > 0).getOrElse(128L << 20)
+        gs.flatMap { case (row, ss) =>
+          val chunks = Vector.newBuilder[Vector[FileSlice]]
+          var cur = Vector.newBuilder[FileSlice]
+          var curBytes = 0L
+          var curN = 0
+          for (sl <- ss) {
+            if (curN > 0 && curBytes + sl.totalSize > target) {
+              chunks += cur.result(); cur = Vector.newBuilder[FileSlice]
+              curBytes = 0L; curN = 0
+            }
+            cur += sl; curBytes += sl.totalSize; curN += 1
+          }
+          if (curN > 0) chunks += cur.result()
+          chunks.result().map(chunk =>
+            GraftInputPartition(chunk, bounds._1, bounds._2, Some(row)): InputPartition)
         }.toArray
       case None =>
         chunked.map(ss =>

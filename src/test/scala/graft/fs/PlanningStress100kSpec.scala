@@ -349,6 +349,48 @@ class PlanningStress100kSpec extends SparkTestBase {
     assert(wallMs < 60000, s"MDT-listed COUNT(*) took ${wallMs}ms")
   }
 
+  test("SPJ key grouping over 100k slices / 2000 values plans in budget, shuffle-free") {
+    // the r11 SPJ path at lake width: spjGroupsFor strict-parses every
+    // slice's partition path and groups by typed key — 100k parses /
+    // 2000 groups must stay a sub-second driver pass (the budget bounds
+    // the algorithm; a per-path regex blowup or accidental quadratic
+    // group-by is a >10x blowup here). The aggregation on the partition
+    // key must then ride the reported grouping with NO exchange.
+    spark.conf.set("spark.sql.graft.planning.preserveDataGrouping", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (got, wallMs) = timed {
+        val agg = spark.read.format("hudi-graft").load(path)
+          .groupBy("p").agg(count(lit(1)).as("n"))
+        val plan = agg.queryExecution.executedPlan.toString()
+        assert(!plan.contains("Exchange"),
+          s"partition-key agg over SPJ groups must be shuffle-free:\n${plan.take(2000)}")
+        agg.collect()
+      }
+      assert(got.length == Partitions &&
+        got.forall(_.getLong(1) == FilesPerPartition.toLong))
+      assert(wallMs < 120000, s"100k SPJ grouped aggregation took ${wallMs}ms")
+    } finally {
+      spark.conf.unset("spark.sql.graft.planning.preserveDataGrouping")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("IS NULL partition classification over 2000 dirs prunes in budget") {
+    // the r11 null-predicate path at width: classifying every partition
+    // dir against the version-gated sentinel set is O(partitions) string
+    // work — no dir is a sentinel here, so `p IS NULL` prunes the whole
+    // table at plan time (0 slices) without touching a file
+    val (planStr, wallMs) = timed {
+      spark.read.format("hudi-graft").load(path)
+        .filter(col("p").isNull)
+        .queryExecution.executedPlan.toString()
+    }
+    assert(planStr.contains(", 0 slices"),
+      s"IS NULL over sentinel-free dirs must prune everything: ${planStr.take(2000)}")
+    assert(wallMs < 60000, s"IS NULL classification took ${wallMs}ms")
+  }
+
   test("bloom tier stands down above the planned-file cap without a driver sweep") {
     // v === 1 survives every loose bound, so the record-key equality
     // reaches the bloom tier with all 100k files planned — far past

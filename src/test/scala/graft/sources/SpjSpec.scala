@@ -113,6 +113,56 @@ class SpjSpec extends SparkTestBase {
     }
   }
 
+  test("partially-clustered distribution: per-key splits join correctly") {
+    // the fixture has 3 file groups per o_orderpriority; forcing a tiny
+    // split target makes each group emit MULTIPLE key-carrying input
+    // splits — the shape partially-clustered distribution needs to keep
+    // a hot partition parallel. Correctness must hold in all three
+    // modes: merged key grouping (default), partially-clustered, and
+    // the shuffled baseline.
+    def joinedSplit() = {
+      val rd = spark.read.format("hudi-graft")
+        .option("spj.split.target.bytes", "1") // every slice its own split
+      val a = rd.load(cowPath)
+        .select("o_orderpriority", "o_orderkey")
+        .where(org.apache.spark.sql.functions.col("o_orderkey") % 50 === 0)
+      val b = rd.load(cowPath)
+        .select("o_orderpriority", "o_totalprice")
+        .where(org.apache.spark.sql.functions.col("o_totalprice") > 100000)
+      a.join(b, Seq("o_orderpriority"))
+    }
+    var expected = -1L
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      expected = joinedSplit().count()
+      assert(expected > 0)
+    }
+    withConfs(
+      "spark.sql.graft.planning.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      // merged key grouping: Spark coalesces same-key splits, no shuffle
+      val j = joinedSplit()
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"multi-split groups must still key-group without a shuffle:\n$plan")
+      assert(j.count() == expected)
+    }
+    withConfs(
+      "spark.sql.graft.planning.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = joinedSplit()
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"partially-clustered SPJ must not shuffle:\n$plan")
+      assert(j.count() == expected,
+        "partially-clustered grouping must not change the join result")
+    }
+  }
+
   test("fail-closed: a STRING partition field with a sentinel dir reports no grouping") {
     // pre-v4 writers put literal 'default'/'' values under the sentinel
     // dir while v4+ writes literal 'default' bare — for a string field
