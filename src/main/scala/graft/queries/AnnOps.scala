@@ -576,34 +576,42 @@ object AnnOps {
     s"SELECT vec_id, m, $sub AS sq FROM $qnRel CROSS JOIN ($mGrid)"
   }
 
+  /** Per-(subspace, codeword, dimension) truncating integer mean of the
+    * assigned subvectors — the codebook update fragment, shared by the
+    * training chain and the prep's derive-centroids-from-codes pass.
+    */
+  private def pqPerDim(spark: Boolean, mem: String): String =
+    if (spark)
+      s"""
+         |  SELECT m, cid, i, SUM(x) DIV COUNT(1) AS cx FROM (
+         |    SELECT a.m, a.cid, pe.i, pe.x
+         |    FROM $mem a JOIN subv s ON s.vec_id = a.vec_id AND s.m = a.m
+         |    LATERAL VIEW posexplode(s.sq) pe AS i, x)
+         |  GROUP BY m, cid, i""".stripMargin
+    else
+      s"""
+         |  SELECT a.m, a.cid, di.i,
+         |    CAST(SUM(list_extract(s.sq, di.i + 1)) AS BIGINT) // COUNT(1) AS cx
+         |  FROM $mem a JOIN subv s ON s.vec_id = a.vec_id AND s.m = a.m,
+         |    UNNEST(range(0, $pqSubDim)) AS di(i)
+         |  GROUP BY a.m, a.cid, di.i""".stripMargin
+
+  private def pqRebuild(spark: Boolean, cd: String): String = {
+    val dot = if (spark) sparkDot else duckDot
+    if (spark)
+      s"""
+         |  SELECT m, cid, cq, ${dot.format("cq", "cq")} AS cnorm FROM (
+         |    SELECT m, cid, transform(array_sort(collect_list(struct(i, cx))), s -> s.cx) AS cq
+         |    FROM $cd GROUP BY m, cid)""".stripMargin
+    else
+      s"""
+         |  SELECT m, cid, cq, ${dot.format("cq", "cq")} AS cnorm FROM (
+         |    SELECT m, cid, list(cx ORDER BY i) AS cq FROM $cd GROUP BY m, cid)""".stripMargin
+  }
+
   /** CTE chain `subv, cent0, a1..centN` — training + encoding. */
   private def pqTrainSql(spark: Boolean): String = {
     val dot = if (spark) sparkDot else duckDot
-    def perDim(mem: String): String =
-      if (spark)
-        s"""
-           |  SELECT m, cid, i, SUM(x) DIV COUNT(1) AS cx FROM (
-           |    SELECT a.m, a.cid, pe.i, pe.x
-           |    FROM $mem a JOIN subv s ON s.vec_id = a.vec_id AND s.m = a.m
-           |    LATERAL VIEW posexplode(s.sq) pe AS i, x)
-           |  GROUP BY m, cid, i""".stripMargin
-      else
-        s"""
-           |  SELECT a.m, a.cid, di.i,
-           |    CAST(SUM(list_extract(s.sq, di.i + 1)) AS BIGINT) // COUNT(1) AS cx
-           |  FROM $mem a JOIN subv s ON s.vec_id = a.vec_id AND s.m = a.m,
-           |    UNNEST(range(0, $pqSubDim)) AS di(i)
-           |  GROUP BY a.m, a.cid, di.i""".stripMargin
-    def rebuild(cd: String): String =
-      if (spark)
-        s"""
-           |  SELECT m, cid, cq, ${dot.format("cq", "cq")} AS cnorm FROM (
-           |    SELECT m, cid, transform(array_sort(collect_list(struct(i, cx))), s -> s.cx) AS cq
-           |    FROM $cd GROUP BY m, cid)""".stripMargin
-      else
-        s"""
-           |  SELECT m, cid, cq, ${dot.format("cq", "cq")} AS cnorm FROM (
-           |    SELECT m, cid, list(cx ORDER BY i) AS cq FROM $cd GROUP BY m, cid)""".stripMargin
     val iters = (1 to pqIters).map { t =>
       s"""a$t AS (
          |  SELECT s.vec_id, s.m, c.cid,
@@ -611,8 +619,8 @@ object AnnOps {
          |      ORDER BY c.cnorm - 2 * ${dot.format("s.sq", "c.cq")}, c.cid) AS rk
          |  FROM subv s JOIN cent${t - 1} c ON c.m = s.m),
          |m$t AS (SELECT vec_id, m, cid FROM a$t WHERE rk = 1),
-         |cd$t AS (${perDim(s"m$t")}),
-         |cent$t AS (${rebuild(s"cd$t")})""".stripMargin
+         |cd$t AS (${pqPerDim(spark, s"m$t")}),
+         |cent$t AS (${pqRebuild(spark, s"cd$t")})""".stripMargin
     }.mkString(",\n")
     s"""subv AS (${pqSubvSql(spark)}),
        |cent0 AS (
@@ -669,24 +677,37 @@ object AnnOps {
     reg.synchronized {
       val cached = reg.get("pqprep").collect { case p: Prep if p.dir == d => p }
       val Seq(codes, cent) = cached.map(_.dfs).getOrElse {
-        val trained = pqTrainSql(spark = true)
         // localCheckpoint, not persist: the trained plan is two unrolled
         // k-means iterations deep, and a cached VIEW still re-analyzes
         // that whole logical plan on every query — checkpointing
         // collapses codes/centroids to leaf RDD scans (they are tiny:
-        // n×M codes + M×K codewords)
-        val codes = s.sql(s"WITH $trained SELECT vec_id, m, cid FROM m$pqIters")
+        // n×M codes + M×K codewords). The chain executes ONCE (r12):
+        // the final codebook is re-derived from the checkpointed codes
+        // (`cent_N = rebuild(perDim(m_N))` holds by construction of the
+        // last training iteration — the ClusterOps.clusterPrep argument)
+        // instead of a second full training run.
+        val codes = s.sql(
+          s"WITH ${pqTrainSql(spark = true)} SELECT vec_id, m, cid FROM m$pqIters")
           .localCheckpoint(true)
-        val cent = s.sql(s"WITH $trained SELECT m, cid, cq, cnorm FROM cent$pqIters")
-          .localCheckpoint(true)
+        val cent =
+          try {
+            codes.createOrReplaceTempView("ann_pq_codes")
+            s.sql(s"WITH subv AS (${pqSubvSql(spark = true)}),\n" +
+              s"cd AS (${pqPerDim(spark = true, "ann_pq_codes")})\n" +
+              pqRebuild(spark = true, "cd").stripLeading()).localCheckpoint(true)
+          } catch {
+            case t: Throwable =>
+              graft.util.Checkpoints.freeLocalCheckpoint(codes); throw t
+          }
         val dfs = Seq(codes, cent)
         reg.put("pqprep", Prep(d, dfs))
           .collect { case p: Prep if p.dir != d => p }
           .foreach(_.dfs.foreach(df =>
             graft.util.Checkpoints.freeLocalCheckpoint(df)))
+        cent.createOrReplaceTempView("ann_pq_cent")
         dfs
       }
-      if (cached.isEmpty || !s.catalog.tableExists("ann_pq_codes") ||
+      if (!s.catalog.tableExists("ann_pq_codes") ||
           !s.catalog.tableExists("ann_pq_cent")) {
         codes.createOrReplaceTempView("ann_pq_codes")
         cent.createOrReplaceTempView("ann_pq_cent")
