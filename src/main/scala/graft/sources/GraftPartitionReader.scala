@@ -650,10 +650,10 @@ class GraftColumnarMergeReader(
     var i = 0
     while (i < n) {
       val row = b.getRow(i) // reused view; values read immediately
+      val key = ms.keyOf(row)
       val logRow = if (ms.logLatest.isEmpty) null
-        else ms.logLatest.getOrElse(ms.keyOf(row), null)
+        else ms.logLatest.getOrElse(key, null)
       if (logRow != null) {
-        val key = ms.keyOf(row)
         consumed += key
         if (ms.newerThan(logRow, row)) logWon += key // surfaces via overlay
         else if (!ms.deleteWins(row)) { sel(m) = i; m += 1 }

@@ -986,15 +986,16 @@ object GraftScan {
 
   /** Secondary-index planning covers exactly the types
     * [[graft.table.SecondaryIndex.renderLiteral]] canonicalizes
-    * (string, integrals, date, decimal): the index key is the writer's
-    * string rendering of the indexed value, and a rendering mismatch
-    * returns an EMPTY plan — not fail-open — so every other type
-    * (double "1.0" vs "1", timestamp zones) stays on the full plan.
-    * Date and decimal literals additionally require the index's OWN
-    * rendering to be DETECTED from sampled entries (ISO vs epoch-day,
-    * the decimal scale — both writer-dependent;
-    * SecondaryIndex.detect{DateRendering,DecimalScale}) — undetectable
-    * fails open.
+    * (string, integrals always; date, decimal, double, timestamp
+    * behind per-index rendering detection): the index key is the
+    * writer's string rendering of the indexed value, and a rendering
+    * mismatch returns an EMPTY plan — not fail-open — so the detected
+    * types require the index's OWN rendering DETECTED from sampled
+    * entries first (ISO vs epoch-day dates, the decimal scale,
+    * witness-backed Java-canonical doubles, magnitude-unambiguous
+    * epoch-micros timestamps; SecondaryIndex.detect*) — undetectable
+    * fails open. Floats/booleans stay on the full plan (no sound
+    * detection scheme).
     */
   def secondaryIndexEligible(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -1280,7 +1281,12 @@ class GraftScan(
                 doubleRendering, tsRendering))
             if (rendered.exists(_.isEmpty)) None
             else {
+              // ±0.0 compare equal under Spark but render differently:
+              // a zero probe covers both index spellings (fail-open
+              // direction — the union can only widen this predicate's
+              // file-group set)
               val vals = rendered.flatten
+                .flatMap(graft.table.SecondaryIndex.probeSpellings(dt, _)).distinct
               val byValue = graft.table.SecondaryIndex.lookup(
                 hudi.basePath, idx, vals, hudi.hadoopConf, tierAsOf)
               val keys = vals.flatMap(v => byValue.getOrElse(v, Set.empty)).distinct
@@ -1330,8 +1336,11 @@ class GraftScan(
     // (ComplexKeyGenerator — Spark-SQL's default writer — renders even a
     // single-field key as `field:value`, so a bare-value probe would miss
     // the index and return a wrong empty plan), and the field's type must
-    // canonicalize exactly (renderLiteral: the avro toString rendering —
-    // doubles/decimals/timestamps never qualify). The
+    // render unambiguously WITHOUT an entry sample (keyRenderingTrusted:
+    // strings/integrals only — unlike the secondary-index tier, the
+    // record index stores keys hash-sharded and blooms store none, so
+    // the detection that unlocks dates/decimals/doubles/timestamps
+    // there has nothing to sample here). The
     // `_hoodie_record_key` branch needs no gate: its literal IS the
     // stored key, whatever generator produced it.
     def fieldType(name: String) = hudi.tableSchema.fields.find(_.name == name).map(_.dataType)
@@ -1601,8 +1610,12 @@ class GraftScan(
             case Some(v: String) if GraftScanBuilder.isPartitionNullSentinel(v, cfg) =>
               if (f.dataType == org.apache.spark.sql.types.StringType) None
               else Some(None) // unambiguous NULL partition
+            // version-gated: the same classifier the null-predicate and
+            // path-as-value gates use (v4+ bare 'default' may be legacy
+            // null rows or a genuine value) — ONE source of truth, so
+            // the SPJ rule cannot drift from IS NULL pruning's
             case Some(v: String) if f.dataType == org.apache.spark.sql.types.StringType &&
-                (v == "default" || v.isEmpty) => None
+                GraftScanBuilder.isUntrustedPathValue(v, cfg) => None
             case Some(v) => Some(Some(v))
             case None => Some(None)
           }

@@ -238,39 +238,81 @@ object SecondaryIndex {
     }
   }
 
-  /** Double-key rendering family. Unlike dates (ISO vs epoch-day are
+  /** Double-key rendering verdicts. Unlike dates (ISO vs epoch-day are
     * DISJOINT — no value renders the same in both), double rendering
-    * families OVERLAP: Java's canonical `Double.toString` and a
-    * shortest-decimal writer (Rust `{}` / C++ to_chars) agree on "0.5"
-    * but split on whole numbers ("8.0" vs "8") and large magnitudes
-    * ("1.0E20" vs the full expansion). Unanimous roundtrip alone is
-    * therefore NOT proof of the family — a sample of overlap values
-    * would pass while a probe literal like 8.0 renders "8.0" against
-    * stored "8" and plans EMPTY. The classifier additionally demands a
-    * DISCRIMINATING WITNESS before trusting the index.
+    * families OVERLAP: Java's canonical `Double.toString`, Python's
+    * `str`, and Rust's `{:?}` all emit "0.5" AND "8.0" in the plain
+    * decimal region, splitting only at the exponent thresholds (Java
+    * switches to `1.0E8` at 1e7 and to `1.0E-4` below 1e-3; the others
+    * keep plain or use lowercase-e forms), while bare shortest-decimal
+    * writers (Rust `{}`) drop the ".0" entirely. So the evidence comes
+    * in two strengths:
+    *  - [[JavaDoubleProven]]: a sampled key contains an `E`-exponent
+    *    mantissa form ONLY Java produces ("1.0E20" — Python renders
+    *    "1e+20", Rust debug "1e20") → the family is pinned and any
+    *    literal may probe;
+    *  - [[JavaDoublePlain]]: the witnesses are ".0" whole numbers,
+    *    which prove the writer is NOT a bare shortest-decimal one but
+    *    cannot separate Java from Python/Rust-debug. Those families
+    *    AGREE throughout the plain decimal region on shortest digit
+    *    strings, so probing stays sound only for literals whose Java
+    *    rendering is plain (no `E`) and digit-minimal —
+    *    [[renderLiteral]] enforces that envelope and refuses the rest.
     */
   sealed trait DoubleRendering
-  case object JavaDoubleRendering extends DoubleRendering
+  case object JavaDoubleProven extends DoubleRendering
+  case object JavaDoublePlain extends DoubleRendering
 
   /** Classify sampled double key parts: every sample must round-trip
-    * Java-canonically (`Double.toString(parseDouble(s)) == s`) AND at
-    * least one sample must be a witness that ONLY the Java family
-    * produces — a `.0`-suffixed whole number or an `E`-exponent form
-    * (shortest-decimal writers emit "8" and the plain expansion). With
-    * a witness, unanimity over up to `maxSample` entries pins the
-    * family; without one, or on any roundtrip failure (including NaN
-    * spellings other than Java's), fail open.
+    * Java-canonically (`Double.toString(parseDouble(s)) == s`); the
+    * verdict strength follows the best witness present (`E` form →
+    * proven; ".0" form → plain-region agreement). No witness, any
+    * roundtrip failure (including NaN spellings other than Java's, or
+    * a bare "8"), → fail open.
     */
   def classifyDoubleKeys(parts: Iterator[String], maxSample: Int = 16): Option[DoubleRendering] = {
     def javaCanonical(s: String): Boolean =
       try java.lang.Double.toString(java.lang.Double.parseDouble(s)) == s
       catch { case _: NumberFormatException => false }
-    def witness(s: String): Boolean = s.endsWith(".0") || s.contains("E")
     val sampled = parts.filter(_.nonEmpty).take(maxSample).toVector
-    if (sampled.nonEmpty && sampled.forall(javaCanonical) && sampled.exists(witness))
-      Some(JavaDoubleRendering)
+    if (sampled.isEmpty || !sampled.forall(javaCanonical)) None
+    else if (sampled.exists(_.contains("E"))) Some(JavaDoubleProven)
+    else if (sampled.exists(_.endsWith(".0"))) Some(JavaDoublePlain)
     else None
   }
+
+  /** Is `rendered` (Java's plain-region `Double.toString` of `v`) the
+    * SHORTEST digit string that round-trips to `v`? Java before JDK 19
+    * occasionally emits one excess digit (JDK-4511638); on such a value
+    * a shortest-decimal writer's stored key differs even in the plain
+    * region, so [[renderLiteral]] refuses the probe under a
+    * [[JavaDoublePlain]] verdict. Significant digits = the rendering's
+    * digit run without leading/trailing zeros (trailing zeros are
+    * placement, not precision: "80.0" carries one significant digit).
+    */
+  private[table] def isShortestPlainDouble(v: Double, rendered: String): Boolean = {
+    val digits = rendered.replace("-", "").replace(".", "")
+      .dropWhile(_ == '0').reverse.dropWhile(_ == '0').reverse
+    val n = math.max(digits.length, 1)
+    n == 1 || {
+      // if n-1 significant digits already round-trip, Java emitted excess
+      val shorter = String.format(java.util.Locale.ROOT, s"%.${n - 2}e", Double.box(v))
+      java.lang.Double.parseDouble(shorter) != v
+    }
+  }
+
+  /** The index-key spellings a probe literal must cover: IEEE signed
+    * zero renders as exactly one of "0.0"/"-0.0" but Spark's equality
+    * treats -0.0 = 0.0 as TRUE, so a zero probe must look up BOTH
+    * spellings or rows stored under the other one are silently lost.
+    * Everything else probes its single rendering.
+    */
+  def probeSpellings(dt: org.apache.spark.sql.types.DataType, rendered: String): Seq[String] =
+    dt match {
+      case org.apache.spark.sql.types.DoubleType
+          if rendered == "0.0" || rendered == "-0.0" => Seq("0.0", "-0.0")
+      case _ => Seq(rendered)
+    }
 
   def detectDoubleRendering(
       dataTableBase: String,
@@ -339,9 +381,13 @@ object SecondaryIndex {
     *    ([[detectDecimalScale]]) — the literal rescales EXACTLY to it
     *    and renders `toPlainString`; a lossy rescale (more precision
     *    than the index carries) or no detected scale → None;
-    *  - double: requires a [[DoubleRendering]] verdict (witness-backed
-    *    Java-canonical detection, [[classifyDoubleKeys]]) — the literal
-    *    renders `Double.toString`; no verdict → None;
+    *  - double: requires a [[DoubleRendering]] verdict
+    *    ([[classifyDoubleKeys]]) — the literal renders
+    *    `Double.toString`, gated to the verdict's proven envelope
+    *    (an `E`-witness verdict probes anything; a ".0"-witness one
+    *    probes only plain digit-minimal renderings); callers must
+    *    expand zero probes via [[probeSpellings]] (±0.0 compare equal
+    *    but render differently); no verdict → None;
     *  - timestamp: requires a [[TimestampRendering]] verdict
     *    (magnitude-unambiguous epoch-micros detection,
     *    [[classifyTimestampKeys]]) — the typed literal converts to epoch
@@ -397,14 +443,21 @@ object SecondaryIndex {
           } catch { case _: ArithmeticException => None } // lossy rescale
         })
       case DoubleType =>
-        doubleRendering.flatMap { case JavaDoubleRendering =>
-          typed match {
-            case Some(d: java.lang.Double) => Some(java.lang.Double.toString(d))
-            case _ =>
-              // canonicalize a raw string form; parse-then-render is the
-              // point (the probe must match the WRITER's digits, not the
-              // query text)
-              raw.toDoubleOption.map(java.lang.Double.toString)
+        doubleRendering.flatMap { verdict =>
+          // canonicalize first; parse-then-render is the point (the
+          // probe must match the WRITER's digits, not the query text)
+          val v: Option[Double] = typed match {
+            case Some(d: java.lang.Double) => Some(d.doubleValue)
+            case _ => raw.toDoubleOption
+          }
+          v.map(d => (d, java.lang.Double.toString(d))).collect {
+            // proven family: any literal probes
+            case (_, r) if verdict == JavaDoubleProven => r
+            // plain-region agreement only: the literal must stay inside
+            // the envelope the ".0" witnesses actually proved — plain
+            // form (no exponent) and digit-minimal (see
+            // isShortestPlainDouble); anything else fails open
+            case (d, r) if !r.contains("E") && isShortestPlainDouble(d, r) => r
           }
         }
       case TimestampType =>

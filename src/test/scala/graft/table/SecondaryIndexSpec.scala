@@ -156,9 +156,22 @@ class SecondaryIndexSpec extends SparkTestBase {
       Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).isEmpty)
     // with one, they follow the writer's digits exactly
     assert(renderLiteral(DoubleType, "1.0", Some(Double.box(1.0)),
-      doubleRendering = Some(SecondaryIndex.JavaDoubleRendering)) == Some("1.0"))
+      doubleRendering = Some(SecondaryIndex.JavaDoublePlain)) == Some("1.0"))
     assert(renderLiteral(DoubleType, "8", Some(Double.box(8.0)),
-      doubleRendering = Some(SecondaryIndex.JavaDoubleRendering)) == Some("8.0"))
+      doubleRendering = Some(SecondaryIndex.JavaDoublePlain)) == Some("8.0"))
+    // a ".0"-witness verdict proves only plain-region agreement: an
+    // exponent-rendering literal must REFUSE (Python/Rust-debug diverge
+    // from Java's "1.0E8" there), while a proven (E-witness) verdict
+    // probes it
+    assert(renderLiteral(DoubleType, "1e8", Some(Double.box(1e8)),
+      doubleRendering = Some(SecondaryIndex.JavaDoublePlain)).isEmpty)
+    assert(renderLiteral(DoubleType, "1e8", Some(Double.box(1e8)),
+      doubleRendering = Some(SecondaryIndex.JavaDoubleProven)) == Some("1.0E8"))
+    // IEEE signed zero: both spellings probe whichever one renders
+    assert(SecondaryIndex.probeSpellings(DoubleType, "0.0").toSet == Set("0.0", "-0.0"))
+    assert(SecondaryIndex.probeSpellings(DoubleType, "-0.0").toSet == Set("0.0", "-0.0"))
+    assert(SecondaryIndex.probeSpellings(DoubleType, "8.0") == Seq("8.0"))
+    assert(SecondaryIndex.probeSpellings(StringType, "0.0") == Seq("0.0"))
     assert(renderLiteral(TimestampType, "ignored",
       Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1704067200L))),
       timestampRendering = Some(SecondaryIndex.EpochMicrosRendering)) ==
@@ -260,21 +273,31 @@ class SecondaryIndexSpec extends SparkTestBase {
   }
 
   test("double-key classification demands a discriminating witness") {
-    import graft.table.SecondaryIndex.{classifyDoubleKeys, JavaDoubleRendering}
+    import graft.table.SecondaryIndex.{classifyDoubleKeys, isShortestPlainDouble,
+      JavaDoublePlain, JavaDoubleProven}
     // overlap-only samples (values every writer family renders alike)
     // must FAIL OPEN even though all roundtrip Java-canonically: the
     // sample cannot rule out a shortest-decimal writer whose "8.0"
     // would be stored as "8"
     assert(classifyDoubleKeys(Iterator("0.5", "1.25", "3.75")).isEmpty)
-    // a ".0" witness pins the Java family
-    assert(classifyDoubleKeys(Iterator("0.5", "8.0", "1.25")).contains(JavaDoubleRendering))
-    // an exponent witness too
-    assert(classifyDoubleKeys(Iterator("1.0E20", "0.5")).contains(JavaDoubleRendering))
+    // a ".0" witness rules out bare shortest-decimal writers but only
+    // proves the PLAIN region (Python str / Rust {:?} also emit "8.0")
+    assert(classifyDoubleKeys(Iterator("0.5", "8.0", "1.25")).contains(JavaDoublePlain))
+    // an exponent-mantissa witness is Java-exclusive -> family proven
+    assert(classifyDoubleKeys(Iterator("1.0E20", "0.5")).contains(JavaDoubleProven))
     // a shortest-decimal key ("8") breaks the roundtrip -> fail open
     assert(classifyDoubleKeys(Iterator("8", "8.0", "0.5")).isEmpty)
     // non-numeric / mixed junk fails open; empty fails open
     assert(classifyDoubleKeys(Iterator("abc", "8.0")).isEmpty)
     assert(classifyDoubleKeys(Iterator.empty).isEmpty)
+    // the plain-envelope digit-minimality gate: shortest renderings pass
+    for (v <- Seq(8.0d, 80.0d, 0.5d, 100.5d, 0.001d, 1234567.5d))
+      assert(isShortestPlainDouble(v, java.lang.Double.toString(v)),
+        s"$v must be digit-minimal")
+    // a rendering carrying more significant digits than the value's
+    // roundtrip needs is rejected (the JDK<19 excess-digit shape —
+    // synthetic here, since this JDK renders these values minimally)
+    assert(!isShortestPlainDouble(0.5d, "0.50000000000000000000001"))
   }
 
   test("timestamp-key classification demands magnitude-unambiguous micros") {
