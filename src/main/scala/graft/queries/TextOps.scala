@@ -921,6 +921,62 @@ object TextOps {
          |ORDER BY t.doc_id""".stripMargin
     ),
 
+    // --- duplicated-span SCRUB accounting (the RefinedWeb/MassiveText
+    // line-dedup pass re-expressed over span windows, since the corpus
+    // has no newlines): an 8-token span occurring in >= 2 distinct docs
+    // is boilerplate; every TOKEN POSITION covered by any hot-span
+    // occurrence is dropped, and the entry reports the per-doc removal
+    // accounting (n_tokens / n_dropped / n_kept) a scrub stage emits.
+    // Distinct from dedup_substring, which scores a dup FRACTION signal
+    // — this computes the positional coverage of the actual transform.
+    // Scale shape: inverted span index (map-side-combinable distinct-doc
+    // count), hot set bounded by the df cutoff, coverage join fans out
+    // exactly 8 positions per hot-span OCCURRENCE (occurrence-bounded,
+    // never corpus²), DISTINCT collapses overlaps per (doc, position) —
+    // all doc-keyed combinable aggregates after one shuffle on the span
+    // key. At 100 TB the hot set is the only broadcast-able side and the
+    // df cutoff caps it exactly like decontaminate's benchmark grams.
+    "text_span_scrub" -> QueryDef(
+      (s, d) => sq(s, d,
+        s"""WITH corpus AS ($corpusSql),
+           |docs AS (SELECT doc_id, split(text, ' ') AS a FROM corpus),
+           |grams AS (
+           |  SELECT doc_id, g.pos AS pos, g.gram AS gram FROM (
+           |    SELECT doc_id, explode(CASE WHEN size(a) >= 8
+           |      THEN transform(sequence(0, size(a) - 8),
+           |        i -> struct(i AS pos, concat_ws(' ', slice(a, i + 1, 8)) AS gram))
+           |      ELSE array() END) AS g
+           |    FROM docs)),
+           |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram),
+           |hot AS (SELECT gram FROM df WHERE df >= 2),
+           |cov AS (
+           |  SELECT DISTINCT g.doc_id, g.pos + o.off AS cpos
+           |  FROM grams g JOIN hot h ON g.gram = h.gram
+           |  CROSS JOIN (SELECT explode(sequence(0, 7)) AS off) o),
+           |cnt AS (SELECT doc_id, COUNT(1) AS n FROM cov GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(size(d.a) AS BIGINT) AS n_tokens,
+           |  COALESCE(c.n, CAST(0 AS BIGINT)) AS n_dropped,
+           |  CAST(size(d.a) AS BIGINT) - COALESCE(c.n, CAST(0 AS BIGINT)) AS n_kept
+           |FROM docs d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin),
+      s"""WITH corpus AS ($corpusSql),
+         |docs AS (SELECT doc_id, string_split(text, ' ') AS a FROM corpus),
+         |grams AS (
+         |  SELECT doc_id, i AS pos, array_to_string(list_slice(a, i + 1, i + 8), ' ') AS gram
+         |  FROM docs, UNNEST(range(0, len(a) - 7)) AS t(i)),
+         |df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram),
+         |hot AS (SELECT gram FROM df WHERE df >= 2),
+         |cov AS (
+         |  SELECT DISTINCT g.doc_id, g.pos + o.off AS cpos
+         |  FROM grams g JOIN hot h ON g.gram = h.gram, UNNEST(range(0, 8)) AS o(off)),
+         |cnt AS (SELECT doc_id, CAST(COUNT(1) AS BIGINT) AS n FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.a) AS BIGINT) AS n_tokens,
+         |  COALESCE(c.n, CAST(0 AS BIGINT)) AS n_dropped,
+         |  CAST(len(d.a) AS BIGINT) - COALESCE(c.n, CAST(0 AS BIGINT)) AS n_kept
+         |FROM docs d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    ),
+
     // --- token counting: tokenize ONCE via explode + one hash-agg ---------
     // (the round-1 shape re-evaluated split() per output column; higher-
     // order functions run interpreted, so Catalyst's subexpression

@@ -979,6 +979,23 @@ object GraftScan {
     * sys.props for the regime-differential tests (the fallback branch
     * must produce the same rows as the indexed branch).
     */
+  /** Types the columnar-merge OVERLAY writer can materialize into
+    * on-heap vectors — must match GraftColumnarMergeReader.writeValue's
+    * cases exactly. Spark's own supportBatch is WIDER (the nested-column
+    * vectorized reader reads arrays/structs/maps), so merge eligibility
+    * checks this list too and nested-schema merges keep the row path.
+    */
+  def overlayWritable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | DateType |
+          LongType | TimestampType | TimestampNTZType |
+          FloatType | DoubleType | StringType | BinaryType => true
+      case _: DecimalType | _: YearMonthIntervalType | _: DayTimeIntervalType => true
+      case _ => false
+    }
+  }
+
   def SecondaryIndexMaxValues: Int =
     sys.props.get("graft.secondary.index.max.values").flatMap(_.toIntOption).getOrElse(32)
   def SecondaryIndexMaxKeys: Int =
@@ -1781,9 +1798,16 @@ class GraftScan(
     // ranges and tombstones (withCommitCol shapes) keep the row path,
     // as do OVERWRITE-less strategies, meta-field-less tables, and
     // per-file type widening — fail closed to the proven row merge.
+    // NOTE: supportBatch alone is NOT a sufficient gate here — Spark 4's
+    // nested-column vectorized reader accepts array/struct/map schemas,
+    // but the merge OVERLAY writer materializes log rows into on-heap
+    // vectors and covers exactly the atomic types; nested-schema MOR
+    // merges stay on the row path (caught by the row-vs-columnar
+    // differential on the reference's v6 SampleTable fixture).
     val columnarMerge = !candidateColumnar && morMergeNeeded && !withCommitCol &&
       hudi.config.recordMergeStrategy != "APPEND_ONLY" &&
       hudi.config.populatesMetaFields && widenPaths.isEmpty &&
+      widenedEffective.fields.forall(f => GraftScan.overlayWritable(f.dataType)) &&
       fmt.supportBatch(spark, widenedEffective)
     val vectorized = columnar || columnarMerge
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map(

@@ -291,6 +291,40 @@ class DataSourceV2Spec extends SparkTestBase {
       "commit-ranged MOR reads must stay on the row merge path")
   }
 
+  test("columnar MOR merge equals the row merge row-for-row on every fixture") {
+    // direct differential between the two merge executions: the same
+    // snapshot read with the vectorized reader disabled routes through
+    // the row-based GraftPartitionReader (supportBatch is false), so any
+    // divergence in merge/delete precedence between SliceMergeState's
+    // two consumers surfaces as a row diff — on the reference's real v8
+    // trips bytes AND the builder's MOR fixtures (update+delete logs,
+    // log-only groups)
+    val sf = "/root/testdata/sf0.001"
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sf)
+    val paths =
+      morV8.toSeq ++
+        Fixtures.table("sample_table/mor/parquet/v6_simplekeygen_nonhivestyle.zip",
+          "v6_simplekeygen_nonhivestyle", "dsv2diff_v6_morpq").toSeq ++
+        Seq(graft.fixtures.HudiFixtureBuilder.morPath(sf),
+          graft.fixtures.HudiFixtureBuilder.morLogOnlyPath(sf))
+    assert(paths.size >= 3)
+    // binary columns stringify as identity hashes — canonicalize them
+    def canon(r: org.apache.spark.sql.Row): String =
+      r.toSeq.map {
+        case b: Array[Byte] => java.util.Arrays.toString(b)
+        case x => String.valueOf(x)
+      }.mkString("|")
+    for (p <- paths) {
+      val columnar = load(p).collect().map(canon).sorted.toSeq
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+      try {
+        val viaRow = load(p).collect().map(canon).sorted.toSeq
+        assert(columnar == viaRow, s"row/columnar merge diverge on $p")
+        assert(columnar.nonEmpty, s"vacuous differential on $p")
+      } finally spark.conf.unset("spark.sql.parquet.enableVectorizedReader")
+    }
+  }
+
   test("dsv2 columnar scan respects projection order and partition re-injection") {
     val sf = "/root/testdata/sf0.001"
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sf)
