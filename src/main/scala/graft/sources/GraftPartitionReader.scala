@@ -68,14 +68,22 @@ class GraftReaderFactory(
       // plain pass-through reader
       if (mergeColumnar && (sl.hasLogFiles || sl.baseFile.isEmpty))
         new GraftColumnarMergeReader(sl, readFn, widenedJson, requiredJson,
-          orderingField, mergeStrategy, conf, endTs,
-          partitionSchemaJson, hiveStyle, urlEncoded, counters)
-      else
+          orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs),
+          partitionSchemaJson, hiveStyle, urlEncoded, counters,
+          commitStart = p.commitStart, emitDeletes = emitDeletes)
+      else {
+        // under a ranged merge scan (mergeColumnar + a start bound) the
+        // chunk's LOG-FREE slices need the same exact commit-range
+        // selection the merge reader applies; a start-less scan applies
+        // none (the row path's commitRangeFilter contract — planning
+        // already bounds files as-of the end instant)
+        val ranged = rangeFilterColumnar || (mergeColumnar && p.commitStart.isDefined)
         new GraftColumnarReader(sl, readFn, widenedJson, requiredJson,
           partitionSchemaJson, hiveStyle, urlEncoded,
-          commitStart = if (rangeFilterColumnar) p.commitStart else None,
-          commitEnd = if (rangeFilterColumnar) p.commitEnd.orElse(endTs) else None,
-          counters = counters)),
+          commitStart = if (ranged) p.commitStart else None,
+          commitEnd = if (ranged) p.commitEnd.orElse(endTs) else None,
+          counters = counters)
+      }),
       () => counters.snapshot)
   }
 }
@@ -380,31 +388,11 @@ class GraftPartitionReader(
       else fromBase ++ fromLogOnly ++ tombstoneIter(aliveDeleteKeys)
     }
 
-  /** Tombstone rows for `stream.emit.deletes`: data columns null, meta
-    * columns carrying (delete commit time, record key, partition path)
-    * plus the delete's ordering value — the delete-visibility contract a
-    * per-commit micro-batch consumer needs (a delete-only commit
-    * otherwise surfaces NO rows and downstream latest-wins state keeps
-    * the deleted keys forever). Only keys with no surviving in-range row
-    * qualify: a later in-range upsert re-inserts the key, so no
-    * tombstone.
+  /** Tombstone rows for `stream.emit.deletes` — shared synthesis in
+    * [[SliceMergeState.tombstoneRows]].
     */
-  private def tombstoneIter(alive: collection.Set[String]): Iterator[InternalRow] = {
-    // the partition-path column can be projection-pruned from the
-    // widened schema — populate it only when present
-    lazy val partIdx = widened.fieldNames.indexOf("_hoodie_partition_path") match {
-      case -1 => None
-      case i => Some(i)
-    }
-    ms.deletes.iterator.collect { case (key, info) if !alive.contains(key) =>
-      val vals = new Array[Any](widened.fields.length)
-      vals(ms.keyIdx) = UTF8String.fromString(key)
-      vals(commitIdx) = info.commitOrd
-      partIdx.foreach(i => vals(i) = UTF8String.fromString(slice.partitionPath))
-      ms.ordIdx.foreach(i => vals(i) = info.eventOrd)
-      new GenericInternalRow(vals)
-    }
-  }
+  private def tombstoneIter(alive: collection.Set[String]): Iterator[InternalRow] =
+    ms.tombstoneRows(alive)
 
   // ---- PartitionReader contract ------------------------------------------
 
@@ -563,6 +551,49 @@ private[sources] final class SliceMergeState(
 
   def deleteWins(row: InternalRow): Boolean =
     deletes.get(keyOf(row)).exists(_.winsOver(orderingOf(row), commitOf(row)))
+
+  /** Tombstone rows for `stream.emit.deletes` (shared by the row and
+    * columnar merge readers): data columns null, meta columns carrying
+    * (delete commit time, record key, partition path) plus the delete's
+    * ordering value — the delete-visibility contract a per-commit
+    * micro-batch consumer needs (a delete-only commit otherwise
+    * surfaces NO rows and downstream latest-wins state keeps the
+    * deleted keys forever). Only keys with no surviving in-range row
+    * qualify: a later in-range upsert re-inserts the key, so no
+    * tombstone.
+    */
+  def tombstoneRows(alive: collection.Set[String]): Iterator[InternalRow] = {
+    // the partition-path column can be projection-pruned from the
+    // widened schema — populate it only when present
+    lazy val partIdx = widened.fieldNames.indexOf("_hoodie_partition_path") match {
+      case -1 => None
+      case i => Some(i)
+    }
+    deletes.iterator.collect { case (key, info) if !alive.contains(key) =>
+      val vals = new Array[Any](widened.fields.length)
+      vals(keyIdx) = UTF8String.fromString(key)
+      vals(commitIdx) = info.commitOrd
+      partIdx.foreach(i => vals(i) = UTF8String.fromString(slice.partitionPath))
+      ordIdx.foreach(i => vals(i) = info.eventOrd)
+      new GenericInternalRow(vals)
+    }
+  }
+
+  /** The `(start, end]` commit-range predicate the ROW path applies to
+    * every merged row post-merge ([[GraftPartitionReader]]'s
+    * commitRangeFilter) — exposed so the columnar merge applies the
+    * IDENTICAL rule to its base selections, overlay rows, and
+    * tombstones. Vacuous without a start (snapshot / time travel: range
+    * bounds live in the log decode's InstantRange instead).
+    */
+  private lazy val rangeStartU = commitStart.map(UTF8String.fromString).orNull
+  private lazy val rangeEndU = endTs.map(UTF8String.fromString).orNull
+
+  def rangeOk(row: InternalRow): Boolean =
+    rangeStartU == null || (!row.isNullAt(commitIdx) && {
+      val c = row.getUTF8String(commitIdx)
+      c.compareTo(rangeStartU) > 0 && (rangeEndU == null || c.compareTo(rangeEndU) <= 0)
+    })
 }
 
 /** COLUMNAR MOR merge for snapshot scans (D3/D4, the Spark analog of the
@@ -600,7 +631,13 @@ class GraftColumnarMergeReader(
     partitionSchemaJson: Option[String],
     hiveStyle: Boolean,
     urlEncoded: Boolean,
-    counters: ReaderCounters = new ReaderCounters
+    counters: ReaderCounters = new ReaderCounters,
+    // commit-ranged shapes (batch incremental / streaming micro-batches):
+    // the (start, end] filter applies POST-merge to every surviving row
+    // — base selections, overlay rows, and tombstones — exactly the row
+    // path's commitRangeFilter placement
+    commitStart: Option[String] = None,
+    emitDeletes: Boolean = false
 ) extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
   import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
@@ -613,7 +650,7 @@ class GraftColumnarMergeReader(
   private val identityProjection = outIdx.sameElements(widened.fields.indices)
 
   private val ms = new SliceMergeState(
-    slice, widened, orderingField, mergeStrategy, conf, endTs, None, counters)
+    slice, widened, orderingField, mergeStrategy, conf, endTs, commitStart, counters)
 
   private lazy val baseBatches: Iterator[ColumnarBatch] = slice.baseFile match {
     case None => Iterator.empty // log-only group: everything is overlay
@@ -629,9 +666,15 @@ class GraftColumnarMergeReader(
 
   // keys seen in the base that have a log row; of those, the ones where
   // the log won (emitted in the overlay). Bounded by |logLatest| — only
-  // keys present in the log map are ever added.
+  // keys present in the log map are ever added. aliveDeleteKeys mirrors
+  // the row path's tombstone suppression: a key whose merge WINNER
+  // survived (pre-range-filter, matching mergedIter's keep() placement)
+  // emits no tombstone. Bounded by |deletes|.
   private val consumed = mutable.HashSet.empty[String]
   private val logWon = mutable.HashSet.empty[String]
+  private val aliveDeleteKeys = mutable.HashSet.empty[String]
+  private def keep(key: String): Unit =
+    if (emitDeletes && ms.deletes.contains(key)) aliveDeleteKeys += key
 
   private def project(b: ColumnarBatch): ColumnarBatch =
     if (identityProjection) b
@@ -643,7 +686,9 @@ class GraftColumnarMergeReader(
     * batches return null and are skipped.
     */
   private def mergeSelect(b: ColumnarBatch): ColumnarBatch = {
-    if (ms.logLatest.isEmpty && ms.deletes.isEmpty) return project(b)
+    // fast path: nothing to merge AND no range → the batch passes whole
+    if (ms.logLatest.isEmpty && ms.deletes.isEmpty && commitStart.isEmpty)
+      return project(b)
     val n = b.numRows()
     val sel = new Array[Int](n)
     var m = 0
@@ -653,11 +698,20 @@ class GraftColumnarMergeReader(
       val key = ms.keyOf(row)
       val logRow = if (ms.logLatest.isEmpty) null
         else ms.logLatest.getOrElse(key, null)
+      // winner survival bookkeeping (keep) runs PRE-range-filter, the
+      // row path's mergedIter placement: an out-of-range survivor still
+      // suppresses its key's tombstone
       if (logRow != null) {
         consumed += key
         if (ms.newerThan(logRow, row)) logWon += key // surfaces via overlay
-        else if (!ms.deleteWins(row)) { sel(m) = i; m += 1 }
-      } else if (!ms.deleteWins(row)) { sel(m) = i; m += 1 }
+        else if (!ms.deleteWins(row)) {
+          keep(key)
+          if (ms.rangeOk(row)) { sel(m) = i; m += 1 }
+        }
+      } else if (!ms.deleteWins(row)) {
+        keep(key)
+        if (ms.rangeOk(row)) { sel(m) = i; m += 1 }
+      }
       i += 1
     }
     if (m == n) project(b)
@@ -668,14 +722,23 @@ class GraftColumnarMergeReader(
 
   /** Log rows that survive the merge: winners over their base row plus
     * log-only inserts, minus deleted keys — the exact complement of the
-    * base selection (APPEND_ONLY: every log row verbatim). Consumed only
-    * AFTER the base drains, so `consumed`/`logWon` are complete.
+    * base selection (APPEND_ONLY: every log row verbatim), range-filtered
+    * POST-merge like the base selections; with `emitDeletes`, tombstones
+    * for keys with no surviving row follow (the `++` operand is by-name,
+    * so the alive-key set is complete by the time it is consumed).
+    * Consumed only AFTER the base drains, so `consumed`/`logWon` are
+    * complete.
     */
   private def overlayRows: Iterator[InternalRow] =
-    if (ms.appendOnly) ms.logAll.iterator
-    else ms.logLatest.iterator.collect {
-      case (key, row) if (!consumed.contains(key) || logWon.contains(key)) &&
-          !ms.deleteWins(row) => row
+    if (ms.appendOnly) ms.logAll.iterator.filter(ms.rangeOk)
+    else {
+      val winners = ms.logLatest.iterator.collect {
+        case (key, row) if (!consumed.contains(key) || logWon.contains(key)) &&
+            !ms.deleteWins(row) =>
+          keep(key); row
+      }.filter(ms.rangeOk)
+      if (!emitDeletes) winners
+      else winners ++ ms.tombstoneRows(aliveDeleteKeys).filter(ms.rangeOk)
     }
 
   private val OverlayBatchRows = 4096

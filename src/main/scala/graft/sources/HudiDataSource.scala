@@ -1786,25 +1786,30 @@ class GraftScan(
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
     val columnar =
       candidateColumnar && widenPaths.isEmpty && fmt.supportBatch(spark, widenedEffective)
-    // COLUMNAR MOR merge (D3 upgrade, r12): a SNAPSHOT scan that needs
-    // the merge no longer de-vectorizes the whole read — the base file
-    // keeps Spark's vectorized parquet reader and each batch is
+    // COLUMNAR MOR merge (D3 upgrade, r12): a scan that needs the merge
+    // no longer de-vectorizes the whole read — the base file keeps
+    // Spark's vectorized parquet reader and each batch is
     // merge-SELECTED against the slice's log maps (zero-copy selection
     // view for survivors, small on-heap overlay batches for log winners
     // and inserts — GraftColumnarMergeReader). At 100 TB MOR the base
     // files are ~all the bytes, so keeping them columnar is the
     // dominant throughput lever (the reference merges in Arrow for the
-    // same reason, record_merger.rs:104-186). Snapshot-only: commit
-    // ranges and tombstones (withCommitCol shapes) keep the row path,
-    // as do OVERWRITE-less strategies, meta-field-less tables, and
-    // per-file type widening — fail closed to the proven row merge.
+    // same reason, record_merger.rs:104-186). Covers snapshots AND the
+    // commit-ranged shapes (batch incremental, streaming micro-batches,
+    // emit-deletes tombstones): the (start, end] filter applies
+    // POST-merge inside the reader — SliceMergeState.rangeOk, the exact
+    // rule the row path's commitRangeFilter applies — and tombstones
+    // ride the overlay. Fail closed to the proven row merge for
+    // OVERWRITE-less strategies, meta-field-less tables (the range
+    // filter and merge both need meta columns), and per-file type
+    // widening.
     // NOTE: supportBatch alone is NOT a sufficient gate here — Spark 4's
     // nested-column vectorized reader accepts array/struct/map schemas,
     // but the merge OVERLAY writer materializes log rows into on-heap
     // vectors and covers exactly the atomic types; nested-schema MOR
     // merges stay on the row path (caught by the row-vs-columnar
     // differential on the reference's v6 SampleTable fixture).
-    val columnarMerge = !candidateColumnar && morMergeNeeded && !withCommitCol &&
+    val columnarMerge = !candidateColumnar && morMergeNeeded &&
       hudi.config.recordMergeStrategy != "APPEND_ONLY" &&
       hudi.config.populatesMetaFields && widenPaths.isEmpty &&
       widenedEffective.fields.forall(f => GraftScan.overlayWritable(f.dataType)) &&

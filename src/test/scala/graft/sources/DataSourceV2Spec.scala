@@ -283,12 +283,13 @@ class DataSourceV2Spec extends SparkTestBase {
       .select("_hoodie_record_key", "rider", "fare")
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sorted
     assert(snapRows.length == 6 && snapRows.map(_._1).distinct.length == 6)
-    // a commit-ranged MOR read keeps the row-based merge (no batch scan)
+    // commit-ranged MOR reads merge columnar too (r12 second pass): the
+    // (start, end] filter applies post-merge inside the reader
     val inc = spark.read.format("hudi-graft")
       .option("query.type", "incremental")
       .load(morV8.get).select("rider", "fare")
-    assert(!inc.queryExecution.executedPlan.toString().contains("ColumnarToRow"),
-      "commit-ranged MOR reads must stay on the row merge path")
+    assert(inc.queryExecution.executedPlan.toString().contains("ColumnarToRow"),
+      "commit-ranged MOR reads should ride the columnar merge")
   }
 
   test("columnar MOR merge equals the row merge row-for-row on every fixture") {
@@ -314,13 +315,20 @@ class DataSourceV2Spec extends SparkTestBase {
         case b: Array[Byte] => java.util.Arrays.toString(b)
         case x => String.valueOf(x)
       }.mkString("|")
-    for (p <- paths) {
-      val columnar = load(p).collect().map(canon).sorted.toSeq
+    // snapshot + full-history incremental + tombstone-emitting
+    // incremental: all three merge shapes, both executions
+    def reads(p: String): Seq[org.apache.spark.sql.DataFrame] = Seq(
+      load(p),
+      spark.read.format("hudi-graft").option("query.type", "incremental").load(p),
+      spark.read.format("hudi-graft").option("query.type", "incremental")
+        .option("stream.emit.deletes", "true").load(p))
+    for (p <- paths; (df, shape) <- reads(p).zipWithIndex) {
+      val columnar = df.collect().map(canon).sorted.toSeq
       spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
       try {
-        val viaRow = load(p).collect().map(canon).sorted.toSeq
-        assert(columnar == viaRow, s"row/columnar merge diverge on $p")
-        assert(columnar.nonEmpty, s"vacuous differential on $p")
+        val viaRow = reads(p)(shape).collect().map(canon).sorted.toSeq
+        assert(columnar == viaRow, s"row/columnar merge diverge on $p shape $shape")
+        assert(columnar.nonEmpty, s"vacuous differential on $p shape $shape")
       } finally spark.conf.unset("spark.sql.parquet.enableVectorizedReader")
     }
   }
