@@ -454,7 +454,45 @@ object PipelineOps {
       |  ROUND(tw * nmix / chars, 6) AS sample_rate
       |FROM m ORDER BY source""".stripMargin
 
+  // --- Deterministic per-epoch shuffle sharding ---------------------------
+  // The training-loader prep step: every epoch re-shuffles the corpus into
+  // S shard files, each internally ordered — both the assignment and the
+  // order must be REPRODUCIBLE (resume a crashed epoch, re-generate shard
+  // k alone) and epoch-dependent (hash of doc#epoch, never a stateful
+  // RNG). Scale shape: shard/order keys are pure projections; the one
+  // window partitions by (epoch, shard) — corpus/S rows per partition,
+  // never the single-task global sort a naive ROW_NUMBER() OVER (ORDER BY
+  // hash) would be; the per-shard rollup is a combinable aggregate whose
+  // order digest (bit_xor of doc:pos hashes, O(1) state) pins the exact
+  // intra-shard sequence cross-engine without materializing it.
+  private def epochShuffleSql(spark: Boolean): String = {
+    val st = CrossEngine.strType(spark)
+    val epochs =
+      if (spark) "SELECT explode(sequence(0, 2)) AS epoch"
+      else "SELECT UNNEST(range(0, 3)) AS epoch"
+    val key = s"CAST(doc_id AS $st) || '#' || CAST(epoch AS $st)"
+    val shard = s"${CrossEngine.hexDigest(spark, key, 2, "INT")} % 64"
+    val ord = CrossEngine.hash60(spark, key)
+    val posDigest = CrossEngine.hash60(spark,
+      s"CAST(doc_id AS $st) || ':' || CAST(pos AS $st)")
+    s"""WITH e AS ($epochs),
+       |a AS (
+       |  SELECT e.epoch, d.doc_id, $shard AS shard, $ord AS ok
+       |  FROM documents d CROSS JOIN e),
+       |p AS (
+       |  SELECT epoch, doc_id, shard,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY ok, doc_id) AS pos
+       |  FROM a)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS INT) AS shard,
+       |  COUNT(1) AS n_docs,
+       |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+       |  bit_xor($posDigest) AS order_digest
+       |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+  }
+
   private val qs: Map[String, QueryDef] = Map(
+    "pipeline_epoch_shuffle" -> QueryDef(
+      (s, d) => sq(s, d, epochShuffleSql(spark = true)), epochShuffleSql(spark = false)),
     "pipeline_mixture_weights" -> QueryDef(
       (s, d) => sq(s, d, mixtureSql), mixtureSql),
     "events_json_extract" -> QueryDef(jsonExtractImpl _, jsonExtractOracle),
