@@ -154,8 +154,12 @@ object Bench {
         java.nio.file.Files.isDirectory(p.resolve("src/main/scala/graft")))
       .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
     val fullPath = repoRoot.resolve("BENCH_FULL.json")
-    try java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
-    catch { case e: java.io.IOException => System.err.println(s"[bench] full report write failed: $e") }
+    // restricted dev runs (SPARK_GRAFT_ONLY) must not clobber the last
+    // FULL suite report — the committed file is the round's audit trail
+    if (only.isEmpty)
+      try java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
+      catch { case e: java.io.IOException => System.err.println(s"[bench] full report write failed: $e") }
+    else System.err.println(s"[bench] SPARK_GRAFT_ONLY set - BENCH_FULL.json left untouched")
     // Stdout gets ONE compact line that FITS the tail capture and parses:
     // spec-shaped (metric/value/unit/queries/sf), with "queries" holding
     // the slowest entries at ms precision — the ones a plan audit reads —

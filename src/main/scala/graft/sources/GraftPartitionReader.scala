@@ -614,10 +614,14 @@ private[sources] final class SliceMergeState(
   * [[SliceMergeState.newerThan]], delete visibility via
   * [[SliceMergeState.deleteWins]] applied to the winner, log-only
   * survivors appended; only row ORDER differs (winners surface in the
-  * overlay instead of in base position), which a snapshot scan does not
-  * guarantee anyway. Snapshot-only by construction: no commit-range
-  * filter, no tombstones (both are withCommitCol shapes routed to the
-  * row path).
+  * overlay instead of in base position), which no covered shape
+  * guarantees. Commit-RANGED shapes (batch incremental, streaming
+  * micro-batches) ride the same reader: the `(start, end]` filter
+  * applies POST-merge to base selections, overlay rows, and — under
+  * `emitDeletes` — the tombstones appended after the overlay winners
+  * ([[SliceMergeState.rangeOk]], the row path's commitRangeFilter rule
+  * and placement; survival bookkeeping stays PRE-filter so an
+  * out-of-range survivor still suppresses its tombstone).
   */
 class GraftColumnarMergeReader(
     slice: graft.fs.FileSlice,
@@ -693,7 +697,15 @@ class GraftColumnarMergeReader(
     val sel = new Array[Int](n)
     var m = 0
     var i = 0
-    while (i < n) {
+    if (ms.logLatest.isEmpty && ms.deletes.isEmpty) {
+      // range-only selection (a ranged chunk whose slice's bounded log
+      // decode came back empty): no merge bookkeeping, no key
+      // materialization — just the commit-column predicate per row
+      while (i < n) {
+        if (ms.rangeOk(b.getRow(i))) { sel(m) = i; m += 1 }
+        i += 1
+      }
+    } else while (i < n) {
       val row = b.getRow(i) // reused view; values read immediately
       val key = ms.keyOf(row)
       val logRow = if (ms.logLatest.isEmpty) null

@@ -979,6 +979,11 @@ object GraftScan {
     * sys.props for the regime-differential tests (the fallback branch
     * must produce the same rows as the indexed branch).
     */
+  def SecondaryIndexMaxValues: Int =
+    sys.props.get("graft.secondary.index.max.values").flatMap(_.toIntOption).getOrElse(32)
+  def SecondaryIndexMaxKeys: Int =
+    sys.props.get("graft.secondary.index.max.keys").flatMap(_.toIntOption).getOrElse(100000)
+
   /** Types the columnar-merge OVERLAY writer can materialize into
     * on-heap vectors — must match GraftColumnarMergeReader.writeValue's
     * cases exactly. Spark's own supportBatch is WIDER (the nested-column
@@ -995,11 +1000,6 @@ object GraftScan {
       case _ => false
     }
   }
-
-  def SecondaryIndexMaxValues: Int =
-    sys.props.get("graft.secondary.index.max.values").flatMap(_.toIntOption).getOrElse(32)
-  def SecondaryIndexMaxKeys: Int =
-    sys.props.get("graft.secondary.index.max.keys").flatMap(_.toIntOption).getOrElse(100000)
 
   /** Secondary-index planning covers exactly the types
     * [[graft.table.SecondaryIndex.renderLiteral]] canonicalizes

@@ -454,10 +454,14 @@ object SecondaryIndex {
             // proven family: any literal probes
             case (_, r) if verdict == JavaDoubleProven => r
             // plain-region agreement only: the literal must stay inside
-            // the envelope the ".0" witnesses actually proved — plain
-            // form (no exponent) and digit-minimal (see
-            // isShortestPlainDouble); anything else fails open
-            case (d, r) if !r.contains("E") && isShortestPlainDouble(d, r) => r
+            // the envelope the ".0" witnesses actually proved — FINITE
+            // (NaN/Infinity spellings are family-specific: Python stores
+            // "nan"/"inf" where Java stores "NaN"/"Infinity", and neither
+            // contains an 'E' to trip the exponent refusal), plain form
+            // (no exponent), and digit-minimal (isShortestPlainDouble);
+            // anything else fails open
+            case (d, r) if java.lang.Double.isFinite(d) && !r.contains("E") &&
+                isShortestPlainDouble(d, r) => r
           }
         }
       case TimestampType =>

@@ -167,6 +167,15 @@ class SecondaryIndexSpec extends SparkTestBase {
       doubleRendering = Some(SecondaryIndex.JavaDoublePlain)).isEmpty)
     assert(renderLiteral(DoubleType, "1e8", Some(Double.box(1e8)),
       doubleRendering = Some(SecondaryIndex.JavaDoubleProven)) == Some("1.0E8"))
+    // non-finite spellings are family-specific (Python stores "nan"/
+    // "inf") and carry no 'E' to trip the exponent refusal — the plain
+    // envelope must refuse them; the proven family probes Java's forms
+    assert(renderLiteral(DoubleType, "NaN", Some(Double.box(Double.NaN)),
+      doubleRendering = Some(SecondaryIndex.JavaDoublePlain)).isEmpty)
+    assert(renderLiteral(DoubleType, "Infinity", Some(Double.box(Double.PositiveInfinity)),
+      doubleRendering = Some(SecondaryIndex.JavaDoublePlain)).isEmpty)
+    assert(renderLiteral(DoubleType, "NaN", Some(Double.box(Double.NaN)),
+      doubleRendering = Some(SecondaryIndex.JavaDoubleProven)) == Some("NaN"))
     // IEEE signed zero: both spellings probe whichever one renders
     assert(SecondaryIndex.probeSpellings(DoubleType, "0.0").toSet == Set("0.0", "-0.0"))
     assert(SecondaryIndex.probeSpellings(DoubleType, "-0.0").toSet == Set("0.0", "-0.0"))
