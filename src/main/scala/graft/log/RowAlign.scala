@@ -30,19 +30,66 @@ object RowAlign {
     case (other, _) => other
   }
 
-  /** Avro record → Row in `target` field order. */
+  /** Recursively align a decoded value to `target`, mapping nested
+    * STRUCT fields BY NAME via the source type. This exists because
+    * DSv2 nested-schema pruning hands the merge readers struct types
+    * that are SUBSETS of the writer's (`struct<field1>` of a 3-field
+    * struct, a 1-field array element of a 2-field one), and Spark's
+    * Row→Catalyst StructConverter walks the VALUE's arity over the
+    * TARGET's converter array — an unaligned wider nested row overruns
+    * it with an ArrayIndexOutOfBoundsException mid-merge. Identical
+    * types short-circuit to the flat coercion (the common unpruned
+    * case pays one equality check, no deep walk).
+    */
+  def alignValue(v: Any, src: DataType, target: DataType): Any = {
+    if (src == target) return coerce(v, target)
+    (v, src, target) match {
+      case (null, _, _) => null
+      case (r: Row, s: StructType, t: StructType) =>
+        val idx = s.fieldNames.zipWithIndex.toMap
+        Row.fromSeq(t.fields.map { tf =>
+          idx.get(tf.name)
+            .map(i => alignValue(r.get(i), s.fields(i).dataType, tf.dataType))
+            .orNull
+        }.toIndexedSeq)
+      case (seq: scala.collection.Seq[_], s: ArrayType, t: ArrayType) =>
+        seq.map(alignValue(_, s.elementType, t.elementType))
+      case (m: scala.collection.Map[_, _], s: MapType, t: MapType) =>
+        m.map { case (k, vv) =>
+          alignValue(k, s.keyType, t.keyType) -> alignValue(vv, s.valueType, t.valueType)
+        }
+      case (other, _, _) => coerce(other, target)
+    }
+  }
+
+  /** Avro record → Row in `target` field order (nested fields aligned
+    * by name — see [[alignValue]]).
+    */
   def fromAvro(rec: org.apache.avro.generic.GenericRecord, avro: AvroSchema, target: StructType): Row =
     Row.fromSeq(target.fields.map { f =>
       val af = avro.getField(f.name)
       if (af == null) null
-      else coerce(AvroConvert.toSparkValue(rec.get(af.pos()), af.schema()), f.dataType)
+      else alignValue(AvroConvert.toSparkValue(rec.get(af.pos()), af.schema()),
+        AvroConvert.toSqlType(af.schema()), f.dataType)
     }.toIndexedSeq)
 
+  /** Reusable external-Row aligner for one (from, target) pair: the
+    * field mapping resolves once, each row pays only the per-field
+    * align (nested fields by name — see [[alignValue]]).
+    */
+  def fromRowAligner(from: StructType, target: StructType): Row => Row = {
+    val fromIndex = from.fieldNames.zipWithIndex.toMap
+    val plan: Array[Option[(Int, DataType)]] =
+      target.fields.map(f => fromIndex.get(f.name).map(i => (i, from.fields(i).dataType)))
+    src => Row.fromSeq(target.fields.indices.map { j =>
+      plan(j).map { case (i, st) => alignValue(src.get(i), st, target.fields(j).dataType) }
+        .orNull
+    })
+  }
+
   /** External Row (with `from` schema) → Row in `target` field order. */
-  def fromRow(src: Row, fromIndex: Map[String, Int], target: StructType): Row =
-    Row.fromSeq(target.fields.map { f =>
-      fromIndex.get(f.name).map(i => coerce(src.get(i), f.dataType)).orNull
-    }.toIndexedSeq)
+  def fromRow(src: Row, from: StructType, target: StructType): Row =
+    fromRowAligner(from, target)(src)
 
   /** All data rows of a block, aligned to `target`. */
   def blockRows(b: LogBlock, target: StructType): Iterator[Row] = b.blockType match {
@@ -51,8 +98,8 @@ object RowAlign {
       b.dataRecords.iterator.map(fromAvro(_, avro, target))
     case LogFormat.ParquetDataBlock =>
       val (schema, rows) = ParquetBlock.decode(b.rawContent)
-      val idx = schema.fieldNames.zipWithIndex.toMap
-      rows.iterator.map(fromRow(_, idx, target))
+      val align = fromRowAligner(schema, target)
+      rows.iterator.map(align)
     case _ => Iterator.empty
   }
 }

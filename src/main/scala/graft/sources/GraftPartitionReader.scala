@@ -352,7 +352,8 @@ class GraftPartitionReader(
   // ---- merge machinery (shared with the columnar merge reader) -----------
 
   private lazy val ms = new SliceMergeState(
-    slice, widened, orderingField, mergeStrategy, conf, endTs, commitStart, counters)
+    slice, widened, orderingField, mergeStrategy, conf, endTs, commitStart, counters,
+    partitionSchemaJson, hiveStyle, urlEncoded)
 
   private lazy val commitIdx = widened.fieldIndex("_hoodie_commit_time")
 
@@ -423,7 +424,31 @@ private[sources] final class SliceMergeState(
     conf: SerializableConf,
     endTs: Option[String],
     commitStart: Option[String],
-    counters: ReaderCounters) {
+    counters: ReaderCounters,
+    // P6 for LOG records: dropped partition columns are absent from the
+    // writer schema too, so the decode re-injects the slice's parsed
+    // typed values (the parquet delegate does the same for base rows
+    // via partitionValues; the DataFrame-level path's logPartValues is
+    // the same contract)
+    partitionSchemaJson: Option[String] = None,
+    hiveStyle: Boolean = false,
+    urlEncoded: Boolean = false) {
+
+  /** (widened index, Catalyst value) pairs to overwrite on every decoded
+    * log row — empty unless the table drops partition columns from files.
+    */
+  private lazy val partInject: Array[(Int, Any)] = partitionSchemaJson match {
+    case None => Array.empty
+    case Some(json) =>
+      val ps = DataType.fromJson(json).asInstanceOf[StructType]
+      val values = PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded)
+      ps.fields.zipWithIndex.flatMap { case (f, i) =>
+        widened.fieldNames.indexOf(f.name) match {
+          case -1 => None
+          case wi => Some(wi -> (if (values.isNullAt(i)) null else values.get(i, f.dataType)))
+        }
+      }
+  }
 
   // lazy: APPEND_ONLY tables may not populate meta fields, and their
   // decode path never touches the key/seqno columns
@@ -509,6 +534,10 @@ private[sources] final class SliceMergeState(
           b.blockType == LogFormat.CdcDataBlock) {
         for (ext <- graft.log.RowAlign.blockRows(b, widened)) {
           val row = toCatalyst(ext).asInstanceOf[InternalRow]
+          if (partInject.nonEmpty) {
+            val g = row.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+            partInject.foreach { case (i, v) => g.update(i, v) }
+          }
           counters.logRecordsBuffered += 1
           if (appendOnly) all += row
           else {
@@ -654,7 +683,8 @@ class GraftColumnarMergeReader(
   private val identityProjection = outIdx.sameElements(widened.fields.indices)
 
   private val ms = new SliceMergeState(
-    slice, widened, orderingField, mergeStrategy, conf, endTs, commitStart, counters)
+    slice, widened, orderingField, mergeStrategy, conf, endTs, commitStart, counters,
+    partitionSchemaJson, hiveStyle, urlEncoded)
 
   private lazy val baseBatches: Iterator[ColumnarBatch] = slice.baseFile match {
     case None => Iterator.empty // log-only group: everything is overlay
