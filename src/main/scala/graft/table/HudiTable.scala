@@ -476,10 +476,23 @@ final class HudiTable(
       case None => LogScan.emptyDf(spark, tableSchema)
       case Some(e) =>
         val s = start.map(Timestamps.normalize(_, config.timelineTimezone))
-        // partition pruning applies to incremental too — only stats
-        // pruning is excluded (read_options.rs:75-80)
-        val slices = fsView.slicesBetween(s, e, prunerFor(partitionFilters))
-        readSlices(slices, InstantRange(s, Some(e)), commitRange = Some((s, e)))
+        // UNFILTERED incremental reads delegate to the DSv2 relation
+        // like snapshot() (r12): identical (start, end] contract —
+        // range-bounded log decode + per-row commit filter — through
+        // the per-slice merge (columnar-eligible) plus the DSv2-only
+        // planning tiers (stats-contained proofs, index-tier
+        // restriction), instead of the DataFrame union+window merge.
+        if (partitionFilters.isEmpty) {
+          var r = spark.read.format("hudi-graft").option("query.type", "incremental")
+          s.foreach(ts => r = r.option("start.timestamp", ts))
+          if (end.isDefined) r = r.option("end.timestamp", e)
+          r.load(basePath)
+        } else {
+          // partition pruning applies to incremental too — only stats
+          // pruning is excluded (read_options.rs:75-80)
+          val slices = fsView.slicesBetween(s, e, prunerFor(partitionFilters))
+          readSlices(slices, InstantRange(s, Some(e)), commitRange = Some((s, e)))
+        }
     }
   }
 
