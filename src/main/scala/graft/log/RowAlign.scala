@@ -62,16 +62,29 @@ object RowAlign {
     }
   }
 
+  /** Reusable Avro-record aligner for one (avro, target) pair: field
+    * positions AND the source Spark types (a full recursive schema
+    * conversion) resolve once per block, each record pays only the
+    * per-field align (see [[alignValue]]).
+    */
+  def fromAvroAligner(
+      avro: AvroSchema, target: StructType): org.apache.avro.generic.GenericRecord => Row = {
+    val plan: Array[Option[(Int, AvroSchema, DataType, DataType)]] =
+      target.fields.map { f =>
+        Option(avro.getField(f.name)).map(af =>
+          (af.pos(), af.schema(), AvroConvert.toSqlType(af.schema()), f.dataType))
+      }
+    rec => Row.fromSeq(plan.map {
+      case Some((pos, sch, st, tt)) => alignValue(AvroConvert.toSparkValue(rec.get(pos), sch), st, tt)
+      case None => null
+    }.toIndexedSeq)
+  }
+
   /** Avro record → Row in `target` field order (nested fields aligned
     * by name — see [[alignValue]]).
     */
   def fromAvro(rec: org.apache.avro.generic.GenericRecord, avro: AvroSchema, target: StructType): Row =
-    Row.fromSeq(target.fields.map { f =>
-      val af = avro.getField(f.name)
-      if (af == null) null
-      else alignValue(AvroConvert.toSparkValue(rec.get(af.pos()), af.schema()),
-        AvroConvert.toSqlType(af.schema()), f.dataType)
-    }.toIndexedSeq)
+    fromAvroAligner(avro, target)(rec)
 
   /** Reusable external-Row aligner for one (from, target) pair: the
     * field mapping resolves once, each row pays only the per-field
@@ -94,8 +107,8 @@ object RowAlign {
   /** All data rows of a block, aligned to `target`. */
   def blockRows(b: LogBlock, target: StructType): Iterator[Row] = b.blockType match {
     case LogFormat.AvroDataBlock | LogFormat.CdcDataBlock =>
-      val avro = b.dataSchema.get
-      b.dataRecords.iterator.map(fromAvro(_, avro, target))
+      val align = fromAvroAligner(b.dataSchema.get, target)
+      b.dataRecords.iterator.map(align)
     case LogFormat.ParquetDataBlock =>
       val (schema, rows) = ParquetBlock.decode(b.rawContent)
       val align = fromRowAligner(schema, target)

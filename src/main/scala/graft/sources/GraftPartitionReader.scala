@@ -39,7 +39,8 @@ class GraftReaderFactory(
     limit: Option[Int] = None,
     rangeFilterColumnar: Boolean = false,
     emitDeletes: Boolean = false,
-    mergeColumnar: Boolean = false
+    mergeColumnar: Boolean = false,
+    nullSentinels: Seq[String] = Nil
 ) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
@@ -51,7 +52,7 @@ class GraftReaderFactory(
       new GraftPartitionReader(sl, readFn, widenedJson, requiredJson,
         orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs), p.commitStart,
         partitionSchemaJson, hiveStyle, urlEncoded, populatesMetaFields, counters,
-        emitDeletes)),
+        emitDeletes, nullSentinels)),
       () => counters.snapshot)
     limit.fold(chained: PartitionReader[InternalRow])(new LimitedPartitionReader(chained, _))
   }
@@ -70,7 +71,8 @@ class GraftReaderFactory(
         new GraftColumnarMergeReader(sl, readFn, widenedJson, requiredJson,
           orderingField, mergeStrategy, conf, p.commitEnd.orElse(endTs),
           partitionSchemaJson, hiveStyle, urlEncoded, counters,
-          commitStart = p.commitStart, emitDeletes = emitDeletes)
+          commitStart = p.commitStart, emitDeletes = emitDeletes,
+          nullSentinels = nullSentinels)
       else {
         // under a ranged merge scan (mergeColumnar + a start bound) the
         // chunk's LOG-FREE slices need the same exact commit-range
@@ -82,7 +84,7 @@ class GraftReaderFactory(
           partitionSchemaJson, hiveStyle, urlEncoded,
           commitStart = if (ranged) p.commitStart else None,
           commitEnd = if (ranged) p.commitEnd.orElse(endTs) else None,
-          counters = counters)
+          counters = counters, nullSentinels = nullSentinels)
       }),
       () => counters.snapshot)
   }
@@ -147,7 +149,14 @@ private[sources] object PartitionValues {
       slice: graft.fs.FileSlice,
       partitionSchemaJson: Option[String],
       hiveStyle: Boolean,
-      urlEncoded: Boolean): InternalRow = partitionSchemaJson match {
+      urlEncoded: Boolean,
+      // version-gated null-sentinel renderings (HoodieConfig): a
+      // STRING-typed dropped partition field's sentinel segment stands
+      // for NULL, not its own rendering — without this filter the
+      // literal '__HIVE_DEFAULT_PARTITION__' would surface as a row
+      // value (typed fields were already safe: the sentinel fails their
+      // strict parse and injects NULL via the orNull below)
+      nullSentinels: Seq[String] = Nil): InternalRow = partitionSchemaJson match {
     case None => InternalRow.empty
     case Some(json) =>
       val ps = DataType.fromJson(json).asInstanceOf[StructType]
@@ -160,6 +169,9 @@ private[sources] object PartitionValues {
       })).toSeq
       val parsed = new graft.fs.PartitionPruner(fieldTypes, hiveStyle, urlEncoded, Nil)
         .parseSegmentsLenient(slice.partitionPath).getOrElse(Map.empty)
+        .filterNot { case (_, v) =>
+          v.isInstanceOf[String] && nullSentinels.contains(v.asInstanceOf[String])
+        }
       val vals = ps.fields.map { f =>
         val ext = parsed.get(f.name).map {
           case d: java.time.LocalDate => java.sql.Date.valueOf(d)
@@ -191,7 +203,8 @@ class GraftColumnarReader(
     urlEncoded: Boolean,
     commitStart: Option[String] = None,
     commitEnd: Option[String] = None,
-    counters: ReaderCounters = new ReaderCounters
+    counters: ReaderCounters = new ReaderCounters,
+    nullSentinels: Seq[String] = Nil
 ) extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
@@ -217,7 +230,7 @@ class GraftColumnarReader(
       throw new IllegalStateException(s"columnar reader on a base-less slice: $slice"))
     counters.baseFilesRead += 1
     val pf = PartitionedFile(
-      PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded),
+      PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded, nullSentinels),
       SparkPath.fromPathString(bf.path),
       0L,
       bf.size)
@@ -286,7 +299,8 @@ class GraftPartitionReader(
     urlEncoded: Boolean = false,
     populatesMetaFields: Boolean = true,
     counters: ReaderCounters = new ReaderCounters,
-    emitDeletes: Boolean = false
+    emitDeletes: Boolean = false,
+    nullSentinels: Seq[String] = Nil
 ) extends PartitionReader[InternalRow] {
 
   counters.slicesRead += 1
@@ -298,7 +312,7 @@ class GraftPartitionReader(
 
   /** Parsed typed partition values for dropped partition columns (P6). */
   private lazy val partitionValuesRow: InternalRow =
-    PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded)
+    PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded, nullSentinels)
 
   private def baseIter: Iterator[InternalRow] = slice.baseFile match {
     case None => Iterator.empty // log-only slice: rows come from the merge map
@@ -353,7 +367,7 @@ class GraftPartitionReader(
 
   private lazy val ms = new SliceMergeState(
     slice, widened, orderingField, mergeStrategy, conf, endTs, commitStart, counters,
-    partitionSchemaJson, hiveStyle, urlEncoded)
+    partitionSchemaJson, hiveStyle, urlEncoded, nullSentinels)
 
   private lazy val commitIdx = widened.fieldIndex("_hoodie_commit_time")
 
@@ -432,7 +446,8 @@ private[sources] final class SliceMergeState(
     // the same contract)
     partitionSchemaJson: Option[String] = None,
     hiveStyle: Boolean = false,
-    urlEncoded: Boolean = false) {
+    urlEncoded: Boolean = false,
+    nullSentinels: Seq[String] = Nil) {
 
   /** (widened index, Catalyst value) pairs to overwrite on every decoded
     * log row — empty unless the table drops partition columns from files.
@@ -441,7 +456,7 @@ private[sources] final class SliceMergeState(
     case None => Array.empty
     case Some(json) =>
       val ps = DataType.fromJson(json).asInstanceOf[StructType]
-      val values = PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded)
+      val values = PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded, nullSentinels)
       ps.fields.zipWithIndex.flatMap { case (f, i) =>
         widened.fieldNames.indexOf(f.name) match {
           case -1 => None
@@ -670,7 +685,8 @@ class GraftColumnarMergeReader(
     // — base selections, overlay rows, and tombstones — exactly the row
     // path's commitRangeFilter placement
     commitStart: Option[String] = None,
-    emitDeletes: Boolean = false
+    emitDeletes: Boolean = false,
+    nullSentinels: Seq[String] = Nil
 ) extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
   import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
@@ -684,14 +700,14 @@ class GraftColumnarMergeReader(
 
   private val ms = new SliceMergeState(
     slice, widened, orderingField, mergeStrategy, conf, endTs, commitStart, counters,
-    partitionSchemaJson, hiveStyle, urlEncoded)
+    partitionSchemaJson, hiveStyle, urlEncoded, nullSentinels)
 
   private lazy val baseBatches: Iterator[ColumnarBatch] = slice.baseFile match {
     case None => Iterator.empty // log-only group: everything is overlay
     case Some(bf) =>
       counters.baseFilesRead += 1
       val pf = PartitionedFile(
-        PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded),
+        PartitionValues.forSlice(slice, partitionSchemaJson, hiveStyle, urlEncoded, nullSentinels),
         SparkPath.fromPathString(bf.path),
         0L,
         bf.size)

@@ -1906,7 +1906,12 @@ class GraftScan(
       // read must ignore the option, or every historically-deleted key
       // would surface as an unbounded null-data row.
       emitDeletes = emitDeletes && withCommitCol,
-      mergeColumnar = columnarMerge)
+      mergeColumnar = columnarMerge,
+      // version-gated sentinel renderings for P6 value injection
+      // (string-typed dropped partition fields must surface NULL for a
+      // sentinel dir, never the literal — the logPartValues contract)
+      nullSentinels = Seq("__HIVE_DEFAULT_PARTITION__", "", "default")
+        .filter(hudi.config.isPartitionNullSentinel))
   }
 
   /** Commit-range parquet predicates for the general columnar incremental

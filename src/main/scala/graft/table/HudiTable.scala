@@ -389,9 +389,16 @@ final class HudiTable(
         // legacy path: PartitionFilter is this API's own pre-parsed
         // form, and mapping it back through Catalyst predicates would
         // re-derive what prunerFor consumes directly.
-        if (partitionFilters.isEmpty) {
-          var r = spark.read.format("hudi-graft")
-          if (asOf.isDefined) r = r.option("as.of.timestamp", end)
+        // readOptions supplement configs Hudi writers do not persist
+        // (timestamp-keygen type, ordering field) — the DSv2 path
+        // rebuilds its table WITHOUT them, so an optioned handle keeps
+        // the legacy path rather than silently dropping semantics.
+        // `as.of.timestamp` is pinned to THIS handle's resolved end
+        // even for latest-reads: the delegated relation re-opens table
+        // state, and without the pin one handle could serve newer data
+        // than its own fileSlicesDf/timelineDf report.
+        if (partitionFilters.isEmpty && readOptions.isEmpty) {
+          var r = spark.read.format("hudi-graft").option("as.of.timestamp", end)
           if (readOptimized) r = r.option("read.optimized", "true")
           r.load(basePath)
         } else {
@@ -482,10 +489,13 @@ final class HudiTable(
         // the per-slice merge (columnar-eligible) plus the DSv2-only
         // planning tiers (stats-contained proofs, index-tier
         // restriction), instead of the DataFrame union+window merge.
-        if (partitionFilters.isEmpty) {
+        // same gates as snapshot(): optioned handles keep the legacy
+        // path; the end pin always rides along (resolved from THIS
+        // handle's timeline), keeping the handle self-consistent
+        if (partitionFilters.isEmpty && readOptions.isEmpty) {
           var r = spark.read.format("hudi-graft").option("query.type", "incremental")
+            .option("end.timestamp", e)
           s.foreach(ts => r = r.option("start.timestamp", ts))
-          if (end.isDefined) r = r.option("end.timestamp", e)
           r.load(basePath)
         } else {
           // partition pruning applies to incremental too — only stats
