@@ -23,9 +23,12 @@ class PartitionAmbiguitySpec extends SparkTestBase {
   private val T1 = "20240101000000000"
 
   /** One-commit hive-style COW over (k string, v long), one file per
-    * given (dirName, kValue, vs) partition; k physically in the files.
+    * given (dirName, kValue, vs) partition; k physically in the files
+    * unless `dropK` (P6: drop.partition.columns=true, the column's
+    * logical type then comes from hoodie.table.create.schema).
     */
-  private def buildTable(name: String, parts: Seq[(String, Any, Seq[Long])]): String = {
+  private def buildTable(
+      name: String, parts: Seq[(String, Any, Seq[Long])], dropK: Boolean = false): String = {
     val base = new Path(s"/root/repo/target/hudi-fixtures/$name")
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
     val marker = new Path(base, "_READY_v1")
@@ -35,6 +38,11 @@ class PartitionAmbiguitySpec extends SparkTestBase {
     def writeText(p: Path, s: String): Unit = {
       val out = fs.create(p, true); out.write(s.getBytes("UTF-8")); out.close()
     }
+    val dataAvro = SparkToAvro.toAvroSchema(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType,
+          nullable = false))), s"${name}_record").toString
     writeText(new Path(base, ".hoodie/hoodie.properties"),
       s"""hoodie.table.name=$name
          |hoodie.table.type=COPY_ON_WRITE
@@ -46,10 +54,16 @@ class PartitionAmbiguitySpec extends SparkTestBase {
          |hoodie.datasource.write.hive_style_partitioning=true
          |hoodie.datasource.write.partitionpath.urlencode=false
          |hoodie.populate.meta.fields=true
-         |""".stripMargin)
+         |""".stripMargin + (if (dropK)
+        s"""hoodie.datasource.write.drop.partition.columns=true
+           |hoodie.table.create.schema=$dataAvro
+           |""".stripMargin else ""))
     import spark.implicits._
     parts.zipWithIndex.foreach { case ((dir, kv, vs), i) =>
       val fname = f"00000000-0000-0000-0000-$i%012d-0_0-0-0_$T1.parquet"
+      val cols = Seq("_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
+        "_hoodie_partition_path", "_hoodie_file_name") ++
+        (if (dropK) Seq("v") else Seq("k", "v"))
       val df: DataFrame = vs.toDF("v")
         .withColumn("_hoodie_commit_time", lit(T1))
         .withColumn("_hoodie_commit_seqno", concat(lit(s"${T1}_0_"), col("v")))
@@ -57,8 +71,7 @@ class PartitionAmbiguitySpec extends SparkTestBase {
         .withColumn("_hoodie_partition_path", lit(dir))
         .withColumn("_hoodie_file_name", lit(fname))
         .withColumn("k", lit(kv).cast("string"))
-        .select("_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
-          "_hoodie_partition_path", "_hoodie_file_name", "k", "v")
+        .select(cols.map(col).toIndexedSeq: _*)
       val tmp = new Path(base, s".tmp_$i")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
@@ -66,11 +79,6 @@ class PartitionAmbiguitySpec extends SparkTestBase {
       fs.rename(part, new Path(new Path(base, dir), fname))
       fs.delete(tmp, true)
     }
-    val dataAvro = SparkToAvro.toAvroSchema(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType,
-          nullable = false))), s"${name}_record").toString
     val esc = dataAvro.replace("\\", "\\\\").replace("\"", "\\\"")
     writeText(new Path(base, s".hoodie/$T1.commit"),
       s"""{"partitionToWriteStats":{},"extraMetadata":{"schema":"$esc"},"compacted":false}""")
@@ -130,5 +138,41 @@ class PartitionAmbiguitySpec extends SparkTestBase {
       s"ambiguous 'default' must reject path-as-value aggregates: ${agg.queryExecution.executedPlan}")
     val r = agg.head
     assert(r.getString(0) == "asia" && r.getString(1) == "asia")
+  }
+
+  test("dropped STRING partition column: sentinel dir injects NULL, not the literal") {
+    // P6 value injection is the only reader that can surface a string
+    // sentinel as data (typed columns fail the strict parse and inject
+    // NULL anyway): without the version-gated filter, every row of the
+    // sentinel partition would claim k='__HIVE_DEFAULT_PARTITION__'
+    val p = buildTable("dropped_sentinel", Seq(
+      ("k=x", "x", Seq(1L, 2L)),
+      ("k=__HIVE_DEFAULT_PARTITION__", null, Seq(3L, 4L))), dropK = true)
+    val byV = spark.read.format("hudi-graft").load(p).select("k", "v").collect()
+      .map(r => r.getLong(1) -> Option(r.getString(0))).toMap
+    assert(byV(1L).contains("x") && byV(2L).contains("x"),
+      s"genuine partition value must re-inject, got $byV")
+    assert(byV(3L).isEmpty && byV(4L).isEmpty,
+      s"sentinel dir must inject NULL for the dropped string column, got $byV")
+    // and the injected NULL is queryable as such
+    val nulls = spark.read.format("hudi-graft").load(p)
+      .filter(col("k").isNull).select("v").collect().map(_.getLong(0)).sorted
+    assert(nulls.sameElements(Array(3L, 4L)), s"IS NULL over injected values, got ${nulls.toSeq}")
+  }
+
+  test("PartitionValues.forSlice drops sentinel renderings only when told to") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val ps = StructType(Seq(StructField("k", StringType)))
+    val slice = graft.fs.FileSlice(
+      "k=__HIVE_DEFAULT_PARTITION__", "fid", T1, None, Vector.empty)
+    val filtered = PartitionValues.forSlice(slice, Some(ps.json),
+      hiveStyle = true, urlEncoded = false,
+      nullSentinels = Seq("__HIVE_DEFAULT_PARTITION__", ""))
+    assert(filtered.isNullAt(0), "sentinel must surface NULL when listed")
+    // an empty sentinel list preserves the literal — the pre-v4 'default'
+    // gating lives in the CALLER's version-gated list, not here
+    val raw = PartitionValues.forSlice(slice, Some(ps.json),
+      hiveStyle = true, urlEncoded = false)
+    assert(raw.getUTF8String(0).toString == "__HIVE_DEFAULT_PARTITION__")
   }
 }
