@@ -171,6 +171,56 @@ object HudiQueries {
         |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0)
         |ORDER BY commit_range, o_orderkey""".stripMargin),
 
+    // --- Inferred CDC (upstream's 'cdc' incremental format): per-commit
+    // (op, ts_ms, before, after) image rows from file-group diffs — the
+    // COW rewrite infers exactly the %7 updates with the ORIGINAL status
+    // as the before image (a wrong before-read placement, e.g. as-of the
+    // commit itself, would hash-fail: before would read 'U' too) ---------
+    "hudi_cdc_updates" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        graft.sources.CdcRead.changes(s, HudiFixtureBuilder.cowPath(d),
+          Some(HudiFixtureBuilder.T1), Some(HudiFixtureBuilder.T2))
+          .select(col("op"), col("ts_ms"),
+            col("before.o_orderkey").as("o_orderkey"),
+            col("before.o_orderstatus").as("before_status"),
+            col("after.o_orderstatus").as("after_status"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT 'u' AS op,
+        |  CAST(epoch_ms(TIMESTAMP '2024-01-02 00:00:00') AS VARCHAR) AS ts_ms,
+        |  o_orderkey, o_orderstatus AS before_status, 'U' AS after_status
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin),
+
+    // --- Inferred CDC across two MOR commits: T2 updates ('u', before =
+    // the ORIGINAL status) then T3 deletes ('d', before = the state AS OF
+    // T2 — so a %7 key deleted at T3 carries 'U' in its before image, the
+    // per-commit chaining the single-range diff would get wrong) ---------
+    "hudi_cdc_mor" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        graft.sources.CdcRead.changes(s, HudiFixtureBuilder.morPath(d),
+          Some(HudiFixtureBuilder.T1), Some(HudiFixtureBuilder.T3))
+          .select(col("op"), col("ts_ms"),
+            col("before.o_orderkey").as("o_orderkey"),
+            col("before.o_orderstatus").as("before_status"),
+            col("after.o_orderstatus").as("after_status"))
+          .orderBy("op", "o_orderkey")
+      },
+      """SELECT op, ts_ms, o_orderkey, before_status, after_status FROM (
+        |  SELECT 'u' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-02 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey, o_orderstatus AS before_status, 'U' AS after_status
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'd' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-03 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS before_status,
+        |    CAST(NULL AS VARCHAR) AS after_status
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |ORDER BY op, o_orderkey""".stripMargin),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(

@@ -603,6 +603,10 @@ object GraftFooterAggScan {
       groupBy: Seq[String] = Nil,
       partitionFilters: Seq[graft.fs.PartitionFilter] = Nil): Option[GraftFooterAggScan] =
     try {
+      // a file-group-restricted read (the inferred-CDC plumbing) plans a
+      // SUBSET of the snapshot's slices; this path plans its own full
+      // slice set and would answer over the whole table — stand down
+      if (options.containsKey("cdc.file.groups")) return None
       val asOf = Option(options.get("as.of.timestamp"))
         .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
       val readOptimized = options.getBoolean("read.optimized", false)
@@ -1129,11 +1133,25 @@ class GraftScan(
     */
   private def pruner: PartitionPruner = hudi.prunerFor(partitionFilters)
 
+  /** Exact file-group restriction (`cdc.file.groups`, comma-joined
+    * fileIds): the inferred-CDC reader plans each per-commit before/after
+    * snapshot over ONLY the commit's touched file groups, so CDC work is
+    * proportional to change volume, never table size. Over-inclusion is
+    * harmless (an untouched group diffs to nothing); the option therefore
+    * restricts, never extends, the plan.
+    */
+  private val cdcGroups: Option[Set[String]] =
+    Option(options.get("cdc.file.groups"))
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+
+  private lazy val slices: Vector[FileSlice] =
+    cdcGroups.fold(slicesUnrestricted)(g => slicesUnrestricted.filter(s => g.contains(s.fileId)))
+
   /** Planned slices: the driver-side fs-view walk (S5), partition-pruned
     * — incremental too (the reference applies partition pruning, just not
     * stats pruning, to incremental reads; read_options.rs:75-80).
     */
-  private lazy val slices: Vector[FileSlice] = {
+  private lazy val slicesUnrestricted: Vector[FileSlice] = {
     if (isIncremental) {
       val endResolved = endTs.orElse(hudi.timeline.latestCommitTimestamp)
       val planned0 = endResolved

@@ -23,17 +23,12 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   *
   *  - a SECOND argument of `'latest_state'` or `'cdc'` is upstream's
   *    required changeType (start/end shift right one slot):
-  *    `latest_state` is the plain incremental feed; `'cdc'` THROWS
-  *    UnsupportedOperationException — upstream's cdc mode returns the
-  *    CDC schema (op/ts_ms/before/after images decoded from writer CDC
-  *    blocks), and this engine's row-feed-plus-tombstones is a
-  *    DIFFERENT shape: silently accepting the keyword would hand a
-  *    verbatim-ported upstream query different columns and semantics
-  *    with no error (the same trap unknown `hudi_query` modes avoid by
-  *    throwing). The delete-visibility use case rides the extended
-  *    form's boolean instead: `hudi_table_changes(path, start, end,
-  *    true)`. Both mode strings still shift start/end right — they are
-  *    unambiguous because neither parses as a commit timestamp;
+  *    `latest_state` is the plain incremental feed; `'cdc'` returns
+  *    upstream's CDC schema — `(op, ts_ms, before, after)` image rows,
+  *    inferred per commit by file-group diffs (see [[CdcRead]]; a range
+  *    containing a non-clustering replacecommit throws rather than emit
+  *    an incomplete feed). Both mode strings shift start/end right —
+  *    they are unambiguous because neither parses as a commit timestamp;
   *  - `start`: exclusive start commit, or `'earliest'` for the full
   *    history (Hudi's sentinel);
   *  - `end` (optional): inclusive end commit, default latest;
@@ -84,11 +79,15 @@ object HudiTableChanges {
     }
     val (start, end, emitDeletes) = mode match {
       case Some("cdc") =>
-        throw new UnsupportedOperationException(
-          s"$name: changeType 'cdc' (upstream's op/ts_ms/before/after CDC schema, decoded " +
-            "from writer CDC blocks) is not implemented; this engine exposes delete " +
-            s"visibility as tombstone rows on the row-feed schema instead — use " +
-            s"$name(path, start[, end], true) or the stream.emit.deletes read option")
+        // upstream's CDC format: (op, ts_ms, before, after) image rows,
+        // inferred per commit by file-group diffs (see [[CdcRead]])
+        require(exprs.length >= 3,
+          s"$name('cdc', ...) requires a start timestamp (Hudi's positional signature)")
+        val cs = stringArg(exprs(2), "start")
+        val ce = if (exprs.length >= 4) Some(stringArg(exprs(3), "end")) else None
+        return CdcRead.changes(SparkSession.active, path,
+          if (cs.equalsIgnoreCase("earliest")) None else Some(cs), ce)
+          .queryExecution.logical
       case Some(m) =>
         require(exprs.length >= 3,
           s"$name('$m', ...) requires a start timestamp (Hudi's positional signature)")

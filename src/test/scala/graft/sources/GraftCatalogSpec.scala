@@ -242,14 +242,17 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(rows(up1) == rows(viaOptions(Some(T1), Some(T2))))
     val up2 = spark.sql(s"SELECT * FROM hudi_table_changes('$path', 'latest_state', 'earliest')")
     assert(rows(up2) == rows(viaOptions(None, None)))
-    // 'cdc' must THROW, not silently serve the row-feed: upstream's cdc
-    // mode returns the op/ts_ms/before/after CDC schema, so accepting
-    // the keyword would hand a ported query different columns/semantics
-    // with no error. Tombstones ride the extended boolean form instead.
-    val errCdc = intercept[Exception] {
-      spark.sql(s"SELECT * FROM hudi_table_changes('$path', 'cdc', '$T2', '$T3')").collect()
-    }
-    assert(errCdc.getMessage.contains("not implemented"), errCdc.getMessage)
+    // 'cdc' serves upstream's (op, ts_ms, before, after) image schema
+    // (r12, inferred per commit — see CdcReadSpec for the semantics);
+    // the delete-only range (T2, T3] must be all-'d' rows whose keys are
+    // exactly the tombstoned ones the boolean form surfaces
+    val cdcDf = spark.sql(s"SELECT * FROM hudi_table_changes('$path', 'cdc', '$T2', '$T3')")
+    assert(cdcDf.columns.toSeq == Seq("op", "ts_ms", "before", "after"), cdcDf.columns.toSeq)
+    val cdcKeys = cdcDf.collect().map { r =>
+      assert(r.getString(0) == "d" && r.isNullAt(3), s"delete-only range: $r")
+      r.getStruct(2).getAs[Long]("o_orderkey").toString
+    }.toSet
+    assert(cdcKeys == rows(sql3).map(_._1) && cdcKeys.nonEmpty)
     val up3 = spark.sql(s"SELECT * FROM hudi_table_changes('$path', '$T2', '$T3', true)")
     assert(rows(up3) == rows(viaOptions(Some(T2), Some(T3), deletes = true)))
     assert(up3.count() > 0, "emit_deletes form must surface tombstones")
