@@ -1,8 +1,9 @@
 package graft.sources
 
-import graft.core.Timestamps
-import graft.table.HudiTable
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.core.{MetaField, Timestamps}
+import graft.core.HoodieInstant
+import graft.table.{HudiTable, LogScan}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 
@@ -30,22 +31,36 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   *  - `ts_ms`: the commit instant as epoch millis (upstream's column), a
   *    STRING like upstream's schema.
   *
-  * Images are structs of the DATA columns (meta columns excluded: the
-  * inference reconstructs record state, and `_hoodie_file_name` etc. of a
-  * before-image would leak physical layout, not data).
+  * The join key is `(_hoodie_record_key, _hoodie_partition_path)`: with a
+  * NON-global index the same record key legally lives in several
+  * partitions, and a commit touching both copies must diff each against
+  * its own partition's before image, never cross-pair them.
+  *
+  * Images are structs of the DATA columns — the exact writer meta columns
+  * ([[MetaField.all]]) excluded, so a user column that merely shares the
+  * prefix (the conventional `_hoodie_is_deleted` soft-delete flag) stays
+  * in the images.
   *
   * Scale shape: each commit plans TWO snapshot reads restricted to its
   * touched file groups (`cdc.file.groups` — slice-level, not partition-
   * level, so IO is proportional to changed groups), joined on the record
   * key (small change sets broadcast under AQE), unioned across the
-  * bounded commit range. Work ∝ change volume × commits, never table size.
+  * bounded commit range. Work ∝ change volume × commits, never table
+  * size. Table-service instants that change no logical rows — pure
+  * clustering, MOR compaction — are skipped outright (their diffs are
+  * provably empty, and a compaction's touched set is every compacted
+  * group: reading it would be table-sized IO for zero rows).
   *
-  * Replace commits refuse loudly: an inferred diff over the NEW groups of
-  * an insert-overwrite would miss the rows it logically deleted (they
-  * lived in the replaced groups), and clustering would surface spurious
-  * inserts — rather than emit a wrong feed, the range must not contain
-  * replacecommits. (Pure-clustering instants whose metadata SAYS so —
-  * operationType cluster — are skipped: they change no logical rows.)
+  * Refusals (loud, never a silently wrong feed):
+  *  - `populate.meta.fields=false` tables: the inference keys and stamps
+  *    on meta columns, which such tables null out;
+  *  - a NON-clustering replacecommit in range (insert-overwrite): the
+  *    diff over its NEW groups would miss the rows it logically deleted
+  *    (they lived in the replaced groups);
+  *  - a first in-range commit whose predecessor has been ARCHIVED off the
+  *    active timeline when older instants exist: its before state is not
+  *    resolvable, so its updates would surface as inserts and its deletes
+  *    vanish — narrow the range instead.
   */
 object CdcRead {
 
@@ -53,31 +68,45 @@ object CdcRead {
   private val OpCol = "op"
   private val TsCol = "ts_ms"
 
+  /** Table-service instants that change no logical rows: pure clustering
+    * replacecommits and MOR compaction commits (both rewrite bytes while
+    * preserving per-record commit stamps — their inferred diff is empty
+    * by construction).
+    */
+  private def isLogicalNoOp(hudi: HudiTable)(i: HoodieInstant): Boolean = {
+    lazy val op = hudi.timeline.commitMetadata(i).path("operationType").asText("")
+    (i.action == "replacecommit" &&
+      (op.equalsIgnoreCase("cluster") || op.equalsIgnoreCase("clustering"))) ||
+      (i.action == "commit" &&
+        (op.equalsIgnoreCase("compact") || op.equalsIgnoreCase("compaction")))
+  }
+
   def changes(
       spark: SparkSession,
       basePath: String,
       start: Option[String],
       end: Option[String]): DataFrame = {
     val hudi = HudiTable(spark, basePath)
+    if (!hudi.config.populatesMetaFields)
+      throw new UnsupportedOperationException(
+        "cdc: inference keys on _hoodie_record_key and stamps on _hoodie_commit_time, " +
+          "which hoodie.populate.meta.fields=false tables null out — a diff would " +
+          "misreport every row; CDC is unavailable on such tables")
     val tz = hudi.config.timelineTimezone
     val s = start.map(Timestamps.normalize(_, tz))
     val e = end.map(Timestamps.normalize(_, tz))
       .orElse(hudi.timeline.latestCommitTimestamp)
 
+    val noOp = isLogicalNoOp(hudi) _
     val inRange = hudi.timeline.instantsBetween(s, e)
-    val replaces = inRange.filter(_.action == "replacecommit")
-    val skippable = replaces.filter { i =>
-      val op = hudi.timeline.commitMetadata(i).path("operationType").asText("")
-      op.equalsIgnoreCase("cluster") || op.equalsIgnoreCase("clustering")
-    }.map(_.timestamp).toSet
-    if (replaces.exists(r => !skippable.contains(r.timestamp)))
+    if (inRange.exists(i => i.action == "replacecommit" && !noOp(i)))
       throw new UnsupportedOperationException(
         s"cdc: the range (${s.getOrElse("earliest")}, ${e.getOrElse("latest")}] contains a " +
           "replacecommit that is not pure clustering (insert-overwrite); an inferred diff " +
           "over its new file groups would miss the rows it logically deleted — narrow the " +
           "range to end before it")
 
-    val dataFields = hudi.tableSchema.fields.filterNot(_.name.startsWith("_hoodie_"))
+    val dataFields = hudi.tableSchema.fields.filterNot(f => MetaField.all.contains(f.name))
     val dataCols = dataFields.map(f => col(f.name))
     val imageType = StructType(dataFields.toIndexedSeq)
     val cdcSchema = StructType(Seq(
@@ -85,40 +114,49 @@ object CdcRead {
       StructField(TsCol, StringType, nullable = false),
       StructField("before", imageType, nullable = true),
       StructField("after", imageType, nullable = true)))
-    def emptyCdc: DataFrame =
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cdcSchema)
 
-    // all data-commit timestamps, for predecessor lookup (the FULL
-    // timeline, not the range: the first in-range commit's before-image
-    // is the state as of the last commit BEFORE the range)
+    // predecessor lookup over the ACTIVE timeline; a first in-range commit
+    // with archived older instants has no resolvable before state (the
+    // archive records metadata, not the cleaned file slices) — refuse
+    // rather than misreport its updates as inserts
     val allTs = hudi.timeline.completedInstants.map(_.timestamp).distinct.sorted
 
-    // one diff per distinct in-range commit timestamp (multi-writer:
-    // same-instant commit+deltacommit merge their touched groups)
-    val commits = inRange.filterNot(i => skippable.contains(i.timestamp))
+    // one diff per distinct in-range commit timestamp (multi-writer: a
+    // same-instant commit+deltacommit pair merges its touched groups; a
+    // same-instant table-service sibling drops out WITHOUT taking the
+    // data instants with it)
+    val commits = inRange.filterNot(noOp)
       .groupBy(_.timestamp).toSeq.sortBy(_._1)
-    if (commits.isEmpty) return emptyCdc
+    if (commits.isEmpty)
+      return LogScan.emptyDf(spark, cdcSchema)
 
     val perCommit = commits.map { case (c, instants) =>
       val groups = instants.flatMap(i =>
         hudi.timeline.touchedFileGroups(i).valuesIterator.flatten).distinct.sorted
-      if (groups.isEmpty) emptyCdc
+      if (groups.isEmpty) LogScan.emptyDf(spark, cdcSchema)
       else {
         val prev = allTs.takeWhile(_ < c).lastOption
+        if (prev.isEmpty &&
+          scala.util.Try(hudi.timeline.archivedInstants.nonEmpty).getOrElse(false))
+          throw new UnsupportedOperationException(
+            s"cdc: commit $c is the oldest ACTIVE instant but older instants exist in the " +
+              "archived timeline — its before state is not resolvable, so its updates would " +
+              "misreport as inserts and its deletes vanish; start the range at or after it")
         def readAsOf(ts: String): DataFrame = spark.read.format("hudi-graft")
           .option("as.of.timestamp", ts)
           .option("cdc.file.groups", groups.mkString(","))
           .load(basePath)
         val after = readAsOf(c)
-        val before = prev.map(readAsOf).getOrElse(
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], after.schema))
-        val b = before.select(col("_hoodie_record_key").as("__bk"),
+        val before = prev.map(readAsOf).getOrElse(LogScan.emptyDf(spark, after.schema))
+        val b = before.select(col(MetaField.RecordKey).as("__bk"),
+          col(MetaField.PartitionPath).as("__bp"),
           struct(dataCols.toIndexedSeq: _*).as("before"))
-        val a = after.select(col("_hoodie_record_key").as("__ak"),
-          col("_hoodie_commit_time").as("__ac"),
+        val a = after.select(col(MetaField.RecordKey).as("__ak"),
+          col(MetaField.PartitionPath).as("__ap"),
+          col(MetaField.CommitTime).as("__ac"),
           struct(dataCols.toIndexedSeq: _*).as("after"))
         val tsMs = Timestamps.timelineToEpochMillis(c, tz).toString
-        b.join(a, col("__bk") === col("__ak"), "full_outer")
+        b.join(a, col("__bk") === col("__ak") && col("__bp") === col("__ap"), "full_outer")
           // keep: deletes (no after row) + rows the commit actually
           // stamped; carried-over rows with older stamps are unchanged
           .filter(col("__ak").isNull || col("__ac") === lit(c))

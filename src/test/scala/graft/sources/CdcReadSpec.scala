@@ -136,6 +136,26 @@ class CdcReadSpec extends SparkTestBase {
     assert(ex.getMessage.contains("replacecommit"))
   }
 
+  test("populate.meta.fields=false refuses: the inference keys on meta columns") {
+    val base = new org.apache.hadoop.fs.Path("/root/repo/target/hudi-fixtures/cdc_nometa")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(base, true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".hoodie"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(base, ".hoodie/hoodie.properties"), true)
+    out.write(
+      """hoodie.table.name=cdc_nometa
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.populate.meta.fields=false
+        |""".stripMargin.getBytes("UTF-8"))
+    out.close()
+    val ex = intercept[UnsupportedOperationException] {
+      CdcRead.changes(spark, base.toString, None, None)
+    }
+    assert(ex.getMessage.contains("populate.meta.fields"))
+  }
+
   test("cdc.file.groups restricts the plan and stands down aggregate pushdown") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val p = HudiFixtureBuilder.cowPath(sfDir)
