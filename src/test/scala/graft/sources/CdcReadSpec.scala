@@ -73,6 +73,29 @@ class CdcReadSpec extends SparkTestBase {
     assert(one.isNullAt(2) && !one.isNullAt(3))
   }
 
+  test("base-less log-only group: births, updates, and the delete-vs-update tiebreak") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    // mor_log_only: T1 base group (%3=0); T2 births group 1 as a LOG file
+    // (%3=1 inserts, no base); T3 logs updates (%5=0 → 'U') and deletes
+    // (%11=0) on it — a same-commit equal-ordering delete does NOT win
+    // over the update, so %55 keys stay updates
+    val cdc = CdcRead.changes(spark, HudiFixtureBuilder.morLogOnlyPath(sfDir),
+      Some(T1), Some(T3)).collect()
+    val g1 = orders().filter(col("o_orderkey") % 3 === 1)
+    val nIns = g1.count().toInt
+    val nUpd = g1.filter(col("o_orderkey") % 5 === 0).count().toInt
+    val nDel = g1.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 5 =!= 0)
+      .count().toInt
+    val t2 = Timestamps.timelineToEpochMillis(T2).toString
+    val t3 = Timestamps.timelineToEpochMillis(T3).toString
+    val byOpTs = cdc.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, v) => k -> v.length }
+    assert(byOpTs == Map(("i", t2) -> nIns, ("u", t3) -> nUpd, ("d", t3) -> nDel),
+      s"got $byOpTs, expected i@T2=$nIns u@T3=$nUpd d@T3=$nDel")
+    // the births carry no before image (the group did not exist at T1)
+    assert(cdc.filter(_.getString(0) == "i").forall(_.isNullAt(2)))
+  }
+
   test("the TVF 'cdc' mode expands to the inferred feed") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     HudiTableChanges.register(spark)
