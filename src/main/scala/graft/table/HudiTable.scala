@@ -467,6 +467,15 @@ final class HudiTable(
     (rows.getOrElse(0L), bytes)
   }
 
+  /** Inferred CDC feed over `(start, end]`: upstream's `(op, ts_ms,
+    * before, after)` image rows, computed per commit by file-group diffs
+    * — see [[graft.sources.CdcRead]] for semantics, scale shape, and the
+    * refusal set (non-clustering replaces, meta-field-less tables,
+    * archived predecessors).
+    */
+  def cdc(start: Option[String], end: Option[String] = None): DataFrame =
+    graft.sources.CdcRead.changes(spark, basePath, start, end)
+
   /** Incremental read of records changed in `(start, end]` (S3): only file
     * groups touched by in-range commits, with the `_hoodie_commit_time` row
     * filter (P5, file_group/reader.rs:652-701).

@@ -111,6 +111,18 @@ class CdcReadSpec extends SparkTestBase {
     assert(viaSql.nonEmpty && viaSql.sameElements(direct))
   }
 
+  test("the Table API cdc() serves the same feed") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val t = graft.table.HudiTable(spark, HudiFixtureBuilder.cowPath(sfDir))
+    val viaTable = t.cdc(Some(T1), Some(T2))
+      .select(col("op"), col("before.o_orderkey").as("k")).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val direct = CdcRead.changes(spark, HudiFixtureBuilder.cowPath(sfDir), Some(T1), Some(T2))
+      .select(col("op"), col("before.o_orderkey").as("k")).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaTable.nonEmpty && viaTable.sameElements(direct))
+  }
+
   test("a pure-clustering replacecommit is skipped: no logical change") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val p = HudiFixtureBuilder.clusteredPath(sfDir)
