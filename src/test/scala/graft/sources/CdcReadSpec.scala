@@ -201,6 +201,10 @@ class CdcReadSpec extends SparkTestBase {
     val restricted = spark.read.format("hudi-graft")
       .option("cdc.file.groups", oneGroup).load(p)
     assert(restricted.count() < all.count() && restricted.count() > 0)
+    // the restriction bounds PLANNED IO, not just returned rows: exactly
+    // the one group's slice survives planning
+    assert(restricted.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"one-group restriction must plan 1 slice: ${restricted.queryExecution.executedPlan}")
     // aggregate pushdown must NOT serve a metadata answer over a
     // restricted plan (it plans the full slice set)
     val agg = restricted.agg(count(col("*")).as("n"))
