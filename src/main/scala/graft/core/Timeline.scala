@@ -239,6 +239,25 @@ final class Timeline(
       }.toMap
   }
 
+  /** fileId → whether the instant's write stat records a PREVIOUS file
+    * version for that group (`prevCommit` other than Hudi's literal
+    * "null" sentinel). A pre-existing group whose before-state the
+    * cleaner has since removed is how an inferred per-commit diff goes
+    * silently wrong — this is the metadata that lets callers detect it.
+    */
+  def touchedGroupsPreExisting(instant: HoodieInstant): Map[String, Boolean] = {
+    val md = commitMetadata(instant)
+    val stats = md.path("partitionToWriteStats")
+    if (stats.isMissingNode || !stats.isObject) Map.empty
+    else
+      stats.properties().asScala.flatMap(_.getValue.elements().asScala).flatMap { ws =>
+        Option(ws.path("fileId").asText(null)).filter(_.nonEmpty).map { fid =>
+          val prev = ws.path("prevCommit").asText("null")
+          fid -> (prev != null && prev.nonEmpty && !prev.equalsIgnoreCase("null"))
+        }
+      }.toSeq.groupMapReduce(_._1)(_._2)(_ || _)
+  }
+
   /** File groups replaced (clustering / insert-overwrite) as of `ts` —
     * excluded from snapshot views (R4, timeline/mod.rs:302-320).
     */

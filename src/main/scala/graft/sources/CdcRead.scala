@@ -58,9 +58,14 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   *    diff over its NEW groups would miss the rows it logically deleted
   *    (they lived in the replaced groups);
   *  - a first in-range commit whose predecessor has been ARCHIVED off the
-  *    active timeline when older instants exist: its before state is not
+  *    active timeline when older instants exist (an unreadable archive
+  *    counts: the guard fails closed): its before state is not
   *    resolvable, so its updates would surface as inserts and its deletes
-  *    vanish — narrow the range instead.
+  *    vanish — narrow the range instead;
+  *  - a commit that rewrote a PRE-EXISTING group (its write stat records
+  *    a prevCommit) whose previous slice no longer exists as of the
+  *    predecessor — the CLEANER horizon; inferring from a half-cleaned
+  *    view would misreport those updates as inserts too.
   */
 object CdcRead {
 
@@ -69,24 +74,36 @@ object CdcRead {
   private val TsCol = "ts_ms"
 
   /** Table-service instants that change no logical rows: pure clustering
-    * replacecommits and MOR compaction commits (both rewrite bytes while
-    * preserving per-record commit stamps — their inferred diff is empty
-    * by construction).
+    * replacecommits, MOR compaction commits, and log-compaction
+    * deltacommits (all rewrite bytes while preserving per-record commit
+    * stamps — their inferred diff is empty by construction, and their
+    * touched set spans every serviced group, so diffing would be
+    * table-sized IO for zero rows).
     */
   private def isLogicalNoOp(hudi: HudiTable)(i: HoodieInstant): Boolean = {
     lazy val op = hudi.timeline.commitMetadata(i).path("operationType").asText("")
     (i.action == "replacecommit" &&
       (op.equalsIgnoreCase("cluster") || op.equalsIgnoreCase("clustering"))) ||
       (i.action == "commit" &&
-        (op.equalsIgnoreCase("compact") || op.equalsIgnoreCase("compaction")))
+        (op.equalsIgnoreCase("compact") || op.equalsIgnoreCase("compaction"))) ||
+      (i.action == "deltacommit" &&
+        (op.equalsIgnoreCase("log_compact") || op.equalsIgnoreCase("logcompaction") ||
+          op.equalsIgnoreCase("log_compaction")))
   }
 
   def changes(
       spark: SparkSession,
       basePath: String,
       start: Option[String],
-      end: Option[String]): DataFrame = {
-    val hudi = HudiTable(spark, basePath)
+      end: Option[String],
+      // read options of the issuing handle (timestamp-keygen type,
+      // ordering field, ... — configs Hudi writers do not persist); they
+      // ride every delegated DSv2 read so an optioned HudiTable handle's
+      // cdc() merges with the SAME semantics as its snapshot()
+      readOptions: Map[String, String] = Map.empty): DataFrame = {
+    val hudi =
+      if (readOptions.isEmpty) HudiTable(spark, basePath)
+      else HudiTable(spark, basePath, readOptions)
     if (!hudi.config.populatesMetaFields)
       throw new UnsupportedOperationException(
         "cdc: inference keys on _hoodie_record_key and stamps on _hoodie_commit_time, " +
@@ -106,7 +123,11 @@ object CdcRead {
           "over its new file groups would miss the rows it logically deleted — narrow the " +
           "range to end before it")
 
-    val dataFields = hudi.tableSchema.fields.filterNot(f => MetaField.all.contains(f.name))
+    // the optional writer meta column (_hoodie_operation, behind
+    // hoodie.allow.operation.metadata.field) is physical-write metadata
+    // too — images carry DATA columns only
+    val metaCols = (MetaField.all :+ MetaField.Operation).toSet
+    val dataFields = hudi.tableSchema.fields.filterNot(f => metaCols.contains(f.name))
     val dataCols = dataFields.map(f => col(f.name))
     val imageType = StructType(dataFields.toIndexedSeq)
     val cdcSchema = StructType(Seq(
@@ -136,13 +157,40 @@ object CdcRead {
       if (groups.isEmpty) LogScan.emptyDf(spark, cdcSchema)
       else {
         val prev = allTs.takeWhile(_ < c).lastOption
+        // an unreadable archive fails CLOSED (treated as "older instants
+        // exist"): the guard exists to prevent a silently wrong feed, so
+        // an IO error must not disarm it
         if (prev.isEmpty &&
-          scala.util.Try(hudi.timeline.archivedInstants.nonEmpty).getOrElse(false))
+          scala.util.Try(hudi.timeline.archivedInstants.nonEmpty).getOrElse(true))
           throw new UnsupportedOperationException(
             s"cdc: commit $c is the oldest ACTIVE instant but older instants exist in the " +
-              "archived timeline — its before state is not resolvable, so its updates would " +
-              "misreport as inserts and its deletes vanish; start the range at or after it")
+              "archived timeline (or it is unreadable) — its before state is not resolvable, " +
+              "so its updates would misreport as inserts and its deletes vanish; start the " +
+              "range at or after it")
+        // cleaner-horizon guard: the commit's own write stats record a
+        // prevCommit per touched group; a group that PRE-EXISTED must
+        // still have a slice as of `prev`, or the cleaner has removed
+        // the before state and the diff would misreport its updates as
+        // inserts and drop its deletes — refuse, never infer from a
+        // half-cleaned view
+        val preExisting = instants
+          .flatMap(i => hudi.timeline.touchedGroupsPreExisting(i))
+          .groupMapReduce(_._1)(_._2)(_ || _)
+          .collect { case (fid, true) => fid }.toSet
+        if (preExisting.nonEmpty) {
+          val covered = prev
+            .map(p => hudi.fsView.slicesAsOf(p).map(_.fileId).toSet)
+            .getOrElse(Set.empty[String])
+          val missing = (preExisting -- covered).toSeq.sorted
+          if (missing.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"cdc: commit $c rewrote file groups ${missing.mkString(", ")} whose previous " +
+                s"versions no longer exist as of ${prev.getOrElse("<none>")} (cleaned, or " +
+                "metadata inconsistency) — their before images are not resolvable; start the " +
+                "range at or after this commit")
+        }
         def readAsOf(ts: String): DataFrame = spark.read.format("hudi-graft")
+          .options(readOptions)
           .option("as.of.timestamp", ts)
           .option("cdc.file.groups", groups.mkString(","))
           .load(basePath)

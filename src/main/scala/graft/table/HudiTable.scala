@@ -474,7 +474,7 @@ final class HudiTable(
     * archived predecessors).
     */
   def cdc(start: Option[String], end: Option[String] = None): DataFrame =
-    graft.sources.CdcRead.changes(spark, basePath, start, end)
+    graft.sources.CdcRead.changes(spark, basePath, start, end, readOptions)
 
   /** Incremental read of records changed in `(start, end]` (S3): only file
     * groups touched by in-range commits, with the `_hoodie_commit_time` row

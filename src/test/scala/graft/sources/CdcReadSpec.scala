@@ -171,6 +171,41 @@ class CdcReadSpec extends SparkTestBase {
     assert(ex.getMessage.contains("replacecommit"))
   }
 
+  test("cleaner-horizon guard: a rewritten group with no before slice refuses") {
+    // metadata-only table: T1 creates group f0, T2 rewrites it with
+    // prevCommit=T1 recorded — but no T1 file survives on disk (the
+    // cleaner took it), so the before image is unresolvable and the diff
+    // would misreport T2's updates as inserts. Must refuse at planning.
+    val base = new org.apache.hadoop.fs.Path("/root/repo/target/hudi-fixtures/cdc_cleaned")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(base, true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".hoodie"))
+    def writeText(name: String, s: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
+      out.write(s.getBytes("UTF-8")); out.close()
+    }
+    writeText(".hoodie/hoodie.properties",
+      """hoodie.table.name=cdc_cleaned
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=v
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val schema =
+      """{"type":"record","name":"r","fields":[{"name":"v","type":["long","null"]}]}"""
+        .replace("\"", "\\\"")
+    writeText(s".hoodie/$T1.commit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f0","path":"a.parquet","partitionPath":"","prevCommit":"null"}]},"extraMetadata":{"schema":"$schema"},"compacted":false,"operationType":"UPSERT"}""")
+    writeText(s".hoodie/$T2.commit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f0","path":"b.parquet","partitionPath":"","prevCommit":"$T1"}]},"compacted":false,"operationType":"UPSERT"}""")
+    val ex = intercept[UnsupportedOperationException] {
+      CdcRead.changes(spark, base.toString, Some(T1), Some(T2))
+    }
+    assert(ex.getMessage.contains("f0") && ex.getMessage.contains("no longer exist"),
+      ex.getMessage)
+  }
+
   test("populate.meta.fields=false refuses: the inference keys on meta columns") {
     val base = new org.apache.hadoop.fs.Path("/root/repo/target/hudi-fixtures/cdc_nometa")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
@@ -202,8 +237,9 @@ class CdcReadSpec extends SparkTestBase {
       .option("cdc.file.groups", oneGroup).load(p)
     assert(restricted.count() < all.count() && restricted.count() > 0)
     // the restriction bounds PLANNED IO, not just returned rows: exactly
-    // the one group's slice survives planning
-    assert(restricted.queryExecution.executedPlan.toString().contains("1 slices"),
+    // the one group's slice survives planning (leading space so "11
+    // slices" can never satisfy the assertion)
+    assert(restricted.queryExecution.executedPlan.toString().contains(" 1 slices"),
       s"one-group restriction must plan 1 slice: ${restricted.queryExecution.executedPlan}")
     // aggregate pushdown must NOT serve a metadata answer over a
     // restricted plan (it plans the full slice set)
