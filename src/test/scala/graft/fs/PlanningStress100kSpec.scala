@@ -376,6 +376,24 @@ class PlanningStress100kSpec extends SparkTestBase {
     }
   }
 
+  test("cdc.file.groups restriction over 100k slices plans the subset in budget") {
+    // the r12 inferred-CDC plumbing at lake width: a commit touching 500
+    // of 100k groups must restrict the plan with one O(files) set-filter
+    // pass — the budget bounds the algorithm (an accidental per-id scan
+    // would be 500x worse), and the plan width proves the restriction
+    // bounds IO, not just rows
+    val ids = (0 until 500).map(n => fileName(n * 200).stripSuffix(s"_0-0-0_$T1.parquet"))
+    val (planStr, wallMs) = timed {
+      spark.read.format("hudi-graft")
+        .option("cdc.file.groups", ids.mkString(","))
+        .load(path)
+        .queryExecution.executedPlan.toString()
+    }
+    assert(planStr.contains(" 500 slices"),
+      s"500-group restriction must plan 500 slices: ${planStr.take(2000)}")
+    assert(wallMs < 60000, s"cdc.file.groups restriction over 100k slices took ${wallMs}ms")
+  }
+
   test("IS NULL partition classification over 2000 dirs prunes in budget") {
     // the r11 null-predicate path at width: classifying every partition
     // dir against the version-gated sentinel set is O(partitions) string
