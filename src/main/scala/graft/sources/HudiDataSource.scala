@@ -1123,6 +1123,24 @@ class GraftScan(
     */
   private val isIncremental =
     Option(options.get("query.type")).exists(_.equalsIgnoreCase("incremental"))
+  // upstream's CDC-format selector must not be SILENTLY ignored: a query
+  // ported with hoodie.datasource.query.incremental.format=cdc expects
+  // (op, ts_ms, before, after) rows, and serving the plain row feed under
+  // it would hand different columns with no error (the TVF-keyword trap
+  // all over again). The CDC shape cannot ride a DSv2 relation (its
+  // schema is the table's) — point at the surfaces that serve it.
+  if (isIncremental) {
+    val fmt = Seq("incremental.format", "hoodie.datasource.query.incremental.format")
+      .flatMap(k => Option(options.get(k))).headOption
+    if (fmt.exists(_.equalsIgnoreCase("cdc")))
+      throw new UnsupportedOperationException(
+        "incremental.format=cdc: the CDC image schema cannot be served through this " +
+          "relation (a DSv2 table's schema is the table schema); use the " +
+          "hudi_table_changes(path, 'cdc', start[, end]) TVF or HudiTable.cdc(...)")
+    fmt.filterNot(_.equalsIgnoreCase("latest_state")).foreach { f =>
+      throw new IllegalArgumentException(s"unknown incremental.format '$f'")
+    }
+  }
   private val startTs = Option(options.get("start.timestamp"))
     .map(Timestamps.normalize(_, hudi.config.timelineTimezone))
   private val endTs = Option(options.get("end.timestamp"))

@@ -111,6 +111,30 @@ class CdcReadSpec extends SparkTestBase {
     assert(viaSql.nonEmpty && viaSql.sameElements(direct))
   }
 
+  test("the option-route cdc format selector refuses with a pointer, never silently") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val p = HudiFixtureBuilder.cowPath(sfDir)
+    // upstream's option spelling and the short one both refuse; serving
+    // the plain row feed under them would hand ported queries different
+    // columns with no error
+    Seq("hoodie.datasource.query.incremental.format", "incremental.format").foreach { k =>
+      val ex = intercept[Exception] {
+        spark.read.format("hudi-graft").option("query.type", "incremental")
+          .option(k, "cdc").load(p).collect()
+      }
+      assert(ex.getMessage.contains("hudi_table_changes"), s"$k: ${ex.getMessage}")
+    }
+    // latest_state (upstream's default) passes through; junk throws
+    assert(spark.read.format("hudi-graft").option("query.type", "incremental")
+      .option("incremental.format", "latest_state")
+      .option("start.timestamp", T1).load(p).count() > 0)
+    val bad = intercept[Exception] {
+      spark.read.format("hudi-graft").option("query.type", "incremental")
+        .option("incremental.format", "nonsense").load(p).collect()
+    }
+    assert(bad.getMessage.contains("unknown incremental.format"), bad.getMessage)
+  }
+
   test("the Table API cdc() serves the same feed") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val t = graft.table.HudiTable(spark, HudiFixtureBuilder.cowPath(sfDir))
