@@ -53,6 +53,22 @@ class HudiDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+object GraftTable {
+  /** The reference's read-option keys (config/read.rs:115-122) → this
+    * source's short spellings. `stream.batch_size` and
+    * `file.slice.read.concurrency` are deliberately absent: pure tuning
+    * hints for the reference's own arrow streaming/polling, with no
+    * semantic to preserve under Spark's batching and scheduling.
+    */
+  val RefReadAliases: Map[String, String] = Map(
+    "hoodie.read.query.type" -> "query.type",
+    "hoodie.read.as.of.timestamp" -> "as.of.timestamp",
+    "hoodie.read.start.timestamp" -> "start.timestamp",
+    "hoodie.read.end.timestamp" -> "end.timestamp",
+    "hoodie.read.input.partitions" -> "input.partitions",
+    "hoodie.read.use.read_optimized.mode" -> "read.optimized")
+}
+
 class GraftTable(
     path: String,
     declaredSchema: StructType,
@@ -158,18 +174,50 @@ class GraftTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // pinned options come from catalog-level time travel (FOR TIMESTAMP /
     // VERSION AS OF) and override per-read options
-    val merged =
+    val merged0 =
       if (pinnedOptions.isEmpty) options
       else {
         val m = new util.HashMap[String, String](options.asCaseSensitiveMap())
         pinnedOptions.foreach { case (k, v) => m.put(k, v) }
         new CaseInsensitiveStringMap(m)
       }
+    // the reference's documented option spellings (`hoodie.read.*`,
+    // config/read.rs:115-122) select the SAME semantics here — a hudi-rs
+    // user's `hoodie.read.query.type=incremental` must not silently read
+    // a snapshot. The short form wins when both are present; the two pure
+    // tuning hints with no Spark analog (stream.batch_size,
+    // file.slice.read.concurrency — Spark owns batching and scheduling)
+    // are accepted and ignored.
+    val merged =
+      if (!GraftTable.RefReadAliases.keysIterator.exists(merged0.containsKey)) merged0
+      else {
+        val m = new util.HashMap[String, String](merged0.asCaseSensitiveMap())
+        GraftTable.RefReadAliases.foreach { case (ref, short) =>
+          val v = merged0.get(ref)
+          if (v != null && merged0.get(short) == null) m.put(short, v)
+        }
+        new CaseInsensitiveStringMap(m)
+      }
     // read options may supplement table configs (e.g. keygen settings the
-    // writer didn't persist) — rebuild the table handle when present
+    // writer didn't persist) — rebuild the table handle when present.
+    // `hoodie.read.*` keys are call-scoped read options (aliased above),
+    // never table-config supplements.
     val extra = merged.asCaseSensitiveMap().asScala
-      .filter(_._1.startsWith("hoodie.")).toMap
+      .filter { case (k, _) =>
+        val lk = k.toLowerCase(java.util.Locale.ROOT)
+        lk.startsWith("hoodie.") && !lk.startsWith("hoodie.read.")
+      }.toMap
     val table = if (extra.isEmpty) hudi else HudiTable(SparkSession.active, path, extra)
+    // the reference's QueryType::from_str rejects unknown values
+    // (config/read.rs InvalidValue); silently defaulting `query.type=
+    // read_optimized` (or a typo) to a snapshot read would be the same
+    // wrong-shape trap the TVF keywords refuse
+    Option(merged.get("query.type")).foreach { qt =>
+      if (!qt.equalsIgnoreCase("snapshot") && !qt.equalsIgnoreCase("incremental"))
+        throw new IllegalArgumentException(
+          s"unknown query.type '$qt' (accepted: snapshot, incremental; " +
+            "read-optimized MOR reads use read.optimized=true)")
+    }
     new GraftScanBuilder(table, schema(), merged)
   }
 }

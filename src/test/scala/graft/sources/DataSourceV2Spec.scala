@@ -151,6 +151,39 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(rows == Set((1, false), (4, true)))
   }
 
+  test("the reference's hoodie.read.* option spellings select the same semantics") {
+    assume(cowV6.isDefined)
+    val t = graft.table.HudiTable(spark, cowV6.get)
+    val Seq(c1, c2) = t.timeline.completedInstants.map(_.timestamp).distinct.take(2)
+    // a hudi-rs user's exact keys (config/read.rs:115-122) must not
+    // silently read a snapshot
+    val rows = spark.read.format("hudi-graft")
+      .option("hoodie.read.query.type", "incremental")
+      .option("hoodie.read.start.timestamp", c1)
+      .option("hoodie.read.end.timestamp", c2)
+      .load(cowV6.get)
+      .select("id", "isActive").collect().map(r => (r.getInt(0), r.getBoolean(1))).toSet
+    assert(rows == Set((1, false), (4, true)))
+    // the short spelling wins when both are present
+    val shortWins = spark.read.format("hudi-graft")
+      .option("hoodie.read.as.of.timestamp", c2)
+      .option("as.of.timestamp", c1)
+      .load(cowV6.get).count()
+    assert(shortWins == spark.read.format("hudi-graft")
+      .option("as.of.timestamp", c1).load(cowV6.get).count())
+    // the reference's pure tuning hints are accepted and ignored
+    assert(spark.read.format("hudi-graft")
+      .option("hoodie.read.stream.batch_size", "2048")
+      .option("hoodie.read.file.slice.read.concurrency", "4")
+      .load(cowV6.get).count() > 0)
+    // unknown query.type refuses (the reference's InvalidValue behavior)
+    val bad = intercept[Exception] {
+      spark.read.format("hudi-graft")
+        .option("query.type", "read_optimized").load(cowV6.get).collect()
+    }
+    assert(bad.getMessage.contains("unknown query.type"), bad.getMessage)
+  }
+
   test("dsv2 incremental stays columnar: stats-contained AND straddling ranges") {
     assume(cowV6.isDefined)
     val t = graft.table.HudiTable(spark, cowV6.get)
