@@ -111,6 +111,43 @@ class CdcReadSpec extends SparkTestBase {
     assert(viaSql.nonEmpty && viaSql.sameElements(direct))
   }
 
+  test("differential: per-commit CDC equals the table-wide snapshot diff") {
+    // an INDEPENDENT formulation: for every adjacent commit pair of every
+    // orders fixture, the group-restricted per-commit diff must equal the
+    // diff of two UNRESTRICTED snapshots — i = new keys, d = vanished
+    // keys, u = surviving keys stamped by the commit. Catches a
+    // restriction that silently drops touched groups, join-key bugs, and
+    // stamp-filter regressions in one sweep. (The clustered fixture's
+    // CLUSTER replace is skipped by CDC and changes no keys or stamps, so
+    // both sides agree on empty.)
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val paths = Seq(HudiFixtureBuilder.cowPath(sfDir), HudiFixtureBuilder.morPath(sfDir),
+      HudiFixtureBuilder.morLogOnlyPath(sfDir), HudiFixtureBuilder.clusteredPath(sfDir))
+    for (path <- paths) {
+      val t = graft.table.HudiTable(spark, path)
+      val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
+      for ((p, c) <- ts.zip(ts.tail)) {
+        val cdc = CdcRead.changes(spark, path, Some(p), Some(c))
+          .select(col("op"),
+            coalesce(col("after.o_orderkey"), col("before.o_orderkey")).as("k"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val before = t.snapshot(asOf = Some(p))
+          .select("_hoodie_record_key").collect().map(_.getString(0)).toSet
+        val afterRows = t.snapshot(asOf = Some(c))
+          .select("_hoodie_record_key", "_hoodie_commit_time").collect()
+        val after = afterRows.map(_.getString(0)).toSet
+        val expected: Set[(String, Long)] =
+          (after -- before).map(k => ("i", k.toLong)) ++
+            (before -- after).map(k => ("d", k.toLong)) ++
+            afterRows.filter(r => r.getString(1) == c && before.contains(r.getString(0)))
+              .map(r => ("u", r.getString(0).toLong)).toSet
+        assert(cdc == expected,
+          s"$path ($p, $c]: cdc-only=${(cdc -- expected).take(5)} " +
+            s"diff-only=${(expected -- cdc).take(5)}")
+      }
+    }
+  }
+
   test("the option-route cdc format selector refuses with a pointer, never silently") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val p = HudiFixtureBuilder.cowPath(sfDir)
