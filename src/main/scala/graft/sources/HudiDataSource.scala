@@ -67,6 +67,53 @@ object GraftTable {
     "hoodie.read.end.timestamp" -> "end.timestamp",
     "hoodie.read.input.partitions" -> "input.partitions",
     "hoodie.read.use.read_optimized.mode" -> "read.optimized")
+
+  /** Upstream SPARK-Hudi's read-option spellings, so a ported Spark job
+    * keeps its semantics too (the TVF parity story implies the option
+    * parity): `hoodie.datasource.query.type` (whose enum ALSO has
+    * `read_optimized`, mapped to this source's boolean), the
+    * begin/end instant range (same exclusive-begin/inclusive-end
+    * contract), and `as.of.instant` time travel. Value-dependent, hence
+    * a translation, not a key map.
+    */
+  private val SparkHudiKeys = Seq(
+    "hoodie.datasource.query.type",
+    "hoodie.datasource.read.begin.instanttime",
+    "hoodie.datasource.read.end.instanttime",
+    "as.of.instant")
+
+  /** Translate foreign option spellings onto the short forms; the short
+    * form wins when both are present. Returns the input map untouched
+    * when no foreign key is set.
+    */
+  def translateOptions(o: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val foreign = RefReadAliases.keysIterator ++ SparkHudiKeys.iterator
+    if (!foreign.exists(o.containsKey)) return o
+    val m = new util.HashMap[String, String](o.asCaseSensitiveMap())
+    def putIfAbsent(k: String, v: String): Unit = if (o.get(k) == null) m.put(k, v)
+    RefReadAliases.foreach { case (ref, short) =>
+      Option(o.get(ref)).foreach(putIfAbsent(short, _))
+    }
+    Option(o.get("hoodie.datasource.query.type")).foreach {
+      _.toLowerCase(java.util.Locale.ROOT) match {
+        case "snapshot" => ()
+        case "incremental" => putIfAbsent("query.type", "incremental")
+        case "read_optimized" => putIfAbsent("read.optimized", "true")
+        case other => throw new IllegalArgumentException(
+          s"unknown hoodie.datasource.query.type '$other' " +
+            "(accepted: snapshot, incremental, read_optimized)")
+      }
+    }
+    // Spark-Hudi's earliest-begin sentinels mean "no lower bound"
+    Option(o.get("hoodie.datasource.read.begin.instanttime")).foreach { b =>
+      if (!Set("earliest", "000", "0").contains(b.toLowerCase(java.util.Locale.ROOT)))
+        putIfAbsent("start.timestamp", b)
+    }
+    Option(o.get("hoodie.datasource.read.end.instanttime"))
+      .foreach(putIfAbsent("end.timestamp", _))
+    Option(o.get("as.of.instant")).foreach(putIfAbsent("as.of.timestamp", _))
+    new CaseInsensitiveStringMap(m)
+  }
 }
 
 class GraftTable(
@@ -181,31 +228,26 @@ class GraftTable(
         pinnedOptions.foreach { case (k, v) => m.put(k, v) }
         new CaseInsensitiveStringMap(m)
       }
-    // the reference's documented option spellings (`hoodie.read.*`,
-    // config/read.rs:115-122) select the SAME semantics here — a hudi-rs
-    // user's `hoodie.read.query.type=incremental` must not silently read
-    // a snapshot. The short form wins when both are present; the two pure
-    // tuning hints with no Spark analog (stream.batch_size,
-    // file.slice.read.concurrency — Spark owns batching and scheduling)
-    // are accepted and ignored.
-    val merged =
-      if (!GraftTable.RefReadAliases.keysIterator.exists(merged0.containsKey)) merged0
-      else {
-        val m = new util.HashMap[String, String](merged0.asCaseSensitiveMap())
-        GraftTable.RefReadAliases.foreach { case (ref, short) =>
-          val v = merged0.get(ref)
-          if (v != null && merged0.get(short) == null) m.put(short, v)
-        }
-        new CaseInsensitiveStringMap(m)
-      }
+    // foreign option spellings select the SAME semantics here: the
+    // reference's `hoodie.read.*` (config/read.rs:115-122 — its two pure
+    // tuning hints, stream.batch_size and file.slice.read.concurrency,
+    // are accepted and ignored since Spark owns batching and scheduling)
+    // and upstream Spark-Hudi's `hoodie.datasource.*`/`as.of.instant`.
+    // A ported job's `...query.type=incremental` must not silently read
+    // a snapshot; the short form wins when both are present.
+    val merged = GraftTable.translateOptions(merged0)
     // read options may supplement table configs (e.g. keygen settings the
     // writer didn't persist) — rebuild the table handle when present.
-    // `hoodie.read.*` keys are call-scoped read options (aliased above),
-    // never table-config supplements.
+    // `hoodie.read.*` and `hoodie.datasource.{query,read}.*` keys are
+    // call-scoped read options (translated above), never table-config
+    // supplements (`hoodie.datasource.write.*` ARE legit supplements and
+    // keep flowing).
     val extra = merged.asCaseSensitiveMap().asScala
       .filter { case (k, _) =>
         val lk = k.toLowerCase(java.util.Locale.ROOT)
-        lk.startsWith("hoodie.") && !lk.startsWith("hoodie.read.")
+        lk.startsWith("hoodie.") && !lk.startsWith("hoodie.read.") &&
+          !lk.startsWith("hoodie.datasource.query.") &&
+          !lk.startsWith("hoodie.datasource.read.")
       }.toMap
     val table = if (extra.isEmpty) hudi else HudiTable(SparkSession.active, path, extra)
     // the reference's QueryType::from_str rejects unknown values

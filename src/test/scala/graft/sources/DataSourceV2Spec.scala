@@ -184,6 +184,48 @@ class DataSourceV2Spec extends SparkTestBase {
     assert(bad.getMessage.contains("unknown query.type"), bad.getMessage)
   }
 
+  test("upstream Spark-Hudi option spellings select the same semantics") {
+    assume(cowV6.isDefined)
+    val t = graft.table.HudiTable(spark, cowV6.get)
+    val Seq(c1, c2) = t.timeline.completedInstants.map(_.timestamp).distinct.take(2)
+    // incremental via hoodie.datasource.query.type + begin/end instanttime
+    // (same exclusive-begin / inclusive-end contract)
+    val rows = spark.read.format("hudi-graft")
+      .option("hoodie.datasource.query.type", "incremental")
+      .option("hoodie.datasource.read.begin.instanttime", c1)
+      .option("hoodie.datasource.read.end.instanttime", c2)
+      .load(cowV6.get)
+      .select("id", "isActive").collect().map(r => (r.getInt(0), r.getBoolean(1))).toSet
+    assert(rows == Set((1, false), (4, true)))
+    // the '000' begin sentinel means no lower bound (full history)
+    val full = spark.read.format("hudi-graft")
+      .option("hoodie.datasource.query.type", "incremental")
+      .option("hoodie.datasource.read.begin.instanttime", "000")
+      .load(cowV6.get).count()
+    assert(full == spark.read.format("hudi-graft")
+      .option("query.type", "incremental").load(cowV6.get).count())
+    // as.of.instant time travel
+    assert(spark.read.format("hudi-graft").option("as.of.instant", c1)
+      .load(cowV6.get).count() ==
+      spark.read.format("hudi-graft").option("as.of.timestamp", c1)
+        .load(cowV6.get).count())
+    // query.type=read_optimized maps to the boolean (MOR: base-only rows)
+    val mor = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val roRows = spark.read.format("hudi-graft")
+      .option("hoodie.datasource.query.type", "read_optimized").load(mor).count()
+    assert(roRows == spark.read.format("hudi-graft")
+      .option("read.optimized", "true").load(mor).count())
+    assert(roRows != spark.read.format("hudi-graft").load(mor).count(),
+      "read_optimized must differ from the merged snapshot on a log-bearing MOR table")
+    // a typo'd value refuses
+    val bad = intercept[Exception] {
+      spark.read.format("hudi-graft")
+        .option("hoodie.datasource.query.type", "snapshots").load(cowV6.get).collect()
+    }
+    assert(bad.getMessage.contains("hoodie.datasource.query.type"), bad.getMessage)
+  }
+
   test("dsv2 incremental stays columnar: stats-contained AND straddling ranges") {
     assume(cowV6.isDefined)
     val t = graft.table.HudiTable(spark, cowV6.get)
