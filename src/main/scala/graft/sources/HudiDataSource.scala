@@ -87,10 +87,38 @@ object GraftTable {
     * when no foreign key is set.
     */
   def translateOptions(o: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    // upstream Spark-Hudi options that CHANGE THE ROW SET with no analog
+    // here — swallowing them would return different data with no error
+    // (the same trap the query-type validation refuses), so they refuse
+    // loudly; their do-nothing values pass (they match this engine's
+    // behavior). Other unrecognized hoodie.datasource.{query,read}.*
+    // keys are ignored: the universe of ported tuning options cannot be
+    // enumerated, and these three are the row-set-changing ones.
+    Option(o.get("hoodie.datasource.read.incr.path.glob"))
+      .filter(_.nonEmpty).foreach { g =>
+        throw new UnsupportedOperationException(
+          s"hoodie.datasource.read.incr.path.glob='$g' is not supported — an incremental " +
+            "read here returns all partitions; filter on the partition columns instead " +
+            "(consumed by pruning)")
+      }
+    Seq("hoodie.datasource.read.incr.fallback.fulltablescan.enable",
+      "hoodie.datasource.read.schema.use.end.instanttime").foreach { k =>
+      if (Option(o.get(k)).exists(_.equalsIgnoreCase("true")))
+        throw new UnsupportedOperationException(
+          s"$k=true is not supported (this engine neither full-scans on an archived " +
+            "begin instant nor resolves the schema as of the end instant); unset it or " +
+            "set it to false")
+    }
     val foreign = RefReadAliases.keysIterator ++ SparkHudiKeys.iterator
     if (!foreign.exists(o.containsKey)) return o
     val m = new util.HashMap[String, String](o.asCaseSensitiveMap())
-    def putIfAbsent(k: String, v: String): Unit = if (o.get(k) == null) m.put(k, v)
+    // absence must consider keys WRITTEN by an earlier translation too,
+    // not just the original map — else a later-processed foreign spelling
+    // clobbers an earlier one (first processed wins: the reference's
+    // spelling takes precedence over Spark-Hudi's when both are present)
+    val written = scala.collection.mutable.Set.empty[String]
+    def putIfAbsent(k: String, v: String): Unit =
+      if (o.get(k) == null && !written.contains(k)) { m.put(k, v); written += k }
     RefReadAliases.foreach { case (ref, short) =>
       Option(o.get(ref)).foreach(putIfAbsent(short, _))
     }

@@ -224,6 +224,32 @@ class DataSourceV2Spec extends SparkTestBase {
         .option("hoodie.datasource.query.type", "snapshots").load(cowV6.get).collect()
     }
     assert(bad.getMessage.contains("hoodie.datasource.query.type"), bad.getMessage)
+    // row-set-changing upstream options refuse loudly instead of being
+    // swallowed; their do-nothing values pass
+    val glob = intercept[Exception] {
+      spark.read.format("hudi-graft")
+        .option("hoodie.datasource.read.incr.path.glob", "americas/*")
+        .load(cowV6.get).collect()
+    }
+    assert(glob.getMessage.contains("incr.path.glob"), glob.getMessage)
+    val fts = intercept[Exception] {
+      spark.read.format("hudi-graft")
+        .option("hoodie.datasource.read.incr.fallback.fulltablescan.enable", "true")
+        .load(cowV6.get).collect()
+    }
+    assert(fts.getMessage.contains("fulltablescan"), fts.getMessage)
+    assert(spark.read.format("hudi-graft")
+      .option("hoodie.datasource.read.incr.fallback.fulltablescan.enable", "false")
+      .option("hoodie.datasource.read.schema.use.end.instanttime", "false")
+      .load(cowV6.get).count() > 0)
+    // both foreign spellings present: the reference's wins (documented
+    // precedence, no silent clobber)
+    val precedence = spark.read.format("hudi-graft")
+      .option("hoodie.read.as.of.timestamp", c1)
+      .option("as.of.instant", c2)
+      .load(cowV6.get).count()
+    assert(precedence == spark.read.format("hudi-graft")
+      .option("as.of.timestamp", c1).load(cowV6.get).count())
   }
 
   test("dsv2 incremental stays columnar: stats-contained AND straddling ranges") {
