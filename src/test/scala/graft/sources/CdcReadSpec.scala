@@ -148,6 +148,42 @@ class CdcReadSpec extends SparkTestBase {
     }
   }
 
+  test("real v8 MOR bytes: per-commit CDC equals the snapshot diff") {
+    // the reference's golden v8 trips table (completion-time timeline,
+    // avro update log blocks, a real delete block, write stats carrying
+    // REAL prevCommit values — so the cleaner-horizon guard exercises
+    // its covered path on real metadata, not the fixtures' 'null')
+    val pOpt = graft.table.Fixtures.table(
+      "quickstart_trips_table/mor/avro/v8_trips_8i3u1d.zip", "v8_trips_8i3u1d")
+    assume(pOpt.isDefined)
+    val path = pOpt.get
+    val t = graft.table.HudiTable(spark, path)
+    val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
+    assert(ts.size >= 2, s"multi-commit fixture expected, got $ts")
+    var sawU = false
+    var sawD = false
+    for ((p, c) <- ts.zip(ts.tail)) {
+      val cdc = CdcRead.changes(spark, path, Some(p), Some(c))
+        .select(col("op"), coalesce(col("after.uuid"), col("before.uuid")).as("k"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val before = t.snapshot(asOf = Some(p))
+        .select("_hoodie_record_key").collect().map(_.getString(0)).toSet
+      val afterRows = t.snapshot(asOf = Some(c))
+        .select("_hoodie_record_key", "_hoodie_commit_time").collect()
+      val after = afterRows.map(_.getString(0)).toSet
+      val expected: Set[(String, String)] =
+        (after -- before).map(("i", _)) ++
+          (before -- after).map(("d", _)) ++
+          afterRows.filter(r => r.getString(1) == c && before.contains(r.getString(0)))
+            .map(r => ("u", r.getString(0))).toSet
+      assert(cdc == expected,
+        s"($p, $c]: cdc-only=${(cdc -- expected).take(5)} diff-only=${(expected -- cdc).take(5)}")
+      sawU = sawU || expected.exists(_._1 == "u")
+      sawD = sawD || expected.exists(_._1 == "d")
+    }
+    assert(sawU && sawD, "the 8i3u1d fixture must exercise updates AND deletes")
+  }
+
   test("the option-route cdc format selector refuses with a pointer, never silently") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val p = HudiFixtureBuilder.cowPath(sfDir)
