@@ -184,6 +184,34 @@ class CdcReadSpec extends SparkTestBase {
     assert(sawU && sawD, "the 8i3u1d fixture must exercise updates AND deletes")
   }
 
+  test("real v9 overwrite bytes: the replace refusal fires, earlier ranges still serve") {
+    // a REAL writer's full-table-overwrite replacecommit (v9 golden
+    // fixture) — whatever operationType string it recorded, it is not
+    // pure clustering, so a range containing it must throw; a range
+    // ending before it still infers normally
+    val pOpt = graft.table.Fixtures.table(
+      "sample_table/cow/v9_txns_simple_overwrite.zip",
+      "v9_txns_simple_overwrite", "v9_overwrite_cdc")
+    assume(pOpt.isDefined)
+    val path = pOpt.get
+    val t = graft.table.HudiTable(spark, path)
+    val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
+    val replaceTs = t.timeline.completedInstants
+      .filter(_.action == "replacecommit").map(_.timestamp)
+    assume(replaceTs.nonEmpty)
+    val ex = intercept[UnsupportedOperationException] {
+      CdcRead.changes(spark, path, None, None)
+    }
+    assert(ex.getMessage.contains("replacecommit"), ex.getMessage)
+    // bounded before the replace: the first commit's inserts
+    val preReplace = ts.filter(_ < replaceTs.min)
+    if (preReplace.nonEmpty) {
+      val feed = CdcRead.changes(spark, path, None, Some(preReplace.head))
+      assert(feed.filter(col("op") =!= "i").count() == 0)
+      assert(feed.count() > 0)
+    }
+  }
+
   test("the option-route cdc format selector refuses with a pointer, never silently") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val p = HudiFixtureBuilder.cowPath(sfDir)
