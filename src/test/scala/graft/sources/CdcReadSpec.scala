@@ -148,20 +148,14 @@ class CdcReadSpec extends SparkTestBase {
     }
   }
 
-  test("real v8 MOR bytes: per-commit CDC equals the snapshot diff") {
-    // the reference's golden v8 trips table (completion-time timeline,
-    // avro update log blocks, a real delete block, write stats carrying
-    // REAL prevCommit values — so the cleaner-horizon guard exercises
-    // its covered path on real metadata, not the fixtures' 'null')
-    val pOpt = graft.table.Fixtures.table(
-      "quickstart_trips_table/mor/avro/v8_trips_8i3u1d.zip", "v8_trips_8i3u1d")
-    assume(pOpt.isDefined)
-    val path = pOpt.get
+  /** Per-commit CDC vs the table-wide snapshot diff over real golden
+    * bytes; returns the union of ops the table exercised.
+    */
+  private def realBytesDifferential(path: String): Set[String] = {
     val t = graft.table.HudiTable(spark, path)
     val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
-    assert(ts.size >= 2, s"multi-commit fixture expected, got $ts")
-    var sawU = false
-    var sawD = false
+    assert(ts.size >= 2, s"multi-commit fixture expected at $path, got $ts")
+    val ops = scala.collection.mutable.Set.empty[String]
     for ((p, c) <- ts.zip(ts.tail)) {
       val cdc = CdcRead.changes(spark, path, Some(p), Some(c))
         .select(col("op"), coalesce(col("after.uuid"), col("before.uuid")).as("k"))
@@ -177,11 +171,41 @@ class CdcReadSpec extends SparkTestBase {
           afterRows.filter(r => r.getString(1) == c && before.contains(r.getString(0)))
             .map(r => ("u", r.getString(0))).toSet
       assert(cdc == expected,
-        s"($p, $c]: cdc-only=${(cdc -- expected).take(5)} diff-only=${(expected -- cdc).take(5)}")
-      sawU = sawU || expected.exists(_._1 == "u")
-      sawD = sawD || expected.exists(_._1 == "d")
+        s"$path ($p, $c]: cdc-only=${(cdc -- expected).take(5)} " +
+          s"diff-only=${(expected -- cdc).take(5)}")
+      ops ++= expected.map(_._1)
     }
-    assert(sawU && sawD, "the 8i3u1d fixture must exercise updates AND deletes")
+    ops.toSet
+  }
+
+  test("real v8 MOR bytes: per-commit CDC equals the snapshot diff") {
+    // the reference's golden v8 trips table (completion-time timeline,
+    // avro update log blocks, a real delete block, write stats carrying
+    // REAL prevCommit values — so the cleaner-horizon guard exercises
+    // its covered path on real metadata, not the fixtures' 'null')
+    val pOpt = graft.table.Fixtures.table(
+      "quickstart_trips_table/mor/avro/v8_trips_8i3u1d.zip", "v8_trips_8i3u1d")
+    assume(pOpt.isDefined)
+    val ops = realBytesDifferential(pOpt.get)
+    assert(ops.contains("u") && ops.contains("d"),
+      s"the 8i3u1d fixture must exercise updates AND deletes, got $ops")
+  }
+
+  test("real v6 MOR bytes: per-commit CDC equals the snapshot diff") {
+    // v6 request-time timeline: the update-only and delete-bearing trips
+    // tables through the same differential
+    val zips = Seq(
+      ("quickstart_trips_table/mor/avro/v6_trips_8i1u.zip", "v6_trips_8i1u", Set("u")),
+      ("quickstart_trips_table/mor/avro/v6_trips_8i3d.zip", "v6_trips_8i3d", Set("d")))
+    var ran = false
+    for ((zip, name, mustSee) <- zips) {
+      graft.table.Fixtures.table(zip, name, s"cdc_$name").foreach { p =>
+        ran = true
+        val ops = realBytesDifferential(p)
+        assert(mustSee.subsetOf(ops), s"$name must exercise $mustSee, got $ops")
+      }
+    }
+    assume(ran)
   }
 
   test("real v9 overwrite bytes: the replace refusal fires, earlier ranges still serve") {
