@@ -439,6 +439,161 @@ object CurateOps {
        |ORDER BY source, rnk""".stripMargin
   }
 
+  /** DSIR importance weights — Data Selection via Importance Resampling
+    * (Xie et al., NeurIPS 2023, arXiv:2302.03169): score every raw
+    * document by how much more likely its hashed n-gram bag is under a
+    * TARGET distribution (here the trusted source `src0`, the paper's
+    * Wikipedia stand-in) than under the RAW corpus distribution:
+    *
+    *   log w(x) = Σ_features [ log p_tgt(bucket(f)) − log p_raw(bucket(f)) ]
+    *
+    * with unigram+bigram features hashed into [[dsirBuckets]] buckets and
+    * add-one smoothing on both fitted bag-of-hashed-ngrams models (the
+    * paper's §3 estimator verbatim). `selected` marks documents scoring
+    * above the corpus-mean log-weight — the deterministic stand-in for
+    * the paper's Gumbel-top-k resampling, which is seeded noise, not
+    * semantics, and has no cross-engine oracle. (A log w > 0 rule would
+    * be degenerate: the target model is fitted on a small subsample, so
+    * heavier smoothing pushes every absolute weight negative; the MEAN
+    * split is sample-size-invariant. The threshold is exact arithmetic —
+    * DECIMAL sum over exact per-doc decimal weights, one double divide.)
+    *
+    * Scale shape (100 TB): features derive MAP-SIDE (unigrams straight
+    * off the split array; bigrams adjacent-pair, doc-local — no LAG
+    * shuffle on the Spark side); BOTH model fits collapse to ≤4096-row
+    * map-side-combinable aggregates (the shuffle carries buckets ×
+    * partitions rows, never token-many — this bounded-feature-space
+    * collapse is exactly why the paper hashes); the log-ratio table is
+    * 4096 rows → broadcast to the feature stream; the per-doc sum is one
+    * map-side-combinable aggregate keyed by doc_id. One corpus-sized
+    * shuffle total, independent of corpus size per-bucket state.
+    * Determinism: the two ln() calls (last-ulp libm divergence) are
+    * rounded to 12 decimals and summed as DECIMAL — exact and
+    * order-independent; the final per-doc value casts to double once.
+    */
+  private val dsirBuckets = 4096
+  private val dsirTarget = "src0"
+  private def dsirSql(spark: Boolean): String = {
+    val bucket = CrossEngine.hexDigest(spark, "tok", width = 3, castTo = "INT")
+    val feats =
+      if (spark)
+        s"""feats AS (
+           |  SELECT doc_id, source, $bucket AS bucket FROM (
+           |    SELECT doc_id, source, explode(a) AS tok
+           |    FROM (SELECT doc_id, source, split(text, ' ') AS a FROM documents)
+           |    UNION ALL
+           |    SELECT doc_id, source,
+           |      explode(transform(sequence(1, size(a) - 1),
+           |        i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))) AS tok
+           |    FROM (SELECT doc_id, source, split(text, ' ') AS a FROM documents)
+           |    WHERE size(a) >= 2))""".stripMargin
+      else
+        s"""toks AS (
+           |  SELECT doc_id, source, UNNEST(range(1, len(a) + 1)) AS pos, UNNEST(a) AS tok
+           |  FROM (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents)),
+           |big AS (
+           |  SELECT doc_id, source,
+           |    (LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos)) || ' ' || tok AS tok
+           |  FROM toks),
+           |feats AS (
+           |  SELECT doc_id, source, $bucket AS bucket FROM (
+           |    SELECT doc_id, source, tok FROM toks
+           |    UNION ALL
+           |    SELECT doc_id, source, tok FROM big WHERE tok IS NOT NULL))""".stripMargin
+    val nFeats = if (spark) "COUNT(1)" else "CAST(COUNT(1) AS BIGINT)"
+    s"""WITH $feats,
+       |raw AS (SELECT bucket, COUNT(1) AS c FROM feats GROUP BY bucket),
+       |tgt AS (SELECT bucket, COUNT(1) AS c FROM feats
+       |        WHERE source = '$dsirTarget' GROUP BY bucket),
+       |tot AS (SELECT CAST((SELECT SUM(c) FROM raw) AS DOUBLE) AS nr,
+       |               CAST((SELECT SUM(c) FROM tgt) AS DOUBLE) AS nt),
+       |ratio AS (
+       |  SELECT r.bucket,
+       |    CAST(round(ln((CAST(COALESCE(t.c, 0) AS DOUBLE) + 1.0) / (tot.nt + $dsirBuckets.0))
+       |             - ln((CAST(r.c AS DOUBLE) + 1.0) / (tot.nr + $dsirBuckets.0)), 12)
+       |         AS DECIMAL(28, 12)) AS logr
+       |  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket CROSS JOIN tot),
+       |w AS (
+       |  SELECT f.doc_id, $nFeats AS n_feats, SUM(rt.logr) AS logw
+       |  FROM feats f JOIN ratio rt ON rt.bucket = f.bucket
+       |  GROUP BY f.doc_id),
+       |thr AS (SELECT CAST(SUM(logw) AS DOUBLE) / COUNT(1) AS t FROM w)
+       |SELECT d.doc_id,
+       |  COALESCE(w.n_feats, CAST(0 AS BIGINT)) AS n_feats,
+       |  COALESCE(CAST(w.logw AS DOUBLE), 0.0) AS log_weight,
+       |  COALESCE(CAST(w.logw AS DOUBLE), 0.0) > thr.t AS selected
+       |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id CROSS JOIN thr
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** BPE tokenizer training — the Sennrich et al. 2016 merge-learning
+    * loop (arXiv:1508.07909), [[bpeMerges]] iterations, emitted as the
+    * learned merge table (step, lhs, rhs, merged, pair_count). This is
+    * exactly how SentencePiece/HF trainers run: collapse the corpus to a
+    * word-frequency DICTIONARY once, then iterate merges over the
+    * dictionary — per-iteration cost is vocabulary-sized, never
+    * corpus-sized.
+    *
+    * Symbol encoding: a word's current symbol sequence is one string with
+    * symbols joined by DOUBLE spaces ('t  a  b  l  e'). Applying the best
+    * pair is then a plain `replace(sym, 'a  b', 'ab')`: replace scans
+    * left-to-right over NON-overlapping occurrences, which is precisely
+    * BPE's greedy within-word merge ('a a a' merges to '(aa) a', and the
+    * double-space separator means adjacent pair occurrences never share a
+    * consumed character — single-space joining WOULD break this, the
+    * second of 'a b a b' fails to match once its leading space is
+    * consumed). Ties on pair count break lexicographically — both engines
+    * sort the same strings, so the merge table is bit-deterministic with
+    * no floats anywhere.
+    *
+    * Scale shape (100 TB): the ONLY corpus-sized operation is the initial
+    * word count (one map-side-combinable shuffle); each of the K
+    * iterations is a dictionary-sized pair aggregate plus a 1-row
+    * broadcast cross join. K is a constant (the vocab budget), so the
+    * plan is K tiny stages after one corpus pass.
+    */
+  private val bpeMerges = 6
+  private def bpeSql(spark: Boolean): String = {
+    val init =
+      if (spark)
+        """prev0 AS (
+          |  SELECT tok, COUNT(1) AS wc,
+          |         rtrim(regexp_replace(tok, '(.)', '$1  ')) AS sym
+          |  FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)
+          |  GROUP BY tok)""".stripMargin
+      else
+        """prev0 AS (
+          |  SELECT tok, CAST(COUNT(1) AS BIGINT) AS wc,
+          |         rtrim(regexp_replace(tok, '(.)', '\1  ', 'g')) AS sym
+          |  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+          |  GROUP BY tok)""".stripMargin
+    def pairs(prev: String) =
+      if (spark)
+        s"""(SELECT wc, explode(transform(sequence(1, size(a) - 1),
+           |    i -> concat(element_at(a, i), '  ', element_at(a, i + 1)))) AS pr
+           |  FROM (SELECT wc, split(sym, '  ') AS a FROM $prev) WHERE size(a) >= 2)""".stripMargin
+      else
+        s"""(SELECT wc, UNNEST(list_transform(range(1, len(a)), i -> a[i] || '  ' || a[i+1])) AS pr
+           |  FROM (SELECT wc, string_split(sym, '  ') AS a FROM $prev) WHERE len(a) >= 2)""".stripMargin
+    val sumC = (e: String) => if (spark) s"SUM($e)" else s"CAST(SUM($e) AS BIGINT)"
+    val steps = (1 to bpeMerges).flatMap { k =>
+      Seq(
+        s"""best$k AS (
+           |  SELECT pr, ${sumC("wc")} AS c FROM ${pairs(s"prev${k - 1}")} p
+           |  GROUP BY pr ORDER BY c DESC, pr LIMIT 1)""".stripMargin,
+        s"""prev$k AS (
+           |  SELECT tok, wc, replace(sym, b.pr, replace(b.pr, '  ', '')) AS sym
+           |  FROM prev${k - 1} CROSS JOIN best$k b)""".stripMargin)
+    }
+    val union = (1 to bpeMerges)
+      .map(k => s"""SELECT CAST($k AS INT) AS step, split_part(pr, '  ', 1) AS lhs,
+                   |  split_part(pr, '  ', 2) AS rhs, replace(pr, '  ', '') AS merged,
+                   |  c AS pair_count FROM best$k""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH ${(init +: steps).mkString(",\n")}
+       |SELECT * FROM ($union) ORDER BY step""".stripMargin
+  }
+
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
   }
@@ -522,6 +677,12 @@ object CurateOps {
     "text_vocab_overlap" -> QueryDef(
       (s, d) => sq(s, d, vocabOverlapSql(spark = true)),
       Some(vocabOverlapSql(spark = false))),
+    "text_dsir_select" -> QueryDef(
+      (s, d) => sq(s, d, dsirSql(spark = true)),
+      Some(dsirSql(spark = false))),
+    "text_bpe_train" -> QueryDef(
+      (s, d) => sq(s, d, bpeSql(spark = true)),
+      Some(bpeSql(spark = false))),
     "quality_expectations" -> QueryDef(expectationsImpl _, expectationsSql)
   )
 }

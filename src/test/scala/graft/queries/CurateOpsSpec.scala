@@ -110,4 +110,84 @@ class CurateOpsSpec extends SparkTestBase {
     assert(rows.map(_.toString).toSeq == direct,
       "two-phase top-k must equal the direct single-window ranking")
   }
+
+  test("dsir covers every document once, selected == (log_weight > 0), deterministic") {
+    val d = run("text_dsir_select")
+    noGlobalWindows(d)
+    val rows = d.collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == nDocs.toInt, "one weight row per raw document")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "every doc has at least its unigram features")
+    }
+    // `selected` is a weight threshold: a non-degenerate split where
+    // every selected doc outweighs every unselected one
+    val (sel, unsel) = rows.partition(_.getBoolean(3))
+    assert(sel.nonEmpty && unsel.nonEmpty, "mean-split must be non-degenerate")
+    assert(sel.map(_.getDouble(2)).min > unsel.map(_.getDouble(2)).max,
+      "selection must be a pure threshold on log_weight")
+    // The estimator's defining property: TARGET-source documents must on
+    // average score higher under log(p_tgt/p_raw) than the rest of the
+    // corpus (the empirical target distribution is fitted ON them — mean
+    // target score tracks KL(p_tgt || p_raw) >= 0 plus a positive
+    // own-sample bias, while non-target docs absorb the complementary
+    // negative mass). If this inverts, the ratio table is flipped.
+    val srcOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (tgt, rest) = rows.partition(r => srcOf(r.getLong(0)) == "src0")
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    val meanTgt = tgt.map(_.getDouble(2)).sum / tgt.length
+    val meanRest = rest.map(_.getDouble(2)).sum / rest.length
+    assert(meanTgt > meanRest,
+      s"target docs must out-score the rest: $meanTgt vs $meanRest")
+    val again = run("text_dsir_select").collect().map(_.toString).toSeq
+    assert(again == rows.map(_.toString).toSeq, "weights must be rerun-deterministic")
+  }
+
+  test("bpe merge table equals an independent in-memory trainer") {
+    val rows = run("text_bpe_train").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 6))
+    rows.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    val counts = rows.map(_.getLong(4)).toSeq
+    assert(counts == counts.sorted.reverse, "best-pair counts are non-increasing")
+
+    // independent reference: classic Sennrich BPE over the word-count
+    // dictionary — count EVERY adjacent pair occurrence, tie-break by the
+    // pair's joined string ascending, apply greedily left-to-right
+    val wordCounts: Map[String, Long] = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    var dict: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val expect = (1 to 6).map { step =>
+      val pairCounts = dict.toSeq
+        .flatMap { case (syms, c) => syms.zip(syms.tail).map(p => p -> c) }
+        .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).sum }
+      val (best, c) = pairCounts.toSeq
+        .minBy { case ((l, r), n) => (-n, l + "  " + r) }
+      def merge(syms: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && (syms(i), syms(i + 1)) == best) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+      dict = dict.toSeq.map { case (s, n) => merge(s) -> n }
+        .groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sum }
+      (step, best._1, best._2, best._1 + best._2, c)
+    }
+    val got = rows.map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got == expect, s"merge table must match the reference trainer:\n$got\n$expect")
+  }
 }
