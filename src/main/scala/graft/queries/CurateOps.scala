@@ -553,7 +553,11 @@ object CurateOps {
     * plan is K tiny stages after one corpus pass.
     */
   private val bpeMerges = 6
-  private def bpeSql(spark: Boolean): String = {
+  /** The shared WITH-chain: word dictionary + K (best_k, prev_k) stages.
+    * [[bpeSql]] reads the merge table off the best_k rows;
+    * [[bpeTokenizeSql]] reads the FINAL symbolization off prev_K.
+    */
+  private def bpeChain(spark: Boolean): String = {
     val init =
       if (spark)
         """prev0 AS (
@@ -585,13 +589,49 @@ object CurateOps {
            |  SELECT tok, wc, replace(sym, b.pr, replace(b.pr, '  ', '')) AS sym
            |  FROM prev${k - 1} CROSS JOIN best$k b)""".stripMargin)
     }
+    (init +: steps).mkString(",\n")
+  }
+
+  private def bpeSql(spark: Boolean): String = {
     val union = (1 to bpeMerges)
       .map(k => s"""SELECT CAST($k AS INT) AS step, split_part(pr, '  ', 1) AS lhs,
                    |  split_part(pr, '  ', 2) AS rhs, replace(pr, '  ', '') AS merged,
                    |  c AS pair_count FROM best$k""".stripMargin)
       .mkString("\nUNION ALL ")
-    s"""WITH ${(init +: steps).mkString(",\n")}
+    s"""WITH ${bpeChain(spark)}
        |SELECT * FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** Tokenizer-fertility report: re-tokenize the corpus under the merges
+    * learned by [[bpeChain]] and emit per-document whitespace-token vs
+    * BPE-token counts plus the fertility ratio (BPE tokens per word — THE
+    * metric tokenizer evaluations report; high fertility on a language or
+    * source flags a tokenizer that fragments it, inflating training cost
+    * per effective token).
+    *
+    * Scale shape: applying a trained BPE never touches the corpus
+    * per-iteration — the final symbolization lives on the DICTIONARY
+    * (prev_K), so application is one broadcast join from the token stream
+    * to the ≤vocabulary-sized (word → symbol count) table plus a doc-keyed
+    * combinable aggregate. Fertility divides two exact BIGINTs in double —
+    * bit-deterministic cross-engine.
+    */
+  private def bpeTokenizeSql(spark: Boolean): String = {
+    val explodeToks =
+      if (spark) "explode(split(text, ' '))" else "UNNEST(string_split(text, ' '))"
+    val nSyms =
+      if (spark) "size(split(sym, '  '))" else "len(string_split(sym, '  '))"
+    val cnt = (e: String) => if (spark) e else s"CAST($e AS BIGINT)"
+    s"""WITH ${bpeChain(spark)},
+       |doctoks AS (SELECT doc_id, $explodeToks AS tok FROM documents),
+       |symlen AS (SELECT tok, CAST($nSyms AS INT) AS ntok FROM prev$bpeMerges)
+       |SELECT d.doc_id,
+       |  ${cnt("COUNT(1)")} AS n_ws_tokens,
+       |  ${cnt("SUM(s.ntok)")} AS n_bpe_tokens,
+       |  CAST(${cnt("SUM(s.ntok)")} AS DOUBLE) / COUNT(1) AS fertility
+       |FROM doctoks d JOIN symlen s ON d.tok = s.tok
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
@@ -683,6 +723,9 @@ object CurateOps {
     "text_bpe_train" -> QueryDef(
       (s, d) => sq(s, d, bpeSql(spark = true)),
       Some(bpeSql(spark = false))),
+    "text_bpe_tokenize" -> QueryDef(
+      (s, d) => sq(s, d, bpeTokenizeSql(spark = true)),
+      Some(bpeTokenizeSql(spark = false))),
     "quality_expectations" -> QueryDef(expectationsImpl _, expectationsSql)
   )
 }

@@ -146,28 +146,16 @@ class CurateOpsSpec extends SparkTestBase {
     assert(again == rows.map(_.toString).toSeq, "weights must be rerun-deterministic")
   }
 
-  test("bpe merge table equals an independent in-memory trainer") {
-    val rows = run("text_bpe_train").collect()
-    assert(rows.length == 6)
-    assert(rows.map(_.getInt(0)).toSeq == (1 to 6))
-    rows.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
-    val counts = rows.map(_.getLong(4)).toSeq
-    assert(counts == counts.sorted.reverse, "best-pair counts are non-increasing")
-
-    // independent reference: classic Sennrich BPE over the word-count
-    // dictionary — count EVERY adjacent pair occurrence, tie-break by the
-    // pair's joined string ascending, apply greedily left-to-right
-    val wordCounts: Map[String, Long] = {
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    }
-    var dict: Map[Vector[String], Long] =
-      wordCounts.map { case (w, c) => w.map(_.toString).toVector -> c }
-    val expect = (1 to 6).map { step =>
-      val pairCounts = dict.toSeq
+  // independent reference: classic Sennrich BPE over the word-count
+  // dictionary — count EVERY adjacent pair occurrence, tie-break by the
+  // pair's joined string ascending, apply greedily left-to-right.
+  // Returns the merge table and each word's final symbolization.
+  private def refBpe(wordCounts: Map[String, Long], k: Int)
+      : (Seq[(Int, String, String, String, Long)], Map[String, Vector[String]]) = {
+    var dict: Map[String, (Vector[String], Long)] =
+      wordCounts.map { case (w, c) => w -> (w.map(_.toString).toVector, c) }
+    val merges = (1 to k).map { step =>
+      val pairCounts = dict.values.toSeq
         .flatMap { case (syms, c) => syms.zip(syms.tail).map(p => p -> c) }
         .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).sum }
       val (best, c) = pairCounts.toSeq
@@ -182,12 +170,48 @@ class CurateOpsSpec extends SparkTestBase {
         }
         out.result()
       }
-      dict = dict.toSeq.map { case (s, n) => merge(s) -> n }
-        .groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sum }
+      dict = dict.map { case (w, (s, n)) => w -> (merge(s), n) }
       (step, best._1, best._2, best._1 + best._2, c)
     }
+    (merges, dict.map { case (w, (s, _)) => w -> s })
+  }
+
+  private def wordCounts: Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("bpe merge table equals an independent in-memory trainer") {
+    val rows = run("text_bpe_train").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 6))
+    rows.foreach(r => assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    val counts = rows.map(_.getLong(4)).toSeq
+    assert(counts == counts.sorted.reverse, "best-pair counts are non-increasing")
+    val (expect, _) = refBpe(wordCounts, 6)
     val got = rows.map(r =>
       (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
     assert(got == expect, s"merge table must match the reference trainer:\n$got\n$expect")
+  }
+
+  test("bpe tokenize counts match the reference symbolization per document") {
+    val (_, finalDict) = refBpe(wordCounts, 6)
+    val rows = run("text_bpe_tokenize").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split(" ").toSeq
+      val nWs = toks.length.toLong
+      val nBpe = toks.map(t => finalDict(t).length.toLong).sum
+      assert(r.getLong(1) == nWs, s"ws count for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == nBpe, s"bpe count for doc ${r.getLong(0)}")
+      assert(r.getDouble(3) == nBpe.toDouble / nWs, s"fertility for doc ${r.getLong(0)}")
+      assert(r.getLong(2) >= r.getLong(1), "every word is at least one symbol")
+    }
   }
 }
