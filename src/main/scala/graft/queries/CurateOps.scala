@@ -634,6 +634,103 @@ object CurateOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Driver-regime BPE trainer — the production shape: SentencePiece/HF
+    * trainers collect the word-frequency dictionary (vocabulary-sized,
+    * sublinear in the corpus) and run the merge loop IN MEMORY; only the
+    * initial word count and the final application touch the corpus. The
+    * pure-SQL chain ([[bpeChain]]) is the oracle's definition AND the
+    * distributed fallback past the gate — but as the default Spark plan
+    * it is measurably wrong: Catalyst inlines a CTE referenced twice, so
+    * prev_k duplicates exponentially in K (~2^K copies of the word-count
+    * aggregate at K=6, ~2.5s of pure planning+recompute at ANY scale
+    * factor). Gate: the dictionary must fit the driver
+    * (|distinct words| ≤ spark.graft.text.bpeDriverMaxVocab, default 4M
+    * — same driver-regime bound as dedup_groups' union-find); above it
+    * the SQL chain runs unchanged, dictionary-sized per stage.
+    *
+    * The loop mirrors the SQL semantics exactly: every adjacent pair
+    * occurrence counts (weighted by word frequency), ties break on the
+    * '  '-joined pair string ascending, application is greedy
+    * left-to-right — asserted equal to the forced SQL chain by
+    * CurateOpsSpec's regime test and to DuckDB by the oracle.
+    */
+  private def bpeDriverMaxVocab(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.text.bpeDriverMaxVocab")
+      .map(_.toInt).getOrElse(4000000)
+
+  /** Some((merge table, word → n_symbols)) under the gate; None above. */
+  private def bpeTrained(s: SparkSession, d: String)
+      : Option[(Seq[(Int, String, String, String, Long)], Map[String, Int])] = {
+    prep(s, d)
+    val gate = bpeDriverMaxVocab(s)
+    SessionRegistry.of(s).getOrElseUpdate(s"bpe:$d:$gate", {
+      val rows = s.sql(
+        s"""SELECT tok, COUNT(1) AS wc
+           |FROM (SELECT explode(split(text, ' ')) AS tok FROM documents)
+           |GROUP BY tok LIMIT ${gate.toLong + 1}""".stripMargin).collect()
+      if (rows.length > gate) None
+      else {
+        var dict: Map[String, (Vector[String], Long)] =
+          rows.iterator.map(r =>
+            r.getString(0) -> (r.getString(0).map(_.toString).toVector, r.getLong(1))).toMap
+        val merges = (1 to bpeMerges).flatMap { step =>
+          val pairCounts = collection.mutable.Map.empty[(String, String), Long]
+          dict.valuesIterator.foreach { case (syms, c) =>
+            var i = 0
+            while (i + 1 < syms.length) {
+              val p = (syms(i), syms(i + 1))
+              pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+              i += 1
+            }
+          }
+          if (pairCounts.isEmpty) Nil
+          else {
+            val (best, c) = pairCounts
+              .minBy { case ((l, r), n) => (-n, l + "  " + r) }
+            def merge(syms: Vector[String]): Vector[String] = {
+              val out = Vector.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && (syms(i), syms(i + 1)) == best) {
+                  out += syms(i) + syms(i + 1); i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              out.result()
+            }
+            dict = dict.map { case (w, (sy, n)) => w -> (merge(sy), n) }
+            Seq((step, best._1, best._2, best._1 + best._2, c))
+          }
+        }
+        Some((merges, dict.map { case (w, (sy, _)) => w -> sy.length }))
+      }
+    }).asInstanceOf[Option[(Seq[(Int, String, String, String, Long)], Map[String, Int])]]
+  }
+
+  private def bpeTrainImpl(s: SparkSession, d: String): DataFrame =
+    bpeTrained(s, d) match {
+      case Some((merges, _)) =>
+        import s.implicits._
+        merges.toDF("step", "lhs", "rhs", "merged", "pair_count").orderBy("step")
+      case None => sq(s, d, bpeSql(spark = true))
+    }
+
+  private def bpeTokenizeImpl(s: SparkSession, d: String): DataFrame =
+    bpeTrained(s, d) match {
+      case Some((_, symLens)) =>
+        import org.apache.spark.sql.functions._
+        import s.implicits._
+        val lens = symLens.toSeq.toDF("tok", "ntok")
+        s.table("documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .join(broadcast(lens), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_ws_tokens"), sum("ntok").as("n_bpe_tokens"))
+          .withColumn("fertility",
+            col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
+          .orderBy("doc_id")
+      case None => sq(s, d, bpeTokenizeSql(spark = true))
+    }
+
   private def sq(s: SparkSession, d: String, sql: String): DataFrame = {
     prep(s, d); s.sql(sql)
   }
@@ -721,10 +818,10 @@ object CurateOps {
       (s, d) => sq(s, d, dsirSql(spark = true)),
       Some(dsirSql(spark = false))),
     "text_bpe_train" -> QueryDef(
-      (s, d) => sq(s, d, bpeSql(spark = true)),
+      bpeTrainImpl _,
       Some(bpeSql(spark = false))),
     "text_bpe_tokenize" -> QueryDef(
-      (s, d) => sq(s, d, bpeTokenizeSql(spark = true)),
+      bpeTokenizeImpl _,
       Some(bpeTokenizeSql(spark = false))),
     "quality_expectations" -> QueryDef(expectationsImpl _, expectationsSql)
   )

@@ -197,6 +197,18 @@ class CurateOpsSpec extends SparkTestBase {
     assert(got == expect, s"merge table must match the reference trainer:\n$got\n$expect")
   }
 
+  test("bpe driver regime equals the forced distributed SQL chain") {
+    // gate to 0 -> the unrolled SQL chain; both regimes must be
+    // row-identical for train AND tokenize
+    def forced(name: String): Seq[String] = {
+      spark.conf.set("spark.graft.text.bpeDriverMaxVocab", "0")
+      try run(name).collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.text.bpeDriverMaxVocab")
+    }
+    assert(run("text_bpe_train").collect().map(_.toString).toSeq == forced("text_bpe_train"))
+    assert(run("text_bpe_tokenize").collect().map(_.toString).toSeq == forced("text_bpe_tokenize"))
+  }
+
   test("bpe tokenize counts match the reference symbolization per document") {
     val (_, finalDict) = refBpe(wordCounts, 6)
     val rows = run("text_bpe_tokenize").collect()
