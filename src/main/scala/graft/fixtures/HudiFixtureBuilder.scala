@@ -53,6 +53,7 @@ object HudiFixtureBuilder {
   def morInsertOnlyPath(sfDir: String): String = s"${root(sfDir)}/mor_insert_only"
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
   def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
+  def lancePath(sfDir: String): String = s"${root(sfDir)}/cow_lance_nation"
   def widenedPath(sfDir: String): String = s"${root(sfDir)}/cow_widened_nation"
   def morWidenedPath(sfDir: String): String = s"${root(sfDir)}/mor_widened_nation"
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
@@ -73,7 +74,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v24")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v25")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -152,6 +153,7 @@ object HudiFixtureBuilder {
           buildMorInsertOnly(spark, sfDir); own()
           buildCowDroppedNation(spark, sfDir); own()
           buildCowEvolvedNation(spark, sfDir); own()
+          buildCowLanceNation(spark, sfDir); own()
           buildCowWidenedNation(spark, sfDir); own()
           buildMorWidenedNation(spark, sfDir); own()
           buildCowMdtNation(spark, sfDir); own()
@@ -1264,6 +1266,64 @@ object HudiFixtureBuilder {
         delRows.map(r => (r.getLong(0).toString, "", r.getLong(1))).toIndexedSeq)
     } finally out2.close()
     writeCommit(fs, base, T3, "deltacommit", Seq(("", fileId(1), log2)))
+  }
+
+  // --- COW over nation with LANCE base files (S7) -------------------------
+  // Two commits on ONE file group: T1 inserts every nation row; T2 is the
+  // COW rewrite applying an update (n_name + '-v2' for key % 5 == 0) with
+  // per-row commit times (updated rows T2, carried rows keep T1 — the
+  // real COW rewrite shape). Base files are written by graft.lance
+  // .LanceWriter, whose byte layout the READER proved against the
+  // reference's own golden fixtures — so the oracle gate exercises the
+  // full lance plan+decode path on deterministic data.
+  private def buildCowLanceNation(spark: SparkSession, sfDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(conf)
+    val base = new Path(lancePath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_lance_nation
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.base.file.format=LANCE
+        |hoodie.table.recordkey.fields=n_nationkey
+        |hoodie.table.precombine.field=n_nationkey
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+      .orderBy("n_nationkey").collect() // nation is fixed-size (25 rows)
+    val dataSchema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType), StructField("score", DoubleType)))
+    val fileSchema = StructType(
+      Seq("_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
+        "_hoodie_partition_path", "_hoodie_file_name")
+        .map(StructField(_, StringType)) ++ dataSchema.fields)
+    def rows(name: String, commitFor: Int => String, mutated: Boolean): Seq[Seq[Any]] =
+      src.toSeq.map { r =>
+        val k = r.getInt(0)
+        val c = commitFor(k)
+        val nm = if (mutated && k % 5 == 0) r.getString(1) + "-v2" else r.getString(1)
+        Seq(c, s"${c}_0_$k", k.toString, "", name,
+          k, nm, r.getInt(2), k / 4.0)
+      }
+    def commitJson(fid: String, rel: String): String = {
+      val avro = SparkToAvro.toAvroSchema(dataSchema, "nation_record").toString
+      val esc = avro.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"partitionToWriteStats":{"":[{"fileId":"$fid","path":"$rel","partitionPath":""}]},""" +
+        s""""extraMetadata":{"schema":"$esc"},"compacted":false}"""
+    }
+    val name1 = s"${fileId(0)}_${Token}_$T1.lance"
+    graft.lance.LanceWriter.write(
+      new Path(base, name1).toString, conf, fileSchema, rows(name1, _ => T1, mutated = false))
+    writeText(fs, new Path(base, s".hoodie/$T1.commit"), commitJson(fileId(0), name1))
+    val name2 = s"${fileId(0)}_${Token}_$T2.lance"
+    graft.lance.LanceWriter.write(
+      new Path(base, name2).toString, conf, fileSchema,
+      rows(name2, k => if (k % 5 == 0) T2 else T1, mutated = true))
+    writeText(fs, new Path(base, s".hoodie/$T2.commit"), commitJson(fileId(0), name2))
   }
 
   // --- COW over nation, non-partitioned, schema EVOLVED at commit 2 ------

@@ -153,7 +153,9 @@ final class FilePruner(
         (relevant.nonEmpty && !preStats.contains(file.fileName)) ||
           (isNullFilters.nonEmpty && !preZeroNulls.contains(file.fileName))
       val footer =
-        if (needFooter) fileStats(file.path)
+        // Lance base files carry no footer stats — fail open (keep) unless
+        // the MDT column_stats tier pre-supplied ranges for the file
+        if (needFooter && !file.path.endsWith(".lance")) fileStats(file.path)
         else FooterFacts(Map.empty, Set.empty, Set.empty)
       val ranges = preStats.getOrElse(file.fileName, footer.ranges)
       val zero = preZeroNulls.getOrElse(file.fileName, footer.zeroNulls)
@@ -392,6 +394,11 @@ object FileStatsEstimator {
   /** (totalRows, rowsPerByte) from one sampled footer; None on failure. */
   def sample(path: String, conf: Configuration): Option[Double] =
     try {
+      if (path.endsWith(".lance")) {
+        val lf = graft.lance.LanceFormat.readMetadata(path, conf)
+        val size = new Path(path).getFileSystem(conf).getFileStatus(new Path(path)).getLen
+        return if (size > 0) Some(lf.numRows.toDouble / size) else None
+      }
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
       try {
         val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
@@ -406,6 +413,8 @@ object FileStatsEstimator {
     * never silently fall back to an estimate.
     */
   def exactRowCount(path: String, conf: Configuration): Long = {
+    if (path.endsWith(".lance"))
+      return graft.lance.LanceFormat.rowCount(path, conf)
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
     try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
     finally reader.close()

@@ -111,13 +111,20 @@ final class FsView(
           case _: java.io.FileNotFoundException if mdtRecords.isDefined => Iterator.empty
         }
     }
-    val baseExt = config.baseFileFormat.toLowerCase
+    // a declared format pins the extension; with the key ABSENT the
+    // reference dispatches per file extension (base_file/reader.rs,
+    // pinned by its extension-fallback test) — accept both data formats
+    val baseExts: Set[String] =
+      config.get(graft.core.HoodieConfig.BaseFileFormat) match {
+        case Some(f) => Set(f.toLowerCase)
+        case None => Set("parquet", "lance")
+      }
     val bases = mutable.ArrayBuffer.empty[BaseFile]
     val logs = mutable.ArrayBuffer.empty[LogFile]
     entries.foreach { case (name, size) =>
       val path = new Path(dir, name).toString
       if (!name.startsWith(".hoodie_partition")) {
-        if (name.toLowerCase.endsWith("." + baseExt) && !name.startsWith(".")) {
+        if (baseExts.exists(e => name.toLowerCase.endsWith("." + e)) && !name.startsWith(".")) {
           // uncommitted-file filtering is layout-v2-only, matching the
           // reference exactly (view.rs:146 should_filter_uncommitted =
           // is_timeline_layout_v2; v6 relies on cleaning, as Hudi v6 does)

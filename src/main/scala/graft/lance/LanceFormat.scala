@@ -430,8 +430,18 @@ object LanceFormat {
             val sparkT = c.field.sparkType(
               lf.childOf(c).field.sparkType(
                 throw new UnsupportedOperationException("lance: nested lists unsupported")))
-            // DecimalType equality covers precision/scale; Array covers element
-            if (sparkT != f.dataType)
+            // DecimalType equality covers precision/scale; Array covers the
+            // element type. NULLABILITY is not physical: the table schema
+            // declares nullable containers while every supported lance
+            // page is all-valid — compare with nullability erased.
+            def erase(dt: DataType): DataType = dt match {
+              case ArrayType(et, _) => ArrayType(erase(et), containsNull = true)
+              case MapType(k, v, _) => MapType(erase(k), erase(v), valueContainsNull = true)
+              case StructType(fs) => StructType(fs.map(x =>
+                x.copy(dataType = erase(x.dataType), nullable = true)))
+              case other => other
+            }
+            if (erase(sparkT) != erase(f.dataType))
               throw new UnsupportedOperationException(
                 s"lance: field ${f.name} is $sparkT in $path but the table schema wants ${f.dataType}")
             val vals = decode(c, readAt,

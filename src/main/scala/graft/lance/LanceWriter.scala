@@ -1,0 +1,186 @@
+package graft.lance
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+/** Minimal Lance v2 writer — the fixture-side counterpart of
+  * [[LanceFormat]]: emits exactly the plain-page subset the reader
+  * supports (flat fixed-width little-endian values and variable binary
+  * with u64 end-offsets; one page per column; schema + row count in
+  * global buffer 0; LANC v0.3 footer). Used by the deterministic fixture
+  * builder to produce Lance-based Hudi tables for the oracle gate — the
+  * READ path is additionally pinned against the reference's own golden
+  * fixture bytes (LanceFormatSpec/LanceTableSpec), so the writer can
+  * never mask a format misunderstanding: a writer bug breaks the
+  * round-trip spec against values the reader proved on foreign bytes.
+  */
+object LanceWriter {
+
+  private final class Buf {
+    val out = new java.io.ByteArrayOutputStream()
+    def pos: Int = out.size()
+    def bytes(b: Array[Byte]): Unit = out.write(b)
+    def u64(v: Long): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putLong(v); out.write(bb.array())
+    }
+    def u32(v: Int): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(v); out.write(bb.array())
+    }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+  }
+
+  // -- protobuf encoding helpers ----------------------------------------
+  private def varint(v: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var x = v
+    do {
+      val b = (x & 0x7f).toInt
+      x = x >>> 7
+      out.write(if (x != 0) b | 0x80 else b)
+    } while (x != 0)
+    out.toByteArray
+  }
+  private def field(num: Int, wire: Int): Array[Byte] = varint((num.toLong << 3) | wire)
+  private def vfield(num: Int, v: Long): Array[Byte] = field(num, 0) ++ varint(v)
+  private def mfield(num: Int, body: Array[Byte]): Array[Byte] =
+    field(num, 2) ++ varint(body.length) ++ body
+  private def sfield(num: Int, s: String): Array[Byte] = mfield(num, s.getBytes("UTF-8"))
+
+  private def logicalType(dt: DataType): String = dt match {
+    case StringType => "string"
+    case IntegerType => "int32"
+    case LongType => "int64"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "bool"
+    case DateType => "date32:day"
+    case TimestampType => "timestamp:us:UTC"
+    case d: DecimalType => s"decimal:128:${d.precision}:${d.scale}"
+    case other => throw new UnsupportedOperationException(s"lance writer: $other")
+  }
+
+  /** ArrayEncoding bytes for a flat fixed-width column (the reference
+    * writer's structure, byte-compatible with LanceFormat.parseEncoding).
+    */
+  private def flatWrapper(bits: Long): Array[Byte] =
+    mfield(1, mfield(1, mfield(1, vfield(1, bits) ++ mfield(2, Array.emptyByteArray))))
+  private def flatArrayEncoding(bits: Long): Array[Byte] = mfield(2, flatWrapper(bits))
+  private def variableArrayEncoding(totalBytes: Long): Array[Byte] =
+    mfield(6,
+      mfield(1, mfield(2, flatWrapper(64))) ++
+        mfield(2, mfield(1, vfield(1, 8) ++ mfield(2, vfield(1, 1)))) ++
+        vfield(3, totalBytes))
+
+  private def anyEncoding(arrayEncoding: Array[Byte]): Array[Byte] =
+    mfield(2, mfield(1,
+      sfield(1, "/lance.encodings.ArrayEncoding") ++ mfield(2, arrayEncoding)))
+
+  private def bitsOf(dt: DataType): Int = dt match {
+    case BooleanType => 1
+    case IntegerType | DateType | FloatType => 32
+    case LongType | DoubleType | TimestampType => 64
+    case _: DecimalType => 128
+    case other => throw new UnsupportedOperationException(s"lance writer: $other")
+  }
+
+  /** Write `rows` (JVM values: String / Int / Long / Double / Boolean /
+    * java.math.BigDecimal; Int days for DateType, Long micros for
+    * TimestampType; null is NOT supported — the reader subset is
+    * all-valid) as one Lance file.
+    */
+  def write(path: String, conf: Configuration, schema: StructType, rows: Seq[Seq[Any]]): Unit = {
+    require(rows.forall(_.length == schema.length), "row arity mismatch")
+    val n = rows.length
+    val buf = new Buf
+
+    // data pages first; remember (offsets, sizes, encoding) per column
+    val pages = schema.fields.zipWithIndex.map { case (f, ci) =>
+      val vals = rows.map(_(ci))
+      require(vals.forall(_ != null), s"lance writer: null in ${f.name} (subset is all-valid)")
+      f.dataType match {
+        case StringType =>
+          val bytes = vals.map(_.asInstanceOf[String].getBytes("UTF-8"))
+          val offPos = buf.pos.toLong
+          var acc = 0L
+          bytes.foreach { b => acc += b.length; buf.u64(acc) }
+          val bytesPos = buf.pos.toLong
+          bytes.foreach(buf.bytes)
+          (Array(offPos, bytesPos), Array(8L * n, acc), variableArrayEncoding(acc))
+        case dt =>
+          val pos = buf.pos.toLong
+          dt match {
+            case IntegerType | DateType => vals.foreach(v => buf.u32(v.asInstanceOf[Int]))
+            case LongType | TimestampType => vals.foreach(v => buf.u64(v.asInstanceOf[Long]))
+            case DoubleType => vals.foreach(v =>
+              buf.u64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])))
+            case BooleanType =>
+              val bb = new Array[Byte]((n + 7) / 8)
+              vals.zipWithIndex.foreach { case (v, i) =>
+                if (v.asInstanceOf[Boolean]) bb(i >> 3) = (bb(i >> 3) | (1 << (i & 7))).toByte
+              }
+              buf.bytes(bb)
+            case d: DecimalType =>
+              vals.foreach { v =>
+                val unscaled = v.asInstanceOf[java.math.BigDecimal]
+                  .setScale(d.scale).unscaledValue()
+                val be = unscaled.toByteArray // big-endian, minimal
+                val le = new Array[Byte](16)
+                val sign: Byte = if (unscaled.signum() < 0) -1 else 0
+                java.util.Arrays.fill(le, sign)
+                var i = 0
+                while (i < be.length) { le(i) = be(be.length - 1 - i); i += 1 }
+                buf.bytes(le)
+              }
+            case other => throw new UnsupportedOperationException(s"lance writer: $other")
+          }
+          val size = buf.pos - pos
+          (Array(pos), Array(size.toLong), flatArrayEncoding(bitsOf(dt)))
+      }
+    }
+
+    // global buffer 0: file descriptor (schema + row count)
+    val fieldMsgs = schema.fields.zipWithIndex.map { case (f, i) =>
+      mfield(1,
+        sfield(2, f.name) ++
+          (if (i != 0) vfield(3, i) else Array.emptyByteArray) ++
+          vfield(4, -1L) ++ // top-level parent, 10-byte varint like the reference
+          sfield(5, logicalType(f.dataType)))
+    }
+    val descriptor = mfield(1, fieldMsgs.flatten.toArray) ++ vfield(2, n)
+    val gb0Pos = buf.pos.toLong
+    buf.bytes(descriptor)
+    val gb0Size = descriptor.length.toLong
+
+    // column metadatas
+    val cmStart = buf.pos.toLong
+    val cmEntries = pages.map { case (offs, sizes, enc) =>
+      val page =
+        offs.map(o => vfield(1, o)).flatten ++
+          sizes.map(s => vfield(2, s)).flatten ++
+          vfield(3, n) ++
+          mfield(4, anyEncoding(enc))
+      val meta = mfield(2, page.toArray)
+      val pos = buf.pos.toLong
+      buf.bytes(meta)
+      (pos, meta.length.toLong)
+    }
+
+    // column metadata offset table, global buffer offset table, footer
+    val cmoStart = buf.pos.toLong
+    cmEntries.foreach { case (p, s) => buf.u64(p); buf.u64(s) }
+    val gboStart = buf.pos.toLong
+    buf.u64(gb0Pos); buf.u64(gb0Size)
+    buf.u64(cmStart); buf.u64(cmoStart); buf.u64(gboStart)
+    buf.u32(1); buf.u32(schema.length)
+    buf.u16(0); buf.u16(3)
+    buf.bytes("LANC".getBytes("UTF-8"))
+
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(buf.out.toByteArray) finally out.close()
+  }
+}

@@ -622,6 +622,39 @@ object HudiQueries {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin),
 
+    // --- S7: LANCE base files — COW snapshot reads the latest rewrite of
+    // the file group through graft.lance.LanceFormat (flat int32/double +
+    // variable string pages; plan-level pruning/merging machinery is
+    // format-agnostic). The reader's byte-level correctness is pinned on
+    // the reference's golden fixtures (LanceTableSpec); this entry pins
+    // the same path against the DuckDB oracle on deterministic data.
+    "hudi_lance_snapshot" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.lancePath(d))
+          .select("n_nationkey", "n_name", "n_regionkey", "score")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN n_name || '-v2' ELSE n_name END AS n_name,
+        |  n_regionkey,
+        |  CAST(n_nationkey AS DOUBLE)/4 AS score
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // time travel to the insert commit over LANCE: the T1 file serves and
+    // no '-v2' row exists yet
+    "hudi_lance_time_travel" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft")
+          .option("as.of.timestamp", HudiFixtureBuilder.T1)
+          .load(HudiFixtureBuilder.lancePath(d))
+          .select("n_nationkey", "n_name", "score")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name, CAST(n_nationkey AS DOUBLE)/4 AS score
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     // --- schema evolution: column added at commit 2 resolves from the
     // latest commit metadata (resolver.rs:41-47) — rows written before the
     // add read back with the new column null

@@ -1015,6 +1015,21 @@ object GraftFooterAggScan {
       needed: Set[String],
       countCols: Set[String] = Set.empty): FileFacts = {
     footerReads.incrementAndGet()
+    if (path.endsWith(".lance")) {
+      // Lance metadata tier: exact row counts from the file descriptor
+      // (COUNT(*) pushdown works without parquet). Null proofs come from
+      // the reader's SCOPE: every supported Lance encoding is all-valid
+      // (a nullable wrapper fails readMetadata's encoding parse, which
+      // tryPlan's catch turns into a declined pushdown), so a present
+      // column has zero nulls and an absent one is all-null. Lance files
+      // carry no min/max stats — those columns stay unproven and the
+      // MIN/MAX pushdown rejects (scan stays authoritative).
+      val lf = graft.lance.LanceFormat.readMetadata(path, conf)
+      val names = lf.topLevel.map(_.field.name).toSet
+      val nulls = countCols.iterator
+        .map(c => c -> (if (names.contains(c)) 0L else lf.numRows)).toMap
+      return FileFacts(lf.numRows, Map.empty, needed.filterNot(names.contains), nulls)
+    }
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(path), conf))
@@ -1890,8 +1905,14 @@ class GraftScan(
     // no partition needs the merge machinery.
     val rangeFilterNeeded = batchIncremental && !incrementalContained &&
       hudi.config.populatesMetaFields && !morMergeNeeded
+    // S7: Lance base files read through graft.lance.LanceFormat — a
+    // row-producing reader, so every columnar route (vectorized batches,
+    // the columnar merge overlay) stands down and the proven row path
+    // carries the scan; parquet-footer probes (widen, filters) skip too.
+    val isLance = hudi.isLance
     val candidateColumnar =
-      (!withCommitCol || incrementalContained || rangeFilterNeeded) && !morMergeNeeded
+      (!withCommitCol || incrementalContained || rangeFilterNeeded) &&
+        !morMergeNeeded && !isLance
 
     // MOR merge needs the record key / ordering / seqno / commit columns
     // even when the query prunes them away: widen, merge, project back
@@ -1933,7 +1954,7 @@ class GraftScan(
     // per planned base file (gated tables only); forces the row path.
     val widenCand = hudi.longWidenFields.filter(delegateRequired.fieldNames.contains)
     val widenPaths: Set[String] =
-      if (widenCand.isEmpty) Set.empty
+      if (widenCand.isEmpty || isLance) Set.empty // widen probe reads parquet footers
       else hudi.longWidenPaths(slices.flatMap(_.baseFile.map(_.path)))
         .map(p => org.apache.spark.paths.SparkPath.fromPathString(p).toString)
 
@@ -1963,7 +1984,7 @@ class GraftScan(
     // vectors and covers exactly the atomic types; nested-schema MOR
     // merges stay on the row path (caught by the row-vs-columnar
     // differential on the reference's v6 SampleTable fixture).
-    val columnarMerge = !candidateColumnar && morMergeNeeded &&
+    val columnarMerge = !candidateColumnar && morMergeNeeded && !isLance &&
       hudi.config.recordMergeStrategy != "APPEND_ONLY" &&
       hudi.config.populatesMetaFields && widenPaths.isEmpty &&
       widenedEffective.fields.forall(f => GraftScan.overlayWritable(f.dataType)) &&
@@ -1988,9 +2009,47 @@ class GraftScan(
       options = Map("returning_batch" -> vectorized.toString),
       hadoopConf = hadoopConf)
 
+    // S7 dispatch: Lance base files bypass the parquet delegate entirely —
+    // LanceFormat range-reads only the requested columns' buffers and the
+    // delegate's partition-append contract is reproduced here (partition
+    // values from the PartitionedFile, appended AFTER the required
+    // columns, exactly the widenedEffective order). Pushed data filters
+    // are row-group hints for parquet; Spark re-applies every Inexact
+    // residual, so skipping them over Lance loses IO skipping, never rows.
+    val lanceFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+      if (!isLance) null
+      else {
+        val reqJson = delegateRequired.json
+        val nPart = partitionSchema.length
+        val confSer = new SerializableConf(hudi.hadoopConf)
+        pf => {
+          val req = org.apache.spark.sql.types.DataType.fromJson(reqJson)
+            .asInstanceOf[StructType]
+          val base = graft.lance.LanceFormat.rows(
+            pf.filePath.toString, confSer.value, req)
+          if (nPart == 0) base
+          else {
+            val width = req.length + nPart
+            base.map { r =>
+              val vals = new Array[Any](width)
+              var i = 0
+              while (i < req.length) { vals(i) = r.get(i, req.fields(i).dataType); i += 1 }
+              var j = 0
+              while (j < nPart) {
+                vals(req.length + j) = pf.partitionValues.get(j, partitionSchema.fields(j).dataType)
+                j += 1
+              }
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+            }
+          }
+        }
+      }
+
     val readFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[org.apache.spark.sql.catalyst.InternalRow] =
-      if (widenPaths.isEmpty) readFn0
+      if (isLance) lanceFn
+      else if (widenPaths.isEmpty) readFn0
       else {
         val longRequired = StructType(delegateRequired.fields.map(f =>
           if (widenCand.contains(f.name))

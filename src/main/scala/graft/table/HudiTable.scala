@@ -37,25 +37,44 @@ final class HudiTable(
     if (extra.isEmpty) stored else HoodieConfig(stored.props ++ extra)
   }
   // Base-file format contract, checked at open so a wrong format fails
-  // here instead of deep in a parquet decode (the reference dispatches per
-  // format in base_file/reader.rs:152-167; its Lance reader is
-  // base_file/lance.rs). PARQUET is the only data-table format this engine
-  // executes: no Spark-compatible Lance reader exists in the allowed
-  // dependency set, and HFile data files belong to the metadata table's
-  // dedicated reader path, as in the reference.
+  // here instead of deep in a decode (the reference dispatches per format
+  // in base_file/reader.rs:152-167; its Lance reader is
+  // base_file/lance.rs — here graft.lance.LanceFormat, an independent
+  // implementation of the subset Hudi writers emit). HFile data files
+  // belong to the metadata table's dedicated reader path, as in the
+  // reference.
   config.baseFileFormat.toUpperCase match {
-    case "PARQUET" => ()
-    case "LANCE" => throw new UnsupportedOperationException(
-      s"table $basePath uses Lance base files (hoodie.table.base.file.format=" +
-        s"${config.baseFileFormat}) — unsupported: no Spark-compatible Lance reader " +
-        "is available; read this table with a Lance-capable engine " +
-        "(hudi-rs, or the Lance format's own readers)")
+    case "PARQUET" | "LANCE" => ()
     case "HFILE" => throw new UnsupportedOperationException(
       s"table $basePath declares HFile base files — HFile is only supported " +
         "through the metadata-table reader path, not as a data-table format")
     case other => throw new IllegalArgumentException(
       s"table $basePath declares unknown base file format '$other'")
   }
+
+  /** True when data files are Lance (S7): the scan routes base reads
+    * through [[graft.lance.LanceFormat]] and every parquet-footer-probing
+    * optimization (footer min/max pruning, aggregate pushdown from
+    * footers, per-file widen probing, columnar batches) stands down.
+    * With the format key ABSENT, falls back to the sampled base file's
+    * extension — the reference's behavior for tables whose writer didn't
+    * persist the key (base_file/reader.rs extension dispatch, pinned by
+    * its v9_lance_nonpartitioned_cow_read_uses_extension_fallback test).
+    */
+  lazy val isLance: Boolean =
+    config.baseFileFormat.equalsIgnoreCase("LANCE") ||
+      (config.get(graft.core.HoodieConfig.BaseFileFormat).isEmpty &&
+        sampledBasePath.exists(_.endsWith(".lance")))
+
+  /** One arbitrary latest base file — the schema-probe / format-fallback
+    * sample.
+    */
+  private lazy val sampledBasePath: Option[String] =
+    fsView.partitionPaths.iterator
+      .flatMap(p => fsView.fileGroups(p))
+      .flatMap(_.slices.values.lastOption)
+      .flatMap(_.baseFile.map(_.path))
+      .take(1).toList.headOption
 
   val timeline: Timeline = new Timeline(basePath, config, hadoopConf)
   val fsView: FsView = new FsView(basePath, config, timeline, hadoopConf)
@@ -141,12 +160,10 @@ final class HudiTable(
     // meta columns): the reference prepends AFTER resolution on every path
     // (resolver.rs resolve_schema), so a no-metafields table exposes the
     // same null-valued meta columns whichever branch fired
-    def fromFooter: Option[StructType] = fsView.partitionPaths.iterator
-      .flatMap(p => fsView.fileGroups(p))
-      .flatMap(_.slices.values.lastOption)
-      .flatMap(_.baseFile.map(_.path))
-      .take(1).toList.headOption
-      .map(path => prependMeta(spark.read.parquet(path).schema))
+    def fromFooter: Option[StructType] = sampledBasePath
+      .map(path => prependMeta(
+        if (path.endsWith(".lance")) graft.lance.LanceFormat.readSchema(path, hadoopConf)
+        else spark.read.parquet(path).schema))
     def fromCreate: StructType = {
       val avroJson = config.get("hoodie.table.create.schema").getOrElse(
         throw new IllegalStateException(s"Cannot resolve schema for empty table $basePath"))

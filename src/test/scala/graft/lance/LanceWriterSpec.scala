@@ -1,0 +1,71 @@
+package graft.lance
+
+import graft.SparkTestBase
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.types._
+
+/** Round-trips every LanceWriter type through LanceFormat — the reader
+  * side is independently pinned on the reference's golden bytes
+  * (LanceFormatSpec), so agreement here proves the writer emits the same
+  * subset rather than a private dialect.
+  */
+class LanceWriterSpec extends SparkTestBase {
+
+  test("all supported types round-trip") {
+    val conf = new Configuration()
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("d", DoubleType),
+      StructField("b", BooleanType), StructField("dt", DateType),
+      StructField("ts", TimestampType), StructField("dec", DecimalType(15, 2))))
+    val rows: Seq[Seq[Any]] = (0 until 11).map { k =>
+      Seq(s"row-$k" * (k % 3 + 1), k, k.toLong * 1000000007L, k / 8.0,
+        k % 3 == 0, 19000 + k, 1700000000000000L + k,
+        new java.math.BigDecimal(s"${k * 111}.4$k"))
+    }
+    val path = java.nio.file.Files.createTempDirectory("lancew").resolve("t.lance").toString
+    LanceWriter.write(path, conf, schema, rows)
+
+    assert(LanceFormat.rowCount(path, conf) == 11L)
+    assert(LanceFormat.readSchema(path, conf).map(f => (f.name, f.dataType)) ==
+      schema.map(f => (f.name, f.dataType)))
+    val got = LanceFormat.rows(path, conf, schema).toArray
+    assert(got.length == 11)
+    got.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getUTF8String(0).toString == s"row-$k" * (k % 3 + 1))
+      assert(r.getInt(1) == k)
+      assert(r.getLong(2) == k.toLong * 1000000007L)
+      assert(r.getDouble(3) == k / 8.0)
+      assert(r.getBoolean(4) == (k % 3 == 0))
+      assert(r.getInt(5) == 19000 + k)
+      assert(r.getLong(6) == 1700000000000000L + k)
+      assert(r.getDecimal(7, 15, 2).toJavaBigDecimal ==
+        new java.math.BigDecimal(s"${k * 111}.4$k").setScale(2))
+    }
+    // negative decimals exercise the sign-extension path
+    val negSchema = StructType(Seq(StructField("dec", DecimalType(10, 2))))
+    val negPath = java.nio.file.Files.createTempDirectory("lancew").resolve("n.lance").toString
+    LanceWriter.write(negPath, conf, negSchema,
+      Seq(Seq(new java.math.BigDecimal("-12345.67")), Seq(new java.math.BigDecimal("-0.01"))))
+    val neg = LanceFormat.rows(negPath, conf, negSchema).toArray
+    assert(neg(0).getDecimal(0, 10, 2).toJavaBigDecimal == new java.math.BigDecimal("-12345.67"))
+    assert(neg(1).getDecimal(0, 10, 2).toJavaBigDecimal == new java.math.BigDecimal("-0.01"))
+  }
+
+  test("the built lance fixture table reads through the full engine") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val t = graft.table.HudiTable(spark, graft.fixtures.HudiFixtureBuilder.lancePath(sfDir))
+    assert(t.isLance)
+    val rows = t.snapshot().select("n_nationkey", "n_name", "score").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(rows.length == 25)
+    rows.foreach { case (k, nm, sc) =>
+      assert(sc == k / 4.0)
+      assert(nm.endsWith("-v2") == (k % 5 == 0), s"key $k name $nm")
+    }
+    // time travel to T1: no -v2 anywhere
+    val t1 = t.snapshot(asOf = Some(graft.fixtures.HudiFixtureBuilder.T1))
+      .select("n_name").collect().map(_.getString(0))
+    assert(t1.length == 25 && !t1.exists(_.endsWith("-v2")))
+  }
+}
