@@ -54,6 +54,7 @@ object HudiFixtureBuilder {
   def droppedPath(sfDir: String): String = s"${root(sfDir)}/cow_dropped_nation"
   def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
   def lancePath(sfDir: String): String = s"${root(sfDir)}/cow_lance_nation"
+  def morLancePath(sfDir: String): String = s"${root(sfDir)}/mor_lance_nation"
   def widenedPath(sfDir: String): String = s"${root(sfDir)}/cow_widened_nation"
   def morWidenedPath(sfDir: String): String = s"${root(sfDir)}/mor_widened_nation"
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
@@ -74,7 +75,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v25")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v26")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -154,6 +155,7 @@ object HudiFixtureBuilder {
           buildCowDroppedNation(spark, sfDir); own()
           buildCowEvolvedNation(spark, sfDir); own()
           buildCowLanceNation(spark, sfDir); own()
+          buildMorLanceNation(spark, sfDir); own()
           buildCowWidenedNation(spark, sfDir); own()
           buildMorWidenedNation(spark, sfDir); own()
           buildCowMdtNation(spark, sfDir); own()
@@ -1324,6 +1326,71 @@ object HudiFixtureBuilder {
       new Path(base, name2).toString, conf, fileSchema,
       rows(name2, k => if (k % 5 == 0) T2 else T1, mutated = true))
     writeText(fs, new Path(base, s".hoodie/$T2.commit"), commitJson(fileId(0), name2))
+  }
+
+  // --- MOR over nation: LANCE base + avro update log + delete block -------
+  // (S7 × S9): the per-slice merge must overlay avro log records and
+  // delete tombstones onto a Lance-decoded base — the cross-format MOR
+  // shape the reference reads via record_merger over its lance scan.
+  private def buildMorLanceNation(spark: SparkSession, sfDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(conf)
+    val base = new Path(morLancePath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=mor_lance_nation
+        |hoodie.table.type=MERGE_ON_READ
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.base.file.format=LANCE
+        |hoodie.table.recordkey.fields=n_nationkey
+        |hoodie.table.precombine.field=n_nationkey
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+      .orderBy("n_nationkey").collect()
+    val dataSchema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType), StructField("score", DoubleType)))
+    val fileSchema = StructType(
+      Seq("_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
+        "_hoodie_partition_path", "_hoodie_file_name")
+        .map(StructField(_, StringType)) ++ dataSchema.fields)
+    val name1 = s"${fileId(0)}_${Token}_$T1.lance"
+    graft.lance.LanceWriter.write(
+      new Path(base, name1).toString, conf, fileSchema,
+      src.toSeq.map { r =>
+        val k = r.getInt(0)
+        Seq(T1, s"${T1}_0_$k", k.toString, "", name1,
+          k, r.getString(1), r.getInt(2), k / 4.0)
+      })
+    writeCommit(fs, base, T1, "commit", Seq(("", fileId(0), name1)),
+      Some(SparkToAvro.toAvroSchema(dataSchema, "nation_record").toString))
+
+    // deltacommit T2: avro update block (n_name + '-v2', score + 100)
+    val avroSchema = SparkToAvro.toAvroSchema(fileSchema, "mor_lance_record")
+    val logName1 = s".${fileId(0)}_$T1.log.1_$Token"
+    val out1 = new DataOutputStream(fs.create(new Path(base, logName1), true))
+    try LogFileWriter.avroDataBlock(out1, T2, avroSchema,
+      src.toSeq.filter(_.getInt(0) % 5 == 0).map { r =>
+        val k = r.getInt(0)
+        SparkToAvro.toRecord(
+          org.apache.spark.sql.Row(T2, s"${T2}_0_$k", k.toString, "", "",
+            k, r.getString(1) + "-v2", r.getInt(2), k / 4.0 + 100.0),
+          fileSchema, avroSchema)
+      })
+    finally out1.close()
+    writeCommit(fs, base, T2, "deltacommit", Seq(("", fileId(0), logName1)))
+
+    // deltacommit T3: delete tombstones for n_nationkey % 7 == 3
+    val logName2 = s".${fileId(0)}_$T1.log.2_$Token"
+    val out2 = new DataOutputStream(fs.create(new Path(base, logName2), true))
+    try LogFileWriter.deleteBlock(out2, T3, avroSchema,
+      src.toSeq.filter(_.getInt(0) % 7 == 3)
+        .map(r => (r.getInt(0).toString, "", r.getInt(0).asInstanceOf[Any])))
+    finally out2.close()
+    writeCommit(fs, base, T3, "deltacommit", Seq(("", fileId(0), logName2)))
   }
 
   // --- COW over nation, non-partitioned, schema EVOLVED at commit 2 ------

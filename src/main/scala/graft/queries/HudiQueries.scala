@@ -641,6 +641,41 @@ object HudiQueries {
         |  CAST(n_nationkey AS DOUBLE)/4 AS score
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // incremental (T1, T2] over LANCE: exactly the rewrite's updated rows
+    // (the P5 commit-time row filter applied to lance-decoded rows)
+    "hudi_lance_incremental" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft")
+          .option("query.type", "incremental")
+          .option("start.timestamp", HudiFixtureBuilder.T1)
+          .option("end.timestamp", HudiFixtureBuilder.T2)
+          .load(HudiFixtureBuilder.lancePath(d))
+          .select("n_nationkey", "n_name", "score")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name || '-v2' AS n_name,
+        |  CAST(n_nationkey AS DOUBLE)/4 AS score
+        |FROM nation WHERE n_nationkey % 5 = 0
+        |ORDER BY n_nationkey""".stripMargin),
+
+    // MOR over LANCE (S7 × S9): avro update log + delete tombstones
+    // merged onto the lance-decoded base by the per-slice merge
+    "hudi_lance_mor" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.morLancePath(d))
+          .select("n_nationkey", "n_name", "n_regionkey", "score")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN n_name || '-v2' ELSE n_name END AS n_name,
+        |  n_regionkey,
+        |  CAST(n_nationkey AS DOUBLE)/4
+        |    + CASE WHEN n_nationkey % 5 = 0 THEN 100 ELSE 0 END AS score
+        |FROM nation WHERE n_nationkey % 7 <> 3
+        |ORDER BY n_nationkey""".stripMargin),
+
     // time travel to the insert commit over LANCE: the T1 file serves and
     // no '-v2' row exists yet
     "hudi_lance_time_travel" -> QueryDef(
