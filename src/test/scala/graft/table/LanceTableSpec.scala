@@ -142,6 +142,27 @@ class LanceTableSpec extends SparkTestBase {
       s"COUNT should serve from metadata, got:\n$plan")
   }
 
+  test("record-index point lookup plans a slice subset over Lance") {
+    assume(nonPart.isDefined)
+    // the fixture enables the record_index MDT partition; a key-equality
+    // lookup must plan FEWER slices than the snapshot (index planning is
+    // format-agnostic — it bounds which lance files are opened at all)
+    val pt = spark.read.format("hudi-graft").load(nonPart.get)
+      .where("id = 3").select("id", "name")
+    val scanDesc = pt.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("1 slices"), s"point lookup should plan 1 slice:\n$scanDesc")
+    assert(pt.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((3, "feature-set-gamma")))
+  }
+
+  test("MIN/MAX over Lance falls back to a correct scan (no footer stats)") {
+    assume(nonPart.isDefined)
+    import org.apache.spark.sql.functions.{max, min}
+    val row = spark.read.format("hudi-graft").load(nonPart.get)
+      .agg(min("score"), max("score")).collect()(0)
+    assert(row.getDouble(0) == 0.82 && row.getDouble(1) == 0.97)
+  }
+
   test("SQL catalog time travel works over Lance") {
     assume(nonPart.isDefined)
     spark.conf.set("spark.sql.catalog.lance_cat",
