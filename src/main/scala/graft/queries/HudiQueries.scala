@@ -676,6 +676,35 @@ object HudiQueries {
         |FROM nation WHERE n_nationkey % 7 <> 3
         |ORDER BY n_nationkey""".stripMargin),
 
+    // COUNT(*) over LANCE is metadata-only: the footer-agg tier serves
+    // row counts from the Lance file descriptor (readFacts' lance branch)
+    "hudi_lance_count_pushdown" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val df = s.read.format("hudi-graft").load(HudiFixtureBuilder.lancePath(d))
+          .groupBy().count()
+        // plan-shape guard: the pushdown must actually serve (LocalScan),
+        // not silently fall back to a row scan
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(!plan.contains("GraftScan"),
+          s"lance COUNT must serve from metadata:\n$plan")
+        df
+      },
+      "SELECT COUNT(*) AS count FROM nation"),
+
+    // MOR read-optimized over LANCE: base only — no '-v2', no +100 score,
+    // tombstoned rows still present
+    "hudi_lance_read_optimized" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").option("read.optimized", "true")
+          .load(HudiFixtureBuilder.morLancePath(d))
+          .select("n_nationkey", "n_name", "score")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey, n_name, CAST(n_nationkey AS DOUBLE)/4 AS score
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     // time travel to the insert commit over LANCE: the T1 file serves and
     // no '-v2' row exists yet
     "hudi_lance_time_travel" -> QueryDef(
