@@ -89,57 +89,66 @@ object LanceWriter {
   /** Write `rows` (JVM values: String / Int / Long / Double / Boolean /
     * java.math.BigDecimal; Int days for DateType, Long micros for
     * TimestampType; null is NOT supported — the reader subset is
-    * all-valid) as one Lance file.
+    * all-valid) as one Lance file. `pageRows` bounds rows per page —
+    * production Lance files are multi-page (the writer targets ~8 MB
+    * pages), so the round-trip spec drives the reader's page-concat path
+    * (per-page string offsets restart at zero) with small page sizes.
     */
-  def write(path: String, conf: Configuration, schema: StructType, rows: Seq[Seq[Any]]): Unit = {
+  def write(path: String, conf: Configuration, schema: StructType, rows: Seq[Seq[Any]],
+      pageRows: Int = Int.MaxValue): Unit = {
     require(rows.forall(_.length == schema.length), "row arity mismatch")
-    val n = rows.length
+    require(pageRows > 0, "pageRows must be positive")
     val buf = new Buf
 
-    // data pages first; remember (offsets, sizes, encoding) per column
-    val pages = schema.fields.zipWithIndex.map { case (f, ci) =>
-      val vals = rows.map(_(ci))
-      require(vals.forall(_ != null), s"lance writer: null in ${f.name} (subset is all-valid)")
-      f.dataType match {
-        case StringType =>
-          val bytes = vals.map(_.asInstanceOf[String].getBytes("UTF-8"))
-          val offPos = buf.pos.toLong
-          var acc = 0L
-          bytes.foreach { b => acc += b.length; buf.u64(acc) }
-          val bytesPos = buf.pos.toLong
-          bytes.foreach(buf.bytes)
-          (Array(offPos, bytesPos), Array(8L * n, acc), variableArrayEncoding(acc))
-        case dt =>
-          val pos = buf.pos.toLong
-          dt match {
-            case IntegerType | DateType => vals.foreach(v => buf.u32(v.asInstanceOf[Int]))
-            case LongType | TimestampType => vals.foreach(v => buf.u64(v.asInstanceOf[Long]))
-            case DoubleType => vals.foreach(v =>
-              buf.u64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])))
-            case BooleanType =>
-              val bb = new Array[Byte]((n + 7) / 8)
-              vals.zipWithIndex.foreach { case (v, i) =>
-                if (v.asInstanceOf[Boolean]) bb(i >> 3) = (bb(i >> 3) | (1 << (i & 7))).toByte
+    // data pages first; remember per column the page list
+    // (offsets, sizes, rows, encoding)
+    val pages: Seq[Seq[(Array[Long], Array[Long], Int, Array[Byte])]] =
+      schema.fields.zipWithIndex.map { case (f, ci) =>
+        val colVals = rows.map(_(ci))
+        require(colVals.forall(_ != null), s"lance writer: null in ${f.name} (subset is all-valid)")
+        (if (colVals.isEmpty) Seq(Seq.empty[Any]) else colVals.grouped(pageRows).toSeq).map { vals =>
+          val n = vals.length
+          f.dataType match {
+            case StringType =>
+              val bytes = vals.map(_.asInstanceOf[String].getBytes("UTF-8"))
+              val offPos = buf.pos.toLong
+              var acc = 0L
+              bytes.foreach { b => acc += b.length; buf.u64(acc) }
+              val bytesPos = buf.pos.toLong
+              bytes.foreach(buf.bytes)
+              (Array(offPos, bytesPos), Array(8L * n, acc), n, variableArrayEncoding(acc))
+            case dt =>
+              val pos = buf.pos.toLong
+              dt match {
+                case IntegerType | DateType => vals.foreach(v => buf.u32(v.asInstanceOf[Int]))
+                case LongType | TimestampType => vals.foreach(v => buf.u64(v.asInstanceOf[Long]))
+                case DoubleType => vals.foreach(v =>
+                  buf.u64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])))
+                case BooleanType =>
+                  val bb = new Array[Byte]((n + 7) / 8)
+                  vals.zipWithIndex.foreach { case (v, i) =>
+                    if (v.asInstanceOf[Boolean]) bb(i >> 3) = (bb(i >> 3) | (1 << (i & 7))).toByte
+                  }
+                  buf.bytes(bb)
+                case d: DecimalType =>
+                  vals.foreach { v =>
+                    val unscaled = v.asInstanceOf[java.math.BigDecimal]
+                      .setScale(d.scale).unscaledValue()
+                    val be = unscaled.toByteArray // big-endian, minimal
+                    val le = new Array[Byte](16)
+                    val sign: Byte = if (unscaled.signum() < 0) -1 else 0
+                    java.util.Arrays.fill(le, sign)
+                    var i = 0
+                    while (i < be.length) { le(i) = be(be.length - 1 - i); i += 1 }
+                    buf.bytes(le)
+                  }
+                case other => throw new UnsupportedOperationException(s"lance writer: $other")
               }
-              buf.bytes(bb)
-            case d: DecimalType =>
-              vals.foreach { v =>
-                val unscaled = v.asInstanceOf[java.math.BigDecimal]
-                  .setScale(d.scale).unscaledValue()
-                val be = unscaled.toByteArray // big-endian, minimal
-                val le = new Array[Byte](16)
-                val sign: Byte = if (unscaled.signum() < 0) -1 else 0
-                java.util.Arrays.fill(le, sign)
-                var i = 0
-                while (i < be.length) { le(i) = be(be.length - 1 - i); i += 1 }
-                buf.bytes(le)
-              }
-            case other => throw new UnsupportedOperationException(s"lance writer: $other")
+              val size = buf.pos - pos
+              (Array(pos), Array(size.toLong), n, flatArrayEncoding(bitsOf(dt)))
           }
-          val size = buf.pos - pos
-          (Array(pos), Array(size.toLong), flatArrayEncoding(bitsOf(dt)))
+        }
       }
-    }
 
     // global buffer 0: file descriptor (schema + row count)
     val fieldMsgs = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -149,20 +158,21 @@ object LanceWriter {
           vfield(4, -1L) ++ // top-level parent, 10-byte varint like the reference
           sfield(5, logicalType(f.dataType)))
     }
-    val descriptor = mfield(1, fieldMsgs.flatten.toArray) ++ vfield(2, n)
+    val descriptor = mfield(1, fieldMsgs.flatten.toArray) ++ vfield(2, rows.length)
     val gb0Pos = buf.pos.toLong
     buf.bytes(descriptor)
     val gb0Size = descriptor.length.toLong
 
-    // column metadatas
+    // column metadatas (one Page message per written page)
     val cmStart = buf.pos.toLong
-    val cmEntries = pages.map { case (offs, sizes, enc) =>
-      val page =
-        offs.map(o => vfield(1, o)).flatten ++
-          sizes.map(s => vfield(2, s)).flatten ++
-          vfield(3, n) ++
-          mfield(4, anyEncoding(enc))
-      val meta = mfield(2, page.toArray)
+    val cmEntries = pages.map { colPages =>
+      val meta = colPages.flatMap { case (offs, sizes, n, enc) =>
+        mfield(2,
+          offs.flatMap(o => vfield(1, o)) ++
+            sizes.flatMap(s => vfield(2, s)) ++
+            vfield(3, n) ++
+            mfield(4, anyEncoding(enc)))
+      }.toArray
       val pos = buf.pos.toLong
       buf.bytes(meta)
       (pos, meta.length.toLong)

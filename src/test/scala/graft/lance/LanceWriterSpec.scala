@@ -52,6 +52,30 @@ class LanceWriterSpec extends SparkTestBase {
     assert(neg(1).getDecimal(0, 10, 2).toJavaBigDecimal == new java.math.BigDecimal("-0.01"))
   }
 
+  test("multi-page files concat correctly (per-page string offsets restart)") {
+    // production Lance files page at ~8 MB; force 7-row pages over 23 rows
+    // so string pages have NON-ALIGNED boundaries and per-page offset
+    // buffers restart at zero — the reader must stitch pages seamlessly
+    val conf = new Configuration()
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("l", LongType),
+      StructField("b", BooleanType)))
+    val rows: Seq[Seq[Any]] = (0 until 23).map(k =>
+      Seq("x" * (k % 5) + s"#$k", k.toLong, k % 2 == 0))
+    val path = java.nio.file.Files.createTempDirectory("lancemp").resolve("mp.lance").toString
+    LanceWriter.write(path, conf, schema, rows, pageRows = 7)
+    val lf = LanceFormat.readMetadata(path, conf)
+    assert(lf.columns.head.pages.length == 4, "23 rows at 7/page = 4 pages")
+    assert(LanceFormat.rowCount(path, conf) == 23L)
+    val got = LanceFormat.rows(path, conf, schema).toArray
+    assert(got.length == 23)
+    got.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getUTF8String(0).toString == "x" * (k % 5) + s"#$k", s"row $k")
+      assert(r.getLong(1) == k.toLong)
+      assert(r.getBoolean(2) == (k % 2 == 0))
+    }
+  }
+
   test("the built lance fixture table reads through the full engine") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     val t = graft.table.HudiTable(spark, graft.fixtures.HudiFixtureBuilder.lancePath(sfDir))
