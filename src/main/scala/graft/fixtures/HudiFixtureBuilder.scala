@@ -55,6 +55,7 @@ object HudiFixtureBuilder {
   def evolvedPath(sfDir: String): String = s"${root(sfDir)}/cow_evolved_nation"
   def lancePath(sfDir: String): String = s"${root(sfDir)}/cow_lance_nation"
   def morLancePath(sfDir: String): String = s"${root(sfDir)}/mor_lance_nation"
+  def lanceNullsPath(sfDir: String): String = s"${root(sfDir)}/cow_lance_nulls"
   def widenedPath(sfDir: String): String = s"${root(sfDir)}/cow_widened_nation"
   def morWidenedPath(sfDir: String): String = s"${root(sfDir)}/mor_widened_nation"
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
@@ -75,7 +76,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v26")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v27")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -156,6 +157,7 @@ object HudiFixtureBuilder {
           buildCowEvolvedNation(spark, sfDir); own()
           buildCowLanceNation(spark, sfDir); own()
           buildMorLanceNation(spark, sfDir); own()
+          buildCowLanceNulls(spark, sfDir); own()
           buildCowWidenedNation(spark, sfDir); own()
           buildMorWidenedNation(spark, sfDir); own()
           buildCowMdtNation(spark, sfDir); own()
@@ -1326,6 +1328,58 @@ object HudiFixtureBuilder {
       new Path(base, name2).toString, conf, fileSchema,
       rows(name2, k => if (k % 5 == 0) T2 else T1, mutated = true))
     writeText(fs, new Path(base, s".hoodie/$T2.commit"), commitJson(fileId(0), name2))
+  }
+
+  // --- COW over nation: LANCE base with NULLABLE columns ------------------
+  // (S7, r12): real tables have nulls; this fixture drives the reader's
+  // Nullable branches end-to-end — some_nulls validity bitmaps across
+  // multiple small pages (pageRows=7 over 25 rows), an ALL-null column
+  // (bufferless all_nulls pages), and exact COUNT(col) null proofs from
+  // the bitmap popcounts (readFacts' lance tier).
+  private def buildCowLanceNulls(spark: SparkSession, sfDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(conf)
+    val base = new Path(lanceNullsPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_lance_nulls
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.base.file.format=LANCE
+        |hoodie.table.recordkey.fields=n_nationkey
+        |hoodie.table.precombine.field=n_nationkey
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+      .orderBy("n_nationkey").collect()
+    val dataSchema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("comment_opt", StringType),
+      StructField("weight", DoubleType),
+      StructField("flag_null", IntegerType)))
+    val fileSchema = StructType(
+      Seq("_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
+        "_hoodie_partition_path", "_hoodie_file_name")
+        .map(StructField(_, StringType)) ++ dataSchema.fields)
+    val name1 = s"${fileId(0)}_${Token}_$T1.lance"
+    val rows: Seq[Seq[Any]] = src.toSeq.map { r =>
+      val k = r.getInt(0)
+      Seq(T1, s"${T1}_0_$k", k.toString, "", name1,
+        k,
+        if (k % 3 == 0) null else r.getString(1),
+        if (k % 4 == 1) null else k / 2.0,
+        null) // flag_null: every row null
+    }
+    val avro = SparkToAvro.toAvroSchema(dataSchema, "nation_nulls_record").toString
+    val esc = avro.replace("\\", "\\\\").replace("\"", "\\\"")
+    val commitJson =
+      s"""{"partitionToWriteStats":{"":[{"fileId":"${fileId(0)}","path":"$name1","partitionPath":""}]},""" +
+        s""""extraMetadata":{"schema":"$esc"},"compacted":false}"""
+    graft.lance.LanceWriter.write(
+      new Path(base, name1).toString, conf, fileSchema, rows, pageRows = 7)
+    writeText(fs, new Path(base, s".hoodie/$T1.commit"), commitJson)
   }
 
   // --- MOR over nation: LANCE base + avro update log + delete block -------

@@ -38,10 +38,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * (1-bit bool bitmap, 32/64-bit ints, doubles, 128-bit decimals),
   * VARIABLE binary (u64 end-offset buffer + bytes buffer), and LIST
   * u64 end-offsets over a child column. No compression, no bitpacking,
-  * no validity buffers (all-valid), single- or multi-page. Anything
-  * else — a compressed page, a nullable wrapper, an unknown ArrayEncoding
-  * branch — fails CLOSED with the offending structure in the message
-  * rather than decoding garbage.
+  * single- or multi-page. Anything else — a compressed page, an unknown
+  * ArrayEncoding branch — fails CLOSED with the offending structure in
+  * the message rather than decoding garbage.
+  *
+  * NULLABILITY (r12): the `lance.encodings.Nullable` wrapper's three
+  * oneof branches from the public encodings.proto are all handled —
+  * `no_nulls{values}` (the wrapper every golden fixture page uses, the
+  * old f1/f1/f1 descent), `all_nulls{}` (a bufferless page of N nulls),
+  * and `some_nulls{validity, values}` (an Arrow-convention 1-bit
+  * validity bitmap — bit set = valid — alongside per-row values, nulls
+  * occupying zero-width/zeroed slots). Buffer INDICES are read from
+  * each Flat encoding's `buffer.buffer_index` rather than assumed
+  * positional, so validity/values buffers may appear in any order. The
+  * golden reference fixtures are all-valid, so the some_nulls/all_nulls
+  * layout derives from the public proto + Arrow conventions and is
+  * pinned by writer round-trip (LanceWriterSpec) — size invariants
+  * (bitmap = ceil(n/8) bytes, fixed-width = n·bits/8) fail closed on
+  * any layout mismatch instead of decoding garbage. Nullable LIST
+  * pages remain out of scope (offsets-vs-null ambiguity) and fail
+  * closed.
   *
   * Scale shape: the reader is COLUMNAR — it range-reads only the
   * metadata tail, the schema buffer, and the page buffers of the
@@ -127,10 +143,17 @@ object LanceFormat {
     }
   }
 
+  /** Physical value layout of a page, with explicit page-buffer indices. */
+  sealed trait Values
+  final case class Flat(bitsPerValue: Long, buf: Int) extends Values
+  final case class VariableBinary(offBuf: Int, bytesBuf: Int) extends Values
+  final case class ListOffsets(offBuf: Int) extends Values
+
+  /** Page-level encoding: values plus the nullability wrapper branch. */
   sealed trait Encoding
-  final case class Flat(bitsPerValue: Long) extends Encoding
-  case object VariableBinary extends Encoding
-  case object ListOffsets extends Encoding
+  final case class AllValid(values: Values) extends Encoding
+  final case class SomeNulls(validityBuf: Int, values: Values) extends Encoding
+  case object AllNullPage extends Encoding
 
   final case class Page(bufOffsets: Array[Long], bufSizes: Array[Long], rows: Long, encoding: Encoding)
   final case class Column(field: LanceField, pages: Seq[Page]) {
@@ -160,53 +183,91 @@ object LanceFormat {
     }
     def fail(b: Array[Byte]): Nothing = throw new UnsupportedOperationException(
       s"lance: unsupported page encoding structure in $ctx: ${b.map("%02x".format(_)).mkString}")
-    val wrapper = pbFields(pageEnc).collectFirst { case PbField(2, 2, _, inner) => inner }
-      .getOrElse(fail(pageEnc))
-    val arr = anyValue(wrapper)
-    // ArrayEncoding oneof branches observed from Hudi's writer:
-    //   f2 = flat fixed-width  (descend f1/f1/f1 -> {f1 = bits_per_value})
-    //   f6 = variable binary   (offsets flat u64 + bytes)
+
+    // Flat message {f1 bits, f2 Buffer{f1 buffer_index}}; anything beyond
+    // a buffer index in f2 (a buffer_type, a compression marker) fails.
+    def parseFlat(flat: Array[Byte], whole: Array[Byte]): Flat =
+      pbFields(flat) match {
+        case Seq(PbField(1, 0, bits, _)) => Flat(bits, 0)
+        case Seq(PbField(1, 0, bits, _), PbField(2, 2, _, bufMsg)) =>
+          val fs = pbFields(bufMsg)
+          if (fs.exists(f => !(f.num == 1 && f.wire == 0))) fail(whole)
+          Flat(bits, fs.collectFirst { case PbField(1, 0, v, _) => v.toInt }.getOrElse(0))
+        case _ => fail(whole)
+      }
+
+    // ArrayEncoding restricted to VALUE branches (no nullable nesting):
+    //   f1 = flat fixed-width (bare, used for validity / binary bytes)
+    //   f6 = variable binary   (offsets flat u64 + bytes flat u8)
     //   f4 = list              (offsets flat u64 over the child column)
-    pbFields(arr) match {
-      case Seq(PbField(2, 2, _, flat)) =>
-        Flat(flatBits(flat, arr, ctx))
+    def parseValues(arr: Array[Byte]): Values = pbFields(arr) match {
+      case Seq(PbField(1, 2, _, flat)) => parseFlat(flat, arr)
       case Seq(PbField(6, 2, _, variable)) =>
-        val offBits = pbFields(variable).collectFirst { case PbField(1, 2, _, o) =>
-          flatBits(pbFields(o).collectFirst { case PbField(2, 2, _, i) => i }.getOrElse(fail(arr)), arr, ctx)
+        val fs = pbFields(variable)
+        val offs = fs.collectFirst { case PbField(1, 2, _, o) =>
+          parseValues(o) match {
+            case f: Flat if f.bitsPerValue == 64 => f
+            case _ => fail(arr)
+          }
         }.getOrElse(fail(arr))
-        if (offBits != 64) fail(arr)
-        VariableBinary
+        val bytesBuf = fs.collectFirst { case PbField(2, 2, _, b) =>
+          parseValues(b) match {
+            case Flat(8, idx) => idx
+            case _ => fail(arr)
+          }
+        }.getOrElse(1) // golden fixtures: bytes buffer follows offsets
+        VariableBinary(offs.buf, bytesBuf)
       case Seq(PbField(4, 2, _, list)) =>
-        val offBits = pbFields(list).collectFirst { case PbField(1, 2, _, o) =>
-          flatBits(pbFields(o).collectFirst { case PbField(2, 2, _, i) => i }.getOrElse(fail(arr)), arr, ctx)
+        val offs = pbFields(list).collectFirst { case PbField(1, 2, _, o) =>
+          parseValues(o) match {
+            case f: Flat if f.bitsPerValue == 64 => f
+            case _ => fail(arr)
+          }
         }.getOrElse(fail(arr))
-        if (offBits != 64) fail(arr)
-        ListOffsets
+        ListOffsets(offs.buf)
+      // f2 = Nullable wrapper around a value branch (the shape golden
+      // binary-offset encodings use: nullable(no_nulls(flat)))
+      case Seq(PbField(2, 2, _, nul)) =>
+        pbFields(nul) match {
+          case Seq(PbField(1, 2, _, noNull)) =>
+            parseValues(pbFields(noNull).collectFirst { case PbField(1, 2, _, v) => v }
+              .getOrElse(fail(arr)))
+          case _ => fail(arr)
+        }
       case _ => fail(arr)
     }
-  }
 
-  /** Descend the flat-encoding wrapper f1/f1/f1 to {f1 = bits, f2 = {}};
-    * any compression marker (non-empty f2) fails closed.
-    */
-  private def flatBits(flat: Array[Byte], whole: Array[Byte], ctx: String): Long = {
-    def fail(): Nothing = throw new UnsupportedOperationException(
-      s"lance: unsupported flat encoding in $ctx: ${whole.map("%02x".format(_)).mkString}")
-    var cur = flat
-    var depth = 0
-    while (depth < 4) {
-      val fs = pbFields(cur)
-      fs match {
-        case Seq(PbField(1, 0, bits, _)) => return bits
-        case Seq(PbField(1, 0, bits, _), PbField(2, 2, _, comp)) =>
-          if (comp.nonEmpty && pbFields(comp).exists(f => !(f.num == 1 && f.wire == 0)))
-            fail()
-          return bits
-        case Seq(PbField(1, 2, _, inner)) => cur = inner; depth += 1
-        case _ => fail()
-      }
+    // Top-level ArrayEncoding of a page: value branches are all-valid;
+    // f2 = Nullable{no_nulls | all_nulls | some_nulls}.
+    def parseArray(arr: Array[Byte]): Encoding = pbFields(arr) match {
+      case Seq(PbField(2, 2, _, nul)) =>
+        pbFields(nul) match {
+          case Seq(PbField(1, 2, _, noNull)) =>
+            AllValid(parseValues(pbFields(noNull)
+              .collectFirst { case PbField(1, 2, _, v) => v }.getOrElse(fail(arr))))
+          case Seq(PbField(2, 2, _, _)) => AllNullPage
+          case Seq(PbField(3, 2, _, some)) =>
+            val fs = pbFields(some)
+            val validity = fs.collectFirst { case PbField(1, 2, _, v) => parseValues(v) }
+              .getOrElse(fail(arr))
+            val values = fs.collectFirst { case PbField(2, 2, _, v) => parseValues(v) }
+              .getOrElse(fail(arr))
+            val vBuf = validity match {
+              case Flat(1, idx) => idx
+              case _ => fail(arr) // validity must be a 1-bit bitmap
+            }
+            values match {
+              case _: ListOffsets => fail(arr) // nullable lists out of scope
+              case v => SomeNulls(vBuf, v)
+            }
+          case _ => fail(arr)
+        }
+      case _ => AllValid(parseValues(arr))
     }
-    fail()
+
+    val wrapper = pbFields(pageEnc).collectFirst { case PbField(2, 2, _, inner) => inner }
+      .getOrElse(fail(pageEnc))
+    parseArray(anyValue(wrapper))
   }
 
   private def parseSchema(desc: Array[Byte]): (Seq[LanceField], Long) = {
@@ -299,82 +360,136 @@ object LanceFormat {
     val out = Array.newBuilder[Any]
     var childBase = 0L // running element offset across pages of the PARENT
     val lt = col.field.logicalType
-    col.pages.foreach { page =>
+
+    def decodeValues(page: Page, values: Values): Array[Any] = {
       val n = page.rows.toInt
-      page.encoding match {
-        case Flat(bits) =>
-          val buf = readAt(page.bufOffsets(0), page.bufSizes(0).toInt)
+      val vals = new Array[Any](n)
+      values match {
+        case Flat(bits, bufIdx) =>
+          val buf = readAt(page.bufOffsets(bufIdx), page.bufSizes(bufIdx).toInt)
           val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def fixed(width: Int): Unit = require(buf.length == width * n,
+            s"lance: ${col.field.name} page buffer ${buf.length}B != $n rows × ${width}B")
           lt match {
             case "bool" =>
               require(bits == 1, s"lance: bool with $bits bits")
+              require(buf.length == (n + 7) / 8, s"lance: bool bitmap size ${buf.length} for $n rows")
               var i = 0
-              while (i < n) { out += (((buf(i >> 3) >> (i & 7)) & 1) == 1); i += 1 }
+              while (i < n) { vals(i) = ((buf(i >> 3) >> (i & 7)) & 1) == 1; i += 1 }
             case "int32" | "date32:day" =>
-              require(bits == 32, s"lance: $lt with $bits bits")
+              require(bits == 32, s"lance: $lt with $bits bits"); fixed(4)
               var i = 0
-              while (i < n) { out += bb.getInt(4 * i); i += 1 }
+              while (i < n) { vals(i) = bb.getInt(4 * i); i += 1 }
             case "int64" =>
-              require(bits == 64, s"lance: $lt with $bits bits")
+              require(bits == 64, s"lance: $lt with $bits bits"); fixed(8)
               var i = 0
-              while (i < n) { out += bb.getLong(8 * i); i += 1 }
+              while (i < n) { vals(i) = bb.getLong(8 * i); i += 1 }
             case t if t.startsWith("timestamp:us") =>
-              require(bits == 64, s"lance: $lt with $bits bits")
+              require(bits == 64, s"lance: $lt with $bits bits"); fixed(8)
               var i = 0
-              while (i < n) { out += bb.getLong(8 * i); i += 1 }
+              while (i < n) { vals(i) = bb.getLong(8 * i); i += 1 }
             case "double" =>
-              require(bits == 64, s"lance: double with $bits bits")
+              require(bits == 64, s"lance: double with $bits bits"); fixed(8)
               var i = 0
-              while (i < n) { out += bb.getDouble(8 * i); i += 1 }
+              while (i < n) { vals(i) = bb.getDouble(8 * i); i += 1 }
             case "float" =>
-              require(bits == 32, s"lance: float with $bits bits")
+              require(bits == 32, s"lance: float with $bits bits"); fixed(4)
               var i = 0
-              while (i < n) { out += bb.getFloat(4 * i); i += 1 }
+              while (i < n) { vals(i) = bb.getFloat(4 * i); i += 1 }
             case t if t.startsWith("decimal:128:") =>
-              require(bits == 128, s"lance: $lt with $bits bits")
+              require(bits == 128, s"lance: $lt with $bits bits"); fixed(16)
               val Array(_, _, p, s) = t.split(":")
               var i = 0
               while (i < n) {
                 val le = java.util.Arrays.copyOfRange(buf, 16 * i, 16 * (i + 1))
                 val be = le.reverse
                 val unscaled = new java.math.BigInteger(be)
-                out += org.apache.spark.sql.types.Decimal(
+                vals(i) = org.apache.spark.sql.types.Decimal(
                   new java.math.BigDecimal(unscaled, s.toInt), p.toInt, s.toInt)
                 i += 1
               }
             case other => throw new UnsupportedOperationException(
               s"lance: flat encoding for unsupported type '$other' (${col.field.name})")
           }
-        case VariableBinary =>
+        case VariableBinary(offBuf, bytesBuf) =>
           require(lt == "string", s"lance: variable encoding for non-string '$lt'")
-          val offs = readAt(page.bufOffsets(0), page.bufSizes(0).toInt)
-          val bytes = readAt(page.bufOffsets(1), page.bufSizes(1).toInt)
+          val offs = readAt(page.bufOffsets(offBuf), page.bufSizes(offBuf).toInt)
+          val bytes = readAt(page.bufOffsets(bytesBuf), page.bufSizes(bytesBuf).toInt)
+          require(offs.length == 8 * n, s"lance: string offsets ${offs.length}B for $n rows")
           val ob = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
           var prev = 0L
           var i = 0
           while (i < n) {
             val end = ob.getLong(8 * i)
-            out += UTF8String.fromBytes(bytes, prev.toInt, (end - prev).toInt)
+            vals(i) = UTF8String.fromBytes(bytes, prev.toInt, (end - prev).toInt)
             prev = end; i += 1
           }
-        case ListOffsets =>
+        case ListOffsets(offBuf) =>
           require(lt == "list", s"lance: list offsets for non-list '$lt'")
           val elems = child
-          val offs = readAt(page.bufOffsets(0), page.bufSizes(0).toInt)
+          val offs = readAt(page.bufOffsets(offBuf), page.bufSizes(offBuf).toInt)
+          require(offs.length == 8 * n, s"lance: list offsets ${offs.length}B for $n rows")
           val ob = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
           var prev = childBase
           var i = 0
           while (i < n) {
             val end = childBase + ob.getLong(8 * i)
-            out += new GenericArrayData(
+            vals(i) = new GenericArrayData(
               java.util.Arrays.copyOfRange(elems.asInstanceOf[Array[AnyRef]], prev.toInt, end.toInt))
             prev = end; i += 1
           }
           if (n > 0) childBase = prev
       }
+      vals
+    }
+
+    col.pages.foreach { page =>
+      val n = page.rows.toInt
+      page.encoding match {
+        case AllValid(values) => out ++= decodeValues(page, values)
+        case AllNullPage =>
+          var i = 0
+          while (i < n) { out += null; i += 1 }
+        case SomeNulls(vBuf, values) =>
+          val bitmap = readAt(page.bufOffsets(vBuf), page.bufSizes(vBuf).toInt)
+          require(bitmap.length == (n + 7) / 8,
+            s"lance: ${col.field.name} validity bitmap ${bitmap.length}B for $n rows")
+          val vals = decodeValues(page, values)
+          var i = 0
+          while (i < n) {
+            out += (if (((bitmap(i >> 3) >> (i & 7)) & 1) == 1) vals(i) else null)
+            i += 1
+          }
+      }
     }
     out.result()
   }
+
+  /** Exact null count of one column from its page encodings: all-valid
+    * pages contribute 0, all-null pages their row count, some-null pages
+    * the zero bits of their validity bitmap (a ceil(n/8)-byte ranged
+    * read — still metadata-scale IO). Powers COUNT(col) pushdown over
+    * Lance base files.
+    */
+  def columnNullCount(col: Column, readAt: (Long, Int) => Array[Byte]): Long =
+    col.pages.map { page =>
+      val n = page.rows.toInt
+      page.encoding match {
+        case AllValid(_) => 0L
+        case AllNullPage => page.rows
+        case SomeNulls(vBuf, _) =>
+          val bitmap = readAt(page.bufOffsets(vBuf), page.bufSizes(vBuf).toInt)
+          require(bitmap.length == (n + 7) / 8,
+            s"lance: ${col.field.name} validity bitmap ${bitmap.length}B for $n rows")
+          var valid = 0L
+          var i = 0
+          while (i < n) {
+            valid += (bitmap(i >> 3) >> (i & 7)) & 1
+            i += 1
+          }
+          n - valid
+      }
+    }.sum
 
   // ------------------------------------------------------------------
   // Hadoop-FS entry points
@@ -400,6 +515,22 @@ object LanceFormat {
   /** Exact row count from metadata only (COUNT pushdown unit). */
   def rowCount(path: String, conf: Configuration): Long =
     readMetadata(path, conf).numRows
+
+  /** (parsed file, per-column exact null counts) for the requested
+    * top-level columns that exist in the file — one open, metadata +
+    * validity bitmaps only. Columns absent from the file are NOT in the
+    * map (the caller proves those all-null from the widen contract).
+    */
+  def fileNullCounts(path: String, conf: Configuration,
+      cols: Set[String]): (LanceFile, Map[String, Long]) = {
+    val (len, readAt, close) = openReadAt(path, conf)
+    try {
+      val lf = parse(len, readAt)
+      val counts = lf.topLevel.filter(c => cols.contains(c.field.name))
+        .map(c => c.field.name -> columnNullCount(c, readAt)).toMap
+      (lf, counts)
+    } finally close()
+  }
 
   /** The file's Spark schema (top-level fields). */
   def readSchema(path: String, conf: Configuration): StructType = {

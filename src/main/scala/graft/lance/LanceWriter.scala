@@ -74,6 +74,22 @@ object LanceWriter {
         mfield(2, mfield(1, vfield(1, 8) ++ mfield(2, vfield(1, 1)))) ++
         vfield(3, totalBytes))
 
+  // --- nullable-page encodings (encodings.proto Nullable oneof) ---------
+  // Flat message with an explicit page-buffer index (0 elides the index,
+  // matching the golden fixtures' empty Buffer message).
+  private def bareFlatArray(bits: Long, bufIdx: Int): Array[Byte] =
+    mfield(1, vfield(1, bits) ++
+      mfield(2, if (bufIdx == 0) Array.emptyByteArray else vfield(1, bufIdx.toLong)))
+  /** ArrayEncoding{nullable{all_nulls{}}} — a bufferless page of nulls. */
+  private val allNullArrayEncoding: Array[Byte] = mfield(2, mfield(2, Array.emptyByteArray))
+  /** ArrayEncoding{nullable{some_nulls{validity: flat1@buf0, values}}}. */
+  private def someNullEncoding(valuesArray: Array[Byte]): Array[Byte] =
+    mfield(2, mfield(3, mfield(1, bareFlatArray(1, 0)) ++ mfield(2, valuesArray)))
+  /** ArrayEncoding{binary{indices: flat64@offBuf, bytes: flat8@bytesBuf}}. */
+  private def binaryArray(offBuf: Int, bytesBuf: Int, totalBytes: Long): Array[Byte] =
+    mfield(6, mfield(1, bareFlatArray(64, offBuf)) ++
+      mfield(2, bareFlatArray(8, bytesBuf)) ++ vfield(3, totalBytes))
+
   private def anyEncoding(arrayEncoding: Array[Byte]): Array[Byte] =
     mfield(2, mfield(1,
       sfield(1, "/lance.encodings.ArrayEncoding") ++ mfield(2, arrayEncoding)))
@@ -88,8 +104,10 @@ object LanceWriter {
 
   /** Write `rows` (JVM values: String / Int / Long / Double / Boolean /
     * java.math.BigDecimal; Int days for DateType, Long micros for
-    * TimestampType; null is NOT supported — the reader subset is
-    * all-valid) as one Lance file. `pageRows` bounds rows per page —
+    * TimestampType; null allowed anywhere — a page with nulls gets a
+    * some_nulls validity bitmap (all-null pages a bufferless all_nulls
+    * marker), an all-valid page stays byte-identical to the golden
+    * layout) as one Lance file. `pageRows` bounds rows per page —
     * production Lance files are multi-page (the writer targets ~8 MB
     * pages), so the round-trip spec drives the reader's page-concat path
     * (per-page string offsets restart at zero) with small page sizes.
@@ -105,47 +123,79 @@ object LanceWriter {
     val pages: Seq[Seq[(Array[Long], Array[Long], Int, Array[Byte])]] =
       schema.fields.zipWithIndex.map { case (f, ci) =>
         val colVals = rows.map(_(ci))
-        require(colVals.forall(_ != null), s"lance writer: null in ${f.name} (subset is all-valid)")
         (if (colVals.isEmpty) Seq(Seq.empty[Any]) else colVals.grouped(pageRows).toSeq).map { vals =>
           val n = vals.length
-          f.dataType match {
-            case StringType =>
-              val bytes = vals.map(_.asInstanceOf[String].getBytes("UTF-8"))
-              val offPos = buf.pos.toLong
-              var acc = 0L
-              bytes.foreach { b => acc += b.length; buf.u64(acc) }
-              val bytesPos = buf.pos.toLong
-              bytes.foreach(buf.bytes)
-              (Array(offPos, bytesPos), Array(8L * n, acc), n, variableArrayEncoding(acc))
-            case dt =>
+          val hasNull = vals.exists(_ == null)
+          if (n > 0 && vals.forall(_ == null)) {
+            // all_nulls: no buffers at all
+            (Array.empty[Long], Array.empty[Long], n, allNullArrayEncoding)
+          } else {
+            // validity bitmap first (page buffer 0) when any null; value
+            // buffers follow with explicitly-indexed encodings
+            val validity: Option[(Long, Long)] = if (!hasNull) None else {
               val pos = buf.pos.toLong
-              dt match {
-                case IntegerType | DateType => vals.foreach(v => buf.u32(v.asInstanceOf[Int]))
-                case LongType | TimestampType => vals.foreach(v => buf.u64(v.asInstanceOf[Long]))
-                case DoubleType => vals.foreach(v =>
-                  buf.u64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])))
-                case BooleanType =>
-                  val bb = new Array[Byte]((n + 7) / 8)
-                  vals.zipWithIndex.foreach { case (v, i) =>
-                    if (v.asInstanceOf[Boolean]) bb(i >> 3) = (bb(i >> 3) | (1 << (i & 7))).toByte
-                  }
-                  buf.bytes(bb)
-                case d: DecimalType =>
-                  vals.foreach { v =>
-                    val unscaled = v.asInstanceOf[java.math.BigDecimal]
-                      .setScale(d.scale).unscaledValue()
-                    val be = unscaled.toByteArray // big-endian, minimal
-                    val le = new Array[Byte](16)
-                    val sign: Byte = if (unscaled.signum() < 0) -1 else 0
-                    java.util.Arrays.fill(le, sign)
-                    var i = 0
-                    while (i < be.length) { le(i) = be(be.length - 1 - i); i += 1 }
-                    buf.bytes(le)
-                  }
-                case other => throw new UnsupportedOperationException(s"lance writer: $other")
+              val bm = new Array[Byte]((n + 7) / 8)
+              vals.zipWithIndex.foreach { case (v, i) =>
+                if (v != null) bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte
               }
-              val size = buf.pos - pos
-              (Array(pos), Array(size.toLong), n, flatArrayEncoding(bitsOf(dt)))
+              buf.bytes(bm)
+              Some((pos, bm.length.toLong))
+            }
+            val shift = if (hasNull) 1 else 0
+            f.dataType match {
+              case StringType =>
+                val bytes = vals.map(v =>
+                  if (v == null) Array.emptyByteArray else v.asInstanceOf[String].getBytes("UTF-8"))
+                val offPos = buf.pos.toLong
+                var acc = 0L
+                bytes.foreach { b => acc += b.length; buf.u64(acc) }
+                val bytesPos = buf.pos.toLong
+                bytes.foreach(buf.bytes)
+                val enc =
+                  if (hasNull) someNullEncoding(binaryArray(1, 2, acc))
+                  else variableArrayEncoding(acc)
+                (validity.map(_._1).toArray ++ Array(offPos, bytesPos),
+                  validity.map(_._2).toArray ++ Array(8L * n, acc), n, enc)
+              case dt =>
+                val pos = buf.pos.toLong
+                dt match {
+                  case IntegerType | DateType =>
+                    vals.foreach(v => buf.u32(if (v == null) 0 else v.asInstanceOf[Int]))
+                  case LongType | TimestampType =>
+                    vals.foreach(v => buf.u64(if (v == null) 0L else v.asInstanceOf[Long]))
+                  case DoubleType => vals.foreach(v => buf.u64(
+                    if (v == null) 0L
+                    else java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])))
+                  case BooleanType =>
+                    val bb = new Array[Byte]((n + 7) / 8)
+                    vals.zipWithIndex.foreach { case (v, i) =>
+                      if (v != null && v.asInstanceOf[Boolean])
+                        bb(i >> 3) = (bb(i >> 3) | (1 << (i & 7))).toByte
+                    }
+                    buf.bytes(bb)
+                  case d: DecimalType =>
+                    vals.foreach { v =>
+                      val le = new Array[Byte](16)
+                      if (v != null) {
+                        val unscaled = v.asInstanceOf[java.math.BigDecimal]
+                          .setScale(d.scale).unscaledValue()
+                        val be = unscaled.toByteArray // big-endian, minimal
+                        val sign: Byte = if (unscaled.signum() < 0) -1 else 0
+                        java.util.Arrays.fill(le, sign)
+                        var i = 0
+                        while (i < be.length) { le(i) = be(be.length - 1 - i); i += 1 }
+                      }
+                      buf.bytes(le)
+                    }
+                  case other => throw new UnsupportedOperationException(s"lance writer: $other")
+                }
+                val size = buf.pos - pos
+                val enc =
+                  if (hasNull) someNullEncoding(bareFlatArray(bitsOf(dt), shift))
+                  else flatArrayEncoding(bitsOf(dt))
+                (validity.map(_._1).toArray ++ Array(pos),
+                  validity.map(_._2).toArray ++ Array(size.toLong), n, enc)
+            }
           }
         }
       }

@@ -719,6 +719,45 @@ object HudiQueries {
       """SELECT n_nationkey, n_name, CAST(n_nationkey AS DOUBLE)/4 AS score
         |FROM nation ORDER BY n_nationkey""".stripMargin),
 
+    // NULLABLE columns over LANCE (r12): some_nulls validity bitmaps
+    // across multi-row pages, plus an all_nulls column — the nullable
+    // branches of the public encodings.proto, round-trip-pinned in
+    // LanceWriterSpec and oracle-checked here
+    "hudi_lance_nulls" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.lanceNullsPath(d))
+          .select("n_nationkey", "comment_opt", "weight", "flag_null")
+          .orderBy("n_nationkey")
+      },
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_name END AS comment_opt,
+        |  CASE WHEN n_nationkey % 4 = 1 THEN NULL
+        |       ELSE CAST(n_nationkey AS DOUBLE)/2 END AS weight,
+        |  CAST(NULL AS INTEGER) AS flag_null
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // COUNT(col) over nullable LANCE serves from metadata + validity
+    // bitmap popcounts (readFacts' exact per-column null counts) — the
+    // plan-shape guard proves no row scan ran
+    "hudi_lance_null_counts" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        import org.apache.spark.sql.functions.count
+        val df = s.read.format("hudi-graft").load(HudiFixtureBuilder.lanceNullsPath(d))
+          .agg(count("*").as("c_all"), count("comment_opt").as("c_comment"),
+            count("weight").as("c_weight"), count("flag_null").as("c_flag"))
+        val plan = df.queryExecution.optimizedPlan.toString
+        require(!plan.contains("GraftScan"),
+          s"lance COUNT(col) must serve from metadata + validity bitmaps:\n$plan")
+        df
+      },
+      """SELECT COUNT(*) AS c_all,
+        |  COUNT(CASE WHEN n_nationkey % 3 <> 0 THEN 1 END) AS c_comment,
+        |  COUNT(CASE WHEN n_nationkey % 4 <> 1 THEN 1 END) AS c_weight,
+        |  CAST(0 AS BIGINT) AS c_flag
+        |FROM nation""".stripMargin),
+
     // --- schema evolution: column added at commit 2 resolves from the
     // latest commit metadata (resolver.rs:41-47) — rows written before the
     // add read back with the new column null

@@ -1017,17 +1017,21 @@ object GraftFooterAggScan {
     footerReads.incrementAndGet()
     if (path.endsWith(".lance")) {
       // Lance metadata tier: exact row counts from the file descriptor
-      // (COUNT(*) pushdown works without parquet). Null proofs come from
-      // the reader's SCOPE: every supported Lance encoding is all-valid
-      // (a nullable wrapper fails readMetadata's encoding parse, which
-      // tryPlan's catch turns into a declined pushdown), so a present
-      // column has zero nulls and an absent one is all-null. Lance files
-      // carry no min/max stats — those columns stay unproven and the
-      // MIN/MAX pushdown rejects (scan stays authoritative).
-      val lf = graft.lance.LanceFormat.readMetadata(path, conf)
+      // (COUNT(*) pushdown works without parquet). Null proofs (r12):
+      // per-column EXACT null counts from the page encodings — all-valid
+      // pages prove 0, all-null pages their row count, some-null pages
+      // the popcount complement of their validity bitmap (a ceil(n/8)-
+      // byte ranged read, still metadata-scale). A column absent from
+      // the file is all-null by the widen contract. Unknown encodings
+      // still throw inside fileNullCounts -> tryPlan's catch declines
+      // the pushdown. Lance files carry no min/max stats — those columns
+      // stay unproven and the MIN/MAX pushdown rejects (scan stays
+      // authoritative).
+      val (lf, present) =
+        graft.lance.LanceFormat.fileNullCounts(path, conf, countCols)
       val names = lf.topLevel.map(_.field.name).toSet
       val nulls = countCols.iterator
-        .map(c => c -> (if (names.contains(c)) 0L else lf.numRows)).toMap
+        .map(c => c -> present.getOrElse(c, if (names.contains(c)) 0L else lf.numRows)).toMap
       return FileFacts(lf.numRows, Map.empty, needed.filterNot(names.contains), nulls)
     }
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(

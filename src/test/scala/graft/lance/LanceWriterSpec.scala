@@ -76,6 +76,89 @@ class LanceWriterSpec extends SparkTestBase {
     }
   }
 
+  test("nullable pages round-trip: some_nulls bitmaps across page boundaries") {
+    // nulls scattered over every type, with 3-row pages so null patterns
+    // cross page boundaries; one page (rows 3-5 of "oi") is ALL null,
+    // exercising the bufferless all_nulls branch mid-column
+    val conf = new Configuration()
+    val schema = StructType(Seq(
+      StructField("os", StringType), StructField("oi", IntegerType),
+      StructField("ol", LongType), StructField("od", DoubleType),
+      StructField("ob", BooleanType), StructField("odt", DateType),
+      StructField("ots", TimestampType), StructField("odec", DecimalType(12, 3))))
+    def v(k: Int, m: Int, value: Any): Any = if (k % m == 0) null else value
+    val rows: Seq[Seq[Any]] = (0 until 14).map { k =>
+      Seq(
+        v(k, 3, s"str-$k"),
+        if (k >= 3 && k <= 5) null else k, // page 2 of oi all-null
+        v(k, 4, k.toLong * 37L),
+        v(k, 5, k / 16.0),
+        v(k, 2, k % 3 == 0),
+        v(k, 6, 20000 + k),
+        v(k, 7, 1700000000000000L + k),
+        v(k, 3, new java.math.BigDecimal(s"-$k.25${k % 10}")))
+    }
+    val path = java.nio.file.Files.createTempDirectory("lancenul").resolve("n.lance").toString
+    LanceWriter.write(path, conf, schema, rows, pageRows = 3)
+
+    assert(LanceFormat.rowCount(path, conf) == 14L)
+    val got = LanceFormat.rows(path, conf, schema).toArray
+    assert(got.length == 14)
+    got.zipWithIndex.foreach { case (r, k) =>
+      assert(r.isNullAt(0) == (k % 3 == 0), s"os row $k")
+      if (k % 3 != 0) assert(r.getUTF8String(0).toString == s"str-$k")
+      assert(r.isNullAt(1) == (k >= 3 && k <= 5), s"oi row $k")
+      if (!(k >= 3 && k <= 5)) assert(r.getInt(1) == k)
+      assert(r.isNullAt(2) == (k % 4 == 0), s"ol row $k")
+      if (k % 4 != 0) assert(r.getLong(2) == k.toLong * 37L)
+      assert(r.isNullAt(3) == (k % 5 == 0), s"od row $k")
+      if (k % 5 != 0) assert(r.getDouble(3) == k / 16.0)
+      assert(r.isNullAt(4) == (k % 2 == 0), s"ob row $k")
+      if (k % 2 != 0) assert(r.getBoolean(4) == (k % 3 == 0))
+      assert(r.isNullAt(5) == (k % 6 == 0), s"odt row $k")
+      if (k % 6 != 0) assert(r.getInt(5) == 20000 + k)
+      assert(r.isNullAt(6) == (k % 7 == 0), s"ots row $k")
+      if (k % 7 != 0) assert(r.getLong(6) == 1700000000000000L + k)
+      assert(r.isNullAt(7) == (k % 3 == 0), s"odec row $k")
+      if (k % 3 != 0)
+        assert(r.getDecimal(7, 12, 3).toJavaBigDecimal ==
+          new java.math.BigDecimal(s"-$k.25${k % 10}").setScale(3))
+    }
+
+    // exact null counts from metadata + validity bitmaps only
+    val lf = LanceFormat.readMetadata(path, conf)
+    def nulls(name: String): Long = {
+      val (len, col) = (new java.io.File(path).length,
+        lf.topLevel.find(_.field.name == name).get)
+      val in = new java.io.RandomAccessFile(path, "r")
+      try LanceFormat.columnNullCount(col, (pos, n) => {
+        val b = new Array[Byte](n); in.seek(pos); in.readFully(b); b
+      }) finally in.close()
+    }
+    assert(nulls("os") == 5)   // k % 3 == 0 in 0..13
+    assert(nulls("oi") == 3)   // rows 3..5
+    assert(nulls("ol") == 4)   // k % 4 == 0
+    assert(nulls("ob") == 7)   // k % 2 == 0
+  }
+
+  test("an entirely-null column round-trips as all_nulls pages") {
+    val conf = new Configuration()
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("gone", StringType)))
+    val rows: Seq[Seq[Any]] = (0 until 9).map(k => Seq(k, null))
+    val path = java.nio.file.Files.createTempDirectory("lanceall").resolve("a.lance").toString
+    LanceWriter.write(path, conf, schema, rows, pageRows = 4)
+    val lf = LanceFormat.readMetadata(path, conf)
+    val gone = lf.topLevel.find(_.field.name == "gone").get
+    assert(gone.pages.length == 3 && gone.pages.forall(_.bufOffsets.isEmpty),
+      "all_nulls pages carry no buffers")
+    val got = LanceFormat.rows(path, conf, schema).toArray
+    assert(got.length == 9)
+    got.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getInt(0) == k && r.isNullAt(1))
+    }
+  }
+
   test("the built lance fixture table reads through the full engine") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     val t = graft.table.HudiTable(spark, graft.fixtures.HudiFixtureBuilder.lancePath(sfDir))
