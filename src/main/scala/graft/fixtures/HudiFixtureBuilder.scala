@@ -56,6 +56,7 @@ object HudiFixtureBuilder {
   def lancePath(sfDir: String): String = s"${root(sfDir)}/cow_lance_nation"
   def morLancePath(sfDir: String): String = s"${root(sfDir)}/mor_lance_nation"
   def lanceNullsPath(sfDir: String): String = s"${root(sfDir)}/cow_lance_nulls"
+  def lanceEmbedPath(sfDir: String): String = s"${root(sfDir)}/cow_lance_embed"
   def widenedPath(sfDir: String): String = s"${root(sfDir)}/cow_widened_nation"
   def morWidenedPath(sfDir: String): String = s"${root(sfDir)}/mor_widened_nation"
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
@@ -158,6 +159,7 @@ object HudiFixtureBuilder {
           buildCowLanceNation(spark, sfDir); own()
           buildMorLanceNation(spark, sfDir); own()
           buildCowLanceNulls(spark, sfDir); own()
+          buildCowLanceEmbed(spark, sfDir); own()
           buildCowWidenedNation(spark, sfDir); own()
           buildMorWidenedNation(spark, sfDir); own()
           buildCowMdtNation(spark, sfDir); own()
@@ -1379,6 +1381,54 @@ object HudiFixtureBuilder {
         s""""extraMetadata":{"schema":"$esc"},"compacted":false}"""
     graft.lance.LanceWriter.write(
       new Path(base, name1).toString, conf, fileSchema, rows, pageRows = 7)
+    writeText(fs, new Path(base, s".hoodie/$T1.commit"), commitJson)
+  }
+
+  // --- COW over embeddings: LANCE list<float> vectors ---------------------
+  // (S7, r12): the ML shape Lance exists for — an embedding column stored
+  // as a list-offsets column + float32 child pages. Rows page at 257 (a
+  // non-aligned boundary) so the reader stitches parent offset pages and
+  // child element pages independently; ANN entries then run over the
+  // Lance-decoded table and must match DuckDB over the source parquet.
+  private def buildCowLanceEmbed(spark: SparkSession, sfDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(conf)
+    val base = new Path(lanceEmbedPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_lance_embed
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.base.file.format=LANCE
+        |hoodie.table.recordkey.fields=vec_id
+        |hoodie.table.precombine.field=vec_id
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .orderBy("vec_id").collect()
+    val dataSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType)))
+    val fileSchema = StructType(
+      Seq("_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
+        "_hoodie_partition_path", "_hoodie_file_name")
+        .map(StructField(_, StringType)) ++ dataSchema.fields)
+    val name1 = s"${fileId(0)}_${Token}_$T1.lance"
+    val rows: Seq[Seq[Any]] = src.toSeq.map { r =>
+      val k = r.getLong(0)
+      Seq(T1, s"${T1}_0_$k", k.toString, "", name1,
+        k, r.getSeq[Float](1), r.getInt(2))
+    }
+    val avro = SparkToAvro.toAvroSchema(dataSchema, "embed_record").toString
+    val esc = avro.replace("\\", "\\\\").replace("\"", "\\\"")
+    val commitJson =
+      s"""{"partitionToWriteStats":{"":[{"fileId":"${fileId(0)}","path":"$name1","partitionPath":""}]},""" +
+        s""""extraMetadata":{"schema":"$esc"},"compacted":false}"""
+    graft.lance.LanceWriter.write(
+      new Path(base, name1).toString, conf, fileSchema, rows, pageRows = 257)
     writeText(fs, new Path(base, s".hoodie/$T1.commit"), commitJson)
   }
 

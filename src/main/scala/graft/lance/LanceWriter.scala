@@ -59,6 +59,7 @@ object LanceWriter {
     case DateType => "date32:day"
     case TimestampType => "timestamp:us:UTC"
     case d: DecimalType => s"decimal:128:${d.precision}:${d.scale}"
+    case ArrayType(_, false) => "list"
     case other => throw new UnsupportedOperationException(s"lance writer: $other")
   }
 
@@ -118,15 +119,44 @@ object LanceWriter {
     require(pageRows > 0, "pageRows must be positive")
     val buf = new Buf
 
-    // data pages first; remember per column the page list
+    // Expand the Spark schema into PHYSICAL lance columns: a top-level
+    // ArrayType field becomes a list-offsets column immediately followed
+    // by its child element column (parentId-linked — the golden
+    // fixtures' layout). (name, id, parentId, logicalType, payload):
+    // Left = primitive values, Right = per-row element counts of a list.
+    val physB = Seq.newBuilder[(String, Long, Long, String,
+      Either[(DataType, Seq[Any]), Seq[Int]])]
+    var nid = 0L
+    schema.fields.zipWithIndex.foreach { case (f, ci) =>
+      val colVals = rows.map(_(ci))
+      f.dataType match {
+        case ArrayType(et, false) =>
+          require(colVals.forall(_ != null), s"lance writer: null list in ${f.name}")
+          require(!et.isInstanceOf[ArrayType], "lance writer: nested lists unsupported")
+          val seqs = colVals.map(_.asInstanceOf[Seq[Any]])
+          physB += ((f.name, nid, -1L, "list", Right(seqs.map(_.length))))
+          physB += (("item", nid + 1, nid, logicalType(et), Left((et, seqs.flatten))))
+          nid += 2
+        case dt =>
+          physB += ((f.name, nid, -1L, logicalType(dt), Left((dt, colVals))))
+          nid += 1
+      }
+    }
+    val physCols = physB.result()
+
+    /** ArrayEncoding{list{offsets: nullable(no_nulls(flat64))}} — the
+      * golden fixtures' list-offsets structure.
+      */
+    val listArrayEncoding: Array[Byte] = mfield(4, mfield(1, mfield(2, flatWrapper(64))))
+
+    // data pages first; remember per physical column the page list
     // (offsets, sizes, rows, encoding)
-    val pages: Seq[Seq[(Array[Long], Array[Long], Int, Array[Byte])]] =
-      schema.fields.zipWithIndex.map { case (f, ci) =>
-        val colVals = rows.map(_(ci))
-        (if (colVals.isEmpty) Seq(Seq.empty[Any]) else colVals.grouped(pageRows).toSeq).map { vals =>
-          val n = vals.length
-          val hasNull = vals.exists(_ == null)
-          if (n > 0 && vals.forall(_ == null)) {
+    def primPages(dataType: DataType,
+        colVals: Seq[Any]): Seq[(Array[Long], Array[Long], Int, Array[Byte])] =
+      (if (colVals.isEmpty) Seq(Seq.empty[Any]) else colVals.grouped(pageRows).toSeq).map { vals =>
+        val n = vals.length
+        val hasNull = vals.exists(_ == null)
+        if (n > 0 && vals.forall(_ == null)) {
             // all_nulls: no buffers at all
             (Array.empty[Long], Array.empty[Long], n, allNullArrayEncoding)
           } else {
@@ -142,7 +172,7 @@ object LanceWriter {
               Some((pos, bm.length.toLong))
             }
             val shift = if (hasNull) 1 else 0
-            f.dataType match {
+            dataType match {
               case StringType =>
                 val bytes = vals.map(v =>
                   if (v == null) Array.emptyByteArray else v.asInstanceOf[String].getBytes("UTF-8"))
@@ -166,6 +196,9 @@ object LanceWriter {
                   case DoubleType => vals.foreach(v => buf.u64(
                     if (v == null) 0L
                     else java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])))
+                  case FloatType => vals.foreach(v => buf.u32(
+                    if (v == null) 0
+                    else java.lang.Float.floatToIntBits(v.asInstanceOf[Float])))
                   case BooleanType =>
                     val bb = new Array[Byte]((n + 7) / 8)
                     vals.zipWithIndex.foreach { case (v, i) =>
@@ -197,16 +230,30 @@ object LanceWriter {
                   validity.map(_._2).toArray ++ Array(size.toLong), n, enc)
             }
           }
-        }
+      }
+
+    val pages: Seq[Seq[(Array[Long], Array[Long], Int, Array[Byte])]] =
+      physCols.map {
+        case (_, _, _, _, Left((dt, vals))) => primPages(dt, vals)
+        case (_, _, _, _, Right(counts)) =>
+          // list-offsets pages: running u64 element-count ends, restarting
+          // at zero per page (the reader accumulates across pages)
+          (if (counts.isEmpty) Seq(Seq.empty[Int]) else counts.grouped(pageRows).toSeq).map { cs =>
+            val n = cs.length
+            val pos = buf.pos.toLong
+            var acc = 0L
+            cs.foreach { c => acc += c; buf.u64(acc) }
+            (Array(pos), Array(8L * n), n, listArrayEncoding)
+          }
       }
 
     // global buffer 0: file descriptor (schema + row count)
-    val fieldMsgs = schema.fields.zipWithIndex.map { case (f, i) =>
+    val fieldMsgs = physCols.map { case (name, id, parentId, lt, _) =>
       mfield(1,
-        sfield(2, f.name) ++
-          (if (i != 0) vfield(3, i) else Array.emptyByteArray) ++
-          vfield(4, -1L) ++ // top-level parent, 10-byte varint like the reference
-          sfield(5, logicalType(f.dataType)))
+        sfield(2, name) ++
+          (if (id != 0L) vfield(3, id) else Array.emptyByteArray) ++
+          vfield(4, parentId) ++ // -1 is a 10-byte varint like the reference
+          sfield(5, lt))
     }
     val descriptor = mfield(1, fieldMsgs.flatten.toArray) ++ vfield(2, rows.length)
     val gb0Pos = buf.pos.toLong
@@ -234,7 +281,7 @@ object LanceWriter {
     val gboStart = buf.pos.toLong
     buf.u64(gb0Pos); buf.u64(gb0Size)
     buf.u64(cmStart); buf.u64(cmoStart); buf.u64(gboStart)
-    buf.u32(1); buf.u32(schema.length)
+    buf.u32(1); buf.u32(physCols.length)
     buf.u16(0); buf.u16(3)
     buf.bytes("LANC".getBytes("UTF-8"))
 

@@ -35,6 +35,16 @@ object SparkToAvro {
         case dt: DecimalType =>
           org.apache.avro.LogicalTypes.decimal(dt.precision, dt.scale)
             .addToSchema(AvroSchema.create(AvroSchema.Type.BYTES))
+        case ArrayType(StringType, _) =>
+          AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.STRING))
+        case ArrayType(FloatType, _) =>
+          AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.FLOAT))
+        case ArrayType(DoubleType, _) =>
+          AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.DOUBLE))
+        case ArrayType(IntegerType, _) =>
+          AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.INT))
+        case ArrayType(LongType, _) =>
+          AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.LONG))
         case other => throw new IllegalArgumentException(s"Fixture writer: unsupported type $other")
       }
       new AvroSchema.Field(f.name,

@@ -735,6 +735,90 @@ object CurateOps {
     prep(s, d); s.sql(sql)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): train a
+    * language model on a designated CLEAN slice (CCNet: Wikipedia; here
+    * the src0-src3 sources), score every document under it, and bucket
+    * each language's documents into head/middle/tail by score thirds —
+    * the "keep the head, inspect the middle, drop the tail" curation
+    * gate. CCNet's 5-gram Kneser-Ney LM becomes the repo's deterministic
+    * add-one bigram LM so the oracle pair hash-matches: unseen bigrams
+    * back off through the same (c12+1)/(c1+V) smoothing with COALESCEd
+    * zero counts (V = TRAIN vocab, so OOV words score as pure smoothing
+    * mass, exactly CCNet's "perplexity blows up on junk" signal).
+    *
+    * Determinism: ln rounded to 8 decimals, summed as DECIMAL, divided
+    * once (both engines' correctly-rounded double division of identical
+    * operands); NTILE order is total (score DESC, doc_id).
+    *
+    * Scale shape: train counts are (vocab + vocab²-observed)-bounded
+    * keyed aggregates; scoring is the corpus bigram stream LEFT-joined
+    * against those dictionary-sized counts (broadcast/AQE); the bucket
+    * NTILE shuffles one (doc_id, lang, score) ROW per document — not
+    * text — partitioned by lang. At 100 TB the per-lang sort is the
+    * documented cost; production swaps exact thirds for approx_percentile
+    * cutoffs, same downstream semantics.
+    */
+  private def ccnetBucketsSql(spark: Boolean): String = {
+    val cnt = (e: String) => if (spark) e else s"CAST($e AS BIGINT)"
+    // per-dialect bigram CTEs over a named relation (Spark derives
+    // adjacency map-side from the split array — see lmBigramSql)
+    def bids(rel: String, alias: String): String =
+      if (spark)
+        s"""$alias AS (
+           |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+           |    SELECT doc_id, explode(transform(sequence(1, size(a) - 1),
+           |      i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))) AS b
+           |    FROM (SELECT doc_id, split(text, ' ') AS a FROM $rel)
+           |    WHERE size(a) >= 2))""".stripMargin
+      else
+        s"""${alias}_t AS (
+           |  SELECT doc_id, UNNEST(range(1, len(a) + 1)) AS pos, UNNEST(a) AS tok
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM $rel)),
+           |$alias AS (
+           |  SELECT doc_id, w1, w2 FROM (
+           |    SELECT doc_id, tok AS w2,
+           |      LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+           |    FROM ${alias}_t) x WHERE w1 IS NOT NULL)""".stripMargin
+    val trainToks =
+      if (spark) "SELECT explode(split(text, ' ')) AS tok FROM train"
+      else "SELECT UNNEST(string_split(text, ' ')) AS tok FROM train"
+    s"""WITH corpus AS ($corpusSql),
+       |train AS (
+       |  SELECT doc_id, text FROM corpus
+       |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+       |${bids("train", "tb")},
+       |bc AS (SELECT w1, w2, ${cnt("COUNT(1)")} AS c12 FROM tb GROUP BY w1, w2),
+       |uc AS (SELECT w1, ${cnt("COUNT(1)")} AS c1 FROM tb GROUP BY w1),
+       |v AS (SELECT ${cnt("COUNT(DISTINCT tok)")} AS vocab FROM ($trainToks) tt),
+       |${bids("corpus", "ab")},
+       |scored AS (
+       |  SELECT a.doc_id,
+       |    CAST(round(ln((CAST(COALESCE(bc.c12, ${cnt("0")}) AS DOUBLE) + 1.0) /
+       |                  (CAST(COALESCE(uc.c1, ${cnt("0")}) AS DOUBLE)
+       |                     + CAST(v.vocab AS DOUBLE))), 8)
+       |         AS DECIMAL(24, 8)) AS lp
+       |  FROM ab a
+       |  LEFT JOIN bc ON a.w1 = bc.w1 AND a.w2 = bc.w2
+       |  LEFT JOIN uc ON a.w1 = uc.w1
+       |  CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, COUNT(1) AS n_bigrams, SUM(lp) AS slp
+       |  FROM scored GROUP BY doc_id),
+       |docs AS (
+       |  SELECT c.doc_id, c.lang,
+       |    CAST(CAST(a.slp AS DOUBLE) / a.n_bigrams AS DOUBLE) AS score
+       |  FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id),
+       |tiled AS (
+       |  SELECT doc_id, lang, score,
+       |    NTILE(3) OVER (
+       |      PARTITION BY lang ORDER BY score DESC NULLS LAST, doc_id) AS nt
+       |  FROM docs)
+       |SELECT doc_id, lang, score,
+       |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM tiled
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Data-quality expectations (the dbt-test / Great-Expectations gate a
     * pipeline runs before training): six declarative rules — not-null,
     * uniqueness, accepted values, range, and two referential-integrity
@@ -808,6 +892,9 @@ object CurateOps {
     "text_lm_bigram" -> QueryDef(
       (s, d) => sq(s, d, lmBigramSql(spark = true)),
       Some(lmBigramSql(spark = false))),
+    "text_ccnet_buckets" -> QueryDef(
+      (s, d) => sq(s, d, ccnetBucketsSql(spark = true)),
+      Some(ccnetBucketsSql(spark = false))),
     "text_source_kl" -> QueryDef(
       (s, d) => sq(s, d, sourceKlSql(spark = true)),
       Some(sourceKlSql(spark = false))),

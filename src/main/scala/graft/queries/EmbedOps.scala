@@ -26,14 +26,27 @@ object EmbedOps {
     Tables.ensureView(s, d, "embeddings")(Tables.embeddings(s, d))
   }
 
-  /** Quantized-embedding CTE, per dialect. */
-  private def quantized(listTransform: String): String =
+  /** Quantized-embedding CTE, per dialect and source relation. */
+  private def quantized(listTransform: String, from: String = "embeddings"): String =
     s"""SELECT vec_id, label,
        |  $listTransform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-       |FROM embeddings""".stripMargin
+       |FROM $from""".stripMargin
 
   private val sparkQ = quantized("transform")
   private val duckQ = quantized("list_transform")
+
+  /** Brute-force cosine top-k SQL over an arbitrary relation carrying
+    * (vec_id, embedding, label) — lets other sources (e.g. a Lance-backed
+    * Hudi table) reuse the exact integer-quantized knn oracle pair.
+    */
+  def knnSqlOver(from: String, spark: Boolean): String =
+    if (spark) knnSql(quantized("transform", from), sparkDot)
+    else knnSql(quantized("list_transform", from), duckDot)
+
+  /** Registers the codegen'd graft_dot expression (callers outside this
+    * object composing [[knnSqlOver]] need it in the session).
+    */
+  def registerDot(s: SparkSession): Unit = graft.functions.LongArrayDot.register(s)
 
   /** Spark side: the codegen'd native expression (graft.functions.
     * LongArrayDot); DuckDB mirrors with its built-in list_dot_product.

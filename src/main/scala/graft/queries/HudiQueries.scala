@@ -758,6 +758,23 @@ object HudiQueries {
         |  CAST(0 AS BIGINT) AS c_flag
         |FROM nation""".stripMargin),
 
+    // EMBEDDINGS over LANCE (r12): list<float> vectors through the
+    // list-offsets + float32-child decode, then the exact integer-
+    // quantized brute-force cosine top-k — the same oracle pair
+    // embed_knn_brute runs over parquet, here over the Lance-decoded
+    // Hudi table (S7 × the ANN surface). At scale the corpus scan is
+    // columnar Lance IO of exactly (vec_id, embedding, label).
+    "hudi_lance_embed_knn" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        EmbedOps.registerDot(s)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.lanceEmbedPath(d))
+          .select("vec_id", "embedding", "label")
+          .createOrReplaceTempView("embeddings_lance")
+        s.sql(EmbedOps.knnSqlOver("embeddings_lance", spark = true))
+      },
+      EmbedOps.knnSqlOver("embeddings", spark = false)),
+
     // --- schema evolution: column added at commit 2 resolves from the
     // latest commit metadata (resolver.rs:41-47) — rows written before the
     // add read back with the new column null

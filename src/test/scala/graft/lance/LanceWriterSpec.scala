@@ -141,6 +141,42 @@ class LanceWriterSpec extends SparkTestBase {
     assert(nulls("ob") == 7)   // k % 2 == 0
   }
 
+  test("list columns round-trip: float32 embeddings across page boundaries") {
+    // the ML-embedding shape Lance exists for: list<float> vectors of
+    // varying length, 5-row pages over 13 rows so parent offset buffers
+    // restart at zero per page while the child elements page independently
+    val conf = new Configuration()
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("tags", ArrayType(StringType, containsNull = false))))
+    val rows: Seq[Seq[Any]] = (0 until 13).map { k =>
+      Seq(k.toLong,
+        (0 until (k % 4 + 2)).map(i => (k * 10 + i) / 7.0f),
+        (0 until (k % 3)).map(i => s"tag-$k-$i"))
+    }
+    val path = java.nio.file.Files.createTempDirectory("lancelist").resolve("l.lance").toString
+    LanceWriter.write(path, conf, schema, rows, pageRows = 5)
+
+    val lf = LanceFormat.readMetadata(path, conf)
+    assert(lf.columns.length == 5, "2 list fields expand to offsets+child columns")
+    assert(lf.topLevel.map(_.field.name) == Seq("vec_id", "embedding", "tags"))
+    val st = LanceFormat.readSchema(path, conf)
+    assert(st("embedding").dataType == ArrayType(FloatType, containsNull = false))
+    assert(st("tags").dataType == ArrayType(StringType, containsNull = false))
+
+    val got = LanceFormat.rows(path, conf, schema).toArray
+    assert(got.length == 13)
+    got.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getLong(0) == k.toLong)
+      val emb = r.getArray(1).toFloatArray().toSeq
+      assert(emb == (0 until (k % 4 + 2)).map(i => (k * 10 + i) / 7.0f), s"embedding row $k")
+      val tags = r.getArray(2).toSeq[org.apache.spark.unsafe.types.UTF8String](StringType)
+        .map(_.toString)
+      assert(tags == (0 until (k % 3)).map(i => s"tag-$k-$i"), s"tags row $k")
+    }
+  }
+
   test("an entirely-null column round-trips as all_nulls pages") {
     val conf = new Configuration()
     val schema = StructType(Seq(
