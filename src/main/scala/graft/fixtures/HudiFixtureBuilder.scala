@@ -57,6 +57,7 @@ object HudiFixtureBuilder {
   def morLancePath(sfDir: String): String = s"${root(sfDir)}/mor_lance_nation"
   def lanceNullsPath(sfDir: String): String = s"${root(sfDir)}/cow_lance_nulls"
   def lanceEmbedPath(sfDir: String): String = s"${root(sfDir)}/cow_lance_embed"
+  def lanceMediaPath(sfDir: String): String = s"${root(sfDir)}/cow_lance_media"
   def widenedPath(sfDir: String): String = s"${root(sfDir)}/cow_widened_nation"
   def morWidenedPath(sfDir: String): String = s"${root(sfDir)}/mor_widened_nation"
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
@@ -160,6 +161,7 @@ object HudiFixtureBuilder {
           buildMorLanceNation(spark, sfDir); own()
           buildCowLanceNulls(spark, sfDir); own()
           buildCowLanceEmbed(spark, sfDir); own()
+          buildCowLanceMedia(spark, sfDir); own()
           buildCowWidenedNation(spark, sfDir); own()
           buildMorWidenedNation(spark, sfDir); own()
           buildCowMdtNation(spark, sfDir); own()
@@ -1429,6 +1431,58 @@ object HudiFixtureBuilder {
         s""""extraMetadata":{"schema":"$esc"},"compacted":false}"""
     graft.lance.LanceWriter.write(
       new Path(base, name1).toString, conf, fileSchema, rows, pageRows = 257)
+    writeText(fs, new Path(base, s".hoodie/$T1.commit"), commitJson)
+  }
+
+  // --- COW over documents: LANCE binary blob column -----------------------
+  // (S7 × multimodal, r12): media lakes store blobs as opaque binary
+  // columns; this fixture writes MultimodalOps' deterministic mixed-header
+  // blobs (PNG/JPEG/GIF/WAV/MP4 magic bytes ++ utf-8 text) into a Lance
+  // binary column. The oracle entry re-sniffs the container from the
+  // READ-BACK bytes, so any corruption in the variable-width binary
+  // decode breaks the mime recovery or the byte length.
+  private def buildCowLanceMedia(spark: SparkSession, sfDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(conf)
+    val base = new Path(lanceMediaPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_lance_media
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.base.file.format=LANCE
+        |hoodie.table.recordkey.fields=doc_id
+        |hoodie.table.precombine.field=doc_id
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("CAST(doc_id AS LONG) AS doc_id", "text")
+      .orderBy("doc_id").collect()
+    val dataSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("mime", StringType),
+      StructField("data", BinaryType)))
+    val fileSchema = StructType(
+      Seq("_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
+        "_hoodie_partition_path", "_hoodie_file_name")
+        .map(StructField(_, StringType)) ++ dataSchema.fields)
+    val name1 = s"${fileId(0)}_${Token}_$T1.lance"
+    val rows: Seq[Seq[Any]] = src.toSeq.map { r =>
+      val id = r.getLong(0)
+      val bytes = graft.operators.MultimodalOps.mixedHeader(id) ++
+        r.getString(1).getBytes("UTF-8")
+      Seq(T1, s"${T1}_0_$id", id.toString, "", name1,
+        id, graft.operators.MultimodalOps.sniffMime(bytes), bytes)
+    }
+    val avro = SparkToAvro.toAvroSchema(dataSchema, "media_record").toString
+    val esc = avro.replace("\\", "\\\\").replace("\"", "\\\"")
+    val commitJson =
+      s"""{"partitionToWriteStats":{"":[{"fileId":"${fileId(0)}","path":"$name1","partitionPath":""}]},""" +
+        s""""extraMetadata":{"schema":"$esc"},"compacted":false}"""
+    graft.lance.LanceWriter.write(
+      new Path(base, name1).toString, conf, fileSchema, rows, pageRows = 61)
     writeText(fs, new Path(base, s".hoodie/$T1.commit"), commitJson)
   }
 

@@ -79,17 +79,27 @@ object LanceFormat {
 
   private def readVarint(b: Array[Byte], from: Int): (Long, Int) = {
     var x = 0L; var s = 0; var i = from
-    while (true) {
+    while (i < b.length) {
       val c = b(i) & 0xff; i += 1
       x |= (c & 0x7fL) << s; s += 7
       if ((c & 0x80) == 0) return (x, i)
     }
-    throw new IllegalStateException("unreachable")
+    throw new UnsupportedOperationException("lance metadata: truncated varint")
   }
 
   def pbFields(b: Array[Byte]): Seq[PbField] = {
     val out = Seq.newBuilder[PbField]
     var i = 0
+    // every length is validated against the remaining buffer BEFORE any
+    // allocation — corrupt metadata declaring a multi-GB field must fail
+    // closed, not attempt the allocation (copyOfRange would zero-pad past
+    // the source end rather than throw)
+    def sliceEnd(from: Int, len: Long): Int = {
+      if (len < 0 || from + len > b.length)
+        throw new UnsupportedOperationException(
+          s"lance metadata: field length $len exceeds remaining ${b.length - from} bytes")
+      (from + len).toInt
+    }
     while (i < b.length) {
       val (tag, i1) = readVarint(b, i)
       val num = (tag >> 3).toInt
@@ -100,12 +110,15 @@ object LanceFormat {
           out += PbField(num, wire, v, Array.emptyByteArray); i = i2
         case 2 =>
           val (ln, i2) = readVarint(b, i1)
-          out += PbField(num, wire, 0L, java.util.Arrays.copyOfRange(b, i2, i2 + ln.toInt))
-          i = i2 + ln.toInt
+          val end = sliceEnd(i2, ln)
+          out += PbField(num, wire, 0L, java.util.Arrays.copyOfRange(b, i2, end))
+          i = end
         case 1 =>
-          out += PbField(num, wire, 0L, java.util.Arrays.copyOfRange(b, i1, i1 + 8)); i = i1 + 8
+          val end = sliceEnd(i1, 8)
+          out += PbField(num, wire, 0L, java.util.Arrays.copyOfRange(b, i1, end)); i = end
         case 5 =>
-          out += PbField(num, wire, 0L, java.util.Arrays.copyOfRange(b, i1, i1 + 4)); i = i1 + 4
+          val end = sliceEnd(i1, 4)
+          out += PbField(num, wire, 0L, java.util.Arrays.copyOfRange(b, i1, end)); i = end
         case w => throw new UnsupportedOperationException(s"lance metadata: protobuf wire type $w")
       }
     }
@@ -127,6 +140,7 @@ object LanceFormat {
   final case class LanceField(name: String, id: Long, parentId: Long, logicalType: String) {
     def sparkType(childType: => DataType): DataType = logicalType match {
       case "string" => StringType
+      case "binary" => BinaryType
       case "int32" => IntegerType
       case "int64" => LongType
       case "double" => DoubleType
@@ -412,7 +426,8 @@ object LanceFormat {
               s"lance: flat encoding for unsupported type '$other' (${col.field.name})")
           }
         case VariableBinary(offBuf, bytesBuf) =>
-          require(lt == "string", s"lance: variable encoding for non-string '$lt'")
+          require(lt == "string" || lt == "binary",
+            s"lance: variable encoding for non-variable-width '$lt'")
           val offs = readAt(page.bufOffsets(offBuf), page.bufSizes(offBuf).toInt)
           val bytes = readAt(page.bufOffsets(bytesBuf), page.bufSizes(bytesBuf).toInt)
           require(offs.length == 8 * n, s"lance: string offsets ${offs.length}B for $n rows")
@@ -421,7 +436,10 @@ object LanceFormat {
           var i = 0
           while (i < n) {
             val end = ob.getLong(8 * i)
-            vals(i) = UTF8String.fromBytes(bytes, prev.toInt, (end - prev).toInt)
+            vals(i) =
+              if (lt == "binary")
+                java.util.Arrays.copyOfRange(bytes, prev.toInt, end.toInt)
+              else UTF8String.fromBytes(bytes, prev.toInt, (end - prev).toInt)
             prev = end; i += 1
           }
         case ListOffsets(offBuf) =>
@@ -500,6 +518,11 @@ object LanceFormat {
     val len = fs.getFileStatus(p).getLen
     val in = fs.open(p)
     val readAt = (pos: Long, n: Int) => {
+      // bound BEFORE allocating: corrupt metadata declaring a multi-GB
+      // buffer must fail closed, not attempt the allocation
+      if (pos < 0 || n < 0 || pos + n > len)
+        throw new UnsupportedOperationException(
+          s"lance: buffer range [$pos, ${pos + n}) outside file of $len bytes in $path")
       val b = new Array[Byte](n)
       in.readFully(pos, b)
       b

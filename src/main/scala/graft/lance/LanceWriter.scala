@@ -51,6 +51,7 @@ object LanceWriter {
 
   private def logicalType(dt: DataType): String = dt match {
     case StringType => "string"
+    case BinaryType => "binary"
     case IntegerType => "int32"
     case LongType => "int64"
     case DoubleType => "double"
@@ -173,9 +174,14 @@ object LanceWriter {
             }
             val shift = if (hasNull) 1 else 0
             dataType match {
-              case StringType =>
-                val bytes = vals.map(v =>
-                  if (v == null) Array.emptyByteArray else v.asInstanceOf[String].getBytes("UTF-8"))
+              case StringType | BinaryType =>
+                val bytes = vals.map {
+                  case null => Array.emptyByteArray
+                  case s: String => s.getBytes("UTF-8")
+                  case b: Array[Byte] => b
+                  case other => throw new UnsupportedOperationException(
+                    s"lance writer: ${other.getClass} for variable-width column")
+                }
                 val offPos = buf.pos.toLong
                 var acc = 0L
                 bytes.foreach { b => acc += b.length; buf.u64(acc) }

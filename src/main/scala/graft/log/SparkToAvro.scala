@@ -35,6 +35,7 @@ object SparkToAvro {
         case dt: DecimalType =>
           org.apache.avro.LogicalTypes.decimal(dt.precision, dt.scale)
             .addToSchema(AvroSchema.create(AvroSchema.Type.BYTES))
+        case BinaryType => AvroSchema.create(AvroSchema.Type.BYTES)
         case ArrayType(StringType, _) =>
           AvroSchema.createArray(AvroSchema.create(AvroSchema.Type.STRING))
         case ArrayType(FloatType, _) =>

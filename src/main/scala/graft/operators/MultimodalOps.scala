@@ -112,6 +112,11 @@ object MultimodalOps {
     "RIFF".getBytes("UTF-8") ++ Array[Byte](0, 0, 0, 0) ++ "WAVE".getBytes("UTF-8"),
     Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes("UTF-8"))
 
+  /** Header bytes for a doc id — the [[syntheticBlobsMixed]] synthesis,
+    * exposed for fixtures that persist the same blobs (Lance media table).
+    */
+  def mixedHeader(id: Long): Array[Byte] = mixedHeaders((id % 5).toInt)
+
   def syntheticBlobsMixed(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
     val headers = mixedHeaders

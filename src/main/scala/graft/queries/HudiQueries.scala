@@ -775,6 +775,36 @@ object HudiQueries {
       },
       EmbedOps.knnSqlOver("embeddings", spark = false)),
 
+    // BINARY blobs over LANCE (r12): the media-lake shape — opaque
+    // binary columns next to typed metadata. The entry re-sniffs each
+    // container's magic bytes from the READ-BACK blob (never trusting
+    // the stored mime), so the variable-width binary decode is proven
+    // byte-exact end-to-end; n_bytes pins the lengths.
+    "hudi_lance_media_sniff" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        import s.implicits._
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.lanceMediaPath(d))
+          .select("doc_id", "mime", "data")
+          .as[(Long, String, Array[Byte])]
+          .map { case (id, storedMime, data) =>
+            val sniffed = graft.operators.MultimodalOps.sniffMime(data)
+            (id, sniffed, data.length.toLong, storedMime == sniffed)
+          }
+          .toDF("doc_id", "mime", "n_bytes", "mime_consistent")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'audio/wav'
+        |    ELSE 'video/mp4' END AS mime,
+        |  CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN
+        |      (CASE WHEN doc_id % 5 = 3 THEN 12 ELSE 8 END)
+        |    ELSE 4 END + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  TRUE AS mime_consistent
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // --- schema evolution: column added at commit 2 resolves from the
     // latest commit metadata (resolver.rs:41-47) — rows written before the
     // add read back with the new column null
