@@ -1909,14 +1909,19 @@ class GraftScan(
     // no partition needs the merge machinery.
     val rangeFilterNeeded = batchIncremental && !incrementalContained &&
       hudi.config.populatesMetaFields && !morMergeNeeded
-    // S7: Lance base files read through graft.lance.LanceFormat — a
-    // row-producing reader, so every columnar route (vectorized batches,
-    // the columnar merge overlay) stands down and the proven row path
-    // carries the scan; parquet-footer probes (widen, filters) skip too.
+    // S7: Lance base files read through graft.lance.LanceFormat.
+    // Log-free Lance scans go COLUMNAR too (r12): LanceFormat.batches
+    // slices the decoded columns into on-heap ColumnarBatches, the
+    // vectorized-parquet analog (gated below on batch-buildable types,
+    // no partition-append, and no range residual — those shapes keep
+    // the proven row path). The columnar MERGE overlay and
+    // parquet-footer probes (widen, pushed filters) still stand down.
     val isLance = hudi.isLance
+    val lanceColumnarCandidate = isLance && !morMergeNeeded &&
+      (!withCommitCol || incrementalContained)
     val candidateColumnar =
-      (!withCommitCol || incrementalContained || rangeFilterNeeded) &&
-        !morMergeNeeded && !isLance
+      ((!withCommitCol || incrementalContained || rangeFilterNeeded) &&
+        !morMergeNeeded && !isLance) || lanceColumnarCandidate
 
     // MOR merge needs the record key / ordering / seqno / commit columns
     // even when the query prunes them away: widen, merge, project back
@@ -1963,8 +1968,15 @@ class GraftScan(
         .map(p => org.apache.spark.paths.SparkPath.fromPathString(p).toString)
 
     val fmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+    // Lance vectorization gates on OUR batch builder's type coverage
+    // (lists stay row-path) and on no partition-value append (the parquet
+    // delegate's constant-vector machinery isn't reproduced — rare shape,
+    // row path carries it).
+    val lanceColumnar = lanceColumnarCandidate && partitionSchema.isEmpty &&
+      widenedEffective.fields.forall(f => graft.lance.LanceFormat.vectorizable(f.dataType))
     val columnar =
-      candidateColumnar && widenPaths.isEmpty && fmt.supportBatch(spark, widenedEffective)
+      if (isLance) lanceColumnar
+      else candidateColumnar && widenPaths.isEmpty && fmt.supportBatch(spark, widenedEffective)
     // COLUMNAR MOR merge (D3 upgrade, r12): a scan that needs the merge
     // no longer de-vectorizes the whole read — the base file keeps
     // Spark's vectorized parquet reader and each batch is
@@ -2023,6 +2035,19 @@ class GraftScan(
     val lanceFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[org.apache.spark.sql.catalyst.InternalRow] =
       if (!isLance) null
+      else if (lanceColumnar) {
+        // vectorized branch: ColumnarBatch iterator behind the same
+        // erased signature the parquet delegate uses (GraftColumnarReader
+        // casts it back) — partitionSchema.isEmpty is part of the gate
+        val reqJson = delegateRequired.json
+        val confSer = new SerializableConf(hudi.hadoopConf)
+        pf => {
+          val req = org.apache.spark.sql.types.DataType.fromJson(reqJson)
+            .asInstanceOf[StructType]
+          graft.lance.LanceFormat.batches(pf.filePath.toString, confSer.value, req)
+            .asInstanceOf[Iterator[org.apache.spark.sql.catalyst.InternalRow]]
+        }
+      }
       else {
         val reqJson = delegateRequired.json
         val nPart = partitionSchema.length

@@ -195,6 +195,47 @@ class LanceWriterSpec extends SparkTestBase {
     }
   }
 
+  test("log-free lance scans go columnar; lists and MOR logs keep the row path") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+
+    // atomic-typed COW snapshot: vectorized batches
+    val cow = spark.read.format("hudi-graft")
+      .load(graft.fixtures.HudiFixtureBuilder.lancePath(sfDir))
+      .select("n_nationkey", "n_name", "score")
+    assert(scanOf(cow).supportsColumnar, "log-free atomic lance scan must be columnar")
+    val rows = cow.orderBy("n_nationkey").collect()
+    assert(rows.length == 25 && rows.map(_.getDouble(2)).toSeq ==
+      (0 until 25).map(_ / 4.0), "columnar decode must match the proven values")
+
+    // nullable columns ride the columnar path too (putNull per slot)
+    val nul = spark.read.format("hudi-graft")
+      .load(graft.fixtures.HudiFixtureBuilder.lanceNullsPath(sfDir))
+      .select("n_nationkey", "comment_opt", "weight")
+    assert(scanOf(nul).supportsColumnar)
+    val nrows = nul.orderBy("n_nationkey").collect()
+    assert(nrows.count(_.isNullAt(1)) == 9 && nrows.count(_.isNullAt(2)) == 6)
+
+    // a projected LIST column is outside the batch builder: row path
+    val emb = spark.read.format("hudi-graft")
+      .load(graft.fixtures.HudiFixtureBuilder.lanceEmbedPath(sfDir))
+      .select("vec_id", "embedding")
+    assert(!scanOf(emb).supportsColumnar, "list projection must fall back to rows")
+    // ... but pruning the list away restores vectorization
+    val embIds = spark.read.format("hudi-graft")
+      .load(graft.fixtures.HudiFixtureBuilder.lanceEmbedPath(sfDir))
+      .select("vec_id", "label")
+    assert(scanOf(embIds).supportsColumnar, "list-free projection is columnar")
+
+    // MOR with logs: the per-slice merge keeps the row path
+    val mor = spark.read.format("hudi-graft")
+      .load(graft.fixtures.HudiFixtureBuilder.morLancePath(sfDir))
+      .select("n_nationkey", "n_name")
+    assert(!scanOf(mor).supportsColumnar, "merged MOR lance scan stays row-based")
+  }
+
   test("the built lance fixture table reads through the full engine") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     val t = graft.table.HudiTable(spark, graft.fixtures.HudiFixtureBuilder.lancePath(sfDir))
