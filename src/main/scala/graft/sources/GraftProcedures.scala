@@ -20,7 +20,7 @@ object GraftProcedures {
   val names: Array[String] =
     Array("show_commits", "show_archived_commits", "show_file_slices",
       "show_partitions", "show_indexes", "show_column_stats",
-      "show_partition_stats", "show_bloom_filters")
+      "show_partition_stats", "show_bloom_filters", "show_table_properties")
 
   /** Planned slices at `asOf` (normalized) or the latest commit. */
   private def slicesAt(t: HudiTable, asOf: Option[String]): Vector[graft.fs.FileSlice] =
@@ -42,6 +42,15 @@ object GraftProcedures {
           row(p, Int.box(ss.size), Int.box(ss.map(_.logFiles.size).sum),
             Long.box(ss.map(_.totalSize).sum))
         }))
+    // The hudi-cli / Spark-Hudi `show_table_properties` shape: the
+    // table's own hoodie.properties as sorted (key, value) rows — what
+    // an ops user coming from another Hudi engine inspects first.
+    case "show_table_properties" => Some(proc("show_table_properties",
+      "hoodie.properties of the table as (key, value) rows",
+      StructType(Seq(
+        StructField("key", StringType, nullable = false),
+        StructField("value", StringType, nullable = false))),
+      (t, _) => t.config.props.toVector.sortBy(_._1).map { case (k, v) => row(k, v) }))
     case "show_commits" => Some(proc("show_commits",
       "completed instants of a hudi table's timeline",
       StructType(Seq(

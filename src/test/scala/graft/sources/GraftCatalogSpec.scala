@@ -318,6 +318,17 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(props.contains("hoodie.table.version"), props.keys.toString)
   }
 
+  test("show_table_properties returns hoodie.properties as sorted rows") {
+    spark.conf.set("spark.sql.catalog.hudi_graft", classOf[GraftCatalog].getName)
+    val rows = spark.sql(
+      s"CALL hudi_graft.show_table_properties(table => '$cowPath')").collect()
+    val props = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("hoodie.table.type").contains("COPY_ON_WRITE"), props.toString)
+    assert(props.contains("hoodie.table.name"))
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted,
+      "rows must come back key-sorted")
+  }
+
   test("show_archived_commits lists the archive folder, ungated") {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val base = "/root/repo/target/fixtures/proc_archived_v6"
