@@ -367,16 +367,14 @@ object LanceFormat {
   // ------------------------------------------------------------------
   // Value decoding
   // ------------------------------------------------------------------
-  /** Decode one column (all pages) to Catalyst values. For list columns
-    * pass the decoded child values.
+  /** Decode one page's values for a NON-LIST column (lists need the
+    * whole child column and stay on the materialized path in [[decode]]).
     */
-  def decode(col: Column, readAt: (Long, Int) => Array[Byte], child: => Array[Any]): Array[Any] = {
-    val out = Array.newBuilder[Any]
-    var childBase = 0L // running element offset across pages of the PARENT
+  private def decodePageValues(col: Column, page: Page, values: Values,
+      readAt: (Long, Int) => Array[Byte]): Array[Any] = {
     val lt = col.field.logicalType
-
-    def decodeValues(page: Page, values: Values): Array[Any] = {
-      val n = page.rows.toInt
+    val n = page.rows.toInt
+    locally {
       val vals = new Array[Any](n)
       values match {
         case Flat(bits, bufIdx) =>
@@ -442,9 +440,50 @@ object LanceFormat {
               else UTF8String.fromBytes(bytes, prev.toInt, (end - prev).toInt)
             prev = end; i += 1
           }
-        case ListOffsets(offBuf) =>
-          require(lt == "list", s"lance: list offsets for non-list '$lt'")
-          val elems = child
+        case ListOffsets(_) =>
+          throw new UnsupportedOperationException(
+            s"lance: page-streamed decode of list column ${col.field.name} (materialized path only)")
+      }
+      vals
+    }
+  }
+
+  /** One page of a NON-LIST column with nullability applied. */
+  private def decodePageNonList(col: Column, page: Page,
+      readAt: (Long, Int) => Array[Byte]): Array[Any] = {
+    val n = page.rows.toInt
+    page.encoding match {
+      case AllValid(values) => decodePageValues(col, page, values, readAt)
+      case AllNullPage => new Array[Any](n) // null-initialized
+      case SomeNulls(vBuf, values) =>
+        val bitmap = readAt(page.bufOffsets(vBuf), page.bufSizes(vBuf).toInt)
+        require(bitmap.length == (n + 7) / 8,
+          s"lance: ${col.field.name} validity bitmap ${bitmap.length}B for $n rows")
+        val vals = decodePageValues(col, page, values, readAt)
+        var i = 0
+        while (i < n) {
+          if (((bitmap(i >> 3) >> (i & 7)) & 1) == 0) vals(i) = null
+          i += 1
+        }
+        vals
+    }
+  }
+
+  def decode(col: Column, readAt: (Long, Int) => Array[Byte], child: => Array[Any]): Array[Any] = {
+    val lt = col.field.logicalType
+    if (lt != "list")
+      return col.pages.iterator.flatMap(p => decodePageNonList(col, p, readAt)).toArray
+
+    // list columns: offsets pages over the fully-decoded child elements
+    // (materialized — lists are excluded from the streaming/columnar
+    // paths, so this is the row path's shape)
+    val out = Array.newBuilder[Any]
+    var childBase = 0L // running element offset across pages of the PARENT
+    val elems = child
+    col.pages.foreach { page =>
+      val n = page.rows.toInt
+      page.encoding match {
+        case AllValid(ListOffsets(offBuf)) =>
           val offs = readAt(page.bufOffsets(offBuf), page.bufSizes(offBuf).toInt)
           require(offs.length == 8 * n, s"lance: list offsets ${offs.length}B for $n rows")
           val ob = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -452,35 +491,45 @@ object LanceFormat {
           var i = 0
           while (i < n) {
             val end = childBase + ob.getLong(8 * i)
-            vals(i) = new GenericArrayData(
+            out += new GenericArrayData(
               java.util.Arrays.copyOfRange(elems.asInstanceOf[Array[AnyRef]], prev.toInt, end.toInt))
             prev = end; i += 1
           }
           if (n > 0) childBase = prev
-      }
-      vals
-    }
-
-    col.pages.foreach { page =>
-      val n = page.rows.toInt
-      page.encoding match {
-        case AllValid(values) => out ++= decodeValues(page, values)
-        case AllNullPage =>
-          var i = 0
-          while (i < n) { out += null; i += 1 }
-        case SomeNulls(vBuf, values) =>
-          val bitmap = readAt(page.bufOffsets(vBuf), page.bufSizes(vBuf).toInt)
-          require(bitmap.length == (n + 7) / 8,
-            s"lance: ${col.field.name} validity bitmap ${bitmap.length}B for $n rows")
-          val vals = decodeValues(page, values)
-          var i = 0
-          while (i < n) {
-            out += (if (((bitmap(i >> 3) >> (i & 7)) & 1) == 1) vals(i) else null)
-            i += 1
-          }
+        case other => throw new UnsupportedOperationException(
+          s"lance: unsupported list-page encoding $other for ${col.field.name}")
       }
     }
     out.result()
+  }
+
+  /** Page-at-a-time cursor over a non-list column: at most ONE decoded
+    * page held at a time — the bounded-memory unit the streaming read
+    * paths are built from (a production Lance file pages at ~8 MB, so
+    * executor memory is page × projected-width, never file size).
+    */
+  private final class PageCursor(col: Column, readAt: (Long, Int) => Array[Byte]) {
+    private val pages = col.pages.iterator
+    private var cur: Array[Any] = Array.empty
+    private var off = 0
+    /** Copy `n` values into `out` starting at 0; throws if the column
+      * runs out of pages before `n` values (row-count mismatch).
+      */
+    def take(n: Int, out: Array[Any]): Unit = {
+      var filled = 0
+      while (filled < n) {
+        if (off == cur.length) {
+          require(pages.hasNext,
+            s"lance: column ${col.field.name} exhausted before the declared row count")
+          cur = decodePageNonList(col, pages.next(), readAt)
+          off = 0
+        }
+        val take = math.min(n - filled, cur.length - off)
+        System.arraycopy(cur, off, out, filled, take)
+        off += take; filled += take
+      }
+    }
+    def exhausted: Boolean = off == cur.length && !pages.hasNext
   }
 
   /** Exact null count of one column from its page encodings: all-valid
@@ -610,18 +659,97 @@ object LanceFormat {
     } finally close()
   }
 
-  /** Projected row read over the decoded columns. */
-  def rows(path: String, conf: Configuration, required: StructType): Iterator[InternalRow] = {
-    val (cols, nRows) = decodeColumns(path, conf, required)
-    val width = required.fields.length
-    (0 until nRows).iterator.map { r =>
-      val vals = new Array[Any](width)
-      var i = 0
-      while (i < width) {
-        vals(i) = if (cols(i) == null) null else cols(i)(r)
-        i += 1
+  /** Type-check a required field against the file; Some(column) when
+    * present, None when absent (reads back null — the widen contract).
+    */
+  private def resolveColumn(lf: LanceFile, byName: Map[String, Column],
+      f: StructField, path: String): Option[Column] =
+    byName.get(f.name).map { c =>
+      val sparkT = c.field.sparkType(
+        lf.childOf(c).field.sparkType(
+          throw new UnsupportedOperationException("lance: nested lists unsupported")))
+      def erase(dt: DataType): DataType = dt match {
+        case ArrayType(et, _) => ArrayType(erase(et), containsNull = true)
+        case MapType(k, v, _) => MapType(erase(k), erase(v), valueContainsNull = true)
+        case StructType(fs) => StructType(fs.map(x =>
+          x.copy(dataType = erase(x.dataType), nullable = true)))
+        case other => other
       }
-      new GenericInternalRow(vals)
+      if (erase(sparkT) != erase(f.dataType))
+        throw new UnsupportedOperationException(
+          s"lance: field ${f.name} is $sparkT in $path but the table schema wants ${f.dataType}")
+      c
+    }
+
+  /** STREAMING read unit: row-aligned chunks of up to `batchRows` values
+    * per projected column, decoded page-at-a-time through [[PageCursor]]
+    * — executor memory is bounded by page size × projected width, never
+    * file size (production Lance files page at ~8 MB). The stream closes
+    * at exhaustion; early termination (LIMIT) is covered by a
+    * task-completion listener when running inside a Spark task.
+    */
+  private def chunkIterator(path: String, conf: Configuration, required: StructType,
+      batchRows: Int): Iterator[(Array[Array[Any]], Int)] = {
+    val (len, readAt, close) = openReadAt(path, conf)
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; close() }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+    try {
+      val lf = parse(len, readAt)
+      val byName = lf.topLevel.map(c => c.field.name -> c).toMap
+      val nRows = lf.numRows.toInt
+      val cursors: Array[PageCursor] = required.fields.map(f =>
+        resolveColumn(lf, byName, f, path).map(new PageCursor(_, readAt)).orNull)
+      if (nRows == 0) { closeOnce(); return Iterator.empty }
+      new Iterator[(Array[Array[Any]], Int)] {
+        private var produced = 0
+        override def hasNext: Boolean = produced < nRows
+        override def next(): (Array[Array[Any]], Int) = {
+          val n = math.min(batchRows, nRows - produced)
+          val out: Array[Array[Any]] = cursors.map { c =>
+            if (c == null) null
+            else { val a = new Array[Any](n); c.take(n, a); a }
+          }
+          produced += n
+          if (produced == nRows) {
+            cursors.foreach(c => if (c != null) require(c.exhausted,
+              s"lance: a column in $path decoded more rows than the file declares"))
+            closeOnce()
+          }
+          (out, n)
+        }
+      }
+    } catch { case e: Throwable => closeOnce(); throw e }
+  }
+
+  /** Projected row read. List projections take the materialized path
+    * (the child column must be whole); everything else streams
+    * page-at-a-time with bounded memory.
+    */
+  def rows(path: String, conf: Configuration, required: StructType): Iterator[InternalRow] = {
+    val width = required.fields.length
+    if (required.fields.exists(_.dataType.isInstanceOf[ArrayType])) {
+      val (cols, nRows) = decodeColumns(path, conf, required)
+      (0 until nRows).iterator.map { r =>
+        val vals = new Array[Any](width)
+        var i = 0
+        while (i < width) {
+          vals(i) = if (cols(i) == null) null else cols(i)(r)
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+    } else chunkIterator(path, conf, required, 4096).flatMap { case (cols, n) =>
+      (0 until n).iterator.map { r =>
+        val vals = new Array[Any](width)
+        var i = 0
+        while (i < width) {
+          vals(i) = if (cols(i) == null) null else cols(i)(r)
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
     }
   }
 
@@ -635,20 +763,17 @@ object LanceFormat {
     case _ => false // lists stay on the row path
   }
 
-  /** COLUMNAR read: the decoded columns sliced into on-heap
+  /** COLUMNAR read: streamed chunks materialized as on-heap
     * `ColumnarBatch`es, so log-free Lance scans ride whole-stage codegen
-    * batch-at-a-time exactly like the vectorized parquet path (D3). Peak
-    * memory equals the row path's (both materialize the projected
-    * columns); the win is downstream — no per-row iterator, vectorized
-    * consumption. Caller must have checked [[vectorizable]] per field.
+    * batch-at-a-time exactly like the vectorized parquet path (D3), with
+    * memory bounded by page × projected width (the [[chunkIterator]]
+    * contract). Caller must have checked [[vectorizable]] per field.
     */
   def batches(path: String, conf: Configuration, required: StructType,
       batchRows: Int = 4096): Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
-    val (cols, nRows) = decodeColumns(path, conf, required)
-    (0 until nRows by math.max(1, batchRows)).iterator.map { start =>
-      val n = math.min(batchRows, nRows - start)
+    chunkIterator(path, conf, required, math.max(1, batchRows)).map { case (cols, n) =>
       val vectors = OnHeapColumnVector.allocateColumns(n, required)
       var ci = 0
       while (ci < required.length) {
@@ -659,7 +784,7 @@ object LanceFormat {
         else {
           var i = 0
           while (i < n) {
-            val v = col(start + i)
+            val v = col(i)
             if (v == null) vec.putNull(i)
             else dt match {
               case IntegerType | DateType => vec.putInt(i, v.asInstanceOf[Int])
