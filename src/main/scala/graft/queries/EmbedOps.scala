@@ -73,6 +73,24 @@ object EmbedOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Brute-force max-inner-product top-k (see the `embed_ann_mips`
+    * entry's scaladoc for the metric rationale and scale reduction).
+    */
+  private def mipsSql(q: String, dot: String): String = {
+    val dotAB = dot.format("a.q", "b.q")
+    s"""WITH qe AS ($q),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $dotAB AS dot
+       |  FROM qe a JOIN qe b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Exact all-pairs near-dup — the correctness baseline for the LSH path
     * in [[AnnOps]]. Norms are computed once per vector (not per pair), and
     * the dot product once per pair in an inner select, so the pair loop
@@ -314,6 +332,18 @@ object EmbedOps {
     "embed_knn_brute" -> QueryDef(
       (s, d) => sq(s, d, knnSql(sparkQ, sparkDot)),
       knnSql(duckQ, duckDot)
+    ),
+    // MIPS — retrieval's OTHER metric (DPR-style dense retrieval ranks by
+    // raw inner product, not cosine; a high-norm passage legitimately
+    // outranks a nearer-direction low-norm one). Ranking is pure BIGINT
+    // (quantized dots + id tiebreak), bit-identical cross-engine. Brute
+    // force is the baseline shape: query set × corpus linear scan,
+    // broadcast like knn. At scale the standard reduction appends
+    // sqrt(M² − |x|²) as an extra dim, turning MIPS into cosine ANN so
+    // the IVF/LSH paths apply unchanged.
+    "embed_ann_mips" -> QueryDef(
+      (s, d) => sq(s, d, mipsSql(sparkQ, sparkDot)),
+      mipsSql(duckQ, duckDot)
     ),
     "embed_dedup_cosine" -> QueryDef(
       (s, d) => sq(s, d, nearDupSql(sparkQ, sparkDot)),

@@ -129,6 +129,148 @@ object TemporalOps {
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** RANGE (interval) JOIN — the second temporal-join class next to
+    * as-of: points against OVERLAPPING validity windows, where one point
+    * can match many intervals (as-of matches exactly one). Each order
+    * opens a synthetic promo window inside the events epoch —
+    * `[2024-01-01 + o_orderkey%25 days, +1 + o_custkey%9 days)`
+    * (orders' own 1995-2001 dates don't overlap the 2024-01 event
+    * stream) — and every same-customer event inside it counts toward
+    * that order; windows overlap heavily by construction.
+    *
+    * Scale shape: a naive `ON key = key AND ts BETWEEN from AND to` plans
+    * a broadcast-nested-loop (quadratic per key). The Spark side instead
+    * applies the standard BUCKETED range join: quantize time into W-day
+    * buckets, explode each interval into the <= ceil(29/W)+1 buckets it
+    * covers, equi-join points on (key, bucket), then apply the exact
+    * range residual — an ordinary shuffled equi-join whose fan-out is
+    * bounded by interval_length/W per interval, never |points|x
+    * |intervals|. W trades index size (smaller W, more bucket rows) for
+    * residual selectivity (larger W, more false candidates); W~max
+    * interval length is the classic choice. DuckDB keeps the naive
+    * inequality join as the independently-shaped oracle.
+    */
+  private val rangeBucketDays = 16
+  private def rangeJoinImpl(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_rj")
+    Tables.orders(s, d).createOrReplaceTempView("orders_rj")
+    val df = rangeJoinQuery(s)
+    // plan-shape guard: the bucketing must have turned the interval
+    // predicate into an EQUI-join (hash/sort-merge); a nested-loop plan
+    // means the rewrite regressed to the quadratic shape
+    val plan = df.queryExecution.executedPlan.toString
+    require(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join must plan as an equi-join, got:\n$plan")
+    df
+  }
+
+  private def rangeJoinQuery(s: SparkSession): DataFrame =
+    s.sql(
+      s"""WITH iv AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    date_add(DATE '2024-01-01', CAST(o_orderkey % 25 AS INT)) AS d_from,
+         |    date_add(DATE '2024-01-01',
+         |      CAST(o_orderkey % 25 AS INT) + 1 + CAST(o_custkey % 9 AS INT)) AS d_to
+         |  FROM orders_rj),
+         |ivb AS (
+         |  SELECT o_orderkey, o_custkey, d_from, d_to, bucket
+         |  FROM iv
+         |  LATERAL VIEW explode(sequence(
+         |    FLOOR(datediff(d_from, DATE '1970-01-01') / $rangeBucketDays),
+         |    FLOOR(datediff(d_to,   DATE '1970-01-01') / $rangeBucketDays))) AS bucket),
+         |pts AS (
+         |  SELECT user_id, event_id, CAST(ts AS DATE) AS ed,
+         |    FLOOR(datediff(CAST(ts AS DATE), DATE '1970-01-01') / $rangeBucketDays) AS bucket
+         |  FROM events_rj)
+         |SELECT iv.o_orderkey, COUNT(1) AS n_events
+         |FROM ivb iv JOIN pts p
+         |  ON iv.o_custkey = p.user_id AND iv.bucket = p.bucket
+         |WHERE p.ed >= iv.d_from AND p.ed < iv.d_to
+         |GROUP BY iv.o_orderkey
+         |ORDER BY iv.o_orderkey""".stripMargin)
+
+  private val rangeJoinOracle: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    DATE '2024-01-01' + CAST(o_orderkey % 25 AS INT) AS d_from,
+      |    DATE '2024-01-01' + CAST(o_orderkey % 25 + 1 + o_custkey % 9 AS INT) AS d_to
+      |  FROM orders)
+      |SELECT iv.o_orderkey, COUNT(1) AS n_events
+      |FROM iv JOIN events e
+      |  ON iv.o_custkey = e.user_id
+      | AND CAST(e.ts AS DATE) >= iv.d_from AND CAST(e.ts AS DATE) < iv.d_to
+      |GROUP BY iv.o_orderkey
+      |ORDER BY iv.o_orderkey""".stripMargin
+
+  /** Last-touch attribution — the marketing-analytics standard: each
+    * purchase is credited to the user's most recent click/view at or
+    * before it, and only when that touch falls inside a 24h lookback
+    * (outside → unattributed, the "direct" bucket). The same union-tag
+    * carry-forward shape as [[asof]] (ONE shuffle by user), with the
+    * lookback applied as an integer-microsecond residual on the carried
+    * timestamp. Ties are total: touches dedupe to one per (user, ts) by
+    * max event_id, and a touch at exactly the purchase ts wins (tag
+    * order). DuckDB mirrors with its native ASOF join + the same
+    * residual — independently shaped.
+    */
+  private val lookbackUs = 86400L * 1000000L // 24h
+  private def attributionImpl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, d)
+    val dedupW = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(0).as("tag"),
+        col("event_id").as("touch_event_id"), col("event_type").as("touch_type"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("tag"),
+        lit(null).cast("long").as("touch_event_id"),
+        lit(null).cast("string").as("touch_type"),
+        col("event_id").as("purchase_id"))
+    val runW = Window.partitionBy("k").orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionByName(purchases)
+      .withColumn("m_touch_id", last(col("touch_event_id"), ignoreNulls = true).over(runW))
+      .withColumn("m_touch_type", last(col("touch_type"), ignoreNulls = true).over(runW))
+      .withColumn("m_touch_us",
+        last(when(col("tag") === 0, unix_micros(col("t"))), ignoreNulls = true).over(runW))
+      .filter(col("tag") === 1)
+      .withColumn("in_window",
+        col("m_touch_us").isNotNull && col("m_touch_us") >= unix_micros(col("t")) - lookbackUs)
+      .select(
+        col("purchase_id"),
+        col("k").as("user_id"),
+        when(col("in_window"), col("m_touch_id")).as("touch_event_id"),
+        when(col("in_window"), col("m_touch_type")).as("touch_type"),
+        col("in_window").as("attributed"))
+      .orderBy("purchase_id")
+  }
+
+  private val attributionOracle: String =
+    """WITH touches AS (
+      |  SELECT user_id, ts, event_id, event_type FROM (
+      |    SELECT user_id, ts, event_id, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type IN ('click', 'view')) WHERE rn = 1),
+      |purchases AS (
+      |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+      |matched AS (
+      |  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+      |    t.event_id AS t_id, t.event_type AS t_type, t.ts AS t_ts
+      |  FROM purchases p ASOF LEFT JOIN touches t
+      |    ON p.user_id = t.user_id AND p.ts >= t.ts)
+      |SELECT purchase_id, user_id,
+      |  CASE WHEN t_ts IS NOT NULL
+      |         AND epoch_us(t_ts) >= epoch_us(p_ts) - 86400000000 THEN t_id END
+      |    AS touch_event_id,
+      |  CASE WHEN t_ts IS NOT NULL
+      |         AND epoch_us(t_ts) >= epoch_us(p_ts) - 86400000000 THEN t_type END
+      |    AS touch_type,
+      |  (t_ts IS NOT NULL
+      |     AND epoch_us(t_ts) >= epoch_us(p_ts) - 86400000000) AS attributed
+      |FROM matched ORDER BY purchase_id""".stripMargin
+
   /** SCD2 interval builder: collapse a keyed change stream into
     * type-2 dimension rows — one row per (key, consecutive run of an
     * attribute value) with `[valid_from, valid_to)` validity and a
@@ -369,6 +511,8 @@ object TemporalOps {
     "events_funnel" -> QueryDef(funnelImpl _, funnelSql),
     "events_retention" -> QueryDef(retentionImpl _, retentionSql(duckDay)),
     "q_asof_join" -> QueryDef(asofImpl _, asofOracle),
+    "q_range_join" -> QueryDef(rangeJoinImpl _, rangeJoinOracle),
+    "events_attribution" -> QueryDef(attributionImpl _, attributionOracle),
     "q_scd2_intervals" -> QueryDef(scd2Impl _, scd2Oracle),
     "events_resample" -> QueryDef(resampleImpl _, resampleOracle)
   )

@@ -635,13 +635,20 @@ object TextOps {
     s.conf.getOption("spark.graft.text.ccLocalMaxEdges")
       .map(_.toLong).getOrElse(ccLocalMaxEdgesDefault)
 
-  private def groupsImpl(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
+  /** (doc, lbl) component labels of the simhash near-dup graph —
+    * regime-gated exactly like [[groupsImpl]]; shared with the canonical-
+    * selection entry.
+    */
+  private def componentLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = simhashPairs(s, d).select("doc_a", "doc_b")
     val nEdges = pairs.count()
-    val labels: DataFrame =
-      if (nEdges <= ccLocalMaxEdges(s)) localUnionFind(s, pairs)
-      else distributedComponents(pairs)
+    if (nEdges <= ccLocalMaxEdges(s)) localUnionFind(s, pairs)
+    else distributedComponents(pairs)
+  }
+
+  private def groupsImpl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val labels: DataFrame = componentLabels(s, d)
     // membership digest: bit_xor of per-doc md5 prefixes — O(1) aggregate
     // state and map-side-combinable, where a sorted collect_list would put
     // a pathological dup cluster (the same boilerplate a million times)
@@ -735,6 +742,47 @@ object TextOps {
     freeLocalCheckpoint(edges)
     labels
   }
+
+  /** Canonical selection: the shared ranking SQL over a (doc, lbl)
+    * labels relation joined to integer quality aggregates.
+    */
+  private def canonicalRankSql(labelsRel: String): String =
+    s"""qt AS (SELECT doc_id, COUNT(1) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+       |  FROM toks GROUP BY doc_id),
+       |ranked AS (
+       |  SELECT l.lbl AS group_id, l.doc AS doc_id, qt.n_distinct, qt.n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY l.lbl
+       |      ORDER BY qt.n_distinct DESC, qt.n_tokens DESC, l.doc) AS rn,
+       |    COUNT(1) OVER (PARTITION BY l.lbl) AS n_docs
+       |  FROM $labelsRel l JOIN qt ON l.doc = qt.doc_id)
+       |SELECT group_id, doc_id AS canonical_doc_id, n_docs, n_distinct, n_tokens
+       |FROM ranked WHERE rn = 1
+       |ORDER BY group_id""".stripMargin
+
+  private def canonicalImpl(s: SparkSession, d: String): DataFrame = {
+    componentLabels(s, d).createOrReplaceTempView("dup_labels")
+    s.sql(
+      s"""WITH toks AS (
+         |  SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents),
+         |${canonicalRankSql("dup_labels")}""".stripMargin)
+  }
+
+  private def canonicalOracle: String =
+    s"""WITH RECURSIVE ${simhashSigCtes("UNNEST(string_split(text, ' ')) AS tok")},
+       |pairs AS (
+       |${simhashPairsFrom("sigs", "xor(%s, %s)")}
+       |),
+       |dup_edges AS (
+       |  SELECT doc_a, doc_b FROM pairs WHERE hamming <= $simhashMaxHamming
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs WHERE hamming <= $simhashMaxHamming),
+       |reach(a, b) AS (
+       |  SELECT doc_a, doc_a FROM dup_edges
+       |  UNION
+       |  SELECT r.a, e.doc_b FROM reach r JOIN dup_edges e ON r.b = e.doc_a),
+       |labels AS (
+       |  SELECT a AS doc, MIN(b) AS lbl FROM reach GROUP BY a),
+       |${canonicalRankSql("labels")}""".stripMargin
 
   /** DuckDB oracle: transitive closure by recursive CTE (exact, fine at
     * oracle scale), then min-reachable as the component label.
@@ -1132,6 +1180,14 @@ object TextOps {
 
     // --- near-dup group clustering: components + keeper per group ----------
     "dedup_groups" -> QueryDef(groupsImpl _, Some(groupsOracle)),
+
+    // --- canonical-document selection: production dedup keeps the BEST
+    // group member, not the first — here argmax by integer-exact quality
+    // (distinct-token count, then token count, then min doc_id), so the
+    // pick is total and bit-identical cross-engine. One window over the
+    // label relation (tiny next to the corpus), quality from one
+    // tokenize pass of keyed combinable aggregates.
+    "dedup_canonical" -> QueryDef(canonicalImpl _, Some(canonicalOracle)),
 
     // --- MinHash + LSH banding near-dup -------------------------------------
     "dedup_minhash_lsh" -> QueryDef(minhashImpl _, Some(minhashOracle)),
