@@ -392,6 +392,55 @@ object HudiQueries {
         |            ELSE 20240101000000000 END AS BIGINT) AS commit_ord
         |FROM orders WHERE o_orderkey % 97 <> 0 ORDER BY o_orderkey""".stripMargin),
 
+    // --- S4 streaming FIRST-SEEN dedup (StreamOps.dedupFirst): per-commit
+    // micro-batches, dropDuplicatesWithinWatermark keyed on the order key
+    // — the "process each key exactly once" stage (enrichment triggers,
+    // side-effect-once pipelines). The %7 keys arrive again in the T2
+    // update batch and the dedup state must swallow the re-arrival, so
+    // every key surfaces at its T1 state (deletes land at T3 and are
+    // invisible without emit.deletes — first-seen keeps the %97 keys,
+    // unlike hudi_stream_latest's merged view). Event time derives from
+    // the commit day; the 30-day watermark spans the 3-commit history so
+    // no state expires mid-drain.
+    "hudi_stream_dedup" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val stream = s.readStream.format("hudi-graft")
+          .option("stream.commits.per.batch", "1")
+          .load(HudiFixtureBuilder.morPath(d))
+        val deduped = graft.streaming.StreamOps.dedupFirst(
+          stream
+            .withColumn("commit_ord", col("_hoodie_commit_time").cast("long"))
+            .withColumn("commit_day",
+              to_timestamp(substring(col("_hoodie_commit_time"), 1, 8), "yyyyMMdd"))
+            .select("o_orderkey", "o_orderstatus", "commit_ord", "commit_day"),
+          Seq("o_orderkey"), "commit_day", "30 days")
+        val sink = "graft_stream_dedup_sink"
+        s.catalog.dropTempView(sink)
+        val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        val savedRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+        val q =
+          try deduped.writeStream.outputMode("append").format("memory")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .queryName(sink).start()
+          finally {
+            s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+            savedRetain match {
+              case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+              case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
+            }
+          }
+        try q.awaitTermination() finally q.stop()
+        s.table(sink)
+          .select("o_orderkey", "o_orderstatus", "commit_ord")
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(20240101000000000 AS BIGINT) AS commit_ord
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     // --- S4 with a DELETE commit mid-drain: per-commit micro-batches
     // ((..T1], (T1,T2], (T2,T3]) + stream.emit.deletes. The T3 delete-only
     // batch surfaces TOMBSTONE rows (null data columns, meta key/commit

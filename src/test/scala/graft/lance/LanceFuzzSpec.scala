@@ -47,11 +47,15 @@ class LanceFuzzSpec extends AnyFunSuite {
   }
 
   /** Exceptions are the fail-closed contract; anything else (an Error —
-    * OOM from a runaway allocation, StackOverflow) fails the test.
+    * OOM from a runaway allocation, StackOverflow) fails the test. The
+    * ctx string names the failing input in scalatest's stack trace.
     */
   private def mustFailClosed(bytes: Array[Byte], ctx: String): Unit =
     try parseAndDecode(bytes)
-    catch { case _: Exception => () }
+    catch {
+      case _: Exception => ()
+      case e: Throwable => fail(s"non-exception escaped for $ctx: $e")
+    }
 
   test("random garbage never decodes, allocates wildly, or hangs") {
     val rnd = new scala.util.Random(0x1a5cef00d1L)
