@@ -1213,7 +1213,15 @@ object TextOps {
     "dedup_groups_distributed" -> QueryDef(
       (s, d) => withConf(s,
         "spark.graft.text.ccLocalMaxEdges" -> "0")(groupsImpl(s, d)),
-      Some(groupsOracle))
+      Some(groupsOracle)),
+
+    // canonical selection over the FORCED distributed-components branch —
+    // the same oracle hashes, so the pointer-jumping labels must agree
+    // with the recursive-CTE closure exactly like the keeper entry does
+    "dedup_canonical_distributed" -> QueryDef(
+      (s, d) => withConf(s,
+        "spark.graft.text.ccLocalMaxEdges" -> "0")(canonicalImpl(s, d)),
+      Some(canonicalOracle))
   )
 
   def queries: Map[String, QueryDef] = qs
