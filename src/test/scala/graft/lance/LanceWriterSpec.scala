@@ -234,6 +234,13 @@ class LanceWriterSpec extends SparkTestBase {
       .load(graft.fixtures.HudiFixtureBuilder.morLancePath(sfDir))
       .select("n_nationkey", "n_name")
     assert(!scanOf(mor).supportsColumnar, "merged MOR lance scan stays row-based")
+
+    // LIMIT terminates the stream early — the chunk iterator is not
+    // drained, so the task-completion close path covers the open file
+    val lim = spark.read.format("hudi-graft")
+      .load(graft.fixtures.HudiFixtureBuilder.lancePath(sfDir))
+      .select("n_nationkey", "n_name").limit(3).collect()
+    assert(lim.length == 3)
   }
 
   test("the built lance fixture table reads through the full engine") {
