@@ -271,6 +271,83 @@ object TemporalOps {
       |     AND epoch_us(t_ts) >= epoch_us(p_ts) - 86400000000) AS attributed
       |FROM matched ORDER BY purchase_id""".stripMargin
 
+  /** FIRST-touch attribution — the complementary model to
+    * [[attributionImpl]]'s last-touch: each purchase credits the
+    * EARLIEST click/view inside its 24h lookback window. Carry-forward
+    * windows can't express "earliest within a bounded window" (state
+    * would need to retire), so this rides the bucketed RANGE-join shape
+    * instead: each purchase's lookback explodes into <= 2 day-buckets,
+    * touches equi-join on (user, bucket), the exact µs residual applies,
+    * and ROW_NUMBER picks the earliest (ts, event_id) — all-BIGINT
+    * ordering, total and cross-engine exact. A LEFT join re-attaches
+    * purchases with no in-window touch (attributed = false). DuckDB
+    * keeps the naive inequality join + the same window rank.
+    */
+  private def attributionFirstImpl(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_af")
+    val bucketUs = 86400000000L // 1 day
+    val df = s.sql(
+      s"""WITH touches AS (
+         |  SELECT user_id, event_id, event_type, unix_micros(ts) AS t_us FROM (
+         |    SELECT user_id, event_id, event_type, ts,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+         |    FROM events_af WHERE event_type IN ('click', 'view')) WHERE rn = 1),
+         |purchases AS (
+         |  SELECT user_id, event_id AS purchase_id, unix_micros(ts) AS p_us
+         |  FROM events_af WHERE event_type = 'purchase'),
+         |pb AS (
+         |  SELECT user_id, purchase_id, p_us, bucket
+         |  FROM purchases
+         |  LATERAL VIEW explode(sequence(
+         |    FLOOR((p_us - $lookbackUs) / $bucketUs), FLOOR(p_us / $bucketUs))) AS bucket),
+         |tb AS (
+         |  SELECT user_id, event_id, event_type, t_us,
+         |    FLOOR(t_us / $bucketUs) AS bucket
+         |  FROM touches),
+         |matched AS (
+         |  SELECT pb.purchase_id, tb.event_id AS touch_event_id,
+         |    tb.event_type AS touch_type,
+         |    ROW_NUMBER() OVER (PARTITION BY pb.purchase_id
+         |      ORDER BY tb.t_us, tb.event_id) AS rn
+         |  FROM pb JOIN tb
+         |    ON pb.user_id = tb.user_id AND pb.bucket = tb.bucket
+         |  WHERE tb.t_us >= pb.p_us - $lookbackUs AND tb.t_us <= pb.p_us)
+         |SELECT p.purchase_id, p.user_id, m.touch_event_id, m.touch_type,
+         |  m.touch_event_id IS NOT NULL AS attributed
+         |FROM purchases p
+         |LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+         |  ON p.purchase_id = m.purchase_id
+         |ORDER BY p.purchase_id""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    require(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"first-touch attribution must plan as an equi-join, got:\n$plan")
+    df
+  }
+
+  private val attributionFirstOracle: String =
+    """WITH touches AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM (
+      |    SELECT user_id, event_id, event_type, ts,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type IN ('click', 'view')) WHERE rn = 1),
+      |purchases AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |matched AS (
+      |  SELECT p.purchase_id, t.event_id AS touch_event_id,
+      |    t.event_type AS touch_type,
+      |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY t.t_us, t.event_id) AS rn
+      |  FROM purchases p JOIN touches t
+      |    ON p.user_id = t.user_id
+      |   AND t.t_us >= p.p_us - 86400000000 AND t.t_us <= p.p_us)
+      |SELECT p.purchase_id, p.user_id, m.touch_event_id, m.touch_type,
+      |  m.touch_event_id IS NOT NULL AS attributed
+      |FROM purchases p
+      |LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
+      |  ON p.purchase_id = m.purchase_id
+      |ORDER BY p.purchase_id""".stripMargin
+
   /** SCD2 interval builder: collapse a keyed change stream into
     * type-2 dimension rows — one row per (key, consecutive run of an
     * attribute value) with `[valid_from, valid_to)` validity and a
@@ -513,6 +590,7 @@ object TemporalOps {
     "q_asof_join" -> QueryDef(asofImpl _, asofOracle),
     "q_range_join" -> QueryDef(rangeJoinImpl _, rangeJoinOracle),
     "events_attribution" -> QueryDef(attributionImpl _, attributionOracle),
+    "events_attribution_first" -> QueryDef(attributionFirstImpl _, attributionFirstOracle),
     "q_scd2_intervals" -> QueryDef(scd2Impl _, scd2Oracle),
     "events_resample" -> QueryDef(resampleImpl _, resampleOracle)
   )
