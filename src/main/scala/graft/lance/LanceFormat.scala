@@ -224,12 +224,14 @@ object LanceFormat {
             case _ => fail(arr)
           }
         }.getOrElse(fail(arr))
+        // no positional guessing: a Binary encoding without an explicit
+        // bytes branch fails closed like every other unknown structure
         val bytesBuf = fs.collectFirst { case PbField(2, 2, _, b) =>
           parseValues(b) match {
             case Flat(8, idx) => idx
             case _ => fail(arr)
           }
-        }.getOrElse(1) // golden fixtures: bytes buffer follows offsets
+        }.getOrElse(fail(arr))
         VariableBinary(offs.buf, bytesBuf)
       case Seq(PbField(4, 2, _, list)) =>
         val offs = pbFields(list).collectFirst { case PbField(1, 2, _, o) =>
@@ -374,8 +376,7 @@ object LanceFormat {
       readAt: (Long, Int) => Array[Byte]): Array[Any] = {
     val lt = col.field.logicalType
     val n = page.rows.toInt
-    locally {
-      val vals = new Array[Any](n)
+    val vals = new Array[Any](n)
       values match {
         case Flat(bits, bufIdx) =>
           val buf = readAt(page.bufOffsets(bufIdx), page.bufSizes(bufIdx).toInt)
@@ -434,6 +435,12 @@ object LanceFormat {
           var i = 0
           while (i < n) {
             val end = ob.getLong(8 * i)
+            // fail CLOSED on corrupt offsets: non-monotonic or past the
+            // bytes buffer would otherwise zero-pad (copyOfRange) or
+            // Int-wrap into silently-wrong values
+            require(end >= prev && end <= bytes.length,
+              s"lance: ${col.field.name} corrupt variable offset $end " +
+                s"(prev $prev, bytes ${bytes.length})")
             vals(i) =
               if (lt == "binary")
                 java.util.Arrays.copyOfRange(bytes, prev.toInt, end.toInt)
@@ -444,8 +451,7 @@ object LanceFormat {
           throw new UnsupportedOperationException(
             s"lance: page-streamed decode of list column ${col.field.name} (materialized path only)")
       }
-      vals
-    }
+    vals
   }
 
   /** One page of a NON-LIST column with nullability applied. */
@@ -491,6 +497,9 @@ object LanceFormat {
           var i = 0
           while (i < n) {
             val end = childBase + ob.getLong(8 * i)
+            require(end >= prev && end <= elems.length,
+              s"lance: ${col.field.name} corrupt list offset $end " +
+                s"(prev $prev, elements ${elems.length})")
             out += new GenericArrayData(
               java.util.Arrays.copyOfRange(elems.asInstanceOf[Array[AnyRef]], prev.toInt, end.toInt))
             prev = end; i += 1
@@ -548,11 +557,13 @@ object LanceFormat {
           val bitmap = readAt(page.bufOffsets(vBuf), page.bufSizes(vBuf).toInt)
           require(bitmap.length == (n + 7) / 8,
             s"lance: ${col.field.name} validity bitmap ${bitmap.length}B for $n rows")
+          // per-byte popcount; mask the final partial byte's padding bits
           var valid = 0L
-          var i = 0
-          while (i < n) {
-            valid += (bitmap(i >> 3) >> (i & 7)) & 1
-            i += 1
+          var b = 0
+          while (b < bitmap.length) {
+            val mask = if (b == n / 8 && (n & 7) != 0) (1 << (n & 7)) - 1 else 0xff
+            valid += Integer.bitCount(bitmap(b) & mask)
+            b += 1
           }
           n - valid
       }
@@ -628,25 +639,9 @@ object LanceFormat {
       val byName = lf.topLevel.map(c => c.field.name -> c).toMap
       val nRows = lf.numRows.toInt
       val cols: Array[Array[Any]] = required.fields.map { f =>
-        byName.get(f.name) match {
+        resolveColumn(lf, byName, f, path) match {
           case None => null // absent: null column
           case Some(c) =>
-            val sparkT = c.field.sparkType(
-              lf.childOf(c).field.sparkType(
-                throw new UnsupportedOperationException("lance: nested lists unsupported")))
-            // DecimalType equality covers precision/scale; Array covers the
-            // element type. NULLABILITY is not physical — compare with
-            // nullability erased.
-            def erase(dt: DataType): DataType = dt match {
-              case ArrayType(et, _) => ArrayType(erase(et), containsNull = true)
-              case MapType(k, v, _) => MapType(erase(k), erase(v), valueContainsNull = true)
-              case StructType(fs) => StructType(fs.map(x =>
-                x.copy(dataType = erase(x.dataType), nullable = true)))
-              case other => other
-            }
-            if (erase(sparkT) != erase(f.dataType))
-              throw new UnsupportedOperationException(
-                s"lance: field ${f.name} is $sparkT in $path but the table schema wants ${f.dataType}")
             val vals = decode(c, readAt,
               decode(lf.childOf(c), readAt,
                 throw new UnsupportedOperationException("lance: nested lists unsupported")))
@@ -706,18 +701,20 @@ object LanceFormat {
         private var produced = 0
         override def hasNext: Boolean = produced < nRows
         override def next(): (Array[Array[Any]], Int) = {
-          val n = math.min(batchRows, nRows - produced)
-          val out: Array[Array[Any]] = cursors.map { c =>
-            if (c == null) null
-            else { val a = new Array[Any](n); c.take(n, a); a }
-          }
-          produced += n
-          if (produced == nRows) {
-            cursors.foreach(c => if (c != null) require(c.exhausted,
-              s"lance: a column in $path decoded more rows than the file declares"))
-            closeOnce()
-          }
-          (out, n)
+          try {
+            val n = math.min(batchRows, nRows - produced)
+            val out: Array[Array[Any]] = cursors.map { c =>
+              if (c == null) null
+              else { val a = new Array[Any](n); c.take(n, a); a }
+            }
+            produced += n
+            if (produced == nRows) {
+              cursors.foreach(c => if (c != null) require(c.exhausted,
+                s"lance: a column in $path decoded more rows than the file declares"))
+              closeOnce()
+            }
+            (out, n)
+          } catch { case e: Throwable => closeOnce(); throw e }
         }
       }
     } catch { case e: Throwable => closeOnce(); throw e }

@@ -349,37 +349,7 @@ object HudiQueries {
             .select("o_orderkey", "o_orderstatus", "commit_ord"),
           Seq("o_orderkey"), "commit_ord")
         val sink = "graft_stream_latest_sink"
-        s.catalog.dropTempView(sink)
-        // Harness cost control (the plan is fixed machinery): the stateful
-        // operator's task/state-store count follows shuffle.partitions at
-        // stream START (the session is cloned into the stream), so pin a
-        // small count for the fixture-sized state — 32 stores per micro-
-        // batch was pure per-task overhead — and restore the session conf
-        // once the stream has cloned it. AvailableNow drains everything
-        // and self-terminates instead of idling through an empty trailing
-        // micro-batch.
-        val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        val savedRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        // AvailableNow drains never restart mid-history: retaining one
-        // checkpoint batch (not the 100 default) skips ~0.6s/entry of
-        // state-snapshot retention IO (DevStreamProfile measurement)
-        s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
-        val q =
-          try latest.writeStream.outputMode("append").format("memory")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .queryName(sink).start()
-          finally {
-            s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
-            // restore: other streams in this session keep the default
-            // retention (a restarted stream may need older batch state)
-            savedRetain match {
-              case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
-              case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
-            }
-          }
-        try q.awaitTermination() finally q.stop()
-        s.table(sink)
+        drainToMemory(s, latest, sink, "append")
           .groupBy("o_orderkey")
           .agg(max(struct(col("commit_ord"), col("o_orderstatus"))).as("m"))
           .select(col("o_orderkey"), col("m.o_orderstatus").as("o_orderstatus"),
@@ -416,24 +386,7 @@ object HudiQueries {
             .select("o_orderkey", "o_orderstatus", "commit_ord", "commit_day"),
           Seq("o_orderkey"), "commit_day", "30 days")
         val sink = "graft_stream_dedup_sink"
-        s.catalog.dropTempView(sink)
-        val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        val savedRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
-        val q =
-          try deduped.writeStream.outputMode("append").format("memory")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .queryName(sink).start()
-          finally {
-            s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
-            savedRetain match {
-              case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
-              case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
-            }
-          }
-        try q.awaitTermination() finally q.stop()
-        s.table(sink)
+        drainToMemory(s, deduped, sink, "append")
           .select("o_orderkey", "o_orderstatus", "commit_ord")
           .orderBy("o_orderkey")
       },
@@ -463,29 +416,7 @@ object HudiQueries {
             .select(col("_hoodie_record_key").as("rk"), col("o_orderstatus"), col("commit_ord")),
           Seq("rk"), "commit_ord")
         val sink = "graft_stream_deletes_sink"
-        s.catalog.dropTempView(sink)
-        val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        val savedRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        // AvailableNow drains never restart mid-history: retaining one
-        // checkpoint batch (not the 100 default) skips ~0.6s/entry of
-        // state-snapshot retention IO (DevStreamProfile measurement)
-        s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
-        val q =
-          try latest.writeStream.outputMode("append").format("memory")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .queryName(sink).start()
-          finally {
-            s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
-            // restore: other streams in this session keep the default
-            // retention (a restarted stream may need older batch state)
-            savedRetain match {
-              case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
-              case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
-            }
-          }
-        try q.awaitTermination() finally q.stop()
-        s.table(sink)
+        drainToMemory(s, latest, sink, "append")
           .groupBy("rk")
           .agg(max(struct(col("commit_ord"), col("o_orderstatus"))).as("m"))
           .filter(col("m.o_orderstatus").isNotNull) // tombstone winner = deleted key
@@ -565,29 +496,7 @@ object HudiQueries {
           "event_ts", "1 day", "1 second",
           Seq("o_orderstatus"), Seq(count(lit(1)).as("n")))
         val sink = "graft_stream_windowed_sink"
-        s.catalog.dropTempView(sink)
-        val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        val savedRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        // AvailableNow drains never restart mid-history: retaining one
-        // checkpoint batch (not the 100 default) skips ~0.6s/entry of
-        // state-snapshot retention IO (DevStreamProfile measurement)
-        s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
-        val q =
-          try windowed.writeStream.outputMode("complete").format("memory")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .queryName(sink).start()
-          finally {
-            s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
-            // restore: other streams in this session keep the default
-            // retention (a restarted stream may need older batch state)
-            savedRetain match {
-              case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
-              case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
-            }
-          }
-        try q.awaitTermination() finally q.stop()
-        s.table(sink)
+        drainToMemory(s, windowed, sink, "complete")
           .select(col("window.start").cast("timestamp_ntz").as("w"),
             col("o_orderstatus"), col("n"))
           .orderBy("w", "o_orderstatus")
@@ -622,29 +531,7 @@ object HudiQueries {
           .agg(count(lit(1)).as("n"),
             graft.util.ExactAgg.dsum(col("o_totalprice")).as("total"))
         val sink = "graft_stream_enriched_sink"
-        s.catalog.dropTempView(sink)
-        val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        val savedRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        // AvailableNow drains never restart mid-history: retaining one
-        // checkpoint batch (not the 100 default) skips ~0.6s/entry of
-        // state-snapshot retention IO (DevStreamProfile measurement)
-        s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
-        val q =
-          try enriched.writeStream.outputMode("complete").format("memory")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .queryName(sink).start()
-          finally {
-            s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
-            // restore: other streams in this session keep the default
-            // retention (a restarted stream may need older batch state)
-            savedRetain match {
-              case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
-              case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
-            }
-          }
-        try q.awaitTermination() finally q.stop()
-        s.table(sink)
+        drainToMemory(s, enriched, sink, "complete")
           .select(col("c_nationkey"), col("o_orderstatus"), col("n"), col("total"))
           .orderBy("c_nationkey", "o_orderstatus")
       },
@@ -1567,6 +1454,42 @@ object HudiQueries {
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin)
   )
+
+
+  /** One AvailableNow drain into a memory sink with the fixture-sized
+    * streaming harness confs pinned for its WHOLE duration (8 shuffle
+    * partitions -> 8 state stores instead of 32 pure-overhead tasks;
+    * retain 1 checkpoint batch, ~0.6s/entry of snapshot-retention IO
+    * saved -- DevStreamProfile measurements). Confs restore AFTER
+    * termination: the stream thread clones the session asynchronously,
+    * so restoring right after start() raced the clone and the
+    * state-store count nondeterministically followed the restored
+    * value. AvailableNow self-terminates instead of idling through an
+    * empty trailing micro-batch.
+    */
+  private def drainToMemory(s: SparkSession, stream: DataFrame, sink: String,
+      outputMode: String): DataFrame = {
+    s.catalog.dropTempView(sink)
+    val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val savedRetain = s.conf.getOption("spark.sql.streaming.minBatchesToRetain")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    try {
+      val q = stream.writeStream.outputMode(outputMode).format("memory")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .queryName(sink).start()
+      try q.awaitTermination() finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+      // restore: other streams in this session keep the default
+      // retention (a restarted stream may need older batch state)
+      savedRetain match {
+        case Some(v) => s.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+        case None => s.conf.unset("spark.sql.streaming.minBatchesToRetain")
+      }
+    }
+    s.table(sink)
+  }
 
   def queries: Map[String, QueryDef] = qs
 }
