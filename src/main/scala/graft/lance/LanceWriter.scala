@@ -115,9 +115,10 @@ object LanceWriter {
     * (per-page string offsets restart at zero) with small page sizes.
     */
   def write(path: String, conf: Configuration, schema: StructType, rows: Seq[Seq[Any]],
-      pageRows: Int = Int.MaxValue): Unit = {
+      pageRows: Int = Int.MaxValue,
+      pageRowsByCol: Map[String, Int] = Map.empty): Unit = {
     require(rows.forall(_.length == schema.length), "row arity mismatch")
-    require(pageRows > 0, "pageRows must be positive")
+    require(pageRows > 0 && pageRowsByCol.values.forall(_ > 0), "pageRows must be positive")
     val buf = new Buf
 
     // Expand the Spark schema into PHYSICAL lance columns: a top-level
@@ -152,9 +153,9 @@ object LanceWriter {
 
     // data pages first; remember per physical column the page list
     // (offsets, sizes, rows, encoding)
-    def primPages(dataType: DataType,
-        colVals: Seq[Any]): Seq[(Array[Long], Array[Long], Int, Array[Byte])] =
-      (if (colVals.isEmpty) Seq(Seq.empty[Any]) else colVals.grouped(pageRows).toSeq).map { vals =>
+    def primPages(dataType: DataType, colVals: Seq[Any],
+        perPage: Int): Seq[(Array[Long], Array[Long], Int, Array[Byte])] =
+      (if (colVals.isEmpty) Seq(Seq.empty[Any]) else colVals.grouped(perPage).toSeq).map { vals =>
         val n = vals.length
         val hasNull = vals.exists(_ == null)
         if (n > 0 && vals.forall(_ == null)) {
@@ -240,11 +241,13 @@ object LanceWriter {
 
     val pages: Seq[Seq[(Array[Long], Array[Long], Int, Array[Byte])]] =
       physCols.map {
-        case (_, _, _, _, Left((dt, vals))) => primPages(dt, vals)
-        case (_, _, _, _, Right(counts)) =>
+        case (name, _, _, _, Left((dt, vals))) =>
+          primPages(dt, vals, pageRowsByCol.getOrElse(name, pageRows))
+        case (name, _, _, _, Right(counts)) =>
           // list-offsets pages: running u64 element-count ends, restarting
           // at zero per page (the reader accumulates across pages)
-          (if (counts.isEmpty) Seq(Seq.empty[Int]) else counts.grouped(pageRows).toSeq).map { cs =>
+          (if (counts.isEmpty) Seq(Seq.empty[Int])
+           else counts.grouped(pageRowsByCol.getOrElse(name, pageRows)).toSeq).map { cs =>
             val n = cs.length
             val pos = buf.pos.toLong
             var acc = 0L

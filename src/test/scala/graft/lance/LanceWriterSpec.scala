@@ -76,6 +76,48 @@ class LanceWriterSpec extends SparkTestBase {
     }
   }
 
+  test("MISALIGNED per-column pages stitch correctly (real files page by bytes)") {
+    // production Lance pages each column at ~8 MB of BYTES, so columns
+    // of different widths have different rows-per-page — the fixtures'
+    // uniform paging never exercises this. Page three columns at 5/7/3
+    // rows over 23 rows (none aligned with another or with the 4096-row
+    // batch chunking) and assert both read paths stitch identically.
+    val conf = new Configuration()
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("s", StringType),
+      StructField("b", BooleanType)))
+    val rows: Seq[Seq[Any]] = (0 until 23).map(k =>
+      Seq(k, if (k % 4 == 0) null else "v" * (k % 5) + s"#$k", k % 3 == 0))
+    val path = java.nio.file.Files.createTempDirectory("lancemis").resolve("m.lance").toString
+    LanceWriter.write(path, conf, schema, rows, pageRows = 5,
+      pageRowsByCol = Map("s" -> 7, "b" -> 3))
+    val lf = LanceFormat.readMetadata(path, conf)
+    assert(lf.topLevel.map(_.pages.length) == Seq(5, 4, 8),
+      "23 rows at 5/7/3 rows per page")
+    val got = LanceFormat.rows(path, conf, schema).toArray
+    assert(got.length == 23)
+    got.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getInt(0) == k)
+      assert(r.isNullAt(1) == (k % 4 == 0), s"s row $k")
+      if (k % 4 != 0) assert(r.getUTF8String(1).toString == "v" * (k % 5) + s"#$k")
+      assert(r.getBoolean(2) == (k % 3 == 0))
+    }
+    // columnar path over the same misaligned pages, small batches so a
+    // batch spans page boundaries of every column at once
+    val batches = LanceFormat.batches(path, conf, schema, batchRows = 4).toArray
+    assert(batches.map(_.numRows()).sum == 23)
+    val flat = batches.flatMap(b => (0 until b.numRows()).map { i =>
+      (b.column(0).getInt(i),
+        if (b.column(1).isNullAt(i)) null else b.column(1).getUTF8String(i).toString,
+        b.column(2).getBoolean(i))
+    })
+    flat.zipWithIndex.foreach { case ((i, sv, bv), k) =>
+      assert(i == k && bv == (k % 3 == 0))
+      assert((sv == null) == (k % 4 == 0))
+      if (k % 4 != 0) assert(sv == "v" * (k % 5) + s"#$k")
+    }
+  }
+
   test("nullable pages round-trip: some_nulls bitmaps across page boundaries") {
     // nulls scattered over every type, with 3-row pages so null patterns
     // cross page boundaries; one page (rows 3-5 of "oi") is ALL null,
