@@ -221,8 +221,7 @@ object LogFileParser {
           if (!inRange && blockType == LogFormat.CommandBlock)
             blocks += LogBlock(blockType, header, Vector.empty, None, Vector.empty, Array.empty)
         } else {
-          val content = new Array[Byte](contentLength.toInt)
-          in.readFully(content)
+          val content = readSized(in, contentLength, "content")
           blocks += decode(blockType, header, content)
         }
         pos = expectedEnd.toInt
@@ -254,14 +253,26 @@ object LogFileParser {
   }
 
 
+  /** Bounded read: every interior length is validated against the
+    * stream's remaining bytes BEFORE allocation — a corrupt length
+    * inside a valid block envelope must fail closed, not attempt a
+    * multi-GB allocation (the envelope walk already bounds blockLength;
+    * this closes the same hazard one level down).
+    */
+  private def readSized(in: DataInputStream, len: Long, what: String): Array[Byte] = {
+    require(len >= 0 && len <= in.available(),
+      s"log block: $what length $len exceeds remaining ${in.available()} bytes")
+    val buf = new Array[Byte](len.toInt)
+    in.readFully(buf)
+    buf
+  }
+
   private def readMetadata(in: DataInputStream): Map[Int, String] = {
     val n = in.readInt()
     val m = Map.newBuilder[Int, String]
     for (_ <- 0 until n) {
       val key = in.readInt()
-      val len = in.readInt()
-      val buf = new Array[Byte](len)
-      in.readFully(buf)
+      val buf = readSized(in, in.readInt(), s"metadata entry $key")
       m += key -> new String(buf, "UTF-8")
     }
     m.result()
@@ -282,10 +293,8 @@ object LogFileParser {
         val count = in.readInt()
         val reader = new GenericDatumReader[GenericRecord](schema)
         val records = Vector.newBuilder[GenericRecord]
-        for (_ <- 0 until count) {
-          val len = in.readInt()
-          val buf = new Array[Byte](len)
-          in.readFully(buf)
+        for (i <- 0 until count) {
+          val buf = readSized(in, in.readInt(), s"avro record $i")
           val dec = DecoderFactory.get().binaryDecoder(buf, null)
           records += reader.read(null, dec)
         }
@@ -295,9 +304,7 @@ object LogFileParser {
         val in = new DataInputStream(new ByteArrayInputStream(content))
         val contentVersion = in.readInt()
         require(contentVersion == LogFormat.BlockVersionV3, s"log block content version $contentVersion")
-        val len = in.readInt()
-        val buf = new Array[Byte](len)
-        in.readFully(buf)
+        val buf = readSized(in, in.readInt(), "delete records")
         LogBlock(blockType, header, Vector.empty, None, DeleteRecordCodec.decode(buf), Array.empty)
 
       case LogFormat.ParquetDataBlock =>
