@@ -175,6 +175,12 @@ final class HFileReader(bytes: Array[Byte]) {
     trailer.compressionCodec match {
       case 2 => data
       case 1 =>
+        // decompression-bomb bound (the readSized discipline): a corrupt
+        // header declaring a multi-GB uncompressed size must fail closed
+        // before the allocation. Real HBase blocks are 64 KB-1 MB; 64 MB
+        // is generous headroom for any MDT block.
+        require(uncompressedSize >= 0 && uncompressedSize <= (64 << 20),
+          s"hfile: implausible uncompressed block size $uncompressedSize")
         val in = new GZIPInputStream(new ByteArrayInputStream(data))
         try {
           val out = new Array[Byte](uncompressedSize)
