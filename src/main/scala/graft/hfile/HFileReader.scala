@@ -215,6 +215,17 @@ final class HFileReader(bytes: Array[Byte]) {
         onDiskWithHeader - onDiskDataSizeWithHeader
       else ((onDiskWithHeader + bytesPerChecksum - 1) / bytesPerChecksum) * 4
     val dataStart = offset + BlockHeaderSize
+    // BOTH paths' header-declared sizes bound against the file BEFORE any
+    // allocation (the readSized discipline): copyOfRange would zero-pad a
+    // size past EOF into a silently-garbage block or attempt a multi-GB
+    // allocation from a corrupt header.
+    // (uncompressedSize may legitimately exceed the file tail on the GZIP
+    // path — decompress() bounds that branch at 64 MB instead)
+    require(onDiskSize >= 0 && uncompressedSize >= 0 &&
+      dataStart + onDiskSize.toLong <= bytes.length &&
+      (trailer.compressionCodec != 2 || dataStart + uncompressedSize.toLong <= bytes.length),
+      s"hfile: block at $offset declares onDisk=$onDiskSize uncompressed=$uncompressedSize " +
+        s"beyond the ${bytes.length}-byte file")
     val data =
       if (trailer.compressionCodec == 2)
         java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + uncompressedSize)

@@ -145,6 +145,11 @@ object LanceWriter {
       }
     }
     val physCols = physB.result()
+    // typo-proof the test hook: a key matching no physical column would
+    // silently fall back to uniform paging and void the intended coverage
+    require(pageRowsByCol.keySet.subsetOf(physCols.map(_._1).toSet),
+      s"pageRowsByCol names unknown columns: " +
+        (pageRowsByCol.keySet -- physCols.map(_._1)).mkString(", "))
 
     /** ArrayEncoding{list{offsets: nullable(no_nulls(flat64))}} — the
       * golden fixtures' list-offsets structure.

@@ -209,7 +209,8 @@ object TemporalOps {
     * carry-forward shape as [[asof]] (ONE shuffle by user), with the
     * lookback applied as an integer-microsecond residual on the carried
     * timestamp. Ties are total: touches dedupe to one per (user, ts) by
-    * max event_id, and a touch at exactly the purchase ts wins (tag
+    * MIN event_id (first-touch keeps the earliest id at equal time,
+    * unlike last-touch's max), and a touch at exactly the purchase ts wins (tag
     * order). DuckDB mirrors with its native ASOF join + the same
     * residual — independently shaped.
     */
@@ -290,7 +291,7 @@ object TemporalOps {
       s"""WITH touches AS (
          |  SELECT user_id, event_id, event_type, unix_micros(ts) AS t_us FROM (
          |    SELECT user_id, event_id, event_type, ts,
-         |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+         |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
          |    FROM events_af WHERE event_type IN ('click', 'view')) WHERE rn = 1),
          |purchases AS (
          |  SELECT user_id, event_id AS purchase_id, unix_micros(ts) AS p_us
@@ -328,7 +329,7 @@ object TemporalOps {
     """WITH touches AS (
       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM (
       |    SELECT user_id, event_id, event_type, ts,
-      |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
       |    FROM events WHERE event_type IN ('click', 'view')) WHERE rn = 1),
       |purchases AS (
       |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us

@@ -88,6 +88,9 @@ class LogFuzzSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       LogFileParser.parse(out.toByteArray, InstantRange.all)
     }
-    assert(e.getMessage == null || !e.isInstanceOf[OutOfMemoryError])
+    // the rejection must come from the BOUNDED read (readSized's require
+    // naming the hostile length), not from an EOF after a huge allocation
+    assert(e.getMessage != null && e.getMessage.contains("exceeds remaining"),
+      s"expected readSized rejection, got: $e")
   }
 }
