@@ -264,6 +264,22 @@ final class Timeline(
   def replacedFileGroupsAsOf(ts: String): Map[String, Set[String]] =
     mergeReplaced(instantsAsOf(ts))
 
+  /** (partition → fileIds) REPLACED by one instant, from its
+    * `partitionToReplaceFileIds` — empty for non-replacecommits. The
+    * per-instant view (vs the merged as-of/between forms above) is what
+    * inferred CDC needs: an insert-overwrite's before-image is exactly
+    * the groups THIS commit replaced, read as of its predecessor
+    * (reference replace handling: timeline/mod.rs:302-320).
+    */
+  def replacedFileGroups(instant: HoodieInstant): Map[String, Set[String]] = {
+    if (instant.action != "replacecommit") return Map.empty
+    val rep = commitMetadata(instant).path("partitionToReplaceFileIds")
+    if (!rep.isObject) Map.empty
+    else rep.properties().asScala.map { e =>
+      e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSet
+    }.toMap
+  }
+
   /** Replaced groups within `(start, end]` for incremental diffs. */
   def replacedFileGroupsBetween(start: Option[String], end: Option[String]): Map[String, Set[String]] =
     mergeReplaced(instantsBetween(start, end))

@@ -62,6 +62,7 @@ object HudiFixtureBuilder {
   def morWidenedPath(sfDir: String): String = s"${root(sfDir)}/mor_widened_nation"
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
   def clusteredPath(sfDir: String): String = s"${root(sfDir)}/cow_clustered"
+  def overwritePath(sfDir: String): String = s"${root(sfDir)}/cow_overwrite"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
@@ -78,7 +79,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v27")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v28")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -146,6 +147,7 @@ object HudiFixtureBuilder {
           buildMorOrders(spark, sfDir); own()
           buildMorLogOnly(spark, sfDir); own()
           buildCowClustered(spark, sfDir); own()
+          buildCowOverwrite(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
           buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
@@ -529,6 +531,48 @@ object HudiFixtureBuilder {
       s"""{"partitionToWriteStats":{"":[{"fileId":"${fileId(9)}","path":"$cname","partitionPath":""}]},""" +
         s""""partitionToReplaceFileIds":{"":["${fileId(0)}","${fileId(1)}"]},""" +
         """"compacted":false,"operationType":"CLUSTER"}""")
+  }
+
+  // --- COW, non-partitioned, with an INSERT_OVERWRITE replacecommit ------
+  // T1 commit: inserts split over TWO file groups by key parity, all
+  // stamped T1. T2 replacecommit (operationType INSERT_OVERWRITE): ONE
+  // new file group holding only the %3!=0 keys (the %3==0 keys are
+  // logically DELETED by the overwrite), %7==0 survivors restatused to
+  // 'V', every surviving row stamped T2 (real Hudi writes overwrite rows
+  // as fresh inserts with the new commit time — unlike clustering, which
+  // preserves stamps). Drives the inferred-CDC replace path: before-image
+  // from the REPLACED groups as of T1, after-image from the new group,
+  // 'd' for replaced-only keys.
+  private def buildCowOverwrite(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(overwritePath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeProperties(fs, base, "cow_overwrite", "COPY_ON_WRITE", None, hiveStyle = false)
+    val src0 = orders(spark, sfDir)
+    val src = src0.withColumn("__part", lit(""))
+    val dataAvro = Some(SparkToAvro.toAvroSchema(src0.schema, "orders_record").toString)
+
+    val files1 = (0 until 2).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T1.parquet"
+      writeBaseFile(spark,
+        withMeta(src.filter(pmod(col("o_orderkey"), lit(2)) === g)
+          .withColumn("__commit", lit(T1)), "__part", lit(name)),
+        base, name)
+      ("", fileId(g), name)
+    }
+    writeCommit(fs, base, T1, "commit", files1, dataAvro)
+
+    // T2: the overwrite group — survivors only, all stamped T2
+    val surv = src.filter(col("o_orderkey") % 3 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 7 === 0, lit("V")).otherwise(col("o_orderstatus")))
+      .withColumn("__commit", lit(T2))
+    val oname = s"${fileId(9)}_${Token}_$T2.parquet"
+    writeBaseFile(spark, withMeta(surv, "__part", lit(oname)), base, oname)
+    writeText(fs, new Path(base, s".hoodie/$T2.replacecommit"),
+      s"""{"partitionToWriteStats":{"":[{"fileId":"${fileId(9)}","path":"$oname","partitionPath":"","prevCommit":"null"}]},""" +
+        s""""partitionToReplaceFileIds":{"":["${fileId(0)}","${fileId(1)}"]},""" +
+        """"compacted":false,"operationType":"INSERT_OVERWRITE"}""")
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

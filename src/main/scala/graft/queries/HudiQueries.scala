@@ -221,6 +221,38 @@ object HudiQueries {
         |  FROM orders WHERE o_orderkey % 97 = 0)
         |ORDER BY op, o_orderkey""".stripMargin),
 
+    // --- Inferred CDC across an INSERT_OVERWRITE replacecommit: the
+    // before-image comes from the REPLACED groups as of T1, the
+    // after-image from the new group — %3==0 keys (replaced, never
+    // re-inserted) surface as 'd' with their T1 state, survivors as 'u'
+    // with the overwrite's restatus ('V' on %7). A diff over only the
+    // NEW groups (the pre-r13 refusal's rationale) would miss every one
+    // of those deletes — this entry pins that they surface -------------
+    "hudi_cdc_overwrite" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        graft.sources.CdcRead.changes(s, HudiFixtureBuilder.overwritePath(d),
+          Some(HudiFixtureBuilder.T1), Some(HudiFixtureBuilder.T2))
+          .select(col("op"), col("ts_ms"),
+            coalesce(col("before.o_orderkey"), col("after.o_orderkey")).as("o_orderkey"),
+            col("before.o_orderstatus").as("before_status"),
+            col("after.o_orderstatus").as("after_status"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT op, ts_ms, o_orderkey, before_status, after_status FROM (
+        |  SELECT 'd' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-02 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey, o_orderstatus AS before_status,
+        |    CAST(NULL AS VARCHAR) AS after_status
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'u' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-02 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey, o_orderstatus AS before_status,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'V' ELSE o_orderstatus END AS after_status
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(

@@ -52,26 +52,53 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   * group: reading it would be table-sized IO for zero rows).
   *
   * Refusals (loud, never a silently wrong feed):
+  * Insert-overwrite (a NON-clustering replacecommit): the before-image is
+  * the REPLACED groups read as of the predecessor (from the instant's
+  * `partitionToReplaceFileIds`, reference replace handling:
+  * timeline/mod.rs:302-320) unioned with any rewritten pre-existing
+  * groups; the after-image is the NEW groups from its write stats. A key
+  * present only in the replaced groups surfaces as `d`, a fresh key as
+  * `i`, a re-written key as `u` — work ∝ replaced+new volume, never table
+  * size. `delete_partition` (replaced groups, no new ones) degenerates to
+  * an all-`d` diff against an empty after side. (A writer that preserved
+  * OLD commit stamps across an overwrite would have its value-identical
+  * rows excluded by the carried-row filter — consistent with clustering,
+  * the one real case that preserves stamps, whose diff is empty.)
+  *
+  * Refusals (loud, never a silently wrong feed):
   *  - `populate.meta.fields=false` tables: the inference keys and stamps
   *    on meta columns, which such tables null out;
-  *  - a NON-clustering replacecommit in range (insert-overwrite): the
-  *    diff over its NEW groups would miss the rows it logically deleted
-  *    (they lived in the replaced groups);
   *  - a first in-range commit whose predecessor has been ARCHIVED off the
   *    active timeline when older instants exist (an unreadable archive
   *    counts: the guard fails closed): its before state is not
   *    resolvable, so its updates would surface as inserts and its deletes
   *    vanish — narrow the range instead;
   *  - a commit that rewrote a PRE-EXISTING group (its write stat records
-  *    a prevCommit) whose previous slice no longer exists as of the
-  *    predecessor — the CLEANER horizon; inferring from a half-cleaned
-  *    view would misreport those updates as inserts too.
+  *    a prevCommit) — or a replacecommit whose REPLACED groups — whose
+  *    previous slice no longer exists as of the predecessor: the CLEANER
+  *    horizon; inferring from a half-cleaned view would misreport those
+  *    updates (or overwrite-deletes) as inserts.
   */
 object CdcRead {
 
   /** Upstream Spark-Hudi CDC column names. */
   private val OpCol = "op"
   private val TsCol = "ts_ms"
+
+  /** The `(op, ts_ms, before, after)` schema for a table's data columns —
+    * computable from metadata alone (no data read), which is what the
+    * streaming source needs at source-construction time.
+    */
+  def cdcSchema(hudi: HudiTable): StructType = {
+    val metaCols = (MetaField.all :+ MetaField.Operation).toSet
+    val imageType = StructType(
+      hudi.tableSchema.fields.filterNot(f => metaCols.contains(f.name)).toIndexedSeq)
+    StructType(Seq(
+      StructField(OpCol, StringType, nullable = false),
+      StructField(TsCol, StringType, nullable = false),
+      StructField("before", imageType, nullable = true),
+      StructField("after", imageType, nullable = true)))
+  }
 
   /** Table-service instants that change no logical rows: pure clustering
     * replacecommits, MOR compaction commits, and log-compaction
@@ -116,12 +143,6 @@ object CdcRead {
 
     val noOp = isLogicalNoOp(hudi) _
     val inRange = hudi.timeline.instantsBetween(s, e)
-    if (inRange.exists(i => i.action == "replacecommit" && !noOp(i)))
-      throw new UnsupportedOperationException(
-        s"cdc: the range (${s.getOrElse("earliest")}, ${e.getOrElse("latest")}] contains a " +
-          "replacecommit that is not pure clustering (insert-overwrite); an inferred diff " +
-          "over its new file groups would miss the rows it logically deleted — narrow the " +
-          "range to end before it")
 
     // the optional writer meta column (_hoodie_operation, behind
     // hoodie.allow.operation.metadata.field) is physical-write metadata
@@ -129,12 +150,7 @@ object CdcRead {
     val metaCols = (MetaField.all :+ MetaField.Operation).toSet
     val dataFields = hudi.tableSchema.fields.filterNot(f => metaCols.contains(f.name))
     val dataCols = dataFields.map(f => col(f.name))
-    val imageType = StructType(dataFields.toIndexedSeq)
-    val cdcSchema = StructType(Seq(
-      StructField(OpCol, StringType, nullable = false),
-      StructField(TsCol, StringType, nullable = false),
-      StructField("before", imageType, nullable = true),
-      StructField("after", imageType, nullable = true)))
+    val schema = cdcSchema(hudi)
 
     // predecessor lookup over the ACTIVE timeline; a first in-range commit
     // with archived older instants has no resolvable before state (the
@@ -149,12 +165,16 @@ object CdcRead {
     val commits = inRange.filterNot(noOp)
       .groupBy(_.timestamp).toSeq.sortBy(_._1)
     if (commits.isEmpty)
-      return LogScan.emptyDf(spark, cdcSchema)
+      return LogScan.emptyDf(spark, schema)
 
     val perCommit = commits.map { case (c, instants) =>
-      val groups = instants.flatMap(i =>
+      val written = instants.flatMap(i =>
         hudi.timeline.touchedFileGroups(i).valuesIterator.flatten).distinct.sorted
-      if (groups.isEmpty) LogScan.emptyDf(spark, cdcSchema)
+      // insert-overwrite / delete_partition: the groups this commit
+      // REPLACED hold its before-image (and its logical deletes)
+      val replaced = instants.flatMap(i =>
+        hudi.timeline.replacedFileGroups(i).valuesIterator.flatten).distinct.sorted
+      if (written.isEmpty && replaced.isEmpty) LogScan.emptyDf(spark, schema)
       else {
         val prev = allTs.takeWhile(_ < c).lastOption
         // an unreadable archive fails CLOSED (treated as "older instants
@@ -168,15 +188,16 @@ object CdcRead {
               "so its updates would misreport as inserts and its deletes vanish; start the " +
               "range at or after it")
         // cleaner-horizon guard: the commit's own write stats record a
-        // prevCommit per touched group; a group that PRE-EXISTED must
-        // still have a slice as of `prev`, or the cleaner has removed
-        // the before state and the diff would misreport its updates as
-        // inserts and drop its deletes — refuse, never infer from a
-        // half-cleaned view
+        // prevCommit per touched group, and a replacecommit names the
+        // groups it replaced; any group that PRE-EXISTED (either way)
+        // must still have a slice as of `prev`, or the cleaner has
+        // removed the before state and the diff would misreport its
+        // updates (or overwrite-deletes) as inserts — refuse, never
+        // infer from a half-cleaned view
         val preExisting = instants
           .flatMap(i => hudi.timeline.touchedGroupsPreExisting(i))
           .groupMapReduce(_._1)(_._2)(_ || _)
-          .collect { case (fid, true) => fid }.toSet
+          .collect { case (fid, true) => fid }.toSet ++ replaced
         if (preExisting.nonEmpty) {
           val covered = prev
             .map(p => hudi.fsView.slicesAsOf(p).map(_.fileId).toSet)
@@ -184,18 +205,28 @@ object CdcRead {
           val missing = (preExisting -- covered).toSeq.sorted
           if (missing.nonEmpty)
             throw new UnsupportedOperationException(
-              s"cdc: commit $c rewrote file groups ${missing.mkString(", ")} whose previous " +
-                s"versions no longer exist as of ${prev.getOrElse("<none>")} (cleaned, or " +
-                "metadata inconsistency) — their before images are not resolvable; start the " +
-                "range at or after this commit")
+              s"cdc: commit $c rewrote or replaced file groups ${missing.mkString(", ")} " +
+                s"whose previous versions no longer exist as of ${prev.getOrElse("<none>")} " +
+                "(cleaned, or metadata inconsistency) — their before images are not " +
+                "resolvable; start the range at or after this commit")
         }
-        def readAsOf(ts: String): DataFrame = spark.read.format("hudi-graft")
-          .options(readOptions)
-          .option("as.of.timestamp", ts)
-          .option("cdc.file.groups", groups.mkString(","))
-          .load(basePath)
-        val after = readAsOf(c)
-        val before = prev.map(readAsOf).getOrElse(LogScan.emptyDf(spark, after.schema))
+        def readAsOf(ts: String, groups: Seq[String]): DataFrame =
+          spark.read.format("hudi-graft")
+            .options(readOptions)
+            .option("as.of.timestamp", ts)
+            .option("cdc.file.groups", groups.mkString(","))
+            .load(basePath)
+        // after-image: the new groups only (a replacecommit's replaced
+        // groups are R4-excluded from the as-of-c view anyway); a
+        // delete_partition writes none, so its after side is empty.
+        // before-image: new ∪ replaced — groups born at c simply don't
+        // resolve as of prev, so over-inclusion costs nothing
+        val after =
+          if (written.nonEmpty) readAsOf(c, written)
+          else LogScan.emptyDf(spark, hudi.tableSchema)
+        val beforeGroups = (written ++ replaced).distinct.sorted
+        val before = prev.map(readAsOf(_, beforeGroups))
+          .getOrElse(LogScan.emptyDf(spark, after.schema))
         val b = before.select(col(MetaField.RecordKey).as("__bk"),
           col(MetaField.PartitionPath).as("__bp"),
           struct(dataCols.toIndexedSeq: _*).as("before"))
@@ -217,6 +248,8 @@ object CdcRead {
             col("after"))
       }
     }
-    perCommit.reduce(_ unionByName _)
+    // balanced tree, not a left-deep reduce: a long commit range (backfill
+    // replay) must not hand the analyzer an O(commits)-deep plan
+    graft.util.BalancedUnion(perCommit)
   }
 }

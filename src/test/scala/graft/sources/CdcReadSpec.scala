@@ -122,7 +122,8 @@ class CdcReadSpec extends SparkTestBase {
     // both sides agree on empty.)
     HudiFixtureBuilder.ensure(spark, sfDir)
     val paths = Seq(HudiFixtureBuilder.cowPath(sfDir), HudiFixtureBuilder.morPath(sfDir),
-      HudiFixtureBuilder.morLogOnlyPath(sfDir), HudiFixtureBuilder.clusteredPath(sfDir))
+      HudiFixtureBuilder.morLogOnlyPath(sfDir), HudiFixtureBuilder.clusteredPath(sfDir),
+      HudiFixtureBuilder.overwritePath(sfDir))
     for (path <- paths) {
       val t = graft.table.HudiTable(spark, path)
       val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
@@ -151,14 +152,15 @@ class CdcReadSpec extends SparkTestBase {
   /** Per-commit CDC vs the table-wide snapshot diff over real golden
     * bytes; returns the union of ops the table exercised.
     */
-  private def realBytesDifferential(path: String): Set[String] = {
+  private def realBytesDifferential(path: String, keyCol: String = "uuid"): Set[String] = {
     val t = graft.table.HudiTable(spark, path)
     val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
     assert(ts.size >= 2, s"multi-commit fixture expected at $path, got $ts")
     val ops = scala.collection.mutable.Set.empty[String]
     for ((p, c) <- ts.zip(ts.tail)) {
       val cdc = CdcRead.changes(spark, path, Some(p), Some(c))
-        .select(col("op"), coalesce(col("after.uuid"), col("before.uuid")).as("k"))
+        .select(col("op"),
+          coalesce(col(s"after.$keyCol"), col(s"before.$keyCol")).as("k"))
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
       val before = t.snapshot(asOf = Some(p))
         .select("_hoodie_record_key").collect().map(_.getString(0)).toSet
@@ -208,32 +210,22 @@ class CdcReadSpec extends SparkTestBase {
     assume(ran)
   }
 
-  test("real v9 overwrite bytes: the replace refusal fires, earlier ranges still serve") {
+  test("real v9 overwrite bytes: the replace diff equals the snapshot diff") {
     // a REAL writer's full-table-overwrite replacecommit (v9 golden
-    // fixture) — whatever operationType string it recorded, it is not
-    // pure clustering, so a range containing it must throw; a range
-    // ending before it still infers normally
+    // fixture, avro commit metadata): the r13 replace path diffs the
+    // REPLACED groups (before-image as of the predecessor) against the
+    // new groups — the old keys surface as 'd', the overwrite's keys as
+    // 'i', verified against the unrestricted snapshot diff per commit
     val pOpt = graft.table.Fixtures.table(
       "sample_table/cow/v9_txns_simple_overwrite.zip",
       "v9_txns_simple_overwrite", "v9_overwrite_cdc")
     assume(pOpt.isDefined)
     val path = pOpt.get
     val t = graft.table.HudiTable(spark, path)
-    val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
-    val replaceTs = t.timeline.completedInstants
-      .filter(_.action == "replacecommit").map(_.timestamp)
-    assume(replaceTs.nonEmpty)
-    val ex = intercept[UnsupportedOperationException] {
-      CdcRead.changes(spark, path, None, None)
-    }
-    assert(ex.getMessage.contains("replacecommit"), ex.getMessage)
-    // bounded before the replace: the first commit's inserts
-    val preReplace = ts.filter(_ < replaceTs.min)
-    if (preReplace.nonEmpty) {
-      val feed = CdcRead.changes(spark, path, None, Some(preReplace.head))
-      assert(feed.filter(col("op") =!= "i").count() == 0)
-      assert(feed.count() > 0)
-    }
+    assume(t.timeline.completedInstants.exists(_.action == "replacecommit"))
+    val ops = realBytesDifferential(path, keyCol = "txn_id")
+    assert(ops.contains("d") && ops.contains("i"),
+      s"a full-table overwrite must surface deletes of the replaced keys AND the new inserts, got $ops")
   }
 
   test("the option-route cdc format selector refuses with a pointer, never silently") {
@@ -272,6 +264,33 @@ class CdcReadSpec extends SparkTestBase {
     assert(viaTable.nonEmpty && viaTable.sameElements(direct))
   }
 
+  test("insert-overwrite: replaced-only keys are deletes with T1 before images") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val cdc = CdcRead.changes(spark, HudiFixtureBuilder.overwritePath(sfDir),
+      Some(T1), Some(T2))
+      .select(col("op"),
+        coalesce(col("before.o_orderkey"), col("after.o_orderkey")).as("k"),
+        col("before.o_orderstatus").as("bs"), col("after.o_orderstatus").as("as"))
+      .collect()
+    val src = orders().select("o_orderkey", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expDel = src.keySet.filter(_ % 3 == 0)
+    val dels = cdc.filter(_.getString(0) == "d")
+    val upds = cdc.filter(_.getString(0) == "u")
+    assert(cdc.length == src.size && dels.map(_.getLong(1)).toSet == expDel,
+      s"every key must surface: ${cdc.length} rows, ${dels.length} deletes")
+    dels.foreach { r =>
+      assert(r.getString(2) == src(r.getLong(1)) && r.isNullAt(3),
+        s"delete before-image must be the T1 state: $r")
+    }
+    upds.foreach { r =>
+      val k = r.getLong(1)
+      val expAfter = if (k % 7 == 0) "V" else src(k)
+      assert(r.getString(2) == src(k) && r.getString(3) == expAfter,
+        s"update images wrong for $k: $r")
+    }
+  }
+
   test("a pure-clustering replacecommit is skipped: no logical change") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val p = HudiFixtureBuilder.clusteredPath(sfDir)
@@ -287,10 +306,11 @@ class CdcReadSpec extends SparkTestBase {
     assert(t1t2 == Map("u" -> nUpd), s"clustered fixture T2 updates: $t1t2 vs u=$nUpd")
   }
 
-  test("a non-clustering replacecommit in range refuses loudly") {
-    // metadata-only table: changes() must refuse at PLANNING, before any
-    // data read — an insert-overwrite's inferred diff over its new groups
-    // would miss the rows it logically deleted
+  test("an insert-overwrite whose replaced groups are cleaned refuses loudly") {
+    // metadata-only table: T2's replacecommit names f0 as replaced, but
+    // no T1 base file for f0 exists on disk (the cleaner took it) — the
+    // before-image of the overwrite's logical deletes is unresolvable,
+    // so changes() must refuse at PLANNING, before any data read
     val base = new org.apache.hadoop.fs.Path("/root/repo/target/hudi-fixtures/cdc_iow")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
     fs.delete(base, true)
@@ -317,7 +337,8 @@ class CdcReadSpec extends SparkTestBase {
     val ex = intercept[UnsupportedOperationException] {
       CdcRead.changes(spark, base.toString, None, None)
     }
-    assert(ex.getMessage.contains("replacecommit"))
+    assert(ex.getMessage.contains("f0") && ex.getMessage.contains("no longer exist"),
+      ex.getMessage)
   }
 
   test("cleaner-horizon guard: a rewritten group with no before slice refuses") {
