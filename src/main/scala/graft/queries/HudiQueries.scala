@@ -426,6 +426,47 @@ object HudiQueries {
         |  CAST(20240101000000000 AS BIGINT) AS commit_ord
         |FROM orders ORDER BY o_orderkey""".stripMargin),
 
+    // --- S4 streaming CDC (upstream's incremental.format=cdc on
+    // readStream, via the V1 GraftCdcSource): the AvailableNow drain
+    // emits the full inferred image feed — i@T1 for every row, u@T2 for
+    // the %7 updates (before = original status), d@T3 for the %97
+    // deletes (before = the state AS OF T2, so deleted %7 keys carry
+    // 'U') — identical rows to the batch CDC feed, streamed with
+    // checkpointed commit-timestamp offsets --------------------------
+    "hudi_stream_cdc" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val stream = s.readStream.format("hudi-graft")
+          .option("hoodie.datasource.query.incremental.format", "cdc")
+          .load(HudiFixtureBuilder.morPath(d))
+        val sink = "graft_stream_cdc_sink"
+        drainToMemory(s, stream, sink, "append")
+          .select(col("op"), col("ts_ms"),
+            coalesce(col("before.o_orderkey"), col("after.o_orderkey")).as("o_orderkey"),
+            col("before.o_orderstatus").as("before_status"),
+            col("after.o_orderstatus").as("after_status"))
+          .orderBy("op", "o_orderkey")
+      },
+      """SELECT op, ts_ms, o_orderkey, before_status, after_status FROM (
+        |  SELECT 'i' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-01 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey, CAST(NULL AS VARCHAR) AS before_status,
+        |    o_orderstatus AS after_status
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'u' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-02 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey, o_orderstatus AS before_status, 'U' AS after_status
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'd' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-03 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS before_status,
+        |    CAST(NULL AS VARCHAR) AS after_status
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |ORDER BY op, o_orderkey""".stripMargin),
+
     // --- S4 with a DELETE commit mid-drain: per-commit micro-batches
     // ((..T1], (T1,T2], (T2,T3]) + stream.emit.deletes. The T3 delete-only
     // batch surfaces TOMBSTONE rows (null data columns, meta key/commit

@@ -25,7 +25,8 @@ import scala.jdk.CollectionConverters._
   *    [[graft.core.Timestamps.normalize]] accepts)
   *  - `read.optimized`: base-files-only scan for MOR tables
   */
-class HudiDataSource extends TableProvider with DataSourceRegister {
+class HudiDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "hudi-graft"
 
   // one provider instance serves one read operation: reuse the table handle
@@ -49,7 +50,48 @@ class HudiDataSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = properties.get("path")
-    new GraftTable(path, schema, cached.collect { case (p, t) if p == path => t })
+    new GraftTable(path, schema, cached.collect { case (p, t) if p == path => t },
+      cdcStreaming = GraftCdcSource.cdcRequested(properties.asScala.toMap))
+  }
+
+  // ---- V1 StreamSourceProvider: the CDC streaming path ONLY -------------
+  // `incremental.format=cdc` on readStream serves the (op, ts_ms, before,
+  // after) image feed, whose schema differs from the table's and whose
+  // batches are per-commit JOIN queries — both outside what a DSv2
+  // MicroBatchStream's partition readers express. The table therefore
+  // drops MICRO_BATCH_READ under that option and Spark falls back to this
+  // V1 source (the same structure upstream Hudi/Delta use); every other
+  // streaming read keeps the DSv2 GraftMicroBatchStream.
+
+  override def sourceSchema(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("hudi-graft requires a path"))
+    val t = HudiTable(sqlContext.sparkSession, path,
+      GraftCdcSource.stripSelectors(parameters))
+    val s =
+      if (GraftCdcSource.cdcRequested(parameters)) CdcRead.cdcSchema(t)
+      else t.tableSchema
+    (shortName(), s)
+  }
+
+  override def createSource(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    if (!GraftCdcSource.cdcRequested(parameters))
+      // unreachable via DataStreamReader (the table advertises
+      // MICRO_BATCH_READ for every non-cdc read, so Spark picks DSv2);
+      // fail loudly rather than half-serve if some path gets here
+      throw new IllegalStateException(
+        "the V1 source path serves only incremental.format=cdc; plain streaming " +
+          "reads go through the DSv2 micro-batch stream")
+    new GraftCdcSource(sqlContext.sparkSession, parameters("path"), parameters)
   }
 }
 
@@ -148,7 +190,8 @@ class GraftTable(
     path: String,
     declaredSchema: StructType,
     prebuilt: Option[HudiTable] = None,
-    pinnedOptions: Map[String, String] = Map.empty
+    pinnedOptions: Map[String, String] = Map.empty,
+    cdcStreaming: Boolean = false
 ) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   private lazy val hudi = prebuilt.getOrElse(HudiTable(SparkSession.active, path))
@@ -157,7 +200,12 @@ class GraftTable(
   override def schema(): StructType =
     if (declaredSchema != null && declaredSchema.nonEmpty) declaredSchema else hudi.tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    // under incremental.format=cdc the streaming feed's schema is the CDC
+    // image schema, not the table's — dropping MICRO_BATCH_READ makes
+    // DataStreamReader fall back to the provider's V1 StreamSourceProvider
+    // (GraftCdcSource); batch reads are unaffected
+    if (cdcStreaming) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   /** Table properties for `DESCRIBE EXTENDED` / catalog tooling: the
     * table's own hoodie.properties, verbatim (the facts a user coming
@@ -1272,8 +1320,9 @@ class GraftScan(
     if (fmt.exists(_.equalsIgnoreCase("cdc")))
       throw new UnsupportedOperationException(
         "incremental.format=cdc: the CDC image schema cannot be served through this " +
-          "relation (a DSv2 table's schema is the table schema); use the " +
-          "hudi_table_changes(path, 'cdc', start[, end]) TVF or HudiTable.cdc(...)")
+          "BATCH relation (a DSv2 table's schema is the table schema); use the " +
+          "hudi_table_changes(path, 'cdc', start[, end]) TVF or HudiTable.cdc(...) for " +
+          "batch, or spark.readStream with the same option for the streaming feed")
     fmt.filterNot(_.equalsIgnoreCase("latest_state")).foreach { f =>
       throw new IllegalArgumentException(s"unknown incremental.format '$f'")
     }

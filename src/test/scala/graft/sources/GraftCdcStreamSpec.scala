@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.fixtures.HudiFixtureBuilder
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming CDC: `readStream` with upstream's
+  * `hoodie.datasource.query.incremental.format=cdc` serves the inferred
+  * (op, ts_ms, before, after) feed through the V1 GraftCdcSource, with
+  * offsets (commit timestamps) checkpointed like any other stream.
+  */
+class GraftCdcStreamSpec extends SparkTestBase {
+
+  import HudiFixtureBuilder.{T1, T2, T3}
+
+  private def drain(stream: DataFrame, sink: String, checkpoint: Option[String] = None): DataFrame = {
+    spark.catalog.dropTempView(sink)
+    val w = stream.writeStream.outputMode("append").format("memory")
+      .trigger(Trigger.AvailableNow()).queryName(sink)
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(sink)
+  }
+
+  private def flat(df: DataFrame) = df
+    .select(col("op"), col("ts_ms"),
+      coalesce(col("before.o_orderkey"), col("after.o_orderkey")).as("k"),
+      col("before.o_orderstatus").as("bs"), col("after.o_orderstatus").as("as"))
+    .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      Option(r.getString(3)), Option(r.getString(4)))).toSet
+
+  test("the streamed feed equals the batch CDC feed over the full history") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val p = HudiFixtureBuilder.morPath(sfDir)
+    val streamed = flat(drain(
+      spark.readStream.format("hudi-graft")
+        .option("hoodie.datasource.query.incremental.format", "cdc")
+        .load(p),
+      "graft_cdc_stream_full"))
+    val batch = flat(CdcRead.changes(spark, p, None, Some(T3)))
+    assert(streamed == batch && streamed.nonEmpty,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+    // sanity on shape: inserts at T1, updates at T2, deletes at T3
+    val ops = streamed.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(ops.keySet == Set("i", "u", "d"), s"ops: $ops")
+  }
+
+  test("checkpoint replay: a restarted drain emits nothing new") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val p = HudiFixtureBuilder.morPath(sfDir)
+    val ckpt = s"/root/repo/target/cdc_stream_ckpt_${System.nanoTime()}"
+    // foreachBatch, not the memory sink: memory refuses checkpoint
+    // recovery (not fault-tolerant), and recovery is exactly what this
+    // test drives
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def run(): Long = {
+      seen.set(0)
+      val q = spark.readStream.format("hudi-graft")
+        .option("incremental.format", "cdc").load(p)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          seen.addAndGet(batch.count()); ()
+        }.start()
+      try q.awaitTermination() finally q.stop()
+      seen.get()
+    }
+    val first = run()
+    assert(first > 0)
+    // same checkpoint, fresh query: offsets are at the tip, nothing admits
+    val second = run()
+    assert(second == 0, s"replay must admit nothing, got $second rows")
+  }
+
+  test("stream.start.timestamp: a fresh stream begins after the given commit") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val p = HudiFixtureBuilder.morPath(sfDir)
+    val streamed = flat(drain(
+      spark.readStream.format("hudi-graft")
+        .option("incremental.format", "cdc")
+        .option("stream.start.timestamp", T1)
+        .load(p),
+      "graft_cdc_stream_after_t1"))
+    val batch = flat(CdcRead.changes(spark, p, Some(T1), Some(T3)))
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(!streamed.exists(_._1 == "i"), "T1 inserts must be excluded")
+  }
+
+  test("the streamed schema is the CDC image schema") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val p = HudiFixtureBuilder.morPath(sfDir)
+    val s = spark.readStream.format("hudi-graft")
+      .option("incremental.format", "cdc").load(p)
+    assert(s.isStreaming)
+    assert(s.schema.fieldNames.toSeq == Seq("op", "ts_ms", "before", "after"))
+    // and without the option the plain row stream is untouched
+    val plain = spark.readStream.format("hudi-graft").load(p)
+    assert(plain.isStreaming && plain.schema.fieldNames.contains("o_orderkey"))
+  }
+}
