@@ -57,6 +57,7 @@ object HudiFixtureBuilder {
   def morLancePath(sfDir: String): String = s"${root(sfDir)}/mor_lance_nation"
   def lanceNullsPath(sfDir: String): String = s"${root(sfDir)}/cow_lance_nulls"
   def lanceEmbedPath(sfDir: String): String = s"${root(sfDir)}/cow_lance_embed"
+  def lanceNullListPath(sfDir: String): String = s"${root(sfDir)}/cow_lance_nulllist"
   def lanceMediaPath(sfDir: String): String = s"${root(sfDir)}/cow_lance_media"
   def widenedPath(sfDir: String): String = s"${root(sfDir)}/cow_widened_nation"
   def morWidenedPath(sfDir: String): String = s"${root(sfDir)}/mor_widened_nation"
@@ -79,7 +80,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v28")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v29")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -163,6 +164,7 @@ object HudiFixtureBuilder {
           buildMorLanceNation(spark, sfDir); own()
           buildCowLanceNulls(spark, sfDir); own()
           buildCowLanceEmbed(spark, sfDir); own()
+          buildCowLanceNullList(spark, sfDir); own()
           buildCowLanceMedia(spark, sfDir); own()
           buildCowWidenedNation(spark, sfDir); own()
           buildMorWidenedNation(spark, sfDir); own()
@@ -1475,6 +1477,58 @@ object HudiFixtureBuilder {
         s""""extraMetadata":{"schema":"$esc"},"compacted":false}"""
     graft.lance.LanceWriter.write(
       new Path(base, name1).toString, conf, fileSchema, rows, pageRows = 257)
+    writeText(fs, new Path(base, s".hoodie/$T1.commit"), commitJson)
+  }
+
+  // --- COW over embeddings: LANCE with NULLABLE list rows (r13) -----------
+  // The corpus-with-missing-vectors shape: vec_id % 5 == 0 rows carry a
+  // NULL embedding (some_nulls validity over the list-offsets page,
+  // zero-width slots), vec_id % 7 == 3 rows an EMPTY-but-valid list —
+  // the oracle pins that the two stay distinguishable end-to-end and
+  // that the valid rows' element slicing survives the null gaps.
+  private def buildCowLanceNullList(spark: SparkSession, sfDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = FileSystem.get(conf)
+    val base = new Path(lanceNullListPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeText(fs, new Path(base, ".hoodie/hoodie.properties"),
+      """hoodie.table.name=cow_lance_nulllist
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.base.file.format=LANCE
+        |hoodie.table.recordkey.fields=vec_id
+        |hoodie.table.precombine.field=vec_id
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+
+    val src = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .orderBy("vec_id").collect()
+    val dataSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType)))
+    val fileSchema = StructType(
+      Seq("_hoodie_commit_time", "_hoodie_commit_seqno", "_hoodie_record_key",
+        "_hoodie_partition_path", "_hoodie_file_name")
+        .map(StructField(_, StringType)) ++ dataSchema.fields)
+    val name1 = s"${fileId(0)}_${Token}_$T1.lance"
+    val rows: Seq[Seq[Any]] = src.toSeq.map { r =>
+      val k = r.getLong(0)
+      val emb: Seq[Float] =
+        if (k % 5 == 0) null
+        else if (k % 7 == 3) Seq.empty[Float]
+        else r.getSeq[Float](1)
+      Seq(T1, s"${T1}_0_$k", k.toString, "", name1, k, emb, r.getInt(2))
+    }
+    val avro = SparkToAvro.toAvroSchema(dataSchema, "embed_record").toString
+    val esc = avro.replace("\\", "\\\\").replace("\"", "\\\"")
+    val commitJson =
+      s"""{"partitionToWriteStats":{"":[{"fileId":"${fileId(0)}","path":"$name1","partitionPath":""}]},""" +
+        s""""extraMetadata":{"schema":"$esc"},"compacted":false}"""
+    // 101-row pages: every page mixes null and valid rows (some_nulls)
+    graft.lance.LanceWriter.write(
+      new Path(base, name1).toString, conf, fileSchema, rows, pageRows = 101)
     writeText(fs, new Path(base, s".hoodie/$T1.commit"), commitJson)
   }
 

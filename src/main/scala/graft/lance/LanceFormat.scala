@@ -56,8 +56,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * pinned by writer round-trip (LanceWriterSpec) — size invariants
   * (bitmap = ceil(n/8) bytes, fixed-width = n·bits/8) fail closed on
   * any layout mismatch instead of decoding garbage. Nullable LIST
-  * pages remain out of scope (offsets-vs-null ambiguity) and fail
-  * closed.
+  * pages (r13): `some_nulls{validity, list{offsets}}` decodes with the
+  * Arrow offsets convention — a null row repeats the previous end
+  * offset (zero-width slot), so offsets stay monotone and the child
+  * element stream is unambiguous; `all_nulls` list pages consume no
+  * child elements.
   *
   * Scale shape: the reader is COLUMNAR — it range-reads only the
   * metadata tail, the schema buffer, and the page buffers of the
@@ -272,10 +275,7 @@ object LanceFormat {
               case Flat(1, idx) => idx
               case _ => fail(arr) // validity must be a 1-bit bitmap
             }
-            values match {
-              case _: ListOffsets => fail(arr) // nullable lists out of scope
-              case v => SomeNulls(vBuf, v)
-            }
+            SomeNulls(vBuf, values)
           case _ => fail(arr)
         }
       case _ => AllValid(parseValues(arr))
@@ -488,23 +488,40 @@ object LanceFormat {
     val elems = child
     col.pages.foreach { page =>
       val n = page.rows.toInt
+      // decode one offsets buffer; `valid(i)` gates null emission — a null
+      // row repeats the previous end offset (Arrow zero-width convention),
+      // and either way `prev` advances to keep the running child position
+      // consistent with whatever the writer recorded
+      def offsetsPage(offBuf: Int, valid: Int => Boolean): Unit = {
+        val offs = readAt(page.bufOffsets(offBuf), page.bufSizes(offBuf).toInt)
+        require(offs.length == 8 * n, s"lance: list offsets ${offs.length}B for $n rows")
+        val ob = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var prev = childBase
+        var i = 0
+        while (i < n) {
+          val end = childBase + ob.getLong(8 * i)
+          require(end >= prev && end <= elems.length,
+            s"lance: ${col.field.name} corrupt list offset $end " +
+              s"(prev $prev, elements ${elems.length})")
+          out += (if (valid(i))
+            new GenericArrayData(java.util.Arrays.copyOfRange(
+              elems.asInstanceOf[Array[AnyRef]], prev.toInt, end.toInt))
+          else null)
+          prev = end; i += 1
+        }
+        if (n > 0) childBase = prev
+      }
       page.encoding match {
-        case AllValid(ListOffsets(offBuf)) =>
-          val offs = readAt(page.bufOffsets(offBuf), page.bufSizes(offBuf).toInt)
-          require(offs.length == 8 * n, s"lance: list offsets ${offs.length}B for $n rows")
-          val ob = java.nio.ByteBuffer.wrap(offs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          var prev = childBase
+        case AllValid(ListOffsets(offBuf)) => offsetsPage(offBuf, _ => true)
+        case AllNullPage =>
+          // bufferless: n null rows, no child elements consumed
           var i = 0
-          while (i < n) {
-            val end = childBase + ob.getLong(8 * i)
-            require(end >= prev && end <= elems.length,
-              s"lance: ${col.field.name} corrupt list offset $end " +
-                s"(prev $prev, elements ${elems.length})")
-            out += new GenericArrayData(
-              java.util.Arrays.copyOfRange(elems.asInstanceOf[Array[AnyRef]], prev.toInt, end.toInt))
-            prev = end; i += 1
-          }
-          if (n > 0) childBase = prev
+          while (i < n) { out += null; i += 1 }
+        case SomeNulls(vBuf, ListOffsets(offBuf)) =>
+          val bitmap = readAt(page.bufOffsets(vBuf), page.bufSizes(vBuf).toInt)
+          require(bitmap.length == (n + 7) / 8,
+            s"lance: ${col.field.name} validity bitmap ${bitmap.length}B for $n rows")
+          offsetsPage(offBuf, i => ((bitmap(i >> 3) >> (i & 7)) & 1) != 0)
         case other => throw new UnsupportedOperationException(
           s"lance: unsupported list-page encoding $other for ${col.field.name}")
       }

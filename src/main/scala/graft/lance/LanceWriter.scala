@@ -126,18 +126,20 @@ object LanceWriter {
     // by its child element column (parentId-linked — the golden
     // fixtures' layout). (name, id, parentId, logicalType, payload):
     // Left = primitive values, Right = per-row element counts of a list.
+    // list payloads carry per-row element counts, None = a NULL row
+    // (zero-width offset slot + validity bit, the Arrow convention)
     val physB = Seq.newBuilder[(String, Long, Long, String,
-      Either[(DataType, Seq[Any]), Seq[Int]])]
+      Either[(DataType, Seq[Any]), Seq[Option[Int]]])]
     var nid = 0L
     schema.fields.zipWithIndex.foreach { case (f, ci) =>
       val colVals = rows.map(_(ci))
       f.dataType match {
         case ArrayType(et, false) =>
-          require(colVals.forall(_ != null), s"lance writer: null list in ${f.name}")
           require(!et.isInstanceOf[ArrayType], "lance writer: nested lists unsupported")
-          val seqs = colVals.map(_.asInstanceOf[Seq[Any]])
-          physB += ((f.name, nid, -1L, "list", Right(seqs.map(_.length))))
-          physB += (("item", nid + 1, nid, logicalType(et), Left((et, seqs.flatten))))
+          val seqs = colVals.map(v => Option(v).map(_.asInstanceOf[Seq[Any]]))
+          physB += ((f.name, nid, -1L, "list", Right(seqs.map(_.map(_.length)))))
+          physB += (("item", nid + 1, nid, logicalType(et),
+            Left((et, seqs.flatMap(_.getOrElse(Seq.empty))))))
           nid += 2
         case dt =>
           physB += ((f.name, nid, -1L, logicalType(dt), Left((dt, colVals))))
@@ -155,6 +157,11 @@ object LanceWriter {
       * golden fixtures' list-offsets structure.
       */
     val listArrayEncoding: Array[Byte] = mfield(4, mfield(1, mfield(2, flatWrapper(64))))
+
+    /** ArrayEncoding{list{offsets: flat64@bufIdx}} — the values branch a
+      * some_nulls list page wraps (validity rides buffer 0).
+      */
+    def listArray(bufIdx: Int): Array[Byte] = mfield(4, mfield(1, bareFlatArray(64, bufIdx)))
 
     // data pages first; remember per physical column the page list
     // (offsets, sizes, rows, encoding)
@@ -250,14 +257,34 @@ object LanceWriter {
           primPages(dt, vals, pageRowsByCol.getOrElse(name, pageRows))
         case (name, _, _, _, Right(counts)) =>
           // list-offsets pages: running u64 element-count ends, restarting
-          // at zero per page (the reader accumulates across pages)
-          (if (counts.isEmpty) Seq(Seq.empty[Int])
+          // at zero per page (the reader accumulates across pages); a NULL
+          // row repeats the running end (zero-width) and sets its validity
+          // bit to 0 — all-null pages carry no buffers at all
+          (if (counts.isEmpty) Seq(Seq.empty[Option[Int]])
            else counts.grouped(pageRowsByCol.getOrElse(name, pageRows)).toSeq).map { cs =>
             val n = cs.length
-            val pos = buf.pos.toLong
-            var acc = 0L
-            cs.foreach { c => acc += c; buf.u64(acc) }
-            (Array(pos), Array(8L * n), n, listArrayEncoding)
+            val hasNull = cs.exists(_.isEmpty)
+            if (n > 0 && cs.forall(_.isEmpty)) {
+              (Array.empty[Long], Array.empty[Long], n, allNullArrayEncoding)
+            } else {
+              val validity: Option[(Long, Long)] = if (!hasNull) None else {
+                val pos = buf.pos.toLong
+                val bm = new Array[Byte]((n + 7) / 8)
+                cs.zipWithIndex.foreach { case (c, i) =>
+                  if (c.isDefined) bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte
+                }
+                buf.bytes(bm)
+                Some((pos, bm.length.toLong))
+              }
+              val pos = buf.pos.toLong
+              var acc = 0L
+              cs.foreach { c => acc += c.getOrElse(0); buf.u64(acc) }
+              val enc =
+                if (hasNull) someNullEncoding(listArray(1))
+                else listArrayEncoding
+              (validity.map(_._1).toArray ++ Array(pos),
+                validity.map(_._2).toArray ++ Array(8L * n), n, enc)
+            }
           }
       }
 

@@ -767,6 +767,32 @@ object HudiQueries {
         |  CAST(0 AS BIGINT) AS c_flag
         |FROM nation""".stripMargin),
 
+    // NULLABLE LIST rows over LANCE (r13): some_nulls validity over
+    // list-offsets pages — NULL embeddings (missing vectors) stay
+    // distinguishable from EMPTY lists, and the first/last element
+    // probes pin that valid rows' element slicing survives the
+    // zero-width null slots between them (an off-by-one in the offsets
+    // walk would shift every post-null vector)
+    "hudi_lance_null_list" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.lanceNullListPath(d))
+          .select(col("vec_id"), col("label"),
+            size(col("embedding")).as("dim"),
+            try_element_at(col("embedding"), lit(1)).cast("double").as("e_first"),
+            try_element_at(col("embedding"), lit(-1)).cast("double").as("e_last"))
+          .orderBy("vec_id")
+      },
+      """SELECT vec_id, label,
+        |  CASE WHEN vec_id % 5 = 0 THEN NULL
+        |       WHEN vec_id % 7 = 3 THEN 0
+        |       ELSE CAST(len(embedding) AS INTEGER) END AS dim,
+        |  CASE WHEN vec_id % 5 = 0 OR vec_id % 7 = 3 THEN NULL
+        |       ELSE CAST(embedding[1] AS DOUBLE) END AS e_first,
+        |  CASE WHEN vec_id % 5 = 0 OR vec_id % 7 = 3 THEN NULL
+        |       ELSE CAST(embedding[-1] AS DOUBLE) END AS e_last
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+
     // EMBEDDINGS over LANCE (r12): list<float> vectors through the
     // list-offsets + float32-child decode, then the exact integer-
     // quantized brute-force cosine top-k — the same oracle pair

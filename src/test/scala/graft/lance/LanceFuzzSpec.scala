@@ -20,7 +20,9 @@ class LanceFuzzSpec extends AnyFunSuite {
       StructField("o", DoubleType)))
     val rows: Seq[Seq[Any]] = (0 until 19).map { k =>
       Seq(k, s"s-$k" * (k % 3 + 1),
-        (0 to k % 4).map(i => i / 3.0f),
+        // NULL list rows (r13 some_nulls offsets branch) mixed with
+        // valid ones, so truncations/corruptions hit that path too
+        if (k % 6 == 2) null else (0 to k % 4).map(i => i / 3.0f),
         if (k % 5 == 0) null else k / 7.0)
     }
     val path = java.nio.file.Files.createTempDirectory("lancefuzz").resolve("v.lance")

@@ -219,6 +219,45 @@ class LanceWriterSpec extends SparkTestBase {
     }
   }
 
+  test("NULLABLE list rows round-trip: some_nulls offsets pages (r13)") {
+    // null embedding rows (a corpus row with no vector yet) across page
+    // boundaries: the some_nulls wrapper over list offsets, null rows as
+    // zero-width offset slots; one page (rows 10-14) is ALL null to also
+    // drive the bufferless all_nulls list branch; empty-but-valid lists
+    // must stay distinguishable from null rows
+    val conf = new Configuration()
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    def expected(k: Int): Option[Seq[Float]] =
+      if (k >= 10 && k < 15) None // the all-null page
+      else if (k % 4 == 1) None // scattered nulls inside mixed pages
+      else if (k % 7 == 3) Some(Seq.empty[Float]) // EMPTY list, not null
+      else Some((0 until (k % 3 + 1)).map(i => (k * 10 + i) / 7.0f))
+    val rows: Seq[Seq[Any]] = (0 until 18).map(k => Seq(k.toLong, expected(k).orNull))
+    val path = java.nio.file.Files.createTempDirectory("lancenulllist").resolve("n.lance").toString
+    LanceWriter.write(path, conf, schema, rows, pageRows = 5)
+
+    val lf = LanceFormat.readMetadata(path, conf)
+    val emb = lf.topLevel.find(_.field.name == "embedding").get
+    assert(emb.pages.exists(_.encoding.isInstanceOf[LanceFormat.SomeNulls]),
+      "mixed pages must use the some_nulls wrapper")
+    assert(emb.pages.exists(_.encoding == LanceFormat.AllNullPage),
+      "the all-null page must be bufferless all_nulls")
+
+    val got = LanceFormat.rows(path, conf, schema).toArray
+    assert(got.length == 18)
+    got.zipWithIndex.foreach { case (r, k) =>
+      assert(r.getLong(0) == k.toLong)
+      expected(k) match {
+        case None => assert(r.isNullAt(1), s"row $k must be a NULL list")
+        case Some(e) =>
+          assert(!r.isNullAt(1), s"row $k must not be null")
+          assert(r.getArray(1).toFloatArray().toSeq == e, s"row $k elements")
+      }
+    }
+  }
+
   test("an entirely-null column round-trips as all_nulls pages") {
     val conf = new Configuration()
     val schema = StructType(Seq(
