@@ -1966,7 +1966,12 @@ class GraftScan(
     // the proven row path). The columnar MERGE overlay and
     // parquet-footer probes (widen, pushed filters) still stand down.
     val isLance = hudi.isLance
-    val lanceColumnarCandidate = isLance && !morMergeNeeded &&
+    // the session vectorization switch doubles as the Lance columnar
+    // kill-switch (parquet consults it inside supportBatch): disabling it
+    // forces the proven row path, which is what the row-vs-columnar
+    // differential sweeps rely on
+    val vecEnabled = spark.sessionState.conf.parquetVectorizedReaderEnabled
+    val lanceColumnarCandidate = isLance && vecEnabled && !morMergeNeeded &&
       (!withCommitCol || incrementalContained)
     val candidateColumnar =
       ((!withCommitCol || incrementalContained || rangeFilterNeeded) &&
@@ -2049,11 +2054,23 @@ class GraftScan(
     // vectors and covers exactly the atomic types; nested-schema MOR
     // merges stay on the row path (caught by the row-vs-columnar
     // differential on the reference's v6 SampleTable fixture).
-    val columnarMerge = !candidateColumnar && morMergeNeeded && !isLance &&
+    // Lance MOR merge goes columnar too (r13): the base rides
+    // LanceFormat.batches (the same on-heap ColumnarBatch shape the
+    // parquet delegate returns) through the identical
+    // GraftColumnarMergeReader machinery — gated on the Lance batch
+    // builder's type coverage (lists row-path), no partition append, and
+    // the overlay writer's types, mirroring the parquet gates.
+    val lanceColumnarMerge = isLance && vecEnabled && morMergeNeeded &&
       hudi.config.recordMergeStrategy != "APPEND_ONLY" &&
-      hudi.config.populatesMetaFields && widenPaths.isEmpty &&
-      widenedEffective.fields.forall(f => GraftScan.overlayWritable(f.dataType)) &&
-      fmt.supportBatch(spark, widenedEffective)
+      hudi.config.populatesMetaFields && partitionSchema.isEmpty &&
+      widenedEffective.fields.forall(f => graft.lance.LanceFormat.vectorizable(f.dataType)) &&
+      widenedEffective.fields.forall(f => GraftScan.overlayWritable(f.dataType))
+    val columnarMerge = lanceColumnarMerge ||
+      (!candidateColumnar && morMergeNeeded && !isLance &&
+        hudi.config.recordMergeStrategy != "APPEND_ONLY" &&
+        hudi.config.populatesMetaFields && widenPaths.isEmpty &&
+        widenedEffective.fields.forall(f => GraftScan.overlayWritable(f.dataType)) &&
+        fmt.supportBatch(spark, widenedEffective))
     val vectorized = columnar || columnarMerge
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map(
       "spark.sql.parquet.enableVectorizedReader" -> vectorized.toString))
@@ -2084,10 +2101,11 @@ class GraftScan(
     val lanceFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[org.apache.spark.sql.catalyst.InternalRow] =
       if (!isLance) null
-      else if (lanceColumnar) {
+      else if (lanceColumnar || lanceColumnarMerge) {
         // vectorized branch: ColumnarBatch iterator behind the same
         // erased signature the parquet delegate uses (GraftColumnarReader
-        // casts it back) — partitionSchema.isEmpty is part of the gate
+        // and GraftColumnarMergeReader cast it back) —
+        // partitionSchema.isEmpty is part of both gates
         val reqJson = delegateRequired.json
         val confSer = new SerializableConf(hudi.hadoopConf)
         pf => {

@@ -276,7 +276,7 @@ class LanceWriterSpec extends SparkTestBase {
     }
   }
 
-  test("log-free lance scans go columnar; lists and MOR logs keep the row path") {
+  test("lance scans go columnar (incl. the r13 MOR merge); lists keep the row path") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
@@ -310,11 +310,14 @@ class LanceWriterSpec extends SparkTestBase {
       .select("vec_id", "label")
     assert(scanOf(embIds).supportsColumnar, "list-free projection is columnar")
 
-    // MOR with logs: the per-slice merge keeps the row path
+    // MOR with logs (r13): the merge itself goes COLUMNAR — the base
+    // rides LanceFormat.batches through GraftColumnarMergeReader (the
+    // parquet columnar-merge machinery), content-pinned by the
+    // row-vs-columnar differential in DataSourceV2Spec
     val mor = spark.read.format("hudi-graft")
       .load(graft.fixtures.HudiFixtureBuilder.morLancePath(sfDir))
       .select("n_nationkey", "n_name")
-    assert(!scanOf(mor).supportsColumnar, "merged MOR lance scan stays row-based")
+    assert(scanOf(mor).supportsColumnar, "merged MOR lance scan merges in batch-land (r13)")
 
     // LIMIT terminates the stream early — the chunk iterator is not
     // drained, so the task-completion close path covers the open file

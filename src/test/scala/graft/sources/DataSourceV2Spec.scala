@@ -408,8 +408,16 @@ class DataSourceV2Spec extends SparkTestBase {
         Fixtures.table("sample_table/mor/parquet/v6_simplekeygen_nonhivestyle.zip",
           "v6_simplekeygen_nonhivestyle", "dsv2diff_v6_morpq").toSeq ++
         Seq(graft.fixtures.HudiFixtureBuilder.morPath(sf),
-          graft.fixtures.HudiFixtureBuilder.morLogOnlyPath(sf))
-    assert(paths.size >= 3)
+          graft.fixtures.HudiFixtureBuilder.morLogOnlyPath(sf),
+          // Lance MOR merges columnar too (r13): same differential
+          graft.fixtures.HudiFixtureBuilder.morLancePath(sf))
+    assert(paths.size >= 4)
+    // plan-shape: the Lance MOR snapshot must actually take the columnar
+    // merge (ColumnarToRow above the scan), not silently fall to rows
+    val lanceMor = load(graft.fixtures.HudiFixtureBuilder.morLancePath(sf))
+      .select("n_nationkey", "n_name", "score")
+    assert(lanceMor.queryExecution.executedPlan.toString().contains("ColumnarToRow"),
+      s"Lance MOR snapshot should merge columnar:\n${lanceMor.queryExecution.executedPlan}")
     // binary columns stringify as identity hashes — canonicalize them
     def canon(r: org.apache.spark.sql.Row): String =
       r.toSeq.map {
