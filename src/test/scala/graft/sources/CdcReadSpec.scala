@@ -291,6 +291,76 @@ class CdcReadSpec extends SparkTestBase {
     }
   }
 
+  test("delete_partition: the replaced group's keys surface as all-deletes") {
+    // a replacecommit with EMPTY write stats and replaceFileIds naming one
+    // of two groups — the degenerate overwrite (no after side): every key
+    // of the replaced group is a 'd' with its T1 before-image, the other
+    // group's keys are untouched
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.spark.sql.types._
+    val base = new Path("/root/repo/target/hudi-fixtures/cdc_delpart")
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(base, true)
+    fs.mkdirs(new Path(base, ".hoodie"))
+    def writeText(name: String, s: String): Unit = {
+      val out = fs.create(new Path(base, name), true)
+      out.write(s.getBytes("UTF-8")); out.close()
+    }
+    writeText(".hoodie/hoodie.properties",
+      """hoodie.table.name=cdc_delpart
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=id
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val fileSchema = StructType(Seq(
+      StructField("_hoodie_commit_time", StringType),
+      StructField("_hoodie_commit_seqno", StringType),
+      StructField("_hoodie_record_key", StringType),
+      StructField("_hoodie_partition_path", StringType),
+      StructField("_hoodie_file_name", StringType),
+      StructField("id", IntegerType), StructField("v", StringType)))
+    def writeGroup(fid: String, ids: Seq[Int]): String = {
+      val name = s"${fid}_0-0-0_$T1.parquet"
+      val rows = ids.map(i =>
+        org.apache.spark.sql.Row(T1, s"${T1}_0_$i", i.toString, "", name, i, s"v$i"))
+      val df = spark.createDataFrame(java.util.List.of(rows: _*), fileSchema)
+      val tmp = new Path(base, s".tmp_$fid")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.rename(part, new Path(base, name)); fs.delete(tmp, true)
+      name
+    }
+    val n0 = writeGroup("f0-0000", Seq(1, 2, 3))
+    val n1 = writeGroup("f1-0000", Seq(10, 11))
+    val avro = graft.log.SparkToAvro.toAvroSchema(
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))), "r").toString
+    val esc = avro.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeText(s".hoodie/$T1.commit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f0-0000","path":"$n0","partitionPath":""},""" +
+        s"""{"fileId":"f1-0000","path":"$n1","partitionPath":""}]},""" +
+        s""""extraMetadata":{"schema":"$esc"},"compacted":false,"operationType":"UPSERT"}""")
+    writeText(s".hoodie/$T2.replacecommit",
+      s"""{"partitionToWriteStats":{},"partitionToReplaceFileIds":{"":["f0-0000"]},""" +
+        """"compacted":false,"operationType":"DELETE_PARTITION"}""")
+
+    val cdc = CdcRead.changes(spark, base.toString, Some(T1), Some(T2))
+      .select(col("op"), col("before.id").as("id"), col("before.v").as("bv"), col("after"))
+      .collect()
+    assert(cdc.length == 3 && cdc.forall(_.getString(0) == "d"),
+      s"exactly the replaced group's 3 keys as deletes: ${cdc.mkString(", ")}")
+    assert(cdc.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+    cdc.foreach { r =>
+      assert(r.getString(2) == s"v${r.getInt(1)}" && r.isNullAt(3),
+        s"before-image must be the T1 state, after null: $r")
+    }
+    // and the post-replace snapshot serves only the surviving group (R4)
+    val snap = spark.read.format("hudi-graft").load(base.toString)
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    assert(snap == Seq(10, 11))
+  }
+
   test("a pure-clustering replacecommit is skipped: no logical change") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val p = HudiFixtureBuilder.clusteredPath(sfDir)

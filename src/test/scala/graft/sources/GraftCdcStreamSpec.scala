@@ -15,6 +15,8 @@ class GraftCdcStreamSpec extends SparkTestBase {
 
   import HudiFixtureBuilder.{T1, T2, T3}
 
+  private def orders() = spark.read.parquet(s"$sfDir/orders.parquet")
+
   private def drain(stream: DataFrame, sink: String, checkpoint: Option[String] = None): DataFrame = {
     spark.catalog.dropTempView(sink)
     val w = stream.writeStream.outputMode("append").format("memory")
@@ -87,6 +89,34 @@ class GraftCdcStreamSpec extends SparkTestBase {
     val batch = flat(CdcRead.changes(spark, p, Some(T1), Some(T3)))
     assert(streamed == batch && streamed.nonEmpty)
     assert(!streamed.exists(_._1 == "i"), "T1 inserts must be excluded")
+  }
+
+  test("V1 source offset math: per-commit admission once anchored") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val p = HudiFixtureBuilder.morPath(sfDir)
+    case class TestOffset(ts: String)
+        extends org.apache.spark.sql.execution.streaming.Offset {
+      override def json(): String = ts
+    }
+    val src = new GraftCdcSource(spark, p, Map("stream.commits.per.batch" -> "1"))
+    // unanchored (fresh stream / post-restart): the tip is offered whole
+    assert(src.getOffset.map(_.json()) == Some(T3))
+    // the first batch anchors the admission point (content equality with
+    // the batch feed is the drain tests' job — a streaming frame cannot
+    // be collected outside a streaming query; the checker forbids it)
+    val b1 = src.getBatch(None, TestOffset(T1))
+    assert(b1.isStreaming, "getBatch must return an isStreaming frame")
+    assert(b1.schema.fieldNames.toSeq == Seq("op", "ts_ms", "before", "after"))
+    // ...after which each offset advances exactly ONE commit timestamp
+    assert(src.getOffset.map(_.json()) == Some(T2))
+    src.getBatch(Some(TestOffset(T1)), TestOffset(T2))
+    assert(src.getOffset.map(_.json()) == Some(T3))
+    src.getBatch(Some(TestOffset(T2)), TestOffset(T3))
+    // drained: the offer stays at the tip (no progress = no new batch)
+    assert(src.getOffset.map(_.json()) == Some(T3))
+    // and without the cap, the tip is offered immediately
+    val unbounded = new GraftCdcSource(spark, p, Map.empty)
+    assert(unbounded.getOffset.map(_.json()) == Some(T3))
   }
 
   test("the streamed schema is the CDC image schema") {
