@@ -23,11 +23,15 @@ import org.apache.spark.sql.types.StructType
   * Hudi and Delta serve their streaming through V1 sources.
   *
   * Honored stream options: `stream.start.timestamp` (fresh streams begin
-  * AFTER this commit; checkpoints win on restart) and
-  * `stream.commits.per.batch` (admission: each batch advances at most N
-  * commit timestamps — in-session pacing; the first batch after a restart
-  * and a Trigger.AvailableNow drain may span the full backlog, since V1
-  * offers no start-aware latestOffset). All CdcRead refusals (cleaned
+  * AFTER this commit; checkpoints win on restart) and the
+  * [[CommitAdmission]] caps `stream.commits.per.batch` /
+  * `stream.max.bytes.per.batch` (each batch advances at most N commit
+  * timestamps / ~B bytes of touched slices — in-session pacing once the
+  * first batch anchors the position; the first batch after a restart and
+  * a Trigger.AvailableNow drain span the full backlog, since V1 offers
+  * no start-aware latestOffset, and the unanchored tip is exactly what
+  * keeps the AvailableNow pinned target lossless). All CdcRead refusals
+  * (cleaned
   * before-images, archived predecessors, meta-field-less tables) fire at
   * batch planning, failing the query loudly rather than feeding it wrong
   * images.
@@ -62,6 +66,9 @@ class GraftCdcSource(
   private val commitsPerBatch: Option[Int] =
     options.get("stream.commits.per.batch").map(_.toInt).filter(_ > 0)
 
+  private val maxBytesPerBatch: Option[Long] =
+    options.get("stream.max.bytes.per.batch").map(_.toLong).filter(_ > 0)
+
   override val schema: StructType = CdcRead.cdcSchema(freshTable)
 
   /** Latest end this source has handed to `getBatch` — the admission
@@ -74,16 +81,14 @@ class GraftCdcSource(
 
   override def getOffset: Option[Offset] = {
     val t = freshTable
-    val tip = t.timeline.latestCommitTimestamp
-    tip.map { tipTs =>
+    t.timeline.latestCommitTimestamp.map { tipTs =>
       val from = lastPlanned.orElse(startTs)
-      val bounded = commitsPerBatch match {
-        case Some(n) if from.isDefined =>
-          val ts = t.timeline.instantsBetween(from, Some(tipTs))
-            .map(_.timestamp).distinct.sorted
-          if (ts.isEmpty) tipTs else ts.take(n).last
-        case _ => tipTs
-      }
+      // unanchored (fresh / post-restart) offers the TIP: under
+      // Trigger.AvailableNow the wrapper pins this first offer as the
+      // drain target, so a bounded first offer would strand commits
+      val bounded =
+        if (from.isEmpty) tipTs
+        else CommitAdmission.boundedEnd(t, from, tipTs, commitsPerBatch, maxBytesPerBatch)
       CommitOffset(bounded)
     }
   }

@@ -117,6 +117,14 @@ class GraftCdcStreamSpec extends SparkTestBase {
     // and without the cap, the tip is offered immediately
     val unbounded = new GraftCdcSource(spark, p, Map.empty)
     assert(unbounded.getOffset.map(_.json()) == Some(T3))
+    // byte cap (CommitAdmission shared with the DSv2 stream): a 1-byte
+    // ceiling still admits exactly ONE commit per anchored offer (the
+    // first always admits — progress guaranteed)
+    val byteSrc = new GraftCdcSource(spark, p,
+      Map("stream.max.bytes.per.batch" -> "1"))
+    byteSrc.getBatch(None, TestOffset(T1))
+    assert(byteSrc.getOffset.map(_.json()) == Some(T2),
+      "an over-cap commit must still admit as its own batch")
   }
 
   test("the streamed schema is the CDC image schema") {
