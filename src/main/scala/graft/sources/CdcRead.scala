@@ -44,7 +44,10 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   * Scale shape: each commit plans TWO snapshot reads restricted to its
   * touched file groups (`cdc.file.groups` — slice-level, not partition-
   * level, so IO is proportional to changed groups), joined on the record
-  * key (small change sets broadcast under AQE), unioned across the
+  * key. The join is FULL OUTER — semantically required (inserts are
+  * after-only rows, deletes before-only) — which Spark cannot broadcast;
+  * AQE picks a shuffled-hash join whose shuffle is bounded by the
+  * commit's change volume, never table size. Diffs union across the
   * bounded commit range. Work ∝ change volume × commits, never table
   * size. Table-service instants that change no logical rows — pure
   * clustering, MOR compaction — are skipped outright (their diffs are

@@ -216,16 +216,24 @@ class CdcReadSpec extends SparkTestBase {
     // REPLACED groups (before-image as of the predecessor) against the
     // new groups — the old keys surface as 'd', the overwrite's keys as
     // 'i', verified against the unrestricted snapshot diff per commit
-    val pOpt = graft.table.Fixtures.table(
-      "sample_table/cow/v9_txns_simple_overwrite.zip",
-      "v9_txns_simple_overwrite", "v9_overwrite_cdc")
-    assume(pOpt.isDefined)
-    val path = pOpt.get
-    val t = graft.table.HudiTable(spark, path)
-    assume(t.timeline.completedInstants.exists(_.action == "replacecommit"))
-    val ops = realBytesDifferential(path, keyCol = "txn_id")
-    assert(ops.contains("d") && ops.contains("i"),
-      s"a full-table overwrite must surface deletes of the replaced keys AND the new inserts, got $ops")
+    val zips = Seq(
+      ("sample_table/cow/v9_txns_simple_overwrite.zip", "v9_overwrite_cdc"),
+      // MOR variant: the replaced groups carry avro LOG files, so the
+      // before-image read as of the predecessor exercises the merge
+      ("sample_table/mor/avro/v9_txns_simple_overwrite.zip", "v9_overwrite_cdc_mor"))
+    var ran = false
+    for ((zip, dir) <- zips) {
+      graft.table.Fixtures.table(zip, "v9_txns_simple_overwrite", dir).foreach { path =>
+        ran = true
+        val t = graft.table.HudiTable(spark, path)
+        assume(t.timeline.completedInstants.exists(_.action == "replacecommit"))
+        val ops = realBytesDifferential(path, keyCol = "txn_id")
+        assert(ops.contains("d") && ops.contains("i"),
+          s"$zip: a full-table overwrite must surface deletes of the replaced keys " +
+            s"AND the new inserts, got $ops")
+      }
+    }
+    assume(ran)
   }
 
   test("the option-route cdc format selector refuses with a pointer, never silently") {
