@@ -26,12 +26,13 @@ import org.apache.spark.sql.types.StructType
   * AFTER this commit; checkpoints win on restart) and the
   * [[CommitAdmission]] caps `stream.commits.per.batch` /
   * `stream.max.bytes.per.batch` (each batch advances at most N commit
-  * timestamps / ~B bytes of touched slices — in-session pacing once the
-  * first batch anchors the position; the first batch after a restart and
-  * a Trigger.AvailableNow drain span the full backlog, since V1 offers
-  * no start-aware latestOffset, and the unanchored tip is exactly what
-  * keeps the AvailableNow pinned target lossless). All CdcRead refusals
-  * (cleaned
+  * timestamps / ~B bytes of touched slices). Admission implements
+  * `SupportsAdmissionControl` — the V1-source shape Kafka's source uses —
+  * so the engine hands `latestOffset` the true start offset: pacing is
+  * restart-correct (the first post-restart batch continues bounded from
+  * the checkpoint) and a Trigger.AvailableNow drain marches in bounded
+  * batches to its pinned target instead of one backlog-sized batch.
+  * All CdcRead refusals (cleaned
   * before-images, archived predecessors, meta-field-less tables) fire at
   * batch planning, failing the query loudly rather than feeding it wrong
   * images.
@@ -40,11 +41,16 @@ class GraftCdcSource(
     spark: SparkSession,
     basePath: String,
     options: Map[String, String]
-) extends Source {
+) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 
   private case class CommitOffset(ts: String) extends Offset {
     override def json(): String = ts
   }
+
+  /** Before-everything sentinel (the DSv2 stream's earliest analog). */
+  private val earliest = "00000000000000000"
 
   /** Read options forwarded to the per-commit snapshot reads — the
     * streaming/format selectors themselves must NOT ride along (the DSv2
@@ -71,35 +77,61 @@ class GraftCdcSource(
 
   override val schema: StructType = CdcRead.cdcSchema(freshTable)
 
-  /** Latest end this source has handed to `getBatch` — the admission
-    * anchor for `stream.commits.per.batch`. In-session only: after a
-    * restart the anchor is empty and the first batch spans to the tip
-    * (getBatch then re-anchors); a stale anchor can only under-admit,
-    * never skip commits, because batches always run (anchor, target].
-    */
-  @volatile private var lastPlanned: Option[String] = None
+  // ---- SupportsAdmissionControl: the engine hands latestOffset the TRUE
+  // start (checkpointed or initial), so pacing needs no in-session anchor
+  // and survives restarts; the AvailableNow wrapper delegates here per
+  // batch, capped at its pinned target — bounded multi-batch drains.
 
-  override def getOffset: Option[Offset] = {
-    val t = freshTable
-    t.timeline.latestCommitTimestamp.map { tipTs =>
-      val from = lastPlanned.orElse(startTs)
-      // unanchored (fresh / post-restart) offers the TIP: under
-      // Trigger.AvailableNow the wrapper pins this first offer as the
-      // drain target, so a bounded first offer would strand commits
-      val bounded =
-        if (from.isEmpty) tipTs
-        else CommitAdmission.boundedEnd(t, from, tipTs, commitsPerBatch, maxBytesPerBatch)
-      CommitOffset(bounded)
+  override def initialOffset(): OffsetV2 =
+    CommitOffset(startTs.getOrElse(earliest))
+
+  override def deserializeOffset(json: String): OffsetV2 = CommitOffset(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    commitsPerBatch match {
+      case Some(n) => ReadLimit.maxFiles(n) // commits-as-files analog (D4's shape)
+      case None => ReadLimit.allAvailable()
     }
+
+  /** Trigger.AvailableNow pins the RAW tip once at query start (the DSv2
+    * stream's exact contract) — implemented directly, because the generic
+    * AvailableNow wrapper would otherwise pin the first CAPPED offer and
+    * strand every commit past it; with the pin here, capped drains march
+    * per-batch toward the full target and self-terminate.
+    */
+  @volatile private var availableNowTarget: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(freshTable.timeline.latestCommitTimestamp.getOrElse(earliest))
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    lazy val t = freshTable
+    val target = availableNowTarget.getOrElse(
+      t.timeline.latestCommitTimestamp.getOrElse(earliest))
+    // the engine passes NULL start on a V1 source's first micro-batch
+    // (KafkaSource's latestOffset tolerates the same) — fall back to the
+    // configured start / the before-everything sentinel
+    val s = Option(start).map(_.json()).getOrElse(startTs.getOrElse(earliest))
+    // never regress the offset (the DSv2 stream's rule): a start ahead of
+    // the tip must not re-admit commits the checkpoint already passed
+    if (target <= s) return CommitOffset(s)
+    val startOpt = if (s == earliest) None else Some(s)
+    CommitOffset(CommitAdmission.boundedEnd(
+      t, startOpt, target, commitsPerBatch, maxBytesPerBatch))
   }
 
+  override def getOffset: Option[Offset] =
+    // the engine consults latestOffset(start, limit) on admission-control
+    // sources; a call here means a harness bypassed that contract
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) serves offsets for this source")
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val s = start.map(_.json()).orElse(startTs)
-    val e = end.json()
-    lastPlanned = Some(e)
+    val s = start.map(_.json()).orElse(startTs).filterNot(_ == earliest)
     // an equal-or-inverted range (offset replay on restart) plans an
     // empty commit list inside changes() and yields an empty batch
-    val batch = CdcRead.changes(spark, basePath, s, Some(e), readOptions)
+    val batch = CdcRead.changes(spark, basePath, s, Some(end.json()), readOptions)
     GraftSqlShim.asStreamingBatch(spark, batch)
   }
 

@@ -91,40 +91,68 @@ class GraftCdcStreamSpec extends SparkTestBase {
     assert(!streamed.exists(_._1 == "i"), "T1 inserts must be excluded")
   }
 
-  test("V1 source offset math: per-commit admission once anchored") {
+  test("V1 source offset math: restart-correct per-commit admission") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val p = HudiFixtureBuilder.morPath(sfDir)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
     case class TestOffset(ts: String)
         extends org.apache.spark.sql.execution.streaming.Offset {
       override def json(): String = ts
     }
+    val lim = ReadLimit.allAvailable() // the source applies its own caps
     val src = new GraftCdcSource(spark, p, Map("stream.commits.per.batch" -> "1"))
-    // unanchored (fresh stream / post-restart): the tip is offered whole
-    assert(src.getOffset.map(_.json()) == Some(T3))
-    // the first batch anchors the admission point (content equality with
-    // the batch feed is the drain tests' job — a streaming frame cannot
-    // be collected outside a streaming query; the checker forbids it)
+    // SupportsAdmissionControl: the engine hands the TRUE start offset,
+    // so pacing is position-correct from the first call — including after
+    // a restart (the checkpointed offset arrives as `start`)
+    assert(src.latestOffset(src.initialOffset(), lim).json() == T1)
+    assert(src.latestOffset(TestOffset(T1), lim).json() == T2)
+    assert(src.latestOffset(TestOffset(T2), lim).json() == T3)
+    // drained: never regress past the tip
+    assert(src.latestOffset(TestOffset(T3), lim).json() == T3)
+    // the batch itself is a streaming frame of the CDC schema (content
+    // equality with the batch feed is the drain tests' job — a streaming
+    // frame cannot be collected outside a streaming query)
     val b1 = src.getBatch(None, TestOffset(T1))
     assert(b1.isStreaming, "getBatch must return an isStreaming frame")
     assert(b1.schema.fieldNames.toSeq == Seq("op", "ts_ms", "before", "after"))
-    // ...after which each offset advances exactly ONE commit timestamp
-    assert(src.getOffset.map(_.json()) == Some(T2))
-    src.getBatch(Some(TestOffset(T1)), TestOffset(T2))
-    assert(src.getOffset.map(_.json()) == Some(T3))
-    src.getBatch(Some(TestOffset(T2)), TestOffset(T3))
-    // drained: the offer stays at the tip (no progress = no new batch)
-    assert(src.getOffset.map(_.json()) == Some(T3))
-    // and without the cap, the tip is offered immediately
+    // without a cap the tip is offered immediately
     val unbounded = new GraftCdcSource(spark, p, Map.empty)
-    assert(unbounded.getOffset.map(_.json()) == Some(T3))
+    assert(unbounded.latestOffset(unbounded.initialOffset(), lim).json() == T3)
+    // stream.start.timestamp positions the initial offset
+    val fromT1 = new GraftCdcSource(spark, p, Map("stream.start.timestamp" -> T1))
+    assert(fromT1.initialOffset().json() == T1)
     // byte cap (CommitAdmission shared with the DSv2 stream): a 1-byte
-    // ceiling still admits exactly ONE commit per anchored offer (the
-    // first always admits — progress guaranteed)
+    // ceiling still admits exactly ONE commit per offer (the first always
+    // admits — progress guaranteed)
     val byteSrc = new GraftCdcSource(spark, p,
       Map("stream.max.bytes.per.batch" -> "1"))
-    byteSrc.getBatch(None, TestOffset(T1))
-    assert(byteSrc.getOffset.map(_.json()) == Some(T2),
+    assert(byteSrc.latestOffset(TestOffset(T1), lim).json() == T2,
       "an over-cap commit must still admit as its own batch")
+  }
+
+  test("AvailableNow + commits.per.batch drains in bounded PER-COMMIT batches") {
+    // the SupportsAdmissionControl payoff: the AvailableNow wrapper
+    // delegates latestOffset per batch capped at its pinned target, so a
+    // capped drain marches one commit per micro-batch — three non-empty
+    // batches (i@T1, u@T2, d@T3), never one backlog-sized batch
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val p = HudiFixtureBuilder.morPath(sfDir)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[String]]()
+    val q = spark.readStream.format("hudi-graft")
+      .option("incremental.format", "cdc")
+      .option("stream.commits.per.batch", "1")
+      .load(p)
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ops = b.select("op").distinct().collect().map(_.getString(0)).toSet
+        if (ops.nonEmpty) batches.add(ops); ()
+      }.start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val seq = batches.asScala.toSeq
+    assert(seq == Seq(Set("i"), Set("u"), Set("d")),
+      s"expected three homogeneous per-commit batches, got $seq")
   }
 
   test("the streamed schema is the CDC image schema") {
