@@ -527,6 +527,28 @@ object HudiQueries {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin),
 
+    // --- IVM from the CDC feed (r13): every change row CARRIES its
+    // before/after images, so the delta algebra needs no pre-image join
+    // — and unlike the incremental strategies it maintains THROUGH the
+    // T3 DELETE commit (a delete is a before-only retraction an
+    // incremental read can never surface; the entries above must stop at
+    // T2). The oracle is the recomputed end-state aggregate with the
+    // deletes applied — maintained == recomputed is the IVM contract.
+    "hudi_cdc_agg_maintenance" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val t = HudiTable(s, HudiFixtureBuilder.morPath(d))
+        graft.table.AggMaintenance.maintainCountSumCdc(
+          t, HudiFixtureBuilder.T1, HudiFixtureBuilder.T3, "o_orderstatus", "o_totalprice")
+      },
+      """SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  COUNT(1) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey % 97 <> 0
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin),
+
     // --- same maintenance, pre-images via the record_index MDT partition:
     // the batch's distinct keys are point-looked-up in the index's HFiles
     // and ONLY their file groups are read as of T1 — the plan the scan

@@ -174,7 +174,18 @@ object CdcRead {
       val written = instants.flatMap(i =>
         hudi.timeline.touchedFileGroups(i).valuesIterator.flatten).distinct.sorted
       // insert-overwrite / delete_partition: the groups this commit
-      // REPLACED hold its before-image (and its logical deletes)
+      // REPLACED hold its before-image (and its logical deletes). A
+      // non-clustering replacecommit whose metadata LACKS the
+      // partitionToReplaceFileIds field entirely (corruption, or a writer
+      // this inference doesn't know) would silently drop every logical
+      // delete — fail closed; real writers record the field even when
+      // the overwritten partition was empty (an empty map)
+      for (i <- instants if i.action == "replacecommit")
+        if (!hudi.timeline.commitMetadata(i).path("partitionToReplaceFileIds").isObject)
+          throw new UnsupportedOperationException(
+            s"cdc: replacecommit $c carries no partitionToReplaceFileIds in its metadata — " +
+              "the groups it logically deleted cannot be resolved, so an inferred diff " +
+              "would silently miss them; narrow the range to end before it")
       val replaced = instants.flatMap(i =>
         hudi.timeline.replacedFileGroups(i).valuesIterator.flatten).distinct.sorted
       if (written.isEmpty && replaced.isEmpty) LogScan.emptyDf(spark, schema)

@@ -293,4 +293,55 @@ object AggMaintenance {
     val joined = batch.join(preProjection(preImages, keys, groupCol, valueCol), keys, "left")
     foldDeltas(prior, joined, groupCol)
   }
+
+  /** Maintenance from the inferred CDC feed ([[graft.sources.CdcRead]]):
+    * every change row already CARRIES its before/after images, so the
+    * delta algebra needs no pre-image join at all — after-images add
+    * (+1, +value), before-images retract (-1, -value), an update row does
+    * both. Unlike the incremental-read strategies above this works
+    * THROUGH delete commits (a delete is a before-only row — the exact
+    * retraction an incremental read can never surface, which is why
+    * [[checkMaintainable]] forbids deletes in their ranges) and through
+    * insert-overwrite replacecommits (CDC diffs the replaced groups).
+    * Per-commit chaining telescopes: a key updated at c1 and deleted at
+    * c2 contributes (+new, -old) then (-new) — net exactly -old.
+    *
+    * Scale shape: CDC work ∝ change volume × commits (CdcRead's
+    * contract); the fold is one keyed aggregate over prior ∪ deltas with
+    * map-side partials. `priorAgg` is the maintained state you already
+    * hold; absent, it recomputes from the start snapshot (the oracle
+    * twin's verifiable-but-scanning form). Sums keep the DECIMAL(18,4)
+    * discipline so maintained == recomputed bit-for-bit.
+    */
+  def maintainCountSumCdc(
+      t: HudiTable,
+      start: String,
+      end: String,
+      groupCol: String,
+      valueCol: String,
+      priorAgg: Option[DataFrame] = None
+  ): DataFrame = {
+    require(t.config.recordMergeStrategy != "APPEND_ONLY",
+      "append-only tables keep every image in the snapshot — retraction-based " +
+        "maintenance would double-count; recompute instead")
+    val prior = priorAgg.getOrElse {
+      t.snapshot(asOf = Some(start))
+        .groupBy(groupCol)
+        .agg(count(lit(1)).as("n"), sum(dec(valueCol)).as("s"))
+    }
+    val feed = t.cdc(Some(start), Some(end))
+    val additions = feed.filter(col("after").isNotNull)
+      .select(col(s"after.$groupCol").as(groupCol),
+        lit(1L).as("dn"), dec(s"after.$valueCol").as("ds"))
+    val retractions = feed.filter(col("before").isNotNull)
+      .select(col(s"before.$groupCol").as(groupCol),
+        lit(-1L).as("dn"), (dec(s"before.$valueCol") * -1).as("ds"))
+    prior.select(col(groupCol), col("n").as("dn"), col("s").as("ds"))
+      .unionByName(additions)
+      .unionByName(retractions)
+      .groupBy(groupCol)
+      .agg(sum(col("dn")).as("n_rows"), sum(col("ds")).cast(DoubleType).as("total"))
+      .filter(col("n_rows") > 0)
+      .orderBy(col(groupCol).asc_nulls_last)
+  }
 }

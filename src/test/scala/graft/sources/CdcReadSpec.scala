@@ -419,6 +419,39 @@ class CdcReadSpec extends SparkTestBase {
       ex.getMessage)
   }
 
+  test("a replacecommit with NO partitionToReplaceFileIds field refuses loudly") {
+    // corrupt/unknown-writer metadata: treating a field-less non-clustering
+    // replacecommit as replacing nothing would silently drop its logical
+    // deletes — must refuse at planning
+    val base = new org.apache.hadoop.fs.Path("/root/repo/target/hudi-fixtures/cdc_norep")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(base, true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".hoodie"))
+    def writeText(name: String, s: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
+      out.write(s.getBytes("UTF-8")); out.close()
+    }
+    writeText(".hoodie/hoodie.properties",
+      """hoodie.table.name=cdc_norep
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=v
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val schema =
+      """{"type":"record","name":"r","fields":[{"name":"v","type":["long","null"]}]}"""
+        .replace("\"", "\\\"")
+    writeText(s".hoodie/$T1.commit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f0","path":"x.parquet","partitionPath":""}]},"extraMetadata":{"schema":"$schema"},"compacted":false,"operationType":"UPSERT"}""")
+    writeText(s".hoodie/$T2.replacecommit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f1","path":"y.parquet","partitionPath":""}]},"compacted":false,"operationType":"INSERT_OVERWRITE"}""")
+    val ex = intercept[UnsupportedOperationException] {
+      CdcRead.changes(spark, base.toString, Some(T1), Some(T2))
+    }
+    assert(ex.getMessage.contains("partitionToReplaceFileIds"), ex.getMessage)
+  }
+
   test("cleaner-horizon guard: a rewritten group with no before slice refuses") {
     // metadata-only table: T1 creates group f0, T2 rewrites it with
     // prevCommit=T1 recorded — but no T1 file survives on disk (the

@@ -31,6 +31,45 @@ class AggMaintenanceSpec extends SparkTestBase {
     assert(m.exists(_.getString(0) == "U"))
   }
 
+  test("CDC-fed maintenance works THROUGH deletes and overwrites: every adjacent range") {
+    // the capability the incremental strategies structurally lack: a
+    // delete is a before-only CDC row (a retraction an incremental read
+    // never surfaces), and an insert-overwrite diffs its replaced groups.
+    // Differential over every adjacent commit pair of the MOR fixture
+    // (incl. (T2, T3] — the delete commit) and the overwrite fixture
+    // (incl. its replacecommit): maintained == recomputed, bit for bit.
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val paths = Seq(HudiFixtureBuilder.morPath(sfDir),
+      HudiFixtureBuilder.overwritePath(sfDir), HudiFixtureBuilder.clusteredPath(sfDir))
+    for (path <- paths) {
+      val t = HudiTable(spark, path)
+      val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
+      for ((p, c) <- ts.zip(ts.tail)) {
+        val maintained = AggMaintenance.maintainCountSumCdc(
+          t, p, c, "o_orderstatus", "o_totalprice").collect().toSeq
+        val direct = t.snapshot(asOf = Some(c))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+          .orderBy("o_orderstatus")
+          .collect().toSeq
+        assert(maintained == direct, s"$path ($p, $c]: $maintained != $direct")
+      }
+    }
+    // and the full (T1, T3] range crosses update AND delete commits
+    val t = table
+    val full = AggMaintenance.maintainCountSumCdc(
+      t, HudiFixtureBuilder.T1, HudiFixtureBuilder.T3, "o_orderstatus", "o_totalprice")
+      .collect().toSeq
+    val end = t.snapshot(asOf = Some(HudiFixtureBuilder.T3))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+      .orderBy("o_orderstatus")
+      .collect().toSeq
+    assert(full == end && full.nonEmpty, s"full range: $full != $end")
+  }
+
   test("delete blocks behind numDeletes-omitting write stats are detected by the log scan") {
     // the fixture's T3 deltacommit carries delete blocks while its write
     // stats (minimal-stats writer shape) omit numDeletes entirely — the
