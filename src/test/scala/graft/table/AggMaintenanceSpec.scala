@@ -70,6 +70,74 @@ class AggMaintenanceSpec extends SparkTestBase {
     assert(full == end && full.nonEmpty, s"full range: $full != $end")
   }
 
+  test("CDC maintenance chains: T2 state threads into the (T2, T3] step") {
+    // the production shape: the maintained state you already HOLD rides
+    // in as priorAgg (columns groupCol, n, s) — no start-snapshot scan —
+    // and the next range's deltas land on it; chaining two steps equals
+    // the one-shot range and the recomputed end state
+    val t = table
+    import HudiFixtureBuilder.{T1, T2, T3}
+    def asPrior(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("o_orderstatus"), col("n_rows").as("n"),
+      col("total").cast(DecimalType(18, 4)).as("s"))
+    val atT2 = AggMaintenance.maintainCountSumCdc(t, T1, T2, "o_orderstatus", "o_totalprice")
+    val chained = AggMaintenance.maintainCountSumCdc(
+      t, T2, T3, "o_orderstatus", "o_totalprice", priorAgg = Some(asPrior(atT2)))
+      .collect().toSeq
+    val oneShot = AggMaintenance.maintainCountSumCdc(t, T1, T3, "o_orderstatus", "o_totalprice")
+      .collect().toSeq
+    assert(chained == oneShot && chained.nonEmpty, s"$chained != $oneShot")
+  }
+
+  test("streaming IVM: per-commit CDC micro-batches fold to the end-state aggregate") {
+    // the continuous-materialized-view shape at 100 TB: a capped CDC
+    // stream delivers per-commit image batches, and foreachBatch applies
+    // the retraction algebra to held state — after the AvailableNow drain
+    // the state equals the recomputed end snapshot aggregate, exactly
+    // (deletes included, which no incremental-read stream could serve)
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val p = HudiFixtureBuilder.morPath(sfDir)
+    // the fold is TWO-SIDED (additions + retractions aggregated
+    // separately): an update that MOVES a row between groups must credit
+    // the after-group and debit the before-group — a single per-row
+    // (after - before) coalesce would cancel inside the wrong group
+    val state = scala.collection.mutable.Map.empty[String, (Long, java.math.BigDecimal)]
+    val q2 = spark.readStream.format("hudi-graft")
+      .option("incremental.format", "cdc")
+      .option("stream.commits.per.batch", "1")
+      .load(p)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val adds = b.filter(col("after").isNotNull)
+          .groupBy(col("after.o_orderstatus").as("g"))
+          .agg(count(lit(1)).as("dn"),
+            sum(col("after.o_totalprice").cast(DecimalType(18, 4))).as("ds"))
+          .collect()
+        val rets = b.filter(col("before").isNotNull)
+          .groupBy(col("before.o_orderstatus").as("g"))
+          .agg((count(lit(1)) * -1).as("dn"),
+            (sum(col("before.o_totalprice").cast(DecimalType(18, 4))) * -1).as("ds"))
+          .collect()
+        for (r <- adds ++ rets) {
+          val g = r.getString(0)
+          val (n0, s0) = state.getOrElse(g, (0L, java.math.BigDecimal.ZERO))
+          state(g) = (n0 + r.getLong(1), s0.add(r.getDecimal(2)))
+        }
+        ()
+      }.start()
+    try q2.awaitTermination() finally q2.stop()
+    val got = state.toSeq.collect { case (g, (n, s)) if n > 0 => (g, n, s.doubleValue) }
+      .sortBy(_._1)
+    val want = table.snapshot(asOf = Some(HudiFixtureBuilder.T3))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("s"))
+      .orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want && got.nonEmpty, s"streamed state $got != recomputed $want")
+  }
+
   test("delete blocks behind numDeletes-omitting write stats are detected by the log scan") {
     // the fixture's T3 deltacommit carries delete blocks while its write
     // stats (minimal-stats writer shape) omit numDeletes entirely — the
