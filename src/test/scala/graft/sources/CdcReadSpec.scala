@@ -160,7 +160,7 @@ class CdcReadSpec extends SparkTestBase {
     for ((p, c) <- ts.zip(ts.tail)) {
       val cdc = CdcRead.changes(spark, path, Some(p), Some(c))
         .select(col("op"),
-          coalesce(col(s"after.$keyCol"), col(s"before.$keyCol")).as("k"))
+          coalesce(col(s"after.$keyCol"), col(s"before.$keyCol")).cast("string").as("k"))
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
       val before = t.snapshot(asOf = Some(p))
         .select("_hoodie_record_key").collect().map(_.getString(0)).toSet
@@ -234,6 +234,16 @@ class CdcReadSpec extends SparkTestBase {
       }
     }
     assume(ran)
+  }
+
+  test("CDC over a LANCE MOR table: per-commit diffs equal the snapshot diff") {
+    // the S7 × CDC composition: the per-commit before/after snapshot
+    // reads ride the Lance reader (and its MOR merge) — the same
+    // differential formulation as the parquet fixtures
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val ops = realBytesDifferential(
+      HudiFixtureBuilder.morLancePath(sfDir), keyCol = "n_nationkey")
+    assert(ops.nonEmpty, s"the lance MOR fixture must exercise changes, got $ops")
   }
 
   test("the option-route cdc format selector refuses with a pointer, never silently") {
