@@ -54,7 +54,6 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   * provably empty, and a compaction's touched set is every compacted
   * group: reading it would be table-sized IO for zero rows).
   *
-  * Refusals (loud, never a silently wrong feed):
   * Insert-overwrite (a NON-clustering replacecommit): the before-image is
   * the REPLACED groups read as of the predecessor (from the instant's
   * `partitionToReplaceFileIds`, reference replace handling:
@@ -71,6 +70,9 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   * Refusals (loud, never a silently wrong feed):
   *  - `populate.meta.fields=false` tables: the inference keys and stamps
   *    on meta columns, which such tables null out;
+  *  - a non-clustering replacecommit whose metadata LACKS the
+  *    `partitionToReplaceFileIds` field entirely (corruption / unknown
+  *    writer): treating it as replacing nothing would drop its deletes;
   *  - a first in-range commit whose predecessor has been ARCHIVED off the
   *    active timeline when older instants exist (an unreadable archive
   *    counts: the guard fails closed): its before state is not

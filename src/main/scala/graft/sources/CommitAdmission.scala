@@ -11,6 +11,41 @@ import graft.table.HudiTable
   * catches up in bounded batches instead of one giant one.
   */
 object CommitAdmission {
+  import org.apache.spark.sql.connector.read.streaming.{
+    CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
+
+  /** The configured caps as the `ReadLimit` a source advertises from
+    * `getDefaultReadLimit` — commits ride `maxFiles` (the
+    * commits-as-files analog), bytes ride `maxBytes`.
+    */
+  def toReadLimit(commitsPerBatch: Option[Int], maxBytesPerBatch: Option[Long]): ReadLimit =
+    (commitsPerBatch.filter(_ > 0), maxBytesPerBatch.filter(_ > 0)) match {
+      case (Some(n), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(n), ReadLimit.maxBytes(b)))
+      case (Some(n), None) => ReadLimit.maxFiles(n)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+
+  /** Decode the ENGINE-PASSED limit back into (commit cap, byte cap).
+    * Honoring the passed limit — not re-applying the configured caps —
+    * is the admission contract (KafkaSource does the same): under
+    * Trigger.Once the engine overrides a source's default with
+    * `allAvailable()` expecting the WHOLE backlog in one batch, and a
+    * source that silently re-capped would strand everything past the
+    * first batch until the next manual run. Unknown limit kinds
+    * (min/max rows — never advertised here) decode as unbounded.
+    */
+  def fromReadLimit(limit: ReadLimit): (Option[Int], Option[Long]) = limit match {
+    case _: ReadAllAvailable => (None, None)
+    case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+    case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(fromReadLimit).foldLeft((Option.empty[Int], Option.empty[Long])) {
+        case ((n0, b0), (n1, b1)) => (n0.orElse(n1), b0.orElse(b1))
+      }
+    case _ => (None, None)
+  }
 
   /** The admitted batch end (inclusive). Returns `target` unchanged when
     * no cap applies or the range is empty. Admission works on REQUEST

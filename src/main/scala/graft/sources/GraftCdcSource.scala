@@ -64,7 +64,12 @@ class GraftCdcSource(
     if (readOptions.isEmpty) HudiTable(spark, basePath)
     else HudiTable(spark, basePath, readOptions)
 
-  private val tz = freshTable.config.timelineTimezone
+  // one handle for everything resolved at construction (tz, schema) —
+  // the open-table cache makes repeat opens cheap, but not free (each
+  // revalidates with a timeline listing)
+  private val tableAtStart = freshTable
+
+  private val tz = tableAtStart.config.timelineTimezone
 
   private val startTs: Option[String] =
     options.get("stream.start.timestamp").map(Timestamps.normalize(_, tz))
@@ -75,7 +80,7 @@ class GraftCdcSource(
   private val maxBytesPerBatch: Option[Long] =
     options.get("stream.max.bytes.per.batch").map(_.toLong).filter(_ > 0)
 
-  override val schema: StructType = CdcRead.cdcSchema(freshTable)
+  override val schema: StructType = CdcRead.cdcSchema(tableAtStart)
 
   // ---- SupportsAdmissionControl: the engine hands latestOffset the TRUE
   // start (checkpointed or initial), so pacing needs no in-session anchor
@@ -88,10 +93,7 @@ class GraftCdcSource(
   override def deserializeOffset(json: String): OffsetV2 = CommitOffset(json)
 
   override def getDefaultReadLimit: ReadLimit =
-    commitsPerBatch match {
-      case Some(n) => ReadLimit.maxFiles(n) // commits-as-files analog (D4's shape)
-      case None => ReadLimit.allAvailable()
-    }
+    CommitAdmission.toReadLimit(commitsPerBatch, maxBytesPerBatch)
 
   /** Trigger.AvailableNow pins the RAW tip once at query start (the DSv2
     * stream's exact contract) — implemented directly, because the generic
@@ -117,8 +119,11 @@ class GraftCdcSource(
     // the tip must not re-admit commits the checkpoint already passed
     if (target <= s) return CommitOffset(s)
     val startOpt = if (s == earliest) None else Some(s)
-    CommitOffset(CommitAdmission.boundedEnd(
-      t, startOpt, target, commitsPerBatch, maxBytesPerBatch))
+    // honor the ENGINE-PASSED limit, not the configured caps: under
+    // Trigger.Once the engine overrides the default with allAvailable()
+    // and expects the whole backlog in one batch
+    val (countCap, byteCap) = CommitAdmission.fromReadLimit(limit)
+    CommitOffset(CommitAdmission.boundedEnd(t, startOpt, target, countCap, byteCap))
   }
 
   override def getOffset: Option[Offset] =

@@ -1312,17 +1312,24 @@ class GraftScan(
   // ported with hoodie.datasource.query.incremental.format=cdc expects
   // (op, ts_ms, before, after) rows, and serving the plain row feed under
   // it would hand different columns with no error (the TVF-keyword trap
-  // all over again). The CDC shape cannot ride a DSv2 relation (its
-  // schema is the table's) — point at the surfaces that serve it.
-  if (isIncremental) {
+  // all over again). The CDC shape cannot ride ANY DSv2 relation (its
+  // schema is the table's) — and this check must fire UNCONDITIONALLY,
+  // not just under query.type=incremental: a CATALOG-route readStream
+  // carries the option straight to this scan builder (the path route
+  // never gets here — its table drops MICRO_BATCH_READ and Spark picks
+  // the V1 GraftCdcSource), so gating on isIncremental would serve a
+  // catalog stream plain rows under a cdc request with no error.
+  locally {
     val fmt = Seq("incremental.format", "hoodie.datasource.query.incremental.format")
       .flatMap(k => Option(options.get(k))).headOption
     if (fmt.exists(_.equalsIgnoreCase("cdc")))
       throw new UnsupportedOperationException(
         "incremental.format=cdc: the CDC image schema cannot be served through this " +
-          "BATCH relation (a DSv2 table's schema is the table schema); use the " +
+          "DSv2 relation (its schema is the table schema); use the " +
           "hudi_table_changes(path, 'cdc', start[, end]) TVF or HudiTable.cdc(...) for " +
-          "batch, or spark.readStream with the same option for the streaming feed")
+          "batch, or spark.readStream.format(\"hudi-graft\").load(path) with the same " +
+          "option for the streaming feed (the catalog streaming route cannot fall back " +
+          "to the V1 CDC source)")
     fmt.filterNot(_.equalsIgnoreCase("latest_state")).foreach { f =>
       throw new IllegalArgumentException(s"unknown incremental.format '$f'")
     }
@@ -2314,10 +2321,7 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
     availableNowTarget = Some(timelineLatest)
 
   override def getDefaultReadLimit: ReadLimit =
-    scan.streamCommitsPerBatch match {
-      case Some(n) if n > 0 => ReadLimit.maxFiles(n) // commits-as-files analog
-      case _ => ReadLimit.allAvailable()
-    }
+    CommitAdmission.toReadLimit(scan.streamCommitsPerBatch, scan.streamMaxBytesPerBatch)
 
   /** Admission-controlled batch end: with `stream.commits.per.batch` set,
     * each micro-batch advances at most N commit timestamps toward the
@@ -2340,8 +2344,11 @@ class GraftMicroBatchStream(scan: GraftScan, hudi: HudiTable)
     // later re-admitting commits the user asked to begin after.
     if (target <= s) return start
     val startOpt = if (s == earliest) None else Some(s)
-    CommitOffset(CommitAdmission.boundedEnd(t, startOpt, target,
-      scan.streamCommitsPerBatch, scan.streamMaxBytesPerBatch))
+    // honor the ENGINE-PASSED limit, not the configured caps: under
+    // Trigger.Once the engine overrides the default with allAvailable()
+    // and expects the whole backlog in one batch (KafkaSource's contract)
+    val (countCap, byteCap) = CommitAdmission.fromReadLimit(limit)
+    CommitOffset(CommitAdmission.boundedEnd(t, startOpt, target, countCap, byteCap))
   }
 
   override def reportLatestOffset(): Offset = CommitOffset(timelineLatest)

@@ -15,9 +15,13 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 object GraftSqlShim {
 
   /** Re-plan `batch` (any batch DataFrame — joins, unions, aggregates)
-    * as an `isStreaming = true` DataFrame over its physical RDD. Planning
-    * happens now, driver-side; execution stays lazy until the micro-batch
-    * sink runs the wrapped RDD.
+    * as an `isStreaming = true` DataFrame over its physical RDD. Note on
+    * eagerness: under AQE, `toRdd` reaches AdaptiveSparkPlanExec.execute,
+    * which submits and awaits the query's SHUFFLE stages right here on
+    * the calling (streaming driver) thread — so a CDC batch's join work
+    * largely runs during batch planning, with only the final stage
+    * executing when the sink pulls the RDD. Correctness is unaffected;
+    * it just shifts where trigger latency is accounted.
     */
   def asStreamingBatch(spark: SparkSession, batch: DataFrame): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

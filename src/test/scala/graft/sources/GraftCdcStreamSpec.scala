@@ -99,8 +99,9 @@ class GraftCdcStreamSpec extends SparkTestBase {
         extends org.apache.spark.sql.execution.streaming.Offset {
       override def json(): String = ts
     }
-    val lim = ReadLimit.allAvailable() // the source applies its own caps
     val src = new GraftCdcSource(spark, p, Map("stream.commits.per.batch" -> "1"))
+    // the engine normally passes the source's OWN default limit back
+    val lim = src.getDefaultReadLimit
     // SupportsAdmissionControl: the engine hands the TRUE start offset,
     // so pacing is position-correct from the first call — including after
     // a restart (the checkpointed offset arrives as `start`)
@@ -109,6 +110,10 @@ class GraftCdcStreamSpec extends SparkTestBase {
     assert(src.latestOffset(TestOffset(T2), lim).json() == T3)
     // drained: never regress past the tip
     assert(src.latestOffset(TestOffset(T3), lim).json() == T3)
+    // Trigger.Once override: the engine passes allAvailable() expecting
+    // the WHOLE backlog in one batch — the configured cap must stand down
+    // (re-capping would strand commits until the next manual run)
+    assert(src.latestOffset(src.initialOffset(), ReadLimit.allAvailable()).json() == T3)
     // the batch itself is a streaming frame of the CDC schema (content
     // equality with the batch feed is the drain tests' job — a streaming
     // frame cannot be collected outside a streaming query)
@@ -117,7 +122,8 @@ class GraftCdcStreamSpec extends SparkTestBase {
     assert(b1.schema.fieldNames.toSeq == Seq("op", "ts_ms", "before", "after"))
     // without a cap the tip is offered immediately
     val unbounded = new GraftCdcSource(spark, p, Map.empty)
-    assert(unbounded.latestOffset(unbounded.initialOffset(), lim).json() == T3)
+    assert(unbounded.latestOffset(
+      unbounded.initialOffset(), unbounded.getDefaultReadLimit).json() == T3)
     // stream.start.timestamp positions the initial offset
     val fromT1 = new GraftCdcSource(spark, p, Map("stream.start.timestamp" -> T1))
     assert(fromT1.initialOffset().json() == T1)
@@ -126,7 +132,7 @@ class GraftCdcStreamSpec extends SparkTestBase {
     // admits — progress guaranteed)
     val byteSrc = new GraftCdcSource(spark, p,
       Map("stream.max.bytes.per.batch" -> "1"))
-    assert(byteSrc.latestOffset(TestOffset(T1), lim).json() == T2,
+    assert(byteSrc.latestOffset(TestOffset(T1), byteSrc.getDefaultReadLimit).json() == T2,
       "an over-cap commit must still admit as its own batch")
   }
 
@@ -153,6 +159,38 @@ class GraftCdcStreamSpec extends SparkTestBase {
     val seq = batches.asScala.toSeq
     assert(seq == Seq(Set("i"), Set("u"), Set("d")),
       s"expected three homogeneous per-commit batches, got $seq")
+  }
+
+  test("the CATALOG routes refuse the cdc option loudly — never plain rows") {
+    // the catalog path builds GraftTable without the option map, so
+    // MICRO_BATCH_READ stays advertised and the DSv2 scan is chosen —
+    // the scan-level check must fire UNCONDITIONALLY (not just under
+    // query.type=incremental) or a catalog cdc stream would silently
+    // serve table-schema rows
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val p = HudiFixtureBuilder.morPath(sfDir)
+    spark.conf.set("spark.sql.catalog.hudi_graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    // catalog STREAMING route
+    val exStream = intercept[Exception] {
+      val q = spark.readStream
+        .option("hoodie.datasource.query.incremental.format", "cdc")
+        .table(s"hudi_graft.`$p`")
+        .writeStream.format("memory").queryName("graft_cdc_catalog_refuse")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(exStream).exists(_.contains("incremental.format=cdc")),
+      s"catalog cdc stream must refuse, got: ${messages(exStream)}")
+    // catalog BATCH route (no query.type set — previously silently ignored)
+    val exBatch = intercept[Exception] {
+      spark.read.option("incremental.format", "cdc")
+        .table(s"hudi_graft.`$p`").collect()
+    }
+    assert(messages(exBatch).exists(_.contains("incremental.format=cdc")),
+      s"catalog cdc batch must refuse, got: ${messages(exBatch)}")
   }
 
   test("the streamed schema is the CDC image schema") {
