@@ -379,6 +379,55 @@ class CdcReadSpec extends SparkTestBase {
     assert(snap == Seq(10, 11))
   }
 
+  test("a 200-commit CDC range PLANS without analyzer blowup (backfill replay)") {
+    // metadata-only table (no data files — planning never reads them):
+    // 200 fresh-group commits, one changes() call over the whole range.
+    // The per-commit diffs union through BalancedUnion, so the analyzed
+    // plan's depth stays logarithmic and the driver neither stack-
+    // overflows nor quadratically re-analyzes a left-deep chain. This is
+    // the end-to-end form of BalancedUnionSpec's bound.
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val base = new Path("/root/repo/target/hudi-fixtures/cdc_manycommits")
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(base, true)
+    fs.mkdirs(new Path(base, ".hoodie"))
+    def writeText(name: String, s: String): Unit = {
+      val out = fs.create(new Path(base, name), true)
+      out.write(s.getBytes("UTF-8")); out.close()
+    }
+    writeText(".hoodie/hoodie.properties",
+      """hoodie.table.name=cdc_manycommits
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=v
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val schema =
+      """{"type":"record","name":"r","fields":[{"name":"v","type":["long","null"]}]}"""
+        .replace("\"", "\\\"")
+    val nCommits = 200
+    for (i <- 1 to nCommits) {
+      val ts = f"20240101${i}%09d"
+      writeText(s".hoodie/$ts.commit",
+        s"""{"partitionToWriteStats":{"":[{"fileId":"g$i-0","path":"g$i.parquet","partitionPath":"","prevCommit":"null"}]},""" +
+          s""""extraMetadata":{"schema":"$schema"},"compacted":false,"operationType":"UPSERT"}""")
+    }
+    val t0 = System.nanoTime()
+    val feed = CdcRead.changes(spark, base.toString, None, None)
+    val analyzed = feed.queryExecution.analyzed // forces full analysis
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(analyzed != null && feed.schema.fieldNames.toSeq ==
+      Seq("op", "ts_ms", "before", "after"))
+    // depth bound: ceil(log2(200)) union levels over per-commit subtrees,
+    // nowhere near the 200-deep left chain the old reduce built
+    def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      if (p.children.isEmpty) 1 else 1 + p.children.map(depth).max
+    val d = depth(analyzed)
+    assert(d < 80, s"analyzed plan depth $d — the union tree must stay logarithmic")
+    assert(secs < 120, s"planning a 200-commit range took ${secs}s — pathological")
+  }
+
   test("a pure-clustering replacecommit is skipped: no logical change") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val p = HudiFixtureBuilder.clusteredPath(sfDir)
