@@ -253,6 +253,43 @@ object HudiQueries {
         |  FROM orders WHERE o_orderkey % 3 <> 0)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // --- Inferred CDC over a BASE-LESS log-only group: T2 births group 1
+    // as a LOG file (%3=1 inserts, no base — 'i' rows with NULL before
+    // images), T3 logs updates (%5=0 → 'U') and deletes (%11=0), where a
+    // same-commit equal-ordering delete does NOT win over the update so
+    // %55 keys stay updates — the delete-vs-update tiebreak under the
+    // oracle gate (previously unit-only) ------------------------------
+    "hudi_cdc_log_only" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        graft.sources.CdcRead.changes(s, HudiFixtureBuilder.morLogOnlyPath(d),
+          Some(HudiFixtureBuilder.T1), Some(HudiFixtureBuilder.T3))
+          .select(col("op"), col("ts_ms"),
+            coalesce(col("after.o_orderkey"), col("before.o_orderkey")).as("o_orderkey"),
+            col("before.o_orderstatus").as("before_status"),
+            col("after.o_orderstatus").as("after_status"))
+          .orderBy("op", "o_orderkey")
+      },
+      """SELECT op, ts_ms, o_orderkey, before_status, after_status FROM (
+        |  SELECT 'i' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-02 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey, CAST(NULL AS VARCHAR) AS before_status,
+        |    o_orderstatus AS after_status
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT 'u' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-03 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey, o_orderstatus AS before_status, 'U' AS after_status
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT 'd' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-03 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey, o_orderstatus AS before_status,
+        |    CAST(NULL AS VARCHAR) AS after_status
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 11 = 0
+        |    AND o_orderkey % 5 <> 0)
+        |ORDER BY op, o_orderkey""".stripMargin),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(
