@@ -72,9 +72,16 @@ class HudiDataSource extends TableProvider with DataSourceRegister
       throw new IllegalArgumentException("hudi-graft requires a path"))
     val t = HudiTable(sqlContext.sparkSession, path,
       GraftCdcSource.stripSelectors(parameters))
-    val s =
-      if (GraftCdcSource.cdcRequested(parameters)) CdcRead.cdcSchema(t)
-      else t.tableSchema
+    val cdc = GraftCdcSource.cdcRequested(parameters)
+    val s = if (cdc) CdcRead.cdcSchema(t) else t.tableSchema
+    // a user-specified readStream.schema(...) cannot re-shape this source
+    // — silently serving OUR schema under THEIR declaration would be the
+    // different-columns-no-error trap; refuse on mismatch
+    schema.filter(_ != s).foreach { u =>
+      throw new IllegalArgumentException(
+        s"user-specified schema does not match the ${if (cdc) "CDC image" else "table"} " +
+          s"schema this source serves; omit .schema(...) — declared: $u, served: $s")
+    }
     (shortName(), s)
   }
 

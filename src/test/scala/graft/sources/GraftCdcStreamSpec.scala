@@ -193,6 +193,20 @@ class GraftCdcStreamSpec extends SparkTestBase {
       s"catalog cdc batch must refuse, got: ${messages(exBatch)}")
   }
 
+  test("a user-specified schema on the V1 path refuses on mismatch") {
+    HudiFixtureBuilder.ensure(spark, sfDir)
+    val p = HudiFixtureBuilder.morPath(sfDir)
+    val ex = intercept[Exception] {
+      spark.readStream.format("hudi-graft")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "not_a_cdc_column", org.apache.spark.sql.types.StringType))))
+        .option("incremental.format", "cdc")
+        .load(p)
+    }
+    assert(ex.getMessage.contains("does not match"), ex.getMessage)
+  }
+
   test("the streamed schema is the CDC image schema") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val p = HudiFixtureBuilder.morPath(sfDir)
