@@ -17,6 +17,23 @@ class CdcReadSpec extends SparkTestBase {
 
   private def orders() = spark.read.parquet(s"$sfDir/orders.parquet")
 
+  /** Fresh metadata-only fixture dir under target/hudi-fixtures plus a
+    * text writer bound to it — the shared scaffolding of the refusal and
+    * planning tests.
+    */
+  private def freshMetaTable(name: String): (org.apache.hadoop.fs.Path,
+      org.apache.hadoop.fs.FileSystem, (String, String) => Unit) = {
+    val base = new org.apache.hadoop.fs.Path(s"/root/repo/target/hudi-fixtures/$name")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(base, true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".hoodie"))
+    val writeText = (n: String, body: String) => {
+      val out = fs.create(new org.apache.hadoop.fs.Path(base, n), true)
+      out.write(body.getBytes("UTF-8")); out.close()
+    }
+    (base, fs, writeText)
+  }
+
   test("COW rewrite commit infers exactly the updated rows as 'u'") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val cdc = CdcRead.changes(spark, HudiFixtureBuilder.cowPath(sfDir), Some(T1), Some(T2))
@@ -316,14 +333,7 @@ class CdcReadSpec extends SparkTestBase {
     // group's keys are untouched
     import org.apache.hadoop.fs.{FileSystem, Path}
     import org.apache.spark.sql.types._
-    val base = new Path("/root/repo/target/hudi-fixtures/cdc_delpart")
-    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    fs.delete(base, true)
-    fs.mkdirs(new Path(base, ".hoodie"))
-    def writeText(name: String, s: String): Unit = {
-      val out = fs.create(new Path(base, name), true)
-      out.write(s.getBytes("UTF-8")); out.close()
-    }
+    val (base, fs, writeText) = freshMetaTable("cdc_delpart")
     writeText(".hoodie/hoodie.properties",
       """hoodie.table.name=cdc_delpart
         |hoodie.table.type=COPY_ON_WRITE
@@ -387,14 +397,7 @@ class CdcReadSpec extends SparkTestBase {
     // overflows nor quadratically re-analyzes a left-deep chain. This is
     // the end-to-end form of BalancedUnionSpec's bound.
     import org.apache.hadoop.fs.{FileSystem, Path}
-    val base = new Path("/root/repo/target/hudi-fixtures/cdc_manycommits")
-    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    fs.delete(base, true)
-    fs.mkdirs(new Path(base, ".hoodie"))
-    def writeText(name: String, s: String): Unit = {
-      val out = fs.create(new Path(base, name), true)
-      out.write(s.getBytes("UTF-8")); out.close()
-    }
+    val (base, fs, writeText) = freshMetaTable("cdc_manycommits")
     writeText(".hoodie/hoodie.properties",
       """hoodie.table.name=cdc_manycommits
         |hoodie.table.type=COPY_ON_WRITE
@@ -448,14 +451,7 @@ class CdcReadSpec extends SparkTestBase {
     // no T1 base file for f0 exists on disk (the cleaner took it) — the
     // before-image of the overwrite's logical deletes is unresolvable,
     // so changes() must refuse at PLANNING, before any data read
-    val base = new org.apache.hadoop.fs.Path("/root/repo/target/hudi-fixtures/cdc_iow")
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-    fs.delete(base, true)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".hoodie"))
-    def writeText(name: String, s: String): Unit = {
-      val out = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
-      out.write(s.getBytes("UTF-8")); out.close()
-    }
+    val (base, fs, writeText) = freshMetaTable("cdc_iow")
     writeText(".hoodie/hoodie.properties",
       """hoodie.table.name=cdc_iow
         |hoodie.table.type=COPY_ON_WRITE
@@ -482,14 +478,7 @@ class CdcReadSpec extends SparkTestBase {
     // corrupt/unknown-writer metadata: treating a field-less non-clustering
     // replacecommit as replacing nothing would silently drop its logical
     // deletes — must refuse at planning
-    val base = new org.apache.hadoop.fs.Path("/root/repo/target/hudi-fixtures/cdc_norep")
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-    fs.delete(base, true)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".hoodie"))
-    def writeText(name: String, s: String): Unit = {
-      val out = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
-      out.write(s.getBytes("UTF-8")); out.close()
-    }
+    val (base, fs, writeText) = freshMetaTable("cdc_norep")
     writeText(".hoodie/hoodie.properties",
       """hoodie.table.name=cdc_norep
         |hoodie.table.type=COPY_ON_WRITE
@@ -516,14 +505,7 @@ class CdcReadSpec extends SparkTestBase {
     // prevCommit=T1 recorded — but no T1 file survives on disk (the
     // cleaner took it), so the before image is unresolvable and the diff
     // would misreport T2's updates as inserts. Must refuse at planning.
-    val base = new org.apache.hadoop.fs.Path("/root/repo/target/hudi-fixtures/cdc_cleaned")
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-    fs.delete(base, true)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".hoodie"))
-    def writeText(name: String, s: String): Unit = {
-      val out = fs.create(new org.apache.hadoop.fs.Path(base, name), true)
-      out.write(s.getBytes("UTF-8")); out.close()
-    }
+    val (base, fs, writeText) = freshMetaTable("cdc_cleaned")
     writeText(".hoodie/hoodie.properties",
       """hoodie.table.name=cdc_cleaned
         |hoodie.table.type=COPY_ON_WRITE
