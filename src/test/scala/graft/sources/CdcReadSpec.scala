@@ -431,6 +431,82 @@ class CdcReadSpec extends SparkTestBase {
     assert(secs < 120, s"planning a 200-commit range took ${secs}s — pathological")
   }
 
+  test("CHAINED insert-overwrites: each diff resolves against the previous overwrite") {
+    // the daily-backfill pattern — a partition overwritten at T2 and
+    // AGAIN at T3: T3's before-image must be T2's NEW group (not T1's
+    // original), so per-commit predecessor resolution works when the
+    // replaced groups are themselves a previous replace's output
+    import org.apache.spark.sql.types._
+    val (base, fs, writeText) = freshMetaTable("cdc_chained_ow")
+    writeText(".hoodie/hoodie.properties",
+      """hoodie.table.name=cdc_chained_ow
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=id
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val fileSchema = StructType(Seq(
+      StructField("_hoodie_commit_time", StringType),
+      StructField("_hoodie_commit_seqno", StringType),
+      StructField("_hoodie_record_key", StringType),
+      StructField("_hoodie_partition_path", StringType),
+      StructField("_hoodie_file_name", StringType),
+      StructField("id", IntegerType), StructField("v", StringType)))
+    def writeGroup(fid: String, ts: String, rowsSpec: Seq[(Int, String)]): String = {
+      val name = s"${fid}_0-0-0_$ts.parquet"
+      val rows = rowsSpec.map { case (i, v) =>
+        org.apache.spark.sql.Row(ts, s"${ts}_0_$i", i.toString, "", name, i, v)
+      }
+      val df = spark.createDataFrame(java.util.List.of(rows: _*), fileSchema)
+      val tmp = new org.apache.hadoop.fs.Path(base, s".tmp_$fid")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(base, name)); fs.delete(tmp, true)
+      name
+    }
+    val avro = graft.log.SparkToAvro.toAvroSchema(
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))), "r").toString
+    val esc = avro.replace("\\", "\\\\").replace("\"", "\\\"")
+    val n0 = writeGroup("f0-0000", T1, Seq(1 -> "A", 2 -> "A", 3 -> "A", 4 -> "A"))
+    writeText(s".hoodie/$T1.commit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f0-0000","path":"$n0","partitionPath":""}]},""" +
+        s""""extraMetadata":{"schema":"$esc"},"compacted":false,"operationType":"UPSERT"}""")
+    val n1 = writeGroup("f1-0000", T2, Seq(1 -> "B", 2 -> "B", 3 -> "B")) // key 4 dropped
+    writeText(s".hoodie/$T2.replacecommit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f1-0000","path":"$n1","partitionPath":"","prevCommit":"null"}]},""" +
+        s""""partitionToReplaceFileIds":{"":["f0-0000"]},""" +
+        """"compacted":false,"operationType":"INSERT_OVERWRITE"}""")
+    val n2 = writeGroup("f2-0000", T3, Seq(1 -> "C", 2 -> "C", 5 -> "C")) // key 3 dropped, 5 born
+    writeText(s".hoodie/$T3.replacecommit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f2-0000","path":"$n2","partitionPath":"","prevCommit":"null"}]},""" +
+        s""""partitionToReplaceFileIds":{"":["f1-0000"]},""" +
+        """"compacted":false,"operationType":"INSERT_OVERWRITE"}""")
+
+    val cdc = CdcRead.changes(spark, base.toString, Some(T1), Some(T3))
+      .select(col("op"), col("ts_ms"),
+        coalesce(col("after.id"), col("before.id")).as("id"),
+        col("before.v").as("bv"), col("after.v").as("av"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSet
+    val t2ms = Timestamps.timelineToEpochMillis(T2).toString
+    val t3ms = Timestamps.timelineToEpochMillis(T3).toString
+    val expected = Set(
+      ("u", t2ms, 1, Some("A"), Some("B")),
+      ("u", t2ms, 2, Some("A"), Some("B")),
+      ("u", t2ms, 3, Some("A"), Some("B")),
+      ("d", t2ms, 4, Some("A"), None),
+      // T3's before-images are T2's 'B' state — an implementation that
+      // resolved against T1 would read 'A' here and hash-differ
+      ("u", t3ms, 1, Some("B"), Some("C")),
+      ("u", t3ms, 2, Some("B"), Some("C")),
+      ("d", t3ms, 3, Some("B"), None),
+      ("i", t3ms, 5, None, Some("C")))
+    assert(cdc == expected,
+      s"cdc-only=${(cdc -- expected).toSeq.sortBy(_._3)} missing=${(expected -- cdc).toSeq.sortBy(_._3)}")
+  }
+
   test("a pure-clustering replacecommit is skipped: no logical change") {
     HudiFixtureBuilder.ensure(spark, sfDir)
     val p = HudiFixtureBuilder.clusteredPath(sfDir)
