@@ -327,6 +327,34 @@ class LanceWriterSpec extends SparkTestBase {
     assert(lim.length == 3)
   }
 
+  test("the hudi-graft STREAM serves Lance MOR tables (S7 x S4)") {
+    // readStream over a Lance-based MOR table: the micro-batch machinery
+    // plans the same slices and the per-slice merge rides the Lance
+    // reader — one AvailableNow batch is the merged incremental state
+    // (deletes applied), which must equal the batch snapshot exactly
+    import org.apache.spark.sql.functions._
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val p = graft.fixtures.HudiFixtureBuilder.morLancePath(sfDir)
+    val sink = "graft_lance_stream_sink"
+    spark.catalog.dropTempView(sink)
+    val q = spark.readStream.format("hudi-graft").load(p)
+      .select("n_nationkey", "n_name", "score")
+      .writeStream.outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .queryName(sink).start()
+    try q.awaitTermination() finally q.stop()
+    def flat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    val streamed = flat(spark.table(sink))
+    val snap = flat(spark.read.format("hudi-graft").load(p)
+      .select("n_nationkey", "n_name", "score"))
+    assert(streamed == snap && streamed.nonEmpty,
+      s"stream-only=${(streamed -- snap).take(3)} snap-only=${(snap -- streamed).take(3)}")
+    // the merge really ran: '-v2' updates present, %7=3 deletes absent
+    assert(streamed.exists(_._2.endsWith("-v2")))
+    assert(!streamed.exists(_._1 % 7 == 3))
+  }
+
   test("the built lance fixture table reads through the full engine") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
     val t = graft.table.HudiTable(spark, graft.fixtures.HudiFixtureBuilder.lancePath(sfDir))
