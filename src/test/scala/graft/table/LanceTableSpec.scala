@@ -32,6 +32,44 @@ class LanceTableSpec extends SparkTestBase {
     assert(rows.contains(("rider-L", 62.30, 1695800000004L, "chennai")))
   }
 
+  test("v9 lance txns tables (nonpart + partitioned): the reference's own row set") {
+    // the reference's assert_lance_txn_table_rows (table_read_tests.rs:
+    // 2414-2449): 14 surviving TXN ids after updates/deletes/inserts,
+    // TXN-002/005 deleted, TXN-001 updated to 'reversal', exact ts
+    // checks — and for the partitioned variant, the region values
+    def checkTxns(zip: String, name: String, dir: String, partitioned: Boolean): Boolean = {
+      Fixtures.table(zip, name, dir).map { p =>
+        val t = HudiTable(spark, p)
+        assert(t.isLance)
+        val cols = if (partitioned) Seq("txn_id", "txn_type", "txn_ts", "region")
+                   else Seq("txn_id", "txn_type", "txn_ts")
+        val rows = t.snapshot().select(cols.head, cols.tail: _*).collect()
+          .map(r => r.getString(0) ->
+            (r.getString(1), r.getLong(2), if (partitioned) r.getString(3) else null))
+          .toMap
+        assert(rows.keySet == Set(
+          "TXN-001", "TXN-003", "TXN-004", "TXN-006", "TXN-007", "TXN-008", "TXN-009",
+          "TXN-010", "TXN-011", "TXN-012", "TXN-013", "TXN-014", "TXN-015", "TXN-016"),
+          s"$name surviving ids: ${rows.keySet.toSeq.sorted}")
+        assert(!rows.contains("TXN-002") && !rows.contains("TXN-005"))
+        assert(rows("TXN-001")._1 == "reversal" && rows("TXN-001")._2 == 1700100000001L)
+        assert(rows("TXN-007")._2 == 1700300000007L)
+        assert(rows("TXN-016")._1 == "debit")
+        if (partitioned) {
+          assert(rows("TXN-001")._3 == "us" && rows("TXN-004")._3 == "eu")
+          assert(rows("TXN-007")._3 == "apac" && rows("TXN-016")._3 == "apac")
+        }
+        true
+      }.getOrElse(false)
+    }
+    val ran =
+      checkTxns("sample_table/cow/v9_lance_txns_nonpart.zip",
+        "v9_lance_txns_nonpart", "lance_txns_nonpart", partitioned = false) |
+      checkTxns("sample_table/cow/v9_lance_txns_simple.zip",
+        "v9_lance_txns_simple", "lance_txns_simple_full", partitioned = true)
+    assume(ran)
+  }
+
   test("cow trips partition pruning plans only the filtered city") {
     assume(tripsCow.isDefined)
     val t = HudiTable(spark, tripsCow.get)
