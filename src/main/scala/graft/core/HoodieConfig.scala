@@ -139,6 +139,21 @@ final case class HoodieConfig(props: Map[String, String]) {
   def isPartitionAmbiguousValue(v: String): Boolean =
     v == "default" && tableVersion >= 4
 
+  /** Whether the writer persists supplemental CDC data
+    * (`hoodie.table.cdc.enabled`) — change images in `-cdc` sidecar log
+    * files referenced from write stats' `cdcStats`.
+    */
+  def cdcEnabled: Boolean = getOrElse(CdcEnabled, "false").toBoolean
+
+  /** CDC supplemental logging mode (`op_key_only` | `data_before` |
+    * `data_before_after`). Only `data_before_after` carries full
+    * before/after images; the other modes cannot serve an image feed by
+    * themselves, so readers fall back to inference for them. Upstream's
+    * table-config default is `op_key_only`.
+    */
+  def cdcSupplementalLoggingMode: String =
+    getOrElse(CdcLoggingMode, "op_key_only").toLowerCase(java.util.Locale.ROOT)
+
   /** Merge strategy with the reference's defaulting rules
     * (config/table.rs:318-340): APPEND_ONLY when meta fields are not
     * populated or no ordering field, else OVERWRITE_WITH_LATEST.
@@ -167,6 +182,8 @@ object HoodieConfig {
   val DropsPartitionFields = "hoodie.datasource.write.drop.partition.columns"
   val RecordMergeStrategy = "hoodie.table.record.merge.strategy"
   val KeyGeneratorClass = "hoodie.table.keygenerator.class"
+  val CdcEnabled = "hoodie.table.cdc.enabled"
+  val CdcLoggingMode = "hoodie.table.cdc.supplemental.logging.mode"
 
   /** Load `<base>/.hoodie/hoodie.properties` — java.util.Properties
     * format, including its escape rules (Hudi writes `\:` inside the

@@ -245,7 +245,17 @@ final class Timeline(
     * cleaner has since removed is how an inferred per-commit diff goes
     * silently wrong — this is the metadata that lets callers detect it.
     */
-  def touchedGroupsPreExisting(instant: HoodieInstant): Map[String, Boolean] = {
+  def touchedGroupsPreExisting(instant: HoodieInstant): Map[String, Boolean] =
+    touchedGroupsPrevCommit(instant).view.mapValues(_.isDefined).toMap
+
+  /** fileId → the recorded `prevCommit` instant when the group
+    * PRE-EXISTED this write (None = fresh group, Hudi's literal "null"
+    * sentinel). The VALUE matters, not just its presence: it names the
+    * exact slice version the write built on, which is what lets a
+    * before-image read verify it is seeing that version and not an older
+    * savepoint-retained one the cleaner left behind.
+    */
+  def touchedGroupsPrevCommit(instant: HoodieInstant): Map[String, Option[String]] = {
     val md = commitMetadata(instant)
     val stats = md.path("partitionToWriteStats")
     if (stats.isMissingNode || !stats.isObject) Map.empty
@@ -253,9 +263,30 @@ final class Timeline(
       stats.properties().asScala.flatMap(_.getValue.elements().asScala).flatMap { ws =>
         Option(ws.path("fileId").asText(null)).filter(_.nonEmpty).map { fid =>
           val prev = ws.path("prevCommit").asText("null")
-          fid -> (prev != null && prev.nonEmpty && !prev.equalsIgnoreCase("null"))
+          fid -> Option(prev).filter(p => p.nonEmpty && !p.equalsIgnoreCase("null"))
         }
-      }.toSeq.groupMapReduce(_._1)(_._2)(_ || _)
+      }.toSeq.groupMapReduce(_._1)(_._2)((a, b) => if (a.isDefined) a else b)
+  }
+
+  /** fileId → base-path-relative CDC sidecar files written by this
+    * instant, from each write stat's `cdcStats` map (upstream
+    * HoodieWriteStat.cdcStats; path → bytes — written only when
+    * `hoodie.table.cdc.enabled=true`). A group appearing here has its
+    * exact change images persisted, so a CDC read can serve it with IO
+    * proportional to the cdc bytes instead of inferring from two
+    * snapshot reads. Empty for instants without supplemental logging.
+    */
+  def cdcFiles(instant: HoodieInstant): Map[String, Seq[String]] = {
+    val md = commitMetadata(instant)
+    val stats = md.path("partitionToWriteStats")
+    if (stats.isMissingNode || !stats.isObject) Map.empty
+    else
+      stats.properties().asScala.flatMap(_.getValue.elements().asScala).flatMap { ws =>
+        val fid = ws.path("fileId").asText("")
+        val cdc = ws.path("cdcStats")
+        if (fid.isEmpty || !cdc.isObject || cdc.isEmpty) None
+        else Some(fid -> cdc.properties().asScala.map(_.getKey).toSeq)
+      }.toSeq.groupMapReduce(_._1)(_._2)(_ ++ _)
   }
 
   /** File groups replaced (clustering / insert-overwrite) as of `ts` —

@@ -27,6 +27,7 @@ object HudiFixtureBuilder {
   val T1 = "20240101000000000"
   val T2 = "20240102000000000"
   val T3 = "20240103000000000"
+  val T4 = "20240104000000000"
   val Token = "0-0-0"
 
   private val meta = Seq("_hoodie_commit_time", "_hoodie_commit_seqno",
@@ -64,6 +65,7 @@ object HudiFixtureBuilder {
   def mdtPath(sfDir: String): String = s"${root(sfDir)}/cow_mdt_nation"
   def clusteredPath(sfDir: String): String = s"${root(sfDir)}/cow_clustered"
   def overwritePath(sfDir: String): String = s"${root(sfDir)}/cow_overwrite"
+  def cdcPath(sfDir: String): String = s"${root(sfDir)}/cow_cdc_orders"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
@@ -80,7 +82,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v29")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v30")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -149,6 +151,7 @@ object HudiFixtureBuilder {
           buildMorLogOnly(spark, sfDir); own()
           buildCowClustered(spark, sfDir); own()
           buildCowOverwrite(spark, sfDir); own()
+          buildCowCdcOrders(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
           buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
@@ -575,6 +578,121 @@ object HudiFixtureBuilder {
       s"""{"partitionToWriteStats":{"":[{"fileId":"${fileId(9)}","path":"$oname","partitionPath":"","prevCommit":"null"}]},""" +
         s""""partitionToReplaceFileIds":{"":["${fileId(0)}","${fileId(1)}"]},""" +
         """"compacted":false,"operationType":"INSERT_OVERWRITE"}""")
+  }
+
+  // --- COW, non-partitioned, with PERSISTED CDC sidecar log files --------
+  // hoodie.table.cdc.enabled=true + supplemental logging data_before_after.
+  // T1 inserts TWO file groups by key parity with NO sidecars (fresh
+  // groups are upstream's add-base-file case — CDC readers serve them
+  // one-sided). T2 COW-rewrites both groups: %97 keys DELETED, surviving
+  // %7 keys restatused 'U' — one `-cdc` sidecar per group holding the
+  // exact before/after images, write stats carrying prevCommit=T1 and
+  // cdcStats. T3 rewrites again: surviving %5 keys → 'W' (before images
+  // reflect the T2 state, 'U' on %7∩%5 keys). T4 CLEANS the T1 base
+  // files (clean instant + file removal): the T2 before state is gone,
+  // so the INFERENCE path must refuse (T1, T2] while the sidecar path
+  // still serves it — the cleaner-horizon shrink persisted CDC buys.
+  private def buildCowCdcOrders(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val base = new Path(cdcPath(sfDir))
+    fs.mkdirs(new Path(base, ".hoodie"))
+    writeProperties(fs, base, "cow_cdc_orders", "COPY_ON_WRITE", None, hiveStyle = false,
+      extraProps = "hoodie.table.cdc.enabled=true\n" +
+        "hoodie.table.cdc.supplemental.logging.mode=data_before_after\n")
+    val src0 = orders(spark, sfDir)
+    val dataSchema = src0.schema
+    val dataAvro = Some(SparkToAvro.toAvroSchema(dataSchema, "orders_record").toString)
+    val cdcAvro = SparkToAvro.cdcAvroSchema(dataSchema, "orders_record")
+    val src = src0.withColumn("__part", lit(""))
+    def grp(df: DataFrame, g: Int): DataFrame =
+      df.filter(pmod(col("o_orderkey"), lit(2)) === g)
+    val statusIdx = dataSchema.fieldIndex("o_orderstatus")
+    def restatus(r: org.apache.spark.sql.Row, st: String): org.apache.spark.sql.Row =
+      org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(statusIdx, st))
+    def tsMs(ts: String): String = graft.core.Timestamps.timelineToEpochMillis(ts).toString
+
+    /** One sidecar per (group, commit): upstream's `-cdc` log-file name
+      * (CDC_LOGFILE_SUFFIX on the write token) with one CdcData block.
+      * Returns (relPath, bytes) for the write stat's cdcStats.
+      */
+    def writeCdc(g: Int, ts: String,
+        recs: Seq[org.apache.avro.generic.GenericRecord]): (String, Long) = {
+      val name = s".${fileId(g)}_$ts.log.1_$Token-cdc"
+      val out = new DataOutputStream(fs.create(new Path(base, name), true))
+      try LogFileWriter.cdcDataBlock(out, ts, cdcAvro, recs) finally out.close()
+      (name, fs.getFileStatus(new Path(base, name)).getLen)
+    }
+
+    /** v6 JSON commit with per-stat prevCommit + cdcStats. */
+    def writeCdcCommit(ts: String,
+        entries: Seq[(String, String, String, (String, Long))]): Unit = {
+      val stats = entries.map { case (fid, rel, prevCommit, (cdcRel, cdcLen)) =>
+        s"""{"fileId":"$fid","path":"$rel","partitionPath":"","prevCommit":"$prevCommit",""" +
+          s""""cdcStats":{"$cdcRel":$cdcLen}}"""
+      }.mkString("[", ",", "]")
+      val esc = dataAvro.get.replace("\\", "\\\\").replace("\"", "\\\"")
+      writeText(fs, new Path(base, s".hoodie/$ts.commit"),
+        s"""{"partitionToWriteStats":{"":$stats},"extraMetadata":{"schema":"$esc"},""" +
+          """"compacted":false,"operationType":"UPSERT"}""")
+    }
+
+    // T1: inserts, no sidecars
+    val files1 = (0 until 2).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T1.parquet"
+      writeBaseFile(spark,
+        withMeta(grp(src, g).withColumn("__commit", lit(T1)), "__part", lit(name)), base, name)
+      ("", fileId(g), name)
+    }
+    writeCommit(fs, base, T1, "commit", files1, dataAvro)
+
+    // T2: rewrite — %97 deleted, surviving %7 → 'U'
+    val st2 = src.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("__upd", col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", when(col("__upd"), lit("U")).otherwise(col("o_orderstatus")))
+      .withColumn("__commit", when(col("__upd"), lit(T2)).otherwise(lit(T1)))
+      .drop("__upd")
+    val entries2 = (0 until 2).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T2.parquet"
+      writeBaseFile(spark, withMeta(grp(st2, g), "__part", lit(name)), base, name)
+      val dels = grp(src0, g).filter(col("o_orderkey") % 97 === 0)
+        .collect().toSeq.sortBy(_.getLong(0))
+        .map(r => SparkToAvro.cdcRecord(cdcAvro, dataSchema, "d", tsMs(T2), Some(r), None))
+      val upds = grp(src0, g)
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 97 =!= 0)
+        .collect().toSeq.sortBy(_.getLong(0))
+        .map(r => SparkToAvro.cdcRecord(cdcAvro, dataSchema, "u", tsMs(T2),
+          Some(r), Some(restatus(r, "U"))))
+      (fileId(g), name, T1, writeCdc(g, T2, dels ++ upds))
+    }
+    writeCdcCommit(T2, entries2)
+
+    // T3: rewrite — surviving %5 → 'W' (before = T2 state)
+    val st3 = st2
+      .withColumn("__u3", col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", when(col("__u3"), lit("W")).otherwise(col("o_orderstatus")))
+      .withColumn("__commit", when(col("__u3"), lit(T3)).otherwise(col("__commit")))
+      .drop("__u3")
+    val entries3 = (0 until 2).map { g =>
+      val name = s"${fileId(g)}_${Token}_$T3.parquet"
+      writeBaseFile(spark, withMeta(grp(st3, g), "__part", lit(name)), base, name)
+      val upds = grp(src0, g)
+        .filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 97 =!= 0)
+        .collect().toSeq.sortBy(_.getLong(0))
+        .map { r =>
+          val before = if (r.getLong(0) % 7 == 0) restatus(r, "U") else r
+          SparkToAvro.cdcRecord(cdcAvro, dataSchema, "u", tsMs(T3),
+            Some(before), Some(restatus(r, "W")))
+        }
+      (fileId(g), name, T2, writeCdc(g, T3, upds))
+    }
+    writeCdcCommit(T3, entries3)
+
+    // T4: clean the T1 base files — the T2 before state is now gone
+    (0 until 2).foreach { g =>
+      fs.delete(new Path(base, s"${fileId(g)}_${Token}_$T1.parquet"), false)
+    }
+    writeText(fs, new Path(base, s".hoodie/$T4.clean"),
+      s"""{"startCleanTime":"$T4","earliestCommitToRetain":"$T2"}""")
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

@@ -60,8 +60,20 @@ final case class LogFile(
 }
 
 object LogFile {
+  /** Suffix marking a CDC SIDECAR log file (upstream Hudi's
+    * `HoodieCDCUtils.CDC_LOGFILE_SUFFIX`, written when
+    * `hoodie.table.cdc.enabled=true`): `.fid_ts.log.1_0-0-0-cdc`. These
+    * hold change images, NOT table data — merging them into file slices
+    * would double-apply every change, so [[parse]] rejects them and the
+    * data model never sees them (the reference skips them the same way,
+    * listing.rs:143). CDC reads locate them via commit metadata
+    * `cdcStats`, never by listing.
+    */
+  val CdcSuffix = "-cdc"
+
   def parse(name: String, path: String, size: Long): Option[LogFile] = {
     if (!name.startsWith(".")) return None
+    if (name.endsWith(CdcSuffix)) return None
     val stripped = name.substring(1)
     val us = stripped.indexOf('_')
     if (us <= 0) return None

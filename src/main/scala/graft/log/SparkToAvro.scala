@@ -55,6 +55,42 @@ object SparkToAvro {
     AvroSchema.createRecord(recordName, null, "graft.fixtures", false, fields.toList.asJava)
   }
 
+  /** Upstream's CDC record schema for supplemental logging mode
+    * `data_before_after` (HoodieCDCUtils.schemaBySupplementalLoggingMode):
+    * `op` and `ts_ms` strings plus nullable `before`/`after` images of
+    * the DATA record — both unions reference the SAME named record, which
+    * Avro renders as a name reference on the second occurrence.
+    */
+  def cdcAvroSchema(dataSchema: StructType, recordName: String): AvroSchema = {
+    val dataRec = toAvroSchema(dataSchema, recordName)
+    val str = AvroSchema.create(AvroSchema.Type.STRING)
+    val nullRec = () =>
+      AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL), dataRec)
+    val fields = List(
+      new AvroSchema.Field("op", str, null, null.asInstanceOf[Object]),
+      new AvroSchema.Field("ts_ms", str, null, null.asInstanceOf[Object]),
+      new AvroSchema.Field("before", nullRec(), null, AvroSchema.Field.NULL_DEFAULT_VALUE),
+      new AvroSchema.Field("after", nullRec(), null, AvroSchema.Field.NULL_DEFAULT_VALUE))
+    AvroSchema.createRecord(s"${recordName}_cdc", null, "graft.fixtures", false, fields.asJava)
+  }
+
+  /** One CDC image record for [[cdcAvroSchema]]'s shape. */
+  def cdcRecord(
+      cdcAvro: AvroSchema,
+      dataSchema: StructType,
+      op: String,
+      tsMs: String,
+      before: Option[Row],
+      after: Option[Row]): GenericRecord = {
+    val dataRec = cdcAvro.getField("before").schema().getTypes.get(1)
+    val rec = new GenericData.Record(cdcAvro)
+    rec.put("op", op)
+    rec.put("ts_ms", tsMs)
+    rec.put("before", before.map(toRecord(_, dataSchema, dataRec)).orNull)
+    rec.put("after", after.map(toRecord(_, dataSchema, dataRec)).orNull)
+    rec
+  }
+
   def toRecord(row: Row, schema: StructType, avro: AvroSchema): GenericRecord = {
     val rec = new GenericData.Record(avro)
     schema.fields.zipWithIndex.foreach { case (f, i) =>

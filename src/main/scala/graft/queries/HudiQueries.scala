@@ -290,6 +290,44 @@ object HudiQueries {
         |    AND o_orderkey % 5 <> 0)
         |ORDER BY op, o_orderkey""".stripMargin),
 
+    // --- PERSISTED CDC: the (T1, T3] feed decodes the writer's `-cdc`
+    // sidecar blocks (hoodie.table.cdc.enabled, data_before_after) — NOT
+    // snapshot-diff joins. The fixture's T4 clean removed the T1 base
+    // files, so the T2 diff is UNSERVABLE by inference (its before state
+    // is gone — the inference path provably refuses this exact range, a
+    // spec pins it); a green hash here means the block path alone
+    // produced the exact images ------------------------------------------
+    "hudi_cdc_persisted" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        graft.sources.CdcRead.changes(s, HudiFixtureBuilder.cdcPath(d),
+          Some(HudiFixtureBuilder.T1), Some(HudiFixtureBuilder.T3))
+          .select(col("op"), col("ts_ms"),
+            coalesce(col("before.o_orderkey"), col("after.o_orderkey")).as("o_orderkey"),
+            col("before.o_orderstatus").as("before_status"),
+            col("after.o_orderstatus").as("after_status"))
+          .orderBy("ts_ms", "op", "o_orderkey")
+      },
+      """SELECT op, ts_ms, o_orderkey, before_status, after_status FROM (
+        |  SELECT 'd' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-02 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey, o_orderstatus AS before_status,
+        |    CAST(NULL AS VARCHAR) AS after_status
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT 'u' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-02 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey, o_orderstatus AS before_status, 'U' AS after_status
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT 'u' AS op,
+        |    CAST(epoch_ms(TIMESTAMP '2024-01-03 00:00:00') AS VARCHAR) AS ts_ms,
+        |    o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS before_status,
+        |    'W' AS after_status
+        |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 97 <> 0)
+        |ORDER BY ts_ms, op, o_orderkey""".stripMargin),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(

@@ -2,23 +2,56 @@ package graft.sources
 
 import graft.core.{MetaField, Timestamps}
 import graft.core.HoodieInstant
+import graft.log.{InstantRange, LogFileParser, LogFormat, RowAlign}
 import graft.table.{HudiTable, LogScan}
+import graft.util.SerializableConf
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 
-/** Inferred change-data-capture over a Hudi table: upstream Spark-Hudi's
-  * `cdc` incremental format — one `(op, ts_ms, before, after)` row per
-  * record CHANGED by each commit in `(start, end]`, with full before/after
-  * images — computed by per-commit file-group diffs instead of decoded
-  * writer CDC blocks (reference parity: the reference reads CDC log blocks
-  * when `hoodie.table.cdc.enabled` writers produce them, log/mod.rs — but
-  * most tables don't enable supplemental logging, and Hudi itself INFERS
-  * images from before/after file slices in that case; this implements the
-  * inference).
+/** Serving counters for [[CdcRead]], by per-commit strategy — what lets a
+  * spec assert that a table with persisted CDC blocks was served with
+  * ZERO snapshot-diff joins (the whole point of supplemental logging).
+  * JVM-global like the other counter-asserted caches (IndexIoCache).
+  */
+object CdcMetrics {
+  /** Commits served by decoding persisted `-cdc` sidecar blocks. */
+  val persistedCommits = new java.util.concurrent.atomic.AtomicLong
+  /** Commits served by the two-snapshot-reads + full-outer-join inference. */
+  val inferredCommitJoins = new java.util.concurrent.atomic.AtomicLong
+  /** Insert-only commits (every touched group fresh) served by a single
+    * one-sided read — no join, no before state needed.
+    */
+  val insertOnlyCommits = new java.util.concurrent.atomic.AtomicLong
+  def reset(): Unit = {
+    persistedCommits.set(0); inferredCommitJoins.set(0); insertOnlyCommits.set(0)
+  }
+}
+
+/** Change-data-capture over a Hudi table: upstream Spark-Hudi's `cdc`
+  * incremental format — one `(op, ts_ms, before, after)` row per record
+  * CHANGED by each commit in `(start, end]`, with full before/after
+  * images. Two serving strategies, decided PER COMMIT:
   *
-  * Semantics (per commit `c` with predecessor `p`, over only the file
-  * groups `c` touched — from its commit metadata's partitionToWriteStats):
+  * '''Persisted blocks''' (beyond reference parity — the reference parses
+  * `BlockType::CdcData` but treats it as plain data,
+  * crates/core/src/file_group/log_file/scanner.rs:182): when the table
+  * was written with `hoodie.table.cdc.enabled=true` and supplemental
+  * logging mode `data_before_after`, each commit's write stats carry
+  * `cdcStats` naming `-cdc` sidecar log files that hold the EXACT
+  * before/after images the writer observed. Decoding them costs IO
+  * proportional to the cdc bytes — no snapshot reads, no join, and no
+  * dependency on the previous file slices still existing (so changes
+  * beyond the CLEANER horizon stay servable). Touched groups without a
+  * sidecar must be FRESH (no `prevCommit`): their rows are read
+  * one-sided as `i` with null before images, exactly upstream's
+  * add-base-file case.
+  *
+  * '''Inference''' (reference parity with upstream's infer path) for
+  * everything else — per commit `c` with predecessor `p`, over only the
+  * file groups `c` touched (from its commit metadata's
+  * partitionToWriteStats):
   *
   *  - `u`: key present in both the as-of-`p` and as-of-`c` reads with the
   *    after-image's `_hoodie_commit_time == c` (rows merely CARRIED into a
@@ -41,33 +74,33 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   * prefix (the conventional `_hoodie_is_deleted` soft-delete flag) stays
   * in the images.
   *
-  * Scale shape: each commit plans TWO snapshot reads restricted to its
-  * touched file groups (`cdc.file.groups` — slice-level, not partition-
-  * level, so IO is proportional to changed groups), joined on the record
-  * key. The join is FULL OUTER — semantically required (inserts are
-  * after-only rows, deletes before-only) — which Spark cannot broadcast;
-  * AQE picks a shuffled-hash join whose shuffle is bounded by the
-  * commit's change volume, never table size. Diffs union across the
-  * bounded commit range. Work ∝ change volume × commits, never table
-  * size. Table-service instants that change no logical rows — pure
-  * clustering, MOR compaction — are skipped outright (their diffs are
-  * provably empty, and a compaction's touched set is every compacted
-  * group: reading it would be table-sized IO for zero rows).
+  * Scale shape: persisted commits batch into ONE distributed decode over
+  * all their sidecar files. Each inferred commit plans TWO snapshot reads
+  * restricted to its touched file groups (`cdc.file.groups` — slice-level,
+  * so IO is proportional to changed groups), joined on the record key.
+  * The join is FULL OUTER — semantically required (inserts are after-only
+  * rows, deletes before-only) — which Spark cannot broadcast; AQE picks a
+  * shuffled-hash join whose shuffle is bounded by the commit's change
+  * volume, never table size. Diffs union across the bounded commit range
+  * (balanced, log-depth). Table-service instants that change no logical
+  * rows — pure clustering, MOR compaction — are skipped outright.
   *
-  * Insert-overwrite (a NON-clustering replacecommit): the before-image is
-  * the REPLACED groups read as of the predecessor (from the instant's
-  * `partitionToReplaceFileIds`, reference replace handling:
+  * Insert-overwrite (a NON-clustering replacecommit): always inferred —
+  * upstream writers do not emit sidecars for replacecommits. The
+  * before-image is the REPLACED groups read as of the predecessor (from
+  * the instant's `partitionToReplaceFileIds`, reference replace handling:
   * timeline/mod.rs:302-320) unioned with any rewritten pre-existing
   * groups; the after-image is the NEW groups from its write stats. A key
   * present only in the replaced groups surfaces as `d`, a fresh key as
-  * `i`, a re-written key as `u` — work ∝ replaced+new volume, never table
-  * size. `delete_partition` (replaced groups, no new ones) degenerates to
-  * an all-`d` diff against an empty after side. (A writer that preserved
-  * OLD commit stamps across an overwrite would have its value-identical
-  * rows excluded by the carried-row filter — consistent with clustering,
-  * the one real case that preserves stamps, whose diff is empty.)
+  * `i`, a re-written key as `u`. NOTE a deliberate feed-shape divergence
+  * from upstream: upstream's replacecommit inference emits every replaced
+  * row as `d` plus every new row as `i`; this engine JOINS the two sides,
+  * so a surviving key surfaces as one `u` instead of a `d`+`i` pair. The
+  * net state after applying either feed is identical, but consumers that
+  * assert on op labels or row counts will see the joined shape.
   *
-  * Refusals (loud, never a silently wrong feed):
+  * Refusals (loud, never a silently wrong feed) — all on the INFERENCE
+  * path only (persisted blocks carry their own images):
   *  - `populate.meta.fields=false` tables: the inference keys and stamps
   *    on meta columns, which such tables null out;
   *  - a non-clustering replacecommit whose metadata LACKS the
@@ -76,19 +109,30 @@ import org.apache.spark.sql.types.{StructField, StructType, StringType}
   *  - a first in-range commit whose predecessor has been ARCHIVED off the
   *    active timeline when older instants exist (an unreadable archive
   *    counts: the guard fails closed): its before state is not
-  *    resolvable, so its updates would surface as inserts and its deletes
-  *    vanish — narrow the range instead;
+  *    resolvable — narrow the range instead;
   *  - a commit that rewrote a PRE-EXISTING group (its write stat records
   *    a prevCommit) — or a replacecommit whose REPLACED groups — whose
   *    previous slice no longer exists as of the predecessor: the CLEANER
   *    horizon; inferring from a half-cleaned view would misreport those
-  *    updates (or overwrite-deletes) as inserts.
+  *    updates (or overwrite-deletes) as inserts;
+  *  - a pre-existing group whose visible-as-of-`p` slice is an OLDER
+  *    version than the one the commit built on (slice base instant ≠ the
+  *    stat's recorded `prevCommit`, or — for replaced groups — ≠ the
+  *    latest active base write): a SAVEPOINT retained an old slice while
+  *    the cleaner removed the intermediate ones, and reading it would
+  *    serve a silently stale before image.
   */
 object CdcRead {
 
   /** Upstream Spark-Hudi CDC column names. */
   private val OpCol = "op"
   private val TsCol = "ts_ms"
+
+  /** Read option forcing the inference path even when persisted CDC
+    * blocks exist — the differential-testing hook (persisted and inferred
+    * feeds must hash-match on the same commits).
+    */
+  val InferenceOnlyOption = "graft.cdc.inference.only"
 
   /** The `(op, ts_ms, before, after)` schema for a table's data columns —
     * computable from metadata alone (no data read), which is what the
@@ -163,6 +207,12 @@ object CdcRead {
     // rather than misreport its updates as inserts
     val allTs = hudi.timeline.completedInstants.map(_.timestamp).distinct.sorted
 
+    // persisted serving requires table-level supplemental logging with
+    // full images; the inference-only option is the differential hook
+    val persistedCapable = hudi.config.cdcEnabled &&
+      hudi.config.cdcSupplementalLoggingMode == "data_before_after" &&
+      !readOptions.get(InferenceOnlyOption).exists(_.equalsIgnoreCase("true"))
+
     // one diff per distinct in-range commit timestamp (multi-writer: a
     // same-instant commit+deltacommit pair merges its touched groups; a
     // same-instant table-service sibling drops out WITHOUT taking the
@@ -172,7 +222,45 @@ object CdcRead {
     if (commits.isEmpty)
       return LogScan.emptyDf(spark, schema)
 
-    val perCommit = commits.map { case (c, instants) =>
+    def readAsOf(ts: String, groups: Seq[String]): DataFrame =
+      spark.read.format("hudi-graft")
+        .options(readOptions)
+        .option("as.of.timestamp", ts)
+        .option("cdc.file.groups", groups.mkString(","))
+        .load(basePath)
+
+    /** One-sided read of FRESH groups at `c`: every row the commit
+      * stamped surfaces as `i` with a null before image (no join — a
+      * group with no previous version has no before state by
+      * construction). Shared by the persisted path (uncovered new
+      * groups) and the insert-only fast path. Refuses when a group's
+      * version at `c` has been CLEANED — the as-of read would silently
+      * return nothing and the feed would drop the commit's inserts.
+      */
+    def insertOnlyDf(c: String, groups: Seq[String]): DataFrame = {
+      val visibleAtC = hudi.fsView.slicesAsOf(c).map(_.fileId).toSet
+      val gone = groups.filterNot(visibleAtC.contains)
+      if (gone.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"cdc: commit $c created file groups ${gone.mkString(", ")} whose files as of $c " +
+            "no longer exist (cleaned) — its insert images are not resolvable; start the " +
+            "range at or after the cleaner horizon")
+      val tsMs = Timestamps.timelineToEpochMillis(c, tz).toString
+      readAsOf(c, groups)
+        .filter(col(MetaField.CommitTime) === lit(c))
+        .select(
+          lit("i").as(OpCol),
+          lit(tsMs).as(TsCol),
+          lit(null).cast(schema("before").dataType).as("before"),
+          struct(dataCols.toIndexedSeq: _*).as("after"))
+    }
+
+    // persisted sidecar files accumulate across commits into ONE
+    // distributed decode (a 1000-commit drain is one job, not 1000)
+    val persistedPaths = Vector.newBuilder[String]
+    val persistedTs = Set.newBuilder[String]
+
+    val perCommit = commits.flatMap { case (c, instants) =>
       val written = instants.flatMap(i =>
         hudi.timeline.touchedFileGroups(i).valuesIterator.flatten).distinct.sorted
       // insert-overwrite / delete_partition: the groups this commit
@@ -190,82 +278,201 @@ object CdcRead {
               "would silently miss them; narrow the range to end before it")
       val replaced = instants.flatMap(i =>
         hudi.timeline.replacedFileGroups(i).valuesIterator.flatten).distinct.sorted
-      if (written.isEmpty && replaced.isEmpty) LogScan.emptyDf(spark, schema)
+      if (written.isEmpty && replaced.isEmpty) None
       else {
+        // fileId → recorded prevCommit (Some = the group pre-existed and
+        // the value names the exact slice version the write built on)
+        val prevByGroup = instants
+          .flatMap(i => hudi.timeline.touchedGroupsPrevCommit(i))
+          .groupMapReduce(_._1)(_._2)((a, b) => if (a.isDefined) a else b)
+        val cdcByGroup: Map[String, Seq[String]] =
+          if (!persistedCapable) Map.empty
+          else instants.flatMap(i => hudi.timeline.cdcFiles(i).toSeq)
+            .groupMapReduce(_._1)(_._2)(_ ++ _)
         val prev = allTs.takeWhile(_ < c).lastOption
-        // an unreadable archive fails CLOSED (treated as "older instants
-        // exist"): the guard exists to prevent a silently wrong feed, so
-        // an IO error must not disarm it
-        if (prev.isEmpty &&
-          scala.util.Try(hudi.timeline.archivedInstants.nonEmpty).getOrElse(true))
-          throw new UnsupportedOperationException(
-            s"cdc: commit $c is the oldest ACTIVE instant but older instants exist in the " +
-              "archived timeline (or it is unreadable) — its before state is not resolvable, " +
-              "so its updates would misreport as inserts and its deletes vanish; start the " +
-              "range at or after it")
-        // cleaner-horizon guard: the commit's own write stats record a
-        // prevCommit per touched group, and a replacecommit names the
-        // groups it replaced; any group that PRE-EXISTED (either way)
-        // must still have a slice as of `prev`, or the cleaner has
-        // removed the before state and the diff would misreport its
-        // updates (or overwrite-deletes) as inserts — refuse, never
-        // infer from a half-cleaned view
-        val preExisting = instants
-          .flatMap(i => hudi.timeline.touchedGroupsPreExisting(i))
-          .groupMapReduce(_._1)(_._2)(_ || _)
-          .collect { case (fid, true) => fid }.toSet ++ replaced
-        if (preExisting.nonEmpty) {
-          val covered = prev
-            .map(p => hudi.fsView.slicesAsOf(p).map(_.fileId).toSet)
-            .getOrElse(Set.empty[String])
-          val missing = (preExisting -- covered).toSeq.sorted
-          if (missing.nonEmpty)
+        // fileId → its visible slice as of the predecessor (driver
+        // metadata, the fs view) — computed lazily: a fully-sidecar-
+        // covered commit never consults it
+        lazy val visiblePrev: Map[String, graft.fs.FileSlice] = prev
+          .map(p => hudi.fsView.slicesAsOf(p).map(sl => sl.fileId -> sl).toMap)
+          .getOrElse(Map.empty)
+        // FRESH = no recorded prevCommit AND no slice visible as of the
+        // predecessor. Both legs matter: fixture-grade metadata writes
+        // prevCommit "null" on rewrites (absence proves nothing), and a
+        // CLEANED pre-existing group vanishes from the fs view (absence
+        // there proves nothing either) — only the conjunction is safe
+        def isFresh(fid: String): Boolean =
+          prevByGroup.getOrElse(fid, None).isEmpty && !visiblePrev.contains(fid)
+        // persisted serves when every touched group has a sidecar or is
+        // provably fresh (read one-sided); replacecommits stay on
+        // inference — upstream writers don't emit sidecars for them
+        val persistedServes = persistedCapable && replaced.isEmpty &&
+          cdcByGroup.nonEmpty &&
+          written.forall(fid => cdcByGroup.contains(fid) || isFresh(fid))
+        if (persistedServes) {
+          CdcMetrics.persistedCommits.incrementAndGet()
+          persistedTs += c
+          persistedPaths ++= cdcByGroup.valuesIterator.flatten.toVector.sorted
+          val uncovered = written.filterNot(cdcByGroup.contains)
+          if (uncovered.isEmpty) None else Some(insertOnlyDf(c, uncovered))
+        } else if (replaced.isEmpty && written.nonEmpty && written.forall(isFresh)) {
+          // insert-only commit: every touched group is fresh — no before
+          // state exists, so no predecessor, no guards, no join
+          CdcMetrics.insertOnlyCommits.incrementAndGet()
+          Some(insertOnlyDf(c, written))
+        } else {
+          CdcMetrics.inferredCommitJoins.incrementAndGet()
+          // an unreadable archive fails CLOSED (treated as "older instants
+          // exist"): the guard exists to prevent a silently wrong feed, so
+          // an IO error must not disarm it
+          if (prev.isEmpty &&
+            scala.util.Try(hudi.timeline.archivedInstants.nonEmpty).getOrElse(true))
             throw new UnsupportedOperationException(
-              s"cdc: commit $c rewrote or replaced file groups ${missing.mkString(", ")} " +
-                s"whose previous versions no longer exist as of ${prev.getOrElse("<none>")} " +
-                "(cleaned, or metadata inconsistency) — their before images are not " +
-                "resolvable; start the range at or after this commit")
+              s"cdc: commit $c is the oldest ACTIVE instant but older instants exist in the " +
+                "archived timeline (or it is unreadable) — its before state is not resolvable, " +
+                "so its updates would misreport as inserts and its deletes vanish; start the " +
+                "range at or after it")
+          // cleaner-horizon guard: any group that PRE-EXISTED (write stat
+          // prevCommit, or membership in the replaced set) must still
+          // have a slice as of `prev`, or the cleaner has removed the
+          // before state and the diff would misreport its updates (or
+          // overwrite-deletes) as inserts — refuse, never infer from a
+          // half-cleaned view
+          val preExisting = prevByGroup.collect { case (fid, Some(_)) => fid }.toSet ++ replaced
+          if (preExisting.nonEmpty) {
+            val missing = (preExisting -- visiblePrev.keySet).toSeq.sorted
+            if (missing.nonEmpty)
+              throw new UnsupportedOperationException(
+                s"cdc: commit $c rewrote or replaced file groups ${missing.mkString(", ")} " +
+                  s"whose previous versions no longer exist as of ${prev.getOrElse("<none>")} " +
+                  "(cleaned, or metadata inconsistency) — their before images are not " +
+                  "resolvable; start the range at or after this commit")
+            // savepoint-staleness guard: existing is not enough — the
+            // visible slice must be the VERSION the commit built on. A
+            // savepoint can retain an OLD slice while the cleaner removes
+            // the intermediate ones; its fileId would pass the existence
+            // check and the before read would silently serve stale rows.
+            // Stat-backed groups pin the expected version exactly
+            // (prevCommit); replaced groups pin it to the latest ACTIVE
+            // base write ≤ prev when one is on the timeline (none being
+            // active means the history is archived — the archived-
+            // predecessor guard owns that horizon at range start).
+            val stale = preExisting.toSeq.sorted.flatMap { fid =>
+              val expected = prevByGroup.getOrElse(fid, None)
+                // v8 MOR appends name their log after the delta's OWN
+                // instant and record that as prevCommit — a
+                // self-reference, not a version pin; resolve those (and
+                // replaced groups, which record nothing) from the latest
+                // ACTIVE base write instead. A group with no active base
+                // write (log-only, or history archived) stays on the
+                // existence check — the archived-predecessor guard owns
+                // that horizon at range start.
+                .filter(_ != c)
+                .orElse(prev.flatMap(p => latestActiveBaseWrite(hudi, fid, p)))
+              expected.collect {
+                case want if visiblePrev(fid).commitTimestamp != want =>
+                  (fid, want, visiblePrev(fid).commitTimestamp)
+              }
+            }
+            if (stale.nonEmpty) {
+              val detail = stale.map { case (fid, want, got) =>
+                s"$fid (built on $want, visible slice is $got)" }.mkString(", ")
+              throw new UnsupportedOperationException(
+                s"cdc: commit $c rewrote or replaced file groups whose visible slices as of " +
+                  s"${prev.getOrElse("<none>")} are OLDER versions than the ones it built on " +
+                  s"— $detail. A savepoint retained an old slice while the cleaner removed " +
+                  "the intermediate versions; inferring from it would serve stale before " +
+                  "images. Start the range at or after this commit")
+            }
+          }
+          // after-image: the new groups only (a replacecommit's replaced
+          // groups are R4-excluded from the as-of-c view anyway); a
+          // delete_partition writes none, so its after side is empty.
+          // before-image: new ∪ replaced — groups born at c simply don't
+          // resolve as of prev, so over-inclusion costs nothing
+          val after =
+            if (written.nonEmpty) readAsOf(c, written)
+            else LogScan.emptyDf(spark, hudi.tableSchema)
+          val beforeGroups = (written ++ replaced).distinct.sorted
+          val before = prev.map(readAsOf(_, beforeGroups))
+            .getOrElse(LogScan.emptyDf(spark, after.schema))
+          val b = before.select(col(MetaField.RecordKey).as("__bk"),
+            col(MetaField.PartitionPath).as("__bp"),
+            struct(dataCols.toIndexedSeq: _*).as("before"))
+          val a = after.select(col(MetaField.RecordKey).as("__ak"),
+            col(MetaField.PartitionPath).as("__ap"),
+            col(MetaField.CommitTime).as("__ac"),
+            struct(dataCols.toIndexedSeq: _*).as("after"))
+          val tsMs = Timestamps.timelineToEpochMillis(c, tz).toString
+          Some(b.join(a, col("__bk") === col("__ak") && col("__bp") === col("__ap"), "full_outer")
+            // keep: deletes (no after row) + rows the commit actually
+            // stamped; carried-over rows with older stamps are unchanged
+            .filter(col("__ak").isNull || col("__ac") === lit(c))
+            .select(
+              when(col("__bk").isNull, lit("i"))
+                .when(col("__ak").isNull, lit("d"))
+                .otherwise(lit("u")).as(OpCol),
+              lit(tsMs).as(TsCol),
+              col("before"),
+              col("after")))
         }
-        def readAsOf(ts: String, groups: Seq[String]): DataFrame =
-          spark.read.format("hudi-graft")
-            .options(readOptions)
-            .option("as.of.timestamp", ts)
-            .option("cdc.file.groups", groups.mkString(","))
-            .load(basePath)
-        // after-image: the new groups only (a replacecommit's replaced
-        // groups are R4-excluded from the as-of-c view anyway); a
-        // delete_partition writes none, so its after side is empty.
-        // before-image: new ∪ replaced — groups born at c simply don't
-        // resolve as of prev, so over-inclusion costs nothing
-        val after =
-          if (written.nonEmpty) readAsOf(c, written)
-          else LogScan.emptyDf(spark, hudi.tableSchema)
-        val beforeGroups = (written ++ replaced).distinct.sorted
-        val before = prev.map(readAsOf(_, beforeGroups))
-          .getOrElse(LogScan.emptyDf(spark, after.schema))
-        val b = before.select(col(MetaField.RecordKey).as("__bk"),
-          col(MetaField.PartitionPath).as("__bp"),
-          struct(dataCols.toIndexedSeq: _*).as("before"))
-        val a = after.select(col(MetaField.RecordKey).as("__ak"),
-          col(MetaField.PartitionPath).as("__ap"),
-          col(MetaField.CommitTime).as("__ac"),
-          struct(dataCols.toIndexedSeq: _*).as("after"))
-        val tsMs = Timestamps.timelineToEpochMillis(c, tz).toString
-        b.join(a, col("__bk") === col("__ak") && col("__bp") === col("__ap"), "full_outer")
-          // keep: deletes (no after row) + rows the commit actually
-          // stamped; carried-over rows with older stamps are unchanged
-          .filter(col("__ak").isNull || col("__ac") === lit(c))
-          .select(
-            when(col("__bk").isNull, lit("i"))
-              .when(col("__ak").isNull, lit("d"))
-              .otherwise(lit("u")).as(OpCol),
-            lit(tsMs).as(TsCol),
-            col("before"),
-            col("after"))
       }
     }
+    val sidecars = persistedPaths.result()
+    val persisted =
+      if (sidecars.isEmpty) Nil
+      else Seq(persistedBlocksDf(spark, basePath, sidecars, persistedTs.result(), schema))
+    val parts = persisted ++ perCommit
+    if (parts.isEmpty) LogScan.emptyDf(spark, schema)
     // balanced tree, not a left-deep reduce: a long commit range (backfill
     // replay) must not hand the analyzer an O(commits)-deep plan
-    graft.util.BalancedUnion(perCommit)
+    else graft.util.BalancedUnion(parts)
+  }
+
+  /** Latest ACTIVE commit ≤ `upTo` that wrote a BASE file for `fid`
+    * (write stat path without the `.log.` infix) — the expected visible
+    * slice version of a replaced group. Metadata-only: memoized commit
+    * metadata, O(active timeline) per call, consulted only for
+    * replacecommits.
+    */
+  private def latestActiveBaseWrite(hudi: HudiTable, fid: String, upTo: String): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    hudi.timeline.completedInstants.reverseIterator
+      .filter(i => i.timestamp <= upTo)
+      .find { i =>
+        val stats = hudi.timeline.commitMetadata(i).path("partitionToWriteStats")
+        stats.isObject && stats.properties().asScala.exists(_.getValue.elements().asScala.exists {
+          ws =>
+            ws.path("fileId").asText("") == fid &&
+              !ws.path("path").asText("").contains(".log.")
+        })
+      }
+      .map(_.timestamp)
+  }
+
+  /** ONE distributed decode over every persisted `-cdc` sidecar the range
+    * needs: one task per file, blocks filtered to the served commit set,
+    * avro images aligned to the cdc schema by field name. No sidecar
+    * bytes ever move through the driver, and IO is exactly the cdc bytes.
+    */
+  private def persistedBlocksDf(
+      spark: SparkSession,
+      basePath: String,
+      relPaths: Vector[String],
+      commits: Set[String],
+      schema: StructType): DataFrame = {
+    val conf = new SerializableConf(spark.sessionState.newHadoopConf())
+    val absolute = relPaths.distinct.map(r => s"$basePath/$r")
+    val parallelism = math.min(absolute.size, spark.sparkContext.defaultParallelism * 2)
+    val schemaJson = schema.json
+    val rdd = spark.sparkContext.parallelize(absolute, math.max(parallelism, 1)).flatMap { p =>
+      val target =
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val bytes = graft.util.ReadFully(new Path(p), conf.value)
+      LogFileParser.parse(bytes, InstantRange.all).iterator
+        .filter(b => b.blockType == LogFormat.CdcDataBlock && commits.contains(b.instantTime))
+        .flatMap(RowAlign.blockRows(_, target))
+    }
+    spark.createDataFrame(rdd, schema)
   }
 }

@@ -412,8 +412,12 @@ class CdcReadSpec extends SparkTestBase {
     val nCommits = 200
     for (i <- 1 to nCommits) {
       val ts = f"20240101${i}%09d"
+      // empty placeholder base file: fresh-group commits serve one-sided
+      // and their guard verifies the file EXISTS as of the commit
+      // (planning never reads its bytes)
+      fs.create(new Path(base, s"g$i-0_0-0-0_$ts.parquet"), true).close()
       writeText(s".hoodie/$ts.commit",
-        s"""{"partitionToWriteStats":{"":[{"fileId":"g$i-0","path":"g$i.parquet","partitionPath":"","prevCommit":"null"}]},""" +
+        s"""{"partitionToWriteStats":{"":[{"fileId":"g$i-0","path":"g$i-0_0-0-0_$ts.parquet","partitionPath":"","prevCommit":"null"}]},""" +
           s""""extraMetadata":{"schema":"$schema"},"compacted":false,"operationType":"UPSERT"}""")
     }
     val t0 = System.nanoTime()
@@ -543,8 +547,11 @@ class CdcReadSpec extends SparkTestBase {
       s"""{"partitionToWriteStats":{"":[{"fileId":"f0","path":"x.parquet","partitionPath":""}]},"extraMetadata":{"schema":"$schema"},"compacted":false,"operationType":"UPSERT"}""")
     writeText(s".hoodie/$T2.replacecommit",
       s"""{"partitionToWriteStats":{"":[{"fileId":"f1","path":"y.parquet","partitionPath":""}]},"partitionToReplaceFileIds":{"":["f0"]},"compacted":false,"operationType":"INSERT_OVERWRITE"}""")
+    // range starts AT T1 so the replacecommit's own guard is what fires
+    // (a None start would trip the insert-only cleaned-files guard on T1
+    // first — also correct, but not what this test pins)
     val ex = intercept[UnsupportedOperationException] {
-      CdcRead.changes(spark, base.toString, None, None)
+      CdcRead.changes(spark, base.toString, Some(T1), None)
     }
     assert(ex.getMessage.contains("f0") && ex.getMessage.contains("no longer exist"),
       ex.getMessage)
@@ -601,6 +608,77 @@ class CdcReadSpec extends SparkTestBase {
       CdcRead.changes(spark, base.toString, Some(T1), Some(T2))
     }
     assert(ex.getMessage.contains("f0") && ex.getMessage.contains("no longer exist"),
+      ex.getMessage)
+  }
+
+  test("savepoint-stale guard: a retained OLD slice must not serve as a before image") {
+    // T1 writes f0 (file RETAINED by a savepoint), T2 rewrites it (file
+    // CLEANED), T3 rewrites again (file present, prevCommit=T2). As of
+    // T3's predecessor the fs view still SHOWS f0 — at version T1, two
+    // generations stale. An existence-only check would pass and the
+    // before read would silently serve T1 rows as the T2 state; the
+    // guard must compare the visible slice VERSION against the recorded
+    // prevCommit and refuse.
+    val (base, fs, writeText) = freshMetaTable("cdc_savepoint")
+    writeText(".hoodie/hoodie.properties",
+      """hoodie.table.name=cdc_savepoint
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=v
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val schema =
+      """{"type":"record","name":"r","fields":[{"name":"v","type":["long","null"]}]}"""
+        .replace("\"", "\\\"")
+    // guard fires at PLANNING, before any data read — empty placeholder
+    // files give the fs view real names/sizes to list
+    fs.create(new org.apache.hadoop.fs.Path(base, s"f0_0-0-0_$T1.parquet"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(base, s"f0_0-0-0_$T3.parquet"), true).close()
+    writeText(s".hoodie/$T1.commit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f0","path":"f0_0-0-0_$T1.parquet","partitionPath":"","prevCommit":"null"}]},"extraMetadata":{"schema":"$schema"},"compacted":false,"operationType":"UPSERT"}""")
+    writeText(s".hoodie/$T2.commit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f0","path":"f0_0-0-0_$T2.parquet","partitionPath":"","prevCommit":"$T1"}]},"compacted":false,"operationType":"UPSERT"}""")
+    writeText(s".hoodie/$T3.commit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f0","path":"f0_0-0-0_$T3.parquet","partitionPath":"","prevCommit":"$T2"}]},"compacted":false,"operationType":"UPSERT"}""")
+    val ex = intercept[UnsupportedOperationException] {
+      CdcRead.changes(spark, base.toString, Some(T2), Some(T3))
+    }
+    assert(ex.getMessage.contains("OLDER versions") && ex.getMessage.contains("f0"),
+      ex.getMessage)
+    assert(ex.getMessage.contains(T2) && ex.getMessage.contains(T1),
+      s"the refusal must name both the expected and the visible version: ${ex.getMessage}")
+  }
+
+  test("savepoint-stale guard also covers REPLACED groups (no recorded prevCommit)") {
+    // Same layout, but the final commit is an insert-overwrite REPLACING
+    // f0: replace metadata records no prevCommit, so the expected
+    // version comes from the latest ACTIVE base write ≤ the predecessor
+    // (T2) — the visible T1 slice is stale and must refuse.
+    val (base, fs, writeText) = freshMetaTable("cdc_savepoint_rep")
+    writeText(".hoodie/hoodie.properties",
+      """hoodie.table.name=cdc_savepoint_rep
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=v
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val schema =
+      """{"type":"record","name":"r","fields":[{"name":"v","type":["long","null"]}]}"""
+        .replace("\"", "\\\"")
+    fs.create(new org.apache.hadoop.fs.Path(base, s"f0_0-0-0_$T1.parquet"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(base, s"f1_0-0-0_$T3.parquet"), true).close()
+    writeText(s".hoodie/$T1.commit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f0","path":"f0_0-0-0_$T1.parquet","partitionPath":"","prevCommit":"null"}]},"extraMetadata":{"schema":"$schema"},"compacted":false,"operationType":"UPSERT"}""")
+    writeText(s".hoodie/$T2.commit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f0","path":"f0_0-0-0_$T2.parquet","partitionPath":"","prevCommit":"$T1"}]},"compacted":false,"operationType":"UPSERT"}""")
+    writeText(s".hoodie/$T3.replacecommit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f1","path":"f1_0-0-0_$T3.parquet","partitionPath":"","prevCommit":"null"}]},"partitionToReplaceFileIds":{"":["f0"]},"compacted":false,"operationType":"INSERT_OVERWRITE"}""")
+    val ex = intercept[UnsupportedOperationException] {
+      CdcRead.changes(spark, base.toString, Some(T2), Some(T3))
+    }
+    assert(ex.getMessage.contains("OLDER versions") && ex.getMessage.contains("f0"),
       ex.getMessage)
   }
 
