@@ -66,6 +66,7 @@ object HudiFixtureBuilder {
   def clusteredPath(sfDir: String): String = s"${root(sfDir)}/cow_clustered"
   def overwritePath(sfDir: String): String = s"${root(sfDir)}/cow_overwrite"
   def cdcPath(sfDir: String): String = s"${root(sfDir)}/cow_cdc_orders"
+  def writePath(sfDir: String): String = s"${root(sfDir)}/writer_orders"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
@@ -82,7 +83,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v30")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v31")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -152,6 +153,7 @@ object HudiFixtureBuilder {
           buildCowClustered(spark, sfDir); own()
           buildCowOverwrite(spark, sfDir); own()
           buildCowCdcOrders(spark, sfDir); own()
+          buildWriterOrders(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
           buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
@@ -693,6 +695,26 @@ object HudiFixtureBuilder {
     }
     writeText(fs, new Path(base, s".hoodie/$T4.clean"),
       s"""{"startCleanTime":"$T4","earliestCommitToRetain":"$T2"}""")
+  }
+
+  // --- writer dogfood: built through the PUBLIC df.write.format API ------
+  // c1 inserts orders partitioned by o_orderpriority, c2 upserts the %7
+  // keys to status 'U' — the same transformation as cow_orders, but
+  // produced by graft.write.HudiWriter instead of this builder, so the
+  // oracle gate verifies the WRITE path end-to-end through every reader.
+  private def buildWriterOrders(spark: SparkSession, sfDir: String): Unit = {
+    val path = writePath(sfDir)
+    val src = orders(spark, sfDir)
+    def w(df: DataFrame, operation: String) = df.write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.partitionpath.field", "o_orderpriority")
+      .option("hoodie.datasource.write.precombine.field", "o_custkey")
+      .option("hoodie.datasource.write.operation", operation)
+      .option("hoodie.table.name", "writer_orders")
+      .mode("append").save(path)
+    w(src, "insert")
+    w(src.filter(col("o_orderkey") % 7 === 0).withColumn("o_orderstatus", lit("U")),
+      "upsert")
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

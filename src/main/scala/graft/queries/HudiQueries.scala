@@ -328,6 +328,32 @@ object HudiQueries {
         |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 97 <> 0)
         |ORDER BY ts_ms, op, o_orderkey""".stripMargin),
 
+    // --- WRITE path roundtrip: the writer_orders table is produced by
+    // df.write.format("hudi-graft") (insert commit + %7→'U' upsert
+    // commit — see HudiFixtureBuilder.buildWriterOrders); a green hash
+    // means the CONNECTOR-written layout (key assignment, group routing,
+    // meta columns, commit metadata) reads back exactly through the
+    // snapshot path -------------------------------------------------------
+    "hudi_write_roundtrip" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(s.read.format("hudi-graft").load(HudiFixtureBuilder.writePath(d)))
+      },
+      ordersSql(updated = true, deletes = false, onlyUpdated = false)),
+
+    // --- and the upsert commit is visible via incremental read: (c1, c2]
+    // yields exactly the %7 rows with their post-upsert status — carried
+    // rows kept their c1 stamps, so a writer that re-stamped everything
+    // would return the whole table here and hash-fail ---------------------
+    "hudi_write_incremental" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val t = HudiTable(s, HudiFixtureBuilder.writePath(d))
+        val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
+        selectOrders(t.incremental(Some(ts(0)), Some(ts(1))))
+      },
+      ordersSql(updated = true, deletes = false, onlyUpdated = true)),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(

@@ -26,7 +26,8 @@ import scala.jdk.CollectionConverters._
   *  - `read.optimized`: base-files-only scan for MOR tables
   */
 class HudiDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
   override def shortName(): String = "hudi-graft"
 
   // one provider instance serves one read operation: reuse the table handle
@@ -40,10 +41,42 @@ class HudiDataSource extends TableProvider with DataSourceRegister
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = basePath(options)
-    val t = HudiTable(SparkSession.active, path)
+    // DataFrameWriter probes getTable BEFORE falling back to the V1 write
+    // path (this class's CreatableRelationProvider) — a first write to a
+    // fresh path must not die here. Only NONEXISTENT tables get the empty
+    // schema (the table never advertises BATCH_WRITE, so Spark always
+    // falls through to the V1 writer); a real open failure stays loud.
+    val spark = SparkSession.active
+    val props = new org.apache.hadoop.fs.Path(path, ".hoodie/hoodie.properties")
+    if (!props.getFileSystem(spark.sessionState.newHadoopConf()).exists(props))
+      return new StructType()
+    val t = HudiTable(spark, path)
     cached = Some((path, t))
     t.tableSchema
   }
+
+  // ---- V1 CreatableRelationProvider: the WRITE path ----------------------
+  // `df.write.format("hudi-graft")` lands here because GraftTable never
+  // advertises BATCH_WRITE: a Hudi commit is table-layout orchestration
+  // (key assignment, group routing, timeline metadata) around ONE
+  // distributed parquet job, which this V1 contract expresses directly —
+  // the same structural choice upstream Hudi's Spark DataSource makes.
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("hudi-graft requires a path"))
+    graft.write.HudiWriter.write(sqlContext.sparkSession, path, data, mode, parameters)
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = sqlContext0
+      override def schema: StructType = data.schema
+    }
+  }
+  // createRelation's inner anonymous class shadows the param name
+  private def sqlContext0: org.apache.spark.sql.SQLContext =
+    SparkSession.active.sqlContext
 
   override def getTable(
       schema: StructType,

@@ -1,0 +1,465 @@
+package graft.write
+
+import graft.core.{HoodieConfig, MetaField}
+import graft.table.HudiTable
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** COW write path for `df.write.format("hudi-graft")` — the user-facing
+  * surface the reference stops short of (docs/reader-spec.md:345 declares
+  * the reference read-only; BASELINE's north star says read AND write).
+  *
+  * Supported: COPY_ON_WRITE tables, single-field record keys (bare
+  * SimpleKeyGenerator rendering), optional single-field partition path,
+  * operations `insert` / `bulk_insert` / `upsert` /
+  * `insert_overwrite_table`, SaveModes Append (insert/upsert per the
+  * operation option), Overwrite (insert_overwrite_table as a
+  * REPLACECOMMIT — history preserved, incremental/CDC readers see the
+  * replacement), ErrorIfExists and Ignore. MOR writing, multi-field
+  * keys, and user `.partitionBy(...)` refuse loudly — partitioning is the
+  * `hoodie.datasource.write.partitionpath.field` option, like upstream.
+  *
+  * Layout written (the real-Hudi v6 invariants the readers and specs
+  * pin): `hoodie.properties` with key/precombine/keygenerator fields;
+  * base files named `{fileId}_{writeToken}_{instant}.parquet` holding the
+  * five meta columns; a `requested` → `inflight` → completed instant
+  * triple per commit; JSON commit metadata whose write stats carry
+  * fileId/path/partitionPath/prevCommit/numWrites/numUpdateWrites/
+  * fileSizeInBytes and `extraMetadata.schema` (the writer's data schema).
+  *
+  * Scale shape: ONE shuffle per commit — rows route to their target file
+  * group (hash-bucketed for fresh groups, the matched group for upserts)
+  * and each (partition, fileGroup) writes exactly one parquet file from
+  * one task via `partitionBy` staging; the driver then RENAMES files into
+  * Hudi names and writes metadata, O(#files) namenode ops (the standard
+  * committer cost, never data movement). The upsert index probe is a
+  * key-column join against the current snapshot pruned to
+  * (key, partition, file name) — column-pruned scan, shuffle bounded by
+  * table keys + batch keys. At 100 TB the MDT record-level index would
+  * replace that probe (the read side already consumes it; wiring it into
+  * the writer is surfacing, not capability). The touched-fileId collect
+  * is bounded by DISTINCT matched file groups — table file count, never
+  * key count (the same bound AggMaintenance documents).
+  *
+  * Incoming rows are deduplicated per (key, partition) by the precombine
+  * field (greatest wins; ties and no-precombine keep one row
+  * deterministically), then incoming ALWAYS wins over stored — upstream's
+  * default OverwriteWithLatestAvroPayload. Carried stored rows keep their
+  * original `_hoodie_commit_time` (the COW stamp-preservation every
+  * incremental/CDC reader in this repo depends on) while their
+  * `_hoodie_file_name` moves to the rewritten file, exactly like real
+  * Hudi.
+  */
+object HudiWriter {
+
+  private val Token = "0-0-0"
+
+  /** Write `df` and return the created commit instants (one element; empty
+    * for Ignore-mode no-ops).
+    */
+  def write(
+      spark: SparkSession,
+      basePath: String,
+      df: DataFrame,
+      mode: SaveMode,
+      options: Map[String, String]): Seq[String] = {
+    val opts = new Options(options)
+    val fs = new Path(basePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val propsPath = new Path(basePath, ".hoodie/hoodie.properties")
+    val exists = fs.exists(propsPath)
+
+    mode match {
+      case SaveMode.Ignore if exists => return Nil
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"hudi-graft: table already exists at $basePath (SaveMode.ErrorIfExists); " +
+            "use Append or Overwrite")
+      case _ =>
+    }
+
+    val existing = if (exists) Some(HudiTable(spark, basePath)) else None
+    existing.foreach { t =>
+      if (t.config.isMor)
+        throw new UnsupportedOperationException(
+          "hudi-graft: writing MERGE_ON_READ tables is not supported (COW only); " +
+            "log-file production needs compaction scheduling this writer does not do")
+      if (!t.config.populatesMetaFields)
+        throw new UnsupportedOperationException(
+          "hudi-graft: hoodie.populate.meta.fields=false tables are not writable here")
+    }
+
+    val keyField = opts.recordKeyField
+      .orElse(existing.map(_.config).flatMap(c => c.recordKeyFields match {
+        case Seq(one) => Some(one)
+        case Seq() => None
+        case many => throw new UnsupportedOperationException(
+          s"hudi-graft: multi-field record keys (${many.mkString(",")}) render " +
+            "ComplexKeyGenerator-style; this writer supports single-field keys only")
+      }))
+      .getOrElse(throw new IllegalArgumentException(
+        "hudi-graft: hoodie.datasource.write.recordkey.field is required"))
+    val partField: Option[String] = opts.partitionPathField
+      .orElse(existing.map(_.config.partitionFields).flatMap {
+        case Seq(one) => Some(one)
+        case Seq() => None
+        case many => throw new UnsupportedOperationException(
+          s"hudi-graft: multi-field partition paths (${many.mkString(",")}) are not " +
+            "supported by this writer")
+      }).filter(_.nonEmpty)
+    val precombine = opts.precombineField
+      .orElse(existing.map(_.config).flatMap(_.orderingFields.headOption))
+
+    val operation =
+      if (mode == SaveMode.Overwrite && exists) "insert_overwrite_table"
+      else opts.operation
+
+    // meta columns in the input are writer-owned — recomputed, never trusted
+    val data = df.drop((MetaField.all :+ MetaField.Operation): _*)
+    Seq(keyField) ++ partField ++ precombine.toSeq foreach { f =>
+      require(data.columns.contains(f), s"hudi-graft: column '$f' absent from the input")
+    }
+    existing.foreach { t =>
+      val tableData = t.tableSchema.fieldNames.filterNot(MetaField.all.contains).toSet
+      val in = data.columns.toSet
+      if (in != tableData)
+        throw new IllegalArgumentException(
+          s"hudi-graft: input columns differ from the table's data columns — " +
+            s"missing=${(tableData -- in).toSeq.sorted.mkString(",")} " +
+            s"extra=${(in -- tableData).toSeq.sorted.mkString(",")}; schema evolution " +
+            "on write is not supported by this writer")
+    }
+
+    val instant = nextInstant(existing.flatMap(_.timeline.latestCommitTimestamp))
+    val base = new Path(basePath)
+
+    if (!exists)
+      writeTableProperties(fs, base, opts, keyField, partField, precombine)
+
+    // ---- key/partition assignment (SimpleKeyGenerator rendering) --------
+    val hiveSentinel = "__HIVE_DEFAULT_PARTITION__"
+    val partExpr = partField
+      .map(f => coalesce(col(f).cast(StringType), lit(hiveSentinel)))
+      .getOrElse(lit(""))
+    val keyed0 = data
+      .withColumn("__key", col(keyField).cast(StringType))
+      .withColumn("__part", partExpr)
+    // dedupe incoming per (key, partition): greatest precombine wins;
+    // without one, an arbitrary-but-deterministic single row survives
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__key"), col("__part"))
+      .orderBy(precombine.map(f => col(f).desc_nulls_last).getOrElse(col("__key").asc))
+    val keyed = keyed0
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist()
+
+    try {
+      val (staged, updateCounts, replaced, prevCommits) = operation match {
+        case "insert" | "bulk_insert" =>
+          (routeFresh(keyed, instant, opts), Map.empty[String, Long],
+            Map.empty[String, Set[String]], Map.empty[String, String])
+        case "insert_overwrite_table" =>
+          val rep = existing.map(_.fsView.slicesAsOf(instant)
+            .groupBy(_.partitionPath).view.mapValues(_.map(_.fileId).toSet).toMap)
+            .getOrElse(Map.empty)
+          (routeFresh(keyed, instant, opts), Map.empty[String, Long], rep,
+            Map.empty[String, String])
+        case "upsert" =>
+          existing match {
+            case None => (routeFresh(keyed, instant, opts), Map.empty[String, Long],
+              Map.empty[String, Set[String]], Map.empty[String, String])
+            case Some(t) => routeUpsert(spark, basePath, t, keyed, instant, opts)
+          }
+        case other =>
+          throw new IllegalArgumentException(
+            s"hudi-graft: unknown hoodie.datasource.write.operation '$other' " +
+              "(insert | bulk_insert | upsert | insert_overwrite_table)")
+      }
+
+      val files = writeStaged(spark, fs, base, staged, instant)
+      writeTimeline(fs, base, instant, operation, files, updateCounts, replaced,
+        prevCommits, data)
+      Seq(instant)
+    } finally keyed.unpersist()
+  }
+
+  // ---- routing ------------------------------------------------------------
+
+  /** Fresh-group routing: hash-bucket keys into N new file groups per
+    * partition, N from the PLANNED input size (Catalyst's estimate — no
+    * extra job) over the target file size. Deterministic fileIds derive
+    * from (instant, partition, bucket).
+    */
+  private def routeFresh(keyed: DataFrame, instant: String, opts: Options): DataFrame = {
+    val bytes = BigInt(keyed.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+    val groups = (bytes / opts.maxFileBytes).toLong.max(0L).min(4096L).toInt + 1
+    keyed
+      .withColumn("__bucket", pmod(xxhash64(col("__key")), lit(groups)).cast("int"))
+      .withColumn("__fid", freshFidUdf(lit(instant), col("__part"), col("__bucket")))
+      .withColumn(MetaField.CommitTime, lit(instant))
+      .drop("__bucket")
+  }
+
+  private val freshFidUdf = udf((instant: String, part: String, bucket: Int) =>
+    freshFileId(instant, part, bucket))
+
+  /** Deterministic UUID-shaped fileId for a fresh group. */
+  def freshFileId(instant: String, part: String, bucket: Int): String =
+    java.util.UUID.nameUUIDFromBytes(
+      s"$instant/$part/$bucket".getBytes("UTF-8")).toString + "-0"
+
+  /** Upsert routing: probe the snapshot's (key, partition → fileId),
+    * rewrite matched groups (carried rows keep their commit stamps,
+    * incoming rows win and stamp the new instant), hash-route unmatched
+    * keys to fresh groups. Returns (staged rows, per-fid update counts,
+    * no replacements, per-fid prevCommit).
+    */
+  private def routeUpsert(
+      spark: SparkSession,
+      basePath: String,
+      t: HudiTable,
+      keyed: DataFrame,
+      instant: String,
+      opts: Options
+  ): (DataFrame, Map[String, Long], Map[String, Set[String]], Map[String, String]) = {
+    val snap = spark.read.format("hudi-graft").load(basePath)
+    val index = snap.select(
+      col(MetaField.RecordKey).as("__key"),
+      col(MetaField.PartitionPath).as("__part"),
+      substring_index(col(MetaField.FileName), "_", 1).as("__fid"))
+    val routed = keyed.join(index, Seq("__key", "__part"), "left").persist()
+    try {
+      val matched = routed.filter(col("__fid").isNotNull)
+      // DISTINCT touched groups: bounded by table file count, never keys
+      val perFid = matched.groupBy("__fid").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val touched = perFid.keySet
+      val freshPart = routeFresh(routed.filter(col("__fid").isNull).drop("__fid"),
+        instant, opts)
+      if (touched.isEmpty)
+        return (freshPart, Map.empty, Map.empty, Map.empty)
+
+      // prevCommit per rewritten group = the base instant of the slice
+      // being rewritten (the metadata CDC's savepoint guard verifies)
+      val prevCommits = t.fsView.slicesAsOf(instant)
+        .filter(sl => touched.contains(sl.fileId))
+        .map(sl => sl.fileId -> sl.commitTimestamp).toMap
+
+      val stored = spark.read.format("hudi-graft")
+        .option("cdc.file.groups", touched.toSeq.sorted.mkString(","))
+        .load(basePath)
+        .withColumn("__key", col(MetaField.RecordKey))
+        .withColumn("__part", col(MetaField.PartitionPath))
+        .withColumn("__fid", substring_index(col(MetaField.FileName), "_", 1))
+      // carried: stored rows not overwritten — keep their commit stamp
+      val dataCols = keyed.columns.filterNot(Set("__key", "__part").contains)
+      val carried = stored
+        .join(matched.select("__key", "__part"), Seq("__key", "__part"), "left_anti")
+        .select((dataCols.map(col) ++ Seq(col("__key"), col("__part"), col("__fid"),
+          col(MetaField.CommitTime))): _*)
+      val updated = matched
+        .withColumn(MetaField.CommitTime, lit(instant))
+        .select((dataCols.map(col) ++ Seq(col("__key"), col("__part"), col("__fid"),
+          col(MetaField.CommitTime))): _*)
+      val fresh = freshPart
+        .select((dataCols.map(col) ++ Seq(col("__key"), col("__part"), col("__fid"),
+          col(MetaField.CommitTime))): _*)
+      (carried.unionByName(updated).unionByName(fresh), perFid, Map.empty, prevCommits)
+    } finally routed.unpersist()
+  }
+
+  // ---- physical write -------------------------------------------------------
+
+  /** One Spark job: repartition by (partition, fileGroup), stage via
+    * partitionBy so each group lands as exactly one parquet file, then
+    * rename into Hudi base-file names. Returns
+    * (partition, fileId, relPath, rows, bytes) per file.
+    */
+  private def writeStaged(
+      spark: SparkSession,
+      fs: FileSystem,
+      base: Path,
+      staged: DataFrame,
+      instant: String): Seq[(String, String, String, Long, Long)] = {
+    val dataCols = staged.columns
+      .filterNot(c => c.startsWith("__") || c == MetaField.CommitTime)
+    val fileName = concat(col("__fid"), lit(s"_${Token}_$instant.parquet"))
+    // staging dir values carry a "p:" prefix so an EMPTY partition value
+    // (unpartitioned table) survives partitionBy, which would otherwise
+    // render it as the hive null-sentinel directory and collide with a
+    // genuine null-partition value
+    val withMeta = staged.select(
+      col(MetaField.CommitTime) +:
+        concat_ws("_", col(MetaField.CommitTime), col("__fid"), col("__key"))
+          .as(MetaField.CommitSeqno) +:
+        col("__key").as(MetaField.RecordKey) +:
+        col("__part").as(MetaField.PartitionPath) +:
+        fileName.as(MetaField.FileName) +:
+        (dataCols.map(col) ++ Seq(
+          concat(lit("p:"), col("__part")).as("__p"), col("__fid").as("__f"))): _*)
+    val tmp = new Path(base, s".hoodie/.temp/$instant")
+    withMeta
+      .repartition(col("__p"), col("__f"))
+      .write.partitionBy("__p", "__f").mode("overwrite").parquet(tmp.toString)
+    // row counts per file from the staging footers — a metadata-only
+    // columnar count, no data re-read
+    val counts = spark.read.parquet(tmp.toString)
+      .groupBy("__p", "__f").count().collect()
+      .map(r => (r.getString(0).stripPrefix("p:"), r.getString(1)) -> r.getLong(2)).toMap
+    val out = Seq.newBuilder[(String, String, String, Long, Long)]
+    for (pDir <- fs.listStatus(tmp).toSeq.filter(_.isDirectory).sortBy(_.getPath.getName)) {
+      val part = decodeStagedValue(pDir.getPath.getName.stripPrefix("__p=")).stripPrefix("p:")
+      for (fDir <- fs.listStatus(pDir.getPath).toSeq.filter(_.isDirectory)
+          .sortBy(_.getPath.getName)) {
+        val fid = decodeStagedValue(fDir.getPath.getName.stripPrefix("__f="))
+        val file = fs.listStatus(fDir.getPath).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no staged file under $fDir"))
+        val name = s"${fid}_${Token}_$instant.parquet"
+        val dir = if (part.isEmpty) base else new Path(base, part)
+        fs.mkdirs(dir)
+        val dest = new Path(dir, name)
+        if (!fs.rename(file, dest))
+          throw new java.io.IOException(s"hudi-graft: rename $file -> $dest failed")
+        val rel = if (part.isEmpty) name else s"$part/$name"
+        out += ((part, fid, rel, counts.getOrElse((part, fid), 0L),
+          fs.getFileStatus(dest).getLen))
+      }
+    }
+    fs.delete(new Path(base, ".hoodie/.temp"), true)
+    out.result()
+  }
+
+  /** partitionBy URI-encodes directory values; decode back to the raw
+    * (still "p:"-prefixed) value.
+    */
+  private def decodeStagedValue(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
+
+  // ---- metadata --------------------------------------------------------------
+
+  private def writeTableProperties(
+      fs: FileSystem,
+      base: Path,
+      opts: Options,
+      keyField: String,
+      partField: Option[String],
+      precombine: Option[String]): Unit = {
+    fs.mkdirs(new Path(base, ".hoodie"))
+    val keygen = if (partField.isDefined) "org.apache.hudi.keygen.SimpleKeyGenerator"
+      else "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
+    val sb = new StringBuilder
+    sb ++= s"hoodie.table.name=${opts.tableName(base.getName)}\n"
+    sb ++= "hoodie.table.type=COPY_ON_WRITE\n"
+    sb ++= "hoodie.table.version=6\n"
+    sb ++= "hoodie.timeline.layout.version=1\n"
+    sb ++= s"hoodie.table.recordkey.fields=$keyField\n"
+    precombine.foreach(f => sb ++= s"hoodie.table.precombine.field=$f\n")
+    partField.foreach(f => sb ++= s"hoodie.table.partition.fields=$f\n")
+    sb ++= s"hoodie.table.keygenerator.class=$keygen\n"
+    sb ++= "hoodie.datasource.write.hive_style_partitioning=false\n"
+    sb ++= "hoodie.datasource.write.partitionpath.urlencode=false\n"
+    sb ++= "hoodie.populate.meta.fields=true\n"
+    val out = fs.create(new Path(base, ".hoodie/hoodie.properties"), true)
+    out.write(sb.result().getBytes("UTF-8")); out.close()
+  }
+
+  private def writeTimeline(
+      fs: FileSystem,
+      base: Path,
+      instant: String,
+      operation: String,
+      files: Seq[(String, String, String, Long, Long)],
+      updateCounts: Map[String, Long],
+      replaced: Map[String, Set[String]],
+      prevCommits: Map[String, String],
+      data: DataFrame): Unit = {
+    val action = if (replaced.nonEmpty || operation == "insert_overwrite_table")
+      "replacecommit" else "commit"
+    def touch(name: String): Unit = fs.create(new Path(base, s".hoodie/$name"), true).close()
+    touch(s"$instant.$action.requested")
+    touch(s"$instant.$action.inflight")
+    val stats = files.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, fsz) =>
+      val entries = fsz.sortBy(_._2).map { case (_, fid, rel, rows, bytes) =>
+        val upd = updateCounts.getOrElse(fid, 0L)
+        // rewritten groups receive no fresh keys under this routing, so
+        // their non-update rows are CARRIED, not inserted
+        val ins = if (updateCounts.contains(fid)) 0L else rows
+        val prev = prevCommits.getOrElse(fid, "null")
+        s"""{"fileId":"$fid","path":"$rel","partitionPath":"$p","prevCommit":"$prev",""" +
+          s""""numWrites":$rows,"numUpdateWrites":$upd,"numInserts":$ins,""" +
+          s""""numDeletes":0,"fileSizeInBytes":$bytes,"totalWriteBytes":$bytes}"""
+      }.mkString("[", ",", "]")
+      s""""${escape(p)}":$entries"""
+    }.mkString("{", ",", "}")
+    val rep =
+      if (action != "replacecommit") ""
+      else {
+        val m = replaced.toSeq.sortBy(_._1).map { case (p, fids) =>
+          s""""${escape(p)}":${fids.toSeq.sorted.map(f => s""""$f"""").mkString("[", ",", "]")}"""
+        }.mkString("{", ",", "}")
+        s""","partitionToReplaceFileIds":$m"""
+      }
+    // the writer's DATA schema, like real Hudi — but only for the flat
+    // type matrix the avro bridge covers; readers fall back to footers
+    val schemaJson = scala.util.Try(
+      graft.log.SparkToAvro.toAvroSchema(data.schema, "graft_write_record").toString).toOption
+    val extra = schemaJson.map(s =>
+      s""","extraMetadata":{"schema":"${escape(s)}"}""").getOrElse("")
+    val opType = operation.toUpperCase(java.util.Locale.ROOT)
+    val body =
+      s"""{"partitionToWriteStats":$stats$rep$extra,"compacted":false,"operationType":"$opType"}"""
+    val out = fs.create(new Path(base, s".hoodie/$instant.$action"), true)
+    out.write(body.getBytes("UTF-8")); out.close()
+  }
+
+  private def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Millisecond-resolution timeline instant (v6's 17-digit form), strictly
+    * after the latest existing one — wall clock, bumped on collision like
+    * real Hudi's instant generation.
+    */
+  private def nextInstant(latest: Option[String]): String = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val now = fmt.format(java.time.Instant.now())
+    latest match {
+      case Some(l) if now <= l =>
+        val bumped = (normalizeTo17(l).toLong + 1).toString
+        bumped
+      case _ => now
+    }
+  }
+
+  private def normalizeTo17(ts: String): String =
+    if (ts.length >= 17) ts.take(17) else ts.padTo(17, '0')
+
+  /** Option resolution: upstream `hoodie.datasource.write.*` spellings
+    * with short aliases.
+    */
+  private final class Options(options: Map[String, String]) {
+    private val lower = options.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    private def get(keys: String*): Option[String] =
+      keys.iterator.flatMap(k => lower.get(k)).nextOption().map(_.trim).filter(_.nonEmpty)
+    def recordKeyField: Option[String] =
+      get("hoodie.datasource.write.recordkey.field", "recordkey.field").map { v =>
+        if (v.contains(",")) throw new UnsupportedOperationException(
+          s"hudi-graft: multi-field record keys ($v) are not supported by this writer")
+        v
+      }
+    def partitionPathField: Option[String] =
+      get("hoodie.datasource.write.partitionpath.field", "partitionpath.field")
+    def precombineField: Option[String] =
+      get("hoodie.datasource.write.precombine.field", "precombine.field")
+    def operation: String =
+      get("hoodie.datasource.write.operation", "operation").getOrElse("upsert")
+        .toLowerCase(java.util.Locale.ROOT)
+    def tableName(default: String): String =
+      get("hoodie.table.name").getOrElse(default)
+    def maxFileBytes: Long =
+      get("hoodie.parquet.max.file.size").map(_.toLong).getOrElse(120L << 20)
+  }
+}

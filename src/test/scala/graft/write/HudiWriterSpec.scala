@@ -1,0 +1,214 @@
+package graft.write
+
+import graft.SparkTestBase
+import graft.table.HudiTable
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** The COW write path: `df.write.format("hudi-graft")` roundtrips through
+  * this repo's own readers, upserts rewrite the matched groups with
+  * carried commit stamps, SaveModes behave, Overwrite is a replacecommit,
+  * and the written layout holds the real-Hudi invariants (instant triple,
+  * base-file naming, hoodie.properties keys, prevCommit on rewrites).
+  */
+class HudiWriterSpec extends SparkTestBase {
+
+  private def orders() = spark.read.parquet(s"$sfDir/orders.parquet")
+
+  private def fresh(name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"/root/repo/target/hudi-fixtures/$name")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    p.toString
+  }
+
+  private def writeOpts(df: DataFrame, extra: (String, String)*) = {
+    var w = df.write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.partitionpath.field", "o_orderpriority")
+      .option("hoodie.datasource.write.precombine.field", "o_custkey")
+      .option("hoodie.table.name", "writer_orders")
+    extra.foreach { case (k, v) => w = w.option(k, v) }
+    w
+  }
+
+  private def dataCols(df: DataFrame): DataFrame =
+    df.select(orders().columns.map(col).toIndexedSeq: _*)
+
+  test("insert roundtrip: snapshot equals the source through our own reader") {
+    val path = fresh("writer_insert")
+    writeOpts(orders(), "hoodie.datasource.write.operation" -> "insert")
+      .mode(SaveMode.ErrorIfExists).save(path)
+    val back = spark.read.format("hudi-graft").load(path)
+    assert(back.count() == orders().count())
+    assert(dataCols(back).exceptAll(orders()).isEmpty &&
+      orders().exceptAll(dataCols(back)).isEmpty, "roundtrip must be exact")
+    // meta columns: key is the bare field value, partition the field value
+    val r = back.filter(col("o_orderkey") === 1).head
+    assert(r.getAs[String]("_hoodie_record_key") == "1")
+    assert(r.getAs[String]("_hoodie_partition_path") == r.getAs[String]("o_orderpriority"))
+    assert(r.getAs[String]("_hoodie_file_name").endsWith(".parquet"))
+  }
+
+  test("upsert rewrites matched groups; carried rows keep their commit stamps") {
+    val path = fresh("writer_upsert")
+    writeOpts(orders()).mode(SaveMode.Append).save(path) // upsert on empty = insert
+    val t1 = HudiTable(spark, path).timeline.latestCommitTimestamp.get
+    val upd = orders().filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    writeOpts(upd).mode(SaveMode.Append).save(path)
+    val t = HudiTable(spark, path)
+    val Seq(c1, c2) = t.timeline.completedInstants.map(_.timestamp).distinct.sorted.toSeq
+    assert(c1 == t1 && c2 > c1)
+
+    val back = spark.read.format("hudi-graft").load(path)
+    assert(back.count() == orders().count(), "upsert must not duplicate keys")
+    val statuses = back.filter(col("o_orderkey") % 7 === 0)
+      .select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("U"))
+    // stamp preservation: only the %7 rows carry c2
+    val stamped = back.filter(col("_hoodie_commit_time") === c2).count()
+    assert(stamped == orders().filter(col("o_orderkey") % 7 === 0).count(),
+      s"only updated rows may carry $c2, got $stamped")
+    // incremental (c1, c2] sees exactly the updated rows
+    val inc = t.incremental(Some(c1), Some(c2))
+    assert(inc.count() == stamped)
+    assert(inc.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet ==
+      Set("U"))
+    // and the inferred CDC feed works over writer-produced metadata
+    val cdc = graft.sources.CdcRead.changes(spark, path, Some(c1), Some(c2))
+      .groupBy("op").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdc == Map("u" -> stamped), s"writer metadata must support CDC inference: $cdc")
+  }
+
+  test("written layout holds the real-Hudi v6 invariants") {
+    val path = fresh("writer_layout")
+    writeOpts(orders()).mode(SaveMode.Append).save(path)
+    writeOpts(orders().filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))).mode(SaveMode.Append).save(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    val hoodie = new org.apache.hadoop.fs.Path(path, ".hoodie")
+    val names = fs.listStatus(hoodie).map(_.getPath.getName).toSet
+    val t = HudiTable(spark, path)
+    val Seq(c1, c2) = t.timeline.completedInstants.map(_.timestamp).distinct.sorted.toSeq
+    // instant triple per commit, 17-digit millisecond instants
+    for (c <- Seq(c1, c2)) {
+      assert(c.matches("\\d{17}"), c)
+      assert(names.contains(s"$c.commit.requested") && names.contains(s"$c.commit.inflight") &&
+        names.contains(s"$c.commit"), s"instant triple for $c in $names")
+    }
+    // hoodie.properties carries the reader-contract keys
+    val props = new String(graft.util.ReadFully(fs,
+      new org.apache.hadoop.fs.Path(path, ".hoodie/hoodie.properties")), "UTF-8")
+    for (k <- Seq("hoodie.table.name=writer_orders", "hoodie.table.type=COPY_ON_WRITE",
+      "hoodie.table.version=6", "hoodie.table.recordkey.fields=o_orderkey",
+      "hoodie.table.precombine.field=o_custkey",
+      "hoodie.table.partition.fields=o_orderpriority",
+      "hoodie.table.keygenerator.class=org.apache.hudi.keygen.SimpleKeyGenerator"))
+      assert(props.contains(k), s"missing '$k' in:\n$props")
+    // base files: {uuid}-0_{token}_{instant}.parquet inside partition dirs
+    val slices = t.fsView.slicesAsOf(c2)
+    assert(slices.nonEmpty)
+    slices.foreach { sl =>
+      val bf = sl.baseFile.get
+      assert(bf.fileName.matches("[0-9a-f\\-]{36}-0_0-0-0_\\d{17}\\.parquet"), bf.fileName)
+      assert(sl.partitionPath.nonEmpty)
+    }
+    // rewritten groups record prevCommit = c1 (the version they built on)
+    val i2 = t.timeline.completedInstants.find(_.timestamp == c2).get
+    val prevs = t.timeline.touchedGroupsPrevCommit(i2)
+    assert(prevs.nonEmpty && prevs.values.forall(_.contains(c1)), prevs.toString)
+    // and numWrites/numUpdateWrites are real counts
+    val md = t.timeline.commitMetadata(i2)
+    val stats = md.path("partitionToWriteStats")
+    import scala.jdk.CollectionConverters._
+    // (.toSeq first: properties().asScala is a SET and equal per-partition
+    // counts would dedupe)
+    val upd = stats.properties().asScala.toSeq.flatMap(_.getValue.elements().asScala)
+      .map(_.path("numUpdateWrites").asLong(0)).sum
+    assert(upd == orders().filter(col("o_orderkey") % 7 === 0).count(), upd.toString)
+  }
+
+  test("SaveMode.ErrorIfExists refuses an existing table; Ignore no-ops") {
+    val path = fresh("writer_modes")
+    writeOpts(orders()).mode(SaveMode.Append).save(path)
+    val n = spark.read.format("hudi-graft").load(path).count()
+    intercept[Exception] {
+      writeOpts(orders()).mode(SaveMode.ErrorIfExists).save(path)
+    }
+    writeOpts(orders().limit(1)).mode(SaveMode.Ignore).save(path)
+    assert(spark.read.format("hudi-graft").load(path).count() == n,
+      "Ignore must not write")
+    assert(HudiTable(spark, path).timeline.completedInstants.size == 1)
+  }
+
+  test("SaveMode.Overwrite is an insert_overwrite_table REPLACECOMMIT") {
+    val path = fresh("writer_overwrite")
+    writeOpts(orders()).mode(SaveMode.Append).save(path)
+    val keep = orders().filter(col("o_orderkey") % 3 =!= 0)
+      .withColumn("o_orderstatus", lit("V"))
+    writeOpts(keep).mode(SaveMode.Overwrite).save(path)
+    val t = HudiTable(spark, path)
+    val actions = t.timeline.completedInstants.map(_.action).sorted.toSeq
+    assert(actions == Seq("commit", "replacecommit"), actions.toString)
+    val back = spark.read.format("hudi-graft").load(path)
+    assert(back.count() == keep.count())
+    assert(back.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet ==
+      Set("V"))
+    // replaced groups recorded → the old groups are R4-excluded, and the
+    // CDC inference can diff the overwrite
+    val Seq(c1, c2) = t.timeline.completedInstants.map(_.timestamp).distinct.sorted.toSeq
+    val cdc = graft.sources.CdcRead.changes(spark, path, Some(c1), Some(c2))
+      .groupBy("op").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dels = orders().filter(col("o_orderkey") % 3 === 0).count()
+    assert(cdc.getOrElse("d", 0L) == dels, s"overwrite deletes must surface: $cdc")
+  }
+
+  test("incoming duplicates deduplicate by the greatest precombine value") {
+    val path = fresh("writer_dedupe")
+    val dup = orders().limit(100)
+      .withColumn("o_custkey", lit(1L)).withColumn("o_orderstatus", lit("L"))
+      .unionByName(orders().limit(100)
+        .withColumn("o_custkey", lit(9L)).withColumn("o_orderstatus", lit("H")))
+    writeOpts(dup).mode(SaveMode.Append).save(path)
+    val back = spark.read.format("hudi-graft").load(path)
+    assert(back.count() == 100)
+    assert(back.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet ==
+      Set("H"), "greatest precombine must win")
+  }
+
+  test("unpartitioned write: files at the table root, empty partition path") {
+    val path = fresh("writer_unpart")
+    orders().limit(500).write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .mode(SaveMode.Append).save(path)
+    val back = spark.read.format("hudi-graft").load(path)
+    assert(back.count() == 500)
+    assert(back.select("_hoodie_partition_path").distinct().head.getString(0) == "")
+    val props = new String(graft.util.ReadFully(
+      org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path, ".hoodie/hoodie.properties")), "UTF-8")
+    assert(props.contains("NonpartitionedKeyGenerator"), props)
+  }
+
+  test("refusals: MOR target, multi-field keys, schema drift") {
+    val morPath = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val exMor = intercept[UnsupportedOperationException] {
+      writeOpts(orders()).mode(SaveMode.Append).save(morPath)
+    }
+    assert(exMor.getMessage.contains("MERGE_ON_READ"), exMor.getMessage)
+    val exKey = intercept[UnsupportedOperationException] {
+      orders().write.format("hudi-graft")
+        .option("hoodie.datasource.write.recordkey.field", "o_orderkey,o_custkey")
+        .mode(SaveMode.Append).save(fresh("writer_multikey"))
+    }
+    assert(exKey.getMessage.contains("multi-field"), exKey.getMessage)
+    val path = fresh("writer_drift")
+    writeOpts(orders()).mode(SaveMode.Append).save(path)
+    val exDrift = intercept[IllegalArgumentException] {
+      writeOpts(orders().withColumn("extra", lit(1))).mode(SaveMode.Append).save(path)
+    }
+    assert(exDrift.getMessage.contains("schema evolution"), exDrift.getMessage)
+  }
+}
