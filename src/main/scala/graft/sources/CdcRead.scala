@@ -176,10 +176,14 @@ object CdcRead {
       // ordering field, ... — configs Hudi writers do not persist); they
       // ride every delegated DSv2 read so an optioned HudiTable handle's
       // cdc() merges with the SAME semantics as its snapshot()
-      readOptions: Map[String, String] = Map.empty): DataFrame = {
-    val hudi =
+      readOptions: Map[String, String] = Map.empty,
+      // a pre-opened handle (the streaming source's memoized table): the
+      // caller guarantees it has seen every commit ≤ `end`, so planning
+      // skips the re-open (and its timeline-listing revalidation)
+      preOpened: Option[HudiTable] = None): DataFrame = {
+    val hudi = preOpened.getOrElse(
       if (readOptions.isEmpty) HudiTable(spark, basePath)
-      else HudiTable(spark, basePath, readOptions)
+      else HudiTable(spark, basePath, readOptions))
     if (!hudi.config.populatesMetaFields)
       throw new UnsupportedOperationException(
         "cdc: inference keys on _hoodie_record_key and stamps on _hoodie_commit_time, " +

@@ -94,6 +94,12 @@ object CommitAdmission {
         // end, so an earlier cut only over-counts (admits fewer bytes
         // than the cap, never more). Unattributable commits (no write
         // stats) charge zero — fail-open, the count cap still bounds them.
+        // Known pacing skew (deliberate, safe direction): a commit that
+        // touched a group when it was SMALL is charged the group's later,
+        // larger as-of-end size, so batches on growing file groups can
+        // admit well under the configured bytes. If pacing precision ever
+        // matters, charge each commit its own write stats' totalWriteBytes
+        // instead — exact per-commit bytes, same single metadata pass.
         val sizes: Map[(String, String), Long] =
           t.fsView.slicesBetween(startOpt, capped.last._1)
             .iterator.map(sl => (sl.partitionPath, sl.fileId) -> sl.totalSize).toMap

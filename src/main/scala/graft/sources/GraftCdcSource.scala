@@ -60,13 +60,25 @@ class GraftCdcSource(
   private val readOptions: Map[String, String] =
     GraftCdcSource.stripSelectors(options)
 
-  private def freshTable: HudiTable =
-    if (readOptions.isEmpty) HudiTable(spark, basePath)
-    else HudiTable(spark, basePath, readOptions)
+  /** The memoized handle every planning step reads from. `freshTable`
+    * refreshes it (one timeline-listing revalidation — the POLL a
+    * continuous trigger must pay to see new commits); Trigger.AvailableNow
+    * drains never refresh after the pin, because every commit ≤ the
+    * pinned target was already visible to the pinning handle — a long
+    * drain's latestOffset calls plan with ZERO further listings
+    * (counter-asserted in GraftCdcStreamSpec).
+    */
+  @volatile private var memoTable: HudiTable = _
 
-  // one handle for everything resolved at construction (tz, schema) —
-  // the open-table cache makes repeat opens cheap, but not free (each
-  // revalidates with a timeline listing)
+  private def freshTable: HudiTable = {
+    val t =
+      if (readOptions.isEmpty) HudiTable(spark, basePath)
+      else HudiTable(spark, basePath, readOptions)
+    memoTable = t
+    t
+  }
+
+  // one handle for everything resolved at construction (tz, schema)
   private val tableAtStart = freshTable
 
   private val tz = tableAtStart.config.timelineTimezone
@@ -108,7 +120,10 @@ class GraftCdcSource(
       Some(freshTable.timeline.latestCommitTimestamp.getOrElse(earliest))
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    lazy val t = freshTable
+    // under an AvailableNow pin the target is immutable and the pinning
+    // handle saw every commit ≤ it — reuse it, no relisting; continuous
+    // triggers refresh (the poll that observes new commits)
+    lazy val t = if (availableNowTarget.isDefined) memoTable else freshTable
     val target = availableNowTarget.getOrElse(
       t.timeline.latestCommitTimestamp.getOrElse(earliest))
     // the engine passes NULL start on a V1 source's first micro-batch
@@ -134,9 +149,23 @@ class GraftCdcSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val s = start.map(_.json()).orElse(startTs).filterNot(_ == earliest)
+    // the memoized handle has seen every commit ≤ `end` by construction:
+    // `end` came from a latestOffset over it (or, on restart replay, was
+    // committed before this source was constructed)
+    val t = memoTable
+    // schema pinned at construction vs the live table: a mid-stream
+    // evolution would otherwise surface as an opaque MicroBatchExecution
+    // output-size assertion — refuse descriptively instead
+    val live = CdcRead.cdcSchema(t)
+    if (live != schema)
+      throw new IllegalStateException(
+        "hudi-graft cdc stream: the table schema changed mid-stream — the query was " +
+          s"planned over $schema but the table now serves $live; restart the query to " +
+          "pick up the new schema")
     // an equal-or-inverted range (offset replay on restart) plans an
     // empty commit list inside changes() and yields an empty batch
-    val batch = CdcRead.changes(spark, basePath, s, Some(end.json()), readOptions)
+    val batch = CdcRead.changes(spark, basePath, s, Some(end.json()), readOptions,
+      preOpened = Some(t))
     GraftSqlShim.asStreamingBatch(spark, batch)
   }
 

@@ -662,6 +662,12 @@ object HudiTable {
     }
   }
 
+  /** Fingerprint listings taken (one `listStatus` of the timeline dir
+    * each) — the per-open revalidation cost. Counter-asserted by specs
+    * that bound a streaming drain's planning IO.
+    */
+  val fingerprintListings = new java.util.concurrent.atomic.AtomicLong
+
   /** (name, length, mtime) of every file in the active timeline dir plus
     * hoodie.properties — instant files are immutable by contract, so this
     * changes iff the table changed. Empty-string sentinel on any IO error
@@ -669,6 +675,7 @@ object HudiTable {
     */
   private def fingerprint(t: HudiTable): String =
     try {
+      fingerprintListings.incrementAndGet()
       val fs = t.timeline.dir.getFileSystem(t.hadoopConf)
       val entries =
         if (!fs.exists(t.timeline.dir)) Vector.empty

@@ -15,13 +15,23 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 object GraftSqlShim {
 
   /** Re-plan `batch` (any batch DataFrame — joins, unions, aggregates)
-    * as an `isStreaming = true` DataFrame over its physical RDD. Note on
-    * eagerness: under AQE, `toRdd` reaches AdaptiveSparkPlanExec.execute,
-    * which submits and awaits the query's SHUFFLE stages right here on
-    * the calling (streaming driver) thread — so a CDC batch's join work
-    * largely runs during batch planning, with only the final stage
-    * executing when the sink pulls the RDD. Correctness is unaffected;
-    * it just shifts where trigger latency is accounted.
+    * as an `isStreaming = true` DataFrame over its physical RDD.
+    *
+    * LATENCY ACCOUNTING (deliberate, kept after evaluation): under AQE,
+    * `toRdd` reaches AdaptiveSparkPlanExec.execute, which submits and
+    * awaits the query's SHUFFLE stages right here on the calling
+    * (streaming driver) thread — so a CDC batch's join work largely runs
+    * during `getBatch` (reported as trigger "planning"/addBatch setup),
+    * with only the final stage executing when the sink pulls the RDD.
+    * Correctness is unaffected; per-batch wall-clock is unchanged (the
+    * work happens exactly once either way); only the ATTRIBUTION inside
+    * StreamingQueryProgress shifts (latestOffset/getBatch instead of the
+    * sink's addBatch). The lazy alternative — wrapping the logical plan
+    * in a deferred LogicalRDD — would hand MicroBatchExecution an
+    * unresolved AQE plan whose row-count/metrics assertions fire before
+    * materialization; Delta's DeltaSource accepts the same trade for its
+    * join-shaped batches. Revisit only if per-phase streaming-lag metrics
+    * are ever exported from this source.
     */
   def asStreamingBatch(spark: SparkSession, batch: DataFrame): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
