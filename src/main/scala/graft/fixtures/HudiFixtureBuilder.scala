@@ -83,7 +83,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v31")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v32")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -1024,7 +1024,8 @@ object HudiFixtureBuilder {
     writeProperties(fs, base, "cow_sidx_orders", "COPY_ON_WRITE", None, hiveStyle = false,
       extraProps = "hoodie.table.metadata.partitions=" +
         "record_index,secondary_index_status_idx,secondary_index_cust_idx," +
-        "secondary_index_dec_idx,secondary_index_dbl_idx,secondary_index_ts_idx\n")
+        "secondary_index_dec_idx,secondary_index_dbl_idx,secondary_index_ts_idx," +
+        "secondary_index_flt_idx\n")
     writeText(fs, new Path(base, ".hoodie/.index_defs/index.json"),
       """{"indexDefinitions":{"secondary_index_status_idx":{
         |"indexName":"secondary_index_status_idx","indexType":"secondary_index",
@@ -1040,7 +1041,10 @@ object HudiFixtureBuilder {
         |"indexFunction":"identity","sourceFields":["o_dblrate"],"indexOptions":{}},
         |"secondary_index_ts_idx":{
         |"indexName":"secondary_index_ts_idx","indexType":"secondary_index",
-        |"indexFunction":"identity","sourceFields":["o_tsmicros"],"indexOptions":{}}}}
+        |"indexFunction":"identity","sourceFields":["o_tsmicros"],"indexOptions":{}},
+        |"secondary_index_flt_idx":{
+        |"indexName":"secondary_index_flt_idx","indexType":"secondary_index",
+        |"indexFunction":"identity","sourceFields":["o_fltrate"],"indexOptions":{}}}}
         |""".stripMargin.replaceAll("\n", ""))
     // a DECIMAL(14,2) column derived integer-exactly from the key (a
     // string-parse cast, no float rounding — the same value is
@@ -1059,6 +1063,12 @@ object HudiFixtureBuilder {
       // magnitude-unambiguous for classifyTimestampKeys
       .withColumn("o_tsmicros",
         timestamp_micros(lit(1704067200000000L) + col("o_orderkey") * lit(1000000L)))
+      // a FLOAT32 column (key/10 at float precision) whose renderings
+      // include BOTH a value-family witness ("0.1" — not the widened
+      // double's digits) and a ".0" whole number — the evidence
+      // classifyFloatKeys needs to pin float-precision rendering
+      .withColumn("o_fltrate",
+        (col("o_orderkey") / lit(10.0d)).cast(org.apache.spark.sql.types.FloatType))
     val src = src0.withColumn("__part", lit(""))
     val statuses = src0.select("o_orderstatus").distinct()
       .collect().map(_.getString(0)).sorted
@@ -1216,6 +1226,30 @@ object HudiFixtureBuilder {
       new Path(tsDir, s"secondary-index-ts-idx-0000-0_${Token}_$T1.hfile"), true)
     tsOut.write(tsBytes)
     tsOut.close()
+
+    // a SIXTH index on the FLOAT32 o_fltrate — keys are the writer's
+    // Java-canonical `Float.toString` (float PRECISION, not the widened
+    // double): fractional entries like "0.1" are the value-family
+    // witness and whole numbers keep ".0", the evidence
+    // detectFloatRendering demands before any probe
+    val keyFlt = src0.select("o_orderkey", "o_fltrate").collect()
+      .map(r => (r.getLong(0).toString, r.getFloat(1)))
+    val flDir = new Path(mdt, "secondary_index_flt_idx")
+    fs.mkdirs(flDir)
+    val flRecords = keyFlt
+      .map { case (k, fv) =>
+        val key = s"${esc(java.lang.Float.toString(fv))}$$${esc(k)}"
+        key -> secondaryIndexBytes(key)
+      }
+      .sortBy(_._1).toIndexedSeq
+    val flBytes = graft.hfile.HFileWriter.write(
+      flRecords,
+      Map("schema" -> secondaryIndexAvroSchema.toString.getBytes("UTF-8")),
+      recordsPerBlock = 64)
+    val flOut = fs.create(
+      new Path(flDir, s"secondary-index-flt-idx-0000-0_${Token}_$T1.hfile"), true)
+    flOut.write(flBytes)
+    flOut.close()
   }
 
   /** HoodieMetadataRecord with the `SecondaryIndexMetadata` branch (type

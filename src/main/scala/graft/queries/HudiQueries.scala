@@ -1231,6 +1231,28 @@ object HudiQueries {
         |WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // FLOAT32-typed secondary index at oracle level (r14 — the tier r13
+    // left fail-open): the fixture's secondary_index_flt_idx keys are
+    // Java `Float.toString` at FLOAT precision; the planner must pin the
+    // value family from witnesses among the sampled entries ("0.1" is a
+    // float-precision rendering — the widened double would store
+    // "0.10000000149011612") before rendering the literal. The probed
+    // value 0.1f is itself the discriminating kind: a planner that
+    // widened it before rendering would probe the wrong digits, plan
+    // EMPTY, and hash-fail here.
+    "hudi_secondary_float_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val k = Tables.orders(s, d).agg(min(col("o_orderkey"))).head.getLong(0) + 1
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.sidxPath(d))
+          .filter(col("o_fltrate") === lit((k / 10.0d).toFloat))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey = (SELECT MIN(o_orderkey) + 1 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // --- Inspection surface (the reference's get_file_slices /
     // get_timeline, table/mod.rs:441/422) at oracle level: the planned
     // slices and completed instants of the deterministic fixtures match

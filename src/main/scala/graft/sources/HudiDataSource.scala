@@ -1251,8 +1251,11 @@ object GraftScan {
       // r12: doubles and timestamps qualify via per-index rendering
       // detection (witness-backed Java-canonical / magnitude-unambiguous
       // epoch-micros — SecondaryIndex.classify{Double,Timestamp}Keys);
-      // an undetectable rendering drops the tier, never the rows
-      case DoubleType | TimestampType => true
+      // an undetectable rendering drops the tier, never the rows.
+      // r14: float32 joins via the two-axis witness scheme (float-
+      // precision vs double-widened value families, then the double
+      // format families — SecondaryIndex.classifyFloatKeys)
+      case DoubleType | TimestampType | FloatType => true
       case _ => false
     }
   }
@@ -1561,10 +1564,17 @@ class GraftScan(
                 graft.table.SecondaryIndex.detectTimestampRendering(
                   hudi.basePath, idx, hudi.hadoopConf, tierAsOf)
               else None
+            // float32 keys: value-family witness (float-precision vs
+            // double-widened) then format family — r14
+            val floatRendering =
+              if (dt == org.apache.spark.sql.types.FloatType)
+                graft.table.SecondaryIndex.detectFloatRendering(
+                  hudi.basePath, idx, hudi.hadoopConf, tierAsOf)
+              else None
             val rendered = f.values.indices.map(i =>
               graft.table.SecondaryIndex.renderLiteral(
                 dt, f.values(i), f.typed.lift(i), dateRendering, decimalScale,
-                doubleRendering, tsRendering))
+                doubleRendering, tsRendering, floatRendering))
             if (rendered.exists(_.isEmpty)) None
             else {
               // ±0.0 compare equal under Spark but render differently:

@@ -309,10 +309,106 @@ object SecondaryIndex {
     */
   def probeSpellings(dt: org.apache.spark.sql.types.DataType, rendered: String): Seq[String] =
     dt match {
-      case org.apache.spark.sql.types.DoubleType
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType
           if rendered == "0.0" || rendered == "-0.0" => Seq("0.0", "-0.0")
       case _ => Seq(rendered)
     }
+
+  /** Float32-key rendering verdicts (r14 — the tier r13 left fail-open).
+    * A FloatType column's stored key splits across writer families on a
+    * VALUE axis before any format question: FLOAT-precision renderers
+    * emit the 24-bit value's shortest digits (Java `Float.toString`,
+    * Rust f32 `{}`/`{:?}`: "0.1"), while WIDENED renderers pass the
+    * float through a double first (Python `str`, engines with
+    * double-only row models: "0.10000000149011612"). The two value
+    * families are separable by witness exactly like the double FORMAT
+    * families were: a sample that round-trips `Float.toString` but not
+    * the widened `Double.toString` pins float precision ("0.1"); the
+    * reverse pins widening ("0.10000000149011612" — not a canonical
+    * float rendering); both present → inconsistent index, fail open.
+    *
+    *  - [[JavaFloatProven]]: float-precision pinned AND an uppercase-`E`
+    *    sample (only Java's float renderer produces "1.4E-45"; Rust
+    *    emits lowercase) → any literal probes via `Float.toString`;
+    *  - [[FloatPlain]]: float-precision pinned by a fractional witness
+    *    and a ".0" whole-number sample (excluding bare shortest-decimal
+    *    writers that store "8" for 8.0f) — Java and Rust agree on
+    *    shortest digits throughout the plain region, so plain
+    *    digit-minimal literals probe;
+    *  - [[WidenedFloat]]: widening pinned; the remaining question IS the
+    *    double-rendering family question, so the inner verdict reuses
+    *    [[classifyDoubleKeys]]'s evidence over the same samples and the
+    *    probe renders `Double.toString(f.toDouble)` inside the inner
+    *    verdict's envelope;
+    *  - [[FloatAgreementPlain]]: no value witness (every sample sits in
+    *    the region where float and widened digits coincide) but a ".0"
+    *    sample excludes bare writers — only literals whose OWN float and
+    *    widened renderings agree may probe (both families store the same
+    *    key for them); anything else fails open.
+    */
+  sealed trait FloatRendering
+  case object JavaFloatProven extends FloatRendering
+  case object FloatPlain extends FloatRendering
+  final case class WidenedFloat(inner: DoubleRendering) extends FloatRendering
+  case object FloatAgreementPlain extends FloatRendering
+
+  /** Classify sampled float32 key parts per [[FloatRendering]]. Every
+    * sample must be canonical under at least one family; the verdict
+    * follows the witnesses present. No ".0" witness in the unproven
+    * tiers, a mixed-witness sample set, or any non-canonical sample
+    * (bare "8", foreign NaN spellings) → fail open.
+    */
+  def classifyFloatKeys(parts: Iterator[String], maxSample: Int = 16): Option[FloatRendering] = {
+    def floatCanonical(s: String): Boolean =
+      try java.lang.Float.toString(java.lang.Float.parseFloat(s)) == s
+      catch { case _: NumberFormatException => false }
+    def widenedCanonical(s: String): Boolean =
+      try {
+        val d = java.lang.Double.parseDouble(s)
+        // the digits must be double-canonical AND name a value a float
+        // column can hold (the widening of some float32)
+        java.lang.Double.toString(d) == s && d == java.lang.Float.parseFloat(s).toDouble
+      } catch { case _: NumberFormatException => false }
+    val sampled = parts.filter(_.nonEmpty).take(maxSample).toVector
+    if (sampled.isEmpty ||
+      !sampled.forall(s => floatCanonical(s) || widenedCanonical(s))) return None
+    val wF = sampled.exists(s => floatCanonical(s) && !widenedCanonical(s))
+    val wD = sampled.exists(s => widenedCanonical(s) && !floatCanonical(s))
+    val dotZero = sampled.exists(_.endsWith(".0"))
+    (wF, wD) match {
+      case (true, true) => None
+      case (true, false) =>
+        if (sampled.exists(_.contains("E"))) Some(JavaFloatProven)
+        else if (dotZero) Some(FloatPlain)
+        else None
+      case (false, true) => classifyDoubleKeys(sampled.iterator).map(WidenedFloat)
+      case (false, false) => if (dotZero) Some(FloatAgreementPlain) else None
+    }
+  }
+
+  /** [[isShortestPlainDouble]] one tier down: is `rendered` the shortest
+    * digit string that round-trips to float `v`? (Java before 19 can
+    * emit one excess digit for floats too — same JDK-4511638 family.)
+    */
+  private[table] def isShortestPlainFloat(v: Float, rendered: String): Boolean = {
+    val digits = rendered.replace("-", "").replace(".", "")
+      .dropWhile(_ == '0').reverse.dropWhile(_ == '0').reverse
+    val n = math.max(digits.length, 1)
+    n == 1 || {
+      val shorter = String.format(java.util.Locale.ROOT, s"%.${n - 2}e", Float.box(v))
+      java.lang.Float.parseFloat(shorter) != v
+    }
+  }
+
+  def detectFloatRendering(
+      dataTableBase: String,
+      indexPartition: String,
+      hadoopConf: Configuration,
+      asOf: Option[String] = None): Option[FloatRendering] =
+    detectRendering(dataTableBase, indexPartition, hadoopConf, asOf, floatMemo)(
+      classifyFloatKeys(_))
+
+  private val floatMemo = new BoundedMemo[(String, String, String), Option[FloatRendering]](64)
 
   def detectDoubleRendering(
       dataTableBase: String,
@@ -406,7 +502,8 @@ object SecondaryIndex {
       dateRendering: Option[DateRendering] = None,
       decimalScale: Option[Int] = None,
       doubleRendering: Option[DoubleRendering] = None,
-      timestampRendering: Option[TimestampRendering] = None): Option[String] = {
+      timestampRendering: Option[TimestampRendering] = None,
+      floatRendering: Option[FloatRendering] = None): Option[String] = {
     import org.apache.spark.sql.types._
     dt match {
       case StringType => Some(raw)
@@ -462,6 +559,36 @@ object SecondaryIndex {
             // anything else fails open
             case (d, r) if java.lang.Double.isFinite(d) && !r.contains("E") &&
                 isShortestPlainDouble(d, r) => r
+          }
+        }
+      case FloatType =>
+        floatRendering.flatMap { verdict =>
+          val v: Option[Float] = typed match {
+            case Some(f: java.lang.Float) => Some(f.floatValue)
+            case _ => raw.toFloatOption
+          }
+          v.flatMap { f =>
+            val rf = java.lang.Float.toString(f)
+            verdict match {
+              case JavaFloatProven => Some(rf)
+              case FloatPlain if java.lang.Float.isFinite(f) && !rf.contains("E") &&
+                  isShortestPlainFloat(f, rf) => Some(rf)
+              case WidenedFloat(inner) =>
+                val d = f.toDouble
+                val rd = java.lang.Double.toString(d)
+                inner match {
+                  case JavaDoubleProven => Some(rd)
+                  case JavaDoublePlain if java.lang.Double.isFinite(d) &&
+                      !rd.contains("E") && isShortestPlainDouble(d, rd) => Some(rd)
+                  case _ => None
+                }
+              // agreement tier: both families store the SAME key for this
+              // literal, so the probe is family-independent
+              case FloatAgreementPlain if java.lang.Float.isFinite(f) &&
+                  !rf.contains("E") && rf == java.lang.Double.toString(f.toDouble) &&
+                  isShortestPlainFloat(f, rf) => Some(rf)
+              case _ => None
+            }
           }
         }
       case TimestampType =>

@@ -136,14 +136,14 @@ class SecondaryIndexSpec extends SparkTestBase {
   test("secondary-index planning is gated to exactly the canonicalizable types") {
     // Eligible = types SecondaryIndex.renderLiteral canonicalizes
     // exactly (string, integrals always; date/decimal/double/timestamp
-    // behind per-index rendering detection — r12 added the last two).
-    // Floats (toString digits differ from the double widening, no
-    // witness scheme) and booleans stay on the full (fail-open) plan.
+    // behind per-index rendering detection — r12 added those two,
+    // r14 added float32 via the two-axis witness scheme). Booleans
+    // stay on the full (fail-open) plan.
     import org.apache.spark.sql.types._
     for (dt <- Seq(StringType, IntegerType, LongType, ShortType, ByteType, DateType,
-        DecimalType(10, 2), DoubleType, TimestampType))
+        DecimalType(10, 2), DoubleType, TimestampType, FloatType))
       assert(graft.sources.GraftScan.secondaryIndexEligible(dt), s"$dt must be eligible")
-    for (dt <- Seq(FloatType, BooleanType))
+    for (dt <- Seq(BooleanType))
       assert(!graft.sources.GraftScan.secondaryIndexEligible(dt), s"$dt must not be eligible")
     // the canonical renderings themselves
     import graft.table.SecondaryIndex
@@ -307,6 +307,89 @@ class SecondaryIndexSpec extends SparkTestBase {
     // roundtrip needs is rejected (the JDK<19 excess-digit shape —
     // synthetic here, since this JDK renders these values minimally)
     assert(!isShortestPlainDouble(0.5d, "0.50000000000000000000001"))
+  }
+
+  test("float32-key classification: two-axis witnesses (value family, then format)") {
+    import graft.table.SecondaryIndex._
+    // "0.1" is float-canonical but NOT the widened double's digits
+    // ("0.10000000149011612") — a VALUE-family witness; "0.0" is the
+    // ".0" whole-number witness ruling out bare shortest writers →
+    // float precision pinned, plain envelope
+    assert(classifyFloatKeys(Iterator("0.1", "0.0", "0.5")).contains(FloatPlain))
+    // an uppercase-E sample pins Java's float renderer outright
+    assert(classifyFloatKeys(Iterator("1.4E-45", "0.1")).contains(JavaFloatProven))
+    // widened-only digits pin the widening; the format question then
+    // delegates to the double families (".0" present → plain)
+    assert(classifyFloatKeys(Iterator("0.10000000149011612", "8.0"))
+      .contains(WidenedFloat(JavaDoublePlain)))
+    // (the E-form sample must be the WIDENED rendering's digits —
+    // "1.0E20" itself is only producible at float precision and would
+    // be an F-witness)
+    assert(classifyFloatKeys(Iterator("0.10000000149011612",
+      java.lang.Double.toString(1e20f.toDouble)))
+      .contains(WidenedFloat(JavaDoubleProven)))
+    // agreement-only samples (digits identical in both families) keep
+    // the family unknown: ".0" present → agreement tier, absent → open
+    assert(classifyFloatKeys(Iterator("0.5", "8.0", "1.25")).contains(FloatAgreementPlain))
+    assert(classifyFloatKeys(Iterator("0.5", "1.25")).isEmpty)
+    // mixed value-family witnesses = inconsistent index → fail open
+    assert(classifyFloatKeys(Iterator("0.1", "0.10000000149011612")).isEmpty)
+    // bare shortest ("8"), junk, empty → fail open
+    assert(classifyFloatKeys(Iterator("8", "8.0", "0.5")).isEmpty)
+    assert(classifyFloatKeys(Iterator("abc", "8.0")).isEmpty)
+    assert(classifyFloatKeys(Iterator.empty).isEmpty)
+
+    // rendering envelopes
+    import org.apache.spark.sql.types.FloatType
+    def render(f: Float, v: FloatRendering) =
+      renderLiteral(FloatType, f.toString, Some(Float.box(f)), floatRendering = Some(v))
+    // float-precision plain: shortest float digits, even family-
+    // discriminating ones
+    assert(render(0.1f, FloatPlain) == Some("0.1"))
+    assert(render(8f, FloatPlain) == Some("8.0"))
+    // exponent forms need the proven verdict
+    assert(render(1e20f, FloatPlain).isEmpty)
+    assert(render(1e20f, JavaFloatProven) == Some("1.0E20"))
+    // widened: Double.toString of the widening, inside the inner envelope
+    assert(render(0.1f, WidenedFloat(JavaDoublePlain)) == Some("0.10000000149011612"))
+    assert(render(8f, WidenedFloat(JavaDoublePlain)) == Some("8.0"))
+    assert(render(1e20f, WidenedFloat(JavaDoublePlain)).isEmpty)
+    assert(render(1e20f, WidenedFloat(JavaDoubleProven)) ==
+      Some(java.lang.Double.toString(1e20f.toDouble)))
+    // agreement tier: only literals whose OWN renderings coincide probe
+    assert(render(0.5f, FloatAgreementPlain) == Some("0.5"))
+    assert(render(8f, FloatAgreementPlain) == Some("8.0"))
+    assert(render(0.1f, FloatAgreementPlain).isEmpty, "families disagree on 0.1f")
+    // non-finite never probes outside a proven family
+    assert(render(Float.NaN, FloatPlain).isEmpty)
+    assert(render(Float.PositiveInfinity, FloatAgreementPlain).isEmpty)
+    // signed zero probes both index spellings
+    assert(probeSpellings(FloatType, "0.0").toSet == Set("0.0", "-0.0"))
+    // no verdict → never renders
+    assert(renderLiteral(FloatType, "0.5", Some(Float.box(0.5f))).isEmpty)
+  }
+
+  test("float-indexed column detects float-precision rendering and plans through it") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val path = graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir)
+    val k = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(org.apache.spark.sql.functions.min(col("o_orderkey"))).head.getLong(0) + 1
+    // the probed value is family-DISCRIMINATING (0.1f): a planner that
+    // widened before rendering would probe the wrong digits, plan empty,
+    // and lose the row
+    val df = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_fltrate") === org.apache.spark.sql.functions.lit((k / 10.0d).toFloat))
+      .select("o_orderkey", "o_fltrate")
+    assert(df.queryExecution.executedPlan.toString().contains("1 slices"),
+      s"float index must plan one group: ${df.queryExecution.executedPlan}")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == k &&
+      rows.head.getFloat(1) == (k / 10.0d).toFloat)
+    // an absent float plans zero slices
+    val none = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_fltrate") === org.apache.spark.sql.functions.lit(0.05f))
+    assert(none.queryExecution.executedPlan.toString().contains("0 slices"))
+    assert(none.count() == 0)
   }
 
   test("timestamp-key classification demands magnitude-unambiguous micros") {
