@@ -137,6 +137,15 @@ object HudiWriter {
     if (!exists)
       writeTableProperties(fs, base, opts, keyField, partField, precombine)
 
+    // supplemental CDC logging: sidecars are emitted for REWRITTEN groups
+    // when the table carries hoodie.table.cdc.enabled with
+    // data_before_after mode (create-time option or existing table
+    // config); fresh groups need none (readers serve them one-sided),
+    // and replacecommits follow upstream (inference diffs them)
+    val cdcEnabled = existing.map(_.config)
+      .map(c => c.cdcEnabled && c.cdcSupplementalLoggingMode == "data_before_after")
+      .getOrElse(opts.cdcEnabled)
+
     // ---- key/partition assignment (SimpleKeyGenerator rendering) --------
     val hiveSentinel = "__HIVE_DEFAULT_PARTITION__"
     val partExpr = partField
@@ -156,21 +165,25 @@ object HudiWriter {
       .persist()
 
     try {
-      val (staged, updateCounts, replaced, prevCommits) = operation match {
+      val noCdc = Map.empty[String, (String, Long)]
+      val (staged, updateCounts, replaced, prevCommits, cdcFiles) = operation match {
         case "insert" | "bulk_insert" =>
           (routeFresh(keyed, instant, opts), Map.empty[String, Long],
-            Map.empty[String, Set[String]], Map.empty[String, String])
+            Map.empty[String, Set[String]], Map.empty[String, String], noCdc)
         case "insert_overwrite_table" =>
           val rep = existing.map(_.fsView.slicesAsOf(instant)
             .groupBy(_.partitionPath).view.mapValues(_.map(_.fileId).toSet).toMap)
             .getOrElse(Map.empty)
           (routeFresh(keyed, instant, opts), Map.empty[String, Long], rep,
-            Map.empty[String, String])
+            Map.empty[String, String], noCdc)
         case "upsert" =>
           existing match {
             case None => (routeFresh(keyed, instant, opts), Map.empty[String, Long],
-              Map.empty[String, Set[String]], Map.empty[String, String])
-            case Some(t) => routeUpsert(spark, basePath, t, keyed, instant, opts)
+              Map.empty[String, Set[String]], Map.empty[String, String], noCdc)
+            case Some(t) =>
+              val (st, upd, rep, prev, cdc) =
+                routeUpsert(spark, basePath, t, keyed, instant, opts, cdcEnabled)
+              (st, upd, rep, prev, cdc)
           }
         case other =>
           throw new IllegalArgumentException(
@@ -180,7 +193,7 @@ object HudiWriter {
 
       val files = writeStaged(spark, fs, base, staged, instant)
       writeTimeline(fs, base, instant, operation, files, updateCounts, replaced,
-        prevCommits, data)
+        prevCommits, cdcFiles, data)
       Seq(instant)
     } finally keyed.unpersist()
   }
@@ -214,7 +227,12 @@ object HudiWriter {
     * rewrite matched groups (carried rows keep their commit stamps,
     * incoming rows win and stamp the new instant), hash-route unmatched
     * keys to fresh groups. Returns (staged rows, per-fid update counts,
-    * no replacements, per-fid prevCommit).
+    * no replacements, per-fid prevCommit, per-fid cdc sidecar). With
+    * `cdcEnabled`, each rewritten group also gets a `-cdc` sidecar log
+    * file holding the exact (before, after) images of its updates —
+    * written DISTRIBUTED (one task buffers at most its groups' change
+    * volume), so CDC readers later serve this commit with IO
+    * proportional to the cdc bytes and past the cleaner horizon.
     */
   private def routeUpsert(
       spark: SparkSession,
@@ -222,8 +240,10 @@ object HudiWriter {
       t: HudiTable,
       keyed: DataFrame,
       instant: String,
-      opts: Options
-  ): (DataFrame, Map[String, Long], Map[String, Set[String]], Map[String, String]) = {
+      opts: Options,
+      cdcEnabled: Boolean
+  ): (DataFrame, Map[String, Long], Map[String, Set[String]], Map[String, String],
+      Map[String, (String, Long)]) = {
     val snap = spark.read.format("hudi-graft").load(basePath)
     val index = snap.select(
       col(MetaField.RecordKey).as("__key"),
@@ -239,7 +259,7 @@ object HudiWriter {
       val freshPart = routeFresh(routed.filter(col("__fid").isNull).drop("__fid"),
         instant, opts)
       if (touched.isEmpty)
-        return (freshPart, Map.empty, Map.empty, Map.empty)
+        return (freshPart, Map.empty, Map.empty, Map.empty, Map.empty)
 
       // prevCommit per rewritten group = the base instant of the slice
       // being rewritten (the metadata CDC's savepoint guard verifies)
@@ -266,8 +286,65 @@ object HudiWriter {
       val fresh = freshPart
         .select((dataCols.map(col) ++ Seq(col("__key"), col("__part"), col("__fid"),
           col(MetaField.CommitTime))): _*)
-      (carried.unionByName(updated).unionByName(fresh), perFid, Map.empty, prevCommits)
+      val sidecars =
+        if (!cdcEnabled) Map.empty[String, (String, Long)]
+        else writeCdcSidecars(spark, basePath, stored, matched, dataCols, instant)
+      (carried.unionByName(updated).unionByName(fresh), perFid, Map.empty, prevCommits,
+        sidecars)
     } finally routed.unpersist()
+  }
+
+  /** Distributed `-cdc` sidecar emission for an upsert's rewritten
+    * groups: (before = the stored row being replaced, after = the
+    * incoming winner) image pairs repartition by file group; each task
+    * writes one log file per group it holds (buffering bounded by the
+    * group's CHANGE volume, never table size) with a single CdcData
+    * block, and the driver collects only (fileId → path, bytes) for the
+    * commit metadata's cdcStats. Fresh-key inserts route to new groups
+    * and need no images (readers serve them one-sided from the base
+    * file); upserts produce no deletes.
+    */
+  private def writeCdcSidecars(
+      spark: SparkSession,
+      basePath: String,
+      stored: DataFrame,
+      matched: DataFrame,
+      dataCols: Array[String],
+      instant: String): Map[String, (String, Long)] = {
+    val b = stored.select(col("__key"), col("__part"), col("__fid"),
+      struct(dataCols.map(col).toIndexedSeq: _*).as("__before"))
+    val a = matched.select(col("__key"), col("__part"),
+      struct(dataCols.map(col).toIndexedSeq: _*).as("__after"))
+    val images = b.join(a, Seq("__key", "__part"), "inner")
+      .select(col("__fid"), col("__part"), col("__before"), col("__after"))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      images.schema("__before").dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
+    val schemaJson = dataSchema.json
+    val conf = new graft.util.SerializableConf(
+      spark.sessionState.newHadoopConf())
+    val tsMs = graft.core.Timestamps.timelineToEpochMillis(instant).toString
+    val token = Token
+    val entries = images.repartition(col("__fid")).rdd.mapPartitions { it =>
+      val target = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val cdcAvro = graft.log.SparkToAvro.cdcAvroSchema(target, "graft_write_record")
+      val byFid = it.toVector.groupBy(r => (r.getString(0), r.getString(1)))
+      byFid.iterator.map { case ((fid, part), rows) =>
+        val recs = rows.sortBy(_.getStruct(2).toString).map { r =>
+          graft.log.SparkToAvro.cdcRecord(cdcAvro, target, "u", tsMs,
+            Some(r.getStruct(2)), Some(r.getStruct(3)))
+        }
+        val name = s".${fid}_$instant.log.1_$token${graft.fs.LogFile.CdcSuffix}"
+        val dir = if (part.isEmpty) new Path(basePath) else new Path(basePath, part)
+        val fs = dir.getFileSystem(conf.value)
+        val out = new java.io.DataOutputStream(fs.create(new Path(dir, name), true))
+        try graft.log.LogFileWriter.cdcDataBlock(out, instant, cdcAvro, recs)
+        finally out.close()
+        val rel = if (part.isEmpty) name else s"$part/$name"
+        (fid, rel, fs.getFileStatus(new Path(dir, name)).getLen)
+      }
+    }.collect()
+    entries.map { case (fid, rel, len) => fid -> (rel, len) }.toMap
   }
 
   // ---- physical write -------------------------------------------------------
@@ -362,6 +439,10 @@ object HudiWriter {
     sb ++= "hoodie.datasource.write.hive_style_partitioning=false\n"
     sb ++= "hoodie.datasource.write.partitionpath.urlencode=false\n"
     sb ++= "hoodie.populate.meta.fields=true\n"
+    if (opts.cdcEnabled) {
+      sb ++= "hoodie.table.cdc.enabled=true\n"
+      sb ++= "hoodie.table.cdc.supplemental.logging.mode=data_before_after\n"
+    }
     val out = fs.create(new Path(base, ".hoodie/hoodie.properties"), true)
     out.write(sb.result().getBytes("UTF-8")); out.close()
   }
@@ -375,6 +456,7 @@ object HudiWriter {
       updateCounts: Map[String, Long],
       replaced: Map[String, Set[String]],
       prevCommits: Map[String, String],
+      cdcFiles: Map[String, (String, Long)],
       data: DataFrame): Unit = {
     val action = if (replaced.nonEmpty || operation == "insert_overwrite_table")
       "replacecommit" else "commit"
@@ -388,9 +470,11 @@ object HudiWriter {
         // their non-update rows are CARRIED, not inserted
         val ins = if (updateCounts.contains(fid)) 0L else rows
         val prev = prevCommits.getOrElse(fid, "null")
+        val cdc = cdcFiles.get(fid).map { case (cdcRel, cdcLen) =>
+          s""","cdcStats":{"${escape(cdcRel)}":$cdcLen}""" }.getOrElse("")
         s"""{"fileId":"$fid","path":"$rel","partitionPath":"$p","prevCommit":"$prev",""" +
           s""""numWrites":$rows,"numUpdateWrites":$upd,"numInserts":$ins,""" +
-          s""""numDeletes":0,"fileSizeInBytes":$bytes,"totalWriteBytes":$bytes}"""
+          s""""numDeletes":0,"fileSizeInBytes":$bytes,"totalWriteBytes":$bytes$cdc}"""
       }.mkString("[", ",", "]")
       s""""${escape(p)}":$entries"""
     }.mkString("{", ",", "}")
@@ -461,5 +545,7 @@ object HudiWriter {
       get("hoodie.table.name").getOrElse(default)
     def maxFileBytes: Long =
       get("hoodie.parquet.max.file.size").map(_.toLong).getOrElse(120L << 20)
+    def cdcEnabled: Boolean =
+      get("hoodie.table.cdc.enabled").exists(_.equalsIgnoreCase("true"))
   }
 }

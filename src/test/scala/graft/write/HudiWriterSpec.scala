@@ -191,6 +191,70 @@ class HudiWriterSpec extends SparkTestBase {
     assert(props.contains("NonpartitionedKeyGenerator"), props)
   }
 
+  test("cdc-enabled writes emit sidecars that serve the feed past the cleaner horizon") {
+    val path = fresh("writer_cdc")
+    def w(df: DataFrame) = writeOpts(df, "hoodie.table.cdc.enabled" -> "true")
+      .mode(SaveMode.Append).save(path)
+    w(orders())
+    w(orders().filter(col("o_orderkey") % 7 === 0).withColumn("o_orderstatus", lit("U")))
+    val t = HudiTable(spark, path)
+    assert(t.config.cdcEnabled &&
+      t.config.cdcSupplementalLoggingMode == "data_before_after")
+    val Seq(c1, c2) = t.timeline.completedInstants.map(_.timestamp).distinct.sorted.toSeq
+    val nUpd = orders().filter(col("o_orderkey") % 7 === 0).count()
+
+    // the upsert commit carries cdcStats for every rewritten group
+    val i2 = t.timeline.completedInstants.find(_.timestamp == c2).get
+    val cdcByGroup = t.timeline.cdcFiles(i2)
+    assert(cdcByGroup.nonEmpty, "cdcStats must be recorded")
+    assert(cdcByGroup.keySet == t.timeline.touchedGroupsPrevCommit(i2)
+      .collect { case (fid, Some(_)) => fid }.toSet,
+      "every rewritten group gets a sidecar")
+
+    // the feed serves from blocks — zero inference joins, exact images
+    graft.sources.CdcMetrics.reset()
+    val feed = graft.sources.CdcRead.changes(spark, path, Some(c1), Some(c2))
+      .select(col("op"), col("before.o_orderkey").as("k"),
+        col("before.o_orderstatus").as("bs"), col("after.o_orderstatus").as("as"))
+      .collect()
+    assert(graft.sources.CdcMetrics.inferredCommitJoins.get() == 0 &&
+      graft.sources.CdcMetrics.persistedCommits.get() == 1)
+    assert(feed.length == nUpd)
+    val origStatus = orders().select("o_orderkey", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    feed.foreach { r =>
+      assert(r.getString(0) == "u" && r.getString(3) == "U" &&
+        r.getString(2) == origStatus(r.getLong(1)), s"image mismatch: $r")
+    }
+    // parity with forced inference on the same (un-cleaned) table
+    val inferred = graft.sources.CdcRead.changes(spark, path, Some(c1), Some(c2),
+      Map(graft.sources.CdcRead.InferenceOnlyOption -> "true"))
+      .select(col("op"), col("before.o_orderkey").as("k"),
+        col("before.o_orderstatus").as("bs"), col("after.o_orderstatus").as("as"))
+      .collect().map(_.toSeq).toSet
+    assert(feed.map(_.toSeq).toSet == inferred, "persisted and inferred feeds must agree")
+
+    // CLEANER: remove the c1 base files AND write the clean instant (a
+    // real cleaner always does — it is also what invalidates the
+    // open-table cache's timeline fingerprint) — inference refuses,
+    // blocks serve
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    val gone = t.fsView.slicesAsOf(c1).flatMap(_.baseFile).map(_.path)
+    assert(gone.nonEmpty)
+    gone.foreach(p => assert(fs.delete(new org.apache.hadoop.fs.Path(p), false)))
+    val cleanOut = fs.create(new org.apache.hadoop.fs.Path(path,
+      s".hoodie/${(c2.toLong + 1).toString}.clean"), true)
+    cleanOut.write(s"""{"earliestCommitToRetain":"$c2"}""".getBytes("UTF-8"))
+    cleanOut.close()
+    val ex = intercept[UnsupportedOperationException] {
+      graft.sources.CdcRead.changes(spark, path, Some(c1), Some(c2),
+        Map(graft.sources.CdcRead.InferenceOnlyOption -> "true"))
+    }
+    assert(ex.getMessage.contains("no longer exist"), ex.getMessage)
+    assert(graft.sources.CdcRead.changes(spark, path, Some(c1), Some(c2)).count() == nUpd,
+      "the sidecar path must keep serving after the clean")
+  }
+
   test("refusals: MOR target, multi-field keys, schema drift") {
     val morPath = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
