@@ -83,7 +83,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v32")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v34")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -699,9 +699,11 @@ object HudiFixtureBuilder {
 
   // --- writer dogfood: built through the PUBLIC df.write.format API ------
   // c1 inserts orders partitioned by o_orderpriority, c2 upserts the %7
-  // keys to status 'U' — the same transformation as cow_orders, but
-  // produced by graft.write.HudiWriter instead of this builder, so the
-  // oracle gate verifies the WRITE path end-to-end through every reader.
+  // keys to status 'U', c3 DELETEs the %97 keys (a keys-only input) — the
+  // same transformations as cow_orders/mor_orders, but produced by
+  // graft.write.HudiWriter instead of this builder, so the oracle gate
+  // verifies the WRITE path (insert, upsert, delete) end-to-end through
+  // every reader.
   private def buildWriterOrders(spark: SparkSession, sfDir: String): Unit = {
     val path = writePath(sfDir)
     val src = orders(spark, sfDir)
@@ -715,6 +717,8 @@ object HudiFixtureBuilder {
     w(src, "insert")
     w(src.filter(col("o_orderkey") % 7 === 0).withColumn("o_orderstatus", lit("U")),
       "upsert")
+    w(src.filter(col("o_orderkey") % 97 === 0).select("o_orderkey", "o_orderpriority"),
+      "delete")
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

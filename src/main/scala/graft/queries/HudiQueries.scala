@@ -329,17 +329,18 @@ object HudiQueries {
         |ORDER BY ts_ms, op, o_orderkey""".stripMargin),
 
     // --- WRITE path roundtrip: the writer_orders table is produced by
-    // df.write.format("hudi-graft") (insert commit + %7→'U' upsert
-    // commit — see HudiFixtureBuilder.buildWriterOrders); a green hash
-    // means the CONNECTOR-written layout (key assignment, group routing,
-    // meta columns, commit metadata) reads back exactly through the
-    // snapshot path -------------------------------------------------------
+    // df.write.format("hudi-graft") (insert commit, %7→'U' upsert commit,
+    // %97 keys-only DELETE commit — see HudiFixtureBuilder
+    // .buildWriterOrders); a green hash means the CONNECTOR-written
+    // layout (key assignment, group routing, meta columns, commit
+    // metadata, delete rewrites) reads back exactly through the snapshot
+    // path ----------------------------------------------------------------
     "hudi_write_roundtrip" -> QueryDef(
       (s, d) => {
         HudiFixtureBuilder.ensure(s, d)
         selectOrders(s.read.format("hudi-graft").load(HudiFixtureBuilder.writePath(d)))
       },
-      ordersSql(updated = true, deletes = false, onlyUpdated = false)),
+      ordersSql(updated = true, deletes = true, onlyUpdated = false)),
 
     // --- and the upsert commit is visible via incremental read: (c1, c2]
     // yields exactly the %7 rows with their post-upsert status — carried

@@ -13,8 +13,10 @@ import org.apache.spark.sql.types.StringType
   *
   * Supported: COPY_ON_WRITE tables, single-field record keys (bare
   * SimpleKeyGenerator rendering), optional single-field partition path,
-  * operations `insert` / `bulk_insert` / `upsert` /
-  * `insert_overwrite_table`, SaveModes Append (insert/upsert per the
+  * operations `insert` / `bulk_insert` / `upsert` / `delete` (the input
+  * names keys to remove — key + partition columns suffice; a group
+  * losing every row writes an EMPTY base-file version so the deletion is
+  * visible) / `insert_overwrite_table`, SaveModes Append (per the
   * operation option), Overwrite (insert_overwrite_table as a
   * REPLACECOMMIT — history preserved, incremental/CDC readers see the
   * replacement), ErrorIfExists and Ignore. MOR writing, multi-field
@@ -117,10 +119,15 @@ object HudiWriter {
 
     // meta columns in the input are writer-owned — recomputed, never trusted
     val data = df.drop((MetaField.all :+ MetaField.Operation): _*)
-    Seq(keyField) ++ partField ++ precombine.toSeq foreach { f =>
+    // delete inputs name KEYS to remove (key + partition columns suffice,
+    // like upstream); every other operation writes full rows
+    val needed =
+      if (operation == "delete") Seq(keyField) ++ partField
+      else Seq(keyField) ++ partField ++ precombine.toSeq
+    needed.foreach { f =>
       require(data.columns.contains(f), s"hudi-graft: column '$f' absent from the input")
     }
-    existing.foreach { t =>
+    if (operation != "delete") existing.foreach { t =>
       val tableData = t.tableSchema.fieldNames.filterNot(MetaField.all.contains).toSet
       val in = data.columns.toSet
       if (in != tableData)
@@ -158,47 +165,69 @@ object HudiWriter {
     // without one, an arbitrary-but-deterministic single row survives
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__key"), col("__part"))
-      .orderBy(precombine.map(f => col(f).desc_nulls_last).getOrElse(col("__key").asc))
+      .orderBy(precombine.filter(f => operation != "delete" && data.columns.contains(f))
+        .map(f => col(f).desc_nulls_last).getOrElse(col("__key").asc))
     val keyed = keyed0
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .persist()
 
     try {
-      val noCdc = Map.empty[String, (String, Long)]
-      val (staged, updateCounts, replaced, prevCommits, cdcFiles) = operation match {
+      val routed = operation match {
         case "insert" | "bulk_insert" =>
-          (routeFresh(keyed, instant, opts), Map.empty[String, Long],
-            Map.empty[String, Set[String]], Map.empty[String, String], noCdc)
+          Routed(routeFresh(keyed, instant, opts))
         case "insert_overwrite_table" =>
           val rep = existing.map(_.fsView.slicesAsOf(instant)
             .groupBy(_.partitionPath).view.mapValues(_.map(_.fileId).toSet).toMap)
-            .getOrElse(Map.empty)
-          (routeFresh(keyed, instant, opts), Map.empty[String, Long], rep,
-            Map.empty[String, String], noCdc)
+            .getOrElse(Map.empty[String, Set[String]])
+          Routed(routeFresh(keyed, instant, opts), replaced = rep)
         case "upsert" =>
           existing match {
-            case None => (routeFresh(keyed, instant, opts), Map.empty[String, Long],
-              Map.empty[String, Set[String]], Map.empty[String, String], noCdc)
-            case Some(t) =>
-              val (st, upd, rep, prev, cdc) =
-                routeUpsert(spark, basePath, t, keyed, instant, opts, cdcEnabled)
-              (st, upd, rep, prev, cdc)
+            case None => Routed(routeFresh(keyed, instant, opts))
+            case Some(t) => routeUpsert(spark, basePath, t, keyed, instant, opts, cdcEnabled)
+          }
+        case "delete" =>
+          existing match {
+            case None => throw new IllegalArgumentException(
+              "hudi-graft: operation 'delete' on a nonexistent table")
+            case Some(t) => routeDelete(spark, basePath, t, keyed, instant, cdcEnabled)
           }
         case other =>
           throw new IllegalArgumentException(
             s"hudi-graft: unknown hoodie.datasource.write.operation '$other' " +
-              "(insert | bulk_insert | upsert | insert_overwrite_table)")
+              "(insert | bulk_insert | upsert | delete | insert_overwrite_table)")
       }
 
-      val files = writeStaged(spark, fs, base, staged, instant)
-      writeTimeline(fs, base, instant, operation, files, updateCounts, replaced,
-        prevCommits, cdcFiles, data)
+      val files = writeStaged(spark, fs, base, routed.staged, instant, routed.requiredGroups)
+      // the commit's recorded schema is the TABLE's data schema — a
+      // keys-only delete input must not shrink it (readers resolve the
+      // table schema commit-metadata-first)
+      val commitSchema: org.apache.spark.sql.types.StructType =
+        if (operation == "delete")
+          org.apache.spark.sql.types.StructType(existing.get.tableSchema.fields
+            .filterNot(f => MetaField.all.contains(f.name)))
+        else data.schema
+      writeTimeline(fs, base, instant, operation, files, routed, commitSchema)
       Seq(instant)
     } finally keyed.unpersist()
   }
 
   // ---- routing ------------------------------------------------------------
+
+  /** One operation's routing outcome: the staged rows plus the metadata
+    * the commit needs. `requiredGroups` (fid → partition) names rewritten
+    * groups that must produce a base-file version even when ZERO rows
+    * survive (a fully-deleted group — without the empty version, its old
+    * slice would stay visible and the deleted rows resurrect).
+    */
+  private final case class Routed(
+      staged: DataFrame,
+      updateCounts: Map[String, Long] = Map.empty,
+      deleteCounts: Map[String, Long] = Map.empty,
+      replaced: Map[String, Set[String]] = Map.empty,
+      prevCommits: Map[String, String] = Map.empty,
+      cdcFiles: Map[String, (String, Long)] = Map.empty,
+      requiredGroups: Map[String, String] = Map.empty)
 
   /** Fresh-group routing: hash-bucket keys into N new file groups per
     * partition, N from the PLANNED input size (Catalyst's estimate — no
@@ -242,8 +271,7 @@ object HudiWriter {
       instant: String,
       opts: Options,
       cdcEnabled: Boolean
-  ): (DataFrame, Map[String, Long], Map[String, Set[String]], Map[String, String],
-      Map[String, (String, Long)]) = {
+  ): Routed = {
     val snap = spark.read.format("hudi-graft").load(basePath)
     val index = snap.select(
       col(MetaField.RecordKey).as("__key"),
@@ -259,7 +287,7 @@ object HudiWriter {
       val freshPart = routeFresh(routed.filter(col("__fid").isNull).drop("__fid"),
         instant, opts)
       if (touched.isEmpty)
-        return (freshPart, Map.empty, Map.empty, Map.empty, Map.empty)
+        return Routed(freshPart)
 
       // prevCommit per rewritten group = the base instant of the slice
       // being rewritten (the metadata CDC's savepoint guard verifies)
@@ -288,10 +316,77 @@ object HudiWriter {
           col(MetaField.CommitTime))): _*)
       val sidecars =
         if (!cdcEnabled) Map.empty[String, (String, Long)]
-        else writeCdcSidecars(spark, basePath, stored, matched, dataCols, instant)
-      (carried.unionByName(updated).unionByName(fresh), perFid, Map.empty, prevCommits,
-        sidecars)
+        else writeCdcSidecars(spark, basePath, stored, matched, dataCols, instant,
+          deletes = false)
+      Routed(carried.unionByName(updated).unionByName(fresh),
+        updateCounts = perFid, prevCommits = prevCommits, cdcFiles = sidecars)
     } finally routed.unpersist()
+  }
+
+  /** Delete routing (upstream's `delete` operation): incoming rows name
+    * the keys to REMOVE. Matched groups rewrite with the surviving rows
+    * only (carried commit stamps preserved); a group losing every row
+    * still writes an EMPTY base-file version (`requiredGroups`) so the
+    * deletion is visible. Unmatched keys are no-ops. With CDC enabled,
+    * each rewritten group's sidecar carries `d` records (before = the
+    * stored row, after = null).
+    */
+  private def routeDelete(
+      spark: SparkSession,
+      basePath: String,
+      t: HudiTable,
+      keyed: DataFrame,
+      instant: String,
+      cdcEnabled: Boolean
+  ): Routed = {
+    val snap = spark.read.format("hudi-graft").load(basePath)
+    val index = snap.select(
+      col(MetaField.RecordKey).as("__key"),
+      col(MetaField.PartitionPath).as("__part"),
+      substring_index(col(MetaField.FileName), "_", 1).as("__fid"))
+    val matched = keyed.select("__key", "__part")
+      .join(index, Seq("__key", "__part"), "inner").persist()
+    try {
+      val perFid = matched.groupBy("__fid").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val touched = perFid.keySet
+      val dataColsAll = snap.columns.filterNot(MetaField.all.contains)
+      if (touched.isEmpty)
+        return Routed(LogScanEmpty.staged(spark, snap, dataColsAll))
+      val slices = t.fsView.slicesAsOf(instant).filter(sl => touched.contains(sl.fileId))
+      val prevCommits = slices.map(sl => sl.fileId -> sl.commitTimestamp).toMap
+      val required = slices.map(sl => sl.fileId -> sl.partitionPath).toMap
+      val stored = spark.read.format("hudi-graft")
+        .option("cdc.file.groups", touched.toSeq.sorted.mkString(","))
+        .load(basePath)
+        .withColumn("__key", col(MetaField.RecordKey))
+        .withColumn("__part", col(MetaField.PartitionPath))
+        .withColumn("__fid", substring_index(col(MetaField.FileName), "_", 1))
+      val survivors = stored
+        .join(matched.select("__key", "__part"), Seq("__key", "__part"), "left_anti")
+        .select((dataColsAll.map(col) ++ Seq(col("__key"), col("__part"), col("__fid"),
+          col(MetaField.CommitTime))): _*)
+      val sidecars =
+        if (!cdcEnabled) Map.empty[String, (String, Long)]
+        else writeCdcSidecars(spark, basePath, stored, matched, dataColsAll, instant,
+          deletes = true)
+      Routed(survivors, deleteCounts = perFid, prevCommits = prevCommits,
+        cdcFiles = sidecars, requiredGroups = required)
+    } finally matched.unpersist()
+  }
+
+  /** Zero-row staged frame with the routing columns (delete of only
+    * unmatched keys = an empty commit).
+    */
+  private object LogScanEmpty {
+    def staged(spark: SparkSession, snap: DataFrame, dataCols: Array[String]): DataFrame = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        dataCols.map(c => snap.schema(c)) ++ Seq(
+          StructField("__key", StringType), StructField("__part", StringType),
+          StructField("__fid", StringType), StructField(MetaField.CommitTime, StringType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** Distributed `-cdc` sidecar emission for an upsert's rewritten
@@ -310,13 +405,22 @@ object HudiWriter {
       stored: DataFrame,
       matched: DataFrame,
       dataCols: Array[String],
-      instant: String): Map[String, (String, Long)] = {
+      instant: String,
+      deletes: Boolean): Map[String, (String, Long)] = {
     val b = stored.select(col("__key"), col("__part"), col("__fid"),
       struct(dataCols.map(col).toIndexedSeq: _*).as("__before"))
-    val a = matched.select(col("__key"), col("__part"),
-      struct(dataCols.map(col).toIndexedSeq: _*).as("__after"))
-    val images = b.join(a, Seq("__key", "__part"), "inner")
-      .select(col("__fid"), col("__part"), col("__before"), col("__after"))
+    val images =
+      if (deletes)
+        // delete images: before = the stored row, after = null
+        b.join(matched.select("__key", "__part"), Seq("__key", "__part"), "left_semi")
+          .select(col("__fid"), col("__part"), col("__before"),
+            lit(null).cast(b.schema("__before").dataType).as("__after"))
+      else {
+        val a = matched.select(col("__key"), col("__part"),
+          struct(dataCols.map(col).toIndexedSeq: _*).as("__after"))
+        b.join(a, Seq("__key", "__part"), "inner")
+          .select(col("__fid"), col("__part"), col("__before"), col("__after"))
+      }
     val dataSchema = org.apache.spark.sql.types.StructType(
       images.schema("__before").dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
     val schemaJson = dataSchema.json
@@ -329,10 +433,11 @@ object HudiWriter {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       val cdcAvro = graft.log.SparkToAvro.cdcAvroSchema(target, "graft_write_record")
       val byFid = it.toVector.groupBy(r => (r.getString(0), r.getString(1)))
+      val op = if (deletes) "d" else "u"
       byFid.iterator.map { case ((fid, part), rows) =>
         val recs = rows.sortBy(_.getStruct(2).toString).map { r =>
-          graft.log.SparkToAvro.cdcRecord(cdcAvro, target, "u", tsMs,
-            Some(r.getStruct(2)), Some(r.getStruct(3)))
+          graft.log.SparkToAvro.cdcRecord(cdcAvro, target, op, tsMs,
+            Some(r.getStruct(2)), Option(r.getStruct(3)))
         }
         val name = s".${fid}_$instant.log.1_$token${graft.fs.LogFile.CdcSuffix}"
         val dir = if (part.isEmpty) new Path(basePath) else new Path(basePath, part)
@@ -359,7 +464,8 @@ object HudiWriter {
       fs: FileSystem,
       base: Path,
       staged: DataFrame,
-      instant: String): Seq[(String, String, String, Long, Long)] = {
+      instant: String,
+      requiredGroups: Map[String, String] = Map.empty): Seq[(String, String, String, Long, Long)] = {
     val dataCols = staged.columns
       .filterNot(c => c.startsWith("__") || c == MetaField.CommitTime)
     val fileName = concat(col("__fid"), lit(s"_${Token}_$instant.parquet"))
@@ -381,10 +487,16 @@ object HudiWriter {
       .repartition(col("__p"), col("__f"))
       .write.partitionBy("__p", "__f").mode("overwrite").parquet(tmp.toString)
     // row counts per file from the staging footers — a metadata-only
-    // columnar count, no data re-read
-    val counts = spark.read.parquet(tmp.toString)
-      .groupBy("__p", "__f").count().collect()
-      .map(r => (r.getString(0).stripPrefix("p:"), r.getString(1)) -> r.getLong(2)).toMap
+    // columnar count, no data re-read; a zero-row staging (delete of
+    // only-unmatched keys, or all rows routed to requiredGroups) leaves
+    // no partition dirs at all
+    val hasStaged = fs.exists(tmp) &&
+      fs.listStatus(tmp).exists(_.getPath.getName.startsWith("__p="))
+    val counts =
+      if (!hasStaged) Map.empty[(String, String), Long]
+      else spark.read.parquet(tmp.toString)
+        .groupBy("__p", "__f").count().collect()
+        .map(r => (r.getString(0).stripPrefix("p:"), r.getString(1)) -> r.getLong(2)).toMap
     val out = Seq.newBuilder[(String, String, String, Long, Long)]
     for (pDir <- fs.listStatus(tmp).toSeq.filter(_.isDirectory).sortBy(_.getPath.getName)) {
       val part = decodeStagedValue(pDir.getPath.getName.stripPrefix("__p=")).stripPrefix("p:")
@@ -406,7 +518,33 @@ object HudiWriter {
       }
     }
     fs.delete(new Path(base, ".hoodie/.temp"), true)
-    out.result()
+    val written = out.result()
+    // rewritten groups that lost EVERY row still need a base-file version
+    // (schema-only parquet) — without one their old slice stays visible
+    // and the deleted rows resurrect
+    val missing = requiredGroups.filterNot { case (fid, _) => written.exists(_._2 == fid) }
+    val emptied = missing.toSeq.sortBy(_._1).map { case (fid, part) =>
+      val fileSchema = org.apache.spark.sql.types.StructType(
+        withMeta.schema.fields.filterNot(f => f.name == "__p" || f.name == "__f"))
+      val name = s"${fid}_${Token}_$instant.parquet"
+      val dir = if (part.isEmpty) base else new Path(base, part)
+      val tmp2 = new Path(base, s".hoodie/.temp/empty_$fid")
+      // ONE empty partition (emptyRDD has zero → no task → no file): the
+      // single write task emits a schema-only parquet file
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1), fileSchema)
+        .write.mode("overwrite").parquet(tmp2.toString)
+      val part0 = fs.listStatus(tmp2).map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"empty base-file staging produced no part file under $tmp2"))
+      fs.mkdirs(dir)
+      fs.rename(part0, new Path(dir, name))
+      fs.delete(tmp2, true)
+      val rel = if (part.isEmpty) name else s"$part/$name"
+      (part, fid, rel, 0L, fs.getFileStatus(new Path(dir, name)).getLen)
+    }
+    if (emptied.nonEmpty) fs.delete(new Path(base, ".hoodie/.temp"), true)
+    written ++ emptied
   }
 
   /** partitionBy URI-encodes directory values; decode back to the raw
@@ -453,11 +591,13 @@ object HudiWriter {
       instant: String,
       operation: String,
       files: Seq[(String, String, String, Long, Long)],
-      updateCounts: Map[String, Long],
-      replaced: Map[String, Set[String]],
-      prevCommits: Map[String, String],
-      cdcFiles: Map[String, (String, Long)],
-      data: DataFrame): Unit = {
+      routed: Routed,
+      commitSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val updateCounts = routed.updateCounts
+    val deleteCounts = routed.deleteCounts
+    val replaced = routed.replaced
+    val prevCommits = routed.prevCommits
+    val cdcFiles = routed.cdcFiles
     val action = if (replaced.nonEmpty || operation == "insert_overwrite_table")
       "replacecommit" else "commit"
     def touch(name: String): Unit = fs.create(new Path(base, s".hoodie/$name"), true).close()
@@ -466,15 +606,16 @@ object HudiWriter {
     val stats = files.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, fsz) =>
       val entries = fsz.sortBy(_._2).map { case (_, fid, rel, rows, bytes) =>
         val upd = updateCounts.getOrElse(fid, 0L)
+        val del = deleteCounts.getOrElse(fid, 0L)
         // rewritten groups receive no fresh keys under this routing, so
         // their non-update rows are CARRIED, not inserted
-        val ins = if (updateCounts.contains(fid)) 0L else rows
+        val ins = if (updateCounts.contains(fid) || deleteCounts.contains(fid)) 0L else rows
         val prev = prevCommits.getOrElse(fid, "null")
         val cdc = cdcFiles.get(fid).map { case (cdcRel, cdcLen) =>
           s""","cdcStats":{"${escape(cdcRel)}":$cdcLen}""" }.getOrElse("")
         s"""{"fileId":"$fid","path":"$rel","partitionPath":"$p","prevCommit":"$prev",""" +
           s""""numWrites":$rows,"numUpdateWrites":$upd,"numInserts":$ins,""" +
-          s""""numDeletes":0,"fileSizeInBytes":$bytes,"totalWriteBytes":$bytes$cdc}"""
+          s""""numDeletes":$del,"fileSizeInBytes":$bytes,"totalWriteBytes":$bytes$cdc}"""
       }.mkString("[", ",", "]")
       s""""${escape(p)}":$entries"""
     }.mkString("{", ",", "}")
@@ -489,7 +630,7 @@ object HudiWriter {
     // the writer's DATA schema, like real Hudi — but only for the flat
     // type matrix the avro bridge covers; readers fall back to footers
     val schemaJson = scala.util.Try(
-      graft.log.SparkToAvro.toAvroSchema(data.schema, "graft_write_record").toString).toOption
+      graft.log.SparkToAvro.toAvroSchema(commitSchema, "graft_write_record").toString).toOption
     val extra = schemaJson.map(s =>
       s""","extraMetadata":{"schema":"${escape(s)}"}""").getOrElse("")
     val opType = operation.toUpperCase(java.util.Locale.ROOT)

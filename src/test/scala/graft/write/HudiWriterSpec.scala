@@ -255,6 +255,71 @@ class HudiWriterSpec extends SparkTestBase {
       "the sidecar path must keep serving after the clean")
   }
 
+  test("delete removes keys, feeds 'd' CDC images, and empties groups visibly") {
+    val path = fresh("writer_delete")
+    writeOpts(orders(), "hoodie.table.cdc.enabled" -> "true",
+      "hoodie.datasource.write.operation" -> "insert")
+      .mode(SaveMode.Append).save(path)
+    // delete by KEYS ONLY — the input carries just key + partition columns
+    orders().filter(col("o_orderkey") % 5 === 0)
+      .select("o_orderkey", "o_orderpriority")
+      .write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.partitionpath.field", "o_orderpriority")
+      .option("hoodie.datasource.write.operation", "delete")
+      .mode(SaveMode.Append).save(path)
+    val nDel = orders().filter(col("o_orderkey") % 5 === 0).count()
+    val back = spark.read.format("hudi-graft").load(path)
+    // a keys-only delete input must not SHRINK the resolved table schema
+    // (the commit records the table's data schema, not the input's)
+    assert(orders().columns.toSet.subsetOf(back.columns.toSet),
+      s"schema lost columns after delete: ${back.columns.toSeq}")
+    assert(back.count() == orders().count() - nDel)
+    assert(back.filter(col("o_orderkey") % 5 === 0).count() == 0)
+    assert(back.filter(col("o_orderkey") % 5 =!= 0)
+      .select("o_custkey").where(col("o_custkey").isNull).count() == 0)
+    // survivors kept their original stamps — nothing re-stamped
+    val t = HudiTable(spark, path)
+    val Seq(c1, c2) = t.timeline.completedInstants.map(_.timestamp).distinct.sorted.toSeq
+    assert(back.filter(col("_hoodie_commit_time") === c2).count() == 0)
+    // numDeletes recorded per rewritten group
+    val i2 = t.timeline.completedInstants.find(_.timestamp == c2).get
+    val md = t.timeline.commitMetadata(i2)
+    import scala.jdk.CollectionConverters._
+    val dels = md.path("partitionToWriteStats").properties().asScala.toSeq
+      .flatMap(_.getValue.elements().asScala).map(_.path("numDeletes").asLong(0)).sum
+    assert(dels == nDel, s"numDeletes $dels vs $nDel")
+    // the CDC feed serves the deletes from sidecars with full before images
+    graft.sources.CdcMetrics.reset()
+    val feed = graft.sources.CdcRead.changes(spark, path, Some(c1), Some(c2))
+      .select(col("op"), col("before.o_orderkey").as("k"), col("after"))
+      .collect()
+    assert(graft.sources.CdcMetrics.inferredCommitJoins.get() == 0 &&
+      graft.sources.CdcMetrics.persistedCommits.get() == 1)
+    assert(feed.length == nDel &&
+      feed.forall(r => r.getString(0) == "d" && r.isNullAt(2)), s"${feed.take(3).toSeq}")
+    assert(feed.map(_.getLong(1)).toSet ==
+      orders().filter(col("o_orderkey") % 5 === 0).collect().map(_.getLong(0)).toSet)
+
+    // a group losing EVERY row writes an empty base-file version
+    val small = fresh("writer_delete_all")
+    orders().limit(100).write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .mode(SaveMode.Append).save(small)
+    spark.read.format("hudi-graft").load(small).select("o_orderkey")
+      .write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.operation", "delete")
+      .mode(SaveMode.Append).save(small)
+    assert(spark.read.format("hudi-graft").load(small).count() == 0,
+      "a fully-deleted table must read back empty")
+    val ts = HudiTable(spark, small)
+    val latest = ts.timeline.latestCommitTimestamp.get
+    val slices = ts.fsView.slicesAsOf(latest)
+    assert(slices.nonEmpty && slices.forall(_.commitTimestamp == latest),
+      s"every group must carry the delete-commit version: $slices")
+  }
+
   test("refusals: MOR target, multi-field keys, schema drift") {
     val morPath = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
