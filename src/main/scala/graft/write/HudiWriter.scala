@@ -90,6 +90,16 @@ object HudiWriter {
       if (!t.config.populatesMetaFields)
         throw new UnsupportedOperationException(
           "hudi-graft: hoodie.populate.meta.fields=false tables are not writable here")
+      // an advertised metadata table would go STALE under this writer —
+      // readers consuming its files/column_stats/record_index partitions
+      // would silently miss the new files or prune to wrong results; refuse
+      // until the writer maintains the MDT alongside the commit
+      val mdtParts = t.config.getOrElse("hoodie.table.metadata.partitions", "").trim
+      if (mdtParts.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"hudi-graft: the table advertises metadata-table partitions ($mdtParts) this " +
+            "writer does not maintain — a commit would leave them stale and index-served " +
+            "reads silently wrong; writing to MDT-backed tables is not supported")
     }
 
     val keyField = opts.recordKeyField

@@ -192,6 +192,34 @@ class GraftCdcStreamSpec extends SparkTestBase {
       "a continuous trigger pays one listing — the poll that sees new commits")
   }
 
+  test("streaming CDC over a cdc-enabled WRITER table serves from sidecars, zero joins") {
+    // end-to-end composition: the write path's supplemental logging feeds
+    // the streaming CDC source through the persisted reader — no
+    // per-commit snapshot-diff joins anywhere in the drain
+    val dir = "/root/repo/target/hudi-fixtures/stream_cdc_persisted"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    import org.apache.spark.sql.functions._
+    def w(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("hudi-graft")
+        .option("hoodie.datasource.write.recordkey.field", "id")
+        .option("hoodie.table.cdc.enabled", "true")
+        .mode("append").save(dir)
+    w(spark.range(1, 100).select(col("id"), lit("a").as("v")))
+    w(spark.range(1, 100).filter(col("id") % 7 === 0)
+      .select(col("id"), lit("b").as("v")))
+    CdcMetrics.reset()
+    val stream = spark.readStream.format("hudi-graft")
+      .option("incremental.format", "cdc").load(dir)
+    val got = drain(stream, "sink_cdc_persisted_stream")
+      .groupBy("op").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("i" -> 99L, "u" -> 14L), got.toString)
+    assert(CdcMetrics.inferredCommitJoins.get() == 0,
+      "the drain must plan no snapshot-diff joins")
+    assert(CdcMetrics.persistedCommits.get() >= 1 &&
+      CdcMetrics.insertOnlyCommits.get() >= 1)
+  }
+
   test("a mid-stream schema change refuses descriptively, not as an opaque assert") {
     val dir = "/root/repo/target/hudi-fixtures/cdc_schema_change"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())

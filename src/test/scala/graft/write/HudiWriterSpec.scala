@@ -339,5 +339,12 @@ class HudiWriterSpec extends SparkTestBase {
       writeOpts(orders().withColumn("extra", lit(1))).mode(SaveMode.Append).save(path)
     }
     assert(exDrift.getMessage.contains("schema evolution"), exDrift.getMessage)
+    // MDT-advertising tables refuse: a commit this writer cannot reflect
+    // into the metadata table would leave index-served reads silently wrong
+    val exMdt = intercept[UnsupportedOperationException] {
+      writeOpts(orders()).mode(SaveMode.Append)
+        .save(graft.fixtures.HudiFixtureBuilder.sidxPath(sfDir))
+    }
+    assert(exMdt.getMessage.contains("metadata-table partitions"), exMdt.getMessage)
   }
 }
