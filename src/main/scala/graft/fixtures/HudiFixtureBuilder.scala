@@ -2016,38 +2016,15 @@ object HudiFixtureBuilder {
   // listing.)
   val T1C = "20240101000000001"
 
+  // one MDT record encoding, shared with the WRITE path's maintenance
+  // (graft.write.MdtMaintenance) — the fixture and the writer must stay
+  // byte-compatible with the same reader
   private[graft] val mdtAvroSchema: org.apache.avro.Schema =
-    new org.apache.avro.Schema.Parser().parse(
-      """{"type":"record","name":"HoodieMetadataRecord","fields":[
-        |{"name":"key","type":"string"},
-        |{"name":"type","type":"int"},
-        |{"name":"filesystemMetadata","type":["null",{"type":"map","values":
-        |  {"type":"record","name":"HoodieMetadataFileInfo","fields":[
-        |    {"name":"size","type":"long"},{"name":"isDeleted","type":"boolean"}]}}]}
-        |]}""".stripMargin.replaceAll("\n", ""))
+    graft.write.MdtMaintenance.mdtAvroSchema
 
   private[graft] def mdtRecordBytes(key: String, recType: Int,
-      files: Seq[(String, Long)]): Array[Byte] = {
-    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-    val infoSchema = mdtAvroSchema.getField("filesystemMetadata").schema()
-      .getTypes.get(1).getValueType
-    val rec = new GenericData.Record(mdtAvroSchema)
-    rec.put("key", key)
-    rec.put("type", recType)
-    val m = new java.util.HashMap[String, GenericRecord]()
-    for ((name, size) <- files) {
-      val info = new GenericData.Record(infoSchema)
-      info.put("size", size)
-      info.put("isDeleted", false)
-      m.put(name, info)
-    }
-    rec.put("filesystemMetadata", m)
-    val out = new java.io.ByteArrayOutputStream()
-    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
-    new GenericDatumWriter[GenericRecord](mdtAvroSchema).write(rec, enc)
-    enc.flush()
-    out.toByteArray
-  }
+      files: Seq[(String, Long)]): Array[Byte] =
+    graft.write.MdtMaintenance.recordBytes(key, recType, files)
 
   /** HoodieMetadataRecord with the `recordIndexMetadata` branch (public
     * Apache Hudi HoodieMetadata.avsc HoodieRecordIndexInfo).

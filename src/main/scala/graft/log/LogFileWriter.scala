@@ -128,6 +128,20 @@ object LogFileWriter {
       Seq(LogFormat.KeyInstantTime -> instantTime, LogFormat.KeySchema -> schemaForHeader.toString),
       parquetBytes)
 
+  /** Metadata-table HFile data block: the content is a complete raw
+    * HFile's bytes (no version prefix — content.rs:238-244), the shape
+    * the MDT reader's log merge consumes.
+    */
+  def hfileDataBlock(
+      out: DataOutputStream,
+      instantTime: String,
+      schemaForHeader: AvroSchema,
+      hfileBytes: Array[Byte]
+  ): Unit =
+    writeBlock(out, LogFormat.HfileDataBlock,
+      Seq(LogFormat.KeyInstantTime -> instantTime, LogFormat.KeySchema -> schemaForHeader.toString),
+      hfileBytes)
+
   /** Rollback command block targeting `targetInstantTime`'s blocks. */
   def rollbackBlock(out: DataOutputStream, instantTime: String, targetInstantTime: String): Unit =
     writeBlock(out, LogFormat.CommandBlock,

@@ -69,7 +69,7 @@ object MetadataTable {
     * structural error that callers must see and fall back on (storage
     * listing / scan plans), never silently read as empty.
     */
-  private[table] def openPartition(
+  private[graft] def openPartition(
       dataTableBase: String,
       partition: String,
       hadoopConf: Configuration,

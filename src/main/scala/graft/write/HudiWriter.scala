@@ -90,16 +90,21 @@ object HudiWriter {
       if (!t.config.populatesMetaFields)
         throw new UnsupportedOperationException(
           "hudi-graft: hoodie.populate.meta.fields=false tables are not writable here")
-      // an advertised metadata table would go STALE under this writer —
-      // readers consuming its files/column_stats/record_index partitions
-      // would silently miss the new files or prune to wrong results; refuse
-      // until the writer maintains the MDT alongside the commit
-      val mdtParts = t.config.getOrElse("hoodie.table.metadata.partitions", "").trim
-      if (mdtParts.nonEmpty)
+      // an advertised metadata table must stay FRESH under this writer.
+      // The `files` partition is maintained (MdtMaintenance appends the
+      // commit's file additions as an MDT deltacommit); INDEX partitions
+      // (column_stats/record_index/secondary/bloom) are not — a commit
+      // would leave them stale and index-served reads silently wrong, so
+      // those tables refuse
+      val mdtParts = t.config.getOrElse("hoodie.table.metadata.partitions", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val unmaintained = mdtParts - "files"
+      if (unmaintained.nonEmpty)
         throw new UnsupportedOperationException(
-          s"hudi-graft: the table advertises metadata-table partitions ($mdtParts) this " +
-            "writer does not maintain — a commit would leave them stale and index-served " +
-            "reads silently wrong; writing to MDT-backed tables is not supported")
+          s"hudi-graft: the table advertises metadata-table partitions " +
+            s"(${unmaintained.toSeq.sorted.mkString(",")}) this writer does not maintain " +
+            "— a commit would leave them stale and index-served reads silently wrong; " +
+            "only files-partition MDTs are writable")
     }
 
     val keyField = opts.recordKeyField
@@ -217,7 +222,19 @@ object HudiWriter {
           org.apache.spark.sql.types.StructType(existing.get.tableSchema.fields
             .filterNot(f => MetaField.all.contains(f.name)))
         else data.schema
-      writeTimeline(fs, base, instant, operation, files, routed, commitSchema)
+      // files-partition MDT maintenance: the MDT deltacommit (same
+      // instant) completes BEFORE the data commit, so any reader that
+      // sees the data instant sees an MDT at least as new
+      val maintainsMdt = existing.exists(_.config
+        .getOrElse("hoodie.table.metadata.partitions", "").split(",")
+        .map(_.trim).contains("files"))
+      if (maintainsMdt)
+        MdtMaintenance.appendFiles(basePath, spark.sessionState.newHadoopConf(), instant,
+          files.map { case (p, _, rel, _, bytes) =>
+            (p, rel.substring(rel.lastIndexOf('/') + 1), bytes)
+          })
+      val tableVersion = existing.map(_.config.tableVersion).getOrElse(6)
+      writeTimeline(fs, base, instant, operation, files, routed, commitSchema, tableVersion)
       Seq(instant)
     } finally keyed.unpersist()
   }
@@ -602,7 +619,8 @@ object HudiWriter {
       operation: String,
       files: Seq[(String, String, String, Long, Long)],
       routed: Routed,
-      commitSchema: org.apache.spark.sql.types.StructType): Unit = {
+      commitSchema: org.apache.spark.sql.types.StructType,
+      tableVersion: Int): Unit = {
     val updateCounts = routed.updateCounts
     val deleteCounts = routed.deleteCounts
     val replaced = routed.replaced
@@ -610,7 +628,12 @@ object HudiWriter {
     val cdcFiles = routed.cdcFiles
     val action = if (replaced.nonEmpty || operation == "insert_overwrite_table")
       "replacecommit" else "commit"
-    def touch(name: String): Unit = fs.create(new Path(base, s".hoodie/$name"), true).close()
+    // v8+ targets keep their timeline under .hoodie/timeline and complete
+    // with a {request}_{completion} name (timeline layout v2)
+    val timelineDir =
+      if (tableVersion >= 8) new Path(base, ".hoodie/timeline") else new Path(base, ".hoodie")
+    fs.mkdirs(timelineDir)
+    def touch(name: String): Unit = fs.create(new Path(timelineDir, name), true).close()
     touch(s"$instant.$action.requested")
     touch(s"$instant.$action.inflight")
     val stats = files.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, fsz) =>
@@ -646,8 +669,21 @@ object HudiWriter {
     val opType = operation.toUpperCase(java.util.Locale.ROOT)
     val body =
       s"""{"partitionToWriteStats":$stats$rep$extra,"compacted":false,"operationType":"$opType"}"""
-    val out = fs.create(new Path(base, s".hoodie/$instant.$action"), true)
+    val completedName =
+      if (tableVersion >= 8) s"${instant}_${completionNow(instant)}.$action"
+      else s"$instant.$action"
+    val out = fs.create(new Path(timelineDir, completedName), true)
     out.write(body.getBytes("UTF-8")); out.close()
+  }
+
+  /** Completion timestamp for a v8 completed-instant name: wall clock,
+    * never at or before the request instant.
+    */
+  private[write] def completionNow(request: String): String = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val now = fmt.format(java.time.Instant.now())
+    if (now > request) now else (normalizeTo17(request).toLong + 1).toString
   }
 
   private def escape(s: String): String =

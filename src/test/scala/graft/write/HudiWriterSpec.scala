@@ -320,6 +320,58 @@ class HudiWriterSpec extends SparkTestBase {
       s"every group must carry the delete-commit version: $slices")
   }
 
+  test("writes to a files-MDT table maintain the metadata listing (v8 target)") {
+    // copy the v8 cow_mdt_nation fixture: its ORPHAN file is visible to a
+    // raw listing but absent from the MDT, so a snapshot that shows the
+    // upsert WITHOUT the orphan's duplicate rows proves the new files
+    // arrived through the MDT, not a listing fallback
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val srcPath = new org.apache.hadoop.fs.Path(
+      graft.fixtures.HudiFixtureBuilder.mdtPath(sfDir))
+    val path = new org.apache.hadoop.fs.Path("/root/repo/target/hudi-fixtures/writer_mdt")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    fs.delete(path, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcPath, fs, path, false,
+      spark.sessionState.newHadoopConf())
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val before = spark.read.format("hudi-graft").load(path.toString)
+    assert(before.count() == nation.count(), "MDT listing excludes the orphan")
+
+    nation.filter(col("n_nationkey") % 2 === 0)
+      .withColumn("n_name", lit("RENAMED"))
+      .write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "n_nationkey")
+      .option("hoodie.datasource.write.partitionpath.field", "n_regionkey")
+      .mode(SaveMode.Append).save(path.toString)
+
+    val after = spark.read.format("hudi-graft").load(path.toString)
+    assert(after.count() == nation.count(),
+      "post-write snapshot must show every row exactly once (orphan still invisible)")
+    assert(after.filter(col("n_nationkey") % 2 === 0)
+      .select("n_name").distinct().collect().map(_.getString(0)).toSet == Set("RENAMED"))
+    // the MDT records the new files
+    val t = HudiTable(spark, path.toString)
+    val c2 = t.timeline.latestCommitTimestamp.get
+    val recs = graft.table.MetadataTable.filesPartitionRecords(
+      path.toString, spark.sessionState.newHadoopConf())
+    val newNames = t.fsView.slicesAsOf(c2)
+      .filter(_.commitTimestamp == c2).flatMap(_.baseFile).map(_.fileName)
+    assert(newNames.nonEmpty)
+    newNames.foreach { n =>
+      assert(recs.values.exists(_.activeFiles.contains(n)),
+        s"MDT files partition must list $n")
+    }
+    // v8 timeline invariants: the completed instant lives under
+    // .hoodie/timeline with a {request}_{completion} name
+    val tl = fs.listStatus(new org.apache.hadoop.fs.Path(path, ".hoodie/timeline"))
+      .map(_.getPath.getName)
+    assert(tl.exists(n => n.matches(s"${c2}_\\d{17}\\.commit")), tl.mkString(","))
+    // and the MDT's own deltacommit completed at the data instant
+    val mdtTl = fs.listStatus(new org.apache.hadoop.fs.Path(path, ".hoodie/metadata/.hoodie"))
+      .map(_.getPath.getName)
+    assert(mdtTl.contains(s"$c2.deltacommit"), mdtTl.mkString(","))
+  }
+
   test("refusals: MOR target, multi-field keys, schema drift") {
     val morPath = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
