@@ -83,7 +83,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v34")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v35")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -719,6 +719,10 @@ object HudiFixtureBuilder {
       "upsert")
     w(src.filter(col("o_orderkey") % 97 === 0).select("o_orderkey", "o_orderpriority"),
       "delete")
+    // run the CLEANER (retain the last two commits): the c1 slice versions
+    // delete, so hudi_write_roundtrip/_incremental hash-verify that
+    // snapshots and in-horizon incremental reads survive cleaning
+    graft.write.HudiCleaner.clean(spark, path, retainCommits = 2)
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

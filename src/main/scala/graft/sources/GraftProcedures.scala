@@ -20,7 +20,8 @@ object GraftProcedures {
   val names: Array[String] =
     Array("show_commits", "show_archived_commits", "show_file_slices",
       "show_partitions", "show_indexes", "show_column_stats",
-      "show_partition_stats", "show_bloom_filters", "show_table_properties")
+      "show_partition_stats", "show_bloom_filters", "show_table_properties",
+      "run_clean")
 
   /** Planned slices at `asOf` (normalized) or the latest commit. */
   private def slicesAt(t: HudiTable, asOf: Option[String]): Vector[graft.fs.FileSlice] =
@@ -153,6 +154,42 @@ object GraftProcedures {
           row(p, f, Boolean.box(found.contains((p, f))))
         }
       }))
+    // the ONE mutating procedure (hudi-cli `cleans run`): KEEP_LATEST_
+    // COMMITS cleaning via graft.write.HudiCleaner — driver-side metadata
+    // plus O(deleted files) namenode deletes; returns the removed files.
+    // Savepoints and pending instants refuse fail-closed inside.
+    case "run_clean" => Some(new UnboundProcedure with BoundProcedure {
+      override def name(): String = "run_clean"
+      override def description(): String =
+        "delete slice versions older than the last retain_commits commits " +
+          "(KEEP_LATEST_COMMITS); completes a clean instant and tombstones a " +
+          "files-partition MDT"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] =
+        Array(
+          ProcedureParameter.in("table", StringType)
+            .comment("hudi table base path").build(),
+          ProcedureParameter.in("retain_commits", IntegerType)
+            .comment("how many latest commits stay fully servable (>= 1)").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val retain = input.getInt(1)
+        val stats = graft.write.HudiCleaner.clean(SparkSession.active, path, retain)
+        val schema = StructType(Seq(
+          StructField("clean_ts", StringType, nullable = true),
+          StructField("earliest_retained", StringType, nullable = true),
+          StructField("partition_path", StringType, nullable = false),
+          StructField("deleted_file", StringType, nullable = false)))
+        val out = stats.deleted.map { case (p, f) =>
+          row(stats.instant.orNull, stats.earliestRetained.orNull, p, f)
+        }.toArray
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = out
+          override def readSchema(): StructType = schema
+        }).iterator()
+      }
+    })
     case _ => None
   }
 

@@ -39,8 +39,11 @@ object MdtMaintenance {
         |    {"name":"size","type":"long"},{"name":"isDeleted","type":"boolean"}]}}]}
         |]}""".stripMargin.replaceAll("\n", ""))
 
-  /** One serialized HoodieMetadataRecord (avro binary datum). */
-  def recordBytes(key: String, recType: Int, files: Seq[(String, Long)]): Array[Byte] = {
+  /** One serialized HoodieMetadataRecord (avro binary datum); `deleted`
+    * entries are the tombstones the cleaner emits.
+    */
+  def recordBytes(key: String, recType: Int, files: Seq[(String, Long)],
+      deleted: Boolean = false): Array[Byte] = {
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     val infoSchema = mdtAvroSchema.getField("filesystemMetadata").schema()
       .getTypes.get(1).getValueType
@@ -51,7 +54,7 @@ object MdtMaintenance {
     for ((name, size) <- files) {
       val info = new GenericData.Record(infoSchema)
       info.put("size", size)
-      info.put("isDeleted", false)
+      info.put("isDeleted", deleted)
       m.put(name, info)
     }
     rec.put("filesystemMetadata", m)
@@ -77,16 +80,6 @@ object MdtMaintenance {
       instant: String,
       files: Seq[(String, String, Long)]): Unit = {
     if (files.isEmpty) return
-    val mdtBase = new Path(new Path(dataTableBase, ".hoodie"), "metadata")
-    val fs = mdtBase.getFileSystem(hadoopConf)
-
-    // locate the files group's current slice (the log attaches to it)
-    val (_, slices) = MetadataTable.openPartition(
-      dataTableBase, FilesPartitionRecord.PartitionName, hadoopConf)
-    val slice = slices.headOption.getOrElse(
-      throw new IllegalStateException("MDT files partition has no file slice"))
-    val mdtConfig = graft.core.HoodieConfig.load(mdtBase.toString, hadoopConf)
-
     // new partitions (vs the merged current list) extend __all_partitions__
     val current = MetadataTable.filesPartitionRecords(dataTableBase, hadoopConf)
     val knownPartitions = current.get(FilesPartitionRecord.AllPartitionsKey)
@@ -102,6 +95,44 @@ object MdtMaintenance {
       recordBytes(FilesPartitionRecord.AllPartitionsKey,
         FilesPartitionRecord.TypeAllPartitions, newPartitions.map(_ -> 0L)))))
       .sortBy(_._1)
+    appendBlock(dataTableBase, hadoopConf, instant, records)
+  }
+
+  /** Tombstone cleaned files ((partition, fileName)) out of the files
+    * partition — the cleaner's half of the contract: a files listing that
+    * kept serving deleted paths would feed dead files into every scan.
+    */
+  def tombstoneFiles(
+      dataTableBase: String,
+      hadoopConf: Configuration,
+      instant: String,
+      files: Seq[(String, String)]): Unit = {
+    if (files.isEmpty) return
+    val records = files.groupBy(f => mdtKey(f._1)).toSeq.map { case (p, fsz) =>
+      p -> recordBytes(p, FilesPartitionRecord.TypeFiles,
+        fsz.map(_._2 -> 0L).sortBy(_._1), deleted = true)
+    }.sortBy(_._1)
+    appendBlock(dataTableBase, hadoopConf, instant, records)
+  }
+
+  /** Shared plumbing: one HFile log block onto the files group's current
+    * slice plus the MDT's own deltacommit instant triple.
+    */
+  private def appendBlock(
+      dataTableBase: String,
+      hadoopConf: Configuration,
+      instant: String,
+      records: Seq[(String, Array[Byte])]): Unit = {
+    val mdtBase = new Path(new Path(dataTableBase, ".hoodie"), "metadata")
+    val fs = mdtBase.getFileSystem(hadoopConf)
+
+    // locate the files group's current slice (the log attaches to it)
+    val (_, slices) = MetadataTable.openPartition(
+      dataTableBase, FilesPartitionRecord.PartitionName, hadoopConf)
+    val slice = slices.headOption.getOrElse(
+      throw new IllegalStateException("MDT files partition has no file slice"))
+    val mdtConfig = graft.core.HoodieConfig.load(mdtBase.toString, hadoopConf)
+
     val hfileBytes = graft.hfile.HFileWriter.write(
       records.toIndexedSeq,
       Map("schema" -> mdtAvroSchema.toString.getBytes("UTF-8")),
