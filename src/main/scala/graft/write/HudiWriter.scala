@@ -52,7 +52,11 @@ import org.apache.spark.sql.types.StringType
   * original `_hoodie_commit_time` (the COW stamp-preservation every
   * incremental/CDC reader in this repo depends on) while their
   * `_hoodie_file_name` moves to the rewritten file, exactly like real
-  * Hudi.
+  * Hudi. The upsert index is NON-GLOBAL (upstream's default): the probe
+  * keys on (record key, partition path), so a row arriving with a
+  * CHANGED partition value inserts there and leaves the old partition's
+  * copy in place — exactly upstream's non-global bloom/simple index
+  * behavior.
   */
 object HudiWriter {
 
@@ -259,25 +263,44 @@ object HudiWriter {
   /** Fresh-group routing: hash-bucket keys into N new file groups per
     * partition, N from the PLANNED input size (Catalyst's estimate — no
     * extra job) over the target file size. Deterministic fileIds derive
-    * from (instant, partition, bucket).
+    * from md5(instant/partition/bucket) — a codegen'd expression, no
+    * per-row UDF in the insert hot path.
     */
   private def routeFresh(keyed: DataFrame, instant: String, opts: Options): DataFrame = {
     val bytes = BigInt(keyed.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
-    val groups = (bytes / opts.maxFileBytes).toLong.max(0L).min(4096L).toInt + 1
+    // stats-less leaves (RDD-backed frames, JDBC) estimate at
+    // spark.sql.defaultSizeInBytes (≈ Long.Max) — an absurd reading must
+    // not explode into 4096 tiny files; fall back to the cluster's
+    // parallelism as the group count
+    val groups =
+      if (bytes > BigInt(1L << 50))
+        keyed.sparkSession.sparkContext.defaultParallelism.max(1)
+      else (bytes / opts.maxFileBytes).toLong.max(0L).min(4096L).toInt + 1
+    val fidExpr = {
+      val h = md5(concat(lit(s"$instant/"), col("__part"), lit("/"),
+        col("__bucket").cast(StringType)))
+      concat_ws("-",
+        substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+        substring(h, 17, 4), concat(substring(h, 21, 12), lit("-0")))
+    }
     keyed
       .withColumn("__bucket", pmod(xxhash64(col("__key")), lit(groups)).cast("int"))
-      .withColumn("__fid", freshFidUdf(lit(instant), col("__part"), col("__bucket")))
+      .withColumn("__fid", fidExpr)
       .withColumn(MetaField.CommitTime, lit(instant))
       .drop("__bucket")
   }
 
-  private val freshFidUdf = udf((instant: String, part: String, bucket: Int) =>
-    freshFileId(instant, part, bucket))
-
-  /** Deterministic UUID-shaped fileId for a fresh group. */
-  def freshFileId(instant: String, part: String, bucket: Int): String =
-    java.util.UUID.nameUUIDFromBytes(
-      s"$instant/$part/$bucket".getBytes("UTF-8")).toString + "-0"
+  /** Deterministic UUID-shaped fileId for a fresh group (the driver-side
+    * twin of [[routeFresh]]'s md5 expression — kept bit-identical, spec-
+    * asserted).
+    */
+  def freshFileId(instant: String, part: String, bucket: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$instant/$part/$bucket".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20, 32)}-0"
+  }
 
   /** Upsert routing: probe the snapshot's (key, partition → fileId),
     * rewrite matched groups (carried rows keep their commit stamps,

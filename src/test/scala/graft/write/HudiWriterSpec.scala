@@ -114,6 +114,14 @@ class HudiWriterSpec extends SparkTestBase {
       assert(bf.fileName.matches("[0-9a-f\\-]{36}-0_0-0-0_\\d{17}\\.parquet"), bf.fileName)
       assert(sl.partitionPath.nonEmpty)
     }
+    // the fileIds are exactly the deterministic md5 derivation — the
+    // codegen'd routing expression and the driver twin must agree
+    val c1Slices = t.fsView.slicesAsOf(c1)
+    c1Slices.foreach { sl =>
+      assert((0 until 64).exists(b =>
+        HudiWriter.freshFileId(c1, sl.partitionPath, b) == sl.fileId),
+        s"fileId ${sl.fileId} must derive from (instant, partition, bucket)")
+    }
     // rewritten groups record prevCommit = c1 (the version they built on)
     val i2 = t.timeline.completedInstants.find(_.timestamp == c2).get
     val prevs = t.timeline.touchedGroupsPrevCommit(i2)
