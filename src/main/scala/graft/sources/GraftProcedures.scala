@@ -21,7 +21,7 @@ object GraftProcedures {
     Array("show_commits", "show_archived_commits", "show_file_slices",
       "show_partitions", "show_indexes", "show_column_stats",
       "show_partition_stats", "show_bloom_filters", "show_table_properties",
-      "run_clean")
+      "run_clean", "create_savepoint", "delete_savepoint")
 
   /** Planned slices at `asOf` (normalized) or the latest commit. */
   private def slicesAt(t: HudiTable, asOf: Option[String]): Vector[graft.fs.FileSlice] =
@@ -190,6 +190,41 @@ object GraftProcedures {
         }).iterator()
       }
     })
+    // upstream's savepoint CALL pair: pin / unpin a commit's view against
+    // the cleaner (graft.write.HudiSavepoints + HudiCleaner's retention)
+    case "create_savepoint" | "delete_savepoint" =>
+      val creating = name.toLowerCase == "create_savepoint"
+      Some(new UnboundProcedure with BoundProcedure {
+        override def name(): String = if (creating) "create_savepoint" else "delete_savepoint"
+        override def description(): String =
+          if (creating) "pin a completed commit's view against cleaning"
+          else "remove a savepoint (its pinned slices become cleanable)"
+        override def bind(inputType: StructType): BoundProcedure = this
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] =
+          Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("hudi table base path").build(),
+            ProcedureParameter.in("commit_time", StringType)
+              .comment("the commit to pin/unpin").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val path = input.getUTF8String(0).toString
+          val ts = input.getUTF8String(1).toString
+          val schema = StructType(Seq(
+            StructField("commit_time", StringType, nullable = false),
+            StructField("done", BooleanType, nullable = false)))
+          val out =
+            if (creating)
+              Array(row(graft.write.HudiSavepoints.create(SparkSession.active, path, ts),
+                Boolean.box(true)))
+            else Array(row(ts,
+              Boolean.box(graft.write.HudiSavepoints.delete(SparkSession.active, path, ts))))
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = out
+            override def readSchema(): StructType = schema
+          }).iterator()
+        }
+      })
     case _ => None
   }
 

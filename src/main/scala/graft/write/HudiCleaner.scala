@@ -15,11 +15,14 @@ import org.apache.spark.sql.SparkSession
   * receives matching isDeleted TOMBSTONES in the same breath — a stale
   * files listing would otherwise serve dead paths into scans.
   *
-  * Fail-closed guards: a SAVEPOINT anywhere on the timeline refuses (a
-  * savepointed commit's files must survive cleaning, and partial
-  * retention is exactly the stale-before-image hazard CdcRead's
-  * savepoint guard exists for); any PENDING instant refuses (a
-  * concurrent writer may be about to reference the candidate files).
+  * SAVEPOINTS pin history (real Hudi's contract): each completed
+  * savepoint keeps, per file group, the slice an as-of-savepoint read
+  * serves — time travel to the savepoint stays exact forever, while the
+  * resulting retained-old-slice layout is exactly what the read side's
+  * savepoint-stale guards detect (CDC inference across the gap refuses;
+  * persisted CDC keeps serving). Any genuinely PENDING instant refuses
+  * fail-closed (a concurrent writer may be about to reference the
+  * candidate files).
   *
   * Scale shape: driver-side metadata only — slice maps from the fs view,
   * O(deleted files) namenode deletes, one MDT log block. No data reads.
@@ -41,15 +44,17 @@ object HudiCleaner {
     val fs = new Path(basePath).getFileSystem(spark.sessionState.newHadoopConf())
     val timelineDir = t.timeline.dir
 
-    // fail-closed: savepoints pin history; pending instants may be about
-    // to reference the candidates
+    // savepoints PIN history: each one keeps, per file group, the slice
+    // an as-of-savepoint read serves (real Hudi's savepoint contract —
+    // the resulting retained-old-slice-with-cleaned-intermediates layout
+    // is exactly what the CDC savepoint-stale guard detects and refuses
+    // to infer across); pending instants may be about to reference the
+    // candidates and refuse below
     val rawNames = fs.listStatus(timelineDir).iterator.filter(_.isFile)
       .map(_.getPath.getName).toVector
-    if (rawNames.exists(n => n.endsWith(".savepoint")))
-      throw new UnsupportedOperationException(
-        "hudi-graft clean: the timeline carries a savepoint — cleaning around savepointed " +
-          "slices risks exactly the stale-before-image reads the engine refuses; remove " +
-          "the savepoint first")
+    val savepoints = rawNames.filter(n =>
+      n.endsWith(".savepoint") && n.count(_ == '.') == 1)
+      .map(_.stripSuffix(".savepoint").split("_")(0)).sorted
     // PENDING = a requested/inflight marker with NO completed counterpart
     // (completed commits legitimately keep their markers on disk)
     val completedTs = rawNames.iterator
@@ -73,9 +78,12 @@ object HudiCleaner {
 
     val deleted = Vector.newBuilder[(String, String)]
     for (p <- t.fsView.partitionPaths; g <- t.fsView.fileGroups(p)) {
-      // the slice an as-of-horizon read serves — everything OLDER goes
+      // keep: everything at/after the horizon's serving slice, plus each
+      // savepoint's serving slice — delete the rest
       val keepFrom = g.sliceAsOf(earliestRetained).map(_.commitTimestamp)
-      for ((ts, slice) <- g.slices if keepFrom.exists(ts < _)) {
+      val pinned = savepoints.flatMap(sp => g.sliceAsOf(sp).map(_.commitTimestamp)).toSet
+      for ((ts, slice) <- g.slices
+          if keepFrom.exists(ts < _) && !pinned.contains(ts)) {
         for (bf <- slice.baseFile) {
           if (fs.delete(new Path(bf.path), false)) deleted += ((p, bf.fileName))
         }

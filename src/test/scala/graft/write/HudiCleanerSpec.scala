@@ -85,23 +85,60 @@ class HudiCleanerSpec extends SparkTestBase {
     }
   }
 
-  test("savepoints and pending instants refuse fail-closed") {
+  test("pending instants refuse fail-closed") {
     val path = fresh("cleaner_guards")
-    val Seq(c1, _, _) = writeCommits(path, cdc = false)
+    writeCommits(path, cdc = false)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-    def touch(n: String): Unit =
-      fs.create(new org.apache.hadoop.fs.Path(path, s".hoodie/$n"), true).close()
-    touch(s"$c1.savepoint")
-    val exSp = intercept[UnsupportedOperationException] {
-      HudiCleaner.clean(spark, path, retainCommits = 1)
-    }
-    assert(exSp.getMessage.contains("savepoint"), exSp.getMessage)
-    fs.delete(new org.apache.hadoop.fs.Path(path, s".hoodie/$c1.savepoint"), false)
-    touch("99999999999999999.commit.inflight")
+    fs.create(new org.apache.hadoop.fs.Path(path,
+      ".hoodie/99999999999999999.commit.inflight"), true).close()
     val exPend = intercept[UnsupportedOperationException] {
       HudiCleaner.clean(spark, path, retainCommits = 1)
     }
     assert(exPend.getMessage.contains("pending"), exPend.getMessage)
+  }
+
+  test("savepoints pin their view through cleaning; the CDC stale guard fires organically") {
+    val path = fresh("cleaner_savepoint")
+    val Seq(c1, c2, c3) = writeCommits(path, cdc = false)
+    spark.conf.set("spark.sql.catalog.hudi_graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    val sp = spark.sql(
+      s"CALL hudi_graft.create_savepoint(table => '$path', commit_time => '$c1')").collect()
+    assert(sp.head.getString(0) == c1 && sp.head.getBoolean(1))
+
+    val stats = HudiCleaner.clean(spark, path, retainCommits = 1)
+    assert(stats.deleted.nonEmpty)
+    // the horizon keeps the c3 serving slices, the savepoint keeps the
+    // as-of-c1 ones — only intermediate c2 versions may delete
+    stats.deleted.foreach { case (_, f) =>
+      assert(f.contains(c2), s"only intermediate versions may delete: $f")
+    }
+    // time travel to the savepoint stays EXACT
+    val asOf1 = spark.read.format("hudi-graft")
+      .option("as.of.timestamp", c1).load(path)
+    assert(asOf1.count() == 1000)
+    assert(asOf1.select("o_orderstatus").distinct().collect().map(_.getString(0)).toSet ==
+      orders().limit(1000).select("o_orderstatus").distinct().collect()
+        .map(_.getString(0)).toSet)
+    // the retained-old-slice layout is exactly what the CDC savepoint-
+    // stale guard exists for: inferring (c2, c3] would read the pinned
+    // c1 slice as the c2 state — it must refuse, ORGANICALLY this time
+    // (the hand-built metadata spec's scenario, produced by the real
+    // cleaner + savepoint machinery)
+    val ex = intercept[UnsupportedOperationException] {
+      graft.sources.CdcRead.changes(spark, path, Some(c2), Some(c3))
+    }
+    assert(ex.getMessage.contains("OLDER versions"), ex.getMessage)
+
+    // unpin: the next clean reclaims the c1 versions and the savepointed
+    // view is gone
+    spark.sql(
+      s"CALL hudi_graft.delete_savepoint(table => '$path', commit_time => '$c1')")
+    val stats2 = HudiCleaner.clean(spark, path, retainCommits = 1)
+    assert(stats2.deleted.nonEmpty &&
+      stats2.deleted.forall(_._2.contains(c1)), stats2.deleted.take(3).toString)
+    assert(spark.read.format("hudi-graft")
+      .option("as.of.timestamp", c1).load(path).count() == 0)
   }
 
   test("a files-MDT table gets tombstones; the listing never serves dead paths") {
