@@ -301,12 +301,20 @@ object CdcRead {
           .map(p => hudi.fsView.slicesAsOf(p).map(sl => sl.fileId -> sl).toMap)
           .getOrElse(Map.empty)
         // FRESH = no recorded prevCommit AND no slice visible as of the
-        // predecessor. Both legs matter: fixture-grade metadata writes
-        // prevCommit "null" on rewrites (absence proves nothing), and a
-        // CLEANED pre-existing group vanishes from the fs view (absence
-        // there proves nothing either) — only the conjunction is safe
+        // predecessor AND the predecessor is actually KNOWABLE. All three
+        // legs matter: fixture-grade metadata writes prevCommit "null" on
+        // rewrites (absence proves nothing), a CLEANED pre-existing group
+        // vanishes from the fs view (absence there proves nothing
+        // either), and the oldest ACTIVE commit of an archived timeline
+        // has an empty visiblePrev VACUOUSLY — treating its groups as
+        // fresh would serve a rewrite's updates as inserts, the exact
+        // silent feed the archived-predecessor refusal exists to prevent
+        // (the inference branch below throws it loudly)
+        lazy val predecessorUnknowable = prev.isEmpty &&
+          scala.util.Try(hudi.timeline.archivedInstants.nonEmpty).getOrElse(true)
         def isFresh(fid: String): Boolean =
-          prevByGroup.getOrElse(fid, None).isEmpty && !visiblePrev.contains(fid)
+          prevByGroup.getOrElse(fid, None).isEmpty && !visiblePrev.contains(fid) &&
+            !predecessorUnknowable
         // persisted serves when every touched group has a sidecar or is
         // provably fresh (read one-sided); replacecommits stay on
         // inference — upstream writers don't emit sidecars for them

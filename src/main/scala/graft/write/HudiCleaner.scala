@@ -56,15 +56,24 @@ object HudiCleaner {
       n.endsWith(".savepoint") && n.count(_ == '.') == 1)
       .map(_.stripSuffix(".savepoint").split("_")(0)).sorted
     // PENDING = a requested/inflight marker with NO completed counterpart
-    // (completed commits legitimately keep their markers on disk)
-    val completedTs = rawNames.iterator
+    // for the SAME (timestamp, action) — completed commits legitimately
+    // keep their markers on disk, and multi-writer same-instant pairs
+    // (commit + deltacommit at one timestamp) must not mask each other:
+    // a completed deltacommit at ts does not excuse an inflight commit
+    // at ts
+    val completedKeys = rawNames.iterator
       .filterNot(n => n.endsWith(".requested") || n.endsWith(".inflight"))
-      .flatMap(n => n.split("\\.", 2).headOption)
-      .map(_.split("_")(0)).toSet
+      .map(_.split("\\.", 2)).collect {
+        case Array(ts, action) => s"${ts.split("_")(0)}.$action"
+      }.toSet
     val pending = rawNames.iterator
       .filter(n => n.endsWith(".requested") || n.endsWith(".inflight"))
-      .flatMap(n => n.split("\\.", 2).headOption)
-      .filterNot(completedTs.contains).toVector
+      .map(_.split("\\.").toSeq).collect {
+        // {ts}.{action}.{state}, or the bare v6 commit form {ts}.inflight
+        case Seq(ts, action, _) => s"$ts.$action"
+        case Seq(ts, "inflight") => s"$ts.commit"
+      }
+      .filterNot(completedKeys.contains).toVector
     if (pending.nonEmpty)
       throw new UnsupportedOperationException(
         s"hudi-graft clean: pending instants exist (${pending.sorted.mkString(", ")}) — a " +
@@ -76,7 +85,9 @@ object HudiCleaner {
       return CleanStats(None, commits.headOption, Nil)
     val earliestRetained = commits(commits.size - retainCommits)
 
-    val deleted = Vector.newBuilder[(String, String)]
+    // PLAN first (no destruction): the candidate (partition, file, path)
+    // set from pure fs-view metadata
+    val plan = Vector.newBuilder[(String, String, String)]
     for (p <- t.fsView.partitionPaths; g <- t.fsView.fileGroups(p)) {
       // keep: everything at/after the horizon's serving slice, plus each
       // savepoint's serving slice — delete the rest
@@ -84,37 +95,44 @@ object HudiCleaner {
       val pinned = savepoints.flatMap(sp => g.sliceAsOf(sp).map(_.commitTimestamp)).toSet
       for ((ts, slice) <- g.slices
           if keepFrom.exists(ts < _) && !pinned.contains(ts)) {
-        for (bf <- slice.baseFile) {
-          if (fs.delete(new Path(bf.path), false)) deleted += ((p, bf.fileName))
-        }
-        for (lf <- slice.logFiles) {
-          if (fs.delete(new Path(lf.path), false)) deleted += ((p, lf.fileName))
-        }
+        for (bf <- slice.baseFile) plan += ((p, bf.fileName, bf.path))
+        for (lf <- slice.logFiles) plan += ((p, lf.fileName, lf.path))
       }
     }
-    val removed = deleted.result()
+    val candidates = plan.result()
+    if (candidates.isEmpty)
+      return CleanStats(None, Some(earliestRetained), Nil)
 
     val instant = nextCleanInstant(commits.last)
-    // files-partition MDT: tombstone the removed paths at the SAME
-    // instant, before the clean completes
-    val mdtParts = t.config.getOrElse("hoodie.table.metadata.partitions", "")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    if (mdtParts.contains("files") && removed.nonEmpty)
-      MdtMaintenance.tombstoneFiles(basePath, spark.sessionState.newHadoopConf(),
-        instant, removed)
-
-    val byPartition = removed.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, fsz) =>
+    val byPartition = candidates.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, fsz) =>
       s""""${escape(p)}":${fsz.map(f => s""""${escape(f._2)}"""").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
     val body =
-      s"""{"earliestCommitToRetain":"$earliestRetained","totalFilesDeleted":${removed.size},""" +
+      s"""{"earliestCommitToRetain":"$earliestRetained","totalFilesDeleted":${candidates.size},""" +
         s""""partitionToDeletedFiles":$byPartition}"""
     def touch(name: String, content: String = ""): Unit = {
       val o = fs.create(new Path(timelineDir, name), true)
       o.write(content.getBytes("UTF-8")); o.close()
     }
-    touch(s"$instant.clean.requested")
+    // crash-safe ordering (real Hudi persists the plan before destroying
+    // anything): requested carries the full plan, then the MDT tombstones
+    // land, then the files delete, and only then does the clean COMPLETE.
+    // A crash mid-sequence leaves either (a) a pending clean whose plan
+    // names every candidate — rerunnable evidence, no missing state — or
+    // (b) tombstoned-but-present files, which only hides pre-horizon
+    // versions the clean was about to remove anyway; never a listing that
+    // serves deleted paths
+    touch(s"$instant.clean.requested", body)
     touch(s"$instant.clean.inflight")
+    val mdtParts = t.config.getOrElse("hoodie.table.metadata.partitions", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    if (mdtParts.contains("files"))
+      MdtMaintenance.tombstoneFiles(basePath, spark.sessionState.newHadoopConf(),
+        instant, candidates.map(c => (c._1, c._2)))
+    val deleted = Vector.newBuilder[(String, String)]
+    for ((p, name, path) <- candidates)
+      if (fs.delete(new Path(path), false)) deleted += ((p, name))
+    val removed = deleted.result()
     val completed =
       if (t.config.tableVersion >= 8) s"${instant}_${HudiWriter.completionNow(instant)}.clean"
       else s"$instant.clean"
@@ -122,14 +140,8 @@ object HudiCleaner {
     CleanStats(Some(instant), Some(earliestRetained), removed)
   }
 
-  private def escape(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def escape(s: String): String = HudiWriter.escapeJson(s)
 
-  private def nextCleanInstant(latest: String): String = {
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
-      .withZone(java.time.ZoneOffset.UTC)
-    val now = fmt.format(java.time.Instant.now())
-    val floor = (if (latest.length >= 17) latest.take(17) else latest.padTo(17, '0')).toLong + 1
-    if (now.toLong > floor) now else floor.toString
-  }
+  private def nextCleanInstant(latest: String): String =
+    HudiWriter.instantAfter(latest)
 }

@@ -137,24 +137,34 @@ object HudiWriter {
       else opts.operation
 
     // meta columns in the input are writer-owned — recomputed, never trusted
-    val data = df.drop((MetaField.all :+ MetaField.Operation): _*)
+    val data0 = df.drop((MetaField.all :+ MetaField.Operation): _*)
     // delete inputs name KEYS to remove (key + partition columns suffice,
     // like upstream); every other operation writes full rows
     val needed =
       if (operation == "delete") Seq(keyField) ++ partField
       else Seq(keyField) ++ partField ++ precombine.toSeq
     needed.foreach { f =>
-      require(data.columns.contains(f), s"hudi-graft: column '$f' absent from the input")
+      require(data0.columns.contains(f), s"hudi-graft: column '$f' absent from the input")
     }
     if (operation != "delete") existing.foreach { t =>
       val tableData = t.tableSchema.fieldNames.filterNot(MetaField.all.contains).toSet
-      val in = data.columns.toSet
+      val in = data0.columns.toSet
       if (in != tableData)
         throw new IllegalArgumentException(
           s"hudi-graft: input columns differ from the table's data columns — " +
             s"missing=${(tableData -- in).toSeq.sorted.mkString(",")} " +
             s"extra=${(in -- tableData).toSeq.sorted.mkString(",")}; schema evolution " +
             "on write is not supported by this writer")
+    }
+    // reconcile to the TABLE's column order (upstream does the same): a
+    // df.select("b","a") upsert must not flip the commit-recorded schema
+    // — readers resolve the table schema commit-metadata-first and a
+    // reordered commit would swap positional consumers' columns
+    val data = existing match {
+      case Some(t) if operation != "delete" =>
+        val order = t.tableSchema.fieldNames.filterNot(MetaField.all.contains)
+        data0.select(order.map(col).toIndexedSeq: _*)
+      case _ => data0
     }
 
     val instant = nextInstant(existing.flatMap(_.timeline.latestCommitTimestamp))
@@ -367,7 +377,7 @@ object HudiWriter {
       val sidecars =
         if (!cdcEnabled) Map.empty[String, (String, Long)]
         else writeCdcSidecars(spark, basePath, stored, matched, dataCols, instant,
-          deletes = false)
+          t.config.timelineTimezone, deletes = false)
       Routed(carried.unionByName(updated).unionByName(fresh),
         updateCounts = perFid, prevCommits = prevCommits, cdcFiles = sidecars)
     } finally routed.unpersist()
@@ -419,7 +429,7 @@ object HudiWriter {
       val sidecars =
         if (!cdcEnabled) Map.empty[String, (String, Long)]
         else writeCdcSidecars(spark, basePath, stored, matched, dataColsAll, instant,
-          deletes = true)
+          t.config.timelineTimezone, deletes = true)
       Routed(survivors, deleteCounts = perFid, prevCommits = prevCommits,
         cdcFiles = sidecars, requiredGroups = required)
     } finally matched.unpersist()
@@ -456,6 +466,7 @@ object HudiWriter {
       matched: DataFrame,
       dataCols: Array[String],
       instant: String,
+      timelineTimezone: String,
       deletes: Boolean): Map[String, (String, Long)] = {
     val b = stored.select(col("__key"), col("__part"), col("__fid"),
       struct(dataCols.map(col).toIndexedSeq: _*).as("__before"))
@@ -476,7 +487,9 @@ object HudiWriter {
     val schemaJson = dataSchema.json
     val conf = new graft.util.SerializableConf(
       spark.sessionState.newHadoopConf())
-    val tsMs = graft.core.Timestamps.timelineToEpochMillis(instant).toString
+    // the TABLE's timeline timezone, matching CdcRead's inference stamps —
+    // persisted and inferred feeds must hash-identically on non-UTC tables
+    val tsMs = graft.core.Timestamps.timelineToEpochMillis(instant, timelineTimezone).toString
     val token = Token
     val entries = images.repartition(col("__fid")).rdd.mapPartitions { it =>
       val target = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
@@ -597,11 +610,13 @@ object HudiWriter {
     written ++ emptied
   }
 
-  /** partitionBy URI-encodes directory values; decode back to the raw
-    * (still "p:"-prefixed) value.
+  /** partitionBy HIVE-escapes directory values (ExternalCatalogUtils
+    * .escapePathName: '%', '=', ':' → %XX, but '+' and spaces stay
+    * literal — NOT URL encoding, whose decode would corrupt '+' to a
+    * space); unescape with Spark's own inverse.
     */
   private def decodeStagedValue(v: String): String =
-    java.net.URLDecoder.decode(v, "UTF-8")
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
   // ---- metadata --------------------------------------------------------------
 
@@ -699,34 +714,32 @@ object HudiWriter {
     out.write(body.getBytes("UTF-8")); out.close()
   }
 
-  /** Completion timestamp for a v8 completed-instant name: wall clock,
-    * never at or before the request instant.
+  // ---- shared write-side primitives (one copy; HudiCleaner reuses) -------
+
+  /** Millisecond-resolution timeline instant (the 17-digit form),
+    * strictly after `floor` — wall clock, bumped on collision like real
+    * Hudi's instant generation. Also the v8 completion-timestamp rule
+    * (completion is just "an instant strictly after the request").
     */
-  private[write] def completionNow(request: String): String = {
+  private[write] def instantAfter(floor: String): String = {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
       .withZone(java.time.ZoneOffset.UTC)
     val now = fmt.format(java.time.Instant.now())
-    if (now > request) now else (normalizeTo17(request).toLong + 1).toString
+    if (now > floor) now else (normalizeTo17(floor).toLong + 1).toString
   }
 
-  private def escape(s: String): String =
+  private[write] def completionNow(request: String): String = instantAfter(request)
+
+  private[write] def escapeJson(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-  /** Millisecond-resolution timeline instant (v6's 17-digit form), strictly
-    * after the latest existing one — wall clock, bumped on collision like
-    * real Hudi's instant generation.
-    */
-  private def nextInstant(latest: Option[String]): String = {
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
-      .withZone(java.time.ZoneOffset.UTC)
-    val now = fmt.format(java.time.Instant.now())
+  private def escape(s: String): String = escapeJson(s)
+
+  private def nextInstant(latest: Option[String]): String =
     latest match {
-      case Some(l) if now <= l =>
-        val bumped = (normalizeTo17(l).toLong + 1).toString
-        bumped
-      case _ => now
+      case Some(l) => instantAfter(l)
+      case None => instantAfter("0")
     }
-  }
 
   private def normalizeTo17(ts: String): String =
     if (ts.length >= 17) ts.take(17) else ts.padTo(17, '0')

@@ -682,6 +682,37 @@ class CdcReadSpec extends SparkTestBase {
       ex.getMessage)
   }
 
+  test("a prevCommit-less oldest commit with ARCHIVED history must not serve as inserts") {
+    // degenerate metadata (prevCommit "null" on a rewrite) plus an
+    // archived predecessor: the fs view as of the (nonexistent) active
+    // predecessor is VACUOUSLY empty, so a naive freshness test would
+    // route the commit through the one-sided 'i' path — updates would
+    // surface as inserts and deletes vanish. The archived-predecessor
+    // refusal must fire instead.
+    val (base, fs, writeText) = freshMetaTable("cdc_archived_fresh")
+    writeText(".hoodie/hoodie.properties",
+      """hoodie.table.name=cdc_archived_fresh
+        |hoodie.table.type=COPY_ON_WRITE
+        |hoodie.table.version=6
+        |hoodie.timeline.layout.version=1
+        |hoodie.table.recordkey.fields=v
+        |hoodie.internal.timeline.archived.enabled=true
+        |hoodie.populate.meta.fields=true
+        |""".stripMargin)
+    val schema =
+      """{"type":"record","name":"r","fields":[{"name":"v","type":["long","null"]}]}"""
+        .replace("\"", "\\\"")
+    fs.create(new org.apache.hadoop.fs.Path(base, s"f0_0-0-0_$T2.parquet"), true).close()
+    writeText(s".hoodie/$T2.commit",
+      s"""{"partitionToWriteStats":{"":[{"fileId":"f0","path":"f0_0-0-0_$T2.parquet","partitionPath":"","prevCommit":"null"}]},"extraMetadata":{"schema":"$schema"},"compacted":false,"operationType":"UPSERT"}""")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base, ".hoodie/archived"))
+    writeText(s".hoodie/archived/$T1.commit", "{}")
+    val ex = intercept[UnsupportedOperationException] {
+      CdcRead.changes(spark, base.toString, None, Some(T2))
+    }
+    assert(ex.getMessage.contains("archived"), ex.getMessage)
+  }
+
   test("populate.meta.fields=false refuses: the inference keys on meta columns") {
     val base = new org.apache.hadoop.fs.Path("/root/repo/target/hudi-fixtures/cdc_nometa")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())

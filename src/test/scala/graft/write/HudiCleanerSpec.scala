@@ -85,16 +85,31 @@ class HudiCleanerSpec extends SparkTestBase {
     }
   }
 
-  test("pending instants refuse fail-closed") {
+  test("pending instants refuse fail-closed — incl. same-ts multi-writer masking") {
     val path = fresh("cleaner_guards")
     writeCommits(path, cdc = false)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-    fs.create(new org.apache.hadoop.fs.Path(path,
-      ".hoodie/99999999999999999.commit.inflight"), true).close()
+    def touch(n: String, body: String = ""): Unit = {
+      val o = fs.create(new org.apache.hadoop.fs.Path(path, s".hoodie/$n"), true)
+      o.write(body.getBytes("UTF-8")); o.close()
+    }
+    touch("99999999999999999.commit.inflight")
     val exPend = intercept[UnsupportedOperationException] {
       HudiCleaner.clean(spark, path, retainCommits = 1)
     }
     assert(exPend.getMessage.contains("pending"), exPend.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(path,
+      ".hoodie/99999999999999999.commit.inflight"), false)
+    // a COMPLETED deltacommit at the same timestamp must not mask a
+    // genuinely inflight commit (multi-writer same-instant pairs)
+    touch("99999999999999998.deltacommit",
+      """{"partitionToWriteStats":{},"compacted":false}""")
+    touch("99999999999999998.commit.inflight")
+    val exMask = intercept[UnsupportedOperationException] {
+      HudiCleaner.clean(spark, path, retainCommits = 1)
+    }
+    assert(exMask.getMessage.contains("pending") &&
+      exMask.getMessage.contains("99999999999999998.commit"), exMask.getMessage)
   }
 
   test("savepoints pin their view through cleaning; the CDC stale guard fires organically") {

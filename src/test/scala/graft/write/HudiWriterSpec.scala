@@ -380,6 +380,45 @@ class HudiWriterSpec extends SparkTestBase {
     assert(mdtTl.contains(s"$c2.deltacommit"), mdtTl.mkString(","))
   }
 
+  test("partition values with '+', spaces, and '%' roundtrip exactly") {
+    // staging dirs are HIVE-escaped, not URL-encoded: URLDecoder would
+    // corrupt 'a+b' to 'a b' and land files in the wrong partition
+    val path = fresh("writer_partchars")
+    import org.apache.spark.sql.types._
+    val rows = Seq(("1", "a+b"), ("2", "x y"), ("3", "p%q"), ("4", "plain"))
+    val df = spark.createDataFrame(rows).toDF("id", "grp")
+    df.write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "id")
+      .option("hoodie.datasource.write.partitionpath.field", "grp")
+      .mode(SaveMode.Append).save(path)
+    val back = spark.read.format("hudi-graft").load(path)
+    assert(back.count() == 4)
+    val byPart = back.select("_hoodie_partition_path", "grp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byPart == Map("a+b" -> "a+b", "x y" -> "x y", "p%q" -> "p%q", "plain" -> "plain"),
+      s"partition dirs must carry the RAW values: $byPart")
+    // partition-pruned read finds the '+' partition
+    assert(back.filter(col("grp") === "a+b").count() == 1)
+  }
+
+  test("a column-reordered upsert input must not flip the table schema") {
+    val path = fresh("writer_reorder")
+    writeOpts(orders()).mode(SaveMode.Append).save(path)
+    val originalOrder = spark.read.format("hudi-graft").load(path).columns.toSeq
+    // same columns, REVERSED order — the commit must record the TABLE's
+    // order (readers resolve schema commit-metadata-first)
+    val reversed = orders().filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    writeOpts(reversed.select(reversed.columns.reverse.map(col).toIndexedSeq: _*))
+      .mode(SaveMode.Append).save(path)
+    val back = spark.read.format("hudi-graft").load(path)
+    assert(back.columns.toSeq == originalOrder,
+      s"schema order flipped: ${back.columns.toSeq} vs $originalOrder")
+    assert(back.count() == orders().count())
+    assert(back.filter(col("o_orderkey") % 7 === 0)
+      .select("o_orderstatus").distinct().head.getString(0) == "U")
+  }
+
   test("refusals: MOR target, multi-field keys, schema drift") {
     val morPath = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
