@@ -103,7 +103,7 @@ object HudiCleaner {
     if (candidates.isEmpty)
       return CleanStats(None, Some(earliestRetained), Nil)
 
-    val instant = nextCleanInstant(commits.last)
+    val instant = HudiWriter.instantAfter(commits.last, t.config.timelineTimezone)
     val byPartition = candidates.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, fsz) =>
       s""""${escape(p)}":${fsz.map(f => s""""${escape(f._2)}"""").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -134,14 +134,12 @@ object HudiCleaner {
       if (fs.delete(new Path(path), false)) deleted += ((p, name))
     val removed = deleted.result()
     val completed =
-      if (t.config.tableVersion >= 8) s"${instant}_${HudiWriter.completionNow(instant)}.clean"
+      if (t.config.tableVersion >= 8)
+        s"${instant}_${HudiWriter.completionNow(instant, t.config.timelineTimezone)}.clean"
       else s"$instant.clean"
     touch(completed, body)
     CleanStats(Some(instant), Some(earliestRetained), removed)
   }
 
   private def escape(s: String): String = HudiWriter.escapeJson(s)
-
-  private def nextCleanInstant(latest: String): String =
-    HudiWriter.instantAfter(latest)
 }

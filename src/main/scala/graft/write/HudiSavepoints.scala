@@ -41,9 +41,11 @@ object HudiSavepoints {
     val t = HudiTable(spark, basePath)
     val ts = graft.core.Timestamps.normalize(commitTs, t.config.timelineTimezone)
     val fs = t.timeline.dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val existed = fs.delete(new Path(t.timeline.dir, s"$ts.savepoint"), false)
-    fs.delete(new Path(t.timeline.dir, s"$ts.savepoint.inflight"), false)
+    // markers first, completed file LAST: a crash mid-delete must never
+    // leave marker-only files that read as a PENDING savepoint (which
+    // would refuse run_clean until manual timeline repair)
     fs.delete(new Path(t.timeline.dir, s"$ts.savepoint.requested"), false)
-    existed
+    fs.delete(new Path(t.timeline.dir, s"$ts.savepoint.inflight"), false)
+    fs.delete(new Path(t.timeline.dir, s"$ts.savepoint"), false)
   }
 }

@@ -138,6 +138,14 @@ object HudiWriter {
 
     // meta columns in the input are writer-owned — recomputed, never trusted
     val data0 = df.drop((MetaField.all :+ MetaField.Operation): _*)
+    // "__"-prefixed input columns would collide with the writer's internal
+    // routing columns (__key/__part/__fid/__rn/__bucket) AND the staged-file
+    // data-column filter — silent clobber/loss; refuse loudly instead
+    val dunder = data0.columns.filter(_.startsWith("__"))
+    if (dunder.nonEmpty)
+      throw new IllegalArgumentException(
+        s"hudi-graft: input columns may not start with '__' " +
+          s"(${dunder.mkString(",")}) — the prefix is reserved for writer-internal routing")
     // delete inputs name KEYS to remove (key + partition columns suffice,
     // like upstream); every other operation writes full rows
     val needed =
@@ -167,7 +175,8 @@ object HudiWriter {
       case _ => data0
     }
 
-    val instant = nextInstant(existing.flatMap(_.timeline.latestCommitTimestamp))
+    val timelineTz = existing.map(_.config.timelineTimezone).getOrElse("UTC")
+    val instant = nextInstant(existing.flatMap(_.timeline.latestCommitTimestamp), timelineTz)
     val base = new Path(basePath)
 
     if (!exists)
@@ -248,7 +257,8 @@ object HudiWriter {
             (p, rel.substring(rel.lastIndexOf('/') + 1), bytes)
           })
       val tableVersion = existing.map(_.config.tableVersion).getOrElse(6)
-      writeTimeline(fs, base, instant, operation, files, routed, commitSchema, tableVersion)
+      writeTimeline(fs, base, instant, operation, files, routed, commitSchema, tableVersion,
+        timelineTz)
       Seq(instant)
     } finally keyed.unpersist()
   }
@@ -658,7 +668,8 @@ object HudiWriter {
       files: Seq[(String, String, String, Long, Long)],
       routed: Routed,
       commitSchema: org.apache.spark.sql.types.StructType,
-      tableVersion: Int): Unit = {
+      tableVersion: Int,
+      timelineTimezone: String): Unit = {
     val updateCounts = routed.updateCounts
     val deleteCounts = routed.deleteCounts
     val replaced = routed.replaced
@@ -684,7 +695,7 @@ object HudiWriter {
         val prev = prevCommits.getOrElse(fid, "null")
         val cdc = cdcFiles.get(fid).map { case (cdcRel, cdcLen) =>
           s""","cdcStats":{"${escape(cdcRel)}":$cdcLen}""" }.getOrElse("")
-        s"""{"fileId":"$fid","path":"$rel","partitionPath":"$p","prevCommit":"$prev",""" +
+        s"""{"fileId":"$fid","path":"${escape(rel)}","partitionPath":"${escape(p)}","prevCommit":"$prev",""" +
           s""""numWrites":$rows,"numUpdateWrites":$upd,"numInserts":$ins,""" +
           s""""numDeletes":$del,"fileSizeInBytes":$bytes,"totalWriteBytes":$bytes$cdc}"""
       }.mkString("[", ",", "]")
@@ -708,7 +719,7 @@ object HudiWriter {
     val body =
       s"""{"partitionToWriteStats":$stats$rep$extra,"compacted":false,"operationType":"$opType"}"""
     val completedName =
-      if (tableVersion >= 8) s"${instant}_${completionNow(instant)}.$action"
+      if (tableVersion >= 8) s"${instant}_${completionNow(instant, timelineTimezone)}.$action"
       else s"$instant.$action"
     val out = fs.create(new Path(timelineDir, completedName), true)
     out.write(body.getBytes("UTF-8")); out.close()
@@ -721,25 +732,46 @@ object HudiWriter {
     * Hudi's instant generation. Also the v8 completion-timestamp rule
     * (completion is just "an instant strictly after the request").
     */
-  private[write] def instantAfter(floor: String): String = {
+  private[write] def instantAfter(floor: String, timelineTimezone: String = "UTC"): String = {
+    // the TABLE's timeline timezone (hoodie.table.timeline.timezone), not
+    // hard-coded UTC: readers interpret timeline instants in that zone
+    // (Timestamps.timelineToEpochMillis), so a LOCAL-timezone table
+    // appended with UTC stamps would skew CDC ts_ms by the zone offset
+    val zone =
+      if (timelineTimezone.equalsIgnoreCase("LOCAL")) java.time.ZoneId.systemDefault()
+      else java.time.ZoneOffset.UTC
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
-      .withZone(java.time.ZoneOffset.UTC)
+      .withZone(zone)
     val now = fmt.format(java.time.Instant.now())
     if (now > floor) now else (normalizeTo17(floor).toLong + 1).toString
   }
 
-  private[write] def completionNow(request: String): String = instantAfter(request)
+  private[write] def completionNow(request: String, timelineTimezone: String = "UTC"): String =
+    instantAfter(request, timelineTimezone)
 
-  private[write] def escapeJson(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  /** JSON string escaping incl. control chars — a partition value (user
+    * data) carrying a newline must not produce an unparseable commit file.
+    */
+  private[write] def escapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb ++= "\\\\"
+      case '"' => sb ++= "\\\""
+      case '\b' => sb ++= "\\b"
+      case '\f' => sb ++= "\\f"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < 0x20 => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    sb.result()
+  }
 
   private def escape(s: String): String = escapeJson(s)
 
-  private def nextInstant(latest: Option[String]): String =
-    latest match {
-      case Some(l) => instantAfter(l)
-      case None => instantAfter("0")
-    }
+  private def nextInstant(latest: Option[String], timelineTimezone: String): String =
+    instantAfter(latest.getOrElse("0"), timelineTimezone)
 
   private def normalizeTo17(ts: String): String =
     if (ts.length >= 17) ts.take(17) else ts.padTo(17, '0')
@@ -757,8 +789,31 @@ object HudiWriter {
           s"hudi-graft: multi-field record keys ($v) are not supported by this writer")
         v
       }
-    def partitionPathField: Option[String] =
-      get("hoodie.datasource.write.partitionpath.field", "partitionpath.field")
+    /** Spark passes `df.write.partitionBy(...)` to a V1 provider as the
+      * `__partition_columns` option (DataSourceUtils.PARTITIONING_COLUMNS_KEY,
+      * a JSON string array) — silently ignoring it would write the table
+      * unpartitioned; map it onto the hoodie partition-path spelling and
+      * refuse a conflict with an explicit hoodie option.
+      */
+    private def partitionByColumns: Seq[String] =
+      lower.get("__partition_columns").map { json =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        (0 until node.size()).map(node.get(_).asText()).toSeq
+      }.getOrElse(Nil)
+    def partitionPathField: Option[String] = {
+      val explicit = get("hoodie.datasource.write.partitionpath.field", "partitionpath.field")
+      partitionByColumns match {
+        case Nil => explicit
+        case many if many.length > 1 => throw new UnsupportedOperationException(
+          s"hudi-graft: .partitionBy(${many.mkString(",")}) names multiple columns; " +
+            "this writer supports a single partition-path field")
+        case Seq(one) =>
+          if (explicit.exists(_ != one)) throw new IllegalArgumentException(
+            s"hudi-graft: .partitionBy($one) conflicts with " +
+              s"hoodie.datasource.write.partitionpath.field=${explicit.get}")
+          Some(one)
+      }
+    }
     def precombineField: Option[String] =
       get("hoodie.datasource.write.precombine.field", "precombine.field")
     def operation: String =

@@ -163,7 +163,8 @@ object MdtMaintenance {
     touch(s"$instant.deltacommit.requested")
     touch(s"$instant.deltacommit.inflight")
     val completedName =
-      if (mdtConfig.tableVersion >= 8) s"${instant}_${HudiWriter.completionNow(instant)}.deltacommit"
+      if (mdtConfig.tableVersion >= 8)
+        s"${instant}_${HudiWriter.completionNow(instant, mdtConfig.timelineTimezone)}.deltacommit"
       else s"$instant.deltacommit"
     touch(completedName, body)
   }

@@ -419,6 +419,53 @@ class HudiWriterSpec extends SparkTestBase {
       .select("o_orderstatus").distinct().head.getString(0) == "U")
   }
 
+  test("user .partitionBy maps to the partition-path field (not silently ignored)") {
+    val path = fresh("writer_partitionby")
+    orders().limit(300).write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .partitionBy("o_orderpriority")
+      .mode(SaveMode.Append).save(path)
+    val back = spark.read.format("hudi-graft").load(path)
+    assert(back.select("_hoodie_partition_path").distinct().count() > 1,
+      "partitionBy must partition the table")
+    val props = new String(graft.util.ReadFully(
+      org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path, ".hoodie/hoodie.properties")), "UTF-8")
+    assert(props.contains("hoodie.table.partition.fields=o_orderpriority"), props)
+    // conflict with an explicit differing hoodie option refuses
+    intercept[IllegalArgumentException] {
+      orders().limit(10).write.format("hudi-graft")
+        .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+        .option("hoodie.datasource.write.partitionpath.field", "o_orderstatus")
+        .partitionBy("o_orderpriority")
+        .mode(SaveMode.Append).save(fresh("writer_partitionby_conflict"))
+    }
+  }
+
+  test("'__'-prefixed input columns refuse loudly (reserved routing namespace)") {
+    val ex = intercept[IllegalArgumentException] {
+      orders().limit(10).withColumn("__key", lit("boom"))
+        .write.format("hudi-graft")
+        .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+        .mode(SaveMode.Append).save(fresh("writer_dunder"))
+    }
+    assert(ex.getMessage.contains("__"), ex.getMessage)
+  }
+
+  test("partition values with control characters still produce a parseable timeline") {
+    val path = fresh("writer_ctrlchars")
+    val df = spark.createDataFrame(Seq(("1", "with\nnewline"), ("2", "tab\there")))
+      .toDF("id", "grp")
+    df.write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "id")
+      .option("hoodie.datasource.write.partitionpath.field", "grp")
+      .mode(SaveMode.Append).save(path)
+    // an unescaped newline in the commit JSON would make every open fail
+    val back = spark.read.format("hudi-graft").load(path)
+    assert(back.count() == 2)
+    assert(HudiWriter.escapeJson("a\nb\u0001c\t") == "a\\nb\\u0001c\\t")
+  }
+
   test("refusals: MOR target, multi-field keys, schema drift") {
     val morPath = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
