@@ -67,6 +67,7 @@ object HudiFixtureBuilder {
   def overwritePath(sfDir: String): String = s"${root(sfDir)}/cow_overwrite"
   def cdcPath(sfDir: String): String = s"${root(sfDir)}/cow_cdc_orders"
   def writePath(sfDir: String): String = s"${root(sfDir)}/writer_orders"
+  def writeMorPath(sfDir: String): String = s"${root(sfDir)}/writer_mor_orders"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
@@ -83,7 +84,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v35")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v36")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -154,6 +155,7 @@ object HudiFixtureBuilder {
           buildCowOverwrite(spark, sfDir); own()
           buildCowCdcOrders(spark, sfDir); own()
           buildWriterOrders(spark, sfDir); own()
+          buildWriterMorOrders(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
           buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
@@ -723,6 +725,30 @@ object HudiFixtureBuilder {
     // delete, so hudi_write_roundtrip/_incremental hash-verify that
     // snapshots and in-horizon incremental reads survive cleaning
     graft.write.HudiCleaner.clean(spark, path, retainCommits = 2)
+  }
+
+  // --- MOR writer dogfood: the SAME insert/%7-upsert/%97-delete sequence,
+  // but against a MERGE_ON_READ target — c1 writes parquet base files, c2
+  // appends avro-data log blocks, c3 appends delete blocks (all
+  // deltacommits, no base rewrites), so the oracle gate verifies the MOR
+  // write path (log emission, naming, merge-visible semantics) through
+  // the snapshot and incremental readers.
+  private def buildWriterMorOrders(spark: SparkSession, sfDir: String): Unit = {
+    val path = writeMorPath(sfDir)
+    val src = orders(spark, sfDir)
+    def w(df: DataFrame, operation: String) = df.write.format("hudi-graft")
+      .option("hoodie.datasource.write.table.type", "MERGE_ON_READ")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.partitionpath.field", "o_orderpriority")
+      .option("hoodie.datasource.write.precombine.field", "o_custkey")
+      .option("hoodie.datasource.write.operation", operation)
+      .option("hoodie.table.name", "writer_mor_orders")
+      .mode("append").save(path)
+    w(src, "insert")
+    w(src.filter(col("o_orderkey") % 7 === 0).withColumn("o_orderstatus", lit("U")),
+      "upsert")
+    w(src.filter(col("o_orderkey") % 97 === 0).select("o_orderkey", "o_orderpriority"),
+      "delete")
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

@@ -355,6 +355,30 @@ object HudiQueries {
       },
       ordersSql(updated = true, deletes = false, onlyUpdated = true)),
 
+    // --- MOR WRITE path roundtrip: the writer_mor_orders table is the
+    // SAME insert/%7-upsert/%97-delete sequence against a MERGE_ON_READ
+    // target — every write a deltacommit, the upsert an avro-data log
+    // block and the delete a delete block on the matched group's slice
+    // (zero base rewrites; HudiMorWriterSpec pins the layout). A green
+    // hash means connector-written MOR logs merge exactly ---------------
+    "hudi_write_mor_roundtrip" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(s.read.format("hudi-graft").load(HudiFixtureBuilder.writeMorPath(d)))
+      },
+      ordersSql(updated = true, deletes = true, onlyUpdated = false)),
+
+    // --- and (c1, c2] over the writer's MOR table yields exactly the
+    // log-upserted rows (commit-ranged log merge over writer metadata) ---
+    "hudi_write_mor_incremental" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val t = HudiTable(s, HudiFixtureBuilder.writeMorPath(d))
+        val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
+        selectOrders(t.incremental(Some(ts(0)), Some(ts(1))))
+      },
+      ordersSql(updated = true, deletes = false, onlyUpdated = true)),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(

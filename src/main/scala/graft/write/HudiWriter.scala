@@ -87,10 +87,10 @@ object HudiWriter {
 
     val existing = if (exists) Some(HudiTable(spark, basePath)) else None
     existing.foreach { t =>
-      if (t.config.isMor)
+      if (!t.config.baseFileFormat.equalsIgnoreCase("PARQUET"))
         throw new UnsupportedOperationException(
-          "hudi-graft: writing MERGE_ON_READ tables is not supported (COW only); " +
-            "log-file production needs compaction scheduling this writer does not do")
+          s"hudi-graft: base file format ${t.config.baseFileFormat} is not writable " +
+            "(this writer produces parquet base files)")
       if (!t.config.populatesMetaFields)
         throw new UnsupportedOperationException(
           "hudi-graft: hoodie.populate.meta.fields=false tables are not writable here")
@@ -132,9 +132,24 @@ object HudiWriter {
     val precombine = opts.precombineField
       .orElse(existing.map(_.config).flatMap(_.orderingFields.headOption))
 
+    // MOR targets take every data write as a DELTACOMMIT (real Hudi's
+    // convention): inserts still produce parquet base files (new file
+    // groups), while upsert/delete land as avro-data/delete LOG blocks on
+    // the matched group's latest slice — compaction stays a separate,
+    // unimplemented table service, exactly like a real Hudi deltastreamer
+    // between compactions
+    val isMor = existing.map(_.config.isMor)
+      .getOrElse(opts.tableType.equalsIgnoreCase("MERGE_ON_READ"))
+
     val operation =
       if (mode == SaveMode.Overwrite && exists) "insert_overwrite_table"
       else opts.operation
+    if (isMor && exists && precombine.isEmpty &&
+        (operation == "upsert" || operation == "delete"))
+      throw new UnsupportedOperationException(
+        "hudi-graft: MOR upsert/delete merge log rows by the ordering (precombine) " +
+          "field — a table without one reads APPEND_ONLY and the log append would " +
+          "duplicate rather than overwrite; set hoodie.datasource.write.precombine.field")
 
     // meta columns in the input are writer-owned — recomputed, never trusted
     val data0 = df.drop((MetaField.all :+ MetaField.Operation): _*)
@@ -180,7 +195,8 @@ object HudiWriter {
     val base = new Path(basePath)
 
     if (!exists)
-      writeTableProperties(fs, base, opts, keyField, partField, precombine)
+      writeTableProperties(fs, base, opts, keyField, partField, precombine,
+        if (isMor) "MERGE_ON_READ" else "COPY_ON_WRITE")
 
     // supplemental CDC logging: sidecars are emitted for REWRITTEN groups
     // when the table carries hoodie.table.cdc.enabled with
@@ -222,12 +238,16 @@ object HudiWriter {
         case "upsert" =>
           existing match {
             case None => Routed(routeFresh(keyed, instant, opts))
+            case Some(t) if t.config.isMor =>
+              routeMorUpsert(spark, basePath, t, keyed, instant, opts)
             case Some(t) => routeUpsert(spark, basePath, t, keyed, instant, opts, cdcEnabled)
           }
         case "delete" =>
           existing match {
             case None => throw new IllegalArgumentException(
               "hudi-graft: operation 'delete' on a nonexistent table")
+            case Some(t) if t.config.isMor =>
+              routeMorDelete(spark, basePath, t, keyed, instant)
             case Some(t) => routeDelete(spark, basePath, t, keyed, instant, cdcEnabled)
           }
         case other =>
@@ -255,10 +275,12 @@ object HudiWriter {
         MdtMaintenance.appendFiles(basePath, spark.sessionState.newHadoopConf(), instant,
           files.map { case (p, _, rel, _, bytes) =>
             (p, rel.substring(rel.lastIndexOf('/') + 1), bytes)
+          } ++ routed.logWrites.map { lw =>
+            (lw.partition, lw.relPath.substring(lw.relPath.lastIndexOf('/') + 1), lw.bytes)
           })
       val tableVersion = existing.map(_.config.tableVersion).getOrElse(6)
       writeTimeline(fs, base, instant, operation, files, routed, commitSchema, tableVersion,
-        timelineTz)
+        timelineTz, isMor)
       Seq(instant)
     } finally keyed.unpersist()
   }
@@ -278,7 +300,18 @@ object HudiWriter {
       replaced: Map[String, Set[String]] = Map.empty,
       prevCommits: Map[String, String] = Map.empty,
       cdcFiles: Map[String, (String, Long)] = Map.empty,
-      requiredGroups: Map[String, String] = Map.empty)
+      requiredGroups: Map[String, String] = Map.empty,
+      logWrites: Seq[LogWrite] = Nil)
+
+  /** One MOR log file this commit appended: becomes a write-stats entry
+    * (numUpdateWrites or numDeletes = rows) alongside the base files.
+    */
+  private[write] final case class LogWrite(
+      partition: String,
+      fileId: String,
+      relPath: String,
+      rows: Long,
+      bytes: Long)
 
   /** Fresh-group routing: hash-bucket keys into N new file groups per
     * partition, N from the PLANNED input size (Catalyst's estimate — no
@@ -309,6 +342,14 @@ object HudiWriter {
       .withColumn(MetaField.CommitTime, lit(instant))
       .drop("__bucket")
   }
+
+  /** File-group id from a `_hoodie_file_name` value: base files are
+    * `{fid}_{token}_{ts}.ext`, MOR log rows carry the log's own name
+    * `.{fid}_{ts}.log.{v}_{token}` — strip the leading dot, take
+    * everything before the first '_' (fileIds contain no underscore).
+    */
+  private def fidFromFileName: org.apache.spark.sql.Column =
+    substring_index(regexp_replace(col(MetaField.FileName), "^\\.", ""), "_", 1)
 
   /** Deterministic UUID-shaped fileId for a fresh group (the driver-side
     * twin of [[routeFresh]]'s md5 expression — kept bit-identical, spec-
@@ -346,7 +387,7 @@ object HudiWriter {
     val index = snap.select(
       col(MetaField.RecordKey).as("__key"),
       col(MetaField.PartitionPath).as("__part"),
-      substring_index(col(MetaField.FileName), "_", 1).as("__fid"))
+      fidFromFileName.as("__fid"))
     val routed = keyed.join(index, Seq("__key", "__part"), "left").persist()
     try {
       val matched = routed.filter(col("__fid").isNotNull)
@@ -370,7 +411,7 @@ object HudiWriter {
         .load(basePath)
         .withColumn("__key", col(MetaField.RecordKey))
         .withColumn("__part", col(MetaField.PartitionPath))
-        .withColumn("__fid", substring_index(col(MetaField.FileName), "_", 1))
+        .withColumn("__fid", fidFromFileName)
       // carried: stored rows not overwritten — keep their commit stamp
       val dataCols = keyed.columns.filterNot(Set("__key", "__part").contains)
       val carried = stored
@@ -413,7 +454,7 @@ object HudiWriter {
     val index = snap.select(
       col(MetaField.RecordKey).as("__key"),
       col(MetaField.PartitionPath).as("__part"),
-      substring_index(col(MetaField.FileName), "_", 1).as("__fid"))
+      fidFromFileName.as("__fid"))
     val matched = keyed.select("__key", "__part")
       .join(index, Seq("__key", "__part"), "inner").persist()
     try {
@@ -431,7 +472,7 @@ object HudiWriter {
         .load(basePath)
         .withColumn("__key", col(MetaField.RecordKey))
         .withColumn("__part", col(MetaField.PartitionPath))
-        .withColumn("__fid", substring_index(col(MetaField.FileName), "_", 1))
+        .withColumn("__fid", fidFromFileName)
       val survivors = stored
         .join(matched.select("__key", "__part"), Seq("__key", "__part"), "left_anti")
         .select((dataColsAll.map(col) ++ Seq(col("__key"), col("__part"), col("__fid"),
@@ -443,6 +484,185 @@ object HudiWriter {
       Routed(survivors, deleteCounts = perFid, prevCommits = prevCommits,
         cdcFiles = sidecars, requiredGroups = required)
     } finally matched.unpersist()
+  }
+
+  /** MOR upsert routing (deltacommit): matched keys append as ONE avro
+    * data block per touched file group onto the group's latest slice —
+    * full meta-prefixed rows stamped with the new instant, so the MOR
+    * merge's overwrite-with-latest picks them over the base rows —
+    * while unmatched keys route to fresh parquet base-file groups
+    * (upstream writes MOR inserts as base files too). Log naming follows
+    * the read side's association rule: v6 names carry the target slice's
+    * BASE instant, v8+ the delta's own instant (completion from the
+    * timeline). Scale shape: the probe is the same column-pruned key
+    * join as COW, the log emission repartitions change rows by file
+    * group (each task buffers at most its groups' change volume), and
+    * the driver collects only (fileId → path, bytes) for write stats.
+    */
+  private def routeMorUpsert(
+      spark: SparkSession,
+      basePath: String,
+      t: HudiTable,
+      keyed: DataFrame,
+      instant: String,
+      opts: Options
+  ): Routed = {
+    val snap = spark.read.format("hudi-graft").load(basePath)
+    val index = snap.select(
+      col(MetaField.RecordKey).as("__key"),
+      col(MetaField.PartitionPath).as("__part"),
+      fidFromFileName.as("__fid"))
+    val routed = keyed.join(index, Seq("__key", "__part"), "left").persist()
+    try {
+      val matched = routed.filter(col("__fid").isNotNull)
+      val fresh = routeFresh(routed.filter(col("__fid").isNull).drop("__fid"), instant, opts)
+      val dataCols = keyed.columns.filterNot(Set("__key", "__part").contains)
+      val logs = writeMorLogs(spark, basePath, t, matched, dataCols, instant, deletes = false)
+      if (logs.isEmpty) return Routed(fresh)
+      val touched = logs.map(_.fileId).toSet
+      val prevCommits = t.fsView.slicesAsOf(instant)
+        .filter(sl => touched.contains(sl.fileId))
+        .map(sl => sl.fileId -> sl.commitTimestamp).toMap
+      Routed(fresh,
+        updateCounts = logs.map(l => l.fileId -> l.rows).toMap,
+        prevCommits = prevCommits, logWrites = logs)
+    } finally routed.unpersist()
+  }
+
+  /** MOR delete routing (deltacommit): matched keys append as ONE delete
+    * block per touched group — (key, partition, null-ordering) triples,
+    * so the merge's commit-time tiebreak removes the row (M3's
+    * event-time-zero semantics). Unmatched keys are no-ops; no base
+    * files are written at all.
+    */
+  private def routeMorDelete(
+      spark: SparkSession,
+      basePath: String,
+      t: HudiTable,
+      keyed: DataFrame,
+      instant: String
+  ): Routed = {
+    val snap = spark.read.format("hudi-graft").load(basePath)
+    val index = snap.select(
+      col(MetaField.RecordKey).as("__key"),
+      col(MetaField.PartitionPath).as("__part"),
+      fidFromFileName.as("__fid"))
+    val matched = keyed.select("__key", "__part")
+      .join(index, Seq("__key", "__part"), "inner")
+    val dataColsAll = snap.columns.filterNot(MetaField.all.contains)
+    val logs = writeMorLogs(spark, basePath, t, matched, dataColsAll, instant, deletes = true)
+    val empty = LogScanEmpty.staged(spark, snap, dataColsAll)
+    if (logs.isEmpty) return Routed(empty)
+    val touched = logs.map(_.fileId).toSet
+    val prevCommits = t.fsView.slicesAsOf(instant)
+      .filter(sl => touched.contains(sl.fileId))
+      .map(sl => sl.fileId -> sl.commitTimestamp).toMap
+    Routed(empty,
+      deleteCounts = logs.map(l => l.fileId -> l.rows).toMap,
+      prevCommits = prevCommits, logWrites = logs)
+  }
+
+  /** Distributed MOR log emission: `rows` (carrying __key/__part/__fid)
+    * repartition by file group; each task writes one log file per group
+    * it holds — an avro data block of full meta-prefixed records
+    * (upserts) or a delete block of (key, partition, null) triples — and
+    * the driver collects only per-file stats. The per-group name/version
+    * map is driver-computed from the fs view (bounded by table file
+    * count) and broadcast.
+    */
+  private def writeMorLogs(
+      spark: SparkSession,
+      basePath: String,
+      t: HudiTable,
+      matched: DataFrame,
+      dataCols: Array[String],
+      instant: String,
+      deletes: Boolean): Seq[LogWrite] = {
+    // per touched group: (partition, log name ts, next version) — v6 logs
+    // name the slice's BASE instant (the association key FileGroup
+    // .assemble anchors on), v8+ their OWN instant
+    val v8 = t.config.tableVersion >= 8
+    val naming = t.fsView.slicesAsOf(instant).map { sl =>
+      sl.fileId -> ((sl.partitionPath,
+        if (v8) instant else sl.commitTimestamp,
+        sl.logFiles.map(_.version).maxOption.getOrElse(0) + 1))
+    }.toMap
+    val token = Token
+    val conf = new graft.util.SerializableConf(spark.sessionState.newHadoopConf())
+    val bcNaming = spark.sparkContext.broadcast(naming)
+
+    val entries: Array[(String, String, Long, Long)] = if (deletes) {
+      matched.select(col("__fid"), col("__part"), col("__key"))
+        .repartition(col("__fid")).rdd.mapPartitions { it =>
+          val byFid = it.toVector.groupBy(_.getString(0))
+          byFid.iterator.map { case (fid, rs) =>
+            val (part, nameTs, version) = bcNaming.value(fid)
+            val name = s".${fid}_$nameTs.log.${version}_$token"
+            val dir = if (part.isEmpty) new Path(basePath) else new Path(basePath, part)
+            val fs = dir.getFileSystem(conf.value)
+            val header = org.apache.avro.SchemaBuilder.record("graft_delete_header")
+              .fields().endRecord()
+            val out = new java.io.DataOutputStream(fs.create(new Path(dir, name), false))
+            // orderingVal 0 = upstream DeleteRecord's default: the merge's
+            // event-time-zero rule then compares on COMMIT TIME only, so
+            // this delete beats every earlier row version regardless of
+            // its precombine value (a null here would sort LOWEST and the
+            // delete would never win)
+            val triples = rs.sortBy(_.getString(2))
+              .map(r => (r.getString(2), r.getString(1), 0: Any))
+            try graft.log.LogFileWriter.deleteBlock(out, instant, header, triples)
+            finally out.close()
+            val rel = if (part.isEmpty) name else s"$part/$name"
+            (fid, rel, rs.size.toLong, fs.getFileStatus(new Path(dir, name)).getLen)
+          }
+        }.collect()
+    } else {
+      // full meta-prefixed record rows, stamped with the NEW instant so
+      // the MOR merge's (ordering, commit-time) comparison picks them
+      val metaRows = matched.select(
+        col("__fid"),
+        col("__part"),
+        struct(
+          lit(instant).as(MetaField.CommitTime) +:
+            concat_ws("_", lit(instant), col("__fid"), col("__key"))
+              .as(MetaField.CommitSeqno) +:
+            col("__key").as(MetaField.RecordKey) +:
+            col("__part").as(MetaField.PartitionPath) +:
+            lit("").as(MetaField.FileName) +:
+            dataCols.map(col).toIndexedSeq: _*).as("__row"))
+      val rowSchemaJson = metaRows.schema("__row").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].json
+      metaRows.repartition(col("__fid")).rdd.mapPartitions { it =>
+        val target = org.apache.spark.sql.types.DataType.fromJson(rowSchemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val avro = graft.log.SparkToAvro.toAvroSchema(target, "graft_mor_record")
+        val byFid = it.toVector.groupBy(_.getString(0))
+        byFid.iterator.map { case (fid, rs) =>
+          val (part, nameTs, version) = bcNaming.value(fid)
+          val name = s".${fid}_$nameTs.log.${version}_$token"
+          val dir = if (part.isEmpty) new Path(basePath) else new Path(basePath, part)
+          val fs = dir.getFileSystem(conf.value)
+          val recs = rs.sortBy(_.getStruct(2).getString(2))
+            .map { r =>
+              val rec = graft.log.SparkToAvro.toRecord(r.getStruct(2), target, avro)
+              // real Hudi stamps log records with the LOG file's name
+              // (HoodieAppendHandle) — also what keeps the writer's own
+              // (key -> fileId) snapshot probe routable after a log merge
+              rec.put(MetaField.FileName, name)
+              rec
+            }
+          val out = new java.io.DataOutputStream(fs.create(new Path(dir, name), false))
+          try graft.log.LogFileWriter.avroDataBlock(out, instant, avro, recs)
+          finally out.close()
+          val rel = if (part.isEmpty) name else s"$part/$name"
+          (fid, rel, rs.size.toLong, fs.getFileStatus(new Path(dir, name)).getLen)
+        }
+      }.collect()
+    }
+    entries.toSeq.sortBy(_._1).map { case (fid, rel, rows, bytes) =>
+      val (part, _, _) = naming(fid)
+      LogWrite(part, fid, rel, rows, bytes)
+    }
   }
 
   /** Zero-row staged frame with the routing columns (delete of only
@@ -636,13 +856,14 @@ object HudiWriter {
       opts: Options,
       keyField: String,
       partField: Option[String],
-      precombine: Option[String]): Unit = {
+      precombine: Option[String],
+      tableType: String): Unit = {
     fs.mkdirs(new Path(base, ".hoodie"))
     val keygen = if (partField.isDefined) "org.apache.hudi.keygen.SimpleKeyGenerator"
       else "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
     val sb = new StringBuilder
     sb ++= s"hoodie.table.name=${opts.tableName(base.getName)}\n"
-    sb ++= "hoodie.table.type=COPY_ON_WRITE\n"
+    sb ++= s"hoodie.table.type=$tableType\n"
     sb ++= "hoodie.table.version=6\n"
     sb ++= "hoodie.timeline.layout.version=1\n"
     sb ++= s"hoodie.table.recordkey.fields=$keyField\n"
@@ -669,14 +890,15 @@ object HudiWriter {
       routed: Routed,
       commitSchema: org.apache.spark.sql.types.StructType,
       tableVersion: Int,
-      timelineTimezone: String): Unit = {
+      timelineTimezone: String,
+      isMor: Boolean): Unit = {
     val updateCounts = routed.updateCounts
     val deleteCounts = routed.deleteCounts
     val replaced = routed.replaced
     val prevCommits = routed.prevCommits
     val cdcFiles = routed.cdcFiles
     val action = if (replaced.nonEmpty || operation == "insert_overwrite_table")
-      "replacecommit" else "commit"
+      "replacecommit" else if (isMor) "deltacommit" else "commit"
     // v8+ targets keep their timeline under .hoodie/timeline and complete
     // with a {request}_{completion} name (timeline layout v2)
     val timelineDir =
@@ -685,21 +907,34 @@ object HudiWriter {
     def touch(name: String): Unit = fs.create(new Path(timelineDir, name), true).close()
     touch(s"$instant.$action.requested")
     touch(s"$instant.$action.inflight")
-    val stats = files.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, fsz) =>
-      val entries = fsz.sortBy(_._2).map { case (_, fid, rel, rows, bytes) =>
-        val upd = updateCounts.getOrElse(fid, 0L)
-        val del = deleteCounts.getOrElse(fid, 0L)
-        // rewritten groups receive no fresh keys under this routing, so
-        // their non-update rows are CARRIED, not inserted
-        val ins = if (updateCounts.contains(fid) || deleteCounts.contains(fid)) 0L else rows
-        val prev = prevCommits.getOrElse(fid, "null")
-        val cdc = cdcFiles.get(fid).map { case (cdcRel, cdcLen) =>
-          s""","cdcStats":{"${escape(cdcRel)}":$cdcLen}""" }.getOrElse("")
+    // base-file entries plus (MOR) log-file entries, merged per partition
+    val baseEntries = files.map { case (p, fid, rel, rows, bytes) =>
+      val upd = updateCounts.getOrElse(fid, 0L)
+      val del = deleteCounts.getOrElse(fid, 0L)
+      // rewritten groups receive no fresh keys under this routing, so
+      // their non-update rows are CARRIED, not inserted
+      val ins = if (updateCounts.contains(fid) || deleteCounts.contains(fid)) 0L else rows
+      val prev = prevCommits.getOrElse(fid, "null")
+      val cdc = cdcFiles.get(fid).map { case (cdcRel, cdcLen) =>
+        s""","cdcStats":{"${escape(cdcRel)}":$cdcLen}""" }.getOrElse("")
+      (p, fid,
         s"""{"fileId":"$fid","path":"${escape(rel)}","partitionPath":"${escape(p)}","prevCommit":"$prev",""" +
           s""""numWrites":$rows,"numUpdateWrites":$upd,"numInserts":$ins,""" +
-          s""""numDeletes":$del,"fileSizeInBytes":$bytes,"totalWriteBytes":$bytes$cdc}"""
-      }.mkString("[", ",", "]")
-      s""""${escape(p)}":$entries"""
+          s""""numDeletes":$del,"fileSizeInBytes":$bytes,"totalWriteBytes":$bytes$cdc}""")
+    }
+    val logEntries = routed.logWrites.map { lw =>
+      val upd = updateCounts.getOrElse(lw.fileId, 0L)
+      val del = deleteCounts.getOrElse(lw.fileId, 0L)
+      val prev = prevCommits.getOrElse(lw.fileId, "null")
+      (lw.partition, lw.fileId,
+        s"""{"fileId":"${lw.fileId}","path":"${escape(lw.relPath)}","partitionPath":"${escape(lw.partition)}",""" +
+          s""""prevCommit":"$prev","numWrites":${lw.rows},"numUpdateWrites":$upd,""" +
+          s""""numInserts":0,"numDeletes":$del,"fileSizeInBytes":${lw.bytes},""" +
+          s""""totalWriteBytes":${lw.bytes}}""")
+    }
+    val stats = (baseEntries ++ logEntries).groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (p, entries) =>
+        s""""${escape(p)}":${entries.sortBy(_._2).map(_._3).mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
     val rep =
       if (action != "replacecommit") ""
@@ -819,6 +1054,9 @@ object HudiWriter {
     def operation: String =
       get("hoodie.datasource.write.operation", "operation").getOrElse("upsert")
         .toLowerCase(java.util.Locale.ROOT)
+    def tableType: String =
+      get("hoodie.datasource.write.table.type", "hoodie.table.type")
+        .getOrElse("COPY_ON_WRITE").toUpperCase(java.util.Locale.ROOT)
     def tableName(default: String): String =
       get("hoodie.table.name").getOrElse(default)
     def maxFileBytes: Long =
