@@ -68,6 +68,7 @@ object HudiFixtureBuilder {
   def cdcPath(sfDir: String): String = s"${root(sfDir)}/cow_cdc_orders"
   def writePath(sfDir: String): String = s"${root(sfDir)}/writer_orders"
   def writeMorPath(sfDir: String): String = s"${root(sfDir)}/writer_mor_orders"
+  def writeComplexPath(sfDir: String): String = s"${root(sfDir)}/writer_complex_orders"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
@@ -84,7 +85,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v36")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v37")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -156,6 +157,7 @@ object HudiFixtureBuilder {
           buildCowCdcOrders(spark, sfDir); own()
           buildWriterOrders(spark, sfDir); own()
           buildWriterMorOrders(spark, sfDir); own()
+          buildWriterComplexOrders(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
           buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
@@ -749,6 +751,28 @@ object HudiFixtureBuilder {
       "upsert")
     w(src.filter(col("o_orderkey") % 97 === 0).select("o_orderkey", "o_orderpriority"),
       "delete")
+  }
+
+  // --- complex-key writer dogfood: TWO-field record key (o_orderkey,
+  // o_custkey) rendered ComplexKeyGenerator-style plus hive-style
+  // partitioning, built through the public API — insert then the %7
+  // upsert, so the oracle verifies composite-key matching end-to-end
+  // (a rendering mismatch between the probe and the stored keys would
+  // duplicate every updated row and hash-fail).
+  private def buildWriterComplexOrders(spark: SparkSession, sfDir: String): Unit = {
+    val path = writeComplexPath(sfDir)
+    val src = orders(spark, sfDir)
+    def w(df: DataFrame, operation: String) = df.write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey,o_custkey")
+      .option("hoodie.datasource.write.partitionpath.field", "o_orderpriority")
+      .option("hoodie.datasource.write.precombine.field", "o_totalprice")
+      .option("hoodie.datasource.write.hive_style_partitioning", "true")
+      .option("hoodie.datasource.write.operation", operation)
+      .option("hoodie.table.name", "writer_complex_orders")
+      .mode("append").save(path)
+    w(src, "insert")
+    w(src.filter(col("o_orderkey") % 7 === 0).withColumn("o_orderstatus", lit("U")),
+      "upsert")
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

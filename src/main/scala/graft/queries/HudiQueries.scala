@@ -379,6 +379,19 @@ object HudiQueries {
       },
       ordersSql(updated = true, deletes = false, onlyUpdated = true)),
 
+    // --- COMPLEX-KEY write path: two-field record key rendered
+    // `o_orderkey:K,o_custkey:C` + hive-style partitioning, written
+    // through the public API (insert + %7 upsert). A probe/stored
+    // rendering mismatch would duplicate every updated row; a green hash
+    // means composite-key matching and hive-dir layout read back exactly -
+    "hudi_write_complex_key" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(s.read.format("hudi-graft")
+          .load(HudiFixtureBuilder.writeComplexPath(d)))
+      },
+      ordersSql(updated = true, deletes = false, onlyUpdated = false)),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(

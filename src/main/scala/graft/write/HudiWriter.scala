@@ -111,26 +111,45 @@ object HudiWriter {
             "only files-partition MDTs are writable")
     }
 
-    val keyField = opts.recordKeyField
-      .orElse(existing.map(_.config).flatMap(c => c.recordKeyFields match {
-        case Seq(one) => Some(one)
-        case Seq() => None
-        case many => throw new UnsupportedOperationException(
-          s"hudi-graft: multi-field record keys (${many.mkString(",")}) render " +
-            "ComplexKeyGenerator-style; this writer supports single-field keys only")
-      }))
+    val keyFields: Seq[String] = opts.recordKeyFields
+      .orElse(existing.map(_.config.recordKeyFields).filter(_.nonEmpty))
       .getOrElse(throw new IllegalArgumentException(
         "hudi-graft: hoodie.datasource.write.recordkey.field is required"))
-    val partField: Option[String] = opts.partitionPathField
-      .orElse(existing.map(_.config.partitionFields).flatMap {
-        case Seq(one) => Some(one)
-        case Seq() => None
-        case many => throw new UnsupportedOperationException(
-          s"hudi-graft: multi-field partition paths (${many.mkString(",")}) are not " +
-            "supported by this writer")
-      }).filter(_.nonEmpty)
+    val partFields: Seq[String] = opts.partitionPathFields
+      .orElse(existing.map(_.config.partitionFields).filter(_.nonEmpty))
+      .getOrElse(Nil)
     val precombine = opts.precombineField
       .orElse(existing.map(_.config).flatMap(_.orderingFields.headOption))
+
+    // key/partition RENDERING must match what the table's generator wrote,
+    // or the upsert probe joins on strings that can never match: bare
+    // values for Simple/Nonpartitioned, `field:value` (null/empty
+    // placeholders) for Complex; TimestampBased and custom generators
+    // transform the partition value in ways this writer does not
+    // implement — refuse rather than write rows into wrong directories
+    val keygenSimpleName = existing.flatMap(_.config.keyGeneratorClass)
+      .map(c => c.substring(c.lastIndexOf('.') + 1))
+    keygenSimpleName.foreach { c =>
+      val known = Set(
+        "SimpleKeyGenerator", "SimpleAvroKeyGenerator",
+        "NonpartitionedKeyGenerator", "NonpartitionedAvroKeyGenerator",
+        "ComplexKeyGenerator", "ComplexAvroKeyGenerator")
+      if (!known.contains(c))
+        throw new UnsupportedOperationException(
+          s"hudi-graft: key generator $c renders keys/partitions in ways this " +
+            "writer does not reproduce; writing would corrupt the layout")
+    }
+    val renderComplex = keyFields.size > 1 ||
+      keygenSimpleName.exists(_.startsWith("Complex")) ||
+      (existing.isEmpty && partFields.size > 1)
+    val hiveStyle = existing.map(_.config.isHiveStylePartitioning)
+      .getOrElse(opts.hiveStylePartitioning)
+    existing.foreach { t =>
+      if (t.config.isPartitionPathUrlencoded)
+        throw new UnsupportedOperationException(
+          "hudi-graft: hoodie.datasource.write.partitionpath.urlencode=true tables " +
+            "are not writable (URL-encoded segment rendering is not implemented)")
+    }
 
     // MOR targets take every data write as a DELTACOMMIT (real Hudi's
     // convention): inserts still produce parquet base files (new file
@@ -164,8 +183,8 @@ object HudiWriter {
     // delete inputs name KEYS to remove (key + partition columns suffice,
     // like upstream); every other operation writes full rows
     val needed =
-      if (operation == "delete") Seq(keyField) ++ partField
-      else Seq(keyField) ++ partField ++ precombine.toSeq
+      if (operation == "delete") keyFields ++ partFields
+      else keyFields ++ partFields ++ precombine.toSeq
     needed.foreach { f =>
       require(data0.columns.contains(f), s"hudi-graft: column '$f' absent from the input")
     }
@@ -195,8 +214,8 @@ object HudiWriter {
     val base = new Path(basePath)
 
     if (!exists)
-      writeTableProperties(fs, base, opts, keyField, partField, precombine,
-        if (isMor) "MERGE_ON_READ" else "COPY_ON_WRITE")
+      writeTableProperties(fs, base, opts, keyFields, partFields, precombine,
+        if (isMor) "MERGE_ON_READ" else "COPY_ON_WRITE", renderComplex, hiveStyle)
 
     // supplemental CDC logging: sidecars are emitted for REWRITTEN groups
     // when the table carries hoodie.table.cdc.enabled with
@@ -207,13 +226,33 @@ object HudiWriter {
       .map(c => c.cdcEnabled && c.cdcSupplementalLoggingMode == "data_before_after")
       .getOrElse(opts.cdcEnabled)
 
-    // ---- key/partition assignment (SimpleKeyGenerator rendering) --------
+    // ---- key/partition assignment --------------------------------------
+    // Simple rendering: the bare field value. Complex rendering (multi
+    // field keys, or a Complex-keygen table): `f1:v1,f2:v2` with
+    // KeyGenUtils' `__null__`/`__empty__` placeholders. Partition
+    // segments render null-or-empty as the hive sentinel (Hudi 0.11+'s
+    // rule on every layout), `f=v` per segment under hive-style, joined
+    // by '/'
     val hiveSentinel = "__HIVE_DEFAULT_PARTITION__"
-    val partExpr = partField
-      .map(f => coalesce(col(f).cast(StringType), lit(hiveSentinel)))
-      .getOrElse(lit(""))
+    val keyExpr =
+      if (!renderComplex) col(keyFields.head).cast(StringType)
+      else concat_ws(",", keyFields.map { f =>
+        val s = col(f).cast(StringType)
+        concat(lit(f + ":"),
+          when(col(f).isNull, lit("__null__"))
+            .when(s === "", lit("__empty__"))
+            .otherwise(s))
+      }: _*)
+    val partExpr = partFields match {
+      case Seq() => lit("")
+      case fs => concat_ws("/", fs.map { f =>
+        val s = col(f).cast(StringType)
+        val v = when(col(f).isNull || s === "", lit(hiveSentinel)).otherwise(s)
+        if (hiveStyle) concat(lit(f + "="), v) else v
+      }: _*)
+    }
     val keyed0 = data
-      .withColumn("__key", col(keyField).cast(StringType))
+      .withColumn("__key", keyExpr)
       .withColumn("__part", partExpr)
     // dedupe incoming per (key, partition): greatest precombine wins;
     // without one, an arbitrary-but-deterministic single row survives
@@ -630,8 +669,18 @@ object HudiWriter {
             col("__part").as(MetaField.PartitionPath) +:
             lit("").as(MetaField.FileName) +:
             dataCols.map(col).toIndexedSeq: _*).as("__row"))
-      val rowSchemaJson = metaRows.schema("__row").dataType
-        .asInstanceOf[org.apache.spark.sql.types.StructType].json
+      val rowStruct = metaRows.schema("__row").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      // fail on the DRIVER with a clear message — the avro log-block
+      // bridge covers the flat type matrix only (nested struct/map
+      // columns would otherwise throw per-task)
+      try graft.log.SparkToAvro.toAvroSchema(rowStruct, "graft_mor_record")
+      catch {
+        case e: IllegalArgumentException => throw new UnsupportedOperationException(
+          s"hudi-graft: MOR log append cannot avro-encode this schema (${e.getMessage}); " +
+            "only flat column types are supported for MOR upserts", e)
+      }
+      val rowSchemaJson = rowStruct.json
       metaRows.repartition(col("__fid")).rdd.mapPartitions { it =>
         val target = org.apache.spark.sql.types.DataType.fromJson(rowSchemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -854,23 +903,28 @@ object HudiWriter {
       fs: FileSystem,
       base: Path,
       opts: Options,
-      keyField: String,
-      partField: Option[String],
+      keyFields: Seq[String],
+      partFields: Seq[String],
       precombine: Option[String],
-      tableType: String): Unit = {
+      tableType: String,
+      renderComplex: Boolean,
+      hiveStyle: Boolean): Unit = {
     fs.mkdirs(new Path(base, ".hoodie"))
-    val keygen = if (partField.isDefined) "org.apache.hudi.keygen.SimpleKeyGenerator"
+    val keygen =
+      if (renderComplex) "org.apache.hudi.keygen.ComplexKeyGenerator"
+      else if (partFields.nonEmpty) "org.apache.hudi.keygen.SimpleKeyGenerator"
       else "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
     val sb = new StringBuilder
     sb ++= s"hoodie.table.name=${opts.tableName(base.getName)}\n"
     sb ++= s"hoodie.table.type=$tableType\n"
     sb ++= "hoodie.table.version=6\n"
     sb ++= "hoodie.timeline.layout.version=1\n"
-    sb ++= s"hoodie.table.recordkey.fields=$keyField\n"
+    sb ++= s"hoodie.table.recordkey.fields=${keyFields.mkString(",")}\n"
     precombine.foreach(f => sb ++= s"hoodie.table.precombine.field=$f\n")
-    partField.foreach(f => sb ++= s"hoodie.table.partition.fields=$f\n")
+    if (partFields.nonEmpty)
+      sb ++= s"hoodie.table.partition.fields=${partFields.mkString(",")}\n"
     sb ++= s"hoodie.table.keygenerator.class=$keygen\n"
-    sb ++= "hoodie.datasource.write.hive_style_partitioning=false\n"
+    sb ++= s"hoodie.datasource.write.hive_style_partitioning=$hiveStyle\n"
     sb ++= "hoodie.datasource.write.partitionpath.urlencode=false\n"
     sb ++= "hoodie.populate.meta.fields=true\n"
     if (opts.cdcEnabled) {
@@ -1018,12 +1072,9 @@ object HudiWriter {
     private val lower = options.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     private def get(keys: String*): Option[String] =
       keys.iterator.flatMap(k => lower.get(k)).nextOption().map(_.trim).filter(_.nonEmpty)
-    def recordKeyField: Option[String] =
-      get("hoodie.datasource.write.recordkey.field", "recordkey.field").map { v =>
-        if (v.contains(",")) throw new UnsupportedOperationException(
-          s"hudi-graft: multi-field record keys ($v) are not supported by this writer")
-        v
-      }
+    def recordKeyFields: Option[Seq[String]] =
+      get("hoodie.datasource.write.recordkey.field", "recordkey.field")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
     /** Spark passes `df.write.partitionBy(...)` to a V1 provider as the
       * `__partition_columns` option (DataSourceUtils.PARTITIONING_COLUMNS_KEY,
       * a JSON string array) — silently ignoring it would write the table
@@ -1035,20 +1086,21 @@ object HudiWriter {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
         (0 until node.size()).map(node.get(_).asText()).toSeq
       }.getOrElse(Nil)
-    def partitionPathField: Option[String] = {
+    def partitionPathFields: Option[Seq[String]] = {
       val explicit = get("hoodie.datasource.write.partitionpath.field", "partitionpath.field")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
       partitionByColumns match {
         case Nil => explicit
-        case many if many.length > 1 => throw new UnsupportedOperationException(
-          s"hudi-graft: .partitionBy(${many.mkString(",")}) names multiple columns; " +
-            "this writer supports a single partition-path field")
-        case Seq(one) =>
-          if (explicit.exists(_ != one)) throw new IllegalArgumentException(
-            s"hudi-graft: .partitionBy($one) conflicts with " +
-              s"hoodie.datasource.write.partitionpath.field=${explicit.get}")
-          Some(one)
+        case cols =>
+          if (explicit.exists(_ != cols)) throw new IllegalArgumentException(
+            s"hudi-graft: .partitionBy(${cols.mkString(",")}) conflicts with " +
+              s"hoodie.datasource.write.partitionpath.field=${explicit.get.mkString(",")}")
+          Some(cols)
       }
     }
+    def hiveStylePartitioning: Boolean =
+      get("hoodie.datasource.write.hive_style_partitioning")
+        .exists(_.equalsIgnoreCase("true"))
     def precombineField: Option[String] =
       get("hoodie.datasource.write.precombine.field", "precombine.field")
     def operation: String =
