@@ -69,6 +69,7 @@ object HudiFixtureBuilder {
   def writePath(sfDir: String): String = s"${root(sfDir)}/writer_orders"
   def writeMorPath(sfDir: String): String = s"${root(sfDir)}/writer_mor_orders"
   def writeComplexPath(sfDir: String): String = s"${root(sfDir)}/writer_complex_orders"
+  def writeIndexedPath(sfDir: String): String = s"${root(sfDir)}/writer_indexed_orders"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
@@ -85,7 +86,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v37")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v38")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -158,6 +159,7 @@ object HudiFixtureBuilder {
           buildWriterOrders(spark, sfDir); own()
           buildWriterMorOrders(spark, sfDir); own()
           buildWriterComplexOrders(spark, sfDir); own()
+          buildWriterIndexedOrders(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
           buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
@@ -773,6 +775,28 @@ object HudiFixtureBuilder {
     w(src, "insert")
     w(src.filter(col("o_orderkey") % 7 === 0).withColumn("o_orderstatus", lit("U")),
       "upsert")
+  }
+
+  // --- record-index writer dogfood: a COPY of mor_orders (v6 MOR + a
+  // real two-group record_index MDT) upserted through the public API —
+  // the probe routes through the index (zero snapshot scans,
+  // HudiIndexedWriterSpec counter-asserts) and the index is MAINTAINED,
+  // so the point-lookup entry reads the writer's commit through the
+  // index plan itself.
+  private def buildWriterIndexedOrders(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val dst = new Path(writeIndexedPath(sfDir))
+    fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(morPath(sfDir)), fs, dst, false,
+      spark.sessionState.newHadoopConf())
+    orders(spark, sfDir).filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.partitionpath.field", "o_orderpriority")
+      .option("hoodie.datasource.write.precombine.field", "o_custkey")
+      .option("hoodie.table.name", "writer_indexed_orders")
+      .mode("append").save(dst.toString)
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

@@ -392,6 +392,35 @@ object HudiQueries {
       },
       ordersSql(updated = true, deletes = false, onlyUpdated = false)),
 
+    // --- RECORD-INDEX write path: a mor_orders copy upserted through the
+    // public API (%7 -> 'X'), the probe served by the MDT record index
+    // and the index maintained in the same commit. The snapshot oracle
+    // includes the RESURRECTED %97∩%7 keys (delete-then-upsert = insert,
+    // upstream semantics); the point entry reads the writer's commit
+    // through the index point-lookup plan itself -------------------------
+    "hudi_write_indexed_roundtrip" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(s.read.format("hudi-graft")
+          .load(HudiFixtureBuilder.writeIndexedPath(d)))
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey % 97 <> 0 OR o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "hudi_write_indexed_point" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.writeIndexedPath(d))
+          .filter(col("_hoodie_record_key") === "7")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+      },
+      """SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus
+        |FROM orders WHERE o_orderkey = 7""".stripMargin),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(

@@ -478,11 +478,24 @@ private[sources] final class SliceMergeState(
   def keyOf(row: InternalRow): String =
     if (row.isNullAt(keyIdx)) "" else row.getString(keyIdx)
 
-  /** Arrow-row-style comparison: null is lowest; same-type Comparables. */
+  /** Arrow-row-style comparison: null is lowest; same-type Comparables.
+    * Mixed NUMERIC widths compare numerically — upstream delete blocks
+    * carry a plain int 0 orderingVal regardless of the table's ordering
+    * column type (DeleteRecord's default), so an Int-vs-Long comparison
+    * must widen rather than ClassCastException.
+    */
   private def cmpAny(a: Any, b: Any): Int = (a, b) match {
     case (null, null) => 0
     case (null, _) => -1
     case (_, null) => 1
+    case (x: java.lang.Number, y: java.lang.Number) if x.getClass != y.getClass =>
+      def integral(n: java.lang.Number) = n match {
+        case _: java.lang.Integer | _: java.lang.Long |
+            _: java.lang.Short | _: java.lang.Byte => true
+        case _ => false
+      }
+      if (integral(x) && integral(y)) java.lang.Long.compare(x.longValue(), y.longValue())
+      else java.lang.Double.compare(x.doubleValue(), y.doubleValue())
     case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
     case _ => 0
   }

@@ -7,21 +7,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
-/** COW write path for `df.write.format("hudi-graft")` — the user-facing
+/** Write path for `df.write.format("hudi-graft")` — the user-facing
   * surface the reference stops short of (docs/reader-spec.md:345 declares
   * the reference read-only; BASELINE's north star says read AND write).
   *
-  * Supported: COPY_ON_WRITE tables, single-field record keys (bare
-  * SimpleKeyGenerator rendering), optional single-field partition path,
-  * operations `insert` / `bulk_insert` / `upsert` / `delete` (the input
-  * names keys to remove — key + partition columns suffice; a group
-  * losing every row writes an EMPTY base-file version so the deletion is
-  * visible) / `insert_overwrite_table`, SaveModes Append (per the
-  * operation option), Overwrite (insert_overwrite_table as a
+  * Supported: COPY_ON_WRITE (base-file rewrites) and MERGE_ON_READ
+  * (deltacommit log appends) targets; single- and multi-field record
+  * keys (bare Simple rendering, or ComplexKeyGenerator `f:v` rendering
+  * with null/empty placeholders); multi-level partition paths incl.
+  * hive-style; operations `insert` / `bulk_insert` / `upsert` / `delete`
+  * (the input names keys to remove — key + partition columns suffice; a
+  * COW group losing every row writes an EMPTY base-file version so the
+  * deletion is visible) / `insert_overwrite_table`, SaveModes Append
+  * (per the operation option), Overwrite (insert_overwrite_table as a
   * REPLACECOMMIT — history preserved, incremental/CDC readers see the
-  * replacement), ErrorIfExists and Ignore. MOR writing, multi-field
-  * keys, and user `.partitionBy(...)` refuse loudly — partitioning is the
-  * `hoodie.datasource.write.partitionpath.field` option, like upstream.
+  * replacement), ErrorIfExists and Ignore. Partitioning comes from the
+  * `hoodie.datasource.write.partitionpath.field` option or
+  * `.partitionBy(...)`. Advertised `files` and `record_index` MDT
+  * partitions are MAINTAINED on every commit (and the record index
+  * serves the upsert probe); other index partitions, TimestampBased/
+  * custom key generators, and non-parquet base formats refuse loudly.
   *
   * Layout written (the real-Hudi v6 invariants the readers and specs
   * pin): `hoodie.properties` with key/precombine/keygenerator fields;
@@ -62,6 +67,13 @@ object HudiWriter {
 
   private val Token = "0-0-0"
 
+  /** Observability for specs: how many upsert/delete probes planned a
+    * full-snapshot key join vs an MDT record-index lookup. The indexed
+    * path must show snapshotProbes unchanged (zero snapshot scans).
+    */
+  val snapshotProbes = new java.util.concurrent.atomic.AtomicLong(0L)
+  val indexProbes = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Write `df` and return the created commit instants (one element; empty
     * for Ignore-mode no-ops).
     */
@@ -96,19 +108,21 @@ object HudiWriter {
           "hudi-graft: hoodie.populate.meta.fields=false tables are not writable here")
       // an advertised metadata table must stay FRESH under this writer.
       // The `files` partition is maintained (MdtMaintenance appends the
-      // commit's file additions as an MDT deltacommit); INDEX partitions
-      // (column_stats/record_index/secondary/bloom) are not — a commit
-      // would leave them stale and index-served reads silently wrong, so
-      // those tables refuse
+      // commit's file additions as an MDT deltacommit) and so is
+      // `record_index` (RecordIndexMaintenance appends created-key
+      // entries / deleted-key tombstones, and the upsert probe routes
+      // through it); the remaining INDEX partitions (column_stats/
+      // secondary/bloom) are not — a commit would leave them stale and
+      // index-served reads silently wrong, so those tables refuse
       val mdtParts = t.config.getOrElse("hoodie.table.metadata.partitions", "")
         .split(",").map(_.trim).filter(_.nonEmpty).toSet
-      val unmaintained = mdtParts - "files"
+      val unmaintained = mdtParts - "files" - "record_index"
       if (unmaintained.nonEmpty)
         throw new UnsupportedOperationException(
           s"hudi-graft: the table advertises metadata-table partitions " +
             s"(${unmaintained.toSeq.sorted.mkString(",")}) this writer does not maintain " +
             "— a commit would leave them stale and index-served reads silently wrong; " +
-            "only files-partition MDTs are writable")
+            "only files/record_index MDT partitions are writable")
     }
 
     val keyFields: Seq[String] = opts.recordKeyFields
@@ -163,6 +177,12 @@ object HudiWriter {
     val operation =
       if (mode == SaveMode.Overwrite && exists) "insert_overwrite_table"
       else opts.operation
+    val maintainsRecordIndex = existing.exists(t =>
+      graft.table.RecordIndex.isAvailable(t.config))
+    if (maintainsRecordIndex && operation == "insert_overwrite_table")
+      throw new UnsupportedOperationException(
+        "hudi-graft: insert_overwrite_table on a record_index table is not supported " +
+          "— the replacement invalidates every index entry and a rebuild is not implemented")
     if (isMor && exists && precombine.isEmpty &&
         (operation == "upsert" || operation == "delete"))
       throw new UnsupportedOperationException(
@@ -182,8 +202,12 @@ object HudiWriter {
           s"(${dunder.mkString(",")}) — the prefix is reserved for writer-internal routing")
     // delete inputs name KEYS to remove (key + partition columns suffice,
     // like upstream); every other operation writes full rows
+    // a GLOBAL (record-index) delete matches on the key alone — the
+    // partition columns are not required in the input (the index knows
+    // each key's location)
+    val globalDelete = operation == "delete" && maintainsRecordIndex
     val needed =
-      if (operation == "delete") keyFields ++ partFields
+      if (operation == "delete") keyFields ++ (if (globalDelete) Nil else partFields)
       else keyFields ++ partFields ++ precombine.toSeq
     needed.foreach { f =>
       require(data0.columns.contains(f), s"hudi-graft: column '$f' absent from the input")
@@ -251,9 +275,14 @@ object HudiWriter {
         if (hiveStyle) concat(lit(f + "="), v) else v
       }: _*)
     }
+    // a keys-only global delete may lack the partition columns — its
+    // __part is never consulted (locations come from the index)
+    val partExprSafe =
+      if (globalDelete && partFields.exists(f => !data.columns.contains(f))) lit("")
+      else partExpr
     val keyed0 = data
       .withColumn("__key", keyExpr)
-      .withColumn("__part", partExpr)
+      .withColumn("__part", partExprSafe)
     // dedupe incoming per (key, partition): greatest precombine wins;
     // without one, an arbitrary-but-deterministic single row survives
     val w = org.apache.spark.sql.expressions.Window
@@ -268,7 +297,8 @@ object HudiWriter {
     try {
       val routed = operation match {
         case "insert" | "bulk_insert" =>
-          Routed(routeFresh(keyed, instant, opts))
+          val staged = routeFresh(keyed, instant, opts)
+          Routed(staged, newKeys = Some(staged))
         case "insert_overwrite_table" =>
           val rep = existing.map(_.fsView.slicesAsOf(instant)
             .groupBy(_.partitionPath).view.mapValues(_.map(_.fileId).toSet).toMap)
@@ -276,7 +306,9 @@ object HudiWriter {
           Routed(routeFresh(keyed, instant, opts), replaced = rep)
         case "upsert" =>
           existing match {
-            case None => Routed(routeFresh(keyed, instant, opts))
+            case None =>
+              val staged = routeFresh(keyed, instant, opts)
+              Routed(staged, newKeys = Some(staged))
             case Some(t) if t.config.isMor =>
               routeMorUpsert(spark, basePath, t, keyed, instant, opts)
             case Some(t) => routeUpsert(spark, basePath, t, keyed, instant, opts, cdcEnabled)
@@ -317,6 +349,12 @@ object HudiWriter {
           } ++ routed.logWrites.map { lw =>
             (lw.partition, lw.relPath.substring(lw.relPath.lastIndexOf('/') + 1), lw.bytes)
           })
+      // record-index maintenance: created-key entries + deleted-key
+      // tombstones land as an MDT deltacommit BEFORE the data commit
+      // (same freshness contract as the files partition)
+      if (maintainsRecordIndex && (routed.newKeys.nonEmpty || routed.deletedKeys.nonEmpty))
+        RecordIndexMaintenance.append(spark, basePath, instant,
+          routed.newKeys, routed.deletedKeys, timelineTz)
       val tableVersion = existing.map(_.config.tableVersion).getOrElse(6)
       writeTimeline(fs, base, instant, operation, files, routed, commitSchema, tableVersion,
         timelineTz, isMor)
@@ -340,7 +378,11 @@ object HudiWriter {
       prevCommits: Map[String, String] = Map.empty,
       cdcFiles: Map[String, (String, Long)] = Map.empty,
       requiredGroups: Map[String, String] = Map.empty,
-      logWrites: Seq[LogWrite] = Nil)
+      logWrites: Seq[LogWrite] = Nil,
+      // record-index maintenance inputs: locations of keys this commit
+      // CREATED (fresh routing output) and keys it REMOVED
+      newKeys: Option[DataFrame] = None,
+      deletedKeys: Option[DataFrame] = None)
 
   /** One MOR log file this commit appended: becomes a write-stats entry
     * (numUpdateWrites or numDeletes = rows) alongside the base files.
@@ -382,6 +424,60 @@ object HudiWriter {
       .drop("__bucket")
   }
 
+  /** (key → location) probe shared by upsert/delete routing. On a
+    * record_index table, the batch's distinct keys look up the MDT index
+    * DISTRIBUTED (keys shuffle by Hudi's key-hash group mapping; each
+    * index group's HFiles are read once cluster-wide) — ZERO snapshot
+    * scans, IO proportional to batch keys — and matching becomes GLOBAL
+    * (key alone: upstream's record-index semantics with
+    * `hoodie.record.index.update.partition.path=false`, so a row arriving
+    * with a changed partition value updates the record at its CURRENT
+    * location). The index must be FRESH (`mdtAt >= `the latest data
+    * commit) — a stale one would miss recent inserts and duplicate keys —
+    * and hash-aligned; either failure falls back to the snapshot probe,
+    * never a wrong answer. Non-indexed tables probe the snapshot pruned
+    * to (key, partition, file name): non-global, column-pruned, shuffle
+    * bounded by table keys + batch keys. Returns
+    * (locations (__key, __part, __fid), global?).
+    */
+  private def probeLocations(
+      spark: SparkSession,
+      basePath: String,
+      t: HudiTable,
+      keyed: DataFrame): (DataFrame, Boolean) = {
+    if (graft.table.RecordIndex.isAvailable(t.config)) {
+      // an ADVERTISED record index is trusted (the same contract the
+      // read side's latest-snapshot plans apply: every writer of an
+      // index-advertising table must maintain it — this writer does)
+      try {
+        import spark.implicits._
+        val (_, entries) = graft.table.RecordIndex.lookupDistributed(
+          basePath, keyed.select("__key").distinct().as[String],
+          spark.sessionState.newHadoopConf())
+        indexProbes.incrementAndGet()
+        return (entries.toDF().select(col("key").as("__key"),
+          col("partitionPath").as("__part"), col("fileId").as("__fid")), true)
+      } catch { case _: IllegalStateException => /* misaligned -> snapshot */ }
+    }
+    snapshotProbes.incrementAndGet()
+    (spark.read.format("hudi-graft").load(basePath).select(
+      col(MetaField.RecordKey).as("__key"),
+      col(MetaField.PartitionPath).as("__part"),
+      fidFromFileName.as("__fid")), false)
+  }
+
+  /** Join the batch against probe locations: global probes match on the
+    * key alone and OVERRIDE the incoming partition with the record's
+    * current location for matched rows.
+    */
+  private def joinLocations(keyed: DataFrame, index: DataFrame, global: Boolean): DataFrame =
+    if (global)
+      keyed.join(index.withColumnRenamed("__part", "__locpart"), Seq("__key"), "left")
+        .withColumn("__part",
+          when(col("__fid").isNotNull, col("__locpart")).otherwise(col("__part")))
+        .drop("__locpart")
+    else keyed.join(index, Seq("__key", "__part"), "left")
+
   /** File-group id from a `_hoodie_file_name` value: base files are
     * `{fid}_{token}_{ts}.ext`, MOR log rows carry the log's own name
     * `.{fid}_{ts}.log.{v}_{token}` — strip the leading dot, take
@@ -422,12 +518,8 @@ object HudiWriter {
       opts: Options,
       cdcEnabled: Boolean
   ): Routed = {
-    val snap = spark.read.format("hudi-graft").load(basePath)
-    val index = snap.select(
-      col(MetaField.RecordKey).as("__key"),
-      col(MetaField.PartitionPath).as("__part"),
-      fidFromFileName.as("__fid"))
-    val routed = keyed.join(index, Seq("__key", "__part"), "left").persist()
+    val (index, global) = probeLocations(spark, basePath, t, keyed)
+    val routed = joinLocations(keyed, index, global).persist()
     try {
       val matched = routed.filter(col("__fid").isNotNull)
       // DISTINCT touched groups: bounded by table file count, never keys
@@ -437,7 +529,7 @@ object HudiWriter {
       val freshPart = routeFresh(routed.filter(col("__fid").isNull).drop("__fid"),
         instant, opts)
       if (touched.isEmpty)
-        return Routed(freshPart)
+        return Routed(freshPart, newKeys = Some(freshPart))
 
       // prevCommit per rewritten group = the base instant of the slice
       // being rewritten (the metadata CDC's savepoint guard verifies)
@@ -469,7 +561,8 @@ object HudiWriter {
         else writeCdcSidecars(spark, basePath, stored, matched, dataCols, instant,
           t.config.timelineTimezone, deletes = false)
       Routed(carried.unionByName(updated).unionByName(fresh),
-        updateCounts = perFid, prevCommits = prevCommits, cdcFiles = sidecars)
+        updateCounts = perFid, prevCommits = prevCommits, cdcFiles = sidecars,
+        newKeys = Some(freshPart))
     } finally routed.unpersist()
   }
 
@@ -490,12 +583,11 @@ object HudiWriter {
       cdcEnabled: Boolean
   ): Routed = {
     val snap = spark.read.format("hudi-graft").load(basePath)
-    val index = snap.select(
-      col(MetaField.RecordKey).as("__key"),
-      col(MetaField.PartitionPath).as("__part"),
-      fidFromFileName.as("__fid"))
-    val matched = keyed.select("__key", "__part")
-      .join(index, Seq("__key", "__part"), "inner").persist()
+    val (index, global) = probeLocations(spark, basePath, t, keyed)
+    val matched = (if (global)
+      keyed.select("__key").distinct().join(index, Seq("__key"), "inner")
+    else keyed.select("__key", "__part")
+      .join(index, Seq("__key", "__part"), "inner")).persist()
     try {
       val perFid = matched.groupBy("__fid").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -521,7 +613,8 @@ object HudiWriter {
         else writeCdcSidecars(spark, basePath, stored, matched, dataColsAll, instant,
           t.config.timelineTimezone, deletes = true)
       Routed(survivors, deleteCounts = perFid, prevCommits = prevCommits,
-        cdcFiles = sidecars, requiredGroups = required)
+        cdcFiles = sidecars, requiredGroups = required,
+        deletedKeys = Some(matched.select("__key")))
     } finally matched.unpersist()
   }
 
@@ -546,25 +639,21 @@ object HudiWriter {
       instant: String,
       opts: Options
   ): Routed = {
-    val snap = spark.read.format("hudi-graft").load(basePath)
-    val index = snap.select(
-      col(MetaField.RecordKey).as("__key"),
-      col(MetaField.PartitionPath).as("__part"),
-      fidFromFileName.as("__fid"))
-    val routed = keyed.join(index, Seq("__key", "__part"), "left").persist()
+    val (index, global) = probeLocations(spark, basePath, t, keyed)
+    val routed = joinLocations(keyed, index, global).persist()
     try {
       val matched = routed.filter(col("__fid").isNotNull)
       val fresh = routeFresh(routed.filter(col("__fid").isNull).drop("__fid"), instant, opts)
       val dataCols = keyed.columns.filterNot(Set("__key", "__part").contains)
       val logs = writeMorLogs(spark, basePath, t, matched, dataCols, instant, deletes = false)
-      if (logs.isEmpty) return Routed(fresh)
+      if (logs.isEmpty) return Routed(fresh, newKeys = Some(fresh))
       val touched = logs.map(_.fileId).toSet
       val prevCommits = t.fsView.slicesAsOf(instant)
         .filter(sl => touched.contains(sl.fileId))
         .map(sl => sl.fileId -> sl.commitTimestamp).toMap
       Routed(fresh,
         updateCounts = logs.map(l => l.fileId -> l.rows).toMap,
-        prevCommits = prevCommits, logWrites = logs)
+        prevCommits = prevCommits, logWrites = logs, newKeys = Some(fresh))
     } finally routed.unpersist()
   }
 
@@ -582,11 +671,10 @@ object HudiWriter {
       instant: String
   ): Routed = {
     val snap = spark.read.format("hudi-graft").load(basePath)
-    val index = snap.select(
-      col(MetaField.RecordKey).as("__key"),
-      col(MetaField.PartitionPath).as("__part"),
-      fidFromFileName.as("__fid"))
-    val matched = keyed.select("__key", "__part")
+    val (index, global) = probeLocations(spark, basePath, t, keyed)
+    val matched = if (global)
+      keyed.select("__key").distinct().join(index, Seq("__key"), "inner")
+    else keyed.select("__key", "__part")
       .join(index, Seq("__key", "__part"), "inner")
     val dataColsAll = snap.columns.filterNot(MetaField.all.contains)
     val logs = writeMorLogs(spark, basePath, t, matched, dataColsAll, instant, deletes = true)
@@ -598,7 +686,8 @@ object HudiWriter {
       .map(sl => sl.fileId -> sl.commitTimestamp).toMap
     Routed(empty,
       deleteCounts = logs.map(l => l.fileId -> l.rows).toMap,
-      prevCommits = prevCommits, logWrites = logs)
+      prevCommits = prevCommits, logWrites = logs,
+      deletedKeys = Some(matched.select("__key")))
   }
 
   /** Distributed MOR log emission: `rows` (carrying __key/__part/__fid)

@@ -148,9 +148,20 @@ object MdtMaintenance {
     try graft.log.LogFileWriter.hfileDataBlock(out, instant, mdtAvroSchema, hfileBytes)
     finally out.close()
 
-    // the MDT's own timeline: one deltacommit at the DATA instant
-    // (layout-aware: v8-internal MDTs complete under timeline/ with a
-    // completion timestamp)
+    completeDeltacommit(fs, mdtBase, mdtConfig, instant)
+  }
+
+  /** The MDT's own timeline: one deltacommit at the DATA instant (layout-
+    * aware: v8-internal MDTs complete under timeline/ with a completion
+    * timestamp). Idempotent — a commit that maintains BOTH the files and
+    * record_index partitions completes the same instant once per caller,
+    * overwriting identical content.
+    */
+  private[write] def completeDeltacommit(
+      fs: FileSystem,
+      mdtBase: Path,
+      mdtConfig: graft.core.HoodieConfig,
+      instant: String): Unit = {
     val mdtTimelineDir =
       if (mdtConfig.tableVersion >= 8) new Path(mdtBase, ".hoodie/timeline")
       else new Path(mdtBase, ".hoodie")

@@ -466,27 +466,14 @@ class HudiWriterSpec extends SparkTestBase {
     assert(HudiWriter.escapeJson("a\nb\u0001c\t") == "a\\nb\\u0001c\\t")
   }
 
-  test("refusals: unmaintained-index MDT, multi-field keys, schema drift") {
-    // the MOR fixture advertises a record_index MDT partition this writer
-    // does not yet maintain — refuses for THAT reason (MOR itself writes)
-    val morPath = graft.fixtures.HudiFixtureBuilder.morPath(sfDir)
+  test("refusals: unmaintained-index MDT, non-parquet base, schema drift") {
     graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
-    val exMor = intercept[UnsupportedOperationException] {
-      writeOpts(orders()).mode(SaveMode.Append).save(morPath)
-    }
-    assert(exMor.getMessage.contains("metadata-table partitions"), exMor.getMessage)
     // non-parquet base format refuses
     val exLance = intercept[UnsupportedOperationException] {
       writeOpts(orders()).mode(SaveMode.Append)
         .save(graft.fixtures.HudiFixtureBuilder.lancePath(sfDir))
     }
     assert(exLance.getMessage.toLowerCase.contains("format"), exLance.getMessage)
-    val exKey = intercept[UnsupportedOperationException] {
-      orders().write.format("hudi-graft")
-        .option("hoodie.datasource.write.recordkey.field", "o_orderkey,o_custkey")
-        .mode(SaveMode.Append).save(fresh("writer_multikey"))
-    }
-    assert(exKey.getMessage.contains("multi-field"), exKey.getMessage)
     val path = fresh("writer_drift")
     writeOpts(orders()).mode(SaveMode.Append).save(path)
     val exDrift = intercept[IllegalArgumentException] {
