@@ -70,6 +70,7 @@ object HudiFixtureBuilder {
   def writeMorPath(sfDir: String): String = s"${root(sfDir)}/writer_mor_orders"
   def writeComplexPath(sfDir: String): String = s"${root(sfDir)}/writer_complex_orders"
   def writeIndexedPath(sfDir: String): String = s"${root(sfDir)}/writer_indexed_orders"
+  def writeSqlPath(sfDir: String): String = s"${root(sfDir)}/writer_sql_orders"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
@@ -86,7 +87,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v38")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v39")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -160,6 +161,7 @@ object HudiFixtureBuilder {
           buildWriterMorOrders(spark, sfDir); own()
           buildWriterComplexOrders(spark, sfDir); own()
           buildWriterIndexedOrders(spark, sfDir); own()
+          buildWriterSqlOrders(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
           buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
@@ -797,6 +799,30 @@ object HudiFixtureBuilder {
       .option("hoodie.datasource.write.precombine.field", "o_custkey")
       .option("hoodie.table.name", "writer_indexed_orders")
       .mode("append").save(dst.toString)
+  }
+
+  // --- SQL-DML writer dogfood: the table is CREATEd and populated
+  // entirely through the SQL surface (GraftCatalog createTable +
+  // INSERT INTO BY NAME + an upsert INSERT), so the oracle verifies
+  // upstream's primary write interface end-to-end.
+  private def buildWriterSqlOrders(spark: SparkSession, sfDir: String): Unit = {
+    val path = writeSqlPath(sfDir)
+    spark.conf.set("spark.sql.catalog.graft_fixture_cat", "graft.sources.GraftCatalog")
+    val src = orders(spark, sfDir)
+    spark.sql(
+      s"""CREATE TABLE graft_fixture_cat.`$path` (${src.schema.toDDL})
+         |USING `hudi-graft`
+         |PARTITIONED BY (o_orderpriority)
+         |TBLPROPERTIES ('primaryKey' = 'o_orderkey', 'preCombineField' = 'o_custkey')
+         |""".stripMargin)
+    src.createOrReplaceTempView("graft_sql_src")
+    spark.sql(
+      s"INSERT INTO graft_fixture_cat.`$path` BY NAME SELECT * FROM graft_sql_src")
+    spark.sql(
+      s"""INSERT INTO graft_fixture_cat.`$path` BY NAME
+         |SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+         |       o_orderdate, o_orderpriority
+         |FROM graft_sql_src WHERE o_orderkey % 7 = 0""".stripMargin)
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

@@ -421,6 +421,18 @@ object HudiQueries {
       """SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus
         |FROM orders WHERE o_orderkey = 7""".stripMargin),
 
+    // --- SQL-DML write path: CREATE TABLE + INSERT INTO BY NAME + an
+    // upsert INSERT through GraftCatalog (upstream's primary write
+    // surface) — a green hash means the SQL-written layout reads back
+    // exactly --------------------------------------------------------------
+    "hudi_write_sql_insert" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(s.read.format("hudi-graft")
+          .load(HudiFixtureBuilder.writeSqlPath(d)))
+      },
+      ordersSql(updated = true, deletes = false, onlyUpdated = false)),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(

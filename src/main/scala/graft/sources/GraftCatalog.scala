@@ -76,12 +76,30 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
 
+  /** `CREATE TABLE hudi_graft.\`/path\` (...) USING hudi-graft
+    * PARTITIONED BY (...) TBLPROPERTIES('primaryKey'='id', ...)`:
+    * writes the empty table's `.hoodie` metadata (incl. the declared
+    * schema as `hoodie.table.create.schema`); the first `INSERT INTO`
+    * then commits data through the same writer as the DataFrame API.
+    */
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("hudi-graft catalog is read-only")
+      properties: util.Map[String, String]): Table = {
+    import scala.jdk.CollectionConverters._
+    val path = pathOf(ident)
+    val partitionCols = partitions.toSeq.map { t =>
+      if (t.name != "identity" || t.references().length != 1)
+        throw new UnsupportedOperationException(
+          s"hudi-graft: unsupported partition transform $t (identity columns only)")
+      t.references()(0).fieldNames.mkString(".")
+    }
+    graft.write.HudiWriter.createTable(
+      org.apache.spark.sql.SparkSession.active, path, schema, partitionCols,
+      properties.asScala.toMap)
+    new GraftTable(path, schema, None, Map.empty)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("hudi-graft catalog is read-only")

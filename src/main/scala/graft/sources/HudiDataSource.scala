@@ -233,6 +233,7 @@ class GraftTable(
     pinnedOptions: Map[String, String] = Map.empty,
     cdcStreaming: Boolean = false
 ) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   private lazy val hudi = prebuilt.getOrElse(HudiTable(SparkSession.active, path))
 
@@ -245,7 +246,43 @@ class GraftTable(
     // DataStreamReader fall back to the provider's V1 StreamSourceProvider
     // (GraftCdcSource); batch reads are unaffected
     if (cdcStreaming) util.EnumSet.of(TableCapability.BATCH_READ)
-    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** SQL DML surface (`INSERT INTO` / `INSERT OVERWRITE` through the
+    * catalog): a V1 write bridging to [[graft.write.HudiWriter]] — the
+    * SAME path `df.write.format("hudi-graft")` takes, so key/partition/
+    * precombine resolution comes from the table's own config. INSERT
+    * OVERWRITE arrives as truncate() and maps to SaveMode.Overwrite
+    * (insert_overwrite_table, a REPLACECOMMIT). The table schema is
+    * always meta-prefixed (the five `_hoodie_*` columns), so inserts
+    * name their columns — `INSERT INTO t (cols...) VALUES ...` or
+    * `INSERT INTO t BY NAME SELECT ...` — and the writer recomputes the
+    * meta columns, never trusting input values.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    import org.apache.spark.sql.connector.write.{V1Write, Write, WriteBuilder}
+    import scala.jdk.CollectionConverters._
+    val writeOptions = pinnedOptions ++ info.options().asScala
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, over: Boolean) => {
+            val mode =
+              if (overwrite || over) org.apache.spark.sql.SaveMode.Overwrite
+              else org.apache.spark.sql.SaveMode.Append
+            graft.write.HudiWriter.write(data.sparkSession, path,
+              data.drop(graft.core.MetaField.all: _*), mode, writeOptions)
+            ()
+          }
+      }
+    }
+  }
 
   /** Table properties for `DESCRIBE EXTENDED` / catalog tooling: the
     * table's own hoodie.properties, verbatim (the facts a user coming

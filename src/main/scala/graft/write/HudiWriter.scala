@@ -74,6 +74,47 @@ object HudiWriter {
   val snapshotProbes = new java.util.concurrent.atomic.AtomicLong(0L)
   val indexProbes = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** SQL `CREATE TABLE` support: write the `.hoodie` metadata for an
+    * EMPTY table — no data commit — including
+    * `hoodie.table.create.schema`, which is what serves reads (and the
+    * first INSERT's schema check) before any commit exists.
+    */
+  def createTable(
+      spark: SparkSession,
+      basePath: String,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      partitionColumns: Seq[String],
+      options: Map[String, String]): Unit = {
+    val opts = new Options(options)
+    val fs = new Path(basePath).getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(basePath, ".hoodie/hoodie.properties")))
+      throw new IllegalArgumentException(s"hudi-graft: table already exists at $basePath")
+    val keyFields = opts.recordKeyFields.getOrElse(throw new IllegalArgumentException(
+      "hudi-graft: CREATE TABLE requires hoodie.datasource.write.recordkey.field " +
+        "(or the primaryKey table property)"))
+    val partFields =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else opts.partitionPathFields.getOrElse(Nil)
+    val precombine = opts.precombineField
+    (keyFields ++ partFields ++ precombine.toSeq).foreach { f =>
+      require(dataSchema.fieldNames.contains(f),
+        s"hudi-graft: column '$f' absent from the declared schema")
+    }
+    val createSchema =
+      try graft.log.SparkToAvro.toAvroSchema(dataSchema, "graft_create_record").toString
+      catch {
+        case e: IllegalArgumentException => throw new UnsupportedOperationException(
+          s"hudi-graft: CREATE TABLE cannot record this schema (${e.getMessage}); " +
+            "only flat column types are supported", e)
+      }
+    val tableType =
+      if (opts.tableType.equalsIgnoreCase("MERGE_ON_READ")) "MERGE_ON_READ"
+      else "COPY_ON_WRITE"
+    writeTableProperties(fs, new Path(basePath), opts, keyFields, partFields, precombine,
+      tableType, keyFields.size > 1 || partFields.size > 1, opts.hiveStylePartitioning,
+      createSchema = Some(createSchema))
+  }
+
   /** Write `df` and return the created commit instants (one element; empty
     * for Ignore-mode no-ops).
     */
@@ -997,7 +1038,8 @@ object HudiWriter {
       precombine: Option[String],
       tableType: String,
       renderComplex: Boolean,
-      hiveStyle: Boolean): Unit = {
+      hiveStyle: Boolean,
+      createSchema: Option[String] = None): Unit = {
     fs.mkdirs(new Path(base, ".hoodie"))
     val keygen =
       if (renderComplex) "org.apache.hudi.keygen.ComplexKeyGenerator"
@@ -1020,6 +1062,11 @@ object HudiWriter {
       sb ++= "hoodie.table.cdc.enabled=true\n"
       sb ++= "hoodie.table.cdc.supplemental.logging.mode=data_before_after\n"
     }
+    // CREATE TABLE records the declared schema — what serves reads (and
+    // the first INSERT's schema check) while the table has zero commits.
+    // java.util.Properties values may contain ':'/'=' unescaped; the
+    // avro JSON is single-line so no continuation escaping is needed
+    createSchema.foreach(s => sb ++= s"hoodie.table.create.schema=$s\n")
     val out = fs.create(new Path(base, ".hoodie/hoodie.properties"), true)
     out.write(sb.result().getBytes("UTF-8")); out.close()
   }
@@ -1162,7 +1209,7 @@ object HudiWriter {
     private def get(keys: String*): Option[String] =
       keys.iterator.flatMap(k => lower.get(k)).nextOption().map(_.trim).filter(_.nonEmpty)
     def recordKeyFields: Option[Seq[String]] =
-      get("hoodie.datasource.write.recordkey.field", "recordkey.field")
+      get("hoodie.datasource.write.recordkey.field", "recordkey.field", "primarykey")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
     /** Spark passes `df.write.partitionBy(...)` to a V1 provider as the
       * `__partition_columns` option (DataSourceUtils.PARTITIONING_COLUMNS_KEY,
@@ -1191,7 +1238,7 @@ object HudiWriter {
       get("hoodie.datasource.write.hive_style_partitioning")
         .exists(_.equalsIgnoreCase("true"))
     def precombineField: Option[String] =
-      get("hoodie.datasource.write.precombine.field", "precombine.field")
+      get("hoodie.datasource.write.precombine.field", "precombine.field", "precombinefield")
     def operation: String =
       get("hoodie.datasource.write.operation", "operation").getOrElse("upsert")
         .toLowerCase(java.util.Locale.ROOT)
