@@ -71,6 +71,7 @@ object HudiFixtureBuilder {
   def writeComplexPath(sfDir: String): String = s"${root(sfDir)}/writer_complex_orders"
   def writeIndexedPath(sfDir: String): String = s"${root(sfDir)}/writer_indexed_orders"
   def writeSqlPath(sfDir: String): String = s"${root(sfDir)}/writer_sql_orders"
+  def writeEvolvedPath(sfDir: String): String = s"${root(sfDir)}/writer_evolved_orders"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
@@ -87,7 +88,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v39")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v40")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -162,6 +163,7 @@ object HudiFixtureBuilder {
           buildWriterComplexOrders(spark, sfDir); own()
           buildWriterIndexedOrders(spark, sfDir); own()
           buildWriterSqlOrders(spark, sfDir); own()
+          buildWriterEvolvedOrders(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
           buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
@@ -823,6 +825,27 @@ object HudiFixtureBuilder {
          |SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
          |       o_orderdate, o_orderpriority
          |FROM graft_sql_src WHERE o_orderkey % 7 = 0""".stripMargin)
+  }
+
+  // --- schema-evolution writer dogfood: c1 inserts with an INT o_qty;
+  // the %7 upsert WIDENS it to LONG and ADDS o_tag — the commit records
+  // the evolved schema, older files upcast/null-fill on read, and the
+  // oracle hash-checks the whole boundary.
+  private def buildWriterEvolvedOrders(spark: SparkSession, sfDir: String): Unit = {
+    val path = writeEvolvedPath(sfDir)
+    val src = orders(spark, sfDir)
+      .withColumn("o_qty", (col("o_orderkey") % 50).cast(IntegerType))
+    def w(df: DataFrame) = df.write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.partitionpath.field", "o_orderpriority")
+      .option("hoodie.datasource.write.precombine.field", "o_custkey")
+      .option("hoodie.table.name", "writer_evolved_orders")
+      .mode("append").save(path)
+    w(src)
+    w(src.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_qty", (col("o_qty") * 1000L).cast(LongType))
+      .withColumn("o_tag", lit("EVOLVED")))
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

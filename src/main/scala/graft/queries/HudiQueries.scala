@@ -433,6 +433,39 @@ object HudiQueries {
       },
       ordersSql(updated = true, deletes = false, onlyUpdated = false)),
 
+    // --- SCHEMA-EVOLUTION write path: the %7 upsert widened o_qty
+    // int→long and added o_tag; the snapshot crosses the boundary (old
+    // files upcast + null-fill, new files serve the evolved values) and
+    // the incremental range reads back the evolved commit alone ----------
+    "hudi_write_evolved" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.writeEvolvedPath(d))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_qty"), col("o_tag"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey % 7 = 0 THEN (o_orderkey % 50) * 1000
+        |       ELSE o_orderkey % 50 END AS BIGINT) AS o_qty,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'EVOLVED' END AS o_tag
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    "hudi_write_evolved_incremental" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val t = HudiTable(s, HudiFixtureBuilder.writeEvolvedPath(d))
+        val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
+        t.incremental(Some(ts(0)), Some(ts(1)))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_qty"), col("o_tag"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |  CAST((o_orderkey % 50) * 1000 AS BIGINT) AS o_qty, 'EVOLVED' AS o_tag
+        |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(

@@ -253,24 +253,40 @@ object HudiWriter {
     needed.foreach { f =>
       require(data0.columns.contains(f), s"hudi-graft: column '$f' absent from the input")
     }
+    // SCHEMA EVOLUTION on write: every table data column must arrive with
+    // the same or a WIDER type (int→long, float→double — the widenings
+    // the read side already resolves commit-metadata-first,
+    // `hudi_schema_widened`); extra input columns APPEND to the schema
+    // (recorded in this commit's extraMetadata.schema; older files
+    // null-fill on read). Missing columns and narrowings refuse —
+    // silently dropping or truncating data is never an evolution.
     if (operation != "delete") existing.foreach { t =>
-      val tableData = t.tableSchema.fieldNames.filterNot(MetaField.all.contains).toSet
-      val in = data0.columns.toSet
-      if (in != tableData)
+      val tableData = t.tableSchema.fields.filterNot(f => MetaField.all.contains(f.name))
+      val inTypes = data0.schema.fields.map(f => f.name -> f.dataType).toMap
+      val missing = tableData.map(_.name).filterNot(inTypes.contains)
+      if (missing.nonEmpty)
         throw new IllegalArgumentException(
-          s"hudi-graft: input columns differ from the table's data columns — " +
-            s"missing=${(tableData -- in).toSeq.sorted.mkString(",")} " +
-            s"extra=${(in -- tableData).toSeq.sorted.mkString(",")}; schema evolution " +
-            "on write is not supported by this writer")
+          s"hudi-graft: input is missing table columns ${missing.sorted.mkString(",")} — " +
+            "column drops are not a supported schema evolution")
+      tableData.foreach { f =>
+        val in = inTypes(f.name)
+        if (in != f.dataType && !widens(f.dataType, in))
+          throw new IllegalArgumentException(
+            s"hudi-graft: column '${f.name}' arrives as $in but the table records " +
+              s"${f.dataType} — only identical types or widenings (int→long, " +
+              "float→double) are supported")
+      }
     }
     // reconcile to the TABLE's column order (upstream does the same): a
     // df.select("b","a") upsert must not flip the commit-recorded schema
     // — readers resolve the table schema commit-metadata-first and a
-    // reordered commit would swap positional consumers' columns
+    // reordered commit would swap positional consumers' columns. ADDED
+    // columns append after the table's, in input order.
     val data = existing match {
       case Some(t) if operation != "delete" =>
-        val order = t.tableSchema.fieldNames.filterNot(MetaField.all.contains)
-        data0.select(order.map(col).toIndexedSeq: _*)
+        val tableOrder = t.tableSchema.fieldNames.filterNot(MetaField.all.contains)
+        val added = data0.columns.filterNot(tableOrder.contains)
+        data0.select((tableOrder ++ added).map(col).toIndexedSeq: _*)
       case _ => data0
     }
 
@@ -519,6 +535,32 @@ object HudiWriter {
         .drop("__locpart")
     else keyed.join(index, Seq("__key", "__part"), "left")
 
+  /** Supported type widenings on write (the pairs the read side upcasts
+    * when resolving older files under a newer commit schema).
+    */
+  private def widens(table: org.apache.spark.sql.types.DataType,
+      incoming: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (table, incoming) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Project `df` onto the (possibly evolved) target data columns:
+    * existing columns upcast to the target type, ADDED columns
+    * null-fill — how carried/before-image rows of an evolving upsert
+    * reach the commit's new schema.
+    */
+  private def alignTo(
+      df: DataFrame,
+      target: Seq[org.apache.spark.sql.types.StructField]): Seq[org.apache.spark.sql.Column] =
+    target.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+
   /** File-group id from a `_hoodie_file_name` value: base files are
     * `{fid}_{token}_{ts}.ext`, MOR log rows carry the log's own name
     * `.{fid}_{ts}.log.{v}_{token}` — strip the leading dot, take
@@ -578,12 +620,18 @@ object HudiWriter {
         .filter(sl => touched.contains(sl.fileId))
         .map(sl => sl.fileId -> sl.commitTimestamp).toMap
 
-      val stored = spark.read.format("hudi-graft")
+      // stored rows project onto the commit's (possibly EVOLVED) data
+      // schema: widened columns upcast, added columns null-fill
+      val targetFields = keyed.schema.fields
+        .filterNot(f => Set("__key", "__part").contains(f.name)).toSeq
+      val stored0 = spark.read.format("hudi-graft")
         .option("cdc.file.groups", touched.toSeq.sorted.mkString(","))
         .load(basePath)
         .withColumn("__key", col(MetaField.RecordKey))
         .withColumn("__part", col(MetaField.PartitionPath))
         .withColumn("__fid", fidFromFileName)
+      val stored = stored0.select((alignTo(stored0, targetFields) ++ Seq(
+        col("__key"), col("__part"), col("__fid"), col(MetaField.CommitTime))): _*)
       // carried: stored rows not overwritten — keep their commit stamp
       val dataCols = keyed.columns.filterNot(Set("__key", "__part").contains)
       val carried = stored
