@@ -72,6 +72,7 @@ object HudiFixtureBuilder {
   def writeIndexedPath(sfDir: String): String = s"${root(sfDir)}/writer_indexed_orders"
   def writeSqlPath(sfDir: String): String = s"${root(sfDir)}/writer_sql_orders"
   def writeEvolvedPath(sfDir: String): String = s"${root(sfDir)}/writer_evolved_orders"
+  def writeCdcBeforePath(sfDir: String): String = s"${root(sfDir)}/writer_cdc_before_orders"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
@@ -88,7 +89,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v40")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v41")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -164,6 +165,7 @@ object HudiFixtureBuilder {
           buildWriterIndexedOrders(spark, sfDir); own()
           buildWriterSqlOrders(spark, sfDir); own()
           buildWriterEvolvedOrders(spark, sfDir); own()
+          buildWriterCdcBeforeOrders(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
           buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
@@ -846,6 +848,29 @@ object HudiFixtureBuilder {
       .withColumn("o_orderstatus", lit("U"))
       .withColumn("o_qty", (col("o_qty") * 1000L).cast(LongType))
       .withColumn("o_tag", lit("EVOLVED")))
+  }
+
+  // --- data_before CDC writer dogfood: supplemental logging mode
+  // `data_before` — blocks carry exact before images only; the feed's
+  // after side is a one-sided read, no snapshot-diff joins
+  // (CdcPartialModeSpec counter-asserts; this fixture puts the whole
+  // mode under the oracle hash).
+  private def buildWriterCdcBeforeOrders(spark: SparkSession, sfDir: String): Unit = {
+    val path = writeCdcBeforePath(sfDir)
+    val src = orders(spark, sfDir)
+    def w(df: DataFrame, operation: String) = df.write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.partitionpath.field", "o_orderpriority")
+      .option("hoodie.datasource.write.precombine.field", "o_custkey")
+      .option("hoodie.table.cdc.enabled", "true")
+      .option("hoodie.table.cdc.supplemental.logging.mode", "data_before")
+      .option("hoodie.datasource.write.operation", operation)
+      .mode("append").save(path)
+    w(src, "insert")
+    w(src.filter(col("o_orderkey") % 7 === 0).withColumn("o_orderstatus", lit("U")),
+      "upsert")
+    w(src.filter(col("o_orderkey") % 13 === 0).select("o_orderkey", "o_orderpriority"),
+      "delete")
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

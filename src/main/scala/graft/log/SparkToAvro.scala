@@ -74,6 +74,53 @@ object SparkToAvro {
     AvroSchema.createRecord(s"${recordName}_cdc", null, "graft.fixtures", false, fields.asJava)
   }
 
+  /** Upstream's CDC record schema for supplemental logging mode
+    * `data_before` (HoodieCDCUtils): op + record_key + the exact BEFORE
+    * image only — half the block bytes, the after side restricted-read
+    * at serve time.
+    */
+  def cdcAvroSchemaDataBefore(dataSchema: StructType, recordName: String): AvroSchema = {
+    val dataRec = toAvroSchema(dataSchema, recordName)
+    val str = AvroSchema.create(AvroSchema.Type.STRING)
+    val fields = List(
+      new AvroSchema.Field("op", str, null, null.asInstanceOf[Object]),
+      new AvroSchema.Field("record_key", str, null, null.asInstanceOf[Object]),
+      new AvroSchema.Field("before",
+        AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL), dataRec),
+        null, AvroSchema.Field.NULL_DEFAULT_VALUE))
+    AvroSchema.createRecord(s"${recordName}_cdc_before", null, "graft.fixtures", false,
+      fields.asJava)
+  }
+
+  /** Mode `op_key_only`: op + record_key per change — enough to narrow
+    * an inference join to the changed keys and to know ops exactly.
+    */
+  def cdcAvroSchemaOpKeyOnly(recordName: String): AvroSchema = {
+    val str = AvroSchema.create(AvroSchema.Type.STRING)
+    val fields = List(
+      new AvroSchema.Field("op", str, null, null.asInstanceOf[Object]),
+      new AvroSchema.Field("record_key", str, null, null.asInstanceOf[Object]))
+    AvroSchema.createRecord(s"${recordName}_cdc_key", null, "graft.fixtures", false,
+      fields.asJava)
+  }
+
+  /** One record for [[cdcAvroSchemaDataBefore]] / [[cdcAvroSchemaOpKeyOnly]]. */
+  def cdcPartialRecord(
+      cdcAvro: AvroSchema,
+      dataSchema: StructType,
+      op: String,
+      recordKey: String,
+      before: Option[Row]): GenericRecord = {
+    val rec = new GenericData.Record(cdcAvro)
+    rec.put("op", op)
+    rec.put("record_key", recordKey)
+    if (cdcAvro.getField("before") != null) {
+      val dataRec = cdcAvro.getField("before").schema().getTypes.get(1)
+      rec.put("before", before.map(toRecord(_, dataSchema, dataRec)).orNull)
+    }
+    rec
+  }
+
   /** One CDC image record for [[cdcAvroSchema]]'s shape. */
   def cdcRecord(
       cdcAvro: AvroSchema,

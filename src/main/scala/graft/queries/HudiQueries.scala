@@ -328,6 +328,35 @@ object HudiQueries {
         |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 97 <> 0)
         |ORDER BY ts_ms, op, o_orderkey""".stripMargin),
 
+    // --- PARTIAL CDC (`data_before` mode): the feed decodes exact
+    // before images from the writer's blocks and joins ONE one-sided
+    // after read — zero snapshot-diff joins (CdcPartialModeSpec
+    // counter-asserts); a green hash means the partial decode alone
+    // produced the exact change set -------------------------------------
+    "hudi_cdc_data_before" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val t = HudiTable(s, HudiFixtureBuilder.writeCdcBeforePath(d))
+        val ts = t.timeline.completedInstants.map(_.timestamp).distinct.sorted
+        graft.sources.CdcRead.changes(s, HudiFixtureBuilder.writeCdcBeforePath(d),
+          Some(ts(0)), Some(ts(2)))
+          .select(col("op"),
+            coalesce(col("before.o_orderkey"), col("after.o_orderkey")).as("o_orderkey"),
+            col("before.o_orderstatus").as("before_status"),
+            col("after.o_orderstatus").as("after_status"))
+          .orderBy("op", "o_orderkey")
+      },
+      """SELECT op, o_orderkey, before_status, after_status FROM (
+        |  SELECT 'u' AS op, o_orderkey, o_orderstatus AS before_status,
+        |    'U' AS after_status
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'd' AS op, o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS before_status,
+        |    CAST(NULL AS VARCHAR) AS after_status
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |ORDER BY op, o_orderkey""".stripMargin),
+
     // --- WRITE path roundtrip: the writer_orders table is produced by
     // df.write.format("hudi-graft") (insert commit, %7→'U' upsert commit,
     // %97 keys-only DELETE commit — see HudiFixtureBuilder

@@ -24,8 +24,15 @@ object CdcMetrics {
     * one-sided read — no join, no before state needed.
     */
   val insertOnlyCommits = new java.util.concurrent.atomic.AtomicLong
+  /** Commits served PARTIALLY from sidecars: `data_before` blocks (exact
+    * before images + a one-sided after read — no predecessor snapshot at
+    * all), or `op_key_only` blocks (the inference join narrowed to the
+    * changed keys).
+    */
+  val partialCommits = new java.util.concurrent.atomic.AtomicLong
   def reset(): Unit = {
     persistedCommits.set(0); inferredCommitJoins.set(0); insertOnlyCommits.set(0)
+    partialCommits.set(0)
   }
 }
 
@@ -212,10 +219,18 @@ object CdcRead {
     val allTs = hudi.timeline.completedInstants.map(_.timestamp).distinct.sorted
 
     // persisted serving requires table-level supplemental logging with
-    // full images; the inference-only option is the differential hook
-    val persistedCapable = hudi.config.cdcEnabled &&
-      hudi.config.cdcSupplementalLoggingMode == "data_before_after" &&
+    // full images; the inference-only option is the differential hook.
+    // The PARTIAL modes decode what their blocks do carry: `data_before`
+    // blocks hold exact before images (after = one one-sided read at c —
+    // no predecessor snapshot, no prev guards, serves past the cleaner
+    // horizon for the before state), `op_key_only` blocks narrow the
+    // inference join's before side to the changed keys
+    val sidecarCapable = hudi.config.cdcEnabled &&
       !readOptions.get(InferenceOnlyOption).exists(_.equalsIgnoreCase("true"))
+    val loggingMode = hudi.config.cdcSupplementalLoggingMode
+    val persistedCapable = sidecarCapable && loggingMode == "data_before_after"
+    val partialBeforeCapable = sidecarCapable && loggingMode == "data_before"
+    val keyOnlyCapable = sidecarCapable && loggingMode == "op_key_only"
 
     // one diff per distinct in-range commit timestamp (multi-writer: a
     // same-instant commit+deltacommit pair merges its touched groups; a
@@ -290,7 +305,7 @@ object CdcRead {
           .flatMap(i => hudi.timeline.touchedGroupsPrevCommit(i))
           .groupMapReduce(_._1)(_._2)((a, b) => if (a.isDefined) a else b)
         val cdcByGroup: Map[String, Seq[String]] =
-          if (!persistedCapable) Map.empty
+          if (!sidecarCapable) Map.empty
           else instants.flatMap(i => hudi.timeline.cdcFiles(i).toSeq)
             .groupMapReduce(_._1)(_._2)(_ ++ _)
         val prev = allTs.takeWhile(_ < c).lastOption
@@ -327,13 +342,62 @@ object CdcRead {
           persistedPaths ++= cdcByGroup.valuesIterator.flatten.toVector.sorted
           val uncovered = written.filterNot(cdcByGroup.contains)
           if (uncovered.isEmpty) None else Some(insertOnlyDf(c, uncovered))
+        } else if (partialBeforeCapable && replaced.isEmpty && cdcByGroup.nonEmpty &&
+            written.forall(fid => cdcByGroup.contains(fid) || isFresh(fid))) {
+          // PARTIAL `data_before` serving: before images are EXACT from
+          // the sidecar blocks; the after side is ONE one-sided read of
+          // the covered groups at c (commit-stamped rows only) — no
+          // predecessor snapshot, no full-outer join, no prev guards.
+          // Serves even when the previous slice versions are cleaned.
+          CdcMetrics.partialCommits.incrementAndGet()
+          val covered = written.filter(cdcByGroup.contains)
+          val uncovered = written.filterNot(cdcByGroup.contains)
+          val visibleAtC = hudi.fsView.slicesAsOf(c).map(_.fileId).toSet
+          val gone = covered.filterNot(visibleAtC.contains)
+          if (gone.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"cdc: commit $c touched file groups ${gone.mkString(", ")} whose files " +
+                s"as of $c no longer exist (cleaned) — their after images are not " +
+                "resolvable; start the range at or after the cleaner horizon")
+          val decSchema = StructType(Seq(
+            StructField("op", StringType),
+            StructField("record_key", StringType),
+            StructField("before", schema("before").dataType)))
+          val dec = persistedBlocksDf(spark, basePath,
+            cdcByGroup.valuesIterator.flatten.toVector.sorted, Set(c), decSchema)
+          val tsMs = Timestamps.timelineToEpochMillis(c, tz).toString
+          val after = readAsOf(c, covered)
+            .filter(col(MetaField.CommitTime) === lit(c))
+            .select(col(MetaField.RecordKey).as("__ak"),
+              struct(dataCols.toIndexedSeq: _*).as("after"))
+          val feed = dec.join(after, col("record_key") === col("__ak"), "left")
+            .select(col("op").as(OpCol), lit(tsMs).as(TsCol), col("before"),
+              when(col("op") === "d", lit(null).cast(schema("after").dataType))
+                .otherwise(col("after")).as("after"))
+          Some(if (uncovered.isEmpty) feed
+          else feed.unionByName(insertOnlyDf(c, uncovered)))
         } else if (replaced.isEmpty && written.nonEmpty && written.forall(isFresh)) {
           // insert-only commit: every touched group is fresh — no before
           // state exists, so no predecessor, no guards, no join
           CdcMetrics.insertOnlyCommits.incrementAndGet()
           Some(insertOnlyDf(c, written))
         } else {
-          CdcMetrics.inferredCommitJoins.incrementAndGet()
+          // `op_key_only` blocks (when they cover every pre-existing
+          // group) narrow the inference join's BEFORE side to the
+          // changed keys — deletes and updates are in the block by
+          // construction, so dropping the other stored keys loses only
+          // carried rows the post-join filter discards anyway. The after
+          // side stays full: fresh-group inserts carry no block records
+          val keyOnlyKeys: Option[DataFrame] =
+            if (keyOnlyCapable && replaced.isEmpty && cdcByGroup.nonEmpty &&
+                written.forall(fid => cdcByGroup.contains(fid) || isFresh(fid))) {
+              CdcMetrics.partialCommits.incrementAndGet()
+              val decSchema = StructType(Seq(
+                StructField("op", StringType), StructField("record_key", StringType)))
+              Some(persistedBlocksDf(spark, basePath,
+                cdcByGroup.valuesIterator.flatten.toVector.sorted, Set(c), decSchema)
+                .select(col("record_key")).distinct())
+            } else { CdcMetrics.inferredCommitJoins.incrementAndGet(); None }
           // an unreadable archive fails CLOSED (treated as "older instants
           // exist"): the guard exists to prevent a silently wrong feed, so
           // an IO error must not disarm it
@@ -408,9 +472,11 @@ object CdcRead {
           val beforeGroups = (written ++ replaced).distinct.sorted
           val before = prev.map(readAsOf(_, beforeGroups))
             .getOrElse(LogScan.emptyDf(spark, after.schema))
-          val b = before.select(col(MetaField.RecordKey).as("__bk"),
+          val bAll = before.select(col(MetaField.RecordKey).as("__bk"),
             col(MetaField.PartitionPath).as("__bp"),
             struct(dataCols.toIndexedSeq: _*).as("before"))
+          val b = keyOnlyKeys.map(k =>
+            bAll.join(k, col("__bk") === col("record_key"), "left_semi")).getOrElse(bAll)
           val a = after.select(col(MetaField.RecordKey).as("__ak"),
             col(MetaField.PartitionPath).as("__ap"),
             col(MetaField.CommitTime).as("__ac"),

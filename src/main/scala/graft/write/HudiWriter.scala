@@ -303,9 +303,9 @@ object HudiWriter {
     // data_before_after mode (create-time option or existing table
     // config); fresh groups need none (readers serve them one-sided),
     // and replacecommits follow upstream (inference diffs them)
-    val cdcEnabled = existing.map(_.config)
-      .map(c => c.cdcEnabled && c.cdcSupplementalLoggingMode == "data_before_after")
-      .getOrElse(opts.cdcEnabled)
+    val cdcMode: Option[String] = existing.map(_.config)
+      .map(c => if (c.cdcEnabled) Some(c.cdcSupplementalLoggingMode) else None)
+      .getOrElse(if (opts.cdcEnabled) Some(opts.cdcLoggingMode) else None)
 
     // ---- key/partition assignment --------------------------------------
     // Simple rendering: the bare field value. Complex rendering (multi
@@ -368,7 +368,7 @@ object HudiWriter {
               Routed(staged, newKeys = Some(staged))
             case Some(t) if t.config.isMor =>
               routeMorUpsert(spark, basePath, t, keyed, instant, opts)
-            case Some(t) => routeUpsert(spark, basePath, t, keyed, instant, opts, cdcEnabled)
+            case Some(t) => routeUpsert(spark, basePath, t, keyed, instant, opts, cdcMode)
           }
         case "delete" =>
           existing match {
@@ -376,7 +376,7 @@ object HudiWriter {
               "hudi-graft: operation 'delete' on a nonexistent table")
             case Some(t) if t.config.isMor =>
               routeMorDelete(spark, basePath, t, keyed, instant)
-            case Some(t) => routeDelete(spark, basePath, t, keyed, instant, cdcEnabled)
+            case Some(t) => routeDelete(spark, basePath, t, keyed, instant, cdcMode)
           }
         case other =>
           throw new IllegalArgumentException(
@@ -599,7 +599,7 @@ object HudiWriter {
       keyed: DataFrame,
       instant: String,
       opts: Options,
-      cdcEnabled: Boolean
+      cdcMode: Option[String]
   ): Routed = {
     val (index, global) = probeLocations(spark, basePath, t, keyed)
     val routed = joinLocations(keyed, index, global).persist()
@@ -645,10 +645,11 @@ object HudiWriter {
       val fresh = freshPart
         .select((dataCols.map(col) ++ Seq(col("__key"), col("__part"), col("__fid"),
           col(MetaField.CommitTime))): _*)
-      val sidecars =
-        if (!cdcEnabled) Map.empty[String, (String, Long)]
-        else writeCdcSidecars(spark, basePath, stored, matched, dataCols, instant,
-          t.config.timelineTimezone, deletes = false)
+      val sidecars = cdcMode match {
+        case None => Map.empty[String, (String, Long)]
+        case Some(m) => writeCdcSidecars(spark, basePath, stored, matched, dataCols,
+          instant, t.config.timelineTimezone, deletes = false, mode = m)
+      }
       Routed(carried.unionByName(updated).unionByName(fresh),
         updateCounts = perFid, prevCommits = prevCommits, cdcFiles = sidecars,
         newKeys = Some(freshPart))
@@ -669,7 +670,7 @@ object HudiWriter {
       t: HudiTable,
       keyed: DataFrame,
       instant: String,
-      cdcEnabled: Boolean
+      cdcMode: Option[String]
   ): Routed = {
     val snap = spark.read.format("hudi-graft").load(basePath)
     val (index, global) = probeLocations(spark, basePath, t, keyed)
@@ -697,10 +698,11 @@ object HudiWriter {
         .join(matched.select("__key", "__part"), Seq("__key", "__part"), "left_anti")
         .select((dataColsAll.map(col) ++ Seq(col("__key"), col("__part"), col("__fid"),
           col(MetaField.CommitTime))): _*)
-      val sidecars =
-        if (!cdcEnabled) Map.empty[String, (String, Long)]
-        else writeCdcSidecars(spark, basePath, stored, matched, dataColsAll, instant,
-          t.config.timelineTimezone, deletes = true)
+      val sidecars = cdcMode match {
+        case None => Map.empty[String, (String, Long)]
+        case Some(m) => writeCdcSidecars(spark, basePath, stored, matched, dataColsAll,
+          instant, t.config.timelineTimezone, deletes = true, mode = m)
+      }
       Routed(survivors, deleteCounts = perFid, prevCommits = prevCommits,
         cdcFiles = sidecars, requiredGroups = required,
         deletedKeys = Some(matched.select("__key")))
@@ -924,20 +926,21 @@ object HudiWriter {
       dataCols: Array[String],
       instant: String,
       timelineTimezone: String,
-      deletes: Boolean): Map[String, (String, Long)] = {
+      deletes: Boolean,
+      mode: String): Map[String, (String, Long)] = {
     val b = stored.select(col("__key"), col("__part"), col("__fid"),
       struct(dataCols.map(col).toIndexedSeq: _*).as("__before"))
     val images =
       if (deletes)
         // delete images: before = the stored row, after = null
         b.join(matched.select("__key", "__part"), Seq("__key", "__part"), "left_semi")
-          .select(col("__fid"), col("__part"), col("__before"),
+          .select(col("__fid"), col("__part"), col("__key"), col("__before"),
             lit(null).cast(b.schema("__before").dataType).as("__after"))
       else {
         val a = matched.select(col("__key"), col("__part"),
           struct(dataCols.map(col).toIndexedSeq: _*).as("__after"))
         b.join(a, Seq("__key", "__part"), "inner")
-          .select(col("__fid"), col("__part"), col("__before"), col("__after"))
+          .select(col("__fid"), col("__part"), col("__key"), col("__before"), col("__after"))
       }
     val dataSchema = org.apache.spark.sql.types.StructType(
       images.schema("__before").dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -948,16 +951,37 @@ object HudiWriter {
     // persisted and inferred feeds must hash-identically on non-UTC tables
     val tsMs = graft.core.Timestamps.timelineToEpochMillis(instant, timelineTimezone).toString
     val token = Token
+    val cdcMode = mode
     val entries = images.repartition(col("__fid")).rdd.mapPartitions { it =>
       val target = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      val cdcAvro = graft.log.SparkToAvro.cdcAvroSchema(target, "graft_write_record")
+      // block record shape per the table's supplemental logging mode
+      // (upstream HoodieCDCUtils.schemaBySupplementalLoggingMode)
+      val cdcAvro = cdcMode match {
+        case "data_before_after" =>
+          graft.log.SparkToAvro.cdcAvroSchema(target, "graft_write_record")
+        case "data_before" =>
+          graft.log.SparkToAvro.cdcAvroSchemaDataBefore(target, "graft_write_record")
+        case "op_key_only" =>
+          graft.log.SparkToAvro.cdcAvroSchemaOpKeyOnly("graft_write_record")
+        case other => throw new IllegalArgumentException(
+          s"hudi-graft: unknown cdc supplemental logging mode '$other'")
+      }
       val byFid = it.toVector.groupBy(r => (r.getString(0), r.getString(1)))
       val op = if (deletes) "d" else "u"
       byFid.iterator.map { case ((fid, part), rows) =>
-        val recs = rows.sortBy(_.getStruct(2).toString).map { r =>
-          graft.log.SparkToAvro.cdcRecord(cdcAvro, target, op, tsMs,
-            Some(r.getStruct(2)), Option(r.getStruct(3)))
+        val recs = rows.sortBy(_.getString(2)).map { r =>
+          cdcMode match {
+            case "data_before_after" =>
+              graft.log.SparkToAvro.cdcRecord(cdcAvro, target, op, tsMs,
+                Some(r.getStruct(3)), Option(r.getStruct(4)))
+            case "data_before" =>
+              graft.log.SparkToAvro.cdcPartialRecord(cdcAvro, target, op,
+                r.getString(2), Some(r.getStruct(3)))
+            case _ =>
+              graft.log.SparkToAvro.cdcPartialRecord(cdcAvro, target, op,
+                r.getString(2), None)
+          }
         }
         val name = s".${fid}_$instant.log.1_$token${graft.fs.LogFile.CdcSuffix}"
         val dir = if (part.isEmpty) new Path(basePath) else new Path(basePath, part)
@@ -1108,7 +1132,7 @@ object HudiWriter {
     sb ++= "hoodie.populate.meta.fields=true\n"
     if (opts.cdcEnabled) {
       sb ++= "hoodie.table.cdc.enabled=true\n"
-      sb ++= "hoodie.table.cdc.supplemental.logging.mode=data_before_after\n"
+      sb ++= s"hoodie.table.cdc.supplemental.logging.mode=${opts.cdcLoggingMode}\n"
     }
     // CREATE TABLE records the declared schema — what serves reads (and
     // the first INSERT's schema check) while the table has zero commits.
@@ -1299,5 +1323,8 @@ object HudiWriter {
       get("hoodie.parquet.max.file.size").map(_.toLong).getOrElse(120L << 20)
     def cdcEnabled: Boolean =
       get("hoodie.table.cdc.enabled").exists(_.equalsIgnoreCase("true"))
+    def cdcLoggingMode: String =
+      get("hoodie.table.cdc.supplemental.logging.mode")
+        .getOrElse("data_before_after").toLowerCase(java.util.Locale.ROOT)
   }
 }

@@ -474,12 +474,14 @@ class HudiWriterSpec extends SparkTestBase {
         .save(graft.fixtures.HudiFixtureBuilder.lancePath(sfDir))
     }
     assert(exLance.getMessage.toLowerCase.contains("format"), exLance.getMessage)
+    // column DROPS refuse (added columns are legal evolution now —
+    // HudiEvolutionWriterSpec)
     val path = fresh("writer_drift")
     writeOpts(orders()).mode(SaveMode.Append).save(path)
     val exDrift = intercept[IllegalArgumentException] {
-      writeOpts(orders().withColumn("extra", lit(1))).mode(SaveMode.Append).save(path)
+      writeOpts(orders().drop("o_orderdate")).mode(SaveMode.Append).save(path)
     }
-    assert(exDrift.getMessage.contains("schema evolution"), exDrift.getMessage)
+    assert(exDrift.getMessage.contains("missing"), exDrift.getMessage)
     // MDT-advertising tables refuse: a commit this writer cannot reflect
     // into the metadata table would leave index-served reads silently wrong
     val exMdt = intercept[UnsupportedOperationException] {
