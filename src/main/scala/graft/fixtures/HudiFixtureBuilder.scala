@@ -73,6 +73,7 @@ object HudiFixtureBuilder {
   def writeSqlPath(sfDir: String): String = s"${root(sfDir)}/writer_sql_orders"
   def writeEvolvedPath(sfDir: String): String = s"${root(sfDir)}/writer_evolved_orders"
   def writeCdcBeforePath(sfDir: String): String = s"${root(sfDir)}/writer_cdc_before_orders"
+  def writeCompactedPath(sfDir: String): String = s"${root(sfDir)}/writer_compacted_orders"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
@@ -89,7 +90,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v41")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v42")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -166,6 +167,7 @@ object HudiFixtureBuilder {
           buildWriterSqlOrders(spark, sfDir); own()
           buildWriterEvolvedOrders(spark, sfDir); own()
           buildWriterCdcBeforeOrders(spark, sfDir); own()
+          buildWriterCompactedOrders(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
           buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
@@ -871,6 +873,21 @@ object HudiFixtureBuilder {
       "upsert")
     w(src.filter(col("o_orderkey") % 13 === 0).select("o_orderkey", "o_orderpriority"),
       "delete")
+  }
+
+  // --- compaction dogfood: a COPY of writer_mor_orders compacted via
+  // graft.write.HudiCompaction — every log-carrying slice folds into a
+  // fresh base at the compaction instant. The oracle entry reads
+  // READ-OPTIMIZED mode against the FULL merged oracle: before
+  // compaction RO would show no updates and resurrect the deletes
+  // (hash-fail), so a green hash proves the fold is real.
+  private def buildWriterCompactedOrders(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val dst = new Path(writeCompactedPath(sfDir))
+    fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(writeMorPath(sfDir)), fs, dst, false,
+      spark.sessionState.newHadoopConf())
+    graft.write.HudiCompaction.compact(spark, dst.toString)
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

@@ -495,6 +495,19 @@ object HudiQueries {
         |  CAST((o_orderkey % 50) * 1000 AS BIGINT) AS o_qty, 'EVOLVED' AS o_tag
         |FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""".stripMargin),
 
+    // --- COMPACTION: the MOR writer table compacted via run_compaction's
+    // engine — READ-OPTIMIZED mode against the FULL merged oracle (the
+    // pre-compaction RO would miss every update and resurrect the
+    // deletes), so a green hash proves logs really folded into bases ----
+    "hudi_write_compacted" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        selectOrders(s.read.format("hudi-graft")
+          .option("hoodie.datasource.query.type", "read_optimized")
+          .load(HudiFixtureBuilder.writeCompactedPath(d)))
+      },
+      ordersSql(updated = true, deletes = true, onlyUpdated = false)),
+
     // --- S3 on MOR: log-scan bounded to (t1, t2] --------------------------
     "hudi_mor_incremental" -> QueryDef(
       (s, d) => selectOrders(mor(s, d).incremental(

@@ -21,7 +21,8 @@ object GraftProcedures {
     Array("show_commits", "show_archived_commits", "show_file_slices",
       "show_partitions", "show_indexes", "show_column_stats",
       "show_partition_stats", "show_bloom_filters", "show_table_properties",
-      "run_clean", "create_savepoint", "delete_savepoint")
+      "run_clean", "run_compaction", "run_clustering",
+      "create_savepoint", "delete_savepoint")
 
   /** Planned slices at `asOf` (normalized) or the latest commit. */
   private def slicesAt(t: HudiTable, asOf: Option[String]): Vector[graft.fs.FileSlice] =
@@ -183,6 +184,68 @@ object GraftProcedures {
           StructField("deleted_file", StringType, nullable = false)))
         val out = stats.deleted.map { case (p, f) =>
           row(stats.instant.orNull, stats.earliestRetained.orNull, p, f)
+        }.toArray
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = out
+          override def readSchema(): StructType = schema
+        }).iterator()
+      }
+    })
+    // MOR compaction (hudi-cli `compactions run`): fold every log-carrying
+    // group's slice into a fresh base-file version via
+    // graft.write.HudiCompaction — the merged read is the ordinary
+    // distributed MOR scan; row commit stamps are preserved so the
+    // compaction is a logical no-op to incremental/CDC consumers.
+    case "run_compaction" => Some(new UnboundProcedure with BoundProcedure {
+      override def name(): String = "run_compaction"
+      override def description(): String =
+        "compact every file group whose latest slice carries log files into a new " +
+          "base-file version (completed as a commit with compacted=true)"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType)
+          .comment("hudi table base path").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val stats = graft.write.HudiCompaction.compact(SparkSession.active, path)
+        val schema = StructType(Seq(
+          StructField("compaction_ts", StringType, nullable = true),
+          StructField("partition_path", StringType, nullable = false),
+          StructField("file_id", StringType, nullable = false)))
+        val out = stats.compacted.map { case (p, fid) =>
+          row(stats.instant.orNull, p, fid)
+        }.toArray
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = out
+          override def readSchema(): StructType = schema
+        }).iterator()
+      }
+    })
+    // clustering (hudi-cli `clustering run`): rewrite the current file
+    // groups into fresh hash-bucketed ones via graft.write.HudiClustering
+    // — a REPLACECOMMIT with partitionToReplaceFileIds + CLUSTER
+    // operation type, row commit stamps preserved (logical no-op to
+    // incremental/CDC consumers).
+    case "run_clustering" => Some(new UnboundProcedure with BoundProcedure {
+      override def name(): String = "run_clustering"
+      override def description(): String =
+        "rewrite every partition's current file groups into fresh consolidated " +
+          "groups (completed as a CLUSTER replacecommit; MOR logs fold in)"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[ProcedureParameter] =
+        Array(ProcedureParameter.in("table", StringType)
+          .comment("hudi table base path").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val path = input.getUTF8String(0).toString
+        val stats = graft.write.HudiClustering.cluster(SparkSession.active, path)
+        val schema = StructType(Seq(
+          StructField("clustering_ts", StringType, nullable = true),
+          StructField("partition_path", StringType, nullable = false),
+          StructField("new_file_id", StringType, nullable = false)))
+        val out = stats.newGroups.map { case (p, fid) =>
+          row(stats.instant.orNull, p, fid)
         }.toArray
         java.util.List.of[Scan](new LocalScan {
           override def rows(): Array[InternalRow] = out

@@ -73,7 +73,12 @@ object HudiCleaner {
         case Seq(ts, action, _) => s"$ts.$action"
         case Seq(ts, "inflight") => s"$ts.commit"
       }
-      .filterNot(completedKeys.contains).toVector
+      .filterNot(completedKeys.contains)
+      // a compaction COMPLETES as a `commit` (real Hudi's naming): its
+      // requested/inflight markers are discharged by `{ts}.commit`
+      .filterNot(k => k.endsWith(".compaction") &&
+        completedKeys.contains(k.stripSuffix(".compaction") + ".commit"))
+      .toVector
     if (pending.nonEmpty)
       throw new UnsupportedOperationException(
         s"hudi-graft clean: pending instants exist (${pending.sorted.mkString(", ")}) — a " +

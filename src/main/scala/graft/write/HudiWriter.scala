@@ -566,6 +566,8 @@ object HudiWriter {
     * `.{fid}_{ts}.log.{v}_{token}` — strip the leading dot, take
     * everything before the first '_' (fileIds contain no underscore).
     */
+  private[write] def fidOfFileName: org.apache.spark.sql.Column = fidFromFileName
+
   private def fidFromFileName: org.apache.spark.sql.Column =
     substring_index(regexp_replace(col(MetaField.FileName), "^\\.", ""), "_", 1)
 
@@ -1003,7 +1005,7 @@ object HudiWriter {
     * rename into Hudi base-file names. Returns
     * (partition, fileId, relPath, rows, bytes) per file.
     */
-  private def writeStaged(
+  private[write] def writeStaged(
       spark: SparkSession,
       fs: FileSystem,
       base: Path,
