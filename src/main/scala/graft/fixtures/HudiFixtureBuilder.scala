@@ -74,6 +74,7 @@ object HudiFixtureBuilder {
   def writeEvolvedPath(sfDir: String): String = s"${root(sfDir)}/writer_evolved_orders"
   def writeCdcBeforePath(sfDir: String): String = s"${root(sfDir)}/writer_cdc_before_orders"
   def writeCompactedPath(sfDir: String): String = s"${root(sfDir)}/writer_compacted_orders"
+  def writeColStatsPath(sfDir: String): String = s"${root(sfDir)}/writer_colstats_orders"
   def rangePath(sfDir: String): String = s"${root(sfDir)}/cow_range_orders"
   def datePath(sfDir: String): String = s"${root(sfDir)}/cow_date_orders"
   def pstatsPath(sfDir: String): String = s"${root(sfDir)}/cow_pstats_orders"
@@ -90,7 +91,7 @@ object HudiFixtureBuilder {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
-    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v42")
+    val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v43")
     if (fs.exists(marker)) return
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
@@ -169,6 +170,7 @@ object HudiFixtureBuilder {
           buildWriterCdcBeforeOrders(spark, sfDir); own()
           buildWriterCompactedOrders(spark, sfDir); own()
           buildCowRangeOrders(spark, sfDir); own()
+          buildWriterColStatsOrders(spark, sfDir); own()
           buildCowBloomOrders(spark, sfDir); own()
           buildCowDateOrders(spark, sfDir); own()
           buildCowPartStatsOrders(spark, sfDir); own()
@@ -888,6 +890,26 @@ object HudiFixtureBuilder {
     org.apache.hadoop.fs.FileUtil.copy(fs, new Path(writeMorPath(sfDir)), fs, dst, false,
       spark.sessionState.newHadoopConf())
     graft.write.HudiCompaction.compact(spark, dst.toString)
+  }
+
+  // --- column_stats writer dogfood: a COPY of cow_range_orders (the
+  // column_stats MDT fixture) upserted through the public API — the
+  // rewritten groups' NEW files get exact maintained index entries, and
+  // the key-range oracle query plans over the mixed old/new index (a
+  // wrong maintained bound would either prune live rows out or
+  // hash-fail on the updated statuses).
+  private def buildWriterColStatsOrders(spark: SparkSession, sfDir: String): Unit = {
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val dst = new Path(writeColStatsPath(sfDir))
+    fs.delete(dst, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(rangePath(sfDir)), fs, dst, false,
+      spark.sessionState.newHadoopConf())
+    orders(spark, sfDir).filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.precombine.field", "o_custkey")
+      .mode("append").save(dst.toString)
   }
 
   // --- COW, non-partitioned, RANGE-split file groups + column_stats MDT --

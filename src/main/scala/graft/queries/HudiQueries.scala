@@ -1208,6 +1208,28 @@ object HudiQueries {
         |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // --- the WRITER-MAINTAINED column_stats index: the %7 upsert rewrote
+    // groups into new files whose index entries came from the write
+    // path's staging aggregates; the key-range plan mixes old fixture
+    // entries with maintained ones (a wrong maintained bound would prune
+    // live rows out or miss the 'X' statuses) --------------------------
+    "hudi_write_colstats_pruned" -> QueryDef(
+      (s, d) => {
+        HudiFixtureBuilder.ensure(s, d)
+        val boundary = Tables.orders(s, d)
+          .agg(max(col("o_orderkey"))).head.getLong(0) / 4
+        s.read.format("hudi-graft").load(HudiFixtureBuilder.writeColStatsPath(d))
+          .filter(col("o_orderkey") <= boundary)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice FROM orders
+        |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // --- Typed (DateType) stats pruning at oracle level: a date-range
     // predicate over the date-quartile-split COW fixture prunes file
     // groups through DateWrapper epoch-day index bounds and typed

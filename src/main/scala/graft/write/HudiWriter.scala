@@ -157,7 +157,7 @@ object HudiWriter {
       // index-served reads silently wrong, so those tables refuse
       val mdtParts = t.config.getOrElse("hoodie.table.metadata.partitions", "")
         .split(",").map(_.trim).filter(_.nonEmpty).toSet
-      val unmaintained = mdtParts - "files" - "record_index"
+      val unmaintained = mdtParts - "files" - "record_index" - "column_stats"
       if (unmaintained.nonEmpty)
         throw new UnsupportedOperationException(
           s"hudi-graft: the table advertises metadata-table partitions " +
@@ -384,7 +384,11 @@ object HudiWriter {
               "(insert | bulk_insert | upsert | delete | insert_overwrite_table)")
       }
 
-      val files = writeStaged(spark, fs, base, routed.staged, instant, routed.requiredGroups)
+      val maintainsColStats = existing.exists(t =>
+        graft.table.ColumnStatsIndex.isAvailable(t.config))
+      val (files, fileStats) = writeStagedWithStats(spark, fs, base, routed.staged,
+        instant, routed.requiredGroups,
+        if (maintainsColStats) statColumnsOf(routed.staged.schema) else Nil)
       // the commit's recorded schema is the TABLE's data schema — a
       // keys-only delete input must not shrink it (readers resolve the
       // table schema commit-metadata-first)
@@ -412,6 +416,11 @@ object HudiWriter {
       if (maintainsRecordIndex && (routed.newKeys.nonEmpty || routed.deletedKeys.nonEmpty))
         RecordIndexMaintenance.append(spark, basePath, instant,
           routed.newKeys, routed.deletedKeys, timelineTz)
+      // column_stats maintenance: exact per-(file, column) bounds from
+      // the staging pass, appended before the data commit
+      if (maintainsColStats && fileStats.nonEmpty)
+        ColumnStatsMaintenance.append(basePath, spark.sessionState.newHadoopConf(),
+          instant, colStatsEntries(files, fileStats, routed.staged.schema))
       val tableVersion = existing.map(_.config.tableVersion).getOrElse(6)
       writeTimeline(fs, base, instant, operation, files, routed, commitSchema, tableVersion,
         timelineTz, isMor)
@@ -534,6 +543,52 @@ object HudiWriter {
           when(col("__fid").isNotNull, col("__locpart")).otherwise(col("__part")))
         .drop("__locpart")
     else keyed.join(index, Seq("__key", "__part"), "left")
+
+  /** Columns eligible for column_stats maintenance: the wrapper types
+    * the MDT-subset schema carries (LongWrapper/DateWrapper/
+    * StringWrapper). Anything else is SKIPPED — every index tier keys by
+    * (file, column) and falls open on a gap, so partial coverage costs a
+    * footer read, never a wrong answer.
+    */
+  private def statColumnsOf(
+      schema: org.apache.spark.sql.types.StructType): Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    schema.fields.filter(f =>
+      !f.name.startsWith("__") && !MetaField.all.contains(f.name) &&
+        (f.dataType == LongType || f.dataType == DateType || f.dataType == StringType)).toSeq
+  }
+
+  /** Build [[ColumnStatsMaintenance.FileColStats]] entries from the
+    * staging pass's per-file aggregates (all-null columns skip — no
+    * bounds to record, absence fails open).
+    */
+  private def colStatsEntries(
+      files: Seq[(String, String, String, Long, Long)],
+      fileStats: Map[(String, String), Seq[(String, Any, Any, Long)]],
+      stagedSchema: org.apache.spark.sql.types.StructType)
+      : Seq[ColumnStatsMaintenance.FileColStats] = {
+    import org.apache.spark.sql.types._
+    def dateDays(v: Any): Any = v match {
+      case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+      case ld: java.time.LocalDate => Int.box(ld.toEpochDay.toInt)
+      case other => other
+    }
+    for {
+      (p, fid, rel, rows, _) <- files
+      stats <- fileStats.get((p, fid)).toSeq
+      (colName, mn, mx, nc) <- stats
+      if mn != null && mx != null
+    } yield {
+      val wrapper = stagedSchema(colName).dataType match {
+        case LongType => "LongWrapper"
+        case DateType => "DateWrapper"
+        case StringType => "StringWrapper"
+        case other => throw new IllegalStateException(s"unexpected stat type $other")
+      }
+      ColumnStatsMaintenance.FileColStats(p, rel.substring(rel.lastIndexOf('/') + 1),
+        colName, wrapper, dateDays(mn), dateDays(mx), rows, nc)
+    }
+  }
 
   /** Supported type widenings on write (the pairs the read side upcasts
     * when resolving older files under a newer commit schema).
@@ -1011,7 +1066,24 @@ object HudiWriter {
       base: Path,
       staged: DataFrame,
       instant: String,
-      requiredGroups: Map[String, String] = Map.empty): Seq[(String, String, String, Long, Long)] = {
+      requiredGroups: Map[String, String] = Map.empty): Seq[(String, String, String, Long, Long)] =
+    writeStagedWithStats(spark, fs, base, staged, instant, requiredGroups, Nil)._1
+
+  /** As [[writeStaged]], additionally computing EXACT per-(file, column)
+    * min/max/nullCount for `statColumns` in the SAME metadata pass that
+    * counts staged rows — the column_stats maintenance input, one extra
+    * aggregation over a scan the writer already runs.
+    */
+  private[write] def writeStagedWithStats(
+      spark: SparkSession,
+      fs: FileSystem,
+      base: Path,
+      staged: DataFrame,
+      instant: String,
+      requiredGroups: Map[String, String],
+      statColumns: Seq[org.apache.spark.sql.types.StructField])
+      : (Seq[(String, String, String, Long, Long)],
+         Map[(String, String), Seq[(String, Any, Any, Long)]]) = {
     val dataCols = staged.columns
       .filterNot(c => c.startsWith("__") || c == MetaField.CommitTime)
     val fileName = concat(col("__fid"), lit(s"_${Token}_$instant.parquet"))
@@ -1038,11 +1110,24 @@ object HudiWriter {
     // no partition dirs at all
     val hasStaged = fs.exists(tmp) &&
       fs.listStatus(tmp).exists(_.getPath.getName.startsWith("__p="))
-    val counts =
-      if (!hasStaged) Map.empty[(String, String), Long]
+    val aggExprs = count(lit(1)).as("__cnt") +: statColumns.zipWithIndex.flatMap {
+      case (f, i) => Seq(
+        min(col(f.name)).as(s"__mn$i"), max(col(f.name)).as(s"__mx$i"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nc$i"))
+    }
+    val aggRows =
+      if (!hasStaged) Array.empty[org.apache.spark.sql.Row]
       else spark.read.parquet(tmp.toString)
-        .groupBy("__p", "__f").count().collect()
-        .map(r => (r.getString(0).stripPrefix("p:"), r.getString(1)) -> r.getLong(2)).toMap
+        .groupBy("__p", "__f").agg(aggExprs.head, aggExprs.tail: _*).collect()
+    val counts = aggRows
+      .map(r => (r.getString(0).stripPrefix("p:"), r.getString(1)) -> r.getLong(2)).toMap
+    // per-file column stats: (partition, fid) -> (column, min, max, nullCount)
+    val colStats: Map[(String, String), Seq[(String, Any, Any, Long)]] = aggRows.map { r =>
+      val key = (r.getString(0).stripPrefix("p:"), r.getString(1))
+      key -> statColumns.zipWithIndex.map { case (f, i) =>
+        (f.name, r.get(3 + i * 3), r.get(4 + i * 3), r.getLong(5 + i * 3))
+      }.toSeq
+    }.toMap
     val out = Seq.newBuilder[(String, String, String, Long, Long)]
     for (pDir <- fs.listStatus(tmp).toSeq.filter(_.isDirectory).sortBy(_.getPath.getName)) {
       val part = decodeStagedValue(pDir.getPath.getName.stripPrefix("__p=")).stripPrefix("p:")
@@ -1090,7 +1175,7 @@ object HudiWriter {
       (part, fid, rel, 0L, fs.getFileStatus(new Path(dir, name)).getLen)
     }
     if (emptied.nonEmpty) fs.delete(new Path(base, ".hoodie/.temp"), true)
-    written ++ emptied
+    (written ++ emptied, colStats)
   }
 
   /** partitionBy HIVE-escapes directory values (ExternalCatalogUtils

@@ -122,30 +122,43 @@ object MdtMaintenance {
       dataTableBase: String,
       hadoopConf: Configuration,
       instant: String,
-      records: Seq[(String, Array[Byte])]): Unit = {
+      records: Seq[(String, Array[Byte])]): Unit =
+    appendBlockTo(dataTableBase, hadoopConf, instant, records,
+      FilesPartitionRecord.PartitionName, mdtAvroSchema)
+
+  /** As above for an arbitrary single-slice MDT partition (files,
+    * column_stats, ...) with its partition's record schema — the writer's
+    * shared MDT-delta append.
+    */
+  private[write] def appendBlockTo(
+      dataTableBase: String,
+      hadoopConf: Configuration,
+      instant: String,
+      records: Seq[(String, Array[Byte])],
+      partitionName: String,
+      schema: org.apache.avro.Schema): Unit = {
     val mdtBase = new Path(new Path(dataTableBase, ".hoodie"), "metadata")
     val fs = mdtBase.getFileSystem(hadoopConf)
 
-    // locate the files group's current slice (the log attaches to it)
-    val (_, slices) = MetadataTable.openPartition(
-      dataTableBase, FilesPartitionRecord.PartitionName, hadoopConf)
+    // locate the partition's current slice (the log attaches to it)
+    val (_, slices) = MetadataTable.openPartition(dataTableBase, partitionName, hadoopConf)
     val slice = slices.headOption.getOrElse(
-      throw new IllegalStateException("MDT files partition has no file slice"))
+      throw new IllegalStateException(s"MDT $partitionName partition has no file slice"))
     val mdtConfig = graft.core.HoodieConfig.load(mdtBase.toString, hadoopConf)
 
     val hfileBytes = graft.hfile.HFileWriter.write(
       records.toIndexedSeq,
-      Map("schema" -> mdtAvroSchema.toString.getBytes("UTF-8")),
+      Map("schema" -> schema.toString.getBytes("UTF-8")),
       recordsPerBlock = 64)
 
     // v6-internal MDTs name logs after the slice's BASE instant; v8+
     // name them after the delta's own request instant
     val nameTs = if (mdtConfig.tableVersion >= 8) instant else slice.commitTimestamp
     val nextVersion = slice.logFiles.map(_.version).maxOption.getOrElse(0) + 1
-    val filesDir = new Path(mdtBase, FilesPartitionRecord.PartitionName)
+    val partDir = new Path(mdtBase, partitionName)
     val logName = s".${slice.fileId}_$nameTs.log.${nextVersion}_0-0-0"
-    val out = new java.io.DataOutputStream(fs.create(new Path(filesDir, logName), false))
-    try graft.log.LogFileWriter.hfileDataBlock(out, instant, mdtAvroSchema, hfileBytes)
+    val out = new java.io.DataOutputStream(fs.create(new Path(partDir, logName), false))
+    try graft.log.LogFileWriter.hfileDataBlock(out, instant, schema, hfileBytes)
     finally out.close()
 
     completeDeltacommit(fs, mdtBase, mdtConfig, instant)
