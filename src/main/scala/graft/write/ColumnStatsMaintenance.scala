@@ -45,23 +45,67 @@ object ColumnStatsMaintenance {
       instant: String,
       stats: Seq[FileColStats]): Unit = {
     if (stats.isEmpty) return
-    val (_, slices) = MetadataTable.openPartition(
-      dataTableBase, graft.table.ColumnStatsIndex.PartitionName, hadoopConf)
+    val (schema, csSchema) = targetSchema(dataTableBase, hadoopConf,
+      graft.table.ColumnStatsIndex.PartitionName)
+    val records = stats
+      .map(s => s"${s.column}//${s.partition}//${s.fileName}" -> encode(
+        schema, csSchema, s"${s.column}//${s.partition}//${s.fileName}", recType = 3,
+        fileName = s.fileName, column = s.column, wrapper = s.wrapper,
+        mn = s.min, mx = s.max, valueCount = Some(s.valueCount),
+        nullCount = Some(s.nullCount), tight = true))
+      .sortBy(_._1)
+    MdtMaintenance.appendBlockTo(dataTableBase, hadoopConf, instant, records,
+      graft.table.ColumnStatsIndex.PartitionName, schema)
+  }
+
+  /** Append MERGED partition-level bounds to the `partition_stats`
+    * partition: `bounds` = (partition, column, wrapper, min, max), each
+    * already unioned with the existing entry by the caller (so the
+    * record stays a SUPERSET of the truth). Written LOOSE
+    * (isTightBound=false): partition stats prune, they never answer.
+    * The record key is stable (`column//partition`), so repeat commits
+    * overlay in place; [[graft.table.ColumnStatsIndex]]'s last-wins map
+    * build makes the newest overlay authoritative over a fixture entry
+    * under a different key.
+    */
+  def appendPartitionStats(
+      dataTableBase: String,
+      hadoopConf: Configuration,
+      instant: String,
+      bounds: Seq[(String, String, String, Any, Any)]): Unit = {
+    if (bounds.isEmpty) return
+    val (schema, csSchema) = targetSchema(dataTableBase, hadoopConf,
+      graft.table.PartitionStatsIndex.PartitionName)
+    val records = bounds
+      .map { case (p, c, wrapper, mn, mx) =>
+        s"$c//$p" -> encode(schema, csSchema, s"$c//$p", recType = 6,
+          fileName = p, column = c, wrapper = wrapper, mn = mn, mx = mx,
+          valueCount = None, nullCount = None, tight = false)
+      }
+      .sortBy(_._1)
+    MdtMaintenance.appendBlockTo(dataTableBase, hadoopConf, instant, records,
+      graft.table.PartitionStatsIndex.PartitionName, schema)
+  }
+
+  /** The target partition's base-HFile schema + its validated
+    * ColumnStatsMetadata branch.
+    */
+  private def targetSchema(
+      dataTableBase: String,
+      hadoopConf: Configuration,
+      partitionName: String): (org.apache.avro.Schema, org.apache.avro.Schema) = {
+    val (_, slices) = MetadataTable.openPartition(dataTableBase, partitionName, hadoopConf)
     val baseFile = slices.headOption.flatMap(_.baseFile).getOrElse(
-      throw new IllegalStateException("column_stats partition has no base HFile"))
+      throw new IllegalStateException(s"$partitionName partition has no base HFile"))
     val fs = new Path(baseFile.path).getFileSystem(hadoopConf)
     val baseReader = new graft.hfile.HFileReader(
       graft.util.ReadFully(fs, new Path(baseFile.path)))
     val schema = new org.apache.avro.Schema.Parser().parse(
       baseReader.avroSchemaJson.getOrElse(throw new IllegalStateException(
-        "column_stats base HFile carries no avro schema")))
-
-    // the ColumnStatsMetadata branch + the fields this encoder sets; any
-    // OTHER non-nullable field would make GenericDatumWriter emit
-    // garbage-or-throw — refuse up front
+        s"$partitionName base HFile carries no avro schema")))
     val csField = Option(schema.getField("ColumnStatsMetadata")).getOrElse(
       throw new UnsupportedOperationException(
-        "column_stats schema lacks ColumnStatsMetadata — not maintainable"))
+        s"$partitionName schema lacks ColumnStatsMetadata — not maintainable"))
     val csSchema = csField.schema().getTypes.get(1)
     val known = Set("fileName", "columnName", "minValue", "maxValue",
       "valueCount", "nullCount", "isDeleted", "isTightBound")
@@ -70,48 +114,48 @@ object ColumnStatsMaintenance {
         f.schema().getTypes.stream().anyMatch(_.getType == org.apache.avro.Schema.Type.NULL)
       if (!known.contains(f.name) && !nullable)
         throw new UnsupportedOperationException(
-          s"column_stats schema field '${f.name}' is non-nullable and unknown to this " +
+          s"$partitionName schema field '${f.name}' is non-nullable and unknown to this " +
             "writer — refusing to append records the reader would mis-decode")
     }
-    val records = stats
-      .map(s => s"${s.column}//${s.partition}//${s.fileName}" -> encode(schema, csSchema, s))
-      .sortBy(_._1)
-    MdtMaintenance.appendBlockTo(dataTableBase, hadoopConf, instant, records,
-      graft.table.ColumnStatsIndex.PartitionName, schema)
+    (schema, csSchema)
   }
 
   private def encode(
       schema: org.apache.avro.Schema,
       csSchema: org.apache.avro.Schema,
-      s: FileColStats): Array[Byte] = {
+      key: String,
+      recType: Int,
+      fileName: String,
+      column: String,
+      wrapper: String,
+      mn: Any,
+      mx: Any,
+      valueCount: Option[Long],
+      nullCount: Option[Long],
+      tight: Boolean): Array[Byte] = {
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     import scala.jdk.CollectionConverters._
     val wrapSchema = csSchema.getField("minValue").schema().getTypes.asScala
-      .find(_.getName == s.wrapper).getOrElse(
+      .find(_.getName == wrapper).getOrElse(
         throw new UnsupportedOperationException(
-          s"column_stats schema has no ${s.wrapper} branch — skipping would be the " +
-            "caller's job; refusing to mis-encode"))
+          s"stats schema has no $wrapper branch — refusing to mis-encode"))
     def wrap(v: Any): GenericData.Record = {
       val w = new GenericData.Record(wrapSchema)
       w.put("value", v.asInstanceOf[AnyRef])
       w
     }
     val rec = new GenericData.Record(schema)
-    rec.put("key", s"${s.column}//${s.partition}//${s.fileName}")
-    rec.put("type", 3)
-    schema.getFields.forEach { f =>
-      if (rec.get(f.name) == null && f.name != "key" && f.name != "type" &&
-        f.name != "ColumnStatsMetadata") rec.put(f.name, null)
-    }
+    rec.put("key", key)
+    rec.put("type", recType)
     val cs = new GenericData.Record(csSchema)
-    cs.put("fileName", s.fileName)
-    cs.put("columnName", s.column)
-    cs.put("minValue", wrap(s.min))
-    cs.put("maxValue", wrap(s.max))
-    cs.put("valueCount", s.valueCount)
-    cs.put("nullCount", s.nullCount)
+    cs.put("fileName", fileName)
+    cs.put("columnName", column)
+    cs.put("minValue", wrap(mn))
+    cs.put("maxValue", wrap(mx))
+    cs.put("valueCount", valueCount.map(Long.box).orNull)
+    cs.put("nullCount", nullCount.map(Long.box).orNull)
     cs.put("isDeleted", false)
-    if (csSchema.getField("isTightBound") != null) cs.put("isTightBound", true)
+    if (csSchema.getField("isTightBound") != null) cs.put("isTightBound", tight)
     rec.put("ColumnStatsMetadata", cs)
     val out = new java.io.ByteArrayOutputStream()
     val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)

@@ -157,7 +157,8 @@ object HudiWriter {
       // index-served reads silently wrong, so those tables refuse
       val mdtParts = t.config.getOrElse("hoodie.table.metadata.partitions", "")
         .split(",").map(_.trim).filter(_.nonEmpty).toSet
-      val unmaintained = mdtParts - "files" - "record_index" - "column_stats"
+      val unmaintained =
+        mdtParts - "files" - "record_index" - "column_stats" - "partition_stats"
       if (unmaintained.nonEmpty)
         throw new UnsupportedOperationException(
           s"hudi-graft: the table advertises metadata-table partitions " +
@@ -386,9 +387,16 @@ object HudiWriter {
 
       val maintainsColStats = existing.exists(t =>
         graft.table.ColumnStatsIndex.isAvailable(t.config))
+      val maintainsPartStats = existing.exists(t =>
+        graft.table.PartitionStatsIndex.isAvailable(t.config))
+      // captured BEFORE staging writes any new partition dir (the fs
+      // view lists lazily) — "was this partition new to this commit?"
+      val priorPartitions: Set[String] =
+        if (maintainsPartStats) existing.get.fsView.partitionPaths.toSet else Set.empty
       val (files, fileStats) = writeStagedWithStats(spark, fs, base, routed.staged,
         instant, routed.requiredGroups,
-        if (maintainsColStats) statColumnsOf(routed.staged.schema) else Nil)
+        if (maintainsColStats || maintainsPartStats) statColumnsOf(routed.staged.schema)
+        else Nil)
       // the commit's recorded schema is the TABLE's data schema — a
       // keys-only delete input must not shrink it (readers resolve the
       // table schema commit-metadata-first)
@@ -418,9 +426,40 @@ object HudiWriter {
           routed.newKeys, routed.deletedKeys, timelineTz)
       // column_stats maintenance: exact per-(file, column) bounds from
       // the staging pass, appended before the data commit
+      lazy val statEntries = colStatsEntries(files, fileStats, routed.staged.schema)
       if (maintainsColStats && fileStats.nonEmpty)
         ColumnStatsMaintenance.append(basePath, spark.sessionState.newHadoopConf(),
-          instant, colStatsEntries(files, fileStats, routed.staged.schema))
+          instant, statEntries)
+      // partition_stats maintenance: partition-level bounds UNIONED with
+      // the existing entry (the record must stay a superset of the
+      // truth). A pre-existing partition with NO entry stays uncovered
+      // (fail-open at the pruner) rather than getting a bound that
+      // excludes its old files; brand-new partitions get fresh bounds
+      if (maintainsPartStats && fileStats.nonEmpty) {
+        val conf = spark.sessionState.newHadoopConf()
+        val existingBounds = graft.table.PartitionStatsIndex.load(basePath, conf)
+        def lo(a: Any, b: Any) =
+          if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
+        def hi(a: Any, b: Any) =
+          if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
+        val merged = statEntries.groupBy(e => (e.partition, e.column)).toSeq
+          .sortBy(_._1).flatMap { case ((p, c), es) =>
+            val newMn = es.map(_.min).reduce(lo)
+            val newMx = es.map(_.max).reduce(hi)
+            existingBounds.get(p).flatMap(_.get(c)) match {
+              case Some((omn, omx)) if omn.getClass == newMn.getClass =>
+                Some((p, c, es.head.wrapper, lo(omn, newMn), hi(omx, newMx)))
+              case Some(_) =>
+                throw new UnsupportedOperationException(
+                  s"hudi-graft: partition_stats entry for ($p, $c) carries a different " +
+                    "value type than this write — merging would corrupt the bound")
+              case None if !priorPartitions.contains(p) =>
+                Some((p, c, es.head.wrapper, newMn, newMx))
+              case None => None
+            }
+          }
+        ColumnStatsMaintenance.appendPartitionStats(basePath, conf, instant, merged)
+      }
       val tableVersion = existing.map(_.config.tableVersion).getOrElse(6)
       writeTimeline(fs, base, instant, operation, files, routed, commitSchema, tableVersion,
         timelineTz, isMor)

@@ -74,4 +74,41 @@ class HudiColStatsWriterSpec extends SparkTestBase {
     // tier — either way the maintained counts must not corrupt it)
     assert(spark.read.format("hudi-graft").load(path).count() == orders().count())
   }
+
+  test("inserts WIDEN partition_stats bounds; new partitions get fresh entries") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val path = new Path("/root/repo/target/hudi-fixtures/writer_pstats")
+    fs.delete(path, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(graft.fixtures.HudiFixtureBuilder.pstatsPath(sfDir)), fs, path, false,
+      spark.sessionState.newHadoopConf())
+    val maxKey = orders().agg(max(col("o_orderkey"))).head.getLong(0)
+    // one key ABOVE partition g=0's current max lands in g=0, one in a
+    // brand-new partition g=7: the g=0 entry must WIDEN (a stale bound
+    // would let a key-range plan prune the partition and LOSE the row)
+    // and g=7 must get a fresh entry
+    val extra = orders().limit(2)
+      .withColumn("o_orderkey",
+        when(monotonically_increasing_id() === 0, lit(maxKey + 10))
+          .otherwise(lit(maxKey + 20)))
+      .withColumn("g", when(col("o_orderkey") === maxKey + 10, lit(0)).otherwise(lit(7)))
+    extra.write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.partitionpath.field", "g")
+      .option("hoodie.datasource.write.operation", "insert")
+      .mode(SaveMode.Append).save(path.toString)
+
+    val bounds = graft.table.PartitionStatsIndex.load(path.toString,
+      spark.sessionState.newHadoopConf())
+    assert(bounds("g=0")("o_orderkey")._2 == maxKey + 10,
+      s"g=0 max must widen: ${bounds("g=0")("o_orderkey")}")
+    assert(bounds.get("g=7").exists(_.get("o_orderkey")
+      .exists(b => b._1 == maxKey + 20 && b._2 == maxKey + 20)), bounds.get("g=7").toString)
+    // the stats-pruned plan finds both rows
+    val got = spark.read.format("hudi-graft").load(path.toString)
+      .filter(col("o_orderkey") > maxKey)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == Set(maxKey + 10, maxKey + 20), got.toString)
+  }
 }
