@@ -158,7 +158,8 @@ object HudiWriter {
       val mdtParts = t.config.getOrElse("hoodie.table.metadata.partitions", "")
         .split(",").map(_.trim).filter(_.nonEmpty).toSet
       val unmaintained =
-        mdtParts - "files" - "record_index" - "column_stats" - "partition_stats"
+        mdtParts - "files" - "record_index" - "column_stats" - "partition_stats" -
+          "bloom_filters"
       if (unmaintained.nonEmpty)
         throw new UnsupportedOperationException(
           s"hudi-graft: the table advertises metadata-table partitions " +
@@ -460,6 +461,16 @@ object HudiWriter {
           }
         ColumnStatsMaintenance.appendPartitionStats(basePath, conf, instant, merged)
       }
+      // bloom_filters maintenance: one distributed key-column scan of the
+      // written files builds SIMPLE blooms (zero-row empty bases skip —
+      // a missing bloom fails open at the probe)
+      val maintainsBloom = existing.exists(t =>
+        graft.table.BloomFilterIndex.isAvailable(t.config))
+      if (maintainsBloom)
+        BloomFilterMaintenance.append(spark, basePath, instant,
+          files.filter(_._4 > 0).map { case (p, _, rel, rows, _) =>
+            (p, rel.substring(rel.lastIndexOf('/') + 1), rows)
+          })
       val tableVersion = existing.map(_.config.tableVersion).getOrElse(6)
       writeTimeline(fs, base, instant, operation, files, routed, commitSchema, tableVersion,
         timelineTz, isMor)

@@ -111,4 +111,47 @@ class HudiColStatsWriterSpec extends SparkTestBase {
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
     assert(got == Set(maxKey + 10, maxKey + 20), got.toString)
   }
+
+  test("upsert maintains bloom_filters: new files probe correctly") {
+    graft.fixtures.HudiFixtureBuilder.ensure(spark, sfDir)
+    val fs = FileSystem.get(spark.sessionState.newHadoopConf())
+    val path = new Path("/root/repo/target/hudi-fixtures/writer_bloom")
+    fs.delete(path, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(graft.fixtures.HudiFixtureBuilder.bloomPath(sfDir)), fs, path, false,
+      spark.sessionState.newHadoopConf())
+    orders().filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("B"))
+      .write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.precombine.field", "o_custkey")
+      .mode(SaveMode.Append).save(path.toString)
+
+    val t = HudiTable(spark, path.toString)
+    val c2 = t.timeline.latestCommitTimestamp.get
+    val newFiles = t.fsView.slicesAsOf(c2)
+      .filter(_.commitTimestamp == c2).flatMap(sl => sl.baseFile.map(bf =>
+        (sl.partitionPath, bf.fileName, bf.path)))
+    assert(newFiles.nonEmpty)
+    val blooms = graft.table.BloomFilterIndex.lookup(path.toString,
+      newFiles.map(f => (f._1, f._2)), spark.sessionState.newHadoopConf())
+    newFiles.foreach { case (p, name, abs) =>
+      val bloom = blooms.getOrElse((p, name),
+        fail(s"no maintained bloom for rewritten file $name"))
+      // a key actually IN the file must test positive; a key absent from
+      // the whole table must test negative (0.05% fp rate, fixed seed)
+      val inFile = spark.read.parquet(abs)
+        .select("_hoodie_record_key").head.getString(0)
+      assert(graft.table.BloomFilterIndex.mightContain(bloom, inFile))
+      assert(!graft.table.BloomFilterIndex.mightContain(bloom, "99999999991"),
+        s"absent key must prune via $name")
+    }
+    // point read over the maintained blooms returns the upserted row
+    val k = orders().filter(col("o_orderkey") % 7 === 0)
+      .agg(min("o_orderkey")).head.getLong(0)
+    val r = spark.read.format("hudi-graft").load(path.toString)
+      .filter(col("_hoodie_record_key") === k.toString)
+      .select("o_orderstatus").collect()
+    assert(r.length == 1 && r.head.getString(0) == "B")
+  }
 }
