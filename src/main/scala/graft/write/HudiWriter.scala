@@ -159,14 +159,25 @@ object HudiWriter {
         .split(",").map(_.trim).filter(_.nonEmpty).toSet
       val unmaintained =
         mdtParts - "files" - "record_index" - "column_stats" - "partition_stats" -
-          "bloom_filters"
+          "bloom_filters" --
+          mdtParts.filter(_.startsWith(graft.table.SecondaryIndex.PartitionPrefix))
       if (unmaintained.nonEmpty)
         throw new UnsupportedOperationException(
           s"hudi-graft: the table advertises metadata-table partitions " +
             s"(${unmaintained.toSeq.sorted.mkString(",")}) this writer does not maintain " +
-            "— a commit would leave them stale and index-served reads silently wrong; " +
-            "only files/record_index MDT partitions are writable")
+            "— a commit would leave them stale and index-served reads silently wrong")
     }
+    // secondary indexes: identity STRING indexes are maintained; anything
+    // else (numeric/date renderings, expression indexes) throws here —
+    // the refusal must land BEFORE any bytes are written
+    val secondaryIndexes: Seq[(String, String)] = existing.map { t =>
+      val parts = t.config.getOrElse("hoodie.table.metadata.partitions", "")
+        .split(",").map(_.trim)
+        .filter(_.startsWith(graft.table.SecondaryIndex.PartitionPrefix)).toSeq
+      if (parts.isEmpty) Nil
+      else SecondaryIndexMaintenance.resolveWritable(basePath,
+        spark.sessionState.newHadoopConf(), t.tableSchema, parts)
+    }.getOrElse(Nil)
 
     val keyFields: Seq[String] = opts.recordKeyFields
       .orElse(existing.map(_.config.recordKeyFields).filter(_.nonEmpty))
@@ -222,10 +233,12 @@ object HudiWriter {
       else opts.operation
     val maintainsRecordIndex = existing.exists(t =>
       graft.table.RecordIndex.isAvailable(t.config))
-    if (maintainsRecordIndex && operation == "insert_overwrite_table")
+    if ((maintainsRecordIndex || secondaryIndexes.nonEmpty) &&
+        operation == "insert_overwrite_table")
       throw new UnsupportedOperationException(
-        "hudi-graft: insert_overwrite_table on a record_index table is not supported " +
-          "— the replacement invalidates every index entry and a rebuild is not implemented")
+        "hudi-graft: insert_overwrite_table on a record_index/secondary-index table is " +
+          "not supported — the replacement invalidates every index entry and a rebuild " +
+          "is not implemented")
     if (isMor && exists && precombine.isEmpty &&
         (operation == "upsert" || operation == "delete"))
       throw new UnsupportedOperationException(
@@ -471,6 +484,26 @@ object HudiWriter {
           files.filter(_._4 > 0).map { case (p, _, rel, rows, _) =>
             (p, rel.substring(rel.lastIndexOf('/') + 1), rows)
           })
+      // secondary-index maintenance: old values from the PRE-COMMIT
+      // snapshot (the data commit hasn't completed yet) joined with the
+      // incoming batch — changed values tombstone the old entry and add
+      // the new one; a missing entry would lose rows, a stale extra one
+      // only costs pruning
+      if (secondaryIndexes.nonEmpty) {
+        val pre = spark.read.format("hudi-graft").load(basePath)
+        for ((idxPart, column) <- secondaryIndexes) {
+          val olds = pre.select(col(MetaField.RecordKey).as("__key"),
+            col(column).cast(StringType).as("__old"))
+            .join(keyed.select("__key").distinct(), Seq("__key"), "left_semi")
+          val news =
+            if (operation == "delete")
+              keyed.select("__key").distinct()
+                .withColumn("__new", lit(null).cast(StringType))
+            else keyed.select(col("__key"), col(column).cast(StringType).as("__new"))
+          SecondaryIndexMaintenance.append(spark, basePath, instant, idxPart,
+            news.join(olds, Seq("__key"), "full_outer"))
+        }
+      }
       val tableVersion = existing.map(_.config.tableVersion).getOrElse(6)
       writeTimeline(fs, base, instant, operation, files, routed, commitSchema, tableVersion,
         timelineTz, isMor)
