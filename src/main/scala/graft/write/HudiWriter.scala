@@ -492,14 +492,22 @@ object HudiWriter {
       if (secondaryIndexes.nonEmpty) {
         val pre = spark.read.format("hudi-graft").load(basePath)
         for ((idxPart, column) <- secondaryIndexes) {
+          // canonical key rendering: strings verbatim; integrals via the
+          // long widening (decimal digits — the family-free rendering
+          // SecondaryIndex.renderLiteral probes with)
+          def rendered(df: DataFrame): org.apache.spark.sql.Column =
+            df.schema(column).dataType match {
+              case StringType => col(column)
+              case _ => col(column).cast("long").cast(StringType)
+            }
           val olds = pre.select(col(MetaField.RecordKey).as("__key"),
-            col(column).cast(StringType).as("__old"))
+            rendered(pre).as("__old"))
             .join(keyed.select("__key").distinct(), Seq("__key"), "left_semi")
           val news =
             if (operation == "delete")
               keyed.select("__key").distinct()
                 .withColumn("__new", lit(null).cast(StringType))
-            else keyed.select(col("__key"), col(column).cast(StringType).as("__new"))
+            else keyed.select(col("__key"), rendered(keyed).as("__new"))
           SecondaryIndexMaintenance.append(spark, basePath, instant, idxPart,
             news.join(olds, Seq("__key"), "full_outer"))
         }

@@ -55,11 +55,21 @@ object SecondaryIndexMaintenance {
       val dt = tableSchema.fields.find(_.name == c).map(_.dataType).getOrElse(
         throw new UnsupportedOperationException(
           s"hudi-graft: $p indexes unknown column $c"))
-      if (dt != org.apache.spark.sql.types.StringType)
+      // strings render identically everywhere; integrals too (avro
+      // toString = decimal digits, no family split — the same exactness
+      // argument SecondaryIndex.renderLiteral documents). Date/decimal/
+      // double/float/timestamp renderings ARE writer-family-specific
+      // (the read side's sampled-witness classifiers exist for exactly
+      // that reason), and appending a second family would poison those
+      // samples — refuse
+      import org.apache.spark.sql.types._
+      val ok = dt == StringType || dt == LongType || dt == IntegerType ||
+        dt == ShortType || dt == ByteType
+      if (!ok)
         throw new UnsupportedOperationException(
-          s"hudi-graft: $p indexes non-string column $c ($dt) — numeric/date secondary " +
-            "key renderings are writer-family-specific and not reproduced by this " +
-            "writer; the table is not writable")
+          s"hudi-graft: $p indexes non-string column $c ($dt) — date/decimal/double/" +
+            "float/timestamp secondary key renderings are writer-family-specific and " +
+            "not reproduced by this writer; the table is not writable")
       (p, c)
     }
   }

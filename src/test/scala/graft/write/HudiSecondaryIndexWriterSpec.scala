@@ -41,11 +41,11 @@ class HudiSecondaryIndexWriterSpec extends SparkTestBase {
     out.toByteArray
   }
 
-  /** Writer-create a table over `orders` rows, then hand-seed a STRING
-    * secondary index over o_orderstatus (base HFile from the current
-    * rows + index.json + the advertised partition).
+  /** Writer-create a table over `orders` rows, then hand-seed an
+    * identity secondary index over `column` (base HFile from the
+    * current rows + index.json + the advertised partition).
     */
-  private def buildStringIndexed(name: String): String = {
+  private def buildIndexed(name: String, column: String): String = {
     val path = s"/root/repo/target/hudi-fixtures/$name"
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
     fs.delete(new Path(path), true)
@@ -55,10 +55,11 @@ class HudiSecondaryIndexWriterSpec extends SparkTestBase {
       .option("hoodie.datasource.write.operation", "insert")
       .mode(SaveMode.Append).save(path)
     val c1 = HudiTable(spark, path).timeline.latestCommitTimestamp.get
-    // seed the MDT secondary partition from the CURRENT rows
+    // seed the MDT secondary partition from the CURRENT rows (canonical
+    // rendering: strings verbatim, integrals as decimal digits)
     val rows = spark.read.format("hudi-graft").load(path)
-      .select("_hoodie_record_key", "o_orderstatus").collect()
-      .map(r => (r.getString(0), r.getString(1)))
+      .select(col("_hoodie_record_key"), col(column).cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
     val entries = rows.map { case (k, v) =>
       val full = SecondaryIndex.escape(v) + "$" + SecondaryIndex.escape(k)
       full -> liveBytes(full)
@@ -87,10 +88,10 @@ class HudiSecondaryIndexWriterSpec extends SparkTestBase {
       s"secondary-index-0000-0_0-0-0_$c1.hfile"), true)
     o.write(bytes); o.close()
     writeText(new Path(path, ".hoodie/.index_defs/index.json"),
-      """{"indexDefinitions":{"secondary_index_status_idx":{
-        |"indexName":"secondary_index_status_idx","indexType":"secondary_index",
-        |"indexFunction":"identity","sourceFields":["o_orderstatus"],"indexOptions":{}}}}
-        |""".stripMargin.replaceAll("\n", ""))
+      s"""{"indexDefinitions":{"secondary_index_status_idx":{
+         |"indexName":"secondary_index_status_idx","indexType":"secondary_index",
+         |"indexFunction":"identity","sourceFields":["$column"],"indexOptions":{}}}}
+         |""".stripMargin.replaceAll("\n", ""))
     // advertise the partition
     val props = new String(graft.util.ReadFully(fs,
       new Path(path, ".hoodie/hoodie.properties")), "UTF-8")
@@ -100,7 +101,7 @@ class HudiSecondaryIndexWriterSpec extends SparkTestBase {
   }
 
   test("changed values re-map, deletes unmap, probes stay exact") {
-    val path = buildStringIndexed("writer_sidx")
+    val path = buildIndexed("writer_sidx", "o_orderstatus")
     val conf = spark.sessionState.newHadoopConf()
     val idx = "secondary_index_status_idx"
     val keys7 = spark.read.format("hudi-graft").load(path)
@@ -142,6 +143,33 @@ class HudiSecondaryIndexWriterSpec extends SparkTestBase {
     val afterDel = SecondaryIndex.lookup(path, idx, Seq("Z9"), conf)
       .getOrElse("Z9", Set.empty)
     assert(afterDel == keys7 -- delKeys, s"deleted keys must unmap: $afterDel")
+  }
+
+  test("INTEGRAL secondary indexes maintain with the family-free decimal rendering") {
+    val path = buildIndexed("writer_sidx_long", "o_custkey")
+    val conf = spark.sessionState.newHadoopConf()
+    val idx = "secondary_index_status_idx"
+    val keys5 = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_orderkey") % 5 === 0)
+      .select("_hoodie_record_key").collect().map(_.getString(0)).toSet
+    assert(keys5.nonEmpty)
+    // derive the upsert input from the TABLE itself (limit() would
+    // re-evaluate nondeterministically)
+    val tbl = spark.read.format("hudi-graft").load(path)
+      .select(orders().columns.map(col).toIndexedSeq: _*)
+    tbl.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_custkey", lit(777777L))
+      .write.format("hudi-graft")
+      .option("hoodie.datasource.write.recordkey.field", "o_orderkey")
+      .option("hoodie.datasource.write.precombine.field", "o_custkey")
+      .mode(SaveMode.Append).save(path)
+    val mapped = SecondaryIndex.lookup(path, idx, Seq("777777"), conf)
+      .getOrElse("777777", Set.empty)
+    assert(mapped == keys5, s"long rendering must map the upserted keys: ${mapped.take(3)}")
+    val got = spark.read.format("hudi-graft").load(path)
+      .filter(col("o_custkey") === 777777L)
+      .select("_hoodie_record_key").collect().map(_.getString(0)).toSet
+    assert(got == keys5)
   }
 
   test("non-string secondary indexes keep refusing") {
