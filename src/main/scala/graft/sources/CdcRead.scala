@@ -6,7 +6,7 @@ import graft.log.{InstantRange, LogFileParser, LogFormat, RowAlign}
 import graft.table.{HudiTable, LogScan}
 import graft.util.SerializableConf
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 
@@ -364,13 +364,18 @@ object CdcRead {
             StructField("record_key", StringType),
             StructField("before", schema("before").dataType)))
           val dec = persistedBlocksDf(spark, basePath,
-            cdcByGroup.valuesIterator.flatten.toVector.sorted, Set(c), decSchema)
+            cdcByGroup.valuesIterator.flatten.toVector.sorted, Set(c), decSchema,
+            withPartition = true)
           val tsMs = Timestamps.timelineToEpochMillis(c, tz).toString
           val after = readAsOf(c, covered)
             .filter(col(MetaField.CommitTime) === lit(c))
             .select(col(MetaField.RecordKey).as("__ak"),
+              col(MetaField.PartitionPath).as("__ap"),
               struct(dataCols.toIndexedSeq: _*).as("after"))
-          val feed = dec.join(after, col("record_key") === col("__ak"), "left")
+          // join qualified on (key, PARTITION): a key present in two
+          // covered partitions must not cross-pair its images
+          val feed = dec.join(after,
+            col("record_key") === col("__ak") && col("__cdcpart") === col("__ap"), "left")
             .select(col("op").as(OpCol), lit(tsMs).as(TsCol), col("before"),
               when(col("op") === "d", lit(null).cast(schema("after").dataType))
                 .otherwise(col("after")).as("after"))
@@ -538,19 +543,33 @@ object CdcRead {
       basePath: String,
       relPaths: Vector[String],
       commits: Set[String],
-      schema: StructType): DataFrame = {
+      schema: StructType,
+      // true → append a `__cdcpart` column holding each sidecar's
+      // PARTITION PATH (its parent dir): the partial data_before join
+      // must qualify on it, or a record key living in two covered
+      // partitions would cross-pair before/after images
+      withPartition: Boolean = false): DataFrame = {
     val conf = new SerializableConf(spark.sessionState.newHadoopConf())
-    val absolute = relPaths.distinct.map(r => s"$basePath/$r")
-    val parallelism = math.min(absolute.size, spark.sparkContext.defaultParallelism * 2)
+    val rels = relPaths.distinct
+    val parallelism = math.min(rels.size, spark.sparkContext.defaultParallelism * 2)
     val schemaJson = schema.json
-    val rdd = spark.sparkContext.parallelize(absolute, math.max(parallelism, 1)).flatMap { p =>
+    val base = basePath
+    val rdd = spark.sparkContext.parallelize(rels, math.max(parallelism, 1)).flatMap { rel =>
       val target =
         org.apache.spark.sql.types.DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      val bytes = graft.util.ReadFully(new Path(p), conf.value)
+      val part = rel.lastIndexOf('/') match {
+        case -1 => ""
+        case i => rel.substring(0, i)
+      }
+      val bytes = graft.util.ReadFully(new Path(s"$base/$rel"), conf.value)
       LogFileParser.parse(bytes, InstantRange.all).iterator
         .filter(b => b.blockType == LogFormat.CdcDataBlock && commits.contains(b.instantTime))
         .flatMap(RowAlign.blockRows(_, target))
+        .map(r => if (withPartition) Row.fromSeq(r.toSeq :+ part) else r)
     }
-    spark.createDataFrame(rdd, schema)
+    val outSchema =
+      if (withPartition) StructType(schema.fields :+ StructField("__cdcpart", StringType))
+      else schema
+    spark.createDataFrame(rdd, outSchema)
   }
 }

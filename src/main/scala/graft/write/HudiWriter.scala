@@ -491,30 +491,50 @@ object HudiWriter {
       // only costs pruning
       if (secondaryIndexes.nonEmpty) {
         val pre = spark.read.format("hudi-graft").load(basePath)
-        for ((idxPart, column) <- secondaryIndexes) {
-          // canonical key rendering: strings verbatim; integrals via the
-          // long widening (decimal digits — the family-free rendering
-          // SecondaryIndex.renderLiteral probes with)
-          def rendered(df: DataFrame): org.apache.spark.sql.Column =
-            df.schema(column).dataType match {
-              case StringType => col(column)
-              case _ => col(column).cast("long").cast(StringType)
-            }
-          val olds = pre.select(col(MetaField.RecordKey).as("__key"),
-            rendered(pre).as("__old"))
+        // canonical key rendering: strings verbatim; integrals via the
+        // long widening (decimal digits — the family-free rendering
+        // SecondaryIndex.renderLiteral probes with)
+        def rendered(df: DataFrame, column: String): org.apache.spark.sql.Column =
+          df.schema(column).dataType match {
+            case StringType => col(column)
+            case _ => col(column).cast("long").cast(StringType)
+          }
+        // insert/bulk_insert never REMOVE rows: a duplicate-key insert
+        // leaves the old row live, so tombstoning its old value entry
+        // would index-prune a live row away — inserts are ADD-ONLY
+        // (a stale extra entry only costs pruning)
+        val addOnly = operation == "insert" || operation == "bulk_insert"
+        // ONE pre-commit projection of every indexed column, bounded to
+        // the batch keys and persisted across the per-index appends
+        // (N indexes must not cost N snapshot scans)
+        val idxCols = secondaryIndexes.map(_._2).distinct
+        val olds0 =
+          if (addOnly) None
+          else Some(pre.select(col(MetaField.RecordKey).as("__key") +:
+            idxCols.map(c => rendered(pre, c).as(s"__old_$c")): _*)
             .join(keyed.select("__key").distinct(), Seq("__key"), "left_semi")
-          val news =
-            if (operation == "delete")
-              keyed.select("__key").distinct()
-                .withColumn("__new", lit(null).cast(StringType))
-            else keyed.select(col("__key"), rendered(keyed).as("__new"))
-          SecondaryIndexMaintenance.append(spark, basePath, instant, idxPart,
-            news.join(olds, Seq("__key"), "full_outer"))
-        }
+            .persist())
+        try {
+          for ((idxPart, column) <- secondaryIndexes) {
+            val news =
+              if (operation == "delete")
+                keyed.select("__key").distinct()
+                  .withColumn("__new", lit(null).cast(StringType))
+              else keyed.select(col("__key"), rendered(keyed, column).as("__new"))
+            val changes = olds0 match {
+              case None => news.withColumn("__old", lit(null).cast(StringType))
+              case Some(o) => news.join(
+                o.select(col("__key"), col(s"__old_$column").as("__old")),
+                Seq("__key"), "full_outer")
+            }
+            SecondaryIndexMaintenance.append(spark, basePath, instant, idxPart, changes)
+          }
+        } finally olds0.foreach(df => scala.util.Try(df.unpersist()))
       }
       val tableVersion = existing.map(_.config.tableVersion).getOrElse(6)
       writeTimeline(fs, base, instant, operation, files, routed, commitSchema, tableVersion,
         timelineTz, isMor)
+      routed.retained.foreach(df => scala.util.Try(df.unpersist()))
       Seq(instant)
     } finally keyed.unpersist()
   }
@@ -539,7 +559,11 @@ object HudiWriter {
       // record-index maintenance inputs: locations of keys this commit
       // CREATED (fresh routing output) and keys it REMOVED
       newKeys: Option[DataFrame] = None,
-      deletedKeys: Option[DataFrame] = None)
+      deletedKeys: Option[DataFrame] = None,
+      // persisted frames the MAINTENANCE passes still consume — routing
+      // must not unpersist them on return (the probe/join would silently
+      // re-execute per pass); write() releases them after the commit
+      retained: Seq[DataFrame] = Nil)
 
   /** One MOR log file this commit appended: becomes a write-stats entry
     * (numUpdateWrites or numDeletes = rows) alongside the base files.
@@ -589,13 +613,16 @@ object HudiWriter {
     * (key alone: upstream's record-index semantics with
     * `hoodie.record.index.update.partition.path=false`, so a row arriving
     * with a changed partition value updates the record at its CURRENT
-    * location). The index must be FRESH (`mdtAt >= `the latest data
-    * commit) — a stale one would miss recent inserts and duplicate keys —
-    * and hash-aligned; either failure falls back to the snapshot probe,
-    * never a wrong answer. Non-indexed tables probe the snapshot pruned
-    * to (key, partition, file name): non-global, column-pruned, shuffle
-    * bounded by table keys + batch keys. Returns
-    * (locations (__key, __part, __fid), global?).
+    * location). An ADVERTISED index is trusted — the same contract every
+    * writer of an index-advertising table must honor (this one does on
+    * every commit); a structurally unreadable or hash-misaligned index
+    * REFUSES the write loudly rather than falling back: the snapshot
+    * probe has DIFFERENT (non-global) matching semantics, and a silent
+    * downgrade would e.g. make a keys-only global delete match nothing.
+    * Non-indexed tables probe the snapshot pruned to (key, partition,
+    * file name): non-global, column-pruned, shuffle bounded by table
+    * keys + batch keys. Returns (locations (__key, __part, __fid),
+    * global?).
     */
   private def probeLocations(
       spark: SparkSession,
@@ -614,7 +641,12 @@ object HudiWriter {
         indexProbes.incrementAndGet()
         return (entries.toDF().select(col("key").as("__key"),
           col("partitionPath").as("__part"), col("fileId").as("__fid")), true)
-      } catch { case _: IllegalStateException => /* misaligned -> snapshot */ }
+      } catch {
+        case e: IllegalStateException => throw new UnsupportedOperationException(
+          "hudi-graft: the table advertises a record_index this writer cannot probe " +
+            s"(${e.getMessage}) — refusing rather than silently downgrading to the " +
+            "non-global snapshot probe (a keys-only delete would match nothing)", e)
+      }
     }
     snapshotProbes.incrementAndGet()
     (spark.read.format("hudi-graft").load(basePath).select(
@@ -751,7 +783,7 @@ object HudiWriter {
   ): Routed = {
     val (index, global) = probeLocations(spark, basePath, t, keyed)
     val routed = joinLocations(keyed, index, global).persist()
-    try {
+    locally {
       val matched = routed.filter(col("__fid").isNotNull)
       // DISTINCT touched groups: bounded by table file count, never keys
       val perFid = matched.groupBy("__fid").count().collect()
@@ -760,7 +792,7 @@ object HudiWriter {
       val freshPart = routeFresh(routed.filter(col("__fid").isNull).drop("__fid"),
         instant, opts)
       if (touched.isEmpty)
-        return Routed(freshPart, newKeys = Some(freshPart))
+        return Routed(freshPart, newKeys = Some(freshPart), retained = Seq(routed))
 
       // prevCommit per rewritten group = the base instant of the slice
       // being rewritten (the metadata CDC's savepoint guard verifies)
@@ -800,8 +832,8 @@ object HudiWriter {
       }
       Routed(carried.unionByName(updated).unionByName(fresh),
         updateCounts = perFid, prevCommits = prevCommits, cdcFiles = sidecars,
-        newKeys = Some(freshPart))
-    } finally routed.unpersist()
+        newKeys = Some(freshPart), retained = Seq(routed))
+    }
   }
 
   /** Delete routing (upstream's `delete` operation): incoming rows name
@@ -826,13 +858,14 @@ object HudiWriter {
       keyed.select("__key").distinct().join(index, Seq("__key"), "inner")
     else keyed.select("__key", "__part")
       .join(index, Seq("__key", "__part"), "inner")).persist()
-    try {
+    locally {
       val perFid = matched.groupBy("__fid").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val touched = perFid.keySet
       val dataColsAll = snap.columns.filterNot(MetaField.all.contains)
       if (touched.isEmpty)
-        return Routed(LogScanEmpty.staged(spark, snap, dataColsAll))
+        return Routed(LogScanEmpty.staged(spark, snap, dataColsAll),
+          retained = Seq(matched))
       val slices = t.fsView.slicesAsOf(instant).filter(sl => touched.contains(sl.fileId))
       val prevCommits = slices.map(sl => sl.fileId -> sl.commitTimestamp).toMap
       val required = slices.map(sl => sl.fileId -> sl.partitionPath).toMap
@@ -853,8 +886,8 @@ object HudiWriter {
       }
       Routed(survivors, deleteCounts = perFid, prevCommits = prevCommits,
         cdcFiles = sidecars, requiredGroups = required,
-        deletedKeys = Some(matched.select("__key")))
-    } finally matched.unpersist()
+        deletedKeys = Some(matched.select("__key")), retained = Seq(matched))
+    }
   }
 
   /** MOR upsert routing (deltacommit): matched keys append as ONE avro
@@ -880,20 +913,22 @@ object HudiWriter {
   ): Routed = {
     val (index, global) = probeLocations(spark, basePath, t, keyed)
     val routed = joinLocations(keyed, index, global).persist()
-    try {
+    locally {
       val matched = routed.filter(col("__fid").isNotNull)
       val fresh = routeFresh(routed.filter(col("__fid").isNull).drop("__fid"), instant, opts)
       val dataCols = keyed.columns.filterNot(Set("__key", "__part").contains)
       val logs = writeMorLogs(spark, basePath, t, matched, dataCols, instant, deletes = false)
-      if (logs.isEmpty) return Routed(fresh, newKeys = Some(fresh))
+      if (logs.isEmpty)
+        return Routed(fresh, newKeys = Some(fresh), retained = Seq(routed))
       val touched = logs.map(_.fileId).toSet
       val prevCommits = t.fsView.slicesAsOf(instant)
         .filter(sl => touched.contains(sl.fileId))
         .map(sl => sl.fileId -> sl.commitTimestamp).toMap
       Routed(fresh,
         updateCounts = logs.map(l => l.fileId -> l.rows).toMap,
-        prevCommits = prevCommits, logWrites = logs, newKeys = Some(fresh))
-    } finally routed.unpersist()
+        prevCommits = prevCommits, logWrites = logs, newKeys = Some(fresh),
+        retained = Seq(routed))
+    }
   }
 
   /** MOR delete routing (deltacommit): matched keys append as ONE delete
@@ -911,14 +946,14 @@ object HudiWriter {
   ): Routed = {
     val snap = spark.read.format("hudi-graft").load(basePath)
     val (index, global) = probeLocations(spark, basePath, t, keyed)
-    val matched = if (global)
+    val matched = (if (global)
       keyed.select("__key").distinct().join(index, Seq("__key"), "inner")
     else keyed.select("__key", "__part")
-      .join(index, Seq("__key", "__part"), "inner")
+      .join(index, Seq("__key", "__part"), "inner")).persist()
     val dataColsAll = snap.columns.filterNot(MetaField.all.contains)
     val logs = writeMorLogs(spark, basePath, t, matched, dataColsAll, instant, deletes = true)
     val empty = LogScanEmpty.staged(spark, snap, dataColsAll)
-    if (logs.isEmpty) return Routed(empty)
+    if (logs.isEmpty) return Routed(empty, retained = Seq(matched))
     val touched = logs.map(_.fileId).toSet
     val prevCommits = t.fsView.slicesAsOf(instant)
       .filter(sl => touched.contains(sl.fileId))
@@ -926,7 +961,7 @@ object HudiWriter {
     Routed(empty,
       deleteCounts = logs.map(l => l.fileId -> l.rows).toMap,
       prevCommits = prevCommits, logWrites = logs,
-      deletedKeys = Some(matched.select("__key")))
+      deletedKeys = Some(matched.select("__key")), retained = Seq(matched))
   }
 
   /** Distributed MOR log emission: `rows` (carrying __key/__part/__fid)
@@ -963,7 +998,10 @@ object HudiWriter {
         .repartition(col("__fid")).rdd.mapPartitions { it =>
           val byFid = it.toVector.groupBy(_.getString(0))
           byFid.iterator.map { case (fid, rs) =>
-            val (part, nameTs, version) = bcNaming.value(fid)
+            val (part, nameTs, version) = bcNaming.value.getOrElse(fid,
+              throw new IllegalStateException(
+                s"hudi-graft: file group $fid (from the key probe) has no slice as of " +
+                  "this write — the record index points at uncommitted state"))
             val name = s".${fid}_$nameTs.log.${version}_$token"
             val dir = if (part.isEmpty) new Path(basePath) else new Path(basePath, part)
             val fs = dir.getFileSystem(conf.value)
@@ -1015,7 +1053,10 @@ object HudiWriter {
         val avro = graft.log.SparkToAvro.toAvroSchema(target, "graft_mor_record")
         val byFid = it.toVector.groupBy(_.getString(0))
         byFid.iterator.map { case (fid, rs) =>
-          val (part, nameTs, version) = bcNaming.value(fid)
+          val (part, nameTs, version) = bcNaming.value.getOrElse(fid,
+            throw new IllegalStateException(
+              s"hudi-graft: file group $fid (from the key probe) has no slice as of " +
+                "this write — the record index points at uncommitted state"))
           val name = s".${fid}_$nameTs.log.${version}_$token"
           val dir = if (part.isEmpty) new Path(basePath) else new Path(basePath, part)
           val fs = dir.getFileSystem(conf.value)

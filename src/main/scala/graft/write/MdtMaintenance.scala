@@ -179,6 +179,16 @@ object MdtMaintenance {
       if (mdtConfig.tableVersion >= 8) new Path(mdtBase, ".hoodie/timeline")
       else new Path(mdtBase, ".hoodie")
     fs.mkdirs(mdtTimelineDir)
+    // true idempotence incl. v8 (whose completed names embed a fresh
+    // wall-clock completion): a commit maintaining several MDT
+    // partitions completes the instant ONCE — a second call must not
+    // mint a second {instant}_{completion}.deltacommit
+    val already = fs.listStatus(mdtTimelineDir).exists { st =>
+      val n = st.getPath.getName
+      n == s"$instant.deltacommit" ||
+        (n.startsWith(instant + "_") && n.endsWith(".deltacommit"))
+    }
+    if (already) return
     val body = """{"partitionToWriteStats":{},"compacted":false}""".getBytes("UTF-8")
     def touch(name: String, content: Array[Byte] = Array.emptyByteArray): Unit = {
       val o = fs.create(new Path(mdtTimelineDir, name), true)
