@@ -86,13 +86,27 @@ object HudiFixtureBuilder {
     */
   val Buckets = 3
 
+  /** Once the versioned READY marker has been SEEN for an sf dir, skip
+    * the per-call Configuration copy + FileSystem stat: every hudi_*
+    * query invocation calls [[ensure]], so the bench pays this check
+    * 650+ times per run (r15-opt). Fixtures are never unbuilt inside a
+    * process, and the memo records only "marker observed" — metadata,
+    * never query results.
+    */
+  private val readySeen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Build all fixture tables once per sf dir (marker-guarded; the marker
     * is versioned so builder changes invalidate stale fixtures).
     */
-  def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
+  def ensure(spark: SparkSession, sfDir: String): Unit = {
+    if (readySeen.contains(root(sfDir))) return
+    ensureLocked(spark, sfDir)
+  }
+
+  private def ensureLocked(spark: SparkSession, sfDir: String): Unit = synchronized {
     val fs = FileSystem.get(spark.sessionState.newHadoopConf())
     val marker = new Path(root(sfDir), "_GRAFT_FIXTURES_READY_v43")
-    if (fs.exists(marker)) return
+    if (fs.exists(marker)) { readySeen.add(root(sfDir)); return }
     // cross-PROCESS exclusion (synchronized only guards this JVM):
     // create-exclusive a lock file holding a unique token. Losers poll
     // for the winner's marker, then RE-ATTEMPT acquisition (never build

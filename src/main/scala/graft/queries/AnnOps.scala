@@ -370,9 +370,16 @@ object AnnOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  private def sparkIvfMain: String = {
+  /** The list-assignment window (corpus × centroids) as a standalone
+    * statement: `assign` is referenced twice downstream (inverted lists
+    * AND query probes) and Spark inlines deterministic CTEs per
+    * reference — the r15-opt plan audit showed the cross-join + window
+    * executing twice. [[ivfImpl]] materializes the consumed slice once
+    * (rank-1 members plus the query probes — 1/numLists of the full
+    * assignment); the DuckDB oracle keeps the plain CTE.
+    */
+  private def sparkIvfAssignSql: String = {
     val centDot = sparkDot.format("v.q", "c.cq")
-    val pairDot = sparkDot.format("a.q", "b.q")
     s"""WITH cent AS (
        |  SELECT vec_id AS cid, q AS cq, qnorm AS cnorm
        |  FROM ann_qn WHERE vec_id < $ivfNumLists),
@@ -380,10 +387,23 @@ object AnnOps {
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |      ORDER BY CAST($centDot AS DOUBLE) / sqrt(CAST(c.cnorm AS DOUBLE)) DESC, c.cid) AS rk
-       |  FROM ann_qn v CROSS JOIN cent c),
-       |lists AS (SELECT vec_id, cid FROM assign WHERE rk = 1),
+       |  FROM ann_qn v CROSS JOIN cent c)
+       |SELECT vec_id, cid, rk FROM assign
+       |WHERE rk = 1 OR (vec_id < 5 AND rk <= $ivfNProbe)""".stripMargin
+  }
+
+  private def ivfImpl(s: SparkSession, d: String): DataFrame = {
+    sparkPrep(s, d)
+    s.sql(sparkIvfAssignSql).localCheckpoint()
+      .createOrReplaceTempView("graft_ivf_assign")
+    s.sql(sparkIvfMain)
+  }
+
+  private def sparkIvfMain: String = {
+    val pairDot = sparkDot.format("a.q", "b.q")
+    s"""WITH lists AS (SELECT vec_id, cid FROM graft_ivf_assign WHERE rk = 1),
        |probes AS (
-       |  SELECT vec_id AS query_id, cid FROM assign
+       |  SELECT vec_id AS query_id, cid FROM graft_ivf_assign
        |  WHERE vec_id < 5 AND rk <= $ivfNProbe),
        |cand AS (
        |  SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
@@ -737,21 +757,36 @@ object AnnOps {
     * the brute side is per-QUERY linear, the standard OFFLINE eval over
     * a small sampled query set (5 here), never a corpus-wide pass.
     */
-  private def ivfRecallSql(qn: String, dot: String, prefix: String): String = {
+  /** `assignRel = Some(view)` points lists/probes at a pre-materialized
+    * assignment slice (see [[sparkIvfAssignSql]] — Spark re-executes the
+    * corpus×centroids window per CTE reference otherwise); None keeps
+    * the self-contained CTE form the DuckDB oracle runs.
+    */
+  private def ivfRecallSql(
+      qn: String, dot: String, prefix: String, assignRel: Option[String] = None): String = {
     val centDot = dot.format("v.q", "c.cq")
     val pairDot = dot.format("a.q", "b.q")
-    s"""WITH ${prefix}cent AS (
-       |  SELECT vec_id AS cid, q AS cq, qnorm AS cnorm
-       |  FROM $qn WHERE vec_id < $ivfNumLists),
-       |assign AS (
-       |  SELECT v.vec_id, c.cid,
-       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
-       |      ORDER BY CAST($centDot AS DOUBLE) / sqrt(CAST(c.cnorm AS DOUBLE)) DESC, c.cid) AS rk
-       |  FROM $qn v CROSS JOIN cent c),
-       |lists AS (SELECT vec_id, cid FROM assign WHERE rk = 1),
-       |probes AS (
-       |  SELECT vec_id AS query_id, cid FROM assign
-       |  WHERE vec_id < 5 AND rk <= $ivfNProbe),
+    val assignCtes = assignRel match {
+      case Some(rel) =>
+        s"""WITH lists AS (SELECT vec_id, cid FROM $rel WHERE rk = 1),
+           |probes AS (
+           |  SELECT vec_id AS query_id, cid FROM $rel
+           |  WHERE vec_id < 5 AND rk <= $ivfNProbe),""".stripMargin
+      case None =>
+        s"""WITH ${prefix}cent AS (
+           |  SELECT vec_id AS cid, q AS cq, qnorm AS cnorm
+           |  FROM $qn WHERE vec_id < $ivfNumLists),
+           |assign AS (
+           |  SELECT v.vec_id, c.cid,
+           |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |      ORDER BY CAST($centDot AS DOUBLE) / sqrt(CAST(c.cnorm AS DOUBLE)) DESC, c.cid) AS rk
+           |  FROM $qn v CROSS JOIN cent c),
+           |lists AS (SELECT vec_id, cid FROM assign WHERE rk = 1),
+           |probes AS (
+           |  SELECT vec_id AS query_id, cid FROM assign
+           |  WHERE vec_id < 5 AND rk <= $ivfNProbe),""".stripMargin
+    }
+    s"""$assignCtes
        |cand AS (
        |  SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
        |  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.query_id),
@@ -837,7 +872,7 @@ object AnnOps {
     "embed_dedup_lsh" -> QueryDef(runSpark(sparkLshMain) _, duckSql),
     "embed_ann_topk" -> QueryDef(runSpark(sparkAnnMain) _, duckAnnSql),
     "embed_ann_ivf" -> QueryDef(
-      runSpark(sparkIvfMain) _,
+      ivfImpl _,
       ivfSql("list_transform", duckDot)),
     "embed_ann_sq8" -> QueryDef(
       (s, d) => { sq8Prep(s, d); s.sql(sparkSq8Main) },
@@ -846,7 +881,12 @@ object AnnOps {
       (s, d) => { pqPrep(s, d); s.sql(sparkPqMain) },
       Some(duckPqSql)),
     "embed_ann_recall" -> QueryDef(
-      runSpark(ivfRecallSql("ann_qn", sparkDot, "")) _,
+      ((s: SparkSession, d: String) => {
+        sparkPrep(s, d)
+        s.sql(sparkIvfAssignSql).localCheckpoint()
+          .createOrReplaceTempView("graft_ivf_assign")
+        s.sql(ivfRecallSql("ann_qn", sparkDot, "", Some("graft_ivf_assign")))
+      }),
       ivfRecallSql("qn", duckDot, duckQnPrefix)),
     "embed_lsh_recall" -> QueryDef(
       runSpark(sparkLshRecallSql) _,

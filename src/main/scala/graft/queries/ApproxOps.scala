@@ -249,7 +249,15 @@ object ApproxOps {
   // quantize before aggregating).
   private val Bm25Terms = Seq("spark", "join", "fast")
 
-  private def bm25Sql(spark: Boolean): String = {
+  /** `dlRel`/`tfRel` point the dl / tf CTEs at pre-materialized views:
+    * both are referenced twice downstream and Spark inlines deterministic
+    * CTEs per reference, so the single-statement form tokenizes the
+    * corpus twice and length-scans it twice (r15-opt plan audit).
+    * [[bm25Impl]] materializes each once per invocation; the DuckDB
+    * oracle keeps the self-contained form (None).
+    */
+  private def bm25Sql(
+      spark: Boolean, dlRel: Option[String] = None, tfRel: Option[String] = None): String = {
     val explodeToks =
       if (spark) "SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents"
       else "SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents"
@@ -259,14 +267,19 @@ object ApproxOps {
     val rn =
       if (spark) "ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)"
       else "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)"
-    s"""WITH dl AS (SELECT doc_id, $dlExpr AS dl FROM documents),
+    val dlCte = dlRel.map(r => s"dl AS (SELECT doc_id, dl FROM $r)")
+      .getOrElse(s"dl AS (SELECT doc_id, $dlExpr AS dl FROM documents)")
+    val tfCte = tfRel.map(r => s"tf AS (SELECT doc_id, term, tf FROM $r)")
+      .getOrElse(
+        s"""tf AS (
+           |  SELECT doc_id, tok AS term, COUNT(1) AS tf
+           |  FROM ($explodeToks) o
+           |  JOIN terms t ON o.tok = t.term
+           |  GROUP BY doc_id, tok)""".stripMargin)
+    s"""WITH $dlCte,
        |stats AS (SELECT COUNT(1) AS n_docs, ${big(spark, "SUM(dl)")} AS tot FROM dl),
        |terms AS ($terms),
-       |tf AS (
-       |  SELECT doc_id, tok AS term, COUNT(1) AS tf
-       |  FROM ($explodeToks) o
-       |  JOIN terms t ON o.tok = t.term
-       |  GROUP BY doc_id, tok),
+       |$tfCte,
        |df AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
        |scored AS (
        |  SELECT tf.doc_id,
@@ -305,7 +318,20 @@ object ApproxOps {
       (s, d) => sq(s, d, Seq("lineitem"))(sampledPctSql(spark = true)),
       sampledPctSql(spark = false)),
     "text_bm25_topk" -> QueryDef(
-      (s, d) => sq(s, d, Seq("documents"))(bm25Sql(spark = true)),
+      ((s: SparkSession, d: String) => {
+        Tables.ensureView(s, d, "documents")(Tables.load(s, d, "documents"))
+        s.sql("SELECT doc_id, size(split(text, ' ')) AS dl FROM documents")
+          .localCheckpoint().createOrReplaceTempView("graft_bm25_dl")
+        val terms = Bm25Terms.map(t => s"SELECT '$t' AS term").mkString(" UNION ALL ")
+        s.sql(
+          s"""SELECT doc_id, tok AS term, COUNT(1) AS tf
+             |FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents) o
+             |JOIN ($terms) t ON o.tok = t.term
+             |GROUP BY doc_id, tok""".stripMargin)
+          .localCheckpoint().createOrReplaceTempView("graft_bm25_tf")
+        s.sql(bm25Sql(spark = true,
+          dlRel = Some("graft_bm25_dl"), tfRel = Some("graft_bm25_tf")))
+      }),
       bm25Sql(spark = false)),
   )
 }

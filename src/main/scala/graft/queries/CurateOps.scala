@@ -473,20 +473,81 @@ object CurateOps {
     */
   private val dsirBuckets = 4096
   private val dsirTarget = "src0"
+
+  /** The Spark-side hashed-feature stream as a standalone SELECT: Spark
+    * INLINES deterministic CTEs at every reference site, and `feats` is
+    * referenced three times downstream (raw model, target model, per-doc
+    * scoring join) — as a CTE the tokenize+explode+hash pass over the
+    * corpus executed THREE times (plan audit r15-opt: six parquet scans
+    * of `documents`, each under its own Generate). [[dsirImpl]]
+    * materializes this ONCE per invocation instead; the DuckDB oracle
+    * keeps the plain CTE (guide §2.4: don't recompute what you can keep).
+    */
+  private def dsirFeatsSparkSql: String = {
+    val bucket = CrossEngine.hexDigest(spark = true, "tok", width = 3, castTo = "INT")
+    s"""SELECT doc_id, source, $bucket AS bucket FROM (
+       |  SELECT doc_id, source, explode(a) AS tok
+       |  FROM (SELECT doc_id, source, split(text, ' ') AS a FROM documents)
+       |  UNION ALL
+       |  SELECT doc_id, source,
+       |    explode(transform(sequence(1, size(a) - 1),
+       |      i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))) AS tok
+       |  FROM (SELECT doc_id, source, split(text, ' ') AS a FROM documents)
+       |  WHERE size(a) >= 2)""".stripMargin
+  }
+
+  /** Everything downstream of the feature stream, parameterised on the
+    * relation name so the Spark side can point it at the materialized
+    * view while the oracle keeps the CTE — the text is otherwise
+    * IDENTICAL in both engines (bit-exact hash contract).
+    */
+  private def dsirRestSql(featsRel: String, spark: Boolean): String = {
+    val nFeats = if (spark) "COUNT(1)" else "CAST(COUNT(1) AS BIGINT)"
+    s"""raw AS (SELECT bucket, COUNT(1) AS c FROM $featsRel GROUP BY bucket),
+       |tgt AS (SELECT bucket, COUNT(1) AS c FROM $featsRel
+       |        WHERE source = '$dsirTarget' GROUP BY bucket),
+       |tot AS (SELECT CAST((SELECT SUM(c) FROM raw) AS DOUBLE) AS nr,
+       |               CAST((SELECT SUM(c) FROM tgt) AS DOUBLE) AS nt),
+       |ratio AS (
+       |  SELECT r.bucket,
+       |    CAST(round(ln((CAST(COALESCE(t.c, 0) AS DOUBLE) + 1.0) / (tot.nt + $dsirBuckets.0))
+       |             - ln((CAST(r.c AS DOUBLE) + 1.0) / (tot.nr + $dsirBuckets.0)), 12)
+       |         AS DECIMAL(28, 12)) AS logr
+       |  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket CROSS JOIN tot),
+       |w AS (
+       |  SELECT f.doc_id, $nFeats AS n_feats, SUM(rt.logr) AS logw
+       |  FROM $featsRel f JOIN ratio rt ON rt.bucket = f.bucket
+       |  GROUP BY f.doc_id),
+       |thr AS (SELECT CAST(SUM(logw) AS DOUBLE) / COUNT(1) AS t FROM w)
+       |SELECT d.doc_id,
+       |  COALESCE(w.n_feats, CAST(0 AS BIGINT)) AS n_feats,
+       |  COALESCE(CAST(w.logw AS DOUBLE), 0.0) AS log_weight,
+       |  COALESCE(CAST(w.logw AS DOUBLE), 0.0) > thr.t AS selected
+       |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id CROSS JOIN thr
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Spark impl: materialize the hashed-feature stream once
+    * (localCheckpoint — eager, per-invocation, nothing survives the
+    * query, so every bench pass still computes from the parquet inputs),
+    * then run the unchanged scoring SQL over the narrow (doc_id, source,
+    * bucket) relation. Plan effect: 6 documents scans + 6 Generates →
+    * 2 scans + 2 Generates (one feats pass; the final LEFT JOIN re-reads
+    * documents without exploding it).
+    */
+  private def dsirImpl(s: SparkSession, d: String): DataFrame = {
+    prep(s, d)
+    val feats = s.sql(dsirFeatsSparkSql).localCheckpoint()
+    feats.createOrReplaceTempView("graft_dsir_feats")
+    s.sql(s"WITH ${dsirRestSql("graft_dsir_feats", spark = true)}")
+  }
+
   private def dsirSql(spark: Boolean): String = {
     val bucket = CrossEngine.hexDigest(spark, "tok", width = 3, castTo = "INT")
     val feats =
       if (spark)
         s"""feats AS (
-           |  SELECT doc_id, source, $bucket AS bucket FROM (
-           |    SELECT doc_id, source, explode(a) AS tok
-           |    FROM (SELECT doc_id, source, split(text, ' ') AS a FROM documents)
-           |    UNION ALL
-           |    SELECT doc_id, source,
-           |      explode(transform(sequence(1, size(a) - 1),
-           |        i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))) AS tok
-           |    FROM (SELECT doc_id, source, split(text, ' ') AS a FROM documents)
-           |    WHERE size(a) >= 2))""".stripMargin
+           |${dsirFeatsSparkSql.linesIterator.map("  " + _).mkString("\n")})""".stripMargin
       else
         s"""toks AS (
            |  SELECT doc_id, source, UNNEST(range(1, len(a) + 1)) AS pos, UNNEST(a) AS tok
@@ -500,30 +561,7 @@ object CurateOps {
            |    SELECT doc_id, source, tok FROM toks
            |    UNION ALL
            |    SELECT doc_id, source, tok FROM big WHERE tok IS NOT NULL))""".stripMargin
-    val nFeats = if (spark) "COUNT(1)" else "CAST(COUNT(1) AS BIGINT)"
-    s"""WITH $feats,
-       |raw AS (SELECT bucket, COUNT(1) AS c FROM feats GROUP BY bucket),
-       |tgt AS (SELECT bucket, COUNT(1) AS c FROM feats
-       |        WHERE source = '$dsirTarget' GROUP BY bucket),
-       |tot AS (SELECT CAST((SELECT SUM(c) FROM raw) AS DOUBLE) AS nr,
-       |               CAST((SELECT SUM(c) FROM tgt) AS DOUBLE) AS nt),
-       |ratio AS (
-       |  SELECT r.bucket,
-       |    CAST(round(ln((CAST(COALESCE(t.c, 0) AS DOUBLE) + 1.0) / (tot.nt + $dsirBuckets.0))
-       |             - ln((CAST(r.c AS DOUBLE) + 1.0) / (tot.nr + $dsirBuckets.0)), 12)
-       |         AS DECIMAL(28, 12)) AS logr
-       |  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket CROSS JOIN tot),
-       |w AS (
-       |  SELECT f.doc_id, $nFeats AS n_feats, SUM(rt.logr) AS logw
-       |  FROM feats f JOIN ratio rt ON rt.bucket = f.bucket
-       |  GROUP BY f.doc_id),
-       |thr AS (SELECT CAST(SUM(logw) AS DOUBLE) / COUNT(1) AS t FROM w)
-       |SELECT d.doc_id,
-       |  COALESCE(w.n_feats, CAST(0 AS BIGINT)) AS n_feats,
-       |  COALESCE(CAST(w.logw AS DOUBLE), 0.0) AS log_weight,
-       |  COALESCE(CAST(w.logw AS DOUBLE), 0.0) > thr.t AS selected
-       |FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id CROSS JOIN thr
-       |ORDER BY d.doc_id""".stripMargin
+    s"WITH $feats,\n" + dsirRestSql("feats", spark)
   }
 
   /** BPE tokenizer training — the Sennrich et al. 2016 merge-learning
@@ -902,7 +940,7 @@ object CurateOps {
       (s, d) => sq(s, d, vocabOverlapSql(spark = true)),
       Some(vocabOverlapSql(spark = false))),
     "text_dsir_select" -> QueryDef(
-      (s, d) => sq(s, d, dsirSql(spark = true)),
+      dsirImpl _,
       Some(dsirSql(spark = false))),
     "text_bpe_train" -> QueryDef(
       bpeTrainImpl _,

@@ -324,13 +324,27 @@ object EmbedOps {
     prep(s, d); s.sql(sql)
   }
 
+  /** Self-join entries hand `sqlOf` a SELECT over the MATERIALIZED
+    * quantized relation instead of the raw quantize expression: Spark
+    * inlines deterministic CTEs per reference, so `WITH qe AS
+    * (quantize...)` re-scans and re-quantizes the corpus once per join
+    * side (r15-opt plan audit). One localCheckpoint per invocation —
+    * nothing survives the query; the quantized vectors are exactly what
+    * a production vector index materializes anyway.
+    */
+  private def sqQe(s: SparkSession, d: String)(sqlOf: String => String): DataFrame = {
+    prep(s, d)
+    s.sql(sparkQ).localCheckpoint().createOrReplaceTempView("graft_embed_qe")
+    s.sql(sqlOf("SELECT vec_id, label, q FROM graft_embed_qe"))
+  }
+
   private val qs: Map[String, QueryDef] = Map(
     "embed_norms" -> QueryDef(
       (s, d) => sq(s, d, normsSql(sparkQ, sparkDot, "size")),
       normsSql(duckQ, duckDot, "len")
     ),
     "embed_knn_brute" -> QueryDef(
-      (s, d) => sq(s, d, knnSql(sparkQ, sparkDot)),
+      (s, d) => sqQe(s, d)(q => knnSql(q, sparkDot)),
       knnSql(duckQ, duckDot)
     ),
     // MIPS — retrieval's OTHER metric (DPR-style dense retrieval ranks by
@@ -342,15 +356,15 @@ object EmbedOps {
     // sqrt(M² − |x|²) as an extra dim, turning MIPS into cosine ANN so
     // the IVF/LSH paths apply unchanged.
     "embed_ann_mips" -> QueryDef(
-      (s, d) => sq(s, d, mipsSql(sparkQ, sparkDot)),
+      (s, d) => sqQe(s, d)(q => mipsSql(q, sparkDot)),
       mipsSql(duckQ, duckDot)
     ),
     "embed_dedup_cosine" -> QueryDef(
-      (s, d) => sq(s, d, nearDupSql(sparkQ, sparkDot)),
+      (s, d) => sqQe(s, d)(q => nearDupSql(q, sparkDot)),
       nearDupSql(duckQ, duckDot)
     ),
     "embed_label_outliers" -> QueryDef(
-      (s, d) => sq(s, d, outlierSql(sparkQ, sparkDot, spark = true)),
+      (s, d) => sqQe(s, d)(q => outlierSql(q, sparkDot, spark = true)),
       outlierSql(duckQ, duckDot, spark = false)
     ),
     "embed_rand_proj" -> QueryDef(

@@ -206,6 +206,40 @@ object PipelineOps {
   // partitions by doc_id —
   // corpus-many partitions, no funnel. Rational idf (N+1)/(df+1) keeps
   // the score inside IEEE-correctly-rounded ops (see object scaladoc).
+  /** The per-(doc, term) count relation as standalone SQL: `tf` is
+    * referenced twice downstream (the scoring join AND the df derivation)
+    * and Spark inlines deterministic CTEs at every reference — the
+    * r15-opt plan audit showed the tokenize+explode+aggregate pass over
+    * `documents` executing twice. [[tfidfImpl]] materializes it once per
+    * invocation; the DuckDB oracle keeps the plain CTE text.
+    */
+  private def tfSparkSql(explodeExpr: String): String =
+    s"""SELECT doc_id, term, COUNT(1) AS tf
+       |FROM (SELECT doc_id, $explodeExpr AS term FROM documents)
+       |GROUP BY doc_id, term""".stripMargin
+
+  private def tfidfRestSql(tfRel: String): String =
+    s"""WITH df AS (SELECT term, COUNT(1) AS df FROM $tfRel GROUP BY term),
+       |n AS (SELECT COUNT(1) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS tfidf
+       |  FROM $tfRel tf JOIN df ON tf.term = df.term CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, df, tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, term, tf, df, tfidf
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
+  private def tfidfImpl(s: SparkSession, d: String): DataFrame = {
+    Tables.ensureView(s, d, "documents")(Tables.documents(s, d))
+    val tf = s.sql(tfSparkSql("explode(split(text, ' '))")).localCheckpoint()
+    tf.createOrReplaceTempView("graft_tfidf_tf")
+    s.sql(tfidfRestSql("graft_tfidf_tf"))
+  }
+
   private def tfidfSql(explodeExpr: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, $explodeExpr AS term FROM documents),
@@ -514,7 +548,7 @@ object PipelineOps {
     "sample_stratified" -> QueryDef(
       (s, d) => sq(s, d, stratifiedSql(spark = true)), stratifiedSql(spark = false)),
     "text_tfidf" -> QueryDef(
-      (s, d) => sq(s, d, tfidfSql("explode(split(text, ' '))")),
+      tfidfImpl _,
       tfidfSql("UNNEST(string_split(text, ' '))"))
   )
 

@@ -509,10 +509,14 @@ object Relational {
     // relation is type-count-sized and broadcast back onto it.
     "events_anomaly" -> QueryDef(
       (s, d) => {
+        // `hourly` feeds both the stats aggregate and the flag join;
+        // materialized once (it is (type × hour)-sized) so the corpus
+        // rollup pass doesn't execute twice (r15-opt plan audit)
         val hourly = events(s, d)
           .groupBy(col("event_type"),
             date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
           .agg(count(lit(1)).as("x"))
+          .localCheckpoint()
         val stats = hourly.groupBy("event_type")
           .agg(count(lit(1)).as("n_hours"), sum("x").as("sx"),
             sum(col("x") * col("x")).as("sq"))

@@ -287,6 +287,14 @@ object TemporalOps {
   private def attributionFirstImpl(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d).createOrReplaceTempView("events_af")
     val bucketUs = 86400000000L // 1 day
+    // `purchases` feeds both the bucket explosion and the final LEFT join
+    // re-attach; inlined, Spark scans+filters the events corpus twice
+    // (r15-opt plan audit). Materialized once — it is the filtered small
+    // side at any scale.
+    s.sql(
+      """SELECT user_id, event_id AS purchase_id, unix_micros(ts) AS p_us
+        |FROM events_af WHERE event_type = 'purchase'""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("graft_af_purchases")
     val df = s.sql(
       s"""WITH touches AS (
          |  SELECT user_id, event_id, event_type, unix_micros(ts) AS t_us FROM (
@@ -294,8 +302,7 @@ object TemporalOps {
          |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
          |    FROM events_af WHERE event_type IN ('click', 'view')) WHERE rn = 1),
          |purchases AS (
-         |  SELECT user_id, event_id AS purchase_id, unix_micros(ts) AS p_us
-         |  FROM events_af WHERE event_type = 'purchase'),
+         |  SELECT user_id, purchase_id, p_us FROM graft_af_purchases),
          |pb AS (
          |  SELECT user_id, purchase_id, p_us, bucket
          |  FROM purchases
@@ -425,8 +432,13 @@ object TemporalOps {
   private def resampleImpl(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).select(col("user_id"),
       expr("unix_micros(ts) DIV 86400000000").as("d"), col("value"), col("event_id"))
+    // `agg` feeds both the span derivation and the grid LEFT join; without
+    // materialization the per-(user, day) aggregate pass over the corpus
+    // runs twice (r15-opt plan audit). The relation is already reduced to
+    // user-days — the cheap side at any scale.
     val agg = e.groupBy("user_id", "d")
       .agg(count(lit(1)).as("n0"), expr("max_by(value, event_id)").as("lv"))
+      .localCheckpoint()
     val span = agg.groupBy("user_id").agg(min("d").as("mn"), max("d").as("mx"))
     val grid = span.select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("d"))
     val full0 = grid.join(agg, Seq("user_id", "d"), "left")
@@ -543,7 +555,21 @@ object TemporalOps {
 
   private def dauWauImpl(s: SparkSession, d: String): DataFrame = {
     Tables.ensureView(s, d, "events")(Tables.events(s, d))
-    s.sql(dauWauSql(sparkDay))
+    // `ud` feeds both the DAU aggregate and the 7-day expansion; inlined,
+    // Spark runs the corpus-wide DISTINCT twice (r15-opt plan audit).
+    // Materialized it is the already-reduced (user, day) relation — the
+    // cheap side at any scale.
+    val ud = s.sql(s"SELECT DISTINCT $sparkDay AS d, user_id FROM events").localCheckpoint()
+    ud.createOrReplaceTempView("graft_dauwau_ud")
+    s.sql(
+      """WITH off AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(o)),
+        |wa AS (SELECT DISTINCT ud.d + off.o AS wd, ud.user_id
+        |       FROM graft_dauwau_ud ud CROSS JOIN off),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM graft_dauwau_ud GROUP BY d),
+        |wau AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS wau FROM wa GROUP BY wd)
+        |SELECT dau.d AS day, dau.dau, wau.wau
+        |FROM dau JOIN wau ON wau.wd = dau.d
+        |ORDER BY day""".stripMargin)
   }
 
   /** Event-type transition matrix over per-user ordered streams — the
@@ -556,11 +582,16 @@ object TemporalOps {
     */
   private def transitionsImpl(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // `trans` feeds BOTH the join's left side and the row totals; without
+    // materialization Spark re-executes the corpus window pass for each
+    // (r15-opt plan audit: two Scan+Window+agg subtrees). The relation is
+    // (#types)² rows — materializing it is free at any scale.
     val trans = Tables.events(s, d)
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val tot = trans.groupBy("prev_type").agg(sum("n").as("row_total"))
     trans.join(broadcast(tot), "prev_type")
       .select(col("prev_type"), col("next_type"), col("n"), col("row_total"),

@@ -706,25 +706,42 @@ object TextOps {
     */
   private[queries] def distributedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    // pre-partitioned by the probe key ONCE: localCheckpoint preserves the
+    // physical partitioning, so every round's propagation join reuses this
+    // layout and only the (doc, lbl) labels — never the edge list, the big
+    // side at 100 TB — cross an exchange again
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("doc", "nbr").localCheckpoint()
+      .toDF("doc", "nbr").repartition(col("nbr")).localCheckpoint()
     var gen = edges.select(col("doc")).distinct()
       .withColumn("lbl", col("doc")).localCheckpoint()
     var labels: DataFrame = gen
+    val lblType = gen.schema("lbl").dataType
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
       val nbrLbl = edges
         .join(labels.select(col("doc").as("nbr"), col("lbl").as("cand")), "nbr")
-        .select(col("doc"), col("cand"))
-      val propagated = labels.select(col("doc"), col("lbl").as("cand")).union(nbrLbl)
-        .groupBy("doc").agg(min("cand").as("lbl"))
+        .select(col("doc"), col("cand"), lit(null).cast(lblType).as("old"))
+      // each doc's PREVIOUS label rides through the aggregate on its own
+      // labels row (exactly one per doc, so max() ignores the nbr rows'
+      // nulls) — the post-jump re-join with the old generation disappears
+      val propagated = labels
+        .select(col("doc"), col("lbl").as("cand"), col("lbl").as("old"))
+        .union(nbrLbl)
+        .groupBy("doc").agg(min("cand").as("lbl"), max("old").as("old"))
+      // pointer jump; the probe side keys on `doc` (aliased to lbl), which
+      // the groupBy above already hash-partitioned — only the build side
+      // re-shuffles, so a round is 3 exchanges where it was 7
       def jump(df: DataFrame): DataFrame = df
         .join(df.select(col("doc").as("lbl"), col("lbl").as("parent_lbl")),
           Seq("lbl"), "left")
-        .select(col("doc"), least(col("lbl"), coalesce(col("parent_lbl"), col("lbl"))).as("lbl"))
-      val next = jump(propagated)
-        .join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .select(col("doc"),
+          least(col("lbl"), coalesce(col("parent_lbl"), col("lbl"))).as("lbl"), col("old"))
+      // jump TWICE per round (path doubling): halves the round count for
+      // deep label chains — at 100 TB every avoided round is one fewer
+      // full shuffle of the label set, and the second jump reuses the
+      // first's (doc-keyed) partitioning for its probe side
+      val next = jump(jump(propagated))
         .select(col("doc"), col("lbl"), (col("lbl") < col("old")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()

@@ -174,15 +174,25 @@ object AggMaintenance {
       valueCol: String
   ): DataFrame = {
     val keys = t.config.recordKeyFields
-    val startSnap = t.snapshot(asOf = Some(start))
-    val prior = startSnap
+    // ONE merge-on-read pass over the start snapshot serves BOTH consumers
+    // (the prior aggregate and the pre-image join side): the narrow
+    // (keys, group, value) projection is materialized eagerly per
+    // invocation — without it Spark re-executes the full MOR merge scan
+    // for each consumer (r15-opt plan audit: two identical BatchScans).
+    // The materialized bytes are the projection, not the table; at scale
+    // one log-merge pass + a narrow spill beats two log-merge passes.
+    val startProj = t.snapshot(asOf = Some(start))
+      .select(keys.map(col) :+ col(groupCol) :+ dec(valueCol).as("__sv"): _*)
+      .localCheckpoint()
+    val prior = startProj
       .groupBy(groupCol)
-      .agg(count(lit(1)).as("n"), sum(dec(valueCol)).as("s"))
-    // one pass over the start snapshot serves classification AND the
-    // pre-image values: left join the batch to (key, pre-group, pre-value)
+      .agg(count(lit(1)).as("n"), sum(col("__sv")).as("s"))
+    val pre = startProj.select(
+      keys.map(col) :+ col(groupCol).as("__pre_g") :+ col("__sv").as("__pre_v")
+        :+ lit(1).as("__existed"): _*) // marker, NOT the pre columns: both can be real NULLs
     val joined = t.incremental(Some(start), Some(end))
       .select(keys.map(col) :+ col(groupCol) :+ dec(valueCol).as("__v"): _*)
-      .join(preProjection(startSnap, keys, groupCol, valueCol), keys, "left")
+      .join(pre, keys, "left")
     foldDeltas(prior, joined, groupCol)
   }
 
