@@ -396,7 +396,9 @@ object AnnOps {
     sparkPrep(s, d)
     s.sql(sparkIvfAssignSql).localCheckpoint()
       .createOrReplaceTempView("graft_ivf_assign")
-    s.sql(sparkIvfMain)
+    val out = s.sql(sparkIvfMain)
+    s.catalog.dropTempView("graft_ivf_assign") // un-pin (see CurateOps.dsirImpl)
+    out
   }
 
   private def sparkIvfMain: String = {
@@ -885,7 +887,9 @@ object AnnOps {
         sparkPrep(s, d)
         s.sql(sparkIvfAssignSql).localCheckpoint()
           .createOrReplaceTempView("graft_ivf_assign")
-        s.sql(ivfRecallSql("ann_qn", sparkDot, "", Some("graft_ivf_assign")))
+        val out = s.sql(ivfRecallSql("ann_qn", sparkDot, "", Some("graft_ivf_assign")))
+        s.catalog.dropTempView("graft_ivf_assign") // un-pin (see CurateOps.dsirImpl)
+        out
       }),
       ivfRecallSql("qn", duckDot, duckQnPrefix)),
     "embed_lsh_recall" -> QueryDef(

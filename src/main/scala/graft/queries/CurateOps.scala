@@ -189,6 +189,47 @@ object CurateOps {
     * bit_xor of per-doc md5 prefixes — O(1) aggregate state, fully
     * map-side-combinable, order-independent.
     */
+  /** Spark impl: the `kept` relation feeds BOTH the exact-dup keeper
+    * selection and the post-dedup join; inlined, the dup-injected corpus
+    * union + length filters run twice (r15-opt plan audit). One pass
+    * materializes (doc_id, n_chars, n_tokens, md5(text)) — the text
+    * itself never materializes, only its digest, which is also the right
+    * 100 TB shape for an exact-dedup stage. Downstream SQL is the
+    * unchanged split/rollup text; the DuckDB oracle keeps the full CTE.
+    */
+  private def trainPrepImpl(s: SparkSession, d: String): DataFrame = {
+    prep(s, d)
+    s.sql(
+      s"""WITH corpus AS ($corpusSql),
+         |feat AS (
+         |  SELECT doc_id, text, n_chars, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM corpus)
+         |SELECT doc_id, n_chars, n_tokens, md5(text) AS h
+         |FROM feat
+         |WHERE n_tokens >= 40 AND n_chars >= 200 AND n_chars <= 2000""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("graft_trainprep_kept")
+    val digest =
+      s"bit_xor(${CrossEngine.hash60(spark = true, s"CAST(doc_id AS ${CrossEngine.strType(spark = true)})")})"
+    val out = s.sql(
+      s"""WITH keepers AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM graft_trainprep_kept GROUP BY h),
+         |deduped AS (
+         |  SELECT f.doc_id, f.n_chars, f.n_tokens
+         |  FROM graft_trainprep_kept f JOIN keepers k ON f.doc_id = k.doc_id),
+         |splits AS (
+         |  SELECT *,
+         |    CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'c' THEN 'train'
+         |         WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'e' THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM deduped)
+         |SELECT split, COUNT(1) AS n_docs,
+         |  SUM(n_tokens) AS n_tokens, SUM(n_chars) AS n_chars,
+         |  CAST($digest AS BIGINT) AS members_digest
+         |FROM splits GROUP BY split ORDER BY split""".stripMargin)
+    s.catalog.dropTempView("graft_trainprep_kept") // un-pin (see dsirImpl)
+    out
+  }
+
   private def trainPrepSql(spark: Boolean): String = {
     val castStr = if (spark) "STRING" else "VARCHAR"
     val nTokens =
@@ -539,7 +580,16 @@ object CurateOps {
     prep(s, d)
     val feats = s.sql(dsirFeatsSparkSql).localCheckpoint()
     feats.createOrReplaceTempView("graft_dsir_feats")
-    s.sql(s"WITH ${dsirRestSql("graft_dsir_feats", spark = true)}")
+    // spark.sql analyzes eagerly (the view's plan is embedded in the
+    // result), so dropping the view immediately un-pins the checkpoint
+    // blocks from the catalog — without this every materializing entry
+    // leaves its LAST invocation's blocks pinned for the whole session,
+    // and the accumulated block-manager pressure measurably degrades
+    // later memory-hungry queries (r15-opt: hudi_cdc_agg_maintenance
+    // read 10s in a contaminated session vs 3.2s in a fresh one)
+    val out = s.sql(s"WITH ${dsirRestSql("graft_dsir_feats", spark = true)}")
+    s.catalog.dropTempView("graft_dsir_feats")
+    out
   }
 
   private def dsirSql(spark: Boolean): String = {
@@ -922,7 +972,7 @@ object CurateOps {
         "spark.graft.text.benchBloomMaxItems" -> "0")(decontamImpl(s, d)),
       Some(decontamSql(spark = false, hint = ""))),
     "pipeline_train_prep" -> QueryDef(
-      (s, d) => sq(s, d, trainPrepSql(spark = true)),
+      trainPrepImpl _,
       Some(trainPrepSql(spark = false))),
     "text_heavy_hitters" -> QueryDef(
       (s, d) => sq(s, d, heavyHittersSql(spark = true)),

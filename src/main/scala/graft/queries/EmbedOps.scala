@@ -335,7 +335,9 @@ object EmbedOps {
   private def sqQe(s: SparkSession, d: String)(sqlOf: String => String): DataFrame = {
     prep(s, d)
     s.sql(sparkQ).localCheckpoint().createOrReplaceTempView("graft_embed_qe")
-    s.sql(sqlOf("SELECT vec_id, label, q FROM graft_embed_qe"))
+    val out = s.sql(sqlOf("SELECT vec_id, label, q FROM graft_embed_qe"))
+    s.catalog.dropTempView("graft_embed_qe") // un-pin (see CurateOps.dsirImpl)
+    out
   }
 
   private val qs: Map[String, QueryDef] = Map(

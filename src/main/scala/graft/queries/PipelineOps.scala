@@ -237,7 +237,9 @@ object PipelineOps {
     Tables.ensureView(s, d, "documents")(Tables.documents(s, d))
     val tf = s.sql(tfSparkSql("explode(split(text, ' '))")).localCheckpoint()
     tf.createOrReplaceTempView("graft_tfidf_tf")
-    s.sql(tfidfRestSql("graft_tfidf_tf"))
+    val out = s.sql(tfidfRestSql("graft_tfidf_tf"))
+    s.catalog.dropTempView("graft_tfidf_tf") // un-pin (see CurateOps.dsirImpl)
+    out
   }
 
   private def tfidfSql(explodeExpr: String): String =

@@ -326,6 +326,7 @@ object TemporalOps {
          |LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
          |  ON p.purchase_id = m.purchase_id
          |ORDER BY p.purchase_id""".stripMargin)
+    s.catalog.dropTempView("graft_af_purchases") // un-pin (see CurateOps.dsirImpl)
     val plan = df.queryExecution.executedPlan.toString
     require(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"first-touch attribution must plan as an equi-join, got:\n$plan")
@@ -561,7 +562,7 @@ object TemporalOps {
     // cheap side at any scale.
     val ud = s.sql(s"SELECT DISTINCT $sparkDay AS d, user_id FROM events").localCheckpoint()
     ud.createOrReplaceTempView("graft_dauwau_ud")
-    s.sql(
+    val out = s.sql(
       """WITH off AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(o)),
         |wa AS (SELECT DISTINCT ud.d + off.o AS wd, ud.user_id
         |       FROM graft_dauwau_ud ud CROSS JOIN off),
@@ -570,6 +571,8 @@ object TemporalOps {
         |SELECT dau.d AS day, dau.dau, wau.wau
         |FROM dau JOIN wau ON wau.wd = dau.d
         |ORDER BY day""".stripMargin)
+    s.catalog.dropTempView("graft_dauwau_ud") // un-pin (see CurateOps.dsirImpl)
+    out
   }
 
   /** Event-type transition matrix over per-user ordered streams — the

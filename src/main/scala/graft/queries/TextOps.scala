@@ -949,24 +949,36 @@ object TextOps {
     // broadcast of a corpus-sized dictionary. Short docs (< 13 tokens)
     // keep a row with 0 grams and NULL fraction via the LEFT join.
     "dedup_substring" -> QueryDef(
-      (s, d) => sq(s, d,
-        s"""WITH corpus AS ($corpusSql),
-           |toks AS (SELECT doc_id, split(text, ' ') AS a FROM corpus),
-           |grams AS (
-           |  SELECT doc_id, explode(CASE WHEN size(a) >= 13
-           |    THEN transform(sequence(1, size(a) - 12), i -> concat_ws(' ', slice(a, i, 13)))
-           |    ELSE array() END) AS gram
-           |  FROM toks),
-           |gc AS (SELECT gram, COUNT(1) AS n FROM grams GROUP BY gram),
-           |per AS (
-           |  SELECT g.doc_id, COUNT(1) AS n_grams,
-           |         SUM(CASE WHEN gc.n > 1 THEN 1 ELSE 0 END) AS n_dup
-           |  FROM grams g JOIN gc ON g.gram = gc.gram GROUP BY g.doc_id)
-           |SELECT t.doc_id, COALESCE(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
-           |  COALESCE(p.n_dup, CAST(0 AS BIGINT)) AS n_dup_grams,
-           |  CAST(p.n_dup AS DOUBLE) / p.n_grams AS dup_fraction
-           |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
-           |ORDER BY t.doc_id""".stripMargin),
+      (s, d) => {
+        prep(s, d)
+        // the 13-gram explode feeds BOTH the gram-count dictionary and the
+        // per-doc dup rollup; materialized once per invocation (Spark
+        // would inline the CTE and run the corpus explode twice)
+        s.sql(
+          s"""WITH corpus AS ($corpusSql),
+             |toks AS (SELECT doc_id, split(text, ' ') AS a FROM corpus)
+             |SELECT doc_id, explode(CASE WHEN size(a) >= 13
+             |  THEN transform(sequence(1, size(a) - 12), i -> concat_ws(' ', slice(a, i, 13)))
+             |  ELSE array() END) AS gram
+             |FROM toks""".stripMargin)
+          .localCheckpoint().createOrReplaceTempView("graft_substr_grams")
+        val out = s.sql(
+          s"""WITH corpus AS ($corpusSql),
+             |toks AS (SELECT doc_id, split(text, ' ') AS a FROM corpus),
+             |grams AS (SELECT doc_id, gram FROM graft_substr_grams),
+             |gc AS (SELECT gram, COUNT(1) AS n FROM grams GROUP BY gram),
+             |per AS (
+             |  SELECT g.doc_id, COUNT(1) AS n_grams,
+             |         SUM(CASE WHEN gc.n > 1 THEN 1 ELSE 0 END) AS n_dup
+             |  FROM grams g JOIN gc ON g.gram = gc.gram GROUP BY g.doc_id)
+             |SELECT t.doc_id, COALESCE(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+             |  COALESCE(p.n_dup, CAST(0 AS BIGINT)) AS n_dup_grams,
+             |  CAST(p.n_dup AS DOUBLE) / p.n_grams AS dup_fraction
+             |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
+             |ORDER BY t.doc_id""".stripMargin)
+        s.catalog.dropTempView("graft_substr_grams") // un-pin (see CurateOps.dsirImpl)
+        out
+      },
       s"""WITH corpus AS ($corpusSql),
          |toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM corpus),
          |grams AS (
