@@ -333,15 +333,11 @@ object ApproxOps {
   }
 
   def queries: Map[String, QueryDef] = Map(
+    // sketch_hll_distinct stays inline: the trigram stream is a ~3x byte
+    // expansion and the materialized form measured 0.66 -> 0.77s in-suite
+    // (materialize reductions, never expansions)
     "sketch_hll_distinct" -> QueryDef(
-      ((s: SparkSession, d: String) => {
-        Tables.ensureView(s, d, "documents")(Tables.load(s, d, "documents"))
-        s.sql(hllGramsSparkSql)
-          .localCheckpoint().createOrReplaceTempView("graft_hll_grams")
-        val out = s.sql(hllSql(spark = true, gramsRel = Some("graft_hll_grams")))
-        s.catalog.dropTempView("graft_hll_grams") // un-pin (see CurateOps.dsirImpl)
-        out
-      }),
+      (s, d) => sq(s, d, Seq("documents"))(hllSql(spark = true)),
       hllSql(spark = false)),
     // sketch_profile deliberately stays the inline-CTE form: the unpivot
     // is a 6x row blowup of lineitem, and materializing it (measured
@@ -351,15 +347,11 @@ object ApproxOps {
     "sketch_profile" -> QueryDef(
       (s, d) => sq(s, d, Seq("lineitem"))(profileSql(spark = true)),
       profileSql(spark = false)),
+    // sketch_cms_counts stays inline: the token stream is 1:1 with the
+    // corpus bytes (no reduction to materialize) and the materialized
+    // form measured 0.39 -> 0.51s in-suite
     "sketch_cms_counts" -> QueryDef(
-      ((s: SparkSession, d: String) => {
-        Tables.ensureView(s, d, "documents")(Tables.load(s, d, "documents"))
-        s.sql("SELECT explode(split(text, ' ')) AS tok FROM documents")
-          .localCheckpoint().createOrReplaceTempView("graft_cms_occ")
-        val out = s.sql(cmsSql(spark = true, occRel = Some("graft_cms_occ")))
-        s.catalog.dropTempView("graft_cms_occ") // un-pin (see CurateOps.dsirImpl)
-        out
-      }),
+      (s, d) => sq(s, d, Seq("documents"))(cmsSql(spark = true)),
       cmsSql(spark = false)),
     "q_percentile_sampled" -> QueryDef(
       (s, d) => sq(s, d, Seq("lineitem"))(sampledPctSql(spark = true)),

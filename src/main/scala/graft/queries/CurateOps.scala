@@ -280,7 +280,7 @@ object CurateOps {
     * a 1-ulp perturbation only matters within 1e-15 of a rounding
     * boundary spaced 1e-8 apart. The final mean divides in double.
     */
-  private def lmBigramSql(spark: Boolean): String = {
+  private def lmBigramSql(spark: Boolean, bidsRel: Option[String] = None): String = {
     val toks =
       if (spark)
         "SELECT doc_id, explode(split(text, ' ')) AS tok FROM corpus"
@@ -311,10 +311,16 @@ object CurateOps {
           |    LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
           |  FROM toks),
           |bids AS (SELECT doc_id, w1, w2 FROM bi WHERE w1 IS NOT NULL),""".stripMargin
+    // `bids` (adjacent word pairs) is referenced three times (bigram
+    // counts, unigram-context counts, per-doc scoring); the Spark impl
+    // materializes it once (bidsRel), the oracle keeps the CTE chain
+    val bidsFinal = bidsRel
+      .map(r => s"bids AS (SELECT doc_id, w1, w2 FROM $r),")
+      .getOrElse(bids)
     s"""WITH corpus AS ($corpusSql),
        |toks AS (
        |  $toks),
-       |$bids
+       |$bidsFinal
        |bc AS (SELECT w1, w2, ${cnt("COUNT(1)")} AS c12 FROM bids GROUP BY w1, w2),
        |uc AS (SELECT w1, ${cnt("COUNT(1)")} AS c1 FROM bids GROUP BY w1),
        |v AS (SELECT ${cnt("COUNT(DISTINCT tok)")} AS vocab FROM toks),
@@ -363,12 +369,17 @@ object CurateOps {
     * emitted even at zero overlap (the missing-pair case reads as
     * "disjoint", not "absent").
     */
-  private def vocabOverlapSql(spark: Boolean): String = {
+  private def vocabOverlapSql(spark: Boolean, vtRel: Option[String] = None): String = {
     val explodeToks =
       if (spark) "explode(split(text, ' '))" else "UNNEST(string_split(text, ' '))"
     val cnt = (e: String) => if (spark) e else s"CAST($e AS BIGINT)"
+    // `vt` (the per-source vocabulary — a corpus REDUCTION) is referenced
+    // three times (sizes + both self-join sides); the Spark impl
+    // materializes it once (vtRel), the oracle keeps the CTE
+    val vtCte = vtRel.map(r => s"SELECT source, tok FROM $r").getOrElse(
+      s"SELECT DISTINCT source, $explodeToks AS tok FROM corpus")
     s"""WITH corpus AS ($corpusSql),
-       |vt AS (SELECT DISTINCT source, $explodeToks AS tok FROM corpus),
+       |vt AS ($vtCte),
        |sizes AS (SELECT source, ${cnt("COUNT(1)")} AS n FROM vt GROUP BY source),
        |inter AS (
        |  SELECT a.source AS src_a, b.source AS src_b, ${cnt("COUNT(1)")} AS n_common
@@ -385,16 +396,21 @@ object CurateOps {
        |ORDER BY p.src_a, p.src_b""".stripMargin
   }
 
-  private def sourceKlSql(spark: Boolean): String = {
+  private def sourceKlSql(spark: Boolean, scRel: Option[String] = None): String = {
     val (split, explodeToks) =
       if (spark) ("split(text, ' ')", "explode(split(text, ' '))")
       else ("string_split(text, ' ')", "UNNEST(string_split(text, ' '))")
     val cnt = (e: String) => if (spark) e else s"CAST($e AS BIGINT)"
     val ps = "((CAST(sc.c AS DOUBLE) + 1.0) / (CAST(st.n AS DOUBLE) + CAST(tot.vocab AS DOUBLE)))"
     val pc = "((CAST(cc.c AS DOUBLE) + 1.0) / (CAST(tot.n AS DOUBLE) + CAST(tot.vocab AS DOUBLE)))"
+    // `sc` (the (source, token) count dictionary — a corpus REDUCTION) is
+    // referenced three times (per-source totals, corpus totals, KL terms);
+    // the Spark impl materializes it once (scRel), the oracle keeps the CTE
+    val scCte = scRel.map(r => s"SELECT source, tok, c FROM $r").getOrElse(
+      s"""SELECT source, tok, ${cnt("COUNT(1)")} AS c
+         |  FROM (SELECT source, $explodeToks AS tok FROM corpus) GROUP BY source, tok""".stripMargin)
     s"""WITH corpus AS ($corpusSql),
-       |toks AS (SELECT source, $explodeToks AS tok FROM corpus),
-       |sc AS (SELECT source, tok, ${cnt("COUNT(1)")} AS c FROM toks GROUP BY source, tok),
+       |sc AS ($scCte),
        |st AS (SELECT source, ${cnt("SUM(c)")} AS n, COUNT(1) AS vocab_s FROM sc GROUP BY source),
        |cc AS (SELECT tok, ${cnt("SUM(c)")} AS c FROM sc GROUP BY tok),
        |tot AS (SELECT ${cnt("SUM(c)")} AS n, ${cnt("COUNT(1)")} AS vocab FROM cc),
@@ -977,6 +993,9 @@ object CurateOps {
     "text_heavy_hitters" -> QueryDef(
       (s, d) => sq(s, d, heavyHittersSql(spark = true)),
       Some(heavyHittersSql(spark = false))),
+    // text_lm_bigram stays inline: its bids stream is a ~2x byte expansion
+    // of the corpus and the entry is 0.18s — materializing repeated
+    // subtrees only pays for REDUCTIONS (the sketch_profile lesson)
     "text_lm_bigram" -> QueryDef(
       (s, d) => sq(s, d, lmBigramSql(spark = true)),
       Some(lmBigramSql(spark = false))),
@@ -984,10 +1003,30 @@ object CurateOps {
       (s, d) => sq(s, d, ccnetBucketsSql(spark = true)),
       Some(ccnetBucketsSql(spark = false))),
     "text_source_kl" -> QueryDef(
-      (s, d) => sq(s, d, sourceKlSql(spark = true)),
+      ((s: SparkSession, d: String) => {
+        prep(s, d)
+        s.sql(
+          s"""WITH corpus AS ($corpusSql)
+             |SELECT source, tok, COUNT(1) AS c
+             |FROM (SELECT source, explode(split(text, ' ')) AS tok FROM corpus)
+             |GROUP BY source, tok""".stripMargin)
+          .localCheckpoint().createOrReplaceTempView("graft_kl_sc")
+        val out = s.sql(sourceKlSql(spark = true, scRel = Some("graft_kl_sc")))
+        s.catalog.dropTempView("graft_kl_sc") // un-pin (see dsirImpl)
+        out
+      }),
       Some(sourceKlSql(spark = false))),
     "text_vocab_overlap" -> QueryDef(
-      (s, d) => sq(s, d, vocabOverlapSql(spark = true)),
+      ((s: SparkSession, d: String) => {
+        prep(s, d)
+        s.sql(
+          s"""WITH corpus AS ($corpusSql)
+             |SELECT DISTINCT source, explode(split(text, ' ')) AS tok FROM corpus""".stripMargin)
+          .localCheckpoint().createOrReplaceTempView("graft_vocab_vt")
+        val out = s.sql(vocabOverlapSql(spark = true, vtRel = Some("graft_vocab_vt")))
+        s.catalog.dropTempView("graft_vocab_vt") // un-pin (see dsirImpl)
+        out
+      }),
       Some(vocabOverlapSql(spark = false))),
     "text_dsir_select" -> QueryDef(
       dsirImpl _,

@@ -292,11 +292,15 @@ object GraphOps {
     val adj = edges.select(col("u").as("s"), col("v").as("o"))
       .union(edges.select(col("v").as("s"), col("u").as("o")))
       .groupBy("s").agg(array_sort(collect_set(col("o").cast("string"))).as("nbrs"))
+    // `cnt` feeds BOTH sides of the final union — without materialization
+    // the neighbor-intersection join (the heavy op) runs twice (r15-opt
+    // plan audit). Edge-count-bounded rows; materializing is free.
     val cnt = edges
       .join(adj.select(col("s").as("u"), col("nbrs").as("nu")), "u")
       .join(adj.select(col("s").as("v"), col("nbrs").as("nv")), "v")
       .select(col("u"), col("v"),
         expr("CAST(graft_intersect_count(nu, nv) AS BIGINT)").as("c"))
+      .localCheckpoint()
     cnt.select(col("u").as("supp"), col("c"))
       .union(cnt.select(col("v").as("supp"), col("c")))
       .groupBy("supp").agg(expr("CAST(SUM(c) DIV 2 AS BIGINT)").as("tri"))

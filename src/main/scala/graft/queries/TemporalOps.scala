@@ -433,13 +433,14 @@ object TemporalOps {
   private def resampleImpl(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d).select(col("user_id"),
       expr("unix_micros(ts) DIV 86400000000").as("d"), col("value"), col("event_id"))
-    // `agg` feeds both the span derivation and the grid LEFT join; without
-    // materialization the per-(user, day) aggregate pass over the corpus
-    // runs twice (r15-opt plan audit). The relation is already reduced to
-    // user-days — the cheap side at any scale.
+    // `agg` feeds both the span derivation and the grid LEFT join — but it
+    // is only a mild reduction of events (user-days ~ rows at this shape),
+    // and materializing it MEASURED 0.63s in-suite vs 0.36s inline
+    // (r15-opt): the cost of writing/reading the checkpoint exceeds one
+    // extra columnar aggregate pass. Left inline (the sketch_profile
+    // "materialize reductions only" lesson).
     val agg = e.groupBy("user_id", "d")
       .agg(count(lit(1)).as("n0"), expr("max_by(value, event_id)").as("lv"))
-      .localCheckpoint()
     val span = agg.groupBy("user_id").agg(min("d").as("mn"), max("d").as("mx"))
     val grid = span.select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("d"))
     val full0 = grid.join(agg, Seq("user_id", "d"), "left")

@@ -948,37 +948,29 @@ object TextOps {
     // keyed by gram — the standard inverted-index shape, no window and no
     // broadcast of a corpus-sized dictionary. Short docs (< 13 tokens)
     // keep a row with 0 grams and NULL fraction via the LEFT join.
+    // dedup_substring stays inline: its 13-gram stream is a ~13x byte
+    // expansion of the corpus, and the materialized form MEASURED 0.97s
+    // in-suite vs 0.11s inline (r15-opt) — the sketch_profile lesson
+    // (materialize reductions, never expansions) applied after the fact
     "dedup_substring" -> QueryDef(
-      (s, d) => {
-        prep(s, d)
-        // the 13-gram explode feeds BOTH the gram-count dictionary and the
-        // per-doc dup rollup; materialized once per invocation (Spark
-        // would inline the CTE and run the corpus explode twice)
-        s.sql(
-          s"""WITH corpus AS ($corpusSql),
-             |toks AS (SELECT doc_id, split(text, ' ') AS a FROM corpus)
-             |SELECT doc_id, explode(CASE WHEN size(a) >= 13
-             |  THEN transform(sequence(1, size(a) - 12), i -> concat_ws(' ', slice(a, i, 13)))
-             |  ELSE array() END) AS gram
-             |FROM toks""".stripMargin)
-          .localCheckpoint().createOrReplaceTempView("graft_substr_grams")
-        val out = s.sql(
-          s"""WITH corpus AS ($corpusSql),
-             |toks AS (SELECT doc_id, split(text, ' ') AS a FROM corpus),
-             |grams AS (SELECT doc_id, gram FROM graft_substr_grams),
-             |gc AS (SELECT gram, COUNT(1) AS n FROM grams GROUP BY gram),
-             |per AS (
-             |  SELECT g.doc_id, COUNT(1) AS n_grams,
-             |         SUM(CASE WHEN gc.n > 1 THEN 1 ELSE 0 END) AS n_dup
-             |  FROM grams g JOIN gc ON g.gram = gc.gram GROUP BY g.doc_id)
-             |SELECT t.doc_id, COALESCE(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
-             |  COALESCE(p.n_dup, CAST(0 AS BIGINT)) AS n_dup_grams,
-             |  CAST(p.n_dup AS DOUBLE) / p.n_grams AS dup_fraction
-             |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
-             |ORDER BY t.doc_id""".stripMargin)
-        s.catalog.dropTempView("graft_substr_grams") // un-pin (see CurateOps.dsirImpl)
-        out
-      },
+      (s, d) => sq(s, d,
+        s"""WITH corpus AS ($corpusSql),
+           |toks AS (SELECT doc_id, split(text, ' ') AS a FROM corpus),
+           |grams AS (
+           |  SELECT doc_id, explode(CASE WHEN size(a) >= 13
+           |    THEN transform(sequence(1, size(a) - 12), i -> concat_ws(' ', slice(a, i, 13)))
+           |    ELSE array() END) AS gram
+           |  FROM toks),
+           |gc AS (SELECT gram, COUNT(1) AS n FROM grams GROUP BY gram),
+           |per AS (
+           |  SELECT g.doc_id, COUNT(1) AS n_grams,
+           |         SUM(CASE WHEN gc.n > 1 THEN 1 ELSE 0 END) AS n_dup
+           |  FROM grams g JOIN gc ON g.gram = gc.gram GROUP BY g.doc_id)
+           |SELECT t.doc_id, COALESCE(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+           |  COALESCE(p.n_dup, CAST(0 AS BIGINT)) AS n_dup_grams,
+           |  CAST(p.n_dup AS DOUBLE) / p.n_grams AS dup_fraction
+           |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
+           |ORDER BY t.doc_id""".stripMargin),
       s"""WITH corpus AS ($corpusSql),
          |toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM corpus),
          |grams AS (
@@ -1013,6 +1005,9 @@ object TextOps {
     // all doc-keyed combinable aggregates after one shuffle on the span
     // key. At 100 TB the hot set is the only broadcast-able side and the
     // df cutoff caps it exactly like decontaminate's benchmark grams.
+    // text_span_scrub stays inline: its 8-gram stream is an ~8x byte
+    // expansion of the corpus on a 0.2s entry — materializing repeated
+    // subtrees only pays for REDUCTIONS (the sketch_profile lesson)
     "text_span_scrub" -> QueryDef(
       (s, d) => sq(s, d,
         s"""WITH corpus AS ($corpusSql),
