@@ -105,16 +105,6 @@ object ApproxOps {
        |  ELSE ($raw) END""".stripMargin
   }
 
-  /** The Spark-side trigram stream as a standalone SELECT — `grams`
-    * feeds both the register build and the exact-distinct audit, and
-    * Spark inlines the CTE per reference (two corpus explodes).
-    */
-  private[queries] def hllGramsSparkSql: String =
-    """SELECT source, explode(CASE WHEN size(a) >= 3
-      |  THEN transform(sequence(1, size(a) - 2), i -> concat_ws(' ', slice(a, i, 3)))
-      |  ELSE array() END) AS gram
-      |FROM (SELECT source, split(text, ' ') AS a FROM documents)""".stripMargin
-
   private def hllSql(spark: Boolean, gramsRel: Option[String] = None): String = {
     val split = if (spark) "split(text, ' ')" else "string_split(text, ' ')"
     val grams =
@@ -154,18 +144,6 @@ object ApproxOps {
   // but the hashed VALUES must be byte-identical).
   private val ProfileCols =
     Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus")
-
-  /** The Spark-side unpivot as a standalone SELECT — `vals` feeds both
-    * the row/null/exact stats and the register build (two lineitem
-    * unpivot passes when inlined).
-    */
-  private[queries] def profileValsSparkSql: String = {
-    val str = CrossEngine.strType(spark = true)
-    val names = ProfileCols.map(c => s"SELECT '$c' AS colname").mkString(" UNION ALL ")
-    val cases = ProfileCols.map(c => s"WHEN '$c' THEN CAST($c AS $str)").mkString(" ")
-    s"""SELECT c.colname, CASE c.colname $cases END AS v
-       |FROM lineitem CROSS JOIN ($names) c""".stripMargin
-  }
 
   private def profileSql(spark: Boolean, valsRel: Option[String] = None): String = {
     val str = CrossEngine.strType(spark)
