@@ -153,7 +153,12 @@ object Bench {
       .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")) &&
         java.nio.file.Files.isDirectory(p.resolve("src/main/scala/graft")))
       .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
-    val fullPath = repoRoot.resolve("BENCH_FULL.json")
+    // The headline audit-trail file is the 32-core run's; a scaling run
+    // (the driver re-runs the bench at a lower core count) writes a
+    // cpu-suffixed file instead of clobbering it (r15: the committed
+    // BENCH_FULL.json ended up holding the 8-core scaling run's numbers).
+    val fullName = if (cpus == "32") "BENCH_FULL.json" else s"BENCH_FULL_c$cpus.json"
+    val fullPath = repoRoot.resolve(fullName)
     // restricted dev runs (SPARK_GRAFT_ONLY) must not clobber the last
     // FULL suite report — the committed file is the round's audit trail
     if (only.isEmpty)
@@ -177,7 +182,7 @@ object Bench {
     // accounting invariant: len(queries) + n_omitted == n_queries, with
     // failures counted separately — a failed query is in NEITHER bucket
     System.out.println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJs,"n_queries":${ranked.size},"n_omitted":${omitted.size},"omitted_max":$omittedMax,"n_failed":${failed.size},"total_cold":${r3(totalCold)},"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min","grouping":"family","full":"BENCH_FULL.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$topJs,"n_queries":${ranked.size},"n_omitted":${omitted.size},"omitted_max":$omittedMax,"n_failed":${failed.size},"total_cold":${r3(totalCold)},"failed":$failedJs,"sf":"$sfDir","runs":$runs,"agg":"min","grouping":"family","full":"$fullName"}""")
     System.out.flush()
   }
 }

@@ -44,9 +44,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.queries("q5_local_supplier_volume").impl(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Each impl is entered through [[graft.util.Materialize.drain]]: the
+    * PREVIOUS invocation's per-invocation persisted frames (the one-shot
+    * CTE materializations) are freed before the next query runs — the
+    * sequential drivers (Bench/Verify/oracle) have consumed the previous
+    * result by then, so this bounds block-manager pressure to one
+    * invocation's frames while keeping recompute-on-loss lineage (see
+    * Materialize scaladoc for why unpersist cannot be in-impl).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map { case (k, v) => k -> v.impl }
+    allDefs.map { case (k, v) =>
+      k -> { (s: SparkSession, d: String) =>
+        graft.util.Materialize.drain(s)
+        v.impl(s, d)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

@@ -394,18 +394,18 @@ object AnnOps {
 
   private def ivfImpl(s: SparkSession, d: String): DataFrame = {
     sparkPrep(s, d)
-    s.sql(sparkIvfAssignSql).localCheckpoint()
-      .createOrReplaceTempView("graft_ivf_assign")
-    val out = s.sql(sparkIvfMain)
-    s.catalog.dropTempView("graft_ivf_assign") // un-pin (see CurateOps.dsirImpl)
-    out
+    // one-shot materialization (lineage-preserving persist + fresh view
+    // name + view dropped in finally — see graft.util.Materialize)
+    graft.util.Materialize.withView("graft_ivf_assign", s.sql(sparkIvfAssignSql)) { rel =>
+      s.sql(sparkIvfMain(rel))
+    }
   }
 
-  private def sparkIvfMain: String = {
+  private def sparkIvfMain(assignRel: String): String = {
     val pairDot = sparkDot.format("a.q", "b.q")
-    s"""WITH lists AS (SELECT vec_id, cid FROM graft_ivf_assign WHERE rk = 1),
+    s"""WITH lists AS (SELECT vec_id, cid FROM $assignRel WHERE rk = 1),
        |probes AS (
-       |  SELECT vec_id AS query_id, cid FROM graft_ivf_assign
+       |  SELECT vec_id AS query_id, cid FROM $assignRel
        |  WHERE vec_id < 5 AND rk <= $ivfNProbe),
        |cand AS (
        |  SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
@@ -885,11 +885,9 @@ object AnnOps {
     "embed_ann_recall" -> QueryDef(
       ((s: SparkSession, d: String) => {
         sparkPrep(s, d)
-        s.sql(sparkIvfAssignSql).localCheckpoint()
-          .createOrReplaceTempView("graft_ivf_assign")
-        val out = s.sql(ivfRecallSql("ann_qn", sparkDot, "", Some("graft_ivf_assign")))
-        s.catalog.dropTempView("graft_ivf_assign") // un-pin (see CurateOps.dsirImpl)
-        out
+        graft.util.Materialize.withView("graft_ivf_assign", s.sql(sparkIvfAssignSql)) { rel =>
+          s.sql(ivfRecallSql("ann_qn", sparkDot, "", Some(rel)))
+        }
       }),
       ivfRecallSql("qn", duckDot, duckQnPrefix)),
     "embed_lsh_recall" -> QueryDef(

@@ -337,20 +337,18 @@ object ApproxOps {
     "text_bm25_topk" -> QueryDef(
       ((s: SparkSession, d: String) => {
         Tables.ensureView(s, d, "documents")(Tables.load(s, d, "documents"))
-        s.sql("SELECT doc_id, size(split(text, ' ')) AS dl FROM documents")
-          .localCheckpoint().createOrReplaceTempView("graft_bm25_dl")
         val terms = Bm25Terms.map(t => s"SELECT '$t' AS term").mkString(" UNION ALL ")
-        s.sql(
-          s"""SELECT doc_id, tok AS term, COUNT(1) AS tf
-             |FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents) o
-             |JOIN ($terms) t ON o.tok = t.term
-             |GROUP BY doc_id, tok""".stripMargin)
-          .localCheckpoint().createOrReplaceTempView("graft_bm25_tf")
-        val out = s.sql(bm25Sql(spark = true,
-          dlRel = Some("graft_bm25_dl"), tfRel = Some("graft_bm25_tf")))
-        s.catalog.dropTempView("graft_bm25_dl") // un-pin (see CurateOps.dsirImpl)
-        s.catalog.dropTempView("graft_bm25_tf")
-        out
+        graft.util.Materialize.withView("graft_bm25_dl",
+          s.sql("SELECT doc_id, size(split(text, ' ')) AS dl FROM documents")) { dlRel =>
+          graft.util.Materialize.withView("graft_bm25_tf",
+            s.sql(
+              s"""SELECT doc_id, tok AS term, COUNT(1) AS tf
+                 |FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents) o
+                 |JOIN ($terms) t ON o.tok = t.term
+                 |GROUP BY doc_id, tok""".stripMargin)) { tfRel =>
+            s.sql(bm25Sql(spark = true, dlRel = Some(dlRel), tfRel = Some(tfRel)))
+          }
+        }
       }),
       bm25Sql(spark = false)),
   )

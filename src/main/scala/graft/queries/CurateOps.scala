@@ -199,7 +199,7 @@ object CurateOps {
     */
   private def trainPrepImpl(s: SparkSession, d: String): DataFrame = {
     prep(s, d)
-    s.sql(
+    val kept = s.sql(
       s"""WITH corpus AS ($corpusSql),
          |feat AS (
          |  SELECT doc_id, text, n_chars, CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
@@ -207,27 +207,26 @@ object CurateOps {
          |SELECT doc_id, n_chars, n_tokens, md5(text) AS h
          |FROM feat
          |WHERE n_tokens >= 40 AND n_chars >= 200 AND n_chars <= 2000""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("graft_trainprep_kept")
     val digest =
       s"bit_xor(${CrossEngine.hash60(spark = true, s"CAST(doc_id AS ${CrossEngine.strType(spark = true)})")})"
-    val out = s.sql(
-      s"""WITH keepers AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM graft_trainprep_kept GROUP BY h),
-         |deduped AS (
-         |  SELECT f.doc_id, f.n_chars, f.n_tokens
-         |  FROM graft_trainprep_kept f JOIN keepers k ON f.doc_id = k.doc_id),
-         |splits AS (
-         |  SELECT *,
-         |    CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'c' THEN 'train'
-         |         WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'e' THEN 'valid'
-         |         ELSE 'test' END AS split
-         |  FROM deduped)
-         |SELECT split, COUNT(1) AS n_docs,
-         |  SUM(n_tokens) AS n_tokens, SUM(n_chars) AS n_chars,
-         |  CAST($digest AS BIGINT) AS members_digest
-         |FROM splits GROUP BY split ORDER BY split""".stripMargin)
-    s.catalog.dropTempView("graft_trainprep_kept") // un-pin (see dsirImpl)
-    out
+    graft.util.Materialize.withView("graft_trainprep_kept", kept) { rel =>
+      s.sql(
+        s"""WITH keepers AS (
+           |  SELECT MIN(doc_id) AS doc_id FROM $rel GROUP BY h),
+           |deduped AS (
+           |  SELECT f.doc_id, f.n_chars, f.n_tokens
+           |  FROM $rel f JOIN keepers k ON f.doc_id = k.doc_id),
+           |splits AS (
+           |  SELECT *,
+           |    CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'c' THEN 'train'
+           |         WHEN substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'e' THEN 'valid'
+           |         ELSE 'test' END AS split
+           |  FROM deduped)
+           |SELECT split, COUNT(1) AS n_docs,
+           |  SUM(n_tokens) AS n_tokens, SUM(n_chars) AS n_chars,
+           |  CAST($digest AS BIGINT) AS members_digest
+           |FROM splits GROUP BY split ORDER BY split""".stripMargin)
+    }
   }
 
   private def trainPrepSql(spark: Boolean): String = {
@@ -584,28 +583,19 @@ object CurateOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  /** Spark impl: materialize the hashed-feature stream once
-    * (localCheckpoint — eager, per-invocation, nothing survives the
-    * query, so every bench pass still computes from the parquet inputs),
-    * then run the unchanged scoring SQL over the narrow (doc_id, source,
-    * bucket) relation. Plan effect: 6 documents scans + 6 Generates →
-    * 2 scans + 2 Generates (one feats pass; the final LEFT JOIN re-reads
-    * documents without exploding it).
+  /** Spark impl: materialize the hashed-feature stream once (eager,
+    * per-invocation, nothing survives the query, so every bench pass
+    * still computes from the parquet inputs — see graft.util.Materialize
+    * for the persist-based lifecycle), then run the unchanged scoring SQL
+    * over the narrow (doc_id, source, bucket) relation. Plan effect: 6
+    * documents scans + 6 Generates → 2 scans + 2 Generates (one feats
+    * pass; the final LEFT JOIN re-reads documents without exploding it).
     */
   private def dsirImpl(s: SparkSession, d: String): DataFrame = {
     prep(s, d)
-    val feats = s.sql(dsirFeatsSparkSql).localCheckpoint()
-    feats.createOrReplaceTempView("graft_dsir_feats")
-    // spark.sql analyzes eagerly (the view's plan is embedded in the
-    // result), so dropping the view immediately un-pins the checkpoint
-    // blocks from the catalog — without this every materializing entry
-    // leaves its LAST invocation's blocks pinned for the whole session,
-    // and the accumulated block-manager pressure measurably degrades
-    // later memory-hungry queries (r15-opt: hudi_cdc_agg_maintenance
-    // read 10s in a contaminated session vs 3.2s in a fresh one)
-    val out = s.sql(s"WITH ${dsirRestSql("graft_dsir_feats", spark = true)}")
-    s.catalog.dropTempView("graft_dsir_feats")
-    out
+    graft.util.Materialize.withView("graft_dsir_feats", s.sql(dsirFeatsSparkSql)) { rel =>
+      s.sql(s"WITH ${dsirRestSql(rel, spark = true)}")
+    }
   }
 
   private def dsirSql(spark: Boolean): String = {
@@ -1005,27 +995,25 @@ object CurateOps {
     "text_source_kl" -> QueryDef(
       ((s: SparkSession, d: String) => {
         prep(s, d)
-        s.sql(
-          s"""WITH corpus AS ($corpusSql)
-             |SELECT source, tok, COUNT(1) AS c
-             |FROM (SELECT source, explode(split(text, ' ')) AS tok FROM corpus)
-             |GROUP BY source, tok""".stripMargin)
-          .localCheckpoint().createOrReplaceTempView("graft_kl_sc")
-        val out = s.sql(sourceKlSql(spark = true, scRel = Some("graft_kl_sc")))
-        s.catalog.dropTempView("graft_kl_sc") // un-pin (see dsirImpl)
-        out
+        graft.util.Materialize.withView("graft_kl_sc",
+          s.sql(
+            s"""WITH corpus AS ($corpusSql)
+               |SELECT source, tok, COUNT(1) AS c
+               |FROM (SELECT source, explode(split(text, ' ')) AS tok FROM corpus)
+               |GROUP BY source, tok""".stripMargin)) { rel =>
+          s.sql(sourceKlSql(spark = true, scRel = Some(rel)))
+        }
       }),
       Some(sourceKlSql(spark = false))),
     "text_vocab_overlap" -> QueryDef(
       ((s: SparkSession, d: String) => {
         prep(s, d)
-        s.sql(
-          s"""WITH corpus AS ($corpusSql)
-             |SELECT DISTINCT source, explode(split(text, ' ')) AS tok FROM corpus""".stripMargin)
-          .localCheckpoint().createOrReplaceTempView("graft_vocab_vt")
-        val out = s.sql(vocabOverlapSql(spark = true, vtRel = Some("graft_vocab_vt")))
-        s.catalog.dropTempView("graft_vocab_vt") // un-pin (see dsirImpl)
-        out
+        graft.util.Materialize.withView("graft_vocab_vt",
+          s.sql(
+            s"""WITH corpus AS ($corpusSql)
+               |SELECT DISTINCT source, explode(split(text, ' ')) AS tok FROM corpus""".stripMargin)) { rel =>
+          s.sql(vocabOverlapSql(spark = true, vtRel = Some(rel)))
+        }
       }),
       Some(vocabOverlapSql(spark = false))),
     "text_dsir_select" -> QueryDef(

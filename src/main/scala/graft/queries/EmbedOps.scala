@@ -328,16 +328,15 @@ object EmbedOps {
     * quantized relation instead of the raw quantize expression: Spark
     * inlines deterministic CTEs per reference, so `WITH qe AS
     * (quantize...)` re-scans and re-quantizes the corpus once per join
-    * side (r15-opt plan audit). One localCheckpoint per invocation —
+    * side (r15-opt plan audit). One materialization per invocation —
     * nothing survives the query; the quantized vectors are exactly what
     * a production vector index materializes anyway.
     */
   private def sqQe(s: SparkSession, d: String)(sqlOf: String => String): DataFrame = {
     prep(s, d)
-    s.sql(sparkQ).localCheckpoint().createOrReplaceTempView("graft_embed_qe")
-    val out = s.sql(sqlOf("SELECT vec_id, label, q FROM graft_embed_qe"))
-    s.catalog.dropTempView("graft_embed_qe") // un-pin (see CurateOps.dsirImpl)
-    out
+    graft.util.Materialize.withView("graft_embed_qe", s.sql(sparkQ)) { rel =>
+      s.sql(sqlOf(s"SELECT vec_id, label, q FROM $rel"))
+    }
   }
 
   private val qs: Map[String, QueryDef] = Map(

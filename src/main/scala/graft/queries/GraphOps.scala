@@ -54,6 +54,14 @@ object GraphOps {
   private val EdgeRowBytes = 64L // src, dst, deg BIGINTs + row overhead
   private val TargetPartitionBytes = 32L << 20
 
+  /** Smallest per-partition edge slice that justifies occupying a core:
+    * the parallelism floor on the iteration relation's partitioning stops
+    * at `edgeBytes / minPartitionBytes` partitions (sys-prop override for
+    * the dev probe; default measured at sf0.1 — see OPTIMIZATION_r16.md).
+    */
+  private def minPartitionBytes: Long =
+    sys.props.get("graft.pagerank.min.partition.bytes").map(_.toLong).getOrElse(8L << 20)
+
   /** Session-shared graph prep (the ANN/minhash prep contract): the
     * (edges ⋈ deg) relation and node count build ONCE per (session, dir,
     * regime) and stay persisted — ten iterations plus repeat invocations
@@ -127,7 +135,19 @@ object GraphOps {
               // below the core count serializes the loop (measured 2x
               // slower at sf0.1 with a single byte-sized partition).
               val e = edges.count() // narrow job over the already-persisted edges
-              val parts = math.max(s.sparkContext.defaultParallelism.toLong,
+              // The parallelism floor is DATA-BOUNDED (r16): flooring at the
+              // raw core count anti-scaled — at sf0.1 the 10-iteration loop
+              // ran ~2x slower on 32 cores than on 8 (driver scaling ratio
+              // 0.56), because each iteration schedules `parts` tasks over a
+              // node-sized relation and per-task overhead dominates compute
+              // on tiny partitions. Floor at the core count only while each
+              // core still gets >= MinPartitionBytes of edges; below that,
+              // fewer-but-meaningful partitions win (guide §2.6/§9: size
+              // partitions to bytes, not cores). At 100 TB the data term
+              // dominates and the floor is irrelevant.
+              val coreFloor = math.min(s.sparkContext.defaultParallelism.toLong,
+                e * EdgeRowBytes / minPartitionBytes + 1)
+              val parts = math.max(coreFloor,
                 math.min(1L << 18, e * EdgeRowBytes / TargetPartitionBytes + 1)).toInt
               // Broadcast regime: pre-partition the cached edge relation by
               // dst. The per-iteration BroadcastHashJoin preserves the stream
@@ -295,12 +315,11 @@ object GraphOps {
     // `cnt` feeds BOTH sides of the final union — without materialization
     // the neighbor-intersection join (the heavy op) runs twice (r15-opt
     // plan audit). Edge-count-bounded rows; materializing is free.
-    val cnt = edges
+    val cnt = graft.util.Materialize.once(edges
       .join(adj.select(col("s").as("u"), col("nbrs").as("nu")), "u")
       .join(adj.select(col("s").as("v"), col("nbrs").as("nv")), "v")
       .select(col("u"), col("v"),
-        expr("CAST(graft_intersect_count(nu, nv) AS BIGINT)").as("c"))
-      .localCheckpoint()
+        expr("CAST(graft_intersect_count(nu, nv) AS BIGINT)").as("c")))
     cnt.select(col("u").as("supp"), col("c"))
       .union(cnt.select(col("v").as("supp"), col("c")))
       .groupBy("supp").agg(expr("CAST(SUM(c) DIV 2 AS BIGINT)").as("tri"))

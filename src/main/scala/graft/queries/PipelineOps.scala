@@ -235,11 +235,8 @@ object PipelineOps {
 
   private def tfidfImpl(s: SparkSession, d: String): DataFrame = {
     Tables.ensureView(s, d, "documents")(Tables.documents(s, d))
-    val tf = s.sql(tfSparkSql("explode(split(text, ' '))")).localCheckpoint()
-    tf.createOrReplaceTempView("graft_tfidf_tf")
-    val out = s.sql(tfidfRestSql("graft_tfidf_tf"))
-    s.catalog.dropTempView("graft_tfidf_tf") // un-pin (see CurateOps.dsirImpl)
-    out
+    graft.util.Materialize.withView("graft_tfidf_tf",
+      s.sql(tfSparkSql("explode(split(text, ' '))")))(rel => s.sql(tfidfRestSql(rel)))
   }
 
   private def tfidfSql(explodeExpr: String): String =

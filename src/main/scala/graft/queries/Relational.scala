@@ -512,11 +512,10 @@ object Relational {
         // `hourly` feeds both the stats aggregate and the flag join;
         // materialized once (it is (type × hour)-sized) so the corpus
         // rollup pass doesn't execute twice (r15-opt plan audit)
-        val hourly = events(s, d)
+        val hourly = graft.util.Materialize.once(events(s, d)
           .groupBy(col("event_type"),
             date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
-          .agg(count(lit(1)).as("x"))
-          .localCheckpoint()
+          .agg(count(lit(1)).as("x")))
         val stats = hourly.groupBy("event_type")
           .agg(count(lit(1)).as("n_hours"), sum("x").as("sx"),
             sum(col("x") * col("x")).as("sq"))

@@ -291,18 +291,18 @@ object TemporalOps {
     // re-attach; inlined, Spark scans+filters the events corpus twice
     // (r15-opt plan audit). Materialized once — it is the filtered small
     // side at any scale.
-    s.sql(
+    val purchases = s.sql(
       """SELECT user_id, event_id AS purchase_id, unix_micros(ts) AS p_us
         |FROM events_af WHERE event_type = 'purchase'""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("graft_af_purchases")
-    val df = s.sql(
+    val df = graft.util.Materialize.withView("graft_af_purchases", purchases) { rel =>
+      s.sql(
       s"""WITH touches AS (
          |  SELECT user_id, event_id, event_type, unix_micros(ts) AS t_us FROM (
          |    SELECT user_id, event_id, event_type, ts,
          |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
          |    FROM events_af WHERE event_type IN ('click', 'view')) WHERE rn = 1),
          |purchases AS (
-         |  SELECT user_id, purchase_id, p_us FROM graft_af_purchases),
+         |  SELECT user_id, purchase_id, p_us FROM $rel),
          |pb AS (
          |  SELECT user_id, purchase_id, p_us, bucket
          |  FROM purchases
@@ -326,7 +326,7 @@ object TemporalOps {
          |LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
          |  ON p.purchase_id = m.purchase_id
          |ORDER BY p.purchase_id""".stripMargin)
-    s.catalog.dropTempView("graft_af_purchases") // un-pin (see CurateOps.dsirImpl)
+    }
     val plan = df.queryExecution.executedPlan.toString
     require(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"first-touch attribution must plan as an equi-join, got:\n$plan")
@@ -559,21 +559,23 @@ object TemporalOps {
     Tables.ensureView(s, d, "events")(Tables.events(s, d))
     // `ud` feeds both the DAU aggregate and the 7-day expansion; inlined,
     // Spark runs the corpus-wide DISTINCT twice (r15-opt plan audit).
-    // Materialized it is the already-reduced (user, day) relation — the
-    // cheap side at any scale.
-    val ud = s.sql(s"SELECT DISTINCT $sparkDay AS d, user_id FROM events").localCheckpoint()
-    ud.createOrReplaceTempView("graft_dauwau_ud")
-    val out = s.sql(
-      """WITH off AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(o)),
-        |wa AS (SELECT DISTINCT ud.d + off.o AS wd, ud.user_id
-        |       FROM graft_dauwau_ud ud CROSS JOIN off),
-        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM graft_dauwau_ud GROUP BY d),
-        |wau AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS wau FROM wa GROUP BY wd)
-        |SELECT dau.d AS day, dau.dau, wau.wau
-        |FROM dau JOIN wau ON wau.wd = dau.d
-        |ORDER BY day""".stripMargin)
-    s.catalog.dropTempView("graft_dauwau_ud") // un-pin (see CurateOps.dsirImpl)
-    out
+    // Materialized it is the already-reduced (user, day) relation —
+    // O(users x days), a large reduction of the event corpus but NOT
+    // dictionary-sized; persist(MEMORY_AND_DISK) bounds the memory
+    // exposure (blocks evict to disk under pressure and recompute from
+    // lineage on loss). Measured at sf0.1: see OPTIMIZATION_r16.md.
+    val ud = s.sql(s"SELECT DISTINCT $sparkDay AS d, user_id FROM events")
+    graft.util.Materialize.withView("graft_dauwau_ud", ud) { rel =>
+      s.sql(
+        s"""WITH off AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(o)),
+          |wa AS (SELECT DISTINCT ud.d + off.o AS wd, ud.user_id
+          |       FROM $rel ud CROSS JOIN off),
+          |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM $rel GROUP BY d),
+          |wau AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS wau FROM wa GROUP BY wd)
+          |SELECT dau.d AS day, dau.dau, wau.wau
+          |FROM dau JOIN wau ON wau.wd = dau.d
+          |ORDER BY day""".stripMargin)
+    }
   }
 
   /** Event-type transition matrix over per-user ordered streams — the
@@ -590,12 +592,11 @@ object TemporalOps {
     // materialization Spark re-executes the corpus window pass for each
     // (r15-opt plan audit: two Scan+Window+agg subtrees). The relation is
     // (#types)² rows — materializing it is free at any scale.
-    val trans = Tables.events(s, d)
+    val trans = graft.util.Materialize.once(Tables.events(s, d)
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("n")))
     val tot = trans.groupBy("prev_type").agg(sum("n").as("row_total"))
     trans.join(broadcast(tot), "prev_type")
       .select(col("prev_type"), col("next_type"), col("n"), col("row_total"),

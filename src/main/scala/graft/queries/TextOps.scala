@@ -706,6 +706,7 @@ object TextOps {
     */
   private[queries] def distributedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    val sc = pairs.sparkSession.sparkContext
     // pre-partitioned by the probe key ONCE: localCheckpoint preserves the
     // physical partitioning, so every round's propagation join reuses this
     // layout and only the (doc, lbl) labels — never the edge list, the big
@@ -716,9 +717,26 @@ object TextOps {
       .withColumn("lbl", col("doc")).localCheckpoint()
     var labels: DataFrame = gen
     val lblType = gen.schema("lbl").dataType
+    // the per-round convergence count rides an ACCUMULATOR inside the
+    // checkpoint-materialization job instead of a second count() job over
+    // the checkpointed blocks: one fewer Spark job AND one fewer full
+    // read of the label set per round. Correctness under task retries:
+    // transformation-stage accumulator updates can only OVER-count (a
+    // re-run partition re-adds), never turn a real change into zero —
+    // and `changed` gates only on ==0 / >0, with the exact value used
+    // for debug output alone. The UDF is nondeterministic so the
+    // optimizer cannot duplicate or reorder the side-effecting call.
+    val chgAcc = sc.longAccumulator("graft_cc_changed")
+    val chgUdf = udf { (l: Long, o: Long) =>
+      val c = l < o
+      if (c) chgAcc.add(1L)
+      c
+    }.asNondeterministic()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
+      chgAcc.reset()
+      val jobs0 = sc.statusTracker.getJobIdsForGroup(null).length
       val nbrLbl = edges
         .join(labels.select(col("doc").as("nbr"), col("lbl").as("cand")), "nbr")
         .select(col("doc"), col("cand"), lit(null).cast(lblType).as("old"))
@@ -742,16 +760,18 @@ object TextOps {
       // full shuffle of the label set, and the second jump reuses the
       // first's (doc-keyed) partitioning for its probe side
       val next = jump(jump(propagated))
-        .select(col("doc"), col("lbl"), (col("lbl") < col("old")).as("chg"))
+        .select(col("doc"), col("lbl"), chgUdf(col("lbl"), col("old")).as("chg"))
         .localCheckpoint()
-      changed = next.filter(col("chg")).count()
+      changed = chgAcc.value
       // `next` is materialized — the previous generation's blocks are dead
       freeLocalCheckpoint(gen)
       gen = next
       labels = next.select("doc", "lbl")
       rounds += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"GRAFT_CC round=$rounds changed=$changed")
+      if (sys.env.contains("GRAFT_CC_DEBUG")) {
+        val jobs = sc.statusTracker.getJobIdsForGroup(null).length - jobs0
+        println(s"GRAFT_CC round=$rounds changed=$changed jobs=$jobs")
+      }
     }
     require(changed == 0, s"connected components did not converge in $rounds rounds")
     // the final labels are materialized checkpoint blocks; the edge list

@@ -181,9 +181,8 @@ object AggMaintenance {
     // for each consumer (r15-opt plan audit: two identical BatchScans).
     // The materialized bytes are the projection, not the table; at scale
     // one log-merge pass + a narrow spill beats two log-merge passes.
-    val startProj = t.snapshot(asOf = Some(start))
-      .select(keys.map(col) :+ col(groupCol) :+ dec(valueCol).as("__sv"): _*)
-      .localCheckpoint()
+    val startProj = graft.util.Materialize.once(t.snapshot(asOf = Some(start))
+      .select(keys.map(col) :+ col(groupCol) :+ dec(valueCol).as("__sv"): _*))
     val prior = startProj
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"), sum(col("__sv")).as("s"))
