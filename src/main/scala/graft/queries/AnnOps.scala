@@ -370,16 +370,17 @@ object AnnOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** The list-assignment window (corpus × centroids) as a standalone
-    * statement: `assign` is referenced twice downstream (inverted lists
-    * AND query probes) and Spark inlines deterministic CTEs per
-    * reference — the r15-opt plan audit showed the cross-join + window
-    * executing twice. [[ivfImpl]] materializes the consumed slice once
-    * (rank-1 members plus the query probes — 1/numLists of the full
-    * assignment); the DuckDB oracle keeps the plain CTE.
-    */
-  private def sparkIvfAssignSql: String = {
+  // Inline `assign` CTE, deliberately: the r15-opt materialization of the
+  // list-assignment window (referenced twice: inverted lists + query
+  // probes) was A/B-adjudicated a REAL regression in r16 — isolated
+  // min-of-5 on one box, r15-build inline 0.474 s vs materialized 0.703 s
+  // (persist mode 0.684 s); embed_ann_recall, which shared the view,
+  // 0.244 s inline vs 0.403 s materialized. Running the centroid
+  // cross-join + window twice beats the materialize round-trip — the
+  // assignment slice is corpus-row-sized.
+  private def sparkIvfMain: String = {
     val centDot = sparkDot.format("v.q", "c.cq")
+    val pairDot = sparkDot.format("a.q", "b.q")
     s"""WITH cent AS (
        |  SELECT vec_id AS cid, q AS cq, qnorm AS cnorm
        |  FROM ann_qn WHERE vec_id < $ivfNumLists),
@@ -387,25 +388,10 @@ object AnnOps {
        |  SELECT v.vec_id, c.cid,
        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |      ORDER BY CAST($centDot AS DOUBLE) / sqrt(CAST(c.cnorm AS DOUBLE)) DESC, c.cid) AS rk
-       |  FROM ann_qn v CROSS JOIN cent c)
-       |SELECT vec_id, cid, rk FROM assign
-       |WHERE rk = 1 OR (vec_id < 5 AND rk <= $ivfNProbe)""".stripMargin
-  }
-
-  private def ivfImpl(s: SparkSession, d: String): DataFrame = {
-    sparkPrep(s, d)
-    // one-shot materialization (lineage-preserving persist + fresh view
-    // name + view dropped in finally — see graft.util.Materialize)
-    graft.util.Materialize.withView("graft_ivf_assign", s.sql(sparkIvfAssignSql)) { rel =>
-      s.sql(sparkIvfMain(rel))
-    }
-  }
-
-  private def sparkIvfMain(assignRel: String): String = {
-    val pairDot = sparkDot.format("a.q", "b.q")
-    s"""WITH lists AS (SELECT vec_id, cid FROM $assignRel WHERE rk = 1),
+       |  FROM ann_qn v CROSS JOIN cent c),
+       |lists AS (SELECT vec_id, cid FROM assign WHERE rk = 1),
        |probes AS (
-       |  SELECT vec_id AS query_id, cid FROM $assignRel
+       |  SELECT vec_id AS query_id, cid FROM assign
        |  WHERE vec_id < 5 AND rk <= $ivfNProbe),
        |cand AS (
        |  SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
@@ -874,7 +860,7 @@ object AnnOps {
     "embed_dedup_lsh" -> QueryDef(runSpark(sparkLshMain) _, duckSql),
     "embed_ann_topk" -> QueryDef(runSpark(sparkAnnMain) _, duckAnnSql),
     "embed_ann_ivf" -> QueryDef(
-      ivfImpl _,
+      runSpark(sparkIvfMain) _,
       ivfSql("list_transform", duckDot)),
     "embed_ann_sq8" -> QueryDef(
       (s, d) => { sq8Prep(s, d); s.sql(sparkSq8Main) },
@@ -883,12 +869,7 @@ object AnnOps {
       (s, d) => { pqPrep(s, d); s.sql(sparkPqMain) },
       Some(duckPqSql)),
     "embed_ann_recall" -> QueryDef(
-      ((s: SparkSession, d: String) => {
-        sparkPrep(s, d)
-        graft.util.Materialize.withView("graft_ivf_assign", s.sql(sparkIvfAssignSql)) { rel =>
-          s.sql(ivfRecallSql("ann_qn", sparkDot, "", Some(rel)))
-        }
-      }),
+      runSpark(ivfRecallSql("ann_qn", sparkDot, "")) _,
       ivfRecallSql("qn", duckDot, duckQnPrefix)),
     "embed_lsh_recall" -> QueryDef(
       runSpark(sparkLshRecallSql) _,

@@ -334,21 +334,18 @@ object ApproxOps {
     "q_percentile_sampled" -> QueryDef(
       (s, d) => sq(s, d, Seq("lineitem"))(sampledPctSql(spark = true)),
       sampledPctSql(spark = false)),
+    // Inline CTEs, deliberately: the r15-opt materialization of the dl/tf
+    // subtrees (each referenced 2x) was A/B-adjudicated a REAL regression
+    // in r16 — isolated min-of-5 on one box, r15-build inline 0.653 s vs
+    // materialized 1.351 s (localCheckpoint r15 variant 1.181 s). Two
+    // pushdown-pruned columnar re-scans of `documents` are cheaper than
+    // one materialize+re-read of a corpus-sized (doc_id, dl) relation:
+    // materialize only when the subtree is referenced 3x+ AND the
+    // materialized relation is far below the subtree's input bytes.
     "text_bm25_topk" -> QueryDef(
       ((s: SparkSession, d: String) => {
         Tables.ensureView(s, d, "documents")(Tables.load(s, d, "documents"))
-        val terms = Bm25Terms.map(t => s"SELECT '$t' AS term").mkString(" UNION ALL ")
-        graft.util.Materialize.withView("graft_bm25_dl",
-          s.sql("SELECT doc_id, size(split(text, ' ')) AS dl FROM documents")) { dlRel =>
-          graft.util.Materialize.withView("graft_bm25_tf",
-            s.sql(
-              s"""SELECT doc_id, tok AS term, COUNT(1) AS tf
-                 |FROM (SELECT doc_id, explode(split(text, ' ')) AS tok FROM documents) o
-                 |JOIN ($terms) t ON o.tok = t.term
-                 |GROUP BY doc_id, tok""".stripMargin)) { tfRel =>
-            s.sql(bm25Sql(spark = true, dlRel = Some(dlRel), tfRel = Some(tfRel)))
-          }
-        }
+        s.sql(bm25Sql(spark = true))
       }),
       bm25Sql(spark = false)),
   )

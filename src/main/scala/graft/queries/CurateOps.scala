@@ -992,28 +992,28 @@ object CurateOps {
     "text_ccnet_buckets" -> QueryDef(
       (s, d) => sq(s, d, ccnetBucketsSql(spark = true)),
       Some(ccnetBucketsSql(spark = false))),
+    // Inline `sc` CTE, deliberately: the r15-opt materialization was
+    // A/B-adjudicated a REAL regression in r16 — isolated min-of-5 on one
+    // box, r15-build inline 0.778 s vs materialized 1.181 s. The three
+    // downstream references (st/cc/terms) are all cheap aggregates of the
+    // dictionary-sized sc; re-running the tokenize+count subtree twice
+    // more is cheaper at sf0.1 than one materialize+re-read round-trip.
     "text_source_kl" -> QueryDef(
       ((s: SparkSession, d: String) => {
         prep(s, d)
-        graft.util.Materialize.withView("graft_kl_sc",
-          s.sql(
-            s"""WITH corpus AS ($corpusSql)
-               |SELECT source, tok, COUNT(1) AS c
-               |FROM (SELECT source, explode(split(text, ' ')) AS tok FROM corpus)
-               |GROUP BY source, tok""".stripMargin)) { rel =>
-          s.sql(sourceKlSql(spark = true, scRel = Some(rel)))
-        }
+        s.sql(sourceKlSql(spark = true))
       }),
       Some(sourceKlSql(spark = false))),
+    // Inline `vt` CTE, deliberately: the r15-opt materialization was
+    // A/B-adjudicated a REAL regression in r16 — isolated min-of-5 on one
+    // box, r15-build inline 0.351 s vs materialized 0.548 s (persist mode
+    // 0.621 s). The per-source vocabulary is dictionary-sized but the
+    // downstream references are cheap DISTINCT aggregates; re-running the
+    // tokenize pass beats the materialize round-trip at sf0.1.
     "text_vocab_overlap" -> QueryDef(
       ((s: SparkSession, d: String) => {
         prep(s, d)
-        graft.util.Materialize.withView("graft_vocab_vt",
-          s.sql(
-            s"""WITH corpus AS ($corpusSql)
-               |SELECT DISTINCT source, explode(split(text, ' ')) AS tok FROM corpus""".stripMargin)) { rel =>
-          s.sql(vocabOverlapSql(spark = true, vtRel = Some(rel)))
-        }
+        s.sql(vocabOverlapSql(spark = true))
       }),
       Some(vocabOverlapSql(spark = false))),
     "text_dsir_select" -> QueryDef(

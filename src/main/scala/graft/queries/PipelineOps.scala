@@ -206,37 +206,14 @@ object PipelineOps {
   // partitions by doc_id —
   // corpus-many partitions, no funnel. Rational idf (N+1)/(df+1) keeps
   // the score inside IEEE-correctly-rounded ops (see object scaladoc).
-  /** The per-(doc, term) count relation as standalone SQL: `tf` is
-    * referenced twice downstream (the scoring join AND the df derivation)
-    * and Spark inlines deterministic CTEs at every reference — the
-    * r15-opt plan audit showed the tokenize+explode+aggregate pass over
-    * `documents` executing twice. [[tfidfImpl]] materializes it once per
-    * invocation; the DuckDB oracle keeps the plain CTE text.
-    */
-  private def tfSparkSql(explodeExpr: String): String =
-    s"""SELECT doc_id, term, COUNT(1) AS tf
-       |FROM (SELECT doc_id, $explodeExpr AS term FROM documents)
-       |GROUP BY doc_id, term""".stripMargin
-
-  private def tfidfRestSql(tfRel: String): String =
-    s"""WITH df AS (SELECT term, COUNT(1) AS df FROM $tfRel GROUP BY term),
-       |n AS (SELECT COUNT(1) AS n_docs FROM documents),
-       |scored AS (
-       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-       |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS tfidf
-       |  FROM $tfRel tf JOIN df ON tf.term = df.term CROSS JOIN n),
-       |ranked AS (
-       |  SELECT doc_id, term, tf, df, tfidf,
-       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
-       |  FROM scored)
-       |SELECT doc_id, rk, term, tf, df, tfidf
-       |FROM ranked WHERE rk <= 3
-       |ORDER BY doc_id, rk""".stripMargin
-
+  // Inline tf CTE, deliberately: the r15-opt materialization was
+  // A/B-adjudicated a REAL regression in r16 — isolated min-of-5 on one
+  // box, r15-build inline 0.811 s vs materialized 1.013 s (persist mode
+  // 1.080 s). The tf relation is corpus-token-sized; writing and
+  // re-reading it costs more than re-running the tokenize+count pass.
   private def tfidfImpl(s: SparkSession, d: String): DataFrame = {
     Tables.ensureView(s, d, "documents")(Tables.documents(s, d))
-    graft.util.Materialize.withView("graft_tfidf_tf",
-      s.sql(tfSparkSql("explode(split(text, ' '))")))(rel => s.sql(tfidfRestSql(rel)))
+    s.sql(tfidfSql("explode(split(text, ' '))"))
   }
 
   private def tfidfSql(explodeExpr: String): String =

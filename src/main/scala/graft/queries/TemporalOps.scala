@@ -287,14 +287,13 @@ object TemporalOps {
   private def attributionFirstImpl(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d).createOrReplaceTempView("events_af")
     val bucketUs = 86400000000L // 1 day
-    // `purchases` feeds both the bucket explosion and the final LEFT join
-    // re-attach; inlined, Spark scans+filters the events corpus twice
-    // (r15-opt plan audit). Materialized once — it is the filtered small
-    // side at any scale.
-    val purchases = s.sql(
-      """SELECT user_id, event_id AS purchase_id, unix_micros(ts) AS p_us
-        |FROM events_af WHERE event_type = 'purchase'""".stripMargin)
-    val df = graft.util.Materialize.withView("graft_af_purchases", purchases) { rel =>
+    // `purchases` (2 references: bucket explosion + final LEFT join) stays
+    // an INLINE CTE, deliberately: the r15-opt materialization was
+    // A/B-adjudicated a REAL regression in r16 — isolated min-of-5 on one
+    // box, r15-build inline 0.746 s vs materialized 1.166 s. Two
+    // pushdown-filtered scans of the events corpus are cheaper than one
+    // materialize+re-read round-trip of the purchase rows.
+    val df =
       s.sql(
       s"""WITH touches AS (
          |  SELECT user_id, event_id, event_type, unix_micros(ts) AS t_us FROM (
@@ -302,7 +301,8 @@ object TemporalOps {
          |      ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
          |    FROM events_af WHERE event_type IN ('click', 'view')) WHERE rn = 1),
          |purchases AS (
-         |  SELECT user_id, purchase_id, p_us FROM $rel),
+         |  SELECT user_id, event_id AS purchase_id, unix_micros(ts) AS p_us
+         |  FROM events_af WHERE event_type = 'purchase'),
          |pb AS (
          |  SELECT user_id, purchase_id, p_us, bucket
          |  FROM purchases
@@ -326,7 +326,6 @@ object TemporalOps {
          |LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m
          |  ON p.purchase_id = m.purchase_id
          |ORDER BY p.purchase_id""".stripMargin)
-    }
     val plan = df.queryExecution.executedPlan.toString
     require(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"first-touch attribution must plan as an equi-join, got:\n$plan")
@@ -557,25 +556,23 @@ object TemporalOps {
 
   private def dauWauImpl(s: SparkSession, d: String): DataFrame = {
     Tables.ensureView(s, d, "events")(Tables.events(s, d))
-    // `ud` feeds both the DAU aggregate and the 7-day expansion; inlined,
-    // Spark runs the corpus-wide DISTINCT twice (r15-opt plan audit).
-    // Materialized it is the already-reduced (user, day) relation —
-    // O(users x days), a large reduction of the event corpus but NOT
-    // dictionary-sized; persist(MEMORY_AND_DISK) bounds the memory
-    // exposure (blocks evict to disk under pressure and recompute from
-    // lineage on loss). Measured at sf0.1: see OPTIMIZATION_r16.md.
-    val ud = s.sql(s"SELECT DISTINCT $sparkDay AS d, user_id FROM events")
-    graft.util.Materialize.withView("graft_dauwau_ud", ud) { rel =>
-      s.sql(
-        s"""WITH off AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(o)),
-          |wa AS (SELECT DISTINCT ud.d + off.o AS wd, ud.user_id
-          |       FROM $rel ud CROSS JOIN off),
-          |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM $rel GROUP BY d),
-          |wau AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS wau FROM wa GROUP BY wd)
-          |SELECT dau.d AS day, dau.dau, wau.wau
-          |FROM dau JOIN wau ON wau.wd = dau.d
-          |ORDER BY day""".stripMargin)
-    }
+    // Inline `ud` CTE, deliberately: the r15-opt materialization was
+    // A/B-adjudicated a REAL regression in r16 — isolated min-of-5 on one
+    // box, r15-build inline 0.272 s vs materialized 0.440 s (persist mode
+    // 0.488 s). Running the corpus DISTINCT twice is cheaper than one
+    // materialize+re-read of the O(users x days) relation — which also
+    // retires the VERDICT r15 concern about checkpointing a corpus-scale
+    // relation at 100 TB: nothing is materialized here anymore.
+    s.sql(
+      s"""WITH ud AS (SELECT DISTINCT $sparkDay AS d, user_id FROM events),
+        |off AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) AS t(o)),
+        |wa AS (SELECT DISTINCT ud.d + off.o AS wd, ud.user_id
+        |       FROM ud CROSS JOIN off),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+        |wau AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS wau FROM wa GROUP BY wd)
+        |SELECT dau.d AS day, dau.dau, wau.wau
+        |FROM dau JOIN wau ON wau.wd = dau.d
+        |ORDER BY day""".stripMargin)
   }
 
   /** Event-type transition matrix over per-user ordered streams — the
@@ -588,15 +585,17 @@ object TemporalOps {
     */
   private def transitionsImpl(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    // `trans` feeds BOTH the join's left side and the row totals; without
-    // materialization Spark re-executes the corpus window pass for each
-    // (r15-opt plan audit: two Scan+Window+agg subtrees). The relation is
-    // (#types)² rows — materializing it is free at any scale.
-    val trans = graft.util.Materialize.once(Tables.events(s, d)
+    // `trans` feeds BOTH the join's left side and the row totals, so the
+    // corpus window pass runs twice — INLINE, deliberately: the r15-opt
+    // materialization was A/B-adjudicated a REAL regression in r16
+    // (isolated min-of-5 on one box, r15-build inline 0.466 s vs
+    // materialized 0.589 s, persist mode 0.750 s). Two window passes beat
+    // one materialize round-trip at sf0.1.
+    val trans = Tables.events(s, d)
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
-      .agg(count(lit(1)).as("n")))
+      .agg(count(lit(1)).as("n"))
     val tot = trans.groupBy("prev_type").agg(sum("n").as("row_total"))
     trans.join(broadcast(tot), "prev_type")
       .select(col("prev_type"), col("next_type"), col("n"), col("row_total"),

@@ -9,14 +9,14 @@ import org.apache.spark.storage.StorageLevel
   * re-executes its subtree that many times unless the shared relation is
   * materialized once and re-read).
   *
-  * r16: the one-shot sites moved from `localCheckpoint()` to
-  * lineage-preserving `persist(MEMORY_AND_DISK)` + eager count (guide
-  * §5): a localCheckpoint truncates lineage and stores unreplicated
-  * blocks, so on a real cluster one executor loss mid-query kills the
-  * query unrecoverably; a persisted frame recomputes lost partitions
-  * from lineage. Iterative loops (connected components, PageRank,
-  * the k-means/PQ training chains) KEEP localCheckpoint — there the
-  * lineage cut is the point (plan growth per round is what kills
+  * r16: one shared helper for every one-shot site, with the
+  * materialization MODE parameterized (see [[mode]]): local default is
+  * `localCheckpoint()` (bench-measured cheaper), production clusters opt
+  * into lineage-preserving `persist(MEMORY_AND_DISK)` + eager count
+  * (guide §5) so an executor loss mid-query recomputes instead of
+  * killing the query. Iterative loops (connected components, PageRank,
+  * the k-means/PQ training chains) use localCheckpoint directly — there
+  * the lineage cut is the point (plan growth per round is what kills
   * iterative DataFrame jobs; measured in TextOps: 8s -> 110s/round).
   *
   * Lifecycle (why unpersist is NOT in a finally block here): cache
@@ -48,13 +48,30 @@ object Materialize {
   private val PendingKey = "graft_materialize_pending"
   private val viewNonce = new java.util.concurrent.atomic.AtomicLong()
 
-  /** `persist` (default) | `checkpoint`. The checkpoint mode keeps the
-    * r15 localCheckpoint behavior (marginally cheaper block writes, no
-    * recompute-on-loss) for A/B comparison and for embedders that want
-    * the old lifecycle; persist is the production-safe default.
+  /** `checkpoint` (default) | `persist`.
+    *
+    * Measured (r16, isolated min-of-5 at sf0.1, 13 materializing entries,
+    * 3 arms back-to-back on one box): persist(MEMORY_AND_DISK)+count is
+    * SLOWER than localCheckpoint at 11 of 13 sites, by 6-45% of the whole
+    * entry (the extra eager count() job plus the columnar InMemoryRelation
+    * encode cost more than localCheckpoint's serialized block write; e.g.
+    * hudi_agg_maintenance 1.22 s persist vs 0.92 s checkpoint,
+    * text_dsir_select 2.20 vs 1.30, embed_knn_brute 0.39 vs 0.24). The
+    * local default is therefore checkpoint — the bench-comparable setting.
+    *
+    * `persist` stays available as the PRODUCTION mode for real clusters
+    * (set spark.graft.materialize.mode=persist): localCheckpoint stores
+    * unreplicated executor-local blocks with truncated lineage, so one
+    * executor loss mid-query kills the query unrecoverably, while persist
+    * keeps recompute-on-loss lineage. That fault-tolerance premium is the
+    * measured 6-45% above — a deliberate, parameterized trade (round rule:
+    * scale-dependent settings ride conf with bench-comparable local
+    * defaults).
     */
   private def mode(s: SparkSession): String =
-    s.conf.getOption("spark.graft.materialize.mode").getOrElse("persist")
+    s.conf.getOption("spark.graft.materialize.mode")
+      .orElse(sys.env.get("GRAFT_MATERIALIZE_MODE")) // dev A/B hook
+      .getOrElse("checkpoint")
 
   private def pending(s: SparkSession) = {
     val reg = graft.queries.SessionRegistry.of(s)
