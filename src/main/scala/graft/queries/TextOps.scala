@@ -711,12 +711,32 @@ object TextOps {
     // physical partitioning, so every round's propagation join reuses this
     // layout and only the (doc, lbl) labels — never the edge list, the big
     // side at 100 TB — cross an exchange again
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+    val edges0 = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("doc", "nbr").repartition(col("nbr")).localCheckpoint()
-    var gen = edges.select(col("doc")).distinct()
-      .withColumn("lbl", col("doc")).localCheckpoint()
-    var labels: DataFrame = gen
-    val lblType = gen.schema("lbl").dataType
+    // Data-bounded loop partitioning (the r16 pagerank rule applied here):
+    // every round runs ~5 label exchanges, and at the session's core-count
+    // shuffle partitioning that is ~160 tiny tasks/round of pure launch
+    // overhead on node-sized labels (measured: ~1 s/round at sf0.1 with 32
+    // partitions, whether the exchanges ran as 8 AQE jobs or 2 non-AQE
+    // jobs — the tasks, not the jobs, are the floor). Size the loop's
+    // partition count to the EDGE bytes (the biggest relation the loop
+    // touches): core-count floor only while each core gets >= 8 MB of
+    // edges, data-sized above (e*rowBytes/32MB), so a 100 TB edge list
+    // keeps full parallelism while a node-sized one stops paying for it.
+    // The count is one narrow job over the already-checkpointed blocks;
+    // the re-layout shuffle below only fires in the small regime where it
+    // is trivially cheap, and scale keeps the original layout untouched.
+    val eCnt = edges0.count()
+    val EdgeRowBytes = 48L
+    val loopParts = math.max(
+      math.min(sc.defaultParallelism.toLong, eCnt * EdgeRowBytes / (8L << 20) + 1),
+      math.min(1L << 18, eCnt * EdgeRowBytes / (32L << 20) + 1)).toInt
+    val edges =
+      if (loopParts < edges0.rdd.getNumPartitions) {
+        val re = edges0.repartition(loopParts, col("nbr")).localCheckpoint()
+        freeLocalCheckpoint(edges0)
+        re
+      } else edges0
     // the per-round convergence count rides an ACCUMULATOR inside the
     // checkpoint-materialization job instead of a second count() job over
     // the checkpointed blocks: one fewer Spark job AND one fewer full
@@ -732,8 +752,36 @@ object TextOps {
       if (c) chgAcc.add(1L)
       c
     }.asNondeterministic()
+    // AQE OFF inside the loop (conf-gated, default off): each round's
+    // checkpoint action is a ~5-exchange DAG and AQE materializes every
+    // exchange as its OWN job — measured 7-8 jobs/round at sf0.1
+    // (GRAFT_CC_DEBUG) against a ~130 ms/job scheduling floor
+    // (DevFloorProbe); non-AQE runs the round as ONE job whose exchanges
+    // use the loopParts sizing above (AQE coalescing cannot see the
+    // checkpointed relations' stats anyway). The candidate-pair subtree
+    // BEFORE the loop keeps the session's AQE. A deployment with giant
+    // skewed components can re-enable AQE's runtime skew splitting inside
+    // the loop via spark.graft.cc.loop.aqe=true; the loop's own skew
+    // bound is documented in the method scaladoc.
+    val s = pairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val aqeBefore = s.conf.getOption(aqeKey)
+    val partsBefore = s.conf.getOption(partsKey)
+    val loopAqe = s.conf.getOption("spark.graft.cc.loop.aqe").getOrElse("false")
     var changed = 1L
     var rounds = 0
+    var gen: DataFrame = null
+    var labels: DataFrame = null
+    try {
+    s.conf.set(aqeKey, loopAqe)
+    s.conf.set(partsKey, loopParts.toString)
+    // label generation 0 is built INSIDE the loop's conf region so its
+    // distinct (and every later label exchange) uses loopParts
+    gen = edges.select(col("doc")).distinct()
+      .withColumn("lbl", col("doc")).localCheckpoint()
+    labels = gen
+    val lblType = gen.schema("lbl").dataType
     while (changed > 0 && rounds < 50) {
       chgAcc.reset()
       val jobs0 = sc.statusTracker.getJobIdsForGroup(null).length
@@ -771,6 +819,16 @@ object TextOps {
       if (sys.env.contains("GRAFT_CC_DEBUG")) {
         val jobs = sc.statusTracker.getJobIdsForGroup(null).length - jobs0
         println(s"GRAFT_CC round=$rounds changed=$changed jobs=$jobs")
+      }
+    }
+    } finally {
+      aqeBefore match {
+        case Some(v) => s.conf.set(aqeKey, v)
+        case None => s.conf.unset(aqeKey)
+      }
+      partsBefore match {
+        case Some(v) => s.conf.set(partsKey, v)
+        case None => s.conf.unset(partsKey)
       }
     }
     require(changed == 0, s"connected components did not converge in $rounds rounds")

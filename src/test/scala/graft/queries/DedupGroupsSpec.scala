@@ -48,4 +48,34 @@ class DedupGroupsSpec extends SparkTestBase {
     assert(local.values.toSet == Set(3L) && local.keySet == Set(3L, 5L, 7L, 9L))
     assert(labelsOf(TextOps.distributedComponents(pairs)) == local)
   }
+
+  test("loop conf region restores AQE and shuffle partitions exactly (r16)") {
+    // the loop runs with AQE off + data-bounded shuffle partitions and
+    // must put BOTH session confs back whatever they were before —
+    // including the unset state
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val aqe0 = spark.conf.getOption(aqeKey)
+    val parts0 = spark.conf.getOption(partsKey)
+    try {
+      spark.conf.set(aqeKey, "true")
+      spark.conf.set(partsKey, "17")
+      val pairs = pairsDf(1L -> 2L, 3L -> 4L)
+      assert(labelsOf(TextOps.distributedComponents(pairs)) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+      assert(spark.conf.get(aqeKey) == "true")
+      assert(spark.conf.get(partsKey) == "17")
+      // and the opt-in: loop AQE follows spark.graft.cc.loop.aqe
+      spark.conf.set("spark.graft.cc.loop.aqe", "true")
+      assert(labelsOf(TextOps.distributedComponents(pairs)) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+      assert(spark.conf.get(aqeKey) == "true")
+      assert(spark.conf.get(partsKey) == "17")
+    } finally {
+      spark.conf.unset("spark.graft.cc.loop.aqe")
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore(aqeKey, aqe0); restore(partsKey, parts0)
+    }
+  }
 }
